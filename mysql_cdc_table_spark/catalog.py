@@ -1,0 +1,74 @@
+"""Table catalog: load the driver's parquet tables and register views.
+
+The reference registers one virtual table per CDC target through MySQL's
+data dictionary (CREATE TABLE ... ENGINE=BINLOGDB, reference
+binlogdb.cc:833-855 — a no-op create that only records schema). Here the
+equivalent registration surface is a temp-view catalog over parquet scans;
+Catalyst owns predicate pushdown and column pruning into the scans
+(the reference has neither — it decodes every column of every row,
+binlogdb.cc:536-551).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor we target;
+# fact tables (orders/lineitem/events/documents/embeddings) scale with sf.
+BROADCAST_DIMS = ("region", "nation", "supplier", "part", "customer")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS) — read as long (nanosAsLong) and
+        # truncate to microseconds, matching DuckDB's nanos->micros cast.
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every driver table that exists under ``sf_dir``."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = table_path(sf_dir, name)
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each table as a temp view (for spark.sql entry points)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,59 @@
+"""Query-operator registry.
+
+Each submodule exposes ``QUERIES: dict[str, (spark, sf_dir) -> DataFrame]``
+and ``ORACLES: dict[str, str]`` (ANSI SQL for the DuckDB oracle; a key
+present in QUERIES but absent from ORACLES gets the driver's weaker
+rows-only check). ``all_queries()`` / ``all_oracles()`` merge every
+registered module — this is what ``__spark_entry__.py`` serves.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_MODULES = (
+    "mysql_cdc_table_spark.operators.relational",
+    "mysql_cdc_table_spark.operators.joins",
+    "mysql_cdc_table_spark.operators.aggregates",
+    "mysql_cdc_table_spark.operators.windows",
+    "mysql_cdc_table_spark.operators.scalars",
+    "mysql_cdc_table_spark.cdc.queries",
+    "mysql_cdc_table_spark.functions.dedup",
+    "mysql_cdc_table_spark.functions.similarity",
+    "mysql_cdc_table_spark.functions.text",
+    "mysql_cdc_table_spark.functions.multimodal",
+    "mysql_cdc_table_spark.streaming.batch_windows",
+)
+
+
+def _load() -> list:
+    import importlib
+
+    mods = []
+    for name in _MODULES:
+        try:
+            mods.append(importlib.import_module(name))
+        except ModuleNotFoundError:
+            continue  # module not built yet; registry grows as milestones land
+    return mods
+
+
+def all_queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+    for mod in _load():
+        dup = set(out) & set(getattr(mod, "QUERIES", {}))
+        if dup:
+            raise ValueError(f"duplicate query keys {dup} in {mod.__name__}")
+        out.update(getattr(mod, "QUERIES", {}))
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for mod in _load():
+        out.update(getattr(mod, "ORACLES", {}))
+    return out
