@@ -1,0 +1,97 @@
+"""Derived CDC operators: the state-deriving idioms the reference's users
+write in MySQL SQL over the changelog, shipped here as library functions.
+
+The reference materializes nothing (append-only replay from file 0 on
+every scan, reference binlogdb.cc:487); "current state" is always a
+query. These operators are that query surface, built shuffle-consciously:
+
+- latest_state / snapshot_at: one hash-partition shuffle on the key, then
+  a partition-local window — the minimum possible for a global
+  per-key reduction. At 100 TB the changelog would be bucketed or
+  range-partitioned by key so this shuffle disappears entirely.
+- update_pairs: a self-join on (__gtid, __event_seq) — both sides share
+  the partitioning, so AQE plans a single shuffle each; at scale this is
+  the co-partitioned case (no broadcast needed, keys are unique per pair).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mysql_cdc_table_spark.cdc.schema import (
+    CDC_DELETE,
+    CDC_UPDATE_AFTER,
+    CDC_UPDATE_BEFORE,
+)
+
+
+def _latest_window(key_cols: list[str]):
+    # Total order of images per key: transaction order (__gtid), then
+    # within-event image order (after-image wins over before-image).
+    return Window.partitionBy(*key_cols).orderBy(
+        F.col("__gtid").desc(), F.col("__event_seq").desc(), F.col("__image_seq").desc()
+    )
+
+
+def latest_state(changelog: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Current-state snapshot: the newest image per key, minus deleted keys.
+
+    Equivalent to the reference idiom ``latest __gtid per key`` run
+    through MySQL; deletes tombstone the whole key.
+    """
+    ranked = changelog.withColumn("__rn", F.row_number().over(_latest_window(key_cols)))
+    return (
+        ranked.filter((F.col("__rn") == 1) & (F.col("__op") != CDC_DELETE))
+        .drop("__rn")
+    )
+
+
+def snapshot_at(changelog: DataFrame, key_cols: list[str], gtid: int | None = None,
+                gtid_col=None) -> DataFrame:
+    """Point-in-time snapshot: state as of transaction ``gtid`` (inclusive)."""
+    bound = F.lit(gtid) if gtid_col is None else gtid_col
+    return latest_state(changelog.filter(F.col("__gtid") <= bound), key_cols)
+
+
+def update_pairs(changelog: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Re-pair UPDATE before/after images onto one row.
+
+    The reference guarantees adjacency by emission order (stash after-image,
+    emit on next call — binlog_table_reader.cc:385-388, :103-161); under a
+    shuffle that ordering is gone, so we join on the carried keys
+    (__gtid, __event_seq) instead.
+    """
+    val_cols = [c for c in changelog.columns if not c.startswith("__")]
+    before = changelog.filter(F.col("__op") == CDC_UPDATE_BEFORE).select(
+        *key_cols,
+        "__gtid",
+        "__event_seq",
+        *[F.col(c).alias(f"before_{c}") for c in val_cols if c not in key_cols],
+    )
+    after = changelog.filter(F.col("__op") == CDC_UPDATE_AFTER).select(
+        *key_cols,
+        "__gtid",
+        "__event_seq",
+        "__tm",
+        *[F.col(c).alias(f"after_{c}") for c in val_cols if c not in key_cols],
+    )
+    return before.join(after, [*key_cols, "__gtid", "__event_seq"], "inner")
+
+
+def op_counts(changelog: DataFrame) -> DataFrame:
+    """Audit: row count per CDC op code (map-side combinable)."""
+    return changelog.groupBy("__op").agg(F.count("*").alias("n")).orderBy("__op")
+
+
+def changes_per_key(changelog: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Per-key change history summary."""
+    return changelog.groupBy(*key_cols).agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.when(F.col("__op") == CDC_UPDATE_AFTER, 1).otherwise(0)).alias(
+            "n_updates"
+        ),
+        F.max(F.when(F.col("__op") == CDC_DELETE, 1).otherwise(0)).alias("deleted"),
+        F.min("__gtid").alias("first_gtid"),
+        F.max("__gtid").alias("last_gtid"),
+    )

@@ -1,0 +1,166 @@
+"""CDC query registry: the reference's raison d'être, oracle-checked.
+
+Each entry builds the deterministic synthetic changelog (see
+``synthetic.py``) and applies one derived operator; the oracle rebuilds
+the identical changelog in DuckDB SQL (``CHANGELOG_CTE``) and applies
+the same operator in ANSI SQL. ``cdc_envelope_roundtrip`` additionally
+proves the decode path: Debezium-style JSON envelopes built from the
+same recipe, pushed through ``decode_envelope``, must reproduce the
+changelog bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_cdc_table_spark.cdc import ops
+from mysql_cdc_table_spark.cdc.source import decode_envelope
+from mysql_cdc_table_spark.cdc.synthetic import (
+    CHANGELOG_CTE,
+    ORDERS_TARGET_SCHEMA,
+    synthetic_changelog,
+    synthetic_envelopes,
+)
+
+KEY = ["o_orderkey"]
+
+_CHANGELOG_COLS = (
+    "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, "
+    "o_orderpriority, __op, __gtid, __tm, __file_seq, __event_seq, __image_seq"
+)
+
+
+def cdc_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synthetic_changelog(spark, sf_dir)
+
+
+CDC_CHANGELOG_SCAN_SQL = f"WITH {CHANGELOG_CTE} SELECT {_CHANGELOG_COLS} FROM changelog"
+
+
+def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = synthetic_envelopes(spark, sf_dir)
+    return decode_envelope(env, ORDERS_TARGET_SCHEMA, database="tpch", table="orders")
+
+
+CDC_ENVELOPE_ROUNDTRIP_SQL = CDC_CHANGELOG_SCAN_SQL
+
+
+def cdc_op_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.op_counts(synthetic_changelog(spark, sf_dir))
+
+
+CDC_OP_COUNTS_SQL = f"""
+WITH {CHANGELOG_CTE}
+SELECT __op, count(*) AS n FROM changelog GROUP BY __op ORDER BY __op
+"""
+
+
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.latest_state(synthetic_changelog(spark, sf_dir), KEY)
+
+
+CDC_LATEST_STATE_SQL = f"""
+WITH {CHANGELOG_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey
+      ORDER BY __gtid DESC, __event_seq DESC, __image_seq DESC) AS __rn
+  FROM changelog
+)
+SELECT {_CHANGELOG_COLS} FROM ranked WHERE __rn = 1 AND __op <> 0
+"""
+
+
+def cdc_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = synthetic_changelog(spark, sf_dir)
+    bound = cl.agg(
+        F.floor(F.max("__gtid") / F.lit(2.0)).cast("long").alias("__bound")
+    )
+    filtered = (
+        cl.join(F.broadcast(bound))
+        .filter(F.col("__gtid") <= F.col("__bound"))
+        .drop("__bound")
+    )
+    return ops.latest_state(filtered, KEY)
+
+
+CDC_SNAPSHOT_AT_SQL = f"""
+WITH {CHANGELOG_CTE},
+clipped AS (
+  SELECT * FROM changelog
+  WHERE __gtid <= (SELECT CAST(floor(max(__gtid) / 2.0) AS BIGINT) FROM changelog)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey
+      ORDER BY __gtid DESC, __event_seq DESC, __image_seq DESC) AS __rn
+  FROM clipped
+)
+SELECT {_CHANGELOG_COLS} FROM ranked WHERE __rn = 1 AND __op <> 0
+"""
+
+
+def cdc_update_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.update_pairs(synthetic_changelog(spark, sf_dir), KEY)
+
+
+CDC_UPDATE_PAIRS_SQL = f"""
+WITH {CHANGELOG_CTE}
+SELECT
+  b.o_orderkey, b.__gtid, b.__event_seq,
+  b.o_custkey AS before_o_custkey,
+  b.o_orderstatus AS before_o_orderstatus,
+  b.o_totalprice AS before_o_totalprice,
+  b.o_orderdate AS before_o_orderdate,
+  b.o_orderpriority AS before_o_orderpriority,
+  a.__tm,
+  a.o_custkey AS after_o_custkey,
+  a.o_orderstatus AS after_o_orderstatus,
+  a.o_totalprice AS after_o_totalprice,
+  a.o_orderdate AS after_o_orderdate,
+  a.o_orderpriority AS after_o_orderpriority
+FROM changelog b
+JOIN changelog a
+  ON b.o_orderkey = a.o_orderkey
+ AND b.__gtid = a.__gtid AND b.__event_seq = a.__event_seq
+ AND b.__op = 2 AND a.__op = 3
+"""
+
+
+def cdc_changes_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.changes_per_key(synthetic_changelog(spark, sf_dir), KEY)
+
+
+CDC_CHANGES_PER_KEY_SQL = f"""
+WITH {CHANGELOG_CTE}
+SELECT o_orderkey,
+       count(*) AS n_images,
+       CAST(sum(CASE WHEN __op = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+       max(CASE WHEN __op = 0 THEN 1 ELSE 0 END) AS deleted,
+       min(__gtid) AS first_gtid,
+       max(__gtid) AS last_gtid
+FROM changelog
+GROUP BY o_orderkey
+"""
+
+
+QUERIES = {
+    "cdc_changelog_scan": cdc_changelog_scan,
+    "cdc_envelope_roundtrip": cdc_envelope_roundtrip,
+    "cdc_op_counts": cdc_op_counts,
+    "cdc_latest_state": cdc_latest_state,
+    "cdc_snapshot_at": cdc_snapshot_at,
+    "cdc_update_pairs": cdc_update_pairs,
+    "cdc_changes_per_key": cdc_changes_per_key,
+}
+
+ORACLES = {
+    "cdc_changelog_scan": CDC_CHANGELOG_SCAN_SQL,
+    "cdc_envelope_roundtrip": CDC_ENVELOPE_ROUNDTRIP_SQL,
+    "cdc_op_counts": CDC_OP_COUNTS_SQL,
+    "cdc_latest_state": CDC_LATEST_STATE_SQL,
+    "cdc_snapshot_at": CDC_SNAPSHOT_AT_SQL,
+    "cdc_update_pairs": CDC_UPDATE_PAIRS_SQL,
+    "cdc_changes_per_key": CDC_CHANGES_PER_KEY_SQL,
+}

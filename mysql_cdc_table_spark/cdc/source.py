@@ -1,0 +1,149 @@
+"""CDC source: decode Debezium-style JSON envelopes into the changelog.
+
+This is the Spark-first re-expression of the reference's scan/decode
+dataflow (reference binlog_table_reader.cc — event dispatch :173-429,
+table filter :178/:251/:318, row-image decode :175-391, op tagging,
+GTID propagation :410-416, update unnest :385-388). Instead of walking
+the packed binlog row format with Field::unpack, the primary ingest
+format is the externalized envelope (driver north star: "storage of the
+CDC log itself is external"):
+
+    value: {"op": "c"|"u"|"d"|"r",
+            "before": {...}|null, "after": {...}|null,
+            "source": {"db", "table", "gtid", "file", "pos", "ts_ms"}}
+
+Decode is fully declarative — from_json + a per-op image array +
+posexplode — so it stays inside whole-stage codegen: no Python UDF, no
+shuffle (file -> partition, the same parallelism-free mapping the
+reference does single-threaded, except Spark runs one task per file
+split). Predicates on __op / db / table / columns push into this plan
+for free, exceeding the reference (which decodes every column of every
+row and lets MySQL filter afterwards — binlogdb.cc:536-551).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SOURCE_SCHEMA = T.StructType(
+    [
+        T.StructField("db", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("gtid", T.LongType()),
+        T.StructField("file", T.StringType()),
+        T.StructField("pos", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+    ]
+)
+
+
+def envelope_schema(target: T.StructType) -> T.StructType:
+    """Schema of the JSON ``value`` column for a given target table."""
+    return T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("before", target),
+            T.StructField("after", target),
+            T.StructField("source", SOURCE_SCHEMA),
+        ]
+    )
+
+
+def _file_seq(file_col: Column) -> Column:
+    # binlog file names carry their sequence ("binlog.000007") — extract it
+    # rather than sorting a file list on the driver (reference loads the
+    # whole index file into an ordered vector, binlog_table_reader.cc:12-19;
+    # this stays distributed).
+    return F.regexp_extract(file_col, r"(\d+)$", 1).cast("int")
+
+
+def decode_envelope(
+    envelopes: DataFrame,
+    target: T.StructType,
+    database: str | None = None,
+    table: str | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Decode a DataFrame of envelope JSON strings into changelog rows.
+
+    One output row per row-image: c/r -> one __op=1 row, d -> one __op=0
+    row, u -> an __op=2 then __op=3 pair sharing __gtid/__event_seq with
+    __image_seq 0/1 (reference update-unnest semantics,
+    binlog_table_reader.cc:385-388, :103-161).
+    """
+    env = envelopes.withColumn("_e", F.from_json(F.col(value_col), envelope_schema(target)))
+
+    # A4 table-id filter, pushed into the scan.
+    if database is not None:
+        env = env.filter(F.col("_e.source.db") == database)
+    if table is not None:
+        env = env.filter(F.col("_e.source.table") == table)
+
+    img = (
+        F.when(
+            F.col("_e.op") == "u",
+            F.array(
+                F.struct(F.lit(2).alias("op"), F.col("_e.before").alias("row")),
+                F.struct(F.lit(3).alias("op"), F.col("_e.after").alias("row")),
+            ),
+        )
+        .when(
+            F.col("_e.op") == "d",
+            F.array(F.struct(F.lit(0).alias("op"), F.col("_e.before").alias("row"))),
+        )
+        .otherwise(  # c (insert) and r (snapshot read) both materialize 'after'
+            F.array(F.struct(F.lit(1).alias("op"), F.col("_e.after").alias("row")))
+        )
+    )
+
+    exploded = env.select(
+        F.col("_e.source").alias("_src"), F.posexplode(img).alias("_pos", "_img")
+    )
+    return exploded.select(
+        F.col("_img.row.*"),
+        F.col("_img.op").cast("int").alias("__op"),
+        F.col("_src.gtid").alias("__gtid"),
+        # reference __tm is second-resolution (timeval when,
+        # binlog_table_reader.cc:221-225): truncate ts_ms.
+        F.timestamp_seconds(F.floor(F.col("_src.ts_ms") / 1000).cast("long")).alias("__tm"),
+        _file_seq(F.col("_src.file")).alias("__file_seq"),
+        F.col("_src.pos").alias("__event_seq"),
+        F.col("_pos").cast("int").alias("__image_seq"),
+    )
+
+
+def cdc_read(
+    spark: SparkSession,
+    path: str,
+    target: T.StructType,
+    database: str | None = None,
+    table: str | None = None,
+    streaming: bool = False,
+) -> DataFrame:
+    """Read a directory/glob of JSONL envelope files as a changelog.
+
+    Batch or streaming (``readStream``) — the streaming variant adds the
+    offsets/checkpointing the reference lacks (it rescans from file 0 on
+    every query, binlogdb.cc:487; Structured Streaming's file source
+    tracks processed files instead).
+
+    Unlike the reference's ``<name>_cdc`` suffix convention (fragile
+    find_last_of("_cdc") parsing, binlogdb.cc:491-501), the target is an
+    explicit argument.
+    """
+    reader = spark.readStream if streaming else spark.read
+    raw = reader.schema(T.StructType([T.StructField("value", T.StringType())])).text(path)
+    return decode_envelope(raw, target, database=database, table=table)
+
+
+def register_changelog_view(
+    spark: SparkSession, name: str, changelog: DataFrame
+) -> DataFrame:
+    """Register a changelog as a read-only temp view (the reference's
+    CREATE TABLE ... ENGINE=BINLOGDB registration, binlogdb.cc:833-855 —
+    minus the silently-discarding write path, binlogdb.cc:283-292, which
+    Spark temp views reject naturally)."""
+    changelog.createOrReplaceTempView(name)
+    return changelog

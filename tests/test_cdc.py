@@ -1,0 +1,190 @@
+"""CDC-semantics unit tests (SURVEY §5.2): known op sequences per key,
+update pairing invariants, latest-state vs hand-fold, point-in-time
+replay, file-based cdc_read, and a hypothesis property test."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mysql_cdc_table_spark.cdc import (
+    CDC_DELETE,
+    CDC_INSERT,
+    CDC_UPDATE_AFTER,
+    CDC_UPDATE_BEFORE,
+    cdc_read,
+    decode_envelope,
+    latest_state,
+    op_counts,
+    snapshot_at,
+    update_pairs,
+)
+from mysql_cdc_table_spark.cdc.schema import changelog_schema, target_columns
+
+TARGET = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("amt", T.DoubleType()),
+    ]
+)
+
+CL_SCHEMA = changelog_schema(TARGET)
+
+
+def _row(id, v, amt, op, gtid, image_seq=0, event_seq=None, file_seq=0):
+    from datetime import datetime, timedelta
+
+    return (
+        id,
+        v,
+        amt,
+        op,
+        gtid,
+        datetime(2024, 1, 1) + timedelta(seconds=gtid),
+        file_seq,
+        event_seq if event_seq is not None else gtid,
+        image_seq,
+    )
+
+
+@pytest.fixture(scope="module")
+def changelog(spark):
+    """insert -> update -> update -> delete for key 1; insert+update for 2
+    (with NULL transitions); bare insert for 3; interleaved gtids."""
+    rows = [
+        _row(1, "a", 1.0, CDC_INSERT, 10),
+        _row(2, None, None, CDC_INSERT, 11),  # NULL start
+        _row(1, "a", 1.0, CDC_UPDATE_BEFORE, 12, image_seq=0),
+        _row(1, "b", 2.0, CDC_UPDATE_AFTER, 12, image_seq=1),
+        _row(3, "z", 9.0, CDC_INSERT, 13),
+        _row(2, None, None, CDC_UPDATE_BEFORE, 14, image_seq=0),
+        _row(2, "filled", 5.0, CDC_UPDATE_AFTER, 14, image_seq=1),  # NULL->value
+        _row(1, "b", 2.0, CDC_UPDATE_BEFORE, 15, image_seq=0),
+        _row(1, None, 3.0, CDC_UPDATE_AFTER, 15, image_seq=1),  # value->NULL
+        _row(1, None, 3.0, CDC_DELETE, 16),
+    ]
+    return spark.createDataFrame(rows, CL_SCHEMA)
+
+
+def test_target_columns():
+    assert target_columns(CL_SCHEMA) == ["id", "v", "amt"]
+
+
+def test_latest_state_folds_ops(changelog):
+    state = {r["id"]: r for r in latest_state(changelog, ["id"]).collect()}
+    assert set(state) == {2, 3}  # key 1 deleted
+    assert state[2]["v"] == "filled" and state[2]["amt"] == 5.0
+    assert state[3]["v"] == "z"
+
+
+def test_snapshot_at_replays_prefix(changelog):
+    # at gtid 13: key1 = post-first-update, key2 = NULL insert, key3 present
+    snap = {r["id"]: r for r in snapshot_at(changelog, ["id"], 13).collect()}
+    assert set(snap) == {1, 2, 3}
+    assert snap[1]["v"] == "b" and snap[1]["amt"] == 2.0
+    assert snap[2]["v"] is None
+    # at gtid 10 only key1's insert exists
+    snap10 = {r["id"]: r for r in snapshot_at(changelog, ["id"], 10).collect()}
+    assert set(snap10) == {1} and snap10[1]["v"] == "a"
+
+
+def test_update_pairs_adjacency(changelog):
+    pairs = update_pairs(changelog, ["id"]).collect()
+    assert len(pairs) == 3  # two for key 1, one for key 2
+    by_gtid = {p["__gtid"]: p for p in pairs}
+    assert by_gtid[12]["before_v"] == "a" and by_gtid[12]["after_v"] == "b"
+    assert by_gtid[14]["before_v"] is None and by_gtid[14]["after_v"] == "filled"
+    assert by_gtid[15]["after_v"] is None  # value->NULL transition
+
+
+def test_op_counts_conservation(changelog):
+    counts = {r["__op"]: r["n"] for r in op_counts(changelog).collect()}
+    assert counts == {CDC_DELETE: 1, CDC_INSERT: 3, CDC_UPDATE_BEFORE: 3, CDC_UPDATE_AFTER: 3}
+    # each update contributes exactly one before and one after image
+    assert counts[CDC_UPDATE_BEFORE] == counts[CDC_UPDATE_AFTER]
+    # live keys == inserts - deletes
+    live = latest_state(changelog, ["id"]).count()
+    assert live == counts[CDC_INSERT] - counts[CDC_DELETE]
+
+
+def test_cdc_read_from_files(spark, tmp_path):
+    """File-based ingest: JSONL envelopes -> changelog rows, with db/table
+    filtering (reference A4) and file-name sequence extraction."""
+    lines = [
+        {"op": "c", "before": None, "after": {"id": 1, "v": "x", "amt": 1.5},
+         "source": {"db": "d", "table": "t", "gtid": 7, "file": "binlog.000001",
+                    "pos": 100, "ts_ms": 1700000000123}},
+        {"op": "u", "before": {"id": 1, "v": "x", "amt": 1.5},
+         "after": {"id": 1, "v": "y", "amt": 2.5},
+         "source": {"db": "d", "table": "t", "gtid": 8, "file": "binlog.000002",
+                    "pos": 50, "ts_ms": 1700000001999}},
+        {"op": "d", "before": {"id": 1, "v": "y", "amt": 2.5}, "after": None,
+         "source": {"db": "d", "table": "t", "gtid": 9, "file": "binlog.000002",
+                    "pos": 80, "ts_ms": 1700000002000}},
+        # different table: must be filtered out (reference table-id filter)
+        {"op": "c", "before": None, "after": {"id": 99, "v": "no", "amt": 0.0},
+         "source": {"db": "d", "table": "other", "gtid": 9, "file": "binlog.000002",
+                    "pos": 90, "ts_ms": 1700000002000}},
+    ]
+    p = tmp_path / "env.jsonl"
+    p.write_text("\n".join(json.dumps(x) for x in lines))
+
+    cl = cdc_read(spark, str(p), TARGET, database="d", table="t")
+    rows = sorted(cl.collect(), key=lambda r: (r["__gtid"], r["__image_seq"]))
+    assert [r["__op"] for r in rows] == [1, 2, 3, 0]
+    assert [r["__file_seq"] for r in rows] == [1, 2, 2, 2]
+    assert rows[0]["__tm"].isoformat().startswith("2023-11-14")  # ms truncated to s
+    assert rows[1]["v"] == "x" and rows[2]["v"] == "y"
+    assert rows[1]["__event_seq"] == rows[2]["__event_seq"] == 50
+    assert all(r["id"] == 1 for r in rows)
+
+
+def test_decode_envelope_malformed_json(spark):
+    """Unparseable envelope lines decode to all-NULL (from_json PERMISSIVE);
+    the db filter drops them rather than crashing the scan."""
+    df = spark.createDataFrame([("not json",), ("{}",)], ["value"])
+    out = decode_envelope(df, TARGET, database="d", table="t")
+    assert out.count() == 0
+
+
+OPS = st.lists(
+    st.sampled_from(["insert", "update", "delete"]), min_size=1, max_size=12
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops_per_key=st.dictionaries(st.integers(1, 5), OPS, min_size=1, max_size=4))
+def test_latest_state_equals_fold(spark, ops_per_key):
+    """Property: latest_state(changelog) == python fold of the op sequence."""
+    rows, gtid = [], 0
+    state: dict[int, tuple] = {}
+    for key in sorted(ops_per_key):
+        alive = False
+        for i, op in enumerate(ops_per_key[key]):
+            gtid += 1
+            val = (key, f"v{gtid}", float(gtid))
+            if op == "insert" and not alive:
+                rows.append(_row(*val, CDC_INSERT, gtid))
+                state[key], alive = val, True
+            elif op == "update" and alive:
+                rows.append(_row(*state[key], CDC_UPDATE_BEFORE, gtid, image_seq=0))
+                rows.append(_row(*val, CDC_UPDATE_AFTER, gtid, image_seq=1))
+                state[key] = val
+            elif op == "delete" and alive:
+                rows.append(_row(*state[key], CDC_DELETE, gtid))
+                del state[key]
+                alive = False
+    if not rows:
+        return
+    cl = spark.createDataFrame(rows, CL_SCHEMA)
+    got = {
+        r["id"]: (r["id"], r["v"], r["amt"])
+        for r in latest_state(cl, ["id"]).collect()
+    }
+    assert got == state
