@@ -1,0 +1,246 @@
+"""Aggregation surface: hash aggregates, distinct aggregates,
+grouping-set families (rollup/cube), pivot, percentiles, argmin/argmax.
+
+Scale posture: every aggregate here is map-side-combinable (partial agg
+before the shuffle — Catalyst plans HashAggregate(partial) ->
+Exchange -> HashAggregate(final) automatically), so shuffle volume is
+#groups, not #rows. count(DISTINCT x) expands via Expand + two-phase
+agg; approx_count_distinct replaces it at scale with an HLL sketch of
+constant size per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_cdc_table_spark.operators._util import t
+
+
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.stddev("l_extendedprice"), 6).alias("std_price"),
+        F.round(F.var_samp("l_extendedprice"), 4).alias("var_price"),
+    )
+
+
+AGG_STATS_SQL = """
+SELECT l_returnflag,
+       count(*) AS n,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price,
+       round(stddev_samp(l_extendedprice), 6) AS std_price,
+       round(var_samp(l_extendedprice), 4) AS var_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey", "l_partkey").alias("n_supp_part"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+AGG_COUNT_DISTINCT_SQL = """
+SELECT l_linestatus,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch — the 100 TB replacement for exact distinct counts.
+    No value oracle (sketch estimates are engine-specific); the driver
+    records a rows-only check. Accuracy is asserted in pytest against the
+    exact count (rsd=0.01 -> ~1% error)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders")
+    )
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.grouping("l_returnflag").alias("g_flag"),
+        F.grouping("l_linestatus").alias("g_status"),
+    )
+
+
+AGG_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(grouping(l_returnflag) AS TINYINT) AS g_flag,
+       CAST(grouping(l_linestatus) AS TINYINT) AS g_status
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+AGG_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via SQL (DataFrame API exposes rollup/cube;
+    arbitrary sets go through the SQL surface — same Expand plan)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+AGG_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never let pivot scan for
+    distinct values at scale — that is an extra job over the fact table)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+AGG_PIVOT_SQL = """
+SELECT l_linestatus,
+       round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A,
+       round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N,
+       round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation) + median."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+AGG_PERCENTILES_SQL = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax/argmin) with a composite tiebreak so the
+    answer is deterministic in both engines."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr(
+            "max_by(o_orderkey, struct(o_totalprice, o_orderkey))"
+        ).alias("priciest_order"),
+        F.expr(
+            "min_by(o_orderkey, struct(o_totalprice, -o_orderkey))"
+        ).alias("cheapest_order"),
+    )
+
+
+# DuckDB's arg_max cannot order by a struct, so the oracle expresses the
+# same deterministic semantics (max orderkey among the extreme-price ties)
+# via an extremes join.
+AGG_ARGMAX_SQL = """
+WITH ext AS (
+  SELECT o_orderstatus, max(o_totalprice) AS mx, min(o_totalprice) AS mn
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o.o_orderstatus,
+       max(CASE WHEN o.o_totalprice = ext.mx THEN o.o_orderkey END)
+         AS priciest_order,
+       max(CASE WHEN o.o_totalprice = ext.mn THEN o.o_orderkey END)
+         AS cheapest_order
+FROM orders o JOIN ext USING (o_orderstatus)
+GROUP BY o.o_orderstatus
+"""
+
+
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered / conditional aggregation (sum-if, count-if, any/bool_or)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 2
+        ).alias("discounted_rev"),
+        F.count_if(F.col("l_quantity") >= 40).alias("n_bulk"),
+        F.max(F.col("l_tax") > 0.07).alias("any_high_tax"),
+    )
+
+
+AGG_CONDITIONAL_SQL = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice END), 2)
+         AS discounted_rev,
+       count(*) FILTER (WHERE l_quantity >= 40) AS n_bulk,
+       bool_or(l_tax > 0.07) AS any_high_tax
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+QUERIES = {
+    "agg_stats": agg_stats,
+    "agg_count_distinct": agg_count_distinct,
+    "agg_approx_count_distinct": agg_approx_count_distinct,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "agg_grouping_sets": agg_grouping_sets,
+    "agg_pivot": agg_pivot,
+    "agg_percentiles": agg_percentiles,
+    "agg_argmax": agg_argmax,
+    "agg_conditional": agg_conditional,
+}
+
+ORACLES = {
+    "agg_stats": AGG_STATS_SQL,
+    "agg_count_distinct": AGG_COUNT_DISTINCT_SQL,
+    # agg_approx_count_distinct: sketch estimate, rows-only check by design
+    "agg_rollup": AGG_ROLLUP_SQL,
+    "agg_cube": AGG_CUBE_SQL,
+    "agg_grouping_sets": AGG_GROUPING_SETS_SQL,
+    "agg_pivot": AGG_PIVOT_SQL,
+    "agg_percentiles": AGG_PERCENTILES_SQL,
+    "agg_argmax": AGG_ARGMAX_SQL,
+    "agg_conditional": AGG_CONDITIONAL_SQL,
+}

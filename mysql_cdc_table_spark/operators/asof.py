@@ -1,0 +1,94 @@
+"""As-of join: for each left row, the newest right row at-or-before it.
+
+Spark has no ASOF JOIN operator (DuckDB does — the oracle uses it), so
+this composes one from a union + last-value window, the scalable idiom:
+
+    union(left-tagged, right-tagged)
+      -> window partitionBy(key) orderBy(t, side)
+      -> last(right payload, ignorenulls) over unbounded-preceding
+      -> keep left rows
+
+Scale notes: exactly ONE shuffle (hash by key) and a partition-local
+sort — same cost as a sort-merge join, no range-duplication blowup that
+a naive theta-join (t_right <= t_left) would cause. Skewed keys can be
+salted upstream; at 100 TB both sides would be bucketed by key so the
+shuffle drops out. Right rows sort before left rows at equal t, making
+the match inclusive (t_right == t_left matches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str,
+    right_time: str,
+    right_payload: list[str] | None = None,
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """Left as-of-backward join. Right side must be unique per
+    (key, right_time) — pre-aggregate it otherwise, or matches at the
+    same instant are nondeterministic (in any engine).
+
+    Returns all left columns plus ``right_payload`` columns (NULL when no
+    right row is at-or-before the left row's time).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = right_payload or [
+        c for c in right.columns if c not in keys and c != right_time
+    ]
+
+    lhs = left.select(
+        *keys,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload],
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+    )
+    rhs = right.select(
+        *keys,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in payload],
+        F.lit(None)
+        .cast(lhs.schema["__lrow"].dataType)
+        .alias("__lrow"),
+    )
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = lhs.unionByName(rhs).select(
+        "*",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in payload
+        ],
+        F.last(F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True)
+        .over(w)
+        .alias("__m_t"),
+    )
+
+    out = filled.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        # outside tolerance -> unmatched (payload nulled), like pandas merge_asof
+        within = F.col("__m_t").isNotNull() & (F.col("__t") - F.col("__m_t") <= tolerance)
+        out = out.select(
+            "*",
+            *[
+                F.when(within, F.col(f"__m_{c}")).alias(f"__mt_{c}")
+                for c in payload
+            ],
+        )
+        matched = [F.col(f"__mt_{c}").alias(c) for c in payload]
+    else:
+        matched = [F.col(f"__m_{c}").alias(c) for c in payload]
+
+    return out.select(F.col("__lrow.*"), *matched)
