@@ -1,0 +1,225 @@
+"""Text analysis for LLM data pipelines: tokenization, language ID,
+quality scoring, document fingerprinting.
+
+All operators are pure built-in column expressions (split / filter /
+transform / aggregate — JVM-side, codegen'd); nothing here touches a
+Python UDF, so the hot path scales to 100 TB of documents with zero
+serialization overhead. Every op is deterministic and has an exact
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_cdc_table_spark.operators._util import t
+
+MOD = 1_000_000_007
+
+# Tiny stopword profiles for the n-gram/stopword language heuristic.
+LANG_PROFILES = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "zu", "ist"],
+    "es": ["el", "la", "de", "y", "que", "es"],
+    "fr": ["le", "la", "de", "et", "les", "est"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization with empty-token filtering."""
+    return F.filter(F.split(text, " "), lambda x: x != "")
+
+
+def token_code(tok: Column) -> Column:
+    """Deterministic per-token code (engine-portable: no xxhash/murmur,
+    which differ across engines): length*131 + first-char codepoint."""
+    return (F.length(tok) * 131 + F.ascii(tok)).cast("long")
+
+
+def poly_fingerprint(tok_array: Column) -> Column:
+    """Order-sensitive rolling hash over the token stream:
+    fold acc -> (acc*31 + code) mod p. The document-fingerprint primitive
+    (detects reordered copies that a bag-of-words hash misses)."""
+    codes = F.transform(tok_array, token_code)
+    return F.when(F.size(codes) == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            codes,
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * 31 + x) % MOD,
+        )
+    )
+
+
+# SQL twin of poly_fingerprint: list_reduce has no init, but
+# fold(0,c1)=c1, so reducing from the first element is identical.
+def _sql_fingerprint(tk: str) -> str:
+    codes = f"list_transform({tk}, x -> CAST(length(x)*131 + ascii(x) AS BIGINT))"
+    return (
+        f"CASE WHEN len({tk}) = 0 THEN 0 "
+        f"ELSE list_reduce({codes}, (a, b) -> (a*31 + b) % {MOD}) END"
+    )
+
+
+_SQL_TOKENS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    n = F.size(tk)
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(tk)).alias("n_distinct"),
+        F.round(
+            F.aggregate(
+                F.transform(tk, lambda x: F.length(x).cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / n,
+            6,
+        ).alias("mean_tok_len"),
+        F.round(F.size(F.array_distinct(tk)) / n.cast("double"), 6).alias("ttr"),
+        "n_chars",
+    )
+
+
+TEXT_TOKEN_STATS_SQL = f"""
+WITH d AS (SELECT doc_id, n_chars, {_SQL_TOKENS} AS tk FROM documents)
+SELECT doc_id,
+       len(tk) AS n_tokens,
+       len(list_distinct(tk)) AS n_distinct,
+       round(list_sum(list_transform(tk, x -> CAST(length(x) AS DOUBLE)))
+             / len(tk), 6) AS mean_tok_len,
+       round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) AS ttr,
+       n_chars
+FROM d
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID: score per language = fraction of
+    tokens in that language's profile; prediction = argmax with a fixed
+    priority order. (On this corpus the text is synthetic word salad, so
+    the interesting property is determinism + the scoring machinery.)"""
+    d = t(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    n = F.size(tk).cast("double")
+
+    def score(lang: str) -> Column:
+        prof = LANG_PROFILES[lang]
+        return F.round(
+            F.size(F.filter(tk, lambda x: x.isin(prof))) / n, 6
+        ).alias(f"score_{lang}")
+
+    scores = {lang: score(lang) for lang in LANG_PROFILES}
+    sc = {lang: F.col(f"score_{lang}") for lang in LANG_PROFILES}
+    pred = (
+        F.when(
+            (sc["en"] >= sc["de"]) & (sc["en"] >= sc["es"]) & (sc["en"] >= sc["fr"]),
+            "en",
+        )
+        .when((sc["de"] >= sc["es"]) & (sc["de"] >= sc["fr"]), "de")
+        .when(sc["es"] >= sc["fr"], "es")
+        .otherwise("fr")
+    )
+    return (
+        d.select("doc_id", "lang", *scores.values())
+        .withColumn("pred_lang", pred)
+        .withColumn("is_match", F.col("pred_lang") == F.col("lang"))
+    )
+
+
+def _sql_score(lang: str) -> str:
+    prof = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+    return (
+        f"round(CAST(len(list_filter(tk, x -> x IN ({prof}))) AS DOUBLE)"
+        f" / len(tk), 6)"
+    )
+
+
+TEXT_LANGID_SQL = f"""
+WITH d AS (SELECT doc_id, lang, {_SQL_TOKENS} AS tk FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         {_sql_score('en')} AS score_en,
+         {_sql_score('de')} AS score_de,
+         {_sql_score('es')} AS score_es,
+         {_sql_score('fr')} AS score_fr
+  FROM d
+)
+SELECT doc_id, lang, score_en, score_de, score_es, score_fr,
+       CASE WHEN score_en >= score_de AND score_en >= score_es
+                 AND score_en >= score_fr THEN 'en'
+            WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+            WHEN score_es >= score_fr THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       (CASE WHEN score_en >= score_de AND score_en >= score_es
+                  AND score_en >= score_fr THEN 'en'
+             WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+             WHEN score_es >= score_fr THEN 'es'
+             ELSE 'fr' END) = lang AS is_match
+FROM s
+"""
+
+
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (type-token ratio, length saturation,
+    stopword ratio) + threshold filter — the pre-training quality gate."""
+    d = t(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    n = F.size(tk).cast("double")
+    ttr = F.size(F.array_distinct(tk)) / n
+    len_sat = F.least(F.lit(1.0), n / F.lit(100.0))
+    stop_ratio = F.size(F.filter(tk, lambda x: x.isin(LANG_PROFILES["en"]))) / n
+    q = F.round(0.4 * ttr + 0.3 * len_sat + 0.3 * stop_ratio, 6)
+    return (
+        d.select("doc_id", "lang", "source", q.alias("quality"))
+        .filter(F.col("quality") >= 0.35)
+    )
+
+
+_EN = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+TEXT_QUALITY_FILTER_SQL = f"""
+WITH d AS (SELECT doc_id, lang, source, {_SQL_TOKENS} AS tk FROM documents),
+s AS (
+  SELECT doc_id, lang, source,
+         round(0.4 * (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk))
+             + 0.3 * least(1.0, CAST(len(tk) AS DOUBLE) / 100.0)
+             + 0.3 * (CAST(len(list_filter(tk, x -> x IN ({_EN}))) AS DOUBLE)
+                      / len(tk)), 6) AS quality
+  FROM d
+)
+SELECT doc_id, lang, source, quality FROM s WHERE quality >= 0.35
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint + per-(lang,source) dup audit."""
+    d = t(spark, sf_dir, "documents")
+    fp = poly_fingerprint(tokens(F.col("text")))
+    return d.select("doc_id", "lang", "source", fp.alias("fingerprint"))
+
+
+TEXT_FINGERPRINT_SQL = f"""
+WITH d AS (SELECT doc_id, lang, source, {_SQL_TOKENS} AS tk FROM documents)
+SELECT doc_id, lang, source, {_sql_fingerprint('tk')} AS fingerprint
+FROM d
+"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_langid": text_langid,
+    "text_quality_filter": text_quality_filter,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLES = {
+    "text_token_stats": TEXT_TOKEN_STATS_SQL,
+    "text_langid": TEXT_LANGID_SQL,
+    "text_quality_filter": TEXT_QUALITY_FILTER_SQL,
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+}
