@@ -50,9 +50,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql.types import LongType
 
         if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-            )
+            # integer DIV, not floor(x/1000): double division loses ulps at
+            # ~1.7e18 ns and shifts timestamps by +-1 microsecond.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 
 
