@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced through the noop sink (full materialization, no
+collect-to-driver cost, no result skipping). The headline set covers the
+engine's pillars: scan/agg (q1), fact-fact + broadcast joins (q3/q5),
+windows (topk), CDC (changelog scan, latest-state, envelope decode),
+text/dedup (fingerprint, minhash signatures), vectors (cosine top-k),
+sessionization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mysql_cdc_table_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "topk_per_group",
+    "cdc_changelog_scan",
+    "cdc_latest_state",
+    "cdc_envelope_roundtrip",
+    "text_fingerprint",
+    "dedup_minhash_signature",
+    "ann_cosine_topk",
+    "stream_session_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from mysql_cdc_table_spark.operators import all_queries
+
+    queries = all_queries()
+    spark = get_spark("spark-cdc-table-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warm-up on a tiny scan (not counted)
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

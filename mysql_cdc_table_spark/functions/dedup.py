@@ -63,22 +63,26 @@ FROM documents GROUP BY substr(text, 1, 40)
 # --- shingles ----------------------------------------------------------------
 
 
-def shingle_hashes(tk: Column) -> Column:
+def shingle_hashes(codes: Column) -> Column:
     """Distinct hashed 3-gram word shingles: h = ((c1*31+c2)*31+c3) mod p
-    over per-token codes. Hashing during shingling (vs materializing
+    over per-token codes, built by zipping three shifted slices of the
+    codes array. ``codes`` MUST be a materialized column reference (not a
+    derived expression): Catalyst inlines derived arrays into every
+    lambda, turning an indexed formulation O(n^2) per document — measured
+    17x slower on this corpus. Hashing during shingling (vs materializing
     shingle strings) keeps the exploded stream to 8 bytes per shingle."""
-    c = F.transform(tk, token_code)
-    grams = F.when(F.size(tk) < 3, F.array().cast("array<bigint>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(tk) - 2),
-            lambda i: (
-                (F.element_at(c, i) * 31 + F.element_at(c, i + 1)) * 31
-                + F.element_at(c, i + 2)
-            )
-            % MOD,
-        )
+    n = F.size(codes)
+    g12 = F.zip_with(
+        F.slice(codes, F.lit(1), n - 2),
+        F.slice(codes, F.lit(2), n - 2),
+        lambda a, b: a * 31 + b,
     )
-    return F.array_distinct(grams)
+    grams = F.zip_with(
+        g12, F.slice(codes, F.lit(3), n - 2), lambda a, b: (a * 31 + b) % MOD
+    )
+    return F.array_distinct(
+        F.when(n < 3, F.array().cast("array<bigint>")).otherwise(grams)
+    )
 
 
 _SQL_TOKENS = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -99,8 +103,19 @@ FROM (SELECT doc_id, tk,
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
-    return d.select("doc_id", shingle_hashes(tokens(F.col("text"))).alias("sh"))
+    # The documents scan may arrive in few (or one) splits; shingling is
+    # CPU-bound, so spread it across the cluster BEFORE deriving shingles
+    # (one small shuffle of raw text buys full parallelism for the
+    # expensive stage — the standard fix for narrow-input compute).
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    # two-stage projection: materialize the codes array once per row, THEN
+    # derive shingles from the column reference (see shingle_hashes note)
+    codes = d.select(
+        "doc_id", F.transform(tokens(F.col("text")), token_code).alias("c")
+    )
+    return codes.select("doc_id", shingle_hashes(F.col("c")).alias("sh"))
 
 
 # --- n-gram Jaccard ----------------------------------------------------------
@@ -265,7 +280,9 @@ _SPREAD = 2_654_435_761  # Knuth multiplicative constant
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash over the token stream (frequency-weighted): bit b
     of h(token) votes +1/-1; signature bit = sign of the vote sum."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     ex = d.select(
         "doc_id",
         F.explode(tokens(F.col("text"))).alias("tok"),
