@@ -79,6 +79,41 @@ def update_pairs(changelog: DataFrame, key_cols: list[str]) -> DataFrame:
     return before.join(after, [*key_cols, "__gtid", "__event_seq"], "inner")
 
 
+def snapshot_at_time(changelog: DataFrame, key_cols: list[str], ts) -> DataFrame:
+    """Time-travel snapshot: state as of wall-clock ``ts`` (inclusive),
+    using the reference's second-resolution __tm commit timestamps."""
+    return latest_state(changelog.filter(F.col("__tm") <= F.lit(ts)), key_cols)
+
+
+def scd2(changelog: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from the changelog: one
+    validity interval per surviving image (inserts + update after-images);
+    an interval closes at the next change's __tm (NULL = current), and a
+    delete closes the last interval without opening one.
+
+    One shuffle (window by key); interval construction is lead() over the
+    same partitioning — no extra exchange.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("__gtid").asc(), F.col("__event_seq").asc(), F.col("__image_seq").asc()
+    )
+    # versions = images that establish state; deletes participate only to
+    # close the previous interval.
+    versions = changelog.filter(F.col("__op") != CDC_UPDATE_BEFORE)
+    nxt_tm = F.lead("__tm").over(w)
+    nxt_op = F.lead("__op").over(w)
+    out = versions.select(
+        *key_cols,
+        *[c for c in changelog.columns if not c.startswith("__") and c not in key_cols],
+        "__op",
+        "__gtid",
+        F.col("__tm").alias("valid_from"),
+        nxt_tm.alias("valid_to"),
+        (nxt_op.isNull()).alias("is_current"),
+    )
+    return out.filter(F.col("__op") != CDC_DELETE).drop("__op")
+
+
 def op_counts(changelog: DataFrame) -> DataFrame:
     """Audit: row count per CDC op code (map-side combinable)."""
     return changelog.groupBy("__op").agg(F.count("*").alias("n")).orderBy("__op")

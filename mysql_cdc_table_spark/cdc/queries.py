@@ -145,8 +145,54 @@ GROUP BY o_orderkey
 """
 
 
+def cdc_snapshot_at_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel: state as of 1998-07-01 (mid-corpus)."""
+    cl = synthetic_changelog(spark, sf_dir)
+    return ops.snapshot_at_time(cl, KEY, "1998-07-01 00:00:00")
+
+
+CDC_SNAPSHOT_AT_TIME_SQL = f"""
+WITH {CHANGELOG_CTE},
+clipped AS (
+  SELECT * FROM changelog WHERE __tm <= TIMESTAMP '1998-07-01 00:00:00'
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey
+      ORDER BY __gtid DESC, __event_seq DESC, __image_seq DESC) AS __rn
+  FROM clipped
+)
+SELECT {_CHANGELOG_COLS} FROM ranked WHERE __rn = 1 AND __op <> 0
+"""
+
+
+def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.scd2(synthetic_changelog(spark, sf_dir), KEY)
+
+
+CDC_SCD2_SQL = f"""
+WITH {CHANGELOG_CTE},
+versions AS (SELECT * FROM changelog WHERE __op <> 2),
+iv AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority, __op, __gtid,
+         __tm AS valid_from,
+         lead(__tm) OVER w AS valid_to,
+         lead(__op) OVER w IS NULL AS is_current
+  FROM versions
+  WINDOW w AS (PARTITION BY o_orderkey
+               ORDER BY __gtid ASC, __event_seq ASC, __image_seq ASC)
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority, __gtid, valid_from, valid_to, is_current
+FROM iv WHERE __op <> 0
+"""
+
+
 QUERIES = {
     "cdc_changelog_scan": cdc_changelog_scan,
+    "cdc_snapshot_at_time": cdc_snapshot_at_time,
+    "cdc_scd2": cdc_scd2,
     "cdc_envelope_roundtrip": cdc_envelope_roundtrip,
     "cdc_op_counts": cdc_op_counts,
     "cdc_latest_state": cdc_latest_state,
@@ -157,6 +203,8 @@ QUERIES = {
 
 ORACLES = {
     "cdc_changelog_scan": CDC_CHANGELOG_SCAN_SQL,
+    "cdc_snapshot_at_time": CDC_SNAPSHOT_AT_TIME_SQL,
+    "cdc_scd2": CDC_SCD2_SQL,
     "cdc_envelope_roundtrip": CDC_ENVELOPE_ROUNDTRIP_SQL,
     "cdc_op_counts": CDC_OP_COUNTS_SQL,
     "cdc_latest_state": CDC_LATEST_STATE_SQL,

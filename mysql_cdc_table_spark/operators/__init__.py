@@ -26,6 +26,7 @@ _MODULES = (
     "mysql_cdc_table_spark.functions.similarity",
     "mysql_cdc_table_spark.functions.text",
     "mysql_cdc_table_spark.functions.multimodal",
+    "mysql_cdc_table_spark.functions.udfs",
     "mysql_cdc_table_spark.streaming.batch_windows",
 )
 

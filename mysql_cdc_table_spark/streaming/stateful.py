@@ -1,0 +1,83 @@
+"""Custom stateful streaming operators via applyInPandasWithState —
+the arbitrary-state API the engine offers where built-in windows/dedup
+don't fit (per-key accumulators, custom session logic, CDC-aware
+counters).
+
+State lives in the state store (checkpointed, partitioned by key);
+each micro-batch routes its rows to the key's partition — one shuffle
+per batch, state size O(#live keys), bounded by timeouts when
+configured.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def running_user_totals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key running (count, sum) maintained across micro-batches —
+    the canonical accumulate-forever stateful operator. Emits the
+    cumulative totals for every key seen in a batch."""
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [round(total, 6)]})
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType="key long, n long, total double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def cdc_live_key_counter(changelog: DataFrame) -> DataFrame:
+    """CDC-aware stateful op: tracks whether each key is live (last op
+    not DELETE) and how many images it has seen — a streaming analogue
+    of cdc.ops.changes_per_key with O(keys) state."""
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n_images, live = state.get
+        else:
+            n_images, live = 0, False
+        last_op = None
+        for pdf in pdfs:
+            ordered = pdf.sort_values(["__gtid", "__image_seq"])
+            n_images += len(ordered)
+            last_op = int(ordered["__op"].iloc[-1])
+        if last_op is not None:
+            live = last_op != 0
+        state.update((n_images, bool(live)))
+        yield pd.DataFrame(
+            {"key": [key[0]], "n_images": [n_images], "live": [bool(live)]}
+        )
+
+    return changelog.groupBy("id").applyInPandasWithState(
+        fn,
+        outputStructType="key long, n_images long, live boolean",
+        stateStructType="n_images long, live boolean",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
