@@ -1,0 +1,244 @@
+"""Second-wave coverage: union distinct, the SQL entry point over
+registered views, extra string/bitwise functions, nth_value /
+ignore-nulls windows, outer explode, collect aggregates, and the salted
+skew join (result-identical to the plain join, by oracle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mysql_cdc_table_spark.catalog import register_views
+from mysql_cdc_table_spark.operators._util import t
+from mysql_cdc_table_spark.operators.skew import salted_join
+
+
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return a.unionByName(b).distinct()
+
+
+SET_UNION_DISTINCT_SQL = """
+SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+UNION
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+_SHARED_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def sql_entrypoint_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() entry point over the registered view catalog — the
+    exact SQL string the DuckDB oracle runs also runs on Spark (shared
+    ANSI dialect), mirroring how the reference's users live entirely in
+    MySQL SQL."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SHARED_Q1)
+
+
+def fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.repeat(F.lit("ab"), 3).alias("rep"),
+        F.reverse("c_name").alias("name_rev"),
+        F.instr("c_name", "mer").alias("pos_mer"),
+        F.split_part("c_name", F.lit("#"), F.lit(1)).alias("name_stem"),
+        (F.instr("c_mktsegment", "ING") > 0).alias("has_ing"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_lower_vowels"),
+        F.left("c_name", F.lit(4)).alias("l4"),
+        F.right("c_name", F.lit(3)).alias("r3"),
+    )
+
+
+FN_STRING2_SQL = """
+SELECT c_custkey,
+       repeat('ab', 3) AS rep,
+       reverse(c_name) AS name_rev,
+       strpos(c_name, 'mer') AS pos_mer,
+       split_part(c_name, '#', 1) AS name_stem,
+       strpos(c_mktsegment, 'ING') > 0 AS has_ing,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lower_vowels,
+       left(c_name, 4) AS l4,
+       right(c_name, 3) AS r3
+FROM customer
+"""
+
+
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    a, b = F.col("l_orderkey"), F.col("l_partkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        a.bitwiseAND(b).alias("band"),
+        a.bitwiseOR(b).alias("bor"),
+        a.bitwiseXOR(b).alias("bxor"),
+        F.shiftleft(F.col("l_linenumber"), 3).alias("shl"),
+        F.shiftright(a, 2).alias("shr"),
+        F.bit_count(a).alias("popcount"),
+    )
+
+
+FN_BITWISE_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_orderkey & l_partkey AS band,
+       l_orderkey | l_partkey AS bor,
+       xor(l_orderkey, l_partkey) AS bxor,
+       CAST(l_linenumber << 3 AS INTEGER) AS shl,
+       l_orderkey >> 2 AS shr,
+       CAST(bit_count(l_orderkey) AS INTEGER) AS popcount
+FROM lineitem
+"""
+
+
+def window_nth_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value + last(ignore nulls) over a derived nullable column."""
+    o = t(spark, sf_dir, "orders").withColumn(
+        "big_price", F.when(F.col("o_totalprice") > 200000, F.col("o_totalprice"))
+    )
+    full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
+        F.last("big_price", ignorenulls=True).over(run).alias("last_big_so_far"),
+    )
+
+
+WINDOW_NTH_IGNORE_NULLS_SQL = """
+WITH o AS (
+  SELECT *, CASE WHEN o_totalprice > 200000 THEN o_totalprice END AS big_price
+  FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       nth_value(o_totalprice, 2) OVER wfull AS second_price,
+       last_value(big_price IGNORE NULLS) OVER wrun AS last_big_so_far
+FROM o
+WINDOW wfull AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+       wrun AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def explode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode_outer: rows with empty arrays survive with NULLs (the
+    outer-unnest semantics plain explode drops)."""
+    d = t(spark, sf_dir, "documents")
+    longtok = F.filter(
+        F.split(F.col("text"), " "), lambda x: F.length(x) >= 9
+    )
+    return d.select(
+        "doc_id", F.posexplode_outer(longtok).alias("pos", "tok")
+    )
+
+
+EXPLODE_OUTER_TOKENS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> length(x) >= 9) AS tk
+  FROM documents
+),
+padded AS (
+  SELECT doc_id, CASE WHEN len(tk) = 0 THEN [NULL] ELSE tk END AS tk2 FROM d
+)
+SELECT doc_id,
+       CASE WHEN u.val IS NULL AND u.pos = 1 AND len(tk2) = 1
+            THEN NULL ELSE CAST(u.pos - 1 AS INTEGER) END AS pos,
+       u.val AS tok
+FROM padded,
+     LATERAL (SELECT unnest(tk2) AS val, generate_subscripts(tk2, 1) AS pos) u
+"""
+
+
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list/collect_set made deterministic via sort_array (bare
+    collect order is partition-dependent — never hash unsorted lists)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.size(F.collect_set("o_orderpriority")).alias("n_prios"),
+    )
+
+
+AGG_COLLECT_SORTED_SQL = """
+SELECT o_custkey,
+       list_sort(list(o_orderkey)) AS order_keys,
+       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+       CAST(count(DISTINCT o_orderpriority) AS INTEGER) AS n_prios
+FROM orders GROUP BY o_custkey
+"""
+
+
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join — result must equal the plain join (the oracle IS
+    the plain join), while spreading each key across 8 sub-keys."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li,
+        o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        key="l_orderkey",
+        salts=8,
+        salt_col=(F.col("l_linenumber") % 8),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+    )
+
+
+JOIN_SALTED_SQL = """
+SELECT o_orderpriority, count(*) AS n,
+       round(sum(l_extendedprice), 2) AS rev
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "set_union_distinct": set_union_distinct,
+    "sql_entrypoint_views": sql_entrypoint_views,
+    "fn_string2": fn_string2,
+    "fn_bitwise": fn_bitwise,
+    "window_nth_ignore_nulls": window_nth_ignore_nulls,
+    "explode_outer_tokens": explode_outer_tokens,
+    "agg_collect_sorted": agg_collect_sorted,
+    "join_salted": join_salted,
+}
+
+ORACLES = {
+    "set_union_distinct": SET_UNION_DISTINCT_SQL,
+    "sql_entrypoint_views": _SHARED_Q1,
+    "fn_string2": FN_STRING2_SQL,
+    "fn_bitwise": FN_BITWISE_SQL,
+    "window_nth_ignore_nulls": WINDOW_NTH_IGNORE_NULLS_SQL,
+    "explode_outer_tokens": EXPLODE_OUTER_TOKENS_SQL,
+    "agg_collect_sorted": AGG_COLLECT_SORTED_SQL,
+    "join_salted": JOIN_SALTED_SQL,
+}

@@ -25,8 +25,12 @@ same interface.
 
 from __future__ import annotations
 
+import datetime as _datetime
 import struct
 from collections.abc import Iterator
+from datetime import timezone as _tz
+
+_EPOCH_ORDINAL = _datetime.date(1970, 1, 1).toordinal()
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -61,38 +65,73 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
 
 
 def _encode_value(dt: T.DataType, v, out: bytearray) -> None:
-    if isinstance(dt, T.IntegerType):
+    if isinstance(dt, T.BooleanType):
+        out.append(1 if v else 0)
+    elif isinstance(dt, T.ShortType):
+        out += struct.pack("<h", v)
+    elif isinstance(dt, T.IntegerType):
         out += struct.pack("<i", v)
     elif isinstance(dt, T.LongType):
         out += struct.pack("<q", v)
+    elif isinstance(dt, T.FloatType):
+        out += struct.pack("<f", v)
     elif isinstance(dt, T.DoubleType):
         out += struct.pack("<d", v)
+    elif isinstance(dt, T.DecimalType):
+        # decimal as unscaled little-endian int (like MySQL NEWDECIMAL's
+        # fixed-point idea, simplified): scale comes from the schema
+        unscaled = int(v.scaleb(dt.scale))
+        out += struct.pack("<q", unscaled)
     elif isinstance(dt, T.StringType):
         raw = v.encode("utf-8")
         _write_varint(len(raw), out)
         out += raw
+    elif isinstance(dt, T.BinaryType):
+        _write_varint(len(v), out)
+        out += bytes(v)
+    elif isinstance(dt, T.DateType):
+        out += struct.pack("<i", v.toordinal() - _EPOCH_ORDINAL)
     elif isinstance(dt, T.TimestampType):
-        out += struct.pack("<q", int(v.timestamp() * 1_000_000))
+        # naive datetimes are UTC by convention (session tz is pinned UTC)
+        out += struct.pack(
+            "<q", int(v.replace(tzinfo=_tz.utc).timestamp() * 1_000_000)
+        )
     else:
         raise TypeError(f"unsupported packed type {dt}")
 
 
 def _decode_value(dt: T.DataType, buf: bytes, pos: int):
+    import datetime as _dt
+    from decimal import Decimal
+
+    if isinstance(dt, T.BooleanType):
+        return buf[pos] != 0, pos + 1
+    if isinstance(dt, T.ShortType):
+        return struct.unpack_from("<h", buf, pos)[0], pos + 2
     if isinstance(dt, T.IntegerType):
         return struct.unpack_from("<i", buf, pos)[0], pos + 4
     if isinstance(dt, T.LongType):
         return struct.unpack_from("<q", buf, pos)[0], pos + 8
+    if isinstance(dt, T.FloatType):
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
     if isinstance(dt, T.DoubleType):
         return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if isinstance(dt, T.DecimalType):
+        unscaled = struct.unpack_from("<q", buf, pos)[0]
+        return Decimal(unscaled).scaleb(-dt.scale), pos + 8
     if isinstance(dt, T.StringType):
         ln, pos = _read_varint(buf, pos)
         return buf[pos : pos + ln].decode("utf-8"), pos + ln
+    if isinstance(dt, T.BinaryType):
+        ln, pos = _read_varint(buf, pos)
+        return bytes(buf[pos : pos + ln]), pos + ln
+    if isinstance(dt, T.DateType):
+        days = struct.unpack_from("<i", buf, pos)[0]
+        return _dt.date.fromordinal(days + _EPOCH_ORDINAL), pos + 4
     if isinstance(dt, T.TimestampType):
-        import datetime as _dt
-
         us = struct.unpack_from("<q", buf, pos)[0]
         return (
-            _dt.datetime.fromtimestamp(us / 1_000_000, tz=_dt.timezone.utc).replace(
+            _dt.datetime.fromtimestamp(us / 1_000_000, tz=_tz.utc).replace(
                 tzinfo=None
             ),
             pos + 8,

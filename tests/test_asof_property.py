@@ -1,0 +1,69 @@
+"""Property test: the union+window as-of join must agree with pandas
+merge_asof (direction='backward', inclusive) on random inputs."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from mysql_cdc_table_spark.operators.asof import asof_join
+
+LEFT_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("t", T.LongType()),
+        T.StructField("lid", T.LongType()),
+    ]
+)
+RIGHT_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("t", T.LongType()),
+        T.StructField("payload", T.LongType()),
+    ]
+)
+
+keys = st.integers(0, 3)
+times = st.integers(0, 50)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=st.lists(st.tuples(keys, times), min_size=1, max_size=25),
+    right=st.lists(st.tuples(keys, times), min_size=0, max_size=25),
+)
+def test_asof_matches_pandas_merge_asof(spark, left, right):
+    left_rows = [(k, t, i) for i, (k, t) in enumerate(left)]
+    # dedupe right per (k, t): asof ties at identical instants are
+    # undefined in any engine — the operator's documented precondition
+    right_dedup = {}
+    for k, t in right:
+        right_dedup[(k, t)] = max(right_dedup.get((k, t), 0), k * 100 + t)
+    right_rows = [(k, t, p) for (k, t), p in right_dedup.items()]
+
+    ldf = spark.createDataFrame(left_rows, LEFT_SCHEMA)
+    rdf = spark.createDataFrame(
+        right_rows or [(0, -1, 0)], RIGHT_SCHEMA
+    )  # merge_asof needs a non-empty frame; t=-1 never matches t>=0? it does
+    # (t=-1 <= any left t) — harmless: pandas gets the same row.
+
+    got = {
+        r["lid"]: r["payload"]
+        for r in asof_join(
+            ldf, rdf, on="k", left_time="t", right_time="t",
+            right_payload=["payload"],
+        ).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["k", "t", "lid"]).sort_values("t")
+    rp = pd.DataFrame(
+        right_rows or [(0, -1, 0)], columns=["k", "t", "payload"]
+    ).sort_values("t")
+    merged = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+    want = {
+        int(row.lid): (None if pd.isna(row.payload) else int(row.payload))
+        for row in merged.itertuples()
+    }
+    assert got == want

@@ -82,3 +82,60 @@ def test_second_resolution_tm(changelog):
     tms = {r["__gtid"]: r["__tm"] for r in changelog.collect()}
     assert tms[10] == datetime(2023, 11, 14, 22, 13, 20)
     assert tms[12] == datetime(2023, 11, 14, 22, 15, 20)
+
+
+# --- type-decode matrix (FIXTURES.md B3 / SURVEY §5.3) -----------------------
+
+TYPED = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("c_bool", T.BooleanType()),
+        T.StructField("c_short", T.ShortType()),
+        T.StructField("c_int", T.IntegerType()),
+        T.StructField("c_bigint", T.LongType()),
+        T.StructField("c_float", T.FloatType()),
+        T.StructField("c_double", T.DoubleType()),
+        T.StructField("c_decimal", T.DecimalType(18, 4)),
+        T.StructField("c_varchar", T.StringType()),
+        T.StructField("c_blob", T.BinaryType()),
+        T.StructField("c_date", T.DateType()),
+        T.StructField("c_ts", T.TimestampType()),
+    ]
+)
+
+
+def test_type_decode_matrix(spark):
+    """Every scalar type family: min/max/zero/negative, empty-string vs
+    NULL, through encode -> Spark decode (reference type-space mapping,
+    SURVEY §1.2)."""
+    from datetime import date
+    from decimal import Decimal
+
+    full = {
+        "id": 1, "c_bool": True, "c_short": -32768, "c_int": 2147483647,
+        "c_bigint": -9223372036854775808, "c_float": 1.5, "c_double": -2.25e-10,
+        "c_decimal": Decimal("12345.6789"), "c_varchar": "", "c_blob": b"\x00\xffab",
+        "c_date": date(1999, 12, 31), "c_ts": datetime(2024, 6, 1, 23, 59, 59),
+    }
+    nulls = {"id": 2, **{k: None for k in full if k != "id"}}
+    events = [
+        (encode_event(1, 1, [full], TYPED), 1, 1_700_000_000, 0, 1),
+        (encode_event(1, 1, [nulls], TYPED), 2, 1_700_000_001, 0, 2),
+    ]
+    df = spark.createDataFrame(events, EVENT_INPUT_SCHEMA)
+    out = {r["id"]: r for r in decode_packed(df, TYPED, table_id=1).collect()}
+
+    r = out[1]
+    assert r["c_bool"] is True and r["c_short"] == -32768
+    assert r["c_int"] == 2147483647 and r["c_bigint"] == -9223372036854775808
+    assert abs(r["c_float"] - 1.5) < 1e-9 and r["c_double"] == -2.25e-10
+    assert r["c_decimal"] == Decimal("12345.6789")
+    assert r["c_varchar"] == ""  # empty string is NOT null
+    assert r["c_blob"] == b"\x00\xffab"
+    assert r["c_date"] == date(1999, 12, 31)
+    assert r["c_ts"] == datetime(2024, 6, 1, 23, 59, 59)
+
+    n = out[2]
+    for k in full:
+        if k != "id":
+            assert n[k] is None, k
