@@ -39,9 +39,32 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Defensively pin the runtime confs correctness depends on — the
+    harness may hand us a session built without session.py (e.g. the
+    driver's own). All three are runtime-settable SQL confs.
+
+    - UTC session tz: collected timestamps must not shift vs the oracle
+    - nanosAsLong: events.parquet stores TIMESTAMP(NANOS), unreadable
+      otherwise
+    - AQE: the performance posture assumed by SCALE.md
+    """
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ):
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 - static confs on odd sessions
+            pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS) — read as long (nanosAsLong) and
