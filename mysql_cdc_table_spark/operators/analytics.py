@@ -1,0 +1,208 @@
+"""Analytics batch: statistical aggregates, time-series gap filling,
+funnel conversion, and changelog compaction — the derived workloads a
+CDC/event platform runs daily.
+
+Scale notes: corr/covar/regr are single-pass partial-aggregable moments
+(shuffle = #groups). Gap filling generates the calendar on the grouped
+side (#keys x #days rows, never a driver loop). The funnel is one
+shuffle by user + partition-local min/max comparisons. Compaction reads
+the changelog once and writes snapshot + tail — the operation that keeps
+replay cost O(tail) instead of O(history) (the reference replays full
+history every scan, binlogdb.cc:487).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_cdc_table_spark.cdc import latest_state
+from mysql_cdc_table_spark.cdc.queries import (
+    CDC_LATEST_STATE_SQL,
+    KEY,
+)
+from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+from mysql_cdc_table_spark.operators._util import t
+
+
+def agg_stats2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics: correlation, covariances, regression line."""
+    li = t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr(x, y), 6).alias("corr_qp"),
+        F.round(F.covar_samp(x, y), 4).alias("covs_qp"),
+        F.round(F.covar_pop(x, y), 4).alias("covp_qp"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.regr_count(y, x).alias("n_pairs"),
+    )
+
+
+AGG_STATS2_SQL = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covs_qp,
+       round(covar_pop(l_quantity, l_extendedprice), 4) AS covp_qp,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       regr_count(l_extendedprice, l_quantity) AS n_pairs
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily series per event_type over the events month: generate
+    the calendar with sequence+explode, left-join real daily aggregates,
+    zero-fill gaps. (The generated side is #types x #days — built
+    distributed, no driver loop.)"""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            F.col("event_type"), F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+    )
+    bounds = e.agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("d0"),
+        F.max(F.date_trunc("day", "ts").cast("date")).alias("d1"),
+    )
+    types = e.select("event_type").distinct()
+    calendar = (
+        types.join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    return (
+        calendar.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("v", F.lit(0.0)).alias("v"),
+        )
+    )
+
+
+TS_GAP_FILL_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts)::DATE AS day,
+         count(*) AS n, round(sum(value), 2) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT min(date_trunc('day', ts)::DATE) AS d0,
+         max(date_trunc('day', ts)::DATE) AS d1
+  FROM events
+),
+calendar AS (
+  SELECT t.event_type, CAST(g.day AS DATE) AS day
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       bounds,
+       LATERAL (SELECT unnest(generate_series(bounds.d0, bounds.d1,
+                                              INTERVAL 1 DAY)) AS day) g
+)
+SELECT c.event_type, c.day,
+       coalesce(d.n, 0) AS n, coalesce(d.v, 0.0) AS v
+FROM calendar c LEFT JOIN daily d USING (event_type, day)
+"""
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel per user: signup -> view -> click -> purchase, each
+    stage's first occurrence strictly after the previous stage's."""
+    e = t(spark, sf_dir, "events")
+    stage = lambda s: F.min(F.when(F.col("event_type") == s, F.col("ts")))
+    per_user = e.groupBy("user_id").agg(
+        stage("signup").alias("t_signup"),
+        stage("view").alias("t_view"),
+        stage("click").alias("t_click"),
+        stage("purchase").alias("t_purchase"),
+    )
+    reached_view = F.col("t_signup").isNotNull() & (F.col("t_view") > F.col("t_signup"))
+    reached_click = reached_view & (F.col("t_click") > F.col("t_view"))
+    reached_buy = reached_click & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.select(
+        "user_id",
+        F.col("t_signup").isNotNull().alias("s1_signup"),
+        F.coalesce(reached_view, F.lit(False)).alias("s2_view"),
+        F.coalesce(reached_click, F.lit(False)).alias("s3_click"),
+        F.coalesce(reached_buy, F.lit(False)).alias("s4_purchase"),
+    )
+
+
+FUNNEL_CONVERSION_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       t_signup IS NOT NULL AS s1_signup,
+       coalesce(t_signup IS NOT NULL AND t_view > t_signup, FALSE) AS s2_view,
+       coalesce(t_signup IS NOT NULL AND t_view > t_signup
+                AND t_click > t_view, FALSE) AS s3_click,
+       coalesce(t_signup IS NOT NULL AND t_view > t_signup
+                AND t_click > t_view AND t_purchase > t_click, FALSE)
+         AS s4_purchase
+FROM per_user
+"""
+
+
+def compact_changelog(
+    changelog: DataFrame, key_cols: list[str], upto_gtid
+) -> DataFrame:
+    """Changelog compaction: replace the prefix (__gtid <= bound) with its
+    latest-state snapshot (re-tagged as INSERT images) and keep the tail
+    verbatim. Replaying the compacted log yields the same final state at
+    O(live keys + tail) cost instead of O(history)."""
+    prefix_state = latest_state(
+        changelog.filter(F.col("__gtid") <= upto_gtid), key_cols
+    ).withColumn("__op", F.lit(1).cast("int"))
+    tail = changelog.filter(F.col("__gtid") > upto_gtid)
+    return prefix_state.unionByName(tail)
+
+
+def cdc_compacted_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equivalence proof as a query: latest_state(compact(changelog)) ==
+    latest_state(changelog) — the oracle is the ordinary latest-state
+    SQL."""
+    cl = synthetic_changelog(spark, sf_dir)
+    bound = cl.agg(
+        F.floor(F.max("__gtid") / F.lit(2.0)).cast("long").alias("__b")
+    )
+    clb = cl.join(F.broadcast(bound))
+    compacted = compact_changelog(
+        clb, KEY, F.col("__b")
+    ).drop("__b")
+    # __op excluded: compaction re-tags snapshot rows as INSERT images
+    # (op 1) by design; every other column must match the direct path.
+    return latest_state(compacted, KEY).drop("__op")
+
+
+CDC_COMPACTED_STATE_SQL = f"""
+WITH direct AS ({CDC_LATEST_STATE_SQL})
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority, __gtid, __tm, __file_seq, __event_seq, __image_seq
+FROM direct
+"""
+
+
+QUERIES = {
+    "agg_stats2": agg_stats2,
+    "ts_gap_fill": ts_gap_fill,
+    "funnel_conversion": funnel_conversion,
+    "cdc_compacted_state": cdc_compacted_state,
+}
+
+ORACLES = {
+    "agg_stats2": AGG_STATS2_SQL,
+    "ts_gap_fill": TS_GAP_FILL_SQL,
+    "funnel_conversion": FUNNEL_CONVERSION_SQL,
+    "cdc_compacted_state": CDC_COMPACTED_STATE_SQL,
+}

@@ -188,3 +188,23 @@ def test_latest_state_equals_fold(spark, ops_per_key):
         for r in latest_state(cl, ["id"]).collect()
     }
     assert got == state
+
+
+def test_compact_changelog_preserves_state(changelog):
+    """Compaction at any boundary preserves the final state, including
+    keys deleted in the prefix (absent) and re-tagged snapshot rows."""
+    from mysql_cdc_table_spark.operators.analytics import compact_changelog
+
+    direct = {
+        (r["id"], r["v"], r["amt"])
+        for r in latest_state(changelog, ["id"]).collect()
+    }
+    for bound in (10, 12, 13, 14, 16):
+        compacted = compact_changelog(changelog, ["id"], bound)
+        got = {
+            (r["id"], r["v"], r["amt"])
+            for r in latest_state(compacted, ["id"]).collect()
+        }
+        assert got == direct, f"state diverged at compaction bound {bound}"
+        # compacted log must never be longer than the original
+        assert compacted.count() <= changelog.count()
