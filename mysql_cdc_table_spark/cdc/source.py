@@ -138,6 +138,34 @@ def cdc_read(
     return decode_envelope(raw, target, database=database, table=table)
 
 
+def cdc_read_multi(
+    spark: SparkSession,
+    path: str,
+    targets: dict[str, T.StructType],
+    database: str | None = None,
+    streaming: bool = False,
+) -> dict[str, DataFrame]:
+    """Demultiplex ONE interleaved envelope stream into per-table
+    changelogs, each decoded with its own schema.
+
+    The reference gets this wrong: missing braces after the table-name
+    check (reference binlog_table_reader.cc:402-403) mean its decode
+    metadata (m_td) is rebuilt from EVERY table's TABLE_MAP event, so
+    interleaved multi-table binlogs decode rows with the wrong column
+    layout (SURVEY §2A A5). Here each table's filter + schema travel
+    together by construction, so interleaving cannot cross wires — and
+    all per-table frames share the single underlying scan (Spark plans
+    one file read; each decode is a narrow projection of it)."""
+    reader = spark.readStream if streaming else spark.read
+    raw = reader.schema(
+        T.StructType([T.StructField("value", T.StringType())])
+    ).text(path)
+    return {
+        tbl: decode_envelope(raw, schema, database=database, table=tbl)
+        for tbl, schema in targets.items()
+    }
+
+
 def register_changelog_view(
     spark: SparkSession, name: str, changelog: DataFrame
 ) -> DataFrame:

@@ -193,6 +193,31 @@ FROM orders GROUP BY o_custkey
 """
 
 
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_replace / regexp_count / regexp_like / regexp_substr over
+    document text (patterns chosen where Java and RE2-ish dialects agree)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit("table")).alias("n_table"),
+        F.regexp_like(F.col("text"), F.lit("^[a-z]")).alias("starts_lower"),
+        F.substring(
+            F.regexp_replace(F.col("text"), "[aeiou]", "_"), 1, 40
+        ).alias("devoweled_40"),
+        F.regexp_substr(F.col("text"), F.lit("[a-z]{6,}")).alias("first_long_word"),
+    )
+
+
+FN_REGEX_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, 'table')) AS INTEGER) AS n_table,
+       regexp_matches(text, '^[a-z]') AS starts_lower,
+       substr(regexp_replace(text, '[aeiou]', '_', 'g'), 1, 40) AS devoweled_40,
+       nullif(regexp_extract(text, '[a-z]{6,}'), '') AS first_long_word
+FROM documents
+"""
+
+
 def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join — result must equal the plain join (the oracle IS
     the plain join), while spreading each key across 8 sub-keys."""
@@ -230,6 +255,7 @@ QUERIES = {
     "explode_outer_tokens": explode_outer_tokens,
     "agg_collect_sorted": agg_collect_sorted,
     "join_salted": join_salted,
+    "fn_regex": fn_regex,
 }
 
 ORACLES = {
@@ -241,4 +267,5 @@ ORACLES = {
     "explode_outer_tokens": EXPLODE_OUTER_TOKENS_SQL,
     "agg_collect_sorted": AGG_COLLECT_SORTED_SQL,
     "join_salted": JOIN_SALTED_SQL,
+    "fn_regex": FN_REGEX_SQL,
 }

@@ -208,3 +208,51 @@ def test_compact_changelog_preserves_state(changelog):
         assert got == direct, f"state diverged at compaction bound {bound}"
         # compacted log must never be longer than the original
         assert compacted.count() <= changelog.count()
+
+
+def test_cdc_read_multi_interleaved_tables(spark, tmp_path):
+    """Interleaved multi-table stream: each table decodes with ITS schema
+    (the reference's missing-braces bug decodes with whichever TABLE_MAP
+    came last — binlog_table_reader.cc:402-403; we must not reproduce it)."""
+    from mysql_cdc_table_spark.cdc.source import cdc_read_multi
+
+    t_users = T.StructType(
+        [T.StructField("uid", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    t_items = T.StructType(
+        [
+            T.StructField("item_id", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("sku", T.StringType()),
+        ]
+    )
+    lines = [
+        {"op": "c", "before": None, "after": {"uid": 1, "name": "ann"},
+         "source": {"db": "d", "table": "users", "gtid": 1,
+                    "file": "binlog.000001", "pos": 10, "ts_ms": 1700000000000}},
+        # items event BETWEEN two users events (the interleaving that
+        # corrupts the reference's decode metadata)
+        {"op": "c", "before": None,
+         "after": {"item_id": 77, "price": 9.5, "sku": "X-1"},
+         "source": {"db": "d", "table": "items", "gtid": 2,
+                    "file": "binlog.000001", "pos": 20, "ts_ms": 1700000001000}},
+        {"op": "u", "before": {"uid": 1, "name": "ann"},
+         "after": {"uid": 1, "name": "ann2"},
+         "source": {"db": "d", "table": "users", "gtid": 3,
+                    "file": "binlog.000001", "pos": 30, "ts_ms": 1700000002000}},
+    ]
+    p = tmp_path / "multi.jsonl"
+    p.write_text("\n".join(json.dumps(x) for x in lines))
+
+    cls = cdc_read_multi(
+        spark, str(p), {"users": t_users, "items": t_items}, database="d"
+    )
+    users = sorted(cls["users"].collect(), key=lambda r: (r["__gtid"], r["__image_seq"]))
+    items = cls["items"].collect()
+    assert [r["__op"] for r in users] == [1, 2, 3]
+    assert users[-1]["name"] == "ann2" and users[0]["uid"] == 1
+    assert len(items) == 1 and items[0]["sku"] == "X-1" and items[0]["price"] == 9.5
+    # schemas stayed per-table: no cross-contamination of columns
+    assert set(cls["users"].columns) >= {"uid", "name"}
+    assert "price" not in cls["users"].columns
+    assert "name" not in cls["items"].columns
