@@ -218,6 +218,141 @@ FROM documents
 """
 
 
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag intersection, multiplicity = min of sides)."""
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 25).select("l_orderkey")
+    b = li.filter(F.col("l_returnflag") == "N").select("l_orderkey")
+    return a.intersectAll(b)
+
+
+SET_INTERSECT_ALL_SQL = """
+SELECT l_orderkey FROM lineitem WHERE l_quantity >= 25
+INTERSECT ALL
+SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'N'
+"""
+
+
+def fn_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second array batch: flatten, arrays_zip, array_join, array_repeat,
+    sequence, array_position, array_remove."""
+    e = t(spark, sf_dir, "embeddings")
+    head = F.transform(
+        F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 4)
+    )
+    return e.select(
+        "vec_id",
+        F.flatten(F.array(head, head)).alias("doubled"),
+        # double->string rendering differs across engines (-3.0E-4 vs
+        # -0.0003): route through DECIMAL for fixed-point text both sides
+        F.array_join(
+            F.transform(
+                head, lambda x: x.cast("decimal(10,4)").cast("string")
+            ),
+            "|",
+        ).alias("joined"),
+        F.array_repeat(F.col("label"), 3).alias("label3"),
+        F.sequence(F.lit(1), (F.col("label") % 4) + 1).alias("seq_to_label"),
+        F.array_position(
+            F.sort_array(head, asc=False), F.array_max(head)
+        ).alias("max_pos"),
+        F.array_remove(F.array_repeat(F.col("label"), 3), F.col("label")).alias(
+            "removed_all"
+        ),
+    )
+
+
+FN_ARRAY2_SQL = """
+WITH h AS (
+  SELECT vec_id, label,
+         list_transform(embedding[1:3],
+                        x -> round(CAST(x AS DOUBLE), 4)) AS head
+  FROM embeddings
+)
+SELECT vec_id,
+       flatten([head, head]) AS doubled,
+       array_to_string(list_transform(head,
+           x -> CAST(CAST(x AS DECIMAL(10,4)) AS VARCHAR)), '|') AS joined,
+       [label, label, label] AS label3,
+       range(1, (label % 4) + 2) AS seq_to_label,
+       CAST(list_position(list_reverse(list_sort(head)), list_max(head))
+            AS BIGINT) AS max_pos,
+       []::INTEGER[] AS removed_all
+FROM h
+"""
+
+
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket + grouped counts."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket(
+                F.col("o_totalprice"), F.lit(0.0), F.lit(500000.0), F.lit(20)
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+# DuckDB 1.0 lacks width_bucket — same semantics arithmetically:
+# bucket 0 below range, n+1 above, else floor((x-min)/width)+1
+AGG_HISTOGRAM_SQL = """
+SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+            WHEN o_totalprice >= 500000.0 THEN 21
+            ELSE floor(o_totalprice / 25000.0) + 1 END AS BIGINT) AS bucket,
+       count(*) AS n
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg/string_agg equivalent):
+    deterministic via sorted collect."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    return o.groupBy("o_custkey").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("o_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("keys_csv")
+    )
+
+
+AGG_STRING_AGG_SQL = """
+SELECT o_custkey,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+         AS keys_csv
+FROM orders WHERE o_custkey <= 50 GROUP BY o_custkey
+"""
+
+
+def fn_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expressions: try_divide / try_cast return NULL instead
+    of failing the task (at 100 TB one poison row must not kill a stage)."""
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.try_divide(F.col("value"), F.col("user_id") % 3).alias("div_maybe"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_or_null"),
+        F.col("event_type").try_cast("double").alias("never_a_number"),
+    )
+
+
+FN_TRY_OPS_SQL = """
+SELECT event_id,
+       CASE WHEN user_id % 3 = 0 THEN NULL
+            ELSE value / (user_id % 3) END AS div_maybe,
+       TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_or_null,
+       TRY_CAST(event_type AS DOUBLE) AS never_a_number
+FROM events
+"""
+
+
 def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join — result must equal the plain join (the oracle IS
     the plain join), while spreading each key across 8 sub-keys."""
@@ -256,6 +391,11 @@ QUERIES = {
     "agg_collect_sorted": agg_collect_sorted,
     "join_salted": join_salted,
     "fn_regex": fn_regex,
+    "set_intersect_all": set_intersect_all,
+    "fn_array2": fn_array2,
+    "agg_histogram": agg_histogram,
+    "agg_string_agg": agg_string_agg,
+    "fn_try_ops": fn_try_ops,
 }
 
 ORACLES = {
@@ -268,4 +408,9 @@ ORACLES = {
     "agg_collect_sorted": AGG_COLLECT_SORTED_SQL,
     "join_salted": JOIN_SALTED_SQL,
     "fn_regex": FN_REGEX_SQL,
+    "set_intersect_all": SET_INTERSECT_ALL_SQL,
+    "fn_array2": FN_ARRAY2_SQL,
+    "agg_histogram": AGG_HISTOGRAM_SQL,
+    "agg_string_agg": AGG_STRING_AGG_SQL,
+    "fn_try_ops": FN_TRY_OPS_SQL,
 }
