@@ -67,7 +67,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos"),
+            (F.round(cosine(F.col("embedding"), F.col("qv")), 6) + F.lit(0.0)).alias("cos"),
         )
         .orderBy(F.col("cos").desc(), F.col("vec_id"))
         .limit(20)
@@ -79,7 +79,7 @@ WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, label,
        round({_SQL_DOT.format(a='embedding', b='qv')}
              / (sqrt({_SQL_SQNORM.format(a='embedding')})
-                * sqrt({_SQL_SQNORM.format(a='qv')})), 6) AS cos
+                * sqrt({_SQL_SQNORM.format(a='qv')})), 6) + 0.0 AS cos
 FROM embeddings, q
 WHERE vec_id <> 0
 ORDER BY cos DESC, vec_id
@@ -104,10 +104,13 @@ def ann_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("vec1"),
             F.col("b.vec_id").alias("vec2"),
             F.col("a.label").alias("label"),
-            F.round(
-                dot(F.col("a.embedding"), F.col("b.embedding"))
-                / (F.col("a.nrm") * F.col("b.nrm")),
-                6,
+            (
+                F.round(
+                    dot(F.col("a.embedding"), F.col("b.embedding"))
+                    / (F.col("a.nrm") * F.col("b.nrm")),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("cos"),
         )
         .filter(F.col("cos") >= 0.25)
@@ -122,7 +125,7 @@ WITH e AS (
 )
 SELECT a.vec_id AS vec1, b.vec_id AS vec2, a.label AS label,
        round({_SQL_DOT.format(a='a.embedding', b='b.embedding')}
-             / (a.nrm * b.nrm), 6) AS cos
+             / (a.nrm * b.nrm), 6) + 0.0 AS cos
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round({_SQL_DOT.format(a='a.embedding', b='b.embedding')}
             / (a.nrm * b.nrm), 6) >= 0.25
@@ -179,7 +182,7 @@ def ann_ivf_topk(
         .select(
             "vec_id",
             "label",
-            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos"),
+            (F.round(cosine(F.col("embedding"), F.col("qv")), 6) + F.lit(0.0)).alias("cos"),
         )
         .orderBy(F.col("cos").desc(), F.col("vec_id"))
         .limit(k)

@@ -63,7 +63,7 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
             "l_suppkey": pdf["l_suppkey"],
             "l_orderkey": pdf["l_orderkey"],
             "l_linenumber": pdf["l_linenumber"],
-            "qty_z": z.round(6),
+            "qty_z": z.round(6) + 0.0,  # collapse -0.0
         }
     )
 
@@ -82,7 +82,7 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 UDF_GROUPED_MAP_SQL = """
 SELECT l_suppkey, l_orderkey, l_linenumber,
        round((l_quantity - avg(l_quantity) OVER w)
-             / stddev_samp(l_quantity) OVER w, 6) AS qty_z
+             / stddev_samp(l_quantity) OVER w, 6) + 0.0 AS qty_z
 FROM lineitem
 WINDOW w AS (PARTITION BY l_suppkey)
 """

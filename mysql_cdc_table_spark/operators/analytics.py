@@ -30,7 +30,7 @@ def agg_stats2(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr(x, y), 6).alias("corr_qp"),
+        (F.round(F.corr(x, y), 6) + F.lit(0.0)).alias("corr_qp"),
         F.round(F.covar_samp(x, y), 4).alias("covs_qp"),
         F.round(F.covar_pop(x, y), 4).alias("covp_qp"),
         F.round(F.regr_slope(y, x), 6).alias("slope"),
@@ -41,7 +41,7 @@ def agg_stats2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AGG_STATS2_SQL = """
 SELECT l_returnflag,
-       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+       round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qp,
        round(covar_samp(l_quantity, l_extendedprice), 4) AS covs_qp,
        round(covar_pop(l_quantity, l_extendedprice), 4) AS covp_qp,
        round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,

@@ -237,8 +237,10 @@ def fn_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second array batch: flatten, arrays_zip, array_join, array_repeat,
     sequence, array_position, array_remove."""
     e = t(spark, sf_dir, "embeddings")
+    # "+ 0.0" collapses IEEE negative zero: Spark round() returns +0.0 for
+    # tiny negatives (BigDecimal) while DuckDB round() keeps -0.0
     head = F.transform(
-        F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 4)
+        F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 4) + F.lit(0.0)
     )
     return e.select(
         "vec_id",
@@ -266,7 +268,7 @@ FN_ARRAY2_SQL = """
 WITH h AS (
   SELECT vec_id, label,
          list_transform(embedding[1:3],
-                        x -> round(CAST(x AS DOUBLE), 4)) AS head
+                        x -> round(CAST(x AS DOUBLE), 4) + 0.0) AS head
   FROM embeddings
 )
 SELECT vec_id,
