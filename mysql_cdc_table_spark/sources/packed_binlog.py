@@ -214,15 +214,27 @@ EVENT_INPUT_SCHEMA = T.StructType(
 
 
 def decode_packed(
-    events: DataFrame, target: T.StructType, table_id: int
+    events: DataFrame,
+    target: T.StructType,
+    table_id: int,
+    mode: str = "failfast",
 ) -> DataFrame:
     """Decode a DataFrame of packed events (EVENT_INPUT_SCHEMA) into the
     standard changelog (target cols + __op/__gtid/__tm + ordering cols).
     Decodes ALL row-images per event (the reference stops after the
     first — binlog_table_reader.cc:243,310,388 — a limitation SURVEY
-    flags as not-to-copy)."""
+    flags as not-to-copy).
+
+    mode='permissive': a corrupt event yields one all-NULL row with
+    __op=-1 carrying its metadata (mirrors from_json's PERMISSIVE null
+    row) instead of failing the task — at 100 TB one poison event must
+    not kill a stage; filter `__op >= 0` downstream or route the -1 rows
+    to a dead-letter sink. mode='failfast': raise (the default, for
+    trusted inputs where corruption means a bug)."""
     from mysql_cdc_table_spark.cdc.schema import changelog_schema
 
+    if mode not in ("failfast", "permissive"):
+        raise ValueError(f"mode must be failfast|permissive, got {mode!r}")
     out_schema = changelog_schema(target)
     names = [f.name for f in target.fields]
 
@@ -234,13 +246,21 @@ def decode_packed(
             for payload, gtid, ts_s, file_seq, event_seq in zip(
                 pdf["payload"], pdf["gtid"], pdf["ts_s"], pdf["file_seq"], pdf["event_seq"]
             ):
-                images = _decode_event(bytes(payload), target, table_id)
+                tm = _dt.datetime.fromtimestamp(
+                    ts_s, tz=_dt.timezone.utc
+                ).replace(tzinfo=None)
+                try:
+                    images = _decode_event(bytes(payload), target, table_id)
+                except Exception:
+                    if mode == "failfast":
+                        raise
+                    rows.append(
+                        [*([None] * len(names)), -1, gtid, tm, file_seq, event_seq, 0]
+                    )
+                    continue
                 for image_seq, (op, vals) in enumerate(images):
                     rows.append(
-                        [*vals, op, gtid,
-                         _dt.datetime.fromtimestamp(ts_s, tz=_dt.timezone.utc)
-                         .replace(tzinfo=None),
-                         file_seq, event_seq, image_seq]
+                        [*vals, op, gtid, tm, file_seq, event_seq, image_seq]
                     )
             yield pd.DataFrame(
                 rows,

@@ -246,3 +246,30 @@ def test_packed_binlog_stream_datasource(spark, tmp_path):
     assert sorted((r["id"], r["v"], r["__op"]) for r in collected[1]) == [
         (1, "a", 2), (1, "a2", 3),
     ]
+
+
+def test_permissive_mode_survives_corrupt_events(spark):
+    """A truncated/corrupt event: failfast raises, permissive emits an
+    __op=-1 dead-letter row and decodes the rest of the batch."""
+    import pytest as _pytest
+
+    good = encode_event(7, 1, [{"id": 5, "v": "ok", "amt": 1.0, "n": 1, "at": TS}], TARGET)
+    corrupt = good[: len(good) // 2]  # truncated mid-values
+    events = [
+        (good, 1, 1_700_000_000, 0, 1),
+        (corrupt, 2, 1_700_000_001, 0, 2),
+        (good, 3, 1_700_000_002, 0, 3),
+    ]
+    df = spark.createDataFrame(events, EVENT_INPUT_SCHEMA)
+
+    with _pytest.raises(Exception):
+        decode_packed(df, TARGET, table_id=7, mode="failfast").collect()
+
+    rows = sorted(
+        decode_packed(df, TARGET, table_id=7, mode="permissive").collect(),
+        key=lambda r: r["__gtid"],
+    )
+    assert [r["__op"] for r in rows] == [1, -1, 1]
+    dead = rows[1]
+    assert dead["id"] is None and dead["__gtid"] == 2  # metadata preserved
+    assert rows[0]["v"] == rows[2]["v"] == "ok"

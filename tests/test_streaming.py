@@ -221,3 +221,63 @@ def test_streaming_dedup_bounded_state(spark, tmp_path):
     q.awaitTermination(120)
     out = spark.sql("SELECT k, v FROM dedup_sink").collect()
     assert sorted((r["k"], r["v"]) for r in out) == [(1, "x"), (2, "y")]
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Stream-stream inner join: impressions joined to clicks within a
+    time bound, both sides watermarked (state bounded on both sides)."""
+    imp_dir, clk_dir = tmp_path / "imps", tmp_path / "clks"
+    imp_dir.mkdir(), clk_dir.mkdir()
+    (imp_dir / "i.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"ad_id": 1, "imp_ms": BASE_TS},
+                {"ad_id": 2, "imp_ms": BASE_TS + 10_000},
+                {"ad_id": 3, "imp_ms": BASE_TS + 20_000},
+            ]
+        )
+    )
+    (clk_dir / "c.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"ad_id": 1, "clk_ms": BASE_TS + 30_000},      # within 2 min
+                {"ad_id": 3, "clk_ms": BASE_TS + 500_000},     # too late: > 2 min
+            ]
+        )
+    )
+    imp_schema = T.StructType(
+        [T.StructField("ad_id", T.LongType()), T.StructField("imp_ms", T.LongType())]
+    )
+    clk_schema = T.StructType(
+        [T.StructField("ad_id", T.LongType()), T.StructField("clk_ms", T.LongType())]
+    )
+    imps = (
+        spark.readStream.schema(imp_schema).json(str(imp_dir))
+        .withColumn("imp_ts", F.timestamp_millis(F.col("imp_ms")))
+        .withWatermark("imp_ts", "10 minutes")
+    )
+    clks = (
+        spark.readStream.schema(clk_schema).json(str(clk_dir))
+        .withColumn("clk_ts", F.timestamp_millis(F.col("clk_ms")))
+        .withWatermark("clk_ts", "10 minutes")
+    )
+    joined = imps.join(
+        clks,
+        (imps.ad_id == clks.ad_id)
+        & (clks.clk_ts >= imps.imp_ts)
+        & (clks.clk_ts <= imps.imp_ts + F.expr("INTERVAL 2 MINUTES")),
+    ).select(imps.ad_id, "imp_ts", "clk_ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT ad_id FROM attrib").collect()
+    # only ad 1 clicked within the attribution window
+    assert sorted(r["ad_id"] for r in rows) == [1]
