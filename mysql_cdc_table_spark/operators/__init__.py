@@ -23,6 +23,7 @@ _MODULES = (
     "mysql_cdc_table_spark.operators.scalars",
     "mysql_cdc_table_spark.operators.extras",
     "mysql_cdc_table_spark.operators.analytics",
+    "mysql_cdc_table_spark.operators.tpch",
     "mysql_cdc_table_spark.cdc.queries",
     "mysql_cdc_table_spark.functions.dedup",
     "mysql_cdc_table_spark.functions.similarity",

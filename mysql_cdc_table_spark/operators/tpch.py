@@ -1,0 +1,199 @@
+"""TPC-H-style query adaptations (beyond q1/q3/q5 in relational/joins):
+the optimizer-shaped patterns — EXISTS/NOT EXISTS, correlated minimum,
+disjunctive predicate trees, join-then-agg-then-filter — adapted to the
+driver's star schema. These stress Catalyst's subquery decorrelation,
+predicate normalization/pushdown through joins, and broadcast choices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_cdc_table_spark.operators._util import t
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-filtered orders, counted per priority
+    (Catalyst: left-semi join after decorrelation)."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated minimum — per part, the supplier(s) of
+    its cheapest lineitem (decorrelated to join-on-grouped-min)."""
+    li = t(spark, sf_dir, "lineitem").alias("li")
+    s = t(spark, sf_dir, "supplier")
+    min_price = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("mp_partkey"))
+        .agg(F.min("l_extendedprice").alias("min_price"))
+    )
+    cheapest = li.join(
+        min_price,
+        (F.col("li.l_partkey") == F.col("mp_partkey"))
+        & (F.col("li.l_extendedprice") == F.col("min_price")),
+    ).select(F.col("li.l_partkey").alias("partkey"), "l_suppkey", "min_price")
+    return (
+        cheapest.join(F.broadcast(s), cheapest.l_suppkey == s.s_suppkey)
+        .groupBy("partkey", "min_price")
+        .agg(F.min("s_name").alias("cheapest_supplier"))
+    )
+
+
+Q2_SQL = """
+WITH cheapest AS (
+  SELECT l_partkey AS partkey, l_suppkey, l_extendedprice AS min_price
+  FROM lineitem l
+  WHERE l_extendedprice = (SELECT min(l_extendedprice) FROM lineitem i
+                           WHERE i.l_partkey = l.l_partkey)
+)
+SELECT partkey, min_price, min(s_name) AS cheapest_supplier
+FROM cheapest JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY partkey, min_price
+"""
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-sum ratio over a broadcast join."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01"))
+    )
+    p = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").startswith("STANDARD"), rev))
+                / F.sum(rev),
+                6,
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'STANDARD%'
+                              THEN l_extendedprice * (1 - l_discount) END)
+             / sum(l_extendedprice * (1 - l_discount)), 6)
+         AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+"""
+
+
+def q19_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR of conjunctive band predicates across the
+    join (Catalyst pushes the common l_partkey=p_partkey through and
+    evaluates the residual disjunction post-join)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    band1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("l_quantity").between(1, 15)
+        & (F.col("p_size") <= 20)
+    )
+    band2 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("l_quantity").between(10, 30)
+        & (F.col("p_size") >= 10)
+    )
+    return j.filter(band1 | band2).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 15 AND p_size <= 20)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 10 AND 30 AND p_size >= 10)
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("lost_revenue")
+        )
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS lost_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q4_order_priority": q4_order_priority,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_share": q14_promo_share,
+    "q19_disjunctive_bands": q19_disjunctive_bands,
+}
+
+ORACLES = {
+    "q2_min_cost_supplier": Q2_SQL,
+    "q4_order_priority": Q4_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q14_promo_share": Q14_SQL,
+    "q19_disjunctive_bands": Q19_SQL,
+}
