@@ -210,7 +210,61 @@ FROM d
 """
 
 
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by tf-idf (idf = ln(N/df), smooth-free;
+    ties broken lexicographically). Classic pipeline: explode -> term
+    frequencies -> document frequencies (broadcast) -> score -> windowed
+    top-k. Two shuffles (doc-term agg, window by doc); df table is tiny
+    and broadcast."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    terms = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = terms.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.count()  # scalar; the broadcast side is df_, not the corpus
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", "rk")
+    )
+
+
+TEXT_TFIDF_TOP_TERMS_SQL = f"""
+WITH d AS (SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents),
+terms AS (SELECT doc_id, unnest(tk) AS term FROM d),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term
+                                         FROM terms) GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 9) AS tfidf
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, tfidf, rk FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
 QUERIES = {
+    "text_tfidf_top_terms": text_tfidf_top_terms,
     "text_token_stats": text_token_stats,
     "text_langid": text_langid,
     "text_quality_filter": text_quality_filter,
@@ -218,6 +272,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_tfidf_top_terms": TEXT_TFIDF_TOP_TERMS_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_quality_filter": TEXT_QUALITY_FILTER_SQL,
