@@ -189,10 +189,108 @@ def ann_ivf_topk(
     )
 
 
+def sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_cells(
+    spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3
+) -> DataFrame:
+    """Deterministic mini k-means over the embeddings, pure DataFrame ops
+    (Lloyd's: assign -> mean -> reassign, driver loop over a FIXED
+    iteration count — the standard Spark iterative-algorithm shape; no
+    RNG: init cells = vec_id % k, argmin ties break on cell id).
+
+    Returns (vec_id, cid) assignments. Scale: per iteration one
+    broadcast of k centroids + one map-side argmin + one grouped avg —
+    no quadratic term, no driver-side data."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assign = e.withColumn("cid", (F.col("vec_id") % k).cast("int"))
+    for _ in range(iters):
+        cents = (
+            assign.select("cid", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("c"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"],
+                ).alias("centroid")
+            )
+            .withColumnRenamed("cid", "ccid")
+        )
+        assign = (
+            e.join(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "embedding",
+                "ccid",
+                sq_dist(F.col("embedding"), F.col("centroid")).alias("d"),
+            )
+            .groupBy("vec_id", "embedding")
+            .agg(F.expr("min_by(ccid, struct(d, ccid))").alias("cid"))
+        )
+    return assign.select("vec_id", "cid")
+
+
+def ann_ivf_trained_topk(
+    spark: SparkSession, sf_dir: str, n_probe: int = 3, k: int = 20
+) -> DataFrame:
+    """IVF with TRAINED cells (mini k-means) instead of the label
+    heuristic: probe the n_probe nearest cells to the query, exact-rerank
+    inside. Rows-only oracle (approximate by construction; recall vs
+    brute force asserted in pytest)."""
+    e = t(spark, sf_dir, "embeddings")
+    cells = kmeans_cells(spark, sf_dir)
+    ec = e.join(cells, "vec_id")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cents = (
+        ec.select("cid", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("centroid")
+        )
+    )
+    probe = (
+        cents.join(F.broadcast(q))
+        .select("cid", sq_dist(F.col("centroid"), F.col("qv")).alias("d"))
+        .orderBy(F.col("d").asc(), F.col("cid"))
+        .limit(n_probe)
+        .select("cid")
+    )
+    return (
+        ec.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe), "cid")
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "cid",
+            (F.round(cosine(F.col("embedding"), F.col("qv")), 6) + F.lit(0.0)).alias(
+                "cos"
+            ),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_block_pairs": ann_block_pairs,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_trained_topk": ann_ivf_trained_topk,
 }
 
 ORACLES = {

@@ -42,5 +42,6 @@ def test_rows_only_set_is_exactly_documented():
     assert rows_only == {
         "agg_approx_count_distinct",
         "ann_ivf_topk",
+        "ann_ivf_trained_topk",
         "mm_decode_features",
     }

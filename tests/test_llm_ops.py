@@ -71,3 +71,17 @@ def test_exact_topk_is_sorted_and_complete(spark, sf_dir):
     cos = [r["cos"] for r in rows]
     assert cos == sorted(cos, reverse=True)
     assert 0 not in {r["vec_id"] for r in rows}  # self excluded
+
+
+def test_trained_ivf_recall(spark, sf_dir):
+    """k-means IVF: deterministic across runs, valid cosines, non-trivial
+    recall vs the exact top-20."""
+    from mysql_cdc_table_spark.functions.similarity import ann_ivf_trained_topk
+
+    r1 = [(r["vec_id"], r["cos"]) for r in ann_ivf_trained_topk(spark, sf_dir).collect()]
+    r2 = [(r["vec_id"], r["cos"]) for r in ann_ivf_trained_topk(spark, sf_dir).collect()]
+    assert r1 == r2  # deterministic (no RNG in init or argmin ties)
+    assert len(r1) == 20
+    exact = {r["vec_id"] for r in ann_cosine_topk(spark, sf_dir).collect()}
+    recall = len(exact & {v for v, _ in r1}) / len(exact)
+    assert recall >= 0.2, f"trained-IVF recall collapsed: {recall}"
