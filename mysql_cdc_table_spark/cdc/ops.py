@@ -34,17 +34,42 @@ def _latest_window(key_cols: list[str]):
     )
 
 
-def latest_state(changelog: DataFrame, key_cols: list[str]) -> DataFrame:
+def latest_state(
+    changelog: DataFrame, key_cols: list[str], strategy: str = "agg"
+) -> DataFrame:
     """Current-state snapshot: the newest image per key, minus deleted keys.
 
     Equivalent to the reference idiom ``latest __gtid per key`` run
     through MySQL; deletes tombstone the whole key.
+
+    strategy='agg' (default): one hash aggregate with
+    max_by(row, (gtid, event_seq, image_seq)) — map-side combinable, so
+    the shuffle carries one pre-reduced row per key per map partition
+    and no sort happens anywhere. At 100 TB this is strictly better than
+    the window plan whenever keys repeat within input partitions.
+    strategy='window': the classic row_number()==1 plan (one shuffle +
+    per-partition sort) — kept for parity testing and for callers that
+    want the ranked intermediate.
     """
-    ranked = changelog.withColumn("__rn", F.row_number().over(_latest_window(key_cols)))
-    return (
-        ranked.filter((F.col("__rn") == 1) & (F.col("__op") != CDC_DELETE))
-        .drop("__rn")
+    if strategy == "window":
+        ranked = changelog.withColumn(
+            "__rn", F.row_number().over(_latest_window(key_cols))
+        )
+        return ranked.filter(
+            (F.col("__rn") == 1) & (F.col("__op") != CDC_DELETE)
+        ).drop("__rn")
+
+    cols = changelog.columns
+    row = F.struct(*[F.col(c) for c in cols])
+    order = F.struct(F.col("__gtid"), F.col("__event_seq"), F.col("__image_seq"))
+    latest = (
+        changelog.groupBy(*key_cols)
+        .agg(F.max_by(row, order).alias("__row"))
+        .select(*[F.col(f"__row.{c}").alias(c) for c in cols if c not in key_cols],
+                *key_cols)
+        .select(*cols)  # restore original column order
     )
+    return latest.filter(F.col("__op") != CDC_DELETE)
 
 
 def snapshot_at(changelog: DataFrame, key_cols: list[str], gtid: int | None = None,

@@ -277,7 +277,27 @@ FROM events
 """
 
 
+def fn_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode over a map column: one (key, value) row per entry."""
+    e = t(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("val"), F.round(F.col("value"), 2).cast("string"),
+    )
+    return e.select("event_id", F.explode(m).alias("mkey", "mval"))
+
+
+FN_MAP_EXPLODE_SQL = """
+SELECT event_id, u.mkey, u.mval
+FROM events,
+     LATERAL (SELECT unnest(['type', 'val']) AS mkey,
+                     unnest([event_type,
+                             CAST(round(value, 2) AS VARCHAR)]) AS mval) u
+"""
+
+
 QUERIES = {
+    "fn_map_explode": fn_map_explode,
     "fn_string": fn_string,
     "fn_datetime": fn_datetime,
     "fn_math": fn_math,
@@ -289,6 +309,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_map_explode": FN_MAP_EXPLODE_SQL,
     "fn_string": FN_STRING_SQL,
     "fn_datetime": FN_DATETIME_SQL,
     "fn_math": FN_MATH_SQL,

@@ -182,7 +182,34 @@ LIMIT 20
 """
 
 
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (agg -> filter -> join back to detail)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+Q18_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, total_qty
+FROM orders
+JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING round(sum(l_quantity), 2) > 250) big
+  ON o_orderkey = big.l_orderkey
+"""
+
+
 QUERIES = {
+    "q18_large_volume": q18_large_volume,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_order_priority": q4_order_priority,
     "q10_returned_items": q10_returned_items,
@@ -191,6 +218,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q18_large_volume": Q18_SQL,
     "q2_min_cost_supplier": Q2_SQL,
     "q4_order_priority": Q4_SQL,
     "q10_returned_items": Q10_SQL,
