@@ -139,6 +139,34 @@ def scd2(changelog: DataFrame, key_cols: list[str]) -> DataFrame:
     return out.filter(F.col("__op") != CDC_DELETE).drop("__op")
 
 
+def changes_between(
+    changelog: DataFrame, key_cols: list[str], gtid_from, gtid_to
+) -> DataFrame:
+    """Net effect per key over the half-open transaction window
+    (gtid_from, gtid_to]: the newest image inside the window plus a
+    ``net_op`` classifying the transition — the diff feed a downstream
+    consumer applies to move from snapshot(gtid_from) to
+    snapshot(gtid_to). net_op: 'delete' (key removed), 'upsert' (created
+    or changed)."""
+    window_rows = changelog.filter(
+        (F.col("__gtid") > gtid_from) & (F.col("__gtid") <= gtid_to)
+    )
+    cols = changelog.columns
+    row = F.struct(*[F.col(c) for c in cols])
+    order = F.struct(F.col("__gtid"), F.col("__event_seq"), F.col("__image_seq"))
+    last = (
+        window_rows.groupBy(*key_cols)
+        .agg(F.max_by(row, order).alias("__row"))
+        .select(*[F.col(f"__row.{c}").alias(c) for c in cols if c not in key_cols],
+                *key_cols)
+        .select(*cols)
+    )
+    return last.withColumn(
+        "net_op",
+        F.when(F.col("__op") == CDC_DELETE, "delete").otherwise("upsert"),
+    )
+
+
 def op_counts(changelog: DataFrame) -> DataFrame:
     """Audit: row count per CDC op code (map-side combinable)."""
     return changelog.groupBy("__op").agg(F.count("*").alias("n")).orderBy("__op")

@@ -189,8 +189,45 @@ FROM iv WHERE __op <> 0
 """
 
 
+def cdc_changes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff feed for the middle half of transaction history:
+    (max/4, max/2] — newest in-window image per key + net_op."""
+    cl = synthetic_changelog(spark, sf_dir)
+    bounds = cl.agg(
+        F.floor(F.max("__gtid") / F.lit(4.0)).cast("long").alias("__g1"),
+        F.floor(F.max("__gtid") / F.lit(2.0)).cast("long").alias("__g2"),
+    )
+    clb = cl.join(F.broadcast(bounds))
+    return ops.changes_between(
+        clb, KEY, F.col("__g1"), F.col("__g2")
+    ).drop("__g1", "__g2")
+
+
+CDC_CHANGES_BETWEEN_SQL = f"""
+WITH {CHANGELOG_CTE},
+bounds AS (
+  SELECT CAST(floor(max(__gtid) / 4.0) AS BIGINT) AS g1,
+         CAST(floor(max(__gtid) / 2.0) AS BIGINT) AS g2
+  FROM changelog
+),
+win AS (
+  SELECT c.* FROM changelog c, bounds WHERE __gtid > g1 AND __gtid <= g2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey
+      ORDER BY __gtid DESC, __event_seq DESC, __image_seq DESC) AS __rn
+  FROM win
+)
+SELECT {_CHANGELOG_COLS},
+       CASE WHEN __op = 0 THEN 'delete' ELSE 'upsert' END AS net_op
+FROM ranked WHERE __rn = 1
+"""
+
+
 QUERIES = {
     "cdc_changelog_scan": cdc_changelog_scan,
+    "cdc_changes_between": cdc_changes_between,
     "cdc_snapshot_at_time": cdc_snapshot_at_time,
     "cdc_scd2": cdc_scd2,
     "cdc_envelope_roundtrip": cdc_envelope_roundtrip,
@@ -203,6 +240,7 @@ QUERIES = {
 
 ORACLES = {
     "cdc_changelog_scan": CDC_CHANGELOG_SCAN_SQL,
+    "cdc_changes_between": CDC_CHANGES_BETWEEN_SQL,
     "cdc_snapshot_at_time": CDC_SNAPSHOT_AT_TIME_SQL,
     "cdc_scd2": CDC_SCD2_SQL,
     "cdc_envelope_roundtrip": CDC_ENVELOPE_ROUNDTRIP_SQL,

@@ -208,8 +208,39 @@ JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
 """
 
 
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers above the average balance with NO
+    orders (NOT EXISTS -> left-anti join, scalar subquery broadcast)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    rich = (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .drop("ab")
+    )
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+Q22_SQL = """
+SELECT c_nationkey, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
     "q18_large_volume": q18_large_volume,
+    "q22_idle_rich_customers": q22_idle_rich_customers,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_order_priority": q4_order_priority,
     "q10_returned_items": q10_returned_items,
@@ -219,6 +250,7 @@ QUERIES = {
 
 ORACLES = {
     "q18_large_volume": Q18_SQL,
+    "q22_idle_rich_customers": Q22_SQL,
     "q2_min_cost_supplier": Q2_SQL,
     "q4_order_priority": Q4_SQL,
     "q10_returned_items": Q10_SQL,
