@@ -12,6 +12,10 @@ keys) and the decode stage is the one place Python belongs: Arrow
 batches amortize the JVM<->Python hop, and batch size is bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` to keep executor
 memory flat.
+
+Reference parity: this surface is what the reference's users reach
+through MySQL's SQL layer (the plugin itself only contributes the
+scan - /root/reference/binlogdb.cc:477-551; SURVEY.md §2C).
 """
 
 from __future__ import annotations

@@ -14,6 +14,10 @@ All vector math is built-in higher-order functions (zip_with/aggregate)
 — JVM-evaluated, no Python in the row path. A Pandas-UDF path would
 only win once vectors are wide enough for SIMD to dominate; at dim=64
 the codegen'd fold is faster than Arrow round-trips.
+
+Reference parity: this surface is what the reference's users reach
+through MySQL's SQL layer (the plugin itself only contributes the
+scan - /root/reference/binlogdb.cc:477-551; SURVEY.md §2C).
 """
 
 from __future__ import annotations

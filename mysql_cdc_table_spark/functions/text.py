@@ -6,6 +6,10 @@ transform / aggregate — JVM-side, codegen'd); nothing here touches a
 Python UDF, so the hot path scales to 100 TB of documents with zero
 serialization overhead. Every op is deterministic and has an exact
 DuckDB oracle.
+
+Reference parity: this surface is what the reference's users reach
+through MySQL's SQL layer (the plugin itself only contributes the
+scan - /root/reference/binlogdb.cc:477-551; SURVEY.md §2C).
 """
 
 from __future__ import annotations

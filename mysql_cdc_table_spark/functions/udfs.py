@@ -12,6 +12,10 @@ session conf), ~10-100x the throughput of row-at-a-time Python UDFs;
 still strictly slower than builtins — production rule: builtins first
 (everything outside this module), Arrow UDFs only for logic Spark
 can't express (here: as a harness; multimodal decode is the real use).
+
+Reference parity: this surface is what the reference's users reach
+through MySQL's SQL layer (the plugin itself only contributes the
+scan - /root/reference/binlogdb.cc:477-551; SURVEY.md §2C).
 """
 
 from __future__ import annotations

@@ -7,6 +7,10 @@ Exchange -> HashAggregate(final) automatically), so shuffle volume is
 #groups, not #rows. count(DISTINCT x) expands via Expand + two-phase
 agg; approx_count_distinct replaces it at scale with an HLL sketch of
 constant size per group.
+
+Reference parity: this surface is what the reference's users reach
+through MySQL's SQL layer (the plugin itself only contributes the
+scan - /root/reference/binlogdb.cc:477-551; SURVEY.md §2C).
 """
 
 from __future__ import annotations

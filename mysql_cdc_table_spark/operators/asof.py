@@ -14,6 +14,10 @@ a naive theta-join (t_right <= t_left) would cause. Skewed keys can be
 salted upstream; at 100 TB both sides would be bucketed by key so the
 shuffle drops out. Right rows sort before left rows at equal t, making
 the match inclusive (t_right == t_left matches).
+
+Reference parity: this surface is what the reference's users reach
+through MySQL's SQL layer (the plugin itself only contributes the
+scan - /root/reference/binlogdb.cc:477-551; SURVEY.md §2C).
 """
 
 from __future__ import annotations

@@ -6,6 +6,10 @@ for engines/paths AQE can't reach (e.g. storage-partitioned joins).
 Pattern: split each hot left key into S sub-keys; replicate the right
 side S ways; join on (key, salt). Result identical to the plain join —
 asserted by the oracle — while the hot key's rows spread over S tasks.
+
+Reference parity: this surface is what the reference's users reach
+through MySQL's SQL layer (the plugin itself only contributes the
+scan - /root/reference/binlogdb.cc:477-551; SURVEY.md §2C).
 """
 
 from __future__ import annotations

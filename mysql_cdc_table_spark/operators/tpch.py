@@ -3,6 +3,10 @@ the optimizer-shaped patterns — EXISTS/NOT EXISTS, correlated minimum,
 disjunctive predicate trees, join-then-agg-then-filter — adapted to the
 driver's star schema. These stress Catalyst's subquery decorrelation,
 predicate normalization/pushdown through joins, and broadcast choices.
+
+Reference parity: this surface is what the reference's users reach
+through MySQL's SQL layer (the plugin itself only contributes the
+scan - /root/reference/binlogdb.cc:477-551; SURVEY.md §2C).
 """
 
 from __future__ import annotations

@@ -11,6 +11,10 @@ merge), not a single-partition sort.
 
 Determinism: every orderBy carries a unique tiebreaker — ranking and
 frame contents are otherwise engine-dependent under ties.
+
+Reference parity: this surface is what the reference's users reach
+through MySQL's SQL layer (the plugin itself only contributes the
+scan - /root/reference/binlogdb.cc:477-551; SURVEY.md §2C).
 """
 
 from __future__ import annotations

@@ -11,6 +11,10 @@ combinable, one shuffle of #buckets x #keys. Session windows shuffle by
 user and sort within partition (same cost envelope as a window
 function); at 100 TB the stream would be pre-partitioned by user via
 the source (e.g. Kafka key) so the shuffle is already satisfied.
+
+Reference parity: this surface is what the reference's users reach
+through MySQL's SQL layer (the plugin itself only contributes the
+scan - /root/reference/binlogdb.cc:477-551; SURVEY.md §2C).
 """
 
 from __future__ import annotations

@@ -7,6 +7,10 @@ State lives in the state store (checkpointed, partitioned by key);
 each micro-batch routes its rows to the key's partition — one shuffle
 per batch, state size O(#live keys), bounded by timeouts when
 configured.
+
+Reference parity: this surface is what the reference's users reach
+through MySQL's SQL layer (the plugin itself only contributes the
+scan - /root/reference/binlogdb.cc:477-551; SURVEY.md §2C).
 """
 
 from __future__ import annotations
