@@ -31,8 +31,10 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from mysql_cdc_table_spark.sources.packed_binlog import (
@@ -177,6 +179,42 @@ class PackedBinlogStreamReader(SimpleDataSourceStreamReader):
         return rows
 
 
+class PackedBinlogWriter(DataSourceWriter):
+    """Write a changelog DataFrame back to packed binlog files: one file
+    per partition (``binlog.<partition>.bin``), one single-image event
+    per row-image (__op byte carried verbatim — the decoder maps a
+    1-image op-2 event to a lone before-image and op-3 to a lone
+    after-image, so write->read round-trips every op). The write path the
+    reference only pretends to have (its write_row silently discards —
+    reference binlogdb.cc:283-292)."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.table_id = int(options.get("table_id", "0"))
+        self.target = _parse_ddl(options["schema_ddl"])
+
+    def write(self, rows) -> WriterCommitMessage:
+        import calendar
+
+        from pyspark import TaskContext
+
+        from mysql_cdc_table_spark.sources.packed_binlog import encode_event
+
+        pid = TaskContext.get().partitionId()
+        frames = []
+        for row in rows:
+            img = {f.name: row[f.name] for f in self.target.fields}
+            payload = encode_event(self.table_id, int(row["__op"]), [img], self.target)
+            ts_s = calendar.timegm(row["__tm"].timetuple())
+            frames.append((int(row["__gtid"]), ts_s, int(row["__event_seq"]), payload))
+        os.makedirs(self.path, exist_ok=True)
+        if frames:
+            write_packed_file(
+                os.path.join(self.path, f"binlog.{pid + 1:06d}.bin"), frames
+            )
+        return WriterCommitMessage()
+
+
 class PackedBinlogDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -191,6 +229,9 @@ class PackedBinlogDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return PackedBinlogStreamReader(dict(self.options))
+
+    def writer(self, schema, overwrite: bool):
+        return PackedBinlogWriter(dict(self.options))
 
 
 def register(spark) -> None:
