@@ -35,6 +35,10 @@ HEADLINE = [
     "dedup_minhash_signature",
     "ann_cosine_topk",
     "stream_session_window",
+    "join_asof_orders",
+    "dedup_exact",
+    "text_tfidf_top_terms",
+    "stream_tumbling_counts",
 ]
 
 
