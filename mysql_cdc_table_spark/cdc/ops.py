@@ -167,6 +167,40 @@ def changes_between(
     )
 
 
+def snapshot_diff(
+    changelog: DataFrame, key_cols: list[str], gtid_a, gtid_b
+) -> DataFrame:
+    """State-based diff (the dual of changes_between's log-based diff):
+    full-outer join of snapshot(gtid_a) vs snapshot(gtid_b), classifying
+    each key as added / removed / changed (unchanged keys drop out).
+    Returns key cols + diff_op + the b-side image columns (NULL for
+    removed keys)."""
+    from pyspark.sql import Column
+
+    as_col = lambda g: g if isinstance(g, Column) else F.lit(g)
+    a = snapshot_at(changelog, key_cols, gtid_col=as_col(gtid_a))
+    b = snapshot_at(changelog, key_cols, gtid_col=as_col(gtid_b))
+    val_cols = [c for c in changelog.columns if c not in key_cols]
+    a_sel = a.select(*key_cols, *[F.col(c).alias(f"a_{c}") for c in val_cols])
+    b_sel = b.select(*key_cols, *[F.col(c).alias(f"b_{c}") for c in val_cols])
+    j = a_sel.join(b_sel, key_cols, "full")
+    in_a = F.col("a___gtid").isNotNull()
+    in_b = F.col("b___gtid").isNotNull()
+    diff_op = (
+        F.when(~in_a & in_b, "added")
+        .when(in_a & ~in_b, "removed")
+        .when(F.col("a___gtid") != F.col("b___gtid"), "changed")
+    )
+    out = j.withColumn("diff_op", diff_op).filter(F.col("diff_op").isNotNull())
+    return out.select(
+        *key_cols,
+        "diff_op",
+        *[F.col(f"b_{c}").alias(c) for c in val_cols if not c.startswith("__")],
+        F.col("b___gtid").alias("__gtid_b"),
+        F.col("a___gtid").alias("__gtid_a"),
+    )
+
+
 def op_counts(changelog: DataFrame) -> DataFrame:
     """Audit: row count per CDC op code (map-side combinable)."""
     return changelog.groupBy("__op").agg(F.count("*").alias("n")).orderBy("__op")

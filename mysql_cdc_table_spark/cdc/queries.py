@@ -225,9 +225,92 @@ FROM ranked WHERE __rn = 1
 """
 
 
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State diff between the half-history and full-history snapshots."""
+    cl = synthetic_changelog(spark, sf_dir)
+    bounds = cl.agg(
+        F.floor(F.max("__gtid") / F.lit(2.0)).cast("long").alias("__ga"),
+        F.max("__gtid").alias("__gb"),
+    )
+    clb = cl.join(F.broadcast(bounds))
+    return ops.snapshot_diff(
+        clb, KEY, F.col("__ga"), F.col("__gb")
+    ).drop("__ga", "__gb")
+
+
+CDC_SNAPSHOT_DIFF_SQL = f"""
+WITH {CHANGELOG_CTE},
+bounds AS (
+  SELECT CAST(floor(max(__gtid) / 2.0) AS BIGINT) AS ga, max(__gtid) AS gb
+  FROM changelog
+),
+snap_a AS (
+  SELECT * FROM (
+    SELECT c.*, row_number() OVER (
+        PARTITION BY o_orderkey
+        ORDER BY __gtid DESC, __event_seq DESC, __image_seq DESC) AS __rn
+    FROM changelog c, bounds WHERE __gtid <= ga
+  ) WHERE __rn = 1 AND __op <> 0
+),
+snap_b AS (
+  SELECT * FROM (
+    SELECT c.*, row_number() OVER (
+        PARTITION BY o_orderkey
+        ORDER BY __gtid DESC, __event_seq DESC, __image_seq DESC) AS __rn
+    FROM changelog c, bounds WHERE __gtid <= gb
+  ) WHERE __rn = 1 AND __op <> 0
+)
+SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN a.__gtid IS NULL AND b.__gtid IS NOT NULL THEN 'added'
+            WHEN a.__gtid IS NOT NULL AND b.__gtid IS NULL THEN 'removed'
+            WHEN a.__gtid <> b.__gtid THEN 'changed' END AS diff_op,
+       b.o_custkey, b.o_orderstatus, b.o_totalprice, b.o_orderdate,
+       b.o_orderpriority,
+       b.__gtid AS __gtid_b, a.__gtid AS __gtid_a
+FROM snap_a a FULL JOIN snap_b b USING (o_orderkey)
+WHERE (CASE WHEN a.__gtid IS NULL AND b.__gtid IS NOT NULL THEN 'added'
+            WHEN a.__gtid IS NOT NULL AND b.__gtid IS NULL THEN 'removed'
+            WHEN a.__gtid <> b.__gtid THEN 'changed' END) IS NOT NULL
+"""
+
+
+def cdc_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC analytics composition: per after-status, how much update pairs
+    moved prices (sum/avg of after-before deltas)."""
+    pairs = ops.update_pairs(synthetic_changelog(spark, sf_dir), KEY)
+    delta = F.col("after_o_totalprice") - F.col("before_o_totalprice")
+    return pairs.groupBy(
+        F.col("after_o_orderstatus").alias("status")
+    ).agg(
+        F.count("*").alias("n_updates"),
+        F.round(F.sum(delta), 2).alias("total_drift"),
+        F.round(F.avg(delta), 6).alias("avg_drift"),
+    )
+
+
+CDC_PRICE_DRIFT_SQL = f"""
+WITH {CHANGELOG_CTE},
+pairs AS (
+  SELECT a.o_orderstatus AS status,
+         a.o_totalprice - b.o_totalprice AS delta
+  FROM changelog b
+  JOIN changelog a
+    ON b.o_orderkey = a.o_orderkey
+   AND b.__gtid = a.__gtid AND b.__event_seq = a.__event_seq
+   AND b.__op = 2 AND a.__op = 3
+)
+SELECT status, count(*) AS n_updates,
+       round(sum(delta), 2) AS total_drift,
+       round(avg(delta), 6) AS avg_drift
+FROM pairs GROUP BY status
+"""
+
+
 QUERIES = {
     "cdc_changelog_scan": cdc_changelog_scan,
     "cdc_changes_between": cdc_changes_between,
+    "cdc_snapshot_diff": cdc_snapshot_diff,
+    "cdc_price_drift": cdc_price_drift,
     "cdc_snapshot_at_time": cdc_snapshot_at_time,
     "cdc_scd2": cdc_scd2,
     "cdc_envelope_roundtrip": cdc_envelope_roundtrip,
@@ -241,6 +324,8 @@ QUERIES = {
 ORACLES = {
     "cdc_changelog_scan": CDC_CHANGELOG_SCAN_SQL,
     "cdc_changes_between": CDC_CHANGES_BETWEEN_SQL,
+    "cdc_snapshot_diff": CDC_SNAPSHOT_DIFF_SQL,
+    "cdc_price_drift": CDC_PRICE_DRIFT_SQL,
     "cdc_snapshot_at_time": CDC_SNAPSHOT_AT_TIME_SQL,
     "cdc_scd2": CDC_SCD2_SQL,
     "cdc_envelope_roundtrip": CDC_ENVELOPE_ROUNDTRIP_SQL,
