@@ -296,7 +296,46 @@ FROM events,
 """
 
 
+def fn_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cast coverage across the scalar type space (casts whose
+    text rendering both engines share; double->string is deliberately
+    absent — engines render scientific notation differently)."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("double").alias("key_dbl"),
+        F.col("o_orderkey").cast("int").alias("key_int"),
+        F.col("o_totalprice").cast("long").alias("price_trunc"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+        F.col("o_orderdate").cast("date").alias("od_date"),
+        F.col("o_orderdate").cast("date").cast("string").alias("od_str"),
+        F.lit("1999-06-01").cast("date").alias("lit_date"),
+        F.lit("1999-06-01 12:30:45").cast("timestamp").alias("lit_ts"),
+        (F.col("o_orderkey") % 2 == 0).cast("int").alias("even_int"),
+    )
+
+
+# note: Spark CAST(double AS BIGINT) truncates toward zero; DuckDB CAST
+# rounds — use trunc() in the oracle for identical semantics.
+FN_CAST_MATRIX_SQL = """
+SELECT o_orderkey,
+       CAST(o_orderkey AS VARCHAR) AS key_str,
+       CAST(o_orderkey AS DOUBLE) AS key_dbl,
+       CAST(o_orderkey AS INTEGER) AS key_int,
+       CAST(trunc(o_totalprice) AS BIGINT) AS price_trunc,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+       CAST(o_orderdate AS DATE) AS od_date,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS od_str,
+       DATE '1999-06-01' AS lit_date,
+       TIMESTAMP '1999-06-01 12:30:45' AS lit_ts,
+       CAST(o_orderkey % 2 = 0 AS INTEGER) AS even_int
+FROM orders
+"""
+
+
 QUERIES = {
+    "fn_cast_matrix": fn_cast_matrix,
     "fn_map_explode": fn_map_explode,
     "fn_string": fn_string,
     "fn_datetime": fn_datetime,
@@ -309,6 +348,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_cast_matrix": FN_CAST_MATRIX_SQL,
     "fn_map_explode": FN_MAP_EXPLODE_SQL,
     "fn_string": FN_STRING_SQL,
     "fn_datetime": FN_DATETIME_SQL,
