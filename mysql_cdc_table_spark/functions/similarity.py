@@ -91,17 +91,32 @@ LIMIT 20
 """
 
 
+HOT_BLOCK_CAP = 200
+
+
 def ann_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All near pairs within label blocks (blocked pair generation: the
-    join key bounds the quadratic term to the largest block)."""
+    join key bounds the quadratic term to the largest block).
+
+    Hot-block bound: a label with n > HOT_BLOCK_CAP members is split into
+    ceil(n / CAP) sub-blocks by ``vec_id % nsub`` and pairs are generated
+    within a sub-block only — so one hot label at 100 TB costs
+    O(n * CAP) pairs, never O(n^2), and no single task owns a whole hot
+    block. Below the cap nsub == 1 and results are identical to the
+    uncapped join. Deterministic, and mirrored exactly in the oracle."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding", F.sqrt(sqnorm(F.col("embedding"))).alias("nrm")
+    )
+    counts = e.groupBy("label").agg(F.count("*").alias("bn"))
+    e = e.join(F.broadcast(counts), "label").withColumn(
+        "sub", F.col("vec_id") % F.ceil(F.col("bn") / F.lit(float(HOT_BLOCK_CAP)))
     )
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.sub") == F.col("b.sub"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
@@ -122,15 +137,21 @@ def ann_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_BLOCK_PAIRS_SQL = f"""
-WITH e AS (
+WITH e0 AS (
   SELECT vec_id, label, embedding,
          sqrt({_SQL_SQNORM.format(a='embedding')}) AS nrm
   FROM embeddings
+),
+c AS (SELECT label, count(*) AS bn FROM e0 GROUP BY label),
+e AS (
+  SELECT e0.*, e0.vec_id % CAST(ceil(c.bn / {HOT_BLOCK_CAP}.0) AS BIGINT) AS sub
+  FROM e0 JOIN c USING (label)
 )
 SELECT a.vec_id AS vec1, b.vec_id AS vec2, a.label AS label,
        round({_SQL_DOT.format(a='a.embedding', b='b.embedding')}
              / (a.nrm * b.nrm), 6) + 0.0 AS cos
-FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM e a JOIN e b
+  ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
 WHERE round({_SQL_DOT.format(a='a.embedding', b='b.embedding')}
             / (a.nrm * b.nrm), 6) >= 0.25
 """

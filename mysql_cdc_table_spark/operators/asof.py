@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -47,18 +48,24 @@ def asof_join(
         c for c in right.columns if c not in keys and c != right_time
     ]
 
+    # The whole right payload travels as ONE struct and last(ignorenulls)
+    # fills the STRUCT, not each column independently — a per-column fill
+    # would let a NULL payload field fall through to an OLDER right row,
+    # mixing columns across rows (DuckDB ASOF JOIN / pandas merge_asof
+    # return the matched row's NULL; round-1 advisory).
+    r_struct = T.StructType([T.StructField(c, right.schema[c].dataType) for c in payload])
     lhs = left.select(
         *keys,
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload],
+        F.lit(None).cast(r_struct).alias("__r"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
     )
     rhs = right.select(
         *keys,
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in payload],
+        F.struct(*[F.col(c) for c in payload]).alias("__r"),
         F.lit(None)
         .cast(lhs.schema["__lrow"].dataType)
         .alias("__lrow"),
@@ -71,10 +78,7 @@ def asof_join(
     )
     filled = lhs.unionByName(rhs).select(
         "*",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in payload
-        ],
+        F.last(F.col("__r"), ignorenulls=True).over(w).alias("__m"),
         F.last(F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True)
         .over(w)
         .alias("__m_t"),
@@ -84,15 +88,10 @@ def asof_join(
     if tolerance is not None:
         # outside tolerance -> unmatched (payload nulled), like pandas merge_asof
         within = F.col("__m_t").isNotNull() & (F.col("__t") - F.col("__m_t") <= tolerance)
-        out = out.select(
-            "*",
-            *[
-                F.when(within, F.col(f"__m_{c}")).alias(f"__mt_{c}")
-                for c in payload
-            ],
-        )
-        matched = [F.col(f"__mt_{c}").alias(c) for c in payload]
+        matched = [
+            F.when(within, F.col("__m").getField(c)).alias(c) for c in payload
+        ]
     else:
-        matched = [F.col(f"__m_{c}").alias(c) for c in payload]
+        matched = [F.col("__m").getField(c).alias(c) for c in payload]
 
     return out.select(F.col("__lrow.*"), *matched)

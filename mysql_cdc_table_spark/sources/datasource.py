@@ -17,9 +17,13 @@ declared but every index read errors — binlogdb.cc:381-461, SURVEY
 
 File format (each file, little-endian):
     frame := varint(frame_len) body
-    body  := varint(gtid) varint(ts_s) varint(event_seq) packed_event
-where packed_event is sources/packed_binlog.py's event encoding and
-file_seq comes from trailing digits in the file name (binlog.000007).
+    body  := varint(gtid) varint(ts_s) varint(event_seq)
+             varint(image_base) packed_event
+where packed_event is sources/packed_binlog.py's event encoding,
+image_base is the __image_seq of the event's FIRST image (so a re-written
+single-image after-row keeps __image_seq=1 and (gtid, event_seq,
+image_seq) ordering survives a write->read round trip), and file_seq
+comes from the trailing digits in the file name (binlog.000007).
 """
 
 from __future__ import annotations
@@ -71,22 +75,33 @@ METADATA_DDL = (
 def _parse_ddl(ddl: str) -> T.StructType:
     fields = []
     for part in re.split(r",(?![^()]*\))", ddl):  # commas outside parens only
-        name, typ = part.strip().split()
-        key = typ.strip().lower()
-        m = re.match(r"decimal\((\d+),\s*(\d+)\)", key)
+        # split on the FIRST whitespace run only: 'price decimal(10, 2)'
+        # keeps its parenthesized type intact (internal spaces squeezed out
+        # before matching).
+        name, typ = part.strip().split(None, 1)
+        key = re.sub(r"\s+", "", typ).lower()
+        m = re.match(r"decimal\((\d+),(\d+)\)", key)
         dt = T.DecimalType(int(m.group(1)), int(m.group(2))) if m else _DDL_TYPES[key]
         fields.append(T.StructField(name.strip(), dt))
     return T.StructType(fields)
 
 
-def write_packed_file(path: str, frames: list[tuple[int, int, int, bytes]]) -> None:
-    """Writer helper: frames = [(gtid, ts_s, event_seq, packed_event)]."""
+def write_packed_file(path: str, frames: list[tuple]) -> None:
+    """Writer helper: frames = [(gtid, ts_s, event_seq, packed_event)] or
+    [(gtid, ts_s, event_seq, image_base, packed_event)] (4-tuples get
+    image_base=0 — a fresh multi-image event numbers its images 0..n-1)."""
     out = bytearray()
-    for gtid, ts_s, event_seq, payload in frames:
+    for frame in frames:
+        if len(frame) == 4:
+            gtid, ts_s, event_seq, payload = frame
+            image_base = 0
+        else:
+            gtid, ts_s, event_seq, image_base, payload = frame
         body = bytearray()
         _write_varint(gtid, body)
         _write_varint(ts_s, body)
         _write_varint(event_seq, body)
+        _write_varint(image_base, body)
         body += payload
         _write_varint(len(body), out)
         out += body
@@ -135,15 +150,24 @@ class PackedBinlogReader(DataSourceReader):
             gtid, pos = _read_varint(buf, pos)
             ts_s, pos = _read_varint(buf, pos)
             event_seq, pos = _read_varint(buf, pos)
+            image_base, pos = _read_varint(buf, pos)
             payload = buf[pos:end]
             pos = end
             tm = dt.datetime.fromtimestamp(ts_s, tz=dt.timezone.utc).replace(
                 tzinfo=None
             )
-            for image_seq, (op, vals) in enumerate(
+            for idx, (op, vals) in enumerate(
                 _decode_event(payload, self.target, self.table_id)
             ):
-                yield (*vals, op, gtid, tm, partition.file_seq, event_seq, image_seq)
+                yield (
+                    *vals,
+                    op,
+                    gtid,
+                    tm,
+                    partition.file_seq,
+                    event_seq,
+                    image_base + idx,
+                )
 
 
 class PackedBinlogStreamReader(SimpleDataSourceStreamReader):
@@ -181,17 +205,31 @@ class PackedBinlogStreamReader(SimpleDataSourceStreamReader):
 
 class PackedBinlogWriter(DataSourceWriter):
     """Write a changelog DataFrame back to packed binlog files: one file
-    per partition (``binlog.<partition>.bin``), one single-image event
-    per row-image (__op byte carried verbatim — the decoder maps a
-    1-image op-2 event to a lone before-image and op-3 to a lone
-    after-image, so write->read round-trips every op). The write path the
+    per partition (``binlog.<write-token>.<partition>.bin``), one
+    single-image event per row-image (__op byte carried verbatim — the
+    decoder maps a 1-image op-2 event to a lone before-image and op-3 to
+    a lone after-image — and __image_seq carried as the frame's
+    image_base, so write->read round-trips every op AND the
+    (gtid, event_seq, image_seq) ordering key). The write path the
     reference only pretends to have (its write_row silently discards —
-    reference binlogdb.cc:283-292)."""
+    reference binlogdb.cc:283-292).
 
-    def __init__(self, options: dict):
+    The write token is minted once on the driver (millisecond timestamp +
+    random suffix), so (a) a second append never collides with an earlier
+    write's file names and (b) appended files sort AFTER earlier writes
+    in the ordered file listing. Overwrite semantics live in commit():
+    only after every task has written does the driver drop files from
+    previous writes (and abort() drops this write's partial output)."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        import time
+        import uuid
+
         self.path = options["path"]
         self.table_id = int(options.get("table_id", "0"))
         self.target = _parse_ddl(options["schema_ddl"])
+        self.overwrite = overwrite
+        self.token = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:6]}"
 
     def write(self, rows) -> WriterCommitMessage:
         import calendar
@@ -206,13 +244,45 @@ class PackedBinlogWriter(DataSourceWriter):
             img = {f.name: row[f.name] for f in self.target.fields}
             payload = encode_event(self.table_id, int(row["__op"]), [img], self.target)
             ts_s = calendar.timegm(row["__tm"].timetuple())
-            frames.append((int(row["__gtid"]), ts_s, int(row["__event_seq"]), payload))
+            frames.append(
+                (
+                    int(row["__gtid"]),
+                    ts_s,
+                    int(row["__event_seq"]),
+                    int(row["__image_seq"]),
+                    payload,
+                )
+            )
         os.makedirs(self.path, exist_ok=True)
         if frames:
             write_packed_file(
-                os.path.join(self.path, f"binlog.{pid + 1:06d}.bin"), frames
+                os.path.join(
+                    self.path, f"binlog.{self.token}.{pid + 1:06d}.bin"
+                ),
+                frames,
             )
         return WriterCommitMessage()
+
+    def _stale_files(self) -> list[str]:
+        if not os.path.isdir(self.path):
+            return []
+        return [
+            os.path.join(self.path, f)
+            for f in os.listdir(self.path)
+            if not f.startswith(("_", ".")) and self.token not in f
+        ]
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for p in self._stale_files():
+                os.remove(p)
+
+    def abort(self, messages) -> None:
+        # drop this write's partial output; earlier writes stay intact
+        if os.path.isdir(self.path):
+            for f in os.listdir(self.path):
+                if self.token in f:
+                    os.remove(os.path.join(self.path, f))
 
 
 class PackedBinlogDataSource(DataSource):
@@ -231,7 +301,7 @@ class PackedBinlogDataSource(DataSource):
         return PackedBinlogStreamReader(dict(self.options))
 
     def writer(self, schema, overwrite: bool):
-        return PackedBinlogWriter(dict(self.options))
+        return PackedBinlogWriter(dict(self.options), overwrite)
 
 
 def register(spark) -> None:

@@ -66,11 +66,18 @@ def cdc_live_key_counter(changelog: DataFrame) -> DataFrame:
             n_images, live = state.get
         else:
             n_images, live = 0, False
-        last_op = None
+        # track the max (gtid, event_seq, image_seq) ACROSS chunks — a
+        # key's batch rows can span pandas chunks, and the final chunk's
+        # last row is not necessarily the newest (round-1 advisory)
+        best_key, last_op = None, None
         for pdf in pdfs:
-            ordered = pdf.sort_values(["__gtid", "__image_seq"])
-            n_images += len(ordered)
-            last_op = int(ordered["__op"].iloc[-1])
+            n_images += len(pdf)
+            for g, e, i, op in zip(
+                pdf["__gtid"], pdf["__event_seq"], pdf["__image_seq"], pdf["__op"]
+            ):
+                k = (int(g), int(e), int(i))
+                if best_key is None or k > best_key:
+                    best_key, last_op = k, int(op)
         if last_op is not None:
             live = last_op != 0
         state.update((n_images, bool(live)))

@@ -67,3 +67,19 @@ def test_asof_matches_pandas_merge_asof(spark, left, right):
         for row in merged.itertuples()
     }
     assert got == want
+
+
+def test_asof_matched_rows_null_payload_not_backfilled(spark):
+    """When the true as-of right row carries a NULL payload column, the
+    join must return that NULL — not let it fall through to an OLDER
+    right row (per-column fill would mix columns across right rows;
+    matches DuckDB ASOF JOIN / pandas merge_asof)."""
+    ldf = spark.createDataFrame([(1, 10, 0)], "k long, t long, lid long")
+    rdf = spark.createDataFrame(
+        [(1, 1, 100, "old"), (1, 5, None, "new")],
+        "k long, t long, price long, tag string",
+    )
+    [row] = asof_join(ldf, rdf, on="k", left_time="t", right_time="t").collect()
+    # the t=5 row is the match: its NULL price must survive, its tag too
+    assert row["tag"] == "new"
+    assert row["price"] is None

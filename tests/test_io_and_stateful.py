@@ -132,8 +132,8 @@ def test_cdc_live_key_counter(spark, tmp_path):
         "\n".join(
             json.dumps(r)
             for r in [
-                {"id": 1, "__op": 1, "__gtid": 10, "__image_seq": 0},
-                {"id": 2, "__op": 1, "__gtid": 11, "__image_seq": 0},
+                {"id": 1, "__op": 1, "__gtid": 10, "__event_seq": 100, "__image_seq": 0},
+                {"id": 2, "__op": 1, "__gtid": 11, "__event_seq": 110, "__image_seq": 0},
             ]
         )
     )
@@ -141,9 +141,12 @@ def test_cdc_live_key_counter(spark, tmp_path):
         "\n".join(
             json.dumps(r)
             for r in [
-                {"id": 1, "__op": 2, "__gtid": 12, "__image_seq": 0},
-                {"id": 1, "__op": 3, "__gtid": 12, "__image_seq": 1},
-                {"id": 1, "__op": 0, "__gtid": 13, "__image_seq": 0},
+                # frame order is ADVERSARIAL: the newest row (gtid 13
+                # delete) comes FIRST — liveness must follow the max
+                # (gtid, event_seq, image_seq), not frame/chunk order
+                {"id": 1, "__op": 0, "__gtid": 13, "__event_seq": 130, "__image_seq": 0},
+                {"id": 1, "__op": 2, "__gtid": 12, "__event_seq": 120, "__image_seq": 0},
+                {"id": 1, "__op": 3, "__gtid": 12, "__event_seq": 120, "__image_seq": 1},
             ]
         )
     )
@@ -152,6 +155,7 @@ def test_cdc_live_key_counter(spark, tmp_path):
             T.StructField("id", T.LongType()),
             T.StructField("__op", T.IntegerType()),
             T.StructField("__gtid", T.LongType()),
+            T.StructField("__event_seq", T.LongType()),
             T.StructField("__image_seq", T.IntegerType()),
         ]
     )

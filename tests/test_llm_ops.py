@@ -85,3 +85,30 @@ def test_trained_ivf_recall(spark, sf_dir):
     exact = {r["vec_id"] for r in ann_cosine_topk(spark, sf_dir).collect()}
     recall = len(exact & {v for v, _ in r1}) / len(exact)
     assert recall >= 0.2, f"trained-IVF recall collapsed: {recall}"
+
+
+def test_block_pairs_hot_label_bounded(spark, tmp_path):
+    """A label hotter than HOT_BLOCK_CAP is sub-blocked by vec_id % nsub:
+    pair count is sum-of-sub-block-squares, never the full block square.
+    Identical unit vectors make every cosine 1.0, so counts are exact."""
+    from mysql_cdc_table_spark.functions.similarity import (
+        HOT_BLOCK_CAP,
+        ann_block_pairs,
+    )
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0], 0) for i in range(450)]
+    rows += [(1000 + i, [0.0, 1.0, 0.0, 0.0], 1) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+
+    pairs = ann_block_pairs(spark, sf).groupBy("label").count().collect()
+    by_label = {r["label"]: r["count"] for r in pairs}
+
+    # hot label: nsub = ceil(450/200) = 3 sub-blocks of 150 each
+    assert HOT_BLOCK_CAP == 200
+    assert by_label[0] == 3 * (150 * 149 // 2)  # 33525, not C(450,2)=101025
+    # cold label below the cap is untouched: all C(10,2) pairs
+    assert by_label[1] == 10 * 9 // 2

@@ -355,7 +355,72 @@ def test_packed_binlog_write_read_roundtrip(spark, tmp_path, changelog):
     )
     key = lambda df: sorted(
         (r["id"], r["v"], r["amt"], r["n"], r["at"], r["__op"], r["__gtid"],
-         r["__event_seq"])
+         r["__event_seq"], r["__image_seq"])
         for r in df.collect()
     )
     assert key(back) == key(changelog)
+    # the ordering key survives: latest_state on the re-read changelog
+    # resolves the update pair to the AFTER image, deterministically
+    state = {r["id"]: r["v"] for r in latest_state(back, ["id"]).collect()}
+    assert state == {1: "unicode-é中"}
+
+
+def test_packed_binlog_writer_append_and_overwrite(spark, tmp_path, changelog):
+    """A second append must not clobber the first write's files, and an
+    overwrite must drop every file from earlier writes (round-1 advisory:
+    partition-id-only file names silently overwrote on append and
+    overwrite left phantom files behind)."""
+    import os
+
+    from mysql_cdc_table_spark.sources.datasource import register
+
+    register(spark)
+    out = str(tmp_path / "multi")
+    ddl = "id bigint, v string, amt double, n int, at timestamp"
+
+    def save(df, mode):
+        (
+            df.write.format("packed_binlog")
+            .option("schema_ddl", ddl)
+            .option("table_id", "7")
+            .mode(mode)
+            .save(out)
+        )
+
+    def read_back():
+        return (
+            spark.read.format("packed_binlog")
+            .option("schema_ddl", ddl)
+            .option("table_id", "7")
+            .load(out)
+        )
+
+    save(changelog, "append")
+    n_files_1 = len(os.listdir(out))
+    n_rows_1 = read_back().count()
+
+    save(changelog, "append")  # same frame again: nothing may be clobbered
+    assert len(os.listdir(out)) == 2 * n_files_1
+    assert read_back().count() == 2 * n_rows_1
+
+    # overwrite with a 1-row frame: stale files from BOTH earlier (larger)
+    # writes must be gone, no phantom rows on read
+    one = changelog.filter("__op = 1 AND id = 1").limit(1)
+    save(one, "overwrite")
+    back = read_back()
+    assert back.count() == 1
+    assert {f.split(".")[1] for f in os.listdir(out) if not f.startswith("_")} \
+        and len({f.split(".")[1] for f in os.listdir(out)}) == 1
+
+
+def test_parse_ddl_decimal_with_space():
+    """'decimal(10, 2)' (space after the comma) must parse — the field
+    splitter keeps parenthesized commas, so the name/type split must cut
+    on the FIRST whitespace run only (round-1 advisory)."""
+    from pyspark.sql import types as T
+
+    from mysql_cdc_table_spark.sources.datasource import _parse_ddl
+
+    st = _parse_ddl("id bigint, price decimal(10, 2), v string")
+    assert st["price"].dataType == T.DecimalType(10, 2)
+    assert st["id"].dataType == T.LongType()
