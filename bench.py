@@ -41,6 +41,46 @@ HEADLINE = [
     "stream_tumbling_counts",
 ]
 
+_PACKED_DDL = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+
+
+def _packed_scan_query(spark, sf_dir):
+    """16th entry: the packed-binlog DataSource scan — tracks binary
+    decode cost off-JSON (vs cdc_envelope_roundtrip's JSON ser/de). The
+    packed files are staged once, untimed, by _stage_packed()."""
+    return (
+        spark.read.format("packed_binlog")
+        .option("schema_ddl", _PACKED_DDL)
+        .option("table_id", "7")
+        .load(_packed_dir(sf_dir))
+    )
+
+
+def _packed_dir(sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"bench_packed_binlog_{tag}")
+
+
+def _stage_packed(spark, sf_dir: str) -> None:
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+    from mysql_cdc_table_spark.sources.datasource import register
+
+    register(spark)
+    (
+        synthetic_changelog(spark, sf_dir)
+        .write.format("packed_binlog")
+        .option("schema_ddl", _PACKED_DDL)
+        .option("table_id", "7")
+        .mode("overwrite")
+        .save(_packed_dir(sf_dir))
+    )
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,11 +96,16 @@ def main() -> None:
     # JVM/codegen warm-up on a tiny scan (not counted)
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    # stage packed binlog files (untimed) and register the scan entry
+    _stage_packed(spark, sf_dir)
+    queries = dict(queries)
+    queries["packed_binlog_scan"] = _packed_scan_query
+
     # Two runs per query, report the warm one: the first run pays one-off
     # whole-stage-codegen compilation + plan construction (~1-1.5s,
     # measured), which a long-lived cluster amortizes away.
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in [*HEADLINE, "packed_binlog_scan"]:
         fn = queries[name]
         samples = []
         for _ in range(2):

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mysql_cdc_table_spark.cdc import ops
-from mysql_cdc_table_spark.cdc.source import decode_envelope
+from mysql_cdc_table_spark.cdc.source import decode_envelope, decode_kafka_envelope
 from mysql_cdc_table_spark.cdc.synthetic import (
     CHANGELOG_CTE,
     ORDERS_TARGET_SCHEMA,
@@ -306,6 +306,129 @@ FROM pairs GROUP BY status
 """
 
 
+def cdc_kafka_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka ingest path, broker-less: wrap the synthetic envelopes
+    in Kafka's record shape (binary value + topic/partition/offset) and
+    decode through decode_kafka_envelope — CAST(value AS STRING) ->
+    from_json -> unnest. Oracle: the changelog CTE (the decode must be
+    the identity over the Kafka framing)."""
+    env = synthetic_envelopes(spark, sf_dir)
+    records = env.select(
+        F.lit(None).cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        F.lit("tpch.orders").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    return decode_kafka_envelope(
+        records, ORDERS_TARGET_SCHEMA, database="tpch", table="orders"
+    )
+
+
+CDC_KAFKA_ENVELOPE_DECODE_SQL = CDC_CHANGELOG_SCAN_SQL
+
+
+def cdc_packed_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end proof of the packed codec over the MySQL-only column
+    kinds (DECIMAL + ENUM + BIT + JSON — the reference's Field::unpack
+    type space, binlog_table_reader.cc:151-156): build a typed changelog
+    from ``orders``, encode it to packed binary events and decode it back
+    — both DISTRIBUTED mapInPandas stages, no driver hop — then aggregate.
+    The oracle computes the same aggregate straight from ``orders``: any
+    codec bit-rot (enum index off-by-one, decimal scale, bitmask order)
+    breaks the value hash."""
+    from pyspark.sql import types as T
+
+    from mysql_cdc_table_spark.operators._util import t
+    from mysql_cdc_table_spark.sources.packed_binlog import (
+        decode_packed,
+        encode_packed,
+    )
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("price", T.DecimalType(12, 2)),
+            T.StructField(
+                "status",
+                T.StringType(),
+                metadata={"mysql_type": "enum", "values": ["F", "O", "P"]},
+            ),
+            T.StructField("bits", T.LongType(), metadata={"mysql_type": "bit"}),
+            T.StructField("props", T.StringType(), metadata={"mysql_type": "json"}),
+        ]
+    )
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.round("o_totalprice", 2).cast("decimal(12,2)").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_custkey") % 8).alias("bits"),
+        F.to_json(F.struct(F.col("o_orderpriority").alias("p"))).alias("props"),
+    )
+
+    def with_meta(df: DataFrame, op: int, gtid_off: int) -> DataFrame:
+        return df.select(
+            "*",
+            F.lit(op).alias("__op"),
+            (F.col("id") * 10 + gtid_off).alias("__gtid"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("__tm"),
+            F.lit(0).alias("__file_seq"),
+            F.col("id").alias("__event_seq"),
+            F.lit(0).alias("__image_seq"),
+        )
+
+    upd = base.filter(F.col("id") % 10 == 0)
+    cl = (
+        with_meta(base, 1, 0)
+        .unionByName(with_meta(upd, 2, 1))
+        .unionByName(
+            with_meta(
+                upd.withColumn(
+                    "price", (F.col("price") + 1).cast("decimal(12,2)")
+                ),
+                3,
+                1,
+            )
+        )
+    )
+    back = decode_packed(encode_packed(cl, target, table_id=42), target, table_id=42)
+    return back.groupBy(
+        F.col("status"), F.col("__op").alias("op")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("price").cast("double").alias("sum_price"),
+        F.sum("bits").alias("sum_bits"),
+        F.min("props").alias("min_props"),
+    )
+
+
+CDC_PACKED_TYPED_ROUNDTRIP_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS id,
+         CAST(round(o_totalprice, 2) AS DECIMAL(12,2)) AS price,
+         o_orderstatus AS status,
+         o_custkey % 8 AS bits,
+         json_object('p', o_orderpriority) AS props
+  FROM orders
+),
+cl AS (
+  SELECT status, 1 AS op, price, bits, props FROM base
+  UNION ALL
+  SELECT status, 2, price, bits, props FROM base WHERE id % 10 = 0
+  UNION ALL
+  SELECT status, 3, price + CAST(1 AS DECIMAL(12,2)), bits, props
+  FROM base WHERE id % 10 = 0
+)
+SELECT status, op, count(*) AS n,
+       CAST(sum(price) AS DOUBLE) AS sum_price,
+       CAST(sum(bits) AS BIGINT) AS sum_bits,
+       CAST(min(props) AS VARCHAR) AS min_props
+FROM cl GROUP BY status, op
+"""
+
+
 QUERIES = {
     "cdc_changelog_scan": cdc_changelog_scan,
     "cdc_changes_between": cdc_changes_between,
@@ -319,6 +442,8 @@ QUERIES = {
     "cdc_snapshot_at": cdc_snapshot_at,
     "cdc_update_pairs": cdc_update_pairs,
     "cdc_changes_per_key": cdc_changes_per_key,
+    "cdc_packed_typed_roundtrip": cdc_packed_typed_roundtrip,
+    "cdc_kafka_envelope_decode": cdc_kafka_envelope_decode,
 }
 
 ORACLES = {
@@ -334,4 +459,6 @@ ORACLES = {
     "cdc_snapshot_at": CDC_SNAPSHOT_AT_SQL,
     "cdc_update_pairs": CDC_UPDATE_PAIRS_SQL,
     "cdc_changes_per_key": CDC_CHANGES_PER_KEY_SQL,
+    "cdc_packed_typed_roundtrip": CDC_PACKED_TYPED_ROUNDTRIP_SQL,
+    "cdc_kafka_envelope_decode": CDC_KAFKA_ENVELOPE_DECODE_SQL,
 }

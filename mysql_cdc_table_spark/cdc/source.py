@@ -138,6 +138,66 @@ def cdc_read(
     return decode_envelope(raw, target, database=database, table=table)
 
 
+# The record shape Spark's Kafka source produces (binary key/value +
+# provenance) — used by the broker-less decode path and its tests.
+KAFKA_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("timestampType", T.IntegerType()),
+    ]
+)
+
+
+def decode_kafka_envelope(
+    records: DataFrame,
+    target: T.StructType,
+    database: str | None = None,
+    table: str | None = None,
+) -> DataFrame:
+    """Decode Kafka-shaped records (KAFKA_RECORD_SCHEMA) whose ``value``
+    bytes are Debezium-style JSON envelopes: CAST(value AS STRING) ->
+    the standard envelope decode. Pure column transforms, so it is
+    testable on a static DataFrame without a broker and applies
+    identically to batch and streaming frames."""
+    vals = records.select(F.col("value").cast("string").alias("value"))
+    return decode_envelope(vals, target, database=database, table=table)
+
+
+def cdc_read_kafka(
+    spark: SparkSession,
+    bootstrap: str,
+    topic: str,
+    target: T.StructType,
+    database: str | None = None,
+    table: str | None = None,
+    starting_offsets: str = "earliest",
+    streaming: bool = True,
+) -> DataFrame:
+    """Changelog over a Kafka topic of Debezium-style envelopes — the
+    BASELINE approach ("Structured Streaming + CDC source connector")
+    wired end to end: Kafka source -> CAST(value AS STRING) ->
+    decode_envelope. Offsets/checkpointing come from the Kafka source
+    (vs. the reference's rescan-from-file-0, binlogdb.cc:487); one Spark
+    partition per Kafka partition, decode stays narrow.
+
+    Requires the spark-sql-kafka package on the classpath at runtime;
+    the decode half (``decode_kafka_envelope``) is broker-independent.
+    """
+    reader = (spark.readStream if streaming else spark.read).format("kafka")
+    records = (
+        reader.option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return decode_kafka_envelope(records, target, database=database, table=table)
+
+
 def cdc_read_multi(
     spark: SparkSession,
     path: str,

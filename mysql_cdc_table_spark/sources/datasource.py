@@ -73,6 +73,15 @@ METADATA_DDL = (
 
 
 def _parse_ddl(ddl: str) -> T.StructType:
+    """Parse the source's simple DDL. Beyond the Spark scalar names this
+    accepts the MySQL-only column kinds the reference's users hold
+    (SURVEY §1.2; wire forms in sources/packed_binlog.py):
+
+        color enum(red,green,blue)   -> string + {"mysql_type": "enum"}
+        flags set(a,b,c)             -> string + {"mysql_type": "set"}
+        b bit                        -> bigint + {"mysql_type": "bit"}
+        doc json                     -> string + {"mysql_type": "json"}
+    """
     fields = []
     for part in re.split(r",(?![^()]*\))", ddl):  # commas outside parens only
         # split on the FIRST whitespace run only: 'price decimal(10, 2)'
@@ -80,9 +89,23 @@ def _parse_ddl(ddl: str) -> T.StructType:
         # before matching).
         name, typ = part.strip().split(None, 1)
         key = re.sub(r"\s+", "", typ).lower()
+        meta: dict = {}
         m = re.match(r"decimal\((\d+),(\d+)\)", key)
-        dt = T.DecimalType(int(m.group(1)), int(m.group(2))) if m else _DDL_TYPES[key]
-        fields.append(T.StructField(name.strip(), dt))
+        e = re.match(r"(enum|set)\(([^)]*)\)", key)
+        if m:
+            dt = T.DecimalType(int(m.group(1)), int(m.group(2)))
+        elif e:
+            dt = T.StringType()
+            meta = {"mysql_type": e.group(1), "values": e.group(2).split(",")}
+        elif key == "bit":
+            dt = T.LongType()
+            meta = {"mysql_type": "bit"}
+        elif key == "json":
+            dt = T.StringType()
+            meta = {"mysql_type": "json"}
+        else:
+            dt = _DDL_TYPES[key]
+        fields.append(T.StructField(name.strip(), dt, metadata=meta))
     return T.StructType(fields)
 
 
@@ -291,8 +314,11 @@ class PackedBinlogDataSource(DataSource):
         return "packed_binlog"
 
     def schema(self):
-        # returned as DDL text (the API accepts it) — no JVM needed
-        return f"{self.options['schema_ddl']}, {METADATA_DDL}"
+        # built locally (no JVM needed) — a StructType, not DDL text,
+        # because enum(...)/set(...)/bit/json are NOT Spark DDL names
+        base = _parse_ddl(self.options["schema_ddl"])
+        meta = _parse_ddl(METADATA_DDL)
+        return T.StructType(list(base.fields) + list(meta.fields))
 
     def reader(self, schema):
         return PackedBinlogReader(dict(self.options))

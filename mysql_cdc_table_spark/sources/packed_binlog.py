@@ -13,6 +13,27 @@ the binary-decode architecture end to end:
     event := table_id:varint  op:u8  n_images:u8  image*
     image := cols_present_bitmap  null_bitmap  value*   (present & non-null)
     value := i32/i64 LE | f64 LE | varint-len utf8 | i64 epoch-micros
+           | zigzag-varint unscaled decimal | varint enum-index
+           | varint set-bitmask | varint bit-value
+
+MySQL-specific column kinds that have no Spark type (the reference
+decodes them via Field::unpack — binlog_table_reader.cc:151-156; type
+space per SURVEY §1.2) are declared as StructField METADATA on their
+Spark surface type and get their own wire form:
+
+    {"mysql_type": "enum", "values": [...]} on StringType
+        -> varint 1-based index (0 = MySQL's invalid-value '')
+    {"mysql_type": "set", "values": [...]}  on StringType
+        -> varint bitmask; decodes to comma-joined members in
+           definition order (MySQL SET semantics)
+    {"mysql_type": "bit"}                   on LongType
+        -> varint of the unsigned value
+    {"mysql_type": "json"}                  on StringType
+        -> utf-8 text (MySQL JSON surfaces as its text form)
+
+NEWDECIMAL maps to DecimalType at ANY precision (zigzag-varint unscaled
+integer — not fixed 8 bytes — so DECIMAL(38,10) round-trips).
+DATETIME2 fractional seconds are covered by the epoch-micros timestamp.
 
 Decode runs in ``mapInPandas``: Arrow batches in, pure-Python walk per
 event, Arrow batches out. Per-file parallelism, no shuffle — the same
@@ -64,8 +85,35 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
 # ---- per-type codecs (encode used by tests/fixtures, decode by the source) --
 
 
-def _encode_value(dt: T.DataType, v, out: bytearray) -> None:
-    if isinstance(dt, T.BooleanType):
+def _zigzag(n: int) -> int:
+    """Sign-fold an arbitrary-precision int into a non-negative one."""
+    return n * 2 if n >= 0 else -n * 2 - 1
+
+
+def _unzigzag(z: int) -> int:
+    return z >> 1 if not z & 1 else -((z + 1) >> 1)
+
+
+def _mysql_kind(field: T.StructField) -> str | None:
+    return (field.metadata or {}).get("mysql_type")
+
+
+def _encode_value(field: T.StructField, v, out: bytearray) -> None:
+    dt = field.dataType
+    kind = _mysql_kind(field)
+    if kind == "enum":
+        values = field.metadata["values"]
+        # MySQL stores the 1-based index; unknown value -> 0 ('')
+        idx = values.index(v) + 1 if v in values else 0
+        _write_varint(idx, out)
+    elif kind == "set":
+        values = field.metadata["values"]
+        members = set(v.split(",")) if v else set()
+        mask = sum(1 << i for i, m in enumerate(values) if m in members)
+        _write_varint(mask, out)
+    elif kind == "bit":
+        _write_varint(int(v), out)
+    elif isinstance(dt, T.BooleanType):
         out.append(1 if v else 0)
     elif isinstance(dt, T.ShortType):
         out += struct.pack("<h", v)
@@ -78,11 +126,16 @@ def _encode_value(dt: T.DataType, v, out: bytearray) -> None:
     elif isinstance(dt, T.DoubleType):
         out += struct.pack("<d", v)
     elif isinstance(dt, T.DecimalType):
-        # decimal as unscaled little-endian int (like MySQL NEWDECIMAL's
-        # fixed-point idea, simplified): scale comes from the schema
-        unscaled = int(v.scaleb(dt.scale))
-        out += struct.pack("<q", unscaled)
-    elif isinstance(dt, T.StringType):
+        # decimal as zigzag-varint unscaled int (like MySQL NEWDECIMAL's
+        # fixed-point idea, simplified): scale comes from the schema and
+        # ANY precision fits (varint is arbitrary-length). scaleb must
+        # run under a wide context — the default 28-digit context would
+        # silently round a DECIMAL(38,*) value.
+        import decimal as _decimal
+
+        ctx = _decimal.Context(prec=max(dt.precision, 38) + 4)
+        _write_varint(_zigzag(int(v.scaleb(dt.scale, context=ctx))), out)
+    elif isinstance(dt, T.StringType):  # also mysql_type=json (text form)
         raw = v.encode("utf-8")
         _write_varint(len(raw), out)
         out += raw
@@ -100,10 +153,23 @@ def _encode_value(dt: T.DataType, v, out: bytearray) -> None:
         raise TypeError(f"unsupported packed type {dt}")
 
 
-def _decode_value(dt: T.DataType, buf: bytes, pos: int):
+def _decode_value(field: T.StructField, buf: bytes, pos: int):
     import datetime as _dt
     from decimal import Decimal
 
+    dt = field.dataType
+    kind = _mysql_kind(field)
+    if kind == "enum":
+        idx, pos = _read_varint(buf, pos)
+        values = field.metadata["values"]
+        return ("" if idx == 0 else values[idx - 1]), pos
+    if kind == "set":
+        mask, pos = _read_varint(buf, pos)
+        values = field.metadata["values"]
+        return ",".join(m for i, m in enumerate(values) if mask >> i & 1), pos
+    if kind == "bit":
+        v, pos = _read_varint(buf, pos)
+        return v, pos
     if isinstance(dt, T.BooleanType):
         return buf[pos] != 0, pos + 1
     if isinstance(dt, T.ShortType):
@@ -117,8 +183,11 @@ def _decode_value(dt: T.DataType, buf: bytes, pos: int):
     if isinstance(dt, T.DoubleType):
         return struct.unpack_from("<d", buf, pos)[0], pos + 8
     if isinstance(dt, T.DecimalType):
-        unscaled = struct.unpack_from("<q", buf, pos)[0]
-        return Decimal(unscaled).scaleb(-dt.scale), pos + 8
+        import decimal as _decimal
+
+        z, pos = _read_varint(buf, pos)
+        ctx = _decimal.Context(prec=max(dt.precision, 38) + 4)
+        return Decimal(_unzigzag(z)).scaleb(-dt.scale, context=ctx), pos
     if isinstance(dt, T.StringType):
         ln, pos = _read_varint(buf, pos)
         return buf[pos : pos + ln].decode("utf-8"), pos + ln
@@ -164,7 +233,7 @@ def encode_event(
         for f in target.fields:
             v = img.get(f.name)
             if v is not None:
-                _encode_value(f.dataType, v, out)
+                _encode_value(f, v, out)
     return bytes(out)
 
 
@@ -191,13 +260,60 @@ def _decode_event(
             if null_bits[i // 8] >> (i % 8) & 1:
                 vals.append(None)  # null bit set: value bytes absent
             else:
-                v, pos = _decode_value(f.dataType, payload, pos)
+                v, pos = _decode_value(f, payload, pos)
                 vals.append(v)
         if op == 2:  # update: image 0 = before (op 2), image 1 = after (op 3)
             out.append((2 if image_no == 0 else 3, vals))
         else:
             out.append((op, vals))
     return out
+
+
+# ---- distributed encoder (changelog rows -> packed events, no driver hop) --
+
+
+def encode_packed(
+    changelog: DataFrame, target: T.StructType, table_id: int
+) -> DataFrame:
+    """Inverse of decode_packed, run DISTRIBUTED via mapInPandas: each
+    changelog row becomes one single-image packed event (op byte carried
+    verbatim; __image_seq is NOT representable per-event here — pair with
+    the DataSource writer's frame image_base when ordering must survive,
+    or keep 1-image events for op-1/op-0-only feeds). No collect(): at
+    100 TB the encode is a map-only stage."""
+    import calendar
+
+    names = [f.name for f in target.fields]
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # column-zip, not iterrows: ~10x less per-row overhead in the
+        # Python stage (the walk itself is the inherent cost)
+        meta_cols = ["__op", "__gtid", "__tm", "__file_seq", "__event_seq"]
+        for pdf in batches:
+            out_rows = []
+            for tup in zip(*(pdf[c] for c in [*names, *meta_cols])):
+                vals, (op, gtid, tm, file_seq, event_seq) = (
+                    tup[: len(names)],
+                    tup[len(names) :],
+                )
+                img = {
+                    n: (None if pd.isna(v) else v) for n, v in zip(names, vals)
+                }
+                payload = encode_event(table_id, int(op), [img], target)
+                out_rows.append(
+                    (
+                        payload,
+                        int(gtid),
+                        calendar.timegm(tm.timetuple()),
+                        int(file_seq),
+                        int(event_seq),
+                    )
+                )
+            yield pd.DataFrame(
+                out_rows, columns=["payload", "gtid", "ts_s", "file_seq", "event_seq"]
+            )
+
+    return changelog.mapInPandas(pack, schema=EVENT_INPUT_SCHEMA)
 
 
 # ---- the Spark source -------------------------------------------------------

@@ -54,6 +54,56 @@ def running_user_totals(
     )
 
 
+def expiring_user_totals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    time_col: str = "ts",
+    idle_ms: int = 30_000,
+) -> DataFrame:
+    """running_user_totals with EVENT-TIME TIMEOUT eviction: a key whose
+    newest event is more than ``idle_ms`` behind the watermark is timed
+    out — its final totals are emitted once with evicted=true and its
+    state is REMOVED (state size stays O(active keys), the bound
+    accumulate-forever operators lack). ``events`` must already carry a
+    watermark on ``time_col`` (EventTimeTimeout requires one)."""
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"key": [key[0]], "n": [n], "total": [round(total, 6)],
+                 "evicted": [True]}
+            )
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        newest = None
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+            m = pdf[time_col].max()
+            newest = m if newest is None else max(newest, m)
+        state.update((n, total))
+        state.setTimeoutTimestamp(
+            int(newest.timestamp() * 1000) + idle_ms
+        )
+        yield pd.DataFrame(
+            {"key": [key[0]], "n": [n], "total": [round(total, 6)],
+             "evicted": [False]}
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType="key long, n long, total double, evicted boolean",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def cdc_live_key_counter(changelog: DataFrame) -> DataFrame:
     """CDC-aware stateful op: tracks whether each key is live (last op
     not DELETE) and how many images it has seen — a streaming analogue

@@ -424,3 +424,125 @@ def test_parse_ddl_decimal_with_space():
     st = _parse_ddl("id bigint, price decimal(10, 2), v string")
     assert st["price"].dataType == T.DecimalType(10, 2)
     assert st["id"].dataType == T.LongType()
+
+
+# --- MySQL-only column kinds: enum/set/bit/json + wide decimal ---------------
+
+MYSQLISH = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("color", T.StringType(),
+                      metadata={"mysql_type": "enum",
+                                "values": ["red", "green", "blue"]}),
+        T.StructField("flags", T.StringType(),
+                      metadata={"mysql_type": "set",
+                                "values": ["a", "b", "c", "d"]}),
+        T.StructField("b", T.LongType(), metadata={"mysql_type": "bit"}),
+        T.StructField("doc", T.StringType(), metadata={"mysql_type": "json"}),
+        T.StructField("wide", T.DecimalType(38, 10)),
+    ]
+)
+
+
+def test_mysql_kind_decode_matrix(spark):
+    """ENUM index/'' semantics, SET bitmask in definition order, BIT,
+    JSON text, and a DECIMAL(38,10) beyond 8 bytes — through
+    encode -> Spark decode (reference type space, SURVEY §1.2)."""
+    from decimal import Decimal
+
+    rows = [
+        {"id": 1, "color": "green", "flags": "a,c", "b": (1 << 62) + 5,
+         "doc": '{"k": [1, 2]}',
+         "wide": Decimal("12345678901234567890.1234567891")},
+        # unknown enum value -> '' (MySQL invalid-value semantics);
+        # set given out of definition order -> canonical order out
+        {"id": 2, "color": "magenta", "flags": "d,b", "b": 0,
+         "doc": "[]", "wide": Decimal("-0.0000000001")},
+        {"id": 3, "color": None, "flags": None, "b": None, "doc": None,
+         "wide": None},
+    ]
+    events = [
+        (encode_event(3, 1, [r], MYSQLISH), i + 1, 1_700_000_000 + i, 0, i + 1)
+        for i, r in enumerate(rows)
+    ]
+    df = spark.createDataFrame(events, EVENT_INPUT_SCHEMA)
+    out = {r["id"]: r for r in decode_packed(df, MYSQLISH, table_id=3).collect()}
+
+    from decimal import Decimal as D
+    r = out[1]
+    assert r["color"] == "green" and r["flags"] == "a,c"
+    assert r["b"] == (1 << 62) + 5 and r["doc"] == '{"k": [1, 2]}'
+    assert r["wide"] == D("12345678901234567890.1234567891")
+    r = out[2]
+    assert r["color"] == ""        # invalid enum value -> ''
+    assert r["flags"] == "b,d"     # canonical definition order
+    assert r["wide"] == D("-0.0000000001")
+    r = out[3]
+    assert all(r[c] is None for c in ["color", "flags", "b", "doc", "wide"])
+
+
+_mysqlish_values = st.fixed_dictionaries(
+    {
+        "id": st.integers(0, 2**62),
+        "color": st.none() | st.sampled_from(["red", "green", "blue"]),
+        "flags": st.none()
+        | st.lists(st.sampled_from(["a", "b", "c", "d"]), unique=True).map(
+            # canonical definition order, the codec's output form
+            lambda ms: ",".join(m for m in ["a", "b", "c", "d"] if m in ms)
+        ),
+        "b": st.none() | st.integers(0, 2**63 - 1),
+        "doc": st.none() | st.text(max_size=40),
+        "wide": st.none()
+        | st.decimals(
+            min_value="-9999999999999999999999999999.9999999999",
+            max_value="9999999999999999999999999999.9999999999",
+            places=10,
+        ),
+    }
+)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(img=_mysqlish_values)
+def test_mysql_kind_codec_roundtrip_property(img):
+    """encode -> decode is the identity over the MySQL-only kinds for
+    arbitrary values/NULL placement (enum values are drawn from the
+    domain; set strings are in canonical order, the codec's fixed
+    point)."""
+    from mysql_cdc_table_spark.sources.packed_binlog import _decode_event
+
+    payload = encode_event(1, 1, [dict(img)], MYSQLISH)
+    [(op, vals)] = _decode_event(payload, MYSQLISH, 1)
+    got = dict(zip([f.name for f in MYSQLISH.fields], vals))
+    for k, v in img.items():
+        assert got[k] == v or (v is None and got[k] is None), (k, v, got[k])
+
+
+def test_packed_binlog_datasource_mysql_kinds(spark, tmp_path):
+    """The DataSource accepts enum(...)/set(...)/bit/json DDL and decodes
+    the MySQL-only wire forms (schema comes back as a local StructType —
+    these names are not Spark DDL)."""
+    from decimal import Decimal
+
+    from mysql_cdc_table_spark.sources.datasource import register, write_packed_file
+
+    d = tmp_path / "mysqlish"
+    d.mkdir()
+    img = {"id": 1, "color": "blue", "flags": "a,d", "b": 6,
+           "doc": '{"x":1}', "wide": Decimal("1.2345678900")}
+    write_packed_file(
+        str(d / "binlog.000001.bin"),
+        [(10, 1_700_000_000, 100, encode_event(3, 1, [img], MYSQLISH))],
+    )
+    register(spark)
+    ddl = ("id bigint, color enum(red,green,blue), flags set(a,b,c,d), "
+           "b bit, doc json, wide decimal(38, 10)")
+    [row] = (
+        spark.read.format("packed_binlog")
+        .option("schema_ddl", ddl)
+        .option("table_id", "3")
+        .load(str(d))
+        .collect()
+    )
+    assert row["color"] == "blue" and row["flags"] == "a,d" and row["b"] == 6
+    assert row["doc"] == '{"x":1}' and row["wide"] == Decimal("1.2345678900")

@@ -281,3 +281,261 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
     rows = spark.sql("SELECT ad_id FROM attrib").collect()
     # only ad 1 clicked within the attribution window
     assert sorted(r["ad_id"] for r in rows) == [1]
+
+
+def test_partitioned_materialize_restart_and_bucket_cleanup(spark, tmp_path):
+    """Bucketed keyed-upsert store across a kill/restart cycle:
+    phase 1 builds state, phase 2 is a NEW query on the same checkpoint
+    that consumes only the delta (update + delete + insert), and phase 3
+    deletes every key — the store's bucket partitions must be dropped,
+    not left stale by dynamic overwrite. After each phase the store must
+    equal batch latest_state over everything seen so far."""
+    from mysql_cdc_table_spark.streaming.cdc_stream import (
+        materialize_latest_state_partitioned,
+    )
+
+    d = tmp_path / "env"
+    d.mkdir()
+    store = str(tmp_path / "bstate.parquet")
+    ckpt = str(tmp_path / "bckpt")
+
+    def run_phase():
+        stream = cdc_read_stream(spark, str(d), TARGET, database="d", table="t")
+        writer = materialize_latest_state_partitioned(
+            stream, ["id"], store, ckpt, n_buckets=8
+        )
+        run_to_completion(writer)
+
+    def store_state():
+        import os
+
+        if not any(n.startswith("__bucket=") for n in os.listdir(store)) if os.path.isdir(store) else True:
+            return {}
+        return {
+            r["id"]: (r["v"], r["amt"])
+            for r in spark.read.parquet(store).collect()
+        }
+
+    def batch_state():
+        cl = cdc_read(spark, str(d), TARGET, database="d", table="t")
+        return {
+            r["id"]: (r["v"], r["amt"])
+            for r in latest_state(cl, ["id"]).collect()
+        }
+
+    (d / "f0.jsonl").write_text(
+        "\n".join(
+            [
+                _env("c", None, {"id": 1, "v": "a", "amt": 1.0}, 10, 100, BASE_TS),
+                _env("c", None, {"id": 2, "v": "b", "amt": 2.0}, 11, 110, BASE_TS),
+                _env("c", None, {"id": 3, "v": "c", "amt": 3.0}, 12, 120, BASE_TS),
+                _env("u", {"id": 1, "v": "a", "amt": 1.0},
+                     {"id": 1, "v": "a2", "amt": 1.5}, 13, 130, BASE_TS),
+            ]
+        )
+    )
+    run_phase()
+    assert store_state() == batch_state() == {
+        1: ("a2", 1.5), 2: ("b", 2.0), 3: ("c", 3.0)
+    }
+
+    # phase 2: new query object, same checkpoint — delta only
+    (d / "f1.jsonl").write_text(
+        "\n".join(
+            [
+                _env("d", {"id": 3, "v": "c", "amt": 3.0}, None, 14, 140, BASE_TS),
+                _env("c", None, {"id": 4, "v": "d", "amt": 4.0}, 15, 150, BASE_TS),
+                _env("u", {"id": 2, "v": "b", "amt": 2.0},
+                     {"id": 2, "v": "b2", "amt": 2.5}, 16, 160, BASE_TS),
+            ]
+        )
+    )
+    run_phase()
+    assert store_state() == batch_state() == {
+        1: ("a2", 1.5), 2: ("b2", 2.5), 4: ("d", 4.0)
+    }
+
+    # phase 3: tombstone every key -> all bucket partitions dropped
+    (d / "f2.jsonl").write_text(
+        "\n".join(
+            [
+                _env("d", {"id": 1, "v": "a2", "amt": 1.5}, None, 17, 170, BASE_TS),
+                _env("d", {"id": 2, "v": "b2", "amt": 2.5}, None, 18, 180, BASE_TS),
+                _env("d", {"id": 4, "v": "d", "amt": 4.0}, None, 19, 190, BASE_TS),
+            ]
+        )
+    )
+    run_phase()
+    import os
+
+    assert not [n for n in os.listdir(store) if n.startswith("__bucket=")]
+
+
+def test_kafka_value_decode_broker_less(spark):
+    """decode_kafka_envelope over a static DataFrame standing in for the
+    Kafka source's record shape: binary value bytes -> CAST AS STRING ->
+    envelope decode, foreign db/table filtered, update unnested."""
+    from mysql_cdc_table_spark.cdc.source import (
+        KAFKA_RECORD_SCHEMA,
+        decode_kafka_envelope,
+    )
+
+    envs = [
+        _env("c", None, {"id": 1, "v": "a", "amt": 1.0}, 10, 100, BASE_TS),
+        _env("u", {"id": 1, "v": "a", "amt": 1.0},
+             {"id": 1, "v": "a2", "amt": 1.5}, 11, 110, BASE_TS),
+        # foreign table: must be dropped by the filter
+        json.dumps({"op": "c", "before": None,
+                    "after": {"id": 9, "v": "x", "amt": 9.9},
+                    "source": {"db": "d", "table": "other", "gtid": 12,
+                               "file": "binlog.000001", "pos": 120,
+                               "ts_ms": BASE_TS}}),
+    ]
+    records = spark.createDataFrame(
+        [
+            (None, e.encode("utf-8"), "t.cdc", 0, i, None, 0)
+            for i, e in enumerate(envs)
+        ],
+        KAFKA_RECORD_SCHEMA,
+    )
+    cl = decode_kafka_envelope(records, TARGET, database="d", table="t")
+    rows = sorted(cl.collect(), key=lambda r: (r["__gtid"], r["__image_seq"]))
+    assert [r["__op"] for r in rows] == [1, 2, 3]
+    assert rows[2]["v"] == "a2" and rows[2]["__image_seq"] == 1
+    assert cl.filter("id = 9").count() == 0
+
+
+def test_stream_stream_left_outer_interval_join(spark, tmp_path):
+    """Left-outer stream-stream interval join: an impression with no
+    click inside the attribution window must STILL emit (null click) —
+    but only after the watermark passes the window's end, which a
+    later-batch watermark-pusher row forces."""
+    imp_dir, clk_dir = tmp_path / "lo_imps", tmp_path / "lo_clks"
+    imp_dir.mkdir(), clk_dir.mkdir()
+    (imp_dir / "i0.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"ad_id": 1, "imp_ms": BASE_TS},          # clicked in window
+                {"ad_id": 2, "imp_ms": BASE_TS},          # never clicked
+            ]
+        )
+    )
+    (clk_dir / "c0.jsonl").write_text(
+        json.dumps({"ad_id": 1, "clk_ms": BASE_TS + 30_000})
+    )
+    import time as _time
+
+    _time.sleep(1.1)
+    # watermark pushers, one hour later on BOTH sides (the join watermark
+    # is the min of the sides) — landed in a second micro-batch
+    (imp_dir / "i1.jsonl").write_text(
+        json.dumps({"ad_id": 99, "imp_ms": BASE_TS + 3_600_000})
+    )
+    (clk_dir / "c1.jsonl").write_text(
+        json.dumps({"ad_id": 99, "clk_ms": BASE_TS + 3_600_000})
+    )
+
+    imp_schema = T.StructType(
+        [T.StructField("ad_id", T.LongType()), T.StructField("imp_ms", T.LongType())]
+    )
+    clk_schema = T.StructType(
+        [T.StructField("ad_id", T.LongType()), T.StructField("clk_ms", T.LongType())]
+    )
+    imps = (
+        spark.readStream.schema(imp_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(imp_dir))
+        .withColumn("imp_ts", F.timestamp_millis(F.col("imp_ms")))
+        .withWatermark("imp_ts", "10 seconds")
+    )
+    clks = (
+        spark.readStream.schema(clk_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(clk_dir))
+        .withColumn("clk_ts", F.timestamp_millis(F.col("clk_ms")))
+        .withWatermark("clk_ts", "10 seconds")
+    )
+    joined = imps.join(
+        clks,
+        (imps.ad_id == clks.ad_id)
+        & (clks.clk_ts >= imps.imp_ts)
+        & (clks.clk_ts <= imps.imp_ts + F.expr("INTERVAL 2 MINUTES")),
+        "leftOuter",
+    ).select(imps.ad_id, "imp_ts", "clk_ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("lo_attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_lo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["ad_id"]: r["clk_ts"] is not None
+        for r in spark.sql("SELECT ad_id, clk_ts FROM lo_attrib").collect()
+    }
+    # ad 1 matched; ad 2 emitted with NULL click once the watermark
+    # passed its window; pusher 99 matched itself
+    assert got[1] is True and got[2] is False and 99 in got
+
+
+def test_stateful_event_time_timeout_eviction(spark, tmp_path):
+    """applyInPandasWithState + EventTimeTimeout: a key idle past the
+    timeout horizon is evicted — emits a final evicted=true row and its
+    state is removed (re-arrival starts from zero)."""
+    from mysql_cdc_table_spark.streaming.stateful import expiring_user_totals
+
+    src = tmp_path / "evict_src"
+    src.mkdir()
+    (src / "f0.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"user_id": 1, "value": 2.0, "ts_ms": BASE_TS},
+                {"user_id": 1, "value": 3.0, "ts_ms": BASE_TS + 1_000},
+            ]
+        )
+    )
+    import time as _time
+
+    _time.sleep(1.1)
+    # a different key one hour later: advances the watermark far past
+    # key 1's 30s idle horizon -> key 1 must time out in batch 2
+    (src / "f1.jsonl").write_text(
+        json.dumps({"user_id": 2, "value": 7.0, "ts_ms": BASE_TS + 3_600_000})
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts_ms", T.LongType()),
+        ]
+    )
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        .withWatermark("ts", "10 seconds")
+    )
+    q = (
+        expiring_user_totals(events, idle_ms=30_000)
+        .writeStream.format("memory")
+        .queryName("evicted_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_evict"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT key, n, total, evicted FROM evicted_totals"
+    ).collect()
+    by = {(r["key"], r["evicted"]): (r["n"], r["total"]) for r in rows}
+    # key 1: live row from batch 1, then the eviction row with its final
+    # totals; key 2 stays live
+    assert by[(1, False)] == (2, 5.0)
+    assert by[(1, True)] == (2, 5.0)
+    assert by[(2, False)] == (1, 7.0)
