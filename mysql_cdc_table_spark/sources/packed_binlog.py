@@ -208,6 +208,114 @@ def _decode_value(field: T.StructField, buf: bytes, pos: int):
     raise TypeError(f"unsupported packed type {dt}")
 
 
+# ---- precompiled codec plans ------------------------------------------------
+#
+# The isinstance ladder in _encode_value/_decode_value costs more than the
+# byte work once a scan decodes millions of values. A codec PLAN binds one
+# specialized closure per field, built once per schema (cached) and reused
+# for every event — the hot loop then does zero type dispatch.
+
+
+def _make_decoder(field: T.StructField):
+    """One specialized (buf, pos) -> (value, pos) closure for a field."""
+    import datetime as _dt
+    from decimal import Decimal
+
+    dt_ = field.dataType
+    kind = _mysql_kind(field)
+    if kind == "enum":
+        values = field.metadata["values"]
+
+        def dec(buf, pos):
+            idx, pos = _read_varint(buf, pos)
+            return ("" if idx == 0 else values[idx - 1]), pos
+
+        return dec
+    if kind == "set":
+        values = field.metadata["values"]
+
+        def dec(buf, pos):
+            mask, pos = _read_varint(buf, pos)
+            return ",".join(m for i, m in enumerate(values) if mask >> i & 1), pos
+
+        return dec
+    if kind == "bit":
+        return _read_varint
+    if isinstance(dt_, T.BooleanType):
+        return lambda buf, pos: (buf[pos] != 0, pos + 1)
+    if isinstance(
+        dt_, (T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType)
+    ):
+        fmt = {
+            T.ShortType: "<h", T.IntegerType: "<i", T.LongType: "<q",
+            T.FloatType: "<f", T.DoubleType: "<d",
+        }[type(dt_)]
+        s = struct.Struct(fmt)
+        unpack, size = s.unpack_from, s.size
+        return lambda buf, pos: (unpack(buf, pos)[0], pos + size)
+    if isinstance(dt_, T.DecimalType):
+        import decimal as _decimal
+
+        scale = dt_.scale
+        ctx = _decimal.Context(prec=max(dt_.precision, 38) + 4)
+
+        def dec(buf, pos):
+            z, pos = _read_varint(buf, pos)
+            return Decimal(_unzigzag(z)).scaleb(-scale, context=ctx), pos
+
+        return dec
+    if isinstance(dt_, T.StringType):
+
+        def dec(buf, pos):
+            ln, pos = _read_varint(buf, pos)
+            return buf[pos : pos + ln].decode("utf-8"), pos + ln
+
+        return dec
+    if isinstance(dt_, T.BinaryType):
+
+        def dec(buf, pos):
+            ln, pos = _read_varint(buf, pos)
+            return bytes(buf[pos : pos + ln]), pos + ln
+
+        return dec
+    if isinstance(dt_, T.DateType):
+        s = struct.Struct("<i")
+        from_ordinal = _dt.date.fromordinal
+
+        def dec(buf, pos):
+            return from_ordinal(s.unpack_from(buf, pos)[0] + _EPOCH_ORDINAL), pos + 4
+
+        return dec
+    if isinstance(dt_, T.TimestampType):
+        s = struct.Struct("<q")
+        from_ts = _dt.datetime.fromtimestamp
+
+        def dec(buf, pos):
+            us = s.unpack_from(buf, pos)[0]
+            return from_ts(us / 1_000_000, tz=_tz.utc).replace(tzinfo=None), pos + 8
+
+        return dec
+    raise TypeError(f"unsupported packed type {dt_}")
+
+
+# keyed by schema object IDENTITY (the schema is pinned in the entry so
+# its id can never be recycled) — key building must be O(1), a
+# serialized-schema key would put schema.json() in the per-event path.
+_PLAN_CACHE: dict = {}
+_PLAN_CACHE_MAX = 256
+
+
+def _decoder_plan(target: T.StructType) -> list:
+    entry = _PLAN_CACHE.get(id(target))
+    if entry is not None and entry[0] is target:
+        return entry[1]
+    plan = [_make_decoder(f) for f in target.fields]
+    if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+        _PLAN_CACHE.clear()
+    _PLAN_CACHE[id(target)] = (target, plan)
+    return plan
+
+
 # ---- event encode (fixture/writer side) -------------------------------------
 
 
@@ -242,6 +350,7 @@ def _decode_event(
 ) -> list[tuple[int, list]]:
     """-> [(op_code, values)] — one tuple per row-image, ops mapped to the
     reference's codes (insert 1, delete 0, update-before 2, update-after 3)."""
+    plan = _decoder_plan(target)
     table_id, pos = _read_varint(payload, 0)
     if table_id != want_table_id:  # A4 table filter, applied during decode
         return []
@@ -256,11 +365,11 @@ def _decode_event(
         null_bits = payload[pos : pos + nbytes]
         pos += nbytes
         vals: list = []
-        for i, f in enumerate(target.fields):
+        for i, dec in enumerate(plan):
             if null_bits[i // 8] >> (i % 8) & 1:
                 vals.append(None)  # null bit set: value bytes absent
             else:
-                v, pos = _decode_value(f, payload, pos)
+                v, pos = dec(payload, pos)
                 vals.append(v)
         if op == 2:  # update: image 0 = before (op 2), image 1 = after (op 3)
             out.append((2 if image_no == 0 else 3, vals))
