@@ -28,6 +28,7 @@ _MODULES = (
     "mysql_cdc_table_spark.functions.multimodal",
     "mysql_cdc_table_spark.functions.udfs",
     "mysql_cdc_table_spark.streaming.batch_windows",
+    "mysql_cdc_table_spark.functions.pipeline",
     "mysql_cdc_table_spark.operators.scalars",
     "mysql_cdc_table_spark.operators.extras",
     "mysql_cdc_table_spark.operators.analytics",

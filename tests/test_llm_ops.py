@@ -112,3 +112,37 @@ def test_block_pairs_hot_label_bounded(spark, tmp_path):
     assert by_label[0] == 3 * (150 * 149 // 2)  # 33525, not C(450,2)=101025
     # cold label below the cap is untouched: all C(10,2) pairs
     assert by_label[1] == 10 * 9 // 2
+
+
+def test_chunking_overlap_and_coverage(spark, sf_dir):
+    """Chunk windows must tile every document: consecutive chunks overlap
+    by CHUNK_TOKENS - CHUNK_STRIDE tokens, the first chunk starts at 1,
+    and every token index is covered by some chunk."""
+    from mysql_cdc_table_spark.functions.pipeline import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        text_chunk_sliding,
+    )
+
+    rows = text_chunk_sliding(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        n = max(c["end"] for c in chunks)
+        assert chunks[0]["start"] == 1
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["start"] - a["start"] == CHUNK_STRIDE
+            # overlap: next chunk starts before this one ends (long docs)
+            if a["end"] - a["start"] + 1 == CHUNK_TOKENS:
+                assert b["start"] <= a["end"] + 1
+        # full coverage: no token index falls between chunks
+        covered = set()
+        for c in chunks:
+            covered.update(range(c["start"], c["end"] + 1))
+        assert covered == set(range(1, n + 1)), doc_id
+        # chunk text matches its span width
+        for c in chunks:
+            assert len(c["chunk_text"].split(" ")) == c["end"] - c["start"] + 1

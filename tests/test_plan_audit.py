@@ -62,3 +62,28 @@ def test_latest_state_single_shuffle(spark, sf_dir):
     (6-branch union is scan-parallel; rank+filter is partition-local)."""
     df = cdc_latest_state(spark, sf_dir)
     assert shuffle_count(df) <= 1
+
+
+def test_block_pairs_broadcasts_block_counts(spark, sf_dir):
+    """The hot-block cap's per-label count join must be a broadcast (the
+    counts side is one row per label) — a shuffle join here would add a
+    full-data exchange to every pair search."""
+    from mysql_cdc_table_spark.functions.similarity import ann_block_pairs
+
+    df = ann_block_pairs(spark, sf_dir)
+    assert_broadcast_join(df, 1)
+    assert_no_cartesian(df)
+
+
+def test_kafka_envelope_decode_is_narrow(spark, sf_dir):
+    """Kafka value decode is CAST + from_json + posexplode: zero shuffles
+    — one task per Kafka partition, decode cost scales linearly."""
+    from mysql_cdc_table_spark.cdc.queries import cdc_kafka_envelope_decode
+
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_envelopes
+
+    df = cdc_kafka_envelope_decode(spark, sf_dir)
+    # the synthetic generator repartitions per union branch; the decode
+    # stage itself (CAST + from_json + posexplode) must add ZERO shuffles
+    # on top of its input
+    assert shuffle_count(df) == shuffle_count(synthetic_envelopes(spark, sf_dir))
