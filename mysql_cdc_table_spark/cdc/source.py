@@ -39,14 +39,36 @@ SOURCE_SCHEMA = T.StructType(
 )
 
 
-def envelope_schema(target: T.StructType) -> T.StructType:
+# Multi-source variant: MySQL GTIDs are really "server_uuid:gno"; with
+# several replication sources interleaved in one stream, gno alone is not
+# globally ordered. This schema keeps gtid as its textual form; the
+# decoder splits it into (__gtid_src, __gtid) — order is total WITHIN a
+# source (uuid), partial across sources, exactly MySQL's semantics (the
+# reference assumes a single source; its multi-source block is commented
+# out — binlog_table_reader.cc:418-425).
+SOURCE_SCHEMA_UUID = T.StructType(
+    [
+        T.StructField("db", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("gtid", T.StringType()),
+        T.StructField("file", T.StringType()),
+        T.StructField("pos", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+    ]
+)
+
+
+def envelope_schema(
+    target: T.StructType, gtid_format: str = "long"
+) -> T.StructType:
     """Schema of the JSON ``value`` column for a given target table."""
+    src = SOURCE_SCHEMA_UUID if gtid_format == "uuid_gno" else SOURCE_SCHEMA
     return T.StructType(
         [
             T.StructField("op", T.StringType()),
             T.StructField("before", target),
             T.StructField("after", target),
-            T.StructField("source", SOURCE_SCHEMA),
+            T.StructField("source", src),
         ]
     )
 
@@ -65,6 +87,7 @@ def decode_envelope(
     database: str | None = None,
     table: str | None = None,
     value_col: str = "value",
+    gtid_format: str = "long",
 ) -> DataFrame:
     """Decode a DataFrame of envelope JSON strings into changelog rows.
 
@@ -72,8 +95,18 @@ def decode_envelope(
     row, u -> an __op=2 then __op=3 pair sharing __gtid/__event_seq with
     __image_seq 0/1 (reference update-unnest semantics,
     binlog_table_reader.cc:385-388, :103-161).
+
+    gtid_format="uuid_gno": envelopes carry textual "server_uuid:gno"
+    GTIDs (multi-source replication); the output gains a __gtid_src
+    column and __gtid holds the gno. (__gtid_src, __gtid) is totally
+    ordered within a source, partial across sources — group or window by
+    __gtid_src for per-source state, exactly MySQL's guarantee.
     """
-    env = envelopes.withColumn("_e", F.from_json(F.col(value_col), envelope_schema(target)))
+    if gtid_format not in ("long", "uuid_gno"):
+        raise ValueError(f"gtid_format must be long|uuid_gno, got {gtid_format!r}")
+    env = envelopes.withColumn(
+        "_e", F.from_json(F.col(value_col), envelope_schema(target, gtid_format))
+    )
 
     # A4 table-id filter, pushed into the scan.
     if database is not None:
@@ -101,10 +134,20 @@ def decode_envelope(
     exploded = env.select(
         F.col("_e.source").alias("_src"), F.posexplode(img).alias("_pos", "_img")
     )
+    if gtid_format == "uuid_gno":
+        gtid_cols = [
+            F.split(F.col("_src.gtid"), ":").getItem(0).alias("__gtid_src"),
+            F.split(F.col("_src.gtid"), ":")
+            .getItem(1)
+            .cast("long")
+            .alias("__gtid"),
+        ]
+    else:
+        gtid_cols = [F.col("_src.gtid").alias("__gtid")]
     return exploded.select(
         F.col("_img.row.*"),
         F.col("_img.op").cast("int").alias("__op"),
-        F.col("_src.gtid").alias("__gtid"),
+        *gtid_cols,
         # reference __tm is second-resolution (timeval when,
         # binlog_table_reader.cc:221-225): truncate ts_ms.
         F.timestamp_seconds(F.floor(F.col("_src.ts_ms") / 1000).cast("long")).alias("__tm"),

@@ -323,12 +323,59 @@ SELECT doc_id, CAST({_SQL_SIG} AS BIGINT) AS simhash FROM votes
 """
 
 
+
+
+# --- embedding-cosine near-dup ----------------------------------------------
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup removal: candidate pairs come from the
+    hot-capped blocked pair search (similarity.ann_block_pairs — bounded
+    quadratic), a pair with cosine >= THRESH marks the LARGER vec_id as
+    a duplicate, and survivors are the left-anti join against the dup
+    set (greedy min-id keeper, the embedding analogue of dedup_exact's
+    min(doc_id)). Returns surviving vectors per label."""
+    from mysql_cdc_table_spark.functions.similarity import ann_block_pairs
+
+    pairs = ann_block_pairs(spark, sf_dir).filter(
+        F.col("cos") >= EMB_DUP_THRESH
+    )
+    dups = pairs.select(F.col("vec2").alias("vec_id")).distinct()
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        e.join(dups, "vec_id", "left_anti")
+        .groupBy("label")
+        .agg(F.count("*").alias("n_kept"))
+    )
+
+
+EMB_DUP_THRESH = 0.9
+
+DEDUP_EMBEDDING_COSINE_SQL = f"""
+WITH pairs AS (
+  SELECT * FROM ({{block_pairs}}) WHERE cos >= {{thresh}}
+),
+dups AS (SELECT DISTINCT vec2 AS vec_id FROM pairs)
+SELECT label, count(*) AS n_kept
+FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+GROUP BY label
+"""
+
+
+from mysql_cdc_table_spark.functions.similarity import ANN_BLOCK_PAIRS_SQL
+
+_DEDUP_EMB_SQL = DEDUP_EMBEDDING_COSINE_SQL.format(
+    block_pairs=ANN_BLOCK_PAIRS_SQL, thresh=EMB_DUP_THRESH
+)
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_signature": dedup_minhash_signature,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
 ORACLES = {
@@ -337,4 +384,5 @@ ORACLES = {
     "dedup_minhash_signature": DEDUP_MINHASH_SIGNATURE_SQL,
     "dedup_minhash_pairs": DEDUP_MINHASH_PAIRS_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_embedding_cosine": _DEDUP_EMB_SQL,
 }

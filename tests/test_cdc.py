@@ -256,3 +256,45 @@ def test_cdc_read_multi_interleaved_tables(spark, tmp_path):
     assert set(cls["users"].columns) >= {"uid", "name"}
     assert "price" not in cls["users"].columns
     assert "name" not in cls["items"].columns
+
+
+def test_uuid_gno_gtid_decode_and_per_source_state(spark):
+    """Multi-source GTIDs ("server_uuid:gno"): the decoder splits them
+    into (__gtid_src, __gtid); ordering is total within a source, so
+    per-source latest_state is exact (cross-source order is partial —
+    MySQL's own guarantee; the reference's multi-source block is
+    commented out, binlog_table_reader.cc:418-425)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from mysql_cdc_table_spark.cdc import latest_state
+    from mysql_cdc_table_spark.cdc.source import decode_envelope
+
+    target = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+
+    def env(op, before, after, gtid, pos):
+        return _json.dumps(
+            {"op": op, "before": before, "after": after,
+             "source": {"db": "d", "table": "t", "gtid": gtid,
+                        "file": "binlog.000001", "pos": pos,
+                        "ts_ms": 1_700_000_000_000}}
+        )
+
+    rows = [
+        env("c", None, {"id": 1, "v": "a"}, "aaaa-bbbb:5", 100),
+        env("u", {"id": 1, "v": "a"}, {"id": 1, "v": "a2"}, "aaaa-bbbb:9", 110),
+        env("c", None, {"id": 2, "v": "b"}, "cccc-dddd:7", 120),
+    ]
+    df = spark.createDataFrame([(r,) for r in rows], "value string")
+    cl = decode_envelope(df, target, database="d", table="t",
+                         gtid_format="uuid_gno")
+    got = {(r["__gtid_src"], r["__gtid"]) for r in cl.collect()}
+    assert ("aaaa-bbbb", 5) in got and ("cccc-dddd", 7) in got
+
+    # per-source current state: group the changelog by source first
+    one_src = cl.filter(F.col("__gtid_src") == "aaaa-bbbb").drop("__gtid_src")
+    state = {r["id"]: r["v"] for r in latest_state(one_src, ["id"]).collect()}
+    assert state == {1: "a2"}
