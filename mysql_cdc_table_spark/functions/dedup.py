@@ -25,7 +25,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mysql_cdc_table_spark.functions.text import MOD, token_code, tokens
+from mysql_cdc_table_spark.functions.text import (
+    MOD,
+    _SQL_SHINGLES,
+    _SQL_TOKENS,
+    _doc_shingles,
+    shingle_hashes,
+    token_code,
+    tokens,
+)
 from mysql_cdc_table_spark.operators._util import t
 
 N_HASHES = 16
@@ -60,65 +68,10 @@ FROM documents GROUP BY substr(text, 1, 40)
 """
 
 
-# --- shingles ----------------------------------------------------------------
-
-
-def shingle_hashes(codes: Column) -> Column:
-    """Distinct hashed 3-gram word shingles: h = ((c1*31+c2)*31+c3) mod p
-    over per-token codes, built by zipping three shifted slices of the
-    codes array. ``codes`` MUST be a materialized column reference (not a
-    derived expression): Catalyst inlines derived arrays into every
-    lambda, turning an indexed formulation O(n^2) per document — measured
-    17x slower on this corpus. Hashing during shingling (vs materializing
-    shingle strings) keeps the exploded stream to 8 bytes per shingle."""
-    n = F.size(codes)
-    g12 = F.zip_with(
-        F.slice(codes, F.lit(1), n - 2),
-        F.slice(codes, F.lit(2), n - 2),
-        lambda a, b: a * 31 + b,
-    )
-    grams = F.zip_with(
-        g12, F.slice(codes, F.lit(3), n - 2), lambda a, b: (a * 31 + b) % MOD
-    )
-    return F.array_distinct(
-        F.when(n < 3, F.array().cast("array<bigint>")).otherwise(grams)
-    )
-
-
-_SQL_TOKENS = "list_filter(string_split(text, ' '), x -> x <> '')"
-
-# DuckDB twin: zip the three shifted code slices.
-_SQL_SHINGLES = f"""
-SELECT doc_id,
-       list_distinct(
-         CASE WHEN len(tk) < 3 THEN []::BIGINT[]
-              ELSE list_transform(
-                     list_zip(c[1:len(c)-2], c[2:len(c)-1], c[3:len(c)]),
-                     p -> ((p[1]*31 + p[2])*31 + p[3]) % {MOD})
-         END) AS sh
-FROM (SELECT doc_id, tk,
-             list_transform(tk, x -> CAST(length(x)*131 + ascii(x) AS BIGINT)) AS c
-      FROM (SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents))
-"""
-
-
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The documents scan may arrive in few (or one) splits; shingling is
-    # CPU-bound, so spread it across the cluster BEFORE deriving shingles
-    # (one small shuffle of raw text buys full parallelism for the
-    # expensive stage — the standard fix for narrow-input compute).
-    d = t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
-    # two-stage projection: materialize the codes array once per row, THEN
-    # derive shingles from the column reference (see shingle_hashes note)
-    codes = d.select(
-        "doc_id", F.transform(tokens(F.col("text")), token_code).alias("c")
-    )
-    return codes.select("doc_id", shingle_hashes(F.col("c")).alias("sh"))
-
-
 # --- n-gram Jaccard ----------------------------------------------------------
+# (3-gram shingle primitives — shingle_hashes / _doc_shingles /
+# _SQL_SHINGLES — live in functions.text and are shared with
+# text_contamination)
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,6 +278,98 @@ SELECT doc_id, CAST({_SQL_SIG} AS BIGINT) AS simhash FROM votes
 
 
 
+# --- duplicate-cluster resolution (connected components) ---------------------
+
+CC_MAX_ITERS = 25
+
+
+def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve LSH candidate PAIRS into duplicate CLUSTERS: connected
+    components over the dedup_minhash_pairs graph, cluster id = the
+    minimum doc_id in the component (so the keeper rule is the same
+    deterministic min-id rule every other dedup op here uses).
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes min(own label, neighbours' labels); converges in O(diameter)
+    rounds. Near-dup clusters are shallow (dup groups, not social
+    graphs), so diameter is small; the loop exits as soon as an
+    iteration changes nothing, with a hard cap of CC_MAX_ITERS.
+
+    Scale design: per iteration = one join of the (persisted, post-LSH,
+    near-linear-sized) edge list against the label frame + one grouped
+    min — both shuffle on doc_id and are map-side combinable. The only
+    driver-side data is the one convergence scalar per iteration
+    (sum of labels: min-propagation labels only ever decrease, so the
+    sum is stationary iff the labelling is). localCheckpoint truncates
+    the iterative lineage so plan size stays O(1) across rounds.
+    """
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+        .union(pairs.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    if prev_sum is not None:  # empty graph -> nothing to propagate
+        for _ in range(CC_MAX_ITERS):
+            nbr = (
+                edges.join(labels, edges["dst"] == labels["node"])
+                .groupBy("src")
+                .agg(F.min("lbl").alias("nlbl"))
+                .withColumnRenamed("src", "node")
+            )
+            labels = (
+                labels.join(nbr, "node")
+                .select("node", F.least("lbl", "nlbl").alias("lbl"))
+                .localCheckpoint(eager=True)
+            )
+            cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    edges.unpersist()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+        )
+        .withColumn("cluster_size", F.count("*").over(w))
+        .withColumn(
+            "is_keeper",
+            (F.col("doc_id") == F.col("cluster_id")).cast("int"),
+        )
+    )
+
+
+# Oracle: exact transitive closure via recursive CTE (UNION dedups the
+# frontier, so it terminates); min reachable id == the component min.
+DEDUP_CLUSTER_RESOLVE_SQL = f"""
+WITH RECURSIVE
+pairs AS (SELECT * FROM ({DEDUP_MINHASH_PAIRS_SQL})),
+edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+          UNION ALL SELECT doc2, doc1 FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+),
+cc AS (SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       CAST(doc_id = cluster_id AS INTEGER) AS is_keeper
+FROM cc
+"""
+
+
 # --- embedding-cosine near-dup ----------------------------------------------
 
 
@@ -375,6 +420,7 @@ QUERIES = {
     "dedup_minhash_signature": dedup_minhash_signature,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_simhash": dedup_simhash,
+    "dedup_cluster_resolve": dedup_cluster_resolve,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
@@ -384,5 +430,6 @@ ORACLES = {
     "dedup_minhash_signature": DEDUP_MINHASH_SIGNATURE_SQL,
     "dedup_minhash_pairs": DEDUP_MINHASH_PAIRS_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_cluster_resolve": DEDUP_CLUSTER_RESOLVE_SQL,
     "dedup_embedding_cosine": _DEDUP_EMB_SQL,
 }

@@ -157,6 +157,87 @@ WHERE round({_SQL_DOT.format(a='a.embedding', b='b.embedding')}
 """
 
 
+KNN_K = 5
+KNN_QUERY_STRIDE = 50  # query set = every 50th vector (deterministic sample)
+
+
+def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked k-NN JOIN: for every query vector (a deterministic 1-in-50
+    sample), the top-5 cosine neighbours among vectors sharing its label
+    block. This is the set-to-set version of ann_cosine_topk — the shape
+    a training pipeline uses to attach nearest neighbours to every
+    example, not just one probe.
+
+    Scale design: the sampled query side is small, so it broadcasts; the
+    big side streams map-side through the block-equality join (label =
+    qlabel prunes candidates the way an IVF cell does), and the only
+    shuffle is the per-query top-k window keyed on qid — high
+    cardinality, skew-free. Swap the label block for kmeans_cells cids
+    and the same plan is a trained-IVF k-NN join."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(sqnorm(F.col("embedding"))).alias("nrm"),
+    )
+    q = e.filter(F.col("vec_id") % KNN_QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        e.join(
+            F.broadcast(q),
+            (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            (
+                F.round(
+                    dot(F.col("embedding"), F.col("qv"))
+                    / (F.col("nrm") * F.col("qnrm")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_K)
+        .select("qid", "vec_id", "label", "cos", "rk")
+    )
+
+
+ANN_KNN_JOIN_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding,
+         sqrt({_SQL_SQNORM.format(a='embedding')}) AS nrm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qv, nrm AS qnrm
+      FROM e WHERE vec_id % {KNN_QUERY_STRIDE} = 0),
+scored AS (
+  SELECT q.qid, e.vec_id, e.label,
+         round({_SQL_DOT.format(a='e.embedding', b='q.qv')}
+               / (e.nrm * q.qnrm), 6) + 0.0 AS cos
+  FROM e JOIN q ON e.label = q.qlabel AND e.vec_id <> q.qid
+)
+SELECT qid, vec_id, label, cos, rk FROM (
+  SELECT qid, vec_id, label, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, vec_id) AS rk
+  FROM scored
+) WHERE rk <= {KNN_K}
+"""
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coarse 'IVF' centroids: mean vector per label. Computed by
     position-explode -> grouped avg -> ordered re-assembly (sort_array on
@@ -314,6 +395,7 @@ def ann_ivf_trained_topk(
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_block_pairs": ann_block_pairs,
+    "ann_knn_join": ann_knn_join,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_trained_topk": ann_ivf_trained_topk,
 }
@@ -321,5 +403,6 @@ QUERIES = {
 ORACLES = {
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "ann_block_pairs": ANN_BLOCK_PAIRS_SQL,
+    "ann_knn_join": ANN_KNN_JOIN_SQL,
     # ann_ivf_topk: approximate by construction -> rows-only + pytest recall
 }

@@ -68,6 +68,62 @@ def _sql_fingerprint(tk: str) -> str:
 _SQL_TOKENS = "list_filter(string_split(text, ' '), x -> x <> '')"
 
 
+# --- 3-gram shingles (shared by dedup + contamination ops) -------------------
+
+
+def shingle_hashes(codes: Column) -> Column:
+    """Distinct hashed 3-gram word shingles: h = ((c1*31+c2)*31+c3) mod p
+    over per-token codes, built by zipping three shifted slices of the
+    codes array. ``codes`` MUST be a materialized column reference (not a
+    derived expression): Catalyst inlines derived arrays into every
+    lambda, turning an indexed formulation O(n^2) per document — measured
+    17x slower on this corpus. Hashing during shingling (vs materializing
+    shingle strings) keeps the exploded stream to 8 bytes per shingle."""
+    n = F.size(codes)
+    g12 = F.zip_with(
+        F.slice(codes, F.lit(1), n - 2),
+        F.slice(codes, F.lit(2), n - 2),
+        lambda a, b: a * 31 + b,
+    )
+    grams = F.zip_with(
+        g12, F.slice(codes, F.lit(3), n - 2), lambda a, b: (a * 31 + b) % MOD
+    )
+    return F.array_distinct(
+        F.when(n < 3, F.array().cast("array<bigint>")).otherwise(grams)
+    )
+
+
+# DuckDB twin: zip the three shifted code slices.
+_SQL_SHINGLES = f"""
+SELECT doc_id,
+       list_distinct(
+         CASE WHEN len(tk) < 3 THEN []::BIGINT[]
+              ELSE list_transform(
+                     list_zip(c[1:len(c)-2], c[2:len(c)-1], c[3:len(c)]),
+                     p -> ((p[1]*31 + p[2])*31 + p[3]) % {MOD})
+         END) AS sh
+FROM (SELECT doc_id, tk,
+             list_transform(tk, x -> CAST(length(x)*131 + ascii(x) AS BIGINT)) AS c
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents))
+"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The documents scan may arrive in few (or one) splits; shingling is
+    # CPU-bound, so spread it across the cluster BEFORE deriving shingles
+    # (one small shuffle of raw text buys full parallelism for the
+    # expensive stage — the standard fix for narrow-input compute).
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    # two-stage projection: materialize the codes array once per row, THEN
+    # derive shingles from the column reference (see shingle_hashes note)
+    codes = d.select(
+        "doc_id", F.transform(tokens(F.col("text")), token_code).alias("c")
+    )
+    return codes.select("doc_id", shingle_hashes(F.col("c")).alias("sh"))
+
+
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     tk = tokens(F.col("text"))
@@ -267,15 +323,74 @@ SELECT doc_id, term, tfidf, rk FROM (
 """
 
 
+BENCH_STRIDE = 97  # "benchmark" set = every 97th document (deterministic)
+
+
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: fraction of each document's 3-gram
+    shingles that appear anywhere in a held-out benchmark set (here a
+    deterministic 1-in-97 doc sample standing in for an eval suite).
+    The standard pre-training decontamination gate: docs with high
+    overlap against eval data get quarantined before training.
+
+    Scale design: the benchmark shingle vocabulary is tiny relative to
+    the corpus, so it broadcasts; the corpus side explodes its shingles
+    map-side, hits the broadcast set, and re-aggregates per doc — one
+    shuffle (the per-doc count), no quadratic term anywhere."""
+    docs = _doc_shingles(spark, sf_dir).withColumn("n_sh", F.size("sh"))
+    bench_sh = (
+        docs.filter(F.col("doc_id") % BENCH_STRIDE == 0)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    ex = docs.filter(F.col("n_sh") > 0).select(
+        "doc_id", "n_sh", F.explode("sh").alias("s")
+    )
+    hits = (
+        ex.join(F.broadcast(bench_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        docs.filter(F.col("n_sh") > 0)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sh",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_sh").cast("double"), 6
+            ).alias("contam_frac"),
+        )
+    )
+
+
+TEXT_CONTAMINATION_SQL = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+docs AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh WHERE len(sh) > 0),
+bench AS (SELECT DISTINCT unnest(sh) AS s FROM docs
+          WHERE doc_id % {BENCH_STRIDE} = 0),
+ex AS (SELECT doc_id, n_sh, unnest(sh) AS s FROM docs),
+hits AS (SELECT doc_id, count(*) AS n_hit
+         FROM ex JOIN bench USING (s) GROUP BY doc_id)
+SELECT d.doc_id, d.n_sh,
+       COALESCE(h.n_hit, 0) AS n_hit,
+       round(COALESCE(h.n_hit, 0) / CAST(d.n_sh AS DOUBLE), 6) AS contam_frac
+FROM docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
 QUERIES = {
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "text_token_stats": text_token_stats,
     "text_langid": text_langid,
     "text_quality_filter": text_quality_filter,
     "text_fingerprint": text_fingerprint,
+    "text_contamination": text_contamination,
 }
 
 ORACLES = {
+    "text_contamination": TEXT_CONTAMINATION_SQL,
     "text_tfidf_top_terms": TEXT_TFIDF_TOP_TERMS_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_langid": TEXT_LANGID_SQL,

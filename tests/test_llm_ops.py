@@ -146,3 +146,61 @@ def test_chunking_overlap_and_coverage(spark, sf_dir):
         # chunk text matches its span width
         for c in chunks:
             assert len(c["chunk_text"].split(" ")) == c["end"] - c["start"] + 1
+
+
+def test_cluster_resolve_is_a_valid_cc_labelling(spark, sf_dir):
+    """dedup_cluster_resolve must assign every LSH pair's endpoints the
+    same cluster, label each cluster by its min member, and mark exactly
+    one keeper per cluster."""
+    from mysql_cdc_table_spark.functions.dedup import dedup_cluster_resolve
+
+    cc = {r["doc_id"]: r for r in dedup_cluster_resolve(spark, sf_dir).collect()}
+    pairs = dedup_minhash_pairs(spark, sf_dir).collect()
+    assert pairs, "fixture should contain planted near-duplicates"
+    for p in pairs:
+        assert cc[p["doc1"]]["cluster_id"] == cc[p["doc2"]]["cluster_id"]
+    clusters: dict[int, list[int]] = {}
+    for doc_id, r in cc.items():
+        clusters.setdefault(r["cluster_id"], []).append(doc_id)
+    for cid, members in clusters.items():
+        assert cid == min(members)  # min-id labelling
+        keepers = [d for d in members if cc[d]["is_keeper"] == 1]
+        assert keepers == [cid]  # exactly one keeper, the min
+        for d in members:
+            assert cc[d]["cluster_size"] == len(members)
+
+
+def test_knn_join_shape_and_block_discipline(spark, sf_dir):
+    """Every query gets at most k ranked neighbours, ordered by cosine,
+    all drawn from the query's own label block, never itself."""
+    from mysql_cdc_table_spark.functions.similarity import KNN_K, ann_knn_join
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    label_of = {r["vec_id"]: r["label"] for r in e.collect()}
+    by_q: dict[int, list] = {}
+    for r in ann_knn_join(spark, sf_dir).collect():
+        by_q.setdefault(r["qid"], []).append(r)
+    assert by_q
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rk"])
+        assert len(rows) <= KNN_K
+        assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+        cos = [r["cos"] for r in rows]
+        assert cos == sorted(cos, reverse=True)
+        for r in rows:
+            assert r["vec_id"] != qid
+            assert label_of[r["vec_id"]] == label_of[qid]
+
+
+def test_contamination_benchmark_docs_fully_contaminated(spark, sf_dir):
+    """Benchmark members overlap themselves 100%; all fractions in [0,1];
+    every shingled doc is scored."""
+    from mysql_cdc_table_spark.functions.text import BENCH_STRIDE, text_contamination
+
+    rows = text_contamination(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["contam_frac"] <= 1.0
+        assert 0 <= r["n_hit"] <= r["n_sh"]
+        if r["doc_id"] % BENCH_STRIDE == 0:
+            assert r["contam_frac"] == 1.0
