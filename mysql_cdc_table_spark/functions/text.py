@@ -323,6 +323,53 @@ SELECT doc_id, term, tfidf, rk FROM (
 """
 
 
+# GPT-2-flavoured pre-tokenizer classes: letter runs are one token,
+# each digit is its own token, each non-alnum non-space char its own
+# token. ASCII classes only, so the Java and RE2 regex engines agree.
+BPE_PAT = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (the task's second tokenizer tier beyond
+    whitespace): pre-tokenize with the GPT-2-style regex above and
+    report per-doc token mix + compression ratio (chars per token) —
+    the budgeting number a training pipeline actually needs.
+
+    Pure regexp_extract_all column expressions — JVM-side, codegen'd,
+    no Python; one scan, no shuffle."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(BPE_PAT), F.lit(0))
+    n_bpe = F.size(toks)
+    n_word = F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]+"), F.lit(0)))
+    n_digit = F.size(F.regexp_extract_all("text", F.lit("[0-9]"), F.lit(0)))
+    return d.select(
+        "doc_id",
+        n_bpe.alias("n_bpe"),
+        n_word.alias("n_word"),
+        n_digit.alias("n_digit"),
+        (n_bpe - n_word - n_digit).alias("n_punct"),
+        F.when(n_bpe == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("n_chars") / n_bpe.cast("double"), 6))
+        .alias("chars_per_tok"),
+    )
+
+
+TEXT_TOKEN_BPE_SQL = f"""
+WITH c AS (
+  SELECT doc_id, n_chars,
+         len(regexp_extract_all(text, '{BPE_PAT}')) AS n_bpe,
+         len(regexp_extract_all(text, '[A-Za-z]+')) AS n_word,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit
+  FROM documents
+)
+SELECT doc_id, n_bpe, n_word, n_digit,
+       n_bpe - n_word - n_digit AS n_punct,
+       CASE WHEN n_bpe = 0 THEN 0.0
+            ELSE round(n_chars / CAST(n_bpe AS DOUBLE), 6) END AS chars_per_tok
+FROM c
+"""
+
+
 BENCH_STRIDE = 97  # "benchmark" set = every 97th document (deterministic)
 
 
@@ -387,10 +434,12 @@ QUERIES = {
     "text_quality_filter": text_quality_filter,
     "text_fingerprint": text_fingerprint,
     "text_contamination": text_contamination,
+    "text_token_bpe": text_token_bpe,
 }
 
 ORACLES = {
     "text_contamination": TEXT_CONTAMINATION_SQL,
+    "text_token_bpe": TEXT_TOKEN_BPE_SQL,
     "text_tfidf_top_terms": TEXT_TFIDF_TOP_TERMS_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_langid": TEXT_LANGID_SQL,

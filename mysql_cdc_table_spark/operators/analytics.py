@@ -193,8 +193,70 @@ FROM direct
 """
 
 
+RETENTION_MAX_OFFSET = 14
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention triangle over the events stream: cohort =
+    each user's first active day; for day offsets 0..14, how many cohort
+    members were active again, and what fraction of the cohort that is.
+
+    Scale design: first-day per user is a map-side-combinable min; the
+    (user, day) activity set is one distinct; attaching cohorts is a join
+    on user_id (high-cardinality, skew-free, AQE-planned); the cohort
+    sizes are tiny (one row per day) and broadcast back. No windows over
+    the full event stream, no driver-side data."""
+    e = t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    first = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    active = e.select("user_id", day.alias("day")).distinct()
+    offsets = (
+        active.join(first, "user_id")
+        .select("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        .filter(F.col("day_offset") <= RETENTION_MAX_OFFSET)
+    )
+    counts = offsets.groupBy("cohort_day", "day_offset").agg(
+        F.count("*").alias("n_active")
+    )
+    sizes = first.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))
+    return counts.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size").cast("double"), 6).alias(
+            "retention"
+        ),
+    )
+
+
+RETENTION_COHORTS_SQL = f"""
+WITH first AS (
+  SELECT user_id, min(date_trunc('day', ts)::DATE) AS cohort_day
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS day FROM events
+),
+offsets AS (
+  SELECT f.cohort_day, date_diff('day', f.cohort_day, a.day) AS day_offset
+  FROM active a JOIN first f USING (user_id)
+  WHERE date_diff('day', f.cohort_day, a.day) <= {RETENTION_MAX_OFFSET}
+),
+counts AS (
+  SELECT cohort_day, day_offset, count(*) AS n_active
+  FROM offsets GROUP BY 1, 2
+),
+sizes AS (SELECT cohort_day, count(*) AS cohort_size FROM first GROUP BY 1)
+SELECT c.cohort_day, c.day_offset, c.n_active, s.cohort_size,
+       round(c.n_active / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+FROM counts c JOIN sizes s USING (cohort_day)
+"""
+
+
 QUERIES = {
     "agg_stats2": agg_stats2,
+    "retention_cohorts": retention_cohorts,
     "ts_gap_fill": ts_gap_fill,
     "funnel_conversion": funnel_conversion,
     "cdc_compacted_state": cdc_compacted_state,
@@ -202,6 +264,7 @@ QUERIES = {
 
 ORACLES = {
     "agg_stats2": AGG_STATS2_SQL,
+    "retention_cohorts": RETENTION_COHORTS_SQL,
     "ts_gap_fill": TS_GAP_FILL_SQL,
     "funnel_conversion": FUNNEL_CONVERSION_SQL,
     "cdc_compacted_state": CDC_COMPACTED_STATE_SQL,

@@ -204,3 +204,42 @@ def test_contamination_benchmark_docs_fully_contaminated(spark, sf_dir):
         assert 0 <= r["n_hit"] <= r["n_sh"]
         if r["doc_id"] % BENCH_STRIDE == 0:
             assert r["contam_frac"] == 1.0
+
+
+def test_token_bpe_matches_python_re(spark, sf_dir):
+    """The regex pre-tokenizer must agree with Python's re on real rows."""
+    import re
+
+    from mysql_cdc_table_spark.functions.text import BPE_PAT, text_token_bpe
+
+    got = {r["doc_id"]: r for r in text_token_bpe(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50).collect()
+    pat = re.compile(BPE_PAT)
+    for d in docs:
+        toks = pat.findall(d["text"])
+        r = got[d["doc_id"]]
+        assert r["n_bpe"] == len(toks)
+        assert r["n_word"] == sum(1 for t_ in toks if t_[0].isalpha())
+        assert r["n_punct"] >= 0
+
+
+def test_retention_cohorts_invariants(spark, sf_dir):
+    """Offset-0 retention is exactly 1.0; counts never exceed the cohort;
+    cohort sizes partition the user base."""
+    from mysql_cdc_table_spark.operators.analytics import retention_cohorts
+
+    rows = retention_cohorts(spark, sf_dir).collect()
+    assert rows
+    day0 = [r for r in rows if r["day_offset"] == 0]
+    assert day0
+    for r in day0:
+        assert r["n_active"] == r["cohort_size"] and r["retention"] == 1.0
+    for r in rows:
+        assert 0 <= r["day_offset"] <= 14
+        assert 0 < r["n_active"] <= r["cohort_size"]
+    sizes = {r["cohort_day"]: r["cohort_size"] for r in rows}
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert sum(sizes.values()) == n_users
