@@ -167,6 +167,70 @@ FROM q
 """
 
 
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in ONE composed plan: quality gate
+    (text_quality_filter) -> exact-dedup keepers only (dedup_exact's
+    min-id rule) -> per-(lang, source) shard budget: surviving docs,
+    total chars, total training chunks (text_chunk_sliding's window
+    arithmetic), mean quality. This is the integration query — the
+    stages the other operators provide individually, composed the way a
+    real curation job runs them, still as a single Catalyst plan (the
+    optimizer sees through the composition: one documents scan per
+    stage, joins on doc_id, no materialization barriers)."""
+    from mysql_cdc_table_spark.functions.dedup import dedup_exact
+    from mysql_cdc_table_spark.functions.text import text_quality_filter
+
+    q = text_quality_filter(spark, sf_dir)
+    keep = dedup_exact(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
+    chunks = (
+        F.floor((F.greatest(F.col("n_tokens"), F.lit(1)) - 1) / CHUNK_STRIDE) + 1
+    )
+    # quality is already 6-decimal; averaging the doubles directly is
+    # summation-order-dependent across engines, so aggregate EXACT
+    # integer micro-units and report the integer-division mean.
+    q_e6 = F.round(F.col("quality") * 1e6).cast("long")
+    return (
+        q.join(keep, "doc_id")
+        .join(d, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(chunks).alias("total_chunks"),
+            F.sum(q_e6).alias("q_e6_sum"),
+        )
+        .withColumn("avg_quality_e6", F.expr("q_e6_sum div n_docs"))
+        .drop("q_e6_sum")
+    )
+
+
+def _corpus_prep_pipeline_sql() -> str:
+    from mysql_cdc_table_spark.functions.dedup import DEDUP_EXACT_SQL
+    from mysql_cdc_table_spark.functions.text import TEXT_QUALITY_FILTER_SQL
+
+    return f"""
+WITH q AS (SELECT * FROM ({TEXT_QUALITY_FILTER_SQL})),
+k AS (SELECT keep_doc_id AS doc_id FROM ({DEDUP_EXACT_SQL})),
+d AS (SELECT doc_id, n_chars, len({_SQL_TOKENS}) AS n_tokens FROM documents)
+SELECT q.lang, q.source,
+       count(*) AS n_docs,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(floor((greatest(d.n_tokens, 1) - 1) / {CHUNK_STRIDE}) + 1)
+            AS BIGINT) AS total_chunks,
+       CAST(sum(CAST(round(q.quality * 1e6) AS BIGINT)) AS BIGINT)
+         // count(*) AS avg_quality_e6
+FROM q JOIN k USING (doc_id) JOIN d USING (doc_id)
+GROUP BY q.lang, q.source
+"""
+
+
 QUERIES = {
     "text_chunk_sliding": text_chunk_sliding,
     "sample_stratified": sample_stratified,

@@ -243,3 +243,62 @@ def test_retention_cohorts_invariants(spark, sf_dir):
         .select("user_id").distinct().count()
     )
     assert sum(sizes.values()) == n_users
+
+
+def test_sessionize_matches_python_replay(spark, sf_dir):
+    """Session boundaries and summaries must match a per-user Python
+    replay of the 30-minute-gap rule."""
+    from mysql_cdc_table_spark.operators.analytics import (
+        SESSION_GAP_US,
+        sessionize_events,
+    )
+
+    got = {}
+    for r in sessionize_events(spark, sf_dir).collect():
+        got[(r["user_id"], r["session_seq"])] = r
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("user_id", "event_id", "CAST(ts DIV 1000 AS LONG) AS us")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append((r["us"], r["event_id"]))
+    n_sessions = 0
+    for uid, rows in by_user.items():
+        rows.sort()
+        seq, start, n, last = 0, None, 0, None
+        for us, _eid in rows:
+            if last is None or us - last > SESSION_GAP_US:
+                if seq:
+                    r = got[(uid, seq)]
+                    assert (r["n_events"], r["start_us"], r["end_us"]) == (
+                        n, start, last,
+                    )
+                seq += 1
+                start, n = us, 0
+                n_sessions += 1
+            n += 1
+            last = us
+        r = got[(uid, seq)]
+        assert (r["n_events"], r["start_us"], r["end_us"]) == (n, start, last)
+    assert len(got) == n_sessions
+
+
+def test_corpus_prep_pipeline_consistent_with_stages(spark, sf_dir):
+    """The composed pipeline's doc counts must equal running its stages
+    independently."""
+    from mysql_cdc_table_spark.functions.dedup import dedup_exact
+    from mysql_cdc_table_spark.functions.pipeline import corpus_prep_pipeline
+    from mysql_cdc_table_spark.functions.text import text_quality_filter
+
+    out = corpus_prep_pipeline(spark, sf_dir).collect()
+    assert out
+    quality_ids = {
+        r["doc_id"] for r in text_quality_filter(spark, sf_dir).collect()
+    }
+    keeper_ids = {r["keep_doc_id"] for r in dedup_exact(spark, sf_dir).collect()}
+    assert sum(r["n_docs"] for r in out) == len(quality_ids & keeper_ids)
+    for r in out:
+        assert r["total_chunks"] >= r["n_docs"]  # >=1 chunk per kept doc
+        assert 350_000 <= r["avg_quality_e6"] <= 1_000_000

@@ -87,3 +87,45 @@ def test_kafka_envelope_decode_is_narrow(spark, sf_dir):
     # stage itself (CAST + from_json + posexplode) must add ZERO shuffles
     # on top of its input
     assert shuffle_count(df) == shuffle_count(synthetic_envelopes(spark, sf_dir))
+
+
+def test_knn_join_partial_topk_before_shuffle(spark, sf_dir):
+    """The per-query top-k must be applied map-side (WindowGroupLimit
+    Partial) so only <=k rows per qid reach the window shuffle, and the
+    small query sample must broadcast."""
+    from mysql_cdc_table_spark.functions.similarity import ann_knn_join
+    from mysql_cdc_table_spark.plans.audit import count_nodes, formatted_plan
+
+    df = ann_knn_join(spark, sf_dir)
+    assert_broadcast_join(df, 1)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert count_nodes(df, "Exchange") <= 2  # window shuffle (+AQE read)
+
+
+def test_contamination_broadcasts_benchmark_set(spark, sf_dir):
+    """The benchmark shingle vocabulary and per-doc hit counts must both
+    ride broadcast joins — the corpus side never shuffles for the probe."""
+    from mysql_cdc_table_spark.functions.text import text_contamination
+
+    df = text_contamination(spark, sf_dir)
+    assert_broadcast_join(df, 2)
+    assert_no_cartesian(df)
+
+
+def test_sessionize_single_user_partitioning(spark, sf_dir):
+    """Both windows and the session rollup share one hash partitioning on
+    user_id — a single shuffle end-to-end."""
+    from mysql_cdc_table_spark.operators.analytics import sessionize_events
+    from mysql_cdc_table_spark.plans.audit import shuffle_count
+
+    assert shuffle_count(sessionize_events(spark, sf_dir)) <= 1
+
+
+def test_retention_broadcasts_cohort_sizes(spark, sf_dir):
+    from mysql_cdc_table_spark.operators.analytics import retention_cohorts
+
+    df = retention_cohorts(spark, sf_dir)
+    assert_broadcast_join(df, 1)
+    assert_no_cartesian(df)
