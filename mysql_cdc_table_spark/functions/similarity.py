@@ -392,6 +392,124 @@ def ann_ivf_trained_topk(
     )
 
 
+# --- IVF-PQ: product quantization + ADC + exact rerank -----------------------
+
+PQ_M = 8  # subspaces
+PQ_DSUB = 8  # dims per subspace (M * DSUB = embedding dim 64)
+PQ_K = 16  # centroids per subspace codebook
+PQ_ITERS = 2
+PQ_RERANK_FACTOR = 4
+
+
+def _pq_subvectors(e: DataFrame) -> DataFrame:
+    """(vec_id, m, sv): each vector split into PQ_M contiguous
+    subvectors — one explode, no shuffle."""
+    parts = [
+        F.struct(
+            F.lit(m).alias("m"),
+            F.slice(F.col("embedding"), m * PQ_DSUB + 1, PQ_DSUB).alias("sv"),
+        )
+        for m in range(PQ_M)
+    ]
+    return e.select(
+        "vec_id", F.explode(F.array(*parts)).alias("x")
+    ).select(
+        "vec_id",
+        F.col("x.m").alias("m"),
+        F.transform(F.col("x.sv"), lambda v: v.cast("double")).alias("sv"),
+    )
+
+
+def pq_codebooks_and_codes(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Train all PQ_M subspace codebooks in ONE DataFrame job (Lloyd's
+    over rows keyed by subspace — a fixed PQ_ITERS driver loop, not a
+    per-subspace loop), then encode every vector as PQ_M centroid ids.
+
+    Deterministic: init cid = vec_id % PQ_K, argmin ties break on cid.
+    Scale: per iteration one broadcast of M*K centroids + one grouped
+    avg; codes are 8 small ints per vector — the 100 TB point of PQ is
+    that the scan-side candidate search touches ONLY these codes
+    (codebook + ADC table stay broadcast), never the raw vectors."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    subs = _pq_subvectors(e)
+    assign = subs.withColumn("cid", (F.col("vec_id") % PQ_K).cast("int"))
+    cents = None
+    for _ in range(PQ_ITERS):
+        cents = (
+            assign.select("m", "cid", F.posexplode("sv").alias("pos", "v"))
+            .groupBy("m", "cid", "pos")
+            .agg(F.avg("v").alias("c"))
+            .groupBy("m", "cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"],
+                ).alias("centroid")
+            )
+        )
+        assign = (
+            subs.join(F.broadcast(cents), "m")
+            .select(
+                "vec_id",
+                "m",
+                "sv",
+                "cid",
+                sq_dist(F.col("sv"), F.col("centroid")).alias("d"),
+            )
+            .groupBy("vec_id", "m", "sv")
+            .agg(F.expr("min_by(cid, struct(d, cid))").alias("cid"))
+        )
+    return cents, assign.select("vec_id", "m", "cid")
+
+
+def ann_ivf_pq_topk(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """PQ search: build the query's ADC table (distance from each query
+    subvector to every codebook centroid — M*K rows, broadcast), score
+    every database vector as the SUM of its codes' table entries
+    (map-side-combinable agg over the tiny codes relation), take the top
+    rerank_factor*k candidates by approximate distance, then exact-
+    cosine rerank only those. Rows-only oracle (approximate by
+    construction; recall vs brute force asserted in pytest)."""
+    e = t(spark, sf_dir, "embeddings")
+    cents, codes = pq_codebooks_and_codes(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    qsubs = _pq_subvectors(
+        q.select(F.lit(0).alias("vec_id"), F.col("qv").alias("embedding"))
+    ).select("m", F.col("sv").alias("qsv"))
+    adc = (
+        cents.join(F.broadcast(qsubs), "m")
+        .select("m", "cid", sq_dist(F.col("qsv"), F.col("centroid")).alias("qd"))
+    )
+    approx = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(adc), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd").alias("adist"))
+    )
+    cand = (
+        approx.orderBy(F.col("adist").asc(), F.col("vec_id"))
+        .limit(PQ_RERANK_FACTOR * k)
+        .select("vec_id")
+    )
+    return (
+        e.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            (F.round(cosine(F.col("embedding"), F.col("qv")), 6) + F.lit(0.0)).alias(
+                "cos"
+            ),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_block_pairs": ann_block_pairs,

@@ -37,6 +37,7 @@ _MODULES = (
     "mysql_cdc_table_spark.operators.joins",
     "mysql_cdc_table_spark.operators.aggregates",
     "mysql_cdc_table_spark.operators.windows",
+    "mysql_cdc_table_spark.operators.late",  # tail: keep LAST (window discipline)
 )
 
 

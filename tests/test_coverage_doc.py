@@ -44,6 +44,7 @@ def test_rows_only_set_is_exactly_documented():
         "agg_approx_count_distinct",
         "ann_ivf_topk",
         "ann_ivf_trained_topk",
+        "ann_ivf_pq_topk",
         "mm_decode_features",
     }
 

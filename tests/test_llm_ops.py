@@ -302,3 +302,33 @@ def test_corpus_prep_pipeline_consistent_with_stages(spark, sf_dir):
     for r in out:
         assert r["total_chunks"] >= r["n_docs"]  # >=1 chunk per kept doc
         assert 350_000 <= r["avg_quality_e6"] <= 1_000_000
+
+
+def test_ivf_pq_recall_and_mechanism(spark, sf_dir):
+    """PQ codes are well-formed (PQ_M codes per vector, cids in range),
+    the search is deterministic, and ADC+rerank recovers a non-trivial
+    fraction of the true top-20."""
+    from mysql_cdc_table_spark.functions.similarity import (
+        PQ_K,
+        PQ_M,
+        ann_ivf_pq_topk,
+        pq_codebooks_and_codes,
+    )
+
+    cents, codes = pq_codebooks_and_codes(spark, sf_dir)
+    per_vec: dict[int, set] = {}
+    for r in codes.collect():
+        assert 0 <= r["cid"] < PQ_K
+        per_vec.setdefault(r["vec_id"], set()).add(r["m"])
+    assert all(ms == set(range(PQ_M)) for ms in per_vec.values())
+    n_cents = cents.count()
+    assert n_cents <= PQ_M * PQ_K
+
+    got = ann_ivf_pq_topk(spark, sf_dir).collect()
+    assert len(got) == 20
+    assert [r["vec_id"] for r in got] == [
+        r["vec_id"] for r in ann_ivf_pq_topk(spark, sf_dir).collect()
+    ]  # deterministic
+    exact = {r["vec_id"] for r in ann_cosine_topk(spark, sf_dir).collect()}
+    recall = len(exact & {r["vec_id"] for r in got}) / len(exact)
+    assert recall >= 0.2, f"PQ recall collapsed: {recall}"
