@@ -8,17 +8,22 @@ handlerton wiring binlogdb.cc:857-900): register once, then
          .option("table_id", "7")
          .load("/path/dir")
 
-yields the standard changelog DataFrame. The scan unit is one file per
-InputPartition — exactly the reference's file-at-a-time loop
-(binlog_table_reader.cc:75-96) made parallel instead of sequential.
+yields the standard changelog DataFrame. The scan unit is a byte RANGE
+of a file (frame-aligned, via each file's footer sync index — see
+"splittable files" below), so the reference's file-at-a-time loop
+(binlog_table_reader.cc:75-96) becomes a parallel scan whose task count
+tracks data volume, not file count or upstream write skew.
 Unlike the reference's dead index-path advertisement (index_flags
 declared but every index read errors — binlogdb.cc:381-461, SURVEY
 §3.2), this source declares exactly what it implements: a scan.
 
 File format (each file, little-endian):
+    file  := frame* footer footer_len:u32le magic[8]
     frame := varint(frame_len) body
     body  := varint(gtid) varint(ts_s) varint(event_seq)
              varint(image_base) packed_event
+    footer:= varint(n_sync) varint(delta_offset)*   (sync index; see
+             "splittable files" at write_packed_file)
 where packed_event is sources/packed_binlog.py's event encoding,
 image_base is the __image_seq of the event's FIRST image (so a re-written
 single-image after-row keeps __image_seq=1 and (gtid, event_seq,
@@ -109,12 +114,36 @@ def _parse_ddl(ddl: str) -> T.StructType:
     return T.StructType(fields)
 
 
+# ---- splittable files: footer sync index ------------------------------------
+#
+# A binlog file's natural scan unit is the file, but file sizes follow
+# upstream write skew — at 100 TB one hot-partition file must not become
+# one hot scan task. Files therefore carry a FOOTER indexing the byte
+# offset of every SYNC_EVERY-th frame (the parquet row-group idea):
+#
+#     file   := frame* footer footer_len:u32le magic[8]
+#     footer := varint(n_sync) varint(delta_offset)*   (delta-encoded)
+#
+# partitions() reads ONLY the trailer+footer per file (seek from the
+# end) and emits one InputPartition per group of sync intervals, so scan
+# parallelism tracks data volume, not file count. Files without the
+# magic trailer (foreign/legacy) degrade to one partition per file.
+
+_FOOTER_MAGIC = b"PBLOGSYX"
+SYNC_EVERY = 1024  # frames per sync point
+_SYNCS_PER_SPLIT = 32  # ~32k events per scan task
+
+
 def write_packed_file(path: str, frames: list[tuple]) -> None:
     """Writer helper: frames = [(gtid, ts_s, event_seq, packed_event)] or
     [(gtid, ts_s, event_seq, image_base, packed_event)] (4-tuples get
-    image_base=0 — a fresh multi-image event numbers its images 0..n-1)."""
+    image_base=0 — a fresh multi-image event numbers its images 0..n-1).
+    Appends the sync footer (above) so the file is splittable."""
     out = bytearray()
-    for frame in frames:
+    syncs: list[int] = []
+    for i, frame in enumerate(frames):
+        if i % SYNC_EVERY == 0:
+            syncs.append(len(out))
         if len(frame) == 4:
             gtid, ts_s, event_seq, payload = frame
             image_base = 0
@@ -128,37 +157,106 @@ def write_packed_file(path: str, frames: list[tuple]) -> None:
         body += payload
         _write_varint(len(body), out)
         out += body
+    footer = bytearray()
+    _write_varint(len(syncs), footer)
+    prev = 0
+    for off in syncs:
+        _write_varint(off - prev, footer)
+        prev = off
+    out += footer
+    out += len(footer).to_bytes(4, "little")
+    out += _FOOTER_MAGIC
     with open(path, "wb") as f:
         f.write(bytes(out))
 
 
+def _read_sync_footer(path: str) -> tuple[int, list[int]] | None:
+    """-> (data_end, absolute sync offsets), or None if the file has no
+    sync trailer (legacy/foreign file: treat as one unsplittable blob).
+    Reads only the trailer bytes — partitions() never touches frame data."""
+    size = os.path.getsize(path)
+    if size < 12:
+        return None
+    with open(path, "rb") as f:
+        f.seek(size - 12)
+        tail = f.read(12)
+        if tail[4:] != _FOOTER_MAGIC:
+            return None
+        footer_len = int.from_bytes(tail[:4], "little")
+        data_end = size - 12 - footer_len
+        f.seek(data_end)
+        footer = f.read(footer_len)
+    n, pos = _read_varint(footer, 0)
+    offs, cur = [], 0
+    for _ in range(n):
+        d, pos = _read_varint(footer, pos)
+        cur += d
+        offs.append(cur)
+    return data_end, offs
+
+
+def _file_splits(path: str) -> list[tuple[int, int]]:
+    """Byte ranges (start, end) for one file, each starting on a frame
+    boundary and spanning ~_SYNCS_PER_SPLIT sync intervals."""
+    info = _read_sync_footer(path)
+    if info is None:
+        return [(0, os.path.getsize(path))]
+    data_end, offs = info
+    starts = offs[::_SYNCS_PER_SPLIT] or [0]
+    bounds = [*starts, data_end]
+    return [
+        (bounds[i], bounds[i + 1])
+        for i in range(len(bounds) - 1)
+        if bounds[i] < bounds[i + 1]
+    ]
+
+
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, file_seq: int):
+    def __init__(self, path: str, file_seq: int, start: int = 0, end: int | None = None):
         self.path = path
         self.file_seq = file_seq
+        self.start = start
+        self.end = end  # None = to end-of-data (auto-detect footer)
 
 
-def _iter_file_rows(path: str, file_seq: int, target: T.StructType, table_id: int):
-    """Walk one packed file, yielding changelog row tuples — shared by the
-    batch reader (which re-frames into Arrow batches) and the stream
-    reader (whose simple API wants tuples)."""
+def _iter_file_rows(
+    path: str,
+    file_seq: int,
+    target: T.StructType,
+    table_id: int,
+    start: int = 0,
+    end: int | None = None,
+):
+    """Walk one packed file (or a [start, end) byte range of it — ranges
+    from _file_splits always begin on a frame boundary), yielding
+    changelog row tuples — shared by the batch reader (which re-frames
+    into Arrow batches) and the stream reader (whose simple API wants
+    tuples)."""
     import datetime as dt
 
+    if end is None:
+        info = _read_sync_footer(path)
+        end = info[0] if info else os.path.getsize(path)
     with open(path, "rb") as f:
-        buf = f.read()
+        f.seek(start)
+        buf = f.read(end - start)
     pos = 0
+    last_s = None
+    tm = None
+    from_ts = dt.datetime.fromtimestamp
+    utc = dt.timezone.utc
     while pos < len(buf):
         frame_len, pos = _read_varint(buf, pos)
-        end = pos + frame_len
+        fend = pos + frame_len
         gtid, pos = _read_varint(buf, pos)
         ts_s, pos = _read_varint(buf, pos)
         event_seq, pos = _read_varint(buf, pos)
         image_base, pos = _read_varint(buf, pos)
-        payload = buf[pos:end]
-        pos = end
-        tm = dt.datetime.fromtimestamp(ts_s, tz=dt.timezone.utc).replace(
-            tzinfo=None
-        )
+        payload = buf[pos:fend]
+        pos = fend
+        if ts_s != last_s:  # events cluster by second; memoize conversion
+            tm = from_ts(ts_s, tz=utc).replace(tzinfo=None)
+            last_s = ts_s
         for idx, (op, vals) in enumerate(_decode_event(payload, target, table_id)):
             yield (*vals, op, gtid, tm, file_seq, event_seq, image_base + idx)
 
@@ -198,21 +296,28 @@ class PackedBinlogReader(DataSourceReader):
         self.table_id = int(options.get("table_id", "0"))
         self.target = _parse_ddl(options["schema_ddl"])
 
-    def partitions(self):
+    def _files(self) -> list[str]:
         # ordered file listing = the reference's binlog.index contract
-        # (binlog_table_reader.cc:12-19); one file -> one partition.
+        # (binlog_table_reader.cc:12-19)
         if os.path.isdir(self.path):
-            files = sorted(
+            return sorted(
                 os.path.join(self.path, f)
                 for f in os.listdir(self.path)
                 if not f.startswith(("_", "."))
             )
-        else:
-            files = [self.path]
+        return [self.path]
+
+    def partitions(self):
+        # one partition per ~_SYNCS_PER_SPLIT sync intervals, NOT per
+        # file: scan parallelism tracks data volume, so one hot-partition
+        # file upstream cannot become one hot scan task here. Only the
+        # footer trailer is read per file at planning time.
         parts = []
-        for p in files:
+        for p in self._files():
             m = re.search(r"(\d+)$", re.sub(r"\.[A-Za-z]+$", "", p))
-            parts.append(_FilePartition(p, int(m.group(1)) if m else 0))
+            seq = int(m.group(1)) if m else 0
+            for start, end in _file_splits(p):
+                parts.append(_FilePartition(p, seq, start, end))
         return parts
 
     def read(self, partition: _FilePartition):
@@ -241,7 +346,12 @@ class PackedBinlogReader(DataSourceReader):
             )
 
         for row in _iter_file_rows(
-            partition.path, partition.file_seq, self.target, self.table_id
+            partition.path,
+            partition.file_seq,
+            self.target,
+            self.table_id,
+            partition.start,
+            partition.end,
         ):
             rows.append(row)
             if len(rows) >= self.BATCH_ROWS:
@@ -260,7 +370,7 @@ class PackedBinlogStreamReader(SimpleDataSourceStreamReader):
         self._batch = PackedBinlogReader(dict(options))
 
     def _files(self):
-        return [p.path for p in self._batch.partitions()]
+        return self._batch._files()
 
     def initialOffset(self):
         return {"n_files": 0}

@@ -399,7 +399,13 @@ def encode_packed(
         # Python stage (the walk itself is the inherent cost)
         meta_cols = ["__op", "__gtid", "__tm", "__file_seq", "__event_seq"]
         for pdf in batches:
-            out_rows = []
+            # columnar accumulation (see decode side: frame-from-dict is
+            # an order of magnitude cheaper than frame-from-row-lists)
+            pay_c: list = []
+            gtid_c: list = []
+            ts_c: list = []
+            fs_c: list = []
+            es_c: list = []
             for tup in zip(*(pdf[c] for c in [*names, *meta_cols])):
                 vals, (op, gtid, tm, file_seq, event_seq) = (
                     tup[: len(names)],
@@ -408,18 +414,22 @@ def encode_packed(
                 img = {
                     n: (None if pd.isna(v) else v) for n, v in zip(names, vals)
                 }
-                payload = encode_event(table_id, int(op), [img], target)
-                out_rows.append(
-                    (
-                        payload,
-                        int(gtid),
-                        calendar.timegm(tm.timetuple()),
-                        int(file_seq),
-                        int(event_seq),
-                    )
-                )
+                pay_c.append(encode_event(table_id, int(op), [img], target))
+                gtid_c.append(int(gtid))
+                ts_c.append(calendar.timegm(tm.timetuple()))
+                fs_c.append(int(file_seq))
+                es_c.append(int(event_seq))
             yield pd.DataFrame(
-                out_rows, columns=["payload", "gtid", "ts_s", "file_seq", "event_seq"]
+                {
+                    k: pd.Series(v, dtype="object")
+                    for k, v in {
+                        "payload": pay_c,
+                        "gtid": gtid_c,
+                        "ts_s": ts_c,
+                        "file_seq": fs_c,
+                        "event_seq": es_c,
+                    }.items()
+                }
             )
 
     return changelog.mapInPandas(pack, schema=EVENT_INPUT_SCHEMA)
@@ -466,31 +476,63 @@ def decode_packed(
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import datetime as _dt
 
+        from_ts = _dt.datetime.fromtimestamp
+        utc = _dt.timezone.utc
         for pdf in batches:
-            rows = []
+            # columnar accumulation: pd.DataFrame from a column dict is
+            # ~13x cheaper than from a list of row-lists (measured at
+            # 100k rows: 0.10s vs 1.28s) — at scan scale the frame
+            # build was costing more than the decode walk itself.
+            data: list[list] = [[] for _ in names]
+            op_c: list = []
+            gtid_c: list = []
+            tm_c: list = []
+            fs_c: list = []
+            es_c: list = []
+            is_c: list = []
+            last_s = None
+            tm = None
             for payload, gtid, ts_s, file_seq, event_seq in zip(
                 pdf["payload"], pdf["gtid"], pdf["ts_s"], pdf["file_seq"], pdf["event_seq"]
             ):
-                tm = _dt.datetime.fromtimestamp(
-                    ts_s, tz=_dt.timezone.utc
-                ).replace(tzinfo=None)
+                if ts_s != last_s:  # events cluster by second; memoize
+                    tm = from_ts(ts_s, tz=utc).replace(tzinfo=None)
+                    last_s = ts_s
                 try:
                     images = _decode_event(bytes(payload), target, table_id)
                 except Exception:
                     if mode == "failfast":
                         raise
-                    rows.append(
-                        [*([None] * len(names)), -1, gtid, tm, file_seq, event_seq, 0]
-                    )
+                    for col in data:
+                        col.append(None)
+                    op_c.append(-1)
+                    gtid_c.append(gtid)
+                    tm_c.append(tm)
+                    fs_c.append(file_seq)
+                    es_c.append(event_seq)
+                    is_c.append(0)
                     continue
                 for image_seq, (op, vals) in enumerate(images):
-                    rows.append(
-                        [*vals, op, gtid, tm, file_seq, event_seq, image_seq]
-                    )
+                    for col, v in zip(data, vals):
+                        col.append(v)
+                    op_c.append(op)
+                    gtid_c.append(gtid)
+                    tm_c.append(tm)
+                    fs_c.append(file_seq)
+                    es_c.append(event_seq)
+                    is_c.append(image_seq)
+            cols = dict(zip(names, data))
+            cols["__op"] = op_c
+            cols["__gtid"] = gtid_c
+            cols["__tm"] = tm_c
+            cols["__file_seq"] = fs_c
+            cols["__event_seq"] = es_c
+            cols["__image_seq"] = is_c
+            # object dtype everywhere: empty/all-None columns must NOT be
+            # inferred as float64 (Arrow cannot cast float64->timestamp);
+            # Arrow converts from objects exactly as the row path did.
             yield pd.DataFrame(
-                rows,
-                columns=[*names, "__op", "__gtid", "__tm", "__file_seq",
-                         "__event_seq", "__image_seq"],
+                {k: pd.Series(v, dtype="object") for k, v in cols.items()}
             )
 
     return events.mapInPandas(walk, schema=out_schema)
