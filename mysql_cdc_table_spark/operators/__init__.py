@@ -30,6 +30,7 @@ _MODULES = (
     "mysql_cdc_table_spark.streaming.batch_windows",
     "mysql_cdc_table_spark.functions.pipeline",
     "mysql_cdc_table_spark.operators.scalars",
+    "mysql_cdc_table_spark.functions.quality",  # added post-window; rotate in next round
     "mysql_cdc_table_spark.operators.extras",
     "mysql_cdc_table_spark.operators.analytics",
     "mysql_cdc_table_spark.operators.tpch",

@@ -332,3 +332,62 @@ def test_ivf_pq_recall_and_mechanism(spark, sf_dir):
     exact = {r["vec_id"] for r in ann_cosine_topk(spark, sf_dir).collect()}
     recall = len(exact & {r["vec_id"] for r in got}) / len(exact)
     assert recall >= 0.2, f"PQ recall collapsed: {recall}"
+
+
+def test_pii_scrub_redacts_everything(spark, sf_dir):
+    """After scrubbing, no email/phone/IP survives; counts follow the
+    deterministic doc_id-based fixture presence rules."""
+    import re
+
+    from mysql_cdc_table_spark.functions.quality import text_pii_scrub
+
+    rows = text_pii_scrub(spark, sf_dir).collect()
+    assert rows
+    email = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    ip = re.compile(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b")
+    for r in rows:
+        assert not email.search(r["clean_text"]), r["doc_id"]
+        assert not ip.search(r["clean_text"]), r["doc_id"]
+        assert "+1-555-" not in r["clean_text"]
+        assert r["n_emails"] == (1 if r["doc_id"] % 3 > 0 else 0)
+        assert r["n_phones"] == (1 if r["doc_id"] % 2 == 0 else 0)
+        assert r["n_ips"] == (1 if r["doc_id"] % 5 > 1 else 0)
+        if r["n_emails"]:
+            assert "<EMAIL>" in r["clean_text"]
+
+
+def test_repetition_score_invariants(spark, sf_dir):
+    """Counts are internally consistent: top <= total, n_bigrams =
+    n_tokens - 1, distinct <= tokens, keep matches the 20% rule."""
+    from mysql_cdc_table_spark.functions.quality import text_repetition_score
+
+    rows = text_repetition_score(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_distinct"] <= r["n_tokens"]
+        assert 1 <= r["top_unigram_count"] <= r["n_tokens"]
+        assert r["n_bigrams"] == max(r["n_tokens"] - 1, 0)
+        assert r["top_bigram_count"] <= max(r["n_bigrams"], 1)
+        want = (
+            r["top_unigram_count"] * 5 <= r["n_tokens"]
+            and r["top_bigram_count"] * 5 <= max(r["n_bigrams"], 1)
+        )
+        assert r["keep"] == want
+
+
+def test_corpus_mix_equalize_strata_equal(spark, sf_dir):
+    """Every surviving stratum has exactly min-stratum-size rows, and
+    the selection is a subset of the input."""
+    from collections import Counter
+
+    from mysql_cdc_table_spark.functions.quality import corpus_mix_equalize
+    from mysql_cdc_table_spark.operators._util import t
+
+    kept = corpus_mix_equalize(spark, sf_dir).collect()
+    totals = Counter(
+        r["source"] for r in t(spark, sf_dir, "documents").select("source").collect()
+    )
+    m = min(totals.values())
+    per_src = Counter(r["source"] for r in kept)
+    assert set(per_src) == set(totals)
+    assert all(v == m for v in per_src.values()), per_src
