@@ -510,6 +510,96 @@ def ann_ivf_pq_topk(
     )
 
 
+# --- LSH random-projection tier ---------------------------------------------
+# Unlike the IVF tiers (trained, data-dependent -> rows-only checks),
+# random-projection LSH is fully deterministic from integer arithmetic,
+# so this tier gets an exact value-hash oracle: hyperplanes are integer
+# vectors derived from (bit, dim) by portable arithmetic, and the input
+# floats are floor-quantized to integers BEFORE the dot product, making
+# every signature bit an exact integer computation in both engines (no
+# float summation-order risk at the sign boundary).
+
+LSH_NB = 6  # signature bits -> 64 buckets; hamming<=1 multi-probe = 7 buckets
+
+
+def _lsh_bucket(vec: Column) -> Column:
+    """6-bit random-projection signature as an integer bucket id.
+    Scan-side map: 6 integer folds over the quantized vector."""
+    from functools import reduce
+    from operator import add
+
+    def _plane(i):
+        # closure (not a default arg) so PySpark sees a 2-arg lambda
+        def f(x, d):
+            return F.floor(x.cast("double") * 1000000.0).cast("long") * (
+                ((F.lit(i) * 97 + d * 131 + 7) * F.lit(2654435761)) % 2003
+                - 1001
+            )
+
+        return f
+
+    bits = []
+    for i in range(LSH_NB):
+        prod = F.transform(vec, _plane(i))
+        s = F.aggregate(prod, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        bits.append(F.when(s >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    return reduce(add, bits).cast("long")
+
+
+def ann_lsh_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-20 via random-projection LSH: bucket every vector by its
+    6-bit hyperplane-sign signature (scan-side map, no shuffle), probe
+    the query's bucket plus all hamming-distance-1 neighbors (popcount
+    filter against the broadcast query signature), exact cosine rerank
+    of the candidates. At scale the signature is computed once at ingest
+    and the table pre-partitioned by bucket, so a query touches ~L/2^NB
+    of the data; here the multi-probe filter rides the scan."""
+    e = t(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", "label", "embedding", _lsh_bucket(F.col("embedding")).alias("bkt"))
+    q = b.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("bkt").alias("qb")
+    )
+    return (
+        b.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .filter(F.bit_count(F.col("bkt").bitwiseXOR(F.col("qb"))) <= 1)
+        .select(
+            "vec_id",
+            "label",
+            (F.round(cosine(F.col("embedding"), F.col("qv")), 6) + F.lit(0.0)).alias(
+                "cos"
+            ),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(20)
+    )
+
+
+_SQL_LSH_BITS = " + ".join(
+    "(CASE WHEN list_sum(list_transform(embedding, (x, di) -> "
+    "CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) * "
+    f"((({i}*97 + (di-1)*131 + 7) * 2654435761) % 2003 - 1001))) >= 0 "
+    f"THEN {1 << i} ELSE 0 END)"
+    for i in range(LSH_NB)
+)
+
+ANN_LSH_RP_TOPK_SQL = f"""
+WITH b AS (
+  SELECT vec_id, label, embedding, CAST({_SQL_LSH_BITS} AS BIGINT) AS bkt
+  FROM embeddings
+),
+q AS (SELECT embedding AS qv, bkt AS qb FROM b WHERE vec_id = 0)
+SELECT vec_id, label,
+       round({_SQL_DOT.format(a='embedding', b='qv')}
+             / (sqrt({_SQL_SQNORM.format(a='embedding')})
+                * sqrt({_SQL_SQNORM.format(a='qv')})), 6) + 0.0 AS cos
+FROM b, q
+WHERE vec_id <> 0 AND bit_count(xor(bkt, qb)) <= 1
+ORDER BY cos DESC, vec_id
+LIMIT 20
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_block_pairs": ann_block_pairs,

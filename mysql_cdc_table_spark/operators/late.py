@@ -10,12 +10,20 @@ forward next round once the current window turns green.
 
 from __future__ import annotations
 
-from mysql_cdc_table_spark.functions.similarity import ann_ivf_pq_topk
+from mysql_cdc_table_spark.functions.similarity import (
+    ANN_LSH_RP_TOPK_SQL,
+    ann_ivf_pq_topk,
+    ann_lsh_rp_topk,
+)
 
 QUERIES = {
     # approximate by construction -> rows-only + pytest recall (same
     # treatment as ann_ivf_topk / ann_ivf_trained_topk)
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
+    # deterministic integer-signature LSH -> full value-hash oracle
+    "ann_lsh_rp_topk": ann_lsh_rp_topk,
 }
 
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    "ann_lsh_rp_topk": ANN_LSH_RP_TOPK_SQL,
+}

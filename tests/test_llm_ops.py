@@ -391,3 +391,35 @@ def test_corpus_mix_equalize_strata_equal(spark, sf_dir):
     per_src = Counter(r["source"] for r in kept)
     assert set(per_src) == set(totals)
     assert all(v == m for v in per_src.values()), per_src
+
+
+def test_lsh_rp_mechanism_and_recall(spark, sf_dir):
+    """Signatures are in range, the probe set is hamming<=1 of the query
+    signature, results are deterministic, and candidates overlap the
+    exact top-20 (recall floor is loose: 6-bit LSH on random vectors)."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.functions.similarity import (
+        LSH_NB,
+        _lsh_bucket,
+        ann_lsh_rp_topk,
+    )
+    from mysql_cdc_table_spark.operators._util import t
+
+    e = t(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", _lsh_bucket(F.col("embedding")).alias("bkt"))
+    buckets = {r["vec_id"]: r["bkt"] for r in b.collect()}
+    assert all(0 <= v < (1 << LSH_NB) for v in buckets.values())
+    assert len(set(buckets.values())) > 1  # planes actually split the space
+
+    got = ann_lsh_rp_topk(spark, sf_dir).collect()
+    assert got
+    qb = buckets[0]
+    for r in got:
+        assert bin(buckets[r["vec_id"]] ^ qb).count("1") <= 1
+    assert [r["vec_id"] for r in got] == [
+        r["vec_id"] for r in ann_lsh_rp_topk(spark, sf_dir).collect()
+    ]
+    exact = {r["vec_id"] for r in ann_cosine_topk(spark, sf_dir).collect()}
+    hits = exact & {r["vec_id"] for r in got}
+    assert hits, "LSH top-k shares nothing with exact top-20"
