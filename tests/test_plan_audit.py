@@ -129,3 +129,48 @@ def test_retention_broadcasts_cohort_sizes(spark, sf_dir):
     df = retention_cohorts(spark, sf_dir)
     assert_broadcast_join(df, 1)
     assert_no_cartesian(df)
+
+
+def test_pii_scrub_is_pure_scan_map(spark, sf_dir):
+    """Redaction rides the scan: zero shuffles, no join."""
+    from mysql_cdc_table_spark.functions.quality import text_pii_scrub
+
+    df = text_pii_scrub(spark, sf_dir)
+    assert shuffle_count(df) == 0
+    assert_no_cartesian(df)
+
+
+def test_repetition_score_bounded_shuffles(spark, sf_dir):
+    """Two gram aggs + per-doc reduce + doc_id join: all keyed on
+    doc_id/gram — bounded exchange count, no cartesian."""
+    from mysql_cdc_table_spark.functions.quality import text_repetition_score
+
+    df = text_repetition_score(spark, sf_dir)
+    assert shuffle_count(df) <= 5
+    assert_no_cartesian(df)
+
+
+def test_mix_equalize_broadcasts_floor(spark, sf_dir):
+    """The stratum floor is a broadcast scalar; ranking is the only
+    source-keyed exchange."""
+    from mysql_cdc_table_spark.functions.quality import corpus_mix_equalize
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = corpus_mix_equalize(spark, sf_dir)
+    # 1-row floor joined without a key -> BroadcastNestedLoopJoin (cheap:
+    # one scalar row against the stream), never a CartesianProduct
+    assert count_nodes(df, "BroadcastNestedLoopJoin") >= 1
+    assert_no_cartesian(df)
+
+
+def test_lsh_topk_broadcasts_query(spark, sf_dir):
+    """Signature + probe filter ride the scan; the query row is
+    broadcast; top-k is TakeOrdered (no global sort shuffle)."""
+    from mysql_cdc_table_spark.functions.similarity import ann_lsh_rp_topk
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = ann_lsh_rp_topk(spark, sf_dir)
+    # the 1-row (qv, qb) side joins without a key -> BroadcastNestedLoopJoin
+    assert count_nodes(df, "BroadcastNestedLoopJoin") >= 1
+    assert_no_cartesian(df)
+    assert shuffle_count(df) == 0
