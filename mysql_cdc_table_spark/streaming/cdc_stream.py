@@ -174,6 +174,116 @@ def materialize_latest_state_partitioned(
     )
 
 
+def materialize_scd2_partitioned(
+    changelog_stream: DataFrame,
+    key_cols: list[str],
+    store_path: str,
+    checkpoint_path: str,
+    n_buckets: int = 64,
+    query_name: str = "cdc_materialize_scd2",
+):
+    """Incrementally maintain a durable type-2 SCD dimension from the
+    changelog stream — the history twin of
+    ``materialize_latest_state_partitioned`` (which keeps only current
+    rows). The store is a hash-bucketed parquet table of every surviving
+    image (plus delete tombstones) with its validity interval baked in;
+    each micro-batch reads and rewrites ONLY the buckets its keys touch,
+    so per-batch cost scales with the touched keys' history, never with
+    the store size.
+
+    Mechanics per batch: union the touched buckets' stored image rows
+    (ordering columns intact) with the batch's version + delete rows,
+    drop replayed duplicates on (key, __gtid, __event_seq, __image_seq)
+    — restart idempotence — then recompute the per-key interval chain
+    (one window; ordering is total per key, CDC delivery is in-order per
+    key) and overwrite the touched buckets. Tombstones stay in the store
+    (hidden from the public view) so a closed-by-delete chain survives
+    future merges; buckets therefore never empty and need no cleanup.
+
+    Read the public view with ``read_scd2_store`` — equivalent to batch
+    ``cdc.ops.scd2`` over everything ever streamed. The reference's
+    users hand-build this history table with triggers/queries over the
+    replayed scan (reference binlogdb.cc:487); here it is durable and
+    incremental.
+    """
+    from pyspark.sql import Window
+
+    from mysql_cdc_table_spark.cdc.schema import CDC_DELETE, CDC_UPDATE_BEFORE
+
+    spark = changelog_stream.sparkSession
+    bucket = F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast(
+        "int"
+    )
+    _SCD2_COLS = ("valid_from", "valid_to", "is_current")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        images = batch_df.filter(F.col("__op") != CDC_UPDATE_BEFORE).persist()
+        touched = sorted(
+            r["b"] for r in images.select(bucket.alias("b")).distinct().collect()
+        )  # bounded by n_buckets — tiny driver-side list, not data
+        if not touched:
+            images.unpersist()
+            return
+        if os.path.isdir(store_path) and any(
+            n.startswith("__bucket=") for n in os.listdir(store_path)
+        ):
+            stored = (
+                spark.read.parquet(store_path)
+                .filter(F.col("__bucket").isin(touched))
+                .drop("__bucket", *_SCD2_COLS)
+            )
+            merged_in = stored.unionByName(images)
+        else:
+            merged_in = images
+        order_cols = ["__gtid", "__event_seq", "__image_seq"]
+        merged_in = merged_in.dropDuplicates([*key_cols, *order_cols])
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).asc() for c in order_cols]
+        )
+        # persist + materialize BEFORE the write: the plan reads the very
+        # store files the write replaces (self-overwrite hazard)
+        merged = (
+            merged_in.withColumn("valid_from", F.col("__tm"))
+            .withColumn("valid_to", F.lead("__tm").over(w))
+            .withColumn(
+                "is_current",
+                F.lead("__op").over(w).isNull() & (F.col("__op") != CDC_DELETE),
+            )
+            .withColumn("__bucket", bucket)
+            .persist()
+        )
+        merged.count()
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__bucket")
+            .parquet(store_path)
+        )
+        merged.unpersist()
+        images.unpersist()
+
+    return (
+        changelog_stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+        .queryName(query_name)
+    )
+
+
+def read_scd2_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Public SCD2 view over the store: version rows with their validity
+    intervals; tombstones (merge bookkeeping) hidden. Matches batch
+    ``cdc.ops.scd2`` output modulo the extra ordering columns kept for
+    incremental merging."""
+    from mysql_cdc_table_spark.cdc.schema import CDC_DELETE
+
+    return (
+        spark.read.parquet(store_path)
+        .filter(F.col("__op") != CDC_DELETE)
+        .drop("__bucket")
+    )
+
+
 def windowed_op_rates(
     changelog_stream: DataFrame, watermark: str = "10 minutes"
 ) -> DataFrame:

@@ -539,3 +539,100 @@ def test_stateful_event_time_timeout_eviction(spark, tmp_path):
     assert by[(1, False)] == (2, 5.0)
     assert by[(1, True)] == (2, 5.0)
     assert by[(2, False)] == (1, 7.0)
+
+
+def test_scd2_store_incremental_matches_batch(spark, tmp_path):
+    """Durable SCD2 store across a restart: after each phase (new query
+    object, same checkpoint) the public store view must equal batch
+    scd2 over everything streamed so far — intervals, current flags,
+    and delete-closed chains included."""
+    from mysql_cdc_table_spark.cdc.ops import scd2
+    from mysql_cdc_table_spark.streaming.cdc_stream import (
+        materialize_scd2_partitioned,
+        read_scd2_store,
+    )
+
+    d = tmp_path / "env"
+    d.mkdir()
+    store = str(tmp_path / "scd2.parquet")
+    ckpt = str(tmp_path / "scd2ckpt")
+
+    def run_phase():
+        stream = cdc_read_stream(spark, str(d), TARGET, database="d", table="t")
+        writer = materialize_scd2_partitioned(
+            stream, ["id"], store, ckpt, n_buckets=8
+        )
+        run_to_completion(writer)
+
+    def store_rows():
+        cols = ["id", "v", "amt", "__gtid", "valid_from", "valid_to", "is_current"]
+        return sorted(
+            (tuple(r[c] for c in cols) for r in read_scd2_store(spark, store).collect()),
+            key=lambda t: (t[0], t[3]),
+        )
+
+    def batch_rows():
+        # batch scd2 assumes an exactly-once changelog; the store adds
+        # replay-dedup on top, so mirror it here before comparing
+        cl = cdc_read(spark, str(d), TARGET, database="d", table="t").dropDuplicates(
+            ["id", "__gtid", "__event_seq", "__image_seq"]
+        )
+        cols = ["id", "v", "amt", "__gtid", "valid_from", "valid_to", "is_current"]
+        return sorted(
+            (tuple(r[c] for c in cols) for r in scd2(cl, ["id"]).collect()),
+            key=lambda t: (t[0], t[3]),
+        )
+
+    (d / "f0.jsonl").write_text(
+        "\n".join(
+            [
+                _env("c", None, {"id": 1, "v": "a", "amt": 1.0}, 10, 100, BASE_TS),
+                _env("c", None, {"id": 2, "v": "b", "amt": 2.0}, 11, 110, BASE_TS + 1000),
+                _env("u", {"id": 1, "v": "a", "amt": 1.0},
+                     {"id": 1, "v": "a2", "amt": 1.5}, 12, 120, BASE_TS + 2000),
+            ]
+        )
+    )
+    run_phase()
+    got, want = store_rows(), batch_rows()
+    assert got == want
+    # id 1 has a closed + a current interval; id 2 one current interval
+    assert len(got) == 3
+
+    # phase 2: restart on same checkpoint — delta only: delete id 2
+    # (closes its chain without opening), third version for id 1
+    (d / "f1.jsonl").write_text(
+        "\n".join(
+            [
+                _env("d", {"id": 2, "v": "b", "amt": 2.0}, None, 13, 130, BASE_TS + 3000),
+                _env("u", {"id": 1, "v": "a2", "amt": 1.5},
+                     {"id": 1, "v": "a3", "amt": 1.8}, 14, 140, BASE_TS + 4000),
+            ]
+        )
+    )
+    run_phase()
+    got, want = store_rows(), batch_rows()
+    assert got == want
+    by_current = [r for r in got if r[-1]]
+    assert len(got) == 4  # 3 versions of id 1 + 1 closed version of id 2
+    assert len(by_current) == 1 and by_current[0][0] == 1 and by_current[0][1] == "a3"
+    closed_id2 = [r for r in got if r[0] == 2]
+    assert len(closed_id2) == 1 and closed_id2[0][-2] is not None  # valid_to set
+
+    # phase 3: replay tolerance — re-deliver an already-seen event plus a
+    # new insert for id 2 (chain reopens after the delete)
+    (d / "f2.jsonl").write_text(
+        "\n".join(
+            [
+                _env("u", {"id": 1, "v": "a2", "amt": 1.5},
+                     {"id": 1, "v": "a3", "amt": 1.8}, 14, 140, BASE_TS + 4000),
+                _env("c", None, {"id": 2, "v": "b9", "amt": 9.0}, 15, 150, BASE_TS + 5000),
+            ]
+        )
+    )
+    run_phase()
+    got, want = store_rows(), batch_rows()
+    assert got == want
+    id2 = [r for r in got if r[0] == 2]
+    assert len(id2) == 2
+    assert [r[-1] for r in sorted(id2, key=lambda r: r[3])] == [False, True]
