@@ -264,14 +264,93 @@ SELECT doc_id, source FROM r, m WHERE rk <= m.m
 """
 
 
+SHARD_TOKENS = 2000  # token budget per training shard
+SHARD_BUCKETS = 32  # prefix-sum parallelism
+
+
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents to fixed-token-budget training shards and emit
+    the per-shard manifest (doc count + token total). Packing order is a
+    portable hash of doc_id (deterministic corpus shuffle), and shard
+    boundaries come from the global token prefix sum.
+
+    The prefix sum is the scale-relevant part: a naive global cumsum is
+    one window over ONE partition. Here it is the standard distributed
+    two-level form — cumsum within each of SHARD_BUCKETS hash buckets
+    (parallel), plus a broadcast per-bucket offset table (SHARD_BUCKETS
+    rows) — so no single task ever sees more than 1/buckets of the
+    data, at any corpus size."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        )
+        .withColumn("slot", (F.col("doc_id") * 2654435761) % 1000003)
+        .withColumn("bkt", F.col("doc_id") % SHARD_BUCKETS)
+    )
+    wloc = (
+        Window.partitionBy("bkt")
+        .orderBy("slot", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = d.withColumn("lcum", F.sum("n_tok").over(wloc))
+    btot = d.groupBy("bkt").agg(F.sum("n_tok").alias("btok"))
+    woff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.select(
+        "bkt", F.coalesce(F.sum("btok").over(woff), F.lit(0)).alias("off")
+    )
+    g = local.join(F.broadcast(offs), "bkt").withColumn(
+        "gcum", F.col("lcum") + F.col("off")
+    )
+    return (
+        g.withColumn("shard_id", F.expr(f"(gcum - n_tok) div {SHARD_TOKENS}"))
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("shard_tokens"),
+        )
+    )
+
+
+SHARD_MANIFEST_SQL = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tok,
+         (doc_id * 2654435761) % 1000003 AS slot,
+         doc_id % {SHARD_BUCKETS} AS bkt
+  FROM documents
+),
+l AS (
+  SELECT doc_id, n_tok, bkt,
+         CAST(sum(n_tok) OVER (PARTITION BY bkt ORDER BY slot, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS lcum
+  FROM d
+),
+bt AS (SELECT bkt, CAST(sum(n_tok) AS BIGINT) AS btok FROM d GROUP BY bkt),
+o AS (
+  SELECT bkt,
+         CAST(COALESCE(sum(btok) OVER (ORDER BY bkt ROWS BETWEEN
+              UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM bt
+),
+g AS (SELECT doc_id, n_tok, lcum + off AS gcum FROM l JOIN o USING (bkt))
+SELECT CAST((gcum - n_tok) // {SHARD_TOKENS} AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS shard_tokens
+FROM g GROUP BY 1
+"""
+
+
 QUERIES = {
     "text_pii_scrub": text_pii_scrub,
     "text_repetition_score": text_repetition_score,
     "corpus_mix_equalize": corpus_mix_equalize,
+    "shard_manifest": shard_manifest,
 }
 
 ORACLES = {
     "text_pii_scrub": TEXT_PII_SCRUB_SQL,
     "text_repetition_score": TEXT_REPETITION_SCORE_SQL,
     "corpus_mix_equalize": CORPUS_MIX_EQUALIZE_SQL,
+    "shard_manifest": SHARD_MANIFEST_SQL,
 }

@@ -174,3 +174,19 @@ def test_lsh_topk_broadcasts_query(spark, sf_dir):
     assert count_nodes(df, "BroadcastNestedLoopJoin") >= 1
     assert_no_cartesian(df)
     assert shuffle_count(df) == 0
+
+
+def test_shard_manifest_no_single_partition_window(spark, sf_dir):
+    """The global prefix sum must be two-level: no window may run on a
+    single unpartitioned exchange (the plan has no `Exchange SinglePartition`
+    feeding a Window over the full document set — only the 32-row bucket
+    offset table is allowed through one)."""
+    from mysql_cdc_table_spark.functions.quality import shard_manifest
+    from mysql_cdc_table_spark.plans.audit import formatted_plan
+
+    df = shard_manifest(spark, sf_dir)
+    plan = formatted_plan(df)
+    # the only SinglePartition exchange permitted is the tiny bucket-total
+    # window (input = one row per bucket); the document-level window must
+    # be hash-partitioned by bkt
+    assert "hashpartitioning(bkt" in plan, plan
