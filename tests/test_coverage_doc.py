@@ -69,3 +69,33 @@ def test_header_counts_and_driver_split_match_doc():
         if v.get("rows_match") and v.get("schema_match") and v.get("hash_match")
     )
     assert f"{full_green} fully\ngreen" in doc or f"{full_green} fully green" in doc
+
+
+def test_driver_window_composition():
+    """The driver verifies the FIRST ~50 registry keys per round; the
+    round-2 plan puts the CDC + LLM-pipeline surface and the three
+    formerly-red scalars there. Guard the window so a module reorder or
+    an accidental in-window insertion can't silently starve it."""
+    keys = list(all_queries())
+    window = keys[:50]
+    must_be_in_window = (
+        # cdc_compacted_state is the analytics-module compaction op —
+        # registered out-of-window with the rest of analytics on purpose
+        [k for k in keys if k.startswith("cdc_") and k != "cdc_compacted_state"]
+        + [k for k in keys if k.startswith("dedup_")]
+        + ["ann_cosine_topk", "ann_block_pairs", "ann_knn_join"]
+        + [
+            "text_tfidf_top_terms", "text_token_stats", "text_langid",
+            "text_quality_filter", "text_fingerprint", "text_contamination",
+            "text_token_bpe",
+        ]
+        + [k for k in keys if k.startswith("mm_") or k.startswith("udf_")]
+        + [k for k in keys if k.startswith("stream_")]
+        + ["fn_cast_matrix", "fn_array", "fn_map"]
+    )
+    missing = [k for k in must_be_in_window if k not in window]
+    assert not missing, f"planned keys fell out of the driver window: {missing}"
+    # late additions must stay OUT of the window until rotated on purpose
+    for k in ("text_pii_scrub", "text_repetition_score", "corpus_mix_equalize",
+              "shard_manifest", "ann_lsh_rp_topk", "ann_ivf_pq_topk"):
+        assert k in keys and k not in window, f"late-add {k} shifted the window"
