@@ -15,6 +15,10 @@ from mysql_cdc_table_spark.functions.similarity import (
     ann_ivf_pq_topk,
     ann_lsh_rp_topk,
 )
+from mysql_cdc_table_spark.sources.mysql_binlog import (
+    CDC_MYSQL_BINLOG_ROUNDTRIP_SQL,
+    cdc_mysql_binlog_roundtrip,
+)
 
 QUERIES = {
     # approximate by construction -> rows-only + pytest recall (same
@@ -22,8 +26,11 @@ QUERIES = {
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
     # deterministic integer-signature LSH -> full value-hash oracle
     "ann_lsh_rp_topk": ann_lsh_rp_topk,
+    # REAL MySQL binlog v4 framing roundtrip (sources/mysql_binlog.py)
+    "cdc_mysql_binlog_roundtrip": cdc_mysql_binlog_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
     "ann_lsh_rp_topk": ANN_LSH_RP_TOPK_SQL,
+    "cdc_mysql_binlog_roundtrip": CDC_MYSQL_BINLOG_ROUNDTRIP_SQL,
 }

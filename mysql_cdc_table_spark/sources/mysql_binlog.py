@@ -1,0 +1,921 @@
+"""Real MySQL binlog (v4) binary format: reader + fixture writer.
+
+This is the reference's ACTUAL on-disk input: its reader walks binlog
+files event by event — FORMAT_DESCRIPTION, GTID, TABLE_MAP, and the
+ROWS_EVENT v2 family — resolving row-image layout from the TABLE_MAP's
+column types/metadata (reference ``binlog_table_reader.cc:173-429``;
+``table_def`` construction at ``:393-408``). The repo's other ingest
+paths carry the same semantics over friendlier encodings (Debezium JSON
+envelopes, the splittable packed format); this module closes the last
+gap: a user holding genuine ``binlog.NNNNNN`` files.
+
+Everything here derives from the public binlog event format (MySQL
+internals documentation; the same layout every open-source replication
+client implements). Byte-level framing:
+
+- file magic ``\\xfebin``; every event = 19-byte header
+  ``timestamp u32 | type u8 | server_id u32 | event_size u32 |
+  log_pos u32 | flags u16`` + body [+ CRC32 when the FDE declares it]
+- TABLE_MAP: table_id(6) flags(2) | db, table (len-prefixed, NUL
+  terminated) | column count (net-packed int) | per-column type byte |
+  per-column metadata | null bitmap
+- WRITE/UPDATE/DELETE_ROWS v2 (type 30/31/32): table_id(6) flags(2)
+  extra_len(2) | column count | columns-present bitmap (x2 for update)
+  | per image: null bitmap over present columns + packed values
+- GTID (type 33): flags(1) sid(16) gno(8 LE)
+
+Decoded output is the standard changelog relation (target columns +
+``__op``/``__gtid``/``__tm`` + ordering columns), identical to
+``cdc_read``'s — so every derived operator (latest_state, scd2, ...)
+runs unchanged on real binlog input. Op codes per the reference
+(write→1 ``:211-214``, delete→0 ``:277-280``, update→2,3 ``:351-354``,
+``:126-130``); unlike the reference, ALL row-images of a multi-row
+event are emitted (its one-image-per-event early return at ``:243`` is
+a documented limitation, SURVEY §2A note).
+
+Type space (TABLE_MAP-driven, decode sized by metadata exactly like
+``Field::unpack`` + ``calc_field_size`` — reference ``:151-156``):
+TINY SHORT LONG LONGLONG FLOAT DOUBLE NEWDECIMAL (full wire format:
+9-digit groups, sign-flipped first byte) VARCHAR BLOB DATE DATETIME2
+TIMESTAMP2 YEAR ENUM SET BIT. JSON's binary tree format and the
+spatial types are out of scope (documented; the envelope and packed
+paths carry JSON as text).
+
+Scale: one binlog file is one sequential decode unit — the format is
+stateful (GTID and TABLE_MAP apply to subsequent events), exactly the
+reference's scan model (A2/A8). Parallelism is across files (MySQL
+rotates ~1 GiB); the decode itself is a ``mapInPandas`` batch walk with
+no shuffle. For splittable single-file parallelism use the packed
+format (footer sync index) — real binlog doesn't support it.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+import struct
+import zlib
+from collections.abc import Iterator
+from decimal import Context, Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from mysql_cdc_table_spark.cdc.schema import (
+    CDC_DELETE,
+    CDC_INSERT,
+    CDC_UPDATE_AFTER,
+    CDC_UPDATE_BEFORE,
+    changelog_schema,
+)
+
+BINLOG_MAGIC = b"\xfebin"
+
+# event type codes (public binlog format)
+EV_ROTATE = 4
+EV_FORMAT_DESCRIPTION = 15
+EV_XID = 16
+EV_TABLE_MAP = 19
+EV_WRITE_ROWS_V2 = 30
+EV_UPDATE_ROWS_V2 = 31
+EV_DELETE_ROWS_V2 = 32
+EV_GTID = 33
+
+# column type codes (public)
+TY_TINY = 1
+TY_SHORT = 2
+TY_LONG = 3
+TY_FLOAT = 4
+TY_DOUBLE = 5
+TY_LONGLONG = 8
+TY_DATE = 10
+TY_YEAR = 13
+TY_VARCHAR = 15
+TY_BIT = 16
+TY_TIMESTAMP2 = 17
+TY_DATETIME2 = 18
+TY_NEWDECIMAL = 246
+TY_ENUM = 247  # only ever inside STRING metadata
+TY_SET = 248
+TY_BLOB = 252
+TY_STRING = 254
+
+_HEADER = struct.Struct("<IBIIIH")  # ts, type, server_id, size, log_pos, flags
+_HEADER_LEN = 19
+
+
+# --- net-packed integers -----------------------------------------------------
+
+
+def _pack_int(n: int) -> bytes:
+    if n < 251:
+        return bytes([n])
+    if n < 1 << 16:
+        return b"\xfc" + struct.pack("<H", n)
+    if n < 1 << 24:
+        return b"\xfd" + struct.pack("<I", n)[:3]
+    return b"\xfe" + struct.pack("<Q", n)
+
+
+def _read_packed_int(buf: bytes, pos: int) -> tuple[int, int]:
+    b0 = buf[pos]
+    if b0 < 251:
+        return b0, pos + 1
+    if b0 == 0xFC:
+        return struct.unpack_from("<H", buf, pos + 1)[0], pos + 3
+    if b0 == 0xFD:
+        return int.from_bytes(buf[pos + 1 : pos + 4], "little"), pos + 4
+    return struct.unpack_from("<Q", buf, pos + 1)[0], pos + 9
+
+
+# --- NEWDECIMAL wire format --------------------------------------------------
+# big-endian 9-digit groups; first byte sign-flipped; negatives inverted.
+
+_DIG_BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4]
+_CTX = Context(prec=80)
+
+
+def _dec_bin_size(precision: int, scale: int) -> int:
+    intg = precision - scale
+    return (
+        intg // 9 * 4
+        + _DIG_BYTES[intg % 9]
+        + scale // 9 * 4
+        + _DIG_BYTES[scale % 9]
+    )
+
+
+def _encode_newdecimal(v: Decimal, precision: int, scale: int) -> bytes:
+    neg = v < 0
+    unscaled = int(abs(v).scaleb(scale, context=_CTX).to_integral_value(context=_CTX))
+    digits = str(unscaled).rjust(precision, "0")
+    intg = precision - scale
+    ipart, fpart = digits[: len(digits) - scale], digits[len(digits) - scale :]
+    ipart = ipart.rjust(intg, "0")
+
+    out = bytearray()
+
+    def _groups(ds: str, leading: bool) -> None:
+        # leading partial group first (int part) / trailing partial last (frac)
+        if leading:
+            head = len(ds) % 9
+            if head:
+                out.extend(int(ds[:head]).to_bytes(_DIG_BYTES[head], "big"))
+                ds = ds[head:]
+            for i in range(0, len(ds), 9):
+                out.extend(int(ds[i : i + 9]).to_bytes(4, "big"))
+        else:
+            full = len(ds) // 9 * 9
+            for i in range(0, full, 9):
+                out.extend(int(ds[i : i + 9]).to_bytes(4, "big"))
+            tail = len(ds) - full
+            if tail:
+                out.extend(int(ds[full:]).to_bytes(_DIG_BYTES[tail], "big"))
+
+    _groups(ipart, True)
+    _groups(fpart, False)
+    out[0] ^= 0x80
+    if neg:
+        for i in range(len(out)):
+            out[i] ^= 0xFF
+    return bytes(out)
+
+
+def _decode_newdecimal(
+    buf: bytes, pos: int, precision: int, scale: int
+) -> tuple[Decimal, int]:
+    size = _dec_bin_size(precision, scale)
+    raw = bytearray(buf[pos : pos + size])
+    neg = not (raw[0] & 0x80)
+    if neg:
+        for i in range(len(raw)):
+            raw[i] ^= 0xFF
+    raw[0] ^= 0x80
+    intg = precision - scale
+    digits = []
+    i = 0
+    head = intg % 9
+    if head:
+        n = _DIG_BYTES[head]
+        digits.append(str(int.from_bytes(raw[i : i + n], "big")).rjust(head, "0"))
+        i += n
+    for _ in range(intg // 9):
+        digits.append(str(int.from_bytes(raw[i : i + 4], "big")).rjust(9, "0"))
+        i += 4
+    ipart = "".join(digits) or "0"
+    digits = []
+    for _ in range(scale // 9):
+        digits.append(str(int.from_bytes(raw[i : i + 4], "big")).rjust(9, "0"))
+        i += 4
+    tail = scale % 9
+    if tail:
+        n = _DIG_BYTES[tail]
+        digits.append(str(int.from_bytes(raw[i : i + n], "big")).rjust(tail, "0"))
+        i += n
+    fpart = "".join(digits)
+    s = (ipart + ("." + fpart if fpart else "")) or "0"
+    d = Decimal(("-" if neg else "") + s)
+    return d, pos + size
+
+
+# --- temporal wire formats ---------------------------------------------------
+
+
+def _frac_bytes(fsp: int) -> int:
+    return (fsp + 1) // 2
+
+
+def _encode_datetime2(v: _dt.datetime, fsp: int) -> bytes:
+    ym = v.year * 13 + v.month
+    intpart = (
+        (ym << 22) | (v.day << 17) | (v.hour << 12) | (v.minute << 6) | v.second
+    )
+    out = (intpart + 0x8000000000).to_bytes(5, "big")
+    nb = _frac_bytes(fsp)
+    if nb:
+        frac = v.microsecond // (10 ** (6 - fsp))
+        out += frac.to_bytes(nb, "big")
+    return out
+
+
+def _decode_datetime2(buf: bytes, pos: int, fsp: int) -> tuple[_dt.datetime, int]:
+    intpart = int.from_bytes(buf[pos : pos + 5], "big") - 0x8000000000
+    pos += 5
+    sec = intpart & 0x3F
+    minute = (intpart >> 6) & 0x3F
+    hour = (intpart >> 12) & 0x1F
+    day = (intpart >> 17) & 0x1F
+    ym = intpart >> 22
+    micro = 0
+    nb = _frac_bytes(fsp)
+    if nb:
+        micro = int.from_bytes(buf[pos : pos + nb], "big") * (10 ** (6 - fsp))
+        pos += nb
+    return (
+        _dt.datetime(ym // 13, ym % 13, day, hour, minute, sec, micro),
+        pos,
+    )
+
+
+def _encode_timestamp2(v: _dt.datetime, fsp: int) -> bytes:
+    secs = int(v.replace(tzinfo=_dt.timezone.utc).timestamp())
+    out = secs.to_bytes(4, "big")
+    nb = _frac_bytes(fsp)
+    if nb:
+        out += (v.microsecond // (10 ** (6 - fsp))).to_bytes(nb, "big")
+    return out
+
+
+def _decode_timestamp2(buf: bytes, pos: int, fsp: int) -> tuple[_dt.datetime, int]:
+    secs = int.from_bytes(buf[pos : pos + 4], "big")
+    pos += 4
+    micro = 0
+    nb = _frac_bytes(fsp)
+    if nb:
+        micro = int.from_bytes(buf[pos : pos + nb], "big") * (10 ** (6 - fsp))
+        pos += nb
+    return _dt.datetime.utcfromtimestamp(secs).replace(microsecond=micro), pos
+
+
+# --- column spec: Spark StructType <-> TABLE_MAP types/metadata --------------
+
+
+class _Col:
+    __slots__ = ("name", "type_code", "meta", "extra")
+
+    def __init__(self, name: str, type_code: int, meta: bytes, extra=None):
+        self.name, self.type_code, self.meta, self.extra = (
+            name,
+            type_code,
+            meta,
+            extra,
+        )
+
+
+def _cols_from_schema(target: T.StructType) -> list[_Col]:
+    cols: list[_Col] = []
+    for f in target.fields:
+        md = f.metadata or {}
+        kind = md.get("mysql_type")
+        dt = f.dataType
+        if kind == "enum":
+            values = md["values"]
+            pack = 1 if len(values) < 256 else 2
+            cols.append(_Col(f.name, TY_STRING, bytes([TY_ENUM, pack]), values))
+        elif kind == "set":
+            values = md["values"]
+            nb = (len(values) + 7) // 8
+            cols.append(_Col(f.name, TY_STRING, bytes([TY_SET, nb]), values))
+        elif kind == "bit":
+            bits = int(md.get("bits", 64))
+            cols.append(_Col(f.name, TY_BIT, bytes([bits % 8, bits // 8])))
+        elif kind == "year":
+            cols.append(_Col(f.name, TY_YEAR, b""))
+        elif isinstance(dt, T.ByteType):
+            cols.append(_Col(f.name, TY_TINY, b""))
+        elif isinstance(dt, T.ShortType):
+            cols.append(_Col(f.name, TY_SHORT, b""))
+        elif isinstance(dt, T.IntegerType):
+            cols.append(_Col(f.name, TY_LONG, b""))
+        elif isinstance(dt, T.LongType):
+            cols.append(_Col(f.name, TY_LONGLONG, b""))
+        elif isinstance(dt, T.FloatType):
+            cols.append(_Col(f.name, TY_FLOAT, bytes([4])))
+        elif isinstance(dt, T.DoubleType):
+            cols.append(_Col(f.name, TY_DOUBLE, bytes([8])))
+        elif isinstance(dt, T.DecimalType):
+            cols.append(
+                _Col(f.name, TY_NEWDECIMAL, bytes([dt.precision, dt.scale]))
+            )
+        elif isinstance(dt, T.StringType):
+            maxlen = int(md.get("varchar_len", 255))
+            cols.append(_Col(f.name, TY_VARCHAR, struct.pack("<H", maxlen)))
+        elif isinstance(dt, T.BinaryType):
+            cols.append(_Col(f.name, TY_BLOB, bytes([2])))
+        elif isinstance(dt, T.DateType):
+            cols.append(_Col(f.name, TY_DATE, b""))
+        elif isinstance(dt, T.TimestampType):
+            fsp = int(md.get("fsp", 6))
+            cols.append(_Col(f.name, TY_DATETIME2, bytes([fsp])))
+        else:
+            raise TypeError(f"unsupported binlog column type {dt} ({f.name})")
+    return cols
+
+
+def _encode_col(col: _Col, v) -> bytes:
+    tc = col.type_code
+    if tc == TY_TINY:
+        return struct.pack("<b", v)
+    if tc == TY_SHORT:
+        return struct.pack("<h", v)
+    if tc == TY_LONG:
+        return struct.pack("<i", v)
+    if tc == TY_LONGLONG:
+        return struct.pack("<q", v)
+    if tc == TY_FLOAT:
+        return struct.pack("<f", v)
+    if tc == TY_DOUBLE:
+        return struct.pack("<d", v)
+    if tc == TY_NEWDECIMAL:
+        return _encode_newdecimal(v, col.meta[0], col.meta[1])
+    if tc == TY_VARCHAR:
+        raw = v.encode("utf-8")
+        maxlen = struct.unpack("<H", col.meta)[0]
+        pre = struct.pack("<H", len(raw)) if maxlen > 255 else bytes([len(raw)])
+        return pre + raw
+    if tc == TY_BLOB:
+        raw = bytes(v)
+        return len(raw).to_bytes(col.meta[0], "little") + raw
+    if tc == TY_DATE:
+        packed = (v.year << 9) | (v.month << 5) | v.day
+        return packed.to_bytes(3, "little")
+    if tc == TY_YEAR:
+        return bytes([v - 1900])
+    if tc == TY_DATETIME2:
+        return _encode_datetime2(v, col.meta[0])
+    if tc == TY_TIMESTAMP2:
+        return _encode_timestamp2(v, col.meta[0])
+    if tc == TY_BIT:
+        nbytes = col.meta[1] + (1 if col.meta[0] else 0)
+        return int(v).to_bytes(nbytes, "big")
+    if tc == TY_STRING:  # enum / set
+        real, pack = col.meta[0], col.meta[1]
+        values = col.extra
+        if real == TY_ENUM:
+            idx = values.index(v) + 1 if v in values else 0
+            return idx.to_bytes(pack, "little")
+        members = set(v.split(",")) if v else set()
+        mask = sum(1 << i for i, m in enumerate(values) if m in members)
+        return mask.to_bytes(pack, "little")
+    raise TypeError(f"unsupported type code {tc}")
+
+
+def _decode_col(col: _Col, buf: bytes, pos: int):
+    tc = col.type_code
+    if tc == TY_TINY:
+        return struct.unpack_from("<b", buf, pos)[0], pos + 1
+    if tc == TY_SHORT:
+        return struct.unpack_from("<h", buf, pos)[0], pos + 2
+    if tc == TY_LONG:
+        return struct.unpack_from("<i", buf, pos)[0], pos + 4
+    if tc == TY_LONGLONG:
+        return struct.unpack_from("<q", buf, pos)[0], pos + 8
+    if tc == TY_FLOAT:
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if tc == TY_DOUBLE:
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if tc == TY_NEWDECIMAL:
+        return _decode_newdecimal(buf, pos, col.meta[0], col.meta[1])
+    if tc == TY_VARCHAR:
+        maxlen = struct.unpack("<H", col.meta)[0]
+        if maxlen > 255:
+            n = struct.unpack_from("<H", buf, pos)[0]
+            pos += 2
+        else:
+            n = buf[pos]
+            pos += 1
+        return buf[pos : pos + n].decode("utf-8"), pos + n
+    if tc == TY_BLOB:
+        nb = col.meta[0]
+        n = int.from_bytes(buf[pos : pos + nb], "little")
+        pos += nb
+        return bytes(buf[pos : pos + n]), pos + n
+    if tc == TY_DATE:
+        packed = int.from_bytes(buf[pos : pos + 3], "little")
+        return (
+            _dt.date(packed >> 9, (packed >> 5) & 0x0F, packed & 0x1F),
+            pos + 3,
+        )
+    if tc == TY_YEAR:
+        return 1900 + buf[pos], pos + 1
+    if tc == TY_DATETIME2:
+        return _decode_datetime2(buf, pos, col.meta[0])
+    if tc == TY_TIMESTAMP2:
+        return _decode_timestamp2(buf, pos, col.meta[0])
+    if tc == TY_BIT:
+        nbytes = col.meta[1] + (1 if col.meta[0] else 0)
+        return int.from_bytes(buf[pos : pos + nbytes], "big"), pos + nbytes
+    if tc == TY_STRING:
+        real, pack = col.meta[0], col.meta[1]
+        values = col.extra
+        n = int.from_bytes(buf[pos : pos + pack], "little")
+        pos += pack
+        if real == TY_ENUM:
+            return (values[n - 1] if 1 <= n <= len(values) else ""), pos
+        return (
+            ",".join(m for i, m in enumerate(values) if n & (1 << i)),
+            pos,
+        )
+    raise TypeError(f"unsupported type code {tc}")
+
+
+# --- metadata block parse (reader side: TABLE_MAP drives decode) -------------
+
+_META_WIDTH = {
+    TY_FLOAT: 1,
+    TY_DOUBLE: 1,
+    TY_NEWDECIMAL: 2,
+    TY_VARCHAR: 2,
+    TY_BLOB: 1,
+    TY_BIT: 2,
+    TY_DATETIME2: 1,
+    TY_TIMESTAMP2: 1,
+    TY_STRING: 2,
+}
+
+
+def _split_metadata(types: bytes, meta: bytes) -> list[bytes]:
+    out, i = [], 0
+    for tc in types:
+        w = _META_WIDTH.get(tc, 0)
+        out.append(meta[i : i + w])
+        i += w
+    return out
+
+
+# --- fixture writer ----------------------------------------------------------
+
+
+def _event(
+    ts: int,
+    type_code: int,
+    server_id: int,
+    body: bytes,
+    pos: int,
+    checksum: bool,
+) -> bytes:
+    size = _HEADER_LEN + len(body) + (4 if checksum else 0)
+    header = _HEADER.pack(ts, type_code, server_id, size, pos + size, 0)
+    ev = header + body
+    if checksum:
+        ev += struct.pack("<I", zlib.crc32(ev))
+    return ev
+
+
+_POST_HEADER_LENS = {
+    EV_ROTATE: 8,
+    EV_FORMAT_DESCRIPTION: 84,
+    EV_XID: 0,
+    EV_TABLE_MAP: 8,
+    EV_WRITE_ROWS_V2: 10,
+    EV_UPDATE_ROWS_V2: 10,
+    EV_DELETE_ROWS_V2: 10,
+    EV_GTID: 42,
+}
+
+
+def _fde_body(checksum: bool) -> bytes:
+    n_types = 40
+    lens = bytearray(n_types)
+    for tc, ln in _POST_HEADER_LENS.items():
+        lens[tc - 1] = ln
+    return (
+        struct.pack("<H", 4)
+        + b"8.0.0-spark-graft".ljust(50, b"\x00")
+        + struct.pack("<I", 0)
+        + bytes([_HEADER_LEN])
+        + bytes(lens)
+        + bytes([1 if checksum else 0])
+    )
+
+
+def _null_bitmap(row: dict, cols: list[_Col]) -> bytes:
+    nb = bytearray((len(cols) + 7) // 8)
+    for j, c in enumerate(cols):
+        if row.get(c.name) is None:
+            nb[j // 8] |= 1 << (j % 8)
+    return bytes(nb)
+
+
+def _image(row: dict, cols: list[_Col]) -> bytes:
+    out = bytearray(_null_bitmap(row, cols))
+    for c in cols:
+        v = row.get(c.name)
+        if v is not None:
+            out += _encode_col(c, v)
+    return bytes(out)
+
+
+def _table_map_body(table_id: int, db: str, table: str, cols: list[_Col]) -> bytes:
+    body = table_id.to_bytes(6, "little") + struct.pack("<H", 1)
+    body += bytes([len(db)]) + db.encode() + b"\x00"
+    body += bytes([len(table)]) + table.encode() + b"\x00"
+    body += _pack_int(len(cols)) + bytes(c.type_code for c in cols)
+    meta = b"".join(c.meta for c in cols)
+    body += _pack_int(len(meta)) + meta
+    body += bytes((len(cols) + 7) // 8)  # nullability bitmap (all nullable ok)
+    return body
+
+
+def _rows_body(
+    type_code: int, table_id: int, cols: list[_Col], images: list[dict]
+) -> bytes:
+    body = table_id.to_bytes(6, "little") + struct.pack("<H", 0)
+    body += struct.pack("<H", 2)  # v2 extra-data length (no extra)
+    body += _pack_int(len(cols))
+    present = bytes([0xFF] * ((len(cols) + 7) // 8))
+    body += present
+    if type_code == EV_UPDATE_ROWS_V2:
+        body += present  # after-image columns-present bitmap
+    for img in images:
+        body += _image(img, cols)
+    return body
+
+
+def build_binlog_file(
+    db: str,
+    table: str,
+    target: T.StructType,
+    txns: list[dict],
+    *,
+    server_id: int = 1,
+    table_id: int = 23,
+    sid: bytes = b"\x11" * 16,
+    checksum: bool = False,
+    base_ts: int = 1_700_000_000,
+) -> bytes:
+    """Byte-exact binlog v4 fixture: magic + FDE, then per transaction a
+    GTID event, a TABLE_MAP, and one rows event. ``txns`` entries:
+    ``{"gno": int, "op": "w"|"u"|"d", "rows": [row_dict, ...]}`` where
+    update rows are ``(before_dict, after_dict)`` pairs."""
+    cols = _cols_from_schema(target)
+    out = bytearray(BINLOG_MAGIC)
+
+    def emit(tc: int, body: bytes, ts: int) -> None:
+        out.extend(_event(ts, tc, server_id, body, len(out), checksum))
+
+    emit(EV_FORMAT_DESCRIPTION, _fde_body(checksum), base_ts)
+    for i, txn in enumerate(txns):
+        ts = base_ts + i
+        emit(
+            EV_GTID,
+            bytes([1]) + sid + struct.pack("<q", txn["gno"]),
+            ts,
+        )
+        emit(EV_TABLE_MAP, _table_map_body(table_id, db, table, cols), ts)
+        op = txn["op"]
+        if op == "w":
+            emit(
+                EV_WRITE_ROWS_V2,
+                _rows_body(EV_WRITE_ROWS_V2, table_id, cols, txn["rows"]),
+                ts,
+            )
+        elif op == "d":
+            emit(
+                EV_DELETE_ROWS_V2,
+                _rows_body(EV_DELETE_ROWS_V2, table_id, cols, txn["rows"]),
+                ts,
+            )
+        else:
+            images = [img for pair in txn["rows"] for img in pair]
+            emit(
+                EV_UPDATE_ROWS_V2,
+                _rows_body(EV_UPDATE_ROWS_V2, table_id, cols, images),
+                ts,
+            )
+    return bytes(out)
+
+
+# --- reader ------------------------------------------------------------------
+
+
+def _detect_checksum(ev: bytes) -> bool:
+    # FDE in 5.6.1+ ends with [alg byte][crc32 of event minus crc]; verify
+    # the crc so a stray 0x01 data byte can't fake a positive.
+    if len(ev) < 24:
+        return False
+    if ev[-5] == 1:
+        (crc,) = struct.unpack("<I", ev[-4:])
+        return zlib.crc32(ev[:-4]) == crc
+    return False
+
+
+class _TableDef:
+    """Reader-side table_def: decode layout from the TABLE_MAP itself
+    (reference binlog_table_reader.cc:393-408), names/extras from the
+    user's target schema by POSITION (binlog carries no column names)."""
+
+    def __init__(self, db: str, table: str, types: bytes, metas: list[bytes], target_cols: list[_Col]):
+        if len(types) != len(target_cols):
+            raise ValueError(
+                f"TABLE_MAP has {len(types)} columns; target schema has {len(target_cols)}"
+            )
+        self.db, self.table = db, table
+        self.cols = []
+        for tc, meta, tgt in zip(types, metas, target_cols):
+            if tc != tgt.type_code:
+                raise ValueError(
+                    f"column {tgt.name}: TABLE_MAP type {tc} != schema type {tgt.type_code}"
+                )
+            self.cols.append(_Col(tgt.name, tc, meta, tgt.extra))
+
+
+def _parse_table_map(body: bytes, target_cols: list[_Col]) -> tuple[int, _TableDef]:
+    table_id = int.from_bytes(body[0:6], "little")
+    pos = 8
+    dblen = body[pos]
+    db = body[pos + 1 : pos + 1 + dblen].decode()
+    pos += 1 + dblen + 1
+    tlen = body[pos]
+    table = body[pos + 1 : pos + 1 + tlen].decode()
+    pos += 1 + tlen + 1
+    ncols, pos = _read_packed_int(body, pos)
+    types = body[pos : pos + ncols]
+    pos += ncols
+    metalen, pos = _read_packed_int(body, pos)
+    metas = _split_metadata(types, body[pos : pos + metalen])
+    return table_id, _TableDef(db, table, types, metas, target_cols)
+
+
+def _read_image(body: bytes, pos: int, cols: list[_Col]) -> tuple[dict, int]:
+    nb = (len(cols) + 7) // 8
+    nulls = body[pos : pos + nb]
+    pos += nb
+    row = {}
+    for j, c in enumerate(cols):
+        if nulls[j // 8] & (1 << (j % 8)):
+            row[c.name] = None
+        else:
+            row[c.name], pos = _decode_col(c, body, pos)
+    return row, pos
+
+
+def decode_binlog_bytes(
+    blob: bytes,
+    target: T.StructType,
+    database: str,
+    table: str,
+    *,
+    file_seq: int = 1,
+) -> list[dict]:
+    """Sequential event walk of one binlog file: dispatch on type code
+    (reference ``:173-429`` incl. the default-skip), filter to the
+    target table's table_id (A4), carry the GTID forward (A8), decode
+    every row-image with op tagging + image ordering (A6/A7/A9)."""
+    if blob[:4] != BINLOG_MAGIC:
+        raise ValueError("not a binlog file (bad magic)")
+    target_cols = _cols_from_schema(target)
+    pos = 4
+    checksum: bool | None = None
+    gtid: int | None = None
+    ts: int | None = None
+    tdefs: dict[int, _TableDef] = {}
+    out: list[dict] = []
+
+    while pos + _HEADER_LEN <= len(blob):
+        ets, tc, _sid, esize, _lpos, _flags = _HEADER.unpack_from(blob, pos)
+        ev = blob[pos : pos + esize]
+        event_seq = pos
+        pos += esize
+        if tc == EV_FORMAT_DESCRIPTION:
+            checksum = _detect_checksum(ev)
+            continue
+        body = ev[_HEADER_LEN : len(ev) - (4 if checksum else 0)]
+        if tc == EV_GTID:
+            gtid = struct.unpack_from("<q", body, 17)[0]
+        elif tc == EV_TABLE_MAP:
+            tid = int.from_bytes(body[0:6], "little")
+            dblen = body[8]
+            db_ = body[9 : 9 + dblen].decode()
+            tpos = 9 + dblen + 1
+            tlen = body[tpos]
+            tbl_ = body[tpos + 1 : tpos + 1 + tlen].decode()
+            # unlike the reference (missing-braces bug, :402-403 — it
+            # rebuilds table_def from EVERY table map), only the target
+            # table's map updates the decode layout
+            if db_ == database and tbl_ == table:
+                tid2, tdef = _parse_table_map(body, target_cols)
+                tdefs[tid2] = tdef
+        elif tc in (EV_WRITE_ROWS_V2, EV_UPDATE_ROWS_V2, EV_DELETE_ROWS_V2):
+            tid = int.from_bytes(body[0:6], "little")
+            tdef = tdefs.get(tid)
+            if tdef is None:
+                continue  # other table's rows (A4)
+            p = 8
+            extra_len = struct.unpack_from("<H", body, p)[0]
+            p += extra_len  # extra_len includes its own 2 bytes
+            ncols, p = _read_packed_int(body, p)
+            p += (ncols + 7) // 8  # columns-present (writer sets all)
+            if tc == EV_UPDATE_ROWS_V2:
+                p += (ncols + 7) // 8
+            img_seq = 0
+            while p < len(body):
+                row, p = _read_image(body, p, tdef.cols)
+                if tc == EV_WRITE_ROWS_V2:
+                    op = CDC_INSERT
+                elif tc == EV_DELETE_ROWS_V2:
+                    op = CDC_DELETE
+                else:
+                    op = CDC_UPDATE_BEFORE if img_seq % 2 == 0 else CDC_UPDATE_AFTER
+                row["__op"] = op
+                row["__gtid"] = gtid
+                row["__tm"] = _dt.datetime.utcfromtimestamp(ets)
+                row["__file_seq"] = file_seq
+                row["__event_seq"] = event_seq
+                row["__image_seq"] = img_seq
+                img_seq += 1
+                out.append(row)
+        # else: rotate/xid/query/... -> skip (reference default branch)
+    return out
+
+
+_FILE_NUM = re.compile(r"(\d+)(?:\.bin)?$")
+
+
+def _file_seq_of(path: str) -> int:
+    m = _FILE_NUM.search(path)
+    return int(m.group(1)) if m else 0
+
+
+def mysql_binlog_read(
+    spark: SparkSession,
+    path: str,
+    target: T.StructType,
+    database: str,
+    table: str,
+) -> DataFrame:
+    """Batch-read a directory/glob of real binlog files into the
+    standard changelog DataFrame. One file = one decode task (the format
+    is stateful per file); files are ordered by their rotation number
+    like the reference's index-file order (A1/A2)."""
+    import pandas as pd
+
+    out_schema = changelog_schema(target)
+    names = [f.name for f in out_schema.fields]
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                rows = decode_binlog_bytes(
+                    bytes(content),
+                    target,
+                    database,
+                    table,
+                    file_seq=_file_seq_of(str(fpath)),
+                )
+                yield pd.DataFrame(
+                    {n: [r.get(n) for r in rows] for n in names}
+                )
+
+    return files.mapInPandas(walk, schema=out_schema)
+
+
+# --- oracle-checked roundtrip query ------------------------------------------
+
+
+def cdc_mysql_binlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end proof of the REAL binlog v4 format: derive a typed
+    changelog from ``orders`` (LONGLONG + NEWDECIMAL + ENUM + DATE),
+    frame it as byte-exact binlog files (one per Arrow batch — magic,
+    FDE, GTID/TABLE_MAP/ROWS events), decode the files back, and
+    aggregate per status with op-code and GTID terms in the output.
+    Both stages are distributed mapInPandas — no driver hop. The oracle
+    computes the same aggregate straight from ``orders`` with integer
+    arithmetic, so any framing/codec bit-rot (decimal group packing,
+    enum index, date bit layout, update image ordering, GTID stamping)
+    breaks the value hash. Every 10th key becomes an update pair
+    (before-image price+1) instead of an insert."""
+    import pandas as pd
+    from decimal import Decimal as _D
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.operators._util import t
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("price", T.DecimalType(12, 2)),
+            T.StructField(
+                "status",
+                T.StringType(),
+                metadata={"mysql_type": "enum", "values": ["F", "O", "P"]},
+            ),
+            T.StructField("odate", T.DateType()),
+        ]
+    )
+    base = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.expr(
+                "cast(cast(o_orderkey % 100000 as decimal(30,2)) / 100"
+                " as decimal(12,2))"
+            ).alias("price"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderdate").cast("date").alias("odate"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "id")
+    )
+
+    file_schema = T.StructType([T.StructField("file_bytes", T.BinaryType())])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            txns = []
+            for r in pdf.itertuples(index=False):
+                row = {
+                    "id": int(r.id),
+                    "price": r.price,
+                    "status": r.status,
+                    "odate": r.odate,
+                }
+                if row["id"] % 10 == 0:
+                    before = dict(row, price=row["price"] + _D(1))
+                    txns.append({"gno": row["id"], "op": "u", "rows": [(before, row)]})
+                else:
+                    txns.append({"gno": row["id"], "op": "w", "rows": [row]})
+            blob = build_binlog_file("tpch", "orders", target, txns)
+            yield pd.DataFrame({"file_bytes": [blob]})
+
+    files = base.mapInPandas(encode, schema=file_schema)
+
+    out_schema = changelog_schema(target)
+    names = [f.name for f in out_schema.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["file_bytes"]:
+                rows = decode_binlog_bytes(bytes(blob), target, "tpch", "orders")
+                yield pd.DataFrame({n: [r.get(n) for r in rows] for n in names})
+
+    decoded = files.mapInPandas(decode, schema=out_schema)
+
+    after = F.col("__op").isin(CDC_INSERT, CDC_UPDATE_AFTER)
+    return decoded.groupBy("status").agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("__op") == CDC_UPDATE_AFTER, 1)).alias(
+            "n_update_pairs"
+        ),
+        F.sum(F.when(after, (F.col("price") * 100).cast("long"))).alias(
+            "cents_sum"
+        ),
+        F.sum(F.when(after, F.col("__gtid"))).alias("gtid_sum"),
+        F.min("odate").alias("first_date"),
+        F.max("odate").alias("last_date"),
+    )
+
+
+CDC_MYSQL_BINLOG_ROUNDTRIP_SQL = """
+WITH b AS (
+  SELECT o_orderkey AS id,
+         o_orderkey % 100000 AS cents,
+         o_orderstatus AS status,
+         CAST(o_orderdate AS DATE) AS odate,
+         CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS nimg
+  FROM orders
+)
+SELECT status,
+       CAST(sum(nimg) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN nimg = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_update_pairs,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       CAST(sum(id) AS BIGINT) AS gtid_sum,
+       min(odate) AS first_date,
+       max(odate) AS last_date
+FROM b GROUP BY status
+"""

@@ -79,9 +79,15 @@ def test_driver_window_composition():
     keys = list(all_queries())
     window = keys[:50]
     must_be_in_window = (
-        # cdc_compacted_state is the analytics-module compaction op —
-        # registered out-of-window with the rest of analytics on purpose
-        [k for k in keys if k.startswith("cdc_") and k != "cdc_compacted_state"]
+        # cdc_compacted_state (analytics-module compaction) and
+        # cdc_mysql_binlog_roundtrip (late-round add) register
+        # out-of-window on purpose
+        [
+            k
+            for k in keys
+            if k.startswith("cdc_")
+            and k not in ("cdc_compacted_state", "cdc_mysql_binlog_roundtrip")
+        ]
         + [k for k in keys if k.startswith("dedup_")]
         + ["ann_cosine_topk", "ann_block_pairs", "ann_knn_join"]
         + [
@@ -97,5 +103,6 @@ def test_driver_window_composition():
     assert not missing, f"planned keys fell out of the driver window: {missing}"
     # late additions must stay OUT of the window until rotated on purpose
     for k in ("text_pii_scrub", "text_repetition_score", "corpus_mix_equalize",
-              "shard_manifest", "ann_lsh_rp_topk", "ann_ivf_pq_topk"):
+              "shard_manifest", "ann_lsh_rp_topk", "ann_ivf_pq_topk",
+              "cdc_mysql_binlog_roundtrip"):
         assert k in keys and k not in window, f"late-add {k} shifted the window"

@@ -1,0 +1,170 @@
+"""Real MySQL binlog v4 format: byte-exact framing roundtrips, the
+TABLE_MAP-driven decode (reference binlog_table_reader.cc:393-408),
+multi-table demux (A4), GTID propagation (A8), update image pairing
+(A9), CRC32-checksummed files, and NEWDECIMAL/DATETIME2 wire-format
+fuzz."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from mysql_cdc_table_spark.sources.mysql_binlog import (
+    _decode_newdecimal,
+    _encode_newdecimal,
+    build_binlog_file,
+    decode_binlog_bytes,
+    mysql_binlog_read,
+)
+
+TARGET = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("amt", T.DecimalType(10, 2)),
+    ]
+)
+
+
+def _txn(gno, op, rows):
+    return {"gno": gno, "op": op, "rows": rows}
+
+
+def test_file_read_orders_gtid_and_ops(spark, tmp_path):
+    """Two rotated files through the binaryFile reader: file order from
+    rotation numbers, GTID stamped per transaction, op codes per event
+    type, update before/after adjacent via (__event_seq, __image_seq)."""
+    r1 = {"id": 1, "v": "a", "amt": Decimal("1.50")}
+    r1b = {"id": 1, "v": "a2", "amt": Decimal("2.50")}
+    r2 = {"id": 2, "v": "b", "amt": Decimal("-3.25")}
+    (tmp_path / "binlog.000001").write_bytes(
+        build_binlog_file(
+            "d", "t", TARGET, [_txn(10, "w", [r1, r2]), _txn(11, "u", [(r1, r1b)])]
+        )
+    )
+    (tmp_path / "binlog.000002").write_bytes(
+        build_binlog_file("d", "t", TARGET, [_txn(12, "d", [r2])])
+    )
+    df = mysql_binlog_read(spark, str(tmp_path), TARGET, "d", "t")
+    rows = sorted(
+        df.collect(),
+        key=lambda r: (r["__file_seq"], r["__event_seq"], r["__image_seq"]),
+    )
+    assert [r["__op"] for r in rows] == [1, 1, 2, 3, 0]
+    assert [r["__gtid"] for r in rows] == [10, 10, 11, 11, 12]
+    assert [r["__file_seq"] for r in rows] == [1, 1, 1, 1, 2]
+    assert rows[2]["v"] == "a" and rows[3]["v"] == "a2"
+    assert rows[3]["amt"] == Decimal("2.50")
+    assert rows[2]["__event_seq"] == rows[3]["__event_seq"]
+    # decoded changelog drives latest_state unchanged
+    from mysql_cdc_table_spark.cdc.ops import latest_state
+
+    state = {r["id"]: r["v"] for r in latest_state(df, ["id"]).collect()}
+    assert state == {1: "a2"}  # id 2 deleted
+
+
+def test_multi_table_demux_and_wrong_map_ignored(spark, tmp_path):
+    """Interleave a second table with a DIFFERENT layout: its TABLE_MAP
+    and rows must not leak into (or corrupt) the target decode — the
+    reference's missing-braces bug (binlog_table_reader.cc:402-403)
+    rebuilds its table_def from every map; we must not."""
+    other = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("s", T.StringType()),
+        ]
+    )
+    blob_t = build_binlog_file(
+        "d", "t", TARGET, [_txn(20, "w", [{"id": 7, "v": "x", "amt": Decimal("0.10")}])],
+        table_id=23,
+    )
+    blob_o = build_binlog_file(
+        "d", "other", other, [_txn(21, "w", [{"k": 1, "s": "zz"}])], table_id=24
+    )
+    # splice: magic + (t events) + (other's events minus magic)
+    (tmp_path / "binlog.000001").write_bytes(blob_t + blob_o[4:])
+    out = decode_binlog_bytes(
+        (tmp_path / "binlog.000001").read_bytes(), TARGET, "d", "t"
+    )
+    assert len(out) == 1 and out[0]["id"] == 7 and out[0]["v"] == "x"
+    other_out = decode_binlog_bytes(
+        (tmp_path / "binlog.000001").read_bytes(), other, "d", "other"
+    )
+    assert len(other_out) == 1 and other_out[0]["s"] == "zz"
+
+
+def test_checksummed_file_decodes_identically():
+    rows = [{"id": 5, "v": "q", "amt": Decimal("9.99")}]
+    plain = build_binlog_file("d", "t", TARGET, [_txn(1, "w", rows)], checksum=False)
+    crc = build_binlog_file("d", "t", TARGET, [_txn(1, "w", rows)], checksum=True)
+    assert plain != crc
+    a = decode_binlog_bytes(plain, TARGET, "d", "t")
+    b = decode_binlog_bytes(crc, TARGET, "d", "t")
+    strip = lambda r: {k: v for k, v in r.items() if k != "__event_seq"}
+    assert [strip(r) for r in a] == [strip(r) for r in b]
+
+
+def test_schema_mismatch_raises():
+    wrong = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    blob = build_binlog_file(
+        "d", "t", TARGET, [_txn(1, "w", [{"id": 1, "v": "a", "amt": Decimal("1.00")}])]
+    )
+    with pytest.raises(ValueError, match="TABLE_MAP"):
+        decode_binlog_bytes(blob, wrong, "d", "t")
+
+
+def test_null_handling_across_types():
+    rows = [
+        {"id": 1, "v": None, "amt": None},
+        {"id": None, "v": "only-v", "amt": Decimal("0.01")},
+    ]
+    blob = build_binlog_file("d", "t", TARGET, [_txn(1, "w", rows)])
+    out = decode_binlog_bytes(blob, TARGET, "d", "t")
+    assert out[0]["v"] is None and out[0]["amt"] is None and out[0]["id"] == 1
+    assert out[1]["id"] is None and out[1]["v"] == "only-v"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    unscaled=st.integers(min_value=-(10**28) + 1, max_value=10**28 - 1),
+    scale=st.integers(min_value=0, max_value=12),
+)
+def test_newdecimal_wire_fuzz(unscaled, scale):
+    """Any (precision=30, scale) value survives the 9-digit-group wire
+    format, including negatives (bit-inverted) and zero."""
+    v = Decimal(unscaled).scaleb(-scale)
+    raw = _encode_newdecimal(v, 30, scale)
+    got, end = _decode_newdecimal(raw, 0, 30, scale)
+    assert end == len(raw)
+    assert got == v.quantize(Decimal(1).scaleb(-scale)) if scale else got == v
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    ts=st.datetimes(
+        min_value=dt.datetime(1000, 1, 1), max_value=dt.datetime(9999, 12, 31)
+    ),
+    fsp=st.sampled_from([0, 2, 3, 6]),
+)
+def test_datetime2_wire_fuzz(ts, fsp):
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        _decode_datetime2,
+        _encode_datetime2,
+    )
+
+    raw = _encode_datetime2(ts, fsp)
+    got, end = _decode_datetime2(raw, 0, fsp)
+    assert end == len(raw)
+    trunc = ts.replace(
+        microsecond=(ts.microsecond // 10 ** (6 - fsp)) * 10 ** (6 - fsp)
+        if fsp
+        else 0
+    )
+    assert got == trunc
