@@ -767,23 +767,23 @@ def _file_seq_of(path: str) -> int:
     return int(m.group(1)) if m else 0
 
 
-def mysql_binlog_read(
-    spark: SparkSession,
-    path: str,
-    target: T.StructType,
-    database: str,
-    table: str,
+_BINARY_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("modificationTime", T.TimestampType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def _decode_files(
+    files: DataFrame, target: T.StructType, database: str, table: str
 ) -> DataFrame:
-    """Batch-read a directory/glob of real binlog files into the
-    standard changelog DataFrame. One file = one decode task (the format
-    is stateful per file); files are ordered by their rotation number
-    like the reference's index-file order (A1/A2)."""
     import pandas as pd
 
     out_schema = changelog_schema(target)
     names = [f.name for f in out_schema.fields]
-
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -799,7 +799,45 @@ def mysql_binlog_read(
                     {n: [r.get(n) for r in rows] for n in names}
                 )
 
-    return files.mapInPandas(walk, schema=out_schema)
+    return files.select("path", "content").mapInPandas(walk, schema=out_schema)
+
+
+def mysql_binlog_read(
+    spark: SparkSession,
+    path: str,
+    target: T.StructType,
+    database: str,
+    table: str,
+) -> DataFrame:
+    """Batch-read a directory/glob of real binlog files into the
+    standard changelog DataFrame. One file = one decode task (the format
+    is stateful per file); files are ordered by their rotation number
+    like the reference's index-file order (A1/A2)."""
+    files = spark.read.format("binaryFile").load(path)
+    return _decode_files(files, target, database, table)
+
+
+def mysql_binlog_read_stream(
+    spark: SparkSession,
+    path: str,
+    target: T.StructType,
+    database: str,
+    table: str,
+) -> DataFrame:
+    """Streaming tail of a binlog directory: each ROTATED file is
+    consumed exactly once per the file-source offset log (checkpointed;
+    restart resumes where it left off) — the incremental replacement for
+    the reference's replay-everything-per-scan (binlogdb.cc:487). Note
+    the file source reads a file when it APPEARS: the active, still-
+    growing binlog file is picked up on rotation, so end-to-end latency
+    is one rotation (use the Kafka/Debezium path for sub-rotation
+    latency)."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .load(path)
+    )
+    return _decode_files(files, target, database, table)
 
 
 # --- oracle-checked roundtrip query ------------------------------------------

@@ -168,3 +168,54 @@ def test_datetime2_wire_fuzz(ts, fsp):
         else 0
     )
     assert got == trunc
+
+
+def test_streaming_tail_incremental_with_store(spark, tmp_path):
+    """Stream rotated binlog files through the bucketed latest-state
+    store across two availableNow passes on one checkpoint: the second
+    pass consumes only the new file, and the store equals batch
+    latest_state over both files."""
+    from mysql_cdc_table_spark.cdc.ops import latest_state
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        mysql_binlog_read_stream,
+    )
+    from mysql_cdc_table_spark.streaming.cdc_stream import (
+        materialize_latest_state_partitioned,
+        run_to_completion,
+    )
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    store = str(tmp_path / "state.parquet")
+    ckpt = str(tmp_path / "ckpt")
+    r1 = {"id": 1, "v": "a", "amt": Decimal("1.00")}
+    r1b = {"id": 1, "v": "a2", "amt": Decimal("2.00")}
+    r2 = {"id": 2, "v": "b", "amt": Decimal("3.00")}
+    (d / "binlog.000001").write_bytes(
+        build_binlog_file("d", "t", TARGET, [_txn(10, "w", [r1, r2])])
+    )
+
+    def run_phase():
+        stream = mysql_binlog_read_stream(spark, str(d), TARGET, "d", "t")
+        run_to_completion(
+            materialize_latest_state_partitioned(stream, ["id"], store, ckpt, n_buckets=4)
+        )
+
+    run_phase()
+    got = {r["id"]: r["v"] for r in spark.read.parquet(store).collect()}
+    assert got == {1: "a", 2: "b"}
+
+    (d / "binlog.000002").write_bytes(
+        build_binlog_file(
+            "d", "t", TARGET, [_txn(11, "u", [(r1, r1b)]), _txn(12, "d", [r2])]
+        )
+    )
+    run_phase()
+    got = {r["id"]: r["v"] for r in spark.read.parquet(store).collect()}
+    batch = {
+        r["id"]: r["v"]
+        for r in latest_state(
+            mysql_binlog_read(spark, str(d), TARGET, "d", "t"), ["id"]
+        ).collect()
+    }
+    assert got == batch == {1: "a2"}
