@@ -687,13 +687,21 @@ def decode_binlog_bytes(
     table: str,
     *,
     file_seq: int = 1,
+    mode: str = "permissive",
 ) -> list[dict]:
     """Sequential event walk of one binlog file: dispatch on type code
     (reference ``:173-429`` incl. the default-skip), filter to the
     target table's table_id (A4), carry the GTID forward (A8), decode
-    every row-image with op tagging + image ordering (A6/A7/A9)."""
+    every row-image with op tagging + image ordering (A6/A7/A9).
+
+    mode="permissive" (default) stops cleanly at a truncated trailing
+    event — the normal state of the ACTIVE binlog file (crash mid-write,
+    copy in flight); MySQL's own recovery does the same. "strict"
+    raises instead."""
     if blob[:4] != BINLOG_MAGIC:
         raise ValueError("not a binlog file (bad magic)")
+    if mode not in ("permissive", "strict"):
+        raise ValueError(f"mode must be permissive|strict, got {mode!r}")
     target_cols = _cols_from_schema(target)
     pos = 4
     checksum: bool | None = None
@@ -704,6 +712,13 @@ def decode_binlog_bytes(
 
     while pos + _HEADER_LEN <= len(blob):
         ets, tc, _sid, esize, _lpos, _flags = _HEADER.unpack_from(blob, pos)
+        if esize < _HEADER_LEN or pos + esize > len(blob):
+            if mode == "strict":
+                raise ValueError(
+                    f"truncated/corrupt event at offset {pos} "
+                    f"(size {esize}, file has {len(blob) - pos} bytes left)"
+                )
+            break  # partial trailing event: consumed on the next rotation
         ev = blob[pos : pos + esize]
         event_seq = pos
         pos += esize
@@ -756,6 +771,11 @@ def decode_binlog_bytes(
                 img_seq += 1
                 out.append(row)
         # else: rotate/xid/query/... -> skip (reference default branch)
+    if mode == "strict" and pos != len(blob):
+        raise ValueError(
+            f"{len(blob) - pos} trailing bytes after offset {pos} "
+            "(partial event header)"
+        )
     return out
 
 

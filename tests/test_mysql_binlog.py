@@ -219,3 +219,22 @@ def test_streaming_tail_incremental_with_store(spark, tmp_path):
         ).collect()
     }
     assert got == batch == {1: "a2"}
+
+
+def test_truncated_tail_permissive_vs_strict():
+    """A file cut mid-event (the live binlog's normal state) decodes the
+    complete prefix in permissive mode and raises in strict mode —
+    whether the cut lands inside an event body or inside a header."""
+    r1 = {"id": 1, "v": "a", "amt": Decimal("1.00")}
+    r2 = {"id": 2, "v": "b", "amt": Decimal("2.00")}
+    blob = build_binlog_file(
+        "d", "t", TARGET, [_txn(1, "w", [r1]), _txn(2, "w", [r2])]
+    )
+    full = decode_binlog_bytes(blob, TARGET, "d", "t")
+    assert [r["id"] for r in full] == [1, 2]
+    for cut in (10, 5):  # mid-body and mid-header of the trailing event
+        chopped = blob[: len(blob) - cut]
+        got = decode_binlog_bytes(chopped, TARGET, "d", "t")
+        assert [r["id"] for r in got] == [1]  # txn 2's rows event is partial
+        with pytest.raises(ValueError, match="truncated|trailing"):
+            decode_binlog_bytes(chopped, TARGET, "d", "t", mode="strict")
