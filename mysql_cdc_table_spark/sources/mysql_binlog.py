@@ -828,12 +828,36 @@ def mysql_binlog_read(
     target: T.StructType,
     database: str,
     table: str,
+    *,
+    index_file: str | None = None,
 ) -> DataFrame:
-    """Batch-read a directory/glob of real binlog files into the
-    standard changelog DataFrame. One file = one decode task (the format
-    is stateful per file); files are ordered by their rotation number
-    like the reference's index-file order (A1/A2)."""
-    files = spark.read.format("binaryFile").load(path)
+    """Batch-read real binlog files into the standard changelog
+    DataFrame. One file = one decode task (the format is stateful per
+    file); files are ordered by their rotation number like the
+    reference's index-file order (A1/A2).
+
+    ``index_file`` mirrors the reference's entry point exactly
+    (``set_binlog_index_file`` — binlog_table_reader.cc:39-57, wired
+    from the table's CONNECTION string, binlogdb.cc:497-503): a text
+    file with one binlog path per line defines the scan set; relative
+    paths resolve against the index file's directory. The index is tiny
+    (the reference also loads it whole) — only the listed files are
+    opened."""
+    if index_file is not None:
+        import os
+
+        base = os.path.dirname(os.path.abspath(index_file))
+        with open(index_file) as fh:
+            paths = [
+                p if os.path.isabs(p) else os.path.join(base, p)
+                for p in (line.strip() for line in fh)
+                if p
+            ]
+        if not paths:
+            raise ValueError(f"binlog index {index_file} lists no files")
+        files = spark.read.format("binaryFile").load(paths)
+    else:
+        files = spark.read.format("binaryFile").load(path)
     return _decode_files(files, target, database, table)
 
 

@@ -238,3 +238,21 @@ def test_truncated_tail_permissive_vs_strict():
         assert [r["id"] for r in got] == [1]  # txn 2's rows event is partial
         with pytest.raises(ValueError, match="truncated|trailing"):
             decode_binlog_bytes(chopped, TARGET, "d", "t", mode="strict")
+
+
+def test_index_file_defines_scan_set(spark, tmp_path):
+    """The reference's CONNECTION-string entry point: only files listed
+    in the index are read, in rotation order; an unlisted file in the
+    same directory is ignored (binlog_table_reader.cc:39-57)."""
+    r = lambda i: {"id": i, "v": f"v{i}", "amt": Decimal(i)}
+    for n, gno in ((1, 10), (2, 11), (3, 12)):
+        (tmp_path / f"binlog.00000{n}").write_bytes(
+            build_binlog_file("d", "t", TARGET, [_txn(gno, "w", [r(n)])])
+        )
+    (tmp_path / "binlog.index").write_text("binlog.000001\nbinlog.000003\n")
+    df = mysql_binlog_read(
+        spark, "", TARGET, "d", "t", index_file=str(tmp_path / "binlog.index")
+    )
+    rows = sorted(df.collect(), key=lambda x: x["__file_seq"])
+    assert [x["id"] for x in rows] == [1, 3]  # 000002 not listed -> not read
+    assert [x["__gtid"] for x in rows] == [10, 12]
