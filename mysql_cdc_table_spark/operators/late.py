@@ -16,7 +16,9 @@ from mysql_cdc_table_spark.functions.similarity import (
     ann_lsh_rp_topk,
 )
 from mysql_cdc_table_spark.sources.mysql_binlog import (
+    CDC_BINLOG_LATEST_STATE_SQL,
     CDC_MYSQL_BINLOG_ROUNDTRIP_SQL,
+    cdc_binlog_latest_state,
     cdc_mysql_binlog_roundtrip,
 )
 
@@ -28,9 +30,12 @@ QUERIES = {
     "ann_lsh_rp_topk": ann_lsh_rp_topk,
     # REAL MySQL binlog v4 framing roundtrip (sources/mysql_binlog.py)
     "cdc_mysql_binlog_roundtrip": cdc_mysql_binlog_roundtrip,
+    # derived state over the real binlog format (ordering + tombstones)
+    "cdc_binlog_latest_state": cdc_binlog_latest_state,
 }
 
 ORACLES: dict[str, str] = {
     "ann_lsh_rp_topk": ANN_LSH_RP_TOPK_SQL,
     "cdc_mysql_binlog_roundtrip": CDC_MYSQL_BINLOG_ROUNDTRIP_SQL,
+    "cdc_binlog_latest_state": CDC_BINLOG_LATEST_STATE_SQL,
 }

@@ -982,6 +982,103 @@ def cdc_mysql_binlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_binlog_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived state THROUGH the real binlog format: frame an
+    insert/update/delete changelog as binlog v4 bytes, decode, then run
+    ``latest_state`` and aggregate the surviving keys. This pins the
+    ordering semantics end-to-end in the value hash: the update
+    after-image (price unchanged) must beat its before-image (price+1)
+    on (__gtid, __event_seq, __image_seq), and every 17th key's delete
+    transaction (a later GTID) must drop the key entirely. A decode
+    that scrambled image order or missed tombstones shifts cents_sum or
+    n_live."""
+    import pandas as pd
+    from decimal import Decimal as _D
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.cdc.ops import latest_state
+    from mysql_cdc_table_spark.operators._util import t
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("price", T.DecimalType(12, 2)),
+            T.StructField(
+                "status",
+                T.StringType(),
+                metadata={"mysql_type": "enum", "values": ["F", "O", "P"]},
+            ),
+        ]
+    )
+    base = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.expr(
+                "cast(cast(o_orderkey % 100000 as decimal(30,2)) / 100"
+                " as decimal(12,2))"
+            ).alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "id")
+    )
+
+    file_schema = T.StructType([T.StructField("file_bytes", T.BinaryType())])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            txns = []
+            for r in pdf.itertuples(index=False):
+                row = {"id": int(r.id), "price": r.price, "status": r.status}
+                if row["id"] % 10 == 0:
+                    before = dict(row, price=row["price"] + _D(1))
+                    txns.append(
+                        {"gno": row["id"], "op": "u", "rows": [(before, row)]}
+                    )
+                else:
+                    txns.append({"gno": row["id"], "op": "w", "rows": [row]})
+                if row["id"] % 17 == 0:
+                    txns.append(
+                        {
+                            "gno": row["id"] + 1_000_000_000,
+                            "op": "d",
+                            "rows": [row],
+                        }
+                    )
+            yield pd.DataFrame(
+                {"file_bytes": [build_binlog_file("tpch", "orders", target, txns)]}
+            )
+
+    files = base.mapInPandas(encode, schema=file_schema)
+    out_schema = changelog_schema(target)
+    names = [f.name for f in out_schema.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["file_bytes"]:
+                rows = decode_binlog_bytes(bytes(blob), target, "tpch", "orders")
+                yield pd.DataFrame({n: [r.get(n) for r in rows] for n in names})
+
+    live = latest_state(files.mapInPandas(decode, schema=out_schema), ["id"])
+    return live.groupBy("status").agg(
+        F.count("*").alias("n_live"),
+        F.sum((F.col("price") * 100).cast("long")).alias("cents_sum"),
+    )
+
+
+CDC_BINLOG_LATEST_STATE_SQL = """
+SELECT o_orderstatus AS status,
+       CAST(count(*) AS BIGINT) AS n_live,
+       CAST(sum(o_orderkey % 100000) AS BIGINT) AS cents_sum
+FROM orders
+WHERE o_orderkey % 17 <> 0
+GROUP BY o_orderstatus
+"""
+
+
 CDC_MYSQL_BINLOG_ROUNDTRIP_SQL = """
 WITH b AS (
   SELECT o_orderkey AS id,

@@ -86,7 +86,12 @@ def test_driver_window_composition():
             k
             for k in keys
             if k.startswith("cdc_")
-            and k not in ("cdc_compacted_state", "cdc_mysql_binlog_roundtrip")
+            and k
+            not in (
+                "cdc_compacted_state",
+                "cdc_mysql_binlog_roundtrip",
+                "cdc_binlog_latest_state",
+            )
         ]
         + [k for k in keys if k.startswith("dedup_")]
         + ["ann_cosine_topk", "ann_block_pairs", "ann_knn_join"]
