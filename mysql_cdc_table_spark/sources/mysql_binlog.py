@@ -800,10 +800,16 @@ _BINARY_FILE_SCHEMA = T.StructType(
 def _decode_files(
     files: DataFrame, target: T.StructType, database: str, table: str
 ) -> DataFrame:
+    # binaryFile materializes each file whole, so per-task memory is
+    # ~one binlog file (MySQL rotates at max_binlog_size, 1 GiB default
+    # — bounded by server config, not by history length). The output is
+    # yielded per file; Arrow re-slices it downstream.
     import pandas as pd
 
     out_schema = changelog_schema(target)
     names = [f.name for f in out_schema.fields]
+
+    chunk = 200_000  # rows per yielded Arrow batch
 
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -815,9 +821,11 @@ def _decode_files(
                     table,
                     file_seq=_file_seq_of(str(fpath)),
                 )
-                yield pd.DataFrame(
-                    {n: [r.get(n) for r in rows] for n in names}
-                )
+                for i in range(0, len(rows), chunk):
+                    part = rows[i : i + chunk]
+                    yield pd.DataFrame(
+                        {n: [r.get(n) for r in part] for n in names}
+                    )
 
     return files.select("path", "content").mapInPandas(walk, schema=out_schema)
 
