@@ -519,21 +519,25 @@ def _fde_body(checksum: bool) -> bytes:
     )
 
 
-def _null_bitmap(row: dict, cols: list[_Col]) -> bytes:
-    nb = bytearray((len(cols) + 7) // 8)
-    for j, c in enumerate(cols):
-        if row.get(c.name) is None:
-            nb[j // 8] |= 1 << (j % 8)
-    return bytes(nb)
+def _image(row: dict, cols: list[_Col], present: list[int]) -> bytes:
+    # null bitmap has one bit per PRESENT column (binlog_row_image may
+    # omit columns entirely — MINIMAL before-images carry only the key)
+    nb = bytearray((len(present) + 7) // 8)
+    vals = bytearray()
+    for k, j in enumerate(present):
+        v = row.get(cols[j].name)
+        if v is None:
+            nb[k // 8] |= 1 << (k % 8)
+        else:
+            vals += _encode_col(cols[j], v)
+    return bytes(nb) + bytes(vals)
 
 
-def _image(row: dict, cols: list[_Col]) -> bytes:
-    out = bytearray(_null_bitmap(row, cols))
-    for c in cols:
-        v = row.get(c.name)
-        if v is not None:
-            out += _encode_col(c, v)
-    return bytes(out)
+def _present_bitmap(present: list[int], ncols: int) -> bytes:
+    bm = bytearray((ncols + 7) // 8)
+    for j in present:
+        bm[j // 8] |= 1 << (j % 8)
+    return bytes(bm)
 
 
 def _table_map_body(table_id: int, db: str, table: str, cols: list[_Col]) -> bytes:
@@ -548,17 +552,30 @@ def _table_map_body(table_id: int, db: str, table: str, cols: list[_Col]) -> byt
 
 
 def _rows_body(
-    type_code: int, table_id: int, cols: list[_Col], images: list[dict]
+    type_code: int,
+    table_id: int,
+    cols: list[_Col],
+    images: list[dict],
+    before_present: list[int] | None = None,
 ) -> bytes:
+    """``before_present``: column indices carried by before-images
+    (update events only) — MINIMAL row image sends just the key there;
+    None means FULL (all columns) on both sides."""
+    ncols = len(cols)
+    all_cols = list(range(ncols))
+    p1 = before_present if before_present is not None else all_cols
     body = table_id.to_bytes(6, "little") + struct.pack("<H", 0)
     body += struct.pack("<H", 2)  # v2 extra-data length (no extra)
-    body += _pack_int(len(cols))
-    present = bytes([0xFF] * ((len(cols) + 7) // 8))
-    body += present
+    body += _pack_int(ncols)
     if type_code == EV_UPDATE_ROWS_V2:
-        body += present  # after-image columns-present bitmap
-    for img in images:
-        body += _image(img, cols)
+        body += _present_bitmap(p1, ncols)
+        body += _present_bitmap(all_cols, ncols)
+        for k, img in enumerate(images):
+            body += _image(img, cols, p1 if k % 2 == 0 else all_cols)
+    else:
+        body += _present_bitmap(all_cols, ncols)
+        for img in images:
+            body += _image(img, cols, all_cols)
     return body
 
 
@@ -608,9 +625,14 @@ def build_binlog_file(
             )
         else:
             images = [img for pair in txn["rows"] for img in pair]
+            # binlog_row_image=MINIMAL: before-images carry only the
+            # listed columns (typically the primary key)
+            bp = txn.get("before_present")
             emit(
                 EV_UPDATE_ROWS_V2,
-                _rows_body(EV_UPDATE_ROWS_V2, table_id, cols, images),
+                _rows_body(
+                    EV_UPDATE_ROWS_V2, table_id, cols, images, before_present=bp
+                ),
                 ts,
             )
     return bytes(out)
@@ -667,16 +689,25 @@ def _parse_table_map(body: bytes, target_cols: list[_Col]) -> tuple[int, _TableD
     return table_id, _TableDef(db, table, types, metas, target_cols)
 
 
-def _read_image(body: bytes, pos: int, cols: list[_Col]) -> tuple[dict, int]:
-    nb = (len(cols) + 7) // 8
+def _parse_present(body: bytes, pos: int, ncols: int) -> tuple[list[int], int]:
+    nb = (ncols + 7) // 8
+    bm = body[pos : pos + nb]
+    return [j for j in range(ncols) if bm[j // 8] & (1 << (j % 8))], pos + nb
+
+
+def _read_image(
+    body: bytes, pos: int, cols: list[_Col], present: list[int]
+) -> tuple[dict, int]:
+    # null bitmap covers only the PRESENT columns; absent columns
+    # (binlog_row_image=MINIMAL before-images) surface as None in the
+    # changelog — keyed operators only read key columns from them
+    nb = (len(present) + 7) // 8
     nulls = body[pos : pos + nb]
     pos += nb
-    row = {}
-    for j, c in enumerate(cols):
-        if nulls[j // 8] & (1 << (j % 8)):
-            row[c.name] = None
-        else:
-            row[c.name], pos = _decode_col(c, body, pos)
+    row = {c.name: None for c in cols}
+    for k, j in enumerate(present):
+        if not (nulls[k // 8] & (1 << (k % 8))):
+            row[cols[j].name], pos = _decode_col(cols[j], body, pos)
     return row, pos
 
 
@@ -750,12 +781,18 @@ def decode_binlog_bytes(
             extra_len = struct.unpack_from("<H", body, p)[0]
             p += extra_len  # extra_len includes its own 2 bytes
             ncols, p = _read_packed_int(body, p)
-            p += (ncols + 7) // 8  # columns-present (writer sets all)
+            present1, p = _parse_present(body, p, ncols)
+            present2 = present1
             if tc == EV_UPDATE_ROWS_V2:
-                p += (ncols + 7) // 8
+                present2, p = _parse_present(body, p, ncols)
             img_seq = 0
             while p < len(body):
-                row, p = _read_image(body, p, tdef.cols)
+                present = (
+                    present1
+                    if tc != EV_UPDATE_ROWS_V2 or img_seq % 2 == 0
+                    else present2
+                )
+                row, p = _read_image(body, p, tdef.cols, present)
                 if tc == EV_WRITE_ROWS_V2:
                     op = CDC_INSERT
                 elif tc == EV_DELETE_ROWS_V2:

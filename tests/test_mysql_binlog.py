@@ -256,3 +256,25 @@ def test_index_file_defines_scan_set(spark, tmp_path):
     rows = sorted(df.collect(), key=lambda x: x["__file_seq"])
     assert [x["id"] for x in rows] == [1, 3]  # 000002 not listed -> not read
     assert [x["__gtid"] for x in rows] == [10, 12]
+
+
+def test_minimal_row_image_updates():
+    """binlog_row_image=MINIMAL: update before-images carry only the
+    key columns; absent columns decode as None, after-images stay full,
+    and latest_state (keyed on id) is unaffected."""
+    r1 = {"id": 1, "v": "a", "amt": Decimal("1.00")}
+    r1b = {"id": 1, "v": "a2", "amt": Decimal("2.00")}
+    blob = build_binlog_file(
+        "d", "t", TARGET,
+        [
+            {"gno": 10, "op": "w", "rows": [r1]},
+            {"gno": 11, "op": "u", "rows": [({"id": 1}, r1b)],
+             "before_present": [0]},  # key column only
+        ],
+    )
+    out = decode_binlog_bytes(blob, TARGET, "d", "t")
+    assert [r["__op"] for r in out] == [1, 2, 3]
+    before = out[1]
+    assert before["id"] == 1 and before["v"] is None and before["amt"] is None
+    after = out[2]
+    assert after["v"] == "a2" and after["amt"] == Decimal("2.00")
