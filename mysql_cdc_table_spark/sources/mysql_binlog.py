@@ -35,11 +35,11 @@ a documented limitation, SURVEY §2A note).
 
 Type space (TABLE_MAP-driven, decode sized by metadata exactly like
 ``Field::unpack`` + ``calc_field_size`` — reference ``:151-156``):
-TINY SHORT LONG LONGLONG FLOAT DOUBLE NEWDECIMAL (full wire format:
-9-digit groups, sign-flipped first byte) VARCHAR BLOB DATE DATETIME2
-TIMESTAMP2 YEAR ENUM SET BIT. JSON's binary tree format and the
-spatial types are out of scope (documented; the envelope and packed
-paths carry JSON as text).
+TINY SHORT INT24 LONG LONGLONG FLOAT DOUBLE NEWDECIMAL (full wire
+format: 9-digit groups, sign-flipped first byte) VARCHAR BLOB DATE
+DATETIME2 TIMESTAMP2 TIME2 (signed offset-binary) YEAR ENUM SET BIT.
+JSON's binary tree format and the spatial types are out of scope
+(documented; the envelope and packed paths carry JSON as text).
 
 Scale: one binlog file is one sequential decode unit — the format is
 stateful (GTID and TABLE_MAP apply to subsequent events), exactly the
@@ -88,12 +88,14 @@ TY_LONG = 3
 TY_FLOAT = 4
 TY_DOUBLE = 5
 TY_LONGLONG = 8
+TY_INT24 = 9
 TY_DATE = 10
 TY_YEAR = 13
 TY_VARCHAR = 15
 TY_BIT = 16
 TY_TIMESTAMP2 = 17
 TY_DATETIME2 = 18
+TY_TIME2 = 19
 TY_NEWDECIMAL = 246
 TY_ENUM = 247  # only ever inside STRING metadata
 TY_SET = 248
@@ -257,6 +259,31 @@ def _decode_datetime2(buf: bytes, pos: int, fsp: int) -> tuple[_dt.datetime, int
     )
 
 
+_TIME_RE = re.compile(r"^(-)?(\d{1,3}):(\d{2}):(\d{2})$")
+
+
+def _encode_time2(v: str) -> bytes:
+    """TIME2 (fsp=0): 3 bytes offset-binary big-endian — value =
+    stored - 0x800000; packed = h<<12 | m<<6 | s; range ±838:59:59."""
+    m = _TIME_RE.match(v)
+    if not m:
+        raise ValueError(f"TIME value must be [-]H:MM:SS, got {v!r}")
+    neg, h, mi, s = m.group(1), int(m.group(2)), int(m.group(3)), int(m.group(4))
+    if h > 838 or mi > 59 or s > 59:
+        raise ValueError(f"TIME out of range: {v!r}")
+    packed = (h << 12) | (mi << 6) | s
+    stored = 0x800000 - packed if neg else 0x800000 + packed
+    return stored.to_bytes(3, "big")
+
+
+def _decode_time2(buf: bytes, pos: int) -> tuple[str, int]:
+    v = int.from_bytes(buf[pos : pos + 3], "big") - 0x800000
+    sign = "-" if v < 0 else ""
+    v = abs(v)
+    h, mi, s = v >> 12, (v >> 6) & 0x3F, v & 0x3F
+    return f"{sign}{h}:{mi:02d}:{s:02d}", pos + 3
+
+
 def _encode_timestamp2(v: _dt.datetime, fsp: int) -> bytes:
     secs = int(v.replace(tzinfo=_dt.timezone.utc).timestamp())
     out = secs.to_bytes(4, "big")
@@ -311,6 +338,10 @@ def _cols_from_schema(target: T.StructType) -> list[_Col]:
             cols.append(_Col(f.name, TY_BIT, bytes([bits % 8, bits // 8])))
         elif kind == "year":
             cols.append(_Col(f.name, TY_YEAR, b""))
+        elif kind == "mediumint":
+            cols.append(_Col(f.name, TY_INT24, b""))
+        elif kind == "time":
+            cols.append(_Col(f.name, TY_TIME2, bytes([0])))  # fsp=0
         elif isinstance(dt, T.ByteType):
             cols.append(_Col(f.name, TY_TINY, b""))
         elif isinstance(dt, T.ShortType):
@@ -352,6 +383,12 @@ def _encode_col(col: _Col, v) -> bytes:
         return struct.pack("<i", v)
     if tc == TY_LONGLONG:
         return struct.pack("<q", v)
+    if tc == TY_INT24:
+        if not -(1 << 23) <= v < (1 << 23):
+            raise ValueError(f"MEDIUMINT out of range: {v}")
+        return (v & 0xFFFFFF).to_bytes(3, "little")
+    if tc == TY_TIME2:
+        return _encode_time2(v)
     if tc == TY_FLOAT:
         return struct.pack("<f", v)
     if tc == TY_DOUBLE:
@@ -400,6 +437,11 @@ def _decode_col(col: _Col, buf: bytes, pos: int):
         return struct.unpack_from("<i", buf, pos)[0], pos + 4
     if tc == TY_LONGLONG:
         return struct.unpack_from("<q", buf, pos)[0], pos + 8
+    if tc == TY_INT24:
+        u = int.from_bytes(buf[pos : pos + 3], "little")
+        return (u - (1 << 24) if u >= (1 << 23) else u), pos + 3
+    if tc == TY_TIME2:
+        return _decode_time2(buf, pos)
     if tc == TY_FLOAT:
         return struct.unpack_from("<f", buf, pos)[0], pos + 4
     if tc == TY_DOUBLE:
@@ -460,6 +502,7 @@ _META_WIDTH = {
     TY_BIT: 2,
     TY_DATETIME2: 1,
     TY_TIMESTAMP2: 1,
+    TY_TIME2: 1,
     TY_STRING: 2,
 }
 

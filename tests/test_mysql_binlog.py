@@ -278,3 +278,29 @@ def test_minimal_row_image_updates():
     assert before["id"] == 1 and before["v"] is None and before["amt"] is None
     after = out[2]
     assert after["v"] == "a2" and after["amt"] == Decimal("2.00")
+
+
+def test_mediumint_and_time2_roundtrip():
+    """INT24 (MEDIUMINT, 3-byte LE signed) and TIME2 (offset-binary,
+    signed, ±838:59:59) survive the wire format at their boundaries."""
+    tgt = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("m", T.IntegerType(), metadata={"mysql_type": "mediumint"}),
+            T.StructField("t", T.StringType(), metadata={"mysql_type": "time"}),
+        ]
+    )
+    rows = [
+        {"id": 1, "m": (1 << 23) - 1, "t": "838:59:59"},
+        {"id": 2, "m": -(1 << 23), "t": "-838:59:59"},
+        {"id": 3, "m": -1, "t": "0:00:00"},
+        {"id": 4, "m": 0, "t": "-0:00:01"},
+        {"id": 5, "m": 12345, "t": "23:59:01"},
+    ]
+    blob = build_binlog_file("d", "t", tgt, [_txn(1, "w", rows)])
+    out = decode_binlog_bytes(blob, tgt, "d", "t")
+    assert [(r["m"], r["t"]) for r in out] == [(r["m"], r["t"]) for r in rows]
+    with pytest.raises(ValueError, match="out of range"):
+        build_binlog_file("d", "t", tgt, [_txn(1, "w", [{"id": 9, "m": 1 << 23, "t": "0:00:00"}])])
+    with pytest.raises(ValueError, match="TIME"):
+        build_binlog_file("d", "t", tgt, [_txn(1, "w", [{"id": 9, "m": 0, "t": "839:00:00"}])])
