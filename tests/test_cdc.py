@@ -298,3 +298,63 @@ def test_uuid_gno_gtid_decode_and_per_source_state(spark):
     one_src = cl.filter(F.col("__gtid_src") == "aaaa-bbbb").drop("__gtid_src")
     state = {r["id"]: r["v"] for r in latest_state(one_src, ["id"]).collect()}
     assert state == {1: "a2"}
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops_per_key=st.dictionaries(st.integers(1, 5), OPS, min_size=1, max_size=4))
+def test_scd2_interval_invariants(spark, ops_per_key):
+    """Property: for ANY generated op history, scd2 emits one interval
+    per surviving image; per key (ordered by valid_from) every non-last
+    interval is closed with valid_to <= the next valid_from (equality
+    unless a delete+reinsert gap intervenes), the chain ends open
+    exactly when the key is alive, and the last image equals
+    latest_state."""
+    from mysql_cdc_table_spark.cdc.ops import scd2
+
+    rows, gtid = [], 0
+    alive_keys: set[int] = set()
+    versions_per_key: dict[int, int] = {}
+    state: dict[int, tuple] = {}
+    for key in sorted(ops_per_key):
+        alive = False
+        for op in ops_per_key[key]:
+            gtid += 1
+            val = (key, f"v{gtid}", float(gtid))
+            if op == "insert" and not alive:
+                rows.append(_row(*val, CDC_INSERT, gtid))
+                state[key], alive = val, True
+                versions_per_key[key] = versions_per_key.get(key, 0) + 1
+            elif op == "update" and alive:
+                rows.append(_row(*state[key], CDC_UPDATE_BEFORE, gtid, image_seq=0))
+                rows.append(_row(*val, CDC_UPDATE_AFTER, gtid, image_seq=1))
+                state[key] = val
+                versions_per_key[key] = versions_per_key.get(key, 0) + 1
+            elif op == "delete" and alive:
+                rows.append(_row(*state[key], CDC_DELETE, gtid))
+                del state[key]
+                alive = False
+        if alive:
+            alive_keys.add(key)
+    if not rows:
+        return
+    cl = spark.createDataFrame(rows, CL_SCHEMA)
+    out = scd2(cl, ["id"]).collect()
+
+    per_key: dict[int, list] = {}
+    for r in out:
+        per_key.setdefault(r["id"], []).append(r)
+    assert {k: len(v) for k, v in per_key.items()} == versions_per_key
+    for key, ivs in per_key.items():
+        ivs.sort(key=lambda r: r["valid_from"])
+        for a, b in zip(ivs, ivs[1:]):
+            # closed, non-overlapping; a gap means a delete+reinsert
+            assert a["valid_to"] is not None
+            assert a["valid_to"] <= b["valid_from"], (key, a, b)
+            assert not a["is_current"]
+        last = ivs[-1]
+        if key in alive_keys:
+            assert last["is_current"] and last["valid_to"] is None
+            assert (last["id"], last["v"], last["amt"]) == state[key]
+        else:
+            # closed by a delete: valid_to set, nothing current
+            assert not last["is_current"] and last["valid_to"] is not None
