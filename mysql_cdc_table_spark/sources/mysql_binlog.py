@@ -912,7 +912,7 @@ def _decode_files(
 
 def mysql_binlog_read(
     spark: SparkSession,
-    path: str,
+    path: str | None,
     target: T.StructType,
     database: str,
     table: str,
@@ -931,6 +931,8 @@ def mysql_binlog_read(
     paths resolve against the index file's directory. The index is tiny
     (the reference also loads it whole) — only the listed files are
     opened."""
+    if (path is None) == (index_file is None):
+        raise ValueError("pass exactly one of path or index_file")
     if index_file is not None:
         import os
 

@@ -251,7 +251,7 @@ def test_index_file_defines_scan_set(spark, tmp_path):
         )
     (tmp_path / "binlog.index").write_text("binlog.000001\nbinlog.000003\n")
     df = mysql_binlog_read(
-        spark, "", TARGET, "d", "t", index_file=str(tmp_path / "binlog.index")
+        spark, None, TARGET, "d", "t", index_file=str(tmp_path / "binlog.index")
     )
     rows = sorted(df.collect(), key=lambda x: x["__file_seq"])
     assert [x["id"] for x in rows] == [1, 3]  # 000002 not listed -> not read
