@@ -101,14 +101,16 @@ def main() -> None:
     queries = dict(queries)
     queries["packed_binlog_scan"] = _packed_scan_query
 
-    # Two runs per query, report the warm one: the first run pays one-off
-    # whole-stage-codegen compilation + plan construction (~1-1.5s,
-    # measured), which a long-lived cluster amortizes away.
+    # Three runs per query, report the fastest warm one: the first run
+    # pays one-off whole-stage-codegen compilation + plan construction
+    # (~1-1.5s, measured), which a long-lived cluster amortizes away;
+    # min-of-3 also clips single-run GC/scheduler noise (measured ±15%
+    # between identical bench invocations on this box).
     times: dict[str, float] = {}
     for name in [*HEADLINE, "packed_binlog_scan"]:
         fn = queries[name]
         samples = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
