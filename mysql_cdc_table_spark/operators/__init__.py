@@ -20,6 +20,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # CORRECTNESS row come FIRST (round 1 verified the relational basics;
 # round 2 front-loads the CDC + LLM-pipeline surface and the fixed
 # scalar queries). Re-tune each round as rows turn green.
+#
+# Round-3 rotation plan (execute AFTER round-2 CORRECTNESS lands, keep
+# any still-red round-2 key in the window): promote functions.quality
+# (4), operators.late (4: lsh + 2 binlog + pq), the unseen scalars
+# (fn_json, fn_map_explode, fn_string..fn_try_ops), extras, analytics
+# (retention/sessionize/corpus_prep/ts_gap_fill/funnel/
+# cdc_compacted_state), then tpch q2..q22; the round-2-green cdc/dedup/
+# ann/text/mm/udf/stream blocks drop to the tail (their rows stand).
 _MODULES = (
     "mysql_cdc_table_spark.cdc.queries",
     "mysql_cdc_table_spark.functions.dedup",
