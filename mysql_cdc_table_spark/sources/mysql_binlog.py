@@ -698,12 +698,20 @@ def _detect_checksum(ev: bytes) -> bool:
 class _TableDef:
     """Reader-side table_def: decode layout from the TABLE_MAP itself
     (reference binlog_table_reader.cc:393-408), names/extras from the
-    user's target schema by POSITION (binlog carries no column names)."""
+    user's target schema by POSITION (binlog carries no column names).
+
+    Schema evolution: a TABLE_MAP with FEWER columns than the target is
+    accepted when its type codes are a prefix of the target's — the
+    add-column-at-end ALTER, the common evolution. Rows decoded under
+    the old layout surface the new columns as None. More columns than
+    the target (or a type change) still raises: decoding those by
+    position would silently misalign values."""
 
     def __init__(self, db: str, table: str, types: bytes, metas: list[bytes], target_cols: list[_Col]):
-        if len(types) != len(target_cols):
+        if len(types) > len(target_cols):
             raise ValueError(
-                f"TABLE_MAP has {len(types)} columns; target schema has {len(target_cols)}"
+                f"TABLE_MAP has {len(types)} columns; target schema has "
+                f"{len(target_cols)} — pass the stream's LATEST schema"
             )
         self.db, self.table = db, table
         self.cols = []

@@ -304,3 +304,27 @@ def test_mediumint_and_time2_roundtrip():
         build_binlog_file("d", "t", tgt, [_txn(1, "w", [{"id": 9, "m": 1 << 23, "t": "0:00:00"}])])
     with pytest.raises(ValueError, match="TIME"):
         build_binlog_file("d", "t", tgt, [_txn(1, "w", [{"id": 9, "m": 0, "t": "839:00:00"}])])
+
+
+def test_schema_evolution_add_column():
+    """ALTER TABLE ADD COLUMN mid-stream: events decoded under the old
+    TABLE_MAP (a type-code prefix of the target) surface the new column
+    as None; post-ALTER events carry it. A map with MORE columns than
+    the target still raises (positional misalignment hazard)."""
+    old = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    blob_old = build_binlog_file("d", "t", old, [_txn(1, "w", [{"id": 1, "v": "a"}])])
+    blob_new = build_binlog_file(
+        "d", "t", TARGET,
+        [_txn(2, "w", [{"id": 2, "v": "b", "amt": Decimal("2.50")}])],
+    )
+    stream = blob_old + blob_new[4:]
+    out = decode_binlog_bytes(stream, TARGET, "d", "t")
+    assert [(r["id"], r["v"], r.get("amt")) for r in out] == [
+        (1, "a", None),
+        (2, "b", Decimal("2.50")),
+    ]
+    # reverse direction: target older than the stream -> error
+    with pytest.raises(ValueError, match="LATEST schema"):
+        decode_binlog_bytes(stream, old, "d", "t")
