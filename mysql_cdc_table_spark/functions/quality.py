@@ -341,11 +341,88 @@ FROM g GROUP BY 1
 """
 
 
+MIX_KEEP_TOTAL = 10_000  # corpus budget for temperature mixing
+
+
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed (alpha=0.5) domain mixing: each source gets
+    a share of a fixed budget proportional to sqrt(stratum size) — the
+    standard up-weighting of small domains — filled deterministically by
+    portable-hash rank. All share arithmetic is INTEGER (w = floor(sqrt
+    (n)), target = w*BUDGET div sum(w)): sqrt is correctly rounded in
+    IEEE so floor(sqrt) is engine-identical, and the integer division
+    avoids the cross-engine float-sum-order trap entirely.
+
+    Same shuffle shape as corpus_mix_equalize (one per-source ranking +
+    a broadcast share table); emits the per-source manifest."""
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("cnt"))
+    weights = counts.withColumn(
+        "w", F.floor(F.sqrt(F.col("cnt"))).cast("long")
+    )
+    total_w = weights.agg(F.sum("w").alias("tw"))
+    shares = (
+        weights.join(F.broadcast(total_w))
+        .withColumn(
+            "target", F.expr(f"(w * {MIX_KEEP_TOTAL}) div tw")
+        )
+        .select("source", "cnt", "target")
+    )
+    ranked = d.select(
+        "doc_id",
+        "source",
+        ((F.col("doc_id") * 2654435761) % 1000003).alias("slot"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy("slot", "doc_id")
+        ),
+    )
+    kept = ranked.join(F.broadcast(shares), "source").filter(
+        F.col("rk") <= F.col("target")
+    )
+    return kept.groupBy("source").agg(
+        F.max("cnt").alias("n_total"),
+        F.max("target").alias("share_target"),
+        F.count("*").alias("n_kept"),
+    )
+
+
+CORPUS_MIX_TEMPERATURE_SQL = f"""
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+  FROM documents GROUP BY source
+),
+s AS (
+  SELECT source, cnt,
+         CAST((w * {MIX_KEEP_TOTAL}) // (SELECT sum(w) FROM c) AS BIGINT)
+           AS target
+  FROM c
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS rk
+  FROM documents
+)
+SELECT r.source,
+       CAST(max(s.cnt) AS BIGINT) AS n_total,
+       CAST(max(s.target) AS BIGINT) AS share_target,
+       CAST(count(*) AS BIGINT) AS n_kept
+FROM r JOIN s ON r.source = s.source
+WHERE r.rk <= s.target
+GROUP BY r.source
+"""
+
+
 QUERIES = {
     "text_pii_scrub": text_pii_scrub,
     "text_repetition_score": text_repetition_score,
     "corpus_mix_equalize": corpus_mix_equalize,
     "shard_manifest": shard_manifest,
+    "corpus_mix_temperature": corpus_mix_temperature,
 }
 
 ORACLES = {
@@ -353,4 +430,5 @@ ORACLES = {
     "text_repetition_score": TEXT_REPETITION_SCORE_SQL,
     "corpus_mix_equalize": CORPUS_MIX_EQUALIZE_SQL,
     "shard_manifest": SHARD_MANIFEST_SQL,
+    "corpus_mix_temperature": CORPUS_MIX_TEMPERATURE_SQL,
 }

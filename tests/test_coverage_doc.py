@@ -108,6 +108,6 @@ def test_driver_window_composition():
     assert not missing, f"planned keys fell out of the driver window: {missing}"
     # late additions must stay OUT of the window until rotated on purpose
     for k in ("text_pii_scrub", "text_repetition_score", "corpus_mix_equalize",
-              "shard_manifest", "ann_lsh_rp_topk", "ann_ivf_pq_topk",
-              "cdc_mysql_binlog_roundtrip"):
+              "corpus_mix_temperature", "shard_manifest", "ann_lsh_rp_topk",
+              "ann_ivf_pq_topk", "cdc_mysql_binlog_roundtrip"):
         assert k in keys and k not in window, f"late-add {k} shifted the window"

@@ -423,3 +423,30 @@ def test_lsh_rp_mechanism_and_recall(spark, sf_dir):
     exact = {r["vec_id"] for r in ann_cosine_topk(spark, sf_dir).collect()}
     hits = exact & {r["vec_id"] for r in got}
     assert hits, "LSH top-k shares nothing with exact top-20"
+
+
+def test_mix_temperature_shares(spark, sf_dir):
+    """Share targets follow integer sqrt weights; kept counts equal the
+    target (capped by stratum size); smaller strata get a LARGER share
+    relative to their size than big ones (the point of temperature)."""
+    import math
+
+    from collections import Counter
+
+    from mysql_cdc_table_spark.functions.quality import (
+        MIX_KEEP_TOTAL,
+        corpus_mix_temperature,
+    )
+    from mysql_cdc_table_spark.operators._util import t
+
+    totals = Counter(
+        r["source"] for r in t(spark, sf_dir, "documents").select("source").collect()
+    )
+    w = {s: math.isqrt(n) for s, n in totals.items()}
+    tw = sum(w.values())
+    rows = {r["source"]: r for r in corpus_mix_temperature(spark, sf_dir).collect()}
+    assert set(rows) <= set(totals)
+    for s, r in rows.items():
+        assert r["n_total"] == totals[s]
+        assert r["share_target"] == w[s] * MIX_KEEP_TOTAL // tw
+        assert r["n_kept"] == min(r["share_target"], totals[s])
