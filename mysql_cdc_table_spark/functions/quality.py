@@ -1,9 +1,10 @@
 """Corpus-quality operators: PII scrubbing, repetition-based quality
-filtering, and source-mixture equalization — the curation stages a
-training-data pipeline runs between ingestion and sharding.
+filtering, source-mixture rebalancing (equalize + temperature), and
+shard-manifest packing — the curation stages a training-data pipeline
+runs between ingestion and sharding.
 
-All three stay JVM-side (regexp_*, explode + grouped aggs, one window)
-— no Python in the row path. Each has an exact DuckDB oracle:
+All stay JVM-side (regexp_*, explode + grouped aggs, windows) — no
+Python in the row path. Each has an exact DuckDB oracle:
 
 - PII scrub builds a deterministic PII-bearing fixture from ``doc_id``
   (the synthetic corpus itself is digit-free), so the regex semantics
@@ -12,8 +13,12 @@ All three stay JVM-side (regexp_*, explode + grouped aggs, one window)
   integer counts and integer-inequality flags — zero float in the
   compare, so cross-engine parity is exact by construction.
 - Mixture equalization downsamples every source stratum to the global
-  minimum stratum size with a portable-hash ranking, the deterministic
-  version of "rebalance the domain mix".
+  minimum stratum size with a portable-hash ranking; temperature
+  mixing smooths shares by sqrt(stratum size) with integer-exact
+  arithmetic — the two deterministic versions of "rebalance the
+  domain mix".
+- The shard manifest packs documents into fixed-token-budget shards
+  with a two-level distributed prefix sum.
 
 Reference parity: this surface is reached through MySQL's SQL layer in
 the reference (the plugin contributes only the scan —
