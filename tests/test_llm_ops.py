@@ -450,3 +450,64 @@ def test_mix_temperature_shares(spark, sf_dir):
         assert r["n_total"] == totals[s]
         assert r["share_target"] == w[s] * MIX_KEEP_TOTAL // tw
         assert r["n_kept"] == min(r["share_target"], totals[s])
+
+
+def test_pii_regex_subset_parity_adversarial(spark):
+    """The PII patterns claim a Java-regex ∩ RE2 common subset. Verify
+    on adversarial strings (not just the digit-free corpus): multiple
+    hits, boundary positions, unicode neighbors, near-misses like
+    999.999.999.999 (still matches \\d{1,3} thrice), IPs embedded in
+    version strings, emails with +tags and trailing dots."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.functions.quality import EMAIL_RE, IP_RE, PHONE_RE
+
+    cases = [
+        "a@b.co x@y.io two emails",
+        "ip 10.0.0.1 and 999.999.999.999 and 1.2.3.4.5",
+        "call +1-555-0100 or +49-123-4567 done",
+        "email+tag@sub.domain.example.com.",
+        "@nope.com user@ .com a@b",
+        "v1.2.3.4 release",
+        "ünïcödé user1@mail.example.com tail",
+        "edge@case.io",
+        "10.1.2.3",
+        "+1-555-0000",
+        "nested user@[10.0.0.1] bracket",
+        "dots..everywhere..a@b.cc..",
+        "phone+1-555-123x suffix +12-345-6789 y",
+        "",
+        "no pii at all",
+    ]
+    pdf = pd.DataFrame({"i": range(len(cases)), "s": cases})
+
+    def spark_scrub():
+        df = spark.createDataFrame(pdf)
+        clean = F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("s"), EMAIL_RE, "<EMAIL>"),
+                PHONE_RE,
+                "<PHONE>",
+            ),
+            IP_RE,
+            "<IP>",
+        )
+        return {r["i"]: r["c"] for r in df.select("i", clean.alias("c")).collect()}
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    duck = {
+        i: c
+        for i, c in con.execute(
+            f"""SELECT i, regexp_replace(regexp_replace(regexp_replace(
+                    s, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{PHONE_RE}', '<PHONE>', 'g'),
+                       '{IP_RE}', '<IP>', 'g') FROM t"""
+        ).fetchall()
+    }
+    got = spark_scrub()
+    assert got == duck, {
+        i: (got[i], duck[i]) for i in got if got[i] != duck[i]
+    }
