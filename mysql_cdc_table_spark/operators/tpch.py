@@ -242,7 +242,106 @@ GROUP BY c_nationkey
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive range filters + one
+    global agg — the pushdown benchmark (every predicate reaches the
+    parquet scan; no join, no shuffle beyond the 1-row final agg)."""
+    li = t(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.04 AND l_discount <= 0.06
+  AND l_quantity < 24
+"""
+
+
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode -> linestatus adaptation): join orders
+    to date-windowed lineitems, conditional counts per group (the
+    sum-of-CASE pattern on a fact-fact join)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    o = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar average — lineitems below 20%
+    of their part's mean quantity, for one brand slice (decorrelated to
+    a grouped-avg join; the per-part avg side broadcasts)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#17")
+    avg_q = li.groupBy(F.col("l_partkey").alias("aq_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("q_cut")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(avg_q), F.col("l_partkey") == F.col("aq_partkey"))
+        .filter(F.col("l_quantity") < F.col("q_cut"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem l
+JOIN part ON p_partkey = l.l_partkey AND p_brand = 'Brand#17'
+WHERE l.l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem
+                      WHERE l_partkey = l.l_partkey)
+"""
+
+
 QUERIES = {
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q12_priority_by_status": q12_priority_by_status,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume": q18_large_volume,
     "q22_idle_rich_customers": q22_idle_rich_customers,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -253,6 +352,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q6_forecast_revenue": Q6_SQL,
+    "q12_priority_by_status": Q12_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
     "q18_large_volume": Q18_SQL,
     "q22_idle_rich_customers": Q22_SQL,
     "q2_min_cost_supplier": Q2_SQL,
