@@ -338,7 +338,52 @@ WHERE l.l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem
 """
 
 
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: double correlation — suppliers who were the
+    ONLY late shipper on a multi-supplier order (EXISTS another
+    supplier's line + NOT EXISTS another supplier's late line).
+    Decorrelated here to one per-order aggregate joined back (late flag
+    by shipdate window stands in for the receipt/commit comparison the
+    test schema lacks); the DuckDB oracle keeps the literal
+    EXISTS/NOT EXISTS form, so both rewrites must agree."""
+    li = t(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") >= F.lit("1998-06-01")
+    per_order = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    return (
+        li.filter(late)
+        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .select("l_suppkey", "l_orderkey")
+        .distinct()
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("l_suppkey"))
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+SELECT l1.l_suppkey, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+FROM lineitem l1
+WHERE l1.l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate >= TIMESTAMP '1998-06-01 00:00:00')
+GROUP BY l1.l_suppkey
+ORDER BY numwait DESC, l1.l_suppkey
+LIMIT 20
+"""
+
+
 QUERIES = {
+    "q21_sole_late_supplier": q21_sole_late_supplier,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q12_priority_by_status": q12_priority_by_status,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -352,6 +397,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q21_sole_late_supplier": Q21_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "q12_priority_by_status": Q12_SQL,
     "q17_small_quantity_revenue": Q17_SQL,
