@@ -332,13 +332,16 @@ CDC_KAFKA_ENVELOPE_DECODE_SQL = CDC_CHANGELOG_SCAN_SQL
 
 def cdc_packed_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end proof of the packed codec over the MySQL-only column
-    kinds (DECIMAL + ENUM + BIT + JSON — the reference's Field::unpack
-    type space, binlog_table_reader.cc:151-156): build a typed changelog
-    from ``orders``, encode it to packed binary events and decode it back
-    — both DISTRIBUTED mapInPandas stages, no driver hop — then aggregate.
-    The oracle computes the same aggregate straight from ``orders``: any
-    codec bit-rot (enum index off-by-one, decimal scale, bitmask order)
-    breaks the value hash."""
+    kinds (DECIMAL + ENUM + BIT + JSON + GEOMETRY — the reference's
+    Field::unpack type space, binlog_table_reader.cc:151-156): build a
+    typed changelog from ``orders``, encode it to packed binary events
+    and decode it back — both DISTRIBUTED mapInPandas stages, no driver
+    hop — then aggregate. The oracle computes the same aggregate
+    straight from ``orders``: any codec bit-rot (enum index off-by-one,
+    decimal scale, bitmask order, binary length framing) breaks the
+    value hash. GEOMETRY is an opaque SRID+WKB byte passthrough (SURVEY
+    §1.3); here the bytes are deterministic per key so their length sum
+    and distinct count land in the hash."""
     from pyspark.sql import types as T
 
     from mysql_cdc_table_spark.operators._util import t
@@ -358,6 +361,7 @@ def cdc_packed_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             T.StructField("bits", T.LongType(), metadata={"mysql_type": "bit"}),
             T.StructField("props", T.StringType(), metadata={"mysql_type": "json"}),
+            T.StructField("geo", T.BinaryType(), metadata={"mysql_type": "geometry"}),
         ]
     )
     base = t(spark, sf_dir, "orders").select(
@@ -366,6 +370,10 @@ def cdc_packed_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
         (F.col("o_custkey") % 8).alias("bits"),
         F.to_json(F.struct(F.col("o_orderpriority").alias("p"))).alias("props"),
+        F.encode(
+            F.concat(F.lit("PT:"), (F.col("o_orderkey") % 100).cast("string")),
+            "UTF-8",
+        ).alias("geo"),
     )
 
     def with_meta(df: DataFrame, op: int, gtid_off: int) -> DataFrame:
@@ -401,6 +409,8 @@ def cdc_packed_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("price").cast("double").alias("sum_price"),
         F.sum("bits").alias("sum_bits"),
         F.min("props").alias("min_props"),
+        F.sum(F.length("geo")).cast("long").alias("geo_len_sum"),
+        F.countDistinct("geo").alias("n_geo"),
     )
 
 
@@ -410,21 +420,24 @@ WITH base AS (
          CAST(round(o_totalprice, 2) AS DECIMAL(12,2)) AS price,
          o_orderstatus AS status,
          o_custkey % 8 AS bits,
-         json_object('p', o_orderpriority) AS props
+         json_object('p', o_orderpriority) AS props,
+         encode('PT:' || CAST(o_orderkey % 100 AS VARCHAR)) AS geo
   FROM orders
 ),
 cl AS (
-  SELECT status, 1 AS op, price, bits, props FROM base
+  SELECT status, 1 AS op, price, bits, props, geo FROM base
   UNION ALL
-  SELECT status, 2, price, bits, props FROM base WHERE id % 10 = 0
+  SELECT status, 2, price, bits, props, geo FROM base WHERE id % 10 = 0
   UNION ALL
-  SELECT status, 3, price + CAST(1 AS DECIMAL(12,2)), bits, props
+  SELECT status, 3, price + CAST(1 AS DECIMAL(12,2)), bits, props, geo
   FROM base WHERE id % 10 = 0
 )
 SELECT status, op, count(*) AS n,
        CAST(sum(price) AS DOUBLE) AS sum_price,
        CAST(sum(bits) AS BIGINT) AS sum_bits,
-       CAST(min(props) AS VARCHAR) AS min_props
+       CAST(min(props) AS VARCHAR) AS min_props,
+       CAST(sum(octet_length(geo)) AS BIGINT) AS geo_len_sum,
+       CAST(count(DISTINCT geo) AS BIGINT) AS n_geo
 FROM cl GROUP BY status, op
 """
 

@@ -324,6 +324,7 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     if prev_sum is not None:  # empty graph -> nothing to propagate
+        converged = False
         for _ in range(CC_MAX_ITERS):
             nbr = (
                 edges.join(labels, edges["dst"] == labels["node"])
@@ -338,8 +339,20 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
             if cur_sum == prev_sum:
+                converged = True
                 break
             prev_sum = cur_sum
+        if not converged:
+            # the cap exists to bound pathological chains; exiting with
+            # a still-moving labelling would silently return WRONG
+            # cluster ids (diverging from the exact recursive-CTE
+            # oracle), so fail loudly instead
+            edges.unpersist()
+            raise RuntimeError(
+                f"connected-components did not converge in {CC_MAX_ITERS} "
+                "iterations (component diameter exceeds the cap); raise "
+                "CC_MAX_ITERS or pre-contract the edge list"
+            )
     edges.unpersist()
     from pyspark.sql import Window
 

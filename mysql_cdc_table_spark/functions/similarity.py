@@ -161,19 +161,29 @@ KNN_K = 5
 KNN_QUERY_STRIDE = 50  # query set = every 50th vector (deterministic sample)
 
 
-def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_knn_join(
+    spark: SparkSession, sf_dir: str, broadcast_queries: bool = False
+) -> DataFrame:
     """Blocked k-NN JOIN: for every query vector (a deterministic 1-in-50
     sample), the top-5 cosine neighbours among vectors sharing its label
     block. This is the set-to-set version of ann_cosine_topk — the shape
     a training pipeline uses to attach nearest neighbours to every
     example, not just one probe.
 
-    Scale design: the sampled query side is small, so it broadcasts; the
-    big side streams map-side through the block-equality join (label =
-    qlabel prunes candidates the way an IVF cell does), and the only
-    shuffle is the per-query top-k window keyed on qid — high
-    cardinality, skew-free. Swap the label block for kmeans_cells cids
-    and the same plan is a trained-IVF k-NN join."""
+    Scale design: the candidate join is a plain EQUI-join on the block
+    key (label = qlabel prunes candidates the way an IVF cell does;
+    vec_id != qid is a post-filter), so the physical strategy is
+    Catalyst's choice. ``broadcast_queries=True`` forces a broadcast —
+    right ONLY for a fixed, small probe set. The default leaves the
+    hint off: here the query side is a 1-in-50 sample that GROWS WITH
+    THE CORPUS, and a forced broadcast of a corpus-proportional side
+    OOMs the executors at 100x scale — instead AQE's runtime stats pick
+    broadcast while the sample is genuinely small and fall back to a
+    shuffle join on the block key once it isn't (plan-audited in
+    test_plan_audit.py). The remaining shuffle is the per-query top-k
+    window keyed on qid — high cardinality, skew-free. Swap the label
+    block for kmeans_cells cids and the same plan is a trained-IVF
+    k-NN join."""
     from pyspark.sql import Window
 
     e = t(spark, sf_dir, "embeddings").select(
@@ -188,9 +198,11 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qv"),
         F.col("nrm").alias("qnrm"),
     )
+    if broadcast_queries:
+        q = F.broadcast(q)
     scored = (
         e.join(
-            F.broadcast(q),
+            q,
             (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("qid")),
         )
         .select(

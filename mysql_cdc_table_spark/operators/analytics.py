@@ -272,7 +272,13 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = t(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("us"), "value"
+        "user_id",
+        "event_id",
+        # events.ts may arrive as TIMESTAMP_NTZ; the session TZ is pinned
+        # to UTC, so the cast is wall-clock-preserving and unix_micros
+        # stays exactly DuckDB's epoch_us
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "value",
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     flagged = e.withColumn(

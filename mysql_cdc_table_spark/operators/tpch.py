@@ -417,28 +417,33 @@ ORDER BY custdist DESC, c_count DESC
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: revenue view + scalar-max equality — suppliers
-    whose windowed revenue equals the global maximum. The revenue sums
-    are exact multiples of 1e-4 (2-dec x 2-dec products), so the
-    cross-engine float equality on max is stable by construction."""
+    whose windowed revenue equals the global maximum. The tie is taken
+    on EXACT integer ten-thousandths (price and discount are 2-dec, so
+    each product is a multiple of 1e-4): float summation order can
+    form/break an exact-equality tie across engines, an integer sum
+    cannot. The displayed total_revenue is the one int64->double
+    conversion, identical on both sides."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01"))
         & (F.col("l_shipdate") < F.lit("1997-04-01"))
     )
-    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "total_revenue"
-        )
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round((1 - F.col("l_discount")) * 100).cast("long")
     )
-    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(rev_e4).alias("rev_i")
+    )
+    mx = rev.agg(F.max("rev_i").alias("mx"))
     s = t(spark, sf_dir, "supplier")
     return (
         rev.join(F.broadcast(mx))
-        .filter(F.col("total_revenue") == F.col("mx"))
+        .filter(F.col("rev_i") == F.col("mx"))
         .join(s, F.col("supplier_no") == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
-            F.round(F.col("total_revenue"), 2).alias("total_revenue"),
+            (F.col("rev_i") / F.lit(10000.0)).alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )
@@ -447,15 +452,16 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q15_SQL = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS rev_i
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
     AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+SELECT s_suppkey, s_name, rev_i / 10000.0 AS total_revenue
 FROM supplier JOIN revenue ON s_suppkey = supplier_no
-WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+WHERE rev_i = (SELECT max(rev_i) FROM revenue)
 ORDER BY s_suppkey
 """
 

@@ -128,8 +128,16 @@ def _parse_ddl(ddl: str) -> T.StructType:
 # end) and emits one InputPartition per group of sync intervals, so scan
 # parallelism tracks data volume, not file count. Files without the
 # magic trailer (foreign/legacy) degrade to one partition per file.
+#
+# The trailing magic doubles as the FRAME-LAYOUT VERSION: "PBLOGSY2" =
+# current 4-varint frame header (gtid, ts, event_seq, image_base).
+# "PBLOGSYX" files predate the image_base varint — parsing them with
+# the current layout would consume the payload's table_id varint as
+# image_base and silently decode garbage, so they are REJECTED with a
+# pointed error instead.
 
-_FOOTER_MAGIC = b"PBLOGSYX"
+_FOOTER_MAGIC = b"PBLOGSY2"
+_FOOTER_MAGIC_V1 = b"PBLOGSYX"
 SYNC_EVERY = 1024  # frames per sync point
 _SYNCS_PER_SPLIT = 32  # ~32k events per scan task
 
@@ -180,6 +188,13 @@ def _read_sync_footer(path: str) -> tuple[int, list[int]] | None:
     with open(path, "rb") as f:
         f.seek(size - 12)
         tail = f.read(12)
+        if tail[4:] == _FOOTER_MAGIC_V1:
+            raise ValueError(
+                f"{path} was written with the v1 packed frame layout "
+                "(no image_base varint); decoding it with the current "
+                "layout would misalign every frame — rewrite it with "
+                "the current writer"
+            )
         if tail[4:] != _FOOTER_MAGIC:
             return None
         footer_len = int.from_bytes(tail[:4], "little")

@@ -37,9 +37,12 @@ Type space (TABLE_MAP-driven, decode sized by metadata exactly like
 ``Field::unpack`` + ``calc_field_size`` — reference ``:151-156``):
 TINY SHORT INT24 LONG LONGLONG FLOAT DOUBLE NEWDECIMAL (full wire
 format: 9-digit groups, sign-flipped first byte) VARCHAR BLOB DATE
-DATETIME2 TIMESTAMP2 TIME2 (signed offset-binary) YEAR ENUM SET BIT.
-JSON's binary tree format and the spatial types are out of scope
-(documented; the envelope and packed paths carry JSON as text).
+DATETIME2 TIMESTAMP2 TIME2 (signed offset-binary) YEAR ENUM SET BIT
+JSON (the binary tree format, type 245 — decoded to canonical compact
+JSON text) GEOMETRY (type 255 — SRID-prefixed WKB, BinaryType
+passthrough per SURVEY §1.3). Payload-bearing events the reader can't
+decode (TRANSACTION_PAYLOAD compressed transactions, pre-5.6 rows-v1,
+PARTIAL_UPDATE_ROWS) raise instead of silently skipping.
 
 Scale: one binlog file is one sequential decode unit — the format is
 stateful (GTID and TABLE_MAP apply to subsequent events), exactly the
@@ -76,10 +79,31 @@ EV_ROTATE = 4
 EV_FORMAT_DESCRIPTION = 15
 EV_XID = 16
 EV_TABLE_MAP = 19
+EV_WRITE_ROWS_V1 = 23
+EV_UPDATE_ROWS_V1 = 24
+EV_DELETE_ROWS_V1 = 25
 EV_WRITE_ROWS_V2 = 30
 EV_UPDATE_ROWS_V2 = 31
 EV_DELETE_ROWS_V2 = 32
 EV_GTID = 33
+EV_PARTIAL_UPDATE_ROWS = 39
+EV_TRANSACTION_PAYLOAD = 40
+
+# Payload-bearing event types this reader does NOT decode. The reference
+# default-skips every unknown type (binlog_table_reader.cc:427-428) —
+# combined with MySQL 8.0.20+ binlog_transaction_compression that turns
+# "unsupported" into "silently empty changelog", so we raise instead.
+# Genuinely ignorable types (ROTATE/XID/QUERY/STOP/HEARTBEAT/
+# PREVIOUS_GTIDS/ANONYMOUS_GTID/...) still skip.
+_UNSUPPORTED_PAYLOAD_EVENTS = {
+    EV_WRITE_ROWS_V1: "WRITE_ROWS_EVENT v1 (pre-5.6 format)",
+    EV_UPDATE_ROWS_V1: "UPDATE_ROWS_EVENT v1 (pre-5.6 format)",
+    EV_DELETE_ROWS_V1: "DELETE_ROWS_EVENT v1 (pre-5.6 format)",
+    EV_PARTIAL_UPDATE_ROWS: "PARTIAL_UPDATE_ROWS_EVENT "
+    "(binlog_row_value_options=PARTIAL_JSON)",
+    EV_TRANSACTION_PAYLOAD: "TRANSACTION_PAYLOAD_EVENT "
+    "(binlog_transaction_compression=ON, MySQL 8.0.20+)",
+}
 
 # column type codes (public)
 TY_TINY = 1
@@ -96,11 +120,13 @@ TY_BIT = 16
 TY_TIMESTAMP2 = 17
 TY_DATETIME2 = 18
 TY_TIME2 = 19
+TY_JSON = 245
 TY_NEWDECIMAL = 246
 TY_ENUM = 247  # only ever inside STRING metadata
 TY_SET = 248
 TY_BLOB = 252
 TY_STRING = 254
+TY_GEOMETRY = 255
 
 _HEADER = struct.Struct("<IBIIIH")  # ts, type, server_id, size, log_pos, flags
 _HEADER_LEN = 19
@@ -149,7 +175,9 @@ def _dec_bin_size(precision: int, scale: int) -> int:
 
 def _encode_newdecimal(v: Decimal, precision: int, scale: int) -> bytes:
     neg = v < 0
-    unscaled = int(abs(v).scaleb(scale, context=_CTX).to_integral_value(context=_CTX))
+    # copy_abs() is context-free; abs() would round through the default
+    # 28-digit context and corrupt DECIMAL(38,s) values.
+    unscaled = int(v.copy_abs().scaleb(scale, context=_CTX).to_integral_value(context=_CTX))
     digits = str(unscaled).rjust(precision, "0")
     intg = precision - scale
     ipart, fpart = digits[: len(digits) - scale], digits[len(digits) - scale :]
@@ -301,7 +329,179 @@ def _decode_timestamp2(buf: bytes, pos: int, fsp: int) -> tuple[_dt.datetime, in
     if nb:
         micro = int.from_bytes(buf[pos : pos + nb], "big") * (10 ** (6 - fsp))
         pos += nb
-    return _dt.datetime.utcfromtimestamp(secs).replace(microsecond=micro), pos
+    return (
+        _dt.datetime.fromtimestamp(secs, _dt.timezone.utc)
+        .replace(tzinfo=None, microsecond=micro),
+        pos,
+    )
+
+
+# --- MySQL binary JSON (column type 245) -------------------------------------
+# The JSON column's binlog value is a length-prefixed blob holding
+# MySQL's binary JSON tree (public format: sql/json_binary.h docs; the
+# same layout every replication client decodes). The reference gets this
+# free through Field::unpack (binlog_table_reader.cc:151-156); here the
+# tree is decoded back to canonical compact JSON text. Layout:
+#   doc       ::= type(1) value
+#   small obj ::= count(2) size(2) key-entry* value-entry* keys values
+#   key-entry ::= key-offset(2) key-length(2)
+#   value-entry ::= type(1) offset-or-inlined(2)
+#   large variants use 4-byte counts/offsets (value-entry field is 4).
+# Literals/int16/uint16 inline into the offset field (plus int32/uint32
+# in the large format); offsets are relative to the container start.
+# Object keys are stored sorted by (length, bytes) — MySQL's canonical
+# key order — and strings carry a 7-bit varint length.
+
+_JS_SMALL_OBJ, _JS_LARGE_OBJ, _JS_SMALL_ARR, _JS_LARGE_ARR = 0, 1, 2, 3
+_JS_LITERAL, _JS_INT16, _JS_UINT16, _JS_INT32, _JS_UINT32 = 4, 5, 6, 7, 8
+_JS_INT64, _JS_UINT64, _JS_DOUBLE, _JS_STRING = 9, 10, 11, 12
+_JS_LIT = {0: None, 1: True, 2: False}
+
+
+def _jsonb_varlen(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _jsonb_read_varlen(buf: bytes, pos: int) -> tuple[int, int]:
+    n = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, pos
+        shift += 7
+
+
+def _jsonb_encode_value(v) -> tuple[int, bytes]:
+    """-> (type code, payload). Literal payload is the 1-byte code; the
+    container inlines literal/int16/uint16 into the entry field."""
+    if v is None or v is True or v is False:
+        return _JS_LITERAL, bytes([0 if v is None else (1 if v is True else 2)])
+    if isinstance(v, int):
+        if -(1 << 15) <= v < 1 << 15:
+            return _JS_INT16, struct.pack("<h", v)
+        if -(1 << 31) <= v < 1 << 31:
+            return _JS_INT32, struct.pack("<i", v)
+        return _JS_INT64, struct.pack("<q", v)
+    if isinstance(v, float):
+        return _JS_DOUBLE, struct.pack("<d", v)
+    if isinstance(v, str):
+        raw = v.encode("utf-8")
+        return _JS_STRING, _jsonb_varlen(len(raw)) + raw
+    if isinstance(v, list):
+        return _JS_SMALL_ARR, _jsonb_container(
+            [(None, x) for x in v], is_obj=False
+        )
+    if isinstance(v, dict):
+        items = sorted(
+            v.items(), key=lambda kv: (len(kv[0].encode()), kv[0].encode())
+        )
+        return _JS_SMALL_OBJ, _jsonb_container(items, is_obj=True)
+    raise TypeError(f"unsupported JSON value {type(v).__name__}")
+
+
+def _jsonb_container(items: list, is_obj: bool) -> bytes:
+    n = len(items)
+    keys = [k.encode("utf-8") for k, _ in items] if is_obj else []
+    encoded = [_jsonb_encode_value(x) for _, x in items]
+    header = 4 + (4 * n if is_obj else 0) + 3 * n
+    off = header
+    koffs = []
+    for kb in keys:
+        koffs.append(off)
+        off += len(kb)
+    entries = bytearray()
+    payload = bytearray()
+    for tc, pl in encoded:
+        entries.append(tc)
+        if tc == _JS_LITERAL:
+            entries += struct.pack("<H", pl[0])
+        elif tc in (_JS_INT16, _JS_UINT16):
+            entries += pl
+        else:
+            entries += struct.pack("<H", off)
+            payload += pl
+            off += len(pl)
+    out = struct.pack("<HH", n, off)
+    for ko, kb in zip(koffs, keys):
+        out += struct.pack("<HH", ko, len(kb))
+    return out + bytes(entries) + b"".join(keys) + bytes(payload)
+
+
+def _jsonb_decode_at(tc: int, buf: bytes, pos: int):
+    if tc == _JS_LITERAL:
+        return _JS_LIT[buf[pos]]
+    if tc == _JS_INT16:
+        return struct.unpack_from("<h", buf, pos)[0]
+    if tc == _JS_UINT16:
+        return struct.unpack_from("<H", buf, pos)[0]
+    if tc == _JS_INT32:
+        return struct.unpack_from("<i", buf, pos)[0]
+    if tc == _JS_UINT32:
+        return struct.unpack_from("<I", buf, pos)[0]
+    if tc == _JS_INT64:
+        return struct.unpack_from("<q", buf, pos)[0]
+    if tc == _JS_UINT64:
+        return struct.unpack_from("<Q", buf, pos)[0]
+    if tc == _JS_DOUBLE:
+        return struct.unpack_from("<d", buf, pos)[0]
+    if tc == _JS_STRING:
+        ln, p = _jsonb_read_varlen(buf, pos)
+        return buf[p : p + ln].decode("utf-8")
+    if tc in (_JS_SMALL_OBJ, _JS_LARGE_OBJ, _JS_SMALL_ARR, _JS_LARGE_ARR):
+        small = tc in (_JS_SMALL_OBJ, _JS_SMALL_ARR)
+        is_obj = tc in (_JS_SMALL_OBJ, _JS_LARGE_OBJ)
+        w = 2 if small else 4
+        fmt = "<H" if small else "<I"
+        n = struct.unpack_from(fmt, buf, pos)[0]
+        p = pos + 2 * w
+        keys = []
+        if is_obj:
+            for _ in range(n):
+                ko = struct.unpack_from(fmt, buf, p)[0]
+                kl = struct.unpack_from("<H", buf, p + w)[0]
+                keys.append(buf[pos + ko : pos + ko + kl].decode("utf-8"))
+                p += w + 2
+        vals = []
+        for _ in range(n):
+            vt = buf[p]
+            if vt == _JS_LITERAL:
+                vals.append(_JS_LIT[buf[p + 1]])
+            elif vt in (_JS_INT16, _JS_UINT16) or (
+                not small and vt in (_JS_INT32, _JS_UINT32)
+            ):
+                vals.append(_jsonb_decode_at(vt, buf, p + 1))
+            else:
+                voff = struct.unpack_from(fmt, buf, p + 1)[0]
+                vals.append(_jsonb_decode_at(vt, buf, pos + voff))
+            p += 1 + w
+        return dict(zip(keys, vals)) if is_obj else vals
+    raise ValueError(f"unsupported binary-JSON type 0x{tc:02x}")
+
+
+def _encode_json_text(text: str) -> bytes:
+    import json
+
+    tc, payload = _jsonb_encode_value(json.loads(text))
+    return bytes([tc]) + payload
+
+
+def _decode_json_binary(data: bytes) -> str | None:
+    import json
+
+    if not data:
+        return None  # empty value: JSON 'null' document in old servers
+    obj = _jsonb_decode_at(data[0], data, 1)
+    return json.dumps(obj, separators=(",", ":"), ensure_ascii=False)
 
 
 # --- column spec: Spark StructType <-> TABLE_MAP types/metadata --------------
@@ -342,6 +542,12 @@ def _cols_from_schema(target: T.StructType) -> list[_Col]:
             cols.append(_Col(f.name, TY_INT24, b""))
         elif kind == "time":
             cols.append(_Col(f.name, TY_TIME2, bytes([0])))  # fsp=0
+        elif kind == "json":
+            # carried as StringType text; wire value is the binary tree
+            cols.append(_Col(f.name, TY_JSON, bytes([4])))
+        elif kind == "geometry":
+            # BinaryType passthrough of MySQL's value: SRID(4 LE) + WKB
+            cols.append(_Col(f.name, TY_GEOMETRY, bytes([4])))
         elif isinstance(dt, T.ByteType):
             cols.append(_Col(f.name, TY_TINY, b""))
         elif isinstance(dt, T.ShortType):
@@ -403,6 +609,12 @@ def _encode_col(col: _Col, v) -> bytes:
     if tc == TY_BLOB:
         raw = bytes(v)
         return len(raw).to_bytes(col.meta[0], "little") + raw
+    if tc == TY_JSON:
+        raw = _encode_json_text(v)
+        return len(raw).to_bytes(col.meta[0], "little") + raw
+    if tc == TY_GEOMETRY:
+        raw = bytes(v)  # SRID-prefixed WKB, opaque passthrough
+        return len(raw).to_bytes(col.meta[0], "little") + raw
     if tc == TY_DATE:
         packed = (v.year << 9) | (v.month << 5) | v.day
         return packed.to_bytes(3, "little")
@@ -462,6 +674,16 @@ def _decode_col(col: _Col, buf: bytes, pos: int):
         n = int.from_bytes(buf[pos : pos + nb], "little")
         pos += nb
         return bytes(buf[pos : pos + n]), pos + n
+    if tc == TY_JSON:
+        nb = col.meta[0]
+        n = int.from_bytes(buf[pos : pos + nb], "little")
+        pos += nb
+        return _decode_json_binary(buf[pos : pos + n]), pos + n
+    if tc == TY_GEOMETRY:
+        nb = col.meta[0]
+        n = int.from_bytes(buf[pos : pos + nb], "little")
+        pos += nb
+        return bytes(buf[pos : pos + n]), pos + n
     if tc == TY_DATE:
         packed = int.from_bytes(buf[pos : pos + 3], "little")
         return (
@@ -499,6 +721,8 @@ _META_WIDTH = {
     TY_NEWDECIMAL: 2,
     TY_VARCHAR: 2,
     TY_BLOB: 1,
+    TY_JSON: 1,
+    TY_GEOMETRY: 1,
     TY_BIT: 2,
     TY_DATETIME2: 1,
     TY_TIMESTAMP2: 1,
@@ -852,12 +1076,26 @@ def decode_binlog_bytes(
                     op = CDC_UPDATE_BEFORE if img_seq % 2 == 0 else CDC_UPDATE_AFTER
                 row["__op"] = op
                 row["__gtid"] = gtid
-                row["__tm"] = _dt.datetime.utcfromtimestamp(ets)
+                row["__tm"] = _dt.datetime.fromtimestamp(
+                    ets, _dt.timezone.utc
+                ).replace(tzinfo=None)
                 row["__file_seq"] = file_seq
                 row["__event_seq"] = event_seq
                 row["__image_seq"] = img_seq
                 img_seq += 1
                 out.append(row)
+        elif tc in _UNSUPPORTED_PAYLOAD_EVENTS:
+            # unlike the reference's default-skip (:427-428), a payload-
+            # bearing event we can't decode is DATA LOSS, not noise —
+            # e.g. a compressed binlog would otherwise decode to an
+            # empty changelog with no signal
+            raise ValueError(
+                f"binlog event type {tc} at offset {event_seq} is "
+                f"{_UNSUPPORTED_PAYLOAD_EVENTS[tc]}: it carries row data "
+                "this reader does not decode; re-record with "
+                "binlog_transaction_compression=OFF / row events v2, or "
+                "ingest via the Kafka/Debezium envelope path"
+            )
         # else: rotate/xid/query/... -> skip (reference default branch)
     if mode == "strict" and pos != len(blob):
         raise ValueError(
@@ -994,9 +1232,12 @@ def cdc_mysql_binlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both stages are distributed mapInPandas — no driver hop. The oracle
     computes the same aggregate straight from ``orders`` with integer
     arithmetic, so any framing/codec bit-rot (decimal group packing,
-    enum index, date bit layout, update image ordering, GTID stamping)
-    breaks the value hash. Every 10th key becomes an update pair
-    (before-image price+1) instead of an insert."""
+    enum index, date bit layout, binary-JSON tree encode/decode, update
+    image ordering, GTID stamping) breaks the value hash. Every 10th
+    key becomes an update pair (before-image price+1) instead of an
+    insert. The ``props`` column rides MySQL's binary JSON wire format
+    (type 245) both ways; its decoded text feeds ``get_json_object``
+    and a length sum, so a single mis-encoded offset breaks the hash."""
     import pandas as pd
     from decimal import Decimal as _D
 
@@ -1014,6 +1255,9 @@ def cdc_mysql_binlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 metadata={"mysql_type": "enum", "values": ["F", "O", "P"]},
             ),
             T.StructField("odate", T.DateType()),
+            T.StructField(
+                "props", T.StringType(), metadata={"mysql_type": "json"}
+            ),
         ]
     )
     base = (
@@ -1038,11 +1282,19 @@ def cdc_mysql_binlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             txns = []
             for r in pdf.itertuples(index=False):
+                rid = int(r.id)
+                # keys already in MySQL's canonical (length, bytes) key
+                # order so decode(encode(text)) reproduces text exactly
+                props = (
+                    f'{{"k":{rid % 10007},"s":"{r.status}",'
+                    f'"arr":[{rid % 3},null,true]}}'
+                )
                 row = {
-                    "id": int(r.id),
+                    "id": rid,
                     "price": r.price,
                     "status": r.status,
                     "odate": r.odate,
+                    "props": props,
                 }
                 if row["id"] % 10 == 0:
                     before = dict(row, price=row["price"] + _D(1))
@@ -1077,6 +1329,14 @@ def cdc_mysql_binlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(after, F.col("__gtid"))).alias("gtid_sum"),
         F.min("odate").alias("first_date"),
         F.max("odate").alias("last_date"),
+        F.sum(
+            F.when(
+                after, F.get_json_object("props", "$.k").cast("long")
+            )
+        ).alias("json_k_sum"),
+        F.sum(F.when(after, F.length("props").cast("long"))).alias(
+            "json_len_sum"
+        ),
     )
 
 
@@ -1183,7 +1443,11 @@ WITH b AS (
          o_orderkey % 100000 AS cents,
          o_orderstatus AS status,
          CAST(o_orderdate AS DATE) AS odate,
-         CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS nimg
+         CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS nimg,
+         -- the compact-JSON text the binlog JSON codec must reproduce:
+         -- {"k":<id%10007>,"s":"<status>","arr":[<id%3>,null,true]}
+         32 + length(CAST(o_orderkey % 10007 AS VARCHAR)) + 1 + 1
+           AS props_len
   FROM orders
 )
 SELECT status,
@@ -1193,6 +1457,8 @@ SELECT status,
        CAST(sum(cents) AS BIGINT) AS cents_sum,
        CAST(sum(id) AS BIGINT) AS gtid_sum,
        min(odate) AS first_date,
-       max(odate) AS last_date
+       max(odate) AS last_date,
+       CAST(sum(id % 10007) AS BIGINT) AS json_k_sum,
+       CAST(sum(props_len) AS BIGINT) AS json_len_sum
 FROM b GROUP BY status
 """

@@ -30,6 +30,9 @@ Spark surface type and get their own wire form:
         -> varint of the unsigned value
     {"mysql_type": "json"}                  on StringType
         -> utf-8 text (MySQL JSON surfaces as its text form)
+    {"mysql_type": "geometry"}              on BinaryType
+        -> length-prefixed opaque bytes (MySQL's SRID(4 LE) + WKB
+           value, passed through per SURVEY §1.3)
 
 NEWDECIMAL maps to DecimalType at ANY precision (zigzag-varint unscaled
 integer — not fixed 8 bytes — so DECIMAL(38,10) round-trips).

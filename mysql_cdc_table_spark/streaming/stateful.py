@@ -66,7 +66,18 @@ def expiring_user_totals(
     out — its final totals are emitted once with evicted=true and its
     state is REMOVED (state size stays O(active keys), the bound
     accumulate-forever operators lack). ``events`` must already carry a
-    watermark on ``time_col`` (EventTimeTimeout requires one)."""
+    watermark on ``time_col`` (EventTimeTimeout requires one).
+
+    Epoch correctness: Spark hands the Python worker SESSION-LOCAL naive
+    timestamps, while pandas ``Timestamp.timestamp()`` reads a naive
+    value as UTC — so the event time is localized with the session
+    timezone (captured driver-side) before converting to epoch ms. The
+    timeout is also clamped to watermark+1: Spark rejects a timeout at
+    or below the current watermark, which a key whose newest event is
+    already idle_ms behind it would otherwise request."""
+    session_tz = (
+        events.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
+    )
 
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -87,9 +98,14 @@ def expiring_user_totals(
             m = pdf[time_col].max()
             newest = m if newest is None else max(newest, m)
         state.update((n, total))
-        state.setTimeoutTimestamp(
-            int(newest.timestamp() * 1000) + idle_ms
-        )
+        ts = pd.Timestamp(newest)
+        if ts.tzinfo is None:
+            ts = ts.tz_localize(session_tz)
+        timeout_ms = int(ts.timestamp() * 1000) + idle_ms
+        wm_ms = state.getCurrentWatermarkMs()
+        if timeout_ms <= wm_ms:
+            timeout_ms = wm_ms + 1
+        state.setTimeoutTimestamp(timeout_ms)
         yield pd.DataFrame(
             {"key": [key[0]], "n": [n], "total": [round(total, 6)],
              "evicted": [False]}

@@ -72,42 +72,24 @@ def test_header_counts_and_driver_split_match_doc():
 
 
 def test_driver_window_composition():
-    """The driver verifies the FIRST ~50 registry keys per round; the
-    round-2 plan puts the CDC + LLM-pipeline surface and the three
-    formerly-red scalars there. Guard the window so a module reorder or
-    an accidental in-window insertion can't silently starve it."""
+    """The driver verifies the FIRST ~50 registry keys per round. The
+    round-3 rotation puts every key with no CORRECTNESS_r01/r02 row (45
+    keys) plus 5 re-verify slots for round-3-modified operators into the
+    window. Guard it so a module reorder or an accidental in-window
+    insertion can't silently starve it."""
+    import json
+
+    from mysql_cdc_table_spark.operators import _ROUND3_WINDOW
+
+    root = Path(__file__).resolve().parent.parent
     keys = list(all_queries())
     window = keys[:50]
-    must_be_in_window = (
-        # cdc_compacted_state (analytics-module compaction) and
-        # cdc_mysql_binlog_roundtrip (late-round add) register
-        # out-of-window on purpose
-        [
-            k
-            for k in keys
-            if k.startswith("cdc_")
-            and k
-            not in (
-                "cdc_compacted_state",
-                "cdc_mysql_binlog_roundtrip",
-                "cdc_binlog_latest_state",
-            )
-        ]
-        + [k for k in keys if k.startswith("dedup_")]
-        + ["ann_cosine_topk", "ann_block_pairs", "ann_knn_join"]
-        + [
-            "text_tfidf_top_terms", "text_token_stats", "text_langid",
-            "text_quality_filter", "text_fingerprint", "text_contamination",
-            "text_token_bpe",
-        ]
-        + [k for k in keys if k.startswith("mm_") or k.startswith("udf_")]
-        + [k for k in keys if k.startswith("stream_")]
-        + ["fn_cast_matrix", "fn_array", "fn_map"]
-    )
-    missing = [k for k in must_be_in_window if k not in window]
-    assert not missing, f"planned keys fell out of the driver window: {missing}"
-    # late additions must stay OUT of the window until rotated on purpose
-    for k in ("text_pii_scrub", "text_repetition_score", "corpus_mix_equalize",
-              "corpus_mix_temperature", "shard_manifest", "ann_lsh_rp_topk",
-              "ann_ivf_pq_topk", "cdc_mysql_binlog_roundtrip"):
-        assert k in keys and k not in window, f"late-add {k} shifted the window"
+    assert window == list(_ROUND3_WINDOW), "registry front diverged from plan"
+
+    # every key never seen by the driver in rounds 1-2 must be in-window
+    seen: set[str] = set()
+    for rnd in ("r01", "r02"):
+        seen |= set(json.loads(root.joinpath(f"CORRECTNESS_{rnd}.json").read_text()))
+    never_seen = [k for k in keys if k not in seen]
+    missing = [k for k in never_seen if k not in window]
+    assert not missing, f"never-driver-seen keys fell out of the window: {missing}"

@@ -4,6 +4,7 @@ multimodal decode plumbing."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from mysql_cdc_table_spark.functions.dedup import (
@@ -170,6 +171,17 @@ def test_cluster_resolve_is_a_valid_cc_labelling(spark, sf_dir):
             assert cc[d]["cluster_size"] == len(members)
 
 
+def test_cluster_resolve_raises_when_cap_hit(spark, sf_dir, monkeypatch):
+    """If the iteration cap exits before the labelling is stationary,
+    the operator must raise — silently returning a non-converged
+    labelling diverges from the exact recursive-CTE oracle."""
+    from mysql_cdc_table_spark.functions import dedup as _dedup
+
+    monkeypatch.setattr(_dedup, "CC_MAX_ITERS", 0)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _dedup.dedup_cluster_resolve(spark, sf_dir).collect()
+
+
 def test_knn_join_shape_and_block_discipline(spark, sf_dir):
     """Every query gets at most k ranked neighbours, ordered by cosine,
     all drawn from the query's own label block, never itself."""
@@ -258,7 +270,13 @@ def test_sessionize_matches_python_replay(spark, sf_dir):
         got[(r["user_id"], r["session_seq"])] = r
     ev = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
-        .selectExpr("user_id", "event_id", "CAST(ts DIV 1000 AS LONG) AS us")
+        .selectExpr(
+            "user_id",
+            "event_id",
+            # same integer-microsecond basis as the operator (ts may be
+            # TIMESTAMP_NTZ; session TZ is UTC so the cast is exact)
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+        )
         .collect()
     )
     by_user: dict[int, list] = {}

@@ -146,6 +146,135 @@ def test_newdecimal_wire_fuzz(unscaled, scale):
     assert got == v.quantize(Decimal(1).scaleb(-scale)) if scale else got == v
 
 
+def test_newdecimal_38_10_exact_beyond_default_context():
+    """DECIMAL(38,10) values with >28 significant digits must encode
+    exactly — abs() under the default 28-digit context would round the
+    tail (e.g. ...6789 -> ...6800). Exercises both signs and the
+    all-nines boundary."""
+    for s in (
+        "-12345678901234567890.0123456789",
+        "12345678901234567890.0123456789",
+        "9999999999999999999999999999.9999999999",
+        "-9999999999999999999999999999.9999999999",
+        "0.0000000001",
+    ):
+        v = Decimal(s)
+        raw = _encode_newdecimal(v, 38, 10)
+        got, end = _decode_newdecimal(raw, 0, 38, 10)
+        assert end == len(raw)
+        assert got == v, f"{s}: got {got}"
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    unscaled=st.integers(min_value=-(10**38) + 1, max_value=10**38 - 1),
+)
+def test_newdecimal_38_10_wire_fuzz(unscaled):
+    from decimal import Context
+
+    wide = Context(prec=60)
+    v = Decimal(unscaled).scaleb(-10, context=wide)
+    raw = _encode_newdecimal(v, 38, 10)
+    got, _ = _decode_newdecimal(raw, 0, 38, 10)
+    assert got == v
+
+
+JSON_DOCS = [
+    '{"k":123,"s":"abc","arr":[1,null,true]}',
+    '{"a":1,"b":-32768,"big":2147483648,"neg":-9999999999}',
+    '[1,2,3,"x",false,null]',
+    '{"nested":{"x":[{"deep":"val"},2.5]},"z":""}',
+    '"just a string"',
+    "12345",
+    "-7",
+    "true",
+    "null",
+    "3.25",
+    "[]",
+    "{}",
+    '{"€uro":"ünïcode 𝄞","n":65535}',
+]
+
+
+def test_binary_json_roundtrip_texts():
+    """MySQL binary JSON tree (type 245): every document shape —
+    small objects/arrays, inlined literals/int16, int32/64, double,
+    strings with multi-byte UTF-8, nesting — survives the tree encode
+    semantically, and the decoded canonical text is a fixed point
+    (object keys land in MySQL's (length, bytes) canonical order)."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        _decode_json_binary,
+        _encode_json_text,
+    )
+    import json
+
+    for doc in JSON_DOCS:
+        got = _decode_json_binary(_encode_json_text(doc))
+        assert json.loads(got) == json.loads(doc), doc
+        assert _decode_json_binary(_encode_json_text(got)) == got, doc
+
+
+def test_binary_json_key_order_is_mysql_canonical():
+    """Object keys are stored sorted by (length, bytes) — MySQL's
+    canonical order — regardless of input order."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        _decode_json_binary,
+        _encode_json_text,
+    )
+
+    assert (
+        _decode_json_binary(_encode_json_text('{"bb":2,"a":1,"ccc":3}'))
+        == '{"a":1,"bb":2,"ccc":3}'
+    )
+
+
+def test_json_and_geometry_columns_through_binlog():
+    """JSON (binary tree) and GEOMETRY (SRID+WKB passthrough) columns
+    survive the full binlog file roundtrip, including NULLs."""
+    tgt = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("doc", T.StringType(), metadata={"mysql_type": "json"}),
+            T.StructField("geo", T.BinaryType(), metadata={"mysql_type": "geometry"}),
+        ]
+    )
+    # SRID 4326 + WKB point(1.0, 2.0), little-endian
+    import struct as _s
+
+    wkb = _s.pack("<IBI2d", 4326, 1, 1, 1.0, 2.0)
+    rows = [
+        {"id": 1, "doc": '{"k":1,"s":"x","arr":[7,null,true]}', "geo": wkb},
+        {"id": 2, "doc": None, "geo": None},
+        {"id": 3, "doc": '[1,{"a":false}]', "geo": b"\x00"},
+    ]
+    blob = build_binlog_file("d", "t", tgt, [_txn(1, "w", rows)])
+    out = decode_binlog_bytes(blob, tgt, "d", "t")
+    assert [r["doc"] for r in out] == [rows[0]["doc"], None, rows[2]["doc"]]
+    assert [r["geo"] for r in out] == [wkb, None, b"\x00"]
+
+
+def test_unsupported_payload_event_raises():
+    """A TRANSACTION_PAYLOAD_EVENT (compressed binlog, 8.0.20+) must
+    raise with a pointed message — the reference's default-skip would
+    silently decode a compressed binlog to an empty changelog. Truly
+    ignorable types (XID here) still skip."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        EV_TRANSACTION_PAYLOAD,
+        EV_XID,
+        _event,
+    )
+
+    r1 = {"id": 1, "v": "a", "amt": Decimal("1.00")}
+    blob = build_binlog_file("d", "t", TARGET, [_txn(1, "w", [r1])])
+    xid = _event(1_700_000_000, EV_XID, 1, b"\x01\x00\x00\x00\x00\x00\x00\x00", len(blob), False)
+    assert len(decode_binlog_bytes(blob + xid, TARGET, "d", "t")) == 1
+    payload_ev = _event(
+        1_700_000_000, EV_TRANSACTION_PAYLOAD, 1, b"\x00" * 24, len(blob), False
+    )
+    with pytest.raises(ValueError, match="binlog_transaction_compression"):
+        decode_binlog_bytes(blob + payload_ev, TARGET, "d", "t")
+
+
 @settings(max_examples=100, deadline=None)
 @given(
     ts=st.datetimes(

@@ -193,6 +193,32 @@ def test_packed_binlog_datasource(spark, tmp_path):
     assert state == {1: "a2"}
 
 
+def test_packed_v1_layout_file_rejected(tmp_path):
+    """A file carrying the v1 trailer magic (frames WITHOUT the
+    image_base varint) must be rejected, not silently misparsed with
+    the current 4-varint layout."""
+    import pytest as _pytest
+
+    from mysql_cdc_table_spark.sources.datasource import (
+        _FOOTER_MAGIC,
+        _FOOTER_MAGIC_V1,
+        _file_splits,
+        write_packed_file,
+    )
+
+    p = str(tmp_path / "binlog.000001.bin")
+    write_packed_file(
+        p,
+        [(10, 1_700_000_000, 100,
+          encode_event(7, 1, [{"id": 1, "v": "a", "amt": 1.0, "n": 1, "at": TS}], TARGET))],
+    )
+    blob = open(p, "rb").read()
+    assert blob.endswith(_FOOTER_MAGIC)
+    open(p, "wb").write(blob[: -len(_FOOTER_MAGIC)] + _FOOTER_MAGIC_V1)
+    with _pytest.raises(ValueError, match="v1 packed frame layout"):
+        _file_splits(p)
+
+
 def test_packed_binlog_stream_datasource(spark, tmp_path):
     """Streaming variant: drip a second file after the first batch; the
     offset cursor consumes only the delta (checkpointed)."""
@@ -440,26 +466,32 @@ MYSQLISH = T.StructType(
         T.StructField("b", T.LongType(), metadata={"mysql_type": "bit"}),
         T.StructField("doc", T.StringType(), metadata={"mysql_type": "json"}),
         T.StructField("wide", T.DecimalType(38, 10)),
+        T.StructField("geo", T.BinaryType(),
+                      metadata={"mysql_type": "geometry"}),
     ]
 )
 
 
 def test_mysql_kind_decode_matrix(spark):
     """ENUM index/'' semantics, SET bitmask in definition order, BIT,
-    JSON text, and a DECIMAL(38,10) beyond 8 bytes — through
-    encode -> Spark decode (reference type space, SURVEY §1.2)."""
+    JSON text, GEOMETRY (SRID+WKB passthrough), and a DECIMAL(38,10)
+    beyond 8 bytes — through encode -> Spark decode (reference type
+    space, SURVEY §1.2)."""
+    import struct as _s
     from decimal import Decimal
 
+    wkb = _s.pack("<IBI2d", 4326, 1, 1, 3.5, -7.25)  # SRID 4326, POINT
     rows = [
         {"id": 1, "color": "green", "flags": "a,c", "b": (1 << 62) + 5,
          "doc": '{"k": [1, 2]}',
-         "wide": Decimal("12345678901234567890.1234567891")},
+         "wide": Decimal("12345678901234567890.1234567891"),
+         "geo": wkb},
         # unknown enum value -> '' (MySQL invalid-value semantics);
         # set given out of definition order -> canonical order out
         {"id": 2, "color": "magenta", "flags": "d,b", "b": 0,
-         "doc": "[]", "wide": Decimal("-0.0000000001")},
+         "doc": "[]", "wide": Decimal("-0.0000000001"), "geo": b""},
         {"id": 3, "color": None, "flags": None, "b": None, "doc": None,
-         "wide": None},
+         "wide": None, "geo": None},
     ]
     events = [
         (encode_event(3, 1, [r], MYSQLISH), i + 1, 1_700_000_000 + i, 0, i + 1)
@@ -473,12 +505,16 @@ def test_mysql_kind_decode_matrix(spark):
     assert r["color"] == "green" and r["flags"] == "a,c"
     assert r["b"] == (1 << 62) + 5 and r["doc"] == '{"k": [1, 2]}'
     assert r["wide"] == D("12345678901234567890.1234567891")
+    assert bytes(r["geo"]) == wkb
     r = out[2]
     assert r["color"] == ""        # invalid enum value -> ''
     assert r["flags"] == "b,d"     # canonical definition order
     assert r["wide"] == D("-0.0000000001")
+    assert bytes(r["geo"]) == b""
     r = out[3]
-    assert all(r[c] is None for c in ["color", "flags", "b", "doc", "wide"])
+    assert all(
+        r[c] is None for c in ["color", "flags", "b", "doc", "wide", "geo"]
+    )
 
 
 _mysqlish_values = st.fixed_dictionaries(
@@ -498,6 +534,7 @@ _mysqlish_values = st.fixed_dictionaries(
             max_value="9999999999999999999999999999.9999999999",
             places=10,
         ),
+        "geo": st.none() | st.binary(max_size=64),
     }
 )
 

@@ -176,6 +176,30 @@ def test_lsh_topk_broadcasts_query(spark, sf_dir):
     assert shuffle_count(df) == 0
 
 
+def test_knn_join_no_forced_broadcast_of_query_side(spark, sf_dir):
+    """The knn-join query side grows with the corpus (1-in-50 sample):
+    the default plan must NOT statically broadcast it — modeled here by
+    disabling the auto-broadcast threshold (the big-data condition) and
+    asserting the candidate join falls back to a shuffle join on the
+    block key. With broadcast_queries=True (a fixed small probe set)
+    the hint must force the broadcast back."""
+    from mysql_cdc_table_spark.functions.similarity import ann_knn_join
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = ann_knn_join(spark, sf_dir)
+        assert count_nodes(df, "BroadcastHashJoin") == 0, (
+            "query side statically broadcast despite modeled big data"
+        )
+        assert_no_cartesian(df)
+        forced = ann_knn_join(spark, sf_dir, broadcast_queries=True)
+        assert count_nodes(forced, "BroadcastHashJoin") >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_shard_manifest_no_single_partition_window(spark, sf_dir):
     """The global prefix sum must be two-level: no window may run on a
     single unpartitioned exchange (the plan has no `Exchange SinglePartition`
