@@ -108,6 +108,9 @@ def _parse_ddl(ddl: str) -> T.StructType:
         elif key == "json":
             dt = T.StringType()
             meta = {"mysql_type": "json"}
+        elif key == "geometry":
+            dt = T.BinaryType()
+            meta = {"mysql_type": "geometry"}
         else:
             dt = _DDL_TYPES[key]
         fields.append(T.StructField(name.strip(), dt, metadata=meta))
@@ -520,4 +523,9 @@ class PackedBinlogDataSource(DataSource):
 
 
 def register(spark) -> None:
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        MysqlBinlogTailDataSource,
+    )
+
     spark.dataSource.register(PackedBinlogDataSource)
+    spark.dataSource.register(MysqlBinlogTailDataSource)

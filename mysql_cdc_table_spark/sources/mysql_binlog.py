@@ -40,9 +40,11 @@ format: 9-digit groups, sign-flipped first byte) VARCHAR BLOB DATE
 DATETIME2 TIMESTAMP2 TIME2 (signed offset-binary) YEAR ENUM SET BIT
 JSON (the binary tree format, type 245 — decoded to canonical compact
 JSON text) GEOMETRY (type 255 — SRID-prefixed WKB, BinaryType
-passthrough per SURVEY §1.3). Payload-bearing events the reader can't
-decode (TRANSACTION_PAYLOAD compressed transactions, pre-5.6 rows-v1,
-PARTIAL_UPDATE_ROWS) raise instead of silently skipping.
+passthrough per SURVEY §1.3). Compressed transactions
+(TRANSACTION_PAYLOAD, 8.0.20+) are unwrapped and decoded — compression
+NONE always, ZSTD when a zstd module is importable. Payload-bearing
+events the reader can't decode (pre-5.6 rows-v1, PARTIAL_UPDATE_ROWS,
+ZSTD without a module) raise instead of silently skipping.
 
 Scale: one binlog file is one sequential decode unit — the format is
 stateful (GTID and TABLE_MAP apply to subsequent events), exactly the
@@ -91,8 +93,9 @@ EV_TRANSACTION_PAYLOAD = 40
 
 # Payload-bearing event types this reader does NOT decode. The reference
 # default-skips every unknown type (binlog_table_reader.cc:427-428) —
-# combined with MySQL 8.0.20+ binlog_transaction_compression that turns
-# "unsupported" into "silently empty changelog", so we raise instead.
+# which would turn "unsupported" into "silently empty changelog", so we
+# raise instead. TRANSACTION_PAYLOAD (compressed transactions) is NOT in
+# this set: it is unwrapped and decoded (see decode_binlog_bytes).
 # Genuinely ignorable types (ROTATE/XID/QUERY/STOP/HEARTBEAT/
 # PREVIOUS_GTIDS/ANONYMOUS_GTID/...) still skip.
 _UNSUPPORTED_PAYLOAD_EVENTS = {
@@ -101,9 +104,66 @@ _UNSUPPORTED_PAYLOAD_EVENTS = {
     EV_DELETE_ROWS_V1: "DELETE_ROWS_EVENT v1 (pre-5.6 format)",
     EV_PARTIAL_UPDATE_ROWS: "PARTIAL_UPDATE_ROWS_EVENT "
     "(binlog_row_value_options=PARTIAL_JSON)",
-    EV_TRANSACTION_PAYLOAD: "TRANSACTION_PAYLOAD_EVENT "
-    "(binlog_transaction_compression=ON, MySQL 8.0.20+)",
 }
+
+# Transaction_payload_event on-the-wire fields (public format: a
+# sequence of <type, length, value> items — type/length as net-packed
+# ints — terminated by the end mark, then the raw payload bytes).
+_TP_END_MARK = 0
+_TP_PAYLOAD_SIZE = 1
+_TP_COMPRESSION_TYPE = 2
+_TP_UNCOMPRESSED_SIZE = 3
+_TP_ZSTD = 0
+_TP_NONE = 255
+
+
+def _zstd_decompress(data: bytes, expected_size: int | None) -> bytes:
+    try:  # stdlib (3.14+)
+        from compression import zstd as _z  # type: ignore[import-not-found]
+
+        return _z.decompress(data)
+    except ImportError:
+        pass
+    try:
+        import zstandard as _zstd  # type: ignore[import-not-found]
+
+        return _zstd.ZstdDecompressor().decompress(
+            data, max_output_size=expected_size or 0
+        )
+    except ImportError:
+        raise ValueError(
+            "transaction payload is ZSTD-compressed and no zstd module "
+            "is available (install zstandard, or re-record with "
+            "binlog_transaction_compression=OFF)"
+        ) from None
+
+
+def _unwrap_transaction_payload(body: bytes, event_seq: int) -> bytes:
+    """TRANSACTION_PAYLOAD_EVENT -> the embedded binlog event stream."""
+    pos = 0
+    comp = _TP_NONE
+    unc_size: int | None = None
+    while pos < len(body):
+        ftype, pos = _read_packed_int(body, pos)
+        if ftype == _TP_END_MARK:
+            break
+        flen, pos = _read_packed_int(body, pos)
+        fval = body[pos : pos + flen]
+        pos += flen
+        if ftype == _TP_COMPRESSION_TYPE:
+            comp = _read_packed_int(fval, 0)[0]
+        elif ftype == _TP_UNCOMPRESSED_SIZE:
+            unc_size = _read_packed_int(fval, 0)[0]
+        # _TP_PAYLOAD_SIZE is implied by the remaining bytes
+    payload = body[pos:]
+    if comp == _TP_NONE:
+        return payload
+    if comp == _TP_ZSTD:
+        return _zstd_decompress(payload, unc_size)
+    raise ValueError(
+        f"transaction payload at offset {event_seq} uses unknown "
+        f"compression type {comp}"
+    )
 
 # column type codes (public)
 TY_TINY = 1
@@ -846,6 +906,21 @@ def _rows_body(
     return body
 
 
+def _payload_body(inner: bytes, compression: int = 255) -> bytes:
+    """Wrap an embedded event stream as a TRANSACTION_PAYLOAD body
+    (<type,len,value> items, end mark, then the payload bytes)."""
+    def tlv(t: int, value: bytes) -> bytes:
+        return _pack_int(t) + _pack_int(len(value)) + value
+
+    return (
+        tlv(_TP_COMPRESSION_TYPE, _pack_int(compression))
+        + tlv(_TP_UNCOMPRESSED_SIZE, _pack_int(len(inner)))
+        + tlv(_TP_PAYLOAD_SIZE, _pack_int(len(inner)))
+        + _pack_int(_TP_END_MARK)
+        + inner
+    )
+
+
 def build_binlog_file(
     db: str,
     table: str,
@@ -857,11 +932,16 @@ def build_binlog_file(
     sid: bytes = b"\x11" * 16,
     checksum: bool = False,
     base_ts: int = 1_700_000_000,
+    payload_wrap: bool = False,
 ) -> bytes:
     """Byte-exact binlog v4 fixture: magic + FDE, then per transaction a
     GTID event, a TABLE_MAP, and one rows event. ``txns`` entries:
     ``{"gno": int, "op": "w"|"u"|"d", "rows": [row_dict, ...]}`` where
-    update rows are ``(before_dict, after_dict)`` pairs."""
+    update rows are ``(before_dict, after_dict)`` pairs.
+
+    ``payload_wrap=True`` models binlog_transaction_compression: each
+    transaction's TABLE_MAP + rows events are embedded (checksum-free)
+    in one TRANSACTION_PAYLOAD event after the GTID, compression NONE."""
     cols = _cols_from_schema(target)
     out = bytearray(BINLOG_MAGIC)
 
@@ -876,32 +956,30 @@ def build_binlog_file(
             bytes([1]) + sid + struct.pack("<q", txn["gno"]),
             ts,
         )
-        emit(EV_TABLE_MAP, _table_map_body(table_id, db, table, cols), ts)
         op = txn["op"]
         if op == "w":
-            emit(
-                EV_WRITE_ROWS_V2,
-                _rows_body(EV_WRITE_ROWS_V2, table_id, cols, txn["rows"]),
-                ts,
-            )
+            rows_tc = EV_WRITE_ROWS_V2
+            body = _rows_body(EV_WRITE_ROWS_V2, table_id, cols, txn["rows"])
         elif op == "d":
-            emit(
-                EV_DELETE_ROWS_V2,
-                _rows_body(EV_DELETE_ROWS_V2, table_id, cols, txn["rows"]),
-                ts,
-            )
+            rows_tc = EV_DELETE_ROWS_V2
+            body = _rows_body(EV_DELETE_ROWS_V2, table_id, cols, txn["rows"])
         else:
             images = [img for pair in txn["rows"] for img in pair]
             # binlog_row_image=MINIMAL: before-images carry only the
             # listed columns (typically the primary key)
             bp = txn.get("before_present")
-            emit(
-                EV_UPDATE_ROWS_V2,
-                _rows_body(
-                    EV_UPDATE_ROWS_V2, table_id, cols, images, before_present=bp
-                ),
-                ts,
+            rows_tc = EV_UPDATE_ROWS_V2
+            body = _rows_body(
+                EV_UPDATE_ROWS_V2, table_id, cols, images, before_present=bp
             )
+        tm_body = _table_map_body(table_id, db, table, cols)
+        if payload_wrap:
+            inner = _event(ts, EV_TABLE_MAP, server_id, tm_body, 0, False)
+            inner += _event(ts, rows_tc, server_id, body, len(inner), False)
+            emit(EV_TRANSACTION_PAYLOAD, _payload_body(inner), ts)
+        else:
+            emit(EV_TABLE_MAP, tm_body, ts)
+            emit(rows_tc, body, ts)
     return bytes(out)
 
 
@@ -1003,7 +1081,14 @@ def decode_binlog_bytes(
     mode="permissive" (default) stops cleanly at a truncated trailing
     event — the normal state of the ACTIVE binlog file (crash mid-write,
     copy in flight); MySQL's own recovery does the same. "strict"
-    raises instead."""
+    raises instead.
+
+    TRANSACTION_PAYLOAD events (binlog_transaction_compression, MySQL
+    8.0.20+) are unwrapped: the embedded event stream (TABLE_MAP + rows
+    events, checksum-free per the format) is decoded in place with the
+    surrounding GTID state. Compression NONE decodes always; ZSTD
+    decodes when a zstd module is importable and raises a pointed error
+    otherwise — never the reference's silent default-skip."""
     if blob[:4] != BINLOG_MAGIC:
         raise ValueError("not a binlog file (bad magic)")
     if mode not in ("permissive", "strict"):
@@ -1012,30 +1097,14 @@ def decode_binlog_bytes(
     pos = 4
     checksum: bool | None = None
     gtid: int | None = None
-    ts: int | None = None
     tdefs: dict[int, _TableDef] = {}
     out: list[dict] = []
 
-    while pos + _HEADER_LEN <= len(blob):
-        ets, tc, _sid, esize, _lpos, _flags = _HEADER.unpack_from(blob, pos)
-        if esize < _HEADER_LEN or pos + esize > len(blob):
-            if mode == "strict":
-                raise ValueError(
-                    f"truncated/corrupt event at offset {pos} "
-                    f"(size {esize}, file has {len(blob) - pos} bytes left)"
-                )
-            break  # partial trailing event: consumed on the next rotation
-        ev = blob[pos : pos + esize]
-        event_seq = pos
-        pos += esize
-        if tc == EV_FORMAT_DESCRIPTION:
-            checksum = _detect_checksum(ev)
-            continue
-        body = ev[_HEADER_LEN : len(ev) - (4 if checksum else 0)]
+    def handle(tc: int, body: bytes, ets: int, event_seq: int) -> None:
+        nonlocal gtid
         if tc == EV_GTID:
             gtid = struct.unpack_from("<q", body, 17)[0]
         elif tc == EV_TABLE_MAP:
-            tid = int.from_bytes(body[0:6], "little")
             dblen = body[8]
             db_ = body[9 : 9 + dblen].decode()
             tpos = 9 + dblen + 1
@@ -1051,7 +1120,7 @@ def decode_binlog_bytes(
             tid = int.from_bytes(body[0:6], "little")
             tdef = tdefs.get(tid)
             if tdef is None:
-                continue  # other table's rows (A4)
+                return  # other table's rows (A4)
             p = 8
             extra_len = struct.unpack_from("<H", body, p)[0]
             p += extra_len  # extra_len includes its own 2 bytes
@@ -1084,19 +1153,54 @@ def decode_binlog_bytes(
                 row["__image_seq"] = img_seq
                 img_seq += 1
                 out.append(row)
+        elif tc == EV_TRANSACTION_PAYLOAD:
+            inner = _unwrap_transaction_payload(body, event_seq)
+            # embedded events carry their own 19-byte headers but NO
+            # checksums (MySQL strips them when compressing); offsets
+            # inside the payload sub-order under the carrier's offset
+            ipos = 0
+            sub = 0
+            while ipos + _HEADER_LEN <= len(inner):
+                iets, itc, _isid, iesize, _ilpos, _iflags = _HEADER.unpack_from(
+                    inner, ipos
+                )
+                if iesize < _HEADER_LEN or ipos + iesize > len(inner):
+                    raise ValueError(
+                        f"corrupt embedded event inside transaction "
+                        f"payload at offset {event_seq}+{ipos}"
+                    )
+                ibody = inner[ipos + _HEADER_LEN : ipos + iesize]
+                handle(itc, ibody, iets, event_seq + 1 + sub)
+                ipos += iesize
+                sub += 1
         elif tc in _UNSUPPORTED_PAYLOAD_EVENTS:
             # unlike the reference's default-skip (:427-428), a payload-
-            # bearing event we can't decode is DATA LOSS, not noise —
-            # e.g. a compressed binlog would otherwise decode to an
-            # empty changelog with no signal
+            # bearing event we can't decode is DATA LOSS, not noise
             raise ValueError(
                 f"binlog event type {tc} at offset {event_seq} is "
                 f"{_UNSUPPORTED_PAYLOAD_EVENTS[tc]}: it carries row data "
-                "this reader does not decode; re-record with "
-                "binlog_transaction_compression=OFF / row events v2, or "
-                "ingest via the Kafka/Debezium envelope path"
+                "this reader does not decode; re-record with row events "
+                "v2, or ingest via the Kafka/Debezium envelope path"
             )
         # else: rotate/xid/query/... -> skip (reference default branch)
+
+    while pos + _HEADER_LEN <= len(blob):
+        ets, tc, _sid, esize, _lpos, _flags = _HEADER.unpack_from(blob, pos)
+        if esize < _HEADER_LEN or pos + esize > len(blob):
+            if mode == "strict":
+                raise ValueError(
+                    f"truncated/corrupt event at offset {pos} "
+                    f"(size {esize}, file has {len(blob) - pos} bytes left)"
+                )
+            break  # partial trailing event: consumed on the next rotation
+        ev = blob[pos : pos + esize]
+        event_seq = pos
+        pos += esize
+        if tc == EV_FORMAT_DESCRIPTION:
+            checksum = _detect_checksum(ev)
+            continue
+        body = ev[_HEADER_LEN : len(ev) - (4 if checksum else 0)]
+        handle(tc, body, ets, event_seq)
     if mode == "strict" and pos != len(blob):
         raise ValueError(
             f"{len(blob) - pos} trailing bytes after offset {pos} "
@@ -1210,14 +1314,163 @@ def mysql_binlog_read_stream(
     the reference's replay-everything-per-scan (binlogdb.cc:487). Note
     the file source reads a file when it APPEARS: the active, still-
     growing binlog file is picked up on rotation, so end-to-end latency
-    is one rotation (use the Kafka/Debezium path for sub-rotation
-    latency)."""
+    is one rotation. For SUB-ROTATION latency use
+    ``mysql_binlog_tail_stream`` (the ``mysql_binlog_tail`` DataSource),
+    which re-reads the active file's decodable prefix every micro-batch
+    the way the reference's scan does (binlog_table_reader.cc:75-96) —
+    but incrementally, off a checkpointed (file_seq, byte) cursor."""
     files = (
         spark.readStream.format("binaryFile")
         .schema(_BINARY_FILE_SCHEMA)
         .load(path)
     )
     return _decode_files(files, target, database, table)
+
+
+# --- sub-rotation streaming tail (custom DataSource) -------------------------
+
+
+def _complete_prefix_len(blob: bytes) -> int:
+    """Byte length of the longest whole-event prefix (magic included):
+    the safe read horizon of the ACTIVE, still-growing binlog file."""
+    if blob[:4] != BINLOG_MAGIC:
+        return 0
+    pos = 4
+    while pos + _HEADER_LEN <= len(blob):
+        esize = struct.unpack_from("<I", blob, pos + 9)[0]
+        if esize < _HEADER_LEN or pos + esize > len(blob):
+            break
+        pos += esize
+    return pos
+
+
+def _tail_target(options: dict) -> T.StructType:
+    from mysql_cdc_table_spark.sources.datasource import _parse_ddl
+
+    return _parse_ddl(options["schema_ddl"])
+
+
+from pyspark.sql.datasource import (  # noqa: E402  (public DataSource API)
+    DataSource as _DataSource,
+    SimpleDataSourceStreamReader as _SimpleStreamReader,
+)
+
+
+class MysqlBinlogTailStreamReader(_SimpleStreamReader):
+    """SimpleDataSourceStreamReader over a live binlog directory.
+
+    Offset = ``{"seq": <highest file seq seen>, "pos": <bytes of that
+    file's consumed whole-event prefix>}``. Per micro-batch: rotated
+    files newer than the cursor are consumed whole; the ACTIVE (highest
+    seq) file is re-decoded up to its current whole-event prefix and
+    only rows past the cursor's byte offset are emitted — sub-rotation
+    latency, exactly-once per the checkpointed cursor. The re-decode of
+    the active file's prefix is the price of the format's statefulness
+    (GTID/TABLE_MAP context precedes the cursor); it is bounded by one
+    rotation (max_binlog_size) and mirrors the reference's own
+    re-scan of the active file (binlog_table_reader.cc:75-96) — which
+    re-reads EVERY file on EVERY query, not just the active one.
+    Files are append-only and seqs strictly increase (MySQL rotation),
+    which makes readBetweenOffsets deterministic for replay."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.database = options["database"]
+        self.table = options["table"]
+        self.target = _tail_target(options)
+
+    def initialOffset(self):
+        return {"seq": -1, "pos": 0}
+
+    def _files(self) -> list[tuple[int, str]]:
+        import os
+
+        if os.path.isdir(self.path):
+            pairs = [
+                (_file_seq_of(n), os.path.join(self.path, n))
+                for n in os.listdir(self.path)
+                if not n.startswith((".", "_")) and not n.endswith(".index")
+            ]
+            return sorted(pairs)
+        return [(_file_seq_of(self.path), self.path)]
+
+    def _delta(self, start: dict, upto: dict | None = None):
+        rows: list[tuple] = []
+        names = [f.name for f in changelog_schema(self.target).fields]
+        end = {"seq": start["seq"], "pos": start["pos"]}
+        for seq, path in self._files():
+            if seq < start["seq"]:
+                continue
+            if upto is not None and seq > upto["seq"]:
+                continue
+            with open(path, "rb") as fh:
+                blob = fh.read()
+            prefix = _complete_prefix_len(blob)
+            if upto is not None and seq == upto["seq"]:
+                prefix = min(prefix, upto["pos"])
+            lo = start["pos"] if seq == start["seq"] else 0
+            if prefix <= lo and seq == start["seq"]:
+                continue  # no new complete events in the active file
+            decoded = decode_binlog_bytes(
+                blob[:prefix], self.target, self.database, self.table,
+                file_seq=seq,
+            )
+            for r in decoded:
+                if seq == start["seq"] and r["__event_seq"] < lo:
+                    continue  # already consumed in a previous batch
+                rows.append(tuple(r.get(n) for n in names))
+            if seq > end["seq"] or (seq == end["seq"] and prefix > end["pos"]):
+                end = {"seq": seq, "pos": prefix}
+        return rows, end
+
+    def read(self, start):
+        rows, end = self._delta(start)
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start, end):
+        rows, _ = self._delta(start, upto=end)
+        return iter(rows)
+
+    def commit(self, end):
+        pass
+
+
+class MysqlBinlogTailDataSource(_DataSource):
+    """``spark.readStream.format("mysql_binlog_tail")`` — the
+    sub-rotation-latency tail of a live binlog directory. Options:
+    path, schema_ddl (extended DDL, see datasource._parse_ddl),
+    database, table."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "mysql_binlog_tail"
+
+    def schema(self):
+        return changelog_schema(_tail_target(dict(self.options)))
+
+    def simpleStreamReader(self, schema):
+        return MysqlBinlogTailStreamReader(dict(self.options))
+
+
+def mysql_binlog_tail_stream(
+    spark: SparkSession,
+    path: str,
+    schema_ddl: str,
+    database: str,
+    table: str,
+) -> DataFrame:
+    """readStream over the ``mysql_binlog_tail`` DataSource (register
+    with ``sources.datasource.register``): sub-rotation-latency tail of
+    a live binlog directory. ``schema_ddl`` uses the same extended DDL
+    as the packed source (enum(...)/set(...)/bit/json/geometry)."""
+    return (
+        spark.readStream.format("mysql_binlog_tail")
+        .option("path", path)
+        .option("schema_ddl", schema_ddl)
+        .option("database", database)
+        .option("table", table)
+        .load()
+    )
 
 
 # --- oracle-checked roundtrip query ------------------------------------------

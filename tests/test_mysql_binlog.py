@@ -254,12 +254,12 @@ def test_json_and_geometry_columns_through_binlog():
 
 
 def test_unsupported_payload_event_raises():
-    """A TRANSACTION_PAYLOAD_EVENT (compressed binlog, 8.0.20+) must
-    raise with a pointed message — the reference's default-skip would
-    silently decode a compressed binlog to an empty changelog. Truly
-    ignorable types (XID here) still skip."""
+    """A payload-bearing event the reader can't decode (pre-5.6 rows-v1
+    here) must raise with a pointed message — the reference's
+    default-skip would silently drop its row data. Truly ignorable
+    types (XID here) still skip."""
     from mysql_cdc_table_spark.sources.mysql_binlog import (
-        EV_TRANSACTION_PAYLOAD,
+        EV_WRITE_ROWS_V1,
         EV_XID,
         _event,
     )
@@ -268,11 +268,69 @@ def test_unsupported_payload_event_raises():
     blob = build_binlog_file("d", "t", TARGET, [_txn(1, "w", [r1])])
     xid = _event(1_700_000_000, EV_XID, 1, b"\x01\x00\x00\x00\x00\x00\x00\x00", len(blob), False)
     assert len(decode_binlog_bytes(blob + xid, TARGET, "d", "t")) == 1
-    payload_ev = _event(
-        1_700_000_000, EV_TRANSACTION_PAYLOAD, 1, b"\x00" * 24, len(blob), False
+    v1_ev = _event(
+        1_700_000_000, EV_WRITE_ROWS_V1, 1, b"\x00" * 24, len(blob), False
     )
-    with pytest.raises(ValueError, match="binlog_transaction_compression"):
-        decode_binlog_bytes(blob + payload_ev, TARGET, "d", "t")
+    with pytest.raises(ValueError, match="pre-5.6"):
+        decode_binlog_bytes(blob + v1_ev, TARGET, "d", "t")
+
+
+def test_transaction_payload_none_decodes_like_plain():
+    """binlog_transaction_compression framing (TRANSACTION_PAYLOAD with
+    compression NONE): the wrapped file must decode to the same
+    changelog as its unwrapped twin — GTIDs, op codes, update pairing
+    and all — not to a silently empty result."""
+    r1 = {"id": 1, "v": "a", "amt": Decimal("1.50")}
+    r1b = {"id": 1, "v": "a2", "amt": Decimal("2.50")}
+    r2 = {"id": 2, "v": "b", "amt": Decimal("-3.25")}
+    txns = [
+        _txn(10, "w", [r1, r2]),
+        _txn(11, "u", [(r1, r1b)]),
+        _txn(12, "d", [r2]),
+    ]
+    plain = build_binlog_file("d", "t", TARGET, txns)
+    wrapped = build_binlog_file("d", "t", TARGET, txns, payload_wrap=True)
+    assert plain != wrapped
+    a = decode_binlog_bytes(plain, TARGET, "d", "t")
+    b = decode_binlog_bytes(wrapped, TARGET, "d", "t")
+    strip = lambda r: {k: v for k, v in r.items() if k != "__event_seq"}
+    assert [strip(r) for r in a] == [strip(r) for r in b]
+    # ordering keys inside the payload still strictly increase
+    seqs = [(r["__event_seq"], r["__image_seq"]) for r in b]
+    assert seqs == sorted(seqs)
+
+
+def test_transaction_payload_zstd_raises_without_module():
+    """A ZSTD-compressed payload must raise a pointed error when no
+    zstd module is importable (this container has none) — never decode
+    to an empty changelog."""
+    import importlib.util
+
+    def _has(name: str) -> bool:
+        try:
+            return importlib.util.find_spec(name) is not None
+        except ModuleNotFoundError:
+            return False
+
+    if _has("zstandard") or _has("compression.zstd"):
+        pytest.skip("zstd available; decompress path would be taken")
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        EV_TRANSACTION_PAYLOAD,
+        _event,
+        _pack_int,
+    )
+
+    tlv = lambda t, v: _pack_int(t) + _pack_int(len(v)) + v
+    body = (
+        tlv(2, _pack_int(0))  # compression type ZSTD
+        + tlv(3, _pack_int(100))
+        + _pack_int(0)
+        + b"\x28\xb5\x2f\xfd junk"
+    )
+    blob = build_binlog_file("d", "t", TARGET, [])
+    ev = _event(1_700_000_000, EV_TRANSACTION_PAYLOAD, 1, body, len(blob), False)
+    with pytest.raises(ValueError, match="ZSTD-compressed"):
+        decode_binlog_bytes(blob + ev, TARGET, "d", "t")
 
 
 @settings(max_examples=100, deadline=None)
@@ -348,6 +406,71 @@ def test_streaming_tail_incremental_with_store(spark, tmp_path):
         ).collect()
     }
     assert got == batch == {1: "a2"}
+
+
+def test_tail_stream_sub_rotation_latency(spark, tmp_path):
+    """The mysql_binlog_tail DataSource must consume the ACTIVE file's
+    new complete events without waiting for rotation: batch 1 reads the
+    decodable prefix of a mid-write file; after the file grows (and a
+    new file rotates in), batch 2 on the same checkpoint emits ONLY the
+    delta — no replays, no missed events."""
+    from mysql_cdc_table_spark.sources.datasource import register
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        mysql_binlog_tail_stream,
+    )
+
+    register(spark)
+    d = tmp_path / "logs"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    ddl = "id bigint, v string, amt decimal(10,2)"
+
+    r1 = {"id": 1, "v": "a", "amt": Decimal("1.50")}
+    r1b = {"id": 1, "v": "a2", "amt": Decimal("2.50")}
+    r2 = {"id": 2, "v": "b", "amt": Decimal("-3.25")}
+    full1 = build_binlog_file(
+        "d", "t", TARGET, [_txn(10, "w", [r1, r2]), _txn(11, "u", [(r1, r1b)])]
+    )
+    # phase 1: the active file is mid-write — txn 11 is cut off
+    (d / "binlog.000001").write_bytes(full1[:-5])
+
+    def run_once():
+        got: list = []
+
+        q = (
+            mysql_binlog_tail_stream(spark, str(d), ddl, "d", "t")
+            .writeStream.foreachBatch(
+                lambda df, _eid: got.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    batch1 = sorted(run_once(), key=lambda r: (r["__event_seq"], r["__image_seq"]))
+    assert [(r["id"], r["__op"], r["__gtid"]) for r in batch1] == [
+        (1, 1, 10),
+        (2, 1, 10),
+    ]
+
+    # phase 2: the active file completes in place AND a new file rotates in
+    (d / "binlog.000001").write_bytes(full1)
+    (d / "binlog.000002").write_bytes(
+        build_binlog_file("d", "t", TARGET, [_txn(12, "d", [r2])])
+    )
+    batch2 = sorted(
+        run_once(),
+        key=lambda r: (r["__file_seq"], r["__event_seq"], r["__image_seq"]),
+    )
+    assert [(r["id"], r["__op"], r["__gtid"]) for r in batch2] == [
+        (1, 2, 11),  # txn 11 update pair — the completed tail, no replay of txn 10
+        (1, 3, 11),
+        (2, 0, 12),  # rotated-in delete
+    ]
+    assert batch2[0]["v"] == "a" and batch2[1]["v"] == "a2"
 
 
 def test_truncated_tail_permissive_vs_strict():

@@ -176,6 +176,24 @@ def test_lsh_topk_broadcasts_query(spark, sf_dir):
     assert shuffle_count(df) == 0
 
 
+def test_topk_per_group_partial_limit_before_shuffle(spark, sf_dir):
+    """topk_per_group must keep the two-level WindowGroupLimit shape —
+    a map-side partial top-k BEFORE the hash exchange and the final one
+    after — with exactly one shuffle. (Pinned after the r2 bench drift:
+    re-measured min-of-3 showed the plan unchanged and the delta
+    environmental; this guards the plan half of that conclusion.)"""
+    from mysql_cdc_table_spark.operators.windows import topk_per_group
+    from mysql_cdc_table_spark.plans.audit import count_nodes, formatted_plan
+
+    df = topk_per_group(spark, sf_dir)
+    assert count_nodes(df, "WindowGroupLimit") == 2
+    assert shuffle_count(df) == 1
+    # tree prints root-first, so the PARTIAL limit (scan side) is the
+    # last WindowGroupLimit occurrence and must sit below the Exchange
+    plan = formatted_plan(df)
+    assert plan.rindex("WindowGroupLimit") > plan.index("Exchange")
+
+
 def test_knn_join_no_forced_broadcast_of_query_side(spark, sf_dir):
     """The knn-join query side grows with the corpus (1-in-50 sample):
     the default plan must NOT statically broadcast it — modeled here by
