@@ -77,11 +77,22 @@ _ROUND3_WINDOW = (
     "cdc_mysql_binlog_roundtrip", "cdc_binlog_latest_state",
     "ann_lsh_rp_topk", "ann_ivf_pq_topk",
     # -- re-verify: implementations change in round 3
-    "ann_knn_join",          # size-gated shuffle-join path for large query sides
+    "ann_knn_join",          # AQE-gated join strategy for the query side
     "dedup_cluster_resolve", # convergence guard on the CC iteration cap
     "cdc_packed_typed_roundtrip",  # GEOMETRY/WKB added to the codec matrix
-    "topk_per_group",        # r2 bench outlier; re-measure under min-of-3
-    "q1_pricing_summary",    # flagship smoke twin
+    # -- round-3-new (2 of 5 fit; q11/q16/q20 register out-of-window,
+    #    rotation candidates for round 4 alongside any red r3 key)
+    "q8_market_share",
+    "q9_product_profit",
+)
+
+# Registered during round 3 AFTER the window filled — out-of-window by
+# design, locally green at sf0.01 AND sf0.1, first in line for the
+# round-4 rotation.
+ROUND3_LATE_KEYS = (
+    "q11_important_parts",
+    "q16_supplier_part_counts",
+    "q20_promo_part_suppliers",
 )
 
 

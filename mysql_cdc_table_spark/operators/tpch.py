@@ -528,6 +528,276 @@ ORDER BY supp_nation, cust_nation, l_year
 """
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — one supplier nation's
+    slice of a region's market revenue per year. Exercises the
+    two-dimension snowflake (customer nation -> region on one side,
+    supplier nation on the other) hanging off the lineitem-orders
+    fact-fact join, with every dim broadcast. Revenue is summed in
+    exact integer ten-thousandths; the share is one int64/int64 double
+    division (bit-identical across engines, no rounding step)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01"))
+    )
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n_c = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_s = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round((1 - F.col("l_discount")) * 100).cast("long")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cr_key") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", rev_e4).otherwise(F.lit(0))).alias(
+                "nation_rev_e4"
+            ),
+            F.sum(rev_e4).alias("total_rev_e4"),
+        )
+        .select(
+            "o_year",
+            "nation_rev_e4",
+            "total_rev_e4",
+            (F.col("nation_rev_e4") / F.col("total_rev_e4")).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+WITH flat AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round((1 - l_discount) * 100) AS BIGINT) AS rev_e4,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_e4 ELSE 0 END)
+            AS BIGINT) AS nation_rev_e4,
+       CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4,
+       sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_e4 ELSE 0 END)
+         / CAST(sum(rev_e4) AS DOUBLE) AS mkt_share
+FROM flat GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by supplier nation and year.
+    The testdata has no partsupp, so supply cost is adapted to the
+    part's retail price x quantity (same plan shape: part filter ->
+    fact join -> two-level group). All terms are exact integers at
+    ten-thousandths scale (prices 2-dec, quantities integral)."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    profit_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round((1 - F.col("l_discount")) * 100).cast("long")
+        - F.round(F.col("p_retailprice") * 100).cast("long")
+        * F.round(F.col("l_quantity")).cast("long")
+        * F.lit(100).cast("long")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy("nation", F.year("l_shipdate").alias("o_year"))
+        .agg(F.sum(profit_e4).alias("profit_e4"))
+        .select(
+            "nation",
+            "o_year",
+            "profit_e4",
+            (F.col("profit_e4") / F.lit(10000.0)).alias("profit"),
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, year(l_shipdate) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                - CAST(round(p_retailprice * 100) AS BIGINT)
+                * CAST(round(l_quantity) AS BIGINT) * 100) AS BIGINT)
+         AS profit_e4,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                - CAST(round(p_retailprice * 100) AS BIGINT)
+                * CAST(round(l_quantity) AS BIGINT) * 100) AS BIGINT)
+         / 10000.0 AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name, year(l_shipdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose inventory value exceeds a fixed
+    fraction of the grand total — group-agg + global-scalar comparison.
+    Adapted from partsupp to lineitem value (price-cents x quantity)
+    restricted to suppliers in one region; the fraction test is the
+    integer cross-multiplication ``value * 2000 > total`` (no float
+    division anywhere)."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    value_e2 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round(F.col("l_quantity")).cast("long")
+    )
+    per_part = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(value_e2).alias("value_e2"))
+    )
+    total = per_part.agg(F.sum("value_e2").alias("total_e2"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_e2") * 2000 > F.col("total_e2"))
+        .select(
+            "partkey",
+            "value_e2",
+            (F.col("value_e2") / F.lit(100.0)).alias("value"),
+        )
+        .orderBy(F.col("value_e2").desc(), "partkey")
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS value_e2
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  GROUP BY l_partkey
+)
+SELECT partkey, value_e2, value_e2 / 100.0 AS value
+FROM per_part
+WHERE value_e2 * 2000 > (SELECT sum(value_e2) FROM per_part)
+ORDER BY value_e2 DESC, partkey
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    triple, with a negated attribute filter AND a NOT-IN supplier
+    exclusion (suppliers in deficit stand in for the complaints
+    subquery; Catalyst plans it as an anti join). Adapted from partsupp
+    to the lineitem part-supplier relation."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 15, 25, 35, 49)
+    )
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 15, 25, 35, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers whose 1997 shipments of the target
+    part family exceed half their all-time volume — the nested
+    aggregate-in-predicate, decorrelated to one conditional-agg pass;
+    the half test is the integer cross-multiplication ``2*q97 > qtot``
+    (quantities are integral, so no 0.5 float factor). Ends in the Q20
+    semi-join to supplier names."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = t(spark, sf_dir, "supplier")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    in97 = (F.col("l_shipdate") >= F.lit("1997-01-01")) & (
+        F.col("l_shipdate") < F.lit("1998-01-01")
+    )
+    per_supp = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(in97, qty).otherwise(F.lit(0))).alias("qty_97"),
+            F.sum(qty).alias("qty_all"),
+        )
+        .filter(F.col("qty_97") * 2 > F.col("qty_all"))
+    )
+    return (
+        s.join(per_supp, s.s_suppkey == per_supp.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                  THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END) AS qty_97,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS qty_all
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM per_supp WHERE qty_97 * 2 > qty_all)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "q7_nation_volume": q7_nation_volume,
     "q13_customer_distribution": q13_customer_distribution,
@@ -543,6 +813,11 @@ QUERIES = {
     "q10_returned_items": q10_returned_items,
     "q14_promo_share": q14_promo_share,
     "q19_disjunctive_bands": q19_disjunctive_bands,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_parts": q11_important_parts,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q20_promo_part_suppliers": q20_promo_part_suppliers,
 }
 
 ORACLES = {
@@ -560,4 +835,9 @@ ORACLES = {
     "q10_returned_items": Q10_SQL,
     "q14_promo_share": Q14_SQL,
     "q19_disjunctive_bands": Q19_SQL,
+    "q8_market_share": Q8_SQL,
+    "q9_product_profit": Q9_SQL,
+    "q11_important_parts": Q11_SQL,
+    "q16_supplier_part_counts": Q16_SQL,
+    "q20_promo_part_suppliers": Q20_SQL,
 }

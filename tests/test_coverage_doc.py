@@ -79,7 +79,7 @@ def test_driver_window_composition():
     insertion can't silently starve it."""
     import json
 
-    from mysql_cdc_table_spark.operators import _ROUND3_WINDOW
+    from mysql_cdc_table_spark.operators import ROUND3_LATE_KEYS, _ROUND3_WINDOW
 
     root = Path(__file__).resolve().parent.parent
     keys = list(all_queries())
@@ -87,9 +87,13 @@ def test_driver_window_composition():
     assert window == list(_ROUND3_WINDOW), "registry front diverged from plan"
 
     # every key never seen by the driver in rounds 1-2 must be in-window
+    # — except keys born during round 3 after the window filled (they
+    # register out-of-window on purpose, rotation candidates for r4)
     seen: set[str] = set()
     for rnd in ("r01", "r02"):
         seen |= set(json.loads(root.joinpath(f"CORRECTNESS_{rnd}.json").read_text()))
-    never_seen = [k for k in keys if k not in seen]
+    never_seen = [k for k in keys if k not in seen and k not in ROUND3_LATE_KEYS]
     missing = [k for k in never_seen if k not in window]
     assert not missing, f"never-driver-seen keys fell out of the window: {missing}"
+    for k in ROUND3_LATE_KEYS:
+        assert k in keys and k not in window, f"late-add {k} shifted the window"
