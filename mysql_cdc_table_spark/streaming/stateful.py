@@ -120,6 +120,67 @@ def expiring_user_totals(
     )
 
 
+def running_user_totals_tws(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """running_user_totals on the transformWithStateInPandas API
+    (Spark 4's arbitrary-state surface, successor to
+    applyInPandasWithState): a StatefulProcessor with a typed
+    ValueState. Both APIs are part of the engine's stateful surface —
+    the old one for compatibility, this one for new code (composable
+    state variables, timers, TTL). Requires the RocksDB state store
+    provider (set in the test/session conf); state is checkpointed and
+    partitioned by key exactly like the applyInPandas variant.
+
+    Environment gate: the transformWithState worker protocol needs
+    ``google.protobuf``, which this sandbox lacks — the operator raises
+    a pointed ImportError up front instead of crashing the driver-side
+    state worker mid-query (the test skips accordingly; the
+    applyInPandasWithState twin carries the behavioral coverage)."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as ex:
+        raise ImportError(
+            "transformWithStateInPandas requires google.protobuf (the "
+            "state-server wire protocol); install protobuf or use "
+            "running_user_totals (applyInPandasWithState) instead"
+        ) from ex
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n long, total double"
+            )
+
+        def handleInputRows(
+            self, key: Any, rows: Iterator[pd.DataFrame], timerValues: Any
+        ) -> Iterator[pd.DataFrame]:
+            if self._totals.exists():
+                n, total = self._totals.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value_col].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"key": [key[0]], "n": [n], "total": [round(total, 6)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        _Totals(),
+        outputStructType="key long, n long, total double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def cdc_live_key_counter(changelog: DataFrame) -> DataFrame:
     """CDC-aware stateful op: tracks whether each key is live (last op
     not DELETE) and how many images it has seen — a streaming analogue

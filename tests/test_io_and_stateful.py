@@ -123,6 +123,82 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert got == {1: (3, 17.5), 2: (1, 1.0), 3: (1, 7.0)}
 
 
+def test_transform_with_state_totals_across_batches(spark, tmp_path):
+    """The transformWithStateInPandas variant must carry ValueState
+    across micro-batches exactly like the applyInPandasWithState one
+    (same drip fixture, same expected totals). Needs the RocksDB state
+    store provider AND google.protobuf (the state-server protocol) —
+    skipped where protobuf is absent, raising-a-pointed-error is the
+    operator's contract there (asserted below)."""
+    from mysql_cdc_table_spark.streaming.stateful import running_user_totals_tws
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        import pytest
+
+        with pytest.raises(ImportError, match="protobuf"):
+            running_user_totals_tws(
+                spark.readStream.schema("user_id long, value double").json(
+                    str(tmp_path)
+                )
+            )
+        pytest.skip("google.protobuf unavailable in this environment")
+
+    src = tmp_path / "drip"
+    src.mkdir()
+    (src / "f0.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"user_id": 1, "value": 10.0},
+                {"user_id": 1, "value": 5.0},
+                {"user_id": 2, "value": 1.0},
+            ]
+        )
+    )
+    (src / "f1.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [{"user_id": 1, "value": 2.5}, {"user_id": 3, "value": 7.0}]
+        )
+    )
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        totals = running_user_totals_tws(stream)
+        q = (
+            totals.writeStream.format("memory")
+            .queryName("user_totals_tws")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql(
+            "SELECT key, max(n) AS n, max(total) AS total FROM user_totals_tws GROUP BY key"
+        ).collect()
+        got = {r["key"]: (r["n"], r["total"]) for r in rows}
+        assert got == {1: (3, 17.5), 2: (1, 1.0), 3: (1, 7.0)}
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def test_cdc_live_key_counter(spark, tmp_path):
     """CDC stateful op: insert -> update -> delete for key 1 across two
     batches; key flips live -> dead, image count accumulates."""
