@@ -93,6 +93,7 @@ ROUND3_LATE_KEYS = (
     "q11_important_parts",
     "q16_supplier_part_counts",
     "q20_promo_part_suppliers",
+    "fn_variant",
 )
 
 

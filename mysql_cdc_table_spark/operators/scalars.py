@@ -292,6 +292,37 @@ FROM events
 """
 
 
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT over the JSON column: parse_json -> variant_get /
+    to_json / schema_of_variant — the binary semi-structured path
+    (typed extraction without re-parsing, shreddable at the scan) next
+    to fn_json's string-function path. The oracle mirrors with DuckDB
+    JSON functions; schema_of_variant's output is pinned because the
+    fixture's props are uniformly {"k": <uint>}."""
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k_long"),
+        F.expr("variant_get(parse_json(props), '$.k', 'string')").alias("k_str"),
+        F.expr("variant_get(parse_json(props), '$.missing', 'string')").alias(
+            "k_missing"
+        ),
+        F.expr("to_json(parse_json(props))").alias("canon"),
+        F.expr("schema_of_variant(parse_json(props))").alias("vschema"),
+    )
+
+
+FN_VARIANT_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+       json_extract_string(props, '$.k') AS k_str,
+       json_extract_string(props, '$.missing') AS k_missing,
+       json(props)::VARCHAR AS canon,
+       'OBJECT<k: BIGINT>' AS vschema
+FROM events
+"""
+
+
 def fn_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode over a map column: one (key, value) row per entry."""
     e = t(spark, sf_dir, "events")
@@ -372,6 +403,7 @@ QUERIES = {
     "fn_array": fn_array,
     "fn_map": fn_map,
     "fn_json": fn_json,
+    "fn_variant": fn_variant,
     "fn_map_explode": fn_map_explode,
     "fn_string": fn_string,
     "fn_datetime": fn_datetime,
@@ -391,4 +423,5 @@ ORACLES = {
     "fn_array_explode": FN_ARRAY_EXPLODE_SQL,
     "fn_map": FN_MAP_SQL,
     "fn_json": FN_JSON_SQL,
+    "fn_variant": FN_VARIANT_SQL,
 }

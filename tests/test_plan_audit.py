@@ -176,6 +176,56 @@ def test_lsh_topk_broadcasts_query(spark, sf_dir):
     assert shuffle_count(df) == 0
 
 
+def test_q8_snowflake_dims_broadcast(spark, sf_dir):
+    """q8's five dims (customer, both nations, region, supplier) must
+    all broadcast; only the lineitem-orders fact-fact join may shuffle."""
+    from mysql_cdc_table_spark.operators.tpch import q8_market_share
+
+    df = q8_market_share(spark, sf_dir)
+    assert_broadcast_join(df, 5)
+    assert_no_cartesian(df)
+    assert_filter_pushed(df, "o_orderdate")
+
+
+def test_q9_part_filter_pushed_and_dims_broadcast(spark, sf_dir):
+    """q9's part-name filter must reach the part scan; part, supplier
+    and nation broadcast onto the lineitem stream — zero fact shuffles
+    before the two-level aggregate."""
+    from mysql_cdc_table_spark.operators.tpch import q9_product_profit
+
+    df = q9_product_profit(spark, sf_dir)
+    assert_broadcast_join(df, 3)
+    assert_no_cartesian(df)
+
+
+def test_q11_scalar_total_broadcast(spark, sf_dir):
+    """q11's grand-total side is one row — it must broadcast onto the
+    per-part aggregate, never shuffle it."""
+    from mysql_cdc_table_spark.operators.tpch import q11_important_parts
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = q11_important_parts(spark, sf_dir)
+    assert (
+        count_nodes(df, "BroadcastHashJoin")
+        + count_nodes(df, "BroadcastNestedLoopJoin")
+        >= 1
+    )
+    assert_no_cartesian(df)
+
+
+def test_q16_anti_join_broadcast(spark, sf_dir):
+    """q16's NOT-IN supplier exclusion must plan as a broadcast anti
+    join (the deficit-supplier list is tiny)."""
+    from mysql_cdc_table_spark.operators.tpch import q16_supplier_part_counts
+    from mysql_cdc_table_spark.plans.audit import formatted_plan
+
+    df = q16_supplier_part_counts(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan
+    assert_broadcast_join(df, 2)  # part dim + anti join
+    assert_no_cartesian(df)
+
+
 def test_topk_per_group_partial_limit_before_shuffle(spark, sf_dir):
     """topk_per_group must keep the two-level WindowGroupLimit shape —
     a map-side partial top-k BEFORE the hash exchange and the final one
