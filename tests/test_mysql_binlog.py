@@ -146,6 +146,29 @@ def test_newdecimal_wire_fuzz(unscaled, scale):
     assert got == v.quantize(Decimal(1).scaleb(-scale)) if scale else got == v
 
 
+def test_decimal_38_10_through_binlog_file():
+    """DECIMAL(38,10) survives the FULL file roundtrip (TABLE_MAP
+    metadata bytes carry precision/scale; the value is the 9-digit
+    group wire format) — including the >28-significant-digit values the
+    default decimal context would corrupt."""
+    tgt = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("wide", T.DecimalType(38, 10)),
+        ]
+    )
+    vals = [
+        Decimal("-12345678901234567890.0123456789"),
+        Decimal("9999999999999999999999999999.9999999999"),
+        Decimal("0.0000000001"),
+        None,
+    ]
+    rows = [{"id": i, "wide": v} for i, v in enumerate(vals)]
+    blob = build_binlog_file("d", "t", tgt, [_txn(1, "w", rows)])
+    out = decode_binlog_bytes(blob, tgt, "d", "t")
+    assert [r["wide"] for r in out] == vals
+
+
 def test_newdecimal_38_10_exact_beyond_default_context():
     """DECIMAL(38,10) values with >28 significant digits must encode
     exactly — abs() under the default 28-digit context would round the
@@ -406,6 +429,66 @@ def test_streaming_tail_incremental_with_store(spark, tmp_path):
         ).collect()
     }
     assert got == batch == {1: "a2"}
+
+
+_row_strategy = st.fixed_dictionaries(
+    {
+        "id": st.none() | st.integers(-(2**62), 2**62),
+        "v": st.none() | st.text(max_size=24),
+        "amt": st.none()
+        | st.decimals(
+            min_value="-99999999.99", max_value="99999999.99", places=2
+        ),
+    }
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    txns=st.lists(
+        st.tuples(
+            st.sampled_from(["w", "d", "u"]),
+            st.lists(_row_strategy, min_size=1, max_size=3),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    checksum=st.booleans(),
+    payload_wrap=st.booleans(),
+)
+def test_whole_file_roundtrip_property(txns, checksum, payload_wrap):
+    """Whole-file invariant: for ARBITRARY transaction scripts (ops,
+    multi-row events, NULL placement, negative decimals, unicode,
+    checksums on/off, compressed-transaction framing on/off),
+    decode(build(txns)) reproduces every row image, op code, GTID and
+    image order exactly."""
+    script = []
+    expect = []  # (op, row) in emission order
+    for i, (op, rows) in enumerate(txns):
+        gno = 100 + i
+        if op == "u":
+            pairs = []
+            for r in rows:
+                before = dict(r, v=(r["v"] or "") + "!")
+                pairs.append((before, r))
+                expect.append((2, gno, before))
+                expect.append((3, gno, r))
+            script.append({"gno": gno, "op": "u", "rows": pairs})
+        else:
+            for r in rows:
+                expect.append((1 if op == "w" else 0, gno, r))
+            script.append({"gno": gno, "op": op, "rows": list(rows)})
+    blob = build_binlog_file(
+        "d", "t", TARGET, script, checksum=checksum, payload_wrap=payload_wrap
+    )
+    out = decode_binlog_bytes(blob, TARGET, "d", "t")
+    assert len(out) == len(expect)
+    for got, (op, gno, row) in zip(out, expect):
+        assert got["__op"] == op and got["__gtid"] == gno
+        for k, v in row.items():
+            assert got[k] == v, (k, v, got[k])
+    seqs = [(r["__event_seq"], r["__image_seq"]) for r in out]
+    assert seqs == sorted(seqs)
 
 
 def test_tail_stream_sub_rotation_latency(spark, tmp_path):
