@@ -18,7 +18,10 @@ Python in the row path. Each has an exact DuckDB oracle:
   arithmetic — the two deterministic versions of "rebalance the
   domain mix".
 - The shard manifest packs documents into fixed-token-budget shards
-  with a two-level distributed prefix sum.
+  with a two-level distributed prefix sum; corpus_pack_sequences
+  reuses the same prefix sum to slice the concatenated corpus into
+  fixed-SEQ_LEN training sequences (documents split across
+  boundaries — GPT-style concat-and-chunk).
 
 Reference parity: this surface is reached through MySQL's SQL layer in
 the reference (the plugin contributes only the scan —
@@ -346,6 +349,113 @@ FROM g GROUP BY 1
 """
 
 
+SEQ_LEN = 512  # training context window (tokens)
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate the corpus (in the
+    deterministic portable-hash shuffle order) and slice it into
+    fixed-SEQ_LEN training sequences, emitting one row per
+    (sequence, document) slice — ``doc_from``/``doc_to`` are the token
+    half-open range the doc contributes. Unlike shard_manifest (whole
+    docs into coarse shards) documents SPLIT across sequence
+    boundaries, exactly like concat-and-chunk pretraining ingestion.
+
+    Scale: the global token position comes from the same two-level
+    distributed prefix sum as shard_manifest (bucket-local cumsum +
+    broadcast bucket offsets — no single-partition window). The
+    boundary-spanning fan-out is a per-row ``sequence()`` explode whose
+    length is 1 + spans, so output rows = n_docs + n_sequences — linear.
+    All arithmetic is integer; the oracle reproduces it bit-for-bit."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        )
+        .withColumn("slot", (F.col("doc_id") * 2654435761) % 1000003)
+        .withColumn("bkt", F.col("doc_id") % SHARD_BUCKETS)
+        .filter(F.col("n_tok") > 0)
+    )
+    wloc = (
+        Window.partitionBy("bkt")
+        .orderBy("slot", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = d.withColumn("lcum", F.sum("n_tok").over(wloc))
+    btot = d.groupBy("bkt").agg(F.sum("n_tok").alias("btok"))
+    woff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.select(
+        "bkt", F.coalesce(F.sum("btok").over(woff), F.lit(0)).alias("off")
+    )
+    g = (
+        local.join(F.broadcast(offs), "bkt")
+        .withColumn("tok_end", F.col("lcum") + F.col("off"))
+        .withColumn("tok_start", F.col("tok_end") - F.col("n_tok"))
+    )
+    return (
+        g.withColumn(
+            "seq_id",
+            F.explode(
+                F.sequence(
+                    F.expr(f"tok_start div {SEQ_LEN}"),
+                    F.expr(f"(tok_end - 1) div {SEQ_LEN}"),
+                )
+            ),
+        )
+        .select(
+            "seq_id",
+            "doc_id",
+            (
+                F.greatest(F.col("seq_id") * SEQ_LEN, F.col("tok_start"))
+                - F.col("tok_start")
+            ).alias("doc_from"),
+            (
+                F.least((F.col("seq_id") + 1) * SEQ_LEN, F.col("tok_end"))
+                - F.col("tok_start")
+            ).alias("doc_to"),
+        )
+        .withColumn("n_fill", F.col("doc_to") - F.col("doc_from"))
+    )
+
+
+CORPUS_PACK_SEQUENCES_SQL = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tok,
+         (doc_id * 2654435761) % 1000003 AS slot,
+         doc_id % {SHARD_BUCKETS} AS bkt
+  FROM documents
+),
+d2 AS (SELECT * FROM d WHERE n_tok > 0),
+l AS (
+  SELECT doc_id, n_tok, bkt,
+         CAST(sum(n_tok) OVER (PARTITION BY bkt ORDER BY slot, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS lcum
+  FROM d2
+),
+bt AS (SELECT bkt, CAST(sum(n_tok) AS BIGINT) AS btok FROM d2 GROUP BY bkt),
+o AS (
+  SELECT bkt,
+         CAST(COALESCE(sum(btok) OVER (ORDER BY bkt ROWS BETWEEN
+              UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM bt
+),
+g AS (
+  SELECT doc_id, n_tok, lcum + off AS tok_end, lcum + off - n_tok AS tok_start
+  FROM l JOIN o USING (bkt)
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+       CAST(greatest(seq_id * {SEQ_LEN}, tok_start) - tok_start AS BIGINT)
+         AS doc_from,
+       CAST(least((seq_id + 1) * {SEQ_LEN}, tok_end) - tok_start AS BIGINT)
+         AS doc_to,
+       CAST(least((seq_id + 1) * {SEQ_LEN}, tok_end)
+            - greatest(seq_id * {SEQ_LEN}, tok_start) AS BIGINT) AS n_fill
+FROM g, unnest(generate_series(tok_start // {SEQ_LEN},
+                               (tok_end - 1) // {SEQ_LEN})) AS u(seq_id)
+"""
+
+
 MIX_KEEP_TOTAL = 10_000  # corpus budget for temperature mixing
 
 
@@ -428,6 +538,7 @@ QUERIES = {
     "corpus_mix_equalize": corpus_mix_equalize,
     "shard_manifest": shard_manifest,
     "corpus_mix_temperature": corpus_mix_temperature,
+    "corpus_pack_sequences": corpus_pack_sequences,
 }
 
 ORACLES = {
@@ -436,4 +547,5 @@ ORACLES = {
     "corpus_mix_equalize": CORPUS_MIX_EQUALIZE_SQL,
     "shard_manifest": SHARD_MANIFEST_SQL,
     "corpus_mix_temperature": CORPUS_MIX_TEMPERATURE_SQL,
+    "corpus_pack_sequences": CORPUS_PACK_SEQUENCES_SQL,
 }

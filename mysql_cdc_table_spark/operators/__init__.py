@@ -94,6 +94,7 @@ ROUND3_LATE_KEYS = (
     "q16_supplier_part_counts",
     "q20_promo_part_suppliers",
     "fn_variant",
+    "corpus_pack_sequences",
 )
 
 

@@ -303,6 +303,55 @@ def test_sessionize_matches_python_replay(spark, sf_dir):
     assert len(got) == n_sessions
 
 
+def test_pack_sequences_partitions_corpus_exactly(spark, sf_dir):
+    """Packing invariants: every sequence except the last is filled to
+    exactly SEQ_LEN tokens; each document's slices tile [0, n_tok)
+    without gaps or overlap; total packed tokens equal total corpus
+    tokens."""
+    from mysql_cdc_table_spark.functions.quality import (
+        SEQ_LEN,
+        corpus_pack_sequences,
+    )
+    from mysql_cdc_table_spark.functions.text import tokens as _tokens
+
+    rows = corpus_pack_sequences(spark, sf_dir).collect()
+    assert rows
+    fill_by_seq: dict[int, int] = {}
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r["doc_from"] < r["doc_to"]
+        assert r["n_fill"] == r["doc_to"] - r["doc_from"]
+        fill_by_seq[r["seq_id"]] = fill_by_seq.get(r["seq_id"], 0) + r["n_fill"]
+        by_doc.setdefault(r["doc_id"], []).append((r["doc_from"], r["doc_to"]))
+    last_seq = max(fill_by_seq)
+    for sid, fill in fill_by_seq.items():
+        assert fill == SEQ_LEN or sid == last_seq, (sid, fill)
+    assert set(fill_by_seq) == set(range(last_seq + 1))  # no empty seqs
+    n_tok = {
+        r["doc_id"]: r["n"]
+        for r in t_docs(spark, sf_dir).collect()
+    }
+    for doc_id, spans in by_doc.items():
+        spans.sort()
+        assert spans[0][0] == 0
+        assert spans[-1][1] == n_tok[doc_id]
+        for (a, b), (c, d) in zip(spans, spans[1:]):
+            assert b == c  # contiguous, non-overlapping
+    assert sum(fill_by_seq.values()) == sum(
+        n for d, n in n_tok.items() if d in by_doc
+    )
+
+
+def t_docs(spark, sf_dir):
+    from mysql_cdc_table_spark.functions.text import tokens
+
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.size(tokens(F.col("text"))).alias("n"))
+        .filter(F.col("n") > 0)
+    )
+
+
 def test_corpus_prep_pipeline_consistent_with_stages(spark, sf_dir):
     """The composed pipeline's doc counts must equal running its stages
     independently."""

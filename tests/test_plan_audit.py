@@ -268,6 +268,17 @@ def test_knn_join_no_forced_broadcast_of_query_side(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_pack_sequences_no_single_partition_window(spark, sf_dir):
+    """corpus_pack_sequences must inherit shard_manifest's two-level
+    prefix-sum shape: the doc-level window is hash-partitioned by bkt;
+    only the 32-row bucket-offset table may cross one partition."""
+    from mysql_cdc_table_spark.functions.quality import corpus_pack_sequences
+    from mysql_cdc_table_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(corpus_pack_sequences(spark, sf_dir))
+    assert "hashpartitioning(bkt" in plan, plan
+
+
 def test_shard_manifest_no_single_partition_window(spark, sf_dir):
     """The global prefix sum must be two-level: no window may run on a
     single unpartitioned exchange (the plan has no `Exchange SinglePartition`
