@@ -95,6 +95,8 @@ ROUND3_LATE_KEYS = (
     "q20_promo_part_suppliers",
     "fn_variant",
     "corpus_pack_sequences",
+    "join_lateral_topn",
+    "unpivot_metrics",
 )
 
 

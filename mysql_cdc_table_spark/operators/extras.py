@@ -402,9 +402,51 @@ GROUP BY o_orderpriority
 """
 
 
+_LATERAL_SQL = """
+SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+FROM orders o, LATERAL (
+  SELECT l_linenumber, l_extendedprice FROM lineitem
+  WHERE l_orderkey = o.o_orderkey
+  ORDER BY l_extendedprice DESC, l_linenumber
+  LIMIT 2
+) l
+WHERE o.o_orderkey % 50 = 0
+"""
+
+
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — per-order
+    top-2 priciest lineitems. A distinct operator shape from the
+    window-function top-k: the per-row dependent subquery, which
+    Catalyst decorrelates into a ranked join. The identical SQL string
+    runs on both engines (shared ANSI dialect)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+_UNPIVOT_SQL = """
+SELECT o_orderkey, metric, val
+FROM (SELECT o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS price,
+             CAST(o_custkey AS DOUBLE) AS cust
+      FROM orders)
+UNPIVOT (val FOR metric IN (price, cust))
+"""
+
+
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long): each order row becomes one row per
+    metric — the inverse of agg_pivot, SQL-standard syntax shared by
+    both engines verbatim."""
+    register_views(spark, sf_dir)
+    return spark.sql(_UNPIVOT_SQL)
+
+
 # agg_collect_sorted / fn_array2 lead: their round-1 array-typed output
 # columns were scalarized for the driver's hasher and need a green row.
 QUERIES = {
+    "join_lateral_topn": join_lateral_topn,
+    "unpivot_metrics": unpivot_metrics,
     "agg_collect_sorted": agg_collect_sorted,
     "fn_array2": fn_array2,
     "join_salted": join_salted,
@@ -422,6 +464,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_lateral_topn": _LATERAL_SQL,
+    "unpivot_metrics": _UNPIVOT_SQL,
     "set_union_distinct": SET_UNION_DISTINCT_SQL,
     "sql_entrypoint_views": _SHARED_Q1,
     "fn_string2": FN_STRING2_SQL,
