@@ -556,6 +556,43 @@ def test_tail_stream_sub_rotation_latency(spark, tmp_path):
     assert batch2[0]["v"] == "a" and batch2[1]["v"] == "a2"
 
 
+def test_tail_reader_replay_is_deterministic(tmp_path):
+    """Checkpoint-recovery contract: readBetweenOffsets(start, end) must
+    return exactly the rows the original read(start) produced, EVEN
+    AFTER the active file has grown since — the end offset caps the
+    replay at the old whole-event prefix."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        MysqlBinlogTailStreamReader,
+    )
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    r1 = {"id": 1, "v": "a", "amt": Decimal("1.00")}
+    r2 = {"id": 2, "v": "b", "amt": Decimal("2.00")}
+    full = build_binlog_file("d", "t", TARGET, [_txn(10, "w", [r1]), _txn(11, "w", [r2])])
+    (d / "binlog.000001").write_bytes(full[:-4])  # active file, txn 11 cut
+
+    reader = MysqlBinlogTailStreamReader(
+        {
+            "path": str(d),
+            "schema_ddl": "id bigint, v string, amt decimal(10,2)",
+            "database": "d",
+            "table": "t",
+        }
+    )
+    start = reader.initialOffset()
+    rows1, end = reader._delta(start)
+    assert [r[0] for r in rows1] == [1]  # only txn 10 is complete
+
+    # the active file grows: txn 11 completes
+    (d / "binlog.000001").write_bytes(full)
+    replay = list(reader.readBetweenOffsets(start, end))
+    assert replay == rows1  # replay ignores post-offset growth
+    rows2, end2 = reader._delta(end)
+    assert [r[0] for r in rows2] == [2]  # next batch gets only the delta
+    assert end2["pos"] == len(full)
+
+
 def test_truncated_tail_permissive_vs_strict():
     """A file cut mid-event (the live binlog's normal state) decodes the
     complete prefix in permissive mode and raises in strict mode —

@@ -268,6 +268,15 @@ def test_knn_join_no_forced_broadcast_of_query_side(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_lateral_topn_decorrelates_without_cartesian(spark, sf_dir):
+    """The correlated LATERAL + LIMIT must decorrelate to a ranked
+    equi-join — never a per-row nested loop or cartesian product."""
+    from mysql_cdc_table_spark.operators.extras import join_lateral_topn
+
+    df = join_lateral_topn(spark, sf_dir)
+    assert_no_cartesian(df)
+
+
 def test_pack_sequences_no_single_partition_window(spark, sf_dir):
     """corpus_pack_sequences must inherit shard_manifest's two-level
     prefix-sum shape: the doc-level window is hash-partitioned by bkt;
