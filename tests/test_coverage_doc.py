@@ -61,6 +61,11 @@ def test_header_counts_and_driver_split_match_doc():
     n_q, n_o = len(all_queries()), len(all_oracles())
     assert f"{n_q} `queries()` entries, {n_o} with DuckDB oracles" in doc
 
+    readme = root.joinpath("README.md").read_text()
+    assert f"{n_q} queries, {n_o} oracled" in readme, (
+        "README.md registry counts rotted"
+    )
+
     latest = sorted(root.glob("CORRECTNESS_r*.json"))[-1]
     rows = json.loads(latest.read_text())
     full_green = sum(
