@@ -1064,6 +1064,11 @@ def _read_image(
     return row, pos
 
 
+def _sid_to_uuid(sid: bytes) -> str:
+    h = sid.hex()
+    return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}"
+
+
 def decode_binlog_bytes(
     blob: bytes,
     target: T.StructType,
@@ -1072,6 +1077,7 @@ def decode_binlog_bytes(
     *,
     file_seq: int = 1,
     mode: str = "permissive",
+    gtid_format: str = "long",
 ) -> list[dict]:
     """Sequential event walk of one binlog file: dispatch on type code
     (reference ``:173-429`` incl. the default-skip), filter to the
@@ -1088,22 +1094,35 @@ def decode_binlog_bytes(
     events, checksum-free per the format) is decoded in place with the
     surrounding GTID state. Compression NONE decodes always; ZSTD
     decodes when a zstd module is importable and raises a pointed error
-    otherwise — never the reference's silent default-skip."""
+    otherwise — never the reference's silent default-skip.
+
+    gtid_format="uuid_gno" additionally surfaces the GTID event's
+    16-byte server UUID as ``__gtid_src`` (canonical text form) — the
+    multi-source surface the envelope path already has; (__gtid_src,
+    __gtid) is totally ordered within a source, exactly MySQL's
+    guarantee. The reference extracts only the GNO (its multi-source
+    block is commented out, binlog_table_reader.cc:418-425)."""
     if blob[:4] != BINLOG_MAGIC:
         raise ValueError("not a binlog file (bad magic)")
     if mode not in ("permissive", "strict"):
         raise ValueError(f"mode must be permissive|strict, got {mode!r}")
+    if gtid_format not in ("long", "uuid_gno"):
+        raise ValueError(f"gtid_format must be long|uuid_gno, got {gtid_format!r}")
     target_cols = _cols_from_schema(target)
     pos = 4
     checksum: bool | None = None
     gtid: int | None = None
+    gtid_src: str | None = None
     tdefs: dict[int, _TableDef] = {}
     out: list[dict] = []
+    want_src = gtid_format == "uuid_gno"
 
     def handle(tc: int, body: bytes, ets: int, event_seq: int) -> None:
-        nonlocal gtid
+        nonlocal gtid, gtid_src
         if tc == EV_GTID:
             gtid = struct.unpack_from("<q", body, 17)[0]
+            if want_src:
+                gtid_src = _sid_to_uuid(body[1:17])
         elif tc == EV_TABLE_MAP:
             dblen = body[8]
             db_ = body[9 : 9 + dblen].decode()
@@ -1145,6 +1164,8 @@ def decode_binlog_bytes(
                     op = CDC_UPDATE_BEFORE if img_seq % 2 == 0 else CDC_UPDATE_AFTER
                 row["__op"] = op
                 row["__gtid"] = gtid
+                if want_src:
+                    row["__gtid_src"] = gtid_src
                 row["__tm"] = _dt.datetime.fromtimestamp(
                     ets, _dt.timezone.utc
                 ).replace(tzinfo=None)
@@ -1227,8 +1248,28 @@ _BINARY_FILE_SCHEMA = T.StructType(
 )
 
 
+def _binlog_out_schema(
+    target: T.StructType, gtid_format: str
+) -> T.StructType:
+    """changelog_schema, plus __gtid_src (before __gtid, matching the
+    envelope path's column order) for gtid_format="uuid_gno"."""
+    base = changelog_schema(target)
+    if gtid_format != "uuid_gno":
+        return base
+    fields = []
+    for f in base.fields:
+        if f.name == "__gtid":
+            fields.append(T.StructField("__gtid_src", T.StringType(), True))
+        fields.append(f)
+    return T.StructType(fields)
+
+
 def _decode_files(
-    files: DataFrame, target: T.StructType, database: str, table: str
+    files: DataFrame,
+    target: T.StructType,
+    database: str,
+    table: str,
+    gtid_format: str = "long",
 ) -> DataFrame:
     # binaryFile materializes each file whole, so per-task memory is
     # ~one binlog file (MySQL rotates at max_binlog_size, 1 GiB default
@@ -1236,7 +1277,7 @@ def _decode_files(
     # yielded per file; Arrow re-slices it downstream.
     import pandas as pd
 
-    out_schema = changelog_schema(target)
+    out_schema = _binlog_out_schema(target, gtid_format)
     names = [f.name for f in out_schema.fields]
 
     chunk = 200_000  # rows per yielded Arrow batch
@@ -1250,6 +1291,7 @@ def _decode_files(
                     database,
                     table,
                     file_seq=_file_seq_of(str(fpath)),
+                    gtid_format=gtid_format,
                 )
                 for i in range(0, len(rows), chunk):
                     part = rows[i : i + chunk]
@@ -1268,6 +1310,7 @@ def mysql_binlog_read(
     table: str,
     *,
     index_file: str | None = None,
+    gtid_format: str = "long",
 ) -> DataFrame:
     """Batch-read real binlog files into the standard changelog
     DataFrame. One file = one decode task (the format is stateful per
@@ -1298,7 +1341,7 @@ def mysql_binlog_read(
         files = spark.read.format("binaryFile").load(paths)
     else:
         files = spark.read.format("binaryFile").load(path)
-    return _decode_files(files, target, database, table)
+    return _decode_files(files, target, database, table, gtid_format)
 
 
 def mysql_binlog_read_stream(

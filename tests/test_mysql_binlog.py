@@ -12,6 +12,7 @@ from decimal import Decimal
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mysql_cdc_table_spark.sources.mysql_binlog import (
@@ -554,6 +555,41 @@ def test_tail_stream_sub_rotation_latency(spark, tmp_path):
         (2, 0, 12),  # rotated-in delete
     ]
     assert batch2[0]["v"] == "a" and batch2[1]["v"] == "a2"
+
+
+def test_multi_source_uuid_gno_through_real_binlog(spark, tmp_path):
+    """gtid_format="uuid_gno": the GTID event's 16-byte server UUID
+    surfaces as __gtid_src in canonical text form — per-source state
+    derivation works on a multi-source binlog set, exceeding the
+    reference (its multi-source block is commented out,
+    binlog_table_reader.cc:418-425)."""
+    sid_a = bytes(range(16))
+    sid_b = b"\xaa" * 16
+    r = lambda i, v: {"id": i, "v": v, "amt": Decimal(i)}
+    (tmp_path / "binlog.000001").write_bytes(
+        build_binlog_file("d", "t", TARGET, [_txn(5, "w", [r(1, "a")])], sid=sid_a)
+    )
+    (tmp_path / "binlog.000002").write_bytes(
+        build_binlog_file("d", "t", TARGET, [_txn(5, "w", [r(2, "b")])], sid=sid_b)
+    )
+    df = mysql_binlog_read(
+        spark, str(tmp_path), TARGET, "d", "t", gtid_format="uuid_gno"
+    )
+    rows = {x["id"]: x for x in df.collect()}
+    assert rows[1]["__gtid_src"] == "00010203-0405-0607-0809-0a0b0c0d0e0f"
+    assert rows[2]["__gtid_src"] == "aaaaaaaa-aaaa-aaaa-aaaa-aaaaaaaaaaaa"
+    # same GNO from two sources stays distinguishable
+    assert rows[1]["__gtid"] == rows[2]["__gtid"] == 5
+    per_source = {
+        x["__gtid_src"]: x["v"]
+        for x in df.groupBy("__gtid_src")
+        .agg(F.max_by("v", F.struct("__gtid", "__event_seq")).alias("v"))
+        .collect()
+    }
+    assert len(per_source) == 2
+    # default long format keeps the legacy schema (no __gtid_src)
+    legacy = mysql_binlog_read(spark, str(tmp_path), TARGET, "d", "t")
+    assert "__gtid_src" not in legacy.columns
 
 
 def test_tail_reader_replay_is_deterministic(tmp_path):
