@@ -1350,6 +1350,8 @@ def mysql_binlog_read_stream(
     target: T.StructType,
     database: str,
     table: str,
+    *,
+    gtid_format: str = "long",
 ) -> DataFrame:
     """Streaming tail of a binlog directory: each ROTATED file is
     consumed exactly once per the file-source offset log (checkpointed;
@@ -1367,7 +1369,7 @@ def mysql_binlog_read_stream(
         .schema(_BINARY_FILE_SCHEMA)
         .load(path)
     )
-    return _decode_files(files, target, database, table)
+    return _decode_files(files, target, database, table, gtid_format)
 
 
 # --- sub-rotation streaming tail (custom DataSource) -------------------------
@@ -1421,6 +1423,7 @@ class MysqlBinlogTailStreamReader(_SimpleStreamReader):
         self.database = options["database"]
         self.table = options["table"]
         self.target = _tail_target(options)
+        self.gtid_format = options.get("gtid_format", "long")
 
     def initialOffset(self):
         return {"seq": -1, "pos": 0}
@@ -1439,7 +1442,10 @@ class MysqlBinlogTailStreamReader(_SimpleStreamReader):
 
     def _delta(self, start: dict, upto: dict | None = None):
         rows: list[tuple] = []
-        names = [f.name for f in changelog_schema(self.target).fields]
+        names = [
+            f.name
+            for f in _binlog_out_schema(self.target, self.gtid_format).fields
+        ]
         end = {"seq": start["seq"], "pos": start["pos"]}
         for seq, path in self._files():
             if seq < start["seq"]:
@@ -1456,7 +1462,7 @@ class MysqlBinlogTailStreamReader(_SimpleStreamReader):
                 continue  # no new complete events in the active file
             decoded = decode_binlog_bytes(
                 blob[:prefix], self.target, self.database, self.table,
-                file_seq=seq,
+                file_seq=seq, gtid_format=self.gtid_format,
             )
             for r in decoded:
                 if seq == start["seq"] and r["__event_seq"] < lo:
@@ -1489,7 +1495,10 @@ class MysqlBinlogTailDataSource(_DataSource):
         return "mysql_binlog_tail"
 
     def schema(self):
-        return changelog_schema(_tail_target(dict(self.options)))
+        opts = dict(self.options)
+        return _binlog_out_schema(
+            _tail_target(opts), opts.get("gtid_format", "long")
+        )
 
     def simpleStreamReader(self, schema):
         return MysqlBinlogTailStreamReader(dict(self.options))
