@@ -132,15 +132,18 @@ def _parse_ddl(ddl: str) -> T.StructType:
 # parallelism tracks data volume, not file count. Files without the
 # magic trailer (foreign/legacy) degrade to one partition per file.
 #
-# The trailing magic doubles as the FRAME-LAYOUT VERSION: "PBLOGSY2" =
-# current 4-varint frame header (gtid, ts, event_seq, image_base).
-# "PBLOGSYX" files predate the image_base varint — parsing them with
-# the current layout would consume the payload's table_id varint as
-# image_base and silently decode garbage, so they are REJECTED with a
-# pointed error instead.
+# The trailing magic doubles as the FORMAT VERSION: "PBLOGSY3" =
+# 4-varint frame header (gtid, ts, event_seq, image_base) + events that
+# carry their own column count (add-column evolution). Older layouts —
+# "PBLOGSYX" (no image_base varint) and "PBLOGSY2" (no per-event column
+# count) — would silently decode garbage under the current parser, so
+# they are REJECTED with a pointed error instead.
 
-_FOOTER_MAGIC = b"PBLOGSY2"
-_FOOTER_MAGIC_V1 = b"PBLOGSYX"
+_FOOTER_MAGIC = b"PBLOGSY3"
+_OLD_FOOTER_MAGICS = {
+    b"PBLOGSYX": "v1 packed frame layout (no image_base varint)",
+    b"PBLOGSY2": "v2 packed frame layout (no per-event column count)",
+}
 SYNC_EVERY = 1024  # frames per sync point
 _SYNCS_PER_SPLIT = 32  # ~32k events per scan task
 
@@ -191,12 +194,12 @@ def _read_sync_footer(path: str) -> tuple[int, list[int]] | None:
     with open(path, "rb") as f:
         f.seek(size - 12)
         tail = f.read(12)
-        if tail[4:] == _FOOTER_MAGIC_V1:
+        if tail[4:] in _OLD_FOOTER_MAGICS:
             raise ValueError(
-                f"{path} was written with the v1 packed frame layout "
-                "(no image_base varint); decoding it with the current "
-                "layout would misalign every frame — rewrite it with "
-                "the current writer"
+                f"{path} was written with the "
+                f"{_OLD_FOOTER_MAGICS[tail[4:]]}; decoding it with the "
+                "current layout would misalign every frame — rewrite it "
+                "with the current writer"
             )
         if tail[4:] != _FOOTER_MAGIC:
             return None

@@ -10,8 +10,11 @@ primary ingest path, per the driver's north star). It is a
 self-describing packed format with the same structural walk, proving
 the binary-decode architecture end to end:
 
-    event := table_id:varint  op:u8  n_images:u8  image*
+    event := table_id:varint  op:u8  n_images:u8  ncols:varint  image*
     image := cols_present_bitmap  null_bitmap  value*   (present & non-null)
+    (ncols makes the event self-describing in WIDTH — add-column-at-end
+    schema evolution decodes old events with NULL-filled new columns,
+    like the binlog TABLE_MAP path; wider-than-schema events raise)
     value := i32/i64 LE | f64 LE | varint-len utf8 | i64 epoch-micros
            | zigzag-varint unscaled decimal | varint enum-index
            | varint set-bitmask | varint bit-value
@@ -333,6 +336,11 @@ def encode_event(
     out.append(op)
     out.append(len(images))
     ncols = len(target.fields)
+    # the event is self-describing in WIDTH (like the binlog TABLE_MAP's
+    # column count): a reader holding a LATER schema (columns added at
+    # the end) decodes old events correctly, surfacing new columns as
+    # NULL instead of silently misreading the bitmaps
+    _write_varint(ncols, out)
     nbytes = (ncols + 7) // 8
     for img in images:
         out += b"\xff" * nbytes  # cols-present bitmap: all columns present
@@ -360,20 +368,30 @@ def _decode_event(
     op = payload[pos]
     n_images = payload[pos + 1]
     pos += 2
-    ncols = len(target.fields)
-    nbytes = (ncols + 7) // 8
+    ncols_stored, pos = _read_varint(payload, pos)
+    ntarget = len(target.fields)
+    if ncols_stored > ntarget:
+        raise ValueError(
+            f"packed event has {ncols_stored} columns; target schema has "
+            f"{ntarget} — pass the stream's LATEST schema"
+        )
+    # add-column-at-end evolution (same contract as the binlog
+    # TABLE_MAP path): decode the stored prefix, NULL-fill the rest
+    pad = [None] * (ntarget - ncols_stored)
+    nbytes = (ncols_stored + 7) // 8
     out: list[tuple[int, list]] = []
     for image_no in range(n_images):
         pos += nbytes  # skip cols-present bitmap (all present in v1)
         null_bits = payload[pos : pos + nbytes]
         pos += nbytes
         vals: list = []
-        for i, dec in enumerate(plan):
+        for i, dec in enumerate(plan[:ncols_stored]):
             if null_bits[i // 8] >> (i % 8) & 1:
                 vals.append(None)  # null bit set: value bytes absent
             else:
                 v, pos = dec(payload, pos)
                 vals.append(v)
+        vals += pad
         if op == 2:  # update: image 0 = before (op 2), image 1 = after (op 3)
             out.append((2 if image_no == 0 else 3, vals))
         else:

@@ -193,15 +193,15 @@ def test_packed_binlog_datasource(spark, tmp_path):
     assert state == {1: "a2"}
 
 
-def test_packed_v1_layout_file_rejected(tmp_path):
-    """A file carrying the v1 trailer magic (frames WITHOUT the
-    image_base varint) must be rejected, not silently misparsed with
-    the current 4-varint layout."""
+def test_packed_old_layout_files_rejected(tmp_path):
+    """Files carrying any OLD trailer magic (v1: no image_base varint;
+    v2: no per-event column count) must be rejected, not silently
+    misparsed with the current layout."""
     import pytest as _pytest
 
     from mysql_cdc_table_spark.sources.datasource import (
         _FOOTER_MAGIC,
-        _FOOTER_MAGIC_V1,
+        _OLD_FOOTER_MAGICS,
         _file_splits,
         write_packed_file,
     )
@@ -214,9 +214,36 @@ def test_packed_v1_layout_file_rejected(tmp_path):
     )
     blob = open(p, "rb").read()
     assert blob.endswith(_FOOTER_MAGIC)
-    open(p, "wb").write(blob[: -len(_FOOTER_MAGIC)] + _FOOTER_MAGIC_V1)
-    with _pytest.raises(ValueError, match="v1 packed frame layout"):
-        _file_splits(p)
+    for old_magic, desc in _OLD_FOOTER_MAGICS.items():
+        open(p, "wb").write(blob[: -len(_FOOTER_MAGIC)] + old_magic)
+        with _pytest.raises(ValueError, match="packed frame layout"):
+            _file_splits(p)
+
+
+def test_packed_add_column_evolution():
+    """Events written under an OLDER (column-prefix) schema decode
+    correctly under the reader's later schema — the added trailing
+    column surfaces as NULL (same contract as the binlog TABLE_MAP
+    path). A stored event WIDER than the reader's schema raises."""
+    from mysql_cdc_table_spark.sources.packed_binlog import _decode_event
+
+    old = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    new = T.StructType(
+        list(old.fields) + [T.StructField("extra", T.DoubleType())]
+    )
+    payload = encode_event(1, 1, [{"id": 7, "v": "x"}], old)
+    [(op, vals)] = _decode_event(payload, new, 1)
+    assert (op, vals) == (1, [7, "x", None])
+    wide = encode_event(1, 1, [{"id": 7, "v": "x", "extra": 1.5}], new)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="LATEST schema"):
+        _decode_event(wide, old, 1)
 
 
 def test_packed_binlog_stream_datasource(spark, tmp_path):
@@ -566,14 +593,15 @@ def test_packed_binlog_datasource_mysql_kinds(spark, tmp_path):
     d = tmp_path / "mysqlish"
     d.mkdir()
     img = {"id": 1, "color": "blue", "flags": "a,d", "b": 6,
-           "doc": '{"x":1}', "wide": Decimal("1.2345678900")}
+           "doc": '{"x":1}', "wide": Decimal("1.2345678900"),
+           "geo": b"\x01\x02"}
     write_packed_file(
         str(d / "binlog.000001.bin"),
         [(10, 1_700_000_000, 100, encode_event(3, 1, [img], MYSQLISH))],
     )
     register(spark)
     ddl = ("id bigint, color enum(red,green,blue), flags set(a,b,c,d), "
-           "b bit, doc json, wide decimal(38, 10)")
+           "b bit, doc json, wide decimal(38, 10), geo geometry")
     [row] = (
         spark.read.format("packed_binlog")
         .option("schema_ddl", ddl)
@@ -583,6 +611,7 @@ def test_packed_binlog_datasource_mysql_kinds(spark, tmp_path):
     )
     assert row["color"] == "blue" and row["flags"] == "a,d" and row["b"] == 6
     assert row["doc"] == '{"x":1}' and row["wide"] == Decimal("1.2345678900")
+    assert bytes(row["geo"]) == b"\x01\x02"
 
 
 def test_splittable_file_sync_footer(spark, tmp_path, monkeypatch):
