@@ -16,16 +16,18 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # ORDER MATTERS: the driver verifies the first ~50 registry keys per
-# round. Rounds 1+2 turned 93/97 driver-seen keys green (r1: relational
-# basics; r2: CDC + LLM-pipeline surface); their rows stand. Round 3
-# executes the recorded rotation: the 45 keys that have NEVER been in a
-# driver window come first (in _ROUND3_WINDOW order), then 5 re-verify
-# slots for keys whose implementation changes this round, then
-# everything else in module order.
+# round. Rounds 1-3 turned 139/144 driver-seen keys fully green (the 5
+# non-green are rows-only by design); green rows stand. Round 4
+# executes the recorded rotation: the 7 keys registered late in round 3
+# (never driver-seen) come first, then keys born in round 4, then
+# re-verify slots for operators whose implementation round 4 touches,
+# and the remaining slots backfill with the STALEST standing rows
+# (first seen in r01) so the oldest green rows get re-confirmed.
 #
-# Round-4 rule (window discipline, keep honest): any round-3 key that
-# comes up red in CORRECTNESS_r03 stays in the window for round 4;
-# otherwise the window is free for brand-new keys.
+# Round-5 rule (window discipline, keep honest): any round-4 key that
+# comes up red in CORRECTNESS_r04 stays in the window for round 5;
+# otherwise the window is free for brand-new keys, with stale-first
+# backfill continuing (r02-first-seen rows are next in line).
 _MODULES = (
     "mysql_cdc_table_spark.cdc.queries",
     "mysql_cdc_table_spark.functions.dedup",
@@ -47,10 +49,8 @@ _MODULES = (
     "mysql_cdc_table_spark.operators.late",
 )
 
-# The driver-window front: every registry key with no CORRECTNESS_r01/r02
-# row (45 keys, registry-order within their blocks), then 5 re-verify
-# slots for operators modified in round 3 (their green r2 rows would
-# otherwise mask a regression introduced by this round's changes).
+# Round-3 window, kept for the record (CORRECTNESS_r03: 49 fully green,
+# 1 rows-only by design, zero red).
 _ROUND3_WINDOW = (
     # -- never driver-seen: scalars/extras stragglers
     "fn_json", "fn_array2", "fn_string2", "fn_bitwise", "fn_regex",
@@ -86,9 +86,8 @@ _ROUND3_WINDOW = (
     "q9_product_profit",
 )
 
-# Registered during round 3 AFTER the window filled — out-of-window by
-# design, locally green at sf0.01 AND sf0.1, first in line for the
-# round-4 rotation.
+# Registered during round 3 AFTER the window filled — got no r03 row;
+# they lead the round-4 window (judge-verified local-pass in round 3).
 ROUND3_LATE_KEYS = (
     "q11_important_parts",
     "q16_supplier_part_counts",
@@ -99,12 +98,54 @@ ROUND3_LATE_KEYS = (
     "unpivot_metrics",
 )
 
+# Keys born in round 4 — in-window so they get a driver row immediately.
+ROUND4_NEW_KEYS: tuple[str, ...] = ()
+
+# Operators whose implementation round 4 touches: their standing green
+# rows would otherwise mask a regression introduced by this round.
+ROUND4_REVERIFY = (
+    "cdc_mysql_binlog_roundtrip",  # tail skip-foreign-file + zstd fallback
+    "cdc_binlog_latest_state",     # same reader path
+)
+
+_ROUND4_WINDOW_FRONT = ROUND3_LATE_KEYS + ROUND4_NEW_KEYS + ROUND4_REVERIFY
+
+
+def _first_seen_rounds() -> dict[str, int]:
+    """key -> earliest driver round (1-based) with a CORRECTNESS row.
+
+    Used to backfill the tail of the driver window stalest-first, so the
+    re-check slots the driver spends past the new/changed keys land on
+    the rows that have gone longest without confirmation.
+    """
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    seen: dict[str, int] = {}
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        rnd = int(path.stem.split("_r")[1])
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for key in rows:
+            seen.setdefault(key, rnd)
+    return seen
+
 
 def _rotate(out: dict) -> dict:
-    """Reorder a merged registry dict so _ROUND3_WINDOW keys come first."""
-    front = {k: out[k] for k in _ROUND3_WINDOW if k in out}
-    rest = {k: v for k, v in out.items() if k not in front}
-    return {**front, **rest}
+    """Reorder a merged registry dict: round-4 front first, then every
+    other key stalest-first (earliest driver round, registry order as
+    the tie-break; never-seen keys sort first so they cannot hide)."""
+    front = {k: out[k] for k in _ROUND4_WINDOW_FRONT if k in out}
+    seen = _first_seen_rounds()
+    order = {k: i for i, k in enumerate(out)}
+    rest_keys = sorted(
+        (k for k in out if k not in front),
+        key=lambda k: (seen.get(k, 0), order[k]),
+    )
+    return {**front, **{k: out[k] for k in rest_keys}}
 
 
 def _load() -> list:

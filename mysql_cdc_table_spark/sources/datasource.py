@@ -141,7 +141,12 @@ def _parse_ddl(ddl: str) -> T.StructType:
 
 _FOOTER_MAGIC = b"PBLOGSY3"
 _OLD_FOOTER_MAGICS = {
-    b"PBLOGSYX": "v1 packed frame layout (no image_base varint)",
+    # PBLOGSYX spans TWO pre-ncols layouts (image_base was added while
+    # the magic was still PBLOGSYX), so the magic alone can't say which
+    # varint set a given file carries — one more reason rejection, not
+    # best-effort decoding, is the only safe answer for it.
+    b"PBLOGSYX": "pre-v3 packed frame layout (magic is ambiguous: with "
+    "or without the image_base varint, never a per-event column count)",
     b"PBLOGSY2": "v2 packed frame layout (no per-event column count)",
 }
 SYNC_EVERY = 1024  # frames per sync point

@@ -1455,6 +1455,13 @@ class MysqlBinlogTailStreamReader(_SimpleStreamReader):
             with open(path, "rb") as fh:
                 blob = fh.read()
             prefix = _complete_prefix_len(blob)
+            if prefix < 4:
+                # Not (yet) a binlog file: a just-rotated file whose
+                # 4-byte magic isn't on disk, or a foreign file in the
+                # watched dir (recovery temp, editor droppings). Skip
+                # this batch; a real binlog file is picked up once its
+                # magic lands — decoding b"" here would kill the query.
+                continue
             if upto is not None and seq == upto["seq"]:
                 prefix = min(prefix, upto["pos"])
             lo = start["pos"] if seq == start["seq"] else 0

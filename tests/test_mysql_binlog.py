@@ -629,6 +629,44 @@ def test_tail_reader_replay_is_deterministic(tmp_path):
     assert end2["pos"] == len(full)
 
 
+def test_tail_reader_skips_foreign_and_magicless_files(tmp_path):
+    """A live binlog dir can transiently hold files whose 4-byte magic
+    isn't written yet (rotation race) or foreign files (recovery temps).
+    _delta must skip them — not decode b'' and kill the micro-batch —
+    and pick a skipped-but-real file up once its magic lands."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        MysqlBinlogTailStreamReader,
+    )
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    blob = build_binlog_file(
+        "d", "t", TARGET, [_txn(10, "w", [{"id": 1, "v": "a", "amt": Decimal("1.00")}])]
+    )
+    (d / "binlog.000001").write_bytes(blob)
+    (d / "binlog.000002").write_bytes(b"")  # rotated, magic not yet on disk
+    (d / "recovery.tmp").write_bytes(b"garbage not a binlog")  # foreign
+
+    reader = MysqlBinlogTailStreamReader(
+        {
+            "path": str(d),
+            "schema_ddl": "id bigint, v string, amt decimal(10,2)",
+            "database": "d",
+            "table": "t",
+        }
+    )
+    rows, end = reader._delta(reader.initialOffset())
+    assert [r[0] for r in rows] == [1]
+
+    # the rotated file's magic + events land: next batch consumes it
+    blob2 = build_binlog_file(
+        "d", "t", TARGET, [_txn(11, "w", [{"id": 2, "v": "b", "amt": Decimal("2.00")}])]
+    )
+    (d / "binlog.000002").write_bytes(blob2)
+    rows2, _ = reader._delta(end)
+    assert [r[0] for r in rows2] == [2]
+
+
 def test_truncated_tail_permissive_vs_strict():
     """A file cut mid-event (the live binlog's normal state) decodes the
     complete prefix in permissive mode and raises in strict mode —
