@@ -17,8 +17,10 @@ from mysql_cdc_table_spark.functions.similarity import (
 )
 from mysql_cdc_table_spark.sources.mysql_binlog import (
     CDC_BINLOG_LATEST_STATE_SQL,
+    CDC_BINLOG_ZSTD_ROUNDTRIP_SQL,
     CDC_MYSQL_BINLOG_ROUNDTRIP_SQL,
     cdc_binlog_latest_state,
+    cdc_binlog_zstd_roundtrip,
     cdc_mysql_binlog_roundtrip,
 )
 
@@ -32,10 +34,13 @@ QUERIES = {
     "cdc_mysql_binlog_roundtrip": cdc_mysql_binlog_roundtrip,
     # derived state over the real binlog format (ordering + tombstones)
     "cdc_binlog_latest_state": cdc_binlog_latest_state,
+    # round 4: compressed transactions (TRANSACTION_PAYLOAD + ZSTD)
+    "cdc_binlog_zstd_roundtrip": cdc_binlog_zstd_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
     "ann_lsh_rp_topk": ANN_LSH_RP_TOPK_SQL,
     "cdc_mysql_binlog_roundtrip": CDC_MYSQL_BINLOG_ROUNDTRIP_SQL,
     "cdc_binlog_latest_state": CDC_BINLOG_LATEST_STATE_SQL,
+    "cdc_binlog_zstd_roundtrip": CDC_BINLOG_ZSTD_ROUNDTRIP_SQL,
 }

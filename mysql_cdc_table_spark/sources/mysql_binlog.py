@@ -42,9 +42,12 @@ JSON (the binary tree format, type 245 — decoded to canonical compact
 JSON text) GEOMETRY (type 255 — SRID-prefixed WKB, BinaryType
 passthrough per SURVEY §1.3). Compressed transactions
 (TRANSACTION_PAYLOAD, 8.0.20+) are unwrapped and decoded — compression
-NONE always, ZSTD when a zstd module is importable. Payload-bearing
-events the reader can't decode (pre-5.6 rows-v1, PARTIAL_UPDATE_ROWS,
-ZSTD without a module) raise instead of silently skipping.
+NONE always, ZSTD via the first available backend (stdlib
+compression.zstd, the zstandard package, or ctypes over the system
+libzstd — present wherever MySQL or Spark is installed, both link it).
+Payload-bearing events the reader can't decode (pre-5.6 rows-v1,
+PARTIAL_UPDATE_ROWS, ZSTD with no backend at all) raise instead of
+silently skipping.
 
 Scale: one binlog file is one sequential decode unit — the format is
 stateful (GTID and TABLE_MAP apply to subsequent events), exactly the
@@ -117,25 +120,127 @@ _TP_ZSTD = 0
 _TP_NONE = 255
 
 
-def _zstd_decompress(data: bytes, expected_size: int | None) -> bytes:
+# zstd backend resolution order: stdlib compression.zstd (3.14+) ->
+# zstandard package -> ctypes over the system libzstd (present on any
+# host with MySQL/Spark installed — both link it). Resolved once;
+# _ZSTD_IMPL is (compress, decompress) callables or (None, None).
+_ZSTD_IMPL: tuple | None = None
+_ZSTD_CONTENTSIZE_UNKNOWN = 2**64 - 1
+_ZSTD_CONTENTSIZE_ERROR = 2**64 - 2
+
+
+def _zstd_ctypes() -> tuple | None:
+    import ctypes
+    import ctypes.util
+
+    name = ctypes.util.find_library("zstd")
+    lib = None
+    for cand in ([name] if name else []) + ["libzstd.so.1", "libzstd.so",
+                                           "libzstd.dylib"]:
+        try:
+            lib = ctypes.CDLL(cand)
+            break
+        except OSError:
+            continue
+    if lib is None:
+        return None
+    try:
+        lib.ZSTD_isError.restype = ctypes.c_uint
+        lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+        lib.ZSTD_getFrameContentSize.restype = ctypes.c_ulonglong
+        lib.ZSTD_getFrameContentSize.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+        ]
+        lib.ZSTD_decompress.restype = ctypes.c_size_t
+        lib.ZSTD_decompress.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
+        ]
+        lib.ZSTD_compressBound.restype = ctypes.c_size_t
+        lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+        lib.ZSTD_compress.restype = ctypes.c_size_t
+        lib.ZSTD_compress.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_int,
+        ]
+    except AttributeError:
+        return None
+
+    def dec(data: bytes, expected_size: int | None) -> bytes:
+        cap = expected_size or 0
+        csize = lib.ZSTD_getFrameContentSize(data, len(data))
+        if csize not in (_ZSTD_CONTENTSIZE_UNKNOWN, _ZSTD_CONTENTSIZE_ERROR):
+            cap = max(cap, int(csize))
+        if cap == 0:
+            cap = max(16 * len(data), 1 << 16)  # streamed frame, no size
+        dst = ctypes.create_string_buffer(cap or 1)
+        n = lib.ZSTD_decompress(dst, cap, data, len(data))
+        if lib.ZSTD_isError(n):
+            raise ValueError(f"libzstd decompress failed (code {n})")
+        return dst.raw[:n]
+
+    def comp(data: bytes, level: int = 3) -> bytes:
+        bound = lib.ZSTD_compressBound(len(data))
+        dst = ctypes.create_string_buffer(bound)
+        n = lib.ZSTD_compress(dst, bound, data, len(data), level)
+        if lib.ZSTD_isError(n):
+            raise ValueError(f"libzstd compress failed (code {n})")
+        return dst.raw[:n]
+
+    return comp, dec
+
+
+def _zstd_backend() -> tuple:
+    global _ZSTD_IMPL
+    if _ZSTD_IMPL is not None:
+        return _ZSTD_IMPL
     try:  # stdlib (3.14+)
         from compression import zstd as _z  # type: ignore[import-not-found]
 
-        return _z.decompress(data)
+        _ZSTD_IMPL = (
+            lambda d, level=3: _z.compress(d, level),
+            lambda d, expected: _z.decompress(d),
+        )
+        return _ZSTD_IMPL
     except ImportError:
         pass
     try:
         import zstandard as _zstd  # type: ignore[import-not-found]
 
-        return _zstd.ZstdDecompressor().decompress(
-            data, max_output_size=expected_size or 0
+        _ZSTD_IMPL = (
+            lambda d, level=3: _zstd.ZstdCompressor(level=level).compress(d),
+            lambda d, expected: _zstd.ZstdDecompressor().decompress(
+                d, max_output_size=expected or 0
+            ),
         )
+        return _ZSTD_IMPL
     except ImportError:
+        pass
+    _ZSTD_IMPL = _zstd_ctypes() or (None, None)
+    return _ZSTD_IMPL
+
+
+def zstd_compress(data: bytes, level: int = 3) -> bytes:
+    """Compress with whichever zstd backend is available (fixture
+    writer side of compressed transactions); pointed raise if none."""
+    comp, _ = _zstd_backend()
+    if comp is None:
         raise ValueError(
-            "transaction payload is ZSTD-compressed and no zstd module "
-            "is available (install zstandard, or re-record with "
+            "no zstd backend available (stdlib compression.zstd, the "
+            "zstandard package, or a loadable libzstd)"
+        )
+    return comp(data, level)
+
+
+def _zstd_decompress(data: bytes, expected_size: int | None) -> bytes:
+    _, dec = _zstd_backend()
+    if dec is None:
+        raise ValueError(
+            "transaction payload is ZSTD-compressed and no zstd backend "
+            "is available (stdlib compression.zstd, the zstandard "
+            "package, or a loadable libzstd; or re-record with "
             "binlog_transaction_compression=OFF)"
-        ) from None
+        )
+    return dec(data, expected_size)
 
 
 def _unwrap_transaction_payload(body: bytes, event_seq: int) -> bytes:
@@ -908,16 +1013,19 @@ def _rows_body(
 
 def _payload_body(inner: bytes, compression: int = 255) -> bytes:
     """Wrap an embedded event stream as a TRANSACTION_PAYLOAD body
-    (<type,len,value> items, end mark, then the payload bytes)."""
+    (<type,len,value> items, end mark, then the payload bytes). With
+    compression ZSTD the payload is the zstd frame of ``inner`` and
+    UNCOMPRESSED_SIZE carries the original length, as MySQL writes it."""
     def tlv(t: int, value: bytes) -> bytes:
         return _pack_int(t) + _pack_int(len(value)) + value
 
+    payload = zstd_compress(inner) if compression == _TP_ZSTD else inner
     return (
         tlv(_TP_COMPRESSION_TYPE, _pack_int(compression))
         + tlv(_TP_UNCOMPRESSED_SIZE, _pack_int(len(inner)))
-        + tlv(_TP_PAYLOAD_SIZE, _pack_int(len(inner)))
+        + tlv(_TP_PAYLOAD_SIZE, _pack_int(len(payload)))
         + _pack_int(_TP_END_MARK)
-        + inner
+        + payload
     )
 
 
@@ -932,7 +1040,7 @@ def build_binlog_file(
     sid: bytes = b"\x11" * 16,
     checksum: bool = False,
     base_ts: int = 1_700_000_000,
-    payload_wrap: bool = False,
+    payload_wrap: bool | str = False,
 ) -> bytes:
     """Byte-exact binlog v4 fixture: magic + FDE, then per transaction a
     GTID event, a TABLE_MAP, and one rows event. ``txns`` entries:
@@ -941,7 +1049,9 @@ def build_binlog_file(
 
     ``payload_wrap=True`` models binlog_transaction_compression: each
     transaction's TABLE_MAP + rows events are embedded (checksum-free)
-    in one TRANSACTION_PAYLOAD event after the GTID, compression NONE."""
+    in one TRANSACTION_PAYLOAD event after the GTID, compression NONE;
+    ``payload_wrap="zstd"`` compresses each embedded stream the way
+    MySQL 8.0.20+ does with binlog_transaction_compression=ON."""
     cols = _cols_from_schema(target)
     out = bytearray(BINLOG_MAGIC)
 
@@ -976,7 +1086,8 @@ def build_binlog_file(
         if payload_wrap:
             inner = _event(ts, EV_TABLE_MAP, server_id, tm_body, 0, False)
             inner += _event(ts, rows_tc, server_id, body, len(inner), False)
-            emit(EV_TRANSACTION_PAYLOAD, _payload_body(inner), ts)
+            comp = _TP_ZSTD if payload_wrap == "zstd" else _TP_NONE
+            emit(EV_TRANSACTION_PAYLOAD, _payload_body(inner, comp), ts)
         else:
             emit(EV_TABLE_MAP, tm_body, ts)
             emit(rows_tc, body, ts)
@@ -1535,7 +1646,9 @@ def mysql_binlog_tail_stream(
 # --- oracle-checked roundtrip query ------------------------------------------
 
 
-def cdc_mysql_binlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cdc_mysql_binlog_roundtrip(
+    spark: SparkSession, sf_dir: str, payload_wrap: bool | str = False
+) -> DataFrame:
     """End-to-end proof of the REAL binlog v4 format: derive a typed
     changelog from ``orders`` (LONGLONG + NEWDECIMAL + ENUM + DATE),
     frame it as byte-exact binlog files (one per Arrow batch — magic,
@@ -1613,7 +1726,9 @@ def cdc_mysql_binlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     txns.append({"gno": row["id"], "op": "u", "rows": [(before, row)]})
                 else:
                     txns.append({"gno": row["id"], "op": "w", "rows": [row]})
-            blob = build_binlog_file("tpch", "orders", target, txns)
+            blob = build_binlog_file(
+                "tpch", "orders", target, txns, payload_wrap=payload_wrap
+            )
             yield pd.DataFrame({"file_bytes": [blob]})
 
     files = base.mapInPandas(encode, schema=file_schema)
@@ -1739,6 +1854,21 @@ def cdc_binlog_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_binlog_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cdc_mysql_binlog_roundtrip changelog THROUGH
+    binlog_transaction_compression=ON (MySQL 8.0.20+): each
+    transaction's TABLE_MAP + ROWS stream is zstd-compressed inside a
+    TRANSACTION_PAYLOAD event and decompressed during decode (stdlib /
+    zstandard / ctypes-libzstd backend, whichever resolves). The oracle
+    is byte-for-byte the uncompressed query's — compression must be
+    invisible in the decoded changelog, ordering keys included. The
+    reference skips TRANSACTION_PAYLOAD entirely
+    (binlog_table_reader.cc:427-428 default-skips unknown types), so a
+    compressed server silently yields an EMPTY changelog there; this
+    engine decodes it."""
+    return cdc_mysql_binlog_roundtrip(spark, sf_dir, payload_wrap="zstd")
+
+
 CDC_BINLOG_LATEST_STATE_SQL = """
 SELECT o_orderstatus AS status,
        CAST(count(*) AS BIGINT) AS n_live,
@@ -1774,3 +1904,7 @@ SELECT status,
        CAST(sum(props_len) AS BIGINT) AS json_len_sum
 FROM b GROUP BY status
 """
+
+# Compression must be invisible in the decoded changelog, so the zstd
+# roundtrip shares the uncompressed roundtrip's oracle verbatim.
+CDC_BINLOG_ZSTD_ROUNDTRIP_SQL = CDC_MYSQL_BINLOG_ROUNDTRIP_SQL

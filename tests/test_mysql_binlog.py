@@ -324,36 +324,75 @@ def test_transaction_payload_none_decodes_like_plain():
     assert seqs == sorted(seqs)
 
 
-def test_transaction_payload_zstd_raises_without_module():
-    """A ZSTD-compressed payload must raise a pointed error when no
-    zstd module is importable (this container has none) — never decode
-    to an empty changelog."""
-    import importlib.util
+def test_transaction_payload_zstd_roundtrip():
+    """binlog_transaction_compression=ON (ZSTD): the compressed file
+    must decode to the same changelog as its uncompressed twin. Skips
+    only if NO zstd backend resolves (stdlib module, zstandard package,
+    or ctypes over libzstd — this container has libzstd.so.1)."""
+    from mysql_cdc_table_spark.sources import mysql_binlog as mb
 
-    def _has(name: str) -> bool:
-        try:
-            return importlib.util.find_spec(name) is not None
-        except ModuleNotFoundError:
-            return False
+    if mb._zstd_backend() == (None, None):
+        pytest.skip("no zstd backend in this environment")
+    r1 = {"id": 1, "v": "a", "amt": Decimal("1.50")}
+    r1b = {"id": 1, "v": "a2", "amt": Decimal("2.50")}
+    r2 = {"id": 2, "v": "b", "amt": Decimal("-3.25")}
+    txns = [
+        _txn(10, "w", [r1, r2]),
+        _txn(11, "u", [(r1, r1b)]),
+        _txn(12, "d", [r2]),
+    ]
+    plain = build_binlog_file("d", "t", TARGET, txns)
+    wrapped = build_binlog_file("d", "t", TARGET, txns, payload_wrap="zstd")
+    # the payload really is a zstd frame (magic 28 B5 2F FD), not NONE
+    assert b"\x28\xb5\x2f\xfd" in wrapped
+    a = decode_binlog_bytes(plain, TARGET, "d", "t")
+    b = decode_binlog_bytes(wrapped, TARGET, "d", "t")
+    strip = lambda r: {k: v for k, v in r.items() if k != "__event_seq"}
+    assert [strip(r) for r in a] == [strip(r) for r in b]
 
-    if _has("zstandard") or _has("compression.zstd"):
-        pytest.skip("zstd available; decompress path would be taken")
-    from mysql_cdc_table_spark.sources.mysql_binlog import (
-        EV_TRANSACTION_PAYLOAD,
-        _event,
-        _pack_int,
-    )
 
-    tlv = lambda t, v: _pack_int(t) + _pack_int(len(v)) + v
+def test_transaction_payload_zstd_raises_without_backend(monkeypatch):
+    """With every backend unavailable a ZSTD payload must raise a
+    pointed error — never decode to an empty changelog. The no-backend
+    state is forced via the resolution cache so this branch is tested
+    in EVERY environment, not only zstd-less ones."""
+    from mysql_cdc_table_spark.sources import mysql_binlog as mb
+
+    monkeypatch.setattr(mb, "_ZSTD_IMPL", (None, None))
+    tlv = lambda t, v: mb._pack_int(t) + mb._pack_int(len(v)) + v
     body = (
-        tlv(2, _pack_int(0))  # compression type ZSTD
-        + tlv(3, _pack_int(100))
-        + _pack_int(0)
+        tlv(2, mb._pack_int(0))  # compression type ZSTD
+        + tlv(3, mb._pack_int(100))
+        + mb._pack_int(0)
         + b"\x28\xb5\x2f\xfd junk"
     )
     blob = build_binlog_file("d", "t", TARGET, [])
-    ev = _event(1_700_000_000, EV_TRANSACTION_PAYLOAD, 1, body, len(blob), False)
+    ev = mb._event(
+        1_700_000_000, mb.EV_TRANSACTION_PAYLOAD, 1, body, len(blob), False
+    )
     with pytest.raises(ValueError, match="ZSTD-compressed"):
+        decode_binlog_bytes(blob + ev, TARGET, "d", "t")
+
+
+def test_transaction_payload_zstd_junk_frame_raises():
+    """A corrupt zstd frame raises a decode error (not silence) when a
+    backend IS available."""
+    from mysql_cdc_table_spark.sources import mysql_binlog as mb
+
+    if mb._zstd_backend() == (None, None):
+        pytest.skip("no zstd backend in this environment")
+    tlv = lambda t, v: mb._pack_int(t) + mb._pack_int(len(v)) + v
+    body = (
+        tlv(2, mb._pack_int(0))
+        + tlv(3, mb._pack_int(100))
+        + mb._pack_int(0)
+        + b"\x28\xb5\x2f\xfd junk"
+    )
+    blob = build_binlog_file("d", "t", TARGET, [])
+    ev = mb._event(
+        1_700_000_000, mb.EV_TRANSACTION_PAYLOAD, 1, body, len(blob), False
+    )
+    with pytest.raises(Exception, match="(?i)zstd|decompress"):
         decode_binlog_bytes(blob + ev, TARGET, "d", "t")
 
 
