@@ -101,6 +101,7 @@ ROUND3_LATE_KEYS = (
 # Keys born in round 4 — in-window so they get a driver row immediately.
 ROUND4_NEW_KEYS: tuple[str, ...] = (
     "cdc_binlog_zstd_roundtrip",
+    "cdc_binlog_partial_json_roundtrip",
 )
 
 # Operators whose implementation round 4 touches: their standing green

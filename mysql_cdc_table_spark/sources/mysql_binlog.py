@@ -45,9 +45,11 @@ passthrough per SURVEY §1.3). Compressed transactions
 NONE always, ZSTD via the first available backend (stdlib
 compression.zstd, the zstandard package, or ctypes over the system
 libzstd — present wherever MySQL or Spark is installed, both link it).
-Payload-bearing events the reader can't decode (pre-5.6 rows-v1,
-PARTIAL_UPDATE_ROWS, ZSTD with no backend at all) raise instead of
-silently skipping.
+JSON partial updates (PARTIAL_UPDATE_ROWS_EVENT,
+binlog_row_value_options=PARTIAL_JSON) decode by applying the
+Json_diff_vector to the before-image. Payload-bearing events the
+reader can't decode (pre-5.6 rows-v1, ZSTD with no backend at all)
+raise instead of silently skipping.
 
 Scale: one binlog file is one sequential decode unit — the format is
 stateful (GTID and TABLE_MAP apply to subsequent events), exactly the
@@ -97,16 +99,15 @@ EV_TRANSACTION_PAYLOAD = 40
 # Payload-bearing event types this reader does NOT decode. The reference
 # default-skips every unknown type (binlog_table_reader.cc:427-428) —
 # which would turn "unsupported" into "silently empty changelog", so we
-# raise instead. TRANSACTION_PAYLOAD (compressed transactions) is NOT in
-# this set: it is unwrapped and decoded (see decode_binlog_bytes).
+# raise instead. TRANSACTION_PAYLOAD (compressed transactions) and
+# PARTIAL_UPDATE_ROWS (JSON partial updates) are NOT in this set: both
+# are decoded (see decode_binlog_bytes / _read_image_partial).
 # Genuinely ignorable types (ROTATE/XID/QUERY/STOP/HEARTBEAT/
 # PREVIOUS_GTIDS/ANONYMOUS_GTID/...) still skip.
 _UNSUPPORTED_PAYLOAD_EVENTS = {
     EV_WRITE_ROWS_V1: "WRITE_ROWS_EVENT v1 (pre-5.6 format)",
     EV_UPDATE_ROWS_V1: "UPDATE_ROWS_EVENT v1 (pre-5.6 format)",
     EV_DELETE_ROWS_V1: "DELETE_ROWS_EVENT v1 (pre-5.6 format)",
-    EV_PARTIAL_UPDATE_ROWS: "PARTIAL_UPDATE_ROWS_EVENT "
-    "(binlog_row_value_options=PARTIAL_JSON)",
 }
 
 # Transaction_payload_event on-the-wire fields (public format: a
@@ -669,6 +670,180 @@ def _decode_json_binary(data: bytes) -> str | None:
     return json.dumps(obj, separators=(",", ":"), ensure_ascii=False)
 
 
+# --- JSON partial updates (binlog_row_value_options=PARTIAL_JSON) ------------
+#
+# PARTIAL_UPDATE_ROWS_EVENT (type 39, MySQL 8.0+, WL#2955) stores an
+# updated JSON column as a Json_diff_vector instead of the full
+# document: 4-byte LE total length (Json_diff_vector::ENCODED_LENGTH_
+# BYTES, sql/json_diff.cc write_binary/read_binary), then per diff
+#   operation(1)  0=REPLACE 1=INSERT 2=REMOVE (json_diff.h enum order)
+#   path: net-packed length + JSON-path bytes ($.member, $[N], nested,
+#         double-quoted members with escapes)
+#   value (REPLACE/INSERT only): net-packed length + binary JSON doc
+# The after image is before-JSON with the diffs applied. The reference
+# default-skips type 39 entirely (binlog_table_reader.cc:427-428) — a
+# server running with partial JSON silently loses every such update
+# there; this reader applies the diffs.
+
+_JDIFF_REPLACE, _JDIFF_INSERT, _JDIFF_REMOVE = 0, 1, 2
+_JDIFF_OPS = {"replace": 0, "insert": 1, "remove": 2}
+
+
+def _encode_json_diff_vector(diffs: list[tuple]) -> bytes:
+    """diffs: [(op_name_or_code, path_str, value_obj_or_None), ...] ->
+    the column bytes a PARTIAL_UPDATE_ROWS after-image carries."""
+    seq = bytearray()
+    for op, path, val in diffs:
+        opn = _JDIFF_OPS[op] if isinstance(op, str) else int(op)
+        seq.append(opn)
+        raw_path = path.encode("utf-8")
+        seq += _pack_int(len(raw_path)) + raw_path
+        if opn != _JDIFF_REMOVE:
+            tc, payload = _jsonb_encode_value(val)
+            doc = bytes([tc]) + payload
+            seq += _pack_int(len(doc)) + doc
+    return struct.pack("<I", len(seq)) + bytes(seq)
+
+
+def _read_json_diff_vector(buf: bytes, pos: int) -> tuple[list[tuple], int]:
+    total = struct.unpack_from("<I", buf, pos)[0]
+    pos += 4
+    end = pos + total
+    diffs: list[tuple] = []
+    while pos < end:
+        opn = buf[pos]
+        pos += 1
+        if opn not in (_JDIFF_REPLACE, _JDIFF_INSERT, _JDIFF_REMOVE):
+            raise ValueError(f"unknown JSON diff operation {opn}")
+        plen, pos = _read_packed_int(buf, pos)
+        path = buf[pos : pos + plen].decode("utf-8")
+        pos += plen
+        val = None
+        if opn != _JDIFF_REMOVE:
+            vlen, pos = _read_packed_int(buf, pos)
+            if vlen == 0:
+                raise ValueError(f"empty JSON diff value at path {path!r}")
+            val = _jsonb_decode_at(buf[pos], buf, pos + 1)
+            pos += vlen
+        diffs.append((opn, path, val))
+    if pos != end:
+        raise ValueError("JSON diff vector length mismatch")
+    return diffs, pos
+
+
+def _parse_json_path(path: str) -> list:
+    """'$.a."quo ted"[3].b' -> ['a', 'quo ted', 3, 'b']. MySQL diff
+    paths are always concrete (no wildcards/ranges)."""
+    if not path.startswith("$"):
+        raise ValueError(f"JSON path must start with $: {path!r}")
+    legs: list = []
+    i = 1
+    n = len(path)
+    while i < n:
+        c = path[i]
+        if c == ".":
+            i += 1
+            if i < n and path[i] == '"':
+                j = i + 1
+                out = []
+                while j < n and path[j] != '"':
+                    if path[j] == "\\" and j + 1 < n:
+                        out.append(path[j + 1])
+                        j += 2
+                    else:
+                        out.append(path[j])
+                        j += 1
+                if j >= n:
+                    raise ValueError(f"unterminated quoted member in {path!r}")
+                legs.append("".join(out))
+                i = j + 1
+            else:
+                j = i
+                while j < n and path[j] not in ".[":
+                    j += 1
+                if j == i:
+                    raise ValueError(f"empty member name in {path!r}")
+                legs.append(path[i:j])
+                i = j
+        elif c == "[":
+            j = path.index("]", i)
+            legs.append(int(path[i + 1 : j]))
+            i = j + 1
+        else:
+            raise ValueError(f"bad JSON path syntax at {i} in {path!r}")
+    return legs
+
+
+def _json_canonical(obj):
+    """Recursively re-order object keys by (byte-length, bytes) — the
+    storage order of MySQL's binary JSON, hence the order a full
+    after-image would decode to. Applying diffs must land in the same
+    canonical text as the equivalent non-partial update."""
+    if isinstance(obj, dict):
+        return {
+            k: _json_canonical(obj[k])
+            for k in sorted(obj, key=lambda s: (len(s.encode()), s.encode()))
+        }
+    if isinstance(obj, list):
+        return [_json_canonical(x) for x in obj]
+    return obj
+
+
+def _apply_json_diffs(before_text: str | None, diffs: list[tuple]) -> str | None:
+    """Json_diff apply semantics (sql/json_diff.cc apply_json_diff):
+    REPLACE sets an existing path, INSERT adds a new member / splices an
+    array element (index past the end appends), REMOVE deletes the
+    path. A missing/invalid path raises — MySQL falls back to a full
+    value in that case, so hitting one in a binlog means corruption."""
+    import json
+
+    if not diffs:
+        return before_text  # empty vector: value unchanged
+    if before_text is None:
+        raise ValueError("JSON partial update against a NULL before-image")
+    doc = json.loads(before_text)
+    for opn, path, val in diffs:
+        legs = _parse_json_path(path)
+        if not legs:
+            if opn != _JDIFF_REPLACE:
+                raise ValueError(f"diff op {opn} on root path $")
+            doc = val
+            continue
+        parent = doc
+        for leg in legs[:-1]:
+            if isinstance(parent, dict) and isinstance(leg, str) and leg in parent:
+                parent = parent[leg]
+            elif isinstance(parent, list) and isinstance(leg, int) and leg < len(parent):
+                parent = parent[leg]
+            else:
+                raise ValueError(f"JSON diff path {path!r} not found")
+        last = legs[-1]
+        if opn == _JDIFF_REPLACE:
+            if isinstance(parent, dict) and isinstance(last, str) and last in parent:
+                parent[last] = val
+            elif isinstance(parent, list) and isinstance(last, int) and last < len(parent):
+                parent[last] = val
+            else:
+                raise ValueError(f"REPLACE path {path!r} not found")
+        elif opn == _JDIFF_INSERT:
+            if isinstance(parent, dict) and isinstance(last, str) and last not in parent:
+                parent[last] = val
+            elif isinstance(parent, list) and isinstance(last, int):
+                parent.insert(min(last, len(parent)), val)
+            else:
+                raise ValueError(f"INSERT path {path!r} invalid or exists")
+        else:  # REMOVE
+            if isinstance(parent, dict) and isinstance(last, str) and last in parent:
+                del parent[last]
+            elif isinstance(parent, list) and isinstance(last, int) and last < len(parent):
+                del parent[last]
+            else:
+                raise ValueError(f"REMOVE path {path!r} not found")
+    return json.dumps(
+        _json_canonical(doc), separators=(",", ":"), ensure_ascii=False
+    )
+
+
 # --- column spec: Spark StructType <-> TABLE_MAP types/metadata --------------
 
 
@@ -965,6 +1140,39 @@ def _image(row: dict, cols: list[_Col], present: list[int]) -> bytes:
     return bytes(nb) + bytes(vals)
 
 
+def _image_partial(
+    after: dict, cols: list[_Col], present: list[int], diffs_by_col: dict
+) -> bytes:
+    """PARTIAL_UPDATE_ROWS after-image: value_options packed int, then
+    partial_bits (one bit per JSON column of the TABLE, in column
+    order — table_def::json_column_count() semantics), then the normal
+    null bitmap + values, with partial columns carrying a
+    Json_diff_vector instead of a full document."""
+    json_cols = [i for i, c in enumerate(cols) if c.type_code == TY_JSON]
+    unknown = set(diffs_by_col) - {cols[i].name for i in json_cols}
+    if unknown:
+        raise ValueError(f"partial diffs for non-JSON columns: {unknown}")
+    out = bytearray(_pack_int(1))  # value_options: PARTIAL_JSON
+    bits = bytearray((len(json_cols) + 7) // 8)
+    for k, i in enumerate(json_cols):
+        if cols[i].name in diffs_by_col:
+            bits[k // 8] |= 1 << (k % 8)
+    out += bytes(bits)
+    nb = bytearray((len(present) + 7) // 8)
+    vals = bytearray()
+    for k, j in enumerate(present):
+        c = cols[j]
+        if c.name in diffs_by_col:
+            vals += _encode_json_diff_vector(diffs_by_col[c.name])
+            continue
+        v = after.get(c.name)
+        if v is None:
+            nb[k // 8] |= 1 << (k % 8)
+        else:
+            vals += _encode_col(c, v)
+    return bytes(out) + bytes(nb) + bytes(vals)
+
+
 def _present_bitmap(present: list[int], ncols: int) -> bytes:
     bm = bytearray((ncols + 7) // 8)
     for j in present:
@@ -999,7 +1207,14 @@ def _rows_body(
     body = table_id.to_bytes(6, "little") + struct.pack("<H", 0)
     body += struct.pack("<H", 2)  # v2 extra-data length (no extra)
     body += _pack_int(ncols)
-    if type_code == EV_UPDATE_ROWS_V2:
+    if type_code == EV_PARTIAL_UPDATE_ROWS:
+        # images: [(before_dict, after_dict, {json_col: [diff,...]}), ...]
+        body += _present_bitmap(p1, ncols)
+        body += _present_bitmap(all_cols, ncols)
+        for before, after, diffs in images:
+            body += _image(before, cols, p1)
+            body += _image_partial(after, cols, all_cols, diffs)
+    elif type_code == EV_UPDATE_ROWS_V2:
         body += _present_bitmap(p1, ncols)
         body += _present_bitmap(all_cols, ncols)
         for k, img in enumerate(images):
@@ -1073,6 +1288,17 @@ def build_binlog_file(
         elif op == "d":
             rows_tc = EV_DELETE_ROWS_V2
             body = _rows_body(EV_DELETE_ROWS_V2, table_id, cols, txn["rows"])
+        elif op == "pu":
+            # binlog_row_value_options=PARTIAL_JSON update: rows are
+            # (before, after, {json_col: [(op, path, value), ...]})
+            rows_tc = EV_PARTIAL_UPDATE_ROWS
+            body = _rows_body(
+                EV_PARTIAL_UPDATE_ROWS,
+                table_id,
+                cols,
+                txn["rows"],
+                before_present=txn.get("before_present"),
+            )
         else:
             images = [img for pair in txn["rows"] for img in pair]
             # binlog_row_image=MINIMAL: before-images carry only the
@@ -1175,6 +1401,47 @@ def _read_image(
     return row, pos
 
 
+def _read_image_partial(
+    body: bytes,
+    pos: int,
+    cols: list[_Col],
+    present: list[int],
+    before_row: dict,
+) -> tuple[dict, int]:
+    """After-image of a PARTIAL_UPDATE_ROWS_EVENT: value_options packed
+    int, partial_bits over the table's JSON columns, then the normal
+    null bitmap + values. A column whose partial bit is set carries a
+    Json_diff_vector; its decoded value is the before-image's JSON with
+    the diffs applied (canonical key order, so it is byte-identical to
+    what a full after-image would have decoded to)."""
+    value_options, pos = _read_packed_int(body, pos)
+    json_cols = [i for i, c in enumerate(cols) if c.type_code == TY_JSON]
+    partial: set[int] = set()
+    if value_options & 1:  # BINLOG_ROW_VALUE_OPTIONS_PARTIAL_JSON
+        nb = (len(json_cols) + 7) // 8
+        bits = body[pos : pos + nb]
+        pos += nb
+        partial = {
+            json_cols[k]
+            for k in range(len(json_cols))
+            if bits[k // 8] & (1 << (k % 8))
+        }
+    nb2 = (len(present) + 7) // 8
+    nulls = body[pos : pos + nb2]
+    pos += nb2
+    row = {c.name: None for c in cols}
+    for k, j in enumerate(present):
+        if nulls[k // 8] & (1 << (k % 8)):
+            continue
+        c = cols[j]
+        if j in partial:
+            diffs, pos = _read_json_diff_vector(body, pos)
+            row[c.name] = _apply_json_diffs(before_row.get(c.name), diffs)
+        else:
+            row[c.name], pos = _decode_col(c, body, pos)
+    return row, pos
+
+
 def _sid_to_uuid(sid: bytes) -> str:
     h = sid.hex()
     return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}"
@@ -1246,7 +1513,13 @@ def decode_binlog_bytes(
             if db_ == database and tbl_ == table:
                 tid2, tdef = _parse_table_map(body, target_cols)
                 tdefs[tid2] = tdef
-        elif tc in (EV_WRITE_ROWS_V2, EV_UPDATE_ROWS_V2, EV_DELETE_ROWS_V2):
+        elif tc in (
+            EV_WRITE_ROWS_V2,
+            EV_UPDATE_ROWS_V2,
+            EV_DELETE_ROWS_V2,
+            EV_PARTIAL_UPDATE_ROWS,
+        ):
+            is_update = tc in (EV_UPDATE_ROWS_V2, EV_PARTIAL_UPDATE_ROWS)
             tid = int.from_bytes(body[0:6], "little")
             tdef = tdefs.get(tid)
             if tdef is None:
@@ -1257,16 +1530,24 @@ def decode_binlog_bytes(
             ncols, p = _read_packed_int(body, p)
             present1, p = _parse_present(body, p, ncols)
             present2 = present1
-            if tc == EV_UPDATE_ROWS_V2:
+            if is_update:
                 present2, p = _parse_present(body, p, ncols)
             img_seq = 0
+            before_row: dict = {}
             while p < len(body):
                 present = (
                     present1
-                    if tc != EV_UPDATE_ROWS_V2 or img_seq % 2 == 0
+                    if not is_update or img_seq % 2 == 0
                     else present2
                 )
-                row, p = _read_image(body, p, tdef.cols, present)
+                if tc == EV_PARTIAL_UPDATE_ROWS and img_seq % 2 == 1:
+                    row, p = _read_image_partial(
+                        body, p, tdef.cols, present, before_row
+                    )
+                else:
+                    row, p = _read_image(body, p, tdef.cols, present)
+                if is_update and img_seq % 2 == 0:
+                    before_row = row
                 if tc == EV_WRITE_ROWS_V2:
                     op = CDC_INSERT
                 elif tc == EV_DELETE_ROWS_V2:
@@ -1867,6 +2148,155 @@ def cdc_binlog_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressed server silently yields an EMPTY changelog there; this
     engine decodes it."""
     return cdc_mysql_binlog_roundtrip(spark, sf_dir, payload_wrap="zstd")
+
+
+def cdc_binlog_partial_json_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JSON partial updates through the REAL binlog format
+    (binlog_row_value_options=PARTIAL_JSON, PARTIAL_UPDATE_ROWS_EVENT
+    type 39): every orders row becomes one partial-update transaction —
+    the after-image's ``props`` column carries a Json_diff_vector
+    (REPLACE $.k, INSERT $.new, REMOVE $.drop, REPLACE $.arr[1])
+    instead of a full document, plus a changed non-JSON column (price)
+    in the same image. Decode applies the diffs against the before
+    image; the aggregate pins before- AND after-image JSON terms, the
+    canonical serialized length, the non-JSON after value, and GTID
+    propagation in one value hash. The reference default-skips event
+    type 39 (binlog_table_reader.cc:427-428) — on a PARTIAL_JSON server
+    it silently loses every such update; this engine decodes them."""
+    import pandas as pd
+    from decimal import Decimal as _D
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.operators._util import t
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("price", T.DecimalType(12, 2)),
+            T.StructField(
+                "status",
+                T.StringType(),
+                metadata={"mysql_type": "enum", "values": ["F", "O", "P"]},
+            ),
+            T.StructField(
+                "props", T.StringType(), metadata={"mysql_type": "json"}
+            ),
+        ]
+    )
+    base = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.expr(
+                "cast(cast(o_orderkey % 100000 as decimal(30,2)) / 100"
+                " as decimal(12,2))"
+            ).alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "id")
+    )
+
+    file_schema = T.StructType([T.StructField("file_bytes", T.BinaryType())])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            txns = []
+            for r in pdf.itertuples(index=False):
+                rid = int(r.id)
+                before = {
+                    "id": rid,
+                    "price": r.price,
+                    "status": r.status,
+                    "props": (
+                        f'{{"k":{rid % 10007},"s":"{r.status}",'
+                        f'"arr":[{rid % 3},null,true],"drop":"x"}}'
+                    ),
+                }
+                after = {
+                    "id": rid,
+                    "price": r.price + _D(1),
+                    "status": r.status,
+                    # props deliberately absent: it travels as diffs
+                }
+                diffs = {
+                    "props": [
+                        ("replace", "$.k", rid % 211),
+                        ("insert", "$.new", rid % 7),
+                        ("remove", "$.drop", None),
+                        ("replace", "$.arr[1]", rid % 5),
+                    ]
+                }
+                txns.append(
+                    {"gno": rid, "op": "pu", "rows": [(before, after, diffs)]}
+                )
+            blob = build_binlog_file("tpch", "orders", target, txns)
+            yield pd.DataFrame({"file_bytes": [blob]})
+
+    files = base.mapInPandas(encode, schema=file_schema)
+
+    out_schema = changelog_schema(target)
+    names = [f.name for f in out_schema.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["file_bytes"]:
+                rows = decode_binlog_bytes(bytes(blob), target, "tpch", "orders")
+                yield pd.DataFrame({n: [r.get(n) for r in rows] for n in names})
+
+    decoded = files.mapInPandas(decode, schema=out_schema)
+
+    bef = F.col("__op") == CDC_UPDATE_BEFORE
+    aft = F.col("__op") == CDC_UPDATE_AFTER
+    jget = lambda p: F.get_json_object("props", p).cast("long")
+    return decoded.groupBy("status").agg(
+        F.count(F.when(aft, 1)).alias("n_pairs"),
+        F.sum(F.when(bef, jget("$.k"))).alias("before_k_sum"),
+        F.sum(F.when(aft, jget("$.k"))).alias("after_k_sum"),
+        F.sum(F.when(aft, jget("$.new"))).alias("new_sum"),
+        F.sum(F.when(aft, jget("$.arr[1]"))).alias("arr1_sum"),
+        F.count(F.when(aft & F.get_json_object("props", "$.drop").isNull(), 1)).alias(
+            "drop_gone"
+        ),
+        F.sum(F.when(aft, (F.col("price") * 100).cast("long"))).alias(
+            "after_cents_sum"
+        ),
+        F.sum(F.when(aft, F.col("__gtid"))).alias("gtid_sum"),
+        F.sum(F.when(aft, F.length("props").cast("long"))).alias(
+            "after_len_sum"
+        ),
+    )
+
+
+CDC_BINLOG_PARTIAL_JSON_SQL = """
+WITH b AS (
+  SELECT o_orderkey AS id,
+         o_orderkey % 100000 AS cents,
+         o_orderstatus AS status,
+         -- canonical text the diff-apply must serialize to:
+         -- {"k":<id%211>,"s":"<status>","arr":[<id%3>,<id%5>,true],"new":<id%7>}
+         length('{"k":' || CAST(o_orderkey % 211 AS VARCHAR) || ',"s":"'
+                || o_orderstatus || '","arr":[' || CAST(o_orderkey % 3 AS VARCHAR)
+                || ',' || CAST(o_orderkey % 5 AS VARCHAR) || ',true],"new":'
+                || CAST(o_orderkey % 7 AS VARCHAR) || '}') AS after_len
+  FROM orders
+)
+SELECT status,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(id % 10007) AS BIGINT) AS before_k_sum,
+       CAST(sum(id % 211) AS BIGINT) AS after_k_sum,
+       CAST(sum(id % 7) AS BIGINT) AS new_sum,
+       CAST(sum(id % 5) AS BIGINT) AS arr1_sum,
+       CAST(count(*) AS BIGINT) AS drop_gone,
+       CAST(sum(cents + 100) AS BIGINT) AS after_cents_sum,
+       CAST(sum(id) AS BIGINT) AS gtid_sum,
+       CAST(sum(after_len) AS BIGINT) AS after_len_sum
+FROM b GROUP BY status
+"""
 
 
 CDC_BINLOG_LATEST_STATE_SQL = """

@@ -324,6 +324,124 @@ def test_transaction_payload_none_decodes_like_plain():
     assert seqs == sorted(seqs)
 
 
+def test_partial_update_rows_applies_json_diffs():
+    """PARTIAL_UPDATE_ROWS (binlog_row_value_options=PARTIAL_JSON): the
+    after-image JSON must equal the before-image with the diff vector
+    applied, in canonical key order — byte-identical to what a FULL
+    after-image of the same update would decode to. The reference
+    default-skips type 39, silently losing these updates."""
+    from pyspark.sql import types as T
+
+    tgt = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "doc", T.StringType(), metadata={"mysql_type": "json"}
+            ),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    before = {
+        "id": 1,
+        "doc": '{"k":7,"s":"x","arr":[1,null,true],"drop":"gone"}',
+        "v": "old",
+    }
+    after_nonjson = {"id": 1, "v": "new"}
+    diffs = {
+        "doc": [
+            ("replace", "$.k", 42),
+            ("insert", "$.new", [1, 2]),
+            ("remove", "$.drop", None),
+            ("replace", "$.arr[1]", 5),
+        ]
+    }
+    blob = build_binlog_file(
+        "d", "t", tgt, [{"gno": 9, "op": "pu", "rows": [(before, after_nonjson, diffs)]}]
+    )
+    rows = decode_binlog_bytes(blob, tgt, "d", "t")
+    assert [r["__op"] for r in rows] == [2, 3]
+    assert rows[0]["doc"] == before["doc"]
+    # canonical order: k(1) s(1) arr(3) new(3)
+    assert rows[1]["doc"] == '{"k":42,"s":"x","arr":[1,5,true],"new":[1,2]}'
+    assert rows[1]["v"] == "new"
+    # equivalence with the FULL update of the same row
+    full = build_binlog_file(
+        "d", "t", tgt,
+        [{"gno": 9, "op": "u", "rows": [(before, dict(after_nonjson, doc=rows[1]["doc"]))]}],
+    )
+    frows = decode_binlog_bytes(full, tgt, "d", "t")
+    strip = lambda r: {k: v for k, v in r.items() if not k.startswith("__")}
+    assert strip(frows[1]) == strip(rows[1])
+
+
+def test_partial_update_mixed_full_and_partial_columns():
+    """partial_bits decides per JSON column: with two JSON columns, one
+    stored as a diff vector and one as a full document in the same
+    after-image, both must decode; nested + quoted paths and empty diff
+    vectors (unchanged value) work; a NULL after value clears the
+    column through the null bitmap as usual."""
+    from pyspark.sql import types as T
+
+    tgt = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("a", T.StringType(), metadata={"mysql_type": "json"}),
+            T.StructField("b", T.StringType(), metadata={"mysql_type": "json"}),
+        ]
+    )
+    before = {
+        "id": 5,
+        "a": '{"o":{"x":[10,20]},"key sp":1}',
+        "b": '{"z":1}',
+    }
+    # column a partial (nested + quoted paths), column b full rewrite
+    after = {"id": 5, "b": '{"w":2}'}
+    diffs = {
+        "a": [
+            ("replace", '$.o.x[0]', 11),
+            ("insert", '$.o.x[9]', 99),  # past the end -> append
+            ("replace", '$."key sp"', 2),
+        ]
+    }
+    blob = build_binlog_file(
+        "d", "t", tgt, [{"gno": 1, "op": "pu", "rows": [(before, after, diffs)]}]
+    )
+    rows = decode_binlog_bytes(blob, tgt, "d", "t")
+    assert rows[1]["a"] == '{"o":{"x":[11,20,99]},"key sp":2}'
+    assert rows[1]["b"] == '{"w":2}'
+
+    # empty diff vector -> value unchanged
+    blob2 = build_binlog_file(
+        "d", "t", tgt,
+        [{"gno": 2, "op": "pu", "rows": [(before, after, {"a": []})]}],
+    )
+    rows2 = decode_binlog_bytes(blob2, tgt, "d", "t")
+    assert rows2[1]["a"] == before["a"]
+
+    # corrupt path (not present in the before doc) raises, never silence
+    blob3 = build_binlog_file(
+        "d", "t", tgt,
+        [{"gno": 3, "op": "pu",
+          "rows": [(before, after, {"a": [("replace", "$.nope", 1)]})]}],
+    )
+    with pytest.raises(ValueError, match="not found"):
+        decode_binlog_bytes(blob3, tgt, "d", "t")
+
+
+def test_json_path_parser():
+    from mysql_cdc_table_spark.sources.mysql_binlog import _parse_json_path
+
+    assert _parse_json_path("$") == []
+    assert _parse_json_path("$.a.b") == ["a", "b"]
+    assert _parse_json_path("$[3]") == [3]
+    assert _parse_json_path('$."a.b"[2].c') == ["a.b", 2, "c"]
+    assert _parse_json_path('$."q\\"uo"') == ['q"uo']
+    with pytest.raises(ValueError):
+        _parse_json_path("a.b")
+    with pytest.raises(ValueError):
+        _parse_json_path("$..a")
+
+
 def test_transaction_payload_zstd_roundtrip():
     """binlog_transaction_compression=ON (ZSTD): the compressed file
     must decode to the same changelog as its uncompressed twin. Skips
