@@ -21,7 +21,6 @@ Scale notes:
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,6 +29,7 @@ from pyspark.sql import types as T
 
 from mysql_cdc_table_spark.cdc.ops import latest_state
 from mysql_cdc_table_spark.cdc.source import cdc_read
+from mysql_cdc_table_spark.sources import fs as _hfs
 
 
 def cdc_read_stream(
@@ -65,22 +65,20 @@ def materialize_latest_state(
     schema = changelog_stream.schema
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if os.path.exists(store_path):
+        if _hfs.exists(spark, store_path):
             current = spark.read.schema(schema).parquet(store_path)
             merged = latest_state(current.unionByName(batch_df), key_cols)
         else:
             merged = latest_state(batch_df, key_cols)
-        # write-then-swap: stage the new state, then atomically rename
+        # write-then-swap: stage the new state, then rename (atomic on
+        # HDFS; on S3 prefer the bucketed store below or a table format)
         tmp = store_path + f".staging-{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
         old = store_path + f".old-{batch_id}"
-        if os.path.exists(store_path):
-            os.rename(store_path, old)
-        os.rename(tmp, store_path)
-        if os.path.exists(old):
-            import shutil
-
-            shutil.rmtree(old, ignore_errors=True)
+        if _hfs.exists(spark, store_path):
+            _hfs.rename(spark, store_path, old)
+        _hfs.rename(spark, tmp, store_path)
+        _hfs.delete(spark, old)
 
     return (
         changelog_stream.writeStream.foreachBatch(merge_batch)
@@ -110,22 +108,18 @@ def materialize_latest_state_partitioned(
     Deletes are honored two ways: a tombstone newer than the stored row
     wins inside ``latest_state``, and a bucket whose keys ALL died is
     physically dropped (dynamic overwrite alone would leave it stale).
-    """
-    import shutil
 
+    Store file ops (bucket listing, dead-bucket drop) go through the
+    Hadoop FileSystem API (``sources.fs``), so the store works on
+    HDFS/S3/GCS exactly as on local disk.
+    """
     spark = changelog_stream.sparkSession
     bucket = F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast(
         "int"
     )
 
     def _store_buckets() -> set[int]:
-        if not os.path.isdir(store_path):
-            return set()
-        return {
-            int(n.split("=", 1)[1])
-            for n in os.listdir(store_path)
-            if n.startswith("__bucket=")
-        }
+        return _hfs.bucket_ids(spark, store_path)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
@@ -161,9 +155,7 @@ def materialize_latest_state_partitioned(
         )
         merged.unpersist()
         for dead in set(touched) - survivors:
-            shutil.rmtree(
-                os.path.join(store_path, f"__bucket={dead}"), ignore_errors=True
-            )
+            _hfs.delete(spark, f"{store_path}/__bucket={dead}")
         batch_df.unpersist()
 
     return (
@@ -224,9 +216,7 @@ def materialize_scd2_partitioned(
         if not touched:
             images.unpersist()
             return
-        if os.path.isdir(store_path) and any(
-            n.startswith("__bucket=") for n in os.listdir(store_path)
-        ):
+        if _hfs.bucket_ids(spark, store_path):
             stored = (
                 spark.read.parquet(store_path)
                 .filter(F.col("__bucket").isin(touched))

@@ -283,6 +283,39 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
     assert sorted(r["ad_id"] for r in rows) == [1]
 
 
+def test_hadoop_fs_helpers_roundtrip(spark, tmp_path):
+    """sources.fs routes store maintenance through the JVM Hadoop
+    FileSystem so the keyed stores work on HDFS/S3 as on local disk.
+    Exercise every op the stores use — exists, listing, bucket-id
+    parse, rename, recursive delete — against a real written store."""
+    from mysql_cdc_table_spark.sources import fs as hfs
+
+    p = str(tmp_path / "fsstore")
+    assert not hfs.exists(spark, p)
+    assert hfs.list_names(spark, p) == []
+    assert hfs.bucket_ids(spark, p) == set()
+
+    df = spark.range(100).withColumn(
+        "__bucket", (F.col("id") % 4).cast("int")
+    )
+    df.write.partitionBy("__bucket").parquet(p)
+    assert hfs.exists(spark, p)
+    assert hfs.bucket_ids(spark, p) == {0, 1, 2, 3}
+
+    hfs.delete(spark, f"{p}/__bucket=2")
+    assert hfs.bucket_ids(spark, p) == {0, 1, 3}
+    assert spark.read.parquet(p).count() == 75
+
+    p2 = str(tmp_path / "fsstore2")
+    hfs.rename(spark, p, p2)
+    assert not hfs.exists(spark, p)
+    assert hfs.bucket_ids(spark, p2) == {0, 1, 3}
+
+    hfs.delete(spark, p2)
+    assert not hfs.exists(spark, p2)
+    hfs.delete(spark, p2)  # absent -> no-op, never raises
+
+
 def test_partitioned_materialize_restart_and_bucket_cleanup(spark, tmp_path):
     """Bucketed keyed-upsert store across a kill/restart cycle:
     phase 1 builds state, phase 2 is a NEW query on the same checkpoint
