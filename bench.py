@@ -83,6 +83,12 @@ def _stage_packed(spark, sf_dir: str) -> None:
 
 
 def main() -> None:
+    # Sampled before ANY Spark work: with the JVM not yet started, the
+    # 1-minute load average is other processes' — the pre-existing box
+    # contention that inflated BENCH_r03 (+10% driver vs -11% clean).
+    load_pre = os.getloadavg()
+    ncpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 1))
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -106,15 +112,33 @@ def main() -> None:
     # (~1-1.5s, measured), which a long-lived cluster amortizes away;
     # min-of-3 also clips single-run GC/scheduler noise (measured ±15%
     # between identical bench invocations on this box).
-    times: dict[str, float] = {}
-    for name in [*HEADLINE, "packed_binlog_scan"]:
+    def timed(name: str) -> float:
         fn = queries[name]
         samples = []
         for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
-        times[name] = round(min(samples), 3)
+        return round(min(samples), 3)
+
+    # Contention sentinel: min-of-3 clips scheduler noise but not
+    # box-level contention lasting the whole run (r3's driver bench read
+    # +10% while a clean re-run read -11%). Two self-qualifying signals
+    # ride the JSON line: (a) the pre-Spark 1-minute load average —
+    # other processes' load, since our JVM wasn't up yet; (b) the q1
+    # anchor re-timed after the full sweep. POSITIVE drift (anchor got
+    # slower while the box filled up) beyond the documented ±15% band
+    # flags contention; negative drift is benign progressive-JIT
+    # warm-up (measured: a fresh JVM's q1 keeps speeding up across the
+    # whole sweep, so a start-vs-end compare structurally reads -30%).
+    times: dict[str, float] = {}
+    for name in [*HEADLINE, "packed_binlog_scan"]:
+        times[name] = timed(name)
+    anchor_first = times[HEADLINE[0]]
+    anchor_last = timed(HEADLINE[0])
+    load_post = os.getloadavg()
+    drift_pct = round(100.0 * (anchor_last - anchor_first) / anchor_first, 1)
+    busy_before = load_pre[0] > 0.5 * ncpus
 
     print(
         json.dumps(
@@ -124,6 +148,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "anchor": HEADLINE[0],
+                "anchor_first_sec": anchor_first,
+                "anchor_last_sec": anchor_last,
+                "anchor_drift_pct": drift_pct,
+                "load_avg_pre_spark": [round(x, 2) for x in load_pre],
+                "load_avg_end": [round(x, 2) for x in load_post],
+                "ncpus": ncpus,
+                "contended": bool(busy_before or drift_pct > 15.0),
             }
         )
     )
