@@ -109,6 +109,7 @@ ROUND4_NEW_KEYS: tuple[str, ...] = (
 ROUND4_REVERIFY = (
     "cdc_mysql_binlog_roundtrip",  # tail skip-foreign-file + zstd fallback
     "cdc_binlog_latest_state",     # same reader path
+    "mm_decode_features",          # stub -> real PPM/BMP decoder + oracle
 )
 
 _ROUND4_WINDOW_FRONT = ROUND3_LATE_KEYS + ROUND4_NEW_KEYS + ROUND4_REVERIFY

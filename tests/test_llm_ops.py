@@ -50,11 +50,37 @@ def test_minhash_lsh_recalls_high_jaccard_pairs(spark, sf_dir):
     assert recall >= 0.8, f"LSH missed high-jaccard pairs: {recall}"
 
 
-def test_decode_stub_plumbing(spark, sf_dir):
-    """The mapInPandas decode stage: schema, determinism, row preservation."""
+def test_decode_real_image_formats(spark, sf_dir):
+    """The decode stage is a REAL parser: exact pixel recovery from both
+    supported containers, format sniffing, error paths, and the Spark
+    pipeline's schema/determinism/row preservation."""
+    import numpy as np
+    import pytest
+
+    from mysql_cdc_table_spark.functions.multimodal import (
+        decode_image_bytes,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    # exact roundtrip of a non-constant image through both containers
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    for enc, codec in ((encode_ppm, "ppm"), (encode_bmp, "bmp")):
+        c, w, h, nch, mean = decode_image_bytes(enc(3, 5, img))
+        assert (c, w, h, nch) == (codec, 3, 5, 3)
+        assert mean == float(img.mean())  # BMP padding/BGR/bottom-up undone
+    # PPM comments in the header parse
+    ppm = encode_ppm(3, 5, img)
+    commented = b"P6\n# a comment\n3 5\n255\n" + ppm[ppm.index(b"255\n") + 4 :]
+    assert decode_image_bytes(commented)[:3] == ("ppm", 3, 5)
+    # unknown magic without PIL -> pointed error, never a fake
+    with pytest.raises(ValueError, match="PPM/BMP"):
+        decode_image_bytes(b"\x89PNG\r\n\x1a\nnot really")
+
     out = mm_decode_features(spark, sf_dir)
     assert [f.name for f in out.schema.fields] == [
-        "doc_id", "width", "height", "n_channels", "mean_intensity",
+        "doc_id", "codec", "width", "height", "n_channels", "mean_intensity",
     ]
     rows = out.collect()
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
@@ -62,8 +88,10 @@ def test_decode_stub_plumbing(spark, sf_dir):
     again = {r["doc_id"]: r for r in mm_decode_features(spark, sf_dir).collect()}
     for r in rows[:50]:
         assert again[r["doc_id"]] == r  # deterministic
-        assert 1 <= r["width"] <= 64 and 1 <= r["height"] <= 48
-        assert r["mean_intensity"] > 0
+        did = r["doc_id"]
+        assert r["codec"] == ("ppm" if did % 2 == 0 else "bmp")
+        assert (r["width"], r["height"]) == (did % 64 + 1, did % 48 + 1)
+        assert r["mean_intensity"] == float(did % 256)
 
 
 def test_exact_topk_is_sorted_and_complete(spark, sf_dir):
