@@ -46,6 +46,7 @@ _MODULES = (
     "mysql_cdc_table_spark.operators.joins",
     "mysql_cdc_table_spark.operators.aggregates",
     "mysql_cdc_table_spark.operators.windows",
+    "mysql_cdc_table_spark.operators.round4",
     "mysql_cdc_table_spark.operators.late",
 )
 
@@ -102,6 +103,12 @@ ROUND3_LATE_KEYS = (
 ROUND4_NEW_KEYS: tuple[str, ...] = (
     "cdc_binlog_zstd_roundtrip",
     "cdc_binlog_partial_json_roundtrip",
+    "sql_recursive_cte",
+    "ts_resample_ohlc",
+    "join_asof_nearest",
+    "agg_mode",
+    "fn_mysql_compat",
+    "emb_centroid_stats",
 )
 
 # Operators whose implementation round 4 touches: their standing green

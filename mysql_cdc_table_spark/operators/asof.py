@@ -95,3 +95,97 @@ def asof_join(
         matched = [F.col("__m").getField(c).alias(c) for c in payload]
 
     return out.select(F.col("__lrow.*"), *matched)
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str,
+    right_time: str,
+    right_payload: list[str] | None = None,
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """Nearest-neighbor as-of join: for each left row, the right row
+    minimizing |t_left - t_right| (pandas merge_asof
+    direction='nearest'), ties broken toward the EARLIER right row
+    (the backward match), optionally capped by ``tolerance``.
+
+    Same one-shuffle idiom as ``asof_join`` — union both sides, ONE
+    hash partition by key, one partition-local sort — with two window
+    passes over the SAME partitioning (Catalyst reuses the exchange and
+    sort: no second shuffle): last-right-before for the backward
+    candidate, first-right-after for the forward candidate, then a
+    row-local pick. A naive |t_l - t_r| <= tol range join would
+    duplicate every left row across its whole tolerance window and
+    re-aggregate; this stays linear.
+
+    Right side must be unique per (key, right_time), as in asof_join.
+    Adds a ``matched_side`` column ('b'/'f', NULL when unmatched) so
+    the direction logic itself is testable.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = right_payload or [
+        c for c in right.columns if c not in keys and c != right_time
+    ]
+
+    r_struct = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in payload]
+    )
+    lhs = left.select(
+        *keys,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r_struct).alias("__r"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+    )
+    rhs = right.select(
+        *keys,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c) for c in payload]).alias("__r"),
+        F.lit(None).cast(lhs.schema["__lrow"].dataType).alias("__lrow"),
+    )
+
+    # backward: right rows sort BEFORE left at equal t (side asc), so an
+    # exact-t right row is a 0-distance backward match
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward: same sort order (same exchange+sort reused), window looks
+    # ahead; at equal t the right row sits BEHIND the left row in this
+    # order only when side sorts left-first — handled because the
+    # backward window already claimed equal-t rows at distance 0, which
+    # no forward candidate can beat (ties prefer backward).
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    right_t = F.when(F.col("__side") == 0, F.col("__t"))
+    right_r = F.when(F.col("__side") == 0, F.col("__r"))
+    filled = lhs.unionByName(rhs).select(
+        "*",
+        F.last(right_r, ignorenulls=True).over(wb).alias("__br"),
+        F.last(right_t, ignorenulls=True).over(wb).alias("__bt"),
+        F.first(right_r, ignorenulls=True).over(wf).alias("__fr"),
+        F.first(right_t, ignorenulls=True).over(wf).alias("__ft"),
+    )
+
+    out = filled.filter(F.col("__side") == 1)
+    bdist = F.col("__t").cast("long") - F.col("__bt").cast("long")
+    fdist = F.col("__ft").cast("long") - F.col("__t").cast("long")
+    if tolerance is not None:
+        b_ok = F.col("__bt").isNotNull() & (bdist <= tolerance)
+        f_ok = F.col("__ft").isNotNull() & (fdist <= tolerance)
+    else:
+        b_ok = F.col("__bt").isNotNull()
+        f_ok = F.col("__ft").isNotNull()
+    take_b = b_ok & (~f_ok | (bdist <= fdist))  # tie -> backward (earlier)
+    take_f = f_ok & ~take_b
+    side = F.when(take_b, F.lit("b")).when(take_f, F.lit("f"))
+    pick = F.when(take_b, F.col("__br")).when(take_f, F.col("__fr"))
+    matched = [pick.getField(c).alias(c) for c in payload]
+    return out.select(F.col("__lrow.*"), *matched, side.alias("matched_side"))

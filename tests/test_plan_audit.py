@@ -302,3 +302,55 @@ def test_shard_manifest_no_single_partition_window(spark, sf_dir):
     # window (input = one row per bucket); the document-level window must
     # be hash-partitioned by bkt
     assert "hashpartitioning(bkt" in plan, plan
+
+
+def test_ohlc_is_one_hash_aggregate(spark, sf_dir):
+    """ts_resample_ohlc must stay a plain map-side-combinable hash agg:
+    exactly one shuffle (partial -> exchange -> final), no window/sort
+    over the events fact table."""
+    from mysql_cdc_table_spark.operators.round4 import ts_resample_ohlc
+    from mysql_cdc_table_spark.plans.audit import formatted_plan
+
+    df = ts_resample_ohlc(spark, sf_dir)
+    assert shuffle_count(df) <= 1
+    assert "Window" not in formatted_plan(df)
+
+
+def test_asof_nearest_single_sort_and_window(spark, sf_dir):
+    """Backward (last-preceding) and forward (first-following) passes
+    must merge into ONE Window operator over ONE exchange+sort of the
+    union — a second Window/Sort would mean the forward pass
+    re-partitioned. The only other allowed shuffle is the right side's
+    (custkey, date) pre-dedup aggregate."""
+    from mysql_cdc_table_spark.operators.round4 import join_asof_nearest
+    from mysql_cdc_table_spark.plans.audit import formatted_plan
+
+    df = join_asof_nearest(spark, sf_dir)
+    assert shuffle_count(df) <= 2
+    plan = formatted_plan(df)
+    # formatted plans name each node twice (tree + detail): count tree nodes
+    assert plan.count("Window (") == 1, plan
+    assert plan.count("Sort (") <= 1, plan
+
+
+def test_agg_mode_windows_only_the_group_grid(spark, sf_dir):
+    """agg_mode's window runs over the (status, priority) grid produced
+    by the aggregation — the orders fact table itself is never
+    window-sorted (hashpartitioning on the agg keys precedes it)."""
+    from mysql_cdc_table_spark.operators.round4 import agg_mode
+    from mysql_cdc_table_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(agg_mode(spark, sf_dir))
+    assert "hashpartitioning(o_orderstatus" in plan, plan
+
+
+def test_emb_centroids_one_aggregate_after_explode(spark, sf_dir):
+    """emb_centroid_stats: posexplode fan-out is scan-parallel; the only
+    shuffle is the (label, dim) hash aggregation with map-side
+    partials."""
+    from mysql_cdc_table_spark.operators.round4 import emb_centroid_stats
+    from mysql_cdc_table_spark.plans.audit import formatted_plan
+
+    df = emb_centroid_stats(spark, sf_dir)
+    assert shuffle_count(df) <= 1
+    assert "partial" in formatted_plan(df).lower()
