@@ -109,6 +109,8 @@ ROUND4_NEW_KEYS: tuple[str, ...] = (
     "agg_mode",
     "fn_mysql_compat",
     "emb_centroid_stats",
+    "fn_json_table",
+    "fn_datetime2",
 )
 
 # Operators whose implementation round 4 touches: their standing green

@@ -279,6 +279,82 @@ GROUP BY label, i
 """
 
 
+def fn_json_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL 8 JSON_TABLE: flatten a JSON array of objects into typed
+    rows with an ordinality column. Spark's equivalent is
+    from_json(..., 'array<struct<...>>') + posexplode — fully JVM-side.
+    The JSON text is built from order keys (real parse, not a fixture
+    file); the oracle reconstructs the flattened rows arithmetically,
+    so a parser/ordinality/typing slip breaks the value hash."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.format_string(
+            '[{"i":1,"v":%d},{"i":2,"v":%d},{"i":3,"v":%d}]',
+            F.col("o_orderkey") % 7,
+            F.col("o_orderkey") % 11,
+            F.col("o_orderkey") % 13,
+        ).alias("j"),
+    )
+    parsed = o.select(
+        "o_orderkey",
+        F.from_json("j", "array<struct<i:int,v:int>>").alias("a"),
+    )
+    return parsed.select(
+        "o_orderkey", F.posexplode("a").alias("ord", "item")
+    ).select(
+        "o_orderkey",
+        "ord",
+        F.col("item.i").alias("i"),
+        F.col("item.v").alias("v"),
+    )
+
+
+FN_JSON_TABLE_SQL = """
+SELECT o_orderkey, CAST(p.i AS INTEGER) AS ord,
+       CAST(p.i + 1 AS INTEGER) AS i,
+       CAST(CASE p.i WHEN 0 THEN o_orderkey % 7
+                     WHEN 1 THEN o_orderkey % 11
+                     ELSE o_orderkey % 13 END AS INTEGER) AS v
+FROM orders, range(0, 3) p(i)
+"""
+
+
+def fn_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL date builtins round 2: DAYNAME/MONTHNAME (locale-stable
+    English in both engines), QUARTER, DAYOFYEAR, WEEKOFYEAR (ISO —
+    MySQL WEEK(d,3)), LAST_DAY, TO_DAYS-style epoch-day arithmetic, and
+    ADD_MONTHS month-end clamping."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    return o.select(
+        "o_orderkey",
+        F.date_format("d", "EEEE").alias("day_name"),
+        F.date_format("d", "MMMM").alias("month_name"),
+        F.quarter("d").alias("qtr"),
+        F.dayofyear("d").alias("doy"),
+        F.weekofyear("d").alias("iso_week"),
+        F.last_day("d").alias("month_end"),
+        F.datediff("d", F.lit("1970-01-01").cast("date")).alias("epoch_days"),
+        F.add_months("d", 1).alias("next_month"),
+    )
+
+
+FN_DATETIME2_SQL = """
+SELECT o_orderkey,
+       dayname(o_orderdate) AS day_name,
+       monthname(o_orderdate) AS month_name,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+       CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+       last_day(o_orderdate) AS month_end,
+       CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+            AS INTEGER) AS epoch_days,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month
+FROM orders
+"""
+
+
 QUERIES = {
     "sql_recursive_cte": sql_recursive_cte,
     "ts_resample_ohlc": ts_resample_ohlc,
@@ -286,6 +362,8 @@ QUERIES = {
     "agg_mode": agg_mode,
     "fn_mysql_compat": fn_mysql_compat,
     "emb_centroid_stats": emb_centroid_stats,
+    "fn_json_table": fn_json_table,
+    "fn_datetime2": fn_datetime2,
 }
 
 ORACLES = {
@@ -295,4 +373,6 @@ ORACLES = {
     "agg_mode": AGG_MODE_SQL,
     "fn_mysql_compat": FN_MYSQL_COMPAT_SQL,
     "emb_centroid_stats": EMB_CENTROID_STATS_SQL,
+    "fn_json_table": FN_JSON_TABLE_SQL,
+    "fn_datetime2": FN_DATETIME2_SQL,
 }
