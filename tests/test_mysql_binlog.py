@@ -428,6 +428,102 @@ def test_partial_update_mixed_full_and_partial_columns():
         decode_binlog_bytes(blob3, tgt, "d", "t")
 
 
+_json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.text(
+        st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+        max_size=8,
+    ),
+)
+_json_values = st.recursive(
+    _json_scalars,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=4),
+        st.dictionaries(st.text(st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=6), inner, max_size=4),
+    ),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(doc=st.dictionaries(
+    st.text(st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=6),
+    _json_values, min_size=1, max_size=5,
+), new_val=_json_values)
+def test_json_diff_apply_equals_full_update_fuzz(doc, new_val):
+    """Property: for ANY before-document and any member replace/insert/
+    remove, the diff-vector wire roundtrip + apply produces byte-
+    identical canonical text to encoding the post-state directly — the
+    partial path can never drift from the full path."""
+    import json
+
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        _apply_json_diffs,
+        _decode_json_binary,
+        _encode_json_diff_vector,
+        _encode_json_text,
+        _read_json_diff_vector,
+    )
+
+    before_text = _decode_json_binary(_encode_json_text(json.dumps(doc)))
+    keys = sorted(doc)
+    target = keys[0]
+    expected = dict(doc)
+    expected[target] = new_val
+    expected["zz_new"] = new_val
+    victim = keys[-1]
+    if victim != target:
+        del expected[victim]
+    diffs = [
+        ("replace", f"$.{target}", new_val),
+        ("insert", "$.zz_new", new_val),
+    ] + ([("remove", f"$.{victim}", None)] if victim != target else [])
+
+    wire = _encode_json_diff_vector(diffs)
+    decoded, end = _read_json_diff_vector(wire, 0)
+    assert end == len(wire)
+    applied = _apply_json_diffs(before_text, decoded)
+    # the ground truth: encode the post-state through the binary codec
+    full = _decode_json_binary(_encode_json_text(json.dumps(expected)))
+    assert applied == full
+
+
+def test_zstd_partial_json_through_file_reader(spark, tmp_path):
+    """Integration: a binlog FILE whose transactions are BOTH
+    zstd-compressed AND carry JSON partial updates decodes through the
+    public mysql_binlog_read path (not just decode_binlog_bytes)."""
+    from mysql_cdc_table_spark.cdc.schema import CDC_INSERT
+    from mysql_cdc_table_spark.sources import mysql_binlog as mb
+    from mysql_cdc_table_spark.sources.mysql_binlog import mysql_binlog_read
+
+    if mb._zstd_backend() == (None, None):
+        pytest.skip("no zstd backend in this environment")
+    tgt = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("doc", T.StringType(), metadata={"mysql_type": "json"}),
+        ]
+    )
+    before = {"id": 1, "doc": '{"a":1,"b":2}'}
+    txns = [
+        {"gno": 5, "op": "w", "rows": [before]},
+        {"gno": 6, "op": "pu",
+         "rows": [(before, {"id": 1}, {"doc": [("replace", "$.a", 9)]})]},
+    ]
+    blob = build_binlog_file("d", "t", tgt, txns, payload_wrap="zstd")
+    (tmp_path / "binlog.000001").write_bytes(blob)
+    rows = (
+        mysql_binlog_read(spark, str(tmp_path), tgt, "d", "t")
+        .orderBy("__event_seq", "__image_seq")
+        .collect()
+    )
+    assert [r["__op"] for r in rows] == [CDC_INSERT, 2, 3]
+    assert rows[2]["doc"] == '{"a":9,"b":2}'
+    assert [r["__gtid"] for r in rows] == [5, 6, 6]
+
+
 def test_json_path_parser():
     from mysql_cdc_table_spark.sources.mysql_binlog import _parse_json_path
 
