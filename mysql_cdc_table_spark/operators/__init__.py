@@ -103,6 +103,7 @@ ROUND3_LATE_KEYS = (
 ROUND4_NEW_KEYS: tuple[str, ...] = (
     "cdc_binlog_zstd_roundtrip",
     "cdc_binlog_partial_json_roundtrip",
+    "cdc_binlog_schema_evolution",
     "sql_recursive_cte",
     "ts_resample_ohlc",
     "join_asof_nearest",

@@ -18,10 +18,12 @@ from mysql_cdc_table_spark.functions.similarity import (
 from mysql_cdc_table_spark.sources.mysql_binlog import (
     CDC_BINLOG_LATEST_STATE_SQL,
     CDC_BINLOG_PARTIAL_JSON_SQL,
+    CDC_BINLOG_SCHEMA_EVOLUTION_SQL,
     CDC_BINLOG_ZSTD_ROUNDTRIP_SQL,
     CDC_MYSQL_BINLOG_ROUNDTRIP_SQL,
     cdc_binlog_latest_state,
     cdc_binlog_partial_json_roundtrip,
+    cdc_binlog_schema_evolution,
     cdc_binlog_zstd_roundtrip,
     cdc_mysql_binlog_roundtrip,
 )
@@ -40,6 +42,8 @@ QUERIES = {
     "cdc_binlog_zstd_roundtrip": cdc_binlog_zstd_roundtrip,
     # round 4: JSON partial updates (PARTIAL_UPDATE_ROWS, type 39)
     "cdc_binlog_partial_json_roundtrip": cdc_binlog_partial_json_roundtrip,
+    # round 4: add-column evolution through the real format
+    "cdc_binlog_schema_evolution": cdc_binlog_schema_evolution,
 }
 
 ORACLES: dict[str, str] = {
@@ -48,4 +52,5 @@ ORACLES: dict[str, str] = {
     "cdc_binlog_latest_state": CDC_BINLOG_LATEST_STATE_SQL,
     "cdc_binlog_zstd_roundtrip": CDC_BINLOG_ZSTD_ROUNDTRIP_SQL,
     "cdc_binlog_partial_json_roundtrip": CDC_BINLOG_PARTIAL_JSON_SQL,
+    "cdc_binlog_schema_evolution": CDC_BINLOG_SCHEMA_EVOLUTION_SQL,
 }

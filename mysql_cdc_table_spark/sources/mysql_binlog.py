@@ -2135,6 +2135,113 @@ def cdc_binlog_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_binlog_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ALTER TABLE ADD COLUMN mid-stream, driver-checked end-to-end:
+    every file holds a pre-ALTER generation (TABLE_MAP with two
+    columns: even order keys) followed by a post-ALTER generation
+    (three columns: odd keys). Decoding with the LATEST schema must
+    surface the old generation's missing ``status`` as NULL and the new
+    generation's values intact — the aggregate groups by that
+    NULL-ness, so a decoder that misaligned either generation's layout
+    (the reference rebuilds its table_def from EVERY table map and
+    would interleave them, binlog_table_reader.cc:402-403) breaks the
+    hash."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.operators._util import t
+
+    old_target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("price", T.DecimalType(12, 2)),
+        ]
+    )
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("price", T.DecimalType(12, 2)),
+            T.StructField(
+                "status",
+                T.StringType(),
+                metadata={"mysql_type": "enum", "values": ["F", "O", "P"]},
+            ),
+        ]
+    )
+    base = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.expr(
+                "cast(cast(o_orderkey % 100000 as decimal(30,2)) / 100"
+                " as decimal(12,2))"
+            ).alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "id")
+    )
+
+    file_schema = T.StructType([T.StructField("file_bytes", T.BinaryType())])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            old_txns, new_txns = [], []
+            for r in pdf.itertuples(index=False):
+                rid = int(r.id)
+                if rid % 2 == 0:  # pre-ALTER generation
+                    old_txns.append(
+                        {"gno": rid, "op": "w",
+                         "rows": [{"id": rid, "price": r.price}]}
+                    )
+                else:
+                    new_txns.append(
+                        {"gno": rid, "op": "w",
+                         "rows": [{"id": rid, "price": r.price,
+                                   "status": r.status}]}
+                    )
+            blob = build_binlog_file("tpch", "orders", old_target, old_txns)
+            # the ALTER: a new TABLE_MAP generation in the same stream
+            blob += build_binlog_file("tpch", "orders", target, new_txns)[4:]
+            yield pd.DataFrame({"file_bytes": [blob]})
+
+    files = base.mapInPandas(encode, schema=file_schema)
+
+    out_schema = changelog_schema(target)
+    names = [f.name for f in out_schema.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["file_bytes"]:
+                rows = decode_binlog_bytes(bytes(blob), target, "tpch", "orders")
+                yield pd.DataFrame({n: [r.get(n) for r in rows] for n in names})
+
+    decoded = files.mapInPandas(decode, schema=out_schema)
+    return decoded.groupBy(
+        F.col("status").isNotNull().alias("post_alter")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("price") * 100).cast("long")).alias("cents_sum"),
+        F.sum("__gtid").alias("gtid_sum"),
+        F.count("status").alias("n_status"),
+    )
+
+
+CDC_BINLOG_SCHEMA_EVOLUTION_SQL = """
+SELECT (o_orderkey % 2 = 1) AS post_alter,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_orderkey % 100000) AS BIGINT) AS cents_sum,
+       CAST(sum(o_orderkey) AS BIGINT) AS gtid_sum,
+       CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END)
+            AS BIGINT) AS n_status
+FROM orders GROUP BY 1
+"""
+
+
 def cdc_binlog_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cdc_mysql_binlog_roundtrip changelog THROUGH
     binlog_transaction_compression=ON (MySQL 8.0.20+): each
