@@ -104,6 +104,7 @@ ROUND4_NEW_KEYS: tuple[str, ...] = (
     "cdc_binlog_zstd_roundtrip",
     "cdc_binlog_partial_json_roundtrip",
     "cdc_binlog_schema_evolution",
+    "cdc_binlog_multi_table",
     "sql_recursive_cte",
     "ts_resample_ohlc",
     "join_asof_nearest",

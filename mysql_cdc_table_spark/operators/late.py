@@ -17,11 +17,13 @@ from mysql_cdc_table_spark.functions.similarity import (
 )
 from mysql_cdc_table_spark.sources.mysql_binlog import (
     CDC_BINLOG_LATEST_STATE_SQL,
+    CDC_BINLOG_MULTI_TABLE_SQL,
     CDC_BINLOG_PARTIAL_JSON_SQL,
     CDC_BINLOG_SCHEMA_EVOLUTION_SQL,
     CDC_BINLOG_ZSTD_ROUNDTRIP_SQL,
     CDC_MYSQL_BINLOG_ROUNDTRIP_SQL,
     cdc_binlog_latest_state,
+    cdc_binlog_multi_table,
     cdc_binlog_partial_json_roundtrip,
     cdc_binlog_schema_evolution,
     cdc_binlog_zstd_roundtrip,
@@ -44,6 +46,8 @@ QUERIES = {
     "cdc_binlog_partial_json_roundtrip": cdc_binlog_partial_json_roundtrip,
     # round 4: add-column evolution through the real format
     "cdc_binlog_schema_evolution": cdc_binlog_schema_evolution,
+    # round 4: interleaved multi-table stream, per-table demux
+    "cdc_binlog_multi_table": cdc_binlog_multi_table,
 }
 
 ORACLES: dict[str, str] = {
@@ -53,4 +57,5 @@ ORACLES: dict[str, str] = {
     "cdc_binlog_zstd_roundtrip": CDC_BINLOG_ZSTD_ROUNDTRIP_SQL,
     "cdc_binlog_partial_json_roundtrip": CDC_BINLOG_PARTIAL_JSON_SQL,
     "cdc_binlog_schema_evolution": CDC_BINLOG_SCHEMA_EVOLUTION_SQL,
+    "cdc_binlog_multi_table": CDC_BINLOG_MULTI_TABLE_SQL,
 }

@@ -1244,6 +1244,78 @@ def _payload_body(inner: bytes, compression: int = 255) -> bytes:
     )
 
 
+def _txn_rows_body(table_id: int, cols: list[_Col], txn: dict) -> tuple[int, bytes]:
+    """Transaction op dispatch -> (rows event type code, event body)."""
+    op = txn["op"]
+    if op == "w":
+        return EV_WRITE_ROWS_V2, _rows_body(
+            EV_WRITE_ROWS_V2, table_id, cols, txn["rows"]
+        )
+    if op == "d":
+        return EV_DELETE_ROWS_V2, _rows_body(
+            EV_DELETE_ROWS_V2, table_id, cols, txn["rows"]
+        )
+    if op == "pu":
+        # binlog_row_value_options=PARTIAL_JSON update: rows are
+        # (before, after, {json_col: [(op, path, value), ...]})
+        return EV_PARTIAL_UPDATE_ROWS, _rows_body(
+            EV_PARTIAL_UPDATE_ROWS,
+            table_id,
+            cols,
+            txn["rows"],
+            before_present=txn.get("before_present"),
+        )
+    images = [img for pair in txn["rows"] for img in pair]
+    # binlog_row_image=MINIMAL: before-images carry only the listed
+    # columns (typically the primary key)
+    return EV_UPDATE_ROWS_V2, _rows_body(
+        EV_UPDATE_ROWS_V2, table_id, cols, images,
+        before_present=txn.get("before_present"),
+    )
+
+
+def build_binlog_file_multi(
+    streams: list[dict],
+    *,
+    server_id: int = 1,
+    sid: bytes = b"\x11" * 16,
+    checksum: bool = False,
+    base_ts: int = 1_700_000_000,
+) -> bytes:
+    """Multi-table binlog fixture: ``streams`` entries are
+    ``{"db", "table", "target", "table_id", "txns"}``; transactions
+    INTERLEAVE across tables in global gno order (ties by stream
+    order), the way concurrent sessions against different tables land
+    in a real server's binlog. Every transaction re-emits its table's
+    TABLE_MAP before its rows event (MySQL's own behavior), which is
+    exactly the interleaving that breaks the reference's
+    rebuild-table_def-from-every-map reader
+    (binlog_table_reader.cc:402-403)."""
+    metas = [
+        (s["db"], s["table"], int(s["table_id"]), _cols_from_schema(s["target"]))
+        for s in streams
+    ]
+    out = bytearray(BINLOG_MAGIC)
+
+    def emit(tc: int, body: bytes, ts: int) -> None:
+        out.extend(_event(ts, tc, server_id, body, len(out), checksum))
+
+    emit(EV_FORMAT_DESCRIPTION, _fde_body(checksum), base_ts)
+    items = sorted(
+        (txn["gno"], si, txn)
+        for si, s in enumerate(streams)
+        for txn in s["txns"]
+    )
+    for i, (gno, si, txn) in enumerate(items):
+        db, table, table_id, cols = metas[si]
+        ts = base_ts + i
+        emit(EV_GTID, bytes([1]) + sid + struct.pack("<q", gno), ts)
+        emit(EV_TABLE_MAP, _table_map_body(table_id, db, table, cols), ts)
+        rows_tc, body = _txn_rows_body(table_id, cols, txn)
+        emit(rows_tc, body, ts)
+    return bytes(out)
+
+
 def build_binlog_file(
     db: str,
     table: str,
@@ -1281,33 +1353,7 @@ def build_binlog_file(
             bytes([1]) + sid + struct.pack("<q", txn["gno"]),
             ts,
         )
-        op = txn["op"]
-        if op == "w":
-            rows_tc = EV_WRITE_ROWS_V2
-            body = _rows_body(EV_WRITE_ROWS_V2, table_id, cols, txn["rows"])
-        elif op == "d":
-            rows_tc = EV_DELETE_ROWS_V2
-            body = _rows_body(EV_DELETE_ROWS_V2, table_id, cols, txn["rows"])
-        elif op == "pu":
-            # binlog_row_value_options=PARTIAL_JSON update: rows are
-            # (before, after, {json_col: [(op, path, value), ...]})
-            rows_tc = EV_PARTIAL_UPDATE_ROWS
-            body = _rows_body(
-                EV_PARTIAL_UPDATE_ROWS,
-                table_id,
-                cols,
-                txn["rows"],
-                before_present=txn.get("before_present"),
-            )
-        else:
-            images = [img for pair in txn["rows"] for img in pair]
-            # binlog_row_image=MINIMAL: before-images carry only the
-            # listed columns (typically the primary key)
-            bp = txn.get("before_present")
-            rows_tc = EV_UPDATE_ROWS_V2
-            body = _rows_body(
-                EV_UPDATE_ROWS_V2, table_id, cols, images, before_present=bp
-            )
+        rows_tc, body = _txn_rows_body(table_id, cols, txn)
         tm_body = _table_map_body(table_id, db, table, cols)
         if payload_wrap:
             inner = _event(ts, EV_TABLE_MAP, server_id, tm_body, 0, False)
@@ -2239,6 +2285,137 @@ SELECT (o_orderkey % 2 = 1) AS post_alter,
        CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END)
             AS BIGINT) AS n_status
 FROM orders GROUP BY 1
+"""
+
+
+def cdc_binlog_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table demux of an INTERLEAVED multi-table stream: each file
+    alternates orders-table and audit-table transactions (distinct
+    table_ids, different layouts) in gno order, the way concurrent
+    sessions land in a real binlog. The decode runs once per target
+    table over the same bytes — table_id filtering plus per-table
+    TABLE_MAP state — and the union aggregates per table. A filter
+    leak doubles counts; cross-table layout bleed (the reference's
+    rebuild-from-every-map reader, binlog_table_reader.cc:402-403,
+    interleaves table_defs exactly here) misaligns a decode and breaks
+    the hash."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.operators._util import t
+
+    orders_t = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("price", T.DecimalType(12, 2)),
+        ]
+    )
+    audit_t = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "status",
+                T.StringType(),
+                metadata={"mysql_type": "enum", "values": ["F", "O", "P"]},
+            ),
+            T.StructField("note", T.StringType()),
+        ]
+    )
+    base = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.expr(
+                "cast(cast(o_orderkey % 100000 as decimal(30,2)) / 100"
+                " as decimal(12,2))"
+            ).alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "id")
+    )
+
+    file_schema = T.StructType([T.StructField("file_bytes", T.BinaryType())])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            o_txns, a_txns = [], []
+            for r in pdf.itertuples(index=False):
+                rid = int(r.id)
+                o_txns.append(
+                    {"gno": 2 * rid, "op": "w",
+                     "rows": [{"id": rid, "price": r.price}]}
+                )
+                a_txns.append(
+                    {"gno": 2 * rid + 1, "op": "w",
+                     "rows": [{"id": rid, "status": r.status,
+                               "note": f"n{rid % 97}"}]}
+                )
+            blob = build_binlog_file_multi(
+                [
+                    {"db": "tpch", "table": "orders", "target": orders_t,
+                     "table_id": 23, "txns": o_txns},
+                    {"db": "tpch", "table": "orders_audit", "target": audit_t,
+                     "table_id": 24, "txns": a_txns},
+                ]
+            )
+            yield pd.DataFrame({"file_bytes": [blob]})
+
+    files = base.mapInPandas(encode, schema=file_schema)
+
+    def make_decoder(target: T.StructType, table: str, names: list[str]):
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for blob in pdf["file_bytes"]:
+                    rows = decode_binlog_bytes(
+                        bytes(blob), target, "tpch", table
+                    )
+                    yield pd.DataFrame(
+                        {n: [r.get(n) for r in rows] for n in names}
+                    )
+        return decode
+
+    o_schema = changelog_schema(orders_t)
+    a_schema = changelog_schema(audit_t)
+    o_names = [f.name for f in o_schema.fields]
+    a_names = [f.name for f in a_schema.fields]
+    files = files.persist()
+    orders_cl = files.mapInPandas(
+        make_decoder(orders_t, "orders", o_names), schema=o_schema
+    )
+    audit_cl = files.mapInPandas(
+        make_decoder(audit_t, "orders_audit", a_names), schema=a_schema
+    )
+    o_agg = orders_cl.agg(
+        F.lit("orders").alias("src_table"),
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("price") * 100).cast("long")).alias("value_sum"),
+        F.sum("__gtid").alias("gtid_sum"),
+    ).select("src_table", "n_rows", "value_sum", "gtid_sum")
+    a_agg = audit_cl.agg(
+        F.lit("orders_audit").alias("src_table"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.length("note").cast("long")).alias("value_sum"),
+        F.sum("__gtid").alias("gtid_sum"),
+    ).select("src_table", "n_rows", "value_sum", "gtid_sum")
+    return o_agg.unionByName(a_agg)
+
+
+CDC_BINLOG_MULTI_TABLE_SQL = """
+SELECT 'orders' AS src_table,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_orderkey % 100000) AS BIGINT) AS value_sum,
+       CAST(sum(2 * o_orderkey) AS BIGINT) AS gtid_sum
+FROM orders
+UNION ALL
+SELECT 'orders_audit' AS src_table,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(1 + length(CAST(o_orderkey % 97 AS VARCHAR))) AS BIGINT)
+         AS value_sum,
+       CAST(sum(2 * o_orderkey + 1) AS BIGINT) AS gtid_sum
+FROM orders
 """
 
 
