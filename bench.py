@@ -121,6 +121,18 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         return round(min(samples), 3)
 
+    # One full UNTIMED sweep first: progressive C2 JIT keeps lowering
+    # query times across dozens of invocations (measured: without this,
+    # the q1 anchor lands 2.4x slower at sweep start than at sweep end
+    # on a fresh JVM, and the total swings ±20% between identical
+    # invocations). A long-lived cluster amortizes compilation away, so
+    # the warm steady state is the honest number; it also makes the
+    # anchor-drift sentinel near-zero when the box is healthy.
+    for name in [*HEADLINE, "packed_binlog_scan"]:
+        queries[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     # Contention sentinel: min-of-3 clips scheduler noise but not
     # box-level contention lasting the whole run (r3's driver bench read
     # +10% while a clean re-run read -11%). Two self-qualifying signals
@@ -128,9 +140,7 @@ def main() -> None:
     # other processes' load, since our JVM wasn't up yet; (b) the q1
     # anchor re-timed after the full sweep. POSITIVE drift (anchor got
     # slower while the box filled up) beyond the documented ±15% band
-    # flags contention; negative drift is benign progressive-JIT
-    # warm-up (measured: a fresh JVM's q1 keeps speeding up across the
-    # whole sweep, so a start-vs-end compare structurally reads -30%).
+    # flags contention.
     times: dict[str, float] = {}
     for name in [*HEADLINE, "packed_binlog_scan"]:
         times[name] = timed(name)
