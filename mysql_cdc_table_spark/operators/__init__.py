@@ -113,6 +113,9 @@ ROUND4_NEW_KEYS: tuple[str, ...] = (
     "emb_centroid_stats",
     "fn_json_table",
     "fn_datetime2",
+    "window_ntile_buckets",
+    "agg_bool_logic",
+    "set_except_distinct",
 )
 
 # Operators whose implementation round 4 touches: their standing green

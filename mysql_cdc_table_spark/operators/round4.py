@@ -355,6 +355,84 @@ FROM orders
 """
 
 
+def window_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE / PERCENT_RANK / DENSE_RANK over a deterministic total
+    order (price, key) — the ranking-family stragglers. Sampled to
+    every 19th order to keep the compare set small; the window itself
+    runs before the filter so bucket boundaries come from the full
+    partition, exactly what the oracle computes."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.ntile(4).over(w).alias("quartile"),
+            (F.round(F.percent_rank().over(w), 6) + F.lit(0.0)).alias("pct_rank"),
+            F.dense_rank().over(w).alias("drank"),
+        )
+        .filter(F.col("o_orderkey") % 19 == 0)
+    )
+
+
+WINDOW_NTILE_BUCKETS_SQL = """
+WITH r AS (
+  SELECT o_orderkey, o_orderstatus,
+         ntile(4) OVER w AS quartile,
+         round(percent_rank() OVER w, 6) + 0.0 AS pct_rank,
+         CAST(dense_rank() OVER w AS BIGINT) AS drank
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderstatus
+               ORDER BY o_totalprice, o_orderkey)
+)
+SELECT * FROM r WHERE o_orderkey % 19 = 0
+"""
+
+
+def agg_bool_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family: COUNT_IF, BOOL_AND/BOOL_OR (MySQL's
+    users emulate via MIN/MAX over 0/1), plus a deterministic
+    ANY_VALUE stand-in (min) — all map-side combinable."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.min("o_orderpriority").alias("first_priority"),
+    )
+
+
+AGG_BOOL_LOGIC_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) FILTER (o_totalprice > 150000) AS BIGINT) AS n_big,
+       bool_and(o_totalprice > 0) AS all_positive,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+       min(o_orderpriority) AS first_priority
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def set_except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — the set-op straggler: customers who ordered
+    but never urgently. DataFrame.subtract IS ANSI EXCEPT (distinct,
+    removes a key entirely when it appears on the right — NOT
+    exceptAll+distinct, which would keep keys whose left multiplicity
+    exceeds the right's)."""
+    o = t(spark, sf_dir, "orders")
+    return o.select("o_custkey").subtract(
+        o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    )
+
+
+SET_EXCEPT_DISTINCT_SQL = """
+SELECT o_custkey FROM orders
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
 QUERIES = {
     "sql_recursive_cte": sql_recursive_cte,
     "ts_resample_ohlc": ts_resample_ohlc,
@@ -364,6 +442,9 @@ QUERIES = {
     "emb_centroid_stats": emb_centroid_stats,
     "fn_json_table": fn_json_table,
     "fn_datetime2": fn_datetime2,
+    "window_ntile_buckets": window_ntile_buckets,
+    "agg_bool_logic": agg_bool_logic,
+    "set_except_distinct": set_except_distinct,
 }
 
 ORACLES = {
@@ -375,4 +456,7 @@ ORACLES = {
     "emb_centroid_stats": EMB_CENTROID_STATS_SQL,
     "fn_json_table": FN_JSON_TABLE_SQL,
     "fn_datetime2": FN_DATETIME2_SQL,
+    "window_ntile_buckets": WINDOW_NTILE_BUCKETS_SQL,
+    "agg_bool_logic": AGG_BOOL_LOGIC_SQL,
+    "set_except_distinct": SET_EXCEPT_DISTINCT_SQL,
 }
