@@ -83,3 +83,40 @@ def test_asof_matched_rows_null_payload_not_backfilled(spark):
     # the t=5 row is the match: its NULL price must survive, its tag too
     assert row["tag"] == "new"
     assert row["price"] is None
+
+
+def test_asof_nearest_directions_ties_and_tolerance(spark):
+    """Hand-pinned semantics of asof_join_nearest: backward match when
+    closer, forward when closer, tie -> backward (earlier), tolerance
+    excludes both sides independently, no right rows -> unmatched."""
+    from mysql_cdc_table_spark.operators.asof import asof_join_nearest
+    from pyspark.sql import functions as F
+
+    ldf = spark.createDataFrame(
+        [
+            (1, 10, 1),   # right at 8 (d2) and 13 (d3) -> backward 8
+            (1, 12, 2),   # right at 8 (d4) and 13 (d1) -> forward 13
+            (1, 18, 3),   # right at 13 (d5) and 23 (d5) -> tie -> backward 13
+            (1, 40, 4),   # nearest right 23 at d17 > tol -> unmatched
+            (2, 5, 5),    # key with no right rows -> unmatched
+            (3, 7, 6),    # exact-t right row -> distance 0 backward
+        ],
+        "k long, t long, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(1, 8, 80), (1, 13, 130), (1, 23, 230), (3, 7, 70)],
+        "k long, t long, payload long",
+    )
+    rows = {
+        r["lid"]: r
+        for r in asof_join_nearest(
+            ldf, rdf, on="k", left_time="t", right_time="t",
+            tolerance=F.lit(10),
+        ).collect()
+    }
+    assert (rows[1]["payload"], rows[1]["matched_side"]) == (80, "b")
+    assert (rows[2]["payload"], rows[2]["matched_side"]) == (130, "f")
+    assert (rows[3]["payload"], rows[3]["matched_side"]) == (130, "b")
+    assert (rows[4]["payload"], rows[4]["matched_side"]) == (None, None)
+    assert (rows[5]["payload"], rows[5]["matched_side"]) == (None, None)
+    assert (rows[6]["payload"], rows[6]["matched_side"]) == (70, "b")
