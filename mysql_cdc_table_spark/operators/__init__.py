@@ -116,6 +116,8 @@ ROUND4_NEW_KEYS: tuple[str, ...] = (
     "window_ntile_buckets",
     "agg_bool_logic",
     "set_except_distinct",
+    "agg_percentile_disc_group",
+    "emb_centroid_pairs",
 )
 
 # Operators whose implementation round 4 touches: their standing green

@@ -433,6 +433,87 @@ SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 """
 
 
+def agg_percentile_disc_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_DISC per group — discrete quantiles return an ACTUAL
+    data value (no interpolation), so unlike continuous percentiles
+    they hash exactly cross-engine with no rounding idiom needed."""
+    o = t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_pd")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)
+                 AS p25,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+                 AS p50,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)
+                 AS p90
+        FROM orders_pd GROUP BY o_orderstatus
+        """
+    )
+
+
+AGG_PERCENTILE_DISC_GROUP_SQL = """
+SELECT o_orderstatus,
+       quantile_disc(o_totalprice, 0.25) AS p25,
+       quantile_disc(o_totalprice, 0.5) AS p50,
+       quantile_disc(o_totalprice, 0.9) AS p90
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def emb_centroid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-cluster structure: cosine similarity between every pair of
+    label centroids. Builds on the emb_centroid_stats kernel — after
+    the per-(label, dim) aggregation the centroid grid is tiny
+    (labels x dims), so the pairwise self-join costs nothing at any
+    input scale; the heavy lifting stays in the one hash agg."""
+    e = t(spark, sf_dir, "embeddings")
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    dots = (
+        a.join(b, (F.col("a.dim") == F.col("b.dim"))
+               & (F.col("a.label") < F.col("b.label")))
+        .groupBy(F.col("a.label").alias("l1"), F.col("b.label").alias("l2"))
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+    )
+    norms = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    )
+    n1 = norms.select(F.col("label").alias("l1"), F.col("nrm").alias("nrm1"))
+    n2 = norms.select(F.col("label").alias("l2"), F.col("nrm").alias("nrm2"))
+    return dots.join(F.broadcast(n1), "l1").join(F.broadcast(n2), "l2").select(
+        "l1", "l2",
+        (F.round(F.col("dot") / (F.col("nrm1") * F.col("nrm2")), 6)
+         + F.lit(0.0)).alias("cos"),
+    )
+
+
+EMB_CENTROID_PAIRS_SQL = f"""
+WITH cent AS (
+  SELECT label, i AS dim, avg(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS c
+  FROM embeddings, range(1, {EMB_DIM + 1}) r(i)
+  GROUP BY label, i
+),
+dots AS (
+  SELECT a.label AS l1, b.label AS l2, sum(a.c * b.c) AS dot
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY a.label, b.label
+),
+norms AS (
+  SELECT label, sqrt(sum(c * c)) AS nrm FROM cent GROUP BY label
+)
+SELECT d.l1, d.l2, round(d.dot / (n1.nrm * n2.nrm), 6) + 0.0 AS cos
+FROM dots d
+JOIN norms n1 ON n1.label = d.l1
+JOIN norms n2 ON n2.label = d.l2
+"""
+
+
 QUERIES = {
     "sql_recursive_cte": sql_recursive_cte,
     "ts_resample_ohlc": ts_resample_ohlc,
@@ -445,6 +526,8 @@ QUERIES = {
     "window_ntile_buckets": window_ntile_buckets,
     "agg_bool_logic": agg_bool_logic,
     "set_except_distinct": set_except_distinct,
+    "agg_percentile_disc_group": agg_percentile_disc_group,
+    "emb_centroid_pairs": emb_centroid_pairs,
 }
 
 ORACLES = {
@@ -459,4 +542,6 @@ ORACLES = {
     "window_ntile_buckets": WINDOW_NTILE_BUCKETS_SQL,
     "agg_bool_logic": AGG_BOOL_LOGIC_SQL,
     "set_except_distinct": SET_EXCEPT_DISTINCT_SQL,
+    "agg_percentile_disc_group": AGG_PERCENTILE_DISC_GROUP_SQL,
+    "emb_centroid_pairs": EMB_CENTROID_PAIRS_SQL,
 }
