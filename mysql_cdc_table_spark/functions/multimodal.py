@@ -149,15 +149,23 @@ def decode_image_bytes(payload: bytes) -> tuple[str, int, int, int, float]:
         # maxval, ONE whitespace byte, then raw RGB rows
         fields: list[int] = []
         pos = 2
+        size = len(payload)
         while len(fields) < 3:
-            while payload[pos : pos + 1].isspace():
+            while pos < size and payload[pos : pos + 1].isspace():
                 pos += 1
+            if pos >= size:
+                raise ValueError("truncated PPM header")
             if payload[pos : pos + 1] == b"#":  # comment to end of line
-                pos = payload.index(b"\n", pos) + 1
+                nl = payload.find(b"\n", pos)
+                if nl < 0:
+                    raise ValueError("truncated PPM header")
+                pos = nl + 1
                 continue
             end = pos
-            while not payload[end : end + 1].isspace():
+            while end < size and not payload[end : end + 1].isspace():
                 end += 1
+            if end >= size:  # header field ran off the end of the buffer
+                raise ValueError("truncated PPM header")
             fields.append(int(payload[pos:end]))
             pos = end
         pos += 1  # the single whitespace after maxval

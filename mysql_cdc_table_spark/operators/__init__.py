@@ -130,6 +130,27 @@ ROUND4_REVERIFY = (
 
 _ROUND4_WINDOW_FRONT = ROUND3_LATE_KEYS + ROUND4_NEW_KEYS + ROUND4_REVERIFY
 
+# Keys born in round 5 — in-window so they get a driver row immediately.
+ROUND5_NEW_KEYS: tuple[str, ...] = ()
+
+# Operators whose implementation round 5 touches: their standing green
+# rows would otherwise mask a regression introduced by this round.
+ROUND5_REVERIFY = (
+    "cdc_mysql_binlog_roundtrip",   # CRC32 verify-on-decode added
+    "cdc_binlog_latest_state",      # same reader path
+    "cdc_binlog_zstd_roundtrip",    # zstd dec: CONTENTSIZE_ERROR raise + alloc clamp
+    "cdc_binlog_multi_table",       # persist dropped (deterministic recompute)
+    "cdc_packed_typed_roundtrip",   # packed decoder inner loop vectorized
+    "mm_decode_features",           # PPM header parse bounded (truncation raise)
+)
+
+# Round-5 window: new keys first, then this round's re-verify slots;
+# CORRECTNESS_r04 was 50/50 green so no red keys carry over. The
+# stalest-first backfill (below) then lands every spare slot on the 27
+# r01-standing rows — the round-4 verdict's recorded rotation — before
+# touching r02-first-seen rows.
+_ROUND5_WINDOW_FRONT = ROUND5_NEW_KEYS + ROUND5_REVERIFY
+
 
 def _first_seen_rounds() -> dict[str, int]:
     """key -> earliest driver round (1-based) with a CORRECTNESS row.
@@ -155,10 +176,10 @@ def _first_seen_rounds() -> dict[str, int]:
 
 
 def _rotate(out: dict) -> dict:
-    """Reorder a merged registry dict: round-4 front first, then every
+    """Reorder a merged registry dict: round-5 front first, then every
     other key stalest-first (earliest driver round, registry order as
     the tie-break; never-seen keys sort first so they cannot hide)."""
-    front = {k: out[k] for k in _ROUND4_WINDOW_FRONT if k in out}
+    front = {k: out[k] for k in _ROUND5_WINDOW_FRONT if k in out}
     seen = _first_seen_rounds()
     order = {k: i for i, k in enumerate(out)}
     rest_keys = sorted(

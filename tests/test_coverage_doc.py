@@ -102,19 +102,19 @@ def test_header_counts_and_driver_split_match_doc():
 
 def test_driver_window_composition():
     """The driver verifies the FIRST ~50 registry keys per round. The
-    round-4 rotation leads with the 7 round-3 late keys (never driver-
-    seen), then round-4-new keys, then re-verify slots for operators
-    round 4 modified, and backfills remaining slots stalest-first
-    (r01-first-seen rows before r02/r03). Guard it so a module reorder
-    or an accidental insertion can't silently starve it."""
+    round-5 rotation leads with round-5-new keys, then re-verify slots
+    for operators round 5 modified, and backfills remaining slots
+    stalest-first (r01-first-seen rows before r02+ — the round-4
+    verdict's recorded rotation). Guard it so a module reorder or an
+    accidental insertion can't silently starve it."""
     from mysql_cdc_table_spark.operators import (
-        _ROUND4_WINDOW_FRONT,
+        _ROUND5_WINDOW_FRONT,
         _first_seen_rounds,
     )
 
     keys = list(all_queries())
     window = keys[:50]
-    front = [k for k in _ROUND4_WINDOW_FRONT if k in keys]
+    front = [k for k in _ROUND5_WINDOW_FRONT if k in keys]
     assert window[: len(front)] == front, "registry front diverged from plan"
 
     # every key with NO driver row ever must be in the window

@@ -77,6 +77,12 @@ def test_decode_real_image_formats(spark, sf_dir):
     # unknown magic without PIL -> pointed error, never a fake
     with pytest.raises(ValueError, match="PPM/BMP"):
         decode_image_bytes(b"\x89PNG\r\n\x1a\nnot really")
+    # truncated/malformed PPM headers raise instead of hanging the task
+    # (round-4 ADVICE: the header scan used to run off the buffer end)
+    for bad in (b"P6", b"P6\n", b"P6\n3 5", b"P6\n# only a comment",
+                b"P6\n3 5\n255"):
+        with pytest.raises(ValueError, match="truncated PPM header"):
+            decode_image_bytes(bad)
 
     out = mm_decode_features(spark, sf_dir)
     assert [f.name for f in out.schema.fields] == [

@@ -610,6 +610,56 @@ def test_transaction_payload_zstd_junk_frame_raises():
         decode_binlog_bytes(blob + ev, TARGET, "d", "t")
 
 
+def test_zstd_ctypes_hardening():
+    """The ctypes-libzstd fallback (round-4 ADVICE): a non-frame input
+    raises instead of falling through to the heuristic buffer cap, and
+    an absurd untrusted expected_size no longer drives the allocation —
+    the cap is clamped, and a genuine frame still roundtrips under it."""
+    from mysql_cdc_table_spark.sources import mysql_binlog as mb
+
+    impl = mb._zstd_ctypes()
+    if impl is None:
+        pytest.skip("libzstd not loadable in this environment")
+    comp, dec = impl
+    payload = b"the quick brown fox " * 200
+    frame = comp(payload)
+    # valid frame, honest size hint
+    assert dec(frame, len(payload)) == payload
+    # valid frame, ABSURD untrusted size hint: must not allocate 2^62
+    assert dec(frame, 2**62) == payload
+    # garbage bytes are rejected as not-a-frame, not silently capped
+    with pytest.raises(ValueError, match="not a valid zstd frame"):
+        dec(b"\x00\x01\x02\x03 definitely not zstd", None)
+
+
+def test_multi_table_builder_duplicate_gno_sort():
+    """Two transactions with the same gno (one per stream) must not make
+    the interleave sort compare the txn dicts (round-4 ADVICE: sorted()
+    on (gno, si, txn) tuples raised TypeError on gno+si ties within a
+    stream; the key now stops at (gno, si))."""
+    from mysql_cdc_table_spark.sources import mysql_binlog as mb
+
+    txns_a = [
+        {"gno": 5, "op": "w", "rows": [{"id": 1, "v": "a", "amt": Decimal("1.00")}]},
+        {"gno": 5, "op": "w", "rows": [{"id": 2, "v": "b", "amt": Decimal("2.00")}]},
+    ]
+    txns_b = [
+        {"gno": 5, "op": "w", "rows": [{"id": 9, "v": "c", "amt": Decimal("3.00")}]},
+    ]
+    blob = mb.build_binlog_file_multi(
+        [
+            {"db": "d", "table": "t", "target": TARGET, "table_id": 31,
+             "txns": txns_a},
+            {"db": "d", "table": "t2", "target": TARGET, "table_id": 32,
+             "txns": txns_b},
+        ]
+    )
+    rows = decode_binlog_bytes(blob, TARGET, "d", "t")
+    assert sorted(r["id"] for r in rows) == [1, 2]
+    rows2 = decode_binlog_bytes(blob, TARGET, "d", "t2")
+    assert [r["id"] for r in rows2] == [9]
+
+
 @settings(max_examples=100, deadline=None)
 @given(
     ts=st.datetimes(
