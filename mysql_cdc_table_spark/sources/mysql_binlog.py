@@ -1668,6 +1668,20 @@ def decode_binlog_bytes(
         if tc == EV_FORMAT_DESCRIPTION:
             checksum = _detect_checksum(ev)
             continue
+        if checksum:
+            # VERIFY, don't just strip: MySQL 8 defaults to
+            # binlog_checksum=CRC32, so a flipped bit in a copied/tailed
+            # file is a real-user path — decoding past it would emit
+            # silently wrong rows. zlib.crc32 is C-speed; negligible
+            # next to the per-event decode.
+            (want,) = struct.unpack_from("<I", ev, len(ev) - 4)
+            got = zlib.crc32(ev[:-4])
+            if got != want:
+                raise ValueError(
+                    f"CRC32 mismatch on event at offset {event_seq} "
+                    f"(type {tc}): stored {want:#010x}, computed "
+                    f"{got:#010x} — corrupt or truncated binlog"
+                )
         body = ev[_HEADER_LEN : len(ev) - (4 if checksum else 0)]
         handle(tc, body, ets, event_seq)
     if mode == "strict" and pos != len(blob):
@@ -2063,8 +2077,12 @@ def cdc_mysql_binlog_roundtrip(
                     txns.append({"gno": row["id"], "op": "u", "rows": [(before, row)]})
                 else:
                     txns.append({"gno": row["id"], "op": "w", "rows": [row]})
+            # checksum=True mirrors MySQL 8's default binlog_checksum=
+            # CRC32, so the driver's value hash covers CRC write AND
+            # the reader's verify-on-decode (round 5)
             blob = build_binlog_file(
-                "tpch", "orders", target, txns, payload_wrap=payload_wrap
+                "tpch", "orders", target, txns, payload_wrap=payload_wrap,
+                checksum=True,
             )
             yield pd.DataFrame({"file_bytes": [blob]})
 

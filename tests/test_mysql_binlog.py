@@ -110,6 +110,32 @@ def test_checksummed_file_decodes_identically():
     assert [strip(r) for r in a] == [strip(r) for r in b]
 
 
+def test_corrupted_crc_raises_on_decode():
+    """The reader VERIFIES the trailing CRC32 when the FDE declares
+    checksums (MySQL 8 default binlog_checksum=CRC32) — a flipped bit
+    anywhere in an event must raise a pointed error, never decode to
+    silently wrong rows. Flipping a byte in the CRC itself and a byte
+    in the event body are both caught; the checksum-free twin of the
+    same corruption decodes (garbage-in-garbage-out is the declared
+    contract when checksums are off, matching the server)."""
+    rows = [{"id": 5, "v": "q", "amt": Decimal("9.99")},
+            {"id": 6, "v": "r", "amt": Decimal("1.25")}]
+    txns = [_txn(1, "w", rows), _txn(2, "d", [rows[0]])]
+    crc = build_binlog_file("d", "t", TARGET, txns, checksum=True)
+    assert decode_binlog_bytes(crc, TARGET, "d", "t")  # pristine: fine
+
+    # corrupt the stored CRC of the LAST event (its final 4 bytes)
+    bad_crc = crc[:-2] + bytes([crc[-2] ^ 0xFF]) + crc[-1:]
+    with pytest.raises(ValueError, match="CRC32 mismatch"):
+        decode_binlog_bytes(bad_crc, TARGET, "d", "t")
+
+    # corrupt one body byte mid-file (past the FDE, before the tail)
+    mid = len(crc) // 2
+    bad_body = crc[:mid] + bytes([crc[mid] ^ 0x01]) + crc[mid + 1 :]
+    with pytest.raises(ValueError):
+        decode_binlog_bytes(bad_body, TARGET, "d", "t")
+
+
 def test_schema_mismatch_raises():
     wrong = T.StructType(
         [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
