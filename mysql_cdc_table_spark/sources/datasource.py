@@ -348,16 +348,43 @@ class PackedBinlogReader(DataSourceReader):
 
     def read(self, partition: _FilePartition):
         """Yields Arrow RecordBatches (not tuples): the batch path skips
-        per-row pickling between the source and Spark's Arrow ingestion —
-        the decode walk itself stays the only Python cost."""
+        per-row pickling between the source and Spark's Arrow ingestion.
+        When every field type has a vectorized decoder the whole value
+        section decodes via numpy gathers (decode_buffer_columnar) — the
+        only per-frame Python is the frame-length walk; otherwise fall
+        back to the per-event closure walk."""
         import datetime as dt
 
         import pyarrow as pa
+
+        from mysql_cdc_table_spark.sources.packed_binlog import (
+            _vec_plan,
+            decode_buffer_columnar,
+        )
 
         out_struct = T.StructType(
             list(self.target.fields) + list(_parse_ddl(METADATA_DDL).fields)
         )
         schema = _arrow_schema(out_struct)
+
+        if _vec_plan(self.target) is not None:
+            end = partition.end
+            if end is None:
+                info = _read_sync_footer(partition.path)
+                end = info[0] if info else os.path.getsize(partition.path)
+            with open(partition.path, "rb") as f:
+                f.seek(partition.start)
+                buf = f.read(end - partition.start)
+            for n_rows, arrays in decode_buffer_columnar(
+                buf,
+                self.target,
+                self.table_id,
+                partition.file_seq,
+                start=0,
+                end=len(buf),
+            ):
+                yield pa.RecordBatch.from_arrays(arrays, schema=schema)
+            return
 
         rows: list[tuple] = []
 
