@@ -47,6 +47,7 @@ _MODULES = (
     "mysql_cdc_table_spark.operators.aggregates",
     "mysql_cdc_table_spark.operators.windows",
     "mysql_cdc_table_spark.operators.round4",
+    "mysql_cdc_table_spark.operators.round5",
     "mysql_cdc_table_spark.operators.late",
 )
 
@@ -131,7 +132,14 @@ ROUND4_REVERIFY = (
 _ROUND4_WINDOW_FRONT = ROUND3_LATE_KEYS + ROUND4_NEW_KEYS + ROUND4_REVERIFY
 
 # Keys born in round 5 — in-window so they get a driver row immediately.
-ROUND5_NEW_KEYS: tuple[str, ...] = ()
+ROUND5_NEW_KEYS: tuple[str, ...] = (
+    "join_interval_overlap",
+    "window_interval_islands",
+    "cdc_gtid_gap_audit",
+    "corpus_split_hash",
+    "text_unigram_logprob",
+    "ts_interpolate_linear",
+)
 
 # Operators whose implementation round 5 touches: their standing green
 # rows would otherwise mask a regression introduced by this round.

@@ -1,0 +1,486 @@
+"""Round-5 operators: interval joins/islands, linear interpolation,
+CDC GTID gap auditing, corpus split hashing, and unigram-LM scoring.
+
+Each entry pairs a Spark DataFrame query with a DuckDB oracle running
+the same ANSI SQL semantics (driver compare: row count + column names +
+value hash). Scale notes per operator docstring — every shape here is
+the one you'd run at 100 TB (binned interval joins instead of
+cross-joins, per-key windows instead of global sorts, one-pass hash
+aggregates, join-on-term left to AQE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mysql_cdc_table_spark.operators._util import t
+
+
+# --- interval overlap join ---------------------------------------------------
+#
+# The missing join type between equi (joins.py) and theta-band
+# (join_theta_band): "which promo windows does each shipment interval
+# overlap". Reference users run this as a raw theta join that MySQL
+# nested-loops; at scale the right shape is a BINNED join — explode each
+# interval to the fixed-width time bins it covers, equi-join on bin (a
+# shuffle join Catalyst/AQE can size), then re-check the exact overlap
+# predicate and dedupe pairs that met in more than one bin.
+
+_BIN_DAYS = 7
+
+
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per promo window (derived from nation): how many Q1-Q2/1995
+    shipment intervals overlap it and their total quantity. Shipment
+    interval: [l_shipdate, l_shipdate + 1 + qty%14 days); window w for
+    nation k: [1995-01-01 + 4k days, +9 days) — half-open overlap
+    a.start < b.end AND b.start < a.end."""
+    line = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1995-06-01")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01"))
+            .alias("a_start"),
+        )
+        .withColumn("a_end", F.col("a_start") + 1 + F.col("qty") % 14)
+    )
+    win = (
+        t(spark, sf_dir, "nation")
+        .select(
+            "n_name",
+            (
+                F.datediff(F.lit("1995-01-01"), F.lit("1970-01-01"))
+                + F.col("n_nationkey") * 4
+            ).alias("b_start"),
+        )
+        .withColumn("b_end", F.col("b_start") + 9)
+    )
+    bins = lambda s, e: F.sequence(
+        F.floor(s / _BIN_DAYS), F.floor((e - 1) / _BIN_DAYS)
+    )
+    line_b = line.withColumn("bin", F.explode(bins(F.col("a_start"), F.col("a_end"))))
+    win_b = win.withColumn("bin", F.explode(bins(F.col("b_start"), F.col("b_end"))))
+    # a pair meeting in several bins is counted ONCE by attributing it
+    # to the bin of its first overlapping day — no distinct/dedup
+    # shuffle needed (and no reliance on row identity: the synthetic
+    # lineitem has duplicate (orderkey, linenumber) keys)
+    first_overlap_bin = F.floor(
+        F.greatest(F.col("a_start"), F.col("b_start")) / _BIN_DAYS
+    )
+    pairs = line_b.join(F.broadcast(win_b), "bin").filter(
+        (F.col("a_start") < F.col("b_end"))
+        & (F.col("b_start") < F.col("a_end"))
+        & (F.col("bin") == first_overlap_bin)
+    )
+    return pairs.groupBy("n_name").agg(
+        F.count("*").alias("n_overlaps"),
+        F.sum("qty").alias("qty_sum"),
+    )
+
+
+JOIN_INTERVAL_OVERLAP_SQL = """
+WITH line AS (
+  SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+         (CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS a_start
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1995-06-01'
+),
+line2 AS (SELECT *, a_start + 1 + qty % 14 AS a_end FROM line),
+win AS (
+  SELECT n_name,
+         (DATE '1995-01-01' - DATE '1970-01-01') + n_nationkey * 4 AS b_start
+  FROM nation
+),
+win2 AS (SELECT *, b_start + 9 AS b_end FROM win)
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_overlaps,
+       CAST(sum(qty) AS BIGINT) AS qty_sum
+FROM line2 JOIN win2
+  ON line2.a_start < win2.b_end AND win2.b_start < line2.a_end
+GROUP BY n_name
+"""
+
+
+# --- gaps-and-islands over intervals -----------------------------------------
+
+
+def window_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge each supplier's shipment intervals into maximal overlapping
+    islands (classic gaps-and-islands: an island breaks where an
+    interval starts strictly after the running max end of everything
+    before it), then report islands/coverage per supplier. One sort per
+    supplier partition — no global sort, no self-join; the 100 TB shape
+    for interval coalescing."""
+    iv = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01"))
+            .alias("s"),
+            (F.col("l_quantity") % 10).cast("long").alias("q"),
+        )
+        .withColumn("e", F.col("s") + 1 + F.col("q"))
+    )
+    order = [F.col("s"), F.col("e"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w_prev = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = iv.withColumn("prev_max_e", F.max("e").over(w_prev)).withColumn(
+        "new_island",
+        F.when(
+            F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1
+        ).otherwise(0),
+    )
+    islands = marked.withColumn("island", F.sum("new_island").over(w_run))
+    per_island = islands.groupBy("l_suppkey", "island").agg(
+        F.min("s").alias("i_start"), F.max("e").alias("i_end")
+    )
+    return per_island.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("i_end") - F.col("i_start")).alias("covered_days"),
+        F.max(F.col("i_end") - F.col("i_start")).alias("longest_island"),
+    )
+
+
+WINDOW_INTERVAL_ISLANDS_SQL = """
+WITH iv AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         (CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS s,
+         CAST(l_quantity AS BIGINT) % 10 AS q
+  FROM lineitem
+),
+iv2 AS (SELECT *, s + 1 + q AS e FROM iv),
+marked AS (
+  SELECT *,
+         max(e) OVER (PARTITION BY l_suppkey
+                      ORDER BY s, e, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max_e
+  FROM iv2
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END
+           AS new_island
+  FROM marked
+),
+islands AS (
+  SELECT *,
+         sum(new_island) OVER (PARTITION BY l_suppkey
+                               ORDER BY s, e, l_orderkey, l_linenumber
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS island
+  FROM flagged
+),
+per_island AS (
+  SELECT l_suppkey, island, min(s) AS i_start, max(e) AS i_end
+  FROM islands GROUP BY 1, 2
+)
+SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(i_end - i_start) AS BIGINT) AS covered_days,
+       CAST(max(i_end - i_start) AS BIGINT) AS longest_island
+FROM per_island GROUP BY l_suppkey
+"""
+
+
+# --- CDC GTID gap audit ------------------------------------------------------
+
+
+def cdc_gtid_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication data-quality audit: per binlog file, find holes in
+    the GTID sequence bigger than the expected stride. The changelog
+    drops every gtid divisible by 97 ("lost transactions"); the audit
+    surfaces gaps of >= 20 missing gnos as (file, gap bounds, size).
+    One distinct + one lag window per file partition — audit cost is
+    linear in the changelog, never a self-join."""
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+
+    cl = synthetic_changelog(spark, sf_dir).filter(F.col("__gtid") % 97 != 0)
+    gtids = cl.select("__file_seq", "__gtid").distinct()
+    w = Window.partitionBy("__file_seq").orderBy("__gtid")
+    gaps = (
+        gtids.withColumn("prev_gtid", F.lag("__gtid").over(w))
+        .filter(F.col("__gtid") - F.col("prev_gtid") > 20)
+        .select(
+            F.col("__file_seq").alias("file_seq"),
+            (F.col("prev_gtid") + 1).alias("gap_start"),
+            (F.col("__gtid") - 1).alias("gap_end"),
+            (F.col("__gtid") - F.col("prev_gtid") - 1).alias("n_missing"),
+        )
+    )
+    return gaps
+
+
+from mysql_cdc_table_spark.cdc.synthetic import CHANGELOG_CTE as _CL_CTE
+
+CDC_GTID_GAP_AUDIT_SQL = f"""
+WITH {_CL_CTE},
+gtids AS (
+  SELECT DISTINCT __file_seq, __gtid FROM changelog WHERE __gtid % 97 <> 0
+),
+lagged AS (
+  SELECT __file_seq, __gtid,
+         lag(__gtid) OVER (PARTITION BY __file_seq ORDER BY __gtid)
+           AS prev_gtid
+  FROM gtids
+)
+SELECT __file_seq AS file_seq, prev_gtid + 1 AS gap_start,
+       __gtid - 1 AS gap_end, __gtid - prev_gtid - 1 AS n_missing
+FROM lagged WHERE __gtid - prev_gtid > 20
+"""
+
+
+# --- deterministic corpus split ----------------------------------------------
+
+
+def corpus_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: a Knuth multiplicative hash
+    of doc_id mod 100 buckets into 80/10/10 — reproducible across
+    engines and runs, no sampling state, no shuffle beyond the final
+    tiny aggregate. The split column is a pure projection, so at corpus
+    scale the assignment costs one scan and the per-(source, split)
+    audit is one map-side-combinable hash agg."""
+    d = t(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("source", split.alias("split"), "n_chars")
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("chars_sum"),
+        )
+    )
+
+
+CORPUS_SPLIT_HASH_SQL = """
+WITH tagged AS (
+  SELECT source, n_chars,
+         CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+              WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM tagged GROUP BY source, split
+"""
+
+
+# --- unigram language-model scoring ------------------------------------------
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level unigram LM quality score: train token frequencies
+    over the whole corpus in one hash agg, then score each document by
+    its mean negative log-likelihood (surprising-token documents score
+    high — the classic cheap LM filter). The token->count join is a
+    plain shuffle join on term (vocab ≪ corpus but can exceed broadcast
+    budgets at web scale; AQE picks broadcast when it fits). The global
+    total rides a 1-row broadcast cross join."""
+    from mysql_cdc_table_spark.functions.text import tokens
+
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    terms = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    counts = terms.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    scored = (
+        terms.join(counts, "term")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            (-F.log(F.col("cnt").cast("double") / F.col("total"))).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+    )
+
+
+from mysql_cdc_table_spark.functions.text import _SQL_TOKENS as _TK
+
+TEXT_UNIGRAM_LOGPROB_SQL = f"""
+WITH d AS (SELECT doc_id, {_TK} AS tk FROM documents),
+terms AS (SELECT doc_id, unnest(tk) AS term FROM d),
+counts AS (SELECT term, count(*) AS cnt FROM terms GROUP BY term),
+total AS (SELECT sum(cnt) AS total FROM counts),
+scored AS (
+  SELECT doc_id, -ln(CAST(cnt AS DOUBLE) / total) AS nll
+  FROM terms JOIN counts USING (term), total
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(nll), 6) AS avg_nll
+FROM scored GROUP BY doc_id
+"""
+
+
+# --- linear interpolation onto an hourly grid --------------------------------
+
+
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style `interpolate()`: resample each user's event
+    series onto an hourly grid with LINEAR interpolation between the
+    surrounding samples (gap-fill fills with the last value; this
+    draws the line). Grid points lie strictly inside (min_ts, max_ts)
+    so both neighbours always exist.
+
+    Shape: the grid and the samples are unioned and sorted ONCE per
+    user partition; the previous sample comes from one run of
+    last_value(ignoreNulls) and the next sample from the mirrored
+    window — the same one-sort two-pass trick as join_asof_nearest.
+    Weights are integer microseconds; the only float math is the final
+    lerp, rounded."""
+    ev = t(spark, sf_dir, "events")
+    # dedupe duplicate timestamps deterministically (keep max event_id)
+    samples = (
+        ev.groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+        .select(
+            "user_id",
+            "ts",
+            "value",
+            F.lit(0).alias("is_grid"),
+        )
+    )
+    span = ev.groupBy("user_id").agg(
+        F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts")
+    )
+    grid_start = F.date_trunc("hour", F.col("min_ts")) + F.expr(
+        "INTERVAL 1 HOUR"
+    )
+    trunc_max = F.date_trunc("hour", F.col("max_ts"))
+    grid_stop = F.when(
+        trunc_max == F.col("max_ts"), trunc_max - F.expr("INTERVAL 1 HOUR")
+    ).otherwise(trunc_max)
+    grid = (
+        span.select(
+            "user_id", grid_start.alias("g0"), grid_stop.alias("g1")
+        )
+        .filter(F.col("g0") <= F.col("g1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("g0"), F.col("g1"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("ts"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(1).alias("is_grid"),
+        )
+    )
+    u = samples.unionByName(grid)
+    ev_ts = F.when(F.col("is_grid") == 0, F.unix_micros("ts"))
+    ev_v = F.when(F.col("is_grid") == 0, F.col("value"))
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_grid").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("is_grid").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        u.withColumn("prev_us", F.last(ev_ts, ignorenulls=True).over(w_prev))
+        .withColumn("prev_v", F.last(ev_v, ignorenulls=True).over(w_prev))
+        .withColumn("next_us", F.last(ev_ts, ignorenulls=True).over(w_next))
+        .withColumn("next_v", F.last(ev_v, ignorenulls=True).over(w_next))
+        .filter(F.col("is_grid") == 1)
+    )
+    h_us = F.unix_micros("ts")
+    frac = (h_us - F.col("prev_us")).cast("double") / (
+        F.col("next_us") - F.col("prev_us")
+    ).cast("double")
+    return out.select(
+        "user_id",
+        "ts",
+        F.round(
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac, 6
+        ).alias("value"),
+    )
+
+
+TS_INTERPOLATE_LINEAR_SQL = """
+WITH samples AS (
+  SELECT user_id, ts, max_by(value, event_id) AS value, 0 AS is_grid
+  FROM events GROUP BY user_id, ts
+),
+span AS (
+  SELECT user_id, min(ts) AS min_ts, max(ts) AS max_ts
+  FROM events GROUP BY user_id
+),
+bounds AS (
+  SELECT user_id,
+         date_trunc('hour', min_ts) + INTERVAL 1 HOUR AS g0,
+         CASE WHEN date_trunc('hour', max_ts) = max_ts
+              THEN date_trunc('hour', max_ts) - INTERVAL 1 HOUR
+              ELSE date_trunc('hour', max_ts) END AS g1
+  FROM span
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(g0, g1, INTERVAL 1 HOUR)) AS ts,
+         CAST(NULL AS DOUBLE) AS value, 1 AS is_grid
+  FROM bounds WHERE g0 <= g1
+),
+u AS (SELECT * FROM samples UNION ALL SELECT * FROM grid),
+walked AS (
+  SELECT *,
+    last_value(CASE WHEN is_grid = 0 THEN epoch_us(ts) END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts ASC, is_grid ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_us,
+    last_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts ASC, is_grid ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    last_value(CASE WHEN is_grid = 0 THEN epoch_us(ts) END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts DESC, is_grid DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS next_us,
+    last_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts DESC, is_grid DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS next_v
+  FROM u
+)
+SELECT user_id, ts,
+       round(prev_v + (next_v - prev_v)
+             * (CAST(epoch_us(ts) - prev_us AS DOUBLE)
+                / CAST(next_us - prev_us AS DOUBLE)), 6) AS value
+FROM walked WHERE is_grid = 1
+"""
+
+
+QUERIES = {
+    "join_interval_overlap": join_interval_overlap,
+    "window_interval_islands": window_interval_islands,
+    "cdc_gtid_gap_audit": cdc_gtid_gap_audit,
+    "corpus_split_hash": corpus_split_hash,
+    "text_unigram_logprob": text_unigram_logprob,
+    "ts_interpolate_linear": ts_interpolate_linear,
+}
+
+ORACLES = {
+    "join_interval_overlap": JOIN_INTERVAL_OVERLAP_SQL,
+    "window_interval_islands": WINDOW_INTERVAL_ISLANDS_SQL,
+    "cdc_gtid_gap_audit": CDC_GTID_GAP_AUDIT_SQL,
+    "corpus_split_hash": CORPUS_SPLIT_HASH_SQL,
+    "text_unigram_logprob": TEXT_UNIGRAM_LOGPROB_SQL,
+    "ts_interpolate_linear": TS_INTERPOLATE_LINEAR_SQL,
+}

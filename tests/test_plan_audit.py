@@ -354,3 +354,70 @@ def test_emb_centroids_one_aggregate_after_explode(spark, sf_dir):
     df = emb_centroid_stats(spark, sf_dir)
     assert shuffle_count(df) <= 1
     assert "partial" in formatted_plan(df).lower()
+
+
+def test_interval_overlap_is_broadcast_bin_join_no_dedup(spark, sf_dir):
+    """join_interval_overlap: the window side broadcasts (25 nations x a
+    few bins), the pair set is attributed to one bin by predicate (no
+    distinct/dedup exchange), and the only shuffle is the final
+    per-window aggregate."""
+    from mysql_cdc_table_spark.operators.round5 import join_interval_overlap
+    from mysql_cdc_table_spark.plans.audit import formatted_plan
+
+    df = join_interval_overlap(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, plan
+    assert "HashAggregate" in plan
+    from mysql_cdc_table_spark.plans.audit import shuffle_count
+
+    assert shuffle_count(df) <= 1, plan  # only the final groupBy(n_name)
+
+
+def test_interval_islands_one_sort_per_partition(spark, sf_dir):
+    """window_interval_islands: the running-max and island-id windows
+    share ONE exchange+sort on l_suppkey — a second Sort would mean the
+    prefix-sum re-partitioned the fact table."""
+    from mysql_cdc_table_spark.operators.round5 import window_interval_islands
+    from mysql_cdc_table_spark.plans.audit import formatted_plan
+
+    df = window_interval_islands(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Sort (") <= 1, plan
+    assert "hashpartitioning(l_suppkey" in plan, plan
+
+
+def test_unigram_logprob_total_is_broadcast(spark, sf_dir):
+    """text_unigram_logprob: the 1-row corpus total joins by broadcast;
+    the term->count join is left to AQE (no forced broadcast of a
+    vocab-sized table)."""
+    from mysql_cdc_table_spark.operators.round5 import text_unigram_logprob
+    from mysql_cdc_table_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(text_unigram_logprob(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_split_hash_is_projection_plus_one_agg(spark, sf_dir):
+    """corpus_split_hash: the split label is a pure projection — the
+    whole query is scan -> partial agg -> exchange -> final agg, with
+    no join, window, or extra shuffle."""
+    from mysql_cdc_table_spark.operators.round5 import corpus_split_hash
+    from mysql_cdc_table_spark.plans.audit import formatted_plan, shuffle_count
+
+    df = corpus_split_hash(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) <= 1, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+    assert "partial" in plan.lower()
+
+
+def test_interpolate_single_union_sort(spark, sf_dir):
+    """ts_interpolate_linear: prev/next windows run over the SAME
+    user-partitioned union — at most the asc and desc orderings' two
+    sorts, no per-window re-shuffle beyond hashpartitioning(user_id)."""
+    from mysql_cdc_table_spark.operators.round5 import ts_interpolate_linear
+    from mysql_cdc_table_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(ts_interpolate_linear(spark, sf_dir))
+    assert "hashpartitioning(user_id" in plan, plan
+    assert plan.count("Sort (") <= 2, plan
