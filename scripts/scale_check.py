@@ -1,0 +1,169 @@
+"""sf1-scale self-check (round-4 verdict item 5).
+
+Generates an sf1-equivalent dataset (10x sf0.1, key-shifted so joins
+and dedup behave like organically larger data, NOT 10 identical
+copies) under ``spark-warehouse/scale_sf1/`` — TESTDATA.md forbids
+touching /root/testdata, not creating new local data — then times the
+five headline queries at sf0.1 and sf1 and verifies the static
+physical-plan shape (exchange / broadcast / sort counts) is identical
+at both scales. Near-linear wall-time scaling + unchanged plans is the
+evidence SCALE.md's 100 TB arguments rest on.
+
+Run: python scripts/scale_check.py   (writes JSON lines to stdout)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "spark-warehouse",
+    "scale_sf1",
+)
+COPIES = 10
+KEY_OFF = 10_000_000  # beyond any sf0.1 key
+DOC_OFF = 1_000_000
+
+
+def generate(spark) -> None:
+    """10 key-shifted copies of the fact tables; dims copied once."""
+    if os.path.exists(os.path.join(DST, "_DONE")):
+        return
+    os.makedirs(DST, exist_ok=True)
+    for dim in ("region", "nation", "supplier", "customer", "part"):
+        df = spark.read.parquet(f"{SRC}/{dim}.parquet")
+        if dim == "customer":
+            parts = [
+                df.withColumn(
+                    "c_custkey", F.col("c_custkey") + F.lit(i * KEY_OFF)
+                )
+                for i in range(COPIES)
+            ]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(f"{DST}/{dim}.parquet")
+
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    o_parts = [
+        orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * KEY_OFF))
+        .withColumn("o_custkey", F.col("o_custkey") + F.lit(i * KEY_OFF))
+        for i in range(COPIES)
+    ]
+    o = o_parts[0]
+    for p in o_parts[1:]:
+        o = o.unionByName(p)
+    o.write.mode("overwrite").parquet(f"{DST}/orders.parquet")
+
+    line = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    l_parts = [
+        line.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * KEY_OFF))
+        for i in range(COPIES)
+    ]
+    ln = l_parts[0]
+    for p in l_parts[1:]:
+        ln = ln.unionByName(p)
+    ln.write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    d_parts = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * DOC_OFF))
+        # vary the text per copy so near-dup structure scales instead of
+        # every document gaining 9 exact twins
+        .withColumn("text", F.concat(F.col("text"), F.lit(f" copytag{i}")))
+        for i in range(COPIES)
+    ]
+    d = d_parts[0]
+    for p in d_parts[1:]:
+        d = d.unionByName(p)
+    d.write.mode("overwrite").parquet(f"{DST}/documents.parquet")
+
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    ev.write.mode("overwrite").parquet(f"{DST}/events.parquet")
+    open(os.path.join(DST, "_DONE"), "w").close()
+
+
+def plan_shape(df) -> dict:
+    from mysql_cdc_table_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(df)
+    return {
+        "exchanges": len(re.findall(r"\(\d+\) Exchange\b", plan)),
+        "broadcasts": len(re.findall(r"\(\d+\) BroadcastExchange\b", plan)),
+        "sorts": plan.count("Sort ("),
+        "windows": plan.count("Window ("),
+    }
+
+
+def main() -> None:
+    from mysql_cdc_table_spark.operators import all_queries
+    from mysql_cdc_table_spark.session import get_spark
+
+    spark = get_spark("scale-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    generate(spark)
+    print(
+        json.dumps({"stage": "generate", "sec": round(time.perf_counter() - t0, 1)}),
+        flush=True,
+    )
+
+    queries = all_queries()
+    names = [
+        "q1_pricing_summary",
+        "q5_regional_revenue",
+        "cdc_latest_state",
+        "dedup_minhash_signature",
+        "text_unigram_logprob",
+    ]
+    results = {}
+    for name in names:
+        fn = queries[name]
+        rec = {}
+        for label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
+            shape = plan_shape(fn(spark, sf_dir))
+            samples = []
+            for _ in range(3):
+                t1 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t1)
+            rec[label] = {"sec": round(min(samples), 2), "plan": shape}
+        rec["ratio"] = round(rec["sf1"]["sec"] / rec["sf0.1"]["sec"], 1)
+        rec["plan_stable"] = rec["sf1"]["plan"] == rec["sf0.1"]["plan"]
+        results[name] = rec
+        print(json.dumps({name: rec}), flush=True)
+
+    # packed-binlog scan: stage sf1 packed files from the scaled orders,
+    # then time the columnar DataSource scan at both scales
+    import bench as _bench
+
+    for label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
+        _bench._stage_packed(spark, sf_dir)
+        samples = []
+        for _ in range(3):
+            t1 = time.perf_counter()
+            _bench._packed_scan_query(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            samples.append(time.perf_counter() - t1)
+        results.setdefault("packed_binlog_scan", {})[label] = {
+            "sec": round(min(samples), 2)
+        }
+    pb = results["packed_binlog_scan"]
+    pb["ratio"] = round(pb["sf1"]["sec"] / pb["sf0.1"]["sec"], 1)
+    print(json.dumps({"packed_binlog_scan": pb}), flush=True)
+    print(json.dumps({"stage": "done", "results": results}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

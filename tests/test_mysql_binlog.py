@@ -1103,3 +1103,88 @@ def test_schema_evolution_add_column():
     # reverse direction: target older than the stream -> error
     with pytest.raises(ValueError, match="LATEST schema"):
         decode_binlog_bytes(stream, old, "d", "t")
+
+
+def test_tail_stream_latest_state_across_alter_boundary(spark, tmp_path):
+    """Round-5 stretch: the sub-rotation streaming tail feeds a
+    foreachBatch MERGE latest-state store while the stream crosses an
+    ALTER TABLE ADD COLUMN boundary MID-RUN — batch 1 materializes
+    old-generation rows (new column NULL), then a file whose events
+    carry the post-ALTER TABLE_MAP lands and batch 2 merges the new
+    generation into the same store. The final store must equal batch
+    latest-state over the same bytes. The reference can do neither half
+    (no streaming at all; its per-map table_def rebuild corrupts
+    mid-stream evolution, binlog_table_reader.cc:402-403)."""
+    from mysql_cdc_table_spark.cdc import latest_state
+    from mysql_cdc_table_spark.sources.datasource import register
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        mysql_binlog_read,
+        mysql_binlog_tail_stream,
+    )
+    from mysql_cdc_table_spark.streaming.cdc_stream import (
+        materialize_latest_state,
+        run_to_completion,
+    )
+
+    register(spark)
+    d = tmp_path / "logs"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "state.parquet")
+
+    old_target = TARGET  # id, v, amt
+    new_target = T.StructType(
+        list(TARGET.fields) + [T.StructField("note", T.StringType())]
+    )
+    ddl = "id bigint, v string, amt decimal(10,2), note string"
+
+    r = lambda i, v, note=None: {
+        "id": i, "v": v, "amt": Decimal(i),
+        **({"note": note} if note is not None else {}),
+    }
+    old_rows = lambda i, v: {k: x for k, x in r(i, v).items() if k != "note"}
+
+    # file 1: pre-ALTER generation only
+    (d / "binlog.000001").write_bytes(
+        build_binlog_file(
+            "d", "t", old_target,
+            [_txn(10, "w", [old_rows(1, "a"), old_rows(2, "b")]),
+             _txn(11, "u", [(old_rows(1, "a"), old_rows(1, "a2"))])],
+        )
+    )
+
+    def drain():
+        run_to_completion(
+            materialize_latest_state(
+                mysql_binlog_tail_stream(spark, str(d), ddl, "d", "t"),
+                ["id"], store, ckpt,
+            )
+        )
+
+    drain()
+    got1 = {row["id"]: (row["v"], row["note"])
+            for row in spark.read.parquet(store).collect()}
+    assert got1 == {1: ("a2", None), 2: ("b", None)}
+
+    # file 2 rotates in: ALTER TABLE ADD COLUMN note lands mid-stream —
+    # one pre-ALTER txn, then post-ALTER TABLE_MAPs with the new column
+    pre = build_binlog_file(
+        "d", "t", old_target, [_txn(12, "d", [old_rows(2, "b")])]
+    )
+    post = build_binlog_file(
+        "d", "t", new_target,
+        [_txn(13, "u", [(r(1, "a2", None), r(1, "a3", "hello"))]),
+         _txn(14, "w", [r(3, "c", "fresh")])],
+    )
+    (d / "binlog.000002").write_bytes(pre + post[4:])  # strip magic, concat
+
+    drain()
+    got2 = {row["id"]: (row["v"], row["note"])
+            for row in spark.read.parquet(store).collect()}
+    assert got2 == {1: ("a3", "hello"), 3: ("c", "fresh")}  # 2 deleted
+
+    # streaming store == batch latest-state over the same bytes
+    batch_cl = mysql_binlog_read(spark, str(d), new_target, "d", "t")
+    want = {row["id"]: (row["v"], row["note"])
+            for row in latest_state(batch_cl, ["id"]).collect()}
+    assert got2 == want
