@@ -139,6 +139,11 @@ ROUND5_NEW_KEYS: tuple[str, ...] = (
     "corpus_split_hash",
     "text_unigram_logprob",
     "ts_interpolate_linear",
+    "join_dim_snapshot",
+    "emb_prefix_energy",
+    "cdc_orphan_audit",
+    "window_first_seen_cum",
+    "fn_string3",
 )
 
 # Operators whose implementation round 5 touches: their standing green
@@ -150,6 +155,7 @@ ROUND5_REVERIFY = (
     "cdc_binlog_multi_table",       # persist dropped (deterministic recompute)
     "cdc_packed_typed_roundtrip",   # packed decoder inner loop vectorized
     "mm_decode_features",           # PPM header parse bounded (truncation raise)
+    "emb_centroid_pairs",           # cent subtree localCheckpointed (1 fact scan)
 )
 
 # Round-5 window: new keys first, then this round's re-verify slots;

@@ -473,6 +473,12 @@ def emb_centroid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("label", F.posexplode("embedding").alias("dim", "x"))
         .groupBy("label", "dim")
         .agg(F.avg(F.col("x").cast("double")).alias("c"))
+        # the cent subtree feeds THREE consumers (self-join a/b + norms);
+        # ReusedExchange covers the self-join but the norms branch can
+        # re-run the posexplode+agg over the fact table — cut the
+        # lineage once here (the grid is labels x dims, a few hundred
+        # rows), so the fact table is scanned exactly once
+        .localCheckpoint()
     )
     a, b = cent.alias("a"), cent.alias("b")
     dots = (

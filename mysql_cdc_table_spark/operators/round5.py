@@ -484,3 +484,276 @@ ORACLES = {
     "text_unigram_logprob": TEXT_UNIGRAM_LOGPROB_SQL,
     "ts_interpolate_linear": TS_INTERPOLATE_LINEAR_SQL,
 }
+
+
+# --- SCD2 point-in-time (as-of) dimension join -------------------------------
+
+
+def join_dim_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against the SCD2 dimension built from the
+    changelog: each order probes the version of ITSELF valid 36 hours
+    after o_orderdate (update 1 lands at +1 day, update 2 at +2 days,
+    delete at +3 — so the probe lands on a mid-history version). This
+    is the warehouse consumption pattern for cdc_scd2's output.
+
+    Scale shape: an EQUI-join on the business key with the validity
+    predicate as a post-join filter — versions per key are few, so this
+    is a plain keyed join (AQE-sizable), never a range join over the
+    whole interval axis."""
+    from mysql_cdc_table_spark.cdc import ops
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+
+    dim = ops.scd2(synthetic_changelog(spark, sf_dir), ["o_orderkey"])
+    probes = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 36 HOURS")).alias("probe_tm"),
+    )
+    j = probes.join(dim, probes.key == dim.o_orderkey).filter(
+        (F.col("valid_from") <= F.col("probe_tm"))
+        & (F.col("valid_to").isNull() | (F.col("probe_tm") < F.col("valid_to")))
+    )
+    return j.select(
+        "key",
+        F.col("o_orderstatus").alias("version_status"),
+        # round before the cast: 2-dec double * 100 lands epsilon-under
+        # the exact integer, and bare CAST truncates in Spark but rounds
+        # in DuckDB — round() lands both on the exact value
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("version_cents"),
+        F.col("__gtid").alias("version_id"),
+        F.col("is_current").alias("was_current"),
+    )
+
+
+from mysql_cdc_table_spark.cdc.synthetic import CHANGELOG_CTE as _CL_CTE2
+
+JOIN_DIM_SNAPSHOT_SQL = f"""
+WITH {_CL_CTE2},
+versions AS (SELECT * FROM changelog WHERE __op <> 2),
+iv AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, __op, __gtid,
+         __tm AS valid_from,
+         lead(__tm) OVER w AS valid_to,
+         lead(__op) OVER w IS NULL AS is_current
+  FROM versions
+  WINDOW w AS (PARTITION BY o_orderkey
+               ORDER BY __gtid ASC, __event_seq ASC, __image_seq ASC)
+),
+dim AS (SELECT * FROM iv WHERE __op <> 0),
+probes AS (
+  SELECT o_orderkey AS key, o_orderdate + INTERVAL 36 HOUR AS probe_tm
+  FROM orders
+)
+SELECT key, dim.o_orderstatus AS version_status,
+       CAST(round(dim.o_totalprice * 100) AS BIGINT) AS version_cents,
+       dim.__gtid AS version_id, dim.is_current AS was_current
+FROM probes JOIN dim ON probes.key = dim.o_orderkey
+WHERE dim.valid_from <= probes.probe_tm
+  AND (dim.valid_to IS NULL OR probes.probe_tm < dim.valid_to)
+"""
+
+
+# --- Matryoshka-style prefix energy ------------------------------------------
+
+
+def emb_prefix_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation diagnostic: per label and prefix length k,
+    the mean fraction of each vector's L2 norm captured by its first k
+    dims (the number you check before shipping truncated embeddings).
+    Pure higher-order-function math on the scan + one tiny hash agg —
+    JVM-evaluated, zero Python, shuffle carries labels x |ks| rows."""
+    from mysql_cdc_table_spark.functions.similarity import sqnorm
+
+    e = t(spark, sf_dir, "embeddings")
+    ks = [4, 8, 16, 32]
+    rows = e.select(
+        "label",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        (
+                            F.sqrt(sqnorm(F.slice("embedding", 1, k)))
+                            / F.sqrt(sqnorm(F.col("embedding")))
+                        ).alias("energy"),
+                    )
+                    for k in ks
+                ]
+            )
+        ).alias("pe"),
+    ).select("label", "pe.k", "pe.energy")
+    return rows.groupBy("label", "k").agg(
+        F.round(F.avg("energy"), 6).alias("mean_energy"),
+        F.count("*").alias("n_vectors"),
+    )
+
+
+_SQL_SQNORM = (
+    "list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+)
+
+EMB_PREFIX_ENERGY_SQL = f"""
+WITH ks AS (SELECT unnest([4, 8, 16, 32]) AS k),
+per AS (
+  SELECT label, k,
+         sqrt({_SQL_SQNORM.format(a='embedding[1:k]')})
+           / sqrt({_SQL_SQNORM.format(a='embedding')}) AS energy
+  FROM embeddings, ks
+)
+SELECT label, k, round(avg(energy), 6) AS mean_energy,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM per GROUP BY label, k
+"""
+
+
+# --- CDC orphan-event audit --------------------------------------------------
+
+
+def cdc_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication consistency audit: keys whose FIRST event (in
+    changelog order) is not an INSERT — the signature of a feed that
+    lost its initial snapshot or started mid-history. The changelog
+    drops INSERTs for keys divisible by 13 to simulate the loss; the
+    audit must recover exactly those keys. One window per key
+    partition, integer output."""
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+
+    cl = synthetic_changelog(spark, sf_dir).filter(
+        ~((F.col("__op") == 1) & (F.col("o_orderkey") % 13 == 0))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("__gtid").asc(), F.col("__event_seq").asc(),
+        F.col("__image_seq").asc(),
+    )
+    wc = Window.partitionBy("o_orderkey")
+    flagged = cl.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_events", F.count("*").over(wc)
+    )
+    return flagged.filter((F.col("rn") == 1) & (F.col("__op") != 1)).select(
+        F.col("o_orderkey").alias("key"),
+        F.col("__op").alias("first_op"),
+        F.col("__gtid").alias("first_gtid"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+CDC_ORPHAN_AUDIT_SQL = f"""
+WITH {_CL_CTE2},
+pruned AS (
+  SELECT * FROM changelog
+  WHERE NOT (__op = 1 AND o_orderkey % 13 = 0)
+),
+flagged AS (
+  SELECT o_orderkey, __op, __gtid,
+         row_number() OVER (PARTITION BY o_orderkey
+                            ORDER BY __gtid ASC, __event_seq ASC,
+                                     __image_seq ASC) AS rn,
+         count(*) OVER (PARTITION BY o_orderkey) AS n_events
+  FROM pruned
+)
+SELECT o_orderkey AS key, __op AS first_op, __gtid AS first_gtid,
+       CAST(n_events AS BIGINT) AS n_events
+FROM flagged WHERE rn = 1 AND __op <> 1
+"""
+
+
+# --- cumulative distinct via first-seen flags --------------------------------
+
+
+def window_first_seen_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count of DISTINCT event types each user has seen up to
+    every event — the "novelty curve" behind activation metrics.
+    Windowed count(distinct) doesn't exist in either engine; the
+    portable (and scale-correct) form is a first-occurrence flag
+    (row_number over (user, type) = 1) plus a running sum over the user
+    timeline. Two keyed windows, both partition-parallel."""
+    ev = t(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = ev.withColumn(
+        "first_seen",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("first_seen").over(w_run).alias("distinct_types_so_far"),
+    )
+
+
+WINDOW_FIRST_SEEN_CUM_SQL = """
+WITH flagged AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts ASC, event_id ASC) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT event_id, user_id,
+       sum(first_seen) OVER (PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)
+         AS distinct_types_so_far
+FROM flagged
+"""
+
+
+# --- string builtins round 3 -------------------------------------------------
+
+
+def fn_string3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third string-builtin tier (MySQL users' daily drivers):
+    TRANSLATE, REPEAT, REVERSE, MD5, TO_BASE64, BIT_COUNT, LEFT/RIGHT.
+    All JVM built-ins, pure scan projection."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.translate("p_name", "aeiou", "AEIOU").alias("tr"),
+        F.repeat(F.left("p_brand", F.lit(2)), 3).alias("rep"),
+        F.reverse("p_type").alias("rev"),
+        F.md5(F.col("p_name").cast("binary")).alias("h"),
+        F.base64(F.col("p_brand").cast("binary")).alias("b64"),
+        F.bit_count("p_partkey").alias("bits"),
+        F.right("p_type", F.lit(4)).alias("r4"),
+    )
+
+
+FN_STRING3_SQL = """
+SELECT p_partkey,
+       translate(p_name, 'aeiou', 'AEIOU') AS tr,
+       repeat(left(p_brand, 2), 3) AS rep,
+       reverse(p_type) AS rev,
+       md5(p_name) AS h,
+       to_base64(CAST(p_brand AS BLOB)) AS b64,
+       bit_count(p_partkey) AS bits,
+       right(p_type, 4) AS r4
+FROM part
+"""
+
+
+QUERIES.update(
+    {
+        "join_dim_snapshot": join_dim_snapshot,
+        "emb_prefix_energy": emb_prefix_energy,
+        "cdc_orphan_audit": cdc_orphan_audit,
+        "window_first_seen_cum": window_first_seen_cum,
+        "fn_string3": fn_string3,
+    }
+)
+
+ORACLES.update(
+    {
+        "join_dim_snapshot": JOIN_DIM_SNAPSHOT_SQL,
+        "emb_prefix_energy": EMB_PREFIX_ENERGY_SQL,
+        "cdc_orphan_audit": CDC_ORPHAN_AUDIT_SQL,
+        "window_first_seen_cum": WINDOW_FIRST_SEEN_CUM_SQL,
+        "fn_string3": FN_STRING3_SQL,
+    }
+)
