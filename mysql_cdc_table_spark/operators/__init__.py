@@ -144,6 +144,10 @@ ROUND5_NEW_KEYS: tuple[str, ...] = (
     "cdc_orphan_audit",
     "window_first_seen_cum",
     "fn_string3",
+    "dedup_containment",
+    "ts_rate_of_change",
+    "corpus_length_histogram",
+    "subquery_not_in_null",
 )
 
 # Operators whose implementation round 5 touches: their standing green

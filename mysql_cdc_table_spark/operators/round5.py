@@ -757,3 +757,228 @@ ORACLES.update(
         "fn_string3": FN_STRING3_SQL,
     }
 )
+
+
+# --- asymmetric containment dedup --------------------------------------------
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-superset detection: containment = |A∩B| / min(|A|, |B|)
+    over 3-gram shingle sets. Jaccard misses a short document embedded
+    verbatim in a long one (union dominates); containment is the
+    criterion wire services and chunk-dedup actually need. Same
+    capped inverted-index candidate generation as dedup_ngram_jaccard
+    — bucketed, never all-pairs."""
+    from mysql_cdc_table_spark.functions.dedup import HOT_SHINGLE_CAP
+    from mysql_cdc_table_spark.functions.text import _doc_shingles
+
+    docs = _doc_shingles(spark, sf_dir).withColumn("n_sh", F.size("sh"))
+    ex = docs.select("doc_id", "n_sh", F.explode("sh").alias("s"))
+    hot = ex.groupBy("s").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= HOT_SHINGLE_CAP
+    )
+    ex = ex.join(hot.select("s"), "s")
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.n_sh").alias("n1"),
+            F.col("b.n_sh").alias("n2"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    contain = F.round(
+        F.col("common") / F.least("n1", "n2").cast("double"), 6
+    )
+    return (
+        pairs.withColumn("containment", contain)
+        .filter(F.col("containment") >= 0.5)
+        .select("doc1", "doc2", "common", "containment")
+    )
+
+
+from mysql_cdc_table_spark.functions.dedup import HOT_SHINGLE_CAP as _HOT
+from mysql_cdc_table_spark.functions.text import _SQL_SHINGLES as _SH
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH sh AS ({_SH}),
+docs AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh),
+ex AS (SELECT doc_id, n_sh, unnest(sh) AS s FROM docs),
+keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= {_HOT}),
+exk AS (SELECT ex.* FROM ex JOIN keep USING (s)),
+pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.n_sh AS n1, b.n_sh AS n2,
+         count(*) AS common
+  FROM exk a JOIN exk b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc1, doc2, common,
+       round(common / CAST(least(n1, n2) AS DOUBLE), 6) AS containment
+FROM pairs
+WHERE round(common / CAST(least(n1, n2) AS DOUBLE), 6) >= 0.5
+"""
+
+
+# --- per-series rate of change -----------------------------------------------
+
+
+def ts_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete derivative per user series: (value - lag(value)) over
+    elapsed seconds — the monitoring primitive behind rate()/deriv().
+    One lag window per user partition; time deltas in integer
+    microseconds, one float division at the end."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    # events.ts is TIMESTAMP_NTZ; unix_micros wants TIMESTAMP — the cast
+    # is wall-clock identity under the pinned UTC session tz
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_v = F.lag("value").over(w)
+    prev_us = F.lag(us).over(w)
+    rate = F.round(
+        (F.col("value") - prev_v)
+        / ((us - prev_us).cast("double") / F.lit(1_000_000.0)),
+        6,
+    )
+    return ev.select(
+        "event_id", "user_id", rate.alias("rate_per_sec")
+    )
+
+
+TS_RATE_OF_CHANGE_SQL = """
+WITH lagged AS (
+  SELECT event_id, user_id, value, epoch_us(ts) AS us,
+         lag(value) OVER w AS prev_v,
+         lag(epoch_us(ts)) OVER w AS prev_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT event_id, user_id,
+       round((value - prev_v)
+             / (CAST(us - prev_us AS DOUBLE) / 1000000.0), 6)
+         AS rate_per_sec
+FROM lagged
+"""
+
+
+# --- corpus length histogram -------------------------------------------------
+
+
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two length histogram per source — the first chart every
+    corpus audit draws. Integer CASE ladder (identical literals both
+    engines, no float log2), one map-side-combinable agg."""
+    d = t(spark, sf_dir, "documents")
+    n = F.col("n_chars")
+    bucket = (
+        F.when(n < 64, 64)
+        .when(n < 128, 128)
+        .when(n < 256, 256)
+        .when(n < 512, 512)
+        .when(n < 1024, 1024)
+        .when(n < 2048, 2048)
+        .otherwise(4096)
+    )
+    return (
+        d.select("source", bucket.alias("len_bucket"), "n_chars")
+        .groupBy("source", "len_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("chars_sum"),
+        )
+    )
+
+
+CORPUS_LENGTH_HISTOGRAM_SQL = """
+WITH tagged AS (
+  SELECT source, n_chars,
+         CASE WHEN n_chars < 64 THEN 64
+              WHEN n_chars < 128 THEN 128
+              WHEN n_chars < 256 THEN 256
+              WHEN n_chars < 512 THEN 512
+              WHEN n_chars < 1024 THEN 1024
+              WHEN n_chars < 2048 THEN 2048
+              ELSE 4096 END AS len_bucket
+  FROM documents
+)
+SELECT source, len_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM tagged GROUP BY source, len_bucket
+"""
+
+
+# --- null-aware NOT IN semantics ---------------------------------------------
+
+
+def subquery_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap, cross-engine: against a NULL-free list the
+    anti-join filters normally; inject ONE NULL into the same list and
+    NOT IN must return ZERO rows (three-valued logic: x <> NULL is
+    UNKNOWN, so nothing satisfies the predicate). Both engines must
+    agree on both counts — Spark plans the null-aware case as a
+    special anti join. Output: one row per case."""
+    o = t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("v_orders_nin")
+    clean = spark.sql(
+        """
+        SELECT 'no_null' AS case_label, CAST(count(*) AS LONG) AS n
+        FROM v_orders_nin
+        WHERE o_custkey NOT IN (
+          SELECT o_custkey FROM v_orders_nin WHERE o_orderkey % 7 = 0
+        )
+        """
+    )
+    nullish = spark.sql(
+        """
+        SELECT 'with_null' AS case_label, CAST(count(*) AS LONG) AS n
+        FROM v_orders_nin
+        WHERE o_custkey NOT IN (
+          SELECT CASE WHEN o_orderkey % 1000 = 1 THEN NULL
+                      ELSE o_custkey END
+          FROM v_orders_nin WHERE o_orderkey % 7 = 0
+        )
+        """
+    )
+    return clean.unionByName(nullish)
+
+
+SUBQUERY_NOT_IN_NULL_SQL = """
+SELECT 'no_null' AS case_label, CAST(count(*) AS BIGINT) AS n
+FROM orders
+WHERE o_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderkey % 7 = 0
+)
+UNION ALL
+SELECT 'with_null' AS case_label, CAST(count(*) AS BIGINT) AS n
+FROM orders
+WHERE o_custkey NOT IN (
+  SELECT CASE WHEN o_orderkey % 1000 = 1 THEN NULL ELSE o_custkey END
+  FROM orders WHERE o_orderkey % 7 = 0
+)
+"""
+
+
+QUERIES.update(
+    {
+        "dedup_containment": dedup_containment,
+        "ts_rate_of_change": ts_rate_of_change,
+        "corpus_length_histogram": corpus_length_histogram,
+        "subquery_not_in_null": subquery_not_in_null,
+    }
+)
+
+ORACLES.update(
+    {
+        "dedup_containment": DEDUP_CONTAINMENT_SQL,
+        "ts_rate_of_change": TS_RATE_OF_CHANGE_SQL,
+        "corpus_length_histogram": CORPUS_LENGTH_HISTOGRAM_SQL,
+        "subquery_not_in_null": SUBQUERY_NOT_IN_NULL_SQL,
+    }
+)
