@@ -421,3 +421,26 @@ def test_interpolate_single_union_sort(spark, sf_dir):
     plan = formatted_plan(ts_interpolate_linear(spark, sf_dir))
     assert "hashpartitioning(user_id" in plan, plan
     assert plan.count("Sort (") <= 2, plan
+
+
+def test_length_histogram_single_agg(spark, sf_dir):
+    """corpus_length_histogram: scan -> partial agg -> exchange ->
+    final agg; the CASE ladder stays a projection."""
+    from mysql_cdc_table_spark.operators.round5 import corpus_length_histogram
+    from mysql_cdc_table_spark.plans.audit import formatted_plan, shuffle_count
+
+    df = corpus_length_histogram(spark, sf_dir)
+    assert shuffle_count(df) <= 1
+    assert "partial" in formatted_plan(df).lower()
+
+
+def test_rate_of_change_one_window_partition(spark, sf_dir):
+    """ts_rate_of_change: both lags share one user_id-partitioned
+    window — a single exchange + sort over the events fact table."""
+    from mysql_cdc_table_spark.operators.round5 import ts_rate_of_change
+    from mysql_cdc_table_spark.plans.audit import formatted_plan, shuffle_count
+
+    df = ts_rate_of_change(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) <= 1, plan
+    assert plan.count("Window (") == 1, plan
