@@ -171,12 +171,22 @@ _ROUND5_WINDOW_FRONT = ROUND5_NEW_KEYS + ROUND5_REVERIFY
 
 
 def _first_seen_rounds() -> dict[str, int]:
-    """key -> earliest driver round (1-based) with a CORRECTNESS row.
+    """key -> earliest driver round (1-based) with a CORRECTNESS row."""
+    return _seen_rounds(latest=False)
 
-    Used to backfill the tail of the driver window stalest-first, so the
-    re-check slots the driver spends past the new/changed keys land on
-    the rows that have gone longest without confirmation.
-    """
+
+def _last_seen_rounds() -> dict[str, int]:
+    """key -> LATEST driver round with a CORRECTNESS row — the staleness
+    metric the backfill sorts by. (First-seen is the wrong metric: a key
+    first seen in r01 but re-verified in r04 is fresh, while one whose
+    newest row is still r01 has gone four rounds unconfirmed. Round 5
+    fixed the sort — with first-seen, 22 of the 27 r01-STANDING rows
+    were silently pushed out of the window by keys that already had
+    fresh rows.)"""
+    return _seen_rounds(latest=True)
+
+
+def _seen_rounds(latest: bool) -> dict[str, int]:
     import json
     from pathlib import Path
 
@@ -189,7 +199,10 @@ def _first_seen_rounds() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for key in rows:
-            seen.setdefault(key, rnd)
+            if latest:
+                seen[key] = rnd
+            else:
+                seen.setdefault(key, rnd)
     return seen
 
 
@@ -198,7 +211,7 @@ def _rotate(out: dict) -> dict:
     other key stalest-first (earliest driver round, registry order as
     the tie-break; never-seen keys sort first so they cannot hide)."""
     front = {k: out[k] for k in _ROUND5_WINDOW_FRONT if k in out}
-    seen = _first_seen_rounds()
+    seen = _last_seen_rounds()
     order = {k: i for i, k in enumerate(out)}
     rest_keys = sorted(
         (k for k in out if k not in front),

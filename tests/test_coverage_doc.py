@@ -109,7 +109,7 @@ def test_driver_window_composition():
     accidental insertion can't silently starve it."""
     from mysql_cdc_table_spark.operators import (
         _ROUND5_WINDOW_FRONT,
-        _first_seen_rounds,
+        _last_seen_rounds,
     )
 
     keys = list(all_queries())
@@ -118,13 +118,24 @@ def test_driver_window_composition():
     assert window[: len(front)] == front, "registry front diverged from plan"
 
     # every key with NO driver row ever must be in the window
-    seen = _first_seen_rounds()
+    seen = _last_seen_rounds()
     never_seen = [k for k in keys if k not in seen]
     missing = [k for k in never_seen if k not in window]
     assert not missing, f"never-driver-seen keys fell out of the window: {missing}"
 
-    # backfill tail is stalest-first: first-seen rounds never decrease
+    # backfill tail is stalest-first by LAST-seen round (the staleness
+    # metric — first-seen would mark re-verified keys as stale)
     tail_rounds = [seen.get(k, 0) for k in keys[len(front):]]
     assert tail_rounds == sorted(tail_rounds), (
         "window backfill is not stalest-first"
+    )
+
+    # the round-4 verdict's done-criterion: every r01-STANDING key
+    # (latest driver row is r01) must fit inside the 50-slot window —
+    # adding new keys beyond 50 - len(front) - 27 would silently push
+    # the stalest rows out
+    r01_standing = {k for k, rnd in seen.items() if rnd == 1 and k in keys}
+    outside = r01_standing - set(window)
+    assert not outside, (
+        f"r01-standing keys pushed out of the driver window: {outside}"
     )
