@@ -567,13 +567,10 @@ def decode_buffer_columnar(
     __image_seq) in that order — the DataSource's output layout.
     Caller must have verified _vec_plan(target) is not None."""
     import numpy as np
-    import pyarrow as pa
 
-    plan = _vec_plan(target)
     u8 = np.frombuffer(buf, dtype=np.uint8)
     if end is None:
         end = len(buf)
-    ntarget = len(target.fields)
 
     # --- sequential frame walk (the only per-frame Python loop) ---
     hdr_starts: list[int] = []
@@ -601,76 +598,95 @@ def decode_buffer_columnar(
         ts_s, p = _varint_vec(u8, p)
         event_seq, p = _varint_vec(u8, p)
         image_base, p = _varint_vec(u8, p)
+        file_seq_arr = np.full(len(hdr), file_seq, np.int32)
 
-        # event header: table-id filter (A4), op, image count, width
-        tid, p = _varint_vec(u8, p)
-        keep = tid == table_id
-        if not keep.any():
-            continue
-        p, fend = p[keep], fend[keep]
-        gtid, ts_s = gtid[keep], ts_s[keep]
-        event_seq, image_base = event_seq[keep], image_base[keep]
-        op = u8[p].astype(np.int32)
-        n_images = u8[p + 1].astype(np.int64)
-        p += 2
-        ncols, p = _varint_vec(u8, p)
-        if ncols.size and int(ncols.max()) > ntarget:
-            raise ValueError(
-                f"packed event has {int(ncols.max())} columns; target "
-                f"schema has {ntarget} — pass the stream's LATEST schema"
-            )
-        nbytes = (ncols + 7) // 8
+        yield from _decode_event_sections(
+            u8, p, fend, target, table_id,
+            gtid, ts_s, event_seq, image_base, file_seq_arr,
+        )
 
-        cur = p
-        max_rounds = int(n_images.max()) if n_images.size else 0
-        for r in range(max_rounds):
-            sel = np.flatnonzero(n_images > r)
-            pos_r = cur[sel] + nbytes[sel]  # skip cols-present bitmap
-            nb_sel = nbytes[sel]
-            maxnb = int(nb_sel.max()) if nb_sel.size else 0
-            bitmap_idx = pos_r[:, None] + np.arange(maxnb)
-            bitmap = u8[np.minimum(bitmap_idx, len(u8) - 1)]
-            pos_r = pos_r + nb_sel
 
-            arrays = []
-            nc_sel = ncols[sel]
-            for i, (dec, _pa_t) in enumerate(plan):
-                stored = i < nc_sel
-                if i // 8 < maxnb:
-                    nullbit = (bitmap[:, i // 8] >> (i % 8) & 1).astype(bool)
-                else:
-                    nullbit = np.zeros(len(sel), bool)
-                valid = stored & ~nullbit
-                arrays.append(dec(u8, pos_r, valid))
-            cur[sel] = pos_r
+def _decode_event_sections(
+    u8, p, fend, target, table_id,
+    gtid, ts_s, event_seq, image_base, file_seq_arr,
+):
+    """Columnar decode of event payload sections at positions ``p`` with
+    ends ``fend`` and per-event metadata arrays. Shared by the
+    file-framed path (decode_buffer_columnar) and the DataFrame path
+    (decode_packed's mapInArrow walk). Yields (n_rows, [pa arrays]) per
+    image round in changelog column order."""
+    import numpy as np
+    import pyarrow as pa
 
-            op_r = np.where(op == 2, 2 if r == 0 else 3, op)[sel]
-            arrays.append(pa.array(op_r, type=pa.int32()))
-            arrays.append(pa.array(gtid[sel], type=pa.int64()))
-            arrays.append(
-                pa.array(ts_s[sel] * 1_000_000, type=pa.timestamp("us"))
-            )
-            arrays.append(
-                pa.array(
-                    np.full(len(sel), file_seq, np.int32), type=pa.int32()
-                )
-            )
-            arrays.append(pa.array(event_seq[sel], type=pa.int64()))
-            arrays.append(
-                pa.array((image_base[sel] + r).astype(np.int32), type=pa.int32())
-            )
-            yield len(sel), arrays
+    plan = _vec_plan(target)
+    ntarget = len(target.fields)
 
-        # every event must land exactly on its frame end — a mismatch
-        # means a mis-framed or corrupt value section (failfast, same
-        # contract as the scalar walk's per-event payload slicing)
-        if not np.array_equal(cur, fend):
-            bad = int(np.flatnonzero(cur != fend)[0])
-            raise ValueError(
-                "corrupt packed frame: decoded size mismatch at "
-                f"event_seq {int(event_seq[bad])} "
-                f"(ended at {int(cur[bad])}, frame ends at {int(fend[bad])})"
-            )
+    # event header: table-id filter (A4), op, image count, width
+    tid, p = _varint_vec(u8, p)
+    keep = tid == table_id
+    if not keep.any():
+        return
+    p, fend = p[keep], fend[keep]
+    gtid, ts_s = gtid[keep], ts_s[keep]
+    event_seq, image_base = event_seq[keep], image_base[keep]
+    file_seq_arr = file_seq_arr[keep]
+    op = u8[p].astype(np.int32)
+    n_images = u8[p + 1].astype(np.int64)
+    p += 2
+    ncols, p = _varint_vec(u8, p)
+    if ncols.size and int(ncols.max()) > ntarget:
+        raise ValueError(
+            f"packed event has {int(ncols.max())} columns; target "
+            f"schema has {ntarget} — pass the stream's LATEST schema"
+        )
+    nbytes = (ncols + 7) // 8
+
+    cur = p
+    max_rounds = int(n_images.max()) if n_images.size else 0
+    for r in range(max_rounds):
+        sel = np.flatnonzero(n_images > r)
+        pos_r = cur[sel] + nbytes[sel]  # skip cols-present bitmap
+        nb_sel = nbytes[sel]
+        maxnb = int(nb_sel.max()) if nb_sel.size else 0
+        bitmap_idx = pos_r[:, None] + np.arange(maxnb)
+        bitmap = u8[np.minimum(bitmap_idx, len(u8) - 1)]
+        pos_r = pos_r + nb_sel
+
+        arrays = []
+        nc_sel = ncols[sel]
+        for i, (dec, _pa_t) in enumerate(plan):
+            stored = i < nc_sel
+            if i // 8 < maxnb:
+                nullbit = (bitmap[:, i // 8] >> (i % 8) & 1).astype(bool)
+            else:
+                nullbit = np.zeros(len(sel), bool)
+            valid = stored & ~nullbit
+            arrays.append(dec(u8, pos_r, valid))
+        cur[sel] = pos_r
+
+        op_r = np.where(op == 2, 2 if r == 0 else 3, op)[sel]
+        arrays.append(pa.array(op_r, type=pa.int32()))
+        arrays.append(pa.array(gtid[sel], type=pa.int64()))
+        arrays.append(
+            pa.array(ts_s[sel] * 1_000_000, type=pa.timestamp("us"))
+        )
+        arrays.append(pa.array(file_seq_arr[sel], type=pa.int32()))
+        arrays.append(pa.array(event_seq[sel], type=pa.int64()))
+        arrays.append(
+            pa.array((image_base[sel] + r).astype(np.int32), type=pa.int32())
+        )
+        yield len(sel), arrays
+
+    # every event must land exactly on its frame end — a mismatch
+    # means a mis-framed or corrupt value section (failfast, same
+    # contract as the scalar walk's per-event payload slicing)
+    if not np.array_equal(cur, fend):
+        bad = int(np.flatnonzero(cur != fend)[0])
+        raise ValueError(
+            "corrupt packed frame: decoded size mismatch at "
+            f"event_seq {int(event_seq[bad])} "
+            f"(ended at {int(cur[bad])}, frame ends at {int(fend[bad])})"
+        )
 
 
 # ---- event encode (fixture/writer side) -------------------------------------
@@ -820,6 +836,53 @@ EVENT_INPUT_SCHEMA = T.StructType(
 )
 
 
+def _decode_packed_arrow(
+    events: DataFrame, target: T.StructType, table_id: int, out_schema
+) -> DataFrame:
+    """decode_packed's fast path: concatenate each Arrow batch's event
+    payloads into one contiguous buffer and run the shared columnar
+    kernel over it (_decode_event_sections) — output RecordBatches are
+    built straight from numpy, so no Python row objects exist."""
+
+    def walk(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from mysql_cdc_table_spark.sources.datasource import _arrow_schema
+
+        pa_schema = _arrow_schema(out_schema)
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            cols = {
+                name: rb.column(i) for i, name in enumerate(rb.schema.names)
+            }
+            payloads = cols["payload"].to_pylist()
+            lens = np.fromiter((len(b) for b in payloads), np.int64, n)
+            bounds = np.zeros(n + 1, np.int64)
+            np.cumsum(lens, out=bounds[1:])
+            u8 = np.frombuffer(b"".join(payloads), np.uint8)
+            as_np = lambda name, dt: (
+                cols[name].to_numpy(zero_copy_only=False).astype(dt)
+            )
+            for _n_rows, arrays in _decode_event_sections(
+                u8,
+                bounds[:-1].copy(),
+                bounds[1:].copy(),
+                target,
+                table_id,
+                as_np("gtid", np.int64),
+                as_np("ts_s", np.int64),
+                as_np("event_seq", np.int64),
+                np.zeros(n, np.int64),  # image_base: images number 0..n-1
+                as_np("file_seq", np.int32),
+            ):
+                yield pa.RecordBatch.from_arrays(arrays, schema=pa_schema)
+
+    return events.mapInArrow(walk, schema=out_schema)
+
+
 def decode_packed(
     events: DataFrame,
     target: T.StructType,
@@ -843,6 +906,13 @@ def decode_packed(
     if mode not in ("failfast", "permissive"):
         raise ValueError(f"mode must be failfast|permissive, got {mode!r}")
     out_schema = changelog_schema(target)
+    if mode == "failfast" and _vec_plan(target) is not None:
+        # same columnar kernel as the DataSource scan, entered through
+        # mapInArrow (RecordBatches both ways — no pandas, no Python
+        # rows). permissive mode and out-of-vec-space schemas (decimal
+        # >18, sets >8) stay on the closure walk below, which supports
+        # per-event error capture.
+        return _decode_packed_arrow(events, target, table_id, out_schema)
     names = [f.name for f in target.fields]
 
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
