@@ -853,3 +853,34 @@ def test_columnar_plan_falls_back_for_wide_types():
         ]
     )
     assert _vec_plan(bigset) is None
+
+
+def test_bench_schema_stays_on_columnar_path():
+    """The bench DDL (and the typed-roundtrip schema) must keep a vec
+    plan — a field-type change that silently knocks the scan back to
+    the closure walk is a 9x regression the bench would only show as a
+    mystery slowdown."""
+    from mysql_cdc_table_spark.sources.datasource import _parse_ddl
+    from mysql_cdc_table_spark.sources.packed_binlog import _vec_plan
+
+    bench_ddl = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    assert _vec_plan(_parse_ddl(bench_ddl)) is not None
+    typed = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("price", T.DecimalType(12, 2)),
+            T.StructField("status", T.StringType(),
+                          metadata={"mysql_type": "enum",
+                                    "values": ["F", "O", "P"]}),
+            T.StructField("bits", T.LongType(),
+                          metadata={"mysql_type": "bit"}),
+            T.StructField("props", T.StringType(),
+                          metadata={"mysql_type": "json"}),
+            T.StructField("geo", T.BinaryType(),
+                          metadata={"mysql_type": "geometry"}),
+        ]
+    )
+    assert _vec_plan(typed) is not None
