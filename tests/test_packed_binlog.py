@@ -884,3 +884,75 @@ def test_bench_schema_stays_on_columnar_path():
         ]
     )
     assert _vec_plan(typed) is not None
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    imgs=st.lists(_values, min_size=1, max_size=12),
+    ops=st.data(),
+)
+def test_columnar_vs_scalar_property(tmp_path_factory, imgs, ops):
+    """Property fuzz: for arbitrary typed images (full int64 range —
+    including 10-byte varints — arbitrary text/blobs, NULLs anywhere)
+    packed into a mix of insert/update/delete events, the columnar
+    kernel and the scalar closure walk must decode the same file to the
+    same rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    from mysql_cdc_table_spark.sources.datasource import (
+        METADATA_DDL,
+        _arrow_schema,
+        _iter_file_rows,
+        _parse_ddl,
+        _read_sync_footer,
+        write_packed_file,
+    )
+    from mysql_cdc_table_spark.sources.packed_binlog import (
+        decode_buffer_columnar,
+    )
+
+    events = []
+    for i, img in enumerate(imgs):
+        op = ops.draw(st.sampled_from([0, 1, 2]))
+        images = [img, dict(img, c_varchar="after")] if op == 2 else [img]
+        events.append(
+            (i + 1, 1_700_000_000 + i, i + 1, 0,
+             encode_event(5, op, images, TYPED))
+        )
+    d = tmp_path_factory.mktemp("colprop")
+    path = str(d / "f.000001.bin")
+    write_packed_file(path, events)
+
+    out_struct = T.StructType(
+        list(TYPED.fields) + list(_parse_ddl(METADATA_DDL).fields)
+    )
+    names = [f.name for f in out_struct.fields]
+    scalar = [
+        dict(zip(names, row)) for row in _iter_file_rows(path, 1, TYPED, 5)
+    ]
+    info = _read_sync_footer(path)
+    buf = open(path, "rb").read()[: info[0]]
+    schema = _arrow_schema(out_struct)
+    batches = [
+        pa.RecordBatch.from_arrays(arrays, schema=schema)
+        for _n, arrays in decode_buffer_columnar(buf, TYPED, 5, 1)
+    ]
+    columnar = (
+        pa.Table.from_batches(batches, schema=schema).to_pylist()
+        if batches
+        else []
+    )
+    key = lambda r: (r["__event_seq"], r["__image_seq"])
+    scalar.sort(key=key)
+    columnar.sort(key=key)
+    assert len(scalar) == len(columnar)
+    for s, c in zip(scalar, columnar):
+        for k in names:
+            a, b = s[k], c[k]
+            if k == "c_ts" and a is not None:
+                # the scalar walk reconstructs via fromtimestamp(us/1e6)
+                # (float) while Arrow carries integer us — allow the ulp
+                assert abs((a - b).total_seconds()) < 2e-6, (k, a, b)
+            else:
+                assert a == b, (k, a, b)
