@@ -386,6 +386,32 @@ def _valid_buf(valid):
     return pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
 
 
+def _make_scalar_cell_decoder(field: T.StructField, pa_type):
+    """Per-cell closure fallback INSIDE the columnar walk for the few
+    field kinds numpy can't batch (decimal >18 digits — unscaled beyond
+    int64 — and sets with >8 members). Only this field's cells run
+    Python; every other field in the schema stays vectorized. The
+    decoder carries ``needs_raw`` so the section walk hands it the
+    original bytes object (closures slice+decode, which numpy views
+    can't)."""
+    import numpy as np
+    import pyarrow as pa
+
+    closure = _make_decoder(field)
+
+    def dec(raw, pos, valid):
+        idx = np.flatnonzero(valid)
+        out = [None] * len(pos)
+        for j in idx:
+            v, newp = closure(raw, int(pos[j]))
+            out[j] = v
+            pos[j] = newp
+        return pa.array(out, type=pa_type)
+
+    dec.needs_raw = True
+    return dec
+
+
 def _make_vec_decoder(field: T.StructField):
     """-> (fn, pa_type) where fn(u8, pos, valid) decodes the field for
     every row with valid[i] True (mutating pos at those rows) and
@@ -417,8 +443,8 @@ def _make_vec_decoder(field: T.StructField):
         return dec, pa.string()
     if kind == "set":
         values = field.metadata["values"]
-        if len(values) > 8:
-            raise TypeError("set with >8 members: scalar path only")
+        if len(values) > 8:  # 2^k lookup too large: per-cell closure
+            return _make_scalar_cell_decoder(field, pa.string()), pa.string()
         lookup = np.array(
             [
                 ",".join(m for i, m in enumerate(values) if mask >> i & 1)
@@ -488,7 +514,10 @@ def _make_vec_decoder(field: T.StructField):
         return dec, pa_t
     if isinstance(dt_, T.DecimalType):
         if dt_.precision > 18:
-            raise TypeError("decimal >18 digits: scalar path only")
+            # unscaled may exceed int64 (varint >9 bytes): per-cell
+            # closure producing Decimal objects, rest of schema stays vec
+            pa_t = pa.decimal128(dt_.precision, dt_.scale)
+            return _make_scalar_cell_decoder(field, pa_t), pa_t
         pa_t = pa.decimal128(dt_.precision, dt_.scale)
 
         def dec(u8, pos, valid, _pa_t=pa_t):
@@ -601,13 +630,13 @@ def decode_buffer_columnar(
         file_seq_arr = np.full(len(hdr), file_seq, np.int32)
 
         yield from _decode_event_sections(
-            u8, p, fend, target, table_id,
+            u8, buf, p, fend, target, table_id,
             gtid, ts_s, event_seq, image_base, file_seq_arr,
         )
 
 
 def _decode_event_sections(
-    u8, p, fend, target, table_id,
+    u8, raw, p, fend, target, table_id,
     gtid, ts_s, event_seq, image_base, file_seq_arr,
 ):
     """Columnar decode of event payload sections at positions ``p`` with
@@ -661,7 +690,12 @@ def _decode_event_sections(
             else:
                 nullbit = np.zeros(len(sel), bool)
             valid = stored & ~nullbit
-            arrays.append(dec(u8, pos_r, valid))
+            if getattr(dec, "needs_raw", False):
+                if raw is None:
+                    raw = u8.tobytes()
+                arrays.append(dec(raw, pos_r, valid))
+            else:
+                arrays.append(dec(u8, pos_r, valid))
         cur[sel] = pos_r
 
         op_r = np.where(op == 2, 2 if r == 0 else 3, op)[sel]
@@ -862,12 +896,14 @@ def _decode_packed_arrow(
             lens = np.fromiter((len(b) for b in payloads), np.int64, n)
             bounds = np.zeros(n + 1, np.int64)
             np.cumsum(lens, out=bounds[1:])
-            u8 = np.frombuffer(b"".join(payloads), np.uint8)
+            joined = b"".join(payloads)
+            u8 = np.frombuffer(joined, np.uint8)
             as_np = lambda name, dt: (
                 cols[name].to_numpy(zero_copy_only=False).astype(dt)
             )
             for _n_rows, arrays in _decode_event_sections(
                 u8,
+                joined,
                 bounds[:-1].copy(),
                 bounds[1:].copy(),
                 target,

@@ -834,25 +834,46 @@ def test_columnar_decode_corruption_raises(tmp_path):
         list(decode_buffer_columnar(buf, TARGET, 1, 1))
 
 
-def test_columnar_plan_falls_back_for_wide_types():
-    """Schemas outside the vectorized type space (decimal >18 digits,
-    set with >8 members) must yield no vec plan — the DataSource then
-    uses the scalar walk, which supports them."""
+def test_columnar_scalar_cells_for_wide_types(tmp_path):
+    """decimal >18 digits (unscaled beyond int64) and sets with >8
+    members can't batch through numpy — they decode via per-cell
+    closures INSIDE the columnar walk (only those cells run Python;
+    the rest of the schema stays vectorized). Parity with the scalar
+    walk proves the hand-off positions stay exact."""
+    from decimal import Decimal
+
     from mysql_cdc_table_spark.sources.packed_binlog import _vec_plan
 
-    wide = T.StructType([T.StructField("w", T.DecimalType(38, 10))])
-    assert _vec_plan(wide) is None
-    bigset = T.StructType(
+    target = T.StructType(
         [
+            T.StructField("id", T.LongType()),
+            T.StructField("wide", T.DecimalType(38, 10)),
             T.StructField(
                 "s",
                 T.StringType(),
                 metadata={"mysql_type": "set",
                           "values": [f"m{i}" for i in range(9)]},
-            )
+            ),
+            T.StructField("v", T.StringType()),
         ]
     )
-    assert _vec_plan(bigset) is None
+    assert _vec_plan(target) is not None  # no whole-schema cliff
+    rows = [
+        {"id": 1, "wide": Decimal("12345678901234567890.1234567891"),
+         "s": "m0,m8", "v": "x"},
+        {"id": 2, "wide": Decimal("-0.0000000001"), "s": "", "v": "y" * 150},
+        {"id": 3, "wide": None, "s": None, "v": None},
+        {"id": 4, "wide": Decimal("9999999999999999999999999999.0000000001"),
+         "s": "m3", "v": ""},
+    ]
+    events = [
+        (i + 1, 1_700_000_000 + i, i + 1, 0, encode_event(4, 1, [r], target))
+        for i, r in enumerate(rows)
+    ]
+    scalar, columnar = _columnar_vs_scalar(target, events, 4, tmp_path)
+    assert len(scalar) == len(columnar) == len(rows)
+    for s, c in zip(scalar, columnar):
+        assert s == c, (s, c)
 
 
 def test_bench_schema_stays_on_columnar_path():
