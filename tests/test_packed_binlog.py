@@ -977,3 +977,53 @@ def test_columnar_vs_scalar_property(tmp_path_factory, imgs, ops):
                 assert abs((a - b).total_seconds()) < 2e-6, (k, a, b)
             else:
                 assert a == b, (k, a, b)
+
+
+def test_columnar_chunking_boundary(tmp_path):
+    """decode_buffer_columnar with a tiny chunk size must produce the
+    same multiset of rows as one big chunk — chunk boundaries fall
+    mid-update-event stream and must not drop/duplicate images."""
+    import pyarrow as pa
+
+    from mysql_cdc_table_spark.sources.datasource import (
+        METADATA_DDL,
+        _arrow_schema,
+        _parse_ddl,
+        _read_sync_footer,
+        write_packed_file,
+    )
+    from mysql_cdc_table_spark.sources.packed_binlog import (
+        decode_buffer_columnar,
+    )
+
+    mk = lambda i: {"id": i, "v": f"v{i}", "amt": float(i), "n": i, "at": TS}
+    events = []
+    for i in range(23):
+        op = 2 if i % 3 == 0 else 1
+        images = [mk(i), mk(i + 1000)] if op == 2 else [mk(i)]
+        events.append(
+            (i + 1, 1_700_000_000 + i, i + 1, 0,
+             encode_event(3, op, images, TARGET))
+        )
+    path = str(tmp_path / "c.000001.bin")
+    write_packed_file(path, events)
+    info = _read_sync_footer(path)
+    buf = open(path, "rb").read()[: info[0]]
+
+    out_struct = T.StructType(
+        list(TARGET.fields) + list(_parse_ddl(METADATA_DDL).fields)
+    )
+    schema = _arrow_schema(out_struct)
+
+    def run(chunk):
+        batches = [
+            pa.RecordBatch.from_arrays(arrays, schema=schema)
+            for _n, arrays in decode_buffer_columnar(
+                buf, TARGET, 3, 1, chunk_events=chunk
+            )
+        ]
+        rows = pa.Table.from_batches(batches, schema=schema).to_pylist()
+        return sorted(rows, key=lambda r: (r["__event_seq"], r["__image_seq"]))
+
+    assert run(4) == run(10_000)
+    assert len(run(1)) == 23 + sum(1 for i in range(23) if i % 3 == 0)
