@@ -59,20 +59,20 @@ def _packed_scan_query(spark, sf_dir):
     )
 
 
-def _packed_dir(sf_dir: str) -> str:
+def _bench_tmp_dir(prefix: str, sf_dir: str) -> str:
     import hashlib
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"bench_packed_binlog_{tag}")
+    return os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
+
+
+def _packed_dir(sf_dir: str) -> str:
+    return _bench_tmp_dir("bench_packed_binlog", sf_dir)
 
 
 def _envelope_dir(sf_dir: str) -> str:
-    import hashlib
-    import tempfile
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"bench_cdc_envelopes_{tag}")
+    return _bench_tmp_dir("bench_cdc_envelopes", sf_dir)
 
 
 def _stage_envelopes(spark, sf_dir: str) -> None:

@@ -170,11 +170,6 @@ ROUND5_REVERIFY = (
 _ROUND5_WINDOW_FRONT = ROUND5_NEW_KEYS + ROUND5_REVERIFY
 
 
-def _first_seen_rounds() -> dict[str, int]:
-    """key -> earliest driver round (1-based) with a CORRECTNESS row."""
-    return _seen_rounds(latest=False)
-
-
 def _last_seen_rounds() -> dict[str, int]:
     """key -> LATEST driver round with a CORRECTNESS row — the staleness
     metric the backfill sorts by. (First-seen is the wrong metric: a key
@@ -183,10 +178,6 @@ def _last_seen_rounds() -> dict[str, int]:
     fixed the sort — with first-seen, 22 of the 27 r01-STANDING rows
     were silently pushed out of the window by keys that already had
     fresh rows.)"""
-    return _seen_rounds(latest=True)
-
-
-def _seen_rounds(latest: bool) -> dict[str, int]:
     import json
     from pathlib import Path
 
@@ -199,10 +190,7 @@ def _seen_rounds(latest: bool) -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for key in rows:
-            if latest:
-                seen[key] = rnd
-            else:
-                seen.setdefault(key, rnd)
+            seen[key] = rnd
     return seen
 
 

@@ -477,8 +477,11 @@ def emb_centroid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ReusedExchange covers the self-join but the norms branch can
         # re-run the posexplode+agg over the fact table — cut the
         # lineage once here (the grid is labels x dims, a few hundred
-        # rows), so the fact table is scanned exactly once
-        .localCheckpoint()
+        # rows), so the fact table is scanned exactly once.
+        # eager=False: the default eager=True runs the whole job at
+        # DataFrame BUILD time, which would bill a fact-table scan to
+        # every caller that merely constructs or EXPLAINs the query
+        .localCheckpoint(eager=False)
     )
     a, b = cent.alias("a"), cent.alias("b")
     dots = (

@@ -314,7 +314,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
-        F.round(F.avg("nll"), 6).alias("avg_nll"),
+        (F.round(F.avg("nll"), 6) + F.lit(0.0)).alias("avg_nll"),
     )
 
 
@@ -330,7 +330,7 @@ scored AS (
   FROM terms JOIN counts USING (term), total
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       round(avg(nll), 6) AS avg_nll
+       round(avg(nll), 6) + 0.0 AS avg_nll
 FROM scored GROUP BY doc_id
 """
 
@@ -420,8 +420,12 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id",
         "ts",
-        F.round(
-            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac, 6
+        (
+            F.round(
+                F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac,
+                6,
+            )
+            + F.lit(0.0)  # normalize -0.0 (cross-engine hash parity)
         ).alias("value"),
     )
 
@@ -468,7 +472,7 @@ walked AS (
 SELECT user_id, ts,
        round(prev_v + (next_v - prev_v)
              * (CAST(epoch_us(ts) - prev_us AS DOUBLE)
-                / CAST(next_us - prev_us AS DOUBLE)), 6) AS value
+                / CAST(next_us - prev_us AS DOUBLE)), 6) + 0.0 AS value
 FROM walked WHERE is_grid = 1
 """
 
@@ -530,10 +534,8 @@ def join_dim_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from mysql_cdc_table_spark.cdc.synthetic import CHANGELOG_CTE as _CL_CTE2
-
 JOIN_DIM_SNAPSHOT_SQL = f"""
-WITH {_CL_CTE2},
+WITH {_CL_CTE},
 versions AS (SELECT * FROM changelog WHERE __op <> 2),
 iv AS (
   SELECT o_orderkey, o_orderstatus, o_totalprice, __op, __gtid,
@@ -644,7 +646,7 @@ def cdc_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CDC_ORPHAN_AUDIT_SQL = f"""
-WITH {_CL_CTE2},
+WITH {_CL_CTE},
 pruned AS (
   SELECT * FROM changelog
   WHERE NOT (__op = 1 AND o_orderkey % 13 = 0)
@@ -848,11 +850,14 @@ def ts_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     prev_v = F.lag("value").over(w)
     prev_us = F.lag(us).over(w)
+    # + 0.0 normalizes IEEE negative zero: Spark's round gives 0.0 where
+    # DuckDB's gives -0.0 for tiny negative deltas; the value hash
+    # formats them differently (same idiom as emb_centroid_pairs)
     rate = F.round(
         (F.col("value") - prev_v)
         / ((us - prev_us).cast("double") / F.lit(1_000_000.0)),
         6,
-    )
+    ) + F.lit(0.0)
     return ev.select(
         "event_id", "user_id", rate.alias("rate_per_sec")
     )
@@ -868,7 +873,7 @@ WITH lagged AS (
 )
 SELECT event_id, user_id,
        round((value - prev_v)
-             / (CAST(us - prev_us AS DOUBLE) / 1000000.0), 6)
+             / (CAST(us - prev_us AS DOUBLE) / 1000000.0), 6) + 0.0
          AS rate_per_sec
 FROM lagged
 """

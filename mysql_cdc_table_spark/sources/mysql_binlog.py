@@ -177,12 +177,23 @@ def _zstd_ctypes() -> tuple | None:
             cap = max(16 * len(data), 1 << 16)  # streamed frame, no size
         # Both the frame header's content size and the TLV expected size
         # are untrusted file bytes: clamp the allocation so a crafted
-        # frame can't demand a near-2^64 buffer. zstd's max practical
-        # ratio is ~1000:1 (RLE frames); 2^30 floors tiny inputs.
-        cap = min(cap, max(1024 * len(data), 1 << 30))
+        # frame can't demand a near-2^64 buffer. 4096:1 covers any
+        # realistic transaction payload (zstd RLE tops out far below it
+        # per MB of input); 2^30 floors tiny inputs. If a legitimate
+        # frame ever exceeds the clamp, the error below says so
+        # explicitly instead of masquerading as corruption.
+        want = cap
+        cap = min(cap, max(4096 * len(data), 1 << 30))
         dst = ctypes.create_string_buffer(cap or 1)
         n = lib.ZSTD_decompress(dst, cap, data, len(data))
         if lib.ZSTD_isError(n):
+            if cap < want:
+                raise ValueError(
+                    f"libzstd decompress failed (code {n}); declared "
+                    f"content size {want} exceeded the allocation clamp "
+                    f"{cap} — if the frame is legitimate, decompress it "
+                    "with the zstandard package backend instead"
+                )
             raise ValueError(f"libzstd decompress failed (code {n})")
         return dst.raw[:n]
 

@@ -343,8 +343,9 @@ def _decoder_plan(target: T.StructType) -> list:
 def _varint_vec(u8, pos):
     """Vectorized LEB128: decode one varint at each position. ``pos`` is
     an int64 array (NOT mutated); returns (values int64, new_pos).
-    Raises if any varint exceeds 9 bytes (>63 bits) — wider varints
-    (DECIMAL(>18) payloads) must use the scalar fallback path."""
+    Raises on any varint wider than 64 bits — the 10th byte may only
+    contribute bit 63 (values beyond int64, e.g. DECIMAL(>18) payloads,
+    go through the per-cell scalar fallback instead)."""
     import numpy as np
 
     vals = np.zeros(len(pos), np.uint64)
@@ -353,12 +354,15 @@ def _varint_vec(u8, pos):
     active = np.arange(len(pos))
     while len(active):
         b = u8[p[active]]
+        if shift == 63 and bool(((b & 0x7F) > 1).any()):
+            # bits 64+ would silently wrap out of the uint64 below
+            raise ValueError("varint overflows 64 bits")
         vals[active] |= (b & 0x7F).astype(np.uint64) << np.uint64(shift)
         p[active] += 1
         active = active[b >= 0x80]
         shift += 7
         if shift > 63 and len(active):
-            raise ValueError("varint too wide for columnar decode")
+            raise ValueError("varint overflows 64 bits")
     return vals.view(np.int64), p
 
 
@@ -368,8 +372,16 @@ def _gather_bytes_vec(u8, pos, lens):
     import numpy as np
 
     total = int(lens.sum())
-    if lens.size and int(lens.max()) > len(u8):
-        raise ValueError("corrupt length prefix in packed event")
+    # valid values are disjoint slices of the chunk buffer, so their
+    # total can never exceed it — this single bound kills both the
+    # corrupt-length OOM (sum of huge claimed lens allocating TBs of
+    # gather indices) and any int32 offset overflow (chunks are also
+    # byte-bounded by the caller, far below 2^31)
+    if total > len(u8):
+        raise ValueError(
+            "corrupt length prefixes in packed events: values claim "
+            f"{total} bytes, chunk has {len(u8)}"
+        )
     offsets = np.zeros(len(pos) + 1, np.int64)
     np.cumsum(lens, out=offsets[1:])
     src = np.repeat(pos, lens) + (np.arange(total) - np.repeat(offsets[:-1], lens))
@@ -618,9 +630,26 @@ def decode_buffer_columnar(
     if pos != end:
         raise ValueError(f"frame at offset {hdr_starts[-1]} overruns range end {end}")
 
-    for lo in range(0, len(hdr_starts), chunk_events):
-        hdr = np.array(hdr_starts[lo : lo + chunk_events], np.int64)
-        fend = np.array(frame_ends[lo : lo + chunk_events], np.int64)
+    # chunk by event count AND by bytes: every value a chunk decodes is
+    # a slice of the chunk's own frames, so capping chunk bytes at
+    # 256 MiB bounds each column's gathered total far below the 2^31
+    # Arrow int32-offset limit — even for a footer-less legacy file
+    # read as one multi-GB partition
+    chunk_bytes = 1 << 28
+    bounds = [0]
+    for i, fe in enumerate(frame_ends):
+        if (
+            i - bounds[-1] >= chunk_events
+            or fe - hdr_starts[bounds[-1]] > chunk_bytes
+        ) and i > bounds[-1]:
+            bounds.append(i)
+    bounds.append(len(hdr_starts))
+
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        if hi <= lo:
+            continue
+        hdr = np.array(hdr_starts[lo:hi], np.int64)
+        fend = np.array(frame_ends[lo:hi], np.int64)
 
         # frame header varints, vectorized across the chunk
         gtid, p = _varint_vec(u8, hdr)
