@@ -516,10 +516,14 @@ def test_json_diff_apply_equals_full_update_fuzz(doc, new_val):
     assert applied == full
 
 
-def test_zstd_partial_json_through_file_reader(spark, tmp_path):
+@pytest.mark.parametrize("checksum", [False, True])
+def test_zstd_partial_json_through_file_reader(spark, tmp_path, checksum):
     """Integration: a binlog FILE whose transactions are BOTH
     zstd-compressed AND carry JSON partial updates decodes through the
-    public mysql_binlog_read path (not just decode_binlog_bytes)."""
+    public mysql_binlog_read path (not just decode_binlog_bytes) —
+    with and without CRC32 checksums on the carrier events (MySQL 8
+    defaults to checksum=CRC32 AND transaction compression available,
+    so the triple combination is a real deployment)."""
     from mysql_cdc_table_spark.cdc.schema import CDC_INSERT
     from mysql_cdc_table_spark.sources import mysql_binlog as mb
     from mysql_cdc_table_spark.sources.mysql_binlog import mysql_binlog_read
@@ -538,7 +542,9 @@ def test_zstd_partial_json_through_file_reader(spark, tmp_path):
         {"gno": 6, "op": "pu",
          "rows": [(before, {"id": 1}, {"doc": [("replace", "$.a", 9)]})]},
     ]
-    blob = build_binlog_file("d", "t", tgt, txns, payload_wrap="zstd")
+    blob = build_binlog_file(
+        "d", "t", tgt, txns, payload_wrap="zstd", checksum=checksum
+    )
     (tmp_path / "binlog.000001").write_bytes(blob)
     rows = (
         mysql_binlog_read(spark, str(tmp_path), tgt, "d", "t")
