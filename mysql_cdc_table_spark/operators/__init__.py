@@ -169,6 +169,16 @@ ROUND5_REVERIFY = (
 # touching r02-first-seen rows.
 _ROUND5_WINDOW_FRONT = ROUND5_NEW_KEYS + ROUND5_REVERIFY
 
+# Registered late in round 5 AFTER the 50-slot window filled exactly
+# (15 new + 7 re-verify + 27 r01-standing + 1 backfill): pinned BEHIND
+# the window so they cannot evict the stalest standing rows; they lead
+# the round-6 window for their first driver rows — the same protocol
+# ROUND3_LATE_KEYS followed into round 4.
+ROUND5_LATE_KEYS: tuple[str, ...] = (
+    "cdc_apply_merge",
+    "window_rolling_median",
+)
+
 
 def _last_seen_rounds() -> dict[str, int]:
     """key -> LATEST driver round with a CORRECTNESS row — the staleness
@@ -199,13 +209,14 @@ def _rotate(out: dict) -> dict:
     other key stalest-first (earliest driver round, registry order as
     the tie-break; never-seen keys sort first so they cannot hide)."""
     front = {k: out[k] for k in _ROUND5_WINDOW_FRONT if k in out}
+    late = {k: out[k] for k in ROUND5_LATE_KEYS if k in out}
     seen = _last_seen_rounds()
     order = {k: i for i, k in enumerate(out)}
     rest_keys = sorted(
-        (k for k in out if k not in front),
+        (k for k in out if k not in front and k not in late),
         key=lambda k: (seen.get(k, 0), order[k]),
     )
-    return {**front, **{k: out[k] for k in rest_keys}}
+    return {**front, **{k: out[k] for k in rest_keys}, **late}
 
 
 def _load() -> list:

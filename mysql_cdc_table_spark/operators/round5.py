@@ -993,3 +993,144 @@ ORACLES.update(
         "subquery_not_in_null": SUBQUERY_NOT_IN_NULL_SQL,
     }
 )
+
+
+# --- late keys (registered in round 5, driver window row in round 6) ---------
+
+
+def cdc_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse CDC primitive: MERGE a changelog into an existing
+    snapshot — upserts overwrite, deletes remove, untouched rows stay.
+    Here the 'snapshot' is the orders table itself with every price
+    marked stale (-1 cents via a sentinel status suffix is avoided;
+    we track provenance with a source column instead) and the changelog
+    is the synthetic one; the merged output must contain exactly the
+    changelog's survivors with fresh values plus the untouched
+    snapshot rows.
+
+    Shape: latest_state over the changelog (one keyed shuffle) + ONE
+    full-outer equi-join on the key — the batch equivalent of
+    foreachBatch MERGE; with a bucketed/mergeable store the join
+    becomes co-located or file-skipping MERGE INTO."""
+    from mysql_cdc_table_spark.cdc import ops
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+
+    snap = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.lit("snapshot").alias("src"),
+    )
+    cl = synthetic_changelog(spark, sf_dir)
+    state = ops.latest_state(cl, ["o_orderkey"])  # tombstones dropped
+    fresh = state.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.lit("changelog").alias("src"),
+    )
+    # deleted keys must vanish even from the snapshot side
+    deleted = (
+        cl.groupBy("o_orderkey")
+        .agg(
+            F.max_by(
+                "__op",
+                F.struct("__gtid", "__event_seq", "__image_seq"),
+            ).alias("last_op")
+        )
+        .filter(F.col("last_op") == 0)
+        .select(F.col("o_orderkey").alias("key"))
+    )
+    merged = (
+        snap.join(fresh, "key", "left_anti")
+        .join(deleted, "key", "left_anti")
+        .unionByName(fresh)
+    )
+    return merged.groupBy("src", "status").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("cents").alias("cents_sum"),
+    )
+
+
+CDC_APPLY_MERGE_SQL = f"""
+WITH {_CL_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey
+      ORDER BY __gtid DESC, __event_seq DESC, __image_seq DESC) AS __rn
+  FROM changelog
+),
+state AS (SELECT * FROM ranked WHERE __rn = 1 AND __op <> 0),
+deleted AS (SELECT o_orderkey FROM ranked WHERE __rn = 1 AND __op = 0),
+fresh AS (
+  SELECT o_orderkey AS key, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         'changelog' AS src
+  FROM state
+),
+snap AS (
+  SELECT o_orderkey AS key, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         'snapshot' AS src
+  FROM orders
+),
+merged AS (
+  SELECT * FROM snap
+  WHERE key NOT IN (SELECT key FROM fresh)
+    AND key NOT IN (SELECT o_orderkey FROM deleted)
+  UNION ALL
+  SELECT * FROM fresh
+)
+SELECT src, status, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS cents_sum
+FROM merged GROUP BY src, status
+"""
+
+
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median of the last 5 events per user — the p50
+    smoother dashboards run over latency/value series. Exact percentile
+    over a bounded ROWS frame: state per window position is 5 values,
+    partition-parallel by user."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-4, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.round(F.expr("percentile(value, 0.5)").over(w), 6) + F.lit(0.0))
+        .alias("rolling_p50"),
+    )
+
+
+WINDOW_ROLLING_MEDIAN_SQL = """
+SELECT event_id, user_id,
+       round(quantile_cont(value, 0.5) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) + 0.0
+         AS rolling_p50
+FROM events
+"""
+
+
+# Late registration: these two keys are documented ROUND5_LATE_KEYS —
+# they sit BEHIND the 50-slot driver window this round (the window is
+# exactly filled by 15 new + 7 re-verify + 27 r01-standing + 1) and
+# lead the round-6 window for their first driver rows, the same
+# protocol ROUND3_LATE_KEYS followed.
+QUERIES.update(
+    {
+        "cdc_apply_merge": cdc_apply_merge,
+        "window_rolling_median": window_rolling_median,
+    }
+)
+
+ORACLES.update(
+    {
+        "cdc_apply_merge": CDC_APPLY_MERGE_SQL,
+        "window_rolling_median": WINDOW_ROLLING_MEDIAN_SQL,
+    }
+)

@@ -117,15 +117,31 @@ def test_driver_window_composition():
     front = [k for k in _ROUND5_WINDOW_FRONT if k in keys]
     assert window[: len(front)] == front, "registry front diverged from plan"
 
-    # every key with NO driver row ever must be in the window
+    # every key with NO driver row ever must be in the window — except
+    # the documented ROUND5_LATE_KEYS, pinned BEHIND it (they registered
+    # after the window filled exactly and lead round 6, the protocol
+    # ROUND3_LATE_KEYS followed)
+    from mysql_cdc_table_spark.operators import ROUND5_LATE_KEYS
+
     seen = _last_seen_rounds()
     never_seen = [k for k in keys if k not in seen]
-    missing = [k for k in never_seen if k not in window]
+    missing = [
+        k for k in never_seen
+        if k not in window and k not in ROUND5_LATE_KEYS
+    ]
     assert not missing, f"never-driver-seen keys fell out of the window: {missing}"
+    assert keys[-len(ROUND5_LATE_KEYS):] == list(ROUND5_LATE_KEYS), (
+        "late keys must sit at the very end of the registry"
+    )
 
     # backfill tail is stalest-first by LAST-seen round (the staleness
-    # metric — first-seen would mark re-verified keys as stale)
-    tail_rounds = [seen.get(k, 0) for k in keys[len(front):]]
+    # metric — first-seen would mark re-verified keys as stale); the
+    # pinned-last late keys are outside the ordering
+    tail_rounds = [
+        seen.get(k, 0)
+        for k in keys[len(front):]
+        if k not in ROUND5_LATE_KEYS
+    ]
     assert tail_rounds == sorted(tail_rounds), (
         "window backfill is not stalest-first"
     )
