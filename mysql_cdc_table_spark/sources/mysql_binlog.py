@@ -1561,6 +1561,13 @@ def decode_binlog_bytes(
     tdefs: dict[int, _TableDef] = {}
     out: list[dict] = []
     want_src = gtid_format == "uuid_gno"
+    # MySQL re-emits an IDENTICAL TABLE_MAP before every transaction's
+    # rows; re-parsing it per event cost ~16% of decode (profiled at
+    # 20k txns). Memoize on the exact body bytes (None = foreign table)
+    # — a schema change produces different bytes and refreshes
+    # naturally, and interleaved multi-table streams each hit their own
+    # entry. Distinct bodies are bounded by tables x schema generations.
+    map_cache: dict[bytes, tuple | None] = {}
 
     def handle(tc: int, body: bytes, ets: int, event_seq: int) -> None:
         nonlocal gtid, gtid_src
@@ -1569,6 +1576,12 @@ def decode_binlog_bytes(
             if want_src:
                 gtid_src = _sid_to_uuid(body[1:17])
         elif tc == EV_TABLE_MAP:
+            key = bytes(body)
+            if key in map_cache:
+                hit = map_cache[key]
+                if hit is not None:
+                    tdefs[hit[0]] = hit[1]
+                return
             dblen = body[8]
             db_ = body[9 : 9 + dblen].decode()
             tpos = 9 + dblen + 1
@@ -1580,6 +1593,9 @@ def decode_binlog_bytes(
             if db_ == database and tbl_ == table:
                 tid2, tdef = _parse_table_map(body, target_cols)
                 tdefs[tid2] = tdef
+                map_cache[key] = (tid2, tdef)
+            else:
+                map_cache[key] = None
         elif tc in (
             EV_WRITE_ROWS_V2,
             EV_UPDATE_ROWS_V2,
