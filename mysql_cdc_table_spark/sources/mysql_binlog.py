@@ -1523,6 +1523,8 @@ def decode_binlog_bytes(
     file_seq: int = 1,
     mode: str = "permissive",
     gtid_format: str = "long",
+    init_state: dict | None = None,
+    seq_base: int = 0,
 ) -> list[dict]:
     """Sequential event walk of one binlog file: dispatch on type code
     (reference ``:173-429`` incl. the default-skip), filter to the
@@ -1546,15 +1548,22 @@ def decode_binlog_bytes(
     multi-source surface the envelope path already has; (__gtid_src,
     __gtid) is totally ordered within a source, exactly MySQL's
     guarantee. The reference extracts only the GNO (its multi-source
-    block is commented out, binlog_table_reader.cc:418-425)."""
-    if blob[:4] != BINLOG_MAGIC:
+    block is commented out, binlog_table_reader.cc:418-425).
+
+    ``init_state``/``seq_base`` serve the parallel single-file scan
+    (``scan_binlog_splits``): ``blob`` is then a mid-file RANGE starting
+    at an event boundary (no magic), the carried decoder state —
+    ``{"checksum", "gtid", "sid", "table_maps"}`` — is replayed before
+    the walk, and every ``__event_seq`` offsets by ``seq_base`` so split
+    decode emits byte-identical ordering keys to the whole-file walk."""
+    if init_state is None and blob[:4] != BINLOG_MAGIC:
         raise ValueError("not a binlog file (bad magic)")
     if mode not in ("permissive", "strict"):
         raise ValueError(f"mode must be permissive|strict, got {mode!r}")
     if gtid_format not in ("long", "uuid_gno"):
         raise ValueError(f"gtid_format must be long|uuid_gno, got {gtid_format!r}")
     target_cols = _cols_from_schema(target)
-    pos = 4
+    pos = 0 if init_state is not None else 4
     checksum: bool | None = None
     gtid: int | None = None
     gtid_src: str | None = None
@@ -1680,6 +1689,18 @@ def decode_binlog_bytes(
             )
         # else: rotate/xid/query/... -> skip (reference default branch)
 
+    if init_state is not None:
+        # replay carried state for a mid-file range: checksum flag from
+        # the file's FDE, the pending GTID, and the latest TABLE_MAP
+        # bodies seen before the range start
+        checksum = init_state.get("checksum")
+        gtid = init_state.get("gtid")
+        sid0 = init_state.get("sid")
+        if want_src and sid0 is not None:
+            gtid_src = _sid_to_uuid(sid0)
+        for map_body in init_state.get("table_maps", []):
+            handle(EV_TABLE_MAP, map_body, 0, seq_base)
+
     while pos + _HEADER_LEN <= len(blob):
         ets, tc, _sid, esize, _lpos, _flags = _HEADER.unpack_from(blob, pos)
         if esize < _HEADER_LEN or pos + esize > len(blob):
@@ -1690,7 +1711,7 @@ def decode_binlog_bytes(
                 )
             break  # partial trailing event: consumed on the next rotation
         ev = blob[pos : pos + esize]
-        event_seq = pos
+        event_seq = seq_base + pos
         pos += esize
         if tc == EV_FORMAT_DESCRIPTION:
             checksum = _detect_checksum(ev)
@@ -1831,6 +1852,186 @@ def mysql_binlog_read(
     else:
         files = spark.read.format("binaryFile").load(path)
     return _decode_files(files, target, database, table, gtid_format)
+
+
+def scan_binlog_splits(
+    blob: bytes, target_split_bytes: int = 64 << 20
+) -> list[dict]:
+    """Sequential HEADER walk of one binlog file (no row decode — just
+    the 19-byte headers plus GTID/TABLE_MAP bodies), emitting split
+    specs for parallel range decode. Boundaries are placed ONLY at GTID
+    event starts (= transaction starts), so every rows event's GTID and
+    its transaction's TABLE_MAP re-emission lie inside the same range;
+    each spec carries the state a mid-file decoder must replay: the
+    FDE's checksum flag, the pending GTID + server id, and the latest
+    TABLE_MAP body per table id (covering writers that do NOT re-emit
+    maps per transaction). The truncated active tail stays attached to
+    the last range (permissive decode handles it)."""
+    if blob[:4] != BINLOG_MAGIC:
+        raise ValueError("not a binlog file (bad magic)")
+    pos = 4
+    checksum: bool | None = None
+    gtid: int | None = None
+    sid: bytes | None = None
+    maps: dict[int, bytes] = {}
+    splits: list[dict] = []
+    cur_start = 4
+    cur_state: dict = {
+        "checksum": None, "gtid": None, "sid": None, "table_maps": [],
+    }
+    while pos + _HEADER_LEN <= len(blob):
+        _ets, tc, _s, esize, _lp, _fl = _HEADER.unpack_from(blob, pos)
+        if esize < _HEADER_LEN or pos + esize > len(blob):
+            break  # truncated active tail: stays in the final range
+        if tc == EV_GTID and pos - cur_start >= target_split_bytes:
+            splits.append({"start": cur_start, "end": pos, **cur_state})
+            cur_start = pos
+            cur_state = {
+                "checksum": checksum,
+                "gtid": gtid,
+                "sid": sid,
+                "table_maps": list(maps.values()),
+            }
+        ev = blob[pos : pos + esize]
+        if tc == EV_FORMAT_DESCRIPTION:
+            checksum = _detect_checksum(ev)
+        elif tc in (EV_GTID, EV_TABLE_MAP):
+            body = ev[_HEADER_LEN : len(ev) - (4 if checksum else 0)]
+            if tc == EV_GTID:
+                gtid = struct.unpack_from("<q", body, 17)[0]
+                sid = bytes(body[1:17])
+            else:
+                tid = int.from_bytes(body[0:6], "little")
+                maps[tid] = bytes(body)
+        pos += esize
+    splits.append({"start": cur_start, "end": len(blob), **cur_state})
+    return splits
+
+
+_SPLIT_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("file_seq", T.IntegerType()),
+        T.StructField("start", T.LongType()),
+        T.StructField("end", T.LongType()),
+        T.StructField("checksum", T.IntegerType()),  # -1 unknown, 0, 1
+        T.StructField("gtid", T.LongType()),
+        T.StructField("sid", T.BinaryType()),
+        T.StructField("maps", T.BinaryType()),  # 4-byte-LE length-prefixed
+    ]
+)
+
+
+def _pack_maps(bodies: list[bytes]) -> bytes:
+    out = bytearray()
+    for b in bodies:
+        out += len(b).to_bytes(4, "little") + b
+    return bytes(out)
+
+
+def _unpack_maps(blob: bytes) -> list[bytes]:
+    out, pos = [], 0
+    while pos < len(blob):
+        ln = int.from_bytes(blob[pos : pos + 4], "little")
+        out.append(blob[pos + 4 : pos + 4 + ln])
+        pos += 4 + ln
+    return out
+
+
+def mysql_binlog_read_parallel(
+    spark: SparkSession,
+    path: str,
+    target: T.StructType,
+    database: str,
+    table: str,
+    *,
+    split_bytes: int = 64 << 20,
+    gtid_format: str = "long",
+) -> DataFrame:
+    """Parallel decode of LARGE binlog files — the scan the reference
+    cannot express (its unit is one file walked sequentially,
+    binlog_table_reader.cc:75-96; ours usually is too, because MySQL
+    rotates at max_binlog_size — but a 50 GB relay/restore file is one
+    task under both). Two stages, both distributed:
+
+    1. header-walk each file in parallel (scan_binlog_splits — IO-bound,
+       no row decode) emitting small split specs with carried state;
+    2. re-open each file at its range offsets and decode ranges in
+       parallel (decode_binlog_bytes with init_state/seq_base).
+
+    Equality with mysql_binlog_read is structural: ranges cut only at
+    transaction starts, carried TABLE_MAP/GTID/checksum state replays
+    first, and __event_seq stays the ABSOLUTE file offset — byte-
+    identical rows, any split size. Stage 2 reopens paths with plain
+    ``open`` (same executor-local contract as the packed DataSource);
+    on object stores mount or use the packed source."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def make_splits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                local = str(fpath)
+                if local.startswith("file://"):
+                    local = local[len("file://") :]
+                elif local.startswith("file:"):
+                    local = local[len("file:") :]
+                fseq = _file_seq_of(local)
+                for s in scan_binlog_splits(bytes(content), split_bytes):
+                    yield pd.DataFrame(
+                        {
+                            "path": [local],
+                            "file_seq": [fseq],
+                            "start": [s["start"]],
+                            "end": [s["end"]],
+                            "checksum": [
+                                -1 if s["checksum"] is None
+                                else int(s["checksum"])
+                            ],
+                            "gtid": pd.Series([s["gtid"]], dtype="object"),
+                            "sid": pd.Series([s["sid"]], dtype="object"),
+                            "maps": [_pack_maps(s["table_maps"])],
+                        }
+                    )
+
+    splits = files.select("path", "content").mapInPandas(
+        make_splits, schema=_SPLIT_SCHEMA
+    )
+    splits = splits.repartition(spark.sparkContext.defaultParallelism)
+
+    out_schema = _binlog_out_schema(target, gtid_format)
+    names = [f.name for f in out_schema.fields]
+
+    def decode_range(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                with open(row.path, "rb") as fh:
+                    fh.seek(row.start)
+                    blob = fh.read(row.end - row.start)
+                # Arrow->pandas renders a null int64 as NaN, not None
+                state = {
+                    "checksum": None if row.checksum < 0 else bool(row.checksum),
+                    "gtid": None if pd.isna(row.gtid) else int(row.gtid),
+                    "sid": None if row.sid is None else bytes(row.sid),
+                    "table_maps": _unpack_maps(bytes(row.maps)),
+                }
+                rows = decode_binlog_bytes(
+                    blob,
+                    target,
+                    database,
+                    table,
+                    file_seq=int(row.file_seq),
+                    gtid_format=gtid_format,
+                    init_state=state,
+                    seq_base=int(row.start),
+                )
+                if rows:
+                    yield pd.DataFrame(
+                        {n: [r.get(n) for r in rows] for n in names}
+                    )
+
+    return splits.mapInPandas(decode_range, schema=out_schema)
 
 
 def mysql_binlog_read_stream(

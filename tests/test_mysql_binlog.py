@@ -1194,3 +1194,63 @@ def test_tail_stream_latest_state_across_alter_boundary(spark, tmp_path):
     want = {row["id"]: (row["v"], row["note"])
             for row in latest_state(batch_cl, ["id"]).collect()}
     assert got2 == want
+
+
+def test_parallel_split_read_equals_whole_file(spark, tmp_path):
+    """mysql_binlog_read_parallel must emit BYTE-IDENTICAL rows to the
+    sequential whole-file read, for any split size: boundaries cut only
+    at transaction starts, carried TABLE_MAP/GTID/checksum state
+    replays, and __event_seq stays the absolute file offset. The
+    fixture stacks the hard cases: CRC32 checksums, a zstd-compressed
+    section, a mid-file ALTER TABLE ADD COLUMN, and a second rotated
+    file — with split_bytes tiny enough to force many ranges."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        mysql_binlog_read,
+        mysql_binlog_read_parallel,
+        scan_binlog_splits,
+    )
+
+    new_target = T.StructType(
+        list(TARGET.fields) + [T.StructField("note", T.StringType())]
+    )
+    r = lambda i, note=None: {
+        "id": i, "v": f"v{i}", "amt": Decimal(i) % 1000,
+        **({"note": note} if note is not None else {}),
+    }
+    old_txns = [
+        _txn(i, "u" if i % 5 == 0 else "w",
+             [(r(i), r(i + 1))] if i % 5 == 0 else [r(i), r(i + 10000)])
+        for i in range(1, 120)
+    ]
+    new_txns = [_txn(200 + i, "w", [r(i, note=f"n{i}")]) for i in range(40)]
+    pre = build_binlog_file("d", "t", TARGET, old_txns, checksum=True)
+    post = build_binlog_file(
+        "d", "t", new_target, new_txns, checksum=True, payload_wrap="zstd"
+    )
+    blob1 = pre + post[4:]  # mid-file ALTER: old + new generations
+    (tmp_path / "binlog.000001").write_bytes(blob1)
+    (tmp_path / "binlog.000002").write_bytes(
+        build_binlog_file(
+            "d", "t", new_target,
+            [_txn(500, "d", [r(3, note=None)])], checksum=True,
+        )
+    )
+
+    n_splits = len(scan_binlog_splits(blob1, target_split_bytes=2048))
+    assert n_splits > 5, f"fixture too small to exercise splitting ({n_splits})"
+
+    key = lambda row: (row["__file_seq"], row["__event_seq"], row["__image_seq"])
+    seq = sorted(
+        (row.asDict() for row in mysql_binlog_read(
+            spark, str(tmp_path), new_target, "d", "t").collect()),
+        key=key,
+    )
+    par = sorted(
+        (row.asDict() for row in mysql_binlog_read_parallel(
+            spark, str(tmp_path), new_target, "d", "t",
+            split_bytes=2048).collect()),
+        key=key,
+    )
+    assert len(seq) == len(par) > 250
+    for a, b in zip(seq, par):
+        assert a == b, (a, b)
