@@ -1254,3 +1254,61 @@ def test_parallel_split_read_equals_whole_file(spark, tmp_path):
     assert len(seq) == len(par) > 250
     for a, b in zip(seq, par):
         assert a == b, (a, b)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    txns=st.lists(
+        st.tuples(
+            st.sampled_from(["w", "d", "u"]),
+            st.lists(_row_strategy, min_size=1, max_size=3),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    checksum=st.booleans(),
+    payload_wrap=st.booleans(),
+    split_bytes=st.sampled_from([1, 64, 300, 1 << 20]),
+)
+def test_split_decode_property(txns, checksum, payload_wrap, split_bytes):
+    """Split invariant: for ARBITRARY scripts and ANY split size
+    (1 byte forces a cut at every transaction; 1 MiB none), decoding
+    every scan_binlog_splits range with its carried state and
+    concatenating reproduces the whole-file decode EXACTLY — rows,
+    ordering keys, and absolute __event_seq included."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        scan_binlog_splits,
+    )
+
+    script = [
+        {"gno": 100 + i, "op": op,
+         "rows": [( {**r, "v": (r["v"] or "") + "!"}, r) for r in rows]
+                 if op == "u" else list(rows)}
+        for i, (op, rows) in enumerate(txns)
+    ]
+    blob = build_binlog_file(
+        "d", "t", TARGET, script,
+        checksum=checksum,
+        payload_wrap="zstd" if payload_wrap else False,
+    )
+    try:
+        whole = decode_binlog_bytes(blob, TARGET, "d", "t")
+    except ValueError:
+        import pytest as _pytest
+        _pytest.skip("no zstd backend")
+    pieces = []
+    splits = scan_binlog_splits(blob, target_split_bytes=split_bytes)
+    for s in splits:
+        pieces.extend(
+            decode_binlog_bytes(
+                blob[s["start"] : s["end"]], TARGET, "d", "t",
+                init_state={
+                    "checksum": s["checksum"], "gtid": s["gtid"],
+                    "sid": s["sid"], "table_maps": s["table_maps"],
+                },
+                seq_base=s["start"],
+            )
+        )
+    assert pieces == whole
+    if split_bytes == 1 and len(txns) > 1:
+        assert len(splits) > 1  # tiny target really does split
