@@ -177,6 +177,7 @@ _ROUND5_WINDOW_FRONT = ROUND5_NEW_KEYS + ROUND5_REVERIFY
 ROUND5_LATE_KEYS: tuple[str, ...] = (
     "cdc_apply_merge",
     "window_rolling_median",
+    "cdc_binlog_parallel_roundtrip",
 )
 
 

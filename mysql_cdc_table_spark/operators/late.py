@@ -24,6 +24,7 @@ from mysql_cdc_table_spark.sources.mysql_binlog import (
     CDC_MYSQL_BINLOG_ROUNDTRIP_SQL,
     cdc_binlog_latest_state,
     cdc_binlog_multi_table,
+    cdc_binlog_parallel_roundtrip,
     cdc_binlog_partial_json_roundtrip,
     cdc_binlog_schema_evolution,
     cdc_binlog_zstd_roundtrip,
@@ -48,6 +49,8 @@ QUERIES = {
     "cdc_binlog_schema_evolution": cdc_binlog_schema_evolution,
     # round 4: interleaved multi-table stream, per-table demux
     "cdc_binlog_multi_table": cdc_binlog_multi_table,
+    # round 5 (late): the roundtrip through the PARALLEL split scan
+    "cdc_binlog_parallel_roundtrip": cdc_binlog_parallel_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
@@ -58,4 +61,5 @@ ORACLES: dict[str, str] = {
     "cdc_binlog_partial_json_roundtrip": CDC_BINLOG_PARTIAL_JSON_SQL,
     "cdc_binlog_schema_evolution": CDC_BINLOG_SCHEMA_EVOLUTION_SQL,
     "cdc_binlog_multi_table": CDC_BINLOG_MULTI_TABLE_SQL,
+    "cdc_binlog_parallel_roundtrip": CDC_MYSQL_BINLOG_ROUNDTRIP_SQL,
 }

@@ -2226,7 +2226,10 @@ def mysql_binlog_tail_stream(
 
 
 def cdc_mysql_binlog_roundtrip(
-    spark: SparkSession, sf_dir: str, payload_wrap: bool | str = False
+    spark: SparkSession,
+    sf_dir: str,
+    payload_wrap: bool | str = False,
+    _via: str = "inline",
 ) -> DataFrame:
     """End-to-end proof of the REAL binlog v4 format: derive a typed
     changelog from ``orders`` (LONGLONG + NEWDECIMAL + ENUM + DATE),
@@ -2319,13 +2322,22 @@ def cdc_mysql_binlog_roundtrip(
     out_schema = changelog_schema(target)
     names = [f.name for f in out_schema.fields]
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for blob in pdf["file_bytes"]:
-                rows = decode_binlog_bytes(bytes(blob), target, "tpch", "orders")
-                yield pd.DataFrame({n: [r.get(n) for r in rows] for n in names})
+    if _via == "parallel":
+        decoded = _stage_and_read_parallel(
+            spark, sf_dir, files, target, payload_wrap
+        )
+    else:
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for blob in pdf["file_bytes"]:
+                    rows = decode_binlog_bytes(
+                        bytes(blob), target, "tpch", "orders"
+                    )
+                    yield pd.DataFrame(
+                        {n: [r.get(n) for r in rows] for n in names}
+                    )
 
-    decoded = files.mapInPandas(decode, schema=out_schema)
+        decoded = files.mapInPandas(decode, schema=out_schema)
 
     after = F.col("__op").isin(CDC_INSERT, CDC_UPDATE_AFTER)
     return decoded.groupBy("status").agg(
@@ -2348,6 +2360,50 @@ def cdc_mysql_binlog_roundtrip(
             "json_len_sum"
         ),
     )
+
+
+def _stage_and_read_parallel(
+    spark: SparkSession,
+    sf_dir: str,
+    files: DataFrame,
+    target: T.StructType,
+    payload_wrap,
+) -> DataFrame:
+    """Write the encoded binlog blobs to a deterministic staging dir
+    (content-hash file names — idempotent across repeated invocations;
+    the dir is wiped first so partition-count changes can't leave stale
+    files), then read them back through the PARALLEL split scan with a
+    split size small enough to force several ranges per file."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.sources import fs as _hfs
+
+    tag = hashlib.md5(f"{sf_dir}|{payload_wrap}".encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"cdc_parallel_binlogs_{tag}")
+    if _hfs.exists(spark, stage):
+        _hfs.delete(spark, stage)
+    os.makedirs(stage, exist_ok=True)
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["file_bytes"]:
+                b = bytes(blob)
+                num = int.from_bytes(hashlib.md5(b).digest()[:4], "big")
+                name = f"binlog.{num % 10**9:09d}"
+                with open(os.path.join(stage, name), "wb") as fh:
+                    fh.write(b)
+                yield pd.DataFrame({"n": [len(b)]})
+
+    files.mapInPandas(write, schema="n long").agg(F.sum("n")).collect()
+    return mysql_binlog_read_parallel(
+        spark, stage, target, "tpch", "orders", split_bytes=4096
+    )
+
 
 
 def cdc_binlog_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2849,6 +2905,17 @@ FROM orders
 WHERE o_orderkey % 17 <> 0
 GROUP BY o_orderstatus
 """
+
+
+def cdc_binlog_parallel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cdc_mysql_binlog_roundtrip THROUGH the parallel split scan
+    (mysql_binlog_read_parallel): identical encode, identical
+    aggregate, but the staged files decode as transaction-aligned
+    byte RANGES with carried TABLE_MAP/GTID/checksum state rather than
+    whole files. The oracle is byte-for-byte the sequential
+    roundtrip's — splitting must be invisible in the decoded
+    changelog. ROUND5_LATE_KEYS: first driver row in round 6."""
+    return cdc_mysql_binlog_roundtrip(spark, sf_dir, _via="parallel")
 
 
 CDC_MYSQL_BINLOG_ROUNDTRIP_SQL = """
