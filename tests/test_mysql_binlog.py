@@ -1312,3 +1312,34 @@ def test_split_decode_property(txns, checksum, payload_wrap, split_bytes):
     assert pieces == whole
     if split_bytes == 1 and len(txns) > 1:
         assert len(splits) > 1  # tiny target really does split
+
+
+def test_split_decode_truncated_tail():
+    """A truncated ACTIVE file (crash mid-write / copy in flight): the
+    partial trailing event stays attached to the LAST range and the
+    split decode still equals the sequential permissive walk."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        scan_binlog_splits,
+    )
+
+    r = lambda i: {"id": i, "v": f"v{i}", "amt": Decimal(i)}
+    blob = build_binlog_file(
+        "d", "t", TARGET,
+        [_txn(i, "w", [r(i)]) for i in range(1, 60)],
+        checksum=True,
+    )
+    cut = blob[:-7]  # partial trailing event
+    whole = decode_binlog_bytes(cut, TARGET, "d", "t")
+    pieces = []
+    for s in scan_binlog_splits(cut, target_split_bytes=512):
+        pieces.extend(
+            decode_binlog_bytes(
+                cut[s["start"] : s["end"]], TARGET, "d", "t",
+                init_state={
+                    "checksum": s["checksum"], "gtid": s["gtid"],
+                    "sid": s["sid"], "table_maps": s["table_maps"],
+                },
+                seq_base=s["start"],
+            )
+        )
+    assert pieces == whole and len(whole) == 58  # last txn lost, as MySQL would
