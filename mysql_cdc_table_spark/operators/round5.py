@@ -388,7 +388,12 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     u = samples.unionByName(grid)
-    ev_ts = F.when(F.col("is_grid") == 0, F.unix_micros("ts"))
+    # explicit NTZ->timestamp cast (wall-clock identity under the pinned
+    # UTC session tz): unix_micros rejects TIMESTAMP_NTZ, and relying on
+    # the union's implicit coercion to LTZ is fragile
+    ev_ts = F.when(
+        F.col("is_grid") == 0, F.unix_micros(F.col("ts").cast("timestamp"))
+    )
     ev_v = F.when(F.col("is_grid") == 0, F.col("value"))
     w_prev = (
         Window.partitionBy("user_id")
@@ -413,7 +418,7 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(ev_ts, ignorenulls=True).over(w_next).alias("next_us"),
         F.last(ev_v, ignorenulls=True).over(w_next).alias("next_v"),
     ).filter(F.col("is_grid") == 1)
-    h_us = F.unix_micros("ts")
+    h_us = F.unix_micros(F.col("ts").cast("timestamp"))
     frac = (h_us - F.col("prev_us")).cast("double") / (
         F.col("next_us") - F.col("prev_us")
     ).cast("double")
