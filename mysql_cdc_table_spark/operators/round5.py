@@ -1005,19 +1005,18 @@ ORACLES.update(
 
 def cdc_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The warehouse CDC primitive: MERGE a changelog into an existing
-    snapshot — upserts overwrite, deletes remove, untouched rows stay.
-    Here the 'snapshot' is the orders table itself with every price
-    marked stale (-1 cents via a sentinel status suffix is avoided;
-    we track provenance with a source column instead) and the changelog
-    is the synthetic one; the merged output must contain exactly the
-    changelog's survivors with fresh values plus the untouched
-    snapshot rows.
+    snapshot — upserts overwrite, tombstones delete, untouched rows
+    SURVIVE. The changelog is restricted to keys with o_orderkey % 3
+    != 0, so a third of the snapshot is genuinely untouched and the
+    surviving src='snapshot' rows sit inside the value hash (an
+    implementation that ignored the snapshot would hash differently).
 
-    Shape: latest_state over the changelog (one keyed shuffle) + ONE
-    full-outer equi-join on the key — the batch equivalent of
-    foreachBatch MERGE; with a bucketed/mergeable store the join
+    Shape: ONE keyed max_by aggregate yields each changed key's final
+    image AND final op (so upserts and tombstones come from the same
+    shuffle), then ONE anti join removes every changed key from the
+    snapshot before unioning the upserts back — the batch equivalent of
+    foreachBatch MERGE; with a bucketed/mergeable store the anti join
     becomes co-located or file-skipping MERGE INTO."""
-    from mysql_cdc_table_spark.cdc import ops
     from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
 
     snap = t(spark, sf_dir, "orders").select(
@@ -1026,31 +1025,25 @@ def cdc_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
         F.lit("snapshot").alias("src"),
     )
-    cl = synthetic_changelog(spark, sf_dir)
-    state = ops.latest_state(cl, ["o_orderkey"])  # tombstones dropped
-    fresh = state.select(
+    cl = synthetic_changelog(spark, sf_dir).filter(
+        F.col("o_orderkey") % 3 != 0
+    )
+    final = cl.groupBy("o_orderkey").agg(
+        F.max_by(
+            F.struct("__op", "o_orderstatus", "o_totalprice"),
+            F.struct("__gtid", "__event_seq", "__image_seq"),
+        ).alias("last")
+    )
+    fresh = final.filter(F.col("last.__op") != 0).select(
         F.col("o_orderkey").alias("key"),
-        F.col("o_orderstatus").alias("status"),
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.col("last.o_orderstatus").alias("status"),
+        F.round(F.col("last.o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("cents"),
         F.lit("changelog").alias("src"),
     )
-    # deleted keys must vanish even from the snapshot side
-    deleted = (
-        cl.groupBy("o_orderkey")
-        .agg(
-            F.max_by(
-                "__op",
-                F.struct("__gtid", "__event_seq", "__image_seq"),
-            ).alias("last_op")
-        )
-        .filter(F.col("last_op") == 0)
-        .select(F.col("o_orderkey").alias("key"))
-    )
-    merged = (
-        snap.join(fresh, "key", "left_anti")
-        .join(deleted, "key", "left_anti")
-        .unionByName(fresh)
-    )
+    touched = final.select(F.col("o_orderkey").alias("key"))
+    merged = snap.join(touched, "key", "left_anti").unionByName(fresh)
     return merged.groupBy("src", "status").agg(
         F.count("*").alias("n_rows"),
         F.sum("cents").alias("cents_sum"),
@@ -1059,19 +1052,19 @@ def cdc_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CDC_APPLY_MERGE_SQL = f"""
 WITH {_CL_CTE},
+flt AS (SELECT * FROM changelog WHERE o_orderkey % 3 <> 0),
 ranked AS (
   SELECT *, row_number() OVER (
       PARTITION BY o_orderkey
       ORDER BY __gtid DESC, __event_seq DESC, __image_seq DESC) AS __rn
-  FROM changelog
+  FROM flt
 ),
-state AS (SELECT * FROM ranked WHERE __rn = 1 AND __op <> 0),
-deleted AS (SELECT o_orderkey FROM ranked WHERE __rn = 1 AND __op = 0),
+final AS (SELECT * FROM ranked WHERE __rn = 1),
 fresh AS (
   SELECT o_orderkey AS key, o_orderstatus AS status,
          CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
          'changelog' AS src
-  FROM state
+  FROM final WHERE __op <> 0
 ),
 snap AS (
   SELECT o_orderkey AS key, o_orderstatus AS status,
@@ -1081,8 +1074,7 @@ snap AS (
 ),
 merged AS (
   SELECT * FROM snap
-  WHERE key NOT IN (SELECT key FROM fresh)
-    AND key NOT IN (SELECT o_orderkey FROM deleted)
+  WHERE key NOT IN (SELECT o_orderkey FROM final)
   UNION ALL
   SELECT * FROM fresh
 )

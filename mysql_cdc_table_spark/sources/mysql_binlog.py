@@ -1860,13 +1860,18 @@ def scan_binlog_splits(
     """Sequential HEADER walk of one binlog file (no row decode — just
     the 19-byte headers plus GTID/TABLE_MAP bodies), emitting split
     specs for parallel range decode. Boundaries are placed ONLY at GTID
-    event starts (= transaction starts), so every rows event's GTID and
-    its transaction's TABLE_MAP re-emission lie inside the same range;
-    each spec carries the state a mid-file decoder must replay: the
-    FDE's checksum flag, the pending GTID + server id, and the latest
-    TABLE_MAP body per table id (covering writers that do NOT re-emit
-    maps per transaction). The truncated active tail stays attached to
-    the last range (permissive decode handles it)."""
+    event starts (= transaction starts). The binlog format itself
+    guarantees every rows event is preceded by its TABLE_MAP within the
+    same event group (transaction) — MySQL re-emits maps per
+    transaction, including inside TRANSACTION_PAYLOAD wrappers — so a
+    range that starts at a transaction start always contains the maps
+    its rows events need. Each spec additionally carries replayable
+    state: the FDE's checksum flag, the pending GTID + server id, and
+    the latest TOP-LEVEL TABLE_MAP body per table id (belt-and-braces
+    for malformed streams; maps inside compressed payloads are not
+    visible to the header walk and don't need to be, per the format
+    guarantee above). The truncated active tail stays attached to the
+    last range (permissive decode handles it)."""
     if blob[:4] != BINLOG_MAGIC:
         raise ValueError("not a binlog file (bad magic)")
     pos = 4
@@ -1905,6 +1910,68 @@ def scan_binlog_splits(
                 maps[tid] = bytes(body)
         pos += esize
     splits.append({"start": cur_start, "end": len(blob), **cur_state})
+    return splits
+
+
+def scan_binlog_splits_file(
+    path: str, target_split_bytes: int = 64 << 20
+) -> list[dict]:
+    """Streaming twin of scan_binlog_splits: IDENTICAL split specs, but
+    O(read-buffer) memory — reads the 19-byte event headers plus only
+    FDE/GTID/TABLE_MAP bodies and seeks across everything else, so a
+    50 GB file header-walks without ever materializing (the bytes-based
+    variant serves tests and already-loaded buffers)."""
+    import os
+
+    size = os.path.getsize(path)
+    splits: list[dict] = []
+    with open(path, "rb", buffering=1 << 20) as f:
+        if f.read(4) != BINLOG_MAGIC:
+            raise ValueError("not a binlog file (bad magic)")
+        pos = 4
+        checksum: bool | None = None
+        gtid: int | None = None
+        sid: bytes | None = None
+        maps: dict[int, bytes] = {}
+        cur_start = 4
+        cur_state: dict = {
+            "checksum": None, "gtid": None, "sid": None, "table_maps": [],
+        }
+        while pos + _HEADER_LEN <= size:
+            hdr = f.read(_HEADER_LEN)
+            if len(hdr) < _HEADER_LEN:
+                break
+            _ets, tc, _s, esize, _lp, _fl = _HEADER.unpack(hdr)
+            if esize < _HEADER_LEN or pos + esize > size:
+                break  # truncated active tail: stays in the final range
+            if tc == EV_GTID and pos - cur_start >= target_split_bytes:
+                splits.append({"start": cur_start, "end": pos, **cur_state})
+                cur_start = pos
+                cur_state = {
+                    "checksum": checksum,
+                    "gtid": gtid,
+                    "sid": sid,
+                    "table_maps": list(maps.values()),
+                }
+            body_len = esize - _HEADER_LEN
+            if tc in (EV_FORMAT_DESCRIPTION, EV_GTID, EV_TABLE_MAP):
+                rest = f.read(body_len)
+                if len(rest) < body_len:
+                    break
+                if tc == EV_FORMAT_DESCRIPTION:
+                    checksum = _detect_checksum(hdr + rest)
+                else:
+                    body = rest[: len(rest) - (4 if checksum else 0)]
+                    if tc == EV_GTID:
+                        gtid = struct.unpack_from("<q", body, 17)[0]
+                        sid = bytes(body[1:17])
+                    else:
+                        tid = int.from_bytes(body[0:6], "little")
+                        maps[tid] = bytes(body)
+            else:
+                f.seek(body_len, 1)
+            pos += esize
+    splits.append({"start": cur_start, "end": size, **cur_state})
     return splits
 
 
@@ -1965,24 +2032,33 @@ def mysql_binlog_read_parallel(
     identical rows, any split size. Stage 2 reopens paths with plain
     ``open`` (same executor-local contract as the packed DataSource);
     on object stores mount or use the packed source."""
+    import os
+
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(path)
+    # driver-side listing only (the reference's binlog.index contract);
+    # file CONTENT is never loaded whole anywhere — stage 1 streams the
+    # header walk, so files beyond binaryFile's 2 GB cap work
+    if os.path.isdir(path):
+        paths = sorted(
+            os.path.join(path, n)
+            for n in os.listdir(path)
+            if not n.startswith(("_", "."))
+        )
+    else:
+        paths = [path]
+    files = spark.createDataFrame(
+        [(p, _file_seq_of(p)) for p in paths], "path string, file_seq int"
+    ).repartition(min(len(paths), spark.sparkContext.defaultParallelism))
 
     def make_splits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for fpath, content in zip(pdf["path"], pdf["content"]):
-                local = str(fpath)
-                if local.startswith("file://"):
-                    local = local[len("file://") :]
-                elif local.startswith("file:"):
-                    local = local[len("file:") :]
-                fseq = _file_seq_of(local)
-                for s in scan_binlog_splits(bytes(content), split_bytes):
+            for fpath, fseq in zip(pdf["path"], pdf["file_seq"]):
+                for s in scan_binlog_splits_file(str(fpath), split_bytes):
                     yield pd.DataFrame(
                         {
-                            "path": [local],
-                            "file_seq": [fseq],
+                            "path": [str(fpath)],
+                            "file_seq": [int(fseq)],
                             "start": [s["start"]],
                             "end": [s["end"]],
                             "checksum": [
@@ -1995,9 +2071,7 @@ def mysql_binlog_read_parallel(
                         }
                     )
 
-    splits = files.select("path", "content").mapInPandas(
-        make_splits, schema=_SPLIT_SCHEMA
-    )
+    splits = files.mapInPandas(make_splits, schema=_SPLIT_SCHEMA)
     splits = splits.repartition(spark.sparkContext.defaultParallelism)
 
     out_schema = _binlog_out_schema(target, gtid_format)
@@ -2383,18 +2457,30 @@ def _stage_and_read_parallel(
 
     from mysql_cdc_table_spark.sources import fs as _hfs
 
-    tag = hashlib.md5(f"{sf_dir}|{payload_wrap}".encode()).hexdigest()[:8]
+    # per-application dir: repeated invocations in ONE session reuse and
+    # rewrite it deterministically; concurrent sessions are isolated, so
+    # the wipe below cannot race another session's in-flight read
+    tag = hashlib.md5(
+        f"{sf_dir}|{payload_wrap}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"cdc_parallel_binlogs_{tag}")
     if _hfs.exists(spark, stage):
         _hfs.delete(spark, stage)
     os.makedirs(stage, exist_ok=True)
 
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        # (partition, counter) names are collision-free by construction
+        # (a content-hash name could collide two distinct blobs and
+        # silently overwrite one file's transactions)
+        pid = TaskContext.get().partitionId()
+        counter = 0
         for pdf in batches:
             for blob in pdf["file_bytes"]:
                 b = bytes(blob)
-                num = int.from_bytes(hashlib.md5(b).digest()[:4], "big")
-                name = f"binlog.{num % 10**9:09d}"
+                name = f"binlog.{pid:03d}{counter:06d}"
+                counter += 1
                 with open(os.path.join(stage, name), "wb") as fh:
                     fh.write(b)
                 yield pd.DataFrame({"n": [len(b)]})

@@ -1286,16 +1286,17 @@ def test_split_decode_property(txns, checksum, payload_wrap, split_bytes):
                  if op == "u" else list(rows)}
         for i, (op, rows) in enumerate(txns)
     ]
+    from mysql_cdc_table_spark.sources import mysql_binlog as mb
+
+    if payload_wrap and mb._zstd_backend() == (None, None):
+        import pytest as _pytest
+        _pytest.skip("no zstd backend")
     blob = build_binlog_file(
         "d", "t", TARGET, script,
         checksum=checksum,
         payload_wrap="zstd" if payload_wrap else False,
     )
-    try:
-        whole = decode_binlog_bytes(blob, TARGET, "d", "t")
-    except ValueError:
-        import pytest as _pytest
-        _pytest.skip("no zstd backend")
+    whole = decode_binlog_bytes(blob, TARGET, "d", "t")
     pieces = []
     splits = scan_binlog_splits(blob, target_split_bytes=split_bytes)
     for s in splits:
@@ -1343,3 +1344,29 @@ def test_split_decode_truncated_tail():
             )
         )
     assert pieces == whole and len(whole) == 58  # last txn lost, as MySQL would
+
+
+def test_streaming_split_walk_matches_bytes_walk(tmp_path):
+    """scan_binlog_splits_file (seek-based streaming) must emit the
+    IDENTICAL split specs as the bytes-based walk, truncated tail
+    included."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        scan_binlog_splits,
+        scan_binlog_splits_file,
+    )
+
+    r = lambda i: {"id": i, "v": "v" * (i % 40), "amt": Decimal(i)}
+    blob = build_binlog_file(
+        "d", "t", TARGET,
+        [_txn(i, "u" if i % 4 == 0 else "w",
+              [(r(i), r(i + 1))] if i % 4 == 0 else [r(i)])
+         for i in range(1, 80)],
+        checksum=True,
+    )
+    for cut in (len(blob), len(blob) - 6):
+        path = tmp_path / f"binlog.{cut}.000001"
+        path.write_bytes(blob[:cut])
+        for sb in (1, 400, 4096, 1 << 20):
+            a = scan_binlog_splits(blob[:cut], target_split_bytes=sb)
+            b = scan_binlog_splits_file(str(path), target_split_bytes=sb)
+            assert a == b, (cut, sb)
