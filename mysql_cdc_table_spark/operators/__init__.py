@@ -178,6 +178,7 @@ ROUND5_LATE_KEYS: tuple[str, ...] = (
     "cdc_apply_merge",
     "window_rolling_median",
     "cdc_binlog_parallel_roundtrip",
+    "corpus_dedup_cascade",
 )
 
 

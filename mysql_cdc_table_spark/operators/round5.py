@@ -1131,3 +1131,163 @@ ORACLES.update(
         "window_rolling_median": WINDOW_ROLLING_MEDIAN_SQL,
     }
 )
+
+
+# --- full dedup cascade (late key #4) ----------------------------------------
+
+
+def corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production curation composition: exact dedup (rolling-hash
+    fingerprint, min-id keeper) -> near-dup removal (exact Jaccard >=
+    0.5 over the capped inverted shingle index, computed among exact
+    survivors) -> containment removal (containment >= 0.8 among near
+    survivors, catching short-doc-inside-long-doc). One greedy pass per
+    tier, min-id keepers throughout — fully deterministic, so the
+    whole cascade carries a value-hash oracle. Output: per (source,
+    verdict) counts and volumes — the removal report every corpus run
+    ships.
+
+    Scale: the pair relation is computed ONCE over the survivors'
+    shingles (both metrics from the same aggregation); each tier is a
+    filter over it. Costs match the individual dedup keys — bucketed
+    inverted-index joins with the hot-shingle cap, never all-pairs."""
+    from mysql_cdc_table_spark.functions.dedup import HOT_SHINGLE_CAP
+    from mysql_cdc_table_spark.functions.text import (
+        _doc_shingles,
+        poly_fingerprint,
+        tokens,
+    )
+
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    fp = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        poly_fingerprint(tokens(F.col("text"))).alias("fp"),
+    )
+    keep1 = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    s1 = fp.join(keep1, "fp").withColumn(
+        "exact_dup", F.col("doc_id") != F.col("keep_id")
+    )
+
+    surv1 = s1.filter(~F.col("exact_dup")).select("doc_id")
+    sh = (
+        _doc_shingles(spark, sf_dir)
+        .join(surv1, "doc_id")
+        .withColumn("n_sh", F.size("sh"))
+    )
+    ex = sh.select("doc_id", "n_sh", F.explode("sh").alias("s"))
+    hot = ex.groupBy("s").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= HOT_SHINGLE_CAP
+    )
+    ex = ex.join(hot.select("s"), "s")
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.n_sh").alias("n1"),
+            F.col("b.n_sh").alias("n2"),
+        )
+        .agg(F.count("*").alias("common"))
+        .withColumn(
+            "jac",
+            F.round(
+                F.col("common")
+                / (F.col("n1") + F.col("n2") - F.col("common")).cast("double"),
+                6,
+            ),
+        )
+        .withColumn(
+            "cont",
+            F.round(F.col("common") / F.least("n1", "n2").cast("double"), 6),
+        )
+    )
+    near = pairs.filter(F.col("jac") >= 0.5).select(
+        F.col("doc2").alias("doc_id")
+    ).distinct()
+    cont = (
+        pairs.filter(F.col("cont") >= 0.8)
+        .join(near.select(F.col("doc_id").alias("doc1")), "doc1", "left_anti")
+        .join(near.select(F.col("doc_id").alias("doc2")), "doc2", "left_anti")
+        .select(F.col("doc2").alias("doc_id"))
+        .distinct()
+    )
+    verdict = (
+        F.when(F.col("exact_dup"), "exact")
+        .when(F.col("near").isNotNull(), "near")
+        .when(F.col("cont").isNotNull(), "contained")
+        .otherwise("kept")
+    )
+    tagged = (
+        s1.join(near.withColumn("near", F.lit(1)), "doc_id", "left")
+        .join(cont.withColumn("cont", F.lit(1)), "doc_id", "left")
+        .select("source", "n_chars", verdict.alias("verdict"))
+    )
+    return tagged.groupBy("source", "verdict").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars_sum"),
+    )
+
+
+from mysql_cdc_table_spark.functions.text import _SQL_TOKENS as _TKC
+from mysql_cdc_table_spark.functions.text import _sql_fingerprint as _FPC
+
+CORPUS_DEDUP_CASCADE_SQL = f"""
+WITH d AS (SELECT doc_id, source, n_chars, {_TKC} AS tk FROM documents),
+fp AS (SELECT doc_id, source, n_chars, {_FPC('tk')} AS fp FROM d),
+keep1 AS (SELECT fp, min(doc_id) AS keep_id FROM fp GROUP BY fp),
+s1 AS (
+  SELECT fp.*, fp.doc_id <> keep1.keep_id AS exact_dup
+  FROM fp JOIN keep1 USING (fp)
+),
+shall AS ({_SH}),
+sh AS (
+  SELECT shall.doc_id, shall.sh, len(shall.sh) AS n_sh
+  FROM shall JOIN s1 ON s1.doc_id = shall.doc_id AND NOT s1.exact_dup
+),
+ex AS (SELECT doc_id, n_sh, unnest(sh) AS s FROM sh),
+keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= {_HOT}),
+exk AS (SELECT ex.* FROM ex JOIN keep USING (s)),
+pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.n_sh AS n1, b.n_sh AS n2,
+         count(*) AS common
+  FROM exk a JOIN exk b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+metr AS (
+  SELECT *,
+         round(common / CAST(n1 + n2 - common AS DOUBLE), 6) AS jac,
+         round(common / CAST(least(n1, n2) AS DOUBLE), 6) AS cont
+  FROM pairs
+),
+near AS (SELECT DISTINCT doc2 AS doc_id FROM metr WHERE jac >= 0.5),
+contd AS (
+  SELECT DISTINCT doc2 AS doc_id FROM metr
+  WHERE cont >= 0.8
+    AND doc1 NOT IN (SELECT doc_id FROM near)
+    AND doc2 NOT IN (SELECT doc_id FROM near)
+),
+tagged AS (
+  SELECT s1.source, s1.n_chars,
+         CASE WHEN s1.exact_dup THEN 'exact'
+              WHEN s1.doc_id IN (SELECT doc_id FROM near) THEN 'near'
+              WHEN s1.doc_id IN (SELECT doc_id FROM contd) THEN 'contained'
+              ELSE 'kept' END AS verdict
+  FROM s1
+)
+SELECT source, verdict, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM tagged GROUP BY source, verdict
+"""
+
+
+QUERIES.update({"corpus_dedup_cascade": corpus_dedup_cascade})
+ORACLES.update({"corpus_dedup_cascade": CORPUS_DEDUP_CASCADE_SQL})
