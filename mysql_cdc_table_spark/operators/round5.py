@@ -1141,11 +1141,17 @@ def corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint, min-id keeper) -> near-dup removal (exact Jaccard >=
     0.5 over the capped inverted shingle index, computed among exact
     survivors) -> containment removal (containment >= 0.8 among near
-    survivors, catching short-doc-inside-long-doc). One greedy pass per
-    tier, min-id keepers throughout — fully deterministic, so the
-    whole cascade carries a value-hash oracle. Output: per (source,
-    verdict) counts and volumes — the removal report every corpus run
-    ships.
+    survivors, catching short-doc-inside-long-doc).
+
+    Removal policy per similarity tier: ONE-SHOT — a document is
+    removed when ANY smaller-id qualifying partner exists among the
+    tier's input set, without re-evaluating chains (in A<B<C with
+    A~B and B~C but not A~C, both B and C are removed; a sequential
+    greedy pass would keep C). One-shot is the standard single-join
+    policy at corpus scale — no iteration, one deterministic pass —
+    and both engines implement it identically, so the whole cascade
+    carries a value-hash oracle. Output: per (source, verdict) counts
+    and volumes — the removal report every corpus run ships.
 
     Scale: the pair relation is computed ONCE over the survivors'
     shingles (both metrics from the same aggregation); each tier is a

@@ -2039,14 +2039,22 @@ def mysql_binlog_read_parallel(
     # driver-side listing only (the reference's binlog.index contract);
     # file CONTENT is never loaded whole anywhere — stage 1 streams the
     # header walk, so files beyond binaryFile's 2 GB cap work
-    if os.path.isdir(path):
+    local = path
+    if local.startswith("file://"):
+        local = local[len("file://") :]
+    elif local.startswith("file:"):
+        local = local[len("file:") :]
+    if os.path.isdir(local):
         paths = sorted(
-            os.path.join(path, n)
-            for n in os.listdir(path)
+            os.path.join(local, n)
+            for n in os.listdir(local)
             if not n.startswith(("_", "."))
         )
     else:
-        paths = [path]
+        paths = [local]
+    out_schema0 = _binlog_out_schema(target, gtid_format)
+    if not paths:  # empty/hidden-only dir: zero rows, not repartition(0)
+        return spark.createDataFrame([], out_schema0)
     files = spark.createDataFrame(
         [(p, _file_seq_of(p)) for p in paths], "path string, file_seq int"
     ).repartition(min(len(paths), spark.sparkContext.defaultParallelism))
@@ -2443,11 +2451,15 @@ def _stage_and_read_parallel(
     target: T.StructType,
     payload_wrap,
 ) -> DataFrame:
-    """Write the encoded binlog blobs to a deterministic staging dir
-    (content-hash file names — idempotent across repeated invocations;
-    the dir is wiped first so partition-count changes can't leave stale
-    files), then read them back through the PARALLEL split scan with a
-    split size small enough to force several ranges per file."""
+    """Write the encoded binlog blobs to a per-application staging dir
+    ((partition, counter) file names — unique within a run for ANY
+    partition count; the dir is wiped before each invocation so
+    partition-count changes can't leave stale files, and an atexit hook
+    removes it when the driver exits), then read them back through the
+    PARALLEL split scan with a split size small enough to force several
+    ranges per file. The trailing digits (= the per-partition counter)
+    become __file_seq; duplicates across partitions are harmless here —
+    the roundtrip aggregate never reads ordering columns."""
     import hashlib
     import os
     import tempfile
@@ -2467,19 +2479,26 @@ def _stage_and_read_parallel(
     if _hfs.exists(spark, stage):
         _hfs.delete(spark, stage)
     os.makedirs(stage, exist_ok=True)
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
 
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        # (partition, counter) names are collision-free by construction
-        # (a content-hash name could collide two distinct blobs and
-        # silently overwrite one file's transactions)
+        # "p{pid}." + counter names are unique for ANY partition id (a
+        # content-hash name could collide two distinct blobs and
+        # silently overwrite one file's transactions; concatenated
+        # digit runs stop being injective past 999 partitions). Only
+        # the trailing counter digits feed _file_seq_of, keeping
+        # __file_seq inside int32 regardless of partition count.
         pid = TaskContext.get().partitionId()
         counter = 0
         for pdf in batches:
             for blob in pdf["file_bytes"]:
                 b = bytes(blob)
-                name = f"binlog.{pid:03d}{counter:06d}"
+                name = f"binlog.p{pid}.{counter:06d}"
                 counter += 1
                 with open(os.path.join(stage, name), "wb") as fh:
                     fh.write(b)

@@ -1370,3 +1370,28 @@ def test_streaming_split_walk_matches_bytes_walk(tmp_path):
             a = scan_binlog_splits(blob[:cut], target_split_bytes=sb)
             b = scan_binlog_splits_file(str(path), target_split_bytes=sb)
             assert a == b, (cut, sb)
+
+
+def test_parallel_read_empty_and_uri_paths(spark, tmp_path):
+    """Regression guards for the listing stage: an empty directory
+    yields zero rows (not repartition(0)), and file:// URIs resolve."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        mysql_binlog_read_parallel,
+    )
+
+    empty = tmp_path / "none"
+    empty.mkdir()
+    assert (
+        mysql_binlog_read_parallel(spark, str(empty), TARGET, "d", "t").count()
+        == 0
+    )
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "binlog.000001").write_bytes(
+        build_binlog_file(
+            "d", "t", TARGET,
+            [_txn(1, "w", [{"id": 1, "v": "a", "amt": Decimal("1.00")}])],
+        )
+    )
+    out = mysql_binlog_read_parallel(spark, f"file://{d}", TARGET, "d", "t")
+    assert out.count() == 1
