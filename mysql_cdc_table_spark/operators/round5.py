@@ -709,10 +709,11 @@ WITH flagged AS (
   FROM events
 )
 SELECT event_id, user_id,
-       sum(first_seen) OVER (PARTITION BY user_id
-                             ORDER BY ts ASC, event_id ASC
-                             ROWS BETWEEN UNBOUNDED PRECEDING
-                                      AND CURRENT ROW)
+       CAST(sum(first_seen) OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW)
+            AS BIGINT)
          AS distinct_types_so_far
 FROM flagged
 """

@@ -18,7 +18,9 @@ import duckdb
 from mysql_cdc_table_spark.catalog import TABLES, table_path
 
 
-def run_oracle(sql: str, sf_dir: str):
+def connect_views(sf_dir: str):
+    """A DuckDB connection with every sf table registered as a view —
+    the same table surface the driver gives oracle SQL."""
     con = duckdb.connect()
     for name in TABLES:
         path = table_path(sf_dir, name)
@@ -26,6 +28,11 @@ def run_oracle(sql: str, sf_dir: str):
             con.execute(
                 f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
             )
+    return con
+
+
+def run_oracle(sql: str, sf_dir: str):
+    con = connect_views(sf_dir)
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
     rows = cur.fetchall()
