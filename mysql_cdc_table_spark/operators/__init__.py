@@ -181,6 +181,30 @@ ROUND5_LATE_KEYS: tuple[str, ...] = (
     "corpus_dedup_cascade",
 )
 
+# --- round 6 -----------------------------------------------------------------
+#
+# Window arithmetic this round (50 slots): the 4 ROUND5_LATE_KEYS lead
+# (first driver rows), then the one r05 red carry-over
+# (`window_first_seen_cum` — oracle HUGEINT cast fixed this round, stays
+# in-window for its green row per the window discipline), then round-6
+# new keys, then re-verify slots for code round 6 touches. 42 keys
+# stand on r02 rows — more than the remaining slots, so the stalest ~32
+# re-confirm now and the leftover (stream_*/udf_*/mm_* registry tail,
+# ~10 keys) lead the round-7 backfill. Honest gap, recorded here.
+
+# Keys born in round 6 — in-window so they get a driver row immediately.
+ROUND6_NEW_KEYS: tuple[str, ...] = ()
+
+# Operators whose implementation round 6 touches: their standing green
+# rows would otherwise mask a regression introduced by this round.
+ROUND6_REVERIFY: tuple[str, ...] = (
+    "window_first_seen_cum",  # r05 red: oracle sum cast BIGINT (round5.py)
+)
+
+# Late-registration tail for round 6 (same pinned-behind protocol as
+# ROUND5_LATE_KEYS; empty until the window fills).
+ROUND6_LATE_KEYS: tuple[str, ...] = ()
+
 
 def _last_seen_rounds() -> dict[str, int]:
     """key -> LATEST driver round with a CORRECTNESS row — the staleness
@@ -206,12 +230,17 @@ def _last_seen_rounds() -> dict[str, int]:
     return seen
 
 
+_ROUND6_WINDOW_FRONT = (
+    ROUND5_LATE_KEYS + ROUND6_NEW_KEYS + ROUND6_REVERIFY
+)
+
+
 def _rotate(out: dict) -> dict:
-    """Reorder a merged registry dict: round-5 front first, then every
-    other key stalest-first (earliest driver round, registry order as
+    """Reorder a merged registry dict: round-6 front first, then every
+    other key stalest-first (latest driver round, registry order as
     the tie-break; never-seen keys sort first so they cannot hide)."""
-    front = {k: out[k] for k in _ROUND5_WINDOW_FRONT if k in out}
-    late = {k: out[k] for k in ROUND5_LATE_KEYS if k in out}
+    front = {k: out[k] for k in _ROUND6_WINDOW_FRONT if k in out}
+    late = {k: out[k] for k in ROUND6_LATE_KEYS if k in out}
     seen = _last_seen_rounds()
     order = {k: i for i, k in enumerate(out)}
     rest_keys = sorted(

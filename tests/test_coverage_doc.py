@@ -102,37 +102,47 @@ def test_header_counts_and_driver_split_match_doc():
 
 def test_driver_window_composition():
     """The driver verifies the FIRST ~50 registry keys per round. The
-    round-5 rotation leads with round-5-new keys, then re-verify slots
-    for operators round 5 modified, and backfills remaining slots
-    stalest-first (r01-first-seen rows before r02+ — the round-4
-    verdict's recorded rotation). Guard it so a module reorder or an
-    accidental insertion can't silently starve it."""
+    round-6 rotation leads with the 4 ROUND5_LATE_KEYS (first driver
+    rows), then the r05 red carry-over + round-6 new keys + re-verify
+    slots for code round 6 touches, and backfills remaining slots
+    stalest-first by LAST-seen driver round. Guard it so a module
+    reorder or an accidental insertion can't silently starve it."""
     from mysql_cdc_table_spark.operators import (
-        _ROUND5_WINDOW_FRONT,
+        _ROUND6_WINDOW_FRONT,
+        ROUND5_LATE_KEYS,
+        ROUND6_LATE_KEYS,
         _last_seen_rounds,
     )
 
     keys = list(all_queries())
     window = keys[:50]
-    front = [k for k in _ROUND5_WINDOW_FRONT if k in keys]
+    front = [k for k in _ROUND6_WINDOW_FRONT if k in keys]
     assert window[: len(front)] == front, "registry front diverged from plan"
-
-    # every key with NO driver row ever must be in the window — except
-    # the documented ROUND5_LATE_KEYS, pinned BEHIND it (they registered
-    # after the window filled exactly and lead round 6, the protocol
-    # ROUND3_LATE_KEYS followed)
-    from mysql_cdc_table_spark.operators import ROUND5_LATE_KEYS
+    assert len(front) <= 25, (
+        "round-6 front outgrew its budget — 42 keys stand on r02 rows "
+        "and need the backfill slots; trim new/reverify keys"
+    )
 
     seen = _last_seen_rounds()
+
+    # the 4 round-5 late keys lead the window (the recorded plan: they
+    # have never had a driver row)
+    assert window[:4] == list(ROUND5_LATE_KEYS)
+    # the r05 red carry-over stays in-window for its green row
+    assert "window_first_seen_cum" in window
+
+    # every key with NO driver row ever must be in the window — except
+    # documented ROUND6_LATE_KEYS, pinned BEHIND it
     never_seen = [k for k in keys if k not in seen]
     missing = [
         k for k in never_seen
-        if k not in window and k not in ROUND5_LATE_KEYS
+        if k not in window and k not in ROUND6_LATE_KEYS
     ]
     assert not missing, f"never-driver-seen keys fell out of the window: {missing}"
-    assert keys[-len(ROUND5_LATE_KEYS):] == list(ROUND5_LATE_KEYS), (
-        "late keys must sit at the very end of the registry"
-    )
+    if ROUND6_LATE_KEYS:
+        assert keys[-len(ROUND6_LATE_KEYS):] == list(ROUND6_LATE_KEYS), (
+            "late keys must sit at the very end of the registry"
+        )
 
     # backfill tail is stalest-first by LAST-seen round (the staleness
     # metric — first-seen would mark re-verified keys as stale); the
@@ -140,18 +150,18 @@ def test_driver_window_composition():
     tail_rounds = [
         seen.get(k, 0)
         for k in keys[len(front):]
-        if k not in ROUND5_LATE_KEYS
+        if k not in ROUND6_LATE_KEYS
     ]
     assert tail_rounds == sorted(tail_rounds), (
         "window backfill is not stalest-first"
     )
 
-    # the round-4 verdict's done-criterion: every r01-STANDING key
-    # (latest driver row is r01) must fit inside the 50-slot window —
-    # adding new keys beyond 50 - len(front) - 27 would silently push
-    # the stalest rows out
-    r01_standing = {k for k, rnd in seen.items() if rnd == 1 and k in keys}
-    outside = r01_standing - set(window)
-    assert not outside, (
-        f"r01-standing keys pushed out of the driver window: {outside}"
+    # nothing older than r02 may stand outside the window: r01-standing
+    # rows were all re-confirmed in r05, so the stalest tier is r02 —
+    # 42 keys, more than the spare slots. The stalest-first sort puts
+    # as many as fit inside; anything outside must be r02-or-fresher.
+    outside_rounds = {seen.get(k, 0) for k in keys[50:] if k not in ROUND6_LATE_KEYS}
+    assert all(r >= 2 for r in outside_rounds), (
+        f"keys staler than r02 pushed out of the driver window: "
+        f"{[k for k in keys[50:] if seen.get(k, 0) < 2 and k not in ROUND6_LATE_KEYS]}"
     )
