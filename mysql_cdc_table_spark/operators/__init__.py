@@ -199,6 +199,7 @@ ROUND6_NEW_KEYS: tuple[str, ...] = ()
 # rows would otherwise mask a regression introduced by this round.
 ROUND6_REVERIFY: tuple[str, ...] = (
     "window_first_seen_cum",  # r05 red: oracle sum cast BIGINT (round5.py)
+    "agg_approx_count_distinct",  # rows-only retired: error-bound oracle
 )
 
 # Late-registration tail for round 6 (same pinned-behind protocol as
