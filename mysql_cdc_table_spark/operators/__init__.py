@@ -200,6 +200,16 @@ ROUND6_NEW_KEYS: tuple[str, ...] = ()
 ROUND6_REVERIFY: tuple[str, ...] = (
     "window_first_seen_cum",  # r05 red: oracle sum cast BIGINT (round5.py)
     "agg_approx_count_distinct",  # rows-only retired: error-bound oracle
+    # the real-binlog scan switched to the columnar numpy kernel
+    # (mysql_binlog_vec.py, mapInArrow) — every key on that read path
+    # re-verifies; cdc_binlog_parallel_roundtrip already leads the
+    # window as a ROUND5_LATE_KEY
+    "cdc_mysql_binlog_roundtrip",
+    "cdc_binlog_latest_state",
+    "cdc_binlog_zstd_roundtrip",
+    "cdc_binlog_multi_table",
+    "cdc_binlog_partial_json_roundtrip",
+    "cdc_binlog_schema_evolution",
 )
 
 # Late-registration tail for round 6 (same pinned-behind protocol as

@@ -1525,6 +1525,7 @@ def decode_binlog_bytes(
     gtid_format: str = "long",
     init_state: dict | None = None,
     seq_base: int = 0,
+    _rows_sink=None,
 ) -> list[dict]:
     """Sequential event walk of one binlog file: dispatch on type code
     (reference ``:173-429`` incl. the default-skip), filter to the
@@ -1555,7 +1556,16 @@ def decode_binlog_bytes(
     at an event boundary (no magic), the carried decoder state —
     ``{"checksum", "gtid", "sid", "table_maps"}`` — is replayed before
     the walk, and every ``__event_seq`` offsets by ``seq_base`` so split
-    decode emits byte-identical ordering keys to the whole-file walk."""
+    decode emits byte-identical ordering keys to the whole-file walk.
+
+    ``_rows_sink`` is the columnar kernel's hook (mysql_binlog_vec):
+    called with the parsed rows-event header
+    ``(tdef, tc, body, value_pos, present1, present2, gtid, gtid_src,
+    ets, event_seq)`` BEFORE any value decode; returning True claims the
+    event (the scalar image walk is skipped and the sink decodes its
+    values vectorized later). PARTIAL_UPDATE_ROWS events are never
+    offered — their JSON diff vectors need the running before-image, so
+    they stay on this scalar walk and come back in the returned list."""
     if init_state is None and blob[:4] != BINLOG_MAGIC:
         raise ValueError("not a binlog file (bad magic)")
     if mode not in ("permissive", "strict"):
@@ -1624,6 +1634,15 @@ def decode_binlog_bytes(
             present2 = present1
             if is_update:
                 present2, p = _parse_present(body, p, ncols)
+            if (
+                _rows_sink is not None
+                and tc != EV_PARTIAL_UPDATE_ROWS
+                and _rows_sink(
+                    tdef, tc, body, p, present1, present2,
+                    gtid, gtid_src, ets, event_seq,
+                )
+            ):
+                return
             img_seq = 0
             before_row: dict = {}
             while p < len(body):
@@ -1780,16 +1799,43 @@ def _decode_files(
     database: str,
     table: str,
     gtid_format: str = "long",
+    columnar: bool = True,
 ) -> DataFrame:
     # binaryFile materializes each file whole, so per-task memory is
     # ~one binlog file (MySQL rotates at max_binlog_size, 1 GiB default
     # — bounded by server config, not by history length). The output is
     # yielded per file; Arrow re-slices it downstream.
+    out_schema = _binlog_out_schema(target, gtid_format)
+
+    if columnar:
+        # round 6: the event walk stays scalar (headers/CRC/state), but
+        # row-image VALUES decode through the numpy kernel and come out
+        # as Arrow batches with no Python row objects on the scan path
+        from mysql_cdc_table_spark.sources.mysql_binlog_vec import (
+            decode_binlog_record_batches,
+        )
+
+        def walk_arrow(batches):
+            for batch in batches:
+                paths = batch.column("path")
+                contents = batch.column("content")
+                for i in range(batch.num_rows):
+                    yield from decode_binlog_record_batches(
+                        contents[i].as_py(),
+                        target,
+                        database,
+                        table,
+                        file_seq=_file_seq_of(str(paths[i].as_py())),
+                        gtid_format=gtid_format,
+                    )
+
+        return files.select("path", "content").mapInArrow(
+            walk_arrow, schema=out_schema
+        )
+
     import pandas as pd
 
-    out_schema = _binlog_out_schema(target, gtid_format)
     names = [f.name for f in out_schema.fields]
-
     chunk = 200_000  # rows per yielded Arrow batch
 
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1821,11 +1867,13 @@ def mysql_binlog_read(
     *,
     index_file: str | None = None,
     gtid_format: str = "long",
+    columnar: bool = True,
 ) -> DataFrame:
     """Batch-read real binlog files into the standard changelog
     DataFrame. One file = one decode task (the format is stateful per
     file); files are ordered by their rotation number like the
-    reference's index-file order (A1/A2).
+    reference's index-file order (A1/A2). ``columnar=False`` forces the
+    scalar image walk (the parity reference for the numpy kernel).
 
     ``index_file`` mirrors the reference's entry point exactly
     (``set_binlog_index_file`` — binlog_table_reader.cc:39-57, wired
@@ -1851,7 +1899,9 @@ def mysql_binlog_read(
         files = spark.read.format("binaryFile").load(paths)
     else:
         files = spark.read.format("binaryFile").load(path)
-    return _decode_files(files, target, database, table, gtid_format)
+    return _decode_files(
+        files, target, database, table, gtid_format, columnar=columnar
+    )
 
 
 def scan_binlog_splits(
@@ -2083,37 +2133,37 @@ def mysql_binlog_read_parallel(
     splits = splits.repartition(spark.sparkContext.defaultParallelism)
 
     out_schema = _binlog_out_schema(target, gtid_format)
-    names = [f.name for f in out_schema.fields]
 
-    def decode_range(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                with open(row.path, "rb") as fh:
-                    fh.seek(row.start)
-                    blob = fh.read(row.end - row.start)
-                # Arrow->pandas renders a null int64 as NaN, not None
+    def decode_range(batches):
+        from mysql_cdc_table_spark.sources.mysql_binlog_vec import (
+            decode_binlog_record_batches,
+        )
+
+        for batch in batches:
+            for row in batch.to_pylist():  # split specs are tiny
+                with open(row["path"], "rb") as fh:
+                    fh.seek(row["start"])
+                    blob = fh.read(row["end"] - row["start"])
                 state = {
-                    "checksum": None if row.checksum < 0 else bool(row.checksum),
-                    "gtid": None if pd.isna(row.gtid) else int(row.gtid),
-                    "sid": None if row.sid is None else bytes(row.sid),
-                    "table_maps": _unpack_maps(bytes(row.maps)),
+                    "checksum": (
+                        None if row["checksum"] < 0 else bool(row["checksum"])
+                    ),
+                    "gtid": row["gtid"],
+                    "sid": None if row["sid"] is None else bytes(row["sid"]),
+                    "table_maps": _unpack_maps(bytes(row["maps"])),
                 }
-                rows = decode_binlog_bytes(
+                yield from decode_binlog_record_batches(
                     blob,
                     target,
                     database,
                     table,
-                    file_seq=int(row.file_seq),
+                    file_seq=int(row["file_seq"]),
                     gtid_format=gtid_format,
                     init_state=state,
-                    seq_base=int(row.start),
+                    seq_base=int(row["start"]),
                 )
-                if rows:
-                    yield pd.DataFrame(
-                        {n: [r.get(n) for r in rows] for n in names}
-                    )
 
-    return splits.mapInPandas(decode_range, schema=out_schema)
+    return splits.mapInArrow(decode_range, schema=out_schema)
 
 
 def mysql_binlog_read_stream(

@@ -1,0 +1,636 @@
+"""Columnar (numpy + Arrow) value decode for REAL binlog v4 rows events.
+
+Round-6 port of the packed-binlog columnar kernel (packed_binlog.py
+``_make_vec_decoder``/``_decode_event_sections``) to the MySQL wire
+format. The sequential event walk (``decode_binlog_bytes``) keeps doing
+what is inherently serial and cheap per EVENT — 19-byte headers, CRC32
+verify, GTID state, TABLE_MAP parsing, TRANSACTION_PAYLOAD unwrap — but
+the hot loop, row-image VALUE decode (per FIELD per IMAGE: ~5M Python
+calls for a 150k-event file), is claimed through the walker's
+``_rows_sink`` hook and executed later as numpy per field per
+image-round across every event of a (table_def, present-bitmap) group.
+
+Image rounds (the packed kernel's trick): images are not length-
+prefixed, so image k+1's offset in an event body is only known after
+image k decodes — but the FIRST image of every event starts at a known
+offset. Round 0 therefore decodes image 0 of all events in one
+vectorized pass (mutating a per-event position array), after which
+every image-1 offset is known, and so on. Within a round, each column
+decodes with one numpy kernel across all events.
+
+Per-cell scalar fallback (the shared ``_decode_col``) covers the
+genuinely scalar kinds — NEWDECIMAL's packed groups, binary JSON trees,
+TIME2 strings, SETs wider than 8 members — so only those cells run
+Python; every other field in the schema stays vectorized regardless.
+
+PARTIAL_UPDATE_ROWS events (JSON diff vectors need the running
+before-image row) are never offered to the sink; they stay on the
+scalar walk and merge back in as trailing record batches.
+
+Reference: binlog_table_reader.cc:75-96 walks one event at a time and
+unpacks values via MySQL's own Field::unpack — single-threaded, scalar.
+This kernel exists so a 1 GB binlog file decodes at numpy speed inside
+one Spark task, while ``mysql_binlog_read_parallel`` spreads
+transaction-aligned ranges of the same file across tasks.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import types as T
+
+from mysql_cdc_table_spark.cdc.schema import (
+    CDC_DELETE,
+    CDC_INSERT,
+    CDC_UPDATE_AFTER,
+    CDC_UPDATE_BEFORE,
+)
+from mysql_cdc_table_spark.sources.mysql_binlog import (
+    EV_DELETE_ROWS_V2,
+    EV_UPDATE_ROWS_V2,
+    EV_WRITE_ROWS_V2,
+    TY_BIT,
+    TY_BLOB,
+    TY_DATE,
+    TY_DATETIME2,
+    TY_DOUBLE,
+    TY_ENUM,
+    TY_FLOAT,
+    TY_GEOMETRY,
+    TY_INT24,
+    TY_JSON,
+    TY_LONG,
+    TY_LONGLONG,
+    TY_NEWDECIMAL,
+    TY_SET,
+    TY_SHORT,
+    TY_STRING,
+    TY_TIME2,
+    TY_TIMESTAMP2,
+    TY_TINY,
+    TY_VARCHAR,
+    TY_YEAR,
+    _binlog_out_schema,
+    _Col,
+    _decode_col,
+    _frac_bytes,
+    decode_binlog_bytes,
+)
+from mysql_cdc_table_spark.sources.packed_binlog import (
+    _gather_bytes_vec,
+    _valid_buf,
+)
+
+_EPOCH_JDN = 2440588  # Julian day number of 1970-01-01
+
+
+def _pa_type(dt):
+    import pyarrow as pa
+
+    if isinstance(dt, T.ByteType):
+        return pa.int8()
+    if isinstance(dt, T.ShortType):
+        return pa.int16()
+    if isinstance(dt, T.IntegerType):
+        return pa.int32()
+    if isinstance(dt, T.LongType):
+        return pa.int64()
+    if isinstance(dt, T.FloatType):
+        return pa.float32()
+    if isinstance(dt, T.DoubleType):
+        return pa.float64()
+    if isinstance(dt, T.StringType):
+        return pa.string()
+    if isinstance(dt, T.BinaryType):
+        return pa.binary()
+    if isinstance(dt, T.BooleanType):
+        return pa.bool_()
+    if isinstance(dt, T.DateType):
+        return pa.date32()
+    if isinstance(dt, T.TimestampType):
+        return pa.timestamp("us")
+    if isinstance(dt, T.DecimalType):
+        return pa.decimal128(dt.precision, dt.scale)
+    raise TypeError(f"no arrow mapping for {dt}")
+
+
+def arrow_schema(out_schema: T.StructType):
+    import pyarrow as pa
+
+    return pa.schema(
+        [pa.field(f.name, _pa_type(f.dataType)) for f in out_schema.fields]
+    )
+
+
+def _gather_fixed(u8, p, width):
+    """(len(p)*width,) uint8 gather of width bytes at each position,
+    clamped in-bounds (a final pos-vs-end check failfasts corruption)."""
+    import numpy as np
+
+    idx = (p[:, None] + np.arange(width)).ravel()
+    return u8[np.minimum(idx, len(u8) - 1)]
+
+
+def _days_from_ymd(y, mo, d):
+    """Proleptic-Gregorian days-since-epoch from integer arrays — the
+    standard civil_from_days inverse, pure int64 numpy (no pandas
+    datetime range limits)."""
+    a = (14 - mo) // 12
+    y2 = y + 4800 - a
+    m2 = mo + 12 * a - 3
+    jdn = (
+        d
+        + (153 * m2 + 2) // 5
+        + 365 * y2
+        + y2 // 4
+        - y2 // 100
+        + y2 // 400
+        - 32045
+    )
+    return jdn - _EPOCH_JDN
+
+
+def _scalar_cell(col: _Col, pa_t):
+    """Per-cell closure fallback INSIDE the columnar walk, mirroring the
+    packed kernel's: only this column's non-null cells run Python (via
+    the shared scalar ``_decode_col``); the rest of the schema stays
+    vectorized."""
+    import numpy as np
+    import pyarrow as pa
+
+    def dec(u8, raw, pos, valid):
+        out = [None] * len(pos)
+        for j in np.flatnonzero(valid):
+            v, newp = _decode_col(col, raw, int(pos[j]))
+            out[j] = v
+            pos[j] = newp
+        return pa.array(out, type=pa_t)
+
+    return dec
+
+
+_FIXED_LE = {
+    TY_TINY: ("<i1", 1),
+    TY_SHORT: ("<i2", 2),
+    TY_LONG: ("<i4", 4),
+    TY_LONGLONG: ("<i8", 8),
+    TY_FLOAT: ("<f4", 4),
+    TY_DOUBLE: ("<f8", 8),
+}
+
+
+def _vec_col_decoder(col: _Col, field: T.StructField):
+    """-> dec(u8, raw, pos, valid) -> pa.Array of len(pos) (nulls at
+    ~valid), mutating pos at valid rows. Vectorized for every
+    fixed-width and length-prefixed MySQL wire type; per-cell scalar
+    closure for NEWDECIMAL / binary JSON / TIME2 / wide SETs."""
+    import numpy as np
+    import pyarrow as pa
+
+    tc = col.type_code
+    pa_t = _pa_type(field.dataType)
+
+    if tc in _FIXED_LE:
+        np_dt, w = _FIXED_LE[tc]
+
+        def dec(u8, raw, pos, valid, _np_dt=np_dt, _w=w, _pa_t=pa_t):
+            idx = np.flatnonzero(valid)
+            vals = _gather_fixed(u8, pos[idx], _w).view(_np_dt)
+            out = np.zeros(len(pos), dtype=_np_dt)
+            out[idx] = vals
+            pos[idx] += _w
+            return pa.array(out, type=_pa_t, mask=~valid)
+
+        return dec
+
+    if tc == TY_INT24:
+
+        def dec(u8, raw, pos, valid):
+            idx = np.flatnonzero(valid)
+            m = _gather_fixed(u8, pos[idx], 3).reshape(-1, 3).astype(np.int64)
+            u = m[:, 0] | (m[:, 1] << 8) | (m[:, 2] << 16)
+            v = np.where(u >= 1 << 23, u - (1 << 24), u)
+            out = np.zeros(len(pos), np.int64)
+            out[idx] = v
+            pos[idx] += 3
+            return pa.array(out, type=pa_t, mask=~valid)
+
+        return dec
+
+    if tc == TY_YEAR:
+
+        def dec(u8, raw, pos, valid):
+            idx = np.flatnonzero(valid)
+            out = np.zeros(len(pos), np.int64)
+            out[idx] = 1900 + u8[pos[idx]].astype(np.int64)
+            pos[idx] += 1
+            return pa.array(out, type=pa_t, mask=~valid)
+
+        return dec
+
+    if tc == TY_DATE:
+
+        def dec(u8, raw, pos, valid):
+            idx = np.flatnonzero(valid)
+            m = _gather_fixed(u8, pos[idx], 3).reshape(-1, 3).astype(np.int64)
+            packed = m[:, 0] | (m[:, 1] << 8) | (m[:, 2] << 16)
+            days = _days_from_ymd(
+                packed >> 9, (packed >> 5) & 0x0F, packed & 0x1F
+            )
+            out = np.zeros(len(pos), np.int64)
+            out[idx] = days
+            pos[idx] += 3
+            return pa.array(
+                out.astype(np.int32), type=pa.date32(), mask=~valid
+            )
+
+        return dec
+
+    if tc == TY_DATETIME2:
+        fsp = col.meta[0]
+        nb = _frac_bytes(fsp)
+        mul = 10 ** (6 - fsp) if nb else 0
+
+        def dec(u8, raw, pos, valid, _nb=nb, _mul=mul):
+            idx = np.flatnonzero(valid)
+            m = _gather_fixed(u8, pos[idx], 5).reshape(-1, 5).astype(np.int64)
+            intpart = (
+                (m[:, 0] << 32)
+                | (m[:, 1] << 24)
+                | (m[:, 2] << 16)
+                | (m[:, 3] << 8)
+                | m[:, 4]
+            ) - 0x8000000000
+            sec = intpart & 0x3F
+            minute = (intpart >> 6) & 0x3F
+            hour = (intpart >> 12) & 0x1F
+            day = (intpart >> 17) & 0x1F
+            ym = intpart >> 22
+            pos[idx] += 5
+            micro = np.zeros(len(idx), np.int64)
+            if _nb:
+                fm = (
+                    _gather_fixed(u8, pos[idx], _nb)
+                    .reshape(-1, _nb)
+                    .astype(np.int64)
+                )
+                frac = np.zeros(len(idx), np.int64)
+                for k in range(_nb):  # big-endian, ≤3 iterations
+                    frac = (frac << 8) | fm[:, k]
+                micro = frac * _mul
+                pos[idx] += _nb
+            days = _days_from_ymd(ym // 13, ym % 13, day)
+            us = (
+                days * 86_400_000_000
+                + (hour * 3600 + minute * 60 + sec) * 1_000_000
+                + micro
+            )
+            out = np.zeros(len(pos), np.int64)
+            out[idx] = us
+            return pa.array(out, type=pa.timestamp("us"), mask=~valid)
+
+        return dec
+
+    if tc == TY_TIMESTAMP2:
+        fsp = col.meta[0]
+        nb = _frac_bytes(fsp)
+        mul = 10 ** (6 - fsp) if nb else 0
+
+        def dec(u8, raw, pos, valid, _nb=nb, _mul=mul):
+            idx = np.flatnonzero(valid)
+            m = _gather_fixed(u8, pos[idx], 4).reshape(-1, 4).astype(np.int64)
+            secs = (m[:, 0] << 24) | (m[:, 1] << 16) | (m[:, 2] << 8) | m[:, 3]
+            pos[idx] += 4
+            micro = np.zeros(len(idx), np.int64)
+            if _nb:
+                fm = (
+                    _gather_fixed(u8, pos[idx], _nb)
+                    .reshape(-1, _nb)
+                    .astype(np.int64)
+                )
+                frac = np.zeros(len(idx), np.int64)
+                for k in range(_nb):
+                    frac = (frac << 8) | fm[:, k]
+                micro = frac * _mul
+                pos[idx] += _nb
+            out = np.zeros(len(pos), np.int64)
+            out[idx] = secs * 1_000_000 + micro
+            return pa.array(out, type=pa.timestamp("us"), mask=~valid)
+
+        return dec
+
+    if tc == TY_BIT:
+        nbytes = col.meta[1] + (1 if col.meta[0] else 0)
+
+        def dec(u8, raw, pos, valid, _w=nbytes):
+            idx = np.flatnonzero(valid)
+            m = _gather_fixed(u8, pos[idx], _w).reshape(-1, _w).astype(np.int64)
+            v = np.zeros(len(idx), np.int64)
+            for k in range(_w):  # big-endian, ≤8 iterations
+                v = (v << 8) | m[:, k]
+            out = np.zeros(len(pos), np.int64)
+            out[idx] = v
+            pos[idx] += _w
+            return pa.array(out, type=pa_t, mask=~valid)
+
+        return dec
+
+    if tc in (TY_VARCHAR, TY_BLOB, TY_GEOMETRY):
+        if tc == TY_VARCHAR:
+            maxlen = struct.unpack("<H", col.meta)[0]
+            pw = 2 if maxlen > 255 else 1
+        else:
+            pw = col.meta[0]
+        out_t = pa.string() if tc == TY_VARCHAR else pa.binary()
+
+        def dec(u8, raw, pos, valid, _pw=pw, _out_t=out_t):
+            idx = np.flatnonzero(valid)
+            if _pw == 1:
+                lens = u8[pos[idx]].astype(np.int64)
+            else:
+                m = (
+                    _gather_fixed(u8, pos[idx], _pw)
+                    .reshape(-1, _pw)
+                    .astype(np.int64)
+                )
+                lens = np.zeros(len(idx), np.int64)
+                for k in range(_pw):  # little-endian length prefix
+                    lens |= m[:, k] << (8 * k)
+            data_start = pos[idx] + _pw
+            full_lens = np.zeros(len(pos), np.int64)
+            full_lens[idx] = lens
+            full_start = np.zeros(len(pos), np.int64)
+            full_start[idx] = data_start
+            data, offsets = _gather_bytes_vec(u8, full_start, full_lens)
+            pos[idx] = data_start + lens
+            return pa.Array.from_buffers(
+                _out_t,
+                len(pos),
+                [
+                    _valid_buf(valid),
+                    pa.py_buffer(offsets.tobytes()),
+                    pa.py_buffer(data.tobytes()),
+                ],
+                null_count=int((~valid).sum()),
+            )
+
+        return dec
+
+    if tc == TY_STRING:  # enum / set, pack-width little-endian index
+        real, pack = col.meta[0], col.meta[1]
+        values = col.extra
+        if real == TY_SET and len(values) > 8:
+            return _scalar_cell(col, pa_t)  # 2^k lookup too large
+        if real == TY_ENUM:
+            lookup = np.array(["", *values], dtype=object)
+        else:
+            lookup = np.array(
+                [
+                    ",".join(m for i, m in enumerate(values) if mask >> i & 1)
+                    for mask in range(1 << len(values))
+                ],
+                dtype=object,
+            )
+
+        def dec(u8, raw, pos, valid, _pack=pack, _lookup=lookup, _real=real):
+            idx = np.flatnonzero(valid)
+            m = (
+                _gather_fixed(u8, pos[idx], _pack)
+                .reshape(-1, _pack)
+                .astype(np.int64)
+            )
+            n = np.zeros(len(idx), np.int64)
+            for k in range(_pack):
+                n |= m[:, k] << (8 * k)
+            if _real == TY_ENUM:
+                n = np.where((n >= 1) & (n < len(_lookup)), n, 0)
+            else:
+                n &= len(_lookup) - 1  # scalar path ignores stray high bits
+            out = np.full(len(pos), None, dtype=object)
+            out[idx] = _lookup[n]
+            pos[idx] += _pack
+            return pa.array(out, type=pa.string())
+
+        return dec
+
+    if tc in (TY_NEWDECIMAL, TY_JSON, TY_TIME2):
+        return _scalar_cell(col, pa_t)
+
+    raise TypeError(f"unsupported type code {tc}")
+
+
+class _Group:
+    """One (table_def, event-type, present-bitmaps) batch of rows
+    events awaiting vectorized decode."""
+
+    __slots__ = (
+        "tdef", "tc", "present1", "present2",
+        "bodies", "p0", "gtids", "srcs", "etss", "seqs", "nbytes",
+    )
+
+    def __init__(self, tdef, tc, present1, present2):
+        self.tdef, self.tc = tdef, tc
+        self.present1, self.present2 = present1, present2
+        self.bodies: list[bytes] = []
+        self.p0: list[int] = []
+        self.gtids: list = []
+        self.srcs: list = []
+        self.etss: list[int] = []
+        self.seqs: list[int] = []
+        self.nbytes = 0
+
+
+_MAX_GROUP_EVENTS = 65_536
+# caps each flush's concat buffer (and thus every varlen column's
+# gathered total) far below Arrow's 2^31 int32-offset limit
+_MAX_GROUP_BYTES = 1 << 28
+
+
+def _flush_group(g: _Group, target, pa_out_schema, want_src, file_seq):
+    """Vectorized image-round decode of one group -> record batches."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = len(g.bodies)
+    if not n:
+        return
+    raw = b"".join(g.bodies)
+    u8 = np.frombuffer(raw, np.uint8)
+    sizes = np.array([len(b) for b in g.bodies], np.int64)
+    base = np.zeros(n, np.int64)
+    np.cumsum(sizes[:-1], out=base[1:])
+    pos = base + np.array(g.p0, np.int64)
+    ends = base + sizes
+
+    cols = g.tdef.cols
+    plan = [
+        _vec_col_decoder(c, f) for c, f in zip(cols, target.fields)
+    ]
+    etss = np.array(g.etss, np.int64)
+    seqs = np.array(g.seqs, np.int64)
+    is_update = g.tc == EV_UPDATE_ROWS_V2
+
+    active = np.arange(n)
+    rnd = 0
+    while active.size:
+        present = (
+            g.present1 if (not is_update or rnd % 2 == 0) else g.present2
+        )
+        nb = (len(present) + 7) // 8
+        p_act = pos[active] + nb
+        bitmap = (
+            _gather_fixed(u8, pos[active], nb).reshape(-1, nb)
+            if nb
+            else np.zeros((active.size, 0), np.uint8)
+        )
+        decoded: dict[int, object] = {}
+        for k, j in enumerate(present):
+            nullbit = ((bitmap[:, k // 8] >> (k % 8)) & 1).astype(bool)
+            decoded[j] = plan[j](u8, raw, p_act, ~nullbit)
+        pos[active] = p_act
+        if bool((pos[active] > ends[active]).any()):
+            bad = int(active[np.flatnonzero(pos[active] > ends[active])[0]])
+            raise ValueError(
+                f"corrupt rows event at offset {int(seqs[bad])}: image "
+                f"{rnd} overruns the event body"
+            )
+
+        arrays = []
+        for j, f in enumerate(target.fields):
+            if j in decoded:
+                arrays.append(decoded[j])
+            else:
+                arrays.append(pa.nulls(active.size, type=_pa_type(f.dataType)))
+        if g.tc == EV_WRITE_ROWS_V2:
+            op = CDC_INSERT
+        elif g.tc == EV_DELETE_ROWS_V2:
+            op = CDC_DELETE
+        else:
+            op = CDC_UPDATE_BEFORE if rnd % 2 == 0 else CDC_UPDATE_AFTER
+        arrays.append(
+            pa.array(np.full(active.size, op, np.int32), type=pa.int32())
+        )
+        if want_src:
+            arrays.append(
+                pa.array([g.srcs[i] for i in active], type=pa.string())
+            )
+        arrays.append(pa.array([g.gtids[i] for i in active], type=pa.int64()))
+        arrays.append(
+            pa.array(etss[active] * 1_000_000, type=pa.timestamp("us"))
+        )
+        arrays.append(
+            pa.array(
+                np.full(active.size, file_seq, np.int32), type=pa.int32()
+            )
+        )
+        arrays.append(pa.array(seqs[active], type=pa.int64()))
+        arrays.append(
+            pa.array(np.full(active.size, rnd, np.int32), type=pa.int32())
+        )
+        yield pa.RecordBatch.from_arrays(arrays, schema=pa_out_schema)
+        rnd += 1
+        active = active[pos[active] < ends[active]]
+
+    if not bool((pos == ends).all()):
+        bad = int(np.flatnonzero(pos != ends)[0])
+        raise ValueError(
+            f"corrupt rows event at offset {int(seqs[bad])}: decoded "
+            f"size mismatch (ended at {int(pos[bad] - base[bad])}, body "
+            f"has {int(sizes[bad])} bytes)"
+        )
+
+
+def _rows_to_batches(rows, out_schema, pa_out_schema, chunk=200_000):
+    """Scalar-walk remainder rows (PARTIAL_UPDATE_ROWS) -> batches."""
+    import pyarrow as pa
+
+    for i in range(0, len(rows), chunk):
+        part = rows[i : i + chunk]
+        arrays = [
+            pa.array(
+                [r.get(f.name) for r in part], type=_pa_type(f.dataType)
+            )
+            for f in out_schema.fields
+        ]
+        yield pa.RecordBatch.from_arrays(arrays, schema=pa_out_schema)
+
+
+def decode_binlog_record_batches(
+    blob: bytes,
+    target: T.StructType,
+    database: str,
+    table: str,
+    *,
+    file_seq: int = 1,
+    mode: str = "permissive",
+    gtid_format: str = "long",
+    init_state: dict | None = None,
+    seq_base: int = 0,
+) -> Iterator:
+    """Columnar twin of ``decode_binlog_bytes``: same walk (shared code
+    — headers, CRC32, GTID, TABLE_MAP, payload unwrap all run in the
+    scalar walker), but row-image values decode vectorized. Yields
+    pyarrow RecordBatches in ``_binlog_out_schema`` column order; row
+    order differs from the scalar walk (grouped by image round) — the
+    changelog's explicit (__file_seq, __event_seq, __image_seq) keys
+    carry ordering, per the DataFrame contract."""
+    out_schema = _binlog_out_schema(target, gtid_format)
+    pa_out_schema = arrow_schema(out_schema)
+    want_src = gtid_format == "uuid_gno"
+
+    groups: dict[tuple, _Group] = {}
+    done: list = []
+
+    def sink(tdef, tc, body, p, present1, present2, gtid, gtid_src, ets, seq):
+        key = (id(tdef), tc, tuple(present1), tuple(present2))
+        g = groups.get(key)
+        if g is None or g.tdef is not tdef:
+            g = groups[key] = _Group(tdef, tc, present1, present2)
+        g.bodies.append(bytes(body))
+        g.p0.append(p)
+        g.gtids.append(gtid)
+        g.srcs.append(gtid_src)
+        g.etss.append(ets)
+        g.seqs.append(seq)
+        g.nbytes += len(body)
+        if len(g.bodies) >= _MAX_GROUP_EVENTS or g.nbytes >= _MAX_GROUP_BYTES:
+            done.extend(
+                _flush_group(g, target, pa_out_schema, want_src, file_seq)
+            )
+            groups.pop(key)
+        return True
+
+    scalar_rows = decode_binlog_bytes(
+        blob,
+        target,
+        database,
+        table,
+        file_seq=file_seq,
+        mode=mode,
+        gtid_format=gtid_format,
+        init_state=init_state,
+        seq_base=seq_base,
+        _rows_sink=sink,
+    )
+    yield from done
+    for g in groups.values():
+        yield from _flush_group(g, target, pa_out_schema, want_src, file_seq)
+    if scalar_rows:
+        yield from _rows_to_batches(scalar_rows, out_schema, pa_out_schema)
+
+
+def decode_binlog_pandas(blob, target, database, table, **kw):
+    """Convenience: columnar decode -> one pandas DataFrame (tests)."""
+    import pyarrow as pa
+
+    out_schema = _binlog_out_schema(target, kw.get("gtid_format", "long"))
+    batches = list(
+        decode_binlog_record_batches(blob, target, database, table, **kw)
+    )
+    if not batches:
+        schema = arrow_schema(out_schema)
+        return schema.empty_table().to_pandas()
+    return pa.Table.from_batches(batches).to_pandas()

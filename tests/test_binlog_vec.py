@@ -1,0 +1,334 @@
+"""Columnar (numpy/Arrow) binlog value decode vs the scalar walk.
+
+The round-6 kernel (sources/mysql_binlog_vec.py) must emit exactly the
+rows ``decode_binlog_bytes`` emits — same values, same metadata keys —
+for the full MySQL wire-type matrix, update/minimal images, multi-row
+events, checksummed files, TRANSACTION_PAYLOAD wrappers, schema
+evolution, and the PARTIAL_UPDATE_ROWS scalar-remainder path. Row
+ORDER may differ (image-round grouping); compare on the explicit
+(__event_seq, __image_seq) ordering keys, the changelog contract.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from decimal import Decimal
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from mysql_cdc_table_spark.sources import mysql_binlog as mb
+from mysql_cdc_table_spark.sources.mysql_binlog import (
+    build_binlog_file,
+    decode_binlog_bytes,
+    mysql_binlog_read,
+)
+from mysql_cdc_table_spark.sources.mysql_binlog_vec import (
+    decode_binlog_pandas,
+)
+
+RICH = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("b", T.ByteType()),
+        T.StructField("s", T.ShortType()),
+        T.StructField("i", T.IntegerType()),
+        T.StructField("f", T.FloatType()),
+        T.StructField("d", T.DoubleType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("vl", T.StringType(), metadata={"varchar_len": 1000}),
+        T.StructField("amt", T.DecimalType(10, 2)),
+        T.StructField("big", T.DecimalType(30, 5)),
+        T.StructField("bin", T.BinaryType()),
+        T.StructField("dtm", T.TimestampType()),
+        T.StructField("dte", T.DateType()),
+        T.StructField(
+            "m", T.IntegerType(), metadata={"mysql_type": "mediumint"}
+        ),
+        T.StructField("tm", T.StringType(), metadata={"mysql_type": "time"}),
+        T.StructField("yr", T.IntegerType(), metadata={"mysql_type": "year"}),
+        T.StructField(
+            "bits", T.LongType(), metadata={"mysql_type": "bit", "bits": 20}
+        ),
+        T.StructField(
+            "en",
+            T.StringType(),
+            metadata={"mysql_type": "enum", "values": ["a", "b", "c"]},
+        ),
+        T.StructField(
+            "st",
+            T.StringType(),
+            metadata={"mysql_type": "set", "values": ["x", "y", "z"]},
+        ),
+        T.StructField("doc", T.StringType(), metadata={"mysql_type": "json"}),
+        T.StructField(
+            "geo", T.BinaryType(), metadata={"mysql_type": "geometry"}
+        ),
+    ]
+)
+
+
+def _rich_row(i: int) -> dict:
+    return {
+        "id": i,
+        "b": (i % 200) - 100,
+        "s": i * 3 % 30000 - 15000,
+        "i": i * 7 - 100,
+        "f": float(i) / 2,
+        "d": i * 1.25,
+        "v": f"v{i}",
+        "vl": "x" * (i % 300),
+        "amt": Decimal(f"{i}.25"),
+        "big": Decimal(f"123456789012345678901234.{i % 10:05d}"),
+        "bin": bytes([i % 256, 1, 2]),
+        "dtm": dt.datetime(
+            2024, 1 + i % 12, 1 + i % 28, i % 24, i % 60, i % 60,
+            (i * 1000) % 1_000_000,
+        ),
+        "dte": dt.date(2020 + i % 5, 1 + i % 12, 1 + i % 28),
+        "m": (i * 31) % (1 << 23) - (1 << 22),
+        "tm": f"{i % 800}:{i % 60:02d}:{i % 60:02d}",
+        "yr": 1990 + i % 50,
+        "bits": (i * 7919) % (1 << 20),
+        "en": ["a", "b", "c"][i % 3],
+        "st": ["x", "x,y", "", "x,y,z"][i % 4],
+        "doc": f'{{"k": {i}, "s": "t{i}"}}',
+        "geo": bytes([0, 0, 0, 0]) + bytes([i % 256]) * 5,
+    }
+
+
+def _assert_same(scalar_rows: list[dict], pdf: pd.DataFrame, target) -> None:
+    names = list(pdf.columns)
+    spdf = pd.DataFrame({n: [r.get(n) for r in scalar_rows] for n in names})
+    key = ["__event_seq", "__image_seq"]
+    a = spdf.sort_values(key).reset_index(drop=True)
+    b = pdf.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    for n in names:
+        for j in range(len(a)):
+            av, bv = a[n][j], b[n][j]
+            if av is None:
+                assert bv is None or bv != bv, (n, j, bv)
+            elif isinstance(av, float):
+                assert math.isclose(av, bv, rel_tol=1e-6), (n, j, av, bv)
+            elif isinstance(av, (dt.datetime, dt.date)):
+                assert pd.Timestamp(av) == pd.Timestamp(bv), (n, j, av, bv)
+            elif isinstance(av, bytes):
+                assert bytes(bv) == av, (n, j, av, bv)
+            else:
+                assert av == bv, (n, j, av, bv)
+
+
+def _mixed_txns():
+    rows = [_rich_row(i) for i in range(40)]
+    for i, r in enumerate(rows):
+        if i % 5 == 0:
+            r["v"] = None
+            r["doc"] = None
+            r["amt"] = None
+            r["dte"] = None
+    return [
+        {"gno": 1, "op": "w", "rows": rows[:15]},
+        {
+            "gno": 2,
+            "op": "u",
+            "rows": [(rows[k], rows[k + 15]) for k in range(10)],
+        },
+        {"gno": 3, "op": "d", "rows": rows[30:]},
+    ]
+
+
+@pytest.mark.parametrize("checksum", [False, True])
+def test_columnar_matches_scalar_rich_matrix(checksum):
+    blob = build_binlog_file("d", "t", RICH, _mixed_txns(), checksum=checksum)
+    scalar = decode_binlog_bytes(blob, RICH, "d", "t")
+    pdf = decode_binlog_pandas(blob, RICH, "d", "t")
+    assert len(scalar) == 45  # 15 ins + 10x2 upd images + 10 del
+    _assert_same(scalar, pdf, RICH)
+
+
+def test_columnar_matches_scalar_payload_wrap_and_uuid_gno():
+    blob = build_binlog_file(
+        "d", "t", RICH, _mixed_txns(), payload_wrap=True
+    )
+    scalar = decode_binlog_bytes(
+        blob, RICH, "d", "t", gtid_format="uuid_gno"
+    )
+    pdf = decode_binlog_pandas(blob, RICH, "d", "t", gtid_format="uuid_gno")
+    assert "__gtid_src" in pdf.columns
+    _assert_same(scalar, pdf, RICH)
+
+
+def test_columnar_partial_update_scalar_remainder():
+    """PARTIAL_UPDATE_ROWS events decode on the scalar walk and merge
+    back into the columnar output; surrounding full events stay
+    vectorized."""
+    tgt = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "doc", T.StringType(), metadata={"mysql_type": "json"}
+            ),
+        ]
+    )
+    r1 = {"id": 1, "doc": '{"a": 1, "b": "x"}'}
+    r1b = {"id": 1, "doc": '{"a": 2, "b": "x"}'}
+    txns = [
+        {"gno": 1, "op": "w", "rows": [r1]},
+        {
+            "gno": 2,
+            "op": "pu",
+            "rows": [(r1, r1b, {"doc": [("replace", "$.a", 2)]})],
+        },
+    ]
+    blob = build_binlog_file("d", "t", tgt, txns)
+    scalar = decode_binlog_bytes(blob, tgt, "d", "t")
+    pdf = decode_binlog_pandas(blob, tgt, "d", "t")
+    _assert_same(scalar, pdf, tgt)
+    assert sorted(pdf["__op"].tolist()) == [1, 2, 3]
+
+
+def test_columnar_schema_evolution_prefix_map():
+    old = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    new = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("amt", T.DecimalType(10, 2)),
+        ]
+    )
+    blob_old = build_binlog_file(
+        "d", "t", old, [{"gno": 1, "op": "w", "rows": [{"id": 1, "v": "a"}]}]
+    )
+    blob_new = build_binlog_file(
+        "d",
+        "t",
+        new,
+        [
+            {
+                "gno": 2,
+                "op": "w",
+                "rows": [{"id": 2, "v": "b", "amt": Decimal("2.50")}],
+            }
+        ],
+    )
+    stream = blob_old + blob_new[4:]
+    scalar = decode_binlog_bytes(stream, new, "d", "t")
+    pdf = decode_binlog_pandas(stream, new, "d", "t")
+    _assert_same(scalar, pdf, new)
+    got = pdf.sort_values("id")
+    assert got["amt"].tolist()[0] is None or got["amt"].isna().tolist() == [
+        True,
+        False,
+    ]
+
+
+def test_columnar_minimal_before_images():
+    """binlog_row_image=MINIMAL: before-images carry only the key column
+    — the update groups split by present-bitmap pair and both decode."""
+    tgt = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    pairs = [
+        ({"id": k, "v": f"x{k}"}, {"id": k, "v": f"y{k}"}) for k in range(6)
+    ]
+    txns = [
+        {"gno": 1, "op": "u", "rows": pairs[:3], "before_present": [0]},
+        {"gno": 2, "op": "u", "rows": pairs[3:]},
+    ]
+    blob = build_binlog_file("d", "t", tgt, txns)
+    scalar = decode_binlog_bytes(blob, tgt, "d", "t")
+    pdf = decode_binlog_pandas(blob, tgt, "d", "t")
+    _assert_same(scalar, pdf, tgt)
+
+
+def test_columnar_corrupt_body_raises():
+    """A rows event whose image overruns its body must failfast, not
+    emit garbage (same contract as the scalar walk's slicing)."""
+    tgt = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    blob = bytearray(
+        build_binlog_file(
+            "d",
+            "t",
+            tgt,
+            [{"gno": 1, "op": "w", "rows": [{"id": 1, "v": "hello"}]}],
+        )
+    )
+    # corrupt the varchar length prefix of the last event's value
+    # section: claim far more bytes than the body holds
+    idx = bytes(blob).rfind(b"hello")
+    blob[idx - 1] = 250
+    with pytest.raises(ValueError, match="corrupt|overrun"):
+        decode_binlog_pandas(bytes(blob), tgt, "d", "t")
+
+
+def test_spark_columnar_equals_scalar_read(spark, tmp_path):
+    """End-to-end through the Spark scan: mysql_binlog_read default
+    (columnar mapInArrow) vs columnar=False (scalar mapInPandas)."""
+    (tmp_path / "binlog.000001").write_bytes(
+        build_binlog_file("d", "t", RICH, _mixed_txns(), checksum=True)
+    )
+    key = ["__event_seq", "__image_seq"]
+    a = (
+        mysql_binlog_read(spark, str(tmp_path), RICH, "d", "t")
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    b = (
+        mysql_binlog_read(
+            spark, str(tmp_path), RICH, "d", "t", columnar=False
+        )
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-(2**63), 2**63 - 1),
+            st.text(max_size=40),
+            st.integers(-(1 << 23), (1 << 23) - 1),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_columnar_vs_scalar_property(rows):
+    """Hypothesis: arbitrary values through a mixed fixed/varlen schema
+    decode identically on both paths (incl. None via the flag)."""
+    tgt = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField(
+                "m", T.IntegerType(), metadata={"mysql_type": "mediumint"}
+            ),
+        ]
+    )
+    recs = [
+        {"id": i64, "v": None if none else s, "m": m}
+        for (i64, s, m, none) in rows
+    ]
+    blob = build_binlog_file(
+        "d", "t", tgt, [{"gno": 1, "op": "w", "rows": recs}]
+    )
+    scalar = decode_binlog_bytes(blob, tgt, "d", "t")
+    pdf = decode_binlog_pandas(blob, tgt, "d", "t")
+    _assert_same(scalar, pdf, tgt)
