@@ -2197,18 +2197,47 @@ def mysql_binlog_read_stream(
 # --- sub-rotation streaming tail (custom DataSource) -------------------------
 
 
-def _complete_prefix_len(blob: bytes) -> int:
+def _complete_prefix_len(blob: bytes, start: int = 4) -> int:
     """Byte length of the longest whole-event prefix (magic included):
-    the safe read horizon of the ACTIVE, still-growing binlog file."""
+    the safe read horizon of the ACTIVE, still-growing binlog file.
+    ``start`` (an event boundary ≥4) resumes the walk mid-file so a
+    tail micro-batch only walks bytes it hasn't seen."""
     if blob[:4] != BINLOG_MAGIC:
         return 0
-    pos = 4
+    pos = max(start, 4)
     while pos + _HEADER_LEN <= len(blob):
         esize = struct.unpack_from("<I", blob, pos + 9)[0]
         if esize < _HEADER_LEN or pos + esize > len(blob):
             break
         pos += esize
     return pos
+
+
+def _carry_walk(blob: bytes, frm: int, upto: int, state: dict) -> None:
+    """Header walk of blob[frm:upto] (event boundaries), folding decoder
+    state into ``state`` = {"checksum", "gtid", "sid", "maps": {tid:
+    body}} — the same replayable state the parallel split scan carries
+    (scan_binlog_splits), but resumable so the streaming tail pays only
+    the NEW bytes each micro-batch instead of re-decoding the whole
+    active-file prefix. Touches only 19-byte headers plus FDE/GTID/
+    TABLE_MAP bodies."""
+    pos = frm
+    while pos + _HEADER_LEN <= upto:
+        _ets, tc, _s, esize, _lp, _fl = _HEADER.unpack_from(blob, pos)
+        if esize < _HEADER_LEN or pos + esize > upto:
+            break
+        if tc == EV_FORMAT_DESCRIPTION:
+            state["checksum"] = _detect_checksum(blob[pos : pos + esize])
+        elif tc in (EV_GTID, EV_TABLE_MAP):
+            end = pos + esize - (4 if state["checksum"] else 0)
+            body = blob[pos + _HEADER_LEN : end]
+            if tc == EV_GTID:
+                state["gtid"] = struct.unpack_from("<q", body, 17)[0]
+                state["sid"] = bytes(body[1:17])
+            else:
+                tid = int.from_bytes(body[0:6], "little")
+                state["maps"][tid] = bytes(body)
+        pos += esize
 
 
 def _tail_target(options: dict) -> T.StructType:
@@ -2246,6 +2275,10 @@ class MysqlBinlogTailStreamReader(_SimpleStreamReader):
         self.table = options["table"]
         self.target = _tail_target(options)
         self.gtid_format = options.get("gtid_format", "long")
+        # round 6: per-file carried decoder state, so each micro-batch
+        # header-walks and value-decodes only bytes past the cursor —
+        # events-to-visible latency becomes O(delta), not O(active file)
+        self._carry: dict[int, tuple[int, dict]] = {}
 
     def initialOffset(self):
         return {"seq": -1, "pos": 0}
@@ -2263,6 +2296,10 @@ class MysqlBinlogTailStreamReader(_SimpleStreamReader):
         return [(_file_seq_of(self.path), self.path)]
 
     def _delta(self, start: dict, upto: dict | None = None):
+        from mysql_cdc_table_spark.sources.mysql_binlog_vec import (
+            decode_binlog_record_batches,
+        )
+
         rows: list[tuple] = []
         names = [
             f.name
@@ -2276,7 +2313,8 @@ class MysqlBinlogTailStreamReader(_SimpleStreamReader):
                 continue
             with open(path, "rb") as fh:
                 blob = fh.read()
-            prefix = _complete_prefix_len(blob)
+            lo = start["pos"] if seq == start["seq"] else 0
+            prefix = _complete_prefix_len(blob, start=max(lo, 4))
             if prefix < 4:
                 # Not (yet) a binlog file: a just-rotated file whose
                 # 4-byte magic isn't on disk, or a foreign file in the
@@ -2286,17 +2324,42 @@ class MysqlBinlogTailStreamReader(_SimpleStreamReader):
                 continue
             if upto is not None and seq == upto["seq"]:
                 prefix = min(prefix, upto["pos"])
-            lo = start["pos"] if seq == start["seq"] else 0
             if prefix <= lo and seq == start["seq"]:
                 continue  # no new complete events in the active file
-            decoded = decode_binlog_bytes(
-                blob[:prefix], self.target, self.database, self.table,
-                file_seq=seq, gtid_format=self.gtid_format,
-            )
-            for r in decoded:
-                if seq == start["seq"] and r["__event_seq"] < lo:
-                    continue  # already consumed in a previous batch
-                rows.append(tuple(r.get(n) for n in names))
+            if lo > 4:
+                # mid-file resume: fold decoder state over the consumed
+                # prefix (cached across batches — only NEW bytes walk),
+                # then value-decode just [lo, prefix)
+                cached = self._carry.get(seq)
+                if cached is not None and cached[0] <= lo:
+                    walk_from, state = cached
+                else:
+                    walk_from, state = 4, {
+                        "checksum": None, "gtid": None, "sid": None,
+                        "maps": {},
+                    }
+                _carry_walk(blob, walk_from, lo, state)
+                if cached is None or lo >= cached[0]:
+                    self._carry[seq] = (lo, state)
+                batches = decode_binlog_record_batches(
+                    blob[lo:prefix], self.target, self.database, self.table,
+                    file_seq=seq, gtid_format=self.gtid_format,
+                    init_state={
+                        "checksum": state["checksum"],
+                        "gtid": state["gtid"],
+                        "sid": state["sid"],
+                        "table_maps": list(state["maps"].values()),
+                    },
+                    seq_base=lo,
+                )
+            else:
+                batches = decode_binlog_record_batches(
+                    blob[:prefix], self.target, self.database, self.table,
+                    file_seq=seq, gtid_format=self.gtid_format,
+                )
+            for batch in batches:
+                for r in batch.to_pylist():
+                    rows.append(tuple(r[n] for n in names))
             if seq > end["seq"] or (seq == end["seq"] and prefix > end["pos"]):
                 end = {"seq": seq, "pos": prefix}
         return rows, end
