@@ -48,6 +48,7 @@ _MODULES = (
     "mysql_cdc_table_spark.operators.windows",
     "mysql_cdc_table_spark.operators.round4",
     "mysql_cdc_table_spark.operators.round5",
+    "mysql_cdc_table_spark.operators.round6",
     "mysql_cdc_table_spark.operators.late",
 )
 
@@ -193,7 +194,14 @@ ROUND5_LATE_KEYS: tuple[str, ...] = (
 # ~10 keys) lead the round-7 backfill. Honest gap, recorded here.
 
 # Keys born in round 6 — in-window so they get a driver row immediately.
-ROUND6_NEW_KEYS: tuple[str, ...] = ()
+ROUND6_NEW_KEYS: tuple[str, ...] = (
+    "corpus_ngram_novelty",
+    "corpus_phrase_boilerplate",
+    "text_char_entropy",
+    "window_zscore_anomaly",
+    "join_asof_forward",
+    "fn_datetime3",
+)
 
 # Operators whose implementation round 6 touches: their standing green
 # rows would otherwise mask a regression introduced by this round.

@@ -189,3 +189,72 @@ def asof_join_nearest(
     pick = F.when(take_b, F.col("__br")).when(take_f, F.col("__fr"))
     matched = [pick.getField(c).alias(c) for c in payload]
     return out.select(F.col("__lrow.*"), *matched, side.alias("matched_side"))
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str,
+    right_time: str,
+    right_payload: list[str] | None = None,
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """Left as-of-FORWARD join: for each left row, the EARLIEST right
+    row at-or-after its time (pandas merge_asof direction='forward';
+    DuckDB ``ASOF JOIN ... ON l.t <= r.t``). Same one-shuffle union
+    idiom as ``asof_join``; the sort flips ties so an equal-instant
+    right row is a 0-distance forward match: left rows order BEFORE
+    right at the same __t (side desc), putting the equal-t right row
+    inside the [current, following] frame.
+
+    Right side must be unique per (key, right_time), as in asof_join.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = right_payload or [
+        c for c in right.columns if c not in keys and c != right_time
+    ]
+
+    r_struct = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in payload]
+    )
+    lhs = left.select(
+        *keys,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r_struct).alias("__r"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+    )
+    rhs = right.select(
+        *keys,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c) for c in payload]).alias("__r"),
+        F.lit(None).cast(lhs.schema["__lrow"].dataType).alias("__lrow"),
+    )
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), F.col("__side").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = lhs.unionByName(rhs).select(
+        "*",
+        F.first(F.col("__r"), ignorenulls=True).over(w).alias("__m"),
+        F.first(F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True)
+        .over(w)
+        .alias("__m_t"),
+    )
+
+    out = filled.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        within = F.col("__m_t").isNotNull() & (
+            F.col("__m_t") - F.col("__t") <= tolerance
+        )
+        matched = [
+            F.when(within, F.col("__m").getField(c)).alias(c) for c in payload
+        ]
+    else:
+        matched = [F.col("__m").getField(c).alias(c) for c in payload]
+
+    return out.select(F.col("__lrow.*"), *matched)

@@ -1,0 +1,389 @@
+"""Round-6 operators: corpus n-gram novelty + boilerplate phrase
+mining, character entropy, trailing-window z-score anomalies, forward
+as-of join, and a third date/time builtin tier.
+
+Each entry pairs a Spark DataFrame query with a DuckDB oracle running
+the same ANSI SQL semantics (driver compare: row count + column names +
+value hash). Scale notes per operator docstring — every shape is the
+one you'd run at 100 TB (one-pass hash aggregates over exploded grams,
+keyed windows instead of global sorts, the one-shuffle as-of idiom).
+
+Float-output convention: ratios avoid the round() cross-engine trap
+entirely by flooring to integer basis points (both engines compute the
+IDENTICAL IEEE double from identical integers, and floor is exact);
+genuinely continuous outputs (entropy, z-scores) round at 6/4 digits
+per the repo convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mysql_cdc_table_spark.operators._util import t
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# --- corpus n-gram novelty ---------------------------------------------------
+
+
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's DISTINCT word
+    3-grams whose first corpus occurrence (min doc_id owner) is this
+    doc — low novelty flags near-duplicates and boilerplate-heavy docs
+    that exact/MinHash dedup can miss. Training-data curation staple.
+
+    Scale shape: ONE gram relation (explode + distinct), ONE hash
+    aggregate for first-owner, ONE hash join back, ONE per-doc
+    aggregate — no all-pairs anywhere; hot grams (stopword runs) skew a
+    single join key, which AQE's skew-join splits. Novelty is floored
+    to basis points so the oracle compare is exact (identical IEEE
+    division both sides, no round() impl differences)."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("w")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) >= 3 THEN transform(sequence(0, size(w)-3),"
+                " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                " ELSE array() END"
+            )
+        ).alias("g"),
+    ).distinct()
+    owner = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(owner, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count_if(F.col("doc_id") == F.col("first_doc")).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.floor(F.lit(10000.0) * F.col("n_novel") / F.col("n_grams"))
+            .cast("long")
+            .alias("novelty_bp"),
+        )
+    )
+
+
+CORPUS_NGRAM_NOVELTY_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+), pos AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+  FROM toks WHERE len(w) >= 3
+), grams AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM pos
+), owner AS (
+  SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(*) FILTER (WHERE doc_id = first_doc) AS BIGINT) AS n_novel,
+       CAST(floor(10000.0 * count(*) FILTER (WHERE doc_id = first_doc)
+                  / count(*)) AS BIGINT) AS novelty_bp
+FROM grams JOIN owner USING (g)
+GROUP BY doc_id
+"""
+
+
+# --- boilerplate phrase mining -----------------------------------------------
+
+
+def corpus_phrase_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 word 5-grams per source by occurrence count (ties broken
+    lexicographically) — boilerplate mining: headers, license blurbs,
+    navigation chrome repeat verbatim within a crawl source and these
+    phrases are what a curation pass strips.
+
+    Scale shape: explode (narrow) → ONE map-side-combinable hash
+    aggregate on (source, gram) → per-source top-k via a window over
+    the aggregated grid (cardinality = distinct phrases, never raw
+    occurrences)."""
+    docs = t(spark, sf_dir, "documents").select(
+        "source", F.split(F.lower("text"), " ").alias("w")
+    )
+    grams = docs.select(
+        "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) >= 5 THEN transform(sequence(0, size(w)-5),"
+                " i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"
+                " ELSE array() END"
+            )
+        ).alias("phrase"),
+    )
+    cnt = grams.groupBy("source", "phrase").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("n").desc(), F.col("phrase").asc()
+    )
+    return (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("source", "phrase", "n", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+CORPUS_PHRASE_BOILERPLATE_SQL = """
+WITH toks AS (
+  SELECT source, string_split(lower(text), ' ') AS w FROM documents
+), pos AS (
+  SELECT source, w, unnest(generate_series(1, len(w) - 4)) AS i
+  FROM toks WHERE len(w) >= 5
+), grams AS (
+  SELECT source,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' '
+              || w[i+4] AS phrase
+  FROM pos
+), cnt AS (
+  SELECT source, phrase, count(*) AS n FROM grams GROUP BY source, phrase
+)
+SELECT source, phrase, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT source, phrase, n,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n DESC, phrase ASC) AS rk
+  FROM cnt
+)
+WHERE rk <= 3
+"""
+
+
+# --- character entropy -------------------------------------------------------
+
+
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy over characters — the classic
+    gibberish/compression-artifact signal (too low: repeated filler;
+    too high: base64/binary spill). Quality-scoring companion to
+    text_quality_filter.
+
+    Scale shape: explode to (doc, char) — narrow —, ONE hash aggregate
+    per (doc, char) (alphabet-bounded: ≤ distinct chars per doc), then
+    a per-doc aggregate; entropy rounds at 6 digits (sum order differs
+    between engines at ~1e-15; the repo's float convention)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    chars = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(text) >= 1 THEN"
+                " transform(sequence(1, length(text)),"
+                " i -> substring(text, i, 1)) ELSE array() END"
+            )
+        ).alias("c"),
+    )
+    freq = chars.groupBy("doc_id", "c").agg(F.count("*").alias("n"))
+    tot = freq.groupBy("doc_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("tot").cast("long").alias("n_chars2"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy"),
+        )
+    )
+
+
+TEXT_CHAR_ENTROPY_SQL = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+  FROM documents WHERE length(text) >= 1
+), chars AS (
+  SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS c FROM pos
+), freq AS (
+  SELECT doc_id, c, count(*) AS n FROM chars GROUP BY doc_id, c
+), tot AS (
+  SELECT doc_id, sum(n) AS tot FROM freq GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(max(tot) AS BIGINT) AS n_chars2,
+       round(-sum((n / tot) * log2(n / tot)), 6) AS entropy
+FROM freq JOIN tot USING (doc_id)
+GROUP BY doc_id
+"""
+
+
+# --- trailing-window z-score anomalies ---------------------------------------
+
+
+def window_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing 50-event z-score of `value`; emit events whose
+    |z| > 2.5 once the window has ≥20 samples — the standard streaming
+    anomaly detector run batch-side. Keyed window only (partition-
+    parallel, no global sort); one pass computes avg, stddev and count
+    over the SAME frame so CollapseWindow fuses them."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-49, 0)
+    )
+    stats = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count("*").over(w).alias("cnt"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return stats.filter(
+        (F.col("cnt") >= 20) & (F.col("sd") > 1e-9) & (F.abs(z) > 2.5)
+    ).select(
+        "event_id",
+        "user_id",
+        F.round(z, 4).alias("z"),
+        F.col("cnt").alias("n_window"),
+    )
+
+
+WINDOW_ZSCORE_ANOMALY_SQL = """
+WITH stats AS (
+  SELECT event_id, user_id, value,
+         avg(value) OVER win AS mu,
+         stddev_samp(value) OVER win AS sd,
+         count(*) OVER win AS cnt
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       round((value - mu) / sd, 4) AS z,
+       CAST(cnt AS BIGINT) AS n_window
+FROM stats
+WHERE cnt >= 20 AND sd > 1e-9 AND abs((value - mu) / sd) > 2.5
+"""
+
+
+# --- forward as-of join ------------------------------------------------------
+
+
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each event (remapped into the orders era) matched
+    to the customer's EARLIEST order at-or-after that instant — "next
+    touchpoint after the signal", the mirror of join_asof_orders.
+    DuckDB oracle uses its native forward ASOF (``ON l.t <= r.t``).
+    Right side pre-deduped per (key, time) so ties are deterministic.
+
+    Scale: the one-shuffle union idiom (asof.asof_join_forward) — both
+    sides hash-partition by key once, one partition-local sort, a
+    single window pass; never a range join."""
+    from mysql_cdc_table_spark.operators.asof import asof_join_forward
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").alias("custkey"),
+        (
+            F.to_timestamp(F.lit("1995-01-01"))
+            + F.make_interval(days=(F.col("event_id") % 2500).cast("int"))
+        ).alias("ts_probe"),
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .withColumnRenamed("o_custkey", "custkey")
+    )
+    return asof_join_forward(
+        e, o, on="custkey", left_time="ts_probe", right_time="o_orderdate",
+        right_payload=["o_orderkey"],
+    )
+
+
+JOIN_ASOF_FORWARD_SQL = """
+WITH e AS (
+  SELECT event_id, user_id AS custkey,
+         TIMESTAMP '1995-01-01'
+           + to_days(CAST(event_id % 2500 AS INTEGER)) AS ts_probe
+  FROM events
+), o AS (
+  SELECT o_custkey AS custkey, o_orderdate,
+         max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.custkey, e.ts_probe, o.o_orderkey
+FROM e ASOF LEFT JOIN o
+  ON e.custkey = o.custkey AND e.ts_probe <= o.o_orderdate
+"""
+
+
+# --- date/time builtins, tier 3 ----------------------------------------------
+
+
+def fn_datetime3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third date/time tier (MySQL daily drivers not in fn_datetime2):
+    week/quarter truncation, NEXT_DAY (next Monday strictly after),
+    ISO day-of-week, first-of-month via MAKE_DATE, timestamp interval
+    arithmetic, and epoch-week bucketing. All JVM built-ins — pure scan
+    projection; the DuckDB oracle derives NEXT_DAY from isodow
+    arithmetic (DuckDB has no next_day builtin), locking the exact
+    strictly-after semantics."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.trunc("d", "week").alias("wk_start"),
+        F.trunc("d", "quarter").alias("q_start"),
+        F.next_day("d", "Mon").alias("next_monday"),
+        (F.weekday("d") + 1).alias("dow_iso"),
+        F.make_date(F.year("d"), F.month("d"), F.lit(1)).alias("month_first"),
+        (F.col("ts") + F.expr("INTERVAL 36 HOURS")).alias("plus36h"),
+        F.floor(
+            F.datediff("d", F.lit("1970-01-01").cast("date")) / 7.0
+        ).cast("long").alias("epoch_week"),
+    )
+
+
+FN_DATETIME3_SQL = """
+SELECT o_orderkey,
+       CAST(date_trunc('week', o_orderdate) AS DATE) AS wk_start,
+       CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start,
+       CAST(o_orderdate AS DATE)
+         + CAST(CASE WHEN (8 - isodow(o_orderdate)) % 7 = 0 THEN 7
+                     ELSE (8 - isodow(o_orderdate)) % 7 END
+                AS INTEGER) AS next_monday,
+       CAST(isodow(o_orderdate) AS INTEGER) AS dow_iso,
+       make_date(CAST(year(o_orderdate) AS INTEGER),
+                 CAST(month(o_orderdate) AS INTEGER), 1) AS month_first,
+       o_orderdate + INTERVAL 36 HOUR AS plus36h,
+       CAST(floor(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) / 7.0)
+            AS BIGINT) AS epoch_week
+FROM orders
+"""
+
+
+QUERIES.update(
+    {
+        "corpus_ngram_novelty": corpus_ngram_novelty,
+        "corpus_phrase_boilerplate": corpus_phrase_boilerplate,
+        "text_char_entropy": text_char_entropy,
+        "window_zscore_anomaly": window_zscore_anomaly,
+        "join_asof_forward": join_asof_forward,
+        "fn_datetime3": fn_datetime3,
+    }
+)
+
+ORACLES.update(
+    {
+        "corpus_ngram_novelty": CORPUS_NGRAM_NOVELTY_SQL,
+        "corpus_phrase_boilerplate": CORPUS_PHRASE_BOILERPLATE_SQL,
+        "text_char_entropy": TEXT_CHAR_ENTROPY_SQL,
+        "window_zscore_anomaly": WINDOW_ZSCORE_ANOMALY_SQL,
+        "join_asof_forward": JOIN_ASOF_FORWARD_SQL,
+        "fn_datetime3": FN_DATETIME3_SQL,
+    }
+)

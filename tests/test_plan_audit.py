@@ -447,3 +447,67 @@ def test_rate_of_change_one_window_partition(spark, sf_dir):
     plan = formatted_plan(df)
     assert shuffle_count(df) <= 1, plan
     assert plan.count("Window (") == 1, plan
+
+
+# --- round 6 shapes ----------------------------------------------------------
+
+
+def test_zscore_anomaly_single_fused_window(spark, sf_dir):
+    """avg/stddev/count share ONE frame: CollapseWindow must fuse them
+    into a single Window operator over one exchange+sort."""
+    from mysql_cdc_table_spark.operators.round6 import window_zscore_anomaly
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = window_zscore_anomaly(spark, sf_dir)
+    assert count_nodes(df, "Window") == 1
+    assert shuffle_count(df) == 1
+
+
+def test_asof_forward_one_shuffle_one_window(spark, sf_dir):
+    """The forward as-of keeps the union idiom's budget: one exchange
+    per side feeding ONE Window pass — never a range join."""
+    from mysql_cdc_table_spark.operators.round6 import join_asof_forward
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = join_asof_forward(spark, sf_dir)
+    assert count_nodes(df, "Window") == 1
+    assert_no_cartesian(df)
+    # probe-side projection + orders pre-dedup agg + the union's keyed
+    # partition: bounded, no per-row fan-out joins
+    assert shuffle_count(df) <= 3
+
+
+def test_ngram_novelty_bounded_shuffles(spark, sf_dir):
+    """Gram relation -> distinct -> first-owner agg -> join back ->
+    per-doc agg: every stage is a hash op on (g) or (doc_id); no
+    cartesian, no window over the raw gram stream."""
+    from mysql_cdc_table_spark.operators.round6 import corpus_ngram_novelty
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = corpus_ngram_novelty(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert count_nodes(df, "Window") == 0
+    assert shuffle_count(df) <= 5
+
+
+def test_phrase_boilerplate_topk_over_aggregated_grid(spark, sf_dir):
+    """The window ranks the AGGREGATED (source, phrase) grid, not raw
+    occurrences — and Spark's rank-limit pushdown (WindowGroupLimit)
+    must fire so each partition keeps only ~k rows per source before
+    the final rank."""
+    from mysql_cdc_table_spark.operators.round6 import (
+        corpus_phrase_boilerplate,
+    )
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = corpus_phrase_boilerplate(spark, sf_dir)
+    assert count_nodes(df, "WindowGroupLimit") >= 1  # top-k pushdown
+    assert shuffle_count(df) <= 3
+
+
+def test_fn_datetime3_pure_projection(spark, sf_dir):
+    from mysql_cdc_table_spark.operators.round6 import fn_datetime3
+
+    df = fn_datetime3(spark, sf_dir)
+    assert shuffle_count(df) == 0
+    assert_columns_pruned(df, 6)  # orders is 6 wide; scan reads 2 cols
