@@ -221,8 +221,17 @@ ROUND6_REVERIFY: tuple[str, ...] = (
 )
 
 # Late-registration tail for round 6 (same pinned-behind protocol as
-# ROUND5_LATE_KEYS; empty until the window fills).
-ROUND6_LATE_KEYS: tuple[str, ...] = ()
+# ROUND5_LATE_KEYS): registered AFTER the 50-slot window filled
+# (4 late + 6 new + 8 re-verify + 32 stalest backfill); pinned BEHIND
+# the window so they cannot evict the stalest standing rows, and lead
+# the round-7 window for their first driver rows. All four locally
+# MATCH their oracles at sf0.01 (driver_sim).
+ROUND6_LATE_KEYS: tuple[str, ...] = (
+    "text_bigram_logprob",
+    "agg_mad_outlier",
+    "fn_higher_order",
+    "join_null_safe",
+)
 
 
 def _last_seen_rounds() -> dict[str, int]:

@@ -387,3 +387,250 @@ ORACLES.update(
         "fn_datetime3": FN_DATETIME3_SQL,
     }
 )
+
+
+# --- late keys (registered after the round-6 window filled; pinned ----------
+# --- behind it, lead the round-7 window — the ROUND5_LATE_KEYS protocol) ----
+
+
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram LM scoring with add-1 smoothing — the upgrade of
+    text_unigram_logprob that actually catches scrambled word order:
+    P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V), per-doc mean negative
+    log-likelihood. The classic cheap LM quality filter tier 2.
+
+    Scale shape: one bigram hash agg + one unigram hash agg + a
+    1-row vocab-size aggregate (broadcast by Catalyst), then two hash
+    joins back onto the doc bigram stream — term joins left to AQE
+    (vocab can exceed any broadcast threshold at corpus scale)."""
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("w")
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w)-2),"
+                " i -> struct(w[i] AS w1, w[i+1] AS w2)) ELSE array() END"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    words = toks.select(F.explode("w").alias("word"))
+    c1 = words.groupBy("word").agg(F.count("*").alias("c1"))
+    vocab = words.select(
+        F.count_distinct("word").alias("v")
+    )  # 1 row — Catalyst broadcasts the cross join
+    return (
+        bigrams.join(c2, ["w1", "w2"])
+        .join(c1, bigrams.w1 == c1.word)
+        .crossJoin(vocab)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                -F.avg(
+                    F.log(
+                        (F.col("c2") + 1)
+                        / (F.col("c1") + F.col("v"))
+                    )
+                ),
+                6,
+            ).alias("mean_nll"),
+        )
+    )
+
+
+TEXT_BIGRAM_LOGPROB_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+), pos AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+  FROM toks WHERE len(w) >= 2
+), bigrams AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM pos
+), c2 AS (
+  SELECT w1, w2, count(*) AS c2 FROM bigrams GROUP BY w1, w2
+), words AS (
+  SELECT unnest(w) AS word FROM toks
+), c1 AS (
+  SELECT word, count(*) AS c1 FROM words GROUP BY word
+), vocab AS (
+  SELECT count(DISTINCT word) AS v FROM words
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(-avg(ln((c2 + 1) * 1.0 / (c1 + v))), 6) AS mean_nll
+FROM bigrams
+JOIN c2 USING (w1, w2)
+JOIN c1 ON bigrams.w1 = c1.word
+CROSS JOIN vocab
+GROUP BY doc_id
+"""
+
+
+def agg_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier summary via median absolute deviation:
+    med = exact interpolated p50 of value, mad = p50 of |value − med|,
+    outliers = events beyond 3·1.4826·mad (the normal-consistent MAD
+    z-score). Robust twin of window_zscore_anomaly — immune to the
+    outliers it hunts.
+
+    Scale shape: three keyed hash aggregates + two same-key joins (no
+    global sort; exact percentile state is per-group). Medians round at
+    6 digits; the outlier count compares doubles both engines derive
+    from identical inputs."""
+    ev = t(spark, sf_dir, "events").select("user_id", "value")
+    med = ev.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(med, "user_id").select(
+        "user_id", "value", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.count_if(
+                F.col("dev") > F.lit(3 * 1.4826) * F.col("mad")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+AGG_MAD_OUTLIER_SQL = """
+WITH med AS (
+  SELECT user_id, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY user_id
+), dev AS (
+  SELECT e.user_id, e.value, m.med, abs(e.value - m.med) AS dev
+  FROM events e JOIN med m USING (user_id)
+), mad AS (
+  SELECT user_id, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY user_id
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       round(max(d.med), 6) AS med,
+       round(max(md.mad), 6) AS mad,
+       CAST(count(*) FILTER (WHERE d.dev > 3 * 1.4826 * md.mad) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad md USING (user_id)
+GROUP BY user_id
+"""
+
+
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's higher-order array functions (aggregate/filter/exists/
+    forall/transform/slice) against DuckDB's list lambdas — the
+    array-processing surface MySQL users reach for with JSON_TABLE
+    loops. Pure scan projection, all JVM/vectorized; integer-exact."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.sequence(F.lit(1).cast("long"), 1 + F.col("p_partkey") % 7).alias(
+            "arr"
+        ),
+    )
+    return p.select(
+        "p_partkey",
+        F.expr("aggregate(arr, 0L, (a, x) -> a + x)").alias("hof_sum"),
+        F.expr("size(filter(arr, x -> x % 2 = 0))")
+        .cast("long")
+        .alias("n_even"),
+        F.expr("exists(arr, x -> x > 5)").alias("any_gt5"),
+        F.expr("forall(arr, x -> x > 0)").alias("all_pos"),
+        F.expr(
+            "aggregate(transform(arr, x -> x * x), 0L, (a, x) -> a + x)"
+        ).alias("sq_sum"),
+        F.expr("aggregate(slice(arr, 1, 3), 0L, (a, x) -> a + x)").alias(
+            "first3_sum"
+        ),
+    )
+
+
+FN_HIGHER_ORDER_SQL = """
+WITH base AS (
+  SELECT p_partkey, generate_series(1, 1 + p_partkey % 7) AS arr FROM part
+)
+SELECT p_partkey,
+       CAST(list_sum(arr) AS BIGINT) AS hof_sum,
+       CAST(len(list_filter(arr, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+       len(list_filter(arr, x -> x > 5)) > 0 AS any_gt5,
+       len(list_filter(arr, x -> NOT (x > 0))) = 0 AS all_pos,
+       CAST(list_sum(list_transform(arr, x -> x * x)) AS BIGINT) AS sq_sum,
+       CAST(list_sum(arr[1:3]) AS BIGINT) AS first3_sum
+FROM base
+"""
+
+
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi join (MySQL's <=> operator; SQL IS NOT DISTINCT
+    FROM): NULL keys MATCH each other instead of vanishing — the
+    semantics gap behind a whole class of silent row loss when joining
+    on nullable dimension keys. Spark `eqNullSafe` compiles to a plain
+    hash join on a null-safe key, so the plan stays a shuffle/broadcast
+    hash join, never a nested loop."""
+    a = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.when(F.col("o_orderkey") % 7 == 0, None)
+            .otherwise(F.col("o_orderkey") % 100)
+            .alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    b = (
+        t(spark, sf_dir, "customer")
+        .select(
+            F.when(F.col("c_custkey") % 11 == 0, None)
+            .otherwise(F.col("c_custkey") % 100)
+            .alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    return a.join(b, a.k.eqNullSafe(b.k)).select(
+        a.k.alias("k"), "n_orders", "n_customers"
+    )
+
+
+JOIN_NULL_SAFE_SQL = """
+WITH a AS (
+  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              ELSE o_orderkey % 100 END AS k,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+), b AS (
+  SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL
+              ELSE c_custkey % 100 END AS k,
+         CAST(count(*) AS BIGINT) AS n_customers
+  FROM customer GROUP BY 1
+)
+SELECT a.k, a.n_orders, b.n_customers
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+"""
+
+
+QUERIES.update(
+    {
+        "text_bigram_logprob": text_bigram_logprob,
+        "agg_mad_outlier": agg_mad_outlier,
+        "fn_higher_order": fn_higher_order,
+        "join_null_safe": join_null_safe,
+    }
+)
+
+ORACLES.update(
+    {
+        "text_bigram_logprob": TEXT_BIGRAM_LOGPROB_SQL,
+        "agg_mad_outlier": AGG_MAD_OUTLIER_SQL,
+        "fn_higher_order": FN_HIGHER_ORDER_SQL,
+        "join_null_safe": JOIN_NULL_SAFE_SQL,
+    }
+)
