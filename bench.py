@@ -210,7 +210,7 @@ def main() -> None:
         time.sleep(60)
         retry = sweep(os.getloadavg())
         attempts = 2
-        if retry["value"] <= result["value"] or not retry["contended"]:
+        if retry["value"] <= result["value"]:
             result = retry
 
     print(

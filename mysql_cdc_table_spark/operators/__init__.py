@@ -185,10 +185,10 @@ ROUND5_LATE_KEYS: tuple[str, ...] = (
 # --- round 6 -----------------------------------------------------------------
 #
 # Window arithmetic this round (50 slots): the 4 ROUND5_LATE_KEYS lead
-# (first driver rows), then the one r05 red carry-over
-# (`window_first_seen_cum` — oracle HUGEINT cast fixed this round, stays
-# in-window for its green row per the window discipline), then round-6
-# new keys, then re-verify slots for code round 6 touches. 42 keys
+# (first driver rows), then round-6 new keys, then the re-verify slots
+# for code round 6 touches — which include the r05 red carry-over
+# (`window_first_seen_cum`, oracle HUGEINT cast fixed this round; it
+# stays in-window for its green row per the window discipline). 42 keys
 # stand on r02 rows — more than the remaining slots, so the stalest ~32
 # re-confirm now and the leftover (stream_*/udf_*/mm_* registry tail,
 # ~10 keys) lead the round-7 backfill. Honest gap, recorded here.

@@ -71,12 +71,18 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Error-bound oracle (retires the r01–r05 rows-only exception): the
     sketch estimate itself is engine-specific, so the value-hashed
     output carries (a) the exact per-group distinct count and (b) a
-    boolean asserting the HLL estimate landed within 2*rsd of it. The
+    boolean asserting the HLL estimate landed within 5*rsd of it. The
     DuckDB oracle computes the same exact count and literal TRUE — so
     the driver hash goes green iff the exact counts agree AND the
-    sketch honored its documented bound. The exact companion is the
-    oracle harness, not the scale path; at 100 TB only the sketch runs
-    (one map-side-combinable HLL register merge, no expand)."""
+    sketch honored the bound. The bound is 5 sigma, not 2: the sketch
+    is deterministic per dataset (verified at sf0.001/0.01/0.1, actual
+    error <1*rsd), but a 2-sigma bound would turn a statistically
+    normal outlier on some future dataset into a red driver row with
+    nothing broken (~5%/group); at 5 sigma a false red is ~1e-6 while
+    a real estimator regression (HLL errors are percent-level when
+    they happen) still trips it. The exact companion is the oracle
+    harness, not the scale path; at 100 TB only the sketch runs (one
+    map-side-combinable HLL register merge, no expand)."""
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count_distinct("l_orderkey").alias("exact_orders"),
@@ -88,15 +94,15 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 / F.count_distinct("l_orderkey")
             )
-            <= F.lit(0.02)
-        ).alias("hll_within_2rsd"),
+            <= F.lit(0.05)
+        ).alias("hll_within_5rsd"),
     )
 
 
 AGG_APPROX_COUNT_DISTINCT_SQL = """
 SELECT l_returnflag,
        count(DISTINCT l_orderkey) AS exact_orders,
-       TRUE AS hll_within_2rsd
+       TRUE AS hll_within_5rsd
 FROM lineitem GROUP BY l_returnflag
 """
 

@@ -27,6 +27,85 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _tagged_union(left, right, keys, left_time, right_time, payload):
+    """Shared first stage of every as-of variant: tag and union the two
+    sides. The whole right payload travels as ONE struct and the window
+    fill moves the STRUCT, not each column independently — a per-column
+    fill would let a NULL payload field fall through to an OLDER right
+    row, mixing columns across rows (DuckDB ASOF JOIN / pandas
+    merge_asof return the matched row's NULL; round-1 advisory)."""
+    r_struct = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in payload]
+    )
+    lhs = left.select(
+        *keys,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r_struct).alias("__r"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+    )
+    rhs = right.select(
+        *keys,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c) for c in payload]).alias("__r"),
+        F.lit(None).cast(lhs.schema["__lrow"].dataType).alias("__lrow"),
+    )
+    return lhs.unionByName(rhs)
+
+
+def _asof_directional(
+    left, right, on, left_time, right_time, right_payload, tolerance,
+    direction,
+):
+    """One-shuffle as-of core, direction-parameterized. backward: newest
+    right at-or-before (right rows sort BEFORE left at equal t, frame
+    looks back, last ignorenulls). forward: earliest right at-or-after
+    (ties flipped so the equal-t right row lands INSIDE the
+    [current, following] frame, first ignorenulls)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = right_payload or [
+        c for c in right.columns if c not in keys and c != right_time
+    ]
+    unioned = _tagged_union(left, right, keys, left_time, right_time, payload)
+
+    backward = direction == "backward"
+    order = [
+        F.col("__t").asc(),
+        F.col("__side").asc() if backward else F.col("__side").desc(),
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    w = (
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        if backward
+        else w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    fill = F.last if backward else F.first
+    filled = unioned.select(
+        "*",
+        fill(F.col("__r"), ignorenulls=True).over(w).alias("__m"),
+        fill(F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True)
+        .over(w)
+        .alias("__m_t"),
+    )
+
+    out = filled.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        # outside tolerance -> unmatched (payload nulled), like merge_asof
+        dist = (
+            F.col("__t") - F.col("__m_t")
+            if backward
+            else F.col("__m_t") - F.col("__t")
+        )
+        within = F.col("__m_t").isNotNull() & (dist <= tolerance)
+        matched = [
+            F.when(within, F.col("__m").getField(c)).alias(c) for c in payload
+        ]
+    else:
+        matched = [F.col("__m").getField(c).alias(c) for c in payload]
+    return out.select(F.col("__lrow.*"), *matched)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -43,58 +122,10 @@ def asof_join(
     Returns all left columns plus ``right_payload`` columns (NULL when no
     right row is at-or-before the left row's time).
     """
-    keys = [on] if isinstance(on, str) else list(on)
-    payload = right_payload or [
-        c for c in right.columns if c not in keys and c != right_time
-    ]
-
-    # The whole right payload travels as ONE struct and last(ignorenulls)
-    # fills the STRUCT, not each column independently — a per-column fill
-    # would let a NULL payload field fall through to an OLDER right row,
-    # mixing columns across rows (DuckDB ASOF JOIN / pandas merge_asof
-    # return the matched row's NULL; round-1 advisory).
-    r_struct = T.StructType([T.StructField(c, right.schema[c].dataType) for c in payload])
-    lhs = left.select(
-        *keys,
-        F.col(left_time).alias("__t"),
-        F.lit(1).alias("__side"),
-        F.lit(None).cast(r_struct).alias("__r"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+    return _asof_directional(
+        left, right, on, left_time, right_time, right_payload, tolerance,
+        "backward",
     )
-    rhs = right.select(
-        *keys,
-        F.col(right_time).alias("__t"),
-        F.lit(0).alias("__side"),
-        F.struct(*[F.col(c) for c in payload]).alias("__r"),
-        F.lit(None)
-        .cast(lhs.schema["__lrow"].dataType)
-        .alias("__lrow"),
-    )
-
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = lhs.unionByName(rhs).select(
-        "*",
-        F.last(F.col("__r"), ignorenulls=True).over(w).alias("__m"),
-        F.last(F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True)
-        .over(w)
-        .alias("__m_t"),
-    )
-
-    out = filled.filter(F.col("__side") == 1)
-    if tolerance is not None:
-        # outside tolerance -> unmatched (payload nulled), like pandas merge_asof
-        within = F.col("__m_t").isNotNull() & (F.col("__t") - F.col("__m_t") <= tolerance)
-        matched = [
-            F.when(within, F.col("__m").getField(c)).alias(c) for c in payload
-        ]
-    else:
-        matched = [F.col("__m").getField(c).alias(c) for c in payload]
-
-    return out.select(F.col("__lrow.*"), *matched)
 
 
 def asof_join_nearest(
@@ -129,23 +160,7 @@ def asof_join_nearest(
         c for c in right.columns if c not in keys and c != right_time
     ]
 
-    r_struct = T.StructType(
-        [T.StructField(c, right.schema[c].dataType) for c in payload]
-    )
-    lhs = left.select(
-        *keys,
-        F.col(left_time).alias("__t"),
-        F.lit(1).alias("__side"),
-        F.lit(None).cast(r_struct).alias("__r"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
-    )
-    rhs = right.select(
-        *keys,
-        F.col(right_time).alias("__t"),
-        F.lit(0).alias("__side"),
-        F.struct(*[F.col(c) for c in payload]).alias("__r"),
-        F.lit(None).cast(lhs.schema["__lrow"].dataType).alias("__lrow"),
-    )
+    unioned = _tagged_union(left, right, keys, left_time, right_time, payload)
 
     # backward: right rows sort BEFORE left at equal t (side asc), so an
     # exact-t right row is a 0-distance backward match
@@ -166,7 +181,7 @@ def asof_join_nearest(
     )
     right_t = F.when(F.col("__side") == 0, F.col("__t"))
     right_r = F.when(F.col("__side") == 0, F.col("__r"))
-    filled = lhs.unionByName(rhs).select(
+    filled = unioned.select(
         "*",
         F.last(right_r, ignorenulls=True).over(wb).alias("__br"),
         F.last(right_t, ignorenulls=True).over(wb).alias("__bt"),
@@ -202,59 +217,12 @@ def asof_join_forward(
 ) -> DataFrame:
     """Left as-of-FORWARD join: for each left row, the EARLIEST right
     row at-or-after its time (pandas merge_asof direction='forward';
-    DuckDB ``ASOF JOIN ... ON l.t <= r.t``). Same one-shuffle union
-    idiom as ``asof_join``; the sort flips ties so an equal-instant
-    right row is a 0-distance forward match: left rows order BEFORE
-    right at the same __t (side desc), putting the equal-t right row
-    inside the [current, following] frame.
-
-    Right side must be unique per (key, right_time), as in asof_join.
+    DuckDB ``ASOF JOIN ... ON l.t <= r.t``). Same one-shuffle idiom and
+    right-side uniqueness contract as ``asof_join``; the shared core
+    flips the tie sort so an equal-instant right row is a 0-distance
+    forward match.
     """
-    keys = [on] if isinstance(on, str) else list(on)
-    payload = right_payload or [
-        c for c in right.columns if c not in keys and c != right_time
-    ]
-
-    r_struct = T.StructType(
-        [T.StructField(c, right.schema[c].dataType) for c in payload]
+    return _asof_directional(
+        left, right, on, left_time, right_time, right_payload, tolerance,
+        "forward",
     )
-    lhs = left.select(
-        *keys,
-        F.col(left_time).alias("__t"),
-        F.lit(1).alias("__side"),
-        F.lit(None).cast(r_struct).alias("__r"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
-    )
-    rhs = right.select(
-        *keys,
-        F.col(right_time).alias("__t"),
-        F.lit(0).alias("__side"),
-        F.struct(*[F.col(c) for c in payload]).alias("__r"),
-        F.lit(None).cast(lhs.schema["__lrow"].dataType).alias("__lrow"),
-    )
-
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), F.col("__side").desc())
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    filled = lhs.unionByName(rhs).select(
-        "*",
-        F.first(F.col("__r"), ignorenulls=True).over(w).alias("__m"),
-        F.first(F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True)
-        .over(w)
-        .alias("__m_t"),
-    )
-
-    out = filled.filter(F.col("__side") == 1)
-    if tolerance is not None:
-        within = F.col("__m_t").isNotNull() & (
-            F.col("__m_t") - F.col("__t") <= tolerance
-        )
-        matched = [
-            F.when(within, F.col("__m").getField(c)).alias(c) for c in payload
-        ]
-    else:
-        matched = [F.col("__m").getField(c).alias(c) for c in payload]
-
-    return out.select(F.col("__lrow.*"), *matched)

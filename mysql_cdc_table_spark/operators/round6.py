@@ -8,11 +8,13 @@ value hash). Scale notes per operator docstring — every shape is the
 one you'd run at 100 TB (one-pass hash aggregates over exploded grams,
 keyed windows instead of global sorts, the one-shuffle as-of idiom).
 
-Float-output convention: ratios avoid the round() cross-engine trap
-entirely by flooring to integer basis points (both engines compute the
-IDENTICAL IEEE double from identical integers, and floor is exact);
-genuinely continuous outputs (entropy, z-scores) round at 6/4 digits
-per the repo convention.
+Float-output convention: wherever a float influences ROW MEMBERSHIP or
+an output value that must hash exactly, the operators quantize to
+integers first (cents / basis points) and keep every derived double a
+deterministic IEEE expression over identical integers — floor, not
+round(), so no cross-engine rounding idiom is involved at all.
+Genuinely continuous aggregate outputs (entropy, LM log-likelihoods)
+round at 6 digits per the repo convention.
 """
 
 from __future__ import annotations
@@ -220,9 +222,24 @@ def window_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user trailing 50-event z-score of `value`; emit events whose
     |z| > 2.5 once the window has ≥20 samples — the standard streaming
     anomaly detector run batch-side. Keyed window only (partition-
-    parallel, no global sort); one pass computes avg, stddev and count
-    over the SAME frame so CollapseWindow fuses them."""
-    ev = t(spark, sf_dir, "events")
+    parallel, no global sort); one pass computes both windowed sums and
+    the count over the SAME frame so CollapseWindow fuses them.
+
+    Cross-engine determinism (row MEMBERSHIP depends on a float
+    threshold, so near-boundary ulps would flip rows between engines):
+    values quantize to integer cents, the window carries EXACT integer
+    sums Σx and Σx² (associative — no accumulation-order divergence;
+    built-in windowed avg/stddev would differ at 1e-15 between Spark
+    and DuckDB's segment tree), and mu/sd/z derive from those identical
+    integers through an identical IEEE expression — bit-equal doubles
+    on both engines, so the >2.5 cut selects identical rows and the
+    output ships z floored to basis points (exact, no round() idiom)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("vc"),
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.col("ts").asc(), F.col("event_id").asc())
@@ -231,37 +248,53 @@ def window_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = ev.select(
         "event_id",
         "user_id",
-        "value",
-        F.avg("value").over(w).alias("mu"),
-        F.stddev_samp("value").over(w).alias("sd"),
+        "vc",
+        F.sum("vc").over(w).alias("s1"),
+        F.sum(F.col("vc") * F.col("vc")).over(w).alias("s2"),
         F.count("*").over(w).alias("cnt"),
     )
-    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    var = (
+        F.col("s2").cast("double")
+        - (F.col("s1") * F.col("s1")).cast("double") / F.col("cnt")
+    ) / (F.col("cnt") - 1)
+    z = (F.col("vc") - F.col("s1").cast("double") / F.col("cnt")) / F.sqrt(var)
     return stats.filter(
-        (F.col("cnt") >= 20) & (F.col("sd") > 1e-9) & (F.abs(z) > 2.5)
+        (F.col("cnt") >= 20) & (var > 0) & (F.abs(z) > 2.5)
     ).select(
         "event_id",
         "user_id",
-        F.round(z, 4).alias("z"),
+        F.floor(z * 10000).cast("long").alias("z_bp"),
         F.col("cnt").alias("n_window"),
     )
 
 
 WINDOW_ZSCORE_ANOMALY_SQL = """
 WITH stats AS (
-  SELECT event_id, user_id, value,
-         avg(value) OVER win AS mu,
-         stddev_samp(value) OVER win AS sd,
-         count(*) OVER win AS cnt
-  FROM events
+  SELECT event_id, user_id, vc,
+         CAST(sum(vc) OVER win AS BIGINT) AS s1,
+         CAST(sum(vc * vc) OVER win AS BIGINT) AS s2,
+         CAST(count(*) OVER win AS BIGINT) AS cnt
+  FROM (
+    SELECT event_id, user_id, ts,
+           CAST(floor(value * 100) AS BIGINT) AS vc
+    FROM events
+  )
   WINDOW win AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                  ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+), scored AS (
+  SELECT event_id, user_id, cnt,
+         (CAST(s2 AS DOUBLE) - CAST(s1 * s1 AS DOUBLE) / cnt)
+           / (cnt - 1) AS var,
+         (vc - CAST(s1 AS DOUBLE) / cnt)
+           / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 * s1 AS DOUBLE) / cnt)
+                  / (cnt - 1)) AS z
+  FROM stats
 )
 SELECT event_id, user_id,
-       round((value - mu) / sd, 4) AS z,
-       CAST(cnt AS BIGINT) AS n_window
-FROM stats
-WHERE cnt >= 20 AND sd > 1e-9 AND abs((value - mu) / sd) > 2.5
+       CAST(floor(z * 10000) AS BIGINT) AS z_bp,
+       cnt AS n_window
+FROM scored
+WHERE cnt >= 20 AND var > 0 AND abs(z) > 2.5
 """
 
 
@@ -477,15 +510,23 @@ def agg_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     outliers it hunts.
 
     Scale shape: three keyed hash aggregates + two same-key joins (no
-    global sort; exact percentile state is per-group). Medians round at
-    6 digits; the outlier count compares doubles both engines derive
-    from identical inputs."""
-    ev = t(spark, sf_dir, "events").select("user_id", "value")
+    global sort; exact percentile state is per-group).
+
+    Cross-engine determinism (the outlier COUNT depends on a float
+    threshold): values quantize to integer cents, so the interpolated
+    medians are exact halves/quarters (0.5·a + 0.5·b over integers is
+    exact in both engines), deviations are exact, and the single
+    4.4478 literal (= 3·1.4826, the normal-consistent MAD factor)
+    parses to the same IEEE double on both sides — every comparison
+    operand is bit-identical, no round() idiom anywhere."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.floor(F.col("value") * 100).cast("long").alias("vc")
+    )
     med = ev.groupBy("user_id").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
+        F.expr("percentile(vc, 0.5)").alias("med")
     )
     dev = ev.join(med, "user_id").select(
-        "user_id", "value", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+        "user_id", "vc", "med", F.abs(F.col("vc") - F.col("med")).alias("dev")
     )
     mad = dev.groupBy("user_id").agg(
         F.expr("percentile(dev, 0.5)").alias("mad")
@@ -495,31 +536,33 @@ def agg_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.max("med"), 6).alias("med"),
-            F.round(F.max("mad"), 6).alias("mad"),
+            F.max("med").alias("med_cents"),
+            F.max("mad").alias("mad_cents"),
             F.count_if(
-                F.col("dev") > F.lit(3 * 1.4826) * F.col("mad")
+                F.col("dev") > F.lit(4.4478) * F.col("mad")
             ).alias("n_outliers"),
         )
     )
 
 
 AGG_MAD_OUTLIER_SQL = """
-WITH med AS (
-  SELECT user_id, quantile_cont(value, 0.5) AS med
-  FROM events GROUP BY user_id
+WITH cents AS (
+  SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS vc FROM events
+), med AS (
+  SELECT user_id, quantile_cont(vc, 0.5) AS med
+  FROM cents GROUP BY user_id
 ), dev AS (
-  SELECT e.user_id, e.value, m.med, abs(e.value - m.med) AS dev
-  FROM events e JOIN med m USING (user_id)
+  SELECT e.user_id, e.vc, m.med, abs(e.vc - m.med) AS dev
+  FROM cents e JOIN med m USING (user_id)
 ), mad AS (
   SELECT user_id, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY user_id
 )
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n,
-       round(max(d.med), 6) AS med,
-       round(max(md.mad), 6) AS mad,
-       CAST(count(*) FILTER (WHERE d.dev > 3 * 1.4826 * md.mad) AS BIGINT)
-         AS n_outliers
+       max(d.med) AS med_cents,
+       max(md.mad) AS mad_cents,
+       CAST(count(*) FILTER (WHERE d.dev > CAST(4.4478 AS DOUBLE) * md.mad)
+            AS BIGINT) AS n_outliers
 FROM dev d JOIN mad md USING (user_id)
 GROUP BY user_id
 """

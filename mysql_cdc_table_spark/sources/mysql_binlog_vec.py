@@ -134,6 +134,22 @@ def _gather_fixed(u8, p, width):
     return u8[np.minimum(idx, len(u8) - 1)]
 
 
+def _check_ymd(y, mo, d, what: str) -> None:
+    """Failfast on zero/garbage dates, matching the scalar walk:
+    ``datetime.date(0, 0, 0)`` raises there (MySQL zero-dates,
+    0000-00-00, are a real legacy-data path) — the pure-arithmetic
+    civil formula below would silently emit an ancient bogus date,
+    violating the repo's no-silently-wrong-rows contract."""
+    import numpy as np
+
+    bad = (y < 1) | (y > 9999) | (mo < 1) | (mo > 12) | (d < 1) | (d > 31)
+    if bool(np.asarray(bad).any()):
+        raise ValueError(
+            f"invalid {what} value in rows event (zero or out-of-range "
+            "y/m/d — MySQL zero-dates are not decodable calendar dates)"
+        )
+
+
 def _days_from_ymd(y, mo, d):
     """Proleptic-Gregorian days-since-epoch from integer arrays — the
     standard civil_from_days inverse, pure int64 numpy (no pandas
@@ -237,9 +253,9 @@ def _vec_col_decoder(col: _Col, field: T.StructField):
             idx = np.flatnonzero(valid)
             m = _gather_fixed(u8, pos[idx], 3).reshape(-1, 3).astype(np.int64)
             packed = m[:, 0] | (m[:, 1] << 8) | (m[:, 2] << 16)
-            days = _days_from_ymd(
-                packed >> 9, (packed >> 5) & 0x0F, packed & 0x1F
-            )
+            y, mo, d = packed >> 9, (packed >> 5) & 0x0F, packed & 0x1F
+            _check_ymd(y, mo, d, "DATE")
+            days = _days_from_ymd(y, mo, d)
             out = np.zeros(len(pos), np.int64)
             out[idx] = days
             pos[idx] += 3
@@ -269,6 +285,7 @@ def _vec_col_decoder(col: _Col, field: T.StructField):
             hour = (intpart >> 12) & 0x1F
             day = (intpart >> 17) & 0x1F
             ym = intpart >> 22
+            _check_ymd(ym // 13, ym % 13, day, "DATETIME2")
             pos[idx] += 5
             micro = np.zeros(len(idx), np.int64)
             if _nb:

@@ -1,12 +1,12 @@
 """Measure events-to-visible latency of the sub-rotation binlog tail.
 
-The mysql_binlog_tail DataSource re-decodes the ACTIVE file's
-whole-event prefix each micro-batch and emits only rows past the
-checkpointed cursor (SCALE.md §real binlog). Latency is therefore a
-function of the active file's size — this script appends one
+The mysql_binlog_tail DataSource emits only rows past the checkpointed
+cursor; since round 6 each micro-batch is O(delta) — carried header
+state + columnar decode of just the new bytes (SCALE.md §real binlog),
+so latency should be FLAT in active-file size. This script appends one
 transaction to active files of several sizes under a live
 processingTime stream and measures wall time from file write to the
-row surfacing in foreachBatch.
+row surfacing in foreachBatch (the table in SCALE.md).
 
 Usage: python scripts/tail_latency.py [sizes_mib ...]   (default 1 4 16)
 """

@@ -332,3 +332,38 @@ def test_columnar_vs_scalar_property(rows):
     scalar = decode_binlog_bytes(blob, tgt, "d", "t")
     pdf = decode_binlog_pandas(blob, tgt, "d", "t")
     _assert_same(scalar, pdf, tgt)
+
+
+def test_columnar_zero_date_failfast():
+    """MySQL zero-dates (0000-00-00, a real legacy-data path) must
+    raise on the columnar path exactly like the scalar walk does
+    (datetime.date(0,0,0) raises there) — not silently emit an ancient
+    bogus date32."""
+    import datetime as dtm
+
+    tgt = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("d", T.DateType())]
+    )
+    blob = bytearray(
+        build_binlog_file(
+            "d",
+            "t",
+            tgt,
+            [
+                {
+                    "gno": 1,
+                    "op": "w",
+                    "rows": [{"id": 1, "d": dtm.date(2020, 1, 1)}],
+                }
+            ],
+        )
+    )
+    packed = (2020 << 9) | (1 << 5) | 1
+    needle = packed.to_bytes(3, "little")
+    idx = bytes(blob).rfind(needle)
+    assert idx > 0
+    blob[idx : idx + 3] = b"\x00\x00\x00"  # 0000-00-00
+    with pytest.raises(Exception):
+        decode_binlog_bytes(bytes(blob), tgt, "d", "t")  # scalar raises
+    with pytest.raises(ValueError, match="invalid DATE"):
+        decode_binlog_pandas(bytes(blob), tgt, "d", "t")  # vec must too
