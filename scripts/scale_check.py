@@ -36,8 +36,10 @@ DOC_OFF = 1_000_000
 
 
 def generate(spark) -> None:
-    """10 key-shifted copies of the fact tables; dims copied once."""
-    if os.path.exists(os.path.join(DST, "_DONE")):
+    """10 key-shifted copies of the fact tables; dims copied once.
+    (_DONE2: round 6 scaled the events table too — previously copied
+    once, which made event-keyed ops look artificially flat at sf1.)"""
+    if os.path.exists(os.path.join(DST, "_DONE2")):
         return
     os.makedirs(DST, exist_ok=True)
     for dim in ("region", "nation", "supplier", "customer", "part"):
@@ -89,8 +91,18 @@ def generate(spark) -> None:
     d.write.mode("overwrite").parquet(f"{DST}/documents.parquet")
 
     ev = spark.read.parquet(f"{SRC}/events.parquet")
-    ev.write.mode("overwrite").parquet(f"{DST}/events.parquet")
-    open(os.path.join(DST, "_DONE"), "w").close()
+    e_parts = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(i * KEY_OFF))
+        # shift user_id by the same offset as c_custkey so the
+        # events-to-customer as-of joins scale organically
+        .withColumn("user_id", F.col("user_id") + F.lit(i * KEY_OFF))
+        for i in range(COPIES)
+    ]
+    e = e_parts[0]
+    for p in e_parts[1:]:
+        e = e.unionByName(p)
+    e.write.mode("overwrite").parquet(f"{DST}/events.parquet")
+    open(os.path.join(DST, "_DONE2"), "w").close()
 
 
 def plan_shape(df) -> dict:
@@ -125,6 +137,10 @@ def main() -> None:
         "cdc_latest_state",
         "dedup_minhash_signature",
         "text_unigram_logprob",
+        # round 6
+        "corpus_ngram_novelty",
+        "window_zscore_anomaly",
+        "join_asof_forward",
     ]
     results = {}
     for name in names:
