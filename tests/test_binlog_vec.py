@@ -367,3 +367,54 @@ def test_columnar_zero_date_failfast():
         decode_binlog_bytes(bytes(blob), tgt, "d", "t")  # scalar raises
     with pytest.raises(ValueError, match="invalid DATE"):
         decode_binlog_pandas(bytes(blob), tgt, "d", "t")  # vec must too
+
+
+def test_tail_reader_carry_state_incremental_and_pruned(tmp_path):
+    """The O(delta) tail carry: (a) a mid-file resume decodes only the
+    delta yet produces the same rows as a fresh walk, (b) the cached
+    carry watermark advances monotonically, (c) commit() prunes carry
+    entries for rotated-away files."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        MysqlBinlogTailStreamReader,
+    )
+
+    tgt_ddl = "id bigint, v string"
+    tgt = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    d = tmp_path / "logs"
+    d.mkdir()
+    txns = [
+        {"gno": g, "op": "w", "rows": [{"id": g, "v": f"x{g}"}]}
+        for g in range(1, 6)
+    ]
+    full = build_binlog_file("d", "t", tgt, txns)
+    part = build_binlog_file("d", "t", tgt, txns[:3])
+    (d / "binlog.000001").write_bytes(part)
+
+    r = MysqlBinlogTailStreamReader(
+        {"path": str(d), "schema_ddl": tgt_ddl, "database": "d", "table": "t"}
+    )
+    rows1, off1 = r._delta(r.initialOffset())
+    assert [t_[0] for t_ in rows1] == [1, 2, 3]
+    assert r._carry == {}  # first read starts at file head, no carry yet
+
+    (d / "binlog.000001").write_bytes(full)
+    rows2, off2 = r._delta(off1)
+    assert [t_[0] for t_ in rows2] == [4, 5]  # only the delta
+    assert 1 in r._carry and r._carry[1][0] == off1["pos"]
+
+    # replay between offsets must equal the live read (determinism)
+    replay = list(r.readBetweenOffsets(off1, off2))
+    assert [t_[0] for t_ in replay] == [4, 5]
+
+    # rotation: new file appears; after commit the old carry is pruned
+    (d / "binlog.000002").write_bytes(
+        build_binlog_file(
+            "d", "t", tgt, [{"gno": 9, "op": "w", "rows": [{"id": 9, "v": "z"}]}]
+        )
+    )
+    rows3, off3 = r._delta(off2)
+    assert [t_[0] for t_ in rows3] == [9]
+    r.commit(off3)
+    assert 1 not in r._carry
