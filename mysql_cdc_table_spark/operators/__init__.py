@@ -231,6 +231,7 @@ ROUND6_LATE_KEYS: tuple[str, ...] = (
     "agg_mad_outlier",
     "fn_higher_order",
     "join_null_safe",
+    "mm_audio_pcm_stats",
 )
 
 

@@ -677,3 +677,114 @@ ORACLES.update(
         "join_null_safe": JOIN_NULL_SAFE_SQL,
     }
 )
+
+
+def mm_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio branch of the multimodal surface: synthesize deterministic
+    PCM16-LE clips as opaque BINARY payloads (one mapInPandas stage —
+    numpy int16 encode), then decode them in a second Arrow-batched
+    stage and reduce to integer-exact per-clip features: sample count,
+    energy (Σv², exact int64), peak |v|, and zero crossings. The byte
+    roundtrip (np.int16 → tobytes → frombuffer) sits INSIDE the value
+    hash, so a broken binary column path cannot sneak past the oracle —
+    which recomputes the same features straight from the sample formula
+    ``v(k) = ((doc_id·31 + k·17) mod 65536) − 32768`` in SQL.
+
+    Scale shape: embarrassingly parallel mapInPandas both stages, no
+    shuffle; real audio swaps the synthesizer for file bytes and the
+    formula oracle for a fixture, the plumbing is identical."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    base = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n = 256 + (int(doc_id) % 7) * 64
+                k = np.arange(n, dtype=np.int64)
+                v = ((int(doc_id) * 31 + k * 17) % 65536) - 32768
+                payloads.append(v.astype("<i2").tobytes())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "pcm": payloads}
+            )
+
+    def stats(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "n_samples": [],
+                "energy": [],
+                "peak": [],
+                "zero_cross": [],
+            }
+            for doc_id, pcm in zip(pdf["doc_id"], pdf["pcm"]):
+                v = np.frombuffer(bytes(pcm), dtype="<i2").astype(np.int64)
+                s = v >= 0
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(v))
+                out["energy"].append(int((v * v).sum()))
+                out["peak"].append(int(np.abs(v).max()))
+                out["zero_cross"].append(
+                    int(np.count_nonzero(s[1:] != s[:-1]))
+                )
+            yield pd.DataFrame(out)
+
+    pcm_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("pcm", T.BinaryType()),
+        ]
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("energy", T.LongType()),
+            T.StructField("peak", T.LongType()),
+            T.StructField("zero_cross", T.LongType()),
+        ]
+    )
+    return base.mapInPandas(synth, schema=pcm_schema).mapInPandas(
+        stats, schema=out_schema
+    )
+
+
+MM_AUDIO_PCM_STATS_SQL = """
+WITH base AS (
+  SELECT doc_id, 256 + (doc_id % 7) * 64 AS n
+  FROM documents WHERE doc_id < 200
+), pos AS (
+  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS k FROM base
+), vals AS (
+  SELECT doc_id, n, k,
+         ((doc_id * 31 + k * 17) % 65536) - 32768 AS v
+  FROM pos
+), signed AS (
+  SELECT doc_id, n, k, v, v >= 0 AS s,
+         lag(v >= 0) OVER (PARTITION BY doc_id ORDER BY k) AS prev_s
+  FROM vals
+)
+SELECT doc_id,
+       CAST(max(n) AS BIGINT) AS n_samples,
+       CAST(sum(v * v) AS BIGINT) AS energy,
+       CAST(max(abs(v)) AS BIGINT) AS peak,
+       CAST(count(*) FILTER (WHERE prev_s IS NOT NULL AND s <> prev_s)
+            AS BIGINT) AS zero_cross
+FROM signed
+GROUP BY doc_id
+"""
+
+
+QUERIES.update({"mm_audio_pcm_stats": mm_audio_pcm_stats})
+ORACLES.update({"mm_audio_pcm_stats": MM_AUDIO_PCM_STATS_SQL})
