@@ -232,6 +232,8 @@ ROUND6_LATE_KEYS: tuple[str, ...] = (
     "fn_higher_order",
     "join_null_safe",
     "mm_audio_pcm_stats",
+    "emb_knn_classify",
+    "corpus_cross_source_contamination",
 )
 
 

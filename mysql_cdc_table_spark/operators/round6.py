@@ -788,3 +788,185 @@ GROUP BY doc_id
 
 QUERIES.update({"mm_audio_pcm_stats": mm_audio_pcm_stats})
 ORACLES.update({"mm_audio_pcm_stats": MM_AUDIO_PCM_STATS_SQL})
+
+
+def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label voting: for a deterministic 1-in-50 query sample, the
+    majority label among the 5 nearest neighbours by cosine (ties →
+    smaller label) — the classic embedding-space label-propagation /
+    auto-labeling pass over a training corpus.
+
+    Scale: candidate generation here is exact (the query sample is
+    tiny); at corpus scale the same vote runs over ann_ivf_topk's
+    cell-pruned candidates — identical voting stage, cheaper candidate
+    stage. Ranking uses the repo's rounded-cosine + vec_id tiebreak so
+    neighbour sets are engine-deterministic (the ann_knn_join idiom)."""
+    from mysql_cdc_table_spark.functions.similarity import cosine
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            (F.round(cosine(F.col("embedding"), F.col("qv")), 6) + F.lit(0.0))
+            .alias("cos"),
+        )
+    )
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    top = scored.withColumn("rk", F.row_number().over(w_rank)).filter(
+        F.col("rk") <= 5
+    )
+    votes = top.groupBy("qid", "label").agg(F.count("*").alias("n_votes"))
+    w_vote = Window.partitionBy("qid").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("vrk", F.row_number().over(w_vote))
+        .filter(F.col("vrk") == 1)
+        .select(
+            "qid",
+            F.col("label").alias("pred_label"),
+            "n_votes",
+        )
+    )
+
+
+EMB_KNN_CLASSIFY_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id % 50 = 0
+), scored AS (
+  SELECT q.qid, e.vec_id, e.label,
+         round(
+           list_sum(list_transform(list_zip(e.embedding, q.qv),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(q.qv,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+           + 0.0 AS cos
+  FROM embeddings e JOIN q ON e.vec_id <> q.qid
+), top AS (
+  SELECT qid, label FROM (
+    SELECT qid, label,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos DESC, vec_id ASC) AS rk
+    FROM scored
+  ) WHERE rk <= 5
+), votes AS (
+  SELECT qid, label, count(*) AS n_votes FROM top GROUP BY qid, label
+)
+SELECT qid, label AS pred_label, CAST(n_votes AS BIGINT) AS n_votes
+FROM (
+  SELECT qid, label, n_votes,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY n_votes DESC, label ASC) AS vrk
+  FROM votes
+) WHERE vrk = 1
+"""
+
+
+def corpus_cross_source_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct word 5-grams they share and what fraction of the
+    SMALLER source's gram set that is — the provenance audit run before
+    attributing training data to sources (mirror-site and syndication
+    detection; the benchmark-contamination gate's corpus-internal twin).
+
+    Scale shape: one distinct (source, gram) relation, a per-gram
+    self-join producing source PAIRS (per-gram fan-out is bounded by
+    #sources², a constant — never corpus-quadratic), one pair count,
+    one broadcast-joined per-source total. Share floored to basis
+    points (exact parity, no round idiom)."""
+    docs = t(spark, sf_dir, "documents").select(
+        "source", F.split(F.lower("text"), " ").alias("w")
+    )
+    grams = docs.select(
+        "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) >= 5 THEN transform(sequence(0, size(w)-5),"
+                " i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"
+                " ELSE array() END"
+            )
+        ).alias("g"),
+    ).distinct()
+    totals = grams.groupBy("source").agg(F.count("*").alias("tot"))
+    a = grams.select(F.col("source").alias("s1"), "g")
+    b = grams.select(F.col("source").alias("s2"), "g")
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    t1 = totals.select(F.col("source").alias("s1"), F.col("tot").alias("tot1"))
+    t2 = totals.select(F.col("source").alias("s2"), F.col("tot").alias("tot2"))
+    return (
+        shared.join(F.broadcast(t1), "s1")
+        .join(F.broadcast(t2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_shared",
+            F.floor(
+                F.lit(10000.0)
+                * F.col("n_shared")
+                / F.least("tot1", "tot2")
+            )
+            .cast("long")
+            .alias("containment_bp"),
+        )
+    )
+
+
+CORPUS_CROSS_SOURCE_CONTAMINATION_SQL = """
+WITH toks AS (
+  SELECT source, string_split(lower(text), ' ') AS w FROM documents
+), pos AS (
+  SELECT source, w, unnest(generate_series(1, len(w) - 4)) AS i
+  FROM toks WHERE len(w) >= 5
+), grams AS (
+  SELECT DISTINCT source,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' '
+              || w[i+4] AS g
+  FROM pos
+), totals AS (
+  SELECT source, count(*) AS tot FROM grams GROUP BY source
+), shared AS (
+  SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared
+  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT s1, s2, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(floor(10000.0 * n_shared / least(t1.tot, t2.tot)) AS BIGINT)
+         AS containment_bp
+FROM shared
+JOIN totals t1 ON t1.source = shared.s1
+JOIN totals t2 ON t2.source = shared.s2
+"""
+
+
+QUERIES.update(
+    {
+        "emb_knn_classify": emb_knn_classify,
+        "corpus_cross_source_contamination": corpus_cross_source_contamination,
+    }
+)
+ORACLES.update(
+    {
+        "emb_knn_classify": EMB_KNN_CLASSIFY_SQL,
+        "corpus_cross_source_contamination": (
+            CORPUS_CROSS_SOURCE_CONTAMINATION_SQL
+        ),
+    }
+)
