@@ -511,3 +511,32 @@ def test_fn_datetime3_pure_projection(spark, sf_dir):
     df = fn_datetime3(spark, sf_dir)
     assert shuffle_count(df) == 0
     assert_columns_pruned(df, 6)  # orders is 6 wide; scan reads 2 cols
+
+
+def test_cross_source_contamination_bounded_fanout(spark, sf_dir):
+    """The pair relation joins the distinct (source, gram) relation to
+    itself on gram — hash ops only, no cartesian, no window; totals
+    broadcast."""
+    from mysql_cdc_table_spark.operators.round6 import (
+        corpus_cross_source_contamination,
+    )
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = corpus_cross_source_contamination(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert count_nodes(df, "Window") == 0
+    assert_broadcast_join(df, 2)  # both per-source total joins
+
+
+def test_knn_classify_rank_pushdown(spark, sf_dir):
+    """Both windows (neighbour rank, vote rank) get the rank-limit
+    pushdown; the tiny query side broadcasts (vec_id != qid is a
+    non-equi condition, so Spark plans a BroadcastNestedLoopJoin of the
+    tiny probe side — never a cartesian)."""
+    from mysql_cdc_table_spark.operators.round6 import emb_knn_classify
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = emb_knn_classify(spark, sf_dir)
+    assert count_nodes(df, "WindowGroupLimit") >= 2
+    assert count_nodes(df, "BroadcastNestedLoopJoin") >= 1
+    assert_no_cartesian(df)
