@@ -28,6 +28,26 @@ QUERIES: dict = {}
 ORACLES: dict = {}
 
 
+def _gram_expr(n: int) -> str:
+    """Spark SQL expression building word n-grams from the token array
+    ``w`` (empty array below n tokens) — ONE definition shared by every
+    gram-based operator so tokenization can never diverge between them."""
+    terms = ", ".join(f"w[i+{k}]" if k else "w[i]" for k in range(n))
+    return (
+        f"CASE WHEN size(w) >= {n} THEN transform(sequence(0, size(w)-{n}),"
+        f" i -> concat_ws(' ', {terms})) ELSE array() END"
+    )
+
+
+def _gram_sql(n: int) -> str:
+    """DuckDB twin of _gram_expr: the n-gram string built from the
+    1-indexed token list ``w`` at position ``i``."""
+    return " || ' ' || ".join(
+        f"w[i+{k}]" if k else "w[i]" for k in range(n)
+    )
+
+
+
 # --- corpus n-gram novelty ---------------------------------------------------
 
 
@@ -49,11 +69,7 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.select(
         "doc_id",
         F.explode(
-            F.expr(
-                "CASE WHEN size(w) >= 3 THEN transform(sequence(0, size(w)-3),"
-                " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
-                " ELSE array() END"
-            )
+            F.expr(_gram_expr(3))
         ).alias("g"),
     ).distinct()
     owner = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
@@ -75,14 +91,14 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CORPUS_NGRAM_NOVELTY_SQL = """
+CORPUS_NGRAM_NOVELTY_SQL = f"""
 WITH toks AS (
   SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
 ), pos AS (
   SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
   FROM toks WHERE len(w) >= 3
 ), grams AS (
-  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  SELECT DISTINCT doc_id, {_gram_sql(3)} AS g
   FROM pos
 ), owner AS (
   SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
@@ -116,11 +132,7 @@ def corpus_phrase_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.select(
         "source",
         F.explode(
-            F.expr(
-                "CASE WHEN size(w) >= 5 THEN transform(sequence(0, size(w)-5),"
-                " i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"
-                " ELSE array() END"
-            )
+            F.expr(_gram_expr(5))
         ).alias("phrase"),
     )
     cnt = grams.groupBy("source", "phrase").agg(F.count("*").alias("n"))
@@ -134,16 +146,14 @@ def corpus_phrase_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CORPUS_PHRASE_BOILERPLATE_SQL = """
+CORPUS_PHRASE_BOILERPLATE_SQL = f"""
 WITH toks AS (
   SELECT source, string_split(lower(text), ' ') AS w FROM documents
 ), pos AS (
   SELECT source, w, unnest(generate_series(1, len(w) - 4)) AS i
   FROM toks WHERE len(w) >= 5
 ), grams AS (
-  SELECT source,
-         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' '
-              || w[i+4] AS phrase
+  SELECT source, {_gram_sql(5)} AS phrase
   FROM pos
 ), cnt AS (
   SELECT source, phrase, count(*) AS n FROM grams GROUP BY source, phrase
@@ -253,11 +263,20 @@ def window_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("vc") * F.col("vc")).over(w).alias("s2"),
         F.count("*").over(w).alias("cnt"),
     )
+    # var = (s2/cnt − mu²)·cnt/(cnt−1): dividing BEFORE multiplying
+    # avoids the s1·s1 int64 product (which Spark would silently wrap
+    # and DuckDB would raise on for |value| ≳ 6e5 over a full window);
+    # every term is a double derived from identical integers, so the
+    # expression stays bit-identical across engines. Supported input
+    # domain |value| < ~3e7 (vc² per element must fit int64), same as
+    # the cents quantization itself.
+    mu = F.col("s1").cast("double") / F.col("cnt")
     var = (
-        F.col("s2").cast("double")
-        - (F.col("s1") * F.col("s1")).cast("double") / F.col("cnt")
-    ) / (F.col("cnt") - 1)
-    z = (F.col("vc") - F.col("s1").cast("double") / F.col("cnt")) / F.sqrt(var)
+        (F.col("s2").cast("double") / F.col("cnt") - mu * mu)
+        * F.col("cnt")
+        / (F.col("cnt") - 1)
+    )
+    z = (F.col("vc") - mu) / F.sqrt(var)
     return stats.filter(
         (F.col("cnt") >= 20) & (var > 0) & (F.abs(z) > 2.5)
     ).select(
@@ -283,11 +302,13 @@ WITH stats AS (
                  ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
 ), scored AS (
   SELECT event_id, user_id, cnt,
-         (CAST(s2 AS DOUBLE) - CAST(s1 * s1 AS DOUBLE) / cnt)
-           / (cnt - 1) AS var,
+         (CAST(s2 AS DOUBLE) / cnt
+          - (CAST(s1 AS DOUBLE) / cnt) * (CAST(s1 AS DOUBLE) / cnt))
+           * cnt / (cnt - 1) AS var,
          (vc - CAST(s1 AS DOUBLE) / cnt)
-           / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 * s1 AS DOUBLE) / cnt)
-                  / (cnt - 1)) AS z
+           / sqrt((CAST(s2 AS DOUBLE) / cnt
+                   - (CAST(s1 AS DOUBLE) / cnt) * (CAST(s1 AS DOUBLE) / cnt))
+                  * cnt / (cnt - 1)) AS z
   FROM stats
 )
 SELECT event_id, user_id,
@@ -893,11 +914,7 @@ def corpus_cross_source_contamination(
     grams = docs.select(
         "source",
         F.explode(
-            F.expr(
-                "CASE WHEN size(w) >= 5 THEN transform(sequence(0, size(w)-5),"
-                " i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"
-                " ELSE array() END"
-            )
+            F.expr(_gram_expr(5))
         ).alias("g"),
     ).distinct()
     totals = grams.groupBy("source").agg(F.count("*").alias("tot"))
@@ -929,16 +946,14 @@ def corpus_cross_source_contamination(
     )
 
 
-CORPUS_CROSS_SOURCE_CONTAMINATION_SQL = """
+CORPUS_CROSS_SOURCE_CONTAMINATION_SQL = f"""
 WITH toks AS (
   SELECT source, string_split(lower(text), ' ') AS w FROM documents
 ), pos AS (
   SELECT source, w, unnest(generate_series(1, len(w) - 4)) AS i
   FROM toks WHERE len(w) >= 5
 ), grams AS (
-  SELECT DISTINCT source,
-         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' '
-              || w[i+4] AS g
+  SELECT DISTINCT source, {_gram_sql(5)} AS g
   FROM pos
 ), totals AS (
   SELECT source, count(*) AS tot FROM grams GROUP BY source

@@ -2197,6 +2197,19 @@ def mysql_binlog_read_stream(
 # --- sub-rotation streaming tail (custom DataSource) -------------------------
 
 
+def _event_boundary_walk(buf: bytes, start: int) -> int:
+    """Advance ``start`` (an event boundary within ``buf``) past every
+    complete event; no magic assumptions — serves mid-file resumes
+    where the caller seek-read from a known boundary."""
+    pos = start
+    while pos + _HEADER_LEN <= len(buf):
+        esize = struct.unpack_from("<I", buf, pos + 9)[0]
+        if esize < _HEADER_LEN or pos + esize > len(buf):
+            break
+        pos += esize
+    return pos
+
+
 def _complete_prefix_len(blob: bytes, start: int = 4) -> int:
     """Byte length of the longest whole-event prefix (magic included):
     the safe read horizon of the ACTIVE, still-growing binlog file.
@@ -2204,13 +2217,7 @@ def _complete_prefix_len(blob: bytes, start: int = 4) -> int:
     tail micro-batch only walks bytes it hasn't seen."""
     if blob[:4] != BINLOG_MAGIC:
         return 0
-    pos = max(start, 4)
-    while pos + _HEADER_LEN <= len(blob):
-        esize = struct.unpack_from("<I", blob, pos + 9)[0]
-        if esize < _HEADER_LEN or pos + esize > len(blob):
-            break
-        pos += esize
-    return pos
+    return _event_boundary_walk(blob, max(start, 4))
 
 
 def _carry_walk(blob: bytes, frm: int, upto: int, state: dict) -> None:
@@ -2313,38 +2320,53 @@ class MysqlBinlogTailStreamReader(_SimpleStreamReader):
                 continue
             if upto is not None and seq > upto["seq"]:
                 continue
-            with open(path, "rb") as fh:
-                blob = fh.read()
             lo = start["pos"] if seq == start["seq"] else 0
-            prefix = _complete_prefix_len(blob, start=max(lo, 4))
-            if prefix < 4:
-                # Not (yet) a binlog file: a just-rotated file whose
-                # 4-byte magic isn't on disk, or a foreign file in the
-                # watched dir (recovery temp, editor droppings). Skip
-                # this batch; a real binlog file is picked up once its
-                # magic lands — decoding b"" here would kill the query.
-                continue
+            # mid-file resume with a warm carry: seek to the cached
+            # watermark and read only [watermark, EOF) — per-batch I/O
+            # is O(new bytes), not O(active file). Cold (no cache, or a
+            # replay older than it): read from 0 so the magic check
+            # still guards foreign/just-rotated files.
+            cached = self._carry.get(seq) if lo > 4 else None
+            if cached is not None and cached[0] > lo:
+                cached = None  # replay predates the cache: walk fresh
+            base = cached[0] if cached is not None else 0
+            with open(path, "rb") as fh:
+                if base:
+                    fh.seek(base)
+                blob = fh.read()
+            if base == 0:
+                prefix = _complete_prefix_len(blob, start=max(lo, 4))
+                if prefix < 4:
+                    # Not (yet) a binlog file: a just-rotated file whose
+                    # 4-byte magic isn't on disk, or a foreign file in
+                    # the watched dir (recovery temp, editor droppings).
+                    # Skip this batch; a real binlog file is picked up
+                    # once its magic lands — decoding b"" would kill
+                    # the query.
+                    continue
+            else:
+                prefix = base + _event_boundary_walk(blob, lo - base)
             if upto is not None and seq == upto["seq"]:
                 prefix = min(prefix, upto["pos"])
             if prefix <= lo and seq == start["seq"]:
                 continue  # no new complete events in the active file
             if lo > 4:
-                # mid-file resume: fold decoder state over the consumed
-                # prefix (cached across batches — only NEW bytes walk),
-                # then value-decode just [lo, prefix)
-                cached = self._carry.get(seq)
-                if cached is not None and cached[0] <= lo:
+                # fold decoder state over the consumed prefix (cached
+                # across batches — only NEW bytes walk), then
+                # value-decode just [lo, prefix)
+                if cached is not None:
                     walk_from, state = cached
                 else:
                     walk_from, state = 4, {
                         "checksum": None, "gtid": None, "sid": None,
                         "maps": {},
                     }
-                _carry_walk(blob, walk_from, lo, state)
-                if cached is None or lo >= cached[0]:
+                _carry_walk(blob, walk_from - base, lo - base, state)
+                if seq not in self._carry or lo >= self._carry[seq][0]:
                     self._carry[seq] = (lo, state)
                 batches = decode_binlog_record_batches(
-                    blob[lo:prefix], self.target, self.database, self.table,
+                    blob[lo - base : prefix - base],
+                    self.target, self.database, self.table,
                     file_seq=seq, gtid_format=self.gtid_format,
                     init_state={
                         "checksum": state["checksum"],

@@ -134,19 +134,31 @@ def _gather_fixed(u8, p, width):
     return u8[np.minimum(idx, len(u8) - 1)]
 
 
+_DAYS_IN_MONTH = None  # built lazily (numpy import is deferred)
+
+
 def _check_ymd(y, mo, d, what: str) -> None:
-    """Failfast on zero/garbage dates, matching the scalar walk:
-    ``datetime.date(0, 0, 0)`` raises there (MySQL zero-dates,
-    0000-00-00, are a real legacy-data path) — the pure-arithmetic
-    civil formula below would silently emit an ancient bogus date,
+    """Failfast on zero/garbage/calendar-invalid dates, matching the
+    scalar walk: ``datetime.date`` raises there for MySQL zero-dates
+    (0000-00-00) AND for day-in-month-invalid values like 2021-02-30
+    (storable under sql_mode ALLOW_INVALID_DATES) — the pure-arithmetic
+    civil formula below would silently emit a shifted date for either,
     violating the repo's no-silently-wrong-rows contract."""
     import numpy as np
 
-    bad = (y < 1) | (y > 9999) | (mo < 1) | (mo > 12) | (d < 1) | (d > 31)
+    global _DAYS_IN_MONTH
+    if _DAYS_IN_MONTH is None:
+        _DAYS_IN_MONTH = np.array(
+            [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31], np.int64
+        )
+    bad = (y < 1) | (y > 9999) | (mo < 1) | (mo > 12) | (d < 1)
+    leap = ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+    dim = _DAYS_IN_MONTH[np.clip(mo, 1, 12) - 1] + (leap & (mo == 2))
+    bad = bad | (d > dim)
     if bool(np.asarray(bad).any()):
         raise ValueError(
-            f"invalid {what} value in rows event (zero or out-of-range "
-            "y/m/d — MySQL zero-dates are not decodable calendar dates)"
+            f"invalid {what} value in rows event (zero, out-of-range, or "
+            "day-in-month-invalid y/m/d — not a decodable calendar date)"
         )
 
 

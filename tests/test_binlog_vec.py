@@ -418,3 +418,38 @@ def test_tail_reader_carry_state_incremental_and_pruned(tmp_path):
     assert [t_[0] for t_ in rows3] == [9]
     r.commit(off3)
     assert 1 not in r._carry
+
+
+def test_columnar_day_in_month_invalid_failfast():
+    """2021-02-30 is storable under MySQL ALLOW_INVALID_DATES; the
+    scalar walk raises from datetime.date — the columnar path must
+    raise too, never emit a silently shifted date."""
+    import datetime as dtm
+
+    tgt = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("d", T.DateType())]
+    )
+    blob = bytearray(
+        build_binlog_file(
+            "d",
+            "t",
+            tgt,
+            [
+                {
+                    "gno": 1,
+                    "op": "w",
+                    "rows": [{"id": 1, "d": dtm.date(2021, 2, 28)}],
+                }
+            ],
+        )
+    )
+    packed = (2021 << 9) | (2 << 5) | 28
+    needle = packed.to_bytes(3, "little")
+    idx = bytes(blob).rfind(needle)
+    assert idx > 0
+    bad = (2021 << 9) | (2 << 5) | 30  # 2021-02-30
+    blob[idx : idx + 3] = bad.to_bytes(3, "little")
+    with pytest.raises(Exception):
+        decode_binlog_bytes(bytes(blob), tgt, "d", "t")  # scalar raises
+    with pytest.raises(ValueError, match="invalid DATE"):
+        decode_binlog_pandas(bytes(blob), tgt, "d", "t")
