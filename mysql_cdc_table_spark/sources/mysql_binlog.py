@@ -363,6 +363,14 @@ def _encode_newdecimal(v: Decimal, precision: int, scale: int) -> bytes:
     # 28-digit context and corrupt DECIMAL(38,s) values.
     unscaled = int(v.copy_abs().scaleb(scale, context=_CTX).to_integral_value(context=_CTX))
     digits = str(unscaled).rjust(precision, "0")
+    if len(digits) > precision:
+        # silently emitting extra digit-group bytes would desync every
+        # following value in the row image — failfast like MySQL's own
+        # out-of-range rejection
+        raise ValueError(
+            f"DECIMAL({precision},{scale}) out of range: {v} needs "
+            f"{len(digits)} digits"
+        )
     intg = precision - scale
     ipart, fpart = digits[: len(digits) - scale], digits[len(digits) - scale :]
     ipart = ipart.rjust(intg, "0")

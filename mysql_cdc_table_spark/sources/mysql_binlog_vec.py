@@ -73,8 +73,10 @@ from mysql_cdc_table_spark.sources.mysql_binlog import (
     TY_TINY,
     TY_VARCHAR,
     TY_YEAR,
+    _DIG_BYTES,
     _binlog_out_schema,
     _Col,
+    _dec_bin_size,
     _decode_col,
     _frac_bytes,
     decode_binlog_bytes,
@@ -445,7 +447,65 @@ def _vec_col_decoder(col: _Col, field: T.StructField):
 
         return dec
 
-    if tc in (TY_NEWDECIMAL, TY_JSON, TY_TIME2):
+    if tc == TY_NEWDECIMAL:
+        prec, sc = col.meta[0], col.meta[1]
+        if prec > 18:
+            # unscaled exceeds int64: per-cell Decimal closure (the
+            # packed kernel draws the same line)
+            return _scalar_cell(col, pa_t)
+        # The wire layout is FIXED per (precision, scale): big-endian
+        # digit groups of ≤9 decimal digits in ≤4 bytes (leading
+        # partial group for the int part, trailing partial for the
+        # fraction), sign in the first byte's top bit with full byte
+        # inversion for negatives. Precompute the group plan once:
+        # (byte offset, group bytes, 10^digits-to-the-right).
+        size = _dec_bin_size(prec, sc)
+        intg = prec - sc
+        groups: list[tuple[int, int]] = []  # (ndigits per group, nbytes)
+        if intg % 9:
+            groups.append((intg % 9, _DIG_BYTES[intg % 9]))
+        groups.extend((9, 4) for _ in range(intg // 9))
+        groups.extend((9, 4) for _ in range(sc // 9))
+        if sc % 9:
+            groups.append((sc % 9, _DIG_BYTES[sc % 9]))
+        segs = []
+        off, rem = 0, prec
+        for ndig, nb in groups:
+            rem -= ndig
+            segs.append((off, nb, 10**rem))
+            off += nb
+
+        def dec(u8, raw, pos, valid, _size=size, _segs=tuple(segs)):
+            idx = np.flatnonzero(valid)
+            m = (
+                _gather_fixed(u8, pos[idx], _size)
+                .reshape(-1, _size)
+                .astype(np.int64)
+            )
+            neg = (m[:, 0] & 0x80) == 0
+            m = np.where(neg[:, None], m ^ 0xFF, m)
+            m[:, 0] ^= 0x80
+            unscaled = np.zeros(len(idx), np.int64)
+            for o, nb, factor in _segs:
+                g = np.zeros(len(idx), np.int64)
+                for k in range(nb):  # big-endian, ≤4 iterations
+                    g = (g << 8) | m[:, o + k]
+                unscaled += g * factor
+            unscaled = np.where(neg, -unscaled, unscaled)
+            pos[idx] += _size
+            data = np.zeros((len(pos), 2), dtype="<i8")
+            data[idx, 0] = unscaled
+            data[idx, 1] = unscaled >> np.int64(63)  # sign extension
+            return pa.Array.from_buffers(
+                pa_t,
+                len(pos),
+                [_valid_buf(valid), pa.py_buffer(data.tobytes())],
+                null_count=int((~valid).sum()),
+            )
+
+        return dec
+
+    if tc in (TY_JSON, TY_TIME2):
         return _scalar_cell(col, pa_t)
 
     raise TypeError(f"unsupported type code {tc}")

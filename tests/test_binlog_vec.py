@@ -453,3 +453,40 @@ def test_columnar_day_in_month_invalid_failfast():
         decode_binlog_bytes(bytes(blob), tgt, "d", "t")  # scalar raises
     with pytest.raises(ValueError, match="invalid DATE"):
         decode_binlog_pandas(bytes(blob), tgt, "d", "t")
+
+
+@pytest.mark.parametrize(
+    "prec,scale",
+    [(5, 0), (9, 9), (10, 2), (18, 4), (18, 0), (19, 2), (30, 10)],
+)
+def test_columnar_newdecimal_matrix(prec, scale):
+    """Vectorized NEWDECIMAL (precision ≤18) and the >18 scalar-cell
+    fallback both match the scalar walk across sign, zero, and the
+    digit-group boundaries (leading/trailing partial groups)."""
+    tgt = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("d", T.DecimalType(prec, scale)),
+        ]
+    )
+    intg = prec - scale
+    # build via literals: unary minus on a Decimal would round through
+    # Python's default 28-digit context and silently change the value
+    big_s = ("9" * intg if intg else "0") + (
+        "." + "9" * scale if scale else ""
+    )
+    vals = [
+        Decimal(0),
+        Decimal(big_s),
+        Decimal("-" + big_s),
+        Decimal(1).scaleb(-scale) if scale else Decimal(1),
+        Decimal("-1" + "0" * (intg - 1)) if intg >= 1 else Decimal("-0." + "0" * (scale - 1) + "1"),
+    ]
+    rows = [{"id": i, "d": v} for i, v in enumerate(vals)]
+    rows.append({"id": len(rows), "d": None})
+    blob = build_binlog_file(
+        "d", "t", tgt, [{"gno": 1, "op": "w", "rows": rows}]
+    )
+    scalar = decode_binlog_bytes(blob, tgt, "d", "t")
+    pdf = decode_binlog_pandas(blob, tgt, "d", "t")
+    _assert_same(scalar, pdf, tgt)
