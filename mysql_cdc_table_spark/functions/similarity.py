@@ -612,17 +612,73 @@ LIMIT 20
 """
 
 
+
+
+# --- recall-bound oracles for the approximate tiers --------------------------
+#
+# Round 6 retires the last rows-only exceptions the same way the HLL
+# sketch was retired: an ANN result is not SQL-reproducible row-for-row,
+# but its RECALL against the exact brute force is a checkable contract.
+# The registry entries below emit the exact brute-force top-k rows plus
+# a boolean asserting the approximate tier recovered at least its
+# documented floor of them; the DuckDB oracle computes the same exact
+# rows and literal TRUE. A mechanism regression that collapses recall
+# below the floor turns the driver row red; the raw mechanisms stay
+# importable for the (stricter, per-sf) pytest recall assertions.
+# Floors sit with margin under the measured per-sf recalls
+# (sf0.001/0.01/0.1): label 0.50/0.25/0.20, trained 0.40/0.50/0.65,
+# PQ 0.70/0.70/0.55.
+
+IVF_K = 20
+IVF_RECALL_FLOORS = {
+    "ann_ivf_topk": 0.10,
+    "ann_ivf_trained_topk": 0.25,
+    "ann_ivf_pq_topk": 0.35,
+}
+
+
+def _with_recall_bound(mech_fn, floor_frac: float):
+    import math
+
+    need = math.ceil(floor_frac * IVF_K)
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        exact = ann_cosine_topk(spark, sf_dir)
+        approx = mech_fn(spark, sf_dir).select("vec_id")
+        ok = (
+            exact.select("vec_id")
+            .join(approx, "vec_id")
+            .agg((F.count("*") >= need).alias("recall_ok"))
+        )
+        return exact.join(F.broadcast(ok))
+
+    return q
+
+
+IVF_RECALL_ORACLE_SQL = f"""
+SELECT vec_id, label, cos, TRUE AS recall_ok
+FROM ({ANN_COSINE_TOPK_SQL})
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_block_pairs": ann_block_pairs,
     "ann_knn_join": ann_knn_join,
-    "ann_ivf_topk": ann_ivf_topk,
-    "ann_ivf_trained_topk": ann_ivf_trained_topk,
+    "ann_ivf_topk": _with_recall_bound(
+        ann_ivf_topk, IVF_RECALL_FLOORS["ann_ivf_topk"]
+    ),
+    "ann_ivf_trained_topk": _with_recall_bound(
+        ann_ivf_trained_topk, IVF_RECALL_FLOORS["ann_ivf_trained_topk"]
+    ),
 }
 
 ORACLES = {
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "ann_block_pairs": ANN_BLOCK_PAIRS_SQL,
     "ann_knn_join": ANN_KNN_JOIN_SQL,
-    # ann_ivf_topk: approximate by construction -> rows-only + pytest recall
+    # the IVF tiers carry recall-bound oracles (exact top-k + floor
+    # boolean); the raw mechanisms stay pytest-tested per sf
+    "ann_ivf_topk": IVF_RECALL_ORACLE_SQL,
+    "ann_ivf_trained_topk": IVF_RECALL_ORACLE_SQL,
 }

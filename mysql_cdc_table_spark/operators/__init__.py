@@ -218,6 +218,11 @@ ROUND6_REVERIFY: tuple[str, ...] = (
     "cdc_binlog_multi_table",
     "cdc_binlog_partial_json_roundtrip",
     "cdc_binlog_schema_evolution",
+    # the IVF tiers' registry outputs changed shape: rows-only retired
+    # via recall-bound oracles (exact top-k + floor boolean)
+    "ann_ivf_topk",
+    "ann_ivf_trained_topk",
+    "ann_ivf_pq_topk",
 )
 
 # Late-registration tail for round 6 (same pinned-behind protocol as

@@ -12,6 +12,9 @@ from __future__ import annotations
 
 from mysql_cdc_table_spark.functions.similarity import (
     ANN_LSH_RP_TOPK_SQL,
+    IVF_RECALL_FLOORS,
+    IVF_RECALL_ORACLE_SQL,
+    _with_recall_bound,
     ann_ivf_pq_topk,
     ann_lsh_rp_topk,
 )
@@ -32,9 +35,11 @@ from mysql_cdc_table_spark.sources.mysql_binlog import (
 )
 
 QUERIES = {
-    # approximate by construction -> rows-only + pytest recall (same
-    # treatment as ann_ivf_topk / ann_ivf_trained_topk)
-    "ann_ivf_pq_topk": ann_ivf_pq_topk,
+    # recall-bound oracle (same treatment as the other IVF tiers):
+    # exact top-k rows + floor boolean, raw mechanism pytest-tested
+    "ann_ivf_pq_topk": _with_recall_bound(
+        ann_ivf_pq_topk, IVF_RECALL_FLOORS["ann_ivf_pq_topk"]
+    ),
     # deterministic integer-signature LSH -> full value-hash oracle
     "ann_lsh_rp_topk": ann_lsh_rp_topk,
     # REAL MySQL binlog v4 framing roundtrip (sources/mysql_binlog.py)
@@ -54,6 +59,7 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
+    "ann_ivf_pq_topk": IVF_RECALL_ORACLE_SQL,
     "ann_lsh_rp_topk": ANN_LSH_RP_TOPK_SQL,
     "cdc_mysql_binlog_roundtrip": CDC_MYSQL_BINLOG_ROUNDTRIP_SQL,
     "cdc_binlog_latest_state": CDC_BINLOG_LATEST_STATE_SQL,

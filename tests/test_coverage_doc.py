@@ -41,15 +41,11 @@ def test_coverage_doc_matches_registry():
 def test_rows_only_set_is_exactly_documented():
     # mm_decode_features left this set in round 4: the decode is a real
     # PPM/BMP parse and the synthesized payloads make it integer-exact
-    # agg_approx_count_distinct left this set in round 6: its output now
-    # carries the exact count plus an in-bound boolean derived from the
-    # HLL estimate, so a plain-SQL oracle value-checks both
+    # round 6 emptied this set: the HLL sketch got an error-bound
+    # oracle, and the three IVF tiers got recall-bound oracles (exact
+    # top-k rows + floor boolean, raw mechanisms still pytest-tested)
     rows_only = set(all_queries()) - set(all_oracles())
-    assert rows_only == {
-        "ann_ivf_topk",
-        "ann_ivf_trained_topk",
-        "ann_ivf_pq_topk",
-    }
+    assert rows_only == set()
 
 
 def test_header_counts_and_driver_split_match_doc():
