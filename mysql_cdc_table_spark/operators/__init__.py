@@ -239,6 +239,8 @@ ROUND6_LATE_KEYS: tuple[str, ...] = (
     "mm_audio_pcm_stats",
     "emb_knn_classify",
     "corpus_cross_source_contamination",
+    "ts_seasonal_naive_error",
+    "fn_fuzzy_distance",
 )
 
 

@@ -985,3 +985,108 @@ ORACLES.update(
         ),
     }
 )
+
+
+def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-evaluation primitive: score the seasonal-naive model
+    (predict value from the 7th-previous observation in the same
+    series) per event_type — MAE and signed bias. The baseline every
+    real forecast must beat; running it as a data op is how backtests
+    scale.
+
+    Cross-engine determinism: values quantize to integer cents, errors
+    are exact int64, and the means come out floored (identical IEEE
+    division over identical integers). One keyed window + one hash
+    aggregate."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    scored = ev.withColumn("pred", F.lag("vc", 7).over(w)).filter(
+        F.col("pred").isNotNull()
+    )
+    err = F.col("vc") - F.col("pred")
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_scored"),
+        F.floor(F.sum(F.abs(err)) * 1.0 / F.count("*"))
+        .cast("long")
+        .alias("mae_cents"),
+        F.floor(F.sum(err) * 1.0 / F.count("*"))
+        .cast("long")
+        .alias("bias_cents"),
+    )
+
+
+TS_SEASONAL_NAIVE_ERROR_SQL = """
+WITH cents AS (
+  SELECT event_type, ts, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS vc
+  FROM events
+), scored AS (
+  SELECT event_type, vc,
+         lag(vc, 7) OVER (PARTITION BY event_type
+                          ORDER BY ts ASC, event_id ASC) AS pred
+  FROM cents
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_scored,
+       CAST(floor(sum(abs(vc - pred)) * 1.0 / count(*)) AS BIGINT)
+         AS mae_cents,
+       CAST(floor(sum(vc - pred) * 1.0 / count(*)) AS BIGINT)
+         AS bias_cents
+FROM scored WHERE pred IS NOT NULL
+GROUP BY event_type
+"""
+
+
+def fn_fuzzy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance builtins (the fuzzy-matching layer under entity
+    resolution and dedup candidate scoring): Levenshtein against a
+    reversal, against the type string, and against a fixed probe —
+    integer-exact, pure scan projection in both engines."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.lower("p_name").alias("nm"),
+        F.lower("p_type").alias("ty"),
+        "p_brand",
+    )
+    return p.select(
+        "p_partkey",
+        F.levenshtein("nm", F.reverse(F.col("nm"))).cast("long").alias(
+            "lev_rev"
+        ),
+        F.levenshtein("nm", "ty").cast("long").alias("lev_type"),
+        F.levenshtein("p_brand", F.lit("Brand#00")).cast("long").alias(
+            "lev_brand"
+        ),
+    )
+
+
+FN_FUZZY_DISTANCE_SQL = """
+SELECT p_partkey,
+       CAST(levenshtein(lower(p_name), reverse(lower(p_name))) AS BIGINT)
+         AS lev_rev,
+       CAST(levenshtein(lower(p_name), lower(p_type)) AS BIGINT)
+         AS lev_type,
+       CAST(levenshtein(p_brand, 'Brand#00') AS BIGINT) AS lev_brand
+FROM part
+"""
+
+
+QUERIES.update(
+    {
+        "ts_seasonal_naive_error": ts_seasonal_naive_error,
+        "fn_fuzzy_distance": fn_fuzzy_distance,
+    }
+)
+ORACLES.update(
+    {
+        "ts_seasonal_naive_error": TS_SEASONAL_NAIVE_ERROR_SQL,
+        "fn_fuzzy_distance": FN_FUZZY_DISTANCE_SQL,
+    }
+)
