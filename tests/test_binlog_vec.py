@@ -490,3 +490,43 @@ def test_columnar_newdecimal_matrix(prec, scale):
     scalar = decode_binlog_bytes(blob, tgt, "d", "t")
     pdf = decode_binlog_pandas(blob, tgt, "d", "t")
     _assert_same(scalar, pdf, tgt)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(1, 18).flatmap(
+        lambda p: st.tuples(
+            st.just(p),
+            st.integers(0, p),
+            st.lists(
+                st.decimals(
+                    allow_nan=False,
+                    allow_infinity=False,
+                    places=0,
+                    min_value=-(10**p) + 1,
+                    max_value=10**p - 1,
+                ),
+                min_size=1,
+                max_size=6,
+            ),
+        )
+    )
+)
+def test_columnar_newdecimal_property(ps_vals):
+    """Hypothesis: random unscaled values across random (precision,
+    scale) decode identically on the vectorized and scalar paths."""
+    prec, scale, raw = ps_vals
+    tgt = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("d", T.DecimalType(prec, scale)),
+        ]
+    )
+    vals = [Decimal(v).scaleb(-scale) for v in raw]
+    rows = [{"id": i, "d": v} for i, v in enumerate(vals)]
+    blob = build_binlog_file(
+        "d", "t", tgt, [{"gno": 1, "op": "w", "rows": rows}]
+    )
+    scalar = decode_binlog_bytes(blob, tgt, "d", "t")
+    pdf = decode_binlog_pandas(blob, tgt, "d", "t")
+    _assert_same(scalar, pdf, tgt)
