@@ -141,6 +141,8 @@ def main() -> None:
         "corpus_ngram_novelty",
         "window_zscore_anomaly",
         "join_asof_forward",
+        "corpus_cross_source_contamination",
+        "text_bigram_logprob",
     ]
     results = {}
     for name in names:
