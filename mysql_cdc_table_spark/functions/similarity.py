@@ -364,8 +364,9 @@ def ann_ivf_trained_topk(
 ) -> DataFrame:
     """IVF with TRAINED cells (mini k-means) instead of the label
     heuristic: probe the n_probe nearest cells to the query, exact-rerank
-    inside. Rows-only oracle (approximate by construction; recall vs
-    brute force asserted in pytest)."""
+    inside. Registry entry wraps this mechanism with _with_recall_bound
+    (exact top-k + recall-floor boolean, full value-hash oracle); raw
+    recall vs brute force is additionally asserted in pytest."""
     e = t(spark, sf_dir, "embeddings")
     cells = kmeans_cells(spark, sf_dir)
     ec = e.join(cells, "vec_id")
@@ -484,8 +485,9 @@ def ann_ivf_pq_topk(
     every database vector as the SUM of its codes' table entries
     (map-side-combinable agg over the tiny codes relation), take the top
     rerank_factor*k candidates by approximate distance, then exact-
-    cosine rerank only those. Rows-only oracle (approximate by
-    construction; recall vs brute force asserted in pytest)."""
+    cosine rerank only those. Registry entry wraps this mechanism with
+    _with_recall_bound (exact top-k + recall-floor boolean, full
+    value-hash oracle); raw recall asserted in pytest."""
     e = t(spark, sf_dir, "embeddings")
     cents, codes = pq_codebooks_and_codes(spark, sf_dir)
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
@@ -643,7 +645,11 @@ def _with_recall_bound(mech_fn, floor_frac: float):
     need = math.ceil(floor_frac * IVF_K)
 
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        exact = ann_cosine_topk(spark, sf_dir)
+        # the exact top-k subtree feeds BOTH the recall aggregate and
+        # the emitted rows: localCheckpoint (lazy) so the embeddings
+        # scan + cosine + top-k run once, not twice (the
+        # emb_centroid_pairs convention)
+        exact = ann_cosine_topk(spark, sf_dir).localCheckpoint(eager=False)
         approx = mech_fn(spark, sf_dir).select("vec_id")
         ok = (
             exact.select("vec_id")

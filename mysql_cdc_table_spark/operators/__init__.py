@@ -189,9 +189,10 @@ ROUND5_LATE_KEYS: tuple[str, ...] = (
 # for code round 6 touches — which include the r05 red carry-over
 # (`window_first_seen_cum`, oracle HUGEINT cast fixed this round; it
 # stays in-window for its green row per the window discipline). 42 keys
-# stand on r02 rows — more than the remaining slots, so the stalest ~32
-# re-confirm now and the leftover (stream_*/udf_*/mm_* registry tail,
-# ~10 keys) lead the round-7 backfill. Honest gap, recorded here.
+# stand on r02 rows — more than the remaining slots, so the stalest
+# ~29 re-confirm now and the leftover (stream_*/udf_*/mm_* registry
+# tail, ~13 keys) lead the round-7 backfill. Honest gap, recorded
+# here.
 
 # Keys born in round 6 — in-window so they get a driver row immediately.
 ROUND6_NEW_KEYS: tuple[str, ...] = (
@@ -227,9 +228,9 @@ ROUND6_REVERIFY: tuple[str, ...] = (
 
 # Late-registration tail for round 6 (same pinned-behind protocol as
 # ROUND5_LATE_KEYS): registered AFTER the 50-slot window filled
-# (4 late + 6 new + 8 re-verify + 32 stalest backfill); pinned BEHIND
+# (4 late + 6 new + 11 re-verify + 29 stalest backfill); pinned BEHIND
 # the window so they cannot evict the stalest standing rows, and lead
-# the round-7 window for their first driver rows. All four locally
+# the round-7 window for their first driver rows. All nine locally
 # MATCH their oracles at sf0.01 (driver_sim).
 ROUND6_LATE_KEYS: tuple[str, ...] = (
     "text_bigram_logprob",
