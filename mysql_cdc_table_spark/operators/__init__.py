@@ -242,6 +242,7 @@ ROUND6_LATE_KEYS: tuple[str, ...] = (
     "corpus_cross_source_contamination",
     "ts_seasonal_naive_error",
     "fn_fuzzy_distance",
+    "agg_approx_quantile_bound",
 )
 
 

@@ -1090,3 +1090,68 @@ ORACLES.update(
         "fn_fuzzy_distance": FN_FUZZY_DISTANCE_SQL,
     }
 )
+
+
+def agg_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (percentile_approx / Greenwald-Khanna
+    sketch) with a RANK-error-bound oracle — the quantile twin of the
+    HLL and IVF bound oracles: the sketch value itself is
+    engine-specific, but its rank error is the documented contract
+    (≤ 1/accuracy; checked here at a 10× margin). Output carries the
+    EXACT interpolated quantiles (cents-quantized, exact halves) plus
+    booleans asserting each sketch value's empirical rank sits within
+    [q − 0.01, q + 0.01]; the oracle computes the same exact quantiles
+    and literal TRUE. At 100 TB only the sketch runs (bounded-size
+    mergeable state); the exact companion is the oracle harness."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("vc")
+    )
+    sk = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.expr("percentile(vc, 0.5)").alias("p50_cents"),
+        F.expr("percentile(vc, 0.9)").alias("p90_cents"),
+        F.expr("percentile_approx(vc, 0.5, 1000)").alias("a50"),
+        F.expr("percentile_approx(vc, 0.9, 1000)").alias("a90"),
+    )
+    ranked = (
+        ev.join(sk, "event_type")
+        .groupBy("event_type")
+        .agg(
+            (
+                F.abs(
+                    F.count_if(F.col("vc") <= F.col("a50")) / F.count("*")
+                    - 0.5
+                )
+                <= 0.01
+            ).alias("rank50_ok"),
+            (
+                F.abs(
+                    F.count_if(F.col("vc") <= F.col("a90")) / F.count("*")
+                    - 0.9
+                )
+                <= 0.01
+            ).alias("rank90_ok"),
+        )
+    )
+    return sk.select("event_type", "n", "p50_cents", "p90_cents").join(
+        ranked, "event_type"
+    )
+
+
+AGG_APPROX_QUANTILE_BOUND_SQL = """
+WITH cents AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vc FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       quantile_cont(vc, 0.5) AS p50_cents,
+       quantile_cont(vc, 0.9) AS p90_cents,
+       TRUE AS rank50_ok,
+       TRUE AS rank90_ok
+FROM cents
+GROUP BY event_type
+"""
+
+
+QUERIES.update({"agg_approx_quantile_bound": agg_approx_quantile_bound})
+ORACLES.update({"agg_approx_quantile_bound": AGG_APPROX_QUANTILE_BOUND_SQL})
