@@ -245,6 +245,55 @@ ROUND6_LATE_KEYS: tuple[str, ...] = (
     "agg_approx_quantile_bound",
 )
 
+# --- round 7 -----------------------------------------------------------------
+#
+# Window arithmetic this round (50 slots): the 10 ROUND6_LATE_KEYS lead
+# (first driver rows — all judge-verified MATCH in the round-6 session),
+# then keys born in round 7, then re-verify slots for code round 7
+# touches. CORRECTNESS_r06 was 50/50 green, so no red carries over. The
+# backfill (stalest-first by last-seen round) lands first on the 11
+# keys still standing on r02 rows (the stream_*/udf_*/mm_* registry
+# tail that round 6's backfill could not fit) — after which EVERY
+# registry key has had a driver row — then re-confirms the stalest r03
+# rows with the remaining slots.
+
+# Keys born in round 7 — in-window so they get a driver row immediately.
+ROUND7_NEW_KEYS: tuple[str, ...] = (
+    "emb_knn_classify_ivf",
+)
+
+# Operators whose implementation round 7 touches: their standing green
+# rows would otherwise mask a regression introduced by this round.
+ROUND7_REVERIFY: tuple[str, ...] = (
+    # the columnar real-binlog kernel (mysql_binlog_vec.py) gains
+    # hour/minute/second + fractional bounds validation for
+    # DATETIME2/TIMESTAMP2, UTF-8 validation on vectorized VARCHAR
+    # arrays, and vectorized wide NEWDECIMAL (precision>18) — every
+    # key on that read path re-verifies
+    "cdc_mysql_binlog_roundtrip",
+    "cdc_binlog_latest_state",
+    "cdc_binlog_zstd_roundtrip",
+    "cdc_binlog_multi_table",
+    "cdc_binlog_partial_json_roundtrip",
+    "cdc_binlog_schema_evolution",
+    "cdc_binlog_parallel_roundtrip",
+    # the recall-bound oracle now dedupes the approx side before
+    # counting recovered neighbours (advisor fix) — the three IVF
+    # tiers re-verify on the hardened oracle
+    "ann_ivf_topk",
+    "ann_ivf_trained_topk",
+    "ann_ivf_pq_topk",
+    # agg_approx_quantile_bound's oracle switches to tie-robust
+    # rank-interval bracketing (advisor fix) — already in-window as a
+    # ROUND6_LATE_KEY leading the front, so no extra slot needed.
+)
+
+# Late-registration tail for round 7 (same pinned-behind protocol as
+# ROUND5/6_LATE_KEYS): keys registered after the 50-slot window fills
+# go here so they cannot evict the stalest standing rows; they lead
+# the round-8 window for their first driver rows.
+ROUND7_LATE_KEYS: tuple[str, ...] = ()
+
 
 def _last_seen_rounds() -> dict[str, int]:
     """key -> LATEST driver round with a CORRECTNESS row — the staleness
@@ -274,13 +323,17 @@ _ROUND6_WINDOW_FRONT = (
     ROUND5_LATE_KEYS + ROUND6_NEW_KEYS + ROUND6_REVERIFY
 )
 
+_ROUND7_WINDOW_FRONT = (
+    ROUND6_LATE_KEYS + ROUND7_NEW_KEYS + ROUND7_REVERIFY
+)
+
 
 def _rotate(out: dict) -> dict:
-    """Reorder a merged registry dict: round-6 front first, then every
+    """Reorder a merged registry dict: round-7 front first, then every
     other key stalest-first (latest driver round, registry order as
     the tie-break; never-seen keys sort first so they cannot hide)."""
-    front = {k: out[k] for k in _ROUND6_WINDOW_FRONT if k in out}
-    late = {k: out[k] for k in ROUND6_LATE_KEYS if k in out}
+    front = {k: out[k] for k in _ROUND7_WINDOW_FRONT if k in out}
+    late = {k: out[k] for k in ROUND7_LATE_KEYS if k in out}
     seen = _last_seen_rounds()
     order = {k: i for i, k in enumerate(out)}
     rest_keys = sorted(

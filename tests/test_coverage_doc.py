@@ -100,45 +100,45 @@ def test_header_counts_and_driver_split_match_doc():
 
 def test_driver_window_composition():
     """The driver verifies the FIRST ~50 registry keys per round. The
-    round-6 rotation leads with the 4 ROUND5_LATE_KEYS (first driver
-    rows), then the r05 red carry-over + round-6 new keys + re-verify
-    slots for code round 6 touches, and backfills remaining slots
-    stalest-first by LAST-seen driver round. Guard it so a module
-    reorder or an accidental insertion can't silently starve it."""
+    round-7 rotation leads with the 10 ROUND6_LATE_KEYS (first driver
+    rows), then round-7 new keys + re-verify slots for code round 7
+    touches, and backfills remaining slots stalest-first by LAST-seen
+    driver round — which lands first on the 11 keys still standing on
+    r02 rows. Guard it so a module reorder or an accidental insertion
+    can't silently starve it."""
     from mysql_cdc_table_spark.operators import (
-        _ROUND6_WINDOW_FRONT,
-        ROUND5_LATE_KEYS,
+        _ROUND7_WINDOW_FRONT,
         ROUND6_LATE_KEYS,
+        ROUND7_LATE_KEYS,
         _last_seen_rounds,
     )
 
     keys = list(all_queries())
     window = keys[:50]
-    front = [k for k in _ROUND6_WINDOW_FRONT if k in keys]
+    front = [k for k in _ROUND7_WINDOW_FRONT if k in keys]
     assert window[: len(front)] == front, "registry front diverged from plan"
     assert len(front) <= 25, (
-        "round-6 front outgrew its budget — 42 keys stand on r02 rows "
-        "and need the backfill slots; trim new/reverify keys"
+        "round-7 front outgrew its budget — the 11 r02-standing keys "
+        "plus the stalest r03 rows need the backfill slots; trim "
+        "new/reverify keys"
     )
 
     seen = _last_seen_rounds()
 
-    # the 4 round-5 late keys lead the window (the recorded plan: they
+    # the 10 round-6 late keys lead the window (the recorded plan: they
     # have never had a driver row)
-    assert window[:4] == list(ROUND5_LATE_KEYS)
-    # the r05 red carry-over stays in-window for its green row
-    assert "window_first_seen_cum" in window
+    assert window[:10] == list(ROUND6_LATE_KEYS)
 
     # every key with NO driver row ever must be in the window — except
-    # documented ROUND6_LATE_KEYS, pinned BEHIND it
+    # documented ROUND7_LATE_KEYS, pinned BEHIND it
     never_seen = [k for k in keys if k not in seen]
     missing = [
         k for k in never_seen
-        if k not in window and k not in ROUND6_LATE_KEYS
+        if k not in window and k not in ROUND7_LATE_KEYS
     ]
     assert not missing, f"never-driver-seen keys fell out of the window: {missing}"
-    if ROUND6_LATE_KEYS:
-        assert keys[-len(ROUND6_LATE_KEYS):] == list(ROUND6_LATE_KEYS), (
+    if ROUND7_LATE_KEYS:
+        assert keys[-len(ROUND7_LATE_KEYS):] == list(ROUND7_LATE_KEYS), (
             "late keys must sit at the very end of the registry"
         )
 
@@ -148,18 +148,17 @@ def test_driver_window_composition():
     tail_rounds = [
         seen.get(k, 0)
         for k in keys[len(front):]
-        if k not in ROUND6_LATE_KEYS
+        if k not in ROUND7_LATE_KEYS
     ]
     assert tail_rounds == sorted(tail_rounds), (
         "window backfill is not stalest-first"
     )
 
-    # nothing older than r02 may stand outside the window: r01-standing
-    # rows were all re-confirmed in r05, so the stalest tier is r02 —
-    # 42 keys, more than the spare slots. The stalest-first sort puts
-    # as many as fit inside; anything outside must be r02-or-fresher.
-    outside_rounds = {seen.get(k, 0) for k in keys[50:] if k not in ROUND6_LATE_KEYS}
-    assert all(r >= 2 for r in outside_rounds), (
-        f"keys staler than r02 pushed out of the driver window: "
-        f"{[k for k in keys[50:] if seen.get(k, 0) < 2 and k not in ROUND6_LATE_KEYS]}"
+    # every r02-standing key must be INSIDE the window this round (11
+    # keys, fewer than the spare slots — after r07 every registry key
+    # has a driver row); anything outside must be r03-or-fresher.
+    outside_rounds = {seen.get(k, 0) for k in keys[50:] if k not in ROUND7_LATE_KEYS}
+    assert all(r >= 3 for r in outside_rounds), (
+        f"keys staler than r03 pushed out of the driver window: "
+        f"{[k for k in keys[50:] if seen.get(k, 0) < 3 and k not in ROUND7_LATE_KEYS]}"
     )
