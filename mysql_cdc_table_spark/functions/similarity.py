@@ -650,7 +650,11 @@ def _with_recall_bound(mech_fn, floor_frac: float):
         # scan + cosine + top-k run once, not twice (the
         # emb_centroid_pairs convention)
         exact = ann_cosine_topk(spark, sf_dir).localCheckpoint(eager=False)
-        approx = mech_fn(spark, sf_dir).select("vec_id")
+        # distinct on the approx side: if a tier ever emitted duplicate
+        # vec_ids the join would fan out and the count could satisfy
+        # the floor while true recall is below it (advisor finding,
+        # round 7) — the floor must count distinct recovered neighbours
+        approx = mech_fn(spark, sf_dir).select("vec_id").distinct()
         ok = (
             exact.select("vec_id")
             .join(approx, "vec_id")

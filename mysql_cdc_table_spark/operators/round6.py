@@ -1099,10 +1099,16 @@ def agg_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific, but its rank error is the documented contract
     (≤ 1/accuracy; checked here at a 10× margin). Output carries the
     EXACT interpolated quantiles (cents-quantized, exact halves) plus
-    booleans asserting each sketch value's empirical rank sits within
-    [q − 0.01, q + 0.01]; the oracle computes the same exact quantiles
-    and literal TRUE. At 100 TB only the sketch runs (bounded-size
-    mergeable state); the exact companion is the oracle harness."""
+    booleans asserting each sketch value's empirical rank-INTERVAL
+    brackets q within ±0.01: count(vc < a)/n ≤ q+0.01 AND
+    count(vc ≤ a)/n ≥ q−0.01. Tie-robust (advisor fix, round 7): with
+    a mass point at the quantile value — plausible after cents
+    quantization — the one-sided CDF at a CORRECT sketch value can
+    legitimately exceed q+0.01, so the old |CDF−q| form could fake a
+    red row; the interval form still trips on real sketch regressions.
+    The oracle computes the same exact quantiles and literal TRUE. At
+    100 TB only the sketch runs (bounded-size mergeable state); the
+    exact companion is the oracle harness."""
     ev = t(spark, sf_dir, "events").select(
         "event_type", F.floor(F.col("value") * 100).cast("long").alias("vc")
     )
@@ -1118,18 +1124,12 @@ def agg_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             (
-                F.abs(
-                    F.count_if(F.col("vc") <= F.col("a50")) / F.count("*")
-                    - 0.5
-                )
-                <= 0.01
+                (F.count_if(F.col("vc") < F.col("a50")) / F.count("*") <= 0.51)
+                & (F.count_if(F.col("vc") <= F.col("a50")) / F.count("*") >= 0.49)
             ).alias("rank50_ok"),
             (
-                F.abs(
-                    F.count_if(F.col("vc") <= F.col("a90")) / F.count("*")
-                    - 0.9
-                )
-                <= 0.01
+                (F.count_if(F.col("vc") < F.col("a90")) / F.count("*") <= 0.91)
+                & (F.count_if(F.col("vc") <= F.col("a90")) / F.count("*") >= 0.89)
             ).alias("rank90_ok"),
         )
     )

@@ -164,6 +164,38 @@ def _check_ymd(y, mo, d, what: str) -> None:
         )
 
 
+def _check_hms(hour, minute, sec, what: str) -> None:
+    """Failfast on out-of-range time-of-day fields, matching the scalar
+    walk: the DATETIME2 wire packs hour in 5 bits (0-31) and
+    minute/second in 6 bits each (0-63), so a corrupt file with
+    binlog_checksum=NONE (no CRC guard) can carry hour 24-31 or
+    minute/second 60-63 — ``datetime.datetime(...)`` raises there; the
+    pure-arithmetic seconds formula below would silently emit a shifted
+    timestamp (advisor finding, round 7)."""
+    import numpy as np
+
+    bad = (hour > 23) | (minute > 59) | (sec > 59)
+    if bool(np.asarray(bad).any()):
+        raise ValueError(
+            f"invalid {what} value in rows event (hour/minute/second "
+            "out of range — not a decodable time of day)"
+        )
+
+
+def _check_frac(frac, fsp: int, what: str) -> None:
+    """Failfast when the big-endian fractional field exceeds 10^fsp-1:
+    the scalar walk's ``microsecond=`` kwarg raises for the resulting
+    micro > 999999; the vectorized multiply would silently overflow
+    into the seconds."""
+    import numpy as np
+
+    if bool(np.asarray(frac >= 10**fsp).any()):
+        raise ValueError(
+            f"invalid {what} value in rows event (fractional part "
+            f">= 10^{fsp} — not a decodable fraction)"
+        )
+
+
 def _days_from_ymd(y, mo, d):
     """Proleptic-Gregorian days-since-epoch from integer arrays — the
     standard civil_from_days inverse, pure int64 numpy (no pandas
@@ -300,6 +332,7 @@ def _vec_col_decoder(col: _Col, field: T.StructField):
             day = (intpart >> 17) & 0x1F
             ym = intpart >> 22
             _check_ymd(ym // 13, ym % 13, day, "DATETIME2")
+            _check_hms(hour, minute, sec, "DATETIME2")
             pos[idx] += 5
             micro = np.zeros(len(idx), np.int64)
             if _nb:
@@ -311,6 +344,7 @@ def _vec_col_decoder(col: _Col, field: T.StructField):
                 frac = np.zeros(len(idx), np.int64)
                 for k in range(_nb):  # big-endian, ≤3 iterations
                     frac = (frac << 8) | fm[:, k]
+                _check_frac(frac, fsp, "DATETIME2")
                 micro = frac * _mul
                 pos[idx] += _nb
             days = _days_from_ymd(ym // 13, ym % 13, day)
@@ -345,6 +379,7 @@ def _vec_col_decoder(col: _Col, field: T.StructField):
                 frac = np.zeros(len(idx), np.int64)
                 for k in range(_nb):
                     frac = (frac << 8) | fm[:, k]
+                _check_frac(frac, fsp, "TIMESTAMP2")
                 micro = frac * _mul
                 pos[idx] += _nb
             out = np.zeros(len(pos), np.int64)
@@ -397,7 +432,7 @@ def _vec_col_decoder(col: _Col, field: T.StructField):
             full_start[idx] = data_start
             data, offsets = _gather_bytes_vec(u8, full_start, full_lens)
             pos[idx] = data_start + lens
-            return pa.Array.from_buffers(
+            arr = pa.Array.from_buffers(
                 _out_t,
                 len(pos),
                 [
@@ -407,6 +442,13 @@ def _vec_col_decoder(col: _Col, field: T.StructField):
                 ],
                 null_count=int((~valid).sum()),
             )
+            if _out_t == pa.string():
+                # from_buffers skips UTF-8 validation; the scalar walk's
+                # bytes.decode('utf-8') raises on malformed payloads —
+                # keep the failfast parity (advisor finding, round 7).
+                # Cheap relative to the gather (single SIMD pass).
+                arr.validate(full=True)
+            return arr
 
         return dec
 

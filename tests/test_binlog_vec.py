@@ -530,3 +530,110 @@ def test_columnar_newdecimal_property(ps_vals):
     scalar = decode_binlog_bytes(blob, tgt, "d", "t")
     pdf = decode_binlog_pandas(blob, tgt, "d", "t")
     _assert_same(scalar, pdf, tgt)
+
+
+def _patched_blob(tgt, rows, needle: bytes, replacement: bytes) -> bytes:
+    """Build an (unchecksummed) file and byte-patch the last occurrence
+    of `needle` — simulating on-disk corruption a binlog_checksum=NONE
+    file cannot catch, the advisor's round-7 failfast-parity scenario."""
+    blob = bytearray(
+        build_binlog_file("d", "t", tgt, [{"gno": 1, "op": "w", "rows": rows}])
+    )
+    idx = bytes(blob).rfind(needle)
+    assert idx > 0, "wire needle not found in fixture"
+    blob[idx : idx + len(replacement)] = replacement
+    return bytes(blob)
+
+
+def test_columnar_datetime2_hour_failfast():
+    """The DATETIME2 wire packs hour in 5 bits (0-31): hour 24-31 is
+    storable by a corrupt writer. The scalar walk raises from
+    datetime.datetime(..., hour=24); the columnar path must raise too,
+    never silently emit a shifted timestamp (advisor finding)."""
+    import datetime as dtm
+
+    tgt = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("dtm", T.TimestampType()),
+        ]
+    )
+    v = dtm.datetime(2021, 3, 4, 5, 6, 7)
+    good = mb._encode_datetime2(v, 6)[:5]
+    bad = mb._encode_datetime2(v.replace(hour=8), 6)[:5]
+    # hour=8 (0b01000) -> patch bit pattern to 24 (0b11000) by hand:
+    intpart = int.from_bytes(bad, "big") - 0x8000000000
+    intpart = (intpart & ~(0x1F << 12)) | (24 << 12)
+    bad = (intpart + 0x8000000000).to_bytes(5, "big")
+    blob = _patched_blob(tgt, [{"id": 1, "dtm": v}], good, bad)
+    with pytest.raises(Exception):
+        decode_binlog_bytes(blob, tgt, "d", "t")  # scalar raises
+    with pytest.raises(ValueError, match="invalid DATETIME2"):
+        decode_binlog_pandas(blob, tgt, "d", "t")
+
+
+def test_columnar_datetime2_minute_second_failfast():
+    """minute/second occupy 6 bits (0-63) on the wire: 60-63 must
+    failfast on both paths."""
+    import datetime as dtm
+
+    tgt = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("dtm", T.TimestampType()),
+        ]
+    )
+    v = dtm.datetime(2021, 3, 4, 5, 6, 7)
+    good = mb._encode_datetime2(v, 6)[:5]
+    intpart = int.from_bytes(good, "big") - 0x8000000000
+    intpart = (intpart & ~(0x3F << 6)) | (61 << 6)  # minute=61
+    bad = (intpart + 0x8000000000).to_bytes(5, "big")
+    blob = _patched_blob(tgt, [{"id": 1, "dtm": v}], good, bad)
+    with pytest.raises(Exception):
+        decode_binlog_bytes(blob, tgt, "d", "t")
+    with pytest.raises(ValueError, match="invalid DATETIME2"):
+        decode_binlog_pandas(blob, tgt, "d", "t")
+
+
+def test_columnar_datetime2_frac_overflow_failfast():
+    """fsp=6 stores the fraction in 3 big-endian bytes (max 16777215);
+    any value >= 10^6 would overflow microseconds into seconds on the
+    vectorized multiply. The scalar walk raises from microsecond= —
+    the columnar path must raise too."""
+    import datetime as dtm
+
+    tgt = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("dtm", T.TimestampType()),
+        ]
+    )
+    v = dtm.datetime(2021, 3, 4, 5, 6, 7, 123456)
+    good = mb._encode_datetime2(v, 6)  # 5 intpart + 3 frac bytes
+    bad = good[:5] + b"\xff\xff\xff"  # frac = 16777215 >= 10^6
+    blob = _patched_blob(tgt, [{"id": 1, "dtm": v}], good, bad)
+    with pytest.raises(Exception):
+        decode_binlog_bytes(blob, tgt, "d", "t")
+    with pytest.raises(ValueError, match="invalid DATETIME2"):
+        decode_binlog_pandas(blob, tgt, "d", "t")
+
+
+def test_columnar_varchar_invalid_utf8_failfast():
+    """Vectorized VARCHAR builds pa.string() via from_buffers, which
+    skips UTF-8 validation; the scalar path's bytes.decode('utf-8')
+    raises on invalid bytes. The columnar path must validate(full=True)
+    so malformed payloads fail fast instead of flowing into Spark as a
+    corrupt string column (advisor finding)."""
+    tgt = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    blob = _patched_blob(
+        tgt, [{"id": 1, "v": "abcd"}], b"\x04abcd", b"\x04\xff\xfe\xfd\xfc"
+    )
+    with pytest.raises(Exception):
+        decode_binlog_bytes(blob, tgt, "d", "t")  # UnicodeDecodeError
+    with pytest.raises(Exception):
+        decode_binlog_pandas(blob, tgt, "d", "t")  # pa.ArrowInvalid
