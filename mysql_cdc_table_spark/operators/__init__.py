@@ -49,6 +49,7 @@ _MODULES = (
     "mysql_cdc_table_spark.operators.round4",
     "mysql_cdc_table_spark.operators.round5",
     "mysql_cdc_table_spark.operators.round6",
+    "mysql_cdc_table_spark.operators.round7",
     "mysql_cdc_table_spark.operators.late",
 )
 

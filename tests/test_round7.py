@@ -1,0 +1,90 @@
+"""Round-7 operator tests: the IVF-backed kNN classifier."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from mysql_cdc_table_spark.session import get_spark
+
+    s = get_spark("test-round7")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def test_knn_ivf_matches_exact_rows_and_agree_flag(spark):
+    """The emitted rows ARE the exact classifier's (value-hash
+    contract), and the agreement boolean holds at both test sfs — the
+    measured agreement (0.70/0.60 at sf0.001/0.01) clears the 0.3
+    floor with margin."""
+    from mysql_cdc_table_spark.operators.round6 import emb_knn_classify
+    from mysql_cdc_table_spark.operators.round7 import emb_knn_classify_ivf
+
+    for sf_dir in (SF, SF01):
+        out = emb_knn_classify_ivf(spark, sf_dir)
+        assert out.columns == ["qid", "pred_label", "n_votes", "ivf_agree_ok"]
+        rows = out.collect()
+        exact = {
+            (r["qid"], r["pred_label"], r["n_votes"])
+            for r in emb_knn_classify(spark, sf_dir).collect()
+        }
+        assert {
+            (r["qid"], r["pred_label"], r["n_votes"]) for r in rows
+        } == exact
+        assert rows and all(r["ivf_agree_ok"] for r in rows)
+
+
+def test_knn_ivf_candidate_stage_is_pruned(spark):
+    """The scale claim, asserted not narrated: the IVF candidate stage
+    scores strictly fewer (query, candidate) pairs than the exact
+    broadcast nested loop — n_probe/|cells| of the corpus per query."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.functions.similarity import (
+        cosine,
+        kmeans_cells,
+        sq_dist,
+    )
+    from mysql_cdc_table_spark.operators._util import t
+    from mysql_cdc_table_spark.operators.round7 import KNN_IVF_N_PROBE
+
+    e = t(spark, SF, "embeddings")
+    cells = kmeans_cells(spark, SF)
+    ec = e.join(cells, "vec_id")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    cents = (
+        ec.select("cid", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+    )
+    w_cell = Window.partitionBy("qid").orderBy(
+        F.col("d").asc(), F.col("cid").asc()
+    )
+    probe = (
+        cents.join(F.broadcast(q))
+        .select("cid", "qid", sq_dist(F.col("centroid"), F.col("qv")).alias("d"))
+        .withColumn("crk", F.row_number().over(w_cell))
+        .filter(F.col("crk") <= KNN_IVF_N_PROBE)
+        .select("qid", "cid")
+    )
+    n_queries = q.count()
+    n_corpus = e.count()
+    pruned_pairs = ec.join(probe, "cid").count()
+    assert pruned_pairs < n_queries * (n_corpus - 1)
+    # 3 of 8 cells: expect roughly 3/8 of the exhaustive pair count
+    assert pruned_pairs < 0.7 * n_queries * n_corpus
