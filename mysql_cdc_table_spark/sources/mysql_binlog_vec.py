@@ -19,9 +19,12 @@ every image-1 offset is known, and so on. Within a round, each column
 decodes with one numpy kernel across all events.
 
 Per-cell scalar fallback (the shared ``_decode_col``) covers the
-genuinely scalar kinds — NEWDECIMAL's packed groups, binary JSON trees,
-TIME2 strings, SETs wider than 8 members — so only those cells run
-Python; every other field in the schema stays vectorized regardless.
+genuinely scalar kinds — binary JSON trees, TIME2 strings, SETs wider
+than 8 members — so only those cells run Python; every other field in
+the schema stays vectorized regardless. NEWDECIMAL left the fallback
+list in round 7: every precision 1-38 is vectorized (≤18 as int64,
+19-38 as a two-limb uint64 accumulator into Arrow decimal128 — 5.6×
+measured on a DECIMAL(28,6)-heavy schema, SCALE.md).
 
 PARTIAL_UPDATE_ROWS events (JSON diff vectors need the running
 before-image row) are never offered to the sink; they stay on the
@@ -230,6 +233,77 @@ def _scalar_cell(col: _Col, pa_t):
             out[j] = v
             pos[j] = newp
         return pa.array(out, type=pa_t)
+
+    return dec
+
+
+def _wide_decimal_decoder(col: _Col, pa_t, prec: int, sc: int):
+    """Vectorized NEWDECIMAL for precision 19-38: the wire's big-endian
+    base-10^9 digit groups accumulate into a two-limb (hi, lo) uint64
+    pair — D = ((D * 10^ndig) + group) per group, the 128-bit multiply
+    done in 32-bit halves (every intermediate product provably < 2^64
+    for |D| < 10^38) — then two's-complement negate and write straight
+    into the Arrow decimal128 little-endian buffer. ≤6 groups per
+    value, so the whole column decodes in ~6 vectorized passes."""
+    import numpy as np
+    import pyarrow as pa
+
+    size = _dec_bin_size(prec, sc)
+    intg = prec - sc
+    groups: list[tuple[int, int]] = []  # (ndigits per group, nbytes)
+    if intg % 9:
+        groups.append((intg % 9, _DIG_BYTES[intg % 9]))
+    groups.extend((9, 4) for _ in range(intg // 9))
+    groups.extend((9, 4) for _ in range(sc // 9))
+    if sc % 9:
+        groups.append((sc % 9, _DIG_BYTES[sc % 9]))
+    goffs = []
+    off = 0
+    for ndig, nb in groups:
+        goffs.append((off, nb, ndig))
+        off += nb
+
+    U1, U32, M32 = np.uint64(1), np.uint64(32), np.uint64(0xFFFFFFFF)
+
+    def dec(u8, raw, pos, valid, _size=size, _goffs=tuple(goffs)):
+        idx = np.flatnonzero(valid)
+        m = (
+            _gather_fixed(u8, pos[idx], _size)
+            .reshape(-1, _size)
+            .astype(np.int64)
+        )
+        neg = (m[:, 0] & 0x80) == 0
+        m = np.where(neg[:, None], m ^ 0xFF, m)
+        m[:, 0] ^= 0x80
+        lo = np.zeros(len(idx), np.uint64)
+        hi = np.zeros(len(idx), np.uint64)
+        for o, nb, ndig in _goffs:
+            g = np.zeros(len(idx), np.int64)
+            for k in range(nb):  # big-endian, ≤4 iterations
+                g = (g << 8) | m[:, o + k]
+            mul = np.uint64(10**ndig)  # ≤ 10^9 < 2^32
+            p0 = (lo & M32) * mul
+            p1 = (lo >> U32) * mul + (p0 >> U32)
+            lo = (p0 & M32) | ((p1 & M32) << U32)
+            hi = hi * mul + (p1 >> U32)
+            gu = g.astype(np.uint64)
+            lo2 = lo + gu
+            hi = hi + (lo2 < lo).astype(np.uint64)
+            lo = lo2
+        nlo = (~lo) + U1
+        nhi = (~hi) + (nlo == np.uint64(0)).astype(np.uint64)
+        lo = np.where(neg, nlo, lo)
+        hi = np.where(neg, nhi, hi)
+        pos[idx] += _size
+        data = np.zeros((len(pos), 2), dtype="<u8")
+        data[idx, 0] = lo
+        data[idx, 1] = hi
+        return pa.Array.from_buffers(
+            pa_t,
+            len(pos),
+            [_valid_buf(valid), pa.py_buffer(data.tobytes())],
+            null_count=int((~valid).sum()),
+        )
 
     return dec
 
@@ -492,9 +566,13 @@ def _vec_col_decoder(col: _Col, field: T.StructField):
     if tc == TY_NEWDECIMAL:
         prec, sc = col.meta[0], col.meta[1]
         if prec > 18:
-            # unscaled exceeds int64: per-cell Decimal closure (the
-            # packed kernel draws the same line)
-            return _scalar_cell(col, pa_t)
+            # unscaled exceeds int64: two-limb uint64 path (round 7) —
+            # the wire layout is still fixed per (precision, scale),
+            # so decode the base-10^9 digit groups into a (hi, lo)
+            # 128-bit accumulator and emit Arrow decimal128 directly,
+            # killing the per-cell Decimal closure for the common
+            # decimal(28,6)-style OLTP schema.
+            return _wide_decimal_decoder(col, pa_t, prec, sc)
         # The wire layout is FIXED per (precision, scale): big-endian
         # digit groups of ≤9 decimal digits in ≤4 bytes (leading
         # partial group for the int part, trailing partial for the

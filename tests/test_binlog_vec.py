@@ -457,12 +457,16 @@ def test_columnar_day_in_month_invalid_failfast():
 
 @pytest.mark.parametrize(
     "prec,scale",
-    [(5, 0), (9, 9), (10, 2), (18, 4), (18, 0), (19, 2), (30, 10)],
+    [
+        (5, 0), (9, 9), (10, 2), (18, 4), (18, 0), (19, 2), (28, 6),
+        (30, 10), (38, 0), (38, 38), (37, 19), (27, 9),
+    ],
 )
 def test_columnar_newdecimal_matrix(prec, scale):
-    """Vectorized NEWDECIMAL (precision ≤18) and the >18 scalar-cell
-    fallback both match the scalar walk across sign, zero, and the
-    digit-group boundaries (leading/trailing partial groups)."""
+    """Vectorized NEWDECIMAL — the int64 path (precision ≤18) AND the
+    round-7 two-limb decimal128 path (19-38) — matches the scalar walk
+    across sign, zero, and the digit-group boundaries
+    (leading/trailing partial groups, full-group-only layouts)."""
     tgt = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -494,7 +498,7 @@ def test_columnar_newdecimal_matrix(prec, scale):
 
 @settings(max_examples=30, deadline=None)
 @given(
-    st.integers(1, 18).flatmap(
+    st.integers(1, 38).flatmap(
         lambda p: st.tuples(
             st.just(p),
             st.integers(0, p),
