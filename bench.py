@@ -59,6 +59,102 @@ def _packed_scan_query(spark, sf_dir):
     )
 
 
+_BINLOG_FIXTURE_VERSION = 1  # bump to force a re-stage of the files
+
+_BINLOG_TGT = None  # built lazily (pyspark.sql.types import at call time)
+
+
+def _binlog_target():
+    global _BINLOG_TGT
+    if _BINLOG_TGT is None:
+        from pyspark.sql import types as T
+
+        _BINLOG_TGT = T.StructType(
+            [
+                T.StructField("o_orderkey", T.LongType()),
+                T.StructField("o_custkey", T.LongType()),
+                T.StructField("o_orderstatus", T.StringType()),
+                T.StructField("o_totalprice", T.DecimalType(28, 6)),
+                T.StructField("o_orderdate", T.TimestampType()),
+                T.StructField("o_orderpriority", T.StringType()),
+            ]
+        )
+    return _BINLOG_TGT
+
+
+def _binlog_dir(sf_dir: str) -> str:
+    return _bench_tmp_dir("bench_mysql_binlog", sf_dir)
+
+
+def _stage_binlog(sf_dir: str, sf: float | None) -> None:
+    """Stage REAL binlog v4 files once (untimed): 8 rotated checksummed
+    files of 10-row write transactions over an orders-like schema incl.
+    a DECIMAL(28,6) column (exercises the round-7 wide-decimal limb
+    path). Deterministic bytes, cached on disk across bench runs —
+    building the fixture is scaffolding; the timed entry measures only
+    the scan+decode a user's query runs."""
+    import datetime as dt
+    from decimal import Decimal
+    from pathlib import Path
+
+    from mysql_cdc_table_spark.sources.mysql_binlog import build_binlog_file
+
+    d = Path(_binlog_dir(sf_dir))
+    n_txns = max(2000, int((sf or 0.1) * 200_000))  # sf0.1 -> 20k txns
+    marker = d / f"staged_v{_BINLOG_FIXTURE_VERSION}_{n_txns}"
+    if marker.exists():
+        return
+    d.mkdir(parents=True, exist_ok=True)
+    for old in d.glob("*"):
+        old.unlink()
+    tgt = _binlog_target()
+    per_file = n_txns // 8
+    base = dt.datetime(2024, 1, 1)
+    gno = 0
+    for fi in range(8):
+        txns = []
+        for _ in range(per_file):
+            gno += 1
+            txns.append(
+                {
+                    "gno": gno,
+                    "op": "w",
+                    "rows": [
+                        {
+                            "o_orderkey": gno * 10 + r,
+                            "o_custkey": (gno * 7 + r) % 1500,
+                            "o_orderstatus": "OF P"[(gno + r) % 3::3][:1],
+                            "o_totalprice": Decimal(
+                                (gno * 104729 + r * 31) % 10**13
+                            ).scaleb(-6),
+                            "o_orderdate": base
+                            + dt.timedelta(seconds=gno % 86400),
+                            "o_orderpriority": f"{(gno + r) % 5 + 1}-PRIO",
+                        }
+                        for r in range(10)
+                    ],
+                }
+            )
+        blob = build_binlog_file(
+            "bench", "orders", tgt, txns, checksum=True
+        )
+        (d / f"binlog.{fi + 1:06d}").write_bytes(blob)
+    marker.touch()
+
+
+def _mysql_binlog_scan_query(spark, sf_dir):
+    """17th entry: the REAL binlog v4 scan through the columnar numpy
+    kernel (mysql_binlog_vec) — regression-locks the round-6 6.1×
+    kernel and the round-7 wide-decimal limb path in driver-visible
+    bench history (VERDICT r06 task 2). 8 rotated files = 8 parallel
+    decode tasks."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import mysql_binlog_read
+
+    return mysql_binlog_read(
+        spark, _binlog_dir(sf_dir), _binlog_target(), "bench", "orders"
+    )
+
+
 def _bench_tmp_dir(prefix: str, sf_dir: str) -> str:
     import hashlib
     import tempfile
@@ -137,13 +233,15 @@ def main() -> None:
     # JVM/codegen warm-up on a tiny scan (not counted)
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    # stage packed binlog files + envelope records (untimed) and
-    # register the bench-only entries
+    # stage packed binlog files + envelope records + real binlog files
+    # (untimed) and register the bench-only entries
     _stage_packed(spark, sf_dir)
     _stage_envelopes(spark, sf_dir)
+    _stage_binlog(sf_dir, sf)
     queries = dict(queries)
     queries["packed_binlog_scan"] = _packed_scan_query
     queries["cdc_envelope_decode"] = _envelope_decode_query
+    queries["mysql_binlog_scan"] = _mysql_binlog_scan_query
 
     # Three runs per query, report the fastest warm one: the first run
     # pays one-off whole-stage-codegen compilation + plan construction
@@ -166,7 +264,7 @@ def main() -> None:
     # invocations). A long-lived cluster amortizes compilation away, so
     # the warm steady state is the honest number; it also makes the
     # anchor-drift sentinel near-zero when the box is healthy.
-    for name in [*HEADLINE, "packed_binlog_scan"]:
+    for name in [*HEADLINE, "packed_binlog_scan", "mysql_binlog_scan"]:
         queries[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
@@ -180,7 +278,7 @@ def main() -> None:
     # ±15% band flags contention.
     def sweep(load_pre_sweep) -> dict:
         times: dict[str, float] = {}
-        for name in [*HEADLINE, "packed_binlog_scan"]:
+        for name in [*HEADLINE, "packed_binlog_scan", "mysql_binlog_scan"]:
             times[name] = timed(name)
         anchor_first = times[HEADLINE[0]]
         anchor_last = timed(HEADLINE[0])
@@ -231,7 +329,11 @@ def main() -> None:
                 #    decode half timed) (r05); contended sweeps retry
                 #    once after a 60s cooldown, faster attempt reported
                 #    (r06, per-query method unchanged)
-                "protocol": 3,
+                # 4: + mysql_binlog_scan entry (REAL binlog v4 files
+                #    through the columnar kernel; fixture staged untimed
+                #    and disk-cached) — per-query method unchanged, the
+                #    TOTAL grows by one entry vs protocol 3 (r07)
+                "protocol": 4,
                 "anchor": HEADLINE[0],
                 "anchor_first_sec": result["anchor_first_sec"],
                 "anchor_last_sec": result["anchor_last_sec"],
