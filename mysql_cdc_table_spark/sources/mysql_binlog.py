@@ -2033,6 +2033,96 @@ def scan_binlog_splits_file(
     return splits
 
 
+_SPLIT_MEM_CACHE: dict = {}
+
+
+def scan_binlog_splits_cached(
+    path: str,
+    target_split_bytes: int = 64 << 20,
+    cache_dir: str | None = None,
+) -> list[dict]:
+    """``scan_binlog_splits_file`` behind a cache keyed on (abs path,
+    size, mtime_ns, split_bytes). The serial header walk is the
+    parallel single-file scan's floor (SCALE.md: 2.2 s at 28 ranges on
+    an 85 MiB file), and a restore/relay file is typically scanned many
+    times — so warm re-scans skip straight to range decode. In-memory
+    per process (Spark reuses Python workers within a session) plus a
+    best-effort JSON spill under the system tempdir so a NEW session on
+    the same box also starts warm. A sealed binlog file never changes
+    in place; if it somehow does, size/mtime_ns rotate the key and the
+    stale entry is simply never read again. JSON (with base64 for the
+    binary TABLE_MAP bodies), not pickle — the cache dir is
+    world-writable tempdir and must not be a code-execution vector."""
+    import base64
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    ap = os.path.abspath(path)
+    st = os.stat(ap)
+    key = (ap, st.st_size, st.st_mtime_ns, target_split_bytes)
+    hit = _SPLIT_MEM_CACHE.get(key)
+    if hit is not None:
+        return hit
+    tag = hashlib.sha256(repr(key).encode()).hexdigest()[:32]
+    cdir = cache_dir or os.path.join(
+        tempfile.gettempdir(), "binlog_split_cache"
+    )
+    fpath = os.path.join(cdir, tag + ".json")
+    splits: list[dict] | None = None
+    try:
+        with open(fpath) as fh:
+            raw = json.load(fh)
+        splits = [
+            {
+                "start": int(s["start"]),
+                "end": int(s["end"]),
+                "checksum": s["checksum"],
+                "gtid": s["gtid"],
+                "sid": (
+                    None if s["sid"] is None else base64.b64decode(s["sid"])
+                ),
+                "table_maps": [base64.b64decode(m) for m in s["maps"]],
+            }
+            for s in raw
+        ]
+    except (OSError, ValueError, KeyError, TypeError):
+        splits = None
+    if splits is None:
+        splits = scan_binlog_splits_file(ap, target_split_bytes)
+        try:
+            os.makedirs(cdir, exist_ok=True)
+            payload = json.dumps(
+                [
+                    {
+                        "start": s["start"],
+                        "end": s["end"],
+                        "checksum": s["checksum"],
+                        "gtid": s["gtid"],
+                        "sid": (
+                            None
+                            if s["sid"] is None
+                            else base64.b64encode(s["sid"]).decode()
+                        ),
+                        "maps": [
+                            base64.b64encode(m).decode()
+                            for m in s["table_maps"]
+                        ],
+                    }
+                    for s in splits
+                ]
+            )
+            tmp = f"{fpath}.tmp{os.getpid()}"
+            with open(tmp, "w") as fh:
+                fh.write(payload)
+            os.replace(tmp, fpath)  # atomic: concurrent walkers race safely
+        except OSError:
+            pass  # cache is best-effort; the walk already succeeded
+    _SPLIT_MEM_CACHE[key] = splits
+    return splits
+
+
 _SPLIT_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType()),
@@ -2120,7 +2210,7 @@ def mysql_binlog_read_parallel(
     def make_splits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for fpath, fseq in zip(pdf["path"], pdf["file_seq"]):
-                for s in scan_binlog_splits_file(str(fpath), split_bytes):
+                for s in scan_binlog_splits_cached(str(fpath), split_bytes):
                     yield pd.DataFrame(
                         {
                             "path": [str(fpath)],

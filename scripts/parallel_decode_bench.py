@@ -79,9 +79,11 @@ def main() -> None:
         spark = get_spark("parallel-decode-bench")
         spark.sparkContext.setLogLevel("ERROR")
 
-        def timed(label, df_fn):
+        def timed(label, df_fn, runs=2):
+            """min over ``runs`` invocations; runs=1 isolates a COLD
+            pass (the split-spec cache makes parallel run 2+ warm)."""
             best = None
-            for _ in range(2):
+            for _ in range(runs):
                 t1 = time.perf_counter()
                 n = df_fn().count()
                 sec = time.perf_counter() - t1
@@ -97,18 +99,28 @@ def main() -> None:
             "sequential (1 task)   ",
             lambda: mysql_binlog_read(spark, str(tmp), TARGET, "d", "t"),
         )
-        par = timed(
-            f"parallel ({split_mib} MiB splits)",
-            lambda: mysql_binlog_read_parallel(
-                spark,
-                str(tmp),
-                TARGET,
-                "d",
-                "t",
-                split_bytes=split_mib << 20,
-            ),
+        par_fn = lambda: mysql_binlog_read_parallel(  # noqa: E731
+            spark,
+            str(tmp),
+            TARGET,
+            "d",
+            "t",
+            split_bytes=split_mib << 20,
         )
-        print(f"speedup: {seq / par:.1f}x")
+        # cold first: header walk runs for real and populates the
+        # split-spec cache (scan_binlog_splits_cached, round 7)
+        par_cold = timed(
+            f"parallel ({split_mib} MiB splits, cold walk)", par_fn, runs=1
+        )
+        # warm re-scan: split specs served from cache — the serial
+        # header-walk floor disappears; remaining time ≈ pure decode
+        par_warm = timed(
+            f"parallel ({split_mib} MiB splits, warm walk)", par_fn, runs=2
+        )
+        print(
+            f"speedup: {seq / par_cold:.1f}x cold, {seq / par_warm:.1f}x "
+            f"warm (header walk amortized: -{par_cold - par_warm:.1f}s)"
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -1395,3 +1395,61 @@ def test_parallel_read_empty_and_uri_paths(spark, tmp_path):
     )
     out = mysql_binlog_read_parallel(spark, f"file://{d}", TARGET, "d", "t")
     assert out.count() == 1
+
+
+def test_split_cache_roundtrip_and_invalidation(tmp_path):
+    """scan_binlog_splits_cached returns IDENTICAL specs to the direct
+    walk (JSON/base64 roundtrip included), serves warm hits from disk
+    across fresh processes (memory cache cleared here to simulate one),
+    and rotates the key when the file changes size or mtime."""
+    import os
+
+    from mysql_cdc_table_spark.sources import mysql_binlog as mbm
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        scan_binlog_splits_cached,
+        scan_binlog_splits_file,
+    )
+
+    r = lambda i: {"id": i, "v": "v" * (i % 40), "amt": Decimal(i)}
+    blob = build_binlog_file(
+        "d", "t", TARGET,
+        [_txn(i, "w", [r(i)]) for i in range(1, 80)],
+        checksum=True,
+    )
+    path = tmp_path / "binlog.000001"
+    path.write_bytes(blob)
+    cdir = str(tmp_path / "cache")
+
+    direct = scan_binlog_splits_file(str(path), 400)
+    cold = scan_binlog_splits_cached(str(path), 400, cache_dir=cdir)
+    assert cold == direct
+    assert len(os.listdir(cdir)) == 1
+
+    # warm from DISK: clear the process cache so the JSON path serves
+    mbm._SPLIT_MEM_CACHE.clear()
+    warm = scan_binlog_splits_cached(str(path), 400, cache_dir=cdir)
+    assert warm == direct
+
+    # a different split size is a different key
+    other = scan_binlog_splits_cached(str(path), 4096, cache_dir=cdir)
+    assert other == scan_binlog_splits_file(str(path), 4096)
+    assert len(os.listdir(cdir)) == 2
+
+    # file growth (size + mtime change) must invalidate, not serve stale
+    blob2 = build_binlog_file(
+        "d", "t", TARGET,
+        [_txn(i, "w", [r(i)]) for i in range(1, 120)],
+        checksum=True,
+    )
+    path.write_bytes(blob2)
+    mbm._SPLIT_MEM_CACHE.clear()
+    fresh = scan_binlog_splits_cached(str(path), 400, cache_dir=cdir)
+    assert fresh == scan_binlog_splits_file(str(path), 400)
+    assert fresh != direct
+
+    # corrupt cache entry: best-effort fallback to the real walk
+    mbm._SPLIT_MEM_CACHE.clear()
+    for name in os.listdir(cdir):
+        (tmp_path / "cache" / name).write_text("{not json")
+    again = scan_binlog_splits_cached(str(path), 400, cache_dir=cdir)
+    assert again == fresh
