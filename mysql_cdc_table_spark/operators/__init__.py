@@ -261,6 +261,9 @@ ROUND6_LATE_KEYS: tuple[str, ...] = (
 # Keys born in round 7 — in-window so they get a driver row immediately.
 ROUND7_NEW_KEYS: tuple[str, ...] = (
     "emb_knn_classify_ivf",
+    "agg_heavy_hitters_mg",
+    "ts_ewma_window",
+    "corpus_passage_dedup",
 )
 
 # Operators whose implementation round 7 touches: their standing green

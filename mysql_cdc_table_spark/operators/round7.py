@@ -147,3 +147,245 @@ def _knn_ivf_oracle_sql() -> str:
 
 QUERIES.update({"emb_knn_classify_ivf": emb_knn_classify_ivf})
 ORACLES.update({"emb_knn_classify_ivf": _knn_ivf_oracle_sql()})
+
+
+# --- Misra-Gries heavy hitters ----------------------------------------------
+
+
+HH_K = 10  # report words with global frequency > n/K
+
+
+def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-then-exact heavy hitters over corpus words — the
+    mergeable-sketch alternative to a full vocabulary shuffle. Pass 1:
+    one scan, a Misra-Gries summary of capacity K-1 PER PARTITION
+    (Arrow-batched mapInPandas, bulk decrement: subtract the K-th
+    largest merged count and keep positives — each reduction removes
+    mass from ≥ K counters, so per-token undercount ≤ n_p/K, the MG
+    invariant). Pigeonhole: any word with GLOBAL count > n/K exceeds
+    n_p/K in at least one partition, so the union of partition
+    candidates provably contains every true heavy hitter. Pass 2: one
+    more scan counts ONLY the candidates (broadcast semi join; shuffle
+    carries ≤ partitions×K words, never the vocabulary) and the exact
+    n/K threshold filters false candidates. The output is therefore
+    EXACTLY the true heavy hitters with exact counts — a full
+    value-hash oracle, no probability anywhere. At 100 TB the
+    vocabulary never shuffles; per-task state is K counters.
+
+    Reference: delegated-surface aggregation (SURVEY §2C) — MySQL has
+    no such operator; this is the corpus-scale top-words primitive."""
+    docs = t(spark, sf_dir, "documents").select("text")
+
+    def mg_summaries(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        n_tokens = 0
+        cap = HH_K - 1
+        for pdf in batches:
+            toks = pdf["text"].str.split(" ").explode()
+            toks = toks[toks.notna() & (toks != "")]
+            n_tokens += len(toks)
+            vc = toks.value_counts()
+            for w, c in vc.items():
+                counters[w] = counters.get(w, 0) + int(c)
+            if len(counters) > cap:
+                vals = sorted(counters.values(), reverse=True)
+                sub = vals[cap]  # the K-th largest merged count
+                counters = {
+                    w: c - sub for w, c in counters.items() if c - sub > 0
+                }
+        out = pd.DataFrame(
+            {
+                "word": [*counters.keys(), None],
+                "cnt": [*counters.values(), n_tokens],
+            }
+        )
+        yield out
+
+    summ = docs.mapInPandas(mg_summaries, schema="word string, cnt long")
+    summ = summ.localCheckpoint(eager=False)  # pass 1 runs once
+    total = summ.filter(F.col("word").isNull()).agg(
+        F.sum("cnt").alias("n_total")
+    )
+    cands = summ.filter(F.col("word").isNotNull()).select("word").distinct()
+    words = t(spark, sf_dir, "documents").select(
+        F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias(
+            "word"
+        )
+    )
+    counts = words.join(F.broadcast(cands), "word").groupBy("word").agg(
+        F.count("*").alias("freq")
+    )
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("freq") * HH_K > F.col("n_total"))
+        .select("word", "freq", "n_total")
+    )
+
+
+AGG_HEAVY_HITTERS_MG_SQL = f"""
+WITH w AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM documents
+), tot AS (SELECT count(*) AS n FROM w)
+SELECT word,
+       CAST(count(*) AS BIGINT) AS freq,
+       (SELECT CAST(n AS BIGINT) FROM tot) AS n_total
+FROM w
+GROUP BY word
+HAVING count(*) * {HH_K} > (SELECT n FROM tot)
+"""
+
+
+# --- trailing EWMA -----------------------------------------------------------
+
+
+def ts_ewma_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing exponentially-weighted moving average per user — the
+    monitoring smoother (alpha=0.2, zero-initialized, truncated to the
+    trailing 20 events so the state is a bounded frame, not an
+    unbounded recursion). The weighted sum is expressed as ONE
+    sequential left fold over the ordered frame list
+    (acc*0.8 + 0.2*x): both engines fold the identical value sequence
+    in the identical order with identical IEEE double ops, so the
+    result is bit-deterministic before the 6-digit display rounding.
+    One sort per user partition, bounded per-row state — the same
+    shape as window_rolling_median; at 100 TB the frame never leaves
+    its partition."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    vals = F.collect_list("value").over(w)
+    ewma = F.aggregate(
+        vals,
+        F.lit(0.0),
+        lambda acc, x: acc * F.lit(0.8) + F.lit(0.2) * x,
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(ewma, 6).alias("ewma")
+    )
+
+
+TS_EWMA_WINDOW_SQL = """
+SELECT event_id, user_id,
+       round(
+         list_reduce(
+           list_prepend(0.0, l), (acc, x) -> acc * 0.8 + 0.2 * x
+         ), 6
+       ) AS ewma
+FROM (
+  SELECT event_id, user_id,
+         list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+         ) AS l
+  FROM events
+)
+"""
+
+
+# --- passage-level dedup -----------------------------------------------------
+
+
+PASSAGE_WORDS = 10
+
+
+def corpus_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup report — the C4/RefinedWeb-style
+    preprocessing step document-level dedup misses: split every
+    document into disjoint 10-word passages, give each distinct
+    passage text one owner (smallest (doc_id, position) instance), and
+    report per document how many of its passages are duplicates of an
+    earlier occurrence. One explode + one window over passage
+    partitions (row_number on the (doc_id, pos) total order — the
+    first-owner idiom of corpus_ngram_novelty); the shuffle carries
+    each passage instance once. kept_ratio floored to basis points for
+    exact cross-engine parity."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("w"),
+    )
+    pas = docs.filter(F.size("w") > 0).select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(w) / {PASSAGE_WORDS}.0)"
+                f" as int) - 1), i -> concat_ws(' ',"
+                f" slice(w, i * {PASSAGE_WORDS} + 1, {PASSAGE_WORDS})))"
+            )
+        ).alias("pos", "passage"),
+    )
+    w_own = Window.partitionBy("passage").orderBy("doc_id", "pos")
+    flagged = pas.withColumn(
+        "dup", F.row_number().over(w_own) > 1
+    )
+    return flagged.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_passages"),
+        F.count_if(F.col("dup")).alias("n_dup"),
+        F.floor(
+            10000.0
+            * (F.count("*") - F.count_if(F.col("dup")))
+            / F.count("*")
+        ).alias("kept_ratio_bp"),
+    )
+
+
+CORPUS_PASSAGE_DEDUP_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), p AS (
+  SELECT doc_id, source,
+         unnest(generate_series(
+           1, CAST(ceil(len(w) / {PASSAGE_WORDS}.0) AS BIGINT)
+         )) - 1 AS pos,
+         w
+  FROM d WHERE len(w) > 0
+), pas AS (
+  SELECT doc_id, source, pos,
+         array_to_string(
+           w[pos * {PASSAGE_WORDS} + 1 : pos * {PASSAGE_WORDS} + {PASSAGE_WORDS}],
+           ' '
+         ) AS passage
+  FROM p
+), flagged AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY passage ORDER BY doc_id, pos
+         ) > 1 AS dup
+  FROM pas
+)
+SELECT doc_id, source,
+       CAST(count(*) AS BIGINT) AS n_passages,
+       CAST(count(*) FILTER (WHERE dup) AS BIGINT) AS n_dup,
+       CAST(floor(
+         10000.0 * (count(*) - count(*) FILTER (WHERE dup)) / count(*)
+       ) AS BIGINT) AS kept_ratio_bp
+FROM flagged
+GROUP BY doc_id, source
+"""
+
+
+QUERIES.update(
+    {
+        "agg_heavy_hitters_mg": agg_heavy_hitters_mg,
+        "ts_ewma_window": ts_ewma_window,
+        "corpus_passage_dedup": corpus_passage_dedup,
+    }
+)
+ORACLES.update(
+    {
+        "agg_heavy_hitters_mg": AGG_HEAVY_HITTERS_MG_SQL,
+        "ts_ewma_window": TS_EWMA_WINDOW_SQL,
+        "corpus_passage_dedup": CORPUS_PASSAGE_DEDUP_SQL,
+    }
+)

@@ -38,8 +38,11 @@ DOC_OFF = 1_000_000
 def generate(spark) -> None:
     """10 key-shifted copies of the fact tables; dims copied once.
     (_DONE2: round 6 scaled the events table too — previously copied
-    once, which made event-keyed ops look artificially flat at sf1.)"""
-    if os.path.exists(os.path.join(DST, "_DONE2")):
+    once, which made event-keyed ops look artificially flat at sf1.
+    _DONE3: round 7 scales the embeddings table for the kNN-classifier
+    knee measurement — vec_ids offset per copy, first component
+    perturbed per copy so neighbour sets aren't 10-way exact ties.)"""
+    if os.path.exists(os.path.join(DST, "_DONE3")):
         return
     os.makedirs(DST, exist_ok=True)
     for dim in ("region", "nation", "supplier", "customer", "part"):
@@ -102,7 +105,28 @@ def generate(spark) -> None:
     for p in e_parts[1:]:
         e = e.unionByName(p)
     e.write.mode("overwrite").parquet(f"{DST}/events.parquet")
-    open(os.path.join(DST, "_DONE2"), "w").close()
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    m_parts = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * DOC_OFF))
+        # perturb the first component per copy so neighbour sets are
+        # not 10-way exact ties of the originals
+        .withColumn(
+            "embedding",
+            F.concat(
+                F.array(
+                    (F.col("embedding")[0] + F.lit(i * 1e-3)).cast("float")
+                ),
+                F.slice(F.col("embedding"), 2, 10_000),
+            ),
+        )
+        for i in range(COPIES)
+    ]
+    m = m_parts[0]
+    for p in m_parts[1:]:
+        m = m.unionByName(p)
+    m.write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+    open(os.path.join(DST, "_DONE3"), "w").close()
 
 
 def plan_shape(df) -> dict:
@@ -143,6 +167,15 @@ def main() -> None:
         "join_asof_forward",
         "corpus_cross_source_contamination",
         "text_bigram_logprob",
+        # round 7: the kNN-classifier knee — the exact candidate stage
+        # is corpus × (corpus/50) pairs, QUADRATIC in corpus size (10×
+        # data -> 100× pairs); the IVF variant prunes the per-query
+        # candidate factor to ~n_probe/cells of it, same quadratic
+        # shape. Expected super-linear ratios, documented in SCALE.md —
+        # the 100 TB posture is a FIXED query workload, not a corpus
+        # fraction.
+        "emb_knn_classify",
+        "emb_knn_classify_ivf",
     ]
     results = {}
     for name in names:
