@@ -281,6 +281,9 @@ ROUND7_REVERIFY: tuple[str, ...] = (
     "cdc_binlog_partial_json_roundtrip",
     "cdc_binlog_schema_evolution",
     "cdc_binlog_parallel_roundtrip",
+    # the packed kernel's wide-decimal per-cell fallback was replaced
+    # by the two-limb 128-bit varint path (packed_binlog.py)
+    "cdc_packed_typed_roundtrip",
     # the recall-bound oracle now dedupes the approx side before
     # counting recovered neighbours (advisor fix) — the three IVF
     # tiers re-verify on the hardened oracle

@@ -366,6 +366,40 @@ def _varint_vec(u8, pos):
     return vals.view(np.int64), p
 
 
+def _varint_vec128(u8, pos):
+    """Two-limb (lo, hi uint64) vectorized LEB128 for values up to 128
+    bits — the zigzagged unscaled of DECIMAL(19-38) (|unscaled| < 10^38
+    < 2^127, so the zigzag fits 128 bits; the 19th byte may only
+    contribute bits 126-127). Returns (lo, hi, new_pos); ``pos`` is not
+    mutated. Round 7: retires the packed kernel's last wide-decimal
+    per-cell fallback (the MySQL wire kernel's twin lives in
+    mysql_binlog_vec._wide_decimal_decoder)."""
+    import numpy as np
+
+    lo = np.zeros(len(pos), np.uint64)
+    hi = np.zeros(len(pos), np.uint64)
+    p = pos.copy()
+    shift = 0
+    active = np.arange(len(pos))
+    while len(active):
+        b = u8[p[active]]
+        c = (b & 0x7F).astype(np.uint64)
+        if shift == 126 and bool((c > 3).any()):
+            raise ValueError("varint overflows 128 bits")
+        if shift < 64:
+            lo[active] |= c << np.uint64(shift)
+            if shift > 57:  # bits straddle the limb boundary
+                hi[active] |= c >> np.uint64(64 - shift)
+        else:
+            hi[active] |= c << np.uint64(shift - 64)
+        p[active] += 1
+        active = active[b >= 0x80]
+        shift += 7
+        if shift > 126 and len(active):
+            raise ValueError("varint overflows 128 bits")
+    return lo, hi, p
+
+
 def _gather_bytes_vec(u8, pos, lens):
     """Gather variable-length runs [pos[i], pos[i]+lens[i]) into one
     contiguous buffer + int32 offsets (Arrow varbinary layout)."""
@@ -526,10 +560,32 @@ def _make_vec_decoder(field: T.StructField):
         return dec, pa_t
     if isinstance(dt_, T.DecimalType):
         if dt_.precision > 18:
-            # unscaled may exceed int64 (varint >9 bytes): per-cell
-            # closure producing Decimal objects, rest of schema stays vec
+            # unscaled may exceed int64 (varint >9 bytes): two-limb
+            # 128-bit varint + zigzag straight into decimal128 buffers
+            # (round 7 — previously a per-cell Decimal closure)
             pa_t = pa.decimal128(dt_.precision, dt_.scale)
-            return _make_scalar_cell_decoder(field, pa_t), pa_t
+
+            def dec_wide(u8, pos, valid, _pa_t=pa_t):
+                idx = np.flatnonzero(valid)
+                lo, hi, newp = _varint_vec128(u8, pos[idx])
+                pos[idx] = newp
+                # 128-bit zigzag decode: mag = z >> 1; negate if z&1
+                neg = (lo & np.uint64(1)).astype(bool)
+                mlo = (lo >> np.uint64(1)) | (hi << np.uint64(63))
+                mhi = hi >> np.uint64(1)
+                mlo = np.where(neg, ~mlo, mlo)
+                mhi = np.where(neg, ~mhi, mhi)
+                data = np.zeros((len(pos), 2), dtype="<u8")
+                data[idx, 0] = mlo
+                data[idx, 1] = mhi
+                return pa.Array.from_buffers(
+                    _pa_t,
+                    len(pos),
+                    [_valid_buf(valid), pa.py_buffer(data.tobytes())],
+                    null_count=int((~valid).sum()),
+                )
+
+            return dec_wide, pa_t
         pa_t = pa.decimal128(dt_.precision, dt_.scale)
 
         def dec(u8, pos, valid, _pa_t=pa_t):

@@ -1027,3 +1027,56 @@ def test_columnar_chunking_boundary(tmp_path):
 
     assert run(4) == run(10_000)
     assert len(run(1)) == 23 + sum(1 for i in range(23) if i % 3 == 0)
+
+
+def test_varint_vec128_zigzag_property():
+    """Round-7 wide-decimal limb path, fuzzed at the codec level:
+    random unscaled ints across the full decimal128 range encode via
+    the scalar zigzag/varint writer and must decode bit-exactly
+    through the two-limb vectorized reader (including the 19-byte
+    maximum and the limb-straddling shift window)."""
+    import random
+
+    import numpy as np
+
+    from mysql_cdc_table_spark.sources.packed_binlog import (
+        _varint_vec128,
+        _write_varint,
+        _zigzag,
+    )
+
+    rng = random.Random(7)
+    vals = [0, 1, -1, 10**38 - 1, -(10**38) + 1, 2**63, -(2**63) - 1]
+    vals += [
+        rng.randint(-(10**38) + 1, 10**38 - 1) for _ in range(500)
+    ]
+    buf = bytearray()
+    offs = []
+    for n in vals:
+        offs.append(len(buf))
+        _write_varint(_zigzag(n), buf)
+    u8 = np.frombuffer(bytes(buf), dtype=np.uint8)
+    lo, hi, newp = _varint_vec128(u8, np.array(offs, dtype=np.int64))
+    # recombine limbs into a signed 128-bit int and undo the zigzag
+    ends = [*offs[1:], len(buf)]
+    assert newp.tolist() == ends  # every byte consumed, none skipped
+    for n, l_, h_ in zip(vals, lo.tolist(), hi.tolist()):
+        z = (h_ << 64) | l_
+        mag = z >> 1
+        dec = mag if not z & 1 else -(mag + 1)
+        # the vec path leaves negation to the caller via ~limbs; here
+        # emulate: decoded two's complement over 128 bits
+        assert dec == n, (n, dec)
+
+
+def test_varint_vec128_overflow_raises():
+    import numpy as np
+    import pytest as _pytest
+
+    from mysql_cdc_table_spark.sources.packed_binlog import _varint_vec128
+
+    # 19 continuation bytes with a 20th would exceed 128 bits
+    bad = bytes([0xFF] * 18 + [0x7F])  # 19 bytes, top byte 0x7f > 3
+    u8 = np.frombuffer(bad, dtype=np.uint8)
+    with _pytest.raises(ValueError, match="overflows 128 bits"):
+        _varint_vec128(u8, np.array([0], dtype=np.int64))
