@@ -540,3 +540,58 @@ def test_knn_classify_rank_pushdown(spark, sf_dir):
     assert count_nodes(df, "WindowGroupLimit") >= 2
     assert count_nodes(df, "BroadcastNestedLoopJoin") >= 1
     assert_no_cartesian(df)
+
+
+def test_heavy_hitters_candidates_broadcast(spark, sf_dir):
+    """Pass 2 counts ONLY the MG candidates: the candidate list and the
+    n-total aggregate both BROADCAST to the word scan; the only hash
+    shuffle carries ≤ partitions×K candidate words, never the
+    vocabulary."""
+    from mysql_cdc_table_spark.operators.round7 import agg_heavy_hitters_mg
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = agg_heavy_hitters_mg(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df, 1)  # candidate list -> word scan
+    # the 1-row n_total side rides a broadcast nested loop, not a hash join
+    assert count_nodes(df, "BroadcastNestedLoopJoin") == 1
+    assert shuffle_count(df) <= 3
+
+
+def test_ewma_one_sort_per_user_partition(spark, sf_dir):
+    """The EWMA is one keyed window: exactly one exchange on user_id,
+    one sort, one Window; the fold runs inside the projection."""
+    from mysql_cdc_table_spark.operators.round7 import ts_ewma_window
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = ts_ewma_window(spark, sf_dir)
+    assert shuffle_count(df) == 1
+    assert count_nodes(df, "Window") == 1
+    assert_columns_pruned(df, 6)  # events is 6 wide; scan reads 4 cols
+
+
+def test_passage_dedup_single_passage_shuffle(spark, sf_dir):
+    """One explode + one window over passage partitions + one per-doc
+    agg: each passage instance crosses the wire once; no join back, no
+    cartesian."""
+    from mysql_cdc_table_spark.operators.round7 import corpus_passage_dedup
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = corpus_passage_dedup(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert count_nodes(df, "Window") == 1
+    assert shuffle_count(df) <= 2  # passage window + doc_id agg
+
+
+def test_knn_ivf_probe_broadcast_no_cartesian(spark, sf_dir):
+    """The IVF classifier's probe and query sides broadcast; candidate
+    scoring is an equi join on cid (hash, not nested loop); only the
+    exact-harness subtree keeps the documented BroadcastNestedLoopJoin."""
+    from mysql_cdc_table_spark.operators.round7 import emb_knn_classify_ivf
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = emb_knn_classify_ivf(spark, sf_dir)
+    assert_no_cartesian(df)
+    # probe join + query join + agreement broadcast, at minimum
+    assert_broadcast_join(df, 3)
+    assert count_nodes(df, "WindowGroupLimit") >= 2  # both rank limits
