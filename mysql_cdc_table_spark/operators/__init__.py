@@ -296,10 +296,14 @@ ROUND7_REVERIFY: tuple[str, ...] = (
 )
 
 # Late-registration tail for round 7 (same pinned-behind protocol as
-# ROUND5/6_LATE_KEYS): keys registered after the 50-slot window fills
-# go here so they cannot evict the stalest standing rows; they lead
-# the round-8 window for their first driver rows.
-ROUND7_LATE_KEYS: tuple[str, ...] = ()
+# ROUND5/6_LATE_KEYS): keys registered after the front hit its 25-slot
+# budget (10 late + 4 new + 11 re-verify); pinned BEHIND the window so
+# they cannot evict the stalest standing rows — they lead the round-8
+# window for their first driver rows.
+ROUND7_LATE_KEYS: tuple[str, ...] = (
+    "window_range_interval",
+    "agg_hll_union",
+)
 
 
 def _last_seen_rounds() -> dict[str, int]:

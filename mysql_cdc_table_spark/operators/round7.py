@@ -389,3 +389,117 @@ ORACLES.update(
         "corpus_passage_dedup": CORPUS_PASSAGE_DEDUP_SQL,
     }
 )
+
+
+# --- interval RANGE frame ----------------------------------------------------
+
+
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame — the SQL surface the numeric range
+    frame (window_range_frame) does not cover: per user, the trailing
+    1-hour event count and cents turnover, frame bounded by the ORDER
+    BY timestamp value itself (RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+    AND CURRENT ROW; equal-timestamp peers share a frame, so no
+    tiebreak column is needed for determinism). Value sum quantized to
+    integer cents before the frame, per the float convention. One
+    exchange on user_id, one sort; both aggregates fuse into a single
+    Window operator."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    frame = (
+        "OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.expr(f"count(*) {frame}").alias("n_1h"),
+        F.expr(f"sum(vc) {frame}").alias("sum_cents_1h"),
+    )
+
+
+WINDOW_RANGE_INTERVAL_SQL = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       CAST(sum(vc) OVER w AS BIGINT) AS sum_cents_1h
+FROM (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100) AS BIGINT) AS vc
+  FROM events
+)
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts
+  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+)
+"""
+
+
+# --- HLL sketch union --------------------------------------------------------
+
+
+HLL_LG_K = 12  # Datasketches HLL lgConfigK: rsd ~ 1.04/sqrt(2^12) ~ 1.6%
+
+
+def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting — THE 100 TB pattern the
+    one-shot approx_count_distinct key doesn't show: per (event_type,
+    day) HLL sketches built independently (as a daily pipeline would
+    materialize them), then UNIONED per event_type and estimated
+    (hll_sketch_agg → hll_union_agg → hll_sketch_estimate, Spark 4's
+    Datasketches surface). Output follows the round-6 error-bound
+    idiom: the exact per-type distinct-user count plus a boolean
+    asserting the union estimate lands within 5·rsd — wide enough that
+    a statistically normal sketch outlier cannot fake a red row, tight
+    enough to catch a real merge/estimate regression. The oracle
+    computes the exact counts + literal TRUE. At scale only sketches
+    move: daily partials are a few KB per group regardless of row
+    count, and re-aggregation to any rollup is a sketch union, not a
+    rescan."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d"), "user_id"
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.hll_sketch_agg("user_id", F.lit(HLL_LG_K)).alias("sk")
+    )
+    est = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    rsd = 1.04 / (2.0**HLL_LG_K) ** 0.5
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "n_users",
+        (
+            F.abs(F.col("est") - F.col("n_users"))
+            <= F.lit(5 * rsd) * F.col("n_users")
+        ).alias("est_ok"),
+    )
+
+
+AGG_HLL_UNION_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       TRUE AS est_ok
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "window_range_interval": window_range_interval,
+        "agg_hll_union": agg_hll_union,
+    }
+)
+ORACLES.update(
+    {
+        "window_range_interval": WINDOW_RANGE_INTERVAL_SQL,
+        "agg_hll_union": AGG_HLL_UNION_SQL,
+    }
+)
