@@ -303,6 +303,7 @@ ROUND7_REVERIFY: tuple[str, ...] = (
 ROUND7_LATE_KEYS: tuple[str, ...] = (
     "window_range_interval",
     "agg_hll_union",
+    "cdc_binlog_rows_query_roundtrip",
 )
 
 

@@ -20,6 +20,7 @@ from mysql_cdc_table_spark.functions.similarity import (
 )
 from mysql_cdc_table_spark.sources.mysql_binlog import (
     CDC_BINLOG_LATEST_STATE_SQL,
+    CDC_BINLOG_ROWS_QUERY_SQL,
     CDC_BINLOG_MULTI_TABLE_SQL,
     CDC_BINLOG_PARTIAL_JSON_SQL,
     CDC_BINLOG_SCHEMA_EVOLUTION_SQL,
@@ -29,6 +30,7 @@ from mysql_cdc_table_spark.sources.mysql_binlog import (
     cdc_binlog_multi_table,
     cdc_binlog_parallel_roundtrip,
     cdc_binlog_partial_json_roundtrip,
+    cdc_binlog_rows_query_roundtrip,
     cdc_binlog_schema_evolution,
     cdc_binlog_zstd_roundtrip,
     cdc_mysql_binlog_roundtrip,
@@ -56,6 +58,9 @@ QUERIES = {
     "cdc_binlog_multi_table": cdc_binlog_multi_table,
     # round 5 (late): the roundtrip through the PARALLEL split scan
     "cdc_binlog_parallel_roundtrip": cdc_binlog_parallel_roundtrip,
+    # round 7: binlog_rows_query_log_events=ON — statement provenance
+    # via ROWS_QUERY (type 29), surfaced as __query on every row
+    "cdc_binlog_rows_query_roundtrip": cdc_binlog_rows_query_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
@@ -68,4 +73,5 @@ ORACLES: dict[str, str] = {
     "cdc_binlog_schema_evolution": CDC_BINLOG_SCHEMA_EVOLUTION_SQL,
     "cdc_binlog_multi_table": CDC_BINLOG_MULTI_TABLE_SQL,
     "cdc_binlog_parallel_roundtrip": CDC_MYSQL_BINLOG_ROUNDTRIP_SQL,
+    "cdc_binlog_rows_query_roundtrip": CDC_BINLOG_ROWS_QUERY_SQL,
 }

@@ -89,6 +89,7 @@ EV_TABLE_MAP = 19
 EV_WRITE_ROWS_V1 = 23
 EV_UPDATE_ROWS_V1 = 24
 EV_DELETE_ROWS_V1 = 25
+EV_ROWS_QUERY = 29
 EV_WRITE_ROWS_V2 = 30
 EV_UPDATE_ROWS_V2 = 31
 EV_DELETE_ROWS_V2 = 32
@@ -1384,12 +1385,29 @@ def build_binlog_file(
         )
         rows_tc, body = _txn_rows_body(table_id, cols, txn)
         tm_body = _table_map_body(table_id, db, table, cols)
+        # binlog_rows_query_log_events=ON: the originating SQL rides a
+        # ROWS_QUERY event between GTID and TABLE_MAP (MySQL's order).
+        # Wire body: 1 length byte (min(len,255), informational — every
+        # decoder reads the REST of the body as the query) + query text.
+        rq = txn.get("query")
+        rq_body = (
+            bytes([min(len(rq.encode()), 255)]) + rq.encode()
+            if rq is not None
+            else None
+        )
         if payload_wrap:
-            inner = _event(ts, EV_TABLE_MAP, server_id, tm_body, 0, False)
+            inner = b""
+            if rq_body is not None:
+                inner = _event(ts, EV_ROWS_QUERY, server_id, rq_body, 0, False)
+            inner += _event(
+                ts, EV_TABLE_MAP, server_id, tm_body, len(inner), False
+            )
             inner += _event(ts, rows_tc, server_id, body, len(inner), False)
             comp = _TP_ZSTD if payload_wrap == "zstd" else _TP_NONE
             emit(EV_TRANSACTION_PAYLOAD, _payload_body(inner, comp), ts)
         else:
+            if rq_body is not None:
+                emit(EV_ROWS_QUERY, rq_body, ts)
             emit(EV_TABLE_MAP, tm_body, ts)
             emit(rows_tc, body, ts)
     return bytes(out)
@@ -1533,6 +1551,7 @@ def decode_binlog_bytes(
     gtid_format: str = "long",
     init_state: dict | None = None,
     seq_base: int = 0,
+    capture_query: bool = False,
     _rows_sink=None,
 ) -> list[dict]:
     """Sequential event walk of one binlog file: dispatch on type code
@@ -1588,6 +1607,7 @@ def decode_binlog_bytes(
     tdefs: dict[int, _TableDef] = {}
     out: list[dict] = []
     want_src = gtid_format == "uuid_gno"
+    rows_query: str | None = None  # binlog_rows_query_log_events=ON
     # MySQL re-emits an IDENTICAL TABLE_MAP before every transaction's
     # rows; re-parsing it per event cost ~16% of decode (profiled at
     # 20k txns). Memoize on the exact body bytes (None = foreign table)
@@ -1597,11 +1617,17 @@ def decode_binlog_bytes(
     map_cache: dict[bytes, tuple | None] = {}
 
     def handle(tc: int, body: bytes, ets: int, event_seq: int) -> None:
-        nonlocal gtid, gtid_src
+        nonlocal gtid, gtid_src, rows_query
         if tc == EV_GTID:
             gtid = struct.unpack_from("<q", body, 17)[0]
             if want_src:
                 gtid_src = _sid_to_uuid(body[1:17])
+            rows_query = None  # the statement belongs to ONE transaction
+        elif tc == EV_ROWS_QUERY:
+            # body: 1 informational length byte (min(len,255)) then the
+            # FULL query text to end of body — the layout every
+            # replication client reads; the reference default-skips it
+            rows_query = body[1:].decode("utf-8")
         elif tc == EV_TABLE_MAP:
             key = bytes(body)
             if key in map_cache:
@@ -1647,7 +1673,7 @@ def decode_binlog_bytes(
                 and tc != EV_PARTIAL_UPDATE_ROWS
                 and _rows_sink(
                     tdef, tc, body, p, present1, present2,
-                    gtid, gtid_src, ets, event_seq,
+                    gtid, gtid_src, ets, event_seq, rows_query,
                 )
             ):
                 return
@@ -1677,6 +1703,8 @@ def decode_binlog_bytes(
                 row["__gtid"] = gtid
                 if want_src:
                     row["__gtid_src"] = gtid_src
+                if capture_query:
+                    row["__query"] = rows_query
                 row["__tm"] = _dt.datetime.fromtimestamp(
                     ets, _dt.timezone.utc
                 ).replace(tzinfo=None)
@@ -1786,17 +1814,24 @@ _BINARY_FILE_SCHEMA = T.StructType(
 
 
 def _binlog_out_schema(
-    target: T.StructType, gtid_format: str
+    target: T.StructType, gtid_format: str, capture_query: bool = False
 ) -> T.StructType:
     """changelog_schema, plus __gtid_src (before __gtid, matching the
-    envelope path's column order) for gtid_format="uuid_gno"."""
+    envelope path's column order) for gtid_format="uuid_gno", plus
+    __query (also before __gtid) when capture_query=True
+    (binlog_rows_query_log_events=ON surfacing)."""
     base = changelog_schema(target)
-    if gtid_format != "uuid_gno":
+    if gtid_format != "uuid_gno" and not capture_query:
         return base
     fields = []
     for f in base.fields:
         if f.name == "__gtid":
-            fields.append(T.StructField("__gtid_src", T.StringType(), True))
+            if gtid_format == "uuid_gno":
+                fields.append(
+                    T.StructField("__gtid_src", T.StringType(), True)
+                )
+            if capture_query:
+                fields.append(T.StructField("__query", T.StringType(), True))
         fields.append(f)
     return T.StructType(fields)
 
@@ -1808,12 +1843,13 @@ def _decode_files(
     table: str,
     gtid_format: str = "long",
     columnar: bool = True,
+    capture_query: bool = False,
 ) -> DataFrame:
     # binaryFile materializes each file whole, so per-task memory is
     # ~one binlog file (MySQL rotates at max_binlog_size, 1 GiB default
     # — bounded by server config, not by history length). The output is
     # yielded per file; Arrow re-slices it downstream.
-    out_schema = _binlog_out_schema(target, gtid_format)
+    out_schema = _binlog_out_schema(target, gtid_format, capture_query)
 
     if columnar:
         # round 6: the event walk stays scalar (headers/CRC/state), but
@@ -1835,6 +1871,7 @@ def _decode_files(
                         table,
                         file_seq=_file_seq_of(str(paths[i].as_py())),
                         gtid_format=gtid_format,
+                        capture_query=capture_query,
                     )
 
         return files.select("path", "content").mapInArrow(
@@ -1856,6 +1893,7 @@ def _decode_files(
                     table,
                     file_seq=_file_seq_of(str(fpath)),
                     gtid_format=gtid_format,
+                    capture_query=capture_query,
                 )
                 for i in range(0, len(rows), chunk):
                     part = rows[i : i + chunk]
@@ -1876,6 +1914,7 @@ def mysql_binlog_read(
     index_file: str | None = None,
     gtid_format: str = "long",
     columnar: bool = True,
+    capture_query: bool = False,
 ) -> DataFrame:
     """Batch-read real binlog files into the standard changelog
     DataFrame. One file = one decode task (the format is stateful per
@@ -1908,7 +1947,8 @@ def mysql_binlog_read(
     else:
         files = spark.read.format("binaryFile").load(path)
     return _decode_files(
-        files, target, database, table, gtid_format, columnar=columnar
+        files, target, database, table, gtid_format, columnar=columnar,
+        capture_query=capture_query,
     )
 
 
@@ -3291,3 +3331,132 @@ FROM b GROUP BY status
 # Compression must be invisible in the decoded changelog, so the zstd
 # roundtrip shares the uncompressed roundtrip's oracle verbatim.
 CDC_BINLOG_ZSTD_ROUNDTRIP_SQL = CDC_MYSQL_BINLOG_ROUNDTRIP_SQL
+
+
+def cdc_binlog_rows_query_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """binlog_rows_query_log_events=ON roundtrip: each transaction's
+    originating SQL statement rides a ROWS_QUERY event (type 29)
+    between GTID and TABLE_MAP; ``capture_query=True`` surfaces it on
+    every decoded row as ``__query`` — statement-level provenance for
+    audit/debug pipelines. The fixture writes a deterministic statement
+    per transaction (INSERT or UPDATE text derived from the key);
+    updates stamp BOTH images with the same statement. The aggregate
+    puts the statement text itself in the value hash (length sum + a
+    numeric tag regexp-extracted back out of the text + per-kind
+    counts), so a lost, truncated, or mis-scoped ROWS_QUERY breaks the
+    driver row. The reference default-skips type 29 entirely
+    (binlog_table_reader.cc:427-428) — statement provenance is one
+    more capability the changelog there cannot carry."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.operators._util import t
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "status",
+                T.StringType(),
+                metadata={"mysql_type": "enum", "values": ["F", "O", "P"]},
+            ),
+        ]
+    )
+    base = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "id")
+    )
+    file_schema = T.StructType([T.StructField("file_bytes", T.BinaryType())])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            txns = []
+            for r in pdf.itertuples(index=False):
+                rid = int(r.id)
+                row = {"id": rid, "status": r.status}
+                if rid % 10 == 0:
+                    q = f"UPDATE orders SET s='{r.status}' WHERE k={rid} /* t{rid % 97} */"
+                    # identical before/after images (legal on the wire)
+                    # so both land in the same status group below
+                    txns.append(
+                        {
+                            "gno": rid,
+                            "op": "u",
+                            "rows": [(dict(row), row)],
+                            "query": q,
+                        }
+                    )
+                else:
+                    q = f"INSERT INTO orders VALUES ({rid}) /* t{rid % 97} */"
+                    txns.append(
+                        {"gno": rid, "op": "w", "rows": [row], "query": q}
+                    )
+            blob = build_binlog_file(
+                "tpch", "orders", target, txns, checksum=True
+            )
+            yield pd.DataFrame({"file_bytes": [blob]})
+
+    files = base.mapInPandas(encode, schema=file_schema)
+    out_schema = _binlog_out_schema(target, "long", capture_query=True)
+    names = [f.name for f in out_schema.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["file_bytes"]:
+                rows = decode_binlog_bytes(
+                    bytes(blob), target, "tpch", "orders", capture_query=True
+                )
+                yield pd.DataFrame(
+                    {n: [r.get(n) for r in rows] for n in names}
+                )
+
+    decoded = files.mapInPandas(decode, schema=out_schema)
+    return decoded.groupBy("status").agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("__query").startswith("UPDATE")).alias("n_upd_stmt"),
+        F.count_if(F.col("__query").startswith("INSERT")).alias("n_ins_stmt"),
+        F.sum(F.length("__query").cast("long")).alias("qlen_sum"),
+        F.sum(
+            F.regexp_extract(F.col("__query"), r"/\* t(\d+) \*/", 1).cast(
+                "long"
+            )
+        ).alias("qtag_sum"),
+        F.sum("__gtid").alias("gtid_sum"),
+    )
+
+
+CDC_BINLOG_ROWS_QUERY_SQL = """
+WITH b AS (
+  SELECT o_orderkey AS id,
+         o_orderstatus AS status,
+         CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS nimg,
+         CASE WHEN o_orderkey % 10 = 0 THEN
+           length('UPDATE orders SET s=''' || o_orderstatus
+                  || ''' WHERE k=' || o_orderkey
+                  || ' /* t' || (o_orderkey % 97) || ' */')
+         ELSE
+           length('INSERT INTO orders VALUES (' || o_orderkey
+                  || ') /* t' || (o_orderkey % 97) || ' */')
+         END AS qlen
+  FROM orders
+)
+SELECT status,
+       CAST(sum(nimg) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN nimg = 2 THEN 2 ELSE 0 END) AS BIGINT)
+         AS n_upd_stmt,
+       CAST(sum(CASE WHEN nimg = 2 THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_ins_stmt,
+       CAST(sum(nimg * qlen) AS BIGINT) AS qlen_sum,
+       CAST(sum(nimg * (id % 97)) AS BIGINT) AS qtag_sum,
+       CAST(sum(nimg * id) AS BIGINT) AS gtid_sum
+FROM b GROUP BY status
+"""

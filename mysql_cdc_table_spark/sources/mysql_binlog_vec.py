@@ -637,7 +637,8 @@ class _Group:
 
     __slots__ = (
         "tdef", "tc", "present1", "present2",
-        "bodies", "p0", "gtids", "srcs", "etss", "seqs", "nbytes",
+        "bodies", "p0", "gtids", "srcs", "queries", "etss", "seqs",
+        "nbytes",
     )
 
     def __init__(self, tdef, tc, present1, present2):
@@ -647,6 +648,7 @@ class _Group:
         self.p0: list[int] = []
         self.gtids: list = []
         self.srcs: list = []
+        self.queries: list = []  # ROWS_QUERY text per event (or None)
         self.etss: list[int] = []
         self.seqs: list[int] = []
         self.nbytes = 0
@@ -658,7 +660,9 @@ _MAX_GROUP_EVENTS = 65_536
 _MAX_GROUP_BYTES = 1 << 28
 
 
-def _flush_group(g: _Group, target, pa_out_schema, want_src, file_seq):
+def _flush_group(
+    g: _Group, target, pa_out_schema, want_src, file_seq, want_query=False
+):
     """Vectorized image-round decode of one group -> record batches."""
     import numpy as np
     import pyarrow as pa
@@ -726,6 +730,10 @@ def _flush_group(g: _Group, target, pa_out_schema, want_src, file_seq):
             arrays.append(
                 pa.array([g.srcs[i] for i in active], type=pa.string())
             )
+        if want_query:
+            arrays.append(
+                pa.array([g.queries[i] for i in active], type=pa.string())
+            )
         arrays.append(pa.array([g.gtids[i] for i in active], type=pa.int64()))
         arrays.append(
             pa.array(etss[active] * 1_000_000, type=pa.timestamp("us"))
@@ -778,6 +786,7 @@ def decode_binlog_record_batches(
     gtid_format: str = "long",
     init_state: dict | None = None,
     seq_base: int = 0,
+    capture_query: bool = False,
 ) -> Iterator:
     """Columnar twin of ``decode_binlog_bytes``: same walk (shared code
     — headers, CRC32, GTID, TABLE_MAP, payload unwrap all run in the
@@ -786,14 +795,17 @@ def decode_binlog_record_batches(
     order differs from the scalar walk (grouped by image round) — the
     changelog's explicit (__file_seq, __event_seq, __image_seq) keys
     carry ordering, per the DataFrame contract."""
-    out_schema = _binlog_out_schema(target, gtid_format)
+    out_schema = _binlog_out_schema(target, gtid_format, capture_query)
     pa_out_schema = arrow_schema(out_schema)
     want_src = gtid_format == "uuid_gno"
 
     groups: dict[tuple, _Group] = {}
     done: list = []
 
-    def sink(tdef, tc, body, p, present1, present2, gtid, gtid_src, ets, seq):
+    def sink(
+        tdef, tc, body, p, present1, present2, gtid, gtid_src, ets, seq,
+        rows_query,
+    ):
         key = (id(tdef), tc, tuple(present1), tuple(present2))
         g = groups.get(key)
         if g is None or g.tdef is not tdef:
@@ -802,12 +814,16 @@ def decode_binlog_record_batches(
         g.p0.append(p)
         g.gtids.append(gtid)
         g.srcs.append(gtid_src)
+        g.queries.append(rows_query)
         g.etss.append(ets)
         g.seqs.append(seq)
         g.nbytes += len(body)
         if len(g.bodies) >= _MAX_GROUP_EVENTS or g.nbytes >= _MAX_GROUP_BYTES:
             done.extend(
-                _flush_group(g, target, pa_out_schema, want_src, file_seq)
+                _flush_group(
+                    g, target, pa_out_schema, want_src, file_seq,
+                    capture_query,
+                )
             )
             groups.pop(key)
         return True
@@ -822,11 +838,14 @@ def decode_binlog_record_batches(
         gtid_format=gtid_format,
         init_state=init_state,
         seq_base=seq_base,
+        capture_query=capture_query,
         _rows_sink=sink,
     )
     yield from done
     for g in groups.values():
-        yield from _flush_group(g, target, pa_out_schema, want_src, file_seq)
+        yield from _flush_group(
+            g, target, pa_out_schema, want_src, file_seq, capture_query
+        )
     if scalar_rows:
         yield from _rows_to_batches(scalar_rows, out_schema, pa_out_schema)
 
@@ -835,7 +854,9 @@ def decode_binlog_pandas(blob, target, database, table, **kw):
     """Convenience: columnar decode -> one pandas DataFrame (tests)."""
     import pyarrow as pa
 
-    out_schema = _binlog_out_schema(target, kw.get("gtid_format", "long"))
+    out_schema = _binlog_out_schema(
+        target, kw.get("gtid_format", "long"), kw.get("capture_query", False)
+    )
     batches = list(
         decode_binlog_record_batches(blob, target, database, table, **kw)
     )

@@ -697,3 +697,65 @@ def test_tail_reader_rotation_race_no_loss_no_double(tmp_path):
     # conservation across the whole history: each id exactly once
     seen = [t_[0] for t_ in rows1 + rows2 + rows3]
     assert sorted(seen) == list(range(1, 9)) and len(set(seen)) == len(seen)
+
+
+def test_rows_query_capture_scalar_columnar_parity():
+    """ROWS_QUERY (binlog_rows_query_log_events=ON): __query is stamped
+    on every row of the transaction, scoped to ONE transaction (txns
+    without a statement yield NULL), both images of an update carry it,
+    and the columnar path agrees with the scalar walk byte-for-byte —
+    including through TRANSACTION_PAYLOAD wrapping. capture off keeps
+    the schema unchanged."""
+    tgt = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    r1 = {"id": 1, "v": "a"}
+    r2 = {"id": 2, "v": "b"}
+    r2b = {"id": 2, "v": "B"}
+    txns = [
+        {"gno": 1, "op": "w", "rows": [r1], "query": "INSERT 1 /* ünï */"},
+        {"gno": 2, "op": "u", "rows": [(r2, r2b)], "query": "UPDATE 2"},
+        {"gno": 3, "op": "w", "rows": [{"id": 3, "v": "c"}]},  # no stmt
+    ]
+    for wrap in (False, True, "zstd"):
+        blob = build_binlog_file("d", "t", tgt, txns, payload_wrap=wrap)
+        scalar = decode_binlog_bytes(
+            blob, tgt, "d", "t", capture_query=True
+        )
+        assert [r["__query"] for r in sorted(scalar, key=lambda r: (r["__gtid"], r["__image_seq"]))] == [
+            "INSERT 1 /* ünï */", "UPDATE 2", "UPDATE 2", None,
+        ]
+        pdf = decode_binlog_pandas(blob, tgt, "d", "t", capture_query=True)
+        assert "__query" in pdf.columns
+        _assert_same(scalar, pdf, tgt)
+        # capture off: column absent, rows unchanged
+        off = decode_binlog_bytes(blob, tgt, "d", "t")
+        assert all("__query" not in r for r in off)
+        assert len(off) == len(scalar)
+
+
+def test_rows_query_spark_read_roundtrip(spark, tmp_path):
+    """mysql_binlog_read(capture_query=True) surfaces __query through
+    the full Spark scan (columnar kernel), NULL where no statement was
+    logged."""
+    from pyspark.sql import functions as F
+
+    tgt = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    d = tmp_path / "logs"
+    d.mkdir()
+    txns = [
+        {"gno": g, "op": "w", "rows": [{"id": g, "v": f"x{g}"}],
+         **({"query": f"INSERT {g}"} if g % 2 else {})}
+        for g in range(1, 7)
+    ]
+    (d / "binlog.000001").write_bytes(
+        build_binlog_file("d", "t", tgt, txns, checksum=True)
+    )
+    df = mysql_binlog_read(spark, str(d), tgt, "d", "t", capture_query=True)
+    got = {r["id"]: r["__query"] for r in df.collect()}
+    assert got == {
+        g: (f"INSERT {g}" if g % 2 else None) for g in range(1, 7)
+    }
+    assert df.filter(F.col("__query").isNull()).count() == 3
