@@ -1750,6 +1750,7 @@ def decode_binlog_bytes(
         # bodies seen before the range start
         checksum = init_state.get("checksum")
         gtid = init_state.get("gtid")
+        rows_query = init_state.get("rows_query")
         sid0 = init_state.get("sid")
         if want_src and sid0 is not None:
             gtid_src = _sid_to_uuid(sid0)
@@ -2202,6 +2203,7 @@ def mysql_binlog_read_parallel(
     *,
     split_bytes: int = 64 << 20,
     gtid_format: str = "long",
+    capture_query: bool = False,
 ) -> DataFrame:
     """Parallel decode of LARGE binlog files — the scan the reference
     cannot express (its unit is one file walked sequentially,
@@ -2219,7 +2221,11 @@ def mysql_binlog_read_parallel(
     first, and __event_seq stays the ABSOLUTE file offset — byte-
     identical rows, any split size. Stage 2 reopens paths with plain
     ``open`` (same executor-local contract as the packed DataSource);
-    on object stores mount or use the packed source."""
+    on object stores mount or use the packed source.
+
+    ``capture_query=True`` surfaces ROWS_QUERY statements as __query —
+    no extra carried state: ranges cut at GTID boundaries, exactly
+    where the statement scope resets."""
     import os
 
     import pandas as pd
@@ -2240,7 +2246,7 @@ def mysql_binlog_read_parallel(
         )
     else:
         paths = [local]
-    out_schema0 = _binlog_out_schema(target, gtid_format)
+    out_schema0 = _binlog_out_schema(target, gtid_format, capture_query)
     if not paths:  # empty/hidden-only dir: zero rows, not repartition(0)
         return spark.createDataFrame([], out_schema0)
     files = spark.createDataFrame(
@@ -2270,7 +2276,7 @@ def mysql_binlog_read_parallel(
     splits = files.mapInPandas(make_splits, schema=_SPLIT_SCHEMA)
     splits = splits.repartition(spark.sparkContext.defaultParallelism)
 
-    out_schema = _binlog_out_schema(target, gtid_format)
+    out_schema = _binlog_out_schema(target, gtid_format, capture_query)
 
     def decode_range(batches):
         from mysql_cdc_table_spark.sources.mysql_binlog_vec import (
@@ -2299,6 +2305,7 @@ def mysql_binlog_read_parallel(
                     gtid_format=gtid_format,
                     init_state=state,
                     seq_base=int(row["start"]),
+                    capture_query=capture_query,
                 )
 
     return splits.mapInArrow(decode_range, schema=out_schema)
@@ -2373,12 +2380,18 @@ def _carry_walk(blob: bytes, frm: int, upto: int, state: dict) -> None:
             break
         if tc == EV_FORMAT_DESCRIPTION:
             state["checksum"] = _detect_checksum(blob[pos : pos + esize])
-        elif tc in (EV_GTID, EV_TABLE_MAP):
+        elif tc in (EV_GTID, EV_TABLE_MAP, EV_ROWS_QUERY):
             end = pos + esize - (4 if state["checksum"] else 0)
             body = blob[pos + _HEADER_LEN : end]
             if tc == EV_GTID:
                 state["gtid"] = struct.unpack_from("<q", body, 17)[0]
                 state["sid"] = bytes(body[1:17])
+                # statement scope is one transaction (mirrors the
+                # decode walk): a cursor can sit between ROWS_QUERY
+                # and its rows event, so the carry must fold it
+                state["rows_query"] = None
+            elif tc == EV_ROWS_QUERY:
+                state["rows_query"] = body[1:].decode("utf-8")
             else:
                 tid = int.from_bytes(body[0:6], "little")
                 state["maps"][tid] = bytes(body)
@@ -2422,6 +2435,9 @@ class MysqlBinlogTailStreamReader(_SimpleStreamReader):
         self.table = options["table"]
         self.target = _tail_target(options)
         self.gtid_format = options.get("gtid_format", "long")
+        self.capture_query = (
+            str(options.get("capture_query", "false")).lower() == "true"
+        )
         # round 6: per-file carried decoder state, so each micro-batch
         # header-walks and value-decodes only bytes past the cursor —
         # events-to-visible latency becomes O(delta), not O(active file)
@@ -2450,7 +2466,9 @@ class MysqlBinlogTailStreamReader(_SimpleStreamReader):
         rows: list[tuple] = []
         names = [
             f.name
-            for f in _binlog_out_schema(self.target, self.gtid_format).fields
+            for f in _binlog_out_schema(
+                self.target, self.gtid_format, self.capture_query
+            ).fields
         ]
         end = {"seq": start["seq"], "pos": start["pos"]}
         for seq, path in self._files():
@@ -2506,10 +2524,12 @@ class MysqlBinlogTailStreamReader(_SimpleStreamReader):
                     blob[lo - base : prefix - base],
                     self.target, self.database, self.table,
                     file_seq=seq, gtid_format=self.gtid_format,
+                    capture_query=self.capture_query,
                     init_state={
                         "checksum": state["checksum"],
                         "gtid": state["gtid"],
                         "sid": state["sid"],
+                        "rows_query": state.get("rows_query"),
                         "table_maps": list(state["maps"].values()),
                     },
                     seq_base=lo,
@@ -2518,6 +2538,7 @@ class MysqlBinlogTailStreamReader(_SimpleStreamReader):
                 batches = decode_binlog_record_batches(
                     blob[:prefix], self.target, self.database, self.table,
                     file_seq=seq, gtid_format=self.gtid_format,
+                    capture_query=self.capture_query,
                 )
             for batch in batches:
                 for r in batch.to_pylist():
@@ -2555,7 +2576,9 @@ class MysqlBinlogTailDataSource(_DataSource):
     def schema(self):
         opts = dict(self.options)
         return _binlog_out_schema(
-            _tail_target(opts), opts.get("gtid_format", "long")
+            _tail_target(opts),
+            opts.get("gtid_format", "long"),
+            str(opts.get("capture_query", "false")).lower() == "true",
         )
 
     def simpleStreamReader(self, schema):

@@ -759,3 +759,96 @@ def test_rows_query_spark_read_roundtrip(spark, tmp_path):
         g: (f"INSERT {g}" if g % 2 else None) for g in range(1, 7)
     }
     assert df.filter(F.col("__query").isNull()).count() == 3
+
+
+def test_rows_query_parallel_split_scan(spark, tmp_path):
+    """capture_query through the PARALLEL split scan: ranges cut at
+    GTID boundaries (where the statement scope resets), so split decode
+    stamps identical __query values to the whole-file walk at any
+    split size."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        mysql_binlog_read_parallel,
+    )
+
+    tgt = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    txns = [
+        {"gno": g, "op": "w", "rows": [{"id": g, "v": "y" * (g % 50)}],
+         **({"query": f"Q{g}"} if g % 3 else {})}
+        for g in range(1, 120)
+    ]
+    d = tmp_path / "logs"
+    d.mkdir()
+    blob = build_binlog_file("d", "t", tgt, txns, checksum=True)
+    (d / "binlog.000001").write_bytes(blob)
+    expect = {
+        r["id"]: r["__query"]
+        for r in decode_binlog_bytes(blob, tgt, "d", "t", capture_query=True)
+    }
+    for sb in (512, 4096):
+        df = mysql_binlog_read_parallel(
+            spark, str(d), tgt, "d", "t", split_bytes=sb, capture_query=True
+        )
+        got = {r["id"]: r["__query"] for r in df.collect()}
+        assert got == expect, sb
+
+
+def test_rows_query_tail_carry_mid_transaction_cursor(tmp_path):
+    """The O(delta) tail with capture_query=true: a micro-batch cursor
+    that lands BETWEEN a transaction's ROWS_QUERY event and its rows
+    event must still stamp the statement on the rows decoded next
+    batch — the carry walk folds rows_query like gtid."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        _HEADER,
+        _HEADER_LEN,
+        MysqlBinlogTailStreamReader,
+        build_binlog_file,
+    )
+    import struct as _s
+
+    tgt_ddl = "id bigint, v string"
+    tgt = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    d = tmp_path / "logs"
+    d.mkdir()
+    txns = [
+        {"gno": 1, "op": "w", "rows": [{"id": 1, "v": "a"}], "query": "Q1"},
+        {"gno": 2, "op": "w", "rows": [{"id": 2, "v": "b"}], "query": "Q2"},
+    ]
+    full = build_binlog_file("d", "t", tgt, txns)
+    # find the byte offset of txn 2's TABLE_MAP (the event AFTER its
+    # ROWS_QUERY): walk headers, note the boundary right after the
+    # second ROWS_QUERY event
+    pos, cut = 4, None
+    seen_rq = 0
+    while pos + _HEADER_LEN <= len(full):
+        _ts, tc, _sid, esize, _lp, _fl = _HEADER.unpack_from(full, pos)
+        pos += esize
+        if tc == 29:  # EV_ROWS_QUERY
+            seen_rq += 1
+            if seen_rq == 2:
+                cut = pos  # boundary between ROWS_QUERY and TABLE_MAP
+                break
+    assert cut is not None
+    (d / "binlog.000001").write_bytes(full[:cut])
+    r = MysqlBinlogTailStreamReader(
+        {"path": str(d), "schema_ddl": tgt_ddl, "database": "d",
+         "table": "t", "capture_query": "true"}
+    )
+    rows1, off1 = r._delta(r.initialOffset())
+    names_q = rows1  # first batch: txn 1 only (txn 2 incomplete)
+    assert [t_[0] for t_ in rows1] == [1]
+    assert off1["pos"] == cut  # cursor parked mid-transaction
+
+    (d / "binlog.000001").write_bytes(full)
+    rows2, off2 = r._delta(off1)
+    # schema order: id, v, __op, __query, __gtid, ... — find __query by
+    # name for robustness
+    from mysql_cdc_table_spark.sources.mysql_binlog import _binlog_out_schema
+
+    names = [f.name for f in _binlog_out_schema(tgt, "long", True).fields]
+    qi = names.index("__query")
+    assert [t_[0] for t_ in rows2] == [2]
+    assert rows2[0][qi] == "Q2"  # statement survived the cursor seam
