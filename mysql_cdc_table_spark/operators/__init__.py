@@ -304,6 +304,7 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "window_range_interval",
     "agg_hll_union",
     "cdc_binlog_rows_query_roundtrip",
+    "corpus_quality_rules",
 )
 
 

@@ -503,3 +503,114 @@ ORACLES.update(
         "agg_hll_union": AGG_HLL_UNION_SQL,
     }
 )
+
+
+# --- rule-based quality gate report -----------------------------------------
+
+
+def corpus_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style RULE-based quality gate with per-rule
+    accounting — the production complement to text_quality_filter's
+    blended score: four integer-exact rules per document, a per-source
+    report of how many documents each rule rejects, and the kept
+    fraction in basis points. Rules (all integer cross-multiplied, no
+    float thresholds): R1 word count in [20, 5000]; R2 mean word
+    length in [2, 12] (2n ≤ chars ≤ 12n); R3 no single word exceeds
+    10% of the document (10·max_count ≤ n); R4 ≥ 10 distinct words.
+    Shape: ONE (doc, word) hash agg → ONE per-doc agg → ONE per-source
+    rollup (the gram-relation idiom — per-doc state is four integers,
+    never the vocabulary); empty documents join in as R1 failures via
+    the left join."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias(
+            "w"
+        ),
+    )
+    per_word = words.groupBy("doc_id", "w").agg(
+        F.count("*").alias("cnt"),
+        (F.count("*") * F.length(F.first("w"))).alias("chars"),
+    )
+    per_doc = per_word.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n"),
+        F.count("*").alias("n_distinct"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum("chars").alias("chars"),
+    )
+    flagged = (
+        docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("n_distinct", F.lit(0)).alias("nd"),
+            F.coalesce("max_cnt", F.lit(0)).alias("mc"),
+            F.coalesce("chars", F.lit(0)).alias("ch"),
+        )
+        .select(
+            "source",
+            ((F.col("n") >= 20) & (F.col("n") <= 5000)).alias("r1"),
+            (
+                (F.col("ch") >= 2 * F.col("n"))
+                & (F.col("ch") <= 12 * F.col("n"))
+                & (F.col("n") > 0)
+            ).alias("r2"),
+            ((10 * F.col("mc") <= F.col("n")) & (F.col("n") > 0)).alias("r3"),
+            (F.col("nd") >= 10).alias("r4"),
+        )
+    )
+    kept = F.col("r1") & F.col("r2") & F.col("r3") & F.col("r4")
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("docs_total"),
+        F.count_if(~F.col("r1")).alias("fail_len"),
+        F.count_if(~F.col("r2")).alias("fail_word_len"),
+        F.count_if(~F.col("r3")).alias("fail_dominance"),
+        F.count_if(~F.col("r4")).alias("fail_distinct"),
+        F.count_if(kept).alias("docs_kept"),
+        F.floor(10000.0 * F.count_if(kept) / F.count("*")).alias("kept_bp"),
+    )
+
+
+CORPUS_QUALITY_RULES_SQL = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents
+), per_word AS (
+  SELECT doc_id, w, count(*) AS cnt, count(*) * length(w) AS chars
+  FROM words GROUP BY doc_id, w
+), per_doc AS (
+  SELECT doc_id, sum(cnt) AS n, count(*) AS nd, max(cnt) AS mc,
+         sum(chars) AS ch
+  FROM per_word GROUP BY doc_id
+), flagged AS (
+  SELECT d.source,
+         coalesce(p.n, 0) >= 20 AND coalesce(p.n, 0) <= 5000 AS r1,
+         coalesce(p.ch, 0) >= 2 * coalesce(p.n, 0)
+           AND coalesce(p.ch, 0) <= 12 * coalesce(p.n, 0)
+           AND coalesce(p.n, 0) > 0 AS r2,
+         10 * coalesce(p.mc, 0) <= coalesce(p.n, 0)
+           AND coalesce(p.n, 0) > 0 AS r3,
+         coalesce(p.nd, 0) >= 10 AS r4
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS docs_total,
+       CAST(count(*) FILTER (WHERE NOT r1) AS BIGINT) AS fail_len,
+       CAST(count(*) FILTER (WHERE NOT r2) AS BIGINT) AS fail_word_len,
+       CAST(count(*) FILTER (WHERE NOT r3) AS BIGINT) AS fail_dominance,
+       CAST(count(*) FILTER (WHERE NOT r4) AS BIGINT) AS fail_distinct,
+       CAST(count(*) FILTER (WHERE r1 AND r2 AND r3 AND r4) AS BIGINT)
+         AS docs_kept,
+       CAST(floor(
+         10000.0 * count(*) FILTER (WHERE r1 AND r2 AND r3 AND r4)
+         / count(*)
+       ) AS BIGINT) AS kept_bp
+FROM flagged
+GROUP BY source
+"""
+
+
+QUERIES.update({"corpus_quality_rules": corpus_quality_rules})
+ORACLES.update({"corpus_quality_rules": CORPUS_QUALITY_RULES_SQL})
