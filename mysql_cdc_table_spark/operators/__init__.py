@@ -305,6 +305,7 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "agg_hll_union",
     "cdc_binlog_rows_query_roundtrip",
     "corpus_quality_rules",
+    "join_asof_tolerance",
 )
 
 

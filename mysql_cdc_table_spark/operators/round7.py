@@ -614,3 +614,81 @@ GROUP BY source
 
 QUERIES.update({"corpus_quality_rules": corpus_quality_rules})
 ORACLES.update({"corpus_quality_rules": CORPUS_QUALITY_RULES_SQL})
+
+
+# --- as-of with staleness tolerance -----------------------------------------
+
+
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a MAX-STALENESS tolerance — the feature
+    -store contract ("latest feature at-or-before the probe, but only
+    if it is at most 90 days old, else NULL"): join_asof_orders' exact
+    idiom (one union, one keyed sort, one last-value window — never a
+    range join that would fan each probe across its window) with the
+    match dropped when probe − match exceeds the tolerance. Output
+    carries the matched age in whole days so the tolerance arithmetic
+    itself sits in the value hash. DuckDB oracle: native backward ASOF
+    JOIN + the same CASE on datediff."""
+    from mysql_cdc_table_spark.operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").alias("custkey"),
+        (
+            F.to_timestamp(F.lit("1995-01-01"))
+            + F.make_interval(days=(F.col("event_id") % 2500).cast("int"))
+        ).alias("ts_probe"),
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "o_orderdate",
+            "o_orderkey",
+            F.col("o_orderdate").alias("matched_date"),
+        )
+    )
+    j = asof_join(
+        e, o, on="custkey", left_time="ts_probe", right_time="o_orderdate",
+        right_payload=["o_orderkey", "matched_date"],
+    )
+    age = F.datediff(F.to_date("ts_probe"), F.col("matched_date"))
+    keep = age <= 90
+    return j.select(
+        "event_id",
+        "custkey",
+        "ts_probe",
+        F.when(keep, F.col("o_orderkey")).alias("o_orderkey"),
+        F.when(keep, age.cast("long")).alias("age_days"),
+    )
+
+
+JOIN_ASOF_TOLERANCE_SQL = """
+WITH e AS (
+  SELECT event_id, user_id AS custkey,
+         TIMESTAMP '1995-01-01 00:00:00'
+           + to_days(CAST(event_id % 2500 AS INTEGER)) AS ts_probe
+  FROM events
+),
+o AS (
+  SELECT o_custkey AS custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.custkey, e.ts_probe,
+       CASE WHEN datediff('day', o.o_orderdate, CAST(e.ts_probe AS DATE))
+                 <= 90
+            THEN o.o_orderkey END AS o_orderkey,
+       CASE WHEN datediff('day', o.o_orderdate, CAST(e.ts_probe AS DATE))
+                 <= 90
+            THEN CAST(datediff('day', o.o_orderdate,
+                               CAST(e.ts_probe AS DATE)) AS BIGINT)
+       END AS age_days
+FROM e ASOF LEFT JOIN o
+  ON e.custkey = o.custkey AND e.ts_probe >= o.o_orderdate
+"""
+
+
+QUERIES.update({"join_asof_tolerance": join_asof_tolerance})
+ORACLES.update({"join_asof_tolerance": JOIN_ASOF_TOLERANCE_SQL})
