@@ -176,6 +176,11 @@ def main() -> None:
         # fraction.
         "emb_knn_classify",
         "emb_knn_classify_ivf",
+        # round 7b: the bounded-shuffle corpus additions (heavy hitters
+        # measured FLAT at 1.0x — only K-counter summaries and the
+        # candidate recount shuffle, independent of corpus size)
+        "agg_heavy_hitters_mg",
+        "corpus_passage_dedup",
     ]
     results = {}
     for name in names:
