@@ -306,6 +306,7 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "cdc_binlog_rows_query_roundtrip",
     "corpus_quality_rules",
     "join_asof_tolerance",
+    "sql_pipe_syntax",
 )
 
 

@@ -692,3 +692,51 @@ FROM e ASOF LEFT JOIN o
 
 QUERIES.update({"join_asof_tolerance": join_asof_tolerance})
 ORACLES.update({"join_asof_tolerance": JOIN_ASOF_TOLERANCE_SQL})
+
+
+# --- Spark 4 SQL pipe syntax -------------------------------------------------
+
+
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL PIPE syntax (FROM ... |> WHERE |> EXTEND
+    |> AGGREGATE |> WHERE) — the second SQL entry point next to
+    sql_entrypoint_views: the linear form Spark 4 users migrate
+    toward, compiled by Catalyst to the identical plan as the nested
+    SELECT. DuckDB has no pipe dialect, so the oracle is the
+    standard-SQL equivalent — semantic equivalence across dialects is
+    exactly what the key asserts. All outputs integer (cents via
+    round(x*100), never a .5 tie for 2-decimal doubles, per the
+    parity convention)."""
+    from mysql_cdc_table_spark.operators.extras import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> EXTEND CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                  CAST(l_quantity AS BIGINT) AS qty
+        |> AGGREGATE COUNT(*) AS n_rows,
+                     SUM(qty) AS sum_qty,
+                     SUM(cents) AS sum_cents
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n_rows > 0
+        """
+    )
+
+
+SQL_PIPE_SYNTAX_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+HAVING count(*) > 0
+"""
+
+
+QUERIES.update({"sql_pipe_syntax": sql_pipe_syntax})
+ORACLES.update({"sql_pipe_syntax": SQL_PIPE_SYNTAX_SQL})
