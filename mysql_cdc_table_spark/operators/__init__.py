@@ -307,6 +307,7 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "corpus_quality_rules",
     "join_asof_tolerance",
     "sql_pipe_syntax",
+    "cdc_binlog_full_metadata_roundtrip",
 )
 
 

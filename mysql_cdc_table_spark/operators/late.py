@@ -19,6 +19,7 @@ from mysql_cdc_table_spark.functions.similarity import (
     ann_lsh_rp_topk,
 )
 from mysql_cdc_table_spark.sources.mysql_binlog import (
+    CDC_BINLOG_FULL_METADATA_SQL,
     CDC_BINLOG_LATEST_STATE_SQL,
     CDC_BINLOG_ROWS_QUERY_SQL,
     CDC_BINLOG_MULTI_TABLE_SQL,
@@ -26,6 +27,7 @@ from mysql_cdc_table_spark.sources.mysql_binlog import (
     CDC_BINLOG_SCHEMA_EVOLUTION_SQL,
     CDC_BINLOG_ZSTD_ROUNDTRIP_SQL,
     CDC_MYSQL_BINLOG_ROUNDTRIP_SQL,
+    cdc_binlog_full_metadata_roundtrip,
     cdc_binlog_latest_state,
     cdc_binlog_multi_table,
     cdc_binlog_parallel_roundtrip,
@@ -61,6 +63,9 @@ QUERIES = {
     # round 7: binlog_rows_query_log_events=ON — statement provenance
     # via ROWS_QUERY (type 29), surfaced as __query on every row
     "cdc_binlog_rows_query_roundtrip": cdc_binlog_rows_query_roundtrip,
+    # round 7: binlog_row_metadata=FULL — DDL-free decode off wire
+    # names/enum strings, signedness failfast, name cross-check
+    "cdc_binlog_full_metadata_roundtrip": cdc_binlog_full_metadata_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
@@ -74,4 +79,5 @@ ORACLES: dict[str, str] = {
     "cdc_binlog_multi_table": CDC_BINLOG_MULTI_TABLE_SQL,
     "cdc_binlog_parallel_roundtrip": CDC_MYSQL_BINLOG_ROUNDTRIP_SQL,
     "cdc_binlog_rows_query_roundtrip": CDC_BINLOG_ROWS_QUERY_SQL,
+    "cdc_binlog_full_metadata_roundtrip": CDC_BINLOG_FULL_METADATA_SQL,
 }

@@ -1207,7 +1207,26 @@ def _present_bitmap(present: list[int], ncols: int) -> bytes:
     return bytes(bm)
 
 
-def _table_map_body(table_id: int, db: str, table: str, cols: list[_Col]) -> bytes:
+# TABLE_MAP optional-metadata TLV type codes (public format,
+# libbinlogevents rows_event.h Table_map_event::Optional_metadata_field_type)
+_TM_SIGNEDNESS = 1
+_TM_COLUMN_NAME = 4
+_TM_SET_STR_VALUE = 5
+_TM_ENUM_STR_VALUE = 6
+
+_NUMERIC_TYPE_CODES = frozenset(
+    (TY_TINY, TY_SHORT, TY_INT24, TY_LONG, TY_LONGLONG, TY_FLOAT,
+     TY_DOUBLE, TY_NEWDECIMAL)
+)
+
+
+def _table_map_body(
+    table_id: int,
+    db: str,
+    table: str,
+    cols: list[_Col],
+    row_metadata: str = "minimal",
+) -> bytes:
     body = table_id.to_bytes(6, "little") + struct.pack("<H", 1)
     body += bytes([len(db)]) + db.encode() + b"\x00"
     body += bytes([len(table)]) + table.encode() + b"\x00"
@@ -1215,6 +1234,31 @@ def _table_map_body(table_id: int, db: str, table: str, cols: list[_Col]) -> byt
     meta = b"".join(c.meta for c in cols)
     body += _pack_int(len(meta)) + meta
     body += bytes((len(cols) + 7) // 8)  # nullability bitmap (all nullable ok)
+    if row_metadata == "full":
+        # binlog_row_metadata=FULL (MySQL 8.0.1+): TLVs appended after
+        # the null bitmap — type(1) + packed length + value
+        def tlv(t: int, v: bytes) -> bytes:
+            return bytes([t]) + _pack_int(len(v)) + v
+
+        n_numeric = sum(1 for c in cols if c.type_code in _NUMERIC_TYPE_CODES)
+        if n_numeric:
+            # one bit per NUMERIC column, MSB-first within each byte;
+            # set bit = UNSIGNED. This writer only emits signed columns.
+            body += tlv(_TM_SIGNEDNESS, bytes((n_numeric + 7) // 8))
+        names = b"".join(
+            _pack_int(len(c.name.encode())) + c.name.encode() for c in cols
+        )
+        body += tlv(_TM_COLUMN_NAME, names)
+        for kind, code in ((TY_SET, _TM_SET_STR_VALUE),
+                           (TY_ENUM, _TM_ENUM_STR_VALUE)):
+            vals = b""
+            for c in cols:
+                if c.type_code == TY_STRING and c.meta[0] == kind:
+                    vals += _pack_int(len(c.extra))
+                    for v in c.extra:
+                        vals += _pack_int(len(v.encode())) + v.encode()
+            if vals:
+                body += tlv(code, vals)
     return body
 
 
@@ -1358,6 +1402,7 @@ def build_binlog_file(
     checksum: bool = False,
     base_ts: int = 1_700_000_000,
     payload_wrap: bool | str = False,
+    row_metadata: str = "minimal",
 ) -> bytes:
     """Byte-exact binlog v4 fixture: magic + FDE, then per transaction a
     GTID event, a TABLE_MAP, and one rows event. ``txns`` entries:
@@ -1384,7 +1429,9 @@ def build_binlog_file(
             ts,
         )
         rows_tc, body = _txn_rows_body(table_id, cols, txn)
-        tm_body = _table_map_body(table_id, db, table, cols)
+        tm_body = _table_map_body(
+            table_id, db, table, cols, row_metadata=row_metadata
+        )
         # binlog_rows_query_log_events=ON: the originating SQL rides a
         # ROWS_QUERY event between GTID and TABLE_MAP (MySQL's order).
         # Wire body: 1 length byte (min(len,255), informational — every
@@ -1439,20 +1486,121 @@ class _TableDef:
     the target (or a type change) still raises: decoding those by
     position would silently misalign values."""
 
-    def __init__(self, db: str, table: str, types: bytes, metas: list[bytes], target_cols: list[_Col]):
+    def __init__(
+        self,
+        db: str,
+        table: str,
+        types: bytes,
+        metas: list[bytes],
+        target_cols: list[_Col],
+        opt: dict | None = None,
+    ):
         if len(types) > len(target_cols):
             raise ValueError(
                 f"TABLE_MAP has {len(types)} columns; target schema has "
                 f"{len(target_cols)} — pass the stream's LATEST schema"
             )
         self.db, self.table = db, table
+        # binlog_row_metadata=FULL: the wire carries names, enum/set
+        # string values, and signedness — use them to HARDEN the
+        # positional contract instead of trusting the user schema blind
+        wire_names = opt["names"] if opt else None
+        if opt and opt["unsigned"]:
+            # this reader decodes integers as signed; silently decoding
+            # an unsigned column would emit wrong values for the top
+            # half of its range — failfast (no-silently-wrong-rows)
+            bad = ", ".join(
+                (wire_names or [f"#{j}" for j in range(len(types))])[j]
+                for j in opt["unsigned"]
+            )
+            raise ValueError(
+                f"TABLE_MAP declares UNSIGNED column(s) [{bad}] "
+                "(SIGNEDNESS metadata); this reader decodes signed "
+                "integers only — cast the source column to a wider "
+                "signed type"
+            )
+        if wire_names is not None:
+            for j, (wn, tgt) in enumerate(zip(wire_names, target_cols)):
+                if wn != tgt.name:
+                    raise ValueError(
+                        f"TABLE_MAP column #{j} is named {wn!r} on the "
+                        f"wire but {tgt.name!r} in the target schema — "
+                        "positional misalignment (binlog_row_metadata="
+                        "FULL name check)"
+                    )
+        # pair enum/set value groups with TY_STRING columns of that kind
+        wire_vals: dict[int, list[str]] = {}
+        if opt:
+            for key in ("enum_values", "set_values"):
+                groups = opt.get(key) or {}
+                if not groups:
+                    continue
+                kind, gs = groups["kind"], list(groups["groups"])
+                for j, (tc, meta) in enumerate(zip(types, metas)):
+                    if tc == TY_STRING and meta and meta[0] == kind and gs:
+                        wire_vals[j] = gs.pop(0)
         self.cols = []
-        for tc, meta, tgt in zip(types, metas, target_cols):
+        for j, (tc, meta, tgt) in enumerate(zip(types, metas, target_cols)):
             if tc != tgt.type_code:
                 raise ValueError(
                     f"column {tgt.name}: TABLE_MAP type {tc} != schema type {tgt.type_code}"
                 )
-            self.cols.append(_Col(tgt.name, tc, meta, tgt.extra))
+            extra = wire_vals.get(j, tgt.extra)
+            self.cols.append(_Col(tgt.name, tc, meta, extra))
+
+
+def _parse_optional_metadata(
+    body: bytes, pos: int, types: bytes
+) -> dict:
+    """binlog_row_metadata=FULL TLVs after the null bitmap. Returns
+    {"names": [str]|None, "enum_values": {col_idx: [str]},
+    "set_values": {col_idx: [str]}, "unsigned": [col_idx]} — only the
+    fields this reader consumes; unknown TLV types skip by length (the
+    format's forward-compat contract)."""
+    out: dict = {
+        "names": None, "enum_values": {}, "set_values": {}, "unsigned": [],
+    }
+    numeric_idx = [
+        j for j, tc in enumerate(types) if tc in _NUMERIC_TYPE_CODES
+    ]
+    while pos < len(body):
+        t = body[pos]
+        ln, pos = _read_packed_int(body, pos + 1)
+        val = body[pos : pos + ln]
+        pos += ln
+        if t == _TM_SIGNEDNESS:
+            # MSB-first bit per numeric column; set = UNSIGNED
+            for k, j in enumerate(numeric_idx):
+                if k // 8 < len(val) and val[k // 8] & (0x80 >> (k % 8)):
+                    out["unsigned"].append(j)
+        elif t == _TM_COLUMN_NAME:
+            names, p = [], 0
+            while p < len(val):
+                n, p = _read_packed_int(val, p)
+                names.append(val[p : p + n].decode())
+                p += n
+            out["names"] = names
+        elif t in (_TM_SET_STR_VALUE, _TM_ENUM_STR_VALUE):
+            kind = TY_SET if t == _TM_SET_STR_VALUE else TY_ENUM
+            key = "set_values" if t == _TM_SET_STR_VALUE else "enum_values"
+            cols_of_kind = [
+                j for j, tc in enumerate(types) if tc == TY_STRING
+            ]
+            # values appear in column order for columns of this kind;
+            # the TLV itself doesn't repeat which — pair positionally
+            # with the TY_STRING columns whose metadata says this kind
+            # (resolved by the caller, which knows per-column metadata)
+            vals, p = [], 0
+            while p < len(val):
+                cnt, p = _read_packed_int(val, p)
+                group = []
+                for _ in range(cnt):
+                    n, p = _read_packed_int(val, p)
+                    group.append(val[p : p + n].decode())
+                    p += n
+                vals.append(group)
+            out[key] = {"kind": kind, "groups": vals, "str_cols": cols_of_kind}
+    return out
 
 
 def _parse_table_map(body: bytes, target_cols: list[_Col]) -> tuple[int, _TableDef]:
@@ -1469,7 +1617,137 @@ def _parse_table_map(body: bytes, target_cols: list[_Col]) -> tuple[int, _TableD
     pos += ncols
     metalen, pos = _read_packed_int(body, pos)
     metas = _split_metadata(types, body[pos : pos + metalen])
-    return table_id, _TableDef(db, table, types, metas, target_cols)
+    pos += metalen
+    pos += (ncols + 7) // 8  # nullability bitmap
+    opt = (
+        _parse_optional_metadata(body, pos, types)
+        if pos < len(body)
+        else None
+    )
+    return table_id, _TableDef(db, table, types, metas, target_cols, opt)
+
+
+def mysql_binlog_infer_target(
+    blob: bytes, database: str, table: str
+) -> T.StructType:
+    """Derive the target StructType straight from the wire — NO user
+    DDL — using binlog_row_metadata=FULL TABLE_MAP metadata (column
+    names, enum/set string values, per-column type metadata). The
+    reference cannot do this at all: its output schema IS the user's
+    CREATE TABLE, positionally trusted (SURVEY §1.2). Walks headers
+    until the first TABLE_MAP for (database, table); raises if that map
+    carries no COLUMN_NAME metadata (binlog_row_metadata=MINIMAL — the
+    server default — genuinely does not record names)."""
+    if blob[:4] != BINLOG_MAGIC:
+        raise ValueError("not a binlog file (bad magic)")
+    pos, checksum = 4, False
+    while pos + _HEADER_LEN <= len(blob):
+        _ets, tc, _s, esize, _lp, _fl = _HEADER.unpack_from(blob, pos)
+        if esize < _HEADER_LEN or pos + esize > len(blob):
+            break
+        ev = blob[pos : pos + esize]
+        pos += esize
+        if tc == EV_FORMAT_DESCRIPTION:
+            checksum = _detect_checksum(ev)
+            continue
+        if tc != EV_TABLE_MAP:
+            continue
+        body = ev[_HEADER_LEN : len(ev) - (4 if checksum else 0)]
+        p = 8
+        dblen = body[p]
+        db_ = body[p + 1 : p + 1 + dblen].decode()
+        p += 1 + dblen + 1
+        tlen = body[p]
+        tbl_ = body[p + 1 : p + 1 + tlen].decode()
+        p += 1 + tlen + 1
+        if db_ != database or tbl_ != table:
+            continue
+        ncols, p = _read_packed_int(body, p)
+        types = body[p : p + ncols]
+        p += ncols
+        metalen, p = _read_packed_int(body, p)
+        metas = _split_metadata(types, body[p : p + metalen])
+        p += metalen + (ncols + 7) // 8
+        opt = (
+            _parse_optional_metadata(body, p, types)
+            if p < len(body)
+            else None
+        )
+        if opt is None or opt["names"] is None:
+            raise ValueError(
+                f"TABLE_MAP for {database}.{table} carries no COLUMN_NAME "
+                "metadata — the file was recorded with binlog_row_metadata"
+                "=MINIMAL; pass an explicit target schema instead"
+            )
+        # pair enum/set groups positionally, as _TableDef does
+        wire_vals: dict[int, list[str]] = {}
+        for key in ("enum_values", "set_values"):
+            groups = opt.get(key) or {}
+            if not groups:
+                continue
+            kind, gs = groups["kind"], list(groups["groups"])
+            for j, (tc2, meta) in enumerate(zip(types, metas)):
+                if tc2 == TY_STRING and meta and meta[0] == kind and gs:
+                    wire_vals[j] = gs.pop(0)
+        fields = []
+        for j, (tc2, meta, name) in enumerate(
+            zip(types, metas, opt["names"])
+        ):
+            fields.append(_wire_field(name, tc2, meta, wire_vals.get(j)))
+        return T.StructType(fields)
+    raise ValueError(
+        f"no TABLE_MAP for {database}.{table} found in the file"
+    )
+
+
+def _wire_field(
+    name: str, tc: int, meta: bytes, values: list[str] | None
+) -> T.StructField:
+    """One wire column -> StructField, inverse of _cols_from_schema."""
+    md: dict = {}
+    if tc == TY_TINY:
+        dt: T.DataType = T.ByteType()
+    elif tc == TY_SHORT:
+        dt = T.ShortType()
+    elif tc == TY_INT24:
+        dt, md = T.IntegerType(), {"mysql_type": "mediumint"}
+    elif tc == TY_LONG:
+        dt = T.IntegerType()
+    elif tc == TY_LONGLONG:
+        dt = T.LongType()
+    elif tc == TY_FLOAT:
+        dt = T.FloatType()
+    elif tc == TY_DOUBLE:
+        dt = T.DoubleType()
+    elif tc == TY_NEWDECIMAL:
+        dt = T.DecimalType(meta[0], meta[1])
+    elif tc == TY_VARCHAR:
+        dt = T.StringType()
+        md = {"varchar_len": struct.unpack("<H", meta)[0]}
+    elif tc == TY_BLOB:
+        dt = T.BinaryType()
+    elif tc == TY_DATE:
+        dt = T.DateType()
+    elif tc == TY_DATETIME2:
+        dt, md = T.TimestampType(), {"fsp": meta[0]}
+    elif tc == TY_TIME2:
+        dt, md = T.StringType(), {"mysql_type": "time"}
+    elif tc == TY_YEAR:
+        dt, md = T.IntegerType(), {"mysql_type": "year"}
+    elif tc == TY_BIT:
+        dt = T.LongType()
+        md = {"mysql_type": "bit", "bits": meta[1] * 8 + meta[0]}
+    elif tc == TY_JSON:
+        dt, md = T.StringType(), {"mysql_type": "json"}
+    elif tc == TY_GEOMETRY:
+        dt, md = T.BinaryType(), {"mysql_type": "geometry"}
+    elif tc == TY_STRING:
+        kind = "enum" if meta[0] == TY_ENUM else "set"
+        dt = T.StringType()
+        md = {"mysql_type": kind, "values": list(values or [])}
+    else:
+        raise TypeError(f"cannot infer a Spark type for wire type {tc}")
+    return T.StructField(name, dt, True, metadata=md)
 
 
 def _parse_present(body: bytes, pos: int, ncols: int) -> tuple[list[int], int]:
@@ -3455,6 +3733,108 @@ def cdc_binlog_rows_query_roundtrip(
         ).alias("qtag_sum"),
         F.sum("__gtid").alias("gtid_sum"),
     )
+
+
+def cdc_binlog_full_metadata_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """binlog_row_metadata=FULL roundtrip with NO DDL at the decode
+    stage: files are written with the TABLE_MAP optional-metadata TLVs
+    (column names, enum strings, signedness), and each decode task
+    derives its target StructType from the wire via
+    ``mysql_binlog_infer_target`` — names, types, DECIMAL(12,2)
+    precision, and the enum's string values all come from the file
+    itself. The decoded enum strings group the aggregate and the
+    decimal cents sum sits in the hash, so a TLV encode/parse/pairing
+    bug anywhere breaks the driver row. The reference cannot express
+    this: its output schema IS the user's CREATE TABLE, positionally
+    trusted (SURVEY §1.2) — FULL metadata hardening (name cross-check,
+    unsigned failfast) and DDL-free inference are both beyond it."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.operators._util import t
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("price", T.DecimalType(12, 2)),
+            T.StructField(
+                "status",
+                T.StringType(),
+                metadata={"mysql_type": "enum", "values": ["F", "O", "P"]},
+            ),
+        ]
+    )
+    base = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.expr(
+                "cast(cast(o_orderkey % 100000 as decimal(30,2)) / 100"
+                " as decimal(12,2))"
+            ).alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "id")
+    )
+    file_schema = T.StructType([T.StructField("file_bytes", T.BinaryType())])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            txns = [
+                {
+                    "gno": int(r.id),
+                    "op": "w",
+                    "rows": [
+                        {"id": int(r.id), "price": r.price, "status": r.status}
+                    ],
+                }
+                for r in pdf.itertuples(index=False)
+            ]
+            blob = build_binlog_file(
+                "tpch", "orders", target, txns,
+                row_metadata="full", checksum=True,
+            )
+            yield pd.DataFrame({"file_bytes": [blob]})
+
+    files = base.mapInPandas(encode, schema=file_schema)
+    out_schema = changelog_schema(target)
+    names = [f.name for f in out_schema.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["file_bytes"]:
+                # the wire IS the schema: no DDL reaches this stage
+                inferred = mysql_binlog_infer_target(
+                    bytes(blob), "tpch", "orders"
+                )
+                rows = decode_binlog_bytes(
+                    bytes(blob), inferred, "tpch", "orders"
+                )
+                yield pd.DataFrame(
+                    {n: [r.get(n) for r in rows] for n in names}
+                )
+
+    decoded = files.mapInPandas(decode, schema=out_schema)
+    return decoded.groupBy("status").agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("price") * 100).cast("long")).alias("cents_sum"),
+        F.sum("__gtid").alias("gtid_sum"),
+    )
+
+
+CDC_BINLOG_FULL_METADATA_SQL = """
+SELECT o_orderstatus AS status,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_orderkey % 100000) AS BIGINT) AS cents_sum,
+       CAST(sum(o_orderkey) AS BIGINT) AS gtid_sum
+FROM orders
+GROUP BY o_orderstatus
+"""
 
 
 CDC_BINLOG_ROWS_QUERY_SQL = """

@@ -526,7 +526,13 @@ def test_columnar_newdecimal_property(ps_vals):
             T.StructField("d", T.DecimalType(prec, scale)),
         ]
     )
-    vals = [Decimal(v).scaleb(-scale) for v in raw]
+    # scaleb under the DEFAULT 28-digit context silently rounds 29+
+    # digit unscaled values (exactly the class this fuzz now draws) —
+    # widen, as the writer itself does
+    import decimal as _dec
+
+    ctx = _dec.Context(prec=50)
+    vals = [Decimal(v).scaleb(-scale, context=ctx) for v in raw]
     rows = [{"id": i, "d": v} for i, v in enumerate(vals)]
     blob = build_binlog_file(
         "d", "t", tgt, [{"gno": 1, "op": "w", "rows": rows}]

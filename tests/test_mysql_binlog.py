@@ -1453,3 +1453,197 @@ def test_split_cache_roundtrip_and_invalidation(tmp_path):
         (tmp_path / "cache" / name).write_text("{not json")
     again = scan_binlog_splits_cached(str(path), 400, cache_dir=cdir)
     assert again == fresh
+
+
+def _full_meta_target():
+    return T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("amt", T.DecimalType(28, 6)),
+            T.StructField(
+                "color",
+                T.StringType(),
+                metadata={"mysql_type": "enum", "values": ["red", "green"]},
+            ),
+            T.StructField(
+                "flags",
+                T.StringType(),
+                metadata={"mysql_type": "set", "values": ["a", "b", "c"]},
+            ),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+
+
+def _full_meta_rows():
+    return [
+        {"id": 1, "amt": Decimal("12345678901234567890.123456"),
+         "color": "green", "flags": "a,c", "v": "x"},
+        {"id": 2, "amt": Decimal("-1.000001"), "color": "red",
+         "flags": "", "v": "y"},
+    ]
+
+
+def test_full_row_metadata_roundtrip_and_wire_values(tmp_path):
+    """binlog_row_metadata=FULL: the TABLE_MAP carries names + enum/set
+    strings + signedness TLVs. (a) decode is unchanged vs MINIMAL;
+    (b) a target schema with EMPTY enum/set values still decodes the
+    strings — they come from the wire; (c) the columnar kernel agrees."""
+    from mysql_cdc_table_spark.sources.mysql_binlog_vec import (
+        decode_binlog_pandas,
+    )
+
+    tgt = _full_meta_target()
+    txns = [{"gno": 1, "op": "w", "rows": _full_meta_rows()}]
+    blob_min = build_binlog_file("d", "t", tgt, txns)
+    blob_full = build_binlog_file("d", "t", tgt, txns, row_metadata="full")
+    assert len(blob_full) > len(blob_min)  # TLVs actually on the wire
+
+    strip = lambda rows: [  # noqa: E731 — byte offsets shift with TLVs
+        {k: v for k, v in r.items() if k != "__event_seq"} for r in rows
+    ]
+    rows_min = decode_binlog_bytes(blob_min, tgt, "d", "t")
+    rows_full = decode_binlog_bytes(blob_full, tgt, "d", "t")
+    assert strip(rows_min) == strip(rows_full)
+
+    # empty declared values: the wire supplies them under FULL...
+    bare = T.StructType(
+        [
+            tgt[0], tgt[1],
+            T.StructField("color", T.StringType(),
+                          metadata={"mysql_type": "enum", "values": []}),
+            T.StructField("flags", T.StringType(),
+                          metadata={"mysql_type": "set", "values": []}),
+            tgt[4],
+        ]
+    )
+    rows_bare = decode_binlog_bytes(blob_full, bare, "d", "t")
+    assert [r["color"] for r in rows_bare] == ["green", "red"]
+    assert [r["flags"] for r in rows_bare] == ["a,c", ""]
+    # ...and MINIMAL cannot (indices have nothing to look up)
+    rows_blind = decode_binlog_bytes(blob_min, bare, "d", "t")
+    assert [r["color"] for r in rows_blind] == ["", ""]
+
+    pdf = decode_binlog_pandas(blob_full, bare, "d", "t")
+    assert sorted(pdf["color"]) == ["green", "red"]
+    assert str(pdf.sort_values("id")["amt"].iloc[0]) == (
+        "12345678901234567890.123456"
+    )
+
+
+def test_full_row_metadata_name_mismatch_failfast():
+    """The wire names harden the positional contract: a target schema
+    whose column order silently drifted from the source DDL raises
+    instead of decoding values into the wrong columns."""
+    tgt = _full_meta_target()
+    blob = build_binlog_file(
+        "d", "t", tgt, [{"gno": 1, "op": "w", "rows": _full_meta_rows()}],
+        row_metadata="full",
+    )
+    swapped = T.StructType(
+        [tgt[0], tgt[1], tgt[2], tgt[4], tgt[3]]  # v <-> flags
+    )
+    # same type codes positionally? v is VARCHAR, flags is TY_STRING —
+    # type check would also fire; use a pure RENAME so only the name
+    # check can catch it
+    renamed = T.StructType(
+        [
+            T.StructField("order_id", T.LongType()),  # wire says "id"
+            *tgt[1:],
+        ]
+    )
+    with pytest.raises(ValueError, match="positional misalignment"):
+        decode_binlog_bytes(blob, renamed, "d", "t")
+    del swapped
+
+
+def test_full_row_metadata_unsigned_failfast():
+    """A SIGNEDNESS TLV with a set bit (UNSIGNED column) must raise:
+    this reader decodes signed integers only, and silently decoding
+    unsigned would emit wrong values for the top half of the range."""
+    from mysql_cdc_table_spark.sources import mysql_binlog as mbm
+
+    tgt = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    body = mbm._table_map_body(
+        23, "d", "t", mbm._cols_from_schema(tgt), row_metadata="full"
+    )
+    # flip the first SIGNEDNESS bit (id -> UNSIGNED): TLV type 1,
+    # 1-byte length, then the bitmap byte
+    idx = body.find(bytes([mbm._TM_SIGNEDNESS, 1, 0]))
+    assert idx > 0
+    patched = bytearray(body)
+    patched[idx + 2] = 0x80
+    with pytest.raises(ValueError, match="UNSIGNED"):
+        mbm._parse_table_map(bytes(patched), mbm._cols_from_schema(tgt))
+
+
+def test_infer_target_from_full_metadata(tmp_path):
+    """Schema inference straight off the wire: decode with the INFERRED
+    StructType equals decode with the declared one — types, names,
+    decimal precision, enum/set values, fsp all recovered; MINIMAL
+    files raise pointedly."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        mysql_binlog_infer_target,
+    )
+
+    tgt = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("b", T.ByteType()),
+            T.StructField("m", T.IntegerType(),
+                          metadata={"mysql_type": "mediumint"}),
+            T.StructField("amt", T.DecimalType(28, 6)),
+            T.StructField("f", T.FloatType()),
+            T.StructField("dtm", T.TimestampType()),
+            T.StructField("dte", T.DateType()),
+            T.StructField("yr", T.IntegerType(),
+                          metadata={"mysql_type": "year"}),
+            T.StructField("bits", T.LongType(),
+                          metadata={"mysql_type": "bit", "bits": 20}),
+            T.StructField("doc", T.StringType(),
+                          metadata={"mysql_type": "json"}),
+            T.StructField("color", T.StringType(),
+                          metadata={"mysql_type": "enum",
+                                    "values": ["red", "green"]}),
+            T.StructField("flags", T.StringType(),
+                          metadata={"mysql_type": "set",
+                                    "values": ["a", "b", "c"]}),
+            T.StructField("v", T.StringType()),
+            T.StructField("bin", T.BinaryType()),
+        ]
+    )
+    import datetime as dtm
+
+    rows = [{
+        "id": 7, "b": -3, "m": 12345, "amt": Decimal("42.000001"),
+        "f": 1.5, "dtm": dtm.datetime(2024, 5, 6, 7, 8, 9, 123456),
+        "dte": dtm.date(2023, 2, 3), "yr": 2001, "bits": 5,
+        "doc": '{"k": 1}', "color": "red", "flags": "b",
+        "v": "hello", "bin": b"\x01\x02",
+    }]
+    blob = build_binlog_file(
+        "d", "t", tgt, [{"gno": 1, "op": "w", "rows": rows}],
+        row_metadata="full", checksum=True,
+    )
+    inferred = mysql_binlog_infer_target(blob, "d", "t")
+    assert [f.name for f in inferred.fields] == [f.name for f in tgt.fields]
+    assert [f.dataType for f in inferred.fields] == [
+        f.dataType for f in tgt.fields
+    ]
+    assert inferred["color"].metadata["values"] == ["red", "green"]
+    assert inferred["flags"].metadata["values"] == ["a", "b", "c"]
+    assert inferred["bits"].metadata["bits"] == 20
+
+    got = decode_binlog_bytes(blob, inferred, "d", "t")
+    want = decode_binlog_bytes(blob, tgt, "d", "t")
+    assert got == want
+
+    blob_min = build_binlog_file(
+        "d", "t", tgt, [{"gno": 1, "op": "w", "rows": rows}]
+    )
+    with pytest.raises(ValueError, match="binlog_row_metadata"):
+        mysql_binlog_infer_target(blob_min, "d", "t")
+    with pytest.raises(ValueError, match="no TABLE_MAP"):
+        mysql_binlog_infer_target(blob, "d", "other")
