@@ -359,6 +359,26 @@ def kmeans_cells(
     return assign.select("vec_id", "cid")
 
 
+def trained_centroids(ec: DataFrame) -> DataFrame:
+    """Per-cell mean vectors of a (vec_id, embedding, cid) relation —
+    the trained-IVF codebook grid (cells × dims, broadcastable). ONE
+    definition shared by ann_ivf_trained_topk and the IVF-backed kNN
+    classifier (operators/round7.py) so centroid arithmetic can never
+    diverge between the search and the classifier (review, round 7)."""
+    return (
+        ec.select("cid", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+    )
+
+
 def ann_ivf_trained_topk(
     spark: SparkSession, sf_dir: str, n_probe: int = 3, k: int = 20
 ) -> DataFrame:
@@ -371,17 +391,7 @@ def ann_ivf_trained_topk(
     cells = kmeans_cells(spark, sf_dir)
     ec = e.join(cells, "vec_id")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    cents = (
-        ec.select("cid", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("cid", "pos")
-        .agg(F.avg(F.col("v").cast("double")).alias("c"))
-        .groupBy("cid")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-            ).alias("centroid")
-        )
-    )
+    cents = trained_centroids(ec)
     probe = (
         cents.join(F.broadcast(q))
         .select("cid", sq_dist(F.col("centroid"), F.col("qv")).alias("d"))

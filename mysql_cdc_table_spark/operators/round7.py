@@ -61,6 +61,7 @@ def emb_knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine,
         kmeans_cells,
         sq_dist,
+        trained_centroids,
     )
     from mysql_cdc_table_spark.operators.round6 import emb_knn_classify
 
@@ -74,18 +75,7 @@ def emb_knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    cents = (
-        ec.select("cid", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("cid", "pos")
-        .agg(F.avg(F.col("v").cast("double")).alias("c"))
-        .groupBy("cid")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "c"))),
-                lambda s: s["c"],
-            ).alias("centroid")
-        )
-    )
+    cents = trained_centroids(ec)
     w_cell = Window.partitionBy("qid").orderBy(
         F.col("d").asc(), F.col("cid").asc()
     )
@@ -127,9 +117,17 @@ def emb_knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vrk") == 1)
         .select("qid", F.col("label").alias("ivf_label"))
     )
-    agree = exact.join(ivf, "qid").agg(
+    # LEFT join from exact: the denominator is the FULL query set, so
+    # a candidate-pruning collapse that drops qids from the IVF side
+    # counts as disagreement instead of shrinking the sample (an inner
+    # join would leave the floor trivially satisfied on the survivors —
+    # review finding, round 7)
+    agree = exact.join(ivf, "qid", "left").agg(
         (
-            F.count_if(F.col("pred_label") == F.col("ivf_label"))
+            F.count_if(
+                F.col("ivf_label").isNotNull()
+                & (F.col("pred_label") == F.col("ivf_label"))
+            )
             >= F.lit(KNN_IVF_AGREE_FLOOR) * F.count("*")
         ).alias("ivf_agree_ok")
     )
@@ -249,10 +247,12 @@ def ts_ewma_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential left fold over the ordered frame list
     (acc*0.8 + 0.2*x): both engines fold the identical value sequence
     in the identical order with identical IEEE double ops, so the
-    result is bit-deterministic before the 6-digit display rounding.
-    One sort per user partition, bounded per-row state — the same
-    shape as window_rolling_median; at 100 TB the frame never leaves
-    its partition."""
+    result is bit-identical — and the output is FLOOR-quantized to
+    millionths (floor is exact on identical doubles; round() is the
+    one cross-engine .5-tie hazard, per the parity convention — review
+    fix, round 7). One sort per user partition, bounded per-row state
+    — the same shape as window_rolling_median; at 100 TB the frame
+    never leaves its partition."""
     ev = t(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value"
     )
@@ -268,17 +268,19 @@ def ts_ewma_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc * F.lit(0.8) + F.lit(0.2) * x,
     )
     return ev.select(
-        "event_id", "user_id", F.round(ewma, 6).alias("ewma")
+        "event_id",
+        "user_id",
+        F.floor(ewma * 1_000_000).cast("long").alias("ewma_e6"),
     )
 
 
 TS_EWMA_WINDOW_SQL = """
 SELECT event_id, user_id,
-       round(
+       CAST(floor(
          list_reduce(
            list_prepend(0.0, l), (acc, x) -> acc * 0.8 + 0.2 * x
-         ), 6
-       ) AS ewma
+         ) * 1000000
+       ) AS BIGINT) AS ewma_e6
 FROM (
   SELECT event_id, user_id,
          list(value) OVER (

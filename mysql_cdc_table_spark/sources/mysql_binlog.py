@@ -1641,6 +1641,7 @@ def mysql_binlog_infer_target(
     if blob[:4] != BINLOG_MAGIC:
         raise ValueError("not a binlog file (bad magic)")
     pos, checksum = 4, False
+    queue: list[tuple[int, bytes]] = []  # (type, body) pending inspect
     while pos + _HEADER_LEN <= len(blob):
         _ets, tc, _s, esize, _lp, _fl = _HEADER.unpack_from(blob, pos)
         if esize < _HEADER_LEN or pos + esize > len(blob):
@@ -1650,54 +1651,87 @@ def mysql_binlog_infer_target(
         if tc == EV_FORMAT_DESCRIPTION:
             checksum = _detect_checksum(ev)
             continue
-        if tc != EV_TABLE_MAP:
-            continue
-        body = ev[_HEADER_LEN : len(ev) - (4 if checksum else 0)]
-        p = 8
-        dblen = body[p]
-        db_ = body[p + 1 : p + 1 + dblen].decode()
-        p += 1 + dblen + 1
-        tlen = body[p]
-        tbl_ = body[p + 1 : p + 1 + tlen].decode()
-        p += 1 + tlen + 1
-        if db_ != database or tbl_ != table:
-            continue
-        ncols, p = _read_packed_int(body, p)
-        types = body[p : p + ncols]
-        p += ncols
-        metalen, p = _read_packed_int(body, p)
-        metas = _split_metadata(types, body[p : p + metalen])
-        p += metalen + (ncols + 7) // 8
-        opt = (
-            _parse_optional_metadata(body, p, types)
-            if p < len(body)
-            else None
-        )
-        if opt is None or opt["names"] is None:
-            raise ValueError(
-                f"TABLE_MAP for {database}.{table} carries no COLUMN_NAME "
-                "metadata — the file was recorded with binlog_row_metadata"
-                "=MINIMAL; pass an explicit target schema instead"
+        if tc == EV_TRANSACTION_PAYLOAD:
+            # binlog_transaction_compression=ON wraps every TABLE_MAP
+            # inside type-40 carriers (checksum-free embedded events) —
+            # unwrap, as the decode walk does (review finding, r07)
+            inner = _unwrap_transaction_payload(
+                ev[_HEADER_LEN : len(ev) - (4 if checksum else 0)],
+                pos - esize,
             )
-        # pair enum/set groups positionally, as _TableDef does
-        wire_vals: dict[int, list[str]] = {}
-        for key in ("enum_values", "set_values"):
-            groups = opt.get(key) or {}
-            if not groups:
-                continue
-            kind, gs = groups["kind"], list(groups["groups"])
-            for j, (tc2, meta) in enumerate(zip(types, metas)):
-                if tc2 == TY_STRING and meta and meta[0] == kind and gs:
-                    wire_vals[j] = gs.pop(0)
-        fields = []
-        for j, (tc2, meta, name) in enumerate(
-            zip(types, metas, opt["names"])
-        ):
-            fields.append(_wire_field(name, tc2, meta, wire_vals.get(j)))
-        return T.StructType(fields)
+            ipos = 0
+            while ipos + _HEADER_LEN <= len(inner):
+                _i1, itc, _i2, iesize, _i3, _i4 = _HEADER.unpack_from(
+                    inner, ipos
+                )
+                if iesize < _HEADER_LEN or ipos + iesize > len(inner):
+                    break
+                if itc == EV_TABLE_MAP:
+                    queue.append(
+                        (itc, inner[ipos + _HEADER_LEN : ipos + iesize])
+                    )
+                ipos += iesize
+        elif tc == EV_TABLE_MAP:
+            queue.append(
+                (tc, ev[_HEADER_LEN : len(ev) - (4 if checksum else 0)])
+            )
+        for _tc2, body in queue:
+            result = _infer_from_table_map(body, database, table)
+            if result is not None:
+                return result
+        queue.clear()
     raise ValueError(
         f"no TABLE_MAP for {database}.{table} found in the file"
     )
+
+
+def _infer_from_table_map(
+    body: bytes, database: str, table: str
+) -> T.StructType | None:
+    """One TABLE_MAP body -> StructType, or None if it maps another
+    table. Raises when the map matches but carries no FULL metadata."""
+    p = 8
+    dblen = body[p]
+    db_ = body[p + 1 : p + 1 + dblen].decode()
+    p += 1 + dblen + 1
+    tlen = body[p]
+    tbl_ = body[p + 1 : p + 1 + tlen].decode()
+    p += 1 + tlen + 1
+    if db_ != database or tbl_ != table:
+        return None
+    ncols, p = _read_packed_int(body, p)
+    types = body[p : p + ncols]
+    p += ncols
+    metalen, p = _read_packed_int(body, p)
+    metas = _split_metadata(types, body[p : p + metalen])
+    p += metalen + (ncols + 7) // 8
+    opt = (
+        _parse_optional_metadata(body, p, types)
+        if p < len(body)
+        else None
+    )
+    if opt is None or opt["names"] is None:
+        raise ValueError(
+            f"TABLE_MAP for {database}.{table} carries no COLUMN_NAME "
+            "metadata — the file was recorded with binlog_row_metadata"
+            "=MINIMAL; pass an explicit target schema instead"
+        )
+    # pair enum/set groups positionally, as _TableDef does
+    wire_vals: dict[int, list[str]] = {}
+    for key in ("enum_values", "set_values"):
+        groups = opt.get(key) or {}
+        if not groups:
+            continue
+        kind, gs = groups["kind"], list(groups["groups"])
+        for j, (tc2, meta) in enumerate(zip(types, metas)):
+            if tc2 == TY_STRING and meta and meta[0] == kind and gs:
+                wire_vals[j] = gs.pop(0)
+    fields = []
+    for j, (tc2, meta, name) in enumerate(
+        zip(types, metas, opt["names"])
+    ):
+        fields.append(_wire_field(name, tc2, meta, wire_vals.get(j)))
+    return T.StructType(fields)
 
 
 def _wire_field(
@@ -1742,6 +1776,16 @@ def _wire_field(
     elif tc == TY_GEOMETRY:
         dt, md = T.BinaryType(), {"mysql_type": "geometry"}
     elif tc == TY_STRING:
+        if not meta or meta[0] not in (TY_ENUM, TY_SET):
+            # real MySQL also uses type 254 for CHAR(n), with a packed
+            # length layout this reader does not decode — silently
+            # inferring it as an empty set would decode garbage
+            # (review finding, round 7); failfast like unknown codes
+            raise TypeError(
+                f"cannot infer column {name!r}: TY_STRING metadata "
+                f"{meta!r} is neither ENUM nor SET (CHAR columns are "
+                "outside this reader's type space)"
+            )
         kind = "enum" if meta[0] == TY_ENUM else "set"
         dt = T.StringType()
         md = {"mysql_type": kind, "values": list(values or [])}
@@ -1904,8 +1948,17 @@ def decode_binlog_bytes(
         elif tc == EV_ROWS_QUERY:
             # body: 1 informational length byte (min(len,255)) then the
             # FULL query text to end of body — the layout every
-            # replication client reads; the reference default-skips it
-            rows_query = body[1:].decode("utf-8")
+            # replication client reads; the reference default-skips it.
+            # Decode ONLY when the user asked for __query (a file with
+            # statements must stay decodable with capture off), and
+            # lossily: the server logs the statement in the CONNECTION
+            # charset, which is not guaranteed UTF-8 — provenance
+            # metadata must never kill the row decode (review r07).
+            rows_query = (
+                body[1:].decode("utf-8", errors="replace")
+                if capture_query
+                else None
+            )
         elif tc == EV_TABLE_MAP:
             key = bytes(body)
             if key in map_cache:
@@ -2369,9 +2422,11 @@ def scan_binlog_splits_cached(
     best-effort JSON spill under the system tempdir so a NEW session on
     the same box also starts warm. A sealed binlog file never changes
     in place; if it somehow does, size/mtime_ns rotate the key and the
-    stale entry is simply never read again. JSON (with base64 for the
-    binary TABLE_MAP bodies), not pickle — the cache dir is
-    world-writable tempdir and must not be a code-execution vector."""
+    stale entry is simply never read again. The spill lives in a
+    per-UID mode-0700 directory (ownership verified on every use —
+    a pre-planted or permission-loosened dir bypasses the disk tier),
+    and is JSON (base64 for the binary TABLE_MAP bodies), not pickle,
+    so even a compromised entry cannot execute code."""
     import base64
     import hashlib
     import json
@@ -2385,12 +2440,32 @@ def scan_binlog_splits_cached(
     if hit is not None:
         return hit
     tag = hashlib.sha256(repr(key).encode()).hexdigest()[:32]
+    # per-UID dir, mode 0700: the default tempdir is world-writable and
+    # the cache name is predictable, so a shared dir would let another
+    # local user plant split specs that silently change decoded output
+    # (review finding, round 7). A dir that exists but is not ours (or
+    # is group/world-writable) bypasses the disk cache entirely.
     cdir = cache_dir or os.path.join(
-        tempfile.gettempdir(), "binlog_split_cache"
+        tempfile.gettempdir(), f"binlog_split_cache_{os.getuid()}"
     )
+    disk_ok = True
+    try:
+        os.makedirs(cdir, mode=0o700, exist_ok=True)
+        dst = os.stat(cdir, follow_symlinks=False)
+        import stat as _stat
+
+        disk_ok = (
+            _stat.S_ISDIR(dst.st_mode)
+            and dst.st_uid == os.getuid()
+            and not (dst.st_mode & 0o022)
+        )
+    except OSError:
+        disk_ok = False
     fpath = os.path.join(cdir, tag + ".json")
     splits: list[dict] | None = None
     try:
+        if not disk_ok:
+            raise OSError("cache dir unusable")
         with open(fpath) as fh:
             raw = json.load(fh)
         splits = [
@@ -2411,7 +2486,8 @@ def scan_binlog_splits_cached(
     if splits is None:
         splits = scan_binlog_splits_file(ap, target_split_bytes)
         try:
-            os.makedirs(cdir, exist_ok=True)
+            if not disk_ok:
+                raise OSError("cache dir unusable")
             payload = json.dumps(
                 [
                     {
@@ -2669,7 +2745,11 @@ def _carry_walk(blob: bytes, frm: int, upto: int, state: dict) -> None:
                 # and its rows event, so the carry must fold it
                 state["rows_query"] = None
             elif tc == EV_ROWS_QUERY:
-                state["rows_query"] = body[1:].decode("utf-8")
+                # lossy for the same reason as the decode walk: the
+                # statement charset is the connection's, not UTF-8
+                state["rows_query"] = body[1:].decode(
+                    "utf-8", errors="replace"
+                )
             else:
                 tid = int.from_bytes(body[0:6], "little")
                 state["maps"][tid] = bytes(body)

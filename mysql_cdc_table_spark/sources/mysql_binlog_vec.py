@@ -281,6 +281,16 @@ def _wide_decimal_decoder(col: _Col, pa_t, prec: int, sc: int):
             g = np.zeros(len(idx), np.int64)
             for k in range(nb):  # big-endian, ≤4 iterations
                 g = (g << 8) | m[:, o + k]
+            if bool((g >= 10**ndig).any()):
+                # a digit group must hold < 10^ndig; a corrupt
+                # binlog_checksum=NONE file could otherwise overflow
+                # the two-limb accumulator into silently wrong values
+                # — the per-cell Decimal fallback this path replaced
+                # raised here too (review finding, round 7)
+                raise ValueError(
+                    "invalid NEWDECIMAL value in rows event (digit "
+                    f"group exceeds {ndig} decimal digits — corrupt)"
+                )
             mul = np.uint64(10**ndig)  # ≤ 10^9 < 2^32
             p0 = (lo & M32) * mul
             p1 = (lo >> U32) * mul + (p0 >> U32)
@@ -592,7 +602,7 @@ def _vec_col_decoder(col: _Col, field: T.StructField):
         off, rem = 0, prec
         for ndig, nb in groups:
             rem -= ndig
-            segs.append((off, nb, 10**rem))
+            segs.append((off, nb, 10**rem, ndig))
             off += nb
 
         def dec(u8, raw, pos, valid, _size=size, _segs=tuple(segs)):
@@ -606,10 +616,18 @@ def _vec_col_decoder(col: _Col, field: T.StructField):
             m = np.where(neg[:, None], m ^ 0xFF, m)
             m[:, 0] ^= 0x80
             unscaled = np.zeros(len(idx), np.int64)
-            for o, nb, factor in _segs:
+            for o, nb, factor, ndig in _segs:
                 g = np.zeros(len(idx), np.int64)
                 for k in range(nb):  # big-endian, ≤4 iterations
                     g = (g << 8) | m[:, o + k]
+                if bool((g >= 10**ndig).any()):
+                    # same bound the >18 limb path enforces: a corrupt
+                    # group would silently push the unscaled past the
+                    # declared precision (review finding, round 7)
+                    raise ValueError(
+                        "invalid NEWDECIMAL value in rows event (digit "
+                        f"group exceeds {ndig} decimal digits — corrupt)"
+                    )
                 unscaled += g * factor
             unscaled = np.where(neg, -unscaled, unscaled)
             pos[idx] += _size

@@ -564,6 +564,9 @@ def _make_vec_decoder(field: T.StructField):
             # 128-bit varint + zigzag straight into decimal128 buffers
             # (round 7 — previously a per-cell Decimal closure)
             pa_t = pa.decimal128(dt_.precision, dt_.scale)
+            bound = 10**dt_.precision - 1  # max |unscaled|
+            bm1_hi = np.uint64(bound >> 64)
+            bm1_lo = np.uint64(bound & 0xFFFFFFFFFFFFFFFF)
 
             def dec_wide(u8, pos, valid, _pa_t=pa_t):
                 idx = np.flatnonzero(valid)
@@ -573,6 +576,18 @@ def _make_vec_decoder(field: T.StructField):
                 neg = (lo & np.uint64(1)).astype(bool)
                 mlo = (lo >> np.uint64(1)) | (hi << np.uint64(63))
                 mhi = hi >> np.uint64(1)
+                # |unscaled| must fit the declared precision (negatives
+                # decode to mag+1): Arrow's from_buffers skips the
+                # validation the old per-cell Decimal path got for free
+                # from pa.array — a corrupt overlong varint would
+                # otherwise land silently wrong (review finding, r07)
+                gt = (mhi > bm1_hi) | ((mhi == bm1_hi) & (mlo > bm1_lo))
+                eq = (mhi == bm1_hi) & (mlo == bm1_lo)
+                if bool((gt | (eq & neg)).any()):
+                    raise ValueError(
+                        f"corrupt packed decimal: |unscaled| exceeds "
+                        f"DECIMAL({dt_.precision},{dt_.scale})"
+                    )
                 mlo = np.where(neg, ~mlo, mlo)
                 mhi = np.where(neg, ~mhi, mhi)
                 data = np.zeros((len(pos), 2), dtype="<u8")

@@ -858,3 +858,124 @@ def test_rows_query_tail_carry_mid_transaction_cursor(tmp_path):
     qi = names.index("__query")
     assert [t_[0] for t_ in rows2] == [2]
     assert rows2[0][qi] == "Q2"  # statement survived the cursor seam
+
+
+def test_rows_query_non_utf8_never_kills_decode():
+    """Review fix: the server logs ROWS_QUERY in the CONNECTION charset
+    (not guaranteed UTF-8). With capture off the bytes are never
+    decoded; with capture on they decode lossily — either way the row
+    decode must survive."""
+    tgt = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    blob = bytearray(
+        build_binlog_file(
+            "d", "t", tgt,
+            [{"gno": 1, "op": "w", "rows": [{"id": 1, "v": "a"}],
+              "query": "UPDATE xxLATIN1xx"}],
+        )
+    )
+    idx = bytes(blob).rfind(b"xxLATIN1xx")
+    assert idx > 0
+    blob[idx : idx + 10] = b"x\xe9\xe8\xfc\xdf LATI"  # latin-1, same length
+    rows_off = decode_binlog_bytes(bytes(blob), tgt, "d", "t")
+    assert len(rows_off) == 1 and "__query" not in rows_off[0]
+    rows_on = decode_binlog_bytes(
+        bytes(blob), tgt, "d", "t", capture_query=True
+    )
+    assert "�" in rows_on[0]["__query"]  # lossy, not fatal
+    pdf = decode_binlog_pandas(bytes(blob), tgt, "d", "t", capture_query=True)
+    assert pdf["__query"].iloc[0] == rows_on[0]["__query"]
+
+
+@pytest.mark.parametrize("prec,scale", [(10, 2), (28, 6)])
+def test_columnar_decimal_corrupt_group_failfast(prec, scale):
+    """Review fix: a digit group ≥ 10^ndig (impossible from a correct
+    writer, possible in a corrupt checksum-free file) must raise on
+    BOTH the int64 and the two-limb path — never silently overflow the
+    unscaled past the declared precision."""
+    tgt = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("d", T.DecimalType(prec, scale)),
+        ]
+    )
+    v = Decimal(1234).scaleb(-scale)
+    blob = bytearray(
+        build_binlog_file(
+            "d", "t", tgt, [{"gno": 1, "op": "w", "rows": [{"id": 1, "d": v}]}]
+        )
+    )
+    from mysql_cdc_table_spark.sources.mysql_binlog import _encode_col, _Col
+
+    needle = _encode_col(_Col("d", mb.TY_NEWDECIMAL, bytes([prec, scale])), v)
+    idx = bytes(blob).rfind(bytes(needle))
+    assert idx > 0
+    # a full 4-byte group holding 0xFFFFFFFF = 4294967295 > 10^9-1:
+    # patch the last 4 bytes of the value (the trailing full/partial
+    # group region) to all-ones while keeping the sign bit intact
+    blob[idx + 1 : idx + len(needle)] = b"\xff" * (len(needle) - 1)
+    with pytest.raises(ValueError, match="digit group exceeds"):
+        decode_binlog_pandas(bytes(blob), tgt, "d", "t")
+
+
+def test_infer_target_through_transaction_payload():
+    """Review fix: binlog_transaction_compression=ON wraps TABLE_MAP
+    inside TRANSACTION_PAYLOAD carriers — inference must unwrap them
+    like the decode walk does."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        mysql_binlog_infer_target,
+    )
+
+    tgt = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "color",
+                T.StringType(),
+                metadata={"mysql_type": "enum", "values": ["red", "green"]},
+            ),
+        ]
+    )
+    for wrap in (True, "zstd"):
+        blob = build_binlog_file(
+            "d", "t", tgt,
+            [{"gno": 1, "op": "w", "rows": [{"id": 1, "color": "red"}]}],
+            row_metadata="full", payload_wrap=wrap,
+        )
+        inferred = mysql_binlog_infer_target(blob, "d", "t")
+        assert [f.name for f in inferred.fields] == ["id", "color"]
+        assert inferred["color"].metadata["values"] == ["red", "green"]
+
+
+def test_wire_field_char_column_failfast():
+    """Review fix: real MySQL uses TY_STRING (254) for CHAR(n) with a
+    packed-length meta layout this reader does not decode — inference
+    must raise, not classify it as an empty set."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import _wire_field
+
+    with pytest.raises(TypeError, match="neither ENUM nor SET"):
+        _wire_field("c", mb.TY_STRING, bytes([254, 20]), None)
+
+
+def test_split_cache_bypasses_untrusted_dir(tmp_path):
+    """Review fix: a cache dir that is not ours / is group-writable is
+    never read or written — results stay correct, just uncached."""
+    import os
+
+    from mysql_cdc_table_spark.sources import mysql_binlog as mbm
+
+    tgt = T.StructType([T.StructField("id", T.LongType())])
+    blob = build_binlog_file(
+        "d", "t", tgt, [{"gno": g, "op": "w", "rows": [{"id": g}]}
+                        for g in range(1, 20)]
+    )
+    path = tmp_path / "binlog.000001"
+    path.write_bytes(blob)
+    loose = tmp_path / "loose"
+    loose.mkdir()
+    os.chmod(loose, 0o777)  # group/world-writable -> untrusted
+    mbm._SPLIT_MEM_CACHE.clear()
+    got = mbm.scan_binlog_splits_cached(str(path), 256, cache_dir=str(loose))
+    assert got == mbm.scan_binlog_splits_file(str(path), 256)
+    assert os.listdir(loose) == []  # nothing written into it
