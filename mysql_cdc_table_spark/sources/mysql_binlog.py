@@ -1413,7 +1413,12 @@ def build_binlog_file(
     transaction's TABLE_MAP + rows events are embedded (checksum-free)
     in one TRANSACTION_PAYLOAD event after the GTID, compression NONE;
     ``payload_wrap="zstd"`` compresses each embedded stream the way
-    MySQL 8.0.20+ does with binlog_transaction_compression=ON."""
+    MySQL 8.0.20+ does with binlog_transaction_compression=ON.
+
+    A txn entry may carry ``"query": "<sql>"`` (ROWS_QUERY event, as
+    binlog_rows_query_log_events=ON writes it). ``row_metadata="full"``
+    appends the binlog_row_metadata=FULL TLVs (column names, enum/set
+    values, signedness) to every TABLE_MAP."""
     cols = _cols_from_schema(target)
     out = bytearray(BINLOG_MAGIC)
 
@@ -1583,13 +1588,9 @@ def _parse_optional_metadata(
         elif t in (_TM_SET_STR_VALUE, _TM_ENUM_STR_VALUE):
             kind = TY_SET if t == _TM_SET_STR_VALUE else TY_ENUM
             key = "set_values" if t == _TM_SET_STR_VALUE else "enum_values"
-            cols_of_kind = [
-                j for j, tc in enumerate(types) if tc == TY_STRING
-            ]
             # values appear in column order for columns of this kind;
-            # the TLV itself doesn't repeat which — pair positionally
-            # with the TY_STRING columns whose metadata says this kind
-            # (resolved by the caller, which knows per-column metadata)
+            # the TLV itself doesn't repeat which — paired positionally
+            # by the caller, which knows each column's metadata kind
             vals, p = [], 0
             while p < len(val):
                 cnt, p = _read_packed_int(val, p)
@@ -1599,7 +1600,7 @@ def _parse_optional_metadata(
                     group.append(val[p : p + n].decode())
                     p += n
                 vals.append(group)
-            out[key] = {"kind": kind, "groups": vals, "str_cols": cols_of_kind}
+            out[key] = {"kind": kind, "groups": vals}
     return out
 
 

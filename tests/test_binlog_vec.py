@@ -844,8 +844,7 @@ def test_rows_query_tail_carry_mid_transaction_cursor(tmp_path):
          "table": "t", "capture_query": "true"}
     )
     rows1, off1 = r._delta(r.initialOffset())
-    names_q = rows1  # first batch: txn 1 only (txn 2 incomplete)
-    assert [t_[0] for t_ in rows1] == [1]
+    assert [t_[0] for t_ in rows1] == [1]  # txn 2 still incomplete
     assert off1["pos"] == cut  # cursor parked mid-transaction
 
     (d / "binlog.000001").write_bytes(full)
