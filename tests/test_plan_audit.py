@@ -595,3 +595,63 @@ def test_knn_ivf_probe_broadcast_no_cartesian(spark, sf_dir):
     # probe join + query join + agreement broadcast, at minimum
     assert_broadcast_join(df, 3)
     assert count_nodes(df, "WindowGroupLimit") >= 2  # both rank limits
+
+
+def test_range_interval_single_window(spark, sf_dir):
+    """Both interval-frame aggregates fuse into ONE Window operator on
+    one user_id exchange — the frame is time-bounded, never a range
+    join."""
+    from mysql_cdc_table_spark.operators.round7 import window_range_interval
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = window_range_interval(spark, sf_dir)
+    assert shuffle_count(df) == 1
+    assert count_nodes(df, "Window") == 1
+
+
+def test_hll_union_sketches_only_shuffle(spark, sf_dir):
+    """Daily sketch agg -> union agg -> estimate: hash aggregates over
+    KB-size sketch state; the exact-distinct companion joins on the
+    tiny event_type key — no cartesian, bounded exchanges."""
+    from mysql_cdc_table_spark.operators.round7 import agg_hll_union
+
+    df = agg_hll_union(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert shuffle_count(df) <= 5
+
+
+def test_quality_rules_two_hash_aggs(spark, sf_dir):
+    """(doc, word) agg -> per-doc agg -> per-source rollup: hash ops
+    only, no window, no cartesian; per-doc state is four integers."""
+    from mysql_cdc_table_spark.operators.round7 import corpus_quality_rules
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = corpus_quality_rules(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert count_nodes(df, "Window") == 0
+    assert shuffle_count(df) <= 4
+
+
+def test_asof_tolerance_one_union_one_window(spark, sf_dir):
+    """The staleness cap is a row-local CASE over the backward as-of
+    match — same one-union one-sort idiom as join_asof_orders, never a
+    range join that fans probes across the tolerance window."""
+    from mysql_cdc_table_spark.operators.round7 import join_asof_tolerance
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = join_asof_tolerance(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert count_nodes(df, "Window") == 1
+    assert shuffle_count(df) <= 3
+
+
+def test_pipe_syntax_compiles_to_pushed_scan(spark, sf_dir):
+    """The pipe dialect is surface syntax: Catalyst compiles it to the
+    same pushed-filter scan + two-exchange aggregate as the nested
+    SELECT form (q1's shape)."""
+    from mysql_cdc_table_spark.operators.round7 import sql_pipe_syntax
+
+    df = sql_pipe_syntax(spark, sf_dir)
+    assert_filter_pushed(df, "l_shipdate")
+    assert_columns_pruned(df, LINEITEM_WIDTH)
+    assert shuffle_count(df) <= 2
