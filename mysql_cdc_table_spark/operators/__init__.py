@@ -308,6 +308,7 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "join_asof_tolerance",
     "sql_pipe_syntax",
     "cdc_binlog_full_metadata_roundtrip",
+    "text_cooccurrence_pmi",
 )
 
 

@@ -742,3 +742,106 @@ HAVING count(*) > 0
 
 QUERIES.update({"sql_pipe_syntax": sql_pipe_syntax})
 ORACLES.update({"sql_pipe_syntax": SQL_PIPE_SYNTAX_SQL})
+
+
+# --- windowed co-occurrence + PMI --------------------------------------------
+
+
+COOC_TOP = 20
+
+
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word co-occurrence within a ±2-token window + pointwise mutual
+    information — the collocation-mining primitive under phrase
+    detection and word-association analysis. Pair generation is a
+    per-document ARRAY expression (each position pairs with the next
+    two → ≤2n pairs per doc, linear fan-out, unordered pair
+    canonicalized by least/greatest) — the corpus never self-joins.
+    One pair hash agg + one unigram hash agg; the top-20 grid (full
+    tiebreak: count desc, then both words) joins the tiny unigram
+    sides broadcast. PMI = ln(c_ab·N / (c_a·c_b)) over identical
+    integers — both engines compute the same IEEE double, rounded at
+    6 digits per the continuous-output convention (the logprob keys'
+    precedent)."""
+    docs = t(spark, sf_dir, "documents").select(
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("w")
+    )
+    toks = docs.select(F.explode("w").alias("tok"))
+    tot = toks.agg(F.count("*").alias("nt"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    pairs = (
+        docs.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(sequence(0, size(w) - 2), i ->
+                      transform(sequence(i + 1, least(i + 2, size(w) - 1)),
+                                j -> struct(least(w[i], w[j]) AS a,
+                                            greatest(w[i], w[j]) AS b))))
+                    """
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    top = (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("c_ab"))
+        .orderBy(F.col("c_ab").desc(), "a", "b")
+        .limit(COOC_TOP)
+    )
+    ua = uni.select(F.col("tok").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("c").alias("c_b"))
+    return (
+        top.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .join(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") * F.col("nt"))
+                    / (F.col("c_a") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+TEXT_COOCCURRENCE_PMI_SQL = f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), tk AS (
+  SELECT unnest(w) AS tok FROM d
+), tot AS (SELECT count(*) AS nt FROM tk),
+uni AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+i1 AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+  FROM d WHERE len(w) >= 2
+), pr AS (
+  SELECT doc_id, w, i,
+         unnest(generate_series(i + 1, least(i + 2, len(w)))) AS j
+  FROM i1
+), pairs AS (
+  SELECT least(w[i], w[j]) AS a, greatest(w[i], w[j]) AS b FROM pr
+), pc AS (
+  SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY a, b
+), top AS (
+  SELECT * FROM pc ORDER BY c_ab DESC, a, b LIMIT {COOC_TOP}
+)
+SELECT t.a, t.b, CAST(t.c_ab AS BIGINT) AS c_ab,
+       round(ln((t.c_ab * tot.nt) / (ua.c * ub.c)), 6) AS pmi
+FROM top t
+CROSS JOIN tot
+JOIN uni ua ON ua.tok = t.a
+JOIN uni ub ON ub.tok = t.b
+"""
+
+
+QUERIES.update({"text_cooccurrence_pmi": text_cooccurrence_pmi})
+ORACLES.update({"text_cooccurrence_pmi": TEXT_COOCCURRENCE_PMI_SQL})
