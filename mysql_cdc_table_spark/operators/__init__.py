@@ -309,6 +309,7 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "sql_pipe_syntax",
     "cdc_binlog_full_metadata_roundtrip",
     "text_cooccurrence_pmi",
+    "cdc_binlog_gtid_resume",
 )
 
 

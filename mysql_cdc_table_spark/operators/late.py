@@ -20,6 +20,7 @@ from mysql_cdc_table_spark.functions.similarity import (
 )
 from mysql_cdc_table_spark.sources.mysql_binlog import (
     CDC_BINLOG_FULL_METADATA_SQL,
+    CDC_BINLOG_GTID_RESUME_SQL,
     CDC_BINLOG_LATEST_STATE_SQL,
     CDC_BINLOG_ROWS_QUERY_SQL,
     CDC_BINLOG_MULTI_TABLE_SQL,
@@ -28,6 +29,7 @@ from mysql_cdc_table_spark.sources.mysql_binlog import (
     CDC_BINLOG_ZSTD_ROUNDTRIP_SQL,
     CDC_MYSQL_BINLOG_ROUNDTRIP_SQL,
     cdc_binlog_full_metadata_roundtrip,
+    cdc_binlog_gtid_resume,
     cdc_binlog_latest_state,
     cdc_binlog_multi_table,
     cdc_binlog_parallel_roundtrip,
@@ -66,6 +68,9 @@ QUERIES = {
     # round 7: binlog_row_metadata=FULL — DDL-free decode off wire
     # names/enum strings, signedness failfast, name cross-check
     "cdc_binlog_full_metadata_roundtrip": cdc_binlog_full_metadata_roundtrip,
+    # round 7: GTID-positioned resume — PREVIOUS_GTIDS file pruning +
+    # window-bounded header walk (mysql_binlog_read_gtid_range)
+    "cdc_binlog_gtid_resume": cdc_binlog_gtid_resume,
 }
 
 ORACLES: dict[str, str] = {
@@ -80,4 +85,5 @@ ORACLES: dict[str, str] = {
     "cdc_binlog_parallel_roundtrip": CDC_MYSQL_BINLOG_ROUNDTRIP_SQL,
     "cdc_binlog_rows_query_roundtrip": CDC_BINLOG_ROWS_QUERY_SQL,
     "cdc_binlog_full_metadata_roundtrip": CDC_BINLOG_FULL_METADATA_SQL,
+    "cdc_binlog_gtid_resume": CDC_BINLOG_GTID_RESUME_SQL,
 }

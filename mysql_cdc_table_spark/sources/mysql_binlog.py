@@ -94,6 +94,7 @@ EV_WRITE_ROWS_V2 = 30
 EV_UPDATE_ROWS_V2 = 31
 EV_DELETE_ROWS_V2 = 32
 EV_GTID = 33
+EV_PREVIOUS_GTIDS = 35
 EV_PARTIAL_UPDATE_ROWS = 39
 EV_TRANSACTION_PAYLOAD = 40
 
@@ -1403,11 +1404,19 @@ def build_binlog_file(
     base_ts: int = 1_700_000_000,
     payload_wrap: bool | str = False,
     row_metadata: str = "minimal",
+    previous_gtids: dict[bytes, list[tuple[int, int]]] | None = None,
 ) -> bytes:
     """Byte-exact binlog v4 fixture: magic + FDE, then per transaction a
     GTID event, a TABLE_MAP, and one rows event. ``txns`` entries:
     ``{"gno": int, "op": "w"|"u"|"d", "rows": [row_dict, ...]}`` where
     update rows are ``(before_dict, after_dict)`` pairs.
+
+    ``previous_gtids`` ({sid: [(first_gno, one_past_last), ...]}) writes
+    a PREVIOUS_GTIDS_LOG_EVENT right after the FDE — the file-head
+    summary of every GTID in earlier files that MySQL has written since
+    5.6, and the mechanism a GTID-positioned reader uses to skip whole
+    files without walking them (scan_binlog_splits_file's
+    start_after_gno/stop_at_gno bounds).
 
     ``payload_wrap=True`` models binlog_transaction_compression: each
     transaction's TABLE_MAP + rows events are embedded (checksum-free)
@@ -1426,6 +1435,8 @@ def build_binlog_file(
         out.extend(_event(ts, tc, server_id, body, len(out), checksum))
 
     emit(EV_FORMAT_DESCRIPTION, _fde_body(checksum), base_ts)
+    if previous_gtids is not None:
+        emit(EV_PREVIOUS_GTIDS, _gtid_set_body(previous_gtids), base_ts)
     for i, txn in enumerate(txns):
         ts = base_ts + i
         emit(
@@ -1863,6 +1874,50 @@ def _sid_to_uuid(sid: bytes) -> str:
     return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}"
 
 
+def _gtid_set_body(sets: dict[bytes, list[tuple[int, int]]]) -> bytes:
+    """Encode a GTID set in MySQL's Gtid_set wire layout (the
+    PREVIOUS_GTIDS_LOG_EVENT body, written at every binlog file head
+    since 5.6): n_sids u64 LE, then per sid 16 raw uuid bytes,
+    n_intervals u64 LE, and per interval start u64 (first gno,
+    inclusive) + end u64 (one past the last gno, exclusive)."""
+    out = bytearray(struct.pack("<Q", len(sets)))
+    for sid, intervals in sets.items():
+        if len(sid) != 16:
+            raise ValueError(f"sid must be 16 bytes, got {len(sid)}")
+        out += sid + struct.pack("<Q", len(intervals))
+        for start, end in intervals:
+            if not 0 < start < end:
+                raise ValueError(f"bad GTID interval [{start}, {end})")
+            out += struct.pack("<QQ", start, end)
+    return bytes(out)
+
+
+def _parse_gtid_set(body: bytes) -> dict[bytes, list[tuple[int, int]]]:
+    """Inverse of _gtid_set_body; failfast on truncation (a half-read
+    set silently shrinking the executed range would defeat the file
+    pruning it exists to serve)."""
+    if len(body) < 8:
+        raise ValueError("GTID set body truncated (no sid count)")
+    (n_sids,) = struct.unpack_from("<Q", body, 0)
+    pos = 8
+    sets: dict[bytes, list[tuple[int, int]]] = {}
+    for _ in range(n_sids):
+        if pos + 24 > len(body):
+            raise ValueError("GTID set body truncated (sid header)")
+        sid = bytes(body[pos : pos + 16])
+        (n_iv,) = struct.unpack_from("<Q", body, pos + 16)
+        pos += 24
+        if pos + 16 * n_iv > len(body):
+            raise ValueError("GTID set body truncated (intervals)")
+        ivs = []
+        for _ in range(n_iv):
+            start, end = struct.unpack_from("<QQ", body, pos)
+            pos += 16
+            ivs.append((start, end))
+        sets[sid] = ivs
+    return sets
+
+
 def decode_binlog_bytes(
     blob: bytes,
     target: T.StructType,
@@ -2285,8 +2340,24 @@ def mysql_binlog_read(
     )
 
 
+def _smallest_uncovered_gno(intervals: list[tuple[int, int]]) -> int:
+    """Smallest gno NOT covered by a sid's interval list — the lowest
+    gno a binlog file could still contain given its PREVIOUS_GTIDS head
+    (MySQL assigns the first uncovered gno next)."""
+    nxt = 1
+    for start, end in sorted(intervals):
+        if start > nxt:
+            break
+        nxt = max(nxt, end)
+    return nxt
+
+
 def scan_binlog_splits(
-    blob: bytes, target_split_bytes: int = 64 << 20
+    blob: bytes,
+    target_split_bytes: int = 64 << 20,
+    *,
+    start_after_gno: int | None = None,
+    stop_at_gno: int | None = None,
 ) -> list[dict]:
     """Sequential HEADER walk of one binlog file (no row decode — just
     the 19-byte headers plus GTID/TABLE_MAP bodies), emitting split
@@ -2302,7 +2373,21 @@ def scan_binlog_splits(
     for malformed streams; maps inside compressed payloads are not
     visible to the header walk and don't need to be, per the format
     guarantee above). The truncated active tail stays attached to the
-    last range (permissive decode handles it)."""
+    last range (permissive decode handles it).
+
+    ``start_after_gno``/``stop_at_gno`` bound the walk to transactions
+    with start < gno <= stop — GTID-positioned resume (the reader-side
+    analogue of MASTER_AUTO_POSITION). Ranges before the first
+    in-window transaction are never emitted (their events only fold
+    into carried state); the walk STOPS at the first gno past the stop
+    bound; and a PREVIOUS_GTIDS file head whose smallest uncovered gno
+    already exceeds the stop bound skips the whole file after ONE
+    event read. Bounds assume the single-source contract (gnos
+    monotonically increasing within and across files — MySQL's
+    behavior for one writer); for multi-source streams resume with
+    per-uuid sets instead. The reference has no positioned reads at
+    all — every scan re-decodes from each file's first event
+    (binlog_table_reader.cc:75-96)."""
     if blob[:4] != BINLOG_MAGIC:
         raise ValueError("not a binlog file (bad magic)")
     pos = 4
@@ -2311,51 +2396,166 @@ def scan_binlog_splits(
     sid: bytes | None = None
     maps: dict[int, bytes] = {}
     splits: list[dict] = []
+    in_window = start_after_gno is None
+    unbounded = start_after_gno is None and stop_at_gno is None
+    saw_window_txn = False
     cur_start = 4
     cur_state: dict = {
         "checksum": None, "gtid": None, "sid": None, "table_maps": [],
     }
+    end_at = len(blob)
     while pos + _HEADER_LEN <= len(blob):
         _ets, tc, _s, esize, _lp, _fl = _HEADER.unpack_from(blob, pos)
         if esize < _HEADER_LEN or pos + esize > len(blob):
             break  # truncated active tail: stays in the final range
-        if tc == EV_GTID and pos - cur_start >= target_split_bytes:
-            splits.append({"start": cur_start, "end": pos, **cur_state})
-            cur_start = pos
-            cur_state = {
-                "checksum": checksum,
-                "gtid": gtid,
-                "sid": sid,
-                "table_maps": list(maps.values()),
-            }
         ev = blob[pos : pos + esize]
-        if tc == EV_FORMAT_DESCRIPTION:
-            checksum = _detect_checksum(ev)
-        elif tc in (EV_GTID, EV_TABLE_MAP):
+        if tc == EV_GTID:
             body = ev[_HEADER_LEN : len(ev) - (4 if checksum else 0)]
-            if tc == EV_GTID:
-                gtid = struct.unpack_from("<q", body, 17)[0]
-                sid = bytes(body[1:17])
-            else:
-                tid = int.from_bytes(body[0:6], "little")
-                maps[tid] = bytes(body)
+            g = struct.unpack_from("<q", body, 17)[0]
+            if stop_at_gno is not None and g > stop_at_gno:
+                end_at = pos
+                break
+            if not in_window and g > start_after_gno:
+                in_window = True
+                cur_start = pos
+                cur_state = {
+                    "checksum": checksum,
+                    "gtid": gtid,
+                    "sid": sid,
+                    "table_maps": list(maps.values()),
+                }
+            elif in_window and pos - cur_start >= target_split_bytes:
+                splits.append({"start": cur_start, "end": pos, **cur_state})
+                cur_start = pos
+                cur_state = {
+                    "checksum": checksum,
+                    "gtid": gtid,
+                    "sid": sid,
+                    "table_maps": list(maps.values()),
+                }
+            saw_window_txn = saw_window_txn or in_window
+            gtid = g
+            sid = bytes(body[1:17])
+        elif tc == EV_FORMAT_DESCRIPTION:
+            checksum = _detect_checksum(ev)
+        elif tc == EV_TABLE_MAP:
+            body = ev[_HEADER_LEN : len(ev) - (4 if checksum else 0)]
+            tid = int.from_bytes(body[0:6], "little")
+            maps[tid] = bytes(body)
+        elif tc == EV_PREVIOUS_GTIDS and stop_at_gno is not None:
+            body = ev[_HEADER_LEN : len(ev) - (4 if checksum else 0)]
+            sets = _parse_gtid_set(body)
+            if sets and min(
+                _smallest_uncovered_gno(ivs) for ivs in sets.values()
+            ) > stop_at_gno:
+                return []  # every gno this file can contain is past stop
         pos += esize
-    splits.append({"start": cur_start, "end": len(blob), **cur_state})
+    if unbounded or (saw_window_txn and end_at > cur_start):
+        splits.append({"start": cur_start, "end": end_at, **cur_state})
     return splits
 
 
+def binlog_prev_gtids_uncovered(path: str) -> int | None:
+    """Read ONLY a binlog file's head (FDE + the PREVIOUS_GTIDS event
+    MySQL writes second since 5.6) and return the smallest gno NOT in
+    its executed-set summary — the lowest gno the file itself can
+    contain. None when the file carries no parseable head (pre-5.6
+    fixture, foreign file): callers must then fall back to walking.
+    This is the primitive behind series-level resume pruning — the
+    same file-selection scan a replica's START REPLICA does."""
+    with open(path, "rb") as f:
+        if f.read(4) != BINLOG_MAGIC:
+            return None
+        checksum: bool | None = None
+        for _ in range(2):
+            hdr = f.read(_HEADER_LEN)
+            if len(hdr) < _HEADER_LEN:
+                return None
+            _ets, tc, _s, esize, _lp, _fl = _HEADER.unpack(hdr)
+            body_len = esize - _HEADER_LEN
+            if body_len < 0:
+                return None
+            rest = f.read(body_len)
+            if len(rest) < body_len:
+                return None
+            if tc == EV_FORMAT_DESCRIPTION:
+                checksum = _detect_checksum(hdr + rest)
+            elif tc == EV_PREVIOUS_GTIDS:
+                body = rest[: len(rest) - (4 if checksum else 0)]
+                try:
+                    sets = _parse_gtid_set(body)
+                except ValueError:
+                    return None
+                if not sets:
+                    return 1  # empty set: nothing executed before
+                                # (MySQL's FIRST file writes exactly this)
+                return min(
+                    _smallest_uncovered_gno(ivs) for ivs in sets.values()
+                )
+            else:
+                return None
+    return None
+
+
+def prune_binlog_series_by_gtid(
+    paths: list[str],
+    start_after_gno: int | None,
+    stop_at_gno: int | None,
+) -> list[str]:
+    """Drop whole files from a binlog series using only their
+    PREVIOUS_GTIDS heads (one tiny read per file, no header walks). A
+    file's head gives the smallest gno it can contain; the series'
+    gno order is reconstructed by SORTING the heads (not by file
+    name, which staged/copied series may scramble), so under the
+    single-source monotone contract a file's LAST gno is the next
+    strictly-greater head minus one. A file is wholly BEFORE the
+    window when that next head is <= start+1, and wholly AFTER it
+    when its own head exceeds the stop bound. Files with unparseable
+    heads are always kept, and ANY unparseable head disables
+    start-side pruning entirely (a headless file could sit anywhere
+    in the gno order, so no other file's tail bound is trustworthy);
+    the bounded header walk still trims whatever survives."""
+    if start_after_gno is None and stop_at_gno is None:
+        return paths
+    heads = {p: binlog_prev_gtids_uncovered(p) for p in paths}
+    all_headed = all(u is not None for u in heads.values())
+    sorted_heads = sorted(u for u in heads.values() if u is not None)
+    keep = []
+    for p in paths:
+        u = heads[p]
+        if stop_at_gno is not None and u is not None and u > stop_at_gno:
+            continue  # every gno in this file is past the window
+        if start_after_gno is not None and all_headed:
+            nxt = next((v for v in sorted_heads if v > u), None)
+            if nxt is not None and nxt <= start_after_gno + 1:
+                continue  # every gno in this file precedes the window
+        keep.append(p)
+    return keep
+
+
 def scan_binlog_splits_file(
-    path: str, target_split_bytes: int = 64 << 20
+    path: str,
+    target_split_bytes: int = 64 << 20,
+    *,
+    start_after_gno: int | None = None,
+    stop_at_gno: int | None = None,
 ) -> list[dict]:
     """Streaming twin of scan_binlog_splits: IDENTICAL split specs, but
     O(read-buffer) memory — reads the 19-byte event headers plus only
-    FDE/GTID/TABLE_MAP bodies and seeks across everything else, so a
-    50 GB file header-walks without ever materializing (the bytes-based
-    variant serves tests and already-loaded buffers)."""
+    FDE/GTID/TABLE_MAP bodies (plus the PREVIOUS_GTIDS head when a stop
+    bound is set) and seeks across everything else, so a 50 GB file
+    header-walks without ever materializing (the bytes-based variant
+    serves tests and already-loaded buffers). GTID bounds behave as in
+    scan_binlog_splits, including the O(1)-read whole-file skip off the
+    PREVIOUS_GTIDS head and the early exit at the stop bound."""
     import os
 
     size = os.path.getsize(path)
     splits: list[dict] = []
+    in_window = start_after_gno is None
+    unbounded = start_after_gno is None and stop_at_gno is None
+    saw_window_txn = False
+    end_at = size
     with open(path, "rb", buffering=1 << 20) as f:
         if f.read(4) != BINLOG_MAGIC:
             raise ValueError("not a binlog file (bad magic)")
@@ -2375,17 +2575,11 @@ def scan_binlog_splits_file(
             _ets, tc, _s, esize, _lp, _fl = _HEADER.unpack(hdr)
             if esize < _HEADER_LEN or pos + esize > size:
                 break  # truncated active tail: stays in the final range
-            if tc == EV_GTID and pos - cur_start >= target_split_bytes:
-                splits.append({"start": cur_start, "end": pos, **cur_state})
-                cur_start = pos
-                cur_state = {
-                    "checksum": checksum,
-                    "gtid": gtid,
-                    "sid": sid,
-                    "table_maps": list(maps.values()),
-                }
             body_len = esize - _HEADER_LEN
-            if tc in (EV_FORMAT_DESCRIPTION, EV_GTID, EV_TABLE_MAP):
+            want_body = tc in (
+                EV_FORMAT_DESCRIPTION, EV_GTID, EV_TABLE_MAP
+            ) or (tc == EV_PREVIOUS_GTIDS and stop_at_gno is not None)
+            if want_body:
                 rest = f.read(body_len)
                 if len(rest) < body_len:
                     break
@@ -2394,15 +2588,51 @@ def scan_binlog_splits_file(
                 else:
                     body = rest[: len(rest) - (4 if checksum else 0)]
                     if tc == EV_GTID:
-                        gtid = struct.unpack_from("<q", body, 17)[0]
+                        g = struct.unpack_from("<q", body, 17)[0]
+                        if stop_at_gno is not None and g > stop_at_gno:
+                            end_at = pos
+                            break
+                        if not in_window and g > start_after_gno:
+                            in_window = True
+                            cur_start = pos
+                            cur_state = {
+                                "checksum": checksum,
+                                "gtid": gtid,
+                                "sid": sid,
+                                "table_maps": list(maps.values()),
+                            }
+                        elif (
+                            in_window
+                            and pos - cur_start >= target_split_bytes
+                        ):
+                            splits.append(
+                                {"start": cur_start, "end": pos, **cur_state}
+                            )
+                            cur_start = pos
+                            cur_state = {
+                                "checksum": checksum,
+                                "gtid": gtid,
+                                "sid": sid,
+                                "table_maps": list(maps.values()),
+                            }
+                        saw_window_txn = saw_window_txn or in_window
+                        gtid = g
                         sid = bytes(body[1:17])
-                    else:
+                    elif tc == EV_TABLE_MAP:
                         tid = int.from_bytes(body[0:6], "little")
                         maps[tid] = bytes(body)
+                    else:  # PREVIOUS_GTIDS head, stop bound set
+                        sets = _parse_gtid_set(body)
+                        if sets and min(
+                            _smallest_uncovered_gno(ivs)
+                            for ivs in sets.values()
+                        ) > stop_at_gno:
+                            return []
             else:
                 f.seek(body_len, 1)
             pos += esize
-    splits.append({"start": cur_start, "end": size, **cur_state})
+    if unbounded or (saw_window_txn and end_at > cur_start):
+        splits.append({"start": cur_start, "end": end_at, **cur_state})
     return splits
 
 
@@ -2413,6 +2643,9 @@ def scan_binlog_splits_cached(
     path: str,
     target_split_bytes: int = 64 << 20,
     cache_dir: str | None = None,
+    *,
+    start_after_gno: int | None = None,
+    stop_at_gno: int | None = None,
 ) -> list[dict]:
     """``scan_binlog_splits_file`` behind a cache keyed on (abs path,
     size, mtime_ns, split_bytes). The serial header walk is the
@@ -2436,7 +2669,10 @@ def scan_binlog_splits_cached(
 
     ap = os.path.abspath(path)
     st = os.stat(ap)
-    key = (ap, st.st_size, st.st_mtime_ns, target_split_bytes)
+    key = (
+        ap, st.st_size, st.st_mtime_ns, target_split_bytes,
+        start_after_gno, stop_at_gno,
+    )
     hit = _SPLIT_MEM_CACHE.get(key)
     if hit is not None:
         return hit
@@ -2485,7 +2721,12 @@ def scan_binlog_splits_cached(
     except (OSError, ValueError, KeyError, TypeError):
         splits = None
     if splits is None:
-        splits = scan_binlog_splits_file(ap, target_split_bytes)
+        splits = scan_binlog_splits_file(
+            ap,
+            target_split_bytes,
+            start_after_gno=start_after_gno,
+            stop_at_gno=stop_at_gno,
+        )
         try:
             if not disk_ok:
                 raise OSError("cache dir unusable")
@@ -2559,6 +2800,8 @@ def mysql_binlog_read_parallel(
     split_bytes: int = 64 << 20,
     gtid_format: str = "long",
     capture_query: bool = False,
+    start_after_gno: int | None = None,
+    stop_at_gno: int | None = None,
 ) -> DataFrame:
     """Parallel decode of LARGE binlog files — the scan the reference
     cannot express (its unit is one file walked sequentially,
@@ -2580,7 +2823,16 @@ def mysql_binlog_read_parallel(
 
     ``capture_query=True`` surfaces ROWS_QUERY statements as __query —
     no extra carried state: ranges cut at GTID boundaries, exactly
-    where the statement scope resets."""
+    where the statement scope resets.
+
+    ``start_after_gno``/``stop_at_gno`` make the scan GTID-positioned
+    (see scan_binlog_splits): out-of-window transactions are pruned at
+    the HEADER walk — never range-decoded — and files whose
+    PREVIOUS_GTIDS head already covers the window skip after one event
+    read. A residual row filter on __gtid keeps the output exact even
+    if a malformed stream violates gno monotonicity inside a kept
+    range (single-source contract; multi-source resume needs per-uuid
+    sets)."""
     import os
 
     import pandas as pd
@@ -2601,6 +2853,11 @@ def mysql_binlog_read_parallel(
         )
     else:
         paths = [local]
+    # series-level GTID pruning off the PREVIOUS_GTIDS heads: resuming
+    # near the tail of a long retained history must not even SCHEDULE
+    # header walks for the pre-window files (one tiny head read per
+    # file here, vs a full header walk per file without it)
+    paths = prune_binlog_series_by_gtid(paths, start_after_gno, stop_at_gno)
     out_schema0 = _binlog_out_schema(target, gtid_format, capture_query)
     if not paths:  # empty/hidden-only dir: zero rows, not repartition(0)
         return spark.createDataFrame([], out_schema0)
@@ -2611,7 +2868,12 @@ def mysql_binlog_read_parallel(
     def make_splits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for fpath, fseq in zip(pdf["path"], pdf["file_seq"]):
-                for s in scan_binlog_splits_cached(str(fpath), split_bytes):
+                for s in scan_binlog_splits_cached(
+                    str(fpath),
+                    split_bytes,
+                    start_after_gno=start_after_gno,
+                    stop_at_gno=stop_at_gno,
+                ):
                     yield pd.DataFrame(
                         {
                             "path": [str(fpath)],
@@ -2663,7 +2925,53 @@ def mysql_binlog_read_parallel(
                     capture_query=capture_query,
                 )
 
-    return splits.mapInArrow(decode_range, schema=out_schema)
+    out = splits.mapInArrow(decode_range, schema=out_schema)
+    if start_after_gno is not None or stop_at_gno is not None:
+        from pyspark.sql import functions as F
+
+        if start_after_gno is not None:
+            out = out.filter(F.col("__gtid") > start_after_gno)
+        if stop_at_gno is not None:
+            out = out.filter(F.col("__gtid") <= stop_at_gno)
+    return out
+
+
+def mysql_binlog_read_gtid_range(
+    spark: SparkSession,
+    path: str,
+    target: T.StructType,
+    database: str,
+    table: str,
+    *,
+    start_after_gno: int,
+    stop_at_gno: int | None = None,
+    split_bytes: int = 64 << 20,
+    gtid_format: str = "long",
+    capture_query: bool = False,
+) -> DataFrame:
+    """GTID-positioned batch read — the resume/point-in-time entry
+    point: only transactions with ``start_after_gno < gno``
+    (``<= stop_at_gno`` when set) are decoded. Equivalent to filtering
+    mysql_binlog_read's output on __gtid, but the pruning happens where
+    it matters at scale: whole files skip off their PREVIOUS_GTIDS head
+    with a single event read, the header walk stops at the stop bound,
+    and out-of-window transactions are never range-decoded — resuming
+    near the tail of 100 TB of retained binlog costs O(new data), not
+    O(history). The reference re-decodes every file from its first
+    event on every scan (binlog_table_reader.cc:75-96) and has no
+    position surface at all."""
+    return mysql_binlog_read_parallel(
+        spark,
+        path,
+        target,
+        database,
+        table,
+        split_bytes=split_bytes,
+        gtid_format=gtid_format,
+        capture_query=capture_query,
+        start_after_gno=start_after_gno,
+        stop_at_gno=stop_at_gno,
+    )
 
 
 def mysql_binlog_read_stream(
@@ -3105,22 +3413,17 @@ def cdc_mysql_binlog_roundtrip(
     )
 
 
-def _stage_and_read_parallel(
-    spark: SparkSession,
-    sf_dir: str,
-    files: DataFrame,
-    target: T.StructType,
-    payload_wrap,
-) -> DataFrame:
-    """Write the encoded binlog blobs to a per-application staging dir
-    ((partition, counter) file names — unique within a run for ANY
-    partition count; the dir is wiped before each invocation so
-    partition-count changes can't leave stale files, and an atexit hook
-    removes it when the driver exits), then read them back through the
-    PARALLEL split scan with a split size small enough to force several
-    ranges per file. The trailing digits (= the per-partition counter)
-    become __file_seq; duplicates across partitions are harmless here —
-    the roundtrip aggregate never reads ordering columns."""
+def _stage_binlog_files(
+    spark: SparkSession, files: DataFrame, tag_seed: str
+) -> str:
+    """Write encoded binlog blobs (one ``file_bytes`` column) to a
+    per-application staging dir and return its path. (partition,
+    counter) file names — unique within a run for ANY partition count;
+    the dir is wiped before each invocation so partition-count changes
+    can't leave stale files, and an atexit hook removes it when the
+    driver exits. The trailing digits (= the per-partition counter)
+    become __file_seq; duplicates across partitions are harmless for
+    aggregates that never read ordering columns."""
     import hashlib
     import os
     import tempfile
@@ -3134,7 +3437,7 @@ def _stage_and_read_parallel(
     # rewrite it deterministically; concurrent sessions are isolated, so
     # the wipe below cannot race another session's in-flight read
     tag = hashlib.md5(
-        f"{sf_dir}|{payload_wrap}|{spark.sparkContext.applicationId}".encode()
+        f"{tag_seed}|{spark.sparkContext.applicationId}".encode()
     ).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"cdc_parallel_binlogs_{tag}")
     if _hfs.exists(spark, stage):
@@ -3166,6 +3469,20 @@ def _stage_and_read_parallel(
                 yield pd.DataFrame({"n": [len(b)]})
 
     files.mapInPandas(write, schema="n long").agg(F.sum("n")).collect()
+    return stage
+
+
+def _stage_and_read_parallel(
+    spark: SparkSession,
+    sf_dir: str,
+    files: DataFrame,
+    target: T.StructType,
+    payload_wrap,
+) -> DataFrame:
+    """Stage the encoded blobs (_stage_binlog_files), then read them
+    back through the PARALLEL split scan with a split size small enough
+    to force several ranges per file."""
+    stage = _stage_binlog_files(spark, files, f"{sf_dir}|{payload_wrap}")
     return mysql_binlog_read_parallel(
         spark, stage, target, "tpch", "orders", split_bytes=4096
     )
@@ -3713,6 +4030,138 @@ FROM b GROUP BY status
 # Compression must be invisible in the decoded changelog, so the zstd
 # roundtrip shares the uncompressed roundtrip's oracle verbatim.
 CDC_BINLOG_ZSTD_ROUNDTRIP_SQL = CDC_MYSQL_BINLOG_ROUNDTRIP_SQL
+
+
+def cdc_binlog_gtid_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GTID-positioned resume through the real binlog format — the CDC
+    consumer's bread-and-butter read the reference cannot do at all
+    (binlog_table_reader.cc:75-96 re-decodes every file from its first
+    event; there is no position surface). The fixture models a rotated
+    binlog series: ``orders`` RANGE-partitioned by key so each staged
+    file covers a contiguous gno range in gno order, each file head
+    carrying the PREVIOUS_GTIDS summary of everything before it —
+    exactly what MySQL writes at rotation since 5.6. The read resumes
+    after gno S = (max_gno*2)//5 and stops at E = (max_gno*4)//5
+    (mysql_binlog_read_gtid_range): files wholly past E skip off their
+    PREVIOUS_GTIDS head after ONE event read, files wholly before S
+    emit no ranges from the header walk, and the two boundary files
+    trim to in-window transactions — decode work is O(window), not
+    O(history). Every 10th key is an update pair, so image pairing
+    survives the trimmed ranges too. The aggregate pins the window
+    EDGES in the value hash (per-status min/max gno + gno sum): any
+    off-by-one at either bound — or a file wrongly pruned — breaks the
+    driver row."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.operators._util import t
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "status",
+                T.StringType(),
+                metadata={"mysql_type": "enum", "values": ["F", "O", "P"]},
+            ),
+        ]
+    )
+    base = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .repartitionByRange(
+            spark.sparkContext.defaultParallelism, "id"
+        )
+        .sortWithinPartitions("id")
+    )
+    # bounded driver scalar: the resume position (one BIGINT), exactly
+    # what a checkpoint store would hand the reader
+    mx = base.agg(F.max("id")).collect()[0][0] or 0
+    start_after = (mx * 2) // 5
+    stop_at = (mx * 4) // 5
+
+    file_schema = T.StructType([T.StructField("file_bytes", T.BinaryType())])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            txns = []
+            for r in pdf.itertuples(index=False):
+                rid = int(r.id)
+                row = {"id": rid, "status": r.status}
+                if rid % 10 == 0:
+                    txns.append(
+                        {"gno": rid, "op": "u", "rows": [(dict(row), row)]}
+                    )
+                else:
+                    txns.append({"gno": rid, "op": "w", "rows": [row]})
+            min_gno = txns[0]["gno"]  # sortWithinPartitions: gno order
+            blob = build_binlog_file(
+                "tpch",
+                "orders",
+                target,
+                txns,
+                checksum=True,
+                # the file-head executed-set summary MySQL writes at
+                # every rotation: all gnos below this file's first
+                # (the series' first file carries the EMPTY set, as a
+                # fresh server's binlog.000001 does)
+                previous_gtids=(
+                    {b"\x11" * 16: [(1, min_gno)]}
+                    if min_gno > 1
+                    else {b"\x11" * 16: []}
+                ),
+            )
+            yield pd.DataFrame({"file_bytes": [blob]})
+
+    files = base.mapInPandas(encode, schema=file_schema)
+    stage = _stage_binlog_files(spark, files, f"{sf_dir}|gtid_resume")
+    decoded = mysql_binlog_read_gtid_range(
+        spark,
+        stage,
+        target,
+        "tpch",
+        "orders",
+        start_after_gno=start_after,
+        stop_at_gno=stop_at,
+        split_bytes=4096,
+    )
+    return decoded.groupBy("status").agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("__op") == CDC_UPDATE_BEFORE).alias(
+            "n_update_pairs"
+        ),
+        F.sum("__gtid").alias("gtid_sum"),
+        F.min("__gtid").alias("min_gno"),
+        F.max("__gtid").alias("max_gno"),
+    )
+
+
+CDC_BINLOG_GTID_RESUME_SQL = """
+WITH m AS (
+  SELECT (max(o_orderkey) * 2) // 5 AS s,
+         (max(o_orderkey) * 4) // 5 AS e
+  FROM orders
+), b AS (
+  SELECT o_orderkey AS id,
+         o_orderstatus AS status,
+         CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS nimg
+  FROM orders, m
+  WHERE o_orderkey > m.s AND o_orderkey <= m.e
+)
+SELECT status,
+       CAST(sum(nimg) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE nimg = 2) AS BIGINT) AS n_update_pairs,
+       CAST(sum(id * nimg) AS BIGINT) AS gtid_sum,
+       CAST(min(id) AS BIGINT) AS min_gno,
+       CAST(max(id) AS BIGINT) AS max_gno
+FROM b GROUP BY status
+"""
 
 
 def cdc_binlog_rows_query_roundtrip(

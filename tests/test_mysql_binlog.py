@@ -1647,3 +1647,260 @@ def test_infer_target_from_full_metadata(tmp_path):
         mysql_binlog_infer_target(blob_min, "d", "t")
     with pytest.raises(ValueError, match="no TABLE_MAP"):
         mysql_binlog_infer_target(blob, "d", "other")
+
+
+# --- GTID-positioned reads (resume / point-in-time) ---------------------------
+
+
+def _gno_blob(gnos, *, checksum=True, previous_gtids=None):
+    r = lambda i: {"id": i, "v": f"v{i}", "amt": Decimal(i) % 1000}
+    return build_binlog_file(
+        "d", "t", TARGET,
+        [_txn(g, "w", [r(g)]) for g in gnos],
+        checksum=checksum,
+        previous_gtids=previous_gtids,
+    )
+
+
+def _decode_ranges(blob, splits):
+    out = []
+    for s in splits:
+        out.extend(
+            decode_binlog_bytes(
+                blob[s["start"] : s["end"]], TARGET, "d", "t",
+                init_state={
+                    "checksum": s["checksum"], "gtid": s["gtid"],
+                    "sid": s["sid"], "table_maps": s["table_maps"],
+                },
+                seq_base=s["start"],
+            )
+        )
+    return out
+
+
+@pytest.mark.parametrize(
+    "start,stop",
+    [(10, 30), (None, 30), (10, None), (0, 50), (49, None), (None, 1)],
+)
+def test_gtid_bounds_walk_equals_filtered_decode(start, stop):
+    """Bounded header walk + range decode == whole-file decode filtered
+    on gno, for start-only, stop-only, and two-sided windows — at a
+    split size that forces several ranges inside the window."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import scan_binlog_splits
+
+    gnos = list(range(1, 51))
+    blob = _gno_blob(gnos)
+    whole = decode_binlog_bytes(blob, TARGET, "d", "t")
+    want = [
+        r for r in whole
+        if (start is None or r["__gtid"] > start)
+        and (stop is None or r["__gtid"] <= stop)
+    ]
+    splits = scan_binlog_splits(
+        blob, target_split_bytes=256, start_after_gno=start, stop_at_gno=stop
+    )
+    got = _decode_ranges(blob, splits)
+    # __event_seq stays the ABSOLUTE offset, so rows compare exactly
+    assert got == want
+    if start == 10 and stop == 30:
+        assert len(splits) > 1  # window really does split
+
+
+def test_gtid_bounds_empty_window_and_edges():
+    from mysql_cdc_table_spark.sources.mysql_binlog import scan_binlog_splits
+
+    blob = _gno_blob(range(10, 40))
+    # start at/after the last gno -> nothing
+    assert scan_binlog_splits(blob, 256, start_after_gno=39) == []
+    assert scan_binlog_splits(blob, 256, start_after_gno=1000) == []
+    # stop before the first gno -> nothing
+    assert scan_binlog_splits(blob, 256, stop_at_gno=9) == []
+    # degenerate window (start == stop) -> nothing
+    assert scan_binlog_splits(
+        blob, 256, start_after_gno=20, stop_at_gno=20
+    ) == []
+    # one-transaction window
+    one = _decode_ranges(
+        blob,
+        scan_binlog_splits(blob, 256, start_after_gno=19, stop_at_gno=20),
+    )
+    assert [r["__gtid"] for r in one] == [20]
+
+
+def test_gtid_set_body_roundtrip_and_validation():
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        _gtid_set_body,
+        _parse_gtid_set,
+        _smallest_uncovered_gno,
+    )
+
+    sets = {
+        b"\x11" * 16: [(1, 100)],
+        b"\x22" * 16: [(1, 10), (20, 30)],
+    }
+    assert _parse_gtid_set(_gtid_set_body(sets)) == sets
+    with pytest.raises(ValueError, match="16 bytes"):
+        _gtid_set_body({b"\x11": [(1, 2)]})
+    with pytest.raises(ValueError, match="interval"):
+        _gtid_set_body({b"\x11" * 16: [(5, 5)]})
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_gtid_set(_gtid_set_body(sets)[:-1])
+    # smallest uncovered gno: prefix sets advance, holes stop the scan
+    assert _smallest_uncovered_gno([(1, 100)]) == 100
+    assert _smallest_uncovered_gno([(1, 10), (20, 30)]) == 10
+    assert _smallest_uncovered_gno([(2, 10)]) == 1
+    assert _smallest_uncovered_gno([(1, 5), (5, 9)]) == 9
+
+
+def test_previous_gtids_head_skips_file():
+    """A PREVIOUS_GTIDS head whose smallest uncovered gno is past the
+    stop bound skips the whole file; decode still tolerates the event
+    (type 35 is in the genuinely-ignorable skip set)."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import scan_binlog_splits
+
+    sid = b"\x11" * 16
+    blob = _gno_blob(range(100, 120), previous_gtids={sid: [(1, 100)]})
+    # decode unaffected by the new head event
+    assert len(decode_binlog_bytes(blob, TARGET, "d", "t")) == 20
+    # stop below the file's first possible gno -> skipped via the head
+    assert scan_binlog_splits(blob, 256, stop_at_gno=50) == []
+    assert scan_binlog_splits(blob, 256, stop_at_gno=99) == []
+    # stop inside the file -> kept and trimmed
+    kept = _decode_ranges(
+        blob, scan_binlog_splits(blob, 256, stop_at_gno=105)
+    )
+    assert [r["__gtid"] for r in kept] == list(range(100, 106))
+    # a HOLE below the stop bound blocks the skip: a file that fills
+    # the gap (gnos 10..19, legal under gtid_next) must still be
+    # walked — a rule keyed on the set's MAX end (100 > 50) would
+    # wrongly prune it and lose the rows
+    holey = _gno_blob(
+        range(10, 20), previous_gtids={sid: [(1, 10), (20, 100)]}
+    )
+    filled = _decode_ranges(
+        holey, scan_binlog_splits(holey, 256, stop_at_gno=50)
+    )
+    assert [r["__gtid"] for r in filled] == list(range(10, 20))
+
+
+def test_gtid_bounds_file_walker_matches_bytes_walker(tmp_path):
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        scan_binlog_splits,
+        scan_binlog_splits_file,
+    )
+
+    sid = b"\x11" * 16
+    blob = _gno_blob(range(50, 150), previous_gtids={sid: [(1, 50)]})
+    path = tmp_path / "binlog.000007"
+    path.write_bytes(blob)
+    for start, stop in [
+        (None, None), (60, 120), (None, 40), (149, None), (None, 55),
+    ]:
+        a = scan_binlog_splits(
+            blob, 300, start_after_gno=start, stop_at_gno=stop
+        )
+        b = scan_binlog_splits_file(
+            str(path), 300, start_after_gno=start, stop_at_gno=stop
+        )
+        assert a == b, (start, stop)
+
+
+def test_read_gtid_range_equals_filtered_full_read(spark, tmp_path):
+    """mysql_binlog_read_gtid_range over a rotated series (contiguous
+    gno ranges, PREVIOUS_GTIDS heads) == the full parallel read
+    filtered on __gtid — while the out-of-window files are provably
+    pruned at the header walk."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        mysql_binlog_read_gtid_range,
+        mysql_binlog_read_parallel,
+        scan_binlog_splits_file,
+    )
+
+    sid = b"\x11" * 16
+    ranges = [(1, 40), (40, 80), (80, 120)]
+    for i, (lo, hi) in enumerate(ranges, start=1):
+        (tmp_path / f"binlog.{i:06d}").write_bytes(
+            _gno_blob(
+                range(lo, hi),
+                previous_gtids={sid: [(1, lo)]} if lo > 1 else None,
+            )
+        )
+    key = lambda r: (r["__file_seq"], r["__event_seq"], r["__image_seq"])
+    full = mysql_binlog_read_parallel(
+        spark, str(tmp_path), TARGET, "d", "t", split_bytes=512
+    ).collect()
+    want = sorted(
+        (r.asDict() for r in full if 25 < r["__gtid"] <= 60), key=key
+    )
+    got = sorted(
+        (
+            r.asDict()
+            for r in mysql_binlog_read_gtid_range(
+                spark, str(tmp_path), TARGET, "d", "t",
+                start_after_gno=25, stop_at_gno=60, split_bytes=512,
+            ).collect()
+        ),
+        key=key,
+    )
+    assert got == want and len(got) == 35
+    # file 3 (gnos 80..119, prev head [1,80)) skips off ONE event read
+    assert scan_binlog_splits_file(
+        str(tmp_path / "binlog.000003"), 512,
+        start_after_gno=25, stop_at_gno=60,
+    ) == []
+
+
+def test_prune_binlog_series_by_gtid(tmp_path):
+    """Series-level pruning off PREVIOUS_GTIDS heads: gno order comes
+    from the heads themselves (file NAMES are deliberately scrambled
+    here, the staged-fixture shape), the first file's EMPTY set means
+    'nothing before', and a headless file disables start-side pruning
+    (but not stop-side, which only needs a file's own head)."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        binlog_prev_gtids_uncovered,
+        prune_binlog_series_by_gtid,
+    )
+
+    sid = b"\x11" * 16
+    # names scrambled vs gno order: p10 sorts before p2
+    spec = {
+        "binlog.p0.000000": (1, 40, {sid: []}),
+        "binlog.p10.000000": (40, 80, {sid: [(1, 40)]}),
+        "binlog.p2.000000": (80, 120, {sid: [(1, 80)]}),
+    }
+    for name, (lo, hi, prev) in spec.items():
+        (tmp_path / name).write_bytes(
+            _gno_blob(range(lo, hi), previous_gtids=prev)
+        )
+    paths = sorted(str(tmp_path / n) for n in spec)
+    heads = {p.rsplit("/", 1)[1]: binlog_prev_gtids_uncovered(p) for p in paths}
+    assert heads == {
+        "binlog.p0.000000": 1,
+        "binlog.p10.000000": 40,
+        "binlog.p2.000000": 80,
+    }
+    name_of = lambda kept: sorted(p.rsplit("/", 1)[1] for p in kept)
+    # resume after 90: only the 80..119 file survives
+    assert name_of(prune_binlog_series_by_gtid(paths, 90, None)) == [
+        "binlog.p2.000000"
+    ]
+    # window (38, 41]: straddles the first rotation — both boundary
+    # files survive, the last prunes by its own head
+    assert name_of(prune_binlog_series_by_gtid(paths, 38, 41)) == [
+        "binlog.p0.000000", "binlog.p10.000000"
+    ]
+    # window (39, 41]: gno 39 is excluded, so the first file prunes too
+    assert name_of(prune_binlog_series_by_gtid(paths, 39, 41)) == [
+        "binlog.p10.000000"
+    ]
+    # no bounds: untouched
+    assert prune_binlog_series_by_gtid(paths, None, None) == paths
+    # a HEADLESS file anywhere disables start-side pruning...
+    (tmp_path / "binlog.p9.000000").write_bytes(_gno_blob(range(120, 125)))
+    paths4 = sorted(str(p) for p in tmp_path.iterdir())
+    kept = name_of(prune_binlog_series_by_gtid(paths4, 90, None))
+    assert "binlog.p0.000000" in kept and "binlog.p9.000000" in kept
+    # ...but stop-side still prunes off each file's own head
+    kept_stop = name_of(prune_binlog_series_by_gtid(paths4, None, 50))
+    assert "binlog.p2.000000" not in kept_stop
+    assert "binlog.p9.000000" in kept_stop  # headless: kept
