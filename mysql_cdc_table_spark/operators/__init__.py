@@ -310,6 +310,7 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "cdc_binlog_full_metadata_roundtrip",
     "text_cooccurrence_pmi",
     "cdc_binlog_gtid_resume",
+    "ts_holt_linear",
 )
 
 

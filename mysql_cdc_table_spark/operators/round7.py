@@ -845,3 +845,101 @@ JOIN uni ub ON ub.tok = t.b
 
 QUERIES.update({"text_cooccurrence_pmi": text_cooccurrence_pmi})
 ORACLES.update({"text_cooccurrence_pmi": TEXT_COOCCURRENCE_PMI_SQL})
+
+
+# --- Holt double-exponential smoothing ---------------------------------------
+
+
+HOLT_ALPHA = 0.3
+HOLT_BETA = 0.2
+HOLT_FRAME = 20
+
+
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per user: level AND
+    trend, so the one-step forecast tracks drifting series the flat
+    EWMA (ts_ewma_window) lags behind. Same bounded-frame fold idiom:
+    the trailing 20 values fold ONCE left-to-right with a (level,
+    trend) STRUCT accumulator —
+      l_t = a*x_t + (1-a)*(l_{t-1} + b_{t-1});
+      b_t = g*(l_t - l_{t-1}) + (1-g)*b_{t-1}
+    — classic init l_1 = x_1, b_1 = 0, which is exactly what DuckDB's
+    list_reduce produces when the value list is mapped to {l: x, b: 0}
+    structs and the FIRST element seeds the accumulator (the
+    list_prepend trick is not even needed here); Spark's aggregate()
+    seeds the same struct explicitly and folds elements 2..n. Both
+    engines run the identical IEEE double sequence, so level and
+    forecast are bit-identical; output floor-quantized to millionths
+    (floor is exact, round is the .5-tie hazard). One sort per user
+    partition, O(frame) per row — the frame never leaves its
+    partition at any scale."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(HOLT_FRAME - 1), 0)
+    )
+    a, g = HOLT_ALPHA, HOLT_BETA
+    step = (
+        f"(acc, x) -> named_struct("
+        f"'l', {a} * x + {1 - a} * (acc.l + acc.b), "
+        f"'b', {g} * (({a} * x + {1 - a} * (acc.l + acc.b)) - acc.l)"
+        f" + {1 - g} * acc.b)"
+    )
+    fold = F.expr(
+        f"aggregate("
+        f"  slice(vals, 2, greatest(size(vals) - 1, 0)),"
+        f"  named_struct('l', element_at(vals, 1), 'b', cast(0.0 as double)),"
+        f"  {step})"
+    )
+    return (
+        ev.withColumn("vals", F.collect_list("value").over(w))
+        .withColumn("acc", fold)
+        .select(
+            "event_id",
+            "user_id",
+            F.floor(F.col("acc.l") * 1_000_000).cast("long").alias("level_e6"),
+            F.floor((F.col("acc.l") + F.col("acc.b")) * 1_000_000)
+            .cast("long")
+            .alias("forecast_e6"),
+        )
+    )
+
+
+# NOTE: the natural list_reduce fold with a STRUCT accumulator is
+# WRONG on DuckDB 1.0 — inside the lambda's struct literal, later
+# fields see the UPDATED earlier fields (acc.l in the 'b' expression
+# binds to the freshly computed 'l'), silently corrupting any coupled
+# recurrence. The oracle folds with a recursive CTE instead: plain
+# scalar arithmetic per step, the identical IEEE sequence Spark's
+# aggregate() runs. (Parity-gotcha list entry.)
+TS_HOLT_LINEAR_SQL = f"""
+WITH RECURSIVE framed AS (
+  SELECT event_id, user_id,
+         list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {HOLT_FRAME - 1} PRECEDING AND CURRENT ROW
+         ) AS vals
+  FROM events
+), rec AS (
+  SELECT event_id, user_id, vals, 1 AS i,
+         vals[1] AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM framed
+  UNION ALL
+  SELECT event_id, user_id, vals, i + 1,
+         {HOLT_ALPHA} * vals[i + 1] + {1 - HOLT_ALPHA} * (l + b),
+         {HOLT_BETA} * (({HOLT_ALPHA} * vals[i + 1]
+           + {1 - HOLT_ALPHA} * (l + b)) - l) + {1 - HOLT_BETA} * b
+  FROM rec WHERE i < len(vals)
+)
+SELECT event_id, user_id,
+       CAST(floor(l * 1000000) AS BIGINT) AS level_e6,
+       CAST(floor((l + b) * 1000000) AS BIGINT) AS forecast_e6
+FROM rec WHERE i = len(vals)
+"""
+
+
+QUERIES.update({"ts_holt_linear": ts_holt_linear})
+ORACLES.update({"ts_holt_linear": TS_HOLT_LINEAR_SQL})

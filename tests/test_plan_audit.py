@@ -570,6 +570,19 @@ def test_ewma_one_sort_per_user_partition(spark, sf_dir):
     assert_columns_pruned(df, 6)  # events is 6 wide; scan reads 4 cols
 
 
+def test_holt_one_sort_per_user_partition(spark, sf_dir):
+    """Holt smoothing shares the EWMA plan shape: one exchange on
+    user_id, one Window; the struct fold runs inside the projection —
+    no extra shuffle for the second (trend) recurrence."""
+    from mysql_cdc_table_spark.operators.round7 import ts_holt_linear
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = ts_holt_linear(spark, sf_dir)
+    assert shuffle_count(df) == 1
+    assert count_nodes(df, "Window") == 1
+    assert_columns_pruned(df, 6)  # events is 6 wide; scan reads 4 cols
+
+
 def test_passage_dedup_single_passage_shuffle(spark, sf_dir):
     """One explode + one window over passage partitions + one per-doc
     agg: each passage instance crosses the wire once; no join back, no
