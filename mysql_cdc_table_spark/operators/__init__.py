@@ -311,6 +311,7 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "text_cooccurrence_pmi",
     "cdc_binlog_gtid_resume",
     "ts_holt_linear",
+    "text_rake_keywords",
 )
 
 

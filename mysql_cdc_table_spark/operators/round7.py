@@ -943,3 +943,121 @@ FROM rec WHERE i = len(vals)
 
 QUERIES.update({"ts_holt_linear": ts_holt_linear})
 ORACLES.update({"ts_holt_linear": TS_HOLT_LINEAR_SQL})
+
+
+# --- RAKE keyword extraction -------------------------------------------------
+
+
+RAKE_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+RAKE_TOP_K = 3
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction) per document: candidate
+    phrases are the maximal stopword-free token runs; each word scores
+    degree/frequency over the DOCUMENT's candidates (degree = summed
+    length of the phrases it appears in), and a phrase scores the sum
+    of its words' scores — the classic unsupervised keyphrase baseline
+    (Rose et al. 2010), complementing text_cooccurrence_pmi (corpus
+    collocations) with per-doc phrase extraction. Top-3 phrases per doc
+    by (score desc, phrase asc). Everything keys on doc_id (or finer) —
+    phrase grouping, word stats, scoring are all document-local, so at
+    100 TB the family co-partitions on doc_id and no vocabulary-wide
+    state exists anywhere. Per-word scores floor to basis points before
+    the integer phrase sum, so no float crosses engines."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.expr("filter(split(text, ' '), x -> x != '')")).alias("pos", "w")
+    )
+    flagged = docs.withColumn("is_stop", F.col("w").isin(*RAKE_STOPWORDS))
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    grp = flagged.withColumn(
+        "g", F.sum(F.col("is_stop").cast("int")).over(w_doc)
+    )
+    cand = grp.filter(~F.col("is_stop")).select("doc_id", "g", "pos", "w")
+    phr = cand.groupBy("doc_id", "g").agg(
+        F.count("*").alias("plen"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    wstat = (
+        cand.join(phr.select("doc_id", "g", "plen"), ["doc_id", "g"])
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
+    )
+    sc = (
+        cand.join(wstat, ["doc_id", "w"])
+        .groupBy("doc_id", "g")
+        .agg(
+            F.sum(
+                F.floor(10000.0 * F.col("deg") / F.col("freq")).cast("long")
+            ).alias("score_bp")
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("score_bp").desc(), F.col("phrase").asc(), F.col("g").asc()
+    )
+    return (
+        phr.join(sc, ["doc_id", "g"])
+        .withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= RAKE_TOP_K)
+        .select("doc_id", "rk", "phrase", "plen", "score_bp")
+    )
+
+
+_RAKE_STOP_SQL = ", ".join(f"'{s}'" for s in RAKE_STOPWORDS)
+
+TEXT_RAKE_KEYWORDS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+), tokpos AS (
+  SELECT doc_id, unnest(generate_series(1, len(tk))) AS pos, tk
+  FROM d WHERE len(tk) > 0
+), flagged AS (
+  SELECT doc_id, pos, tk[pos] AS w,
+         tk[pos] IN ({_RAKE_STOP_SQL}) AS is_stop
+  FROM tokpos
+), grp AS (
+  SELECT doc_id, pos, w, is_stop,
+         sum(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+           PARTITION BY doc_id ORDER BY pos
+         ) AS g
+  FROM flagged
+), cand AS (
+  SELECT doc_id, g, pos, w FROM grp WHERE NOT is_stop
+), phr AS (
+  SELECT doc_id, g, count(*) AS plen,
+         string_agg(w, ' ' ORDER BY pos) AS phrase
+  FROM cand GROUP BY doc_id, g
+), wstat AS (
+  SELECT c.doc_id, c.w,
+         count(*) AS freq,
+         CAST(sum(p.plen) AS BIGINT) AS deg
+  FROM cand c JOIN phr p ON c.doc_id = p.doc_id AND c.g = p.g
+  GROUP BY c.doc_id, c.w
+), sc AS (
+  SELECT c.doc_id, c.g,
+         CAST(sum(CAST(floor(10000.0 * s.deg / s.freq) AS BIGINT))
+              AS BIGINT) AS score_bp
+  FROM cand c JOIN wstat s ON c.doc_id = s.doc_id AND c.w = s.w
+  GROUP BY c.doc_id, c.g
+), ranked AS (
+  SELECT p.doc_id, p.phrase, CAST(p.plen AS BIGINT) AS plen, sc.score_bp,
+         row_number() OVER (
+           PARTITION BY p.doc_id
+           ORDER BY sc.score_bp DESC, p.phrase ASC, p.g ASC
+         ) AS rk
+  FROM phr p JOIN sc ON p.doc_id = sc.doc_id AND p.g = sc.g
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, phrase, plen, score_bp
+FROM ranked WHERE rk <= {RAKE_TOP_K}
+"""
+
+
+QUERIES.update({"text_rake_keywords": text_rake_keywords})
+ORACLES.update({"text_rake_keywords": TEXT_RAKE_KEYWORDS_SQL})

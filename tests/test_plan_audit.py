@@ -583,6 +583,19 @@ def test_holt_one_sort_per_user_partition(spark, sf_dir):
     assert_columns_pruned(df, 6)  # events is 6 wide; scan reads 4 cols
 
 
+def test_rake_doc_local_no_cartesian(spark, sf_dir):
+    """RAKE is document-local end-to-end: every join/agg keys on
+    doc_id (or finer), no cartesian, no corpus-wide vocabulary state;
+    the rank is a per-doc WindowGroupLimit."""
+    from mysql_cdc_table_spark.operators.round7 import text_rake_keywords
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = text_rake_keywords(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert count_nodes(df, "WindowGroupLimit") >= 1  # top-k pushdown
+    assert_columns_pruned(df, 5)  # documents is 5 wide; scan reads 2
+
+
 def test_passage_dedup_single_passage_shuffle(spark, sf_dir):
     """One explode + one window over passage partitions + one per-doc
     agg: each passage instance crosses the wire once; no join back, no
