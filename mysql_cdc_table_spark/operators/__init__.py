@@ -312,6 +312,7 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "cdc_binlog_gtid_resume",
     "ts_holt_linear",
     "text_rake_keywords",
+    "emb_dim_variance",
 )
 
 

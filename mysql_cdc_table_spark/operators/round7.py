@@ -1061,3 +1061,69 @@ FROM ranked WHERE rk <= {RAKE_TOP_K}
 
 QUERIES.update({"text_rake_keywords": text_rake_keywords})
 ORACLES.update({"text_rake_keywords": TEXT_RAKE_KEYWORDS_SQL})
+
+
+# --- per-dimension embedding variance ----------------------------------------
+
+
+def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance profile of the embedding space — the
+    feature-selection / whitening diagnostic (dead dims, dominant dims)
+    run before PCA or product quantization. One posexplode + ONE
+    map-side-combinable hash agg over the (dim) grid; output is 64 rows
+    regardless of corpus size, and the rank window runs over that tiny
+    grid only. Components are floor-quantized to 1e-4 BEFORE
+    aggregation (float32→double is exact, one identical double multiply
+    + floor per value), so Σx and Σx² are exact BIGINT in both engines
+    and the scaled variance m_var = n·Σx² − (Σx)² compares exactly —
+    no float ever crosses engines. Integer headroom: |xq| ≤ ~5.3e3
+    bounds (Σx)² under int64 to ~5×10^5 rows per aggregation; beyond
+    that the sums widen to decimal128 (same plan shape)."""
+    e = t(spark, sf_dir, "embeddings").select(
+        F.posexplode("embedding").alias("dim", "x")
+    )
+    q = e.select(
+        "dim",
+        F.floor(F.col("x").cast("double") * 10000).cast("long").alias("xq"),
+    )
+    agg = q.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("xq").alias("sum_q4"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sumsq_q4"),
+    )
+    m = (F.col("n") * F.col("sumsq_q4") - F.col("sum_q4") * F.col("sum_q4"))
+    w = Window.orderBy(F.col("m_var").desc(), F.col("dim").asc())
+    return (
+        agg.withColumn("m_var", m)
+        .withColumn("vrank", F.row_number().over(w))
+        .select("dim", "n", "sum_q4", "sumsq_q4", "m_var", "vrank")
+    )
+
+
+EMB_DIM_VARIANCE_SQL = """
+WITH x AS (
+  SELECT unnest(generate_series(1, len(embedding))) - 1 AS dim,
+         embedding AS emb
+  FROM embeddings
+), q AS (
+  SELECT CAST(dim AS INT) AS dim,
+         CAST(floor(CAST(emb[dim + 1] AS DOUBLE) * 10000) AS BIGINT) AS xq
+  FROM x
+), agg AS (
+  SELECT dim,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xq) AS BIGINT) AS sum_q4,
+         CAST(sum(xq * xq) AS BIGINT) AS sumsq_q4
+  FROM q GROUP BY dim
+)
+SELECT dim, n, sum_q4, sumsq_q4,
+       n * sumsq_q4 - sum_q4 * sum_q4 AS m_var,
+       CAST(row_number() OVER (
+         ORDER BY n * sumsq_q4 - sum_q4 * sum_q4 DESC, dim ASC
+       ) AS INT) AS vrank
+FROM agg
+"""
+
+
+QUERIES.update({"emb_dim_variance": emb_dim_variance})
+ORACLES.update({"emb_dim_variance": EMB_DIM_VARIANCE_SQL})
