@@ -313,6 +313,7 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "ts_holt_linear",
     "text_rake_keywords",
     "emb_dim_variance",
+    "agg_count_min_sketch",
 )
 
 

@@ -1127,3 +1127,141 @@ FROM agg
 
 QUERIES.update({"emb_dim_variance": emb_dim_variance})
 ORACLES.update({"emb_dim_variance": EMB_DIM_VARIANCE_SQL})
+
+
+# --- Count-Min sketch --------------------------------------------------------
+
+
+CMS_D = 4  # hash rows
+CMS_W = 512  # counters per row
+CMS_MOD = 2_147_483_647  # 2^31 - 1: keeps the char fold inside int64
+# fixed (a, b) pairwise-independent hash parameters, one pair per row
+CMS_SALTS = ((1_000_003, 12_345), (999_983, 54_321),
+             (1_299_709, 7_777), (1_800_451, 99_991))
+
+
+def _cms_word_code(word: str) -> int:
+    """Polynomial char fold mod 2^31-1 — mirrored EXACTLY by the SQL
+    fold in agg_count_min_sketch's probe stage (same constants, same
+    step order), so builder and prober index identical cells."""
+    acc = 0
+    for ch in word:
+        acc = (acc * 131 + ord(ch)) % CMS_MOD
+    return acc
+
+
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over corpus words — the mergeable frequency
+    sketch for when per-key exact counts can't shuffle (companion to
+    agg_heavy_hitters_mg, which needs a second scan; CMS answers
+    point queries from ONE pass of fixed-size state). Build: each
+    partition folds its words into a d×w counter table (Arrow-batched
+    mapInPandas; the per-unique-word fold is batch-level Python over a
+    small vocabulary, never a per-row UDF), emits the non-zero cells,
+    and cells MERGE BY SUM in one tiny hash agg (d·w = 2048 cells
+    regardless of scale — the whole point). Probe: the top-20 words by
+    exact count (deterministic probe set the oracle can reproduce) are
+    hashed JVM-side with the identical char fold, joined to the
+    broadcast sketch, est = min over the d rows.
+
+    Driver contract (error-bound idiom, like the HLL 5·rsd oracle):
+    output = exact top-20 counts plus two booleans the oracle emits as
+    literal TRUE — ``overestimates_ok`` (CMS can never undercount; a
+    violation means the merge or hash broke) and ``within_bound``
+    (est ≤ exact + 3·e·N/w — Markov gives P(fail) ≤ (3e)^-d ≈ 2e-4 per
+    probe, and the sketch is fully deterministic, so a pass at this
+    data is a pass forever; only a mechanism regression flips it)."""
+    import math
+
+    docs = t(spark, sf_dir, "documents").select("text")
+
+    def cms_partials(batches):
+        import pandas as pd
+
+        cells: dict[tuple[int, int], int] = {}
+        for pdf in batches:
+            toks = pdf["text"].str.split(" ").explode()
+            toks = toks[toks.notna() & (toks != "")]
+            for w, c in toks.value_counts().items():
+                code = _cms_word_code(str(w))
+                for i, (a, b) in enumerate(CMS_SALTS):
+                    idx = (a * code + b) % CMS_MOD % CMS_W
+                    cells[(i, idx)] = cells.get((i, idx), 0) + int(c)
+        yield pd.DataFrame(
+            {
+                "i": [k[0] for k in cells],
+                "idx": [k[1] for k in cells],
+                "cnt": list(cells.values()),
+            }
+        )
+
+    sketch = (
+        docs.mapInPandas(cms_partials, schema="i int, idx int, cnt long")
+        .groupBy("i", "idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+    words = t(spark, sf_dir, "documents").select(
+        F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias(
+            "word"
+        )
+    )
+    counts = words.groupBy("word").agg(F.count("*").alias("exact_cnt"))
+    total = counts.agg(F.sum("exact_cnt").alias("n_total"))
+    w_rank = Window.orderBy(F.col("exact_cnt").desc(), F.col("word").asc())
+    top = (
+        counts.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= 20)
+        .drop("rk")
+    )
+    code = F.expr(
+        f"aggregate(split(word, ''), cast(0 as bigint),"
+        f" (acc, c) -> (acc * 131 + ascii(c)) % {CMS_MOD})"
+    )
+    probes = top.withColumn("code", code).select(
+        "word",
+        "exact_cnt",
+        F.posexplode(
+            F.array(
+                *[
+                    ((F.lit(a) * F.col("code") + F.lit(b)) % CMS_MOD % CMS_W)
+                    .cast("int")
+                    for a, b in CMS_SALTS
+                ]
+            )
+        ).alias("i", "idx"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["i", "idx"])
+        .groupBy("word", "exact_cnt")
+        .agg(F.min("cnt").alias("est"))
+    )
+    slack = F.ceil(F.lit(3 * math.e / CMS_W) * F.col("n_total"))
+    return est.join(F.broadcast(total)).select(
+        "word",
+        "exact_cnt",
+        (F.col("est") >= F.col("exact_cnt")).alias("overestimates_ok"),
+        (F.col("est") <= F.col("exact_cnt") + slack).alias("within_bound"),
+    )
+
+
+AGG_COUNT_MIN_SKETCH_SQL = """
+WITH w AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM documents
+), cnt AS (
+  SELECT word, count(*) AS c FROM w GROUP BY word
+), top AS (
+  SELECT word, CAST(c AS BIGINT) AS exact_cnt,
+         row_number() OVER (ORDER BY c DESC, word ASC) AS rk
+  FROM cnt
+)
+SELECT word, exact_cnt,
+       TRUE AS overestimates_ok,
+       TRUE AS within_bound
+FROM top WHERE rk <= 20
+"""
+
+
+QUERIES.update({"agg_count_min_sketch": agg_count_min_sketch})
+ORACLES.update({"agg_count_min_sketch": AGG_COUNT_MIN_SKETCH_SQL})

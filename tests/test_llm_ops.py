@@ -612,3 +612,40 @@ def test_pii_regex_subset_parity_adversarial(spark):
     assert got == duck, {
         i: (got[i], duck[i]) for i in got if got[i] != duck[i]
     }
+
+
+def test_cms_hash_parity_and_exactness(spark, sf_dir):
+    """Count-Min mechanism: (a) the JVM char fold used by the probe
+    stage equals the Python fold the builder uses, word for word;
+    (b) on this corpus (vocabulary ≪ w, few collisions) the sketch's
+    min-over-rows estimate equals the exact count for every probe, so
+    both oracle booleans are TRUE for all 20 rows — a broken merge,
+    hash, or min would show as est > exact + slack or est < exact."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.operators.round7 import (
+        CMS_MOD,
+        _cms_word_code,
+        agg_count_min_sketch,
+    )
+
+    words = ["the", "spark", "a", "zz9!", "merge", "", "Ünïcode"]
+    sql_codes = (
+        spark.createDataFrame([(w,) for w in words], "word string")
+        .select(
+            F.expr(
+                f"aggregate(split(word, ''), cast(0 as bigint),"
+                f" (acc, c) -> (acc * 131 + ascii(c)) % {CMS_MOD})"
+            ).alias("code")
+        )
+        .collect()
+    )
+    for w, row in zip(words, sql_codes):
+        py = _cms_word_code(w)
+        # ascii() in Spark returns the first codepoint like ord() for
+        # BMP chars; parity must hold for every probe word
+        assert row["code"] == py, (w, row["code"], py)
+
+    out = agg_count_min_sketch(spark, sf_dir).collect()
+    assert len(out) == 20
+    assert all(r["overestimates_ok"] and r["within_bound"] for r in out)

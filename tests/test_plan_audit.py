@@ -596,6 +596,32 @@ def test_rake_doc_local_no_cartesian(spark, sf_dir):
     assert_columns_pruned(df, 5)  # documents is 5 wide; scan reads 2
 
 
+def test_cms_sketch_broadcast_fixed_state(spark, sf_dir):
+    """CMS plan: the sketch (≤ d·w = 2048 cells) and the 1-row total
+    both broadcast to the probe stage; no cartesian; the only
+    vocabulary-sized shuffle is the exact-count companion the probe
+    set is defined by."""
+    from mysql_cdc_table_spark.operators.round7 import agg_count_min_sketch
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = agg_count_min_sketch(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df, 1)  # sketch -> probes
+    assert count_nodes(df, "BroadcastNestedLoopJoin") == 1  # 1-row total
+
+
+def test_emb_dim_variance_single_agg(spark, sf_dir):
+    """One posexplode + one hash agg over the 64-dim grid; the rank
+    window runs on that tiny grid, not the fact table."""
+    from mysql_cdc_table_spark.operators.round7 import emb_dim_variance
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = emb_dim_variance(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert count_nodes(df, "Window") == 1
+    assert shuffle_count(df) <= 2  # dim agg + 64-row rank exchange
+
+
 def test_passage_dedup_single_passage_shuffle(spark, sf_dir):
     """One explode + one window over passage partitions + one per-doc
     agg: each passage instance crosses the wire once; no join back, no
