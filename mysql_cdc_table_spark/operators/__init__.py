@@ -314,6 +314,7 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "text_rake_keywords",
     "emb_dim_variance",
     "agg_count_min_sketch",
+    "ts_cusum_drift",
 )
 
 

@@ -1265,3 +1265,78 @@ FROM top WHERE rk <= 20
 
 QUERIES.update({"agg_count_min_sketch": agg_count_min_sketch})
 ORACLES.update({"agg_count_min_sketch": AGG_COUNT_MIN_SKETCH_SQL})
+
+
+# --- CUSUM drift detection ---------------------------------------------------
+
+
+CUSUM_FRAME = 20
+CUSUM_SLACK = 0.5  # per-step allowance before deviations accumulate
+CUSUM_H = 5.0  # alarm threshold
+
+
+def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift statistic per user — the classic
+    change-point accumulator (Page 1954): within the trailing 20-event
+    frame, s_t = max(0, s_{t-1} + (x_t − x_ref − k)) with the frame's
+    FIRST value as the reference (deterministic — a frame-mean
+    reference would put a cross-engine float average inside the fold)
+    and slack k=0.5; ``drift`` flags s > H=5. A level shift early in
+    the frame accumulates ~(shift−k)·len and trips the flag; noise
+    resets to 0. SCALAR fold accumulator — immune to the DuckDB
+    struct-fold mis-binding ts_holt_linear's oracle works around —
+    identical IEEE sequence both engines, output floor-quantized.
+    Same one-window plan shape as the EWMA; frame-bounded state."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(CUSUM_FRAME - 1), 0)
+    )
+    fold = F.expr(
+        f"aggregate("
+        f"  slice(vals, 2, greatest(size(vals) - 1, 0)),"
+        f"  cast(0.0 as double),"
+        f"  (acc, x) -> greatest(cast(0.0 as double),"
+        f"    acc + (x - element_at(vals, 1) - {CUSUM_SLACK})))"
+    )
+    return (
+        ev.withColumn("vals", F.collect_list("value").over(w))
+        .withColumn("s", fold)
+        .select(
+            "event_id",
+            "user_id",
+            F.floor(F.col("s") * 1_000_000).cast("long").alias("cusum_e6"),
+            (F.col("s") > CUSUM_H).alias("drift"),
+        )
+    )
+
+
+TS_CUSUM_DRIFT_SQL = f"""
+WITH framed AS (
+  SELECT event_id, user_id,
+         list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {CUSUM_FRAME - 1} PRECEDING AND CURRENT ROW
+         ) AS vals
+  FROM events
+), folded AS (
+  SELECT event_id, user_id,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE), vals[2:]),
+           (acc, x) -> greatest(CAST(0.0 AS DOUBLE),
+                                acc + (x - vals[1] - {CUSUM_SLACK}))
+         ) AS s
+  FROM framed
+)
+SELECT event_id, user_id,
+       CAST(floor(s * 1000000) AS BIGINT) AS cusum_e6,
+       s > {CUSUM_H} AS drift
+FROM folded
+"""
+
+
+QUERIES.update({"ts_cusum_drift": ts_cusum_drift})
+ORACLES.update({"ts_cusum_drift": TS_CUSUM_DRIFT_SQL})
