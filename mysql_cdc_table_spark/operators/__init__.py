@@ -315,6 +315,7 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "emb_dim_variance",
     "agg_count_min_sketch",
     "ts_cusum_drift",
+    "cdc_binlog_pitr_window",
 )
 
 

@@ -21,6 +21,7 @@ from mysql_cdc_table_spark.functions.similarity import (
 from mysql_cdc_table_spark.sources.mysql_binlog import (
     CDC_BINLOG_FULL_METADATA_SQL,
     CDC_BINLOG_GTID_RESUME_SQL,
+    CDC_BINLOG_PITR_WINDOW_SQL,
     CDC_BINLOG_LATEST_STATE_SQL,
     CDC_BINLOG_ROWS_QUERY_SQL,
     CDC_BINLOG_MULTI_TABLE_SQL,
@@ -30,6 +31,7 @@ from mysql_cdc_table_spark.sources.mysql_binlog import (
     CDC_MYSQL_BINLOG_ROUNDTRIP_SQL,
     cdc_binlog_full_metadata_roundtrip,
     cdc_binlog_gtid_resume,
+    cdc_binlog_pitr_window,
     cdc_binlog_latest_state,
     cdc_binlog_multi_table,
     cdc_binlog_parallel_roundtrip,
@@ -71,6 +73,9 @@ QUERIES = {
     # round 7: GTID-positioned resume — PREVIOUS_GTIDS file pruning +
     # window-bounded header walk (mysql_binlog_read_gtid_range)
     "cdc_binlog_gtid_resume": cdc_binlog_gtid_resume,
+    # round 7: point-in-time window — wall-clock bounds mapped to GNO
+    # bounds off file-head timestamps (mysql_binlog_read_time_range)
+    "cdc_binlog_pitr_window": cdc_binlog_pitr_window,
 }
 
 ORACLES: dict[str, str] = {
@@ -86,4 +91,5 @@ ORACLES: dict[str, str] = {
     "cdc_binlog_rows_query_roundtrip": CDC_BINLOG_ROWS_QUERY_SQL,
     "cdc_binlog_full_metadata_roundtrip": CDC_BINLOG_FULL_METADATA_SQL,
     "cdc_binlog_gtid_resume": CDC_BINLOG_GTID_RESUME_SQL,
+    "cdc_binlog_pitr_window": CDC_BINLOG_PITR_WINDOW_SQL,
 }

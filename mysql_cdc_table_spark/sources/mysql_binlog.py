@@ -1438,7 +1438,10 @@ def build_binlog_file(
     if previous_gtids is not None:
         emit(EV_PREVIOUS_GTIDS, _gtid_set_body(previous_gtids), base_ts)
     for i, txn in enumerate(txns):
-        ts = base_ts + i
+        # a txn may pin its commit timestamp ("ts") — time-bounded scan
+        # fixtures need wall-clock control; default keeps the original
+        # one-second-per-txn cadence
+        ts = int(txn.get("ts", base_ts + i))
         emit(
             EV_GTID,
             bytes([1]) + sid + struct.pack("<q", txn["gno"]),
@@ -2531,6 +2534,169 @@ def prune_binlog_series_by_gtid(
                 continue  # every gno in this file precedes the window
         keep.append(p)
     return keep
+
+
+def binlog_head_timestamp(path: str) -> int:
+    """The file's first event timestamp (the FDE's header ts, u32 LE at
+    offset 4+0) — when the file was created, i.e., a lower bound on
+    every event inside it. One 23-byte read; the file-ordering
+    primitive for time-bounded scans."""
+    with open(path, "rb") as f:
+        head = f.read(4 + _HEADER_LEN)
+        if head[:4] != BINLOG_MAGIC or len(head) < 4 + _HEADER_LEN:
+            raise ValueError(f"{path}: not a binlog file")
+        return int(struct.unpack_from("<I", head, 4)[0])
+
+
+def _first_gno_at_or_after_ts(path: str, ts_bound: int) -> int | None:
+    """Header-walk one file for the FIRST transaction whose GTID event
+    timestamp is >= ts_bound; None if every transaction predates it.
+    Seek-based like scan_binlog_splits_file — headers plus GTID bodies
+    only."""
+    import os
+
+    size = os.path.getsize(path)
+    with open(path, "rb", buffering=1 << 20) as f:
+        if f.read(4) != BINLOG_MAGIC:
+            raise ValueError(f"{path}: not a binlog file")
+        pos = 4
+        checksum: bool | None = None
+        while pos + _HEADER_LEN <= size:
+            hdr = f.read(_HEADER_LEN)
+            if len(hdr) < _HEADER_LEN:
+                break
+            ets, tc, _s, esize, _lp, _fl = _HEADER.unpack(hdr)
+            if esize < _HEADER_LEN or pos + esize > size:
+                break
+            body_len = esize - _HEADER_LEN
+            if tc == EV_FORMAT_DESCRIPTION:
+                rest = f.read(body_len)
+                if len(rest) < body_len:
+                    break
+                checksum = _detect_checksum(hdr + rest)
+            elif tc == EV_GTID:
+                rest = f.read(body_len)
+                if len(rest) < body_len:
+                    break
+                if ets >= ts_bound:
+                    body = rest[: len(rest) - (4 if checksum else 0)]
+                    return int(struct.unpack_from("<q", body, 17)[0])
+            else:
+                f.seek(body_len, 1)
+            pos += esize
+    return None
+
+
+_GNO_INF = 1 << 62  # "past every gno": empty-window sentinel
+
+
+def binlog_time_to_gno_bounds(
+    paths: list[str],
+    start_ts: int | None,
+    stop_ts: int | None,
+) -> tuple[int | None, int | None]:
+    """Translate a wall-clock window [start_ts, stop_ts) into the
+    (start_after_gno, stop_at_gno] bounds the GTID-positioned scan
+    takes — the planning step of point-in-time reads. File heads give
+    each file's creation time (one 23-byte read per file); only the
+    boundary file (the last whose head precedes the bound) and, if
+    the bound falls past its tail, its successors are header-walked
+    for the first in-bound gno. Assumes the single-writer monotone
+    contract (commit timestamps and gnos non-decreasing together —
+    what mysqlbinlog --start/--stop-datetime assumes too)."""
+    if start_ts is None and stop_ts is None:
+        return None, None
+    heads = sorted((binlog_head_timestamp(p), p) for p in paths)
+
+    def locate(bound: int) -> int | None:
+        # first file that can contain an event >= bound is the LAST
+        # file created before the bound (the bound may fall inside
+        # it); every earlier file is wholly before the bound
+        start_i = 0
+        for i, (hts, _p) in enumerate(heads):
+            if hts <= bound:
+                start_i = i
+            else:
+                break
+        for _hts, p in heads[start_i:]:
+            g = _first_gno_at_or_after_ts(p, bound)
+            if g is not None:
+                return g
+        return None  # bound is past every event
+
+    start_after: int | None = None
+    if start_ts is not None:
+        g = locate(start_ts)
+        # include everything from the first in-window txn on; if the
+        # window starts past the last event, nothing qualifies
+        start_after = g - 1 if g is not None else _GNO_INF
+    stop_at: int | None = None
+    if stop_ts is not None:
+        g = locate(stop_ts)
+        stop_at = g - 1 if g is not None else None
+    return start_after, stop_at
+
+
+def mysql_binlog_read_time_range(
+    spark: SparkSession,
+    path: str,
+    target: T.StructType,
+    database: str,
+    table: str,
+    *,
+    start_ts: int | None = None,
+    stop_ts: int | None = None,
+    split_bytes: int = 64 << 20,
+    gtid_format: str = "long",
+    capture_query: bool = False,
+) -> DataFrame:
+    """Time-bounded batch read — the mysqlbinlog
+    --start-datetime/--stop-datetime analogue (window [start_ts,
+    stop_ts), epoch seconds): the wall-clock window is translated to
+    GNO bounds off the file heads + one or two boundary header walks
+    (binlog_time_to_gno_bounds), then the GTID-positioned scan does
+    the pruning (series-level file skips, bounded walks, no
+    out-of-window decode). A residual __tm filter pins the emitted
+    window exactly. The reference has no time surface at all — its
+    users re-scan everything and filter __tm after decoding the full
+    history."""
+    import os
+
+    local = path
+    if local.startswith("file://"):
+        local = local[len("file://") :]
+    elif local.startswith("file:"):
+        local = local[len("file:") :]
+    if os.path.isdir(local):
+        paths = sorted(
+            os.path.join(local, n)
+            for n in os.listdir(local)
+            if not n.startswith(("_", "."))
+        )
+    else:
+        paths = [local]
+    start_after, stop_at = binlog_time_to_gno_bounds(
+        paths, start_ts, stop_ts
+    )
+    out = mysql_binlog_read_parallel(
+        spark,
+        path,
+        target,
+        database,
+        table,
+        split_bytes=split_bytes,
+        gtid_format=gtid_format,
+        capture_query=capture_query,
+        start_after_gno=start_after,
+        stop_at_gno=stop_at,
+    )
+    from pyspark.sql import functions as F
+
+    if start_ts is not None:
+        out = out.filter(F.col("__tm").cast("long") >= start_ts)
+    if stop_ts is not None:
+        out = out.filter(F.col("__tm").cast("long") < stop_ts)
+    return out
 
 
 def scan_binlog_splits_file(
@@ -4160,6 +4326,128 @@ SELECT status,
        CAST(sum(id * nimg) AS BIGINT) AS gtid_sum,
        CAST(min(id) AS BIGINT) AS min_gno,
        CAST(max(id) AS BIGINT) AS max_gno
+FROM b GROUP BY status
+"""
+
+
+PITR_EPOCH = 1_700_000_000  # fixture time origin: commit ts = epoch + gno
+
+
+def cdc_binlog_pitr_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time window through the real binlog format — the
+    mysqlbinlog --start-datetime/--stop-datetime capability
+    (mysql_binlog_read_time_range): the wall-clock window maps to GNO
+    bounds off the file-head timestamps plus boundary header walks,
+    then the GTID-positioned scan prunes files/ranges/rows. The
+    fixture pins each transaction's commit ts to PITR_EPOCH + gno
+    (strictly monotone across the range-partitioned series, as a
+    single writer's clock is), and reads [epoch + 3·mx/10,
+    epoch + 7·mx/10) — so the oracle is an exact key-range aggregate,
+    with window edges (per-status min/max COMMIT SECOND) in the value
+    hash. The reference has no time surface: its users decode the
+    whole history and filter __tm after the fact."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.operators._util import t
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "status",
+                T.StringType(),
+                metadata={"mysql_type": "enum", "values": ["F", "O", "P"]},
+            ),
+        ]
+    )
+    base = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .repartitionByRange(spark.sparkContext.defaultParallelism, "id")
+        .sortWithinPartitions("id")
+    )
+    mx = base.agg(F.max("id")).collect()[0][0] or 0
+    start_ts = PITR_EPOCH + (mx * 3) // 10
+    stop_ts = PITR_EPOCH + (mx * 7) // 10
+
+    file_schema = T.StructType([T.StructField("file_bytes", T.BinaryType())])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            txns = []
+            for r in pdf.itertuples(index=False):
+                rid = int(r.id)
+                row = {"id": rid, "status": r.status}
+                op = "u" if rid % 10 == 0 else "w"
+                rows = [(dict(row), row)] if op == "u" else [row]
+                txns.append(
+                    {"gno": rid, "op": op, "rows": rows,
+                     "ts": PITR_EPOCH + rid}
+                )
+            min_gno = txns[0]["gno"]
+            blob = build_binlog_file(
+                "tpch",
+                "orders",
+                target,
+                txns,
+                checksum=True,
+                base_ts=txns[0]["ts"],  # FDE head ts <= every event
+                previous_gtids=(
+                    {b"\x11" * 16: [(1, min_gno)]}
+                    if min_gno > 1
+                    else {b"\x11" * 16: []}
+                ),
+            )
+            yield pd.DataFrame({"file_bytes": [blob]})
+
+    files = base.mapInPandas(encode, schema=file_schema)
+    stage = _stage_binlog_files(spark, files, f"{sf_dir}|pitr_window")
+    decoded = mysql_binlog_read_time_range(
+        spark,
+        stage,
+        target,
+        "tpch",
+        "orders",
+        start_ts=start_ts,
+        stop_ts=stop_ts,
+        split_bytes=4096,
+    )
+    return decoded.groupBy("status").agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("__op") == CDC_UPDATE_BEFORE).alias(
+            "n_update_pairs"
+        ),
+        F.sum("__gtid").alias("gtid_sum"),
+        F.min(F.col("__tm").cast("long")).alias("min_commit_s"),
+        F.max(F.col("__tm").cast("long")).alias("max_commit_s"),
+    )
+
+
+CDC_BINLOG_PITR_WINDOW_SQL = f"""
+WITH m AS (
+  SELECT (max(o_orderkey) * 3) // 10 AS s,
+         (max(o_orderkey) * 7) // 10 AS e
+  FROM orders
+), b AS (
+  SELECT o_orderkey AS id,
+         o_orderstatus AS status,
+         CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS nimg
+  FROM orders, m
+  WHERE o_orderkey >= m.s AND o_orderkey < m.e
+)
+SELECT status,
+       CAST(sum(nimg) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE nimg = 2) AS BIGINT) AS n_update_pairs,
+       CAST(sum(id * nimg) AS BIGINT) AS gtid_sum,
+       CAST({PITR_EPOCH} + min(id) AS BIGINT) AS min_commit_s,
+       CAST({PITR_EPOCH} + max(id) AS BIGINT) AS max_commit_s
 FROM b GROUP BY status
 """
 

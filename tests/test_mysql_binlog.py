@@ -1904,3 +1904,92 @@ def test_prune_binlog_series_by_gtid(tmp_path):
     kept_stop = name_of(prune_binlog_series_by_gtid(paths4, None, 50))
     assert "binlog.p2.000000" not in kept_stop
     assert "binlog.p9.000000" in kept_stop  # headless: kept
+
+
+# --- time-bounded reads (point-in-time recovery) ------------------------------
+
+
+def _ts_blob(lo, hi, *, epoch=1_700_000_000):
+    """gnos lo..hi-1 with commit ts = epoch + gno (monotone clock)."""
+    r = lambda i: {"id": i, "v": f"v{i}", "amt": Decimal(i) % 1000}
+    return build_binlog_file(
+        "d", "t", TARGET,
+        [dict(_txn(g, "w", [r(g)]), ts=1_700_000_000 + g)
+         for g in range(lo, hi)],
+        checksum=True,
+        base_ts=1_700_000_000 + lo,
+        previous_gtids={b"\x11" * 16: [(1, lo)] if lo > 1 else []},
+    )
+
+
+def test_time_bound_helpers(tmp_path):
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        _GNO_INF,
+        _first_gno_at_or_after_ts,
+        binlog_head_timestamp,
+        binlog_time_to_gno_bounds,
+    )
+
+    e = 1_700_000_000
+    p1, p2 = tmp_path / "binlog.000001", tmp_path / "binlog.000002"
+    p1.write_bytes(_ts_blob(1, 50))
+    p2.write_bytes(_ts_blob(50, 90))
+    assert binlog_head_timestamp(str(p1)) == e + 1
+    assert binlog_head_timestamp(str(p2)) == e + 50
+    assert _first_gno_at_or_after_ts(str(p1), e + 10) == 10
+    assert _first_gno_at_or_after_ts(str(p1), e) == 1
+    assert _first_gno_at_or_after_ts(str(p1), e + 200) is None
+    paths = [str(p1), str(p2)]
+    # mid-window: [e+20, e+60) -> gnos 20..59 -> (19, 59]
+    assert binlog_time_to_gno_bounds(paths, e + 20, e + 60) == (19, 59)
+    # boundary falls exactly at a rotation
+    assert binlog_time_to_gno_bounds(paths, e + 50, None) == (49, None)
+    # start before everything / stop past everything
+    assert binlog_time_to_gno_bounds(paths, e - 100, e + 1000) == (0, None)
+    # start past everything -> empty sentinel
+    s, _ = binlog_time_to_gno_bounds(paths, e + 1000, None)
+    assert s == _GNO_INF
+    # no bounds -> no-op
+    assert binlog_time_to_gno_bounds(paths, None, None) == (None, None)
+
+
+def test_read_time_range_equals_filtered_full_read(spark, tmp_path):
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        mysql_binlog_read_parallel,
+        mysql_binlog_read_time_range,
+    )
+
+    e = 1_700_000_000
+    for i, (lo, hi) in enumerate([(1, 40), (40, 80), (80, 120)], start=1):
+        (tmp_path / f"binlog.{i:06d}").write_bytes(_ts_blob(lo, hi))
+    key = lambda r: (r["__file_seq"], r["__event_seq"], r["__image_seq"])
+    full = mysql_binlog_read_parallel(
+        spark, str(tmp_path), TARGET, "d", "t", split_bytes=512
+    ).collect()
+    want = sorted(
+        (
+            r.asDict()
+            for r in full
+            if e + 25 <= int(r["__tm"].timestamp()) < e + 95
+        ),
+        key=key,
+    )
+    got = sorted(
+        (
+            r.asDict()
+            for r in mysql_binlog_read_time_range(
+                spark, str(tmp_path), TARGET, "d", "t",
+                start_ts=e + 25, stop_ts=e + 95, split_bytes=512,
+            ).collect()
+        ),
+        key=key,
+    )
+    assert got == want and len(got) == 70
+    # empty window
+    assert (
+        mysql_binlog_read_time_range(
+            spark, str(tmp_path), TARGET, "d", "t",
+            start_ts=e + 5000, stop_ts=e + 6000,
+        ).count()
+        == 0
+    )
