@@ -316,6 +316,7 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "agg_count_min_sketch",
     "ts_cusum_drift",
     "cdc_binlog_pitr_window",
+    "agg_weighted_quantiles",
 )
 
 

@@ -1340,3 +1340,83 @@ FROM folded
 
 QUERIES.update({"ts_cusum_drift": ts_cusum_drift})
 ORACLES.update({"ts_cusum_drift": TS_CUSUM_DRIFT_SQL})
+
+
+# --- exact weighted quantiles ------------------------------------------------
+
+
+def agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted quantiles (p25/median/p75 of extended price
+    weighted by quantity, per return flag) — the inventory-weighted
+    distribution summary percentile_* cannot express (every unit of
+    quantity counts as one sample). Shape: pre-aggregate to the
+    (flag, cents) grid FIRST (ties collapse, so the cumulative sum is
+    deterministic), ONE cumulative-weight window per flag over that
+    grid, then the quantile picks are conditional mins — smallest
+    value whose cumulative weight reaches the rank. All arithmetic in
+    integer cents/units; the only float op is the shared
+    cents-quantization round, identical per-value in both engines (2dp
+    doubles ×100 never land on .5 ties). At scale the window runs over
+    the DISTINCT-price grid per flag, not the fact rows."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    grid = li.groupBy("flag", "cents").agg(F.sum("wt").alias("w"))
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.withColumn("cw", F.sum("w").over(w_cum))
+    tot = grid.groupBy("flag").agg(F.sum("w").alias("total_units"))
+    j = cum.join(F.broadcast(tot), "flag")
+    return j.groupBy("flag", "total_units").agg(
+        F.min(
+            F.when(4 * F.col("cw") >= F.col("total_units"), F.col("cents"))
+        ).alias("wp25_cents"),
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("total_units"), F.col("cents"))
+        ).alias("wmedian_cents"),
+        F.min(
+            F.when(4 * F.col("cw") >= 3 * F.col("total_units"), F.col("cents"))
+        ).alias("wp75_cents"),
+    )
+
+
+AGG_WEIGHTED_QUANTILES_SQL = """
+WITH base AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS wt
+  FROM lineitem
+), grid AS (
+  SELECT flag, cents, CAST(sum(wt) AS BIGINT) AS w
+  FROM base GROUP BY flag, cents
+), cum AS (
+  SELECT flag, cents, w,
+         CAST(sum(w) OVER (
+           PARTITION BY flag ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cw
+  FROM grid
+), tot AS (
+  SELECT flag, CAST(sum(w) AS BIGINT) AS total_units FROM grid GROUP BY flag
+)
+SELECT c.flag, t.total_units,
+       CAST(min(CASE WHEN 4 * c.cw >= t.total_units THEN c.cents END)
+            AS BIGINT) AS wp25_cents,
+       CAST(min(CASE WHEN 2 * c.cw >= t.total_units THEN c.cents END)
+            AS BIGINT) AS wmedian_cents,
+       CAST(min(CASE WHEN 4 * c.cw >= 3 * t.total_units THEN c.cents END)
+            AS BIGINT) AS wp75_cents
+FROM cum c JOIN tot t ON c.flag = t.flag
+GROUP BY c.flag, t.total_units
+"""
+
+
+QUERIES.update({"agg_weighted_quantiles": agg_weighted_quantiles})
+ORACLES.update({"agg_weighted_quantiles": AGG_WEIGHTED_QUANTILES_SQL})

@@ -181,6 +181,12 @@ def main() -> None:
         # candidate recount shuffle, independent of corpus size)
         "agg_heavy_hitters_mg",
         "corpus_passage_dedup",
+        # round 7c: RAKE (doc-local joins — expect linear), CMS (fixed
+        # 2048-cell sketch + vocab-sized probe companion), Holt (one
+        # keyed window fold over events)
+        "text_rake_keywords",
+        "agg_count_min_sketch",
+        "ts_holt_linear",
     ]
     results = {}
     for name in names:
