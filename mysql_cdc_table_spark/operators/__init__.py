@@ -317,6 +317,7 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "ts_cusum_drift",
     "cdc_binlog_pitr_window",
     "agg_weighted_quantiles",
+    "fn_url_parse",
 )
 
 

@@ -1420,3 +1420,71 @@ GROUP BY c.flag, t.total_units
 
 QUERIES.update({"agg_weighted_quantiles": agg_weighted_quantiles})
 ORACLES.update({"agg_weighted_quantiles": AGG_WEIGHTED_QUANTILES_SQL})
+
+
+# --- URL parsing -------------------------------------------------------------
+
+
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL component extraction — the web-corpus curation primitive
+    (host-level dedup/mix keys, path routing, query-param analysis):
+    deterministic URLs synthesized from ``part``, parsed with Spark's
+    JVM-side ``parse_url`` (HOST / PATH / QUERY / one query param) and
+    aggregated per host. The oracle re-derives the same components
+    with anchored regexes (DuckDB has no parse_url), so the key pins
+    Spark's parser against an independent specification of the same
+    grammar rather than itself. Pure scan-side expressions — no
+    shuffle beyond the final host aggregate."""
+    base = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.concat(
+            F.lit("https://brand-"),
+            F.regexp_replace(F.col("p_brand"), "[^0-9]", ""),
+            F.lit(".example.com/part/"),
+            F.col("p_partkey"),
+            F.lit("?size="),
+            F.col("p_size"),
+            F.lit("&type="),
+            F.regexp_replace(F.col("p_type"), " ", "+"),
+        ).alias("url"),
+    )
+    parsed = base.select(
+        "p_partkey",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("size")).alias("size_s"),
+    )
+    return parsed.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.sum(F.col("size_s").cast("long")).alias("size_sum"),
+        F.sum(F.length("path").cast("long")).alias("path_len_sum"),
+        F.min("path").alias("first_path"),
+    )
+
+
+FN_URL_PARSE_SQL = """
+WITH u AS (
+  SELECT p_partkey,
+         'https://brand-' || regexp_replace(p_brand, '[^0-9]', '', 'g')
+           || '.example.com/part/' || CAST(p_partkey AS VARCHAR)
+           || '?size=' || CAST(p_size AS VARCHAR)
+           || '&type=' || replace(p_type, ' ', '+') AS url
+  FROM part
+), parsed AS (
+  SELECT p_partkey,
+         regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+         regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+         regexp_extract(url, '[?&]size=([^&#]*)', 1) AS size_s
+  FROM u
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(CAST(size_s AS BIGINT)) AS BIGINT) AS size_sum,
+       CAST(sum(length(path)) AS BIGINT) AS path_len_sum,
+       min(path) AS first_path
+FROM parsed GROUP BY host
+"""
+
+
+QUERIES.update({"fn_url_parse": fn_url_parse})
+ORACLES.update({"fn_url_parse": FN_URL_PARSE_SQL})
