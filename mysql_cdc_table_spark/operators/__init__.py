@@ -318,6 +318,7 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "cdc_binlog_pitr_window",
     "agg_weighted_quantiles",
     "fn_url_parse",
+    "window_drawdown_max",
 )
 
 

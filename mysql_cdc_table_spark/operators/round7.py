@@ -1488,3 +1488,78 @@ FROM parsed GROUP BY host
 
 QUERIES.update({"fn_url_parse": fn_url_parse})
 ORACLES.update({"fn_url_parse": FN_URL_PARSE_SQL})
+
+
+# --- running-peak drawdown ---------------------------------------------------
+
+
+def window_drawdown_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user — the running-peak deficit metric
+    (monitoring: worst regression from a high-water mark; finance:
+    peak-to-trough): one cumulative-max window over the ordered
+    series, drawdown = peak − value, then a per-user max/argmax
+    aggregate. Integer cents end-to-end (per-value round, never a
+    cross-engine float sum); the argmax of WHEN the worst drawdown
+    happened rides a max_by struct with event_id tiebreak. One sort
+    per user partition, O(1) per-row state — the textbook
+    prefix-extreme window."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = (
+        ev.withColumn("peak", F.max("cents").over(w))
+        .withColumn("drawdown", F.col("peak") - F.col("cents"))
+        .withColumn(
+            "worst",
+            F.max(F.col("peak") - F.col("cents")).over(
+                Window.partitionBy("user_id")
+            ),
+        )
+    )
+    return dd.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max("drawdown").alias("max_drawdown_cents"),
+        F.max("peak").alias("peak_cents"),
+        F.min(
+            F.when(F.col("drawdown") == F.col("worst"), F.col("event_id"))
+        ).alias("worst_event_id"),
+    )
+
+
+WINDOW_DRAWDOWN_MAX_SQL = """
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), dd AS (
+  SELECT event_id, user_id, cents,
+         CAST(max(cents) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS peak
+  FROM c
+), d2 AS (
+  SELECT event_id, user_id, cents, peak, peak - cents AS drawdown,
+         max(peak - cents) OVER (PARTITION BY user_id) AS worst
+  FROM dd
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(drawdown) AS BIGINT) AS max_drawdown_cents,
+       CAST(max(peak) AS BIGINT) AS peak_cents,
+       CAST(min(CASE WHEN drawdown = worst THEN event_id END) AS BIGINT)
+         AS worst_event_id
+FROM d2 GROUP BY user_id
+"""
+
+
+QUERIES.update({"window_drawdown_max": window_drawdown_max})
+ORACLES.update({"window_drawdown_max": WINDOW_DRAWDOWN_MAX_SQL})
