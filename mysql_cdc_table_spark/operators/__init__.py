@@ -319,6 +319,7 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "agg_weighted_quantiles",
     "fn_url_parse",
     "window_drawdown_max",
+    "cdc_binlog_executed_set",
 )
 
 

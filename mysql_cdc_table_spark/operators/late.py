@@ -22,6 +22,7 @@ from mysql_cdc_table_spark.sources.mysql_binlog import (
     CDC_BINLOG_FULL_METADATA_SQL,
     CDC_BINLOG_GTID_RESUME_SQL,
     CDC_BINLOG_PITR_WINDOW_SQL,
+    CDC_BINLOG_EXECUTED_SET_SQL,
     CDC_BINLOG_LATEST_STATE_SQL,
     CDC_BINLOG_ROWS_QUERY_SQL,
     CDC_BINLOG_MULTI_TABLE_SQL,
@@ -32,6 +33,7 @@ from mysql_cdc_table_spark.sources.mysql_binlog import (
     cdc_binlog_full_metadata_roundtrip,
     cdc_binlog_gtid_resume,
     cdc_binlog_pitr_window,
+    cdc_binlog_executed_set,
     cdc_binlog_latest_state,
     cdc_binlog_multi_table,
     cdc_binlog_parallel_roundtrip,
@@ -76,6 +78,9 @@ QUERIES = {
     # round 7: point-in-time window — wall-clock bounds mapped to GNO
     # bounds off file-head timestamps (mysql_binlog_read_time_range)
     "cdc_binlog_pitr_window": cdc_binlog_pitr_window,
+    # round 7: gtid_executed reconstruction — header walks only, anti-
+    # join gaps-and-islands intervals (binlog_executed_gtid_set)
+    "cdc_binlog_executed_set": cdc_binlog_executed_set,
 }
 
 ORACLES: dict[str, str] = {
@@ -92,4 +97,5 @@ ORACLES: dict[str, str] = {
     "cdc_binlog_full_metadata_roundtrip": CDC_BINLOG_FULL_METADATA_SQL,
     "cdc_binlog_gtid_resume": CDC_BINLOG_GTID_RESUME_SQL,
     "cdc_binlog_pitr_window": CDC_BINLOG_PITR_WINDOW_SQL,
+    "cdc_binlog_executed_set": CDC_BINLOG_EXECUTED_SET_SQL,
 }

@@ -2536,6 +2536,114 @@ def prune_binlog_series_by_gtid(
     return keep
 
 
+def binlog_file_gnos(path: str) -> list[int]:
+    """All transaction gnos in one file, from a header-only walk (GTID
+    event headers + bodies; every other event seeks past) — no row
+    decode anywhere. The per-file primitive under the executed-set
+    API."""
+    import os
+
+    size = os.path.getsize(path)
+    out: list[int] = []
+    with open(path, "rb", buffering=1 << 20) as f:
+        if f.read(4) != BINLOG_MAGIC:
+            raise ValueError(f"{path}: not a binlog file")
+        pos = 4
+        checksum: bool | None = None
+        while pos + _HEADER_LEN <= size:
+            hdr = f.read(_HEADER_LEN)
+            if len(hdr) < _HEADER_LEN:
+                break
+            _ets, tc, _s, esize, _lp, _fl = _HEADER.unpack(hdr)
+            if esize < _HEADER_LEN or pos + esize > size:
+                break
+            body_len = esize - _HEADER_LEN
+            if tc in (EV_FORMAT_DESCRIPTION, EV_GTID):
+                rest = f.read(body_len)
+                if len(rest) < body_len:
+                    break
+                if tc == EV_FORMAT_DESCRIPTION:
+                    checksum = _detect_checksum(hdr + rest)
+                else:
+                    body = rest[: len(rest) - (4 if checksum else 0)]
+                    out.append(int(struct.unpack_from("<q", body, 17)[0]))
+            else:
+                f.seek(body_len, 1)
+            pos += esize
+    return out
+
+
+def binlog_executed_gtid_set(spark: SparkSession, path: str) -> DataFrame:
+    """The series' executed GTID set as (start_gno, end_gno_exclusive,
+    n_gnos) intervals — the checkpoint bookkeeping a resuming consumer
+    persists (MySQL's gtid_executed). Computed WITHOUT row decode:
+    each file header-walks in parallel for its gnos (binlog_file_gnos,
+    a distributed mapInPandas over the file list), then
+    gaps-and-islands WITHOUT a global sort: interval starts are gnos
+    whose predecessor is absent (hash ANTI join — distributed), ends
+    are gnos whose successor is absent, and the k-th start pairs with
+    the k-th end (one row_number each over the INTERVAL set, which is
+    orders of magnitude smaller than the gno set — the classic
+    row_number-over-everything formulation would funnel every gno
+    through one partition). At 100 TB of retained binlog this costs
+    header I/O plus two self-anti-joins on gno. Single-source view
+    (gnos only); a multi-source series would group the same
+    computation by sid."""
+    import os
+
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    local = path
+    if local.startswith("file://"):
+        local = local[len("file://") :]
+    elif local.startswith("file:"):
+        local = local[len("file:") :]
+    if os.path.isdir(local):
+        paths = sorted(
+            os.path.join(local, n)
+            for n in os.listdir(local)
+            if not n.startswith(("_", "."))
+        )
+    else:
+        paths = [local]
+    if not paths:
+        return spark.createDataFrame(
+            [], "start_gno long, end_gno long, n_gnos long"
+        )
+    files = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(min(len(paths), spark.sparkContext.defaultParallelism))
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for p in pdf["path"]:
+                yield pd.DataFrame({"gno": binlog_file_gnos(str(p))})
+
+    gnos = files.mapInPandas(walk, schema="gno long").distinct()
+    gnos = gnos.localCheckpoint(eager=False)  # three consumers, one walk
+    succ = gnos.select((F.col("gno") + 1).alias("gno"))
+    pred = gnos.select((F.col("gno") - 1).alias("gno"))
+    starts = gnos.join(succ, "gno", "left_anti")  # gno-1 not executed
+    ends = gnos.join(pred, "gno", "left_anti")  # gno+1 not executed
+    w = Window.orderBy("gno")  # intervals only — tiny relation
+    s = starts.select(
+        F.col("gno").alias("start_gno"),
+        F.row_number().over(w).alias("k"),
+    )
+    e = ends.select(
+        (F.col("gno") + 1).alias("end_gno"),
+        F.row_number().over(w).alias("k"),
+    )
+    return s.join(e, "k").select(
+        "start_gno",
+        "end_gno",
+        (F.col("end_gno") - F.col("start_gno")).alias("n_gnos"),
+    )
+
+
 def binlog_head_timestamp(path: str) -> int:
     """The file's first event timestamp (the FDE's header ts, u32 LE at
     offset 4+0) — when the file was created, i.e., a lower bound on
@@ -4327,6 +4435,87 @@ SELECT status,
        CAST(min(id) AS BIGINT) AS min_gno,
        CAST(max(id) AS BIGINT) AS max_gno
 FROM b GROUP BY status
+"""
+
+
+def cdc_binlog_executed_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gtid_executed reconstruction from the files alone — the
+    inventory question a resuming consumer asks first ("what do I
+    already have?"), answered WITHOUT decoding a single row image:
+    distributed header walks collect the gnos, anti-join
+    gaps-and-islands merges them into maximal intervals
+    (binlog_executed_gtid_set). The fixture's gnos are the orders
+    keys, so the oracle derives the identical interval set from the
+    source table — every hole in the sparse key space must surface as
+    an interval boundary, making this simultaneously an end-to-end
+    check of GTID header decode across every staged file. The
+    reference exposes no GTID-set surface at all (its commented-out
+    GTID block, binlog_table_reader.cc:418-425)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.operators._util import t
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "status",
+                T.StringType(),
+                metadata={"mysql_type": "enum", "values": ["F", "O", "P"]},
+            ),
+        ]
+    )
+    base = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .repartitionByRange(spark.sparkContext.defaultParallelism, "id")
+        .sortWithinPartitions("id")
+    )
+    file_schema = T.StructType([T.StructField("file_bytes", T.BinaryType())])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            txns = [
+                {
+                    "gno": int(r.id),
+                    "op": "w",
+                    "rows": [{"id": int(r.id), "status": r.status}],
+                }
+                for r in pdf.itertuples(index=False)
+            ]
+            min_gno = txns[0]["gno"]
+            blob = build_binlog_file(
+                "tpch", "orders", target, txns, checksum=True,
+                previous_gtids=(
+                    {b"\x11" * 16: [(1, min_gno)]}
+                    if min_gno > 1
+                    else {b"\x11" * 16: []}
+                ),
+            )
+            yield pd.DataFrame({"file_bytes": [blob]})
+
+    files = base.mapInPandas(encode, schema=file_schema)
+    stage = _stage_binlog_files(spark, files, f"{sf_dir}|executed_set")
+    return binlog_executed_gtid_set(spark, stage)
+
+
+CDC_BINLOG_EXECUTED_SET_SQL = """
+WITH k AS (
+  SELECT DISTINCT o_orderkey AS g FROM orders
+), i AS (
+  SELECT g, g - row_number() OVER (ORDER BY g) AS isl FROM k
+)
+SELECT CAST(min(g) AS BIGINT) AS start_gno,
+       CAST(max(g) + 1 AS BIGINT) AS end_gno,
+       CAST(count(*) AS BIGINT) AS n_gnos
+FROM i GROUP BY isl
 """
 
 

@@ -1993,3 +1993,30 @@ def test_read_time_range_equals_filtered_full_read(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_executed_gtid_set_intervals(spark, tmp_path):
+    """Header-only executed-set reconstruction: gnos with holes across
+    THREE files merge into exact maximal intervals — runs spanning a
+    file boundary fuse, every hole is a boundary, no row decode
+    happens (files with deliberately mismatched table maps would fail
+    a row decode; headers don't care)."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        binlog_executed_gtid_set,
+        binlog_file_gnos,
+    )
+
+    blobs = {
+        "binlog.000001": [1, 2, 3, 7, 8],
+        "binlog.000002": [9, 10, 20],
+        "binlog.000003": [21, 22, 30],
+    }
+    for name, gnos in blobs.items():
+        (tmp_path / name).write_bytes(_gno_blob(gnos))
+    assert binlog_file_gnos(str(tmp_path / "binlog.000002")) == [9, 10, 20]
+    rows = sorted(
+        (r["start_gno"], r["end_gno"], r["n_gnos"])
+        for r in binlog_executed_gtid_set(spark, str(tmp_path)).collect()
+    )
+    # [1,4) hole [7,11) spans the 1->2 boundary, [20,23) spans 2->3
+    assert rows == [(1, 4, 3), (7, 11, 4), (20, 23, 3), (30, 31, 1)]
