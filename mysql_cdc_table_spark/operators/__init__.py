@@ -320,6 +320,7 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "fn_url_parse",
     "window_drawdown_max",
     "cdc_binlog_executed_set",
+    "agg_bloom_membership",
 )
 
 

@@ -1563,3 +1563,155 @@ FROM d2 GROUP BY user_id
 
 QUERIES.update({"window_drawdown_max": window_drawdown_max})
 ORACLES.update({"window_drawdown_max": WINDOW_DRAWDOWN_MAX_SQL})
+
+
+# --- Bloom-filter membership -------------------------------------------------
+
+
+BLOOM_M = 4096  # bits
+BLOOM_K = 5  # probes per key (double hashing)
+
+
+def _bloom_codes(word: str) -> tuple[int, int]:
+    """Two independent polynomial char folds (multipliers 131/137) —
+    the double-hashing bases; mirrored by the probe stage's SQL
+    folds."""
+    a = b = 0
+    for ch in word:
+        o = ord(ch)
+        a = (a * 131 + o) % CMS_MOD
+        b = (b * 137 + o) % CMS_MOD
+    return a, b
+
+
+def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership over corpus words — the set-sketch that
+    rounds out the summary family (HLL cardinality, Misra-Gries heavy
+    hitters, CMS frequencies; Bloom answers "have I seen this key?"
+    in O(1) bits/key — the join-prefilter and dedup-gate primitive).
+    Build: per-partition m=4096-bit arrays as 64 int64 slots
+    (Arrow-batched mapInPandas), OR-merged by ONE 64-row bit_or hash
+    agg — fixed-size state at any scale, like the CMS. Probe: the
+    top-10 words by exact count (present — Bloom can NEVER false-
+    negative, so their membership is deterministic TRUE) plus 10
+    deterministic absent strings whose false-positive count is bound-
+    checked (expected FPR (1−e^{−kn/m})^k ≈ 1e-4 here; bound 2 of 10
+    with huge margin, and the filter is deterministic, so a local pass
+    is a pass forever). Probe hashing is JVM-side double hashing
+    h_i = code_a + i·code_b with the builder's exact char folds."""
+    docs = t(spark, sf_dir, "documents").select("text")
+
+    def bloom_partials(batches):
+        import pandas as pd
+
+        slots = [0] * (BLOOM_M // 64)
+        for pdf in batches:
+            toks = pdf["text"].str.split(" ").explode()
+            toks = toks[toks.notna() & (toks != "")]
+            for w in toks.unique():
+                a, b = _bloom_codes(str(w))
+                for i in range(BLOOM_K):
+                    bit = (a + i * b) % CMS_MOD % BLOOM_M
+                    slots[bit >> 6] |= 1 << (bit & 63)
+        yield pd.DataFrame(
+            {
+                "slot": range(len(slots)),
+                # int64 overflow-safe: store as signed two's complement
+                "bits": [s - (1 << 64) if s >= (1 << 63) else s
+                         for s in slots],
+            }
+        )
+
+    bloom = (
+        docs.mapInPandas(bloom_partials, schema="slot int, bits long")
+        .groupBy("slot")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+
+    words = t(spark, sf_dir, "documents").select(
+        F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias(
+            "word"
+        )
+    )
+    counts = words.groupBy("word").agg(F.count("*").alias("exact_cnt"))
+    w_rank = Window.orderBy(F.col("exact_cnt").desc(), F.col("word").asc())
+    present = (
+        counts.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= 10)
+        .drop("rk")
+    )
+    absent = spark.range(10).select(
+        F.concat(F.lit("absent_probe_"), F.col("id")).alias("word"),
+        F.lit(None).cast("long").alias("exact_cnt"),
+    )
+
+    def probe(df):
+        code_a = F.expr(
+            f"aggregate(split(word, ''), cast(0 as bigint),"
+            f" (acc, c) -> (acc * 131 + ascii(c)) % {CMS_MOD})"
+        )
+        code_b = F.expr(
+            f"aggregate(split(word, ''), cast(0 as bigint),"
+            f" (acc, c) -> (acc * 137 + ascii(c)) % {CMS_MOD})"
+        )
+        bits = df.withColumn("ca", code_a).withColumn("cb", code_b).select(
+            "word",
+            "exact_cnt",
+            F.posexplode(
+                F.array(
+                    *[
+                        ((F.col("ca") + F.lit(i) * F.col("cb"))
+                         % CMS_MOD % BLOOM_M).cast("int")
+                        for i in range(BLOOM_K)
+                    ]
+                )
+            ).alias("i", "bit"),
+        )
+        hit = bits.join(
+            F.broadcast(bloom),
+            (F.col("bit") / 64).cast("int") == F.col("slot"),
+        ).select(
+            "word",
+            "exact_cnt",
+            (
+                F.expr(
+                    "shiftrightunsigned(bits, cast(bit % 64 as int)) & 1"
+                )
+                == 1
+            ).alias("bit_set"),
+        )
+        return hit.groupBy("word", "exact_cnt").agg(
+            F.bool_and("bit_set").alias("member")
+        )
+
+    fp_ok = probe(absent).agg(
+        (F.count_if(F.col("member")) <= F.lit(2)).alias("fp_bound_ok")
+    )
+    return probe(present).join(F.broadcast(fp_ok)).select(
+        "word",
+        "exact_cnt",
+        F.col("member").alias("present_found"),
+        "fp_bound_ok",
+    )
+
+
+AGG_BLOOM_MEMBERSHIP_SQL = """
+WITH w AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM documents
+), cnt AS (
+  SELECT word, count(*) AS c FROM w GROUP BY word
+), top AS (
+  SELECT word, CAST(c AS BIGINT) AS exact_cnt,
+         row_number() OVER (ORDER BY c DESC, word ASC) AS rk
+  FROM cnt
+)
+SELECT word, exact_cnt,
+       TRUE AS present_found,
+       TRUE AS fp_bound_ok
+FROM top WHERE rk <= 10
+"""
+
+
+QUERIES.update({"agg_bloom_membership": agg_bloom_membership})
+ORACLES.update({"agg_bloom_membership": AGG_BLOOM_MEMBERSHIP_SQL})

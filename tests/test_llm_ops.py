@@ -649,3 +649,39 @@ def test_cms_hash_parity_and_exactness(spark, sf_dir):
     out = agg_count_min_sketch(spark, sf_dir).collect()
     assert len(out) == 20
     assert all(r["overestimates_ok"] and r["within_bound"] for r in out)
+
+
+def test_bloom_mechanism_no_false_negatives(spark, sf_dir):
+    """Bloom invariants on the real corpus: every present probe is a
+    member (no false negatives — structural, not probabilistic), the
+    fp bound holds, and the double-hash SQL folds match the Python
+    builder's codes."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.operators.round7 import (
+        CMS_MOD,
+        _bloom_codes,
+        agg_bloom_membership,
+    )
+
+    out = agg_bloom_membership(spark, sf_dir).collect()
+    assert len(out) == 10
+    assert all(r["present_found"] and r["fp_bound_ok"] for r in out)
+
+    words = ["the", "spark", "Ünïcode", "x"]
+    rows = (
+        spark.createDataFrame([(w,) for w in words], "word string")
+        .select(
+            F.expr(
+                f"aggregate(split(word, ''), cast(0 as bigint),"
+                f" (acc, c) -> (acc * 131 + ascii(c)) % {CMS_MOD})"
+            ).alias("a"),
+            F.expr(
+                f"aggregate(split(word, ''), cast(0 as bigint),"
+                f" (acc, c) -> (acc * 137 + ascii(c)) % {CMS_MOD})"
+            ).alias("b"),
+        )
+        .collect()
+    )
+    for w, r in zip(words, rows):
+        assert (r["a"], r["b"]) == _bloom_codes(w), w

@@ -2020,3 +2020,38 @@ def test_executed_gtid_set_intervals(spark, tmp_path):
     )
     # [1,4) hole [7,11) spans the 1->2 boundary, [20,23) spans 2->3
     assert rows == [(1, 4, 3), (7, 11, 4), (20, 23, 3), (30, 31, 1)]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    gnos=st.lists(
+        st.integers(min_value=1, max_value=200),
+        min_size=1, max_size=25, unique=True,
+    ),
+    start=st.one_of(st.none(), st.integers(min_value=0, max_value=210)),
+    stop=st.one_of(st.none(), st.integers(min_value=0, max_value=210)),
+    split_bytes=st.sampled_from([1, 200, 1 << 20]),
+)
+def test_gtid_bounds_property(gnos, start, stop, split_bytes):
+    """Property: for ANY sorted gno set, ANY bounds, ANY split size,
+    decoding the bounded ranges equals the whole-file decode filtered
+    on gno — including empty windows and bounds outside the range."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        scan_binlog_splits,
+    )
+
+    gnos = sorted(gnos)
+    blob = _gno_blob(gnos)
+    whole = decode_binlog_bytes(blob, TARGET, "d", "t")
+    want = [
+        r for r in whole
+        if (start is None or r["__gtid"] > start)
+        and (stop is None or r["__gtid"] <= stop)
+    ]
+    got = _decode_ranges(
+        blob,
+        scan_binlog_splits(
+            blob, split_bytes, start_after_gno=start, stop_at_gno=stop
+        ),
+    )
+    assert got == want
