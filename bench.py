@@ -59,7 +59,7 @@ def _packed_scan_query(spark, sf_dir):
     )
 
 
-_BINLOG_FIXTURE_VERSION = 1  # bump to force a re-stage of the files
+_BINLOG_FIXTURE_VERSION = 2  # bump to force a re-stage of the files
 
 _BINLOG_TGT = None  # built lazily (pyspark.sql.types import at call time)
 
@@ -101,17 +101,20 @@ def _stage_binlog(sf_dir: str, sf: float | None) -> None:
 
     d = Path(_binlog_dir(sf_dir))
     n_txns = max(2000, int((sf or 0.1) * 200_000))  # sf0.1 -> 20k txns
-    marker = d / f"staged_v{_BINLOG_FIXTURE_VERSION}_{n_txns}"
+    # hidden: the parallel scan lists the dir and must see only
+    # binlog files (dotfiles are skipped by every read path)
+    marker = d / f".staged_v{_BINLOG_FIXTURE_VERSION}_{n_txns}"
     if marker.exists():
         return
     d.mkdir(parents=True, exist_ok=True)
-    for old in d.glob("*"):
+    for old in d.iterdir():  # incl. old hidden markers
         old.unlink()
     tgt = _binlog_target()
     per_file = n_txns // 8
     base = dt.datetime(2024, 1, 1)
     gno = 0
     for fi in range(8):
+        first_gno = gno + 1
         txns = []
         for _ in range(per_file):
             gno += 1
@@ -136,7 +139,15 @@ def _stage_binlog(sf_dir: str, sf: float | None) -> None:
                 }
             )
         blob = build_binlog_file(
-            "bench", "orders", tgt, txns, checksum=True
+            "bench", "orders", tgt, txns, checksum=True,
+            # PREVIOUS_GTIDS head per file (fixture v2): what MySQL
+            # writes at every rotation — lets the resume entry prune
+            # whole files off one event read
+            previous_gtids=(
+                {b"\x11" * 16: [(1, first_gno)]}
+                if first_gno > 1
+                else {b"\x11" * 16: []}
+            ),
         )
         (d / f"binlog.{fi + 1:06d}").write_bytes(blob)
     marker.touch()
@@ -152,6 +163,34 @@ def _mysql_binlog_scan_query(spark, sf_dir):
 
     return mysql_binlog_read(
         spark, _binlog_dir(sf_dir), _binlog_target(), "bench", "orders"
+    )
+
+
+def _binlog_gtid_resume_query(spark, sf_dir):
+    """18th entry: GTID-positioned resume over the same staged series
+    (round-7 capability): restart from the LAST file's first gno — the
+    checkpoint-restart shape. Planning reads each file's
+    PREVIOUS_GTIDS head (one tiny read per file), start-side series
+    pruning drops the 7 earlier files unscheduled, and only the last
+    file range-decodes. Wall time tracks one file + planning, not the
+    series — the regression lock for the resume path."""
+    import os as _os
+
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        binlog_prev_gtids_uncovered,
+        mysql_binlog_read_parallel,
+    )
+
+    d = _binlog_dir(sf_dir)
+    heads = [
+        binlog_prev_gtids_uncovered(_os.path.join(d, n))
+        for n in sorted(_os.listdir(d))
+        if n.startswith("binlog.")
+    ]
+    start_after = max(h for h in heads if h is not None) - 1
+    return mysql_binlog_read_parallel(
+        spark, d, _binlog_target(), "bench", "orders",
+        start_after_gno=start_after,
     )
 
 
@@ -242,6 +281,7 @@ def main() -> None:
     queries["packed_binlog_scan"] = _packed_scan_query
     queries["cdc_envelope_decode"] = _envelope_decode_query
     queries["mysql_binlog_scan"] = _mysql_binlog_scan_query
+    queries["binlog_gtid_resume"] = _binlog_gtid_resume_query
 
     # Three runs per query, report the fastest warm one: the first run
     # pays one-off whole-stage-codegen compilation + plan construction
@@ -264,7 +304,7 @@ def main() -> None:
     # invocations). A long-lived cluster amortizes compilation away, so
     # the warm steady state is the honest number; it also makes the
     # anchor-drift sentinel near-zero when the box is healthy.
-    for name in [*HEADLINE, "packed_binlog_scan", "mysql_binlog_scan"]:
+    for name in [*HEADLINE, "packed_binlog_scan", "mysql_binlog_scan", "binlog_gtid_resume"]:
         queries[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
@@ -278,7 +318,7 @@ def main() -> None:
     # ±15% band flags contention.
     def sweep(load_pre_sweep) -> dict:
         times: dict[str, float] = {}
-        for name in [*HEADLINE, "packed_binlog_scan", "mysql_binlog_scan"]:
+        for name in [*HEADLINE, "packed_binlog_scan", "mysql_binlog_scan", "binlog_gtid_resume"]:
             times[name] = timed(name)
         anchor_first = times[HEADLINE[0]]
         anchor_last = timed(HEADLINE[0])
@@ -333,7 +373,10 @@ def main() -> None:
                 #    through the columnar kernel; fixture staged untimed
                 #    and disk-cached) — per-query method unchanged, the
                 #    TOTAL grows by one entry vs protocol 3 (r07)
-                "protocol": 4,
+                # 5: + binlog_gtid_resume entry (restart from the last
+                #    file's gno; fixture v2 adds PREVIOUS_GTIDS heads)
+                #    — TOTAL grows by one more entry (r07)
+                "protocol": 5,
                 "anchor": HEADLINE[0],
                 "anchor_first_sec": result["anchor_first_sec"],
                 "anchor_last_sec": result["anchor_last_sec"],
