@@ -622,6 +622,61 @@ def test_emb_dim_variance_single_agg(spark, sf_dir):
     assert shuffle_count(df) <= 2  # dim agg + 64-row rank exchange
 
 
+def test_cusum_one_sort_per_user_partition(spark, sf_dir):
+    """CUSUM shares the EWMA/Holt plan shape: one exchange on user_id,
+    one Window, fold in the projection."""
+    from mysql_cdc_table_spark.operators.round7 import ts_cusum_drift
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = ts_cusum_drift(spark, sf_dir)
+    assert shuffle_count(df) == 1
+    assert count_nodes(df, "Window") == 1
+
+
+def test_weighted_quantiles_grid_window(spark, sf_dir):
+    """The cumulative-weight window runs over the pre-aggregated
+    (flag, cents) grid, never the fact rows; totals broadcast."""
+    from mysql_cdc_table_spark.operators.round7 import agg_weighted_quantiles
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = agg_weighted_quantiles(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert count_nodes(df, "Window") == 1
+    assert_broadcast_join(df, 1)  # per-flag totals
+
+
+def test_drawdown_two_windows_one_exchange(spark, sf_dir):
+    """Running peak and per-user worst share the user_id exchange —
+    no second shuffle for the full-partition max."""
+    from mysql_cdc_table_spark.operators.round7 import window_drawdown_max
+
+    df = window_drawdown_max(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert shuffle_count(df) <= 2  # user window + final agg reuse
+
+
+def test_url_parse_scan_side_expressions(spark, sf_dir):
+    """parse_url runs in the scan projection; the only shuffle is the
+    host aggregate; part scan prunes to the 4 consumed columns."""
+    from mysql_cdc_table_spark.operators.round7 import fn_url_parse
+
+    df = fn_url_parse(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert shuffle_count(df) <= 1
+    assert_columns_pruned(df, 6)  # part is 6 wide; scan reads 4
+
+
+def test_bloom_fixed_state_broadcast(spark, sf_dir):
+    """Bloom plan: the 64-slot filter broadcasts to both probe stages;
+    the absent-probe bound rides a 1-row broadcast; no cartesian."""
+    from mysql_cdc_table_spark.operators.round7 import agg_bloom_membership
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = agg_bloom_membership(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert count_nodes(df, "BroadcastNestedLoopJoin") == 1  # fp_ok row
+
+
 def test_passage_dedup_single_passage_shuffle(spark, sf_dir):
     """One explode + one window over passage partitions + one per-doc
     agg: each passage instance crosses the wire once; no join back, no
