@@ -321,6 +321,7 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "window_drawdown_max",
     "cdc_binlog_executed_set",
     "agg_bloom_membership",
+    "cdc_binlog_multi_source_resume",
 )
 
 

@@ -23,6 +23,7 @@ from mysql_cdc_table_spark.sources.mysql_binlog import (
     CDC_BINLOG_GTID_RESUME_SQL,
     CDC_BINLOG_PITR_WINDOW_SQL,
     CDC_BINLOG_EXECUTED_SET_SQL,
+    CDC_BINLOG_MULTI_SOURCE_RESUME_SQL,
     CDC_BINLOG_LATEST_STATE_SQL,
     CDC_BINLOG_ROWS_QUERY_SQL,
     CDC_BINLOG_MULTI_TABLE_SQL,
@@ -34,6 +35,7 @@ from mysql_cdc_table_spark.sources.mysql_binlog import (
     cdc_binlog_gtid_resume,
     cdc_binlog_pitr_window,
     cdc_binlog_executed_set,
+    cdc_binlog_multi_source_resume,
     cdc_binlog_latest_state,
     cdc_binlog_multi_table,
     cdc_binlog_parallel_roundtrip,
@@ -81,6 +83,9 @@ QUERIES = {
     # round 7: gtid_executed reconstruction — header walks only, anti-
     # join gaps-and-islands intervals (binlog_executed_gtid_set)
     "cdc_binlog_executed_set": cdc_binlog_executed_set,
+    # round 7: PER-SOURCE resume over an interleaved two-origin stream
+    # (mysql_binlog_read_gtid_sets — MASTER_AUTO_POSITION semantics)
+    "cdc_binlog_multi_source_resume": cdc_binlog_multi_source_resume,
 }
 
 ORACLES: dict[str, str] = {
@@ -98,4 +103,5 @@ ORACLES: dict[str, str] = {
     "cdc_binlog_gtid_resume": CDC_BINLOG_GTID_RESUME_SQL,
     "cdc_binlog_pitr_window": CDC_BINLOG_PITR_WINDOW_SQL,
     "cdc_binlog_executed_set": CDC_BINLOG_EXECUTED_SET_SQL,
+    "cdc_binlog_multi_source_resume": CDC_BINLOG_MULTI_SOURCE_RESUME_SQL,
 }

@@ -1440,11 +1440,14 @@ def build_binlog_file(
     for i, txn in enumerate(txns):
         # a txn may pin its commit timestamp ("ts") — time-bounded scan
         # fixtures need wall-clock control; default keeps the original
-        # one-second-per-txn cadence
+        # one-second-per-txn cadence. It may also carry its own "sid"
+        # (16 bytes): a multi-source replica's binlog interleaves
+        # transactions from several origin servers, each stamping its
+        # own server UUID in the GTID event.
         ts = int(txn.get("ts", base_ts + i))
         emit(
             EV_GTID,
-            bytes([1]) + sid + struct.pack("<q", txn["gno"]),
+            bytes([1]) + txn.get("sid", sid) + struct.pack("<q", txn["gno"]),
             ts,
         )
         rows_tc, body = _txn_rows_body(table_id, cols, txn)
@@ -2194,6 +2197,14 @@ def _file_seq_of(path: str) -> int:
     return int(m.group(1)) if m else 0
 
 
+def _strip_file_scheme(path: str) -> str:
+    if path.startswith("file://"):
+        return path[len("file://") :]
+    if path.startswith("file:"):
+        return path[len("file:") :]
+    return path
+
+
 _BINARY_FILE_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType()),
@@ -2642,6 +2653,77 @@ def binlog_executed_gtid_set(spark: SparkSession, path: str) -> DataFrame:
         "end_gno",
         (F.col("end_gno") - F.col("start_gno")).alias("n_gnos"),
     )
+
+
+def binlog_prev_gtids_sets(path: str) -> dict[bytes, int] | None:
+    """Per-sid smallest-uncovered gnos from a file's PREVIOUS_GTIDS
+    head ({} for an empty set = nothing executed before); None when
+    the head is absent/unparseable. The per-source refinement of
+    binlog_prev_gtids_uncovered for multi-source pruning."""
+    with open(path, "rb") as f:
+        if f.read(4) != BINLOG_MAGIC:
+            return None
+        checksum: bool | None = None
+        for _ in range(2):
+            hdr = f.read(_HEADER_LEN)
+            if len(hdr) < _HEADER_LEN:
+                return None
+            _ets, tc, _s, esize, _lp, _fl = _HEADER.unpack(hdr)
+            body_len = esize - _HEADER_LEN
+            if body_len < 0:
+                return None
+            rest = f.read(body_len)
+            if len(rest) < body_len:
+                return None
+            if tc == EV_FORMAT_DESCRIPTION:
+                checksum = _detect_checksum(hdr + rest)
+            elif tc == EV_PREVIOUS_GTIDS:
+                body = rest[: len(rest) - (4 if checksum else 0)]
+                try:
+                    sets = _parse_gtid_set(body)
+                except ValueError:
+                    return None
+                return {
+                    sid: _smallest_uncovered_gno(ivs)
+                    for sid, ivs in sets.items()
+                }
+            else:
+                return None
+    return None
+
+
+def prune_binlog_series_by_gtid_sets(
+    paths: list[str], start_after: dict[bytes, int]
+) -> list[str]:
+    """Multi-source file pruning: drop files wholly before a PER-SID
+    resume position map ({sid: last-consumed gno}; absent sid = start
+    from its first gno). Rotation order comes from the binlog.NNNNNN
+    numbers (the multi-source interleave makes head-sorting ambiguous,
+    so unnumbered/foreign names conservatively disable pruning): file
+    i's content is covered by file i+1's head, so it prunes when that
+    head shows, for EVERY sid it lists, smallest-uncovered <=
+    bound+1 — any sid the map doesn't bound (uncovered > 1) keeps the
+    file. The boundary files still decode fully; per-row exactness is
+    the reader's per-sid __gtid filter."""
+    if len(paths) < 2:
+        return paths
+    try:
+        ordered = sorted(paths, key=_file_seq_of)
+    except (ValueError, TypeError):
+        return paths
+    if len({_file_seq_of(p) for p in ordered}) != len(ordered):
+        return paths  # ambiguous rotation numbers: keep everything
+    keep = []
+    for i, p in enumerate(ordered):
+        if i + 1 < len(ordered):
+            nxt = binlog_prev_gtids_sets(ordered[i + 1])
+            if nxt and all(
+                unc <= start_after.get(sid, 0) + 1
+                for sid, unc in nxt.items()
+            ):
+                continue  # every txn of every sid here is consumed
+        keep.append(p)
+    return keep
 
 
 def binlog_head_timestamp(path: str) -> int:
@@ -3113,20 +3195,21 @@ def mysql_binlog_read_parallel(
 
     # driver-side listing only (the reference's binlog.index contract);
     # file CONTENT is never loaded whole anywhere — stage 1 streams the
-    # header walk, so files beyond binaryFile's 2 GB cap work
-    local = path
-    if local.startswith("file://"):
-        local = local[len("file://") :]
-    elif local.startswith("file:"):
-        local = local[len("file:") :]
-    if os.path.isdir(local):
-        paths = sorted(
-            os.path.join(local, n)
-            for n in os.listdir(local)
-            if not n.startswith(("_", "."))
-        )
+    # header walk, so files beyond binaryFile's 2 GB cap work. A list
+    # of explicit file paths skips the listing (the pre-pruned entry
+    # points hand one in).
+    if isinstance(path, (list, tuple)):
+        paths = [_strip_file_scheme(p) for p in path]
     else:
-        paths = [local]
+        local = _strip_file_scheme(path)
+        if os.path.isdir(local):
+            paths = sorted(
+                os.path.join(local, n)
+                for n in os.listdir(local)
+                if not n.startswith(("_", "."))
+            )
+        else:
+            paths = [local]
     # series-level GTID pruning off the PREVIOUS_GTIDS heads: resuming
     # near the tail of a long retained history must not even SCHEDULE
     # header walks for the pre-window files (one tiny head read per
@@ -3245,6 +3328,74 @@ def mysql_binlog_read_gtid_range(
         capture_query=capture_query,
         start_after_gno=start_after_gno,
         stop_at_gno=stop_at_gno,
+    )
+
+
+def mysql_binlog_read_gtid_sets(
+    spark: SparkSession,
+    path: str,
+    target: T.StructType,
+    database: str,
+    table: str,
+    *,
+    start_after: dict[bytes, int],
+    split_bytes: int = 64 << 20,
+    capture_query: bool = False,
+) -> DataFrame:
+    """MULTI-SOURCE resume — the real MASTER_AUTO_POSITION semantics:
+    ``start_after`` maps each origin server's 16-byte UUID to its last
+    consumed gno (absent sid = consume from its first transaction),
+    the way a replica hands its gtid_executed to each source. A
+    multi-source replica's binlog interleaves per-sid monotone gno
+    sequences that are NOT globally ordered, so the single-bound
+    early-exit walk doesn't apply; instead: (1) FILE level —
+    rotation-ordered files whose successor's PREVIOUS_GTIDS head shows
+    every listed sid consumed are never scheduled
+    (prune_binlog_series_by_gtid_sets); (2) ROW level — output is
+    ``gtid_format="uuid_gno"`` (the filter needs the source UUID) and
+    each row keeps iff its gno exceeds its OWN sid's bound. Boundary
+    files decode fully — at scale that is 1-2 files per source against
+    a pruned history. Closes the single-source-only caveat of
+    mysql_binlog_read_gtid_range."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    local = _strip_file_scheme(path)
+    if os.path.isdir(local):
+        paths = sorted(
+            os.path.join(local, n)
+            for n in os.listdir(local)
+            if not n.startswith(("_", "."))
+        )
+    else:
+        paths = [local]
+    keep = prune_binlog_series_by_gtid_sets(paths, start_after)
+    out_schema = _binlog_out_schema(target, "uuid_gno", capture_query)
+    if not keep:
+        return spark.createDataFrame([], out_schema)
+    out = mysql_binlog_read_parallel(
+        spark,
+        keep,
+        target,
+        database,
+        table,
+        split_bytes=split_bytes,
+        gtid_format="uuid_gno",
+        capture_query=capture_query,
+    )
+    if not start_after:
+        return out  # no bounds: a plain uuid_gno read
+    bound_map = F.create_map(
+        *[
+            lit
+            for sid, gno in start_after.items()
+            for lit in (F.lit(_sid_to_uuid(sid)), F.lit(int(gno)))
+        ]
+    )
+    return out.filter(
+        F.col("__gtid")
+        > F.coalesce(bound_map[F.col("__gtid_src")], F.lit(0))
     )
 
 
@@ -4516,6 +4667,133 @@ SELECT CAST(min(g) AS BIGINT) AS start_gno,
        CAST(max(g) + 1 AS BIGINT) AS end_gno,
        CAST(count(*) AS BIGINT) AS n_gnos
 FROM i GROUP BY isl
+"""
+
+
+_SID_A = b"\x11" * 16
+_SID_B = b"\x22" * 16
+
+
+def cdc_binlog_multi_source_resume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source GTID resume through an INTERLEAVED two-origin binlog
+    — the multi-source replication shape the single-bound resume
+    cannot express: source A (even keys) and source B (odd keys)
+    alternate transaction-by-transaction inside every file, each with
+    its own monotone gno sequence, and the consumer resumes from a
+    DIFFERENT position per source (A after 2·mx/5, B after 3·mx/5 —
+    exactly what a replica's per-uuid gtid_executed hands each
+    master). File heads carry both sids' executed summaries, so files
+    wholly consumed for BOTH sources prune off one head read; rows in
+    boundary files keep iff their gno exceeds their OWN sid's bound
+    (uuid_gno format surfaces the origin). The aggregate splits every
+    measure per origin UUID with per-source window edges, so a filter
+    that mixed up the bounds — or dropped either source's rows —
+    breaks the hash. The reference's multi-source GTID handling is a
+    commented-out block (binlog_table_reader.cc:418-425)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.operators._util import t
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "status",
+                T.StringType(),
+                metadata={"mysql_type": "enum", "values": ["F", "O", "P"]},
+            ),
+        ]
+    )
+    base = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .repartitionByRange(spark.sparkContext.defaultParallelism, "id")
+        .sortWithinPartitions("id")
+    )
+    mx = base.agg(F.max("id")).collect()[0][0] or 0
+    bound_a = (mx * 2) // 5
+    bound_b = (mx * 3) // 5
+
+    file_schema = T.StructType([T.StructField("file_bytes", T.BinaryType())])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            txns = [
+                {
+                    "gno": int(r.id),
+                    "op": "w",
+                    "rows": [{"id": int(r.id), "status": r.status}],
+                    "sid": _SID_A if int(r.id) % 2 == 0 else _SID_B,
+                }
+                for r in pdf.itertuples(index=False)
+            ]
+            min_gno = txns[0]["gno"]
+            prev = (
+                {_SID_A: [(1, min_gno)], _SID_B: [(1, min_gno)]}
+                if min_gno > 1
+                else {_SID_A: [], _SID_B: []}
+            )
+            blob = build_binlog_file(
+                "tpch", "orders", target, txns, checksum=True,
+                previous_gtids=prev,
+            )
+            yield pd.DataFrame({"file_bytes": [blob]})
+
+    files = base.mapInPandas(encode, schema=file_schema)
+    stage = _stage_binlog_files(spark, files, f"{sf_dir}|multi_src_resume")
+    decoded = mysql_binlog_read_gtid_sets(
+        spark,
+        stage,
+        target,
+        "tpch",
+        "orders",
+        start_after={_SID_A: bound_a, _SID_B: bound_b},
+        split_bytes=4096,
+    )
+    uuid_a = _sid_to_uuid(_SID_A)
+    is_a = F.col("__gtid_src") == uuid_a
+    return decoded.groupBy("status").agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(is_a).alias("a_rows"),
+        F.count_if(~is_a).alias("b_rows"),
+        F.sum("__gtid").alias("gtid_sum"),
+        F.min(F.when(is_a, F.col("__gtid"))).alias("a_min_gno"),
+        F.min(F.when(~is_a, F.col("__gtid"))).alias("b_min_gno"),
+        F.max("__gtid").alias("max_gno"),
+    )
+
+
+CDC_BINLOG_MULTI_SOURCE_RESUME_SQL = """
+WITH m AS (
+  SELECT (max(o_orderkey) * 2) // 5 AS ba,
+         (max(o_orderkey) * 3) // 5 AS bb
+  FROM orders
+), b AS (
+  SELECT o_orderkey AS id,
+         o_orderstatus AS status,
+         o_orderkey % 2 = 0 AS is_a
+  FROM orders, m
+  WHERE (o_orderkey % 2 = 0 AND o_orderkey > m.ba)
+     OR (o_orderkey % 2 = 1 AND o_orderkey > m.bb)
+)
+SELECT status,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE is_a) AS BIGINT) AS a_rows,
+       CAST(count(*) FILTER (WHERE NOT is_a) AS BIGINT) AS b_rows,
+       CAST(sum(id) AS BIGINT) AS gtid_sum,
+       CAST(min(CASE WHEN is_a THEN id END) AS BIGINT) AS a_min_gno,
+       CAST(min(CASE WHEN NOT is_a THEN id END) AS BIGINT) AS b_min_gno,
+       CAST(max(id) AS BIGINT) AS max_gno
+FROM b GROUP BY status
 """
 
 

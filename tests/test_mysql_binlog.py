@@ -2055,3 +2055,116 @@ def test_gtid_bounds_property(gnos, start, stop, split_bytes):
         ),
     )
     assert got == want
+
+
+# --- multi-source (per-sid) resume -------------------------------------------
+
+
+SID_A = b"\x11" * 16
+SID_B = b"\x22" * 16
+
+
+def _two_source_blob(lo, hi, **kw):
+    """gnos lo..hi-1 interleaved: even -> sid A, odd -> sid B."""
+    r = lambda i: {"id": i, "v": f"v{i}", "amt": Decimal(i) % 1000}
+    return build_binlog_file(
+        "d", "t", TARGET,
+        [dict(_txn(g, "w", [r(g)]), sid=SID_A if g % 2 == 0 else SID_B)
+         for g in range(lo, hi)],
+        checksum=True,
+        **kw,
+    )
+
+
+def test_per_txn_sid_roundtrip(spark, tmp_path):
+    """Per-transaction sids surface as distinct __gtid_src uuids in
+    uuid_gno format — the interleave decodes with each row stamped by
+    its own origin."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        _sid_to_uuid,
+        mysql_binlog_read,
+    )
+
+    (tmp_path / "binlog.000001").write_bytes(_two_source_blob(10, 20))
+    rows = mysql_binlog_read(
+        spark, str(tmp_path), TARGET, "d", "t", gtid_format="uuid_gno"
+    ).collect()
+    assert len(rows) == 10
+    for r in rows:
+        want = _sid_to_uuid(SID_A if r["__gtid"] % 2 == 0 else SID_B)
+        assert r["__gtid_src"] == want
+
+
+def test_prune_series_by_gtid_sets(tmp_path):
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        prune_binlog_series_by_gtid_sets,
+    )
+
+    spec = [
+        ("binlog.000001", 1, 40, None),
+        ("binlog.000002", 40, 80, {SID_A: [(1, 40)], SID_B: [(1, 40)]}),
+        ("binlog.000003", 80, 120, {SID_A: [(1, 80)], SID_B: [(1, 80)]}),
+    ]
+    for name, lo, hi, prev in spec:
+        (tmp_path / name).write_bytes(
+            _two_source_blob(lo, hi, previous_gtids=prev)
+        )
+    paths = sorted(str(tmp_path / n) for n, *_ in spec)
+    names = lambda kept: sorted(p.rsplit("/", 1)[1] for p in kept)
+    # both sources consumed past file 1 -> it prunes; file 2 is a
+    # boundary for B (bound 45 < 79) -> kept
+    kept = names(
+        prune_binlog_series_by_gtid_sets(paths, {SID_A: 100, SID_B: 45})
+    )
+    assert kept == ["binlog.000002", "binlog.000003"]
+    # a sid ABSENT from the map keeps every file that may carry it
+    assert names(
+        prune_binlog_series_by_gtid_sets(paths, {SID_A: 100})
+    ) == ["binlog.000001", "binlog.000002", "binlog.000003"]
+    # both consumed past everything: only the (never-pruned) last file
+    assert names(
+        prune_binlog_series_by_gtid_sets(paths, {SID_A: 500, SID_B: 500})
+    ) == ["binlog.000003"]
+
+
+def test_read_gtid_sets_equals_per_sid_filter(spark, tmp_path):
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        _sid_to_uuid,
+        mysql_binlog_read_gtid_sets,
+        mysql_binlog_read_parallel,
+    )
+
+    for i, (lo, hi) in enumerate([(1, 40), (40, 80), (80, 120)], start=1):
+        prev = (
+            {SID_A: [(1, lo)], SID_B: [(1, lo)]} if lo > 1
+            else {SID_A: [], SID_B: []}
+        )
+        (tmp_path / f"binlog.{i:06d}").write_bytes(
+            _two_source_blob(lo, hi, previous_gtids=prev)
+        )
+    key = lambda r: (r["__file_seq"], r["__event_seq"], r["__image_seq"])
+    full = mysql_binlog_read_parallel(
+        spark, str(tmp_path), TARGET, "d", "t",
+        gtid_format="uuid_gno", split_bytes=512,
+    ).collect()
+    ua = _sid_to_uuid(SID_A)
+    bounds = {SID_A: 90, SID_B: 15}
+    want = sorted(
+        (
+            r.asDict() for r in full
+            if r["__gtid"] > (90 if r["__gtid_src"] == ua else 15)
+        ),
+        key=key,
+    )
+    got = sorted(
+        (
+            r.asDict()
+            for r in mysql_binlog_read_gtid_sets(
+                spark, str(tmp_path), TARGET, "d", "t",
+                start_after=bounds, split_bytes=512,
+            ).collect()
+        ),
+        key=key,
+    )
+    # evens > 90: 92..118 (14); odds > 15: 17..119 (52)
+    assert got == want and len(got) == 14 + 52
