@@ -3530,13 +3530,43 @@ class MysqlBinlogTailStreamReader(_SimpleStreamReader):
         self.capture_query = (
             str(options.get("capture_query", "false")).lower() == "true"
         )
+        # GTID-positioned stream start: the checkpointed-consumer
+        # handoff (option "start_after_gno"). Only affects the FIRST
+        # offset — after that the (seq, pos) cursor owns progress.
+        raw = options.get("start_after_gno")
+        self.start_after_gno = None if raw in (None, "") else int(raw)
         # round 6: per-file carried decoder state, so each micro-batch
         # header-walks and value-decodes only bytes past the cursor —
         # events-to-visible latency becomes O(delta), not O(active file)
         self._carry: dict[int, tuple[int, dict]] = {}
 
     def initialOffset(self):
-        return {"seq": -1, "pos": 0}
+        if self.start_after_gno is None:
+            return {"seq": -1, "pos": 0}
+        # Seek the first transaction past the bound: head-based series
+        # pruning drops wholly-consumed files unwalked, then the first
+        # surviving file's bounded header walk yields the byte offset
+        # of the first in-window GTID event — an event boundary, which
+        # is exactly what the (seq, pos) cursor means. If everything
+        # is consumed, park at the end of the newest file so only new
+        # events surface.
+        import os
+
+        files = self._files()
+        if not files:
+            return {"seq": -1, "pos": 0}
+        by_path = {p: seq for seq, p in files}
+        kept = prune_binlog_series_by_gtid(
+            [p for _seq, p in files], self.start_after_gno, None
+        )
+        for p in kept:
+            splits = scan_binlog_splits_file(
+                p, 1 << 62, start_after_gno=self.start_after_gno
+            )
+            if splits:
+                return {"seq": by_path[p], "pos": splits[0]["start"]}
+        last_seq, last_path = files[-1]
+        return {"seq": last_seq, "pos": os.path.getsize(last_path)}
 
     def _files(self) -> list[tuple[int, str]]:
         import os
@@ -3634,6 +3664,14 @@ class MysqlBinlogTailStreamReader(_SimpleStreamReader):
                 )
             for batch in batches:
                 for r in batch.to_pylist():
+                    # residual GTID-start filter (belt-and-braces for
+                    # non-monotone streams; GTID-less rows pass)
+                    if (
+                        self.start_after_gno is not None
+                        and r.get("__gtid") is not None
+                        and r["__gtid"] <= self.start_after_gno
+                    ):
+                        continue
                     rows.append(tuple(r[n] for n in names))
             if seq > end["seq"] or (seq == end["seq"] and prefix > end["pos"]):
                 end = {"seq": seq, "pos": prefix}
@@ -3683,19 +3721,27 @@ def mysql_binlog_tail_stream(
     schema_ddl: str,
     database: str,
     table: str,
+    *,
+    start_after_gno: int | None = None,
 ) -> DataFrame:
     """readStream over the ``mysql_binlog_tail`` DataSource (register
     with ``sources.datasource.register``): sub-rotation-latency tail of
     a live binlog directory. ``schema_ddl`` uses the same extended DDL
-    as the packed source (enum(...)/set(...)/bit/json/geometry)."""
-    return (
+    as the packed source (enum(...)/set(...)/bit/json/geometry).
+    ``start_after_gno`` starts the FIRST micro-batch at the first
+    transaction past a checkpointed GTID (head-pruned seek, same
+    machinery as the batch resume) instead of the history's beginning;
+    once running, the (seq, pos) offset owns progress as before."""
+    reader = (
         spark.readStream.format("mysql_binlog_tail")
         .option("path", path)
         .option("schema_ddl", schema_ddl)
         .option("database", database)
         .option("table", table)
-        .load()
     )
+    if start_after_gno is not None:
+        reader = reader.option("start_after_gno", str(start_after_gno))
+    return reader.load()
 
 
 # --- oracle-checked roundtrip query ------------------------------------------

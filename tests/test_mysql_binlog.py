@@ -2168,3 +2168,68 @@ def test_read_gtid_sets_equals_per_sid_filter(spark, tmp_path):
     )
     # evens > 90: 92..118 (14); odds > 15: 17..119 (52)
     assert got == want and len(got) == 14 + 52
+
+
+def test_tail_stream_gtid_start_position(spark, tmp_path):
+    """start_after_gno: the FIRST micro-batch seeks straight to the
+    first transaction past the checkpointed gno (earlier files never
+    decode — the stream-side resume handoff), and subsequent batches
+    follow the normal (seq, pos) cursor, picking up appended events."""
+    from mysql_cdc_table_spark.sources.datasource import register
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        mysql_binlog_tail_stream,
+    )
+
+    register(spark)
+    d = tmp_path / "logs"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    ddl = "id bigint, v string, amt decimal(10,2)"
+    (d / "binlog.000001").write_bytes(
+        _gno_blob(range(1, 30), previous_gtids={b"\x11" * 16: []})
+    )
+    (d / "binlog.000002").write_bytes(
+        _gno_blob(range(30, 60), previous_gtids={b"\x11" * 16: [(1, 30)]})
+    )
+
+    def run_once(**kw):
+        got: list = []
+        q = (
+            mysql_binlog_tail_stream(spark, str(d), ddl, "d", "t", **kw)
+            .writeStream.foreachBatch(
+                lambda df, _eid: got.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    batch1 = run_once(start_after_gno=45)
+    assert sorted(r["__gtid"] for r in batch1) == list(range(46, 60))
+
+    # append a third file: the cursor (not the gno seek) drives batch 2
+    (d / "binlog.000003").write_bytes(
+        _gno_blob(range(60, 65), previous_gtids={b"\x11" * 16: [(1, 60)]})
+    )
+    batch2 = run_once(start_after_gno=45)
+    assert sorted(r["__gtid"] for r in batch2) == list(range(60, 65))
+
+    # a bound past everything parks at the tail: first batch is empty
+    ckpt2_rows: list = []
+    q = (
+        mysql_binlog_tail_stream(
+            spark, str(d), ddl, "d", "t", start_after_gno=10_000
+        )
+        .writeStream.foreachBatch(
+            lambda df, _eid: ckpt2_rows.extend(df.collect())
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert ckpt2_rows == []
