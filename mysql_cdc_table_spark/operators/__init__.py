@@ -322,6 +322,9 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "cdc_binlog_executed_set",
     "agg_bloom_membership",
     "cdc_binlog_multi_source_resume",
+    "agg_bitmap_distinct",
+    "ts_autocorr_exact",
+    "corpus_source_vocab_overlap",
 )
 
 

@@ -1715,3 +1715,218 @@ FROM top WHERE rk <= 10
 
 QUERIES.update({"agg_bloom_membership": agg_bloom_membership})
 ORACLES.update({"agg_bloom_membership": AGG_BLOOM_MEMBERSHIP_SQL})
+
+
+# --- Spark-4 bitmap distinct -------------------------------------------------
+
+
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting through Spark 4's bitmap aggregate
+    surface (bitmap_bucket_number / bitmap_construct_agg /
+    bitmap_count) — the roaring-style mechanism warehouses use when
+    count(distinct) must be both exact AND re-aggregatable: per
+    (status, bucket) a fixed 4KB bitmap marks the customer ids seen,
+    partials OR-merge map-side, and the per-group distinct count is
+    the SUM of per-bucket bit counts. Unlike HLL this is exact, so
+    the oracle is a plain COUNT(DISTINCT) — any bitmap-surface bug is
+    a value mismatch, not a bound violation. Shuffle carries
+    (groups × touched buckets) 4KB bitmaps, never the id stream."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_custkey").alias("cust"),
+    )
+    per_bucket = (
+        o.withColumn("bucket", F.expr("bitmap_bucket_number(cust)"))
+        .groupBy("status", "bucket")
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(cust))")
+             .alias("bm"))
+    )
+    return per_bucket.groupBy("status").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct_cust"),
+        F.count("*").alias("n_buckets"),
+    )
+
+
+AGG_BITMAP_DISTINCT_SQL = """
+SELECT o_orderstatus AS status,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust,
+       CAST(count(DISTINCT CAST(ceil(o_custkey / 32768.0) AS BIGINT))
+            AS BIGINT) AS n_buckets
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+QUERIES.update({"agg_bitmap_distinct": agg_bitmap_distinct})
+ORACLES.update({"agg_bitmap_distinct": AGG_BITMAP_DISTINCT_SQL})
+
+
+# --- exact integer autocorrelation -------------------------------------------
+
+
+ACF_LAGS = (1, 2, 3)
+
+
+def ts_autocorr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation terms per user — seasonality/memory
+    detection — with NO float crossing engines: values quantize to
+    integer cents, lagged pairs come from k lag windows over one sort,
+    and the output is the EXACT integer Pearson pieces (n, Σxy, and
+    the two scaled variance terms n·Σx²−(Σx)²) rather than the rooted
+    ratio — callers divide; the driver hash compares integers. One
+    user_id exchange; per-lag state is one window column."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "c",
+        *[F.lag("c", k).over(w).alias(f"l{k}") for k in ACF_LAGS],
+    )
+    out_cols = []
+    for k in ACF_LAGS:
+        lk = F.col(f"l{k}")
+        n = F.count(F.when(lk.isNotNull(), 1))
+        sx, sy = F.sum(lk), F.sum(F.when(lk.isNotNull(), F.col("c")))
+        sxy = F.sum(lk * F.col("c"))
+        sxx = F.sum(lk * lk)
+        syy = F.sum(F.when(lk.isNotNull(), F.col("c") * F.col("c")))
+        out_cols += [
+            n.alias(f"n{k}"),
+            (n * sxy - sx * sy).alias(f"cov{k}"),
+            (n * sxx - sx * sx).alias(f"varx{k}"),
+            (n * syy - sy * sy).alias(f"vary{k}"),
+        ]
+    return lagged.groupBy("user_id").agg(*out_cols)
+
+
+def _acf_oracle_sql() -> str:
+    per_lag = []
+    for k in ACF_LAGS:
+        per_lag.append(
+            f"CAST(count(l{k}) AS BIGINT) AS n{k},\n"
+            f"       CAST(count(l{k}) * sum(l{k} * c)"
+            f" - sum(l{k}) * sum(CASE WHEN l{k} IS NOT NULL THEN c END)"
+            f" AS BIGINT) AS cov{k},\n"
+            f"       CAST(count(l{k}) * sum(l{k} * l{k})"
+            f" - sum(l{k}) * sum(l{k}) AS BIGINT) AS varx{k},\n"
+            f"       CAST(count(l{k}) * sum(CASE WHEN l{k} IS NOT NULL"
+            f" THEN c * c END)"
+            f" - sum(CASE WHEN l{k} IS NOT NULL THEN c END)"
+            f" * sum(CASE WHEN l{k} IS NOT NULL THEN c END)"
+            f" AS BIGINT) AS vary{k}"
+        )
+        lags = ",\n         ".join(
+            f"lag(c, {j}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+            f" AS l{j}"
+            for j in ACF_LAGS
+        )
+    return (
+        "WITH c AS (\n"
+        "  SELECT event_id, user_id, ts,\n"
+        "         CAST(round(value * 100) AS BIGINT) AS c\n"
+        "  FROM events\n"
+        "), lagged AS (\n"
+        f"  SELECT user_id, c,\n         {lags}\n"
+        "  FROM c\n"
+        ")\n"
+        "SELECT user_id,\n       "
+        + ",\n       ".join(per_lag)
+        + "\nFROM lagged GROUP BY user_id"
+    )
+
+
+QUERIES.update({"ts_autocorr_exact": ts_autocorr_exact})
+ORACLES.update({"ts_autocorr_exact": _acf_oracle_sql()})
+
+
+# --- source vocabulary overlap -----------------------------------------------
+
+
+def corpus_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between SOURCES — the corpus-mix
+    diagnostic ("which feeds are near-duplicates of each other?"):
+    distinct (source, term) pairs, term-keyed self-join with s1 < s2
+    for intersection sizes, per-source vocab sizes broadcast back, and
+    Jaccard floored to basis points. Per-term fan-out is bounded by
+    #sources² (the contamination-matrix contract) — the corpus itself
+    never self-joins, and the output is a #sources² grid regardless of
+    scale."""
+    st = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(
+                F.expr("filter(split(text, ' '), x -> x != '')")
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    st = st.localCheckpoint(eager=False)  # three consumers, one scan
+    sizes = st.groupBy("source").agg(F.count("*").alias("vsz"))
+    a = st.select(F.col("source").alias("s1"), "term")
+    b = st.select(F.col("source").alias("s2"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("source", "s1")
+                        .withColumnRenamed("vsz", "v1")),
+            "s1",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "s2")
+                        .withColumnRenamed("vsz", "v2")),
+            "s2",
+        )
+        .select(
+            "s1",
+            "s2",
+            "inter",
+            "v1",
+            "v2",
+            F.floor(
+                10000.0
+                * F.col("inter")
+                / (F.col("v1") + F.col("v2") - F.col("inter"))
+            ).alias("jaccard_bp"),
+        )
+    )
+
+
+CORPUS_SOURCE_VOCAB_OVERLAP_SQL = """
+WITH st AS (
+  SELECT DISTINCT source,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+), sizes AS (
+  SELECT source, count(*) AS vsz FROM st GROUP BY source
+), inter AS (
+  SELECT a.source AS s1, b.source AS s2, count(*) AS inter
+  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.s1, i.s2,
+       CAST(i.inter AS BIGINT) AS inter,
+       CAST(za.vsz AS BIGINT) AS v1,
+       CAST(zb.vsz AS BIGINT) AS v2,
+       CAST(floor(
+         10000.0 * i.inter / (za.vsz + zb.vsz - i.inter)
+       ) AS BIGINT) AS jaccard_bp
+FROM inter i
+JOIN sizes za ON za.source = i.s1
+JOIN sizes zb ON zb.source = i.s2
+"""
+
+
+QUERIES.update({"corpus_source_vocab_overlap": corpus_source_vocab_overlap})
+ORACLES.update(
+    {"corpus_source_vocab_overlap": CORPUS_SOURCE_VOCAB_OVERLAP_SQL}
+)
