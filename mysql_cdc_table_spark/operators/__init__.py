@@ -325,6 +325,7 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "agg_bitmap_distinct",
     "ts_autocorr_exact",
     "corpus_source_vocab_overlap",
+    "text_langid_confusion",
 )
 
 

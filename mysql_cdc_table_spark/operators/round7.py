@@ -1930,3 +1930,55 @@ QUERIES.update({"corpus_source_vocab_overlap": corpus_source_vocab_overlap})
 ORACLES.update(
     {"corpus_source_vocab_overlap": CORPUS_SOURCE_VOCAB_OVERLAP_SQL}
 )
+
+
+# --- language-ID confusion matrix --------------------------------------------
+
+
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + per-class shares for the language-ID
+    heuristic against the labeled ``lang`` column — the
+    classifier-eval pattern every curation heuristic needs before it
+    gates a corpus (is the cheap model wrong uniformly, or only for
+    one class?). Pure composition: text_langid's per-doc predictions
+    group to the |langs|² cell grid, per-true-class totals broadcast
+    back, cell shares floored to basis points. The eval is itself
+    oracled: the SQL twin wraps text_langid's own oracle as a CTE, so
+    a scoring drift breaks BOTH keys coherently."""
+    from mysql_cdc_table_spark.functions.text import text_langid
+
+    pred = text_langid(spark, sf_dir).select("lang", "pred_lang")
+    cells = pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+    totals = pred.groupBy("lang").agg(F.count("*").alias("lang_total"))
+    return cells.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "pred_lang",
+        "n",
+        "lang_total",
+        F.floor(10000.0 * F.col("n") / F.col("lang_total")).alias(
+            "cell_bp"
+        ),
+    )
+
+
+def _langid_confusion_sql() -> str:
+    from mysql_cdc_table_spark.functions.text import TEXT_LANGID_SQL
+
+    return f"""
+WITH pred AS ({TEXT_LANGID_SQL}),
+cells AS (
+  SELECT lang, pred_lang, count(*) AS n
+  FROM pred GROUP BY lang, pred_lang
+), totals AS (
+  SELECT lang, count(*) AS lang_total FROM pred GROUP BY lang
+)
+SELECT c.lang, c.pred_lang,
+       CAST(c.n AS BIGINT) AS n,
+       CAST(t.lang_total AS BIGINT) AS lang_total,
+       CAST(floor(10000.0 * c.n / t.lang_total) AS BIGINT) AS cell_bp
+FROM cells c JOIN totals t ON c.lang = t.lang
+"""
+
+
+QUERIES.update({"text_langid_confusion": text_langid_confusion})
+ORACLES.update({"text_langid_confusion": _langid_confusion_sql()})

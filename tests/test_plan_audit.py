@@ -677,6 +677,43 @@ def test_bloom_fixed_state_broadcast(spark, sf_dir):
     assert count_nodes(df, "BroadcastNestedLoopJoin") == 1  # fp_ok row
 
 
+def test_bitmap_distinct_two_hash_aggs(spark, sf_dir):
+    """Bitmap distinct: (status, bucket) bitmap agg then per-status
+    sum — two keyed hash aggs, map-side-combinable, no window, no
+    join; the shuffle carries 4KB bitmaps, never the id stream."""
+    from mysql_cdc_table_spark.operators.round7 import agg_bitmap_distinct
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = agg_bitmap_distinct(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert count_nodes(df, "Window") == 0
+    assert shuffle_count(df) <= 2
+
+
+def test_autocorr_one_sort_all_lags(spark, sf_dir):
+    """All three lag columns ride ONE window over one user_id
+    exchange; the Pearson pieces are one hash agg."""
+    from mysql_cdc_table_spark.operators.round7 import ts_autocorr_exact
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = ts_autocorr_exact(spark, sf_dir)
+    assert count_nodes(df, "Window") == 1
+    assert shuffle_count(df) <= 2  # user sort + final agg
+
+
+def test_vocab_overlap_bounded_fanout(spark, sf_dir):
+    """Source-vocab Jaccard: the only non-broadcast join is the
+    term-keyed self-join (fan-out bounded by sources²); sizes
+    broadcast back; no cartesian."""
+    from mysql_cdc_table_spark.operators.round7 import (
+        corpus_source_vocab_overlap,
+    )
+
+    df = corpus_source_vocab_overlap(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df, 2)  # the two size grids
+
+
 def test_passage_dedup_single_passage_shuffle(spark, sf_dir):
     """One explode + one window over passage partitions + one per-doc
     agg: each passage instance crosses the wire once; no join back, no
