@@ -326,6 +326,7 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "ts_autocorr_exact",
     "corpus_source_vocab_overlap",
     "text_langid_confusion",
+    "sql_group_by_all",
 )
 
 

@@ -1982,3 +1982,43 @@ FROM cells c JOIN totals t ON c.lang = t.lang
 
 QUERIES.update({"text_langid_confusion": text_langid_confusion})
 ORACLES.update({"text_langid_confusion": _langid_confusion_sql()})
+
+
+# --- GROUP BY ALL ------------------------------------------------------------
+
+
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's GROUP BY ALL — the modern shorthand that infers the
+    grouping keys from the non-aggregate select items (third SQL
+    entry-point key next to sql_entrypoint_views and sql_pipe_syntax).
+    The oracle spells the keys out, so the key asserts the inference
+    resolves to exactly the explicit grouping — a computed expression
+    among the keys (the priority prefix) makes the inference
+    non-trivial. Integer outputs per the parity convention."""
+    from mysql_cdc_table_spark.operators.extras import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               substring(o_orderpriority, 1, 1) AS prio,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(o_orderkey % 1000) AS BIGINT) AS key_sum
+        FROM orders
+        GROUP BY ALL
+        """
+    )
+
+
+SQL_GROUP_BY_ALL_SQL = """
+SELECT o_orderstatus,
+       substring(o_orderpriority, 1, 1) AS prio,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(o_orderkey % 1000) AS BIGINT) AS key_sum
+FROM orders
+GROUP BY o_orderstatus, substring(o_orderpriority, 1, 1)
+"""
+
+
+QUERIES.update({"sql_group_by_all": sql_group_by_all})
+ORACLES.update({"sql_group_by_all": SQL_GROUP_BY_ALL_SQL})
