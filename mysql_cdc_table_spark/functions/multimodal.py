@@ -137,11 +137,27 @@ def encode_bmp(width: int, height: int, rgb) -> bytes:
     return header + dib + pixel_data
 
 
+def decode_image_pixels(payload: bytes):
+    """-> (codec, (h, w, 3) uint8 RGB array). The pixel-level decode
+    under decode_image_bytes — callers that need spatial content
+    (perceptual hashing, resizing) use this; summary callers use the
+    tuple wrapper."""
+    import numpy as np
+
+    codec, w, h, _nch, _mean, px = _decode_image_impl(payload)
+    return codec, np.ascontiguousarray(px.reshape(h, w, 3))
+
+
 def decode_image_bytes(payload: bytes) -> tuple[str, int, int, int, float]:
     """-> (codec, width, height, n_channels, mean_intensity). Real
     decode of netpbm P6 and uncompressed 24/32-bit BMP with numpy;
     other formats go through PIL when importable, else raise pointedly
     (never a silent fake)."""
+    codec, w, h, nch, mean, _px = _decode_image_impl(payload)
+    return codec, w, h, nch, mean
+
+
+def _decode_image_impl(payload: bytes):
     import numpy as np
 
     if payload[:2] == b"P6":
@@ -173,7 +189,7 @@ def decode_image_bytes(payload: bytes) -> tuple[str, int, int, int, float]:
         if maxval >= 256:
             raise ValueError("16-bit PPM not supported")
         px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
-        return "ppm", w, h, 3, float(px.mean())
+        return "ppm", w, h, 3, float(px.mean()), px
     if payload[:2] == b"BM":
         import struct
 
@@ -200,7 +216,7 @@ def decode_image_bytes(payload: bytes) -> tuple[str, int, int, int, float]:
         if not top_down:
             px = px[::-1]
         px = px[:, :, :3][:, :, ::-1]  # BGR(A) -> RGB, alpha dropped
-        return "bmp", w, h, 3, float(px.mean())
+        return "bmp", w, h, 3, float(px.mean()), px
     try:
         from io import BytesIO
 
@@ -219,6 +235,7 @@ def decode_image_bytes(payload: bytes) -> tuple[str, int, int, int, float]:
         img.height,
         3,
         float(arr.mean()),
+        arr,
     )
 
 

@@ -327,6 +327,7 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "corpus_source_vocab_overlap",
     "text_langid_confusion",
     "sql_group_by_all",
+    "mm_image_ahash",
 )
 
 

@@ -2022,3 +2022,148 @@ GROUP BY o_orderstatus, substring(o_orderpriority, 1, 1)
 
 QUERIES.update({"sql_group_by_all": sql_group_by_all})
 ORACLES.update({"sql_group_by_all": SQL_GROUP_BY_ALL_SQL})
+
+
+# --- image average-hash (perceptual near-dup) --------------------------------
+
+
+def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over REAL image decode — the image
+    near-dup primitive (aHash: 8×8 block means vs global mean → 64
+    bits; images equal up to small noise share most bits). Every doc
+    synthesizes a GRADIENT image (per-channel linear patterns in
+    x/y/doc_id; even ids P6, odd ids BMP), the decode stage sniffs and
+    parses REAL bytes back to pixels (decode_image_pixels), and the
+    hash computes from a channel-WEIGHTED intensity 3R+2G+B in exact
+    integer arithmetic (block_sum·total_px > total_sum·block_px — no
+    division). Because the pattern is spatial and the weights are
+    asymmetric, the value hash now pins what the mean-only decode key
+    cannot: BMP bottom-up row order, BGR→RGB channel order, and row
+    padding all flip bits if mishandled. The oracle recomputes the
+    hash from the pattern formula — pure SQL integer arithmetic.
+    Arrow-batched mapInPandas both stages; embarrassingly parallel."""
+    import numpy as np
+
+    from mysql_cdc_table_spark.functions.multimodal import (
+        decode_image_pixels,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    out_schema = (
+        "doc_id long, codec string, width int, height int, "
+        "hash_hi long, hash_lo long, n_bits int"
+    )
+
+    def gen_and_hash(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 16 + 8, did % 12 + 8
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                rgb = np.stack(
+                    [
+                        (x + y + did) % 256,
+                        (2 * x + y + did) % 256,
+                        (x + 3 * y + did) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payload = (
+                    encode_ppm(w, h, rgb)
+                    if did % 2 == 0
+                    else encode_bmp(w, h, rgb)
+                )
+                # REAL decode back from the container bytes
+                codec, px = decode_image_pixels(payload)
+                s = (
+                    3 * px[:, :, 0].astype(np.int64)
+                    + 2 * px[:, :, 1].astype(np.int64)
+                    + px[:, :, 2].astype(np.int64)
+                )
+                bx = (np.arange(w) * 8) // w
+                by = (np.arange(h) * 8) // h
+                block_sum = np.zeros((8, 8), dtype=np.int64)
+                block_px = np.zeros((8, 8), dtype=np.int64)
+                np.add.at(block_sum, (by[:, None], bx[None, :]), s)
+                np.add.at(
+                    block_px,
+                    (by[:, None], bx[None, :]),
+                    np.ones((h, w), dtype=np.int64),
+                )
+                total_sum, total_px = int(s.sum()), w * h
+                bits = (
+                    block_sum * total_px > total_sum * block_px
+                ).ravel()  # p = by*8 + bx
+                lo = hi = 0
+                for p, b in enumerate(bits):
+                    if b:
+                        if p < 32:
+                            lo |= 1 << p
+                        else:
+                            hi |= 1 << (p - 32)
+                rows.append(
+                    (did, codec, w, h, hi, lo, int(bits.sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "codec", "width", "height",
+                    "hash_hi", "hash_lo", "n_bits",
+                ],
+            )
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(gen_and_hash, schema=out_schema)
+
+
+MM_IMAGE_AHASH_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 16 + 8 AS w, doc_id % 12 + 8 AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h,
+         unnest(generate_series(0, w * h - 1)) AS i
+  FROM d
+), v AS (
+  SELECT doc_id, w, h,
+         ((i % w) * 8) // w AS bx,
+         ((i // w) * 8) // h AS by,
+         3 * ((i % w + i // w + doc_id) % 256)
+         + 2 * ((2 * (i % w) + i // w + doc_id) % 256)
+         + ((i % w + 3 * (i // w) + doc_id) % 256) AS s
+  FROM px
+), blocks AS (
+  SELECT doc_id, w, h, by * 8 + bx AS p,
+         CAST(sum(s) AS BIGINT) AS bsum,
+         CAST(count(*) AS BIGINT) AS bpx
+  FROM v GROUP BY doc_id, w, h, bx, by
+), tot AS (
+  SELECT doc_id, CAST(sum(bsum) AS BIGINT) AS tsum
+  FROM blocks GROUP BY doc_id
+), bits AS (
+  SELECT b.doc_id, b.w, b.h, b.p,
+         b.bsum * (b.w * b.h) > t.tsum * b.bpx AS bit
+  FROM blocks b JOIN tot t ON b.doc_id = t.doc_id
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS codec,
+       CAST(max(w) AS INTEGER) AS width,
+       CAST(max(h) AS INTEGER) AS height,
+       CAST(sum(CASE WHEN bit AND p >= 32
+                     THEN (CAST(1 AS BIGINT) << (p - 32)) ELSE 0 END)
+            AS BIGINT) AS hash_hi,
+       CAST(sum(CASE WHEN bit AND p < 32
+                     THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+            AS BIGINT) AS hash_lo,
+       CAST(count(*) FILTER (WHERE bit) AS INTEGER) AS n_bits
+FROM bits GROUP BY doc_id
+"""
+
+
+QUERIES.update({"mm_image_ahash": mm_image_ahash})
+ORACLES.update({"mm_image_ahash": MM_IMAGE_AHASH_SQL})

@@ -685,3 +685,44 @@ def test_bloom_mechanism_no_false_negatives(spark, sf_dir):
     )
     for w, r in zip(words, rows):
         assert (r["a"], r["b"]) == _bloom_codes(w), w
+
+
+def test_ahash_sensitive_to_spatial_and_channel_errors():
+    """The aHash key has teeth: a decoder that flipped rows (BMP
+    bottom-up mishandled) or swapped channels (BGR kept) would change
+    the hash for gradient images — verify directly on the pixel
+    math."""
+    import numpy as np
+
+    from mysql_cdc_table_spark.functions.multimodal import (
+        decode_image_pixels,
+        encode_bmp,
+    )
+
+    did = 7
+    w, h = did % 16 + 8, did % 12 + 8
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    rgb = np.stack(
+        [(x + y + did) % 256, (2 * x + y + did) % 256,
+         (x + 3 * y + did) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    _codec, px = decode_image_pixels(encode_bmp(w, h, rgb))
+    assert (px == rgb).all()  # spatially exact decode
+
+    def ahash(p):
+        s = (3 * p[:, :, 0].astype(np.int64)
+             + 2 * p[:, :, 1].astype(np.int64)
+             + p[:, :, 2].astype(np.int64))
+        bx = (np.arange(w) * 8) // w
+        by = (np.arange(h) * 8) // h
+        bs = np.zeros((8, 8), np.int64)
+        bp = np.zeros((8, 8), np.int64)
+        np.add.at(bs, (by[:, None], bx[None, :]), s)
+        np.add.at(bp, (by[:, None], bx[None, :]), np.ones((h, w), np.int64))
+        return tuple((bs * (w * h) > s.sum() * bp).ravel())
+
+    good = ahash(px)
+    assert good != ahash(px[::-1])          # row-flip visible
+    assert good != ahash(px[:, :, ::-1])    # channel-swap visible
