@@ -328,6 +328,7 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "text_langid_confusion",
     "sql_group_by_all",
     "mm_image_ahash",
+    "join_interval_bucketed",
 )
 
 

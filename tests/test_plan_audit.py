@@ -714,6 +714,26 @@ def test_vocab_overlap_bounded_fanout(spark, sf_dir):
     assert_broadcast_join(df, 2)  # the two size grids
 
 
+def test_interval_bucketed_join_is_equi(spark, sf_dir):
+    """THE point of the bucketed interval join: the overlap pairs meet
+    by an EQUI join on the bucket id (hash/sort-merge — partitionable
+    at any scale), never a BroadcastNestedLoopJoin / cartesian the
+    naive range join degenerates to when both sides are big."""
+    from mysql_cdc_table_spark.operators.round7 import join_interval_bucketed
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = join_interval_bucketed(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert count_nodes(df, "BroadcastNestedLoopJoin") == 0
+    # exactly one pair join; both sides exploded scan-side
+    plan_joins = (
+        count_nodes(df, "SortMergeJoin")
+        + count_nodes(df, "ShuffledHashJoin")
+        + count_nodes(df, "BroadcastHashJoin")
+    )
+    assert plan_joins == 1
+
+
 def test_passage_dedup_single_passage_shuffle(spark, sf_dir):
     """One explode + one window over passage partitions + one per-doc
     agg: each passage instance crosses the wire once; no join back, no
