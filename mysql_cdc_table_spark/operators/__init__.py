@@ -329,6 +329,7 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "sql_group_by_all",
     "mm_image_ahash",
     "join_interval_bucketed",
+    "dedup_minhash_eval",
 )
 
 

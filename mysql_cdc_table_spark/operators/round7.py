@@ -2278,3 +2278,122 @@ GROUP BY status
 
 QUERIES.update({"join_interval_bucketed": join_interval_bucketed})
 ORACLES.update({"join_interval_bucketed": JOIN_INTERVAL_BUCKETED_SQL})
+
+
+# --- MinHash estimator calibration -------------------------------------------
+
+
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration report for the MinHash estimator over its OWN LSH
+    candidates — the sketch-eval pattern (like text_langid_confusion
+    for a classifier): for every candidate pair, the 16-component
+    signature agreement (the estimator: matches/16 ≈ Jaccard) is
+    cross-tabulated against the EXACT shingle Jaccard, grouped by
+    match count. One row per agreement level with exact-integer
+    evidence (pair count, how many clear Jaccard ≥ 0.3 via the
+    10·common ≥ 3·union integer test, and the summed common/union
+    masses). A broken permutation, banding, or shingle pipeline shifts
+    the whole curve. Joins key on doc ids; candidate volume is
+    LSH-bounded, never all-pairs."""
+    from mysql_cdc_table_spark.functions.dedup import (
+        N_HASHES,
+        dedup_minhash_pairs,
+        dedup_minhash_signature,
+    )
+    from mysql_cdc_table_spark.functions.text import _doc_shingles
+
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    sig = dedup_minhash_signature(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
+    sh = (
+        _doc_shingles(spark, sf_dir)
+        .filter(F.size("sh") > 0)
+        .localCheckpoint(eager=False)
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc1"),
+        *[F.col(f"mh_{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc2"),
+        *[F.col(f"mh_{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    est = (
+        pairs.join(sa, "doc1")
+        .join(sb, "doc2")
+        .select("doc1", "doc2", matches.alias("mh_matches"))
+    )
+    ja = sh.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
+    jb = sh.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
+    exact = (
+        est.join(ja, "doc1")
+        .join(jb, "doc2")
+        .select(
+            "mh_matches",
+            F.size(F.array_intersect("sh1", "sh2")).alias("common"),
+            (
+                F.size("sh1") + F.size("sh2")
+                - F.size(F.array_intersect("sh1", "sh2"))
+            ).alias("uni"),
+        )
+    )
+    return exact.groupBy("mh_matches").agg(
+        F.count("*").alias("n_pairs"),
+        F.count_if(10 * F.col("common") >= 3 * F.col("uni")).alias(
+            "n_exact_ge_03"
+        ),
+        F.sum("common").alias("common_sum"),
+        F.sum("uni").alias("union_sum"),
+    )
+
+
+def _minhash_eval_sql() -> str:
+    from mysql_cdc_table_spark.functions.dedup import (
+        DEDUP_MINHASH_PAIRS_SQL,
+        N_HASHES,
+    )
+    from mysql_cdc_table_spark.functions.text import _SQL_SHINGLES
+
+    match_terms = " + ".join(
+        f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END"
+        for i in range(N_HASHES)
+    )
+    # re-derive the signature CTE text from the pairs oracle's own
+    # building blocks so the two keys cannot drift apart
+    from mysql_cdc_table_spark.functions.dedup import _SQL_MH
+
+    return f"""
+WITH cand AS ({DEDUP_MINHASH_PAIRS_SQL}),
+shs AS ({_SQL_SHINGLES}),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shs WHERE len(sh) > 0),
+sig AS (SELECT doc_id, {_SQL_MH} FROM ex GROUP BY doc_id),
+m AS (
+  SELECT c.doc1, c.doc2, {match_terms} AS mh_matches
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc1
+  JOIN sig sb ON sb.doc_id = c.doc2
+), j AS (
+  SELECT m.mh_matches,
+         len(list_intersect(d1.sh, d2.sh)) AS common,
+         len(d1.sh) + len(d2.sh) - len(list_intersect(d1.sh, d2.sh)) AS uni
+  FROM m
+  JOIN shs d1 ON d1.doc_id = m.doc1
+  JOIN shs d2 ON d2.doc_id = m.doc2
+)
+SELECT CAST(mh_matches AS INTEGER) AS mh_matches,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(*) FILTER (WHERE 10 * common >= 3 * uni) AS BIGINT)
+         AS n_exact_ge_03,
+       CAST(sum(common) AS BIGINT) AS common_sum,
+       CAST(sum(uni) AS BIGINT) AS union_sum
+FROM j GROUP BY mh_matches
+"""
+
+
+QUERIES.update({"dedup_minhash_eval": dedup_minhash_eval})
+ORACLES.update({"dedup_minhash_eval": _minhash_eval_sql()})
