@@ -330,6 +330,7 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "mm_image_ahash",
     "join_interval_bucketed",
     "dedup_minhash_eval",
+    "agg_ks_drift",
 )
 
 

@@ -2397,3 +2397,101 @@ FROM j GROUP BY mh_matches
 
 QUERIES.update({"dedup_minhash_eval": dedup_minhash_eval})
 ORACLES.update({"dedup_minhash_eval": _minhash_eval_sql()})
+
+
+# --- two-sample Kolmogorov-Smirnov drift -------------------------------------
+
+
+def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic for every pair of
+    event types — the distribution-drift detector ("do errors carry
+    the same value distribution as clicks?"), with the usual float CDF
+    gymnastics replaced by integers: values quantize to cents, per
+    (pair, cents) grid counts cumulate in ONE window per pair, and
+    D = max|F1−F2| is carried as its exact integer numerator
+    max|ca·nb − cb·na| over denominator na·nb (the drift flag tests
+    D > 0.05 as 20·num > na·nb — no division anywhere). The pair
+    dimension is #types² and rides two broadcast equi-joins; the
+    window runs over the distinct-cents grid per pair, not raw
+    events."""
+    ev = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ty = ev.select("t").distinct()
+    pairs = (
+        ty.select(F.col("t").alias("t1"))
+        .join(ty.select(F.col("t").alias("t2")))
+        .filter(F.col("t1") < F.col("t2"))
+    )
+    side_a = ev.join(
+        F.broadcast(pairs), ev["t"] == pairs["t1"]
+    ).select("t1", "t2", "cents", F.lit(1).alias("da"), F.lit(0).alias("db"))
+    side_b = ev.join(
+        F.broadcast(pairs), ev["t"] == pairs["t2"]
+    ).select("t1", "t2", "cents", F.lit(0).alias("da"), F.lit(1).alias("db"))
+    tagged = side_a.unionByName(side_b)
+    grid = tagged.groupBy("t1", "t2", "cents").agg(
+        F.sum("da").alias("da"), F.sum("db").alias("db")
+    )
+    w = (
+        Window.partitionBy("t1", "t2")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.withColumn("ca", F.sum("da").over(w)).withColumn(
+        "cb", F.sum("db").over(w)
+    )
+    tot = grid.groupBy("t1", "t2").agg(
+        F.sum("da").alias("na"), F.sum("db").alias("nb")
+    )
+    j = cum.join(F.broadcast(tot), ["t1", "t2"])
+    return j.groupBy("t1", "t2", "na", "nb").agg(
+        F.max(
+            F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+        ).alias("d_num"),
+    ).withColumn(
+        "drift_gt_05", 20 * F.col("d_num") > F.col("na") * F.col("nb")
+    )
+
+
+AGG_KS_DRIFT_SQL = """
+WITH c AS (
+  SELECT event_type AS t,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), ty AS (SELECT DISTINCT t FROM c),
+pairs AS (
+  SELECT a.t AS t1, b.t AS t2 FROM ty a JOIN ty b ON a.t < b.t
+), tagged AS (
+  SELECT p.t1, p.t2, c.cents,
+         CASE WHEN c.t = p.t1 THEN 1 ELSE 0 END AS da,
+         CASE WHEN c.t = p.t2 THEN 1 ELSE 0 END AS db
+  FROM pairs p JOIN c ON c.t = p.t1 OR c.t = p.t2
+), grid AS (
+  SELECT t1, t2, cents,
+         CAST(sum(da) AS BIGINT) AS da, CAST(sum(db) AS BIGINT) AS db
+  FROM tagged GROUP BY t1, t2, cents
+), cum AS (
+  SELECT t1, t2, cents, da, db,
+         CAST(sum(da) OVER w AS BIGINT) AS ca,
+         CAST(sum(db) OVER w AS BIGINT) AS cb
+  FROM grid
+  WINDOW w AS (PARTITION BY t1, t2 ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tot AS (
+  SELECT t1, t2, CAST(sum(da) AS BIGINT) AS na,
+         CAST(sum(db) AS BIGINT) AS nb
+  FROM grid GROUP BY t1, t2
+)
+SELECT c.t1, c.t2, t.na, t.nb,
+       CAST(max(abs(c.ca * t.nb - c.cb * t.na)) AS BIGINT) AS d_num,
+       20 * max(abs(c.ca * t.nb - c.cb * t.na)) > t.na * t.nb
+         AS drift_gt_05
+FROM cum c JOIN tot t ON c.t1 = t.t1 AND c.t2 = t.t2
+GROUP BY c.t1, c.t2, t.na, t.nb
+"""
+
+
+QUERIES.update({"agg_ks_drift": agg_ks_drift})
+ORACLES.update({"agg_ks_drift": AGG_KS_DRIFT_SQL})
