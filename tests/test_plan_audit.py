@@ -734,6 +734,27 @@ def test_interval_bucketed_join_is_equi(spark, sf_dir):
     assert plan_joins == 1
 
 
+def test_ks_drift_grid_window(spark, sf_dir):
+    """KS: one cumulative window per (t1, t2) over the distinct-cents
+    grid; pair dimension and totals broadcast; no cartesian."""
+    from mysql_cdc_table_spark.operators.round7 import agg_ks_drift
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = agg_ks_drift(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert count_nodes(df, "Window") == 1
+    assert_broadcast_join(df, 3)  # pairs (×2 sides) + totals
+
+
+def test_minhash_eval_lsh_bounded(spark, sf_dir):
+    """The calibration joins key on doc ids off the LSH candidate set —
+    no cartesian, no all-pairs anywhere."""
+    from mysql_cdc_table_spark.operators.round7 import dedup_minhash_eval
+
+    df = dedup_minhash_eval(spark, sf_dir)
+    assert_no_cartesian(df)
+
+
 def test_passage_dedup_single_passage_shuffle(spark, sf_dir):
     """One explode + one window over passage partitions + one per-doc
     agg: each passage instance crosses the wire once; no join back, no
