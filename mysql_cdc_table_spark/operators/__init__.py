@@ -331,6 +331,8 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "join_interval_bucketed",
     "dedup_minhash_eval",
     "agg_ks_drift",
+    "ts_sma_crossover",
+    "cdc_binlog_txn_stats",
 )
 
 

@@ -24,6 +24,7 @@ from mysql_cdc_table_spark.sources.mysql_binlog import (
     CDC_BINLOG_PITR_WINDOW_SQL,
     CDC_BINLOG_EXECUTED_SET_SQL,
     CDC_BINLOG_MULTI_SOURCE_RESUME_SQL,
+    CDC_BINLOG_TXN_STATS_SQL,
     CDC_BINLOG_LATEST_STATE_SQL,
     CDC_BINLOG_ROWS_QUERY_SQL,
     CDC_BINLOG_MULTI_TABLE_SQL,
@@ -36,6 +37,7 @@ from mysql_cdc_table_spark.sources.mysql_binlog import (
     cdc_binlog_pitr_window,
     cdc_binlog_executed_set,
     cdc_binlog_multi_source_resume,
+    cdc_binlog_txn_stats,
     cdc_binlog_latest_state,
     cdc_binlog_multi_table,
     cdc_binlog_parallel_roundtrip,
@@ -86,6 +88,8 @@ QUERIES = {
     # round 7: PER-SOURCE resume over an interleaved two-origin stream
     # (mysql_binlog_read_gtid_sets — MASTER_AUTO_POSITION semantics)
     "cdc_binlog_multi_source_resume": cdc_binlog_multi_source_resume,
+    # round 7: txn-size histogram through multi-row WRITE_ROWS events
+    "cdc_binlog_txn_stats": cdc_binlog_txn_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -104,4 +108,5 @@ ORACLES: dict[str, str] = {
     "cdc_binlog_pitr_window": CDC_BINLOG_PITR_WINDOW_SQL,
     "cdc_binlog_executed_set": CDC_BINLOG_EXECUTED_SET_SQL,
     "cdc_binlog_multi_source_resume": CDC_BINLOG_MULTI_SOURCE_RESUME_SQL,
+    "cdc_binlog_txn_stats": CDC_BINLOG_TXN_STATS_SQL,
 }

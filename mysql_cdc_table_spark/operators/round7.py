@@ -2495,3 +2495,94 @@ GROUP BY c.t1, c.t2, t.na, t.nb
 
 QUERIES.update({"agg_ks_drift": agg_ks_drift})
 ORACLES.update({"agg_ks_drift": AGG_KS_DRIFT_SQL})
+
+
+# --- SMA crossover signals ---------------------------------------------------
+
+
+SMA_FAST = 5
+SMA_SLOW = 20
+
+
+def ts_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fast/slow moving-average crossover signals per user — the
+    classic trend-change detector — in pure integers: cents sums over
+    the trailing 5- and 20-row frames compare via cross-multiplication
+    (fast_sum·n_slow vs slow_sum·n_fast — no division, partial frames
+    handled exactly), the state flag is that comparison's sign, and a
+    SIGNAL fires where the flag flips between consecutive rows (one
+    lag over the same sort). Output per user: signal counts by
+    direction and the first golden-cross event id. Two frames + one
+    lag share ONE user_id exchange."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = base.rowsBetween(-(SMA_FAST - 1), 0)
+    ws = base.rowsBetween(-(SMA_SLOW - 1), 0)
+    flagged = (
+        ev.withColumn("fs", F.sum("c").over(wf))
+        .withColumn("nf", F.count("c").over(wf))
+        .withColumn("ss", F.sum("c").over(ws))
+        .withColumn("ns", F.count("c").over(ws))
+        .withColumn(
+            "above", F.col("fs") * F.col("ns") > F.col("ss") * F.col("nf")
+        )
+        .withColumn("prev_above", F.lag("above").over(base))
+    )
+    sig = flagged.filter(
+        F.col("prev_above").isNotNull()
+        & (F.col("above") != F.col("prev_above"))
+    )
+    return sig.groupBy("user_id").agg(
+        F.count("*").alias("n_signals"),
+        F.count_if(F.col("above")).alias("n_golden"),
+        F.count_if(~F.col("above")).alias("n_death"),
+        F.min(F.when(F.col("above"), F.col("event_id"))).alias(
+            "first_golden_event"
+        ),
+    )
+
+
+TS_SMA_CROSSOVER_SQL = f"""
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), framed AS (
+  SELECT event_id, user_id, ts,
+         CAST(sum(c) OVER wf AS BIGINT) AS fs,
+         CAST(count(c) OVER wf AS BIGINT) AS nf,
+         CAST(sum(c) OVER ws AS BIGINT) AS ss,
+         CAST(count(c) OVER ws AS BIGINT) AS ns
+  FROM c
+  WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN {SMA_FAST - 1} PRECEDING AND CURRENT ROW),
+         ws AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN {SMA_SLOW - 1} PRECEDING AND CURRENT ROW)
+), flagged AS (
+  SELECT event_id, user_id,
+         fs * ns > ss * nf AS above,
+         lag(fs * ns > ss * nf) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_above
+  FROM framed
+), sig AS (
+  SELECT * FROM flagged
+  WHERE prev_above IS NOT NULL AND above <> prev_above
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_signals,
+       CAST(count(*) FILTER (WHERE above) AS BIGINT) AS n_golden,
+       CAST(count(*) FILTER (WHERE NOT above) AS BIGINT) AS n_death,
+       CAST(min(CASE WHEN above THEN event_id END) AS BIGINT)
+         AS first_golden_event
+FROM sig GROUP BY user_id
+"""
+
+
+QUERIES.update({"ts_sma_crossover": ts_sma_crossover})
+ORACLES.update({"ts_sma_crossover": TS_SMA_CROSSOVER_SQL})

@@ -4843,6 +4843,89 @@ FROM b GROUP BY status
 """
 
 
+def cdc_binlog_txn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-size observability through the real wire format —
+    the replication-ops question ("are we shipping many small txns or
+    few huge ones?") answered from the decoded changelog: the fixture
+    batches orders keys into MULTI-ROW transactions (gno = key//8, one
+    WRITE_ROWS event carrying every row of the bucket — the multi-row
+    image walk plus __image_seq ordering is finally load-bearing in a
+    registry key), the decode re-derives per-txn row counts by
+    grouping on __gtid, and the output is the txn-size histogram with
+    a per-size gno checksum. A decoder that dropped or duplicated ANY
+    row image of a multi-row event shifts its transaction into the
+    wrong histogram bucket. Keys co-partition by bucket before encode
+    so each transaction serializes whole into one file."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.operators._util import t
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "status",
+                T.StringType(),
+                metadata={"mysql_type": "enum", "values": ["F", "O", "P"]},
+            ),
+        ]
+    )
+    base = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("status"),
+            (F.col("o_orderkey") / 8).cast("long").alias("bucket"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "bucket")
+        .sortWithinPartitions("id")
+    )
+    file_schema = T.StructType([T.StructField("file_bytes", T.BinaryType())])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            by_g: dict[int, list[dict]] = {}
+            for r in pdf.itertuples(index=False):
+                by_g.setdefault(int(r.bucket), []).append(
+                    {"id": int(r.id), "status": r.status}
+                )
+            txns = [
+                {"gno": g, "op": "w", "rows": rows}
+                for g, rows in sorted(by_g.items())
+            ]
+            blob = build_binlog_file(
+                "tpch", "orders", target, txns, checksum=True
+            )
+            yield pd.DataFrame({"file_bytes": [blob]})
+
+    files = base.mapInPandas(encode, schema=file_schema)
+    stage = _stage_binlog_files(spark, files, f"{sf_dir}|txn_stats")
+    decoded = mysql_binlog_read_parallel(
+        spark, stage, target, "tpch", "orders", split_bytes=4096
+    )
+    per_txn = decoded.groupBy("__gtid").agg(F.count("*").alias("txn_size"))
+    return per_txn.groupBy("txn_size").agg(
+        F.count("*").alias("n_txns"),
+        F.sum("__gtid").alias("gno_sum"),
+    )
+
+
+CDC_BINLOG_TXN_STATS_SQL = """
+WITH b AS (
+  SELECT o_orderkey // 8 AS g, count(*) AS s
+  FROM orders GROUP BY 1
+)
+SELECT CAST(s AS BIGINT) AS txn_size,
+       CAST(count(*) AS BIGINT) AS n_txns,
+       CAST(sum(g) AS BIGINT) AS gno_sum
+FROM b GROUP BY s
+"""
+
+
 PITR_EPOCH = 1_700_000_000  # fixture time origin: commit ts = epoch + gno
 
 
