@@ -333,6 +333,7 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "agg_ks_drift",
     "ts_sma_crossover",
     "cdc_binlog_txn_stats",
+    "fn_aes_roundtrip",
 )
 
 

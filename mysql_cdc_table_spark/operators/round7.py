@@ -2586,3 +2586,55 @@ FROM sig GROUP BY user_id
 
 QUERIES.update({"ts_sma_crossover": ts_sma_crossover})
 ORACLES.update({"ts_sma_crossover": TS_SMA_CROSSOVER_SQL})
+
+
+# --- AES encrypt/decrypt roundtrip -------------------------------------------
+
+
+AES_KEY = "0123456789abcdef"  # 16-byte demo key (AES-128)
+
+
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's column-level crypto surface (aes_encrypt/aes_decrypt —
+    MySQL ships AES_ENCRYPT/AES_DECRYPT, so the reference's users have
+    this in their queries): every customer name encrypts under
+    AES-128-ECB (the deterministic mode — GCM's random IV would break
+    the value hash by design) and decrypts back. The aggregate pins
+    three things the oracle can state independently: the roundtrip
+    returns the exact plaintext (n_ok = n), ciphertext length follows
+    the PKCS7 block law (16·(len//16 + 1) — a padding bug shifts the
+    sum), and ECB determinism (same plaintext → same ciphertext:
+    distinct ciphertexts == distinct plaintexts)."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("pt"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    enc = c.withColumn(
+        "ct",
+        F.expr(f"aes_encrypt(pt, '{AES_KEY}', 'ECB')"),
+    ).withColumn(
+        "rt",
+        F.expr(f"cast(aes_decrypt(ct, '{AES_KEY}', 'ECB') as string)"),
+    )
+    return enc.groupBy("seg").agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("rt") == F.col("pt")).alias("n_roundtrip_ok"),
+        F.sum(F.length("ct").cast("long")).alias("ct_len_sum"),
+        F.countDistinct("ct").alias("n_distinct_ct"),
+        F.countDistinct("pt").alias("n_distinct_pt"),
+    )
+
+
+FN_AES_ROUNDTRIP_SQL = """
+SELECT c_mktsegment AS seg,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_roundtrip_ok,
+       CAST(sum(16 * (length(c_name) // 16 + 1)) AS BIGINT) AS ct_len_sum,
+       CAST(count(DISTINCT c_name) AS BIGINT) AS n_distinct_ct,
+       CAST(count(DISTINCT c_name) AS BIGINT) AS n_distinct_pt
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+QUERIES.update({"fn_aes_roundtrip": fn_aes_roundtrip})
+ORACLES.update({"fn_aes_roundtrip": FN_AES_ROUNDTRIP_SQL})
