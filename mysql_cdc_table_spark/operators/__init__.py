@@ -334,6 +334,7 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "ts_sma_crossover",
     "cdc_binlog_txn_stats",
     "fn_aes_roundtrip",
+    "window_rolling_mad_outlier",
 )
 
 

@@ -2638,3 +2638,97 @@ FROM customer GROUP BY c_mktsegment
 
 QUERIES.update({"fn_aes_roundtrip": fn_aes_roundtrip})
 ORACLES.update({"fn_aes_roundtrip": FN_AES_ROUNDTRIP_SQL})
+
+
+# --- rolling MAD outliers ----------------------------------------------------
+
+
+MAD_FRAME = 7
+
+
+def window_rolling_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING robust outliers: |x − frame median| > 3·frame MAD over
+    the trailing 7 events per user — the windowed version of
+    agg_mad_outlier (global MAD) that tracks level shifts instead of
+    flagging the whole regime. Entirely integer: with cents c, the
+    doubled median is the sum of the two middle elements of the sorted
+    frame (exact for odd AND even/partial frames), doubled deviations
+    are |2c − m2|, the quadrupled MAD is their middle-sum, and the
+    flag compares 2·d > 3·dm2 — no float division anywhere, so both
+    engines agree bit-for-bit. Per-row cost is one sort of ≤7 values
+    inside the projection; one user_id exchange."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(MAD_FRAME - 1), 0)
+    )
+    mid = (
+        "element_at(s, cast(((size(s) - 1) div 2) + 1 as int))"
+        " + element_at(s, cast((size(s) div 2) + 1 as int))"
+    )
+    dmid = (
+        "element_at(ds, cast(((size(ds) - 1) div 2) + 1 as int))"
+        " + element_at(ds, cast((size(ds) div 2) + 1 as int))"
+    )
+    return (
+        ev.withColumn("vals", F.collect_list("c").over(w))
+        .withColumn("s", F.array_sort("vals"))
+        .withColumn("m2", F.expr(mid))
+        .withColumn(
+            "ds", F.expr("array_sort(transform(vals, v -> abs(2*v - m2)))")
+        )
+        .withColumn("dm2", F.expr(dmid))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("m2").alias("med2_cents"),
+            F.col("dm2").alias("mad4_cents"),
+            (2 * F.abs(2 * F.col("c") - F.col("m2")) > 3 * F.col("dm2"))
+            .alias("is_outlier"),
+        )
+    )
+
+
+WINDOW_ROLLING_MAD_OUTLIER_SQL = f"""
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), framed AS (
+  SELECT event_id, user_id, c,
+         list_sort(list(c) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {MAD_FRAME - 1} PRECEDING AND CURRENT ROW
+         )) AS s
+  FROM c
+), med AS (
+  SELECT event_id, user_id, c, s,
+         s[(len(s) - 1) // 2 + 1]
+           + s[len(s) // 2 + 1] AS m2
+  FROM framed
+), dev AS (
+  SELECT event_id, user_id, c, m2,
+         list_sort(list_transform(s, v -> abs(2 * v - m2))) AS ds
+  FROM med
+)
+SELECT event_id, user_id,
+       CAST(m2 AS BIGINT) AS med2_cents,
+       CAST(ds[(len(ds) - 1) // 2 + 1]
+            + ds[len(ds) // 2 + 1] AS BIGINT) AS mad4_cents,
+       2 * abs(2 * c - m2)
+         > 3 * (ds[(len(ds) - 1) // 2 + 1]
+                + ds[len(ds) // 2 + 1]) AS is_outlier
+FROM dev
+"""
+
+
+QUERIES.update({"window_rolling_mad_outlier": window_rolling_mad_outlier})
+ORACLES.update(
+    {"window_rolling_mad_outlier": WINDOW_ROLLING_MAD_OUTLIER_SQL}
+)
