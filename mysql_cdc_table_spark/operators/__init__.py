@@ -335,6 +335,8 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "cdc_binlog_txn_stats",
     "fn_aes_roundtrip",
     "window_rolling_mad_outlier",
+    "corpus_zipf_coverage",
+    "emb_centroid_drift",
 )
 
 

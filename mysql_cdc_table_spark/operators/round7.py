@@ -2732,3 +2732,155 @@ QUERIES.update({"window_rolling_mad_outlier": window_rolling_mad_outlier})
 ORACLES.update(
     {"window_rolling_mad_outlier": WINDOW_ROLLING_MAD_OUTLIER_SQL}
 )
+
+
+# --- Zipf coverage curve -----------------------------------------------------
+
+
+ZIPF_KS = (10, 100, 1000)
+
+
+def corpus_zipf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative token coverage of the top-k vocabulary (the Zipf
+    curve): what fraction of all corpus tokens do the 10 / 100 / 1000
+    most frequent words account for — the number tokenizer-budget and
+    stopword decisions start from. One vocabulary hash agg, then a
+    rank+cumsum window over the VOCABULARY (≪ corpus — the documented
+    vocab-sized sort; the fact stream never sorts), coverages floored
+    to basis points. Single-row output regardless of scale."""
+    words = t(spark, sf_dir, "documents").select(
+        F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias(
+            "word"
+        )
+    )
+    counts = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
+    ranked = counts.withColumn("rk", F.row_number().over(w)).withColumn(
+        "cum", F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    aggs = [
+        F.sum("cnt").alias("total_tokens"),
+        F.count("*").alias("vocab_size"),
+    ]
+    for k in ZIPF_KS:
+        aggs.append(
+            F.floor(
+                10000.0
+                * F.max(F.when(F.col("rk") <= k, F.col("cum")))
+                / F.sum("cnt")
+            ).alias(f"cov{k}_bp")
+        )
+    return ranked.agg(*aggs)
+
+
+def _zipf_sql() -> str:
+    cov = ",\n       ".join(
+        f"CAST(floor(10000.0 * max(CASE WHEN rk <= {k} THEN cum END)"
+        f" / sum(cnt)) AS BIGINT) AS cov{k}_bp"
+        for k in ZIPF_KS
+    )
+    return f"""
+WITH w AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM documents
+), counts AS (
+  SELECT word, count(*) AS cnt FROM w GROUP BY word
+), ranked AS (
+  SELECT cnt,
+         row_number() OVER (ORDER BY cnt DESC, word ASC) AS rk,
+         sum(cnt) OVER (ORDER BY cnt DESC, word ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM counts
+)
+SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens,
+       CAST(count(*) AS BIGINT) AS vocab_size,
+       {cov}
+FROM ranked
+"""
+
+
+QUERIES.update({"corpus_zipf_coverage": corpus_zipf_coverage})
+ORACLES.update({"corpus_zipf_coverage": _zipf_sql()})
+
+
+# --- embedding centroid drift ------------------------------------------------
+
+
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between two halves of the embedding
+    corpus (even vs odd vec_ids — the deterministic split; swap in
+    time/batch for production drift monitoring): the exact integer
+    cross-difference |Σ₁·n₂ − Σ₂·n₁| per dimension over e-4 quantized
+    components, reduced to the per-label max and the count of
+    dimensions whose mean shift exceeds 0.01 (100 quantized units —
+    the integer inequality |diff| > 100·n₁·n₂, no division). The
+    embedding-distribution health check run before re-training an IVF
+    codebook on new data. One posexplode + one (label, half, dim)
+    hash agg + a 64-dim grid self-join."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "x"),
+    )
+    q = e.select(
+        "label",
+        "half",
+        "dim",
+        F.floor(F.col("x").cast("double") * 10000).cast("long").alias("xq"),
+    )
+    g = q.groupBy("label", "half", "dim").agg(
+        F.sum("xq").alias("s"), F.count("*").alias("n")
+    )
+    h0 = g.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("s").alias("s0"), F.col("n").alias("n0")
+    )
+    h1 = g.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("s").alias("s1"), F.col("n").alias("n1")
+    )
+    j = h0.join(h1, ["label", "dim"])
+    num = F.abs(F.col("s0") * F.col("n1") - F.col("s1") * F.col("n0"))
+    return j.groupBy("label").agg(
+        F.max("n0").alias("n_even"),
+        F.max("n1").alias("n_odd"),
+        F.max(num).alias("max_drift_num"),
+        F.count_if(num > 100 * F.col("n0") * F.col("n1")).alias(
+            "n_drifted_dims"
+        ),
+    )
+
+
+EMB_CENTROID_DRIFT_SQL = """
+WITH x AS (
+  SELECT label, vec_id % 2 AS half,
+         unnest(generate_series(1, len(embedding))) - 1 AS dim,
+         embedding AS emb
+  FROM embeddings
+), q AS (
+  SELECT label, half, CAST(dim AS INT) AS dim,
+         CAST(floor(CAST(emb[dim + 1] AS DOUBLE) * 10000) AS BIGINT) AS xq
+  FROM x
+), g AS (
+  SELECT label, half, dim,
+         CAST(sum(xq) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM q GROUP BY label, half, dim
+), j AS (
+  SELECT h0.label, h0.dim,
+         h0.s AS s0, h0.n AS n0, h1.s AS s1, h1.n AS n1
+  FROM g h0 JOIN g h1
+    ON h0.label = h1.label AND h0.dim = h1.dim
+   AND h0.half = 0 AND h1.half = 1
+)
+SELECT label,
+       CAST(max(n0) AS BIGINT) AS n_even,
+       CAST(max(n1) AS BIGINT) AS n_odd,
+       CAST(max(abs(s0 * n1 - s1 * n0)) AS BIGINT) AS max_drift_num,
+       CAST(count(*) FILTER (
+         WHERE abs(s0 * n1 - s1 * n0) > 100 * n0 * n1
+       ) AS BIGINT) AS n_drifted_dims
+FROM j GROUP BY label
+"""
+
+
+QUERIES.update({"emb_centroid_drift": emb_centroid_drift})
+ORACLES.update({"emb_centroid_drift": EMB_CENTROID_DRIFT_SQL})
