@@ -337,6 +337,7 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "window_rolling_mad_outlier",
     "corpus_zipf_coverage",
     "emb_centroid_drift",
+    "cdc_binlog_ddl_history",
 )
 
 

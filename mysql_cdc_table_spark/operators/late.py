@@ -25,6 +25,7 @@ from mysql_cdc_table_spark.sources.mysql_binlog import (
     CDC_BINLOG_EXECUTED_SET_SQL,
     CDC_BINLOG_MULTI_SOURCE_RESUME_SQL,
     CDC_BINLOG_TXN_STATS_SQL,
+    CDC_BINLOG_DDL_HISTORY_SQL,
     CDC_BINLOG_LATEST_STATE_SQL,
     CDC_BINLOG_ROWS_QUERY_SQL,
     CDC_BINLOG_MULTI_TABLE_SQL,
@@ -38,6 +39,7 @@ from mysql_cdc_table_spark.sources.mysql_binlog import (
     cdc_binlog_executed_set,
     cdc_binlog_multi_source_resume,
     cdc_binlog_txn_stats,
+    cdc_binlog_ddl_history,
     cdc_binlog_latest_state,
     cdc_binlog_multi_table,
     cdc_binlog_parallel_roundtrip,
@@ -90,6 +92,8 @@ QUERIES = {
     "cdc_binlog_multi_source_resume": cdc_binlog_multi_source_resume,
     # round 7: txn-size histogram through multi-row WRITE_ROWS events
     "cdc_binlog_txn_stats": cdc_binlog_txn_stats,
+    # round 7: DDL provenance from Query_log_events (schema history)
+    "cdc_binlog_ddl_history": cdc_binlog_ddl_history,
 }
 
 ORACLES: dict[str, str] = {
@@ -109,4 +113,5 @@ ORACLES: dict[str, str] = {
     "cdc_binlog_executed_set": CDC_BINLOG_EXECUTED_SET_SQL,
     "cdc_binlog_multi_source_resume": CDC_BINLOG_MULTI_SOURCE_RESUME_SQL,
     "cdc_binlog_txn_stats": CDC_BINLOG_TXN_STATS_SQL,
+    "cdc_binlog_ddl_history": CDC_BINLOG_DDL_HISTORY_SQL,
 }

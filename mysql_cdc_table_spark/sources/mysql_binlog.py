@@ -83,6 +83,7 @@ BINLOG_MAGIC = b"\xfebin"
 
 # event type codes (public binlog format)
 EV_ROTATE = 4
+EV_QUERY = 2
 EV_FORMAT_DESCRIPTION = 15
 EV_XID = 16
 EV_TABLE_MAP = 19
@@ -1450,6 +1451,22 @@ def build_binlog_file(
             bytes([1]) + txn.get("sid", sid) + struct.pack("<q", txn["gno"]),
             ts,
         )
+        # a DDL transaction: its own GTID followed by ONE Query_log_event
+        # carrying the statement (how MySQL logs ALTER/CREATE under
+        # GTID mode — no rows events). Wire body: thread_id u32,
+        # exec_time u32, db_len u8, error_code u16, status_vars_len
+        # u16, status_vars, db + NUL, statement text.
+        if "ddl" in txn:
+            dbb = db.encode()
+            stmt = txn["ddl"].encode()
+            qbody = (
+                struct.pack("<IIBHH", 1, 0, len(dbb), 0, 0)
+                + dbb
+                + b"\x00"
+                + stmt
+            )
+            emit(EV_QUERY, qbody, ts)
+            continue
         rows_tc, body = _txn_rows_body(table_id, cols, txn)
         tm_body = _table_map_body(
             table_id, db, table, cols, row_metadata=row_metadata
@@ -2724,6 +2741,122 @@ def prune_binlog_series_by_gtid_sets(
                 continue  # every txn of every sid here is consumed
         keep.append(p)
     return keep
+
+
+def binlog_file_ddl(path: str) -> list[dict]:
+    """Parse a file's Query_log_events into DDL history records
+    ({gno, offset, ts, database, statement}) with a header-only walk —
+    QUERY and GTID bodies read, everything else seeks. BEGIN/COMMIT
+    markers (row-transaction framing some servers write as QUERY
+    events) are filtered; the statement text is what a schema-history
+    consumer stores. Public wire format: thread_id u32, exec_time u32,
+    db_len u8, error_code u16, status_vars_len u16, status vars, db +
+    NUL, statement."""
+    import os
+
+    size = os.path.getsize(path)
+    out: list[dict] = []
+    with open(path, "rb", buffering=1 << 20) as f:
+        if f.read(4) != BINLOG_MAGIC:
+            raise ValueError(f"{path}: not a binlog file")
+        pos = 4
+        checksum: bool | None = None
+        gno: int | None = None
+        while pos + _HEADER_LEN <= size:
+            hdr = f.read(_HEADER_LEN)
+            if len(hdr) < _HEADER_LEN:
+                break
+            ets, tc, _s, esize, _lp, _fl = _HEADER.unpack(hdr)
+            if esize < _HEADER_LEN or pos + esize > size:
+                break
+            body_len = esize - _HEADER_LEN
+            if tc in (EV_FORMAT_DESCRIPTION, EV_GTID, EV_QUERY):
+                rest = f.read(body_len)
+                if len(rest) < body_len:
+                    break
+                if tc == EV_FORMAT_DESCRIPTION:
+                    checksum = _detect_checksum(hdr + rest)
+                else:
+                    body = rest[: len(rest) - (4 if checksum else 0)]
+                    if tc == EV_GTID:
+                        gno = int(struct.unpack_from("<q", body, 17)[0])
+                    else:
+                        if len(body) < 13:
+                            raise ValueError(
+                                f"{path}: truncated QUERY event at {pos}"
+                            )
+                        _tid, _ex, db_len, _err, sv_len = struct.unpack_from(
+                            "<IIBHH", body, 0
+                        )
+                        p = 13 + sv_len
+                        database = body[p : p + db_len].decode(
+                            "utf-8", "replace"
+                        )
+                        p += db_len + 1  # NUL
+                        stmt = body[p:].decode("utf-8", "replace")
+                        if stmt.strip().upper() not in ("BEGIN", "COMMIT"):
+                            out.append(
+                                {
+                                    "gno": gno,
+                                    "offset": pos,
+                                    "ts": int(ets),
+                                    "database": database,
+                                    "statement": stmt,
+                                }
+                            )
+            else:
+                f.seek(body_len, 1)
+            pos += esize
+    return out
+
+
+def binlog_ddl_history(spark: SparkSession, path: str) -> DataFrame:
+    """The series' DDL history (gno, file_seq, offset, commit second,
+    database, statement) from header-only walks — the schema-history
+    topic a Debezium-style consumer keeps so it can decode old events
+    under old schemas. Distributed one-file-per-task mapInPandas; no
+    row decode anywhere. The reference default-skips QUERY events
+    entirely (binlog_table_reader.cc:427-428), so DDL provenance is
+    invisible to it."""
+    import os
+
+    import pandas as pd
+
+    local = _strip_file_scheme(path)
+    if os.path.isdir(local):
+        paths = sorted(
+            os.path.join(local, n)
+            for n in os.listdir(local)
+            if not n.startswith(("_", "."))
+        )
+    else:
+        paths = [local]
+    schema = (
+        "gno long, file_seq int, offset long, commit_ts long, "
+        "database string, statement string"
+    )
+    if not paths:
+        return spark.createDataFrame([], schema)
+    files = spark.createDataFrame(
+        [(p, _file_seq_of(p)) for p in paths], "path string, file_seq int"
+    ).repartition(min(len(paths), spark.sparkContext.defaultParallelism))
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for p, seq in zip(pdf["path"], pdf["file_seq"]):
+                recs = binlog_file_ddl(str(p))
+                yield pd.DataFrame(
+                    {
+                        "gno": [r["gno"] for r in recs],
+                        "file_seq": [int(seq)] * len(recs),
+                        "offset": [r["offset"] for r in recs],
+                        "commit_ts": [r["ts"] for r in recs],
+                        "database": [r["database"] for r in recs],
+                        "statement": [r["statement"] for r in recs],
+                    }
+                )
+
+    return files.mapInPandas(walk, schema=schema)
 
 
 def binlog_head_timestamp(path: str) -> int:
@@ -4923,6 +5056,108 @@ SELECT CAST(s AS BIGINT) AS txn_size,
        CAST(count(*) AS BIGINT) AS n_txns,
        CAST(sum(g) AS BIGINT) AS gno_sum
 FROM b GROUP BY s
+"""
+
+
+def cdc_binlog_ddl_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-change provenance through the real format: every 50th
+    key commits a DDL transaction (its own GTID + a Query_log_event
+    with the ALTER text, exactly how MySQL logs DDL under GTID mode)
+    interleaved with the row transactions, and binlog_ddl_history
+    recovers the ordered statement log from header walks alone. The
+    aggregate hashes the statement TEXT (length sum + a numeric tag
+    regexp-extracted back out) plus the gno checksum, so a truncated
+    status-vars parse, a mis-sliced database name, or a lost DDL event
+    breaks the row. The reference default-skips QUERY events — its
+    users cannot see schema history at all."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.operators._util import t
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "status",
+                T.StringType(),
+                metadata={"mysql_type": "enum", "values": ["F", "O", "P"]},
+            ),
+        ]
+    )
+    base = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .repartitionByRange(spark.sparkContext.defaultParallelism, "id")
+        .sortWithinPartitions("id")
+    )
+    file_schema = T.StructType([T.StructField("file_bytes", T.BinaryType())])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            txns = []
+            for r in pdf.itertuples(index=False):
+                rid = int(r.id)
+                txns.append(
+                    {
+                        "gno": rid,
+                        "op": "w",
+                        "rows": [{"id": rid, "status": r.status}],
+                    }
+                )
+                if rid % 50 == 0:
+                    txns.append(
+                        {
+                            "gno": rid + 2_000_000_000,
+                            "ddl": (
+                                f"ALTER TABLE orders ADD COLUMN "
+                                f"extra_{rid % 97} INT /* migration "
+                                f"{rid} */"
+                            ),
+                        }
+                    )
+            blob = build_binlog_file(
+                "tpch", "orders", target, txns, checksum=True
+            )
+            yield pd.DataFrame({"file_bytes": [blob]})
+
+    files = base.mapInPandas(encode, schema=file_schema)
+    stage = _stage_binlog_files(spark, files, f"{sf_dir}|ddl_history")
+    hist = binlog_ddl_history(spark, stage)
+    return hist.agg(
+        F.count("*").alias("n_stmts"),
+        F.sum(F.length("statement").cast("long")).alias("stmt_len_sum"),
+        F.sum(
+            F.regexp_extract("statement", r"migration (\d+)", 1).cast(
+                "long"
+            )
+        ).alias("tag_sum"),
+        F.sum(F.col("gno") - 2_000_000_000).alias("gno_sum"),
+        F.count_if(F.col("database") == "tpch").alias("n_db_ok"),
+    )
+
+
+CDC_BINLOG_DDL_HISTORY_SQL = """
+WITH d AS (
+  SELECT o_orderkey AS id,
+         'ALTER TABLE orders ADD COLUMN extra_'
+           || CAST(o_orderkey % 97 AS VARCHAR)
+           || ' INT /* migration ' || CAST(o_orderkey AS VARCHAR)
+           || ' */' AS stmt
+  FROM orders WHERE o_orderkey % 50 = 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_stmts,
+       CAST(sum(length(stmt)) AS BIGINT) AS stmt_len_sum,
+       CAST(sum(id) AS BIGINT) AS tag_sum,
+       CAST(sum(id) AS BIGINT) AS gno_sum,
+       CAST(count(*) AS BIGINT) AS n_db_ok
+FROM d
 """
 
 

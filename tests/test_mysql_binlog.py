@@ -2290,3 +2290,31 @@ def test_operational_events_are_skipped(tmp_path):
             seq_base=s["start"],
         )
     assert [x["__gtid"] for x in rows] == [6, 7]
+
+
+def test_ddl_query_events_parse_and_do_not_disturb_rows(tmp_path):
+    """Query_log_events (DDL under GTID mode): binlog_file_ddl parses
+    statement text/db/gno/ts from the wire; the row decode is
+    untouched by interleaved DDL; BEGIN markers filter out."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import binlog_file_ddl
+
+    r = lambda i: {"id": i, "v": f"v{i}", "amt": Decimal(i)}
+    txns = [
+        _txn(1, "w", [r(1)]),
+        {"gno": 2, "ddl": "ALTER TABLE t ADD COLUMN note TEXT"},
+        _txn(3, "w", [r(3)]),
+        {"gno": 4, "ddl": "BEGIN"},  # marker: must filter
+        {"gno": 5, "ddl": "CREATE INDEX ix ON t(v)", "ts": 1_700_000_999},
+    ]
+    blob = build_binlog_file("mydb", "t", TARGET, txns, checksum=True)
+    path = tmp_path / "binlog.000001"
+    path.write_bytes(blob)
+    rows = decode_binlog_bytes(blob, TARGET, "mydb", "t")
+    assert [x["__gtid"] for x in rows] == [1, 3]
+    ddl = binlog_file_ddl(str(path))
+    assert [(d["gno"], d["database"], d["statement"]) for d in ddl] == [
+        (2, "mydb", "ALTER TABLE t ADD COLUMN note TEXT"),
+        (5, "mydb", "CREATE INDEX ix ON t(v)"),
+    ]
+    assert ddl[1]["ts"] == 1_700_000_999
+    assert all(d["offset"] > 4 for d in ddl)
