@@ -338,6 +338,7 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "corpus_zipf_coverage",
     "emb_centroid_drift",
     "cdc_binlog_ddl_history",
+    "window_monotone_runs",
 )
 
 

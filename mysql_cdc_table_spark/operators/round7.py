@@ -2884,3 +2884,75 @@ FROM j GROUP BY label
 
 QUERIES.update({"emb_centroid_drift": emb_centroid_drift})
 ORACLES.update({"emb_centroid_drift": EMB_CENTROID_DRIFT_SQL})
+
+
+# --- monotone run lengths ----------------------------------------------------
+
+
+def window_monotone_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length analytics per user: longest strictly-increasing
+    streak and run counts over the ordered value series — the
+    gaps-and-islands variant where the island key is the DIRECTION
+    flip (cumulative count of non-increasing steps), entirely integer
+    on cents. Two stacked windows share one user sort; run sizes
+    aggregate per (user, run) then per user."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    runs = (
+        ev.withColumn("prev", F.lag("c").over(w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("c") <= F.col("prev")), 1
+            ).otherwise(0),
+        )
+        .withColumn("run_id", F.sum("brk").over(wc))
+    )
+    per_run = runs.groupBy("user_id", "run_id").agg(
+        F.count("*").alias("run_len")
+    )
+    return per_run.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_up_run"),
+        F.count("*").alias("n_runs"),
+        F.sum("run_len").alias("n_events"),
+    )
+
+
+WINDOW_MONOTONE_RUNS_SQL = """
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(c) OVER w IS NULL OR c <= lag(c) OVER w
+              THEN 1 ELSE 0 END AS brk,
+         event_id, ts
+  FROM c
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT user_id,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_id
+  FROM flagged
+), per_run AS (
+  SELECT user_id, run_id, count(*) AS run_len
+  FROM runs GROUP BY user_id, run_id
+)
+SELECT user_id,
+       CAST(max(run_len) AS BIGINT) AS longest_up_run,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(sum(run_len) AS BIGINT) AS n_events
+FROM per_run GROUP BY user_id
+"""
+
+
+QUERIES.update({"window_monotone_runs": window_monotone_runs})
+ORACLES.update({"window_monotone_runs": WINDOW_MONOTONE_RUNS_SQL})
