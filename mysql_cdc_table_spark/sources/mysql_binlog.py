@@ -1406,6 +1406,7 @@ def build_binlog_file(
     payload_wrap: bool | str = False,
     row_metadata: str = "minimal",
     previous_gtids: dict[bytes, list[tuple[int, int]]] | None = None,
+    rotate_to: str | None = None,
 ) -> bytes:
     """Byte-exact binlog v4 fixture: magic + FDE, then per transaction a
     GTID event, a TABLE_MAP, and one rows event. ``txns`` entries:
@@ -1496,7 +1497,80 @@ def build_binlog_file(
                 emit(EV_ROWS_QUERY, rq_body, ts)
             emit(EV_TABLE_MAP, tm_body, ts)
             emit(rows_tc, body, ts)
+    if rotate_to is not None:
+        # Rotate_log_event: MySQL's file-chain link written as the last
+        # event before switching to the next file — body = u64 position
+        # in the next file (4, past its magic) + the next file's name
+        emit(
+            EV_ROTATE,
+            struct.pack("<Q", 4) + rotate_to.encode(),
+            base_ts + len(txns),
+        )
     return bytes(out)
+
+
+def binlog_file_rotate_target(path: str) -> str | None:
+    """The next-file name from a sealed file's trailing ROTATE event
+    (header walk; None when the file has no rotate — the active
+    file)."""
+    import os
+
+    size = os.path.getsize(path)
+    target: str | None = None
+    with open(path, "rb", buffering=1 << 20) as f:
+        if f.read(4) != BINLOG_MAGIC:
+            raise ValueError(f"{path}: not a binlog file")
+        pos = 4
+        checksum: bool | None = None
+        while pos + _HEADER_LEN <= size:
+            hdr = f.read(_HEADER_LEN)
+            if len(hdr) < _HEADER_LEN:
+                break
+            _ets, tc, _s, esize, _lp, _fl = _HEADER.unpack(hdr)
+            if esize < _HEADER_LEN or pos + esize > size:
+                break
+            body_len = esize - _HEADER_LEN
+            if tc in (EV_FORMAT_DESCRIPTION, EV_ROTATE):
+                rest = f.read(body_len)
+                if len(rest) < body_len:
+                    break
+                if tc == EV_FORMAT_DESCRIPTION:
+                    checksum = _detect_checksum(hdr + rest)
+                else:
+                    body = rest[: len(rest) - (4 if checksum else 0)]
+                    target = body[8:].decode("utf-8", "replace")
+            else:
+                f.seek(body_len, 1)
+            pos += esize
+    return target
+
+
+def binlog_chain_gaps(path: str) -> list[tuple[str, str]]:
+    """Series integrity audit off the ROTATE chain: each sealed file's
+    rotate target must be the NEXT file present — a missing or
+    renamed file in a retained/restored series surfaces as a
+    (expected, found) gap tuple, BEFORE anything decodes garbage.
+    Returns [] for an intact chain; the active (last) file may carry
+    no rotate. The reference never validates the chain — it trusts
+    the index file blindly (binlog_table_reader.cc:39-57)."""
+    import os
+
+    local = _strip_file_scheme(path)
+    if os.path.isdir(local):
+        paths = sorted(
+            os.path.join(local, n)
+            for n in os.listdir(local)
+            if not n.startswith(("_", "."))
+        )
+    else:
+        paths = [local]
+    gaps: list[tuple[str, str]] = []
+    for i, p in enumerate(paths[:-1]):
+        want = binlog_file_rotate_target(p)
+        nxt = os.path.basename(paths[i + 1])
+        if want is not None and want != nxt:
+            gaps.append((want, nxt))
+    return gaps
 
 
 # --- reader ------------------------------------------------------------------

@@ -2318,3 +2318,39 @@ def test_ddl_query_events_parse_and_do_not_disturb_rows(tmp_path):
     ]
     assert ddl[1]["ts"] == 1_700_000_999
     assert all(d["offset"] > 4 for d in ddl)
+
+
+def test_rotate_chain_audit(tmp_path):
+    """ROTATE chain integrity: sealed files link to their successor by
+    name; a deleted middle file surfaces as an (expected, found) gap
+    before any decode touches garbage; decode itself skips the rotate
+    event (genuinely-ignorable type)."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        binlog_chain_gaps,
+        binlog_file_rotate_target,
+    )
+
+    r = lambda i: {"id": i, "v": f"v{i}", "amt": Decimal(i)}
+    for i in (1, 2, 3):
+        nxt = f"binlog.{i + 1:06d}" if i < 3 else None
+        (tmp_path / f"binlog.{i:06d}").write_bytes(
+            build_binlog_file(
+                "d", "t", TARGET, [_txn(i, "w", [r(i)])],
+                checksum=True, rotate_to=nxt,
+            )
+        )
+    assert binlog_file_rotate_target(
+        str(tmp_path / "binlog.000001")
+    ) == "binlog.000002"
+    assert binlog_file_rotate_target(str(tmp_path / "binlog.000003")) is None
+    assert binlog_chain_gaps(str(tmp_path)) == []
+    # rows decode unaffected by the trailing rotate
+    rows = decode_binlog_bytes(
+        (tmp_path / "binlog.000001").read_bytes(), TARGET, "d", "t"
+    )
+    assert [x["__gtid"] for x in rows] == [1]
+    # delete the middle file: the chain breaks loudly
+    (tmp_path / "binlog.000002").unlink()
+    assert binlog_chain_gaps(str(tmp_path)) == [
+        ("binlog.000002", "binlog.000003")
+    ]
