@@ -339,6 +339,7 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "emb_centroid_drift",
     "cdc_binlog_ddl_history",
     "window_monotone_runs",
+    "agg_gini_revenue",
 )
 
 

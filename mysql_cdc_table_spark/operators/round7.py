@@ -2956,3 +2956,68 @@ FROM per_run GROUP BY user_id
 
 QUERIES.update({"window_monotone_runs": window_monotone_runs})
 ORACLES.update({"window_monotone_runs": WINDOW_MONOTONE_RUNS_SQL})
+
+
+# --- Gini concentration ------------------------------------------------------
+
+
+def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini per order status — the inequality
+    summary ("do a few orders carry most of the money?") — as EXACT
+    integers: with cents x sorted ascending and rank i, Gini =
+    (2·Σi·x − (n+1)·Σx) / (n·Σx); numerator and denominator emit as
+    BIGINTs, callers divide. Rank ties are harmless (equal x makes
+    Σi·x order-invariant inside the tie group), so the value hash is
+    deterministic. One rank window per status partition over cents +
+    one hash agg; also emitted in basis points via the floor
+    convention."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+        F.col("o_orderkey").alias("k"),
+    )
+    w = Window.partitionBy("status").orderBy("x", "k")
+    r = o.withColumn("i", F.row_number().over(w))
+    return r.groupBy("status").agg(
+        F.count("*").alias("n_orders"),
+        (
+            2 * F.sum(F.col("i") * F.col("x"))
+            - (F.count("*") + 1) * F.sum("x")
+        ).alias("gini_num"),
+        (F.count("*") * F.sum("x")).alias("gini_den"),
+        F.floor(
+            10000.0
+            * (
+                2 * F.sum(F.col("i") * F.col("x"))
+                - (F.count("*") + 1) * F.sum("x")
+            )
+            / (F.count("*") * F.sum("x"))
+        ).alias("gini_bp"),
+    )
+
+
+AGG_GINI_REVENUE_SQL = """
+WITH r AS (
+  SELECT o_orderstatus AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+         row_number() OVER (
+           PARTITION BY o_orderstatus
+           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey
+         ) AS i
+  FROM orders
+)
+SELECT status,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS BIGINT)
+         AS gini_num,
+       CAST(count(*) * sum(x) AS BIGINT) AS gini_den,
+       CAST(floor(
+         10000.0 * (2 * sum(i * x) - (count(*) + 1) * sum(x))
+         / (count(*) * sum(x))
+       ) AS BIGINT) AS gini_bp
+FROM r GROUP BY status
+"""
+
+
+QUERIES.update({"agg_gini_revenue": agg_gini_revenue})
+ORACLES.update({"agg_gini_revenue": AGG_GINI_REVENUE_SQL})
