@@ -755,6 +755,75 @@ def test_minhash_eval_lsh_bounded(spark, sf_dir):
     assert_no_cartesian(df)
 
 
+def test_sma_crossover_one_exchange(spark, sf_dir):
+    """Both SMA frames fuse into one Window; the lag (a different
+    frame spec) stacks as a second Window on the SAME sort — the real
+    guarantee is one user_id exchange."""
+    from mysql_cdc_table_spark.operators.round7 import ts_sma_crossover
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = ts_sma_crossover(spark, sf_dir)
+    assert count_nodes(df, "Window") == 2  # frames + lag, shared sort
+    assert shuffle_count(df) <= 2  # user sort + final agg
+
+
+def test_rolling_mad_one_window(spark, sf_dir):
+    """Rolling MAD: the frame collect + both sorted-array middle-sums
+    run inside one Window + projection — no second shuffle for the
+    deviation median."""
+    from mysql_cdc_table_spark.operators.round7 import (
+        window_rolling_mad_outlier,
+    )
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = window_rolling_mad_outlier(spark, sf_dir)
+    assert count_nodes(df, "Window") == 1
+    assert shuffle_count(df) == 1
+
+
+def test_zipf_vocab_sized_window(spark, sf_dir):
+    """Zipf curve: the rank/cumsum window runs over the VOCABULARY
+    aggregate, never the token stream; one-row output."""
+    from mysql_cdc_table_spark.operators.round7 import corpus_zipf_coverage
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = corpus_zipf_coverage(spark, sf_dir)
+    assert count_nodes(df, "Window") == 1
+    assert_no_cartesian(df)
+
+
+def test_centroid_drift_grid_join(spark, sf_dir):
+    """Centroid drift: one (label, half, dim) hash agg feeds a tiny
+    grid self-join — no cartesian, the fact table explodes once."""
+    from mysql_cdc_table_spark.operators.round7 import emb_centroid_drift
+
+    df = emb_centroid_drift(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert shuffle_count(df) <= 4
+
+
+def test_gini_one_rank_window(spark, sf_dir):
+    """Gini: one rank window per status partition + one hash agg."""
+    from mysql_cdc_table_spark.operators.round7 import agg_gini_revenue
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = agg_gini_revenue(spark, sf_dir)
+    assert count_nodes(df, "Window") == 1
+    assert shuffle_count(df) <= 2
+
+
+def test_monotone_runs_shared_sort(spark, sf_dir):
+    """Monotone runs: the lag and the cumulative island id are two
+    frame specs stacked on ONE user sort (one exchange); two hash
+    aggs follow."""
+    from mysql_cdc_table_spark.operators.round7 import window_monotone_runs
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = window_monotone_runs(spark, sf_dir)
+    assert count_nodes(df, "Window") == 2  # lag + running sum, shared sort
+    assert shuffle_count(df) <= 3
+
+
 def test_passage_dedup_single_passage_shuffle(spark, sf_dir):
     """One explode + one window over passage partitions + one per-doc
     agg: each passage instance crosses the wire once; no join back, no
