@@ -2354,3 +2354,36 @@ def test_rotate_chain_audit(tmp_path):
     assert binlog_chain_gaps(str(tmp_path)) == [
         ("binlog.000002", "binlog.000003")
     ]
+
+
+def test_ddl_query_parse_skips_status_vars(tmp_path):
+    """Real servers write non-empty status vars (charset, sql_mode...)
+    before the db name; the parser must skip exactly sv_len bytes or
+    the db/statement slice shifts. Hand-frame a QUERY event with 9
+    bytes of status vars and a unicode statement."""
+    import struct as _st
+
+    from mysql_cdc_table_spark.sources import mysql_binlog as mb
+
+    out = bytearray(mb.BINLOG_MAGIC)
+
+    def emit(tc, body):
+        out.extend(mb._event(1_700_000_000, tc, 1, body, len(out), True))
+
+    emit(mb.EV_FORMAT_DESCRIPTION, mb._fde_body(True))
+    emit(mb.EV_GTID, bytes([1]) + b"\x11" * 16 + _st.pack("<q", 9))
+    db = "meta_db".encode()
+    stmt = "ALTER TABLE tĀ ADD COLUMN ü INT".encode()
+    sv = b"\x00\x00\x00\x00\x01\x20\x00\xa0\x55"  # opaque 9-byte blob
+    emit(
+        mb.EV_QUERY,
+        _st.pack("<IIBHH", 42, 1, len(db), 0, len(sv)) + sv + db + b"\x00"
+        + stmt,
+    )
+    path = tmp_path / "binlog.000001"
+    path.write_bytes(bytes(out))
+    ddl = mb.binlog_file_ddl(str(path))
+    assert len(ddl) == 1
+    assert ddl[0]["gno"] == 9
+    assert ddl[0]["database"] == "meta_db"
+    assert ddl[0]["statement"] == "ALTER TABLE tĀ ADD COLUMN ü INT"
