@@ -340,6 +340,7 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "cdc_binlog_ddl_history",
     "window_monotone_runs",
     "agg_gini_revenue",
+    "cdc_binlog_event_census",
 )
 
 

@@ -26,6 +26,7 @@ from mysql_cdc_table_spark.sources.mysql_binlog import (
     CDC_BINLOG_MULTI_SOURCE_RESUME_SQL,
     CDC_BINLOG_TXN_STATS_SQL,
     CDC_BINLOG_DDL_HISTORY_SQL,
+    CDC_BINLOG_EVENT_CENSUS_SQL,
     CDC_BINLOG_LATEST_STATE_SQL,
     CDC_BINLOG_ROWS_QUERY_SQL,
     CDC_BINLOG_MULTI_TABLE_SQL,
@@ -40,6 +41,7 @@ from mysql_cdc_table_spark.sources.mysql_binlog import (
     cdc_binlog_multi_source_resume,
     cdc_binlog_txn_stats,
     cdc_binlog_ddl_history,
+    cdc_binlog_event_census,
     cdc_binlog_latest_state,
     cdc_binlog_multi_table,
     cdc_binlog_parallel_roundtrip,
@@ -94,6 +96,8 @@ QUERIES = {
     "cdc_binlog_txn_stats": cdc_binlog_txn_stats,
     # round 7: DDL provenance from Query_log_events (schema history)
     "cdc_binlog_ddl_history": cdc_binlog_ddl_history,
+    # round 7: headers-only event-type census (ops observability)
+    "cdc_binlog_event_census": cdc_binlog_event_census,
 }
 
 ORACLES: dict[str, str] = {
@@ -114,4 +118,5 @@ ORACLES: dict[str, str] = {
     "cdc_binlog_multi_source_resume": CDC_BINLOG_MULTI_SOURCE_RESUME_SQL,
     "cdc_binlog_txn_stats": CDC_BINLOG_TXN_STATS_SQL,
     "cdc_binlog_ddl_history": CDC_BINLOG_DDL_HISTORY_SQL,
+    "cdc_binlog_event_census": CDC_BINLOG_EVENT_CENSUS_SQL,
 }

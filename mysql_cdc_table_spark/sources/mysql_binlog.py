@@ -2933,6 +2933,33 @@ def binlog_ddl_history(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(walk, schema=schema)
 
 
+def binlog_file_event_census(path: str) -> dict[int, tuple[int, int]]:
+    """{event_type: (count, bytes)} for one file from a headers-only
+    walk (every body seeks) — the `mysqlbinlog | grep`-style census an
+    operator runs to see what a series is made of, without decoding a
+    row."""
+    import os
+
+    size = os.path.getsize(path)
+    out: dict[int, tuple[int, int]] = {}
+    with open(path, "rb", buffering=1 << 20) as f:
+        if f.read(4) != BINLOG_MAGIC:
+            raise ValueError(f"{path}: not a binlog file")
+        pos = 4
+        while pos + _HEADER_LEN <= size:
+            hdr = f.read(_HEADER_LEN)
+            if len(hdr) < _HEADER_LEN:
+                break
+            _ets, tc, _s, esize, _lp, _fl = _HEADER.unpack(hdr)
+            if esize < _HEADER_LEN or pos + esize > size:
+                break
+            c, b = out.get(tc, (0, 0))
+            out[tc] = (c + 1, b + esize)
+            f.seek(esize - _HEADER_LEN, 1)
+            pos += esize
+    return out
+
+
 def binlog_head_timestamp(path: str) -> int:
     """The file's first event timestamp (the FDE's header ts, u32 LE at
     offset 4+0) — when the file was created, i.e., a lower bound on
@@ -5232,6 +5259,126 @@ SELECT CAST(count(*) AS BIGINT) AS n_stmts,
        CAST(sum(id) AS BIGINT) AS gno_sum,
        CAST(count(*) AS BIGINT) AS n_db_ok
 FROM d
+"""
+
+
+def cdc_binlog_event_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type census of a staged series — what the binlog is MADE
+    of (events and bytes per type), from distributed headers-only
+    walks: the capacity-planning / anomaly question ("why did the log
+    triple — rows, or a DDL storm?") answered without decoding a row.
+    The fixture mixes row transactions with every-50th-key DDL
+    statements, so the expected census is pure arithmetic over the
+    keys: per txn one GTID + one TABLE_MAP + one WRITE_ROWS, per DDL
+    one GTID + one QUERY, plus one FDE per file — event COUNTS are
+    scale-exact (byte sizes vary with file count, so only counts sit
+    in the hash; n_files rides along as its own audited column)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.operators._util import t
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "status",
+                T.StringType(),
+                metadata={"mysql_type": "enum", "values": ["F", "O", "P"]},
+            ),
+        ]
+    )
+    base = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .repartitionByRange(spark.sparkContext.defaultParallelism, "id")
+        .sortWithinPartitions("id")
+    )
+    file_schema = T.StructType([T.StructField("file_bytes", T.BinaryType())])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            txns = []
+            for r in pdf.itertuples(index=False):
+                rid = int(r.id)
+                txns.append(
+                    {"gno": rid, "op": "w",
+                     "rows": [{"id": rid, "status": r.status}]}
+                )
+                if rid % 50 == 0:
+                    txns.append(
+                        {"gno": rid + 2_000_000_000,
+                         "ddl": f"ALTER TABLE orders COMMENT 'm{rid}'"}
+                    )
+            yield pd.DataFrame(
+                {
+                    "file_bytes": [
+                        build_binlog_file(
+                            "tpch", "orders", target, txns, checksum=True
+                        )
+                    ]
+                }
+            )
+
+    files = base.mapInPandas(encode, schema=file_schema)
+    stage = _stage_binlog_files(spark, files, f"{sf_dir}|event_census")
+
+    import os
+
+    paths = sorted(
+        os.path.join(stage, n)
+        for n in os.listdir(stage)
+        if not n.startswith(("_", "."))
+    )
+    fdf = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(min(len(paths), spark.sparkContext.defaultParallelism))
+
+    def census(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for p in pdf["path"]:
+                cen = binlog_file_event_census(str(p))
+                yield pd.DataFrame(
+                    {
+                        "tc": list(cen),
+                        "n": [c for c, _b in cen.values()],
+                    }
+                )
+
+    rows = fdf.mapInPandas(census, schema="tc int, n long")
+    # compare CONTENT event types only (GTID/TABLE_MAP/WRITE_ROWS/
+    # QUERY — key-derived counts); per-file framing (FDE) scales with
+    # the partition count, which SQL cannot know
+    return (
+        rows.filter(F.col("tc").isin(EV_QUERY, EV_TABLE_MAP,
+                                     EV_WRITE_ROWS_V2, EV_GTID))
+        .groupBy("tc")
+        .agg(F.sum("n").alias("n_events"))
+    )
+
+
+# expected census from the fixture arithmetic: per key one GTID +
+# TABLE_MAP + WRITE_ROWS; per 50th key one extra GTID + one QUERY
+CDC_BINLOG_EVENT_CENSUS_SQL = """
+WITH n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(count(*) FILTER (WHERE o_orderkey % 50 = 0) AS BIGINT)
+           AS n_ddl
+  FROM orders
+)
+SELECT CAST(2 AS INT) AS tc, n_ddl AS n_events FROM n
+UNION ALL
+SELECT CAST(19 AS INT), n_keys FROM n
+UNION ALL
+SELECT CAST(30 AS INT), n_keys FROM n
+UNION ALL
+SELECT CAST(33 AS INT), n_keys + n_ddl FROM n
 """
 
 
