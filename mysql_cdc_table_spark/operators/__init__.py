@@ -343,6 +343,43 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
     "cdc_binlog_event_census",
 )
 
+# --- round 8 -----------------------------------------------------------------
+#
+# Window arithmetic this round (50 slots): the 40 ROUND7_LATE_KEYS lead
+# (first driver rows — all judge-verified MATCH in the round-7 session's
+# full 247-key sweep), then keys born in round 8, then re-verify slots
+# for code round 8 touches. CORRECTNESS_r07 was 50/50 green, so no red
+# carries over. 40 late + new + re-verify ≈ fills the window, so the
+# stalest r03/r04 backfill skips a round — recorded as acceptable in
+# the round-7 verdict ("What's missing" #1).
+
+# Keys born in round 8 — in-window so they get a driver row immediately
+# (budget: 50 − 40 late − len(ROUND8_REVERIFY); the rest register as
+# ROUND8_LATE_KEYS and lead round 9).
+ROUND8_NEW_KEYS: tuple[str, ...] = ()
+
+# Operators whose implementation round 8 touches: their standing green
+# rows would otherwise mask a regression introduced by this round.
+ROUND8_REVERIFY: tuple[str, ...] = (
+    # the columnar real-binlog kernel (mysql_binlog_vec.py) vectorizes
+    # TIME2 (the last fixed-width per-cell closure) — every key on that
+    # read path re-verifies; the resume/PITR/multi-source/executed-set
+    # keys sharing the walkers are already in-window as ROUND7_LATE_KEYS
+    "cdc_mysql_binlog_roundtrip",
+    "cdc_binlog_latest_state",
+    "cdc_binlog_zstd_roundtrip",
+    "cdc_binlog_multi_table",
+    "cdc_binlog_partial_json_roundtrip",
+    "cdc_binlog_schema_evolution",
+    "cdc_binlog_parallel_roundtrip",
+)
+
+# Late-registration tail for round 8 (same pinned-behind protocol as
+# ROUND5/6/7_LATE_KEYS): keys registered after the front budget filled;
+# pinned BEHIND the window so they cannot evict standing rows — they
+# lead the round-9 window for their first driver rows.
+ROUND8_LATE_KEYS: tuple[str, ...] = ()
+
 
 def _last_seen_rounds() -> dict[str, int]:
     """key -> LATEST driver round with a CORRECTNESS row — the staleness
@@ -376,13 +413,17 @@ _ROUND7_WINDOW_FRONT = (
     ROUND6_LATE_KEYS + ROUND7_NEW_KEYS + ROUND7_REVERIFY
 )
 
+_ROUND8_WINDOW_FRONT = (
+    ROUND7_LATE_KEYS + ROUND8_NEW_KEYS + ROUND8_REVERIFY
+)
+
 
 def _rotate(out: dict) -> dict:
-    """Reorder a merged registry dict: round-7 front first, then every
+    """Reorder a merged registry dict: round-8 front first, then every
     other key stalest-first (latest driver round, registry order as
     the tie-break; never-seen keys sort first so they cannot hide)."""
-    front = {k: out[k] for k in _ROUND7_WINDOW_FRONT if k in out}
-    late = {k: out[k] for k in ROUND7_LATE_KEYS if k in out}
+    front = {k: out[k] for k in _ROUND8_WINDOW_FRONT if k in out}
+    late = {k: out[k] for k in ROUND8_LATE_KEYS if k in out}
     seen = _last_seen_rounds()
     order = {k: i for i, k in enumerate(out)}
     rest_keys = sorted(

@@ -100,45 +100,45 @@ def test_header_counts_and_driver_split_match_doc():
 
 def test_driver_window_composition():
     """The driver verifies the FIRST ~50 registry keys per round. The
-    round-7 rotation leads with the 10 ROUND6_LATE_KEYS (first driver
-    rows), then round-7 new keys + re-verify slots for code round 7
-    touches, and backfills remaining slots stalest-first by LAST-seen
-    driver round — which lands first on the 11 keys still standing on
-    r02 rows. Guard it so a module reorder or an accidental insertion
-    can't silently starve it."""
+    round-8 rotation leads with the 40 ROUND7_LATE_KEYS (first driver
+    rows — all judge-verified MATCH in the round-7 247-key sweep), then
+    round-8 new keys + re-verify slots for code round 8 touches. With
+    40 late keys the front ≈ fills the window, so the stalest r03/r04
+    backfill skips a round (recorded in the round-7 verdict). Guard it
+    so a module reorder or an accidental insertion can't silently
+    starve it."""
     from mysql_cdc_table_spark.operators import (
-        _ROUND7_WINDOW_FRONT,
-        ROUND6_LATE_KEYS,
+        _ROUND8_WINDOW_FRONT,
         ROUND7_LATE_KEYS,
+        ROUND8_LATE_KEYS,
         _last_seen_rounds,
     )
 
     keys = list(all_queries())
     window = keys[:50]
-    front = [k for k in _ROUND7_WINDOW_FRONT if k in keys]
+    front = [k for k in _ROUND8_WINDOW_FRONT if k in keys]
     assert window[: len(front)] == front, "registry front diverged from plan"
-    assert len(front) <= 25, (
-        "round-7 front outgrew its budget — the 11 r02-standing keys "
-        "plus the stalest r03 rows need the backfill slots; trim "
-        "new/reverify keys"
+    assert len(front) <= 50, (
+        "round-8 front outgrew the driver window — 40 late keys leave "
+        "only ~10 slots; move new keys to ROUND8_LATE_KEYS"
     )
 
     seen = _last_seen_rounds()
 
-    # the 10 round-6 late keys lead the window (the recorded plan: they
+    # the 40 round-7 late keys lead the window (the recorded plan: they
     # have never had a driver row)
-    assert window[:10] == list(ROUND6_LATE_KEYS)
+    assert window[:40] == list(ROUND7_LATE_KEYS)
 
     # every key with NO driver row ever must be in the window — except
-    # documented ROUND7_LATE_KEYS, pinned BEHIND it
+    # documented ROUND8_LATE_KEYS, pinned BEHIND it
     never_seen = [k for k in keys if k not in seen]
     missing = [
         k for k in never_seen
-        if k not in window and k not in ROUND7_LATE_KEYS
+        if k not in window and k not in ROUND8_LATE_KEYS
     ]
     assert not missing, f"never-driver-seen keys fell out of the window: {missing}"
-    if ROUND7_LATE_KEYS:
-        assert keys[-len(ROUND7_LATE_KEYS):] == list(ROUND7_LATE_KEYS), (
+    if ROUND8_LATE_KEYS:
+        assert keys[-len(ROUND8_LATE_KEYS):] == list(ROUND8_LATE_KEYS), (
             "late keys must sit at the very end of the registry"
         )
 
@@ -148,17 +148,18 @@ def test_driver_window_composition():
     tail_rounds = [
         seen.get(k, 0)
         for k in keys[len(front):]
-        if k not in ROUND7_LATE_KEYS
+        if k not in ROUND8_LATE_KEYS
     ]
     assert tail_rounds == sorted(tail_rounds), (
         "window backfill is not stalest-first"
     )
 
-    # every r02-standing key must be INSIDE the window this round (11
-    # keys, fewer than the spare slots — after r07 every registry key
-    # has a driver row); anything outside must be r03-or-fresher.
-    outside_rounds = {seen.get(k, 0) for k in keys[50:] if k not in ROUND7_LATE_KEYS}
+    # after r07 every key that existed at rotation time has a driver
+    # row; anything outside the window must be r03-or-fresher (the
+    # stalest standing rows are r03 — they skip one round because the
+    # 40 late keys fill the window, per the recorded plan).
+    outside_rounds = {seen.get(k, 0) for k in keys[50:] if k not in ROUND8_LATE_KEYS}
     assert all(r >= 3 for r in outside_rounds), (
         f"keys staler than r03 pushed out of the driver window: "
-        f"{[k for k in keys[50:] if seen.get(k, 0) < 3 and k not in ROUND7_LATE_KEYS]}"
+        f"{[k for k in keys[50:] if seen.get(k, 0) < 3 and k not in ROUND8_LATE_KEYS]}"
     )
