@@ -877,15 +877,33 @@ def _apply_json_diffs(before_text: str | None, diffs: list[tuple]) -> str | None
 
 
 class _Col:
-    __slots__ = ("name", "type_code", "meta", "extra")
+    __slots__ = ("name", "type_code", "meta", "extra", "unsigned")
 
-    def __init__(self, name: str, type_code: int, meta: bytes, extra=None):
+    def __init__(
+        self,
+        name: str,
+        type_code: int,
+        meta: bytes,
+        extra=None,
+        unsigned: bool = False,
+    ):
         self.name, self.type_code, self.meta, self.extra = (
             name,
             type_code,
             meta,
             extra,
         )
+        self.unsigned = unsigned
+
+
+# fixture-writer metadata kinds for UNSIGNED MySQL columns -> wire code
+_UNSIGNED_KINDS = {
+    "tinyint_unsigned": TY_TINY,
+    "smallint_unsigned": TY_SHORT,
+    "mediumint_unsigned": TY_INT24,
+    "int_unsigned": TY_LONG,
+    "bigint_unsigned": TY_LONGLONG,
+}
 
 
 def _cols_from_schema(target: T.StructType) -> list[_Col]:
@@ -909,6 +927,25 @@ def _cols_from_schema(target: T.StructType) -> list[_Col]:
             cols.append(_Col(f.name, TY_YEAR, b""))
         elif kind == "mediumint":
             cols.append(_Col(f.name, TY_INT24, b""))
+        elif kind in _UNSIGNED_KINDS:
+            # UNSIGNED column: wire code is the narrow MySQL type, the
+            # SIGNEDNESS TLV marks it unsigned, and the declared Spark
+            # type must hold the full unsigned range (BIGINT UNSIGNED:
+            # LongType, range-checked at decode)
+            wire = _UNSIGNED_KINDS[kind]
+            ok_types = {
+                TY_TINY: (T.ShortType, T.IntegerType, T.LongType),
+                TY_SHORT: (T.IntegerType, T.LongType),
+                TY_INT24: (T.IntegerType, T.LongType),
+                TY_LONG: (T.LongType,),
+                TY_LONGLONG: (T.LongType,),
+            }[wire]
+            if not isinstance(dt, ok_types):
+                raise TypeError(
+                    f"{f.name}: {kind} needs a Spark type wide enough "
+                    f"for its unsigned range (one of {ok_types}), got {dt}"
+                )
+            cols.append(_Col(f.name, wire, b"", unsigned=True))
         elif kind == "time":
             cols.append(_Col(f.name, TY_TIME2, bytes([0])))  # fsp=0
         elif kind == "json":
@@ -950,6 +987,19 @@ def _cols_from_schema(target: T.StructType) -> list[_Col]:
 
 def _encode_col(col: _Col, v) -> bytes:
     tc = col.type_code
+    if col.unsigned:
+        if tc == TY_TINY:
+            return struct.pack("<B", v)
+        if tc == TY_SHORT:
+            return struct.pack("<H", v)
+        if tc == TY_INT24:
+            if not 0 <= v < (1 << 24):
+                raise ValueError(f"MEDIUMINT UNSIGNED out of range: {v}")
+            return v.to_bytes(3, "little")
+        if tc == TY_LONG:
+            return struct.pack("<I", v)
+        if tc == TY_LONGLONG:
+            return struct.pack("<Q", v)
     if tc == TY_TINY:
         return struct.pack("<b", v)
     if tc == TY_SHORT:
@@ -1010,6 +1060,26 @@ def _encode_col(col: _Col, v) -> bytes:
 
 def _decode_col(col: _Col, buf: bytes, pos: int):
     tc = col.type_code
+    if col.unsigned:
+        # SIGNEDNESS-marked integer: zero-extend into the (wider,
+        # _TableDef-verified) signed target; BIGINT UNSIGNED range-
+        # checks so a top-half value raises instead of wrapping
+        if tc == TY_TINY:
+            return buf[pos], pos + 1
+        if tc == TY_SHORT:
+            return struct.unpack_from("<H", buf, pos)[0], pos + 2
+        if tc == TY_LONG:
+            return struct.unpack_from("<I", buf, pos)[0], pos + 4
+        if tc == TY_INT24:
+            return int.from_bytes(buf[pos : pos + 3], "little"), pos + 3
+        if tc == TY_LONGLONG:
+            u = struct.unpack_from("<Q", buf, pos)[0]
+            if u >= 1 << 63:
+                raise ValueError(
+                    f"column {col.name}: BIGINT UNSIGNED value {u} "
+                    "exceeds the signed 64-bit range LongType can hold"
+                )
+            return u, pos + 8
     if tc == TY_TINY:
         return struct.unpack_from("<b", buf, pos)[0], pos + 1
     if tc == TY_SHORT:
@@ -1236,17 +1306,33 @@ def _table_map_body(
     meta = b"".join(c.meta for c in cols)
     body += _pack_int(len(meta)) + meta
     body += bytes((len(cols) + 7) // 8)  # nullability bitmap (all nullable ok)
+
+    def tlv(t: int, v: bytes) -> bytes:
+        return bytes([t]) + _pack_int(len(v)) + v
+
+    def signedness_bitmap() -> bytes:
+        # one bit per NUMERIC column, MSB-first within each byte;
+        # set bit = UNSIGNED
+        n_numeric = sum(1 for c in cols if c.type_code in _NUMERIC_TYPE_CODES)
+        bm = bytearray((n_numeric + 7) // 8)
+        k = 0
+        for c in cols:
+            if c.type_code in _NUMERIC_TYPE_CODES:
+                if c.unsigned:
+                    bm[k // 8] |= 0x80 >> (k % 8)
+                k += 1
+        return bytes(bm)
+
+    if row_metadata != "full" and any(c.unsigned for c in cols):
+        # real MySQL 8 writes the SIGNEDNESS TLV even at the default
+        # binlog_row_metadata=MINIMAL — emulate that so the reader's
+        # unsigned handling is exercised on MINIMAL files too
+        body += tlv(_TM_SIGNEDNESS, signedness_bitmap())
     if row_metadata == "full":
         # binlog_row_metadata=FULL (MySQL 8.0.1+): TLVs appended after
         # the null bitmap — type(1) + packed length + value
-        def tlv(t: int, v: bytes) -> bytes:
-            return bytes([t]) + _pack_int(len(v)) + v
-
-        n_numeric = sum(1 for c in cols if c.type_code in _NUMERIC_TYPE_CODES)
-        if n_numeric:
-            # one bit per NUMERIC column, MSB-first within each byte;
-            # set bit = UNSIGNED. This writer only emits signed columns.
-            body += tlv(_TM_SIGNEDNESS, bytes((n_numeric + 7) // 8))
+        if any(c.type_code in _NUMERIC_TYPE_CODES for c in cols):
+            body += tlv(_TM_SIGNEDNESS, signedness_bitmap())
         names = b"".join(
             _pack_int(len(c.name.encode())) + c.name.encode() for c in cols
         )
@@ -1618,20 +1704,26 @@ class _TableDef:
         # string values, and signedness — use them to HARDEN the
         # positional contract instead of trusting the user schema blind
         wire_names = opt["names"] if opt else None
-        if opt and opt["unsigned"]:
-            # this reader decodes integers as signed; silently decoding
-            # an unsigned column would emit wrong values for the top
-            # half of its range — failfast (no-silently-wrong-rows)
-            bad = ", ".join(
-                (wire_names or [f"#{j}" for j in range(len(types))])[j]
-                for j in opt["unsigned"]
-            )
-            raise ValueError(
-                f"TABLE_MAP declares UNSIGNED column(s) [{bad}] "
-                "(SIGNEDNESS metadata); this reader decodes signed "
-                "integers only — cast the source column to a wider "
-                "signed type"
-            )
+        # SIGNEDNESS TLVs: real MySQL 8 writes them even at the default
+        # binlog_row_metadata=MINIMAL, so rejecting any unsigned column
+        # outright would make ubiquitous schemas (BIGINT UNSIGNED
+        # auto-increment PKs) undecodable. Failfast only where
+        # wrongness is possible: TINY/SHORT/INT24/LONG UNSIGNED decode
+        # losslessly into a WIDER signed target column (the user's
+        # schema must declare it — verified below); BIGINT UNSIGNED
+        # decodes into LongType with a range check at decode time, so
+        # values < 2^63 (every auto-inc PK in practice) flow and a
+        # top-half value raises instead of silently wrapping negative.
+        unsigned_idx = set(opt["unsigned"]) if opt else set()
+        # wire code -> target codes whose signed range holds the full
+        # unsigned range of the wire width
+        _WIDEN_OK = {
+            TY_TINY: (TY_SHORT, TY_LONG, TY_LONGLONG),
+            TY_SHORT: (TY_LONG, TY_LONGLONG),
+            TY_INT24: (TY_LONG, TY_LONGLONG),  # uint24 max < 2^31
+            TY_LONG: (TY_LONGLONG,),
+            TY_LONGLONG: (TY_LONGLONG,),  # range-checked at decode
+        }
         if wire_names is not None:
             for j, (wn, tgt) in enumerate(zip(wire_names, target_cols)):
                 if wn != tgt.name:
@@ -1654,6 +1746,32 @@ class _TableDef:
                         wire_vals[j] = gs.pop(0)
         self.cols = []
         for j, (tc, meta, tgt) in enumerate(zip(types, metas, target_cols)):
+            if j in unsigned_idx or tgt.unsigned:
+                allowed = _WIDEN_OK.get(tc)
+                if allowed is None:
+                    raise ValueError(
+                        f"column {tgt.name}: SIGNEDNESS marks non-integer "
+                        f"wire type {tc} unsigned — malformed metadata"
+                    )
+                # accepted targets: a plain WIDER signed type, or the
+                # explicit *_unsigned declaration (whose Spark width
+                # _cols_from_schema already verified)
+                if not (
+                    tgt.type_code in allowed
+                    or (tgt.unsigned and tgt.type_code == tc)
+                ):
+                    raise ValueError(
+                        f"column {tgt.name}: wire type {tc} is UNSIGNED "
+                        f"(SIGNEDNESS metadata); declare a WIDER signed "
+                        f"Spark type for it (accepted wire codes: "
+                        f"{allowed}) so the top half of its range decodes "
+                        "losslessly"
+                    )
+                self.cols.append(
+                    _Col(tgt.name, tc, meta, wire_vals.get(j, tgt.extra),
+                         unsigned=True)
+                )
+                continue
             if tc != tgt.type_code:
                 raise ValueError(
                     f"column {tgt.name}: TABLE_MAP type {tc} != schema type {tgt.type_code}"
@@ -1835,11 +1953,26 @@ def _infer_from_table_map(
         for j, (tc2, meta) in enumerate(zip(types, metas)):
             if tc2 == TY_STRING and meta and meta[0] == kind and gs:
                 wire_vals[j] = gs.pop(0)
+    # SIGNEDNESS-marked integers infer the next WIDER signed Spark
+    # type so their full unsigned range decodes losslessly (BIGINT
+    # UNSIGNED stays LongType — range-checked at decode); this is the
+    # same widening contract _TableDef verifies for explicit schemas
+    _WIDER = {
+        TY_TINY: TY_SHORT,
+        TY_SHORT: TY_LONG,
+        TY_INT24: TY_LONG,
+        TY_LONG: TY_LONGLONG,
+        TY_LONGLONG: TY_LONGLONG,
+    }
+    unsigned_idx = set(opt["unsigned"])
     fields = []
     for j, (tc2, meta, name) in enumerate(
         zip(types, metas, opt["names"])
     ):
-        fields.append(_wire_field(name, tc2, meta, wire_vals.get(j)))
+        if j in unsigned_idx and tc2 in _WIDER:
+            fields.append(_wire_field(name, _WIDER[tc2], b"", None))
+        else:
+            fields.append(_wire_field(name, tc2, meta, wire_vals.get(j)))
     return T.StructType(fields)
 
 
@@ -3034,11 +3167,18 @@ def binlog_time_to_gno_bounds(
 
     def locate(bound: int) -> int | None:
         # first file that can contain an event >= bound is the LAST
-        # file created before the bound (the bound may fall inside
-        # it); every earlier file is wholly before the bound
+        # file created STRICTLY before the bound (the bound may fall
+        # inside it). Strict, not <=: when a rotation lands in the
+        # same second as the bound (next file's head ts == bound), the
+        # previous file can still hold same-second tail transactions
+        # with ts == bound — advancing past it would silently drop
+        # them, and the start side's residual ``__tm >= start_ts``
+        # filter cannot recover rows that were never decoded. (The
+        # stop side only gains: a smaller first-gno just means fewer
+        # extras for its residual filter to trim.)
         start_i = 0
         for i, (hts, _p) in enumerate(heads):
-            if hts <= bound:
+            if hts < bound:
                 start_i = i
             else:
                 break
@@ -3226,7 +3366,15 @@ def scan_binlog_splits_file(
     return splits
 
 
-_SPLIT_MEM_CACHE: dict = {}
+# In-memory split-spec cache: bounded LRU, not a plain dict — a
+# long-lived Spark Python worker scanning many files/windows would
+# otherwise pin every (path, size, mtime, bounds) combination's full
+# split list (including TABLE_MAP bodies) for the process lifetime.
+# Evictions stay cheap: the disk JSON tier below re-warms a miss.
+import collections as _collections
+
+_SPLIT_MEM_CACHE: "_collections.OrderedDict" = _collections.OrderedDict()
+_SPLIT_MEM_CACHE_MAX = 64
 
 
 def scan_binlog_splits_cached(
@@ -3265,6 +3413,7 @@ def scan_binlog_splits_cached(
     )
     hit = _SPLIT_MEM_CACHE.get(key)
     if hit is not None:
+        _SPLIT_MEM_CACHE.move_to_end(key)
         return hit
     tag = hashlib.sha256(repr(key).encode()).hexdigest()[:32]
     # per-UID dir, mode 0700: the default tempdir is world-writable and
@@ -3347,6 +3496,9 @@ def scan_binlog_splits_cached(
         except OSError:
             pass  # cache is best-effort; the walk already succeeded
     _SPLIT_MEM_CACHE[key] = splits
+    _SPLIT_MEM_CACHE.move_to_end(key)
+    while len(_SPLIT_MEM_CACHE) > _SPLIT_MEM_CACHE_MAX:
+        _SPLIT_MEM_CACHE.popitem(last=False)
     return splits
 
 
@@ -3677,6 +3829,33 @@ def _event_boundary_walk(buf: bytes, start: int) -> int:
     return pos
 
 
+def _complete_prefix_len_path(path: str) -> int:
+    """Last complete-event boundary of an ON-DISK binlog file — the safe
+    cursor position for the ACTIVE, still-growing file. A raw
+    ``os.path.getsize()`` can fall mid-event (torn tail write); every
+    cursor in this reader means an event boundary, and a mid-event pos
+    would make later micro-batches read garbage event sizes (permanent
+    stall or CRC kill). Header-walk with seeks — O(#events) 19-byte
+    reads, no body materialization."""
+    import os
+
+    size = os.path.getsize(path)
+    with open(path, "rb", buffering=1 << 20) as f:
+        if f.read(4) != BINLOG_MAGIC:
+            return 0
+        pos = 4
+        while pos + _HEADER_LEN <= size:
+            hdr = f.read(_HEADER_LEN)
+            if len(hdr) < _HEADER_LEN:
+                break
+            _ets, _tc, _s, esize, _lp, _fl = _HEADER.unpack(hdr)
+            if esize < _HEADER_LEN or pos + esize > size:
+                break  # truncated active tail: park before it
+            f.seek(esize - _HEADER_LEN, 1)
+            pos += esize
+    return pos
+
+
 def _complete_prefix_len(blob: bytes, start: int = 4) -> int:
     """Byte length of the longest whole-event prefix (magic included):
     the safe read horizon of the ACTIVE, still-growing binlog file.
@@ -3782,10 +3961,12 @@ class MysqlBinlogTailStreamReader(_SimpleStreamReader):
         # surviving file's bounded header walk yields the byte offset
         # of the first in-window GTID event — an event boundary, which
         # is exactly what the (seq, pos) cursor means. If everything
-        # is consumed, park at the end of the newest file so only new
+        # is consumed, park at the newest file's last COMPLETE-event
+        # boundary (not raw getsize(): on the active, still-growing
+        # file that can fall mid-event on a torn tail write, and a
+        # mid-event cursor makes every later micro-batch read garbage
+        # event sizes — permanent stall or CRC kill) so only new
         # events surface.
-        import os
-
         files = self._files()
         if not files:
             return {"seq": -1, "pos": 0}
@@ -3800,7 +3981,7 @@ class MysqlBinlogTailStreamReader(_SimpleStreamReader):
             if splits:
                 return {"seq": by_path[p], "pos": splits[0]["start"]}
         last_seq, last_path = files[-1]
-        return {"seq": last_seq, "pos": os.path.getsize(last_path)}
+        return {"seq": last_seq, "pos": _complete_prefix_len_path(last_path)}
 
     def _files(self) -> list[tuple[int, str]]:
         import os

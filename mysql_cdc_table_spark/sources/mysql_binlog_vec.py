@@ -339,6 +339,28 @@ def _vec_col_decoder(col: _Col, field: T.StructField):
     tc = col.type_code
     pa_t = _pa_type(field.dataType)
 
+    if col.unsigned and tc in _FIXED_LE and tc != TY_FLOAT and tc != TY_DOUBLE:
+        # SIGNEDNESS-marked integer: zero-extend (unsigned view) into
+        # the wider signed target _TableDef verified; BIGINT UNSIGNED
+        # range-checks so a top-half value raises instead of wrapping
+        _np_dt, w = _FIXED_LE[tc]
+        u_dt = "<u" + _np_dt[2]
+
+        def dec(u8, raw, pos, valid, _u_dt=u_dt, _w=w, _pa_t=pa_t, _tc=tc):
+            idx = np.flatnonzero(valid)
+            vals = _gather_fixed(u8, pos[idx], _w).view(_u_dt)
+            if _tc == TY_LONGLONG and vals.size and vals.max() >= 1 << 63:
+                raise ValueError(
+                    f"column {col.name}: BIGINT UNSIGNED value exceeds "
+                    "the signed 64-bit range LongType can hold"
+                )
+            out = np.zeros(len(pos), dtype=np.int64)
+            out[idx] = vals.astype(np.int64)
+            pos[idx] += _w
+            return pa.array(out, type=_pa_t, mask=~valid)
+
+        return dec
+
     if tc in _FIXED_LE:
         np_dt, w = _FIXED_LE[tc]
 
@@ -358,7 +380,7 @@ def _vec_col_decoder(col: _Col, field: T.StructField):
             idx = np.flatnonzero(valid)
             m = _gather_fixed(u8, pos[idx], 3).reshape(-1, 3).astype(np.int64)
             u = m[:, 0] | (m[:, 1] << 8) | (m[:, 2] << 16)
-            v = np.where(u >= 1 << 23, u - (1 << 24), u)
+            v = u if col.unsigned else np.where(u >= 1 << 23, u - (1 << 24), u)
             out = np.zeros(len(pos), np.int64)
             out[idx] = v
             pos[idx] += 3

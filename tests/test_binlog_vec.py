@@ -978,3 +978,59 @@ def test_split_cache_bypasses_untrusted_dir(tmp_path):
     got = mbm.scan_binlog_splits_cached(str(path), 256, cache_dir=str(loose))
     assert got == mbm.scan_binlog_splits_file(str(path), 256)
     assert os.listdir(loose) == []  # nothing written into it
+
+
+def test_tail_initial_offset_parks_at_event_boundary_not_getsize(tmp_path):
+    """Advisor fix (round 7): with start_after_gno fully consumed, the
+    initial cursor parked at os.path.getsize() of the active file —
+    which can fall MID-EVENT on a torn tail write. Every cursor in
+    this reader means an event boundary; a mid-event pos makes later
+    micro-batches read garbage event sizes (permanent stall, or a CRC
+    kill). It must park at the last COMPLETE-event boundary, and the
+    torn transaction must surface cleanly once its bytes land."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        _HEADER,
+        _HEADER_LEN,
+        EV_GTID,
+        MysqlBinlogTailStreamReader,
+    )
+
+    tgt = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    txn = lambda g: {"gno": g, "op": "w", "rows": [{"id": g, "v": f"x{g}"}]}
+    full = build_binlog_file("d", "t", tgt, [txn(g) for g in range(1, 5)])
+
+    # boundary where txn 4's GTID event starts
+    pos, cut, n_gtid = 4, None, 0
+    while pos + _HEADER_LEN <= len(full):
+        _ts, tc, _sid, esize, _lp, _fl = _HEADER.unpack_from(full, pos)
+        if tc == EV_GTID:
+            n_gtid += 1
+            if n_gtid == 4:
+                cut = pos
+                break
+        pos += esize
+    assert cut is not None
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    # torn tail: 5 bytes of txn 4's GTID event header are on disk
+    (d / "binlog.000001").write_bytes(full[: cut + 5])
+
+    r = MysqlBinlogTailStreamReader(
+        {"path": str(d), "schema_ddl": "id bigint, v string",
+         "database": "d", "table": "t", "start_after_gno": "3"}
+    )
+    off0 = r.initialOffset()
+    assert off0["pos"] == cut  # boundary, NOT cut + 5 (raw getsize)
+
+    # nothing new yet: an empty batch, cursor stays put
+    rows0, off0b = r._delta(off0)
+    assert rows0 == [] and off0b["pos"] == cut
+
+    # the torn bytes land: exactly txn 4 surfaces
+    (d / "binlog.000001").write_bytes(full)
+    rows1, off1 = r._delta(off0b)
+    assert [t_[0] for t_ in rows1] == [4]
+    assert off1["pos"] == len(full)

@@ -1557,26 +1557,140 @@ def test_full_row_metadata_name_mismatch_failfast():
     del swapped
 
 
-def test_full_row_metadata_unsigned_failfast():
-    """A SIGNEDNESS TLV with a set bit (UNSIGNED column) must raise:
-    this reader decodes signed integers only, and silently decoding
-    unsigned would emit wrong values for the top half of the range."""
-    from mysql_cdc_table_spark.sources import mysql_binlog as mbm
+def _unsigned_writer_target() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("t", T.ShortType(),
+                          metadata={"mysql_type": "tinyint_unsigned"}),
+            T.StructField("s", T.IntegerType(),
+                          metadata={"mysql_type": "smallint_unsigned"}),
+            T.StructField("m", T.IntegerType(),
+                          metadata={"mysql_type": "mediumint_unsigned"}),
+            T.StructField("i", T.LongType(),
+                          metadata={"mysql_type": "int_unsigned"}),
+            T.StructField("b", T.LongType(),
+                          metadata={"mysql_type": "bigint_unsigned"}),
+            T.StructField("v", T.StringType()),
+        ]
+    )
 
-    tgt = T.StructType(
-        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+
+# top half of every unsigned range — exactly the values a
+# signed-only decode would corrupt (the pre-round-8 failfast)
+_UNSIGNED_TOP_ROWS = [
+    {"t": 200, "s": 60_000, "m": 16_000_000, "i": 4_000_000_000,
+     "b": (1 << 63) - 1, "v": "hi"},
+    {"t": 0, "s": 0, "m": 0, "i": 0, "b": 0, "v": "lo"},
+]
+
+
+def test_unsigned_columns_decode_into_wider_signed(tmp_path):
+    """SIGNEDNESS-marked TINY/SHORT/INT24/LONG decode losslessly into
+    the wider signed target; BIGINT UNSIGNED < 2^63 decodes into
+    LongType. Real MySQL 8 writes SIGNEDNESS even at the default
+    binlog_row_metadata=MINIMAL, so the old blanket failfast made the
+    ubiquitous unsigned auto-inc PK schema undecodable (advisor,
+    round 7). Scalar and columnar kernels must agree."""
+    from mysql_cdc_table_spark.sources.mysql_binlog_vec import (
+        decode_binlog_pandas,
     )
-    body = mbm._table_map_body(
-        23, "d", "t", mbm._cols_from_schema(tgt), row_metadata="full"
+
+    wtgt = _unsigned_writer_target()
+    # the READER declares plain wider signed Spark types
+    rtgt = T.StructType(
+        [
+            T.StructField("t", T.ShortType()),
+            T.StructField("s", T.IntegerType()),
+            T.StructField("m", T.IntegerType()),
+            T.StructField("i", T.LongType()),
+            T.StructField("b", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
     )
-    # flip the first SIGNEDNESS bit (id -> UNSIGNED): TLV type 1,
-    # 1-byte length, then the bitmap byte
-    idx = body.find(bytes([mbm._TM_SIGNEDNESS, 1, 0]))
-    assert idx > 0
-    patched = bytearray(body)
-    patched[idx + 2] = 0x80
-    with pytest.raises(ValueError, match="UNSIGNED"):
-        mbm._parse_table_map(bytes(patched), mbm._cols_from_schema(tgt))
+    for meta_mode in ("minimal", "full"):
+        blob = build_binlog_file(
+            "d", "t", wtgt,
+            [{"gno": 1, "op": "w", "rows": _UNSIGNED_TOP_ROWS}],
+            row_metadata=meta_mode,
+        )
+        rows = decode_binlog_bytes(blob, rtgt, "d", "t")
+        got = {r["v"]: (r["t"], r["s"], r["m"], r["i"], r["b"]) for r in rows}
+        assert got["hi"] == (200, 60_000, 16_000_000, 4_000_000_000,
+                             (1 << 63) - 1)
+        assert got["lo"] == (0, 0, 0, 0, 0)
+        # the explicit *_unsigned target declaration also decodes
+        rows2 = decode_binlog_bytes(blob, wtgt, "d", "t")
+        assert {r["v"]: r["t"] for r in rows2} == {"hi": 200, "lo": 0}
+        # columnar kernel agrees
+        pdf = decode_binlog_pandas(blob, rtgt, "d", "t")
+        hi = pdf[pdf["v"] == "hi"].iloc[0]
+        assert (int(hi["t"]), int(hi["s"]), int(hi["m"]), int(hi["i"]),
+                int(hi["b"])) == (200, 60_000, 16_000_000,
+                                  4_000_000_000, (1 << 63) - 1)
+
+
+def test_unsigned_narrow_target_still_failfasts():
+    """An UNSIGNED column whose target column is the SAME-width signed
+    type still raises — decoding it would corrupt the top half of the
+    range (no-silently-wrong-rows), and the message says to widen."""
+    wtgt = T.StructType(
+        [T.StructField("t", T.ShortType(),
+                       metadata={"mysql_type": "tinyint_unsigned"})]
+    )
+    blob = build_binlog_file(
+        "d", "t", wtgt, [{"gno": 1, "op": "w", "rows": [{"t": 200}]}],
+        row_metadata="full",
+    )
+    narrow = T.StructType([T.StructField("t", T.ByteType())])
+    with pytest.raises(ValueError, match="WIDER signed"):
+        decode_binlog_bytes(blob, narrow, "d", "t")
+
+
+def test_bigint_unsigned_top_half_raises_not_wraps():
+    """BIGINT UNSIGNED >= 2^63 cannot fit LongType: both kernels raise
+    instead of silently wrapping negative."""
+    from mysql_cdc_table_spark.sources.mysql_binlog_vec import (
+        decode_binlog_pandas,
+    )
+
+    wtgt = T.StructType(
+        [T.StructField("b", T.LongType(),
+                       metadata={"mysql_type": "bigint_unsigned"})]
+    )
+    blob = build_binlog_file(
+        "d", "t", wtgt,
+        [{"gno": 1, "op": "w", "rows": [{"b": (1 << 63) + 7}]}],
+        row_metadata="full",
+    )
+    rtgt = T.StructType([T.StructField("b", T.LongType())])
+    with pytest.raises(ValueError, match="signed 64-bit"):
+        decode_binlog_bytes(blob, rtgt, "d", "t")
+    with pytest.raises(ValueError, match="signed 64-bit"):
+        decode_binlog_pandas(blob, rtgt, "d", "t")
+
+
+def test_infer_target_widens_unsigned_columns():
+    """DDL-free inference maps SIGNEDNESS-marked columns to the next
+    wider signed Spark type (BIGINT UNSIGNED stays LongType), and the
+    inferred schema round-trips the decode."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        mysql_binlog_infer_target,
+    )
+
+    wtgt = _unsigned_writer_target()
+    blob = build_binlog_file(
+        "d", "t", wtgt,
+        [{"gno": 1, "op": "w", "rows": _UNSIGNED_TOP_ROWS}],
+        row_metadata="full",
+    )
+    inferred = mysql_binlog_infer_target(blob, "d", "t")
+    assert [f.dataType for f in inferred.fields] == [
+        T.ShortType(), T.IntegerType(), T.IntegerType(), T.LongType(),
+        T.LongType(), T.StringType(),
+    ]
+    rows = decode_binlog_bytes(blob, inferred, "d", "t")
+    got = {r["v"]: r["i"] for r in rows}
+    assert got == {"hi": 4_000_000_000, "lo": 0}
 
 
 def test_infer_target_from_full_metadata(tmp_path):
@@ -2387,3 +2501,77 @@ def test_ddl_query_parse_skips_status_vars(tmp_path):
     assert ddl[0]["gno"] == 9
     assert ddl[0]["database"] == "meta_db"
     assert ddl[0]["statement"] == "ALTER TABLE tĀ ADD COLUMN ü INT"
+
+
+def test_time_bounds_same_second_rotation_keeps_tail_txns(tmp_path):
+    """Advisor fix (round 7): when a rotation lands in the SAME second
+    as the window start (next file's head ts == start_ts), the
+    previous file can still hold same-second tail transactions — the
+    old `head <= bound` skip silently dropped them, and the residual
+    __tm >= start_ts filter cannot resurrect rows that were never
+    decoded. The start bound must advance only past files whose head
+    is STRICTLY before the bound."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        binlog_time_to_gno_bounds,
+    )
+
+    tgt = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    T0 = 1_700_000_000
+    txn = lambda g: {"gno": g, "op": "w", "rows": [{"id": g, "v": "x"}]}
+    # file 1: txns at ts T0, T0+1, T0+2 (gnos 1..3); file 2 rotated in
+    # the same second as txn 3 — its head ts is ALSO T0+2 (gnos 4..5)
+    f1 = build_binlog_file("d", "t", tgt, [txn(g) for g in (1, 2, 3)],
+                           base_ts=T0)
+    f2 = build_binlog_file("d", "t", tgt, [txn(g) for g in (4, 5)],
+                           base_ts=T0 + 2)
+    p1, p2 = tmp_path / "binlog.000001", tmp_path / "binlog.000002"
+    p1.write_bytes(f1)
+    p2.write_bytes(f2)
+
+    start_after, stop_at = binlog_time_to_gno_bounds(
+        [str(p1), str(p2)], T0 + 2, None
+    )
+    # gno 3 (ts == T0+2, tail of file 1) is IN the window: the first
+    # in-window gno is 3, so the resume bound is 2 — the old code
+    # jumped to file 2 and returned 3, dropping gno 3 silently
+    assert (start_after, stop_at) == (2, None)
+
+
+def test_split_mem_cache_is_a_bounded_lru(tmp_path):
+    """Advisor fix (round 7): the in-memory split cache grew without
+    bound in long-lived Spark Python workers (every (path, size,
+    mtime, bounds) combination pinned its full split list — TABLE_MAP
+    bodies included — for the process lifetime). It is now a small
+    LRU; evictions stay cheap because the disk JSON tier re-warms."""
+    from mysql_cdc_table_spark.sources import mysql_binlog as mbm
+
+    tgt = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    blob = build_binlog_file(
+        "d", "t", tgt,
+        [{"gno": g, "op": "w", "rows": [{"id": g, "v": "x"}]}
+         for g in range(1, 4)],
+    )
+    p = tmp_path / "binlog.000001"
+    p.write_bytes(blob)
+    cdir = tmp_path / "cache"
+
+    mbm._SPLIT_MEM_CACHE.clear()
+    # distinct split_bytes -> distinct keys, far past the cap
+    for i in range(mbm._SPLIT_MEM_CACHE_MAX + 16):
+        mbm.scan_binlog_splits_cached(str(p), 1024 + i, cache_dir=str(cdir))
+    assert len(mbm._SPLIT_MEM_CACHE) == mbm._SPLIT_MEM_CACHE_MAX
+
+    # LRU, not FIFO: touching the oldest surviving key keeps it alive
+    # through the next insertion
+    oldest = next(iter(mbm._SPLIT_MEM_CACHE))
+    mbm.scan_binlog_splits_cached(str(p), oldest[3], cache_dir=str(cdir))
+    mbm.scan_binlog_splits_cached(str(p), 999_999, cache_dir=str(cdir))
+    assert oldest in mbm._SPLIT_MEM_CACHE
+    # and an evicted key still round-trips via the disk tier
+    got = mbm.scan_binlog_splits_cached(str(p), 1024, cache_dir=str(cdir))
+    assert got == mbm.scan_binlog_splits_file(str(p), 1024)
+    mbm._SPLIT_MEM_CACHE.clear()
