@@ -1034,3 +1034,42 @@ def test_tail_initial_offset_parks_at_event_boundary_not_getsize(tmp_path):
     rows1, off1 = r._delta(off0b)
     assert [t_[0] for t_ in rows1] == [4]
     assert off1["pos"] == len(full)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.booleans(),                 # negative sign
+            st.integers(0, 838),           # hours (1-3 digits exercised)
+            st.integers(0, 59),
+            st.integers(0, 59),
+            st.booleans(),                 # null flag
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_columnar_time2_vs_scalar_property(vals):
+    """Hypothesis: the vectorized TIME2 decoder (round-8: the last
+    fixed-width type off the per-cell closure) formats every value —
+    signs, 1/2/3-digit hours, zero-padded MM:SS, nulls — exactly like
+    the scalar walk."""
+    tgt = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("tm", T.StringType(),
+                          metadata={"mysql_type": "time"}),
+        ]
+    )
+    recs = [
+        {"id": i,
+         "tm": None if none else f"{'-' if neg and (h or m or s) else ''}{h}:{m:02d}:{s:02d}"}
+        for i, (neg, h, m, s, none) in enumerate(vals)
+    ]
+    blob = build_binlog_file(
+        "d", "t", tgt, [{"gno": 1, "op": "w", "rows": recs}]
+    )
+    scalar = decode_binlog_bytes(blob, tgt, "d", "t")
+    pdf = decode_binlog_pandas(blob, tgt, "d", "t")
+    _assert_same(scalar, pdf, tgt)
