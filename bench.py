@@ -194,6 +194,58 @@ def _binlog_gtid_resume_query(spark, sf_dir):
     )
 
 
+def _ivf_dir(sf_dir: str) -> str:
+    return _bench_tmp_dir("bench_ivf_index", sf_dir)
+
+
+def _stage_ivf(spark, sf_dir: str) -> None:
+    """Build the IVF index once, untimed: k-means cell assignments
+    joined onto the embeddings, plus the (cid, centroid) codebook —
+    at steady state an index is built once and amortized over every
+    query, so training cost does not belong in the search timing."""
+    from mysql_cdc_table_spark.functions.similarity import (
+        kmeans_cells,
+        trained_centroids,
+    )
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ec = e.join(kmeans_cells(spark, sf_dir), "vec_id")
+    ec.write.mode("overwrite").parquet(os.path.join(_ivf_dir(sf_dir), "ec"))
+    trained_centroids(ec).write.mode("overwrite").parquet(
+        os.path.join(_ivf_dir(sf_dir), "cents")
+    )
+
+
+def _ivf_pruned_search_query(spark, sf_dir):
+    """19th entry: the PRODUCTION IVF path isolated (round-7 verdict
+    item 2) — cell-pruned top-k search over the pre-staged, amortized
+    codebook with the fixed labeled query set. The registry key
+    emb_knn_classify_ivf deliberately contains the quadratic exact
+    harness + training, so its 6.3s timing cannot expose a pruning
+    regression; THIS number moves when pruning breaks."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.functions.similarity import ivf_pruned_search
+    from mysql_cdc_table_spark.operators.round7 import (
+        KNN_IVF_K,
+        KNN_IVF_N_PROBE,
+    )
+
+    ec = spark.read.parquet(os.path.join(_ivf_dir(sf_dir), "ec"))
+    cents = spark.read.parquet(os.path.join(_ivf_dir(sf_dir), "cents"))
+    q = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        # FIXED query workload: the % 50 sample capped below the scale
+        # generator's key offset, so the query count does not grow with
+        # the corpus (a corpus-fraction query set turns the scale check
+        # quadratic — the exact-kNN knee, measured separately). At the
+        # bench sf this filter is a no-op.
+        .filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 10_000_000))
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    )
+    return ivf_pruned_search(ec, cents, q, KNN_IVF_N_PROBE, KNN_IVF_K)
+
+
 def _bench_tmp_dir(prefix: str, sf_dir: str) -> str:
     import hashlib
     import tempfile
@@ -282,6 +334,8 @@ def main() -> None:
     queries["cdc_envelope_decode"] = _envelope_decode_query
     queries["mysql_binlog_scan"] = _mysql_binlog_scan_query
     queries["binlog_gtid_resume"] = _binlog_gtid_resume_query
+    _stage_ivf(spark, sf_dir)
+    queries["ivf_pruned_search"] = _ivf_pruned_search_query
 
     # Three runs per query, report the fastest warm one: the first run
     # pays one-off whole-stage-codegen compilation + plan construction
@@ -304,7 +358,7 @@ def main() -> None:
     # invocations). A long-lived cluster amortizes compilation away, so
     # the warm steady state is the honest number; it also makes the
     # anchor-drift sentinel near-zero when the box is healthy.
-    for name in [*HEADLINE, "packed_binlog_scan", "mysql_binlog_scan", "binlog_gtid_resume"]:
+    for name in [*HEADLINE, "packed_binlog_scan", "mysql_binlog_scan", "binlog_gtid_resume", "ivf_pruned_search"]:
         queries[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
@@ -318,7 +372,7 @@ def main() -> None:
     # ±15% band flags contention.
     def sweep(load_pre_sweep) -> dict:
         times: dict[str, float] = {}
-        for name in [*HEADLINE, "packed_binlog_scan", "mysql_binlog_scan", "binlog_gtid_resume"]:
+        for name in [*HEADLINE, "packed_binlog_scan", "mysql_binlog_scan", "binlog_gtid_resume", "ivf_pruned_search"]:
             times[name] = timed(name)
         anchor_first = times[HEADLINE[0]]
         anchor_last = timed(HEADLINE[0])
@@ -376,7 +430,11 @@ def main() -> None:
                 # 5: + binlog_gtid_resume entry (restart from the last
                 #    file's gno; fixture v2 adds PREVIOUS_GTIDS heads)
                 #    — TOTAL grows by one more entry (r07)
-                "protocol": 5,
+                # 6: + ivf_pruned_search entry (production IVF search
+                #    isolated from the emb_knn_classify_ivf agreement
+                #    harness; index staged untimed) — TOTAL grows by
+                #    one more entry (r08)
+                "protocol": 6,
                 "anchor": HEADLINE[0],
                 "anchor_first_sec": result["anchor_first_sec"],
                 "anchor_last_sec": result["anchor_last_sec"],

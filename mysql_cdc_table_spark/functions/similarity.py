@@ -22,7 +22,7 @@ scan - /root/reference/binlogdb.cc:477-551; SURVEY.md §2C).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mysql_cdc_table_spark.operators._util import t
@@ -376,6 +376,54 @@ def trained_centroids(ec: DataFrame) -> DataFrame:
                 lambda s: s["c"],
             ).alias("centroid")
         )
+    )
+
+
+def ivf_pruned_search(
+    ec: DataFrame, cents: DataFrame, q: DataFrame,
+    n_probe: int = 3, k: int = 5,
+) -> DataFrame:
+    """The PRODUCTION IVF search path, isolated: given an already-built
+    index — ``ec`` (vec_id, embedding, label, cid) assignments and the
+    ``cents`` (cid, centroid) codebook — rank cells per query over the
+    tiny broadcast centroid grid, keep the top ``n_probe``, score ONLY
+    corpus rows in a probed cell, and return the exact top-``k`` per
+    query (cosine desc, vec_id tiebreak). No training, no exact-rerank
+    harness: this is the steady-state query shape whose cost a pruning
+    regression would move (round-7 verdict item 2 — the registry key
+    ``emb_knn_classify_ivf`` deliberately CONTAINS the quadratic
+    agreement harness + k-means training, so its timing cannot expose
+    one). At 100 TB ``cid`` is the storage partition key and the probe
+    prunes partitions at the scan; per-query work is ~n_probe/|cells|
+    of the corpus."""
+    w_cell = Window.partitionBy("qid").orderBy(
+        F.col("d").asc(), F.col("cid").asc()
+    )
+    probe = (
+        cents.join(F.broadcast(q))
+        .select(
+            "cid", "qid", sq_dist(F.col("centroid"), F.col("qv")).alias("d")
+        )
+        .withColumn("crk", F.row_number().over(w_cell))
+        .filter(F.col("crk") <= n_probe)
+        .select("qid", "cid")
+    )
+    scored = (
+        ec.join(F.broadcast(probe), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            cosine(F.col("embedding"), F.col("qv")).alias("cos"),
+        )
+    )
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w_rank)).filter(
+        F.col("rk") <= k
     )
 
 

@@ -3269,6 +3269,7 @@ def scan_binlog_splits_file(
     *,
     start_after_gno: int | None = None,
     stop_at_gno: int | None = None,
+    start_after_sets: dict[bytes, int] | None = None,
 ) -> list[dict]:
     """Streaming twin of scan_binlog_splits: IDENTICAL split specs, but
     O(read-buffer) memory — reads the 19-byte event headers plus only
@@ -3277,13 +3278,28 @@ def scan_binlog_splits_file(
     header-walks without ever materializing (the bytes-based variant
     serves tests and already-loaded buffers). GTID bounds behave as in
     scan_binlog_splits, including the O(1)-read whole-file skip off the
-    PREVIOUS_GTIDS head and the early exit at the stop bound."""
+    PREVIOUS_GTIDS head and the early exit at the stop bound.
+
+    ``start_after_sets`` ({sid: last-consumed gno}) is the MULTI-SOURCE
+    start bound (round-8, watch item 3): the window opens at the first
+    transaction whose gno exceeds its OWN sid's bound (absent sid → 0,
+    i.e. its first transaction). Every event before that point is
+    consumed for its own sid — per-sid sequences are monotone — so a
+    boundary file's consumed prefix is pruned at the HEADER walk
+    instead of being range-decoded and row-filtered. Interleaved
+    consumed transactions AFTER the window opens still decode; the
+    caller's per-sid residual filter (mysql_binlog_read_gtid_sets)
+    keeps output exact."""
     import os
 
+    if start_after_sets is not None and start_after_gno is not None:
+        raise ValueError(
+            "start_after_gno and start_after_sets are mutually exclusive"
+        )
     size = os.path.getsize(path)
     splits: list[dict] = []
-    in_window = start_after_gno is None
-    unbounded = start_after_gno is None and stop_at_gno is None
+    in_window = start_after_gno is None and start_after_sets is None
+    unbounded = in_window and stop_at_gno is None
     saw_window_txn = False
     end_at = size
     with open(path, "rb", buffering=1 << 20) as f:
@@ -3322,7 +3338,12 @@ def scan_binlog_splits_file(
                         if stop_at_gno is not None and g > stop_at_gno:
                             end_at = pos
                             break
-                        if not in_window and g > start_after_gno:
+                        if not in_window and (
+                            g > start_after_gno
+                            if start_after_gno is not None
+                            else g
+                            > start_after_sets.get(bytes(body[1:17]), 0)
+                        ):
                             in_window = True
                             cur_start = pos
                             cur_state = {
@@ -3384,6 +3405,7 @@ def scan_binlog_splits_cached(
     *,
     start_after_gno: int | None = None,
     stop_at_gno: int | None = None,
+    start_after_sets: dict[bytes, int] | None = None,
 ) -> list[dict]:
     """``scan_binlog_splits_file`` behind a cache keyed on (abs path,
     size, mtime_ns, split_bytes). The serial header walk is the
@@ -3407,9 +3429,16 @@ def scan_binlog_splits_cached(
 
     ap = os.path.abspath(path)
     st = os.stat(ap)
+    sets_key = (
+        None
+        if start_after_sets is None
+        else tuple(sorted(
+            (sid.hex(), int(g)) for sid, g in start_after_sets.items()
+        ))
+    )
     key = (
         ap, st.st_size, st.st_mtime_ns, target_split_bytes,
-        start_after_gno, stop_at_gno,
+        start_after_gno, stop_at_gno, sets_key,
     )
     hit = _SPLIT_MEM_CACHE.get(key)
     if hit is not None:
@@ -3465,6 +3494,7 @@ def scan_binlog_splits_cached(
             target_split_bytes,
             start_after_gno=start_after_gno,
             stop_at_gno=stop_at_gno,
+            start_after_sets=start_after_sets,
         )
         try:
             if not disk_ok:
@@ -3544,6 +3574,7 @@ def mysql_binlog_read_parallel(
     capture_query: bool = False,
     start_after_gno: int | None = None,
     stop_at_gno: int | None = None,
+    start_after_sets: dict[bytes, int] | None = None,
 ) -> DataFrame:
     """Parallel decode of LARGE binlog files — the scan the reference
     cannot express (its unit is one file walked sequentially,
@@ -3574,7 +3605,15 @@ def mysql_binlog_read_parallel(
     read. A residual row filter on __gtid keeps the output exact even
     if a malformed stream violates gno monotonicity inside a kept
     range (single-source contract; multi-source resume needs per-uuid
-    sets)."""
+    sets).
+
+    ``start_after_sets`` is the MULTI-SOURCE start bound: the header
+    walk opens each boundary file's window at the first transaction
+    unconsumed for its OWN sid, so the consumed prefix is never
+    range-decoded (round-8, watch item 3); per-row exactness stays
+    with the caller's per-sid filter (mysql_binlog_read_gtid_sets),
+    since interleaved consumed transactions can follow the window
+    open."""
     import os
 
     import pandas as pd
@@ -3616,6 +3655,7 @@ def mysql_binlog_read_parallel(
                     split_bytes,
                     start_after_gno=start_after_gno,
                     stop_at_gno=stop_at_gno,
+                    start_after_sets=start_after_sets,
                 ):
                     yield pd.DataFrame(
                         {
@@ -3769,6 +3809,11 @@ def mysql_binlog_read_gtid_sets(
         split_bytes=split_bytes,
         gtid_format="uuid_gno",
         capture_query=capture_query,
+        # boundary-file trim (round-8): the header walk skips each
+        # kept file's consumed prefix (every txn before the first one
+        # unconsumed for its own sid) instead of range-decoding it;
+        # the per-sid residual filter below still guarantees exactness
+        start_after_sets=start_after or None,
     )
     if not start_after:
         return out  # no bounds: a plain uuid_gno read
@@ -3948,12 +3993,64 @@ class MysqlBinlogTailStreamReader(_SimpleStreamReader):
         # offset — after that the (seq, pos) cursor owns progress.
         raw = options.get("start_after_gno")
         self.start_after_gno = None if raw in (None, "") else int(raw)
+        # MULTI-SOURCE handoff (option "start_after_sets"): per-origin
+        # bounds "uuid:gno,uuid:gno" — the gtid_executed a replica
+        # hands each source (MASTER_AUTO_POSITION), mirroring the
+        # batch side's mysql_binlog_read_gtid_sets. A multi-source
+        # relay interleaves per-sid monotone gno sequences that are
+        # NOT globally ordered, so the single-bound option would
+        # drop/duplicate rows; here every row keeps iff its gno
+        # exceeds its OWN sid's bound (absent sid = from its first
+        # transaction). Like start_after_gno, the bounds also shape
+        # the FIRST offset (file-level pruning) and then stay as the
+        # residual per-row filter for boundary files.
+        raw_sets = options.get("start_after_sets")
+        self.start_after_sets: dict[str, int] | None = None
+        if raw_sets not in (None, ""):
+            if self.start_after_gno is not None:
+                raise ValueError(
+                    "start_after_gno and start_after_sets are mutually "
+                    "exclusive — per-sid bounds subsume the single bound"
+                )
+            if options.get("gtid_format", "long") != "uuid_gno":
+                raise ValueError(
+                    "start_after_sets needs gtid_format=uuid_gno — the "
+                    "per-row filter keys on each row's origin UUID"
+                )
+            self.start_after_sets = {}
+            for part in str(raw_sets).split(","):
+                u, _, g = part.strip().partition(":")
+                if not g:
+                    raise ValueError(
+                        f"start_after_sets entry {part!r} is not uuid:gno"
+                    )
+                self.start_after_sets[u.lower()] = int(g)
         # round 6: per-file carried decoder state, so each micro-batch
         # header-walks and value-decodes only bytes past the cursor —
         # events-to-visible latency becomes O(delta), not O(active file)
         self._carry: dict[int, tuple[int, dict]] = {}
 
     def initialOffset(self):
+        if self.start_after_sets is not None:
+            # file-level pruning off PREVIOUS_GTIDS heads (the batch
+            # path's prune_binlog_series_by_gtid_sets); the first kept
+            # file starts at its first event — boundary files decode
+            # fully and the per-sid row filter trims, exactly the
+            # batch semantics. The last file is always kept, so a
+            # fully-consumed stream just re-walks one boundary file
+            # headers-only before new events surface.
+            files = self._files()
+            if not files:
+                return {"seq": -1, "pos": 0}
+            by_path = {p: seq for seq, p in files}
+            bounds = {
+                bytes.fromhex(u.replace("-", "")): g
+                for u, g in self.start_after_sets.items()
+            }
+            kept = prune_binlog_series_by_gtid_sets(
+                [p for _seq, p in files], bounds
+            )
+            return {"seq": by_path[kept[0]], "pos": 0}
         if self.start_after_gno is None:
             return {"seq": -1, "pos": 0}
         # Seek the first transaction past the bound: head-based series
@@ -4087,6 +4184,19 @@ class MysqlBinlogTailStreamReader(_SimpleStreamReader):
                         and r["__gtid"] <= self.start_after_gno
                     ):
                         continue
+                    # multi-source: each row keeps iff its gno exceeds
+                    # its OWN sid's bound (absent sid -> 0, i.e. from
+                    # its first transaction) — the batch side's
+                    # coalesce(bound_map[__gtid_src], 0) semantics
+                    if (
+                        self.start_after_sets is not None
+                        and r.get("__gtid") is not None
+                        and r["__gtid"]
+                        <= self.start_after_sets.get(
+                            (r.get("__gtid_src") or "").lower(), 0
+                        )
+                    ):
+                        continue
                     rows.append(tuple(r[n] for n in names))
             if seq > end["seq"] or (seq == end["seq"] and prefix > end["pos"]):
                 end = {"seq": seq, "pos": prefix}
@@ -4138,6 +4248,8 @@ def mysql_binlog_tail_stream(
     table: str,
     *,
     start_after_gno: int | None = None,
+    start_after_sets: dict[str, int] | None = None,
+    gtid_format: str | None = None,
 ) -> DataFrame:
     """readStream over the ``mysql_binlog_tail`` DataSource (register
     with ``sources.datasource.register``): sub-rotation-latency tail of
@@ -4146,7 +4258,11 @@ def mysql_binlog_tail_stream(
     ``start_after_gno`` starts the FIRST micro-batch at the first
     transaction past a checkpointed GTID (head-pruned seek, same
     machinery as the batch resume) instead of the history's beginning;
-    once running, the (seq, pos) offset owns progress as before."""
+    once running, the (seq, pos) offset owns progress as before.
+    ``start_after_sets`` ({origin uuid: last-consumed gno}) is the
+    MULTI-SOURCE form — the gtid_executed handoff of
+    mysql_binlog_read_gtid_sets, for interleaved relay logs; it
+    requires (and implies) gtid_format="uuid_gno"."""
     reader = (
         spark.readStream.format("mysql_binlog_tail")
         .option("path", path)
@@ -4154,6 +4270,14 @@ def mysql_binlog_tail_stream(
         .option("database", database)
         .option("table", table)
     )
+    if start_after_sets is not None:
+        gtid_format = gtid_format or "uuid_gno"
+        reader = reader.option(
+            "start_after_sets",
+            ",".join(f"{u}:{g}" for u, g in start_after_sets.items()),
+        )
+    if gtid_format is not None:
+        reader = reader.option("gtid_format", gtid_format)
     if start_after_gno is not None:
         reader = reader.option("start_after_gno", str(start_after_gno))
     return reader.load()

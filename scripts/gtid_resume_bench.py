@@ -97,6 +97,89 @@ def main() -> None:
     print(f"gtid resume  : {t_res:.2f}s ({n_res} rows)  "
           f"[{t_full / t_res:.1f}x]")
 
+    # --- multi-source boundary trim (round 8, r07 watch item 3) ------
+    # Two origins interleaved in every file (even gno -> A, odd -> B).
+    # Per-sid bounds land the resume near the END of the last file, so
+    # the boundary file is almost wholly consumed prefix. Before the
+    # trim, read_gtid_sets range-decoded that file fully and
+    # row-filtered (emulated below); with it, the header walk skips
+    # the consumed prefix unscheduled.
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        _sid_to_uuid,
+        mysql_binlog_read_gtid_sets,
+        prune_binlog_series_by_gtid_sets,
+    )
+
+    sid_b = b"\x22" * 16
+    tmp2 = Path(tempfile.mkdtemp(prefix="gtid_resume_bench_ms_"))
+    gno = 1
+    for i in range(1, n_files + 1):
+        txns = [
+            {
+                "gno": g,
+                "op": "w",
+                "sid": sid if g % 2 == 0 else sid_b,
+                "rows": [
+                    {"id": g, "v": f"v{g}", "amt": Decimal(g % 9999) / 100}
+                ],
+            }
+            for g in range(gno, gno + per_file)
+        ]
+        blob = build_binlog_file(
+            "d", "t", TARGET, txns, checksum=True,
+            previous_gtids=(
+                {sid: [(1, gno)], sid_b: [(1, gno)]}
+                if gno > 1
+                else {sid: [], sid_b: []}
+            ),
+        )
+        (tmp2 / f"binlog.{i:06d}").write_bytes(blob)
+        gno += per_file
+    tail = max(per_file // 20, 10)  # resume window: last 5% of a file
+    cut = total - tail
+    bounds = {
+        sid: cut if cut % 2 == 0 else cut - 1,      # last even <= cut
+        sid_b: cut if cut % 2 == 1 else cut - 1,    # last odd  <= cut
+    }
+    def per_sid_filtered_full(trim: bool):
+        # trim=False emulates the pre-round-8 path: decode every kept
+        # file fully, then per-sid row filter (output identical)
+        keep = prune_binlog_series_by_gtid_sets(
+            sorted(str(p) for p in tmp2.iterdir()), bounds
+        )
+        out = mysql_binlog_read_parallel(
+            spark, keep, TARGET, "d", "t", gtid_format="uuid_gno",
+            start_after_sets=bounds if trim else None,
+        )
+        bm = F.create_map(
+            *[
+                lit
+                for s_, g_ in bounds.items()
+                for lit in (F.lit(_sid_to_uuid(s_)), F.lit(int(g_)))
+            ]
+        )
+        return out.filter(
+            F.col("__gtid") > F.coalesce(bm[F.col("__gtid_src")], F.lit(0))
+        )
+
+    run(per_sid_filtered_full(True))  # warm
+    t_old, n_old = run(per_sid_filtered_full(False))
+    t_new, n_new = run(
+        mysql_binlog_read_gtid_sets(
+            spark, str(tmp2), TARGET, "d", "t", start_after=bounds
+        )
+    )
+    assert n_old == n_new, (n_old, n_new)
+    print(
+        f"multi-source resume (2 sids, window = last {tail} txns of "
+        f"{total}):"
+    )
+    print(f"  boundary decoded fully (pre-r08): {t_old:.2f}s ({n_old} rows)")
+    print(f"  consumed prefix trimmed  (r08)  : {t_new:.2f}s ({n_new} rows)  "
+          f"[{t_old / t_new:.1f}x]")
+
 
 if __name__ == "__main__":
     main()

@@ -154,7 +154,22 @@ def main() -> None:
         flush=True,
     )
 
-    queries = all_queries()
+    # stage the IVF index for BOTH scales, untimed (an index is built
+    # once and amortized; bench.py does the same at its single sf)
+    import bench as _bench
+
+    t0 = time.perf_counter()
+    _bench._stage_ivf(spark, SRC)
+    _bench._stage_ivf(spark, DST)
+    print(
+        json.dumps(
+            {"stage": "stage_ivf", "sec": round(time.perf_counter() - t0, 1)}
+        ),
+        flush=True,
+    )
+
+    queries = dict(all_queries())
+    queries["ivf_pruned_search"] = _bench._ivf_pruned_search_query
     names = [
         "q1_pricing_summary",
         "q5_regional_revenue",
@@ -187,6 +202,17 @@ def main() -> None:
         "text_rake_keywords",
         "agg_count_min_sketch",
         "ts_holt_linear",
+        # round 8: the heaviest session-2 shapes (verdict item 5) — the
+        # pair-grid KS window, the sorted-frame middle-sum MAD window,
+        # the LSH-candidate cross-tab — plus the ISOLATED production
+        # IVF search (verdict item 2: cell-pruned top-k over a staged,
+        # amortized codebook; the emb_knn_classify_ivf row above times
+        # the full agreement harness, so a pruning regression hides in
+        # its noise — this row times only what production runs)
+        "agg_ks_drift",
+        "window_rolling_mad_outlier",
+        "dedup_minhash_eval",
+        "ivf_pruned_search",
     ]
     results = {}
     for name in names:

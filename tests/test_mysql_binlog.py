@@ -2575,3 +2575,165 @@ def test_split_mem_cache_is_a_bounded_lru(tmp_path):
     got = mbm.scan_binlog_splits_cached(str(p), 1024, cache_dir=str(cdir))
     assert got == mbm.scan_binlog_splits_file(str(p), 1024)
     mbm._SPLIT_MEM_CACHE.clear()
+
+
+def test_tail_multi_source_resume_no_loss_no_double(tmp_path):
+    """Round-8 (verdict item 6): the streaming tail takes per-origin
+    bounds (start_after_sets), closing the batch/stream gap — the
+    batch side had mysql_binlog_read_gtid_sets, the tail only a
+    single global start_after_gno, which is wrong on a multi-source
+    relay whose per-sid gno sequences interleave without global
+    order. Two-origin interleave, restart mid-stream: no loss, no
+    double, per sid."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        MysqlBinlogTailStreamReader,
+        _binlog_out_schema,
+        _sid_to_uuid,
+    )
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    # gnos interleave: even -> A, odd -> B; heads carry PREVIOUS_GTIDS
+    (d / "binlog.000001").write_bytes(
+        _two_source_blob(1, 40, previous_gtids={SID_A: [], SID_B: []})
+    )
+    (d / "binlog.000002").write_bytes(
+        _two_source_blob(
+            40, 80, previous_gtids={SID_A: [(1, 40)], SID_B: [(1, 40)]}
+        )
+    )
+
+    uuid_a, uuid_b = _sid_to_uuid(SID_A), _sid_to_uuid(SID_B)
+    opts = {
+        "path": str(d),
+        "schema_ddl": "id bigint, v string, amt decimal(10,2)",
+        "database": "d", "table": "t",
+        "gtid_format": "uuid_gno",
+        # checkpoint handoff: A consumed through 60, B through 45
+        "start_after_sets": f"{uuid_a}:60,{uuid_b}:45",
+    }
+    r = MysqlBinlogTailStreamReader(opts)
+    off0 = r.initialOffset()
+    # file 1 pruned off file 2's PREVIOUS_GTIDS head (A and B both
+    # consumed past gno 39) — never scheduled, let alone decoded
+    assert off0["seq"] == 2 and off0["pos"] == 0
+
+    names = [
+        f.name for f in _binlog_out_schema(
+            r.target, "uuid_gno", False
+        ).fields
+    ]
+    gi, si = names.index("__gtid"), names.index("__gtid_src")
+
+    rows1, off1 = r._delta(off0)
+    got1 = {(t_[si], t_[gi]) for t_ in rows1}
+    want1 = {(uuid_a, g) for g in range(62, 80, 2)} | {
+        (uuid_b, g) for g in range(47, 80, 2)
+    }
+    assert got1 == want1  # per-sid bounds exact: no loss, no bleed
+
+    # mid-stream restart: a FRESH reader (same options) resumes from
+    # the checkpointed offset while the stream rotates forward
+    (d / "binlog.000003").write_bytes(
+        _two_source_blob(
+            80, 120, previous_gtids={SID_A: [(1, 80)], SID_B: [(1, 80)]}
+        )
+    )
+    r2 = MysqlBinlogTailStreamReader(opts)
+    rows2, off2 = r2._delta(off1)
+    got2 = {(t_[si], t_[gi]) for t_ in rows2}
+    want2 = {
+        (_sid_to_uuid(SID_A if g % 2 == 0 else SID_B), g)
+        for g in range(80, 120)
+    }
+    assert got2 == want2          # everything new, exactly once
+    assert not (got1 & got2)      # nothing doubled across the restart
+    assert off2["seq"] == 3
+
+    # replay determinism across the restart boundary
+    assert {(t_[si], t_[gi]) for t_ in r2.readBetweenOffsets(off1, off2)} == want2
+
+
+def test_tail_start_after_sets_option_validation(tmp_path):
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        MysqlBinlogTailStreamReader,
+    )
+
+    base = {
+        "path": str(tmp_path), "schema_ddl": "id bigint",
+        "database": "d", "table": "t",
+    }
+    with pytest.raises(ValueError, match="uuid_gno"):
+        MysqlBinlogTailStreamReader(
+            {**base, "start_after_sets": "11111111-1111-1111-1111-111111111111:5"}
+        )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        MysqlBinlogTailStreamReader(
+            {**base, "gtid_format": "uuid_gno", "start_after_gno": "3",
+             "start_after_sets": "11111111-1111-1111-1111-111111111111:5"}
+        )
+    with pytest.raises(ValueError, match="uuid:gno"):
+        MysqlBinlogTailStreamReader(
+            {**base, "gtid_format": "uuid_gno", "start_after_sets": "junk"}
+        )
+
+
+def test_split_scan_sets_skips_consumed_prefix(tmp_path):
+    """Round-8 boundary-walk trim (r07 watch item 3): with per-sid
+    bounds, the header walk opens the window at the first transaction
+    unconsumed for its OWN sid — the wholly-consumed prefix of a
+    boundary file is pruned at the SCAN, not decoded then row-filtered
+    — and the trimmed read still returns exactly the in-window rows."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        decode_binlog_bytes,
+        scan_binlog_splits_file,
+    )
+
+    p = tmp_path / "binlog.000001"
+    p.write_bytes(_two_source_blob(1, 100))
+
+    full = scan_binlog_splits_file(str(p), 1 << 62)
+    # A consumed through 90, B through 89: the first unconsumed txn is
+    # gno 91 — everything before it is prefix, skipped unwalked
+    trimmed = scan_binlog_splits_file(
+        str(p), 1 << 62, start_after_sets={SID_A: 90, SID_B: 89}
+    )
+    assert len(trimmed) == 1
+    assert trimmed[0]["start"] > full[0]["start"]
+    # carried state at the window open replays the prefix's context
+    blob = p.read_bytes()
+    s = trimmed[0]
+    rows = decode_binlog_bytes(
+        blob[s["start"] : s["end"]], TARGET, "d", "t",
+        gtid_format="uuid_gno",
+        init_state={
+            "checksum": s["checksum"], "gtid": s["gtid"], "sid": s["sid"],
+            "table_maps": s["table_maps"],
+        },
+        seq_base=s["start"],
+    )
+    assert sorted(r["__gtid"] for r in rows) == list(range(91, 100))
+
+    # an absent sid means "from its first transaction": the window
+    # opens at the very first GTID event (gno 1 is B's, unbounded), so
+    # every transaction decodes
+    only_a = scan_binlog_splits_file(
+        str(p), 1 << 62, start_after_sets={SID_A: 90}
+    )
+    s = only_a[0]
+    rows_a = decode_binlog_bytes(
+        blob[s["start"] : s["end"]], TARGET, "d", "t",
+        gtid_format="uuid_gno",
+        init_state={
+            "checksum": s["checksum"], "gtid": s["gtid"], "sid": s["sid"],
+            "table_maps": s["table_maps"],
+        },
+        seq_base=s["start"],
+    )
+    assert sorted(r["__gtid"] for r in rows_a) == list(range(1, 100))
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        scan_binlog_splits_file(
+            str(p), 1 << 62, start_after_gno=5,
+            start_after_sets={SID_A: 90},
+        )

@@ -909,3 +909,64 @@ def test_pipe_syntax_compiles_to_pushed_scan(spark, sf_dir):
     assert_filter_pushed(df, "l_shipdate")
     assert_columns_pruned(df, LINEITEM_WIDTH)
     assert shuffle_count(df) <= 2
+
+
+def test_ivf_pruned_search_plan_and_candidate_fraction(spark, sf_dir, tmp_path):
+    """The isolated production IVF path (bench entry 19, round-8):
+    given a pre-staged index, the search must (a) join candidates on
+    the cid EQUI key with the probe list and query set broadcast —
+    never a corpus-wide nested loop; (b) score only ~n_probe/|cells|
+    of the (query, corpus) pairs the exact classifier scores — the
+    candidate fraction a pruning regression would move."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.functions.similarity import (
+        ivf_pruned_search,
+        kmeans_cells,
+        trained_centroids,
+    )
+    from mysql_cdc_table_spark.operators._util import t
+    from mysql_cdc_table_spark.operators.round7 import (
+        KNN_IVF_K,
+        KNN_IVF_N_PROBE,
+    )
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    e = t(spark, sf_dir, "embeddings")
+    ec_live = e.join(kmeans_cells(spark, sf_dir), "vec_id")
+    # stage like the bench does: the index is parquet, already built
+    ec_path, c_path = str(tmp_path / "ec"), str(tmp_path / "cents")
+    ec_live.write.parquet(ec_path)
+    trained_centroids(ec_live).write.parquet(c_path)
+    ec = spark.read.parquet(ec_path)
+    cents = spark.read.parquet(c_path)
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+
+    df = ivf_pruned_search(ec, cents, q, KNN_IVF_N_PROBE, KNN_IVF_K)
+    # the only nested loop is the tiny centroid-grid x query cross
+    # (cells x queries rows); the corpus join is a broadcast EQUI join
+    assert count_nodes(df, "BroadcastNestedLoopJoin") <= 1
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert_broadcast_join(df, 2)  # probe list + query set
+
+    # candidate fraction: scored pairs <= pruned share of exact pairs
+    n_corpus = ec.count()
+    n_cells = cents.count()
+    n_q = q.count()
+    scored = ivf_pruned_search(
+        ec, cents, q, KNN_IVF_N_PROBE, k=1 << 30
+    ).count()  # k unbounded -> every scored candidate pair survives
+    exact_pairs = n_q * (n_corpus - 1)
+    assert scored < exact_pairs  # strictly pruned
+    # allow 2x slack over the ideal share for uneven k-means cells
+    assert scored <= 2 * exact_pairs * KNN_IVF_N_PROBE / n_cells, (
+        scored, exact_pairs, n_cells,
+    )
+    # and every query keeps its k results (pruning didn't drop queries)
+    assert (
+        ivf_pruned_search(ec, cents, q, KNN_IVF_N_PROBE, KNN_IVF_K)
+        .groupBy("qid").count().filter(F.col("count") < KNN_IVF_K).count()
+        == 0
+    )
