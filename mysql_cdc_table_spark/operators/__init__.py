@@ -50,6 +50,7 @@ _MODULES = (
     "mysql_cdc_table_spark.operators.round5",
     "mysql_cdc_table_spark.operators.round6",
     "mysql_cdc_table_spark.operators.round7",
+    "mysql_cdc_table_spark.operators.round8",
     "mysql_cdc_table_spark.operators.late",
 )
 
@@ -356,7 +357,11 @@ ROUND7_LATE_KEYS: tuple[str, ...] = (
 # Keys born in round 8 — in-window so they get a driver row immediately
 # (budget: 50 − 40 late − len(ROUND8_REVERIFY); the rest register as
 # ROUND8_LATE_KEYS and lead round 9).
-ROUND8_NEW_KEYS: tuple[str, ...] = ()
+ROUND8_NEW_KEYS: tuple[str, ...] = (
+    "cdc_binlog_unsigned_roundtrip",
+    "corpus_hash_sample",
+    "agg_chi2_independence",
+)
 
 # Operators whose implementation round 8 touches: their standing green
 # rows would otherwise mask a regression introduced by this round.
@@ -378,7 +383,15 @@ ROUND8_REVERIFY: tuple[str, ...] = (
 # ROUND5/6/7_LATE_KEYS): keys registered after the front budget filled;
 # pinned BEHIND the window so they cannot evict standing rows — they
 # lead the round-9 window for their first driver rows.
-ROUND8_LATE_KEYS: tuple[str, ...] = ()
+ROUND8_LATE_KEYS: tuple[str, ...] = (
+    "ts_theil_sen_slope",
+    "text_hashing_features",
+    "emb_quantize_error_stats",
+    "agg_entropy_decomp",
+    "agg_log2_histogram",
+    "window_weighted_moving_avg",
+    "stream_late_data_audit",
+)
 
 
 def _last_seen_rounds() -> dict[str, int]:

@@ -42,6 +42,8 @@ from mysql_cdc_table_spark.sources.mysql_binlog import (
     cdc_binlog_txn_stats,
     cdc_binlog_ddl_history,
     cdc_binlog_event_census,
+    cdc_binlog_unsigned_roundtrip,
+    CDC_BINLOG_UNSIGNED_SQL,
     cdc_binlog_latest_state,
     cdc_binlog_multi_table,
     cdc_binlog_parallel_roundtrip,
@@ -98,6 +100,9 @@ QUERIES = {
     "cdc_binlog_ddl_history": cdc_binlog_ddl_history,
     # round 7: headers-only event-type census (ops observability)
     "cdc_binlog_event_census": cdc_binlog_event_census,
+    # round 8: UNSIGNED columns decode (widened signed targets,
+    # TLV-marked, columnar kernel, top-half values in the hash)
+    "cdc_binlog_unsigned_roundtrip": cdc_binlog_unsigned_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
@@ -119,4 +124,5 @@ ORACLES: dict[str, str] = {
     "cdc_binlog_txn_stats": CDC_BINLOG_TXN_STATS_SQL,
     "cdc_binlog_ddl_history": CDC_BINLOG_DDL_HISTORY_SQL,
     "cdc_binlog_event_census": CDC_BINLOG_EVENT_CENSUS_SQL,
+    "cdc_binlog_unsigned_roundtrip": CDC_BINLOG_UNSIGNED_SQL,
 }

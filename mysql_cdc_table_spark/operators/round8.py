@@ -1,0 +1,639 @@
+"""Round-8 operators: production-sampling and statistical-test shapes.
+
+Each entry follows the repo contract: a ``QUERIES`` callable
+(spark, sf_dir) -> DataFrame and an ``ORACLES`` ANSI-SQL twin DuckDB
+runs on the same parquet — column names aliased identically, sums cast
+BIGINT, float arithmetic kept to fixed-order per-row expressions both
+engines compute bit-identically (see .claude/skills/verify/SKILL.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_cdc_table_spark.operators._util import t
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# --- corpus_hash_sample -------------------------------------------------------
+
+
+def corpus_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed sampling — THE production way to
+    sample at 100 TB: keep a document iff the first hex char of
+    md5(doc_id) lands in a fixed 2/16 bucket. No RNG state, no seed
+    coordination, no shuffle: the predicate evaluates map-side at the
+    scan, any worker reproduces the same sample, and re-runs are
+    idempotent (the property reservoir/Bernoulli sampling loses the
+    moment tasks retry). MD5 is bit-identical across engines, so the
+    oracle applies the SAME predicate in DuckDB and the whole sample
+    membership sits in the value hash. Output: per-source sample
+    accounting with the share in exact basis points (floor of an
+    IEEE-identical double — no rounding ties)."""
+    d = t(spark, sf_dir, "documents")
+    sampled = F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 1
+    ).isin("0", "1")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count_if(sampled).alias("n_sampled"),
+            F.sum(F.when(sampled, F.col("n_chars")).otherwise(0)).alias(
+                "chars_sampled"
+            ),
+        )
+        .select(
+            "source",
+            "n_total",
+            "n_sampled",
+            "chars_sampled",
+            F.floor(
+                F.lit(10000.0) * F.col("n_sampled") / F.col("n_total")
+            ).cast("long").alias("share_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_HASH_SAMPLE_SQL = """
+WITH s AS (
+  SELECT source,
+         n_chars,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1') AS smp
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(*) FILTER (WHERE smp) AS BIGINT) AS n_sampled,
+       CAST(sum(CASE WHEN smp THEN n_chars ELSE 0 END) AS BIGINT)
+         AS chars_sampled,
+       CAST(floor(10000.0 * (count(*) FILTER (WHERE smp)) / count(*))
+            AS BIGINT) AS share_bp
+FROM s
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["corpus_hash_sample"] = corpus_hash_sample
+ORACLES["corpus_hash_sample"] = CORPUS_HASH_SAMPLE_SQL
+
+
+# --- agg_chi2_independence ----------------------------------------------------
+
+
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cross-tab over orders (status ×
+    priority): observed counts, expected counts under independence
+    (row_total × col_total / N), and each cell's chi-square
+    contribution (obs − exp)² / exp. Emitted PER CELL, not summed:
+    every number is a fixed-order expression over exact integers —
+    one int64 product, one double divide, one square, one divide —
+    which both engines evaluate to the same IEEE double, so flooring
+    to milli/micro units is hash-exact (a cross-cell float SUM would
+    depend on engine-specific accumulation order). Distributed shape:
+    three map-side-combinable counts over one scan, then two broadcast
+    joins of tiny marginal relations onto the cells — no fact-fact
+    shuffle, survives any N."""
+    o = t(spark, sf_dir, "orders")
+    cells = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_obs")
+    )
+    row_t = o.groupBy("o_orderstatus").agg(F.count("*").alias("row_total"))
+    col_t = o.groupBy("o_orderpriority").agg(F.count("*").alias("col_total"))
+    n = o.groupBy().agg(F.count("*").alias("n_all"))
+    e = (F.col("row_total") * F.col("col_total")) / F.col("n_all")
+    diff = F.col("n_obs") - e
+    return (
+        cells.join(F.broadcast(row_t), "o_orderstatus")
+        .join(F.broadcast(col_t), "o_orderpriority")
+        .join(F.broadcast(n))
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "n_obs",
+            F.floor(e * 1000.0).cast("long").alias("expected_milli"),
+            F.floor(diff * diff / e * 1_000_000.0)
+            .cast("long")
+            .alias("contrib_micro"),
+        )
+        .orderBy("status", "priority")
+    )
+
+
+AGG_CHI2_INDEPENDENCE_SQL = """
+WITH cells AS (
+  SELECT o_orderstatus AS status, o_orderpriority AS priority,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM orders GROUP BY 1, 2
+), rt AS (
+  SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS row_total
+  FROM orders GROUP BY 1
+), ct AS (
+  SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS col_total
+  FROM orders GROUP BY 1
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all FROM orders
+)
+SELECT status, priority, n_obs,
+       CAST(floor(((row_total * col_total) / n_all) * 1000.0) AS BIGINT)
+         AS expected_milli,
+       CAST(floor(
+         (n_obs - (row_total * col_total) / n_all)
+         * (n_obs - (row_total * col_total) / n_all)
+         / ((row_total * col_total) / n_all) * 1000000.0
+       ) AS BIGINT) AS contrib_micro
+FROM cells
+JOIN rt USING (status)
+JOIN ct USING (priority)
+CROSS JOIN nn
+ORDER BY status, priority
+"""
+
+QUERIES["agg_chi2_independence"] = agg_chi2_independence
+ORACLES["agg_chi2_independence"] = AGG_CHI2_INDEPENDENCE_SQL
+
+
+# --- ts_theil_sen_slope -------------------------------------------------------
+
+
+def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type: the MEDIAN of all
+    pairwise slopes between daily totals — the estimator that shrugs
+    off the outlier days an OLS fit chases. Shape: aggregate first
+    (events collapse to a ≤#days-per-type grid), THEN fan out pairs —
+    the pair relation is days²-bounded per type, independent of event
+    volume, so 100 TB of events costs one map-side-combinable daily
+    rollup plus a tiny grid join. The median is DISCRETE (the lower
+    middle element by (slope, pair-id) total order — row_number over
+    the pair window), so no interpolation arithmetic crosses engines;
+    slopes are floored to micro-units per pair (one subtract, one
+    divide — fixed-order IEEE both engines compute identically)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("d"),
+            # floor per EVENT, sum as integers: a double SUM's
+            # accumulation order differs between engines
+            F.floor(F.col("value") * 1000).cast("long").alias("vm"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("vm").alias("v_milli"))
+        .select(
+            "event_type",
+            F.datediff(F.col("d"), F.lit("1970-01-01")).alias("dd"),
+            "v_milli",
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.dd") < F.col("b.dd")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.floor(
+                (F.col("b.v_milli") - F.col("a.v_milli"))
+                / (F.col("b.dd") - F.col("a.dd"))
+                * 1000.0
+            ).cast("long").alias("slope_micro"),
+            (F.col("a.dd") * 100000 + F.col("b.dd")).alias("pair_id"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_micro", "pair_id")
+    ranked = pairs.withColumn("rk", F.row_number().over(w))
+    n = pairs.groupBy("event_type").agg(F.count("*").alias("n_pairs"))
+    return (
+        ranked.join(F.broadcast(n), "event_type")
+        .filter(F.col("rk") == F.expr("(n_pairs + 1) div 2"))
+        .select(
+            "event_type",
+            "n_pairs",
+            F.col("slope_micro").alias("theil_sen_slope_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TS_THEIL_SEN_SLOPE_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS dd,
+         CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v_milli
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type,
+         CAST(floor((b.v_milli - a.v_milli) * 1.0
+                    / (b.dd - a.dd) * 1000.0) AS BIGINT) AS slope_micro,
+         a.dd * 100000 + b.dd AS pair_id
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.dd < b.dd
+), ranked AS (
+  SELECT event_type, slope_micro,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY slope_micro, pair_id) AS rk,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs
+  FROM pairs
+)
+SELECT event_type, n_pairs, slope_micro AS theil_sen_slope_micro
+FROM ranked
+WHERE rk = (n_pairs + 1) // 2
+ORDER BY event_type
+"""
+
+QUERIES["ts_theil_sen_slope"] = ts_theil_sen_slope
+ORACLES["ts_theil_sen_slope"] = TS_THEIL_SEN_SLOPE_SQL
+
+
+# --- text_hashing_features ----------------------------------------------------
+
+
+def text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing-trick vectorizer): every token maps
+    to one of 16 fixed buckets by the first hex char of its md5 — no
+    vocabulary to build, no dictionary to broadcast, no OOV problem;
+    the feature space is CLOSED before the data is read, which is what
+    lets a 100 TB featurization run as one map-side pass + one
+    bounded-key aggregation (16 × sources cells). MD5 is bit-identical
+    across engines, so bucket membership — counts AND distinct-token
+    cardinality per bucket — sits in the value hash. The per-source
+    bucket histogram is the hashed bag-of-words a downstream linear
+    model consumes."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("w"),
+    )
+    return (
+        tok.select(
+            "source",
+            F.substring(F.md5(F.col("w")), 1, 1).alias("bucket"),
+            "w",
+        )
+        .groupBy("source", "bucket")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count_distinct("w").alias("n_distinct"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+TEXT_HASHING_FEATURES_SQL = """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents
+)
+SELECT source,
+       substr(md5(w), 1, 1) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT w) AS BIGINT) AS n_distinct
+FROM tok
+GROUP BY source, bucket
+ORDER BY source, bucket
+"""
+
+QUERIES["text_hashing_features"] = text_hashing_features
+ORACLES["text_hashing_features"] = TEXT_HASHING_FEATURES_SQL
+
+
+# --- emb_quantize_error_stats --------------------------------------------------------
+
+
+def emb_quantize_error_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate reconstruction-error accounting for symmetric int8
+    quantization (the per-vector codes live in emb_quantize_int8,
+    functions/pipeline.py; this is the corpus-level quality report) —
+    the 4× storage/bandwidth cut every large vector store applies
+    before ANN — with per-label reconstruction-error accounting. Per
+    vector: scale = max|v|, q_i = floor(v_i·127/scale + 0.5) (no
+    round(): its tie rule differs between engines; floor of the same
+    IEEE expression is bit-exact), reconstruction error
+    Σ(v_i − q_i·scale/127)². Everything that crosses the per-label SUM
+    is floored to integer units per vector first (a double SUM's
+    accumulation order is engine-specific); the in-vector fold is a
+    sequential left fold — bit-identical in both engines (the
+    ts_ewma_window precedent). One scan, higher-order functions only,
+    map-side-combinable group agg: embarrassingly parallel at any N."""
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select(
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    ).withColumn("maxabs", F.expr("array_max(transform(v, x -> abs(x)))"))
+    per = (
+        v.filter("maxabs > 0")
+        .withColumn(
+            "q_l1",
+            F.expr(
+                "aggregate(transform(v, x ->"
+                " abs(floor(x * 127.0 / maxabs + 0.5d))),"
+                " 0L, (a, x) -> a + x)"
+            ),
+        )
+        .withColumn(
+            "err_nano",
+            F.expr(
+                "cast(floor(aggregate(transform(v, x ->"
+                " (x - floor(x * 127.0 / maxabs + 0.5d) * maxabs / 127.0)"
+                " * (x - floor(x * 127.0 / maxabs + 0.5d) * maxabs / 127.0)),"
+                " cast(0.0 as double), (a, x) -> a + x) * 1e9) as bigint)"
+            ),
+        )
+        .withColumn(
+            "maxabs_micro", F.expr("cast(floor(maxabs * 1e6) as bigint)")
+        )
+    )
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("q_l1").alias("sum_q_l1"),
+            F.sum("err_nano").alias("sum_err_nano"),
+            F.sum("maxabs_micro").alias("sum_maxabs_micro"),
+        )
+        .orderBy("label")
+    )
+
+
+EMB_QUANTIZE_ERROR_STATS_SQL = """
+WITH vv AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), m AS (
+  SELECT label, v,
+         list_max(list_transform(v, x -> abs(x))) AS maxabs
+  FROM vv
+), per AS (
+  SELECT label,
+         CAST(list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(v, x ->
+               CAST(abs(floor(x * 127.0 / maxabs + 0.5)) AS BIGINT))),
+           (a, b) -> a + b) AS BIGINT) AS q_l1,
+         CAST(floor(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(v, x ->
+               (x - floor(x * 127.0 / maxabs + 0.5) * maxabs / 127.0)
+               * (x - floor(x * 127.0 / maxabs + 0.5) * maxabs / 127.0))),
+           (a, b) -> a + b) * 1e9) AS BIGINT) AS err_nano,
+         CAST(floor(maxabs * 1e6) AS BIGINT) AS maxabs_micro
+  FROM m
+  WHERE maxabs > 0
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(q_l1) AS BIGINT) AS sum_q_l1,
+       CAST(sum(err_nano) AS BIGINT) AS sum_err_nano,
+       CAST(sum(maxabs_micro) AS BIGINT) AS sum_maxabs_micro
+FROM per
+GROUP BY label
+ORDER BY label
+"""
+
+QUERIES["emb_quantize_error_stats"] = emb_quantize_error_stats
+ORACLES["emb_quantize_error_stats"] = EMB_QUANTIZE_ERROR_STATS_SQL
+
+
+# --- agg_entropy_decomp -------------------------------------------------------
+
+
+def agg_entropy_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy decomposition of each event type's hour-of-day
+    activity profile: per (event_type, hour) cell, the probability in
+    exact basis points and the −p·log2(p) entropy contribution in
+    micro-units. Emitted PER CELL — the entropy's cross-cell float sum
+    would hinge on engine accumulation order, while each cell is one
+    division + one log2 + one multiply over exact integers, evaluated
+    in the same order by both engines (a last-ulp libm divergence
+    would still need to land within 2⁻³⁰ of a floor boundary to flip
+    a row). Shape: one map-side-combinable count over the scan plus a
+    broadcast of the #types-sized totals — the 24×#types grid is tiny
+    at any N."""
+    e = t(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type", F.hour("ts").alias("hh")
+    ).agg(F.count("*").alias("n"))
+    totals = e.groupBy("event_type").agg(F.count("*").alias("n_type"))
+    p = F.col("n") / F.col("n_type")
+    return (
+        cells.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "hh",
+            "n",
+            F.floor(F.lit(10000.0) * p).cast("long").alias("p_bp"),
+            F.floor(-p * F.log2(p) * 1_000_000.0)
+            .cast("long")
+            .alias("entropy_micro"),
+        )
+        .orderBy("event_type", "hh")
+    )
+
+
+AGG_ENTROPY_DECOMP_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hh,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), totals AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_type
+  FROM events GROUP BY 1
+)
+SELECT event_type, hh, n,
+       CAST(floor(10000.0 * (n / n_type)) AS BIGINT) AS p_bp,
+       CAST(floor(-(n / n_type) * log2(n / n_type) * 1000000.0) AS BIGINT)
+         AS entropy_micro
+FROM cells JOIN totals USING (event_type)
+ORDER BY event_type, hh
+"""
+
+QUERIES["agg_entropy_decomp"] = agg_entropy_decomp
+ORACLES["agg_entropy_decomp"] = AGG_ENTROPY_DECOMP_SQL
+
+
+# --- agg_log2_histogram -------------------------------------------------------
+
+
+def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed value histogram per event type — the HDR-style
+    latency/size distribution every ops surface wants, with EXACT
+    integer bucketing: bucket = bit length of floor(value·1000) via
+    the string length of its binary rendering (bin()/printf-%b — no
+    float log2 near power-of-two boundaries, where a last-ulp
+    divergence would flip the bucket). Map-side-combinable single
+    scan; #types × ~40 output cells at any N."""
+    e = t(spark, sf_dir, "events")
+    vm = F.floor(F.col("value") * 1000).cast("long")
+    bucket = F.when(vm <= 0, F.lit(0)).otherwise(
+        F.length(F.bin(vm))
+    ).cast("int")
+    return (
+        e.select("event_type", bucket.alias("bucket"), vm.alias("vm"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("vm").alias("sum_milli"),
+            F.min("vm").alias("min_milli"),
+            F.max("vm").alias("max_milli"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+AGG_LOG2_HISTOGRAM_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS vm
+  FROM events
+)
+SELECT event_type,
+       CAST(CASE WHEN vm <= 0 THEN 0 ELSE length(bin(vm)) END AS INTEGER)
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(vm) AS BIGINT) AS sum_milli,
+       CAST(min(vm) AS BIGINT) AS min_milli,
+       CAST(max(vm) AS BIGINT) AS max_milli
+FROM v
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+QUERIES["agg_log2_histogram"] = agg_log2_histogram
+ORACLES["agg_log2_histogram"] = AGG_LOG2_HISTOGRAM_SQL
+
+
+# --- window_weighted_moving_avg -----------------------------------------------
+
+
+def window_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangular-weighted moving average per user (weights 4/3/2/1
+    over the last four events, newest heaviest) — the smoothing shape
+    monitoring dashboards run over event streams. All-integer: values
+    floor to milli-units per row, the weighted numerator is exact
+    int64 (Σ weights = 10 is the implied denominator), and only FULL
+    frames emit (rn ≥ 4), so no partial-frame float division crosses
+    engines. One partitioned window, partition-parallel at any N."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    vm = F.floor(F.col("value") * 1000).cast("long")
+    d = e.select(
+        "event_id", "user_id", "ts", vm.alias("vm")
+    ).select(
+        "event_id",
+        "user_id",
+        "vm",
+        F.lag("vm", 1).over(w).alias("v1"),
+        F.lag("vm", 2).over(w).alias("v2"),
+        F.lag("vm", 3).over(w).alias("v3"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        d.filter(F.col("rn") >= 4)
+        .select(
+            "event_id",
+            "user_id",
+            "vm",
+            (
+                4 * F.col("vm") + 3 * F.col("v1")
+                + 2 * F.col("v2") + F.col("v3")
+            ).alias("wma_x10_milli"),
+        )
+    )
+
+
+WINDOW_WEIGHTED_MOVING_AVG_SQL = """
+WITH d AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 1000) AS BIGINT) AS vm,
+         lag(CAST(floor(value * 1000) AS BIGINT), 1)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v1,
+         lag(CAST(floor(value * 1000) AS BIGINT), 2)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v2,
+         lag(CAST(floor(value * 1000) AS BIGINT), 3)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v3,
+         row_number()
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT event_id, user_id, vm,
+       CAST(4 * vm + 3 * v1 + 2 * v2 + v3 AS BIGINT) AS wma_x10_milli
+FROM d
+WHERE rn >= 4
+"""
+
+QUERIES["window_weighted_moving_avg"] = window_weighted_moving_avg
+ORACLES["window_weighted_moving_avg"] = WINDOW_WEIGHTED_MOVING_AVG_SQL
+
+
+# --- stream_late_data_audit ---------------------------------------------------
+
+
+def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-semantics audit as a batch twin: replaying each event
+    type's stream in arrival order (event_id — the Kafka-partition
+    offset analogue), an event is LATE for watermark W when its event
+    time trails the running max seen so far by more than W. Reports,
+    per event type, how many rows a 60s / 600s watermark would drop
+    and the worst observed lateness — the numbers that size a real
+    `withWatermark` before deploying the streaming job. One window
+    per event-type partition (running max is partition-local state,
+    exactly like the streaming watermark it models), then a map-side
+    aggregate; timestamps compare exactly, nothing float crosses
+    engines."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lateness = F.unix_timestamp(F.max("ts").over(w)) - F.unix_timestamp(
+        F.col("ts")
+    )
+    d = e.select("event_type", lateness.alias("late_s"))
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_if(F.col("late_s") > 60).alias("n_late_60s"),
+            F.count_if(F.col("late_s") > 600).alias("n_late_600s"),
+            F.max("late_s").alias("max_lateness_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+STREAM_LATE_DATA_AUDIT_SQL = """
+WITH d AS (
+  SELECT event_type,
+         CAST(epoch(max(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                      ROWS UNBOUNDED PRECEDING)) AS BIGINT)
+           - CAST(epoch(ts) AS BIGINT) AS late_s
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE late_s > 60) AS BIGINT) AS n_late_60s,
+       CAST(count(*) FILTER (WHERE late_s > 600) AS BIGINT) AS n_late_600s,
+       CAST(max(late_s) AS BIGINT) AS max_lateness_s
+FROM d
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["stream_late_data_audit"] = stream_late_data_audit
+ORACLES["stream_late_data_audit"] = STREAM_LATE_DATA_AUDIT_SQL

@@ -4033,12 +4033,13 @@ class MysqlBinlogTailStreamReader(_SimpleStreamReader):
     def initialOffset(self):
         if self.start_after_sets is not None:
             # file-level pruning off PREVIOUS_GTIDS heads (the batch
-            # path's prune_binlog_series_by_gtid_sets); the first kept
-            # file starts at its first event — boundary files decode
-            # fully and the per-sid row filter trims, exactly the
-            # batch semantics. The last file is always kept, so a
-            # fully-consumed stream just re-walks one boundary file
-            # headers-only before new events surface.
+            # path's prune_binlog_series_by_gtid_sets), then the first
+            # kept file's header walk opens the window at the first
+            # transaction unconsumed for its OWN sid (the round-8
+            # boundary trim) — the consumed prefix is never decoded;
+            # the per-sid row filter keeps interleaved boundary files
+            # exact. If everything is consumed, park at the newest
+            # file's last complete-event boundary.
             files = self._files()
             if not files:
                 return {"seq": -1, "pos": 0}
@@ -4050,7 +4051,17 @@ class MysqlBinlogTailStreamReader(_SimpleStreamReader):
             kept = prune_binlog_series_by_gtid_sets(
                 [p for _seq, p in files], bounds
             )
-            return {"seq": by_path[kept[0]], "pos": 0}
+            for p in kept:
+                splits = scan_binlog_splits_file(
+                    p, 1 << 62, start_after_sets=bounds
+                )
+                if splits:
+                    return {"seq": by_path[p], "pos": splits[0]["start"]}
+            last_seq, last_path = files[-1]
+            return {
+                "seq": last_seq,
+                "pos": _complete_prefix_len_path(last_path),
+            }
         if self.start_after_gno is None:
             return {"seq": -1, "pos": 0}
         # Seek the first transaction past the bound: head-based series
@@ -6037,4 +6048,136 @@ SELECT status,
        CAST(sum(nimg * (id % 97)) AS BIGINT) AS qtag_sum,
        CAST(sum(nimg * id) AS BIGINT) AS gtid_sum
 FROM b GROUP BY status
+"""
+
+
+def cdc_binlog_unsigned_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UNSIGNED-column roundtrip through the REAL wire format (round 8,
+    advisor fix): files carry TINYINT/SMALLINT/MEDIUMINT/INT/BIGINT
+    UNSIGNED columns whose values all sit in the TOP HALF of their
+    unsigned ranges — exactly the values a signed-only decode corrupts
+    (and the pre-round-8 blanket failfast refused outright). The
+    SIGNEDNESS TLV marks them on the wire, decode derives the target
+    from the wire (``mysql_binlog_infer_target`` widens each column to
+    the next signed Spark type; BIGINT UNSIGNED stays LongType,
+    range-checked), and the COLUMNAR kernel decodes. Top-half sums in
+    the value hash mean one wrong sign-extension anywhere flips the
+    driver row. The reference delegates unpacking to Field::unpack
+    with the user's CREATE TABLE (binlog_table_reader.cc:151-156) and
+    has no signedness cross-check at all."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.operators._util import t
+
+    wtgt = T.StructType(
+        [
+            T.StructField("id", T.LongType(),
+                          metadata={"mysql_type": "bigint_unsigned"}),
+            T.StructField("u8", T.ShortType(),
+                          metadata={"mysql_type": "tinyint_unsigned"}),
+            T.StructField("u16", T.IntegerType(),
+                          metadata={"mysql_type": "smallint_unsigned"}),
+            T.StructField("u24", T.IntegerType(),
+                          metadata={"mysql_type": "mediumint_unsigned"}),
+            T.StructField("u32", T.LongType(),
+                          metadata={"mysql_type": "int_unsigned"}),
+            T.StructField("status", T.StringType()),
+        ]
+    )
+    base = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "k")
+    )
+    file_schema = T.StructType([T.StructField("file_bytes", T.BinaryType())])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            txns = [
+                {
+                    "gno": int(r.k),
+                    "op": "w",
+                    "rows": [
+                        {
+                            # every value in the unsigned TOP half
+                            "id": (1 << 62) + int(r.k),
+                            "u8": 128 + int(r.k) % 128,
+                            "u16": (1 << 15) + int(r.k) % (1 << 15),
+                            "u24": (1 << 23) + int(r.k) % (1 << 23),
+                            "u32": (1 << 31) + int(r.k) % (1 << 31),
+                            "status": r.status,
+                        }
+                    ],
+                }
+                for r in pdf.itertuples(index=False)
+            ]
+            blob = build_binlog_file(
+                "tpch", "orders", wtgt, txns,
+                row_metadata="full", checksum=True,
+            )
+            yield pd.DataFrame({"file_bytes": [blob]})
+
+    files = base.mapInPandas(encode, schema=file_schema)
+    # the inferred reader schema is deterministic: each unsigned column
+    # widens to the next signed Spark type (BIGINT UNSIGNED -> LongType)
+    rtgt = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("u8", T.ShortType()),
+            T.StructField("u16", T.IntegerType()),
+            T.StructField("u24", T.IntegerType()),
+            T.StructField("u32", T.LongType()),
+            T.StructField("status", T.StringType()),
+        ]
+    )
+    out_schema = changelog_schema(rtgt)
+    names = [f.name for f in out_schema.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mysql_cdc_table_spark.sources.mysql_binlog_vec import (
+            decode_binlog_pandas,
+        )
+
+        for pdf in batches:
+            for blob in pdf["file_bytes"]:
+                inferred = mysql_binlog_infer_target(
+                    bytes(blob), "tpch", "orders"
+                )
+                out = decode_binlog_pandas(
+                    bytes(blob), inferred, "tpch", "orders"
+                )
+                yield out[names]
+
+    decoded = files.mapInPandas(decode, schema=out_schema)
+    return decoded.groupBy("status").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("u8").cast("long")).alias("sum_u8"),
+        F.sum(F.col("u16").cast("long")).alias("sum_u16"),
+        F.sum(F.col("u24").cast("long")).alias("sum_u24"),
+        F.sum("u32").alias("sum_u32"),
+        F.max("id").alias("max_id"),
+        F.min("id").alias("min_id"),
+    )
+
+
+CDC_BINLOG_UNSIGNED_SQL = """
+SELECT o_orderstatus AS status,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(128 + o_orderkey % 128) AS BIGINT) AS sum_u8,
+       CAST(sum(32768 + o_orderkey % 32768) AS BIGINT) AS sum_u16,
+       CAST(sum(8388608 + o_orderkey % 8388608) AS BIGINT) AS sum_u24,
+       CAST(sum(2147483648 + o_orderkey % 2147483648) AS BIGINT) AS sum_u32,
+       CAST(4611686018427387904 + max(o_orderkey) AS BIGINT) AS max_id,
+       CAST(4611686018427387904 + min(o_orderkey) AS BIGINT) AS min_id
+FROM orders
+GROUP BY o_orderstatus
 """

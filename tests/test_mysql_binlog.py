@@ -2615,8 +2615,11 @@ def test_tail_multi_source_resume_no_loss_no_double(tmp_path):
     r = MysqlBinlogTailStreamReader(opts)
     off0 = r.initialOffset()
     # file 1 pruned off file 2's PREVIOUS_GTIDS head (A and B both
-    # consumed past gno 39) — never scheduled, let alone decoded
-    assert off0["seq"] == 2 and off0["pos"] == 0
+    # consumed past gno 39) — never scheduled, let alone decoded; and
+    # within file 2 the consumed prefix (gnos 40-46, all within their
+    # own sid's bound) is skipped at the header walk, so the cursor
+    # opens at the first unconsumed transaction (gno 47, B's)
+    assert off0["seq"] == 2 and off0["pos"] > 4
 
     names = [
         f.name for f in _binlog_out_schema(

@@ -970,3 +970,97 @@ def test_ivf_pruned_search_plan_and_candidate_fraction(spark, sf_dir, tmp_path):
         .groupBy("qid").count().filter(F.col("count") < KNN_IVF_K).count()
         == 0
     )
+
+
+def test_round8_hash_sample_is_one_pass(spark, sf_dir):
+    """Deterministic md5 sampling must stay one map-side pass + the
+    grouped agg — no join, no extra shuffle beyond agg + final sort,
+    and the scan reads only the 3 needed document columns."""
+    from mysql_cdc_table_spark.operators.round8 import corpus_hash_sample
+
+    df = corpus_hash_sample(spark, sf_dir)
+    assert_columns_pruned(df, 5)  # documents is 5 wide; needs 3
+    assert shuffle_count(df) <= 2  # agg exchange + orderBy range
+    assert_no_cartesian(df)
+
+
+def test_round8_chi2_broadcasts_marginals(spark, sf_dir):
+    """The chi-square cross-tab joins three TINY marginal relations
+    onto the cells — all broadcast, never a fact-fact shuffle; the
+    only nested loop is the keyless 1-row N join."""
+    from mysql_cdc_table_spark.operators.round8 import agg_chi2_independence
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = agg_chi2_independence(spark, sf_dir)
+    assert_broadcast_join(df, 2)
+    assert count_nodes(df, "BroadcastNestedLoopJoin") <= 1  # 1-row N
+    assert count_nodes(df, "CartesianProduct") == 0
+
+
+def test_round8_theil_sen_aggregates_before_fanout(spark, sf_dir):
+    """Theil–Sen must fan out PAIRS of the daily grid, not of raw
+    events: the self-join is an equi join on event_type (hash/SMJ,
+    zero nested loop), and exactly one window ranks the slopes."""
+    from mysql_cdc_table_spark.operators.round8 import ts_theil_sen_slope
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = ts_theil_sen_slope(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert count_nodes(df, "BroadcastNestedLoopJoin") == 0
+    assert count_nodes(df, "Window") == 1
+
+
+def test_round8_entropy_broadcasts_totals(spark, sf_dir):
+    from mysql_cdc_table_spark.operators.round8 import agg_entropy_decomp
+
+    df = agg_entropy_decomp(spark, sf_dir)
+    assert_broadcast_join(df, 1)
+    assert_no_cartesian(df)
+
+
+def test_round8_log2_histogram_single_agg(spark, sf_dir):
+    """Exact log2 bucketing is a map-side expression: one agg exchange
+    plus the final sort, scan pruned to the 2 needed event columns."""
+    from mysql_cdc_table_spark.operators.round8 import agg_log2_histogram
+
+    df = agg_log2_histogram(spark, sf_dir)
+    assert_columns_pruned(df, 6)  # events is 6 wide; needs 2
+    assert shuffle_count(df) <= 2
+    assert_no_cartesian(df)
+
+
+def test_round8_wma_single_window_single_shuffle(spark, sf_dir):
+    """All four lags + row_number share ONE window spec: one hash
+    exchange on user_id, one Window node, no join anywhere."""
+    from mysql_cdc_table_spark.operators.round8 import (
+        window_weighted_moving_avg,
+    )
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = window_weighted_moving_avg(spark, sf_dir)
+    assert count_nodes(df, "Window") == 1
+    assert shuffle_count(df) <= 1
+    assert_no_cartesian(df)
+
+
+def test_round8_hashing_features_bounded_shuffles(spark, sf_dir):
+    """Feature hashing: explode is map-side; the only shuffles are the
+    two-phase distinct-count aggregation + final sort. No join — the
+    feature space is closed, nothing to broadcast."""
+    from mysql_cdc_table_spark.operators.round8 import text_hashing_features
+
+    df = text_hashing_features(spark, sf_dir)
+    assert shuffle_count(df) <= 3
+    assert_no_cartesian(df)
+
+
+def test_round8_quantize_error_stats_single_agg(spark, sf_dir):
+    """The int8 error accounting is higher-order expressions over one
+    scan + one grouped agg: ≤2 shuffles (agg + sort), no join."""
+    from mysql_cdc_table_spark.operators.round8 import (
+        emb_quantize_error_stats,
+    )
+
+    df = emb_quantize_error_stats(spark, sf_dir)
+    assert shuffle_count(df) <= 2
+    assert_no_cartesian(df)
