@@ -366,10 +366,14 @@ ROUND8_NEW_KEYS: tuple[str, ...] = (
 # Operators whose implementation round 8 touches: their standing green
 # rows would otherwise mask a regression introduced by this round.
 ROUND8_REVERIFY: tuple[str, ...] = (
-    # the columnar real-binlog kernel (mysql_binlog_vec.py) vectorizes
-    # TIME2 (the last fixed-width per-cell closure) — every key on that
-    # read path re-verifies; the resume/PITR/multi-source/executed-set
-    # keys sharing the walkers are already in-window as ROUND7_LATE_KEYS
+    # round 8 touches the kernel and the walkers: TIME2 vectorized
+    # (the last fixed-width per-cell closure), UNSIGNED decode via
+    # SIGNEDNESS TLVs in both kernels, per-sid start bounds in the
+    # split scan, the strict same-second time-bound fix, the LRU
+    # split cache, and the boundary-parking initialOffset — every key
+    # on the real-binlog read path re-verifies; the resume/PITR/
+    # multi-source/executed-set keys sharing the walkers are already
+    # in-window as ROUND7_LATE_KEYS
     "cdc_mysql_binlog_roundtrip",
     "cdc_binlog_latest_state",
     "cdc_binlog_zstd_roundtrip",
@@ -391,6 +395,7 @@ ROUND8_LATE_KEYS: tuple[str, ...] = (
     "agg_log2_histogram",
     "window_weighted_moving_avg",
     "stream_late_data_audit",
+    "agg_welch_t_pairs",
 )
 
 

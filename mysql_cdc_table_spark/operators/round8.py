@@ -637,3 +637,103 @@ ORDER BY event_type
 
 QUERIES["stream_late_data_audit"] = stream_late_data_audit
 ORACLES["stream_late_data_audit"] = STREAM_LATE_DATA_AUDIT_SQL
+
+
+# --- agg_welch_t_pairs --------------------------------------------------------
+
+
+def agg_welch_t_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-statistic for every ordered pair of event types — the
+    unequal-variance two-sample test an experimentation platform runs
+    across arms. All inputs to the float expression are EXACT integer
+    sufficient statistics (n, Σv, Σv² of milli-unit values — one
+    map-side-combinable pass over the scan), so the per-pair t and the
+    Welch–Satterthwaite df are fixed-order IEEE expressions both
+    engines evaluate identically (division and sqrt are correctly
+    rounded by IEEE 754; no float accumulates across rows). The pair
+    fan-out is the #types² grid of a broadcast self-join — independent
+    of event volume, the agg_ks_drift shape."""
+    e = t(spark, sf_dir, "events")
+    vm = F.floor(F.col("value") * 1000).cast("long")
+    stats = e.select("event_type", vm.alias("vm")).groupBy(
+        "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("vm").alias("s"),
+        F.sum(F.col("vm") * F.col("vm")).alias("q"),
+    )
+    a = stats.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("na"), F.col("s").alias("sa"),
+        F.col("q").alias("qa"),
+    )
+    b = stats.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("nb"), F.col("s").alias("sb"),
+        F.col("q").alias("qb"),
+    )
+    # per-side mean and unbiased variance from the exact sums; the
+    # expression order below is mirrored character-for-character in
+    # the oracle so every intermediate double is identical
+    ma = F.col("sa") / F.col("na")
+    mb = F.col("sb") / F.col("nb")
+    va = (F.col("na") * F.col("qa") - F.col("sa") * F.col("sa")) / (
+        F.col("na") * (F.col("na") - 1)
+    )
+    vb = (F.col("nb") * F.col("qb") - F.col("sb") * F.col("sb")) / (
+        F.col("nb") * (F.col("nb") - 1)
+    )
+    sea = va / F.col("na")
+    seb = vb / F.col("nb")
+    tstat = (ma - mb) / F.sqrt(sea + seb)
+    df_ws = ((sea + seb) * (sea + seb)) / (
+        sea * sea / (F.col("na") - 1) + seb * seb / (F.col("nb") - 1)
+    )
+    return (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            "na",
+            "nb",
+            F.floor(tstat * 1_000_000.0).cast("long").alias("t_micro"),
+            F.floor(df_ws * 1000.0).cast("long").alias("df_milli"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+AGG_WELCH_T_PAIRS_SQL = """
+WITH stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CAST(floor(value * 1000) AS BIGINT)
+                  * CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS q
+  FROM events GROUP BY 1
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       a.n AS na, b.n AS nb,
+       CAST(floor(
+         ((a.s / a.n) - (b.s / b.n))
+         / sqrt(((a.n * a.q - a.s * a.s) / (a.n * (a.n - 1))) / a.n
+                + ((b.n * b.q - b.s * b.s) / (b.n * (b.n - 1))) / b.n)
+         * 1000000.0) AS BIGINT) AS t_micro,
+       CAST(floor(
+         ((((a.n * a.q - a.s * a.s) / (a.n * (a.n - 1))) / a.n
+           + ((b.n * b.q - b.s * b.s) / (b.n * (b.n - 1))) / b.n)
+          * (((a.n * a.q - a.s * a.s) / (a.n * (a.n - 1))) / a.n
+             + ((b.n * b.q - b.s * b.s) / (b.n * (b.n - 1))) / b.n))
+         / ((((a.n * a.q - a.s * a.s) / (a.n * (a.n - 1))) / a.n)
+            * (((a.n * a.q - a.s * a.s) / (a.n * (a.n - 1))) / a.n)
+            / (a.n - 1)
+            + (((b.n * b.q - b.s * b.s) / (b.n * (b.n - 1))) / b.n)
+              * (((b.n * b.q - b.s * b.s) / (b.n * (b.n - 1))) / b.n)
+              / (b.n - 1))
+         * 1000.0) AS BIGINT) AS df_milli
+FROM stats a JOIN stats b ON a.event_type < b.event_type
+ORDER BY type_a, type_b
+"""
+
+QUERIES["agg_welch_t_pairs"] = agg_welch_t_pairs
+ORACLES["agg_welch_t_pairs"] = AGG_WELCH_T_PAIRS_SQL
