@@ -396,6 +396,7 @@ ROUND8_LATE_KEYS: tuple[str, ...] = (
     "window_weighted_moving_avg",
     "stream_late_data_audit",
     "agg_welch_t_pairs",
+    "cdc_binlog_sink_roundtrip",
 )
 
 

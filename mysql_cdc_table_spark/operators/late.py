@@ -44,6 +44,8 @@ from mysql_cdc_table_spark.sources.mysql_binlog import (
     cdc_binlog_event_census,
     cdc_binlog_unsigned_roundtrip,
     CDC_BINLOG_UNSIGNED_SQL,
+    cdc_binlog_sink_roundtrip,
+    CDC_BINLOG_SINK_SQL,
     cdc_binlog_latest_state,
     cdc_binlog_multi_table,
     cdc_binlog_parallel_roundtrip,
@@ -103,7 +105,13 @@ QUERIES = {
     # round 8: UNSIGNED columns decode (widened signed targets,
     # TLV-marked, columnar kernel, top-half values in the hash)
     "cdc_binlog_unsigned_roundtrip": cdc_binlog_unsigned_roundtrip,
+    # round 8: WRITE-side roundtrip through the mysql_binlog sink
+    "cdc_binlog_sink_roundtrip": cdc_binlog_sink_roundtrip,
 }
+
+from mysql_cdc_table_spark.cdc.synthetic import CHANGELOG_CTE as _CTE
+
+_SINK_SQL = f"WITH {_CTE} {CDC_BINLOG_SINK_SQL}"
 
 ORACLES: dict[str, str] = {
     "ann_ivf_pq_topk": IVF_RECALL_ORACLE_SQL,
@@ -125,4 +133,5 @@ ORACLES: dict[str, str] = {
     "cdc_binlog_ddl_history": CDC_BINLOG_DDL_HISTORY_SQL,
     "cdc_binlog_event_census": CDC_BINLOG_EVENT_CENSUS_SQL,
     "cdc_binlog_unsigned_roundtrip": CDC_BINLOG_UNSIGNED_SQL,
+    "cdc_binlog_sink_roundtrip": _SINK_SQL,
 }

@@ -562,5 +562,10 @@ def register(spark) -> None:
         MysqlBinlogTailDataSource,
     )
 
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        MysqlBinlogDataSource,
+    )
+
     spark.dataSource.register(PackedBinlogDataSource)
     spark.dataSource.register(MysqlBinlogTailDataSource)
+    spark.dataSource.register(MysqlBinlogDataSource)

@@ -6181,3 +6181,207 @@ SELECT o_orderstatus AS status,
 FROM orders
 GROUP BY o_orderstatus
 """
+
+
+# --- binlog v4 WRITER sink ----------------------------------------------------
+
+from pyspark.sql.datasource import (  # noqa: E402  (public DataSource API)
+    DataSourceWriter as _DataSourceWriter,
+    WriterCommitMessage as _WriterCommitMessage,
+)
+
+
+class MysqlBinlogWriter(_DataSourceWriter):
+    """Write a changelog DataFrame back out as REAL binlog v4 files —
+    the sink the reference only pretends to have (its write_row
+    silently discards, binlogdb.cc:283-292; here the output is
+    byte-valid v4 that this repo's readers, or any binlog consumer,
+    decode). One file per non-empty input partition
+    (``binlog.<partition+1:06d>``), within it one transaction per
+    ``__gtid`` in gno order: GTID event, TABLE_MAP, one rows event
+    (WRITE/UPDATE/DELETE from the ``__op`` codes — 2/3 pairs become
+    update events with before/after images), commit ts from ``__tm``,
+    CRC32 checksums on by default.
+
+    Contract: a transaction's images must be PARTITION-LOCAL —
+    repartition by ``__gtid`` before writing (an unpaired update image
+    raises rather than writing a torn transaction). Mode must be
+    overwrite: binlog file numbering is rotation order, and appending
+    a second parallel write cannot know where the first one's numbering
+    ended (real servers rotate serially). gno uniqueness across
+    partitions is the caller's contract, as it is the server's."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        if not overwrite:
+            raise ValueError(
+                "mysql_binlog sink supports mode('overwrite') only — "
+                "binlog.NNNNNN numbering is rotation order and a "
+                "parallel append cannot extend it safely"
+            )
+        self.path = options["path"]
+        self.database = options["database"]
+        self.table = options["table"]
+        self.table_id = int(options.get("table_id", "23"))
+        self.target = _tail_target(options)
+        self.checksum = (
+            str(options.get("checksum", "true")).lower() == "true"
+        )
+
+    def write(self, rows) -> "_WriterCommitMessage":
+        import calendar
+        import os
+
+        from pyspark import TaskContext
+
+        names = [f.name for f in self.target.fields]
+        by_gno: dict[int, list] = {}
+        for row in rows:
+            by_gno.setdefault(int(row["__gtid"]), []).append(row)
+        txns = []
+        for gno in sorted(by_gno):
+            imgs = sorted(
+                by_gno[gno],
+                key=lambda r: (int(r["__event_seq"]), int(r["__image_seq"])),
+            )
+            ops = [int(r["__op"]) for r in imgs]
+            vals = [{n: r[n] for n in names} for r in imgs]
+            ts = int(calendar.timegm(imgs[0]["__tm"].timetuple()))
+            if set(ops) == {CDC_INSERT}:
+                txns.append({"gno": gno, "op": "w", "rows": vals, "ts": ts})
+            elif set(ops) == {CDC_DELETE}:
+                txns.append({"gno": gno, "op": "d", "rows": vals, "ts": ts})
+            elif (
+                set(ops) <= {CDC_UPDATE_BEFORE, CDC_UPDATE_AFTER}
+                and len(ops) % 2 == 0
+                and all(
+                    ops[k] == (CDC_UPDATE_BEFORE if k % 2 == 0
+                               else CDC_UPDATE_AFTER)
+                    for k in range(len(ops))
+                )
+            ):
+                txns.append({
+                    "gno": gno,
+                    "op": "u",
+                    "rows": [
+                        (vals[k], vals[k + 1])
+                        for k in range(0, len(vals), 2)
+                    ],
+                    "ts": ts,
+                })
+            else:
+                raise ValueError(
+                    f"transaction gno={gno} has op sequence {ops} — "
+                    "images of one transaction must be partition-local "
+                    "(repartition by __gtid) and update images must "
+                    "pair before/after"
+                )
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        if txns:
+            blob = build_binlog_file(
+                self.database, self.table, self.target, txns,
+                table_id=self.table_id, checksum=self.checksum,
+            )
+            tmp = os.path.join(self.path, f".binlog.{pid + 1:06d}.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            os.replace(
+                tmp, os.path.join(self.path, f"binlog.{pid + 1:06d}")
+            )
+        return _WriterCommitMessage()
+
+    def commit(self, messages) -> None:
+        pass  # files land atomically per partition (tmp + rename)
+
+    def abort(self, messages) -> None:
+        import os
+
+        if os.path.isdir(self.path):
+            for f in os.listdir(self.path):
+                if f.startswith(".binlog.") and f.endswith(".tmp"):
+                    os.remove(os.path.join(self.path, f))
+
+
+class MysqlBinlogDataSource(_DataSource):
+    """``df.write.format("mysql_binlog")`` — the binlog v4 file sink.
+    Options: path, schema_ddl (extended DDL, see datasource._parse_ddl),
+    database, table, table_id, checksum."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "mysql_binlog"
+
+    def schema(self):
+        return _binlog_out_schema(_tail_target(self.options), "long", False)
+
+    def writer(self, schema, overwrite: bool):
+        return MysqlBinlogWriter(dict(self.options), overwrite)
+
+
+def cdc_binlog_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-side roundtrip through the ``mysql_binlog`` sink (round 8):
+    the synthetic orders changelog goes OUT through
+    ``df.write.format("mysql_binlog")`` — real v4 files, one per
+    partition, transactions rebuilt from the __op codes (update pairs
+    become UPDATE_ROWS events), commit ts from __tm, CRC32 on — and
+    comes back through the standard reader. The aggregate hashes ops,
+    gtids, cents, keys and commit dates, so a framing/encode bug
+    anywhere in the sink breaks the driver row against an oracle that
+    never touches the wire (the changelog CTE twin). The reference's
+    write path silently discards rows (binlogdb.cc:283-292)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.cdc.queries import ORDERS_TARGET_SCHEMA
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+    from mysql_cdc_table_spark.sources.datasource import register
+
+    register(spark)
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"cdc_sink_binlogs_{tag}")
+    ddl = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    (
+        synthetic_changelog(spark, sf_dir)
+        .repartition(8, "__gtid")
+        .write.format("mysql_binlog")
+        .option("schema_ddl", ddl)
+        .option("database", "tpch")
+        .option("table", "orders")
+        .mode("overwrite")
+        .save(stage)
+    )
+    back = mysql_binlog_read(
+        spark, stage, ORDERS_TARGET_SCHEMA, "tpch", "orders"
+    )
+    return back.groupBy("__op").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("__gtid").alias("gtid_sum"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents_sum"
+        ),
+        F.count_distinct("o_orderkey").alias("n_keys"),
+        F.min(F.col("__tm").cast("date")).alias("first_day"),
+        F.max(F.col("__tm").cast("date")).alias("last_day"),
+    )
+
+
+CDC_BINLOG_SINK_SQL = """
+SELECT __op,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(__gtid) AS BIGINT) AS gtid_sum,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_sum,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+       min(CAST(__tm AS DATE)) AS first_day,
+       max(CAST(__tm AS DATE)) AS last_day
+FROM changelog
+GROUP BY __op
+"""

@@ -2740,3 +2740,148 @@ def test_split_scan_sets_skips_consumed_prefix(tmp_path):
             str(p), 1 << 62, start_after_gno=5,
             start_after_sets={SID_A: 90},
         )
+
+
+def test_tail_stream_e2e_multi_source_sets(spark, tmp_path):
+    """start_after_sets through REAL Structured Streaming (registered
+    DataSource, availableNow, checkpointed restart): the first batch
+    honors each origin's own bound, the restart resumes from the
+    (seq, pos) cursor — per-sid exactness end-to-end, not just at the
+    reader-unit level."""
+    from mysql_cdc_table_spark.sources.datasource import register
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        _sid_to_uuid,
+        mysql_binlog_tail_stream,
+    )
+
+    register(spark)
+    d = tmp_path / "logs"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    ddl = "id bigint, v string, amt decimal(10,2)"
+    (d / "binlog.000001").write_bytes(
+        _two_source_blob(1, 40, previous_gtids={SID_A: [], SID_B: []})
+    )
+    (d / "binlog.000002").write_bytes(
+        _two_source_blob(
+            40, 80, previous_gtids={SID_A: [(1, 40)], SID_B: [(1, 40)]}
+        )
+    )
+    bounds = {_sid_to_uuid(SID_A): 60, _sid_to_uuid(SID_B): 45}
+
+    def run_once():
+        got: list = []
+        q = (
+            mysql_binlog_tail_stream(
+                spark, str(d), ddl, "d", "t", start_after_sets=bounds
+            )
+            .writeStream.foreachBatch(
+                lambda df, _eid: got.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    batch1 = run_once()
+    got1 = {(r["__gtid_src"], r["__gtid"]) for r in batch1}
+    want1 = {(_sid_to_uuid(SID_A), g) for g in range(62, 80, 2)} | {
+        (_sid_to_uuid(SID_B), g) for g in range(47, 80, 2)
+    }
+    assert got1 == want1
+
+    # rotate forward; the checkpointed cursor (not the gno seek)
+    # drives the second run — nothing lost, nothing doubled
+    (d / "binlog.000003").write_bytes(
+        _two_source_blob(
+            80, 100, previous_gtids={SID_A: [(1, 80)], SID_B: [(1, 80)]}
+        )
+    )
+    batch2 = run_once()
+    got2 = {(r["__gtid_src"], r["__gtid"]) for r in batch2}
+    want2 = {
+        (_sid_to_uuid(SID_A if g % 2 == 0 else SID_B), g)
+        for g in range(80, 100)
+    }
+    assert got2 == want2
+    assert not (got1 & got2)
+
+
+def test_mysql_binlog_writer_sink_roundtrip(spark, tmp_path):
+    """df.write.format('mysql_binlog') emits REAL v4 files (round 8):
+    the synthetic orders changelog, repartitioned so transactions are
+    partition-local, written through the sink and decoded back by the
+    reader equals the original changelog on every value column — ops,
+    gtids, commit timestamps, doubles, enums of the update pairs all
+    survive the wire. The reference's write path silently discards
+    rows (binlogdb.cc:283-292); this one round-trips them."""
+    from mysql_cdc_table_spark.cdc.queries import ORDERS_TARGET_SCHEMA
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+    from mysql_cdc_table_spark.sources.datasource import register
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        mysql_binlog_read,
+    )
+
+    register(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    cl = synthetic_changelog(spark, sf_dir)
+    ddl = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    out = str(tmp_path / "binlogs")
+    (
+        cl.repartition(8, "__gtid")
+        .write.format("mysql_binlog")
+        .option("schema_ddl", ddl)
+        .option("database", "tpch")
+        .option("table", "orders")
+        .mode("overwrite")
+        .save(out)
+    )
+    import os
+
+    files = sorted(os.listdir(out))
+    assert files and all(f.startswith("binlog.0") for f in files)
+
+    back = mysql_binlog_read(
+        spark, out, ORDERS_TARGET_SCHEMA, "tpch", "orders"
+    )
+    cols = [f.name for f in ORDERS_TARGET_SCHEMA.fields] + [
+        "__op", "__gtid", "__tm",
+    ]
+    key = lambda r: tuple(str(r[c]) for c in cols)  # noqa: E731
+    want = sorted(key(r) for r in cl.select(*cols).collect())
+    got = sorted(key(r) for r in back.select(*cols).collect())
+    assert got == want
+
+
+def test_mysql_binlog_writer_sink_contracts(spark, tmp_path):
+    """Append mode raises (rotation numbering cannot be extended by a
+    parallel writer); an unpaired update image raises rather than
+    writing a torn transaction."""
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+    from mysql_cdc_table_spark.sources.datasource import register
+
+    register(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    cl = synthetic_changelog(spark, sf_dir)
+    ddl = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    w = (
+        cl.write.format("mysql_binlog")
+        .option("schema_ddl", ddl)
+        .option("database", "tpch")
+        .option("table", "orders")
+    )
+    with pytest.raises(Exception, match="overwrite"):
+        w.mode("append").save(str(tmp_path / "a"))
+    # NOT repartitioned by __gtid: the union branches split update
+    # before/after images across partitions -> torn-transaction raise
+    with pytest.raises(Exception, match="partition-local|pair"):
+        w.mode("overwrite").save(str(tmp_path / "b"))
