@@ -6312,7 +6312,15 @@ class MysqlBinlogDataSource(_DataSource):
         return "mysql_binlog"
 
     def schema(self):
-        return _binlog_out_schema(_tail_target(self.options), "long", False)
+        opts = dict(self.options)
+        return _binlog_out_schema(
+            _tail_target(opts),
+            opts.get("gtid_format", "long"),
+            str(opts.get("capture_query", "false")).lower() == "true",
+        )
+
+    def reader(self, schema):
+        return MysqlBinlogReader(dict(self.options))
 
     def writer(self, schema, overwrite: bool):
         return MysqlBinlogWriter(dict(self.options), overwrite)
@@ -6385,3 +6393,118 @@ SELECT __op,
 FROM changelog
 GROUP BY __op
 """
+
+
+# --- binlog v4 batch READER via the Python DataSource API ----------------------
+
+from pyspark.sql.datasource import (  # noqa: E402  (public DataSource API)
+    DataSourceReader as _DataSourceReader,
+    InputPartition as _InputPartition,
+)
+
+
+class _BinlogSplit(_InputPartition):
+    __slots__ = ("path", "file_seq", "spec")
+
+    def __init__(self, path: str, file_seq: int, spec: dict):
+        self.path, self.file_seq, self.spec = path, file_seq, spec
+
+
+class MysqlBinlogReader(_DataSourceReader):
+    """``spark.read.format("mysql_binlog")`` — the idiomatic scan
+    surface over real binlog v4 files, same machinery as
+    ``mysql_binlog_read_parallel``: planning header-walks each file
+    into transaction-aligned byte ranges with carried
+    TABLE_MAP/GTID/checksum state (cached via
+    ``scan_binlog_splits_cached``; GTID bounds prune whole files off
+    their PREVIOUS_GTIDS heads and skip out-of-window prefixes), and
+    each task range-decodes through the columnar kernel, yielding
+    Arrow RecordBatches — no Python row objects on the scan path.
+    Planning runs on the driver (the reference's binlog.index listing
+    contract); histories with very many files can prefer the
+    function API, whose stage-1 header walk is itself distributed."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.database = options["database"]
+        self.table = options["table"]
+        self.target = _tail_target(options)
+        self.split_bytes = int(options.get("split_bytes", 64 << 20))
+        self.gtid_format = options.get("gtid_format", "long")
+        self.capture_query = (
+            str(options.get("capture_query", "false")).lower() == "true"
+        )
+        raw_start = options.get("start_after_gno")
+        raw_stop = options.get("stop_at_gno")
+        self.start_after_gno = (
+            None if raw_start in (None, "") else int(raw_start)
+        )
+        self.stop_at_gno = None if raw_stop in (None, "") else int(raw_stop)
+
+    def partitions(self):
+        import os
+
+        local = _strip_file_scheme(self.path)
+        if os.path.isdir(local):
+            paths = sorted(
+                os.path.join(local, n)
+                for n in os.listdir(local)
+                if not n.startswith(("_", "."))
+            )
+        else:
+            paths = [local]
+        paths = prune_binlog_series_by_gtid(
+            paths, self.start_after_gno, self.stop_at_gno
+        )
+        parts = []
+        for p in paths:
+            for spec in scan_binlog_splits_cached(
+                p,
+                self.split_bytes,
+                start_after_gno=self.start_after_gno,
+                stop_at_gno=self.stop_at_gno,
+            ):
+                parts.append(_BinlogSplit(p, _file_seq_of(p), spec))
+        return parts
+
+    def read(self, partition: "_BinlogSplit"):
+        import pyarrow.compute as pc
+
+        from mysql_cdc_table_spark.sources.mysql_binlog_vec import (
+            decode_binlog_record_batches,
+        )
+
+        s = partition.spec
+        with open(partition.path, "rb") as fh:
+            fh.seek(s["start"])
+            blob = fh.read(s["end"] - s["start"])
+        for batch in decode_binlog_record_batches(
+            blob,
+            self.target,
+            self.database,
+            self.table,
+            file_seq=partition.file_seq,
+            gtid_format=self.gtid_format,
+            capture_query=self.capture_query,
+            init_state={
+                "checksum": s["checksum"],
+                "gtid": s["gtid"],
+                "sid": s["sid"],
+                "table_maps": list(s["table_maps"]),
+            },
+            seq_base=s["start"],
+        ):
+            # residual GTID filters (same exactness contract as the
+            # function API: header pruning is a superset cut)
+            if self.start_after_gno is not None:
+                batch = batch.filter(
+                    pc.greater(batch["__gtid"], self.start_after_gno)
+                )
+            if self.stop_at_gno is not None:
+                batch = batch.filter(
+                    pc.less_equal(batch["__gtid"], self.stop_at_gno)
+                )
+            if batch.num_rows:
+                yield batch
+
+

@@ -2885,3 +2885,77 @@ def test_mysql_binlog_writer_sink_contracts(spark, tmp_path):
     # before/after images across partitions -> torn-transaction raise
     with pytest.raises(Exception, match="partition-local|pair"):
         w.mode("overwrite").save(str(tmp_path / "b"))
+
+
+def test_mysql_binlog_format_reader_equals_function_api(spark, tmp_path):
+    """spark.read.format('mysql_binlog') (round 8) must produce the
+    exact frame of mysql_binlog_read_parallel — same split machinery,
+    same columnar kernel, Arrow batches end-to-end — including under
+    GTID bounds (file pruning + prefix skip + residual filters)."""
+    from mysql_cdc_table_spark.sources.datasource import register
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        mysql_binlog_read_parallel,
+    )
+
+    register(spark)
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "binlog.000001").write_bytes(
+        _two_source_blob(1, 60, previous_gtids={SID_A: [], SID_B: []})
+    )
+    (d / "binlog.000002").write_bytes(
+        _two_source_blob(
+            60, 120, previous_gtids={SID_A: [(1, 60)], SID_B: [(1, 60)]}
+        )
+    )
+    ddl = "id bigint, v string, amt decimal(10,2)"
+
+    def fmt(**opts):
+        r = (
+            spark.read.format("mysql_binlog")
+            .option("schema_ddl", ddl)
+            .option("database", "d")
+            .option("table", "t")
+        )
+        for k, v in opts.items():
+            r = r.option(k, str(v))
+        return r.load(str(d))
+
+    key = lambda r: tuple(str(x) for x in r)  # noqa: E731
+    full_fn = mysql_binlog_read_parallel(spark, str(d), TARGET, "d", "t")
+    assert sorted(map(key, fmt().collect())) == sorted(
+        map(key, full_fn.collect())
+    )
+
+    bounded_fn = mysql_binlog_read_parallel(
+        spark, str(d), TARGET, "d", "t",
+        start_after_gno=70, stop_at_gno=100,
+    )
+    got = fmt(start_after_gno=70, stop_at_gno=100).collect()
+    assert sorted(map(key, got)) == sorted(map(key, bounded_fn.collect()))
+    assert sorted(r["__gtid"] for r in got) == list(range(71, 101))
+
+    # full circle: the sink's output reads back through the format
+    out2 = str(tmp_path / "rewritten")
+    (
+        fmt().repartition(4, "__gtid")
+        .write.format("mysql_binlog")
+        .option("schema_ddl", ddl)
+        .option("database", "d")
+        .option("table", "t")
+        .mode("overwrite")
+        .save(out2)
+    )
+    again = (
+        spark.read.format("mysql_binlog")
+        .option("schema_ddl", ddl)
+        .option("database", "d")
+        .option("table", "t")
+        .load(out2)
+    )
+    vals = lambda df: sorted(  # noqa: E731 — value columns only (the
+        # ordering keys are file offsets, legitimately different files)
+        (r["id"], r["v"], str(r["amt"]), r["__op"], r["__gtid"])
+        for r in df.collect()
+    )
+    assert vals(again) == vals(fmt())
