@@ -114,7 +114,11 @@ def _assert_same(scalar_rows: list[dict], pdf: pd.DataFrame, target) -> None:
             if av is None:
                 assert bv is None or bv != bv, (n, j, bv)
             elif isinstance(av, float):
-                assert math.isclose(av, bv, rel_tol=1e-6), (n, j, av, bv)
+                # pandas renders a NULL in a numeric column as NaN on
+                # both sides — that's agreement, not divergence
+                assert (av != av and bv != bv) or math.isclose(
+                    av, bv, rel_tol=1e-6
+                ), (n, j, av, bv)
             elif isinstance(av, (dt.datetime, dt.date)):
                 assert pd.Timestamp(av) == pd.Timestamp(bv), (n, j, av, bv)
             elif isinstance(av, bytes):
@@ -1073,3 +1077,60 @@ def test_columnar_time2_vs_scalar_property(vals):
     scalar = decode_binlog_bytes(blob, tgt, "d", "t")
     pdf = decode_binlog_pandas(blob, tgt, "d", "t")
     _assert_same(scalar, pdf, tgt)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 255),
+            st.integers(0, (1 << 16) - 1),
+            st.integers(0, (1 << 24) - 1),
+            st.integers(0, (1 << 32) - 1),
+            st.integers(0, (1 << 63) - 1),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_columnar_unsigned_vs_scalar_property(vals):
+    """Hypothesis: UNSIGNED columns of every width — full unsigned
+    ranges, BIGINT UNSIGNED up to 2^63−1, nulls — decode identically
+    on the scalar and columnar kernels through SIGNEDNESS TLVs and the
+    widened reader schema (round 8)."""
+    wtgt = T.StructType(
+        [
+            T.StructField("u8", T.ShortType(),
+                          metadata={"mysql_type": "tinyint_unsigned"}),
+            T.StructField("u16", T.IntegerType(),
+                          metadata={"mysql_type": "smallint_unsigned"}),
+            T.StructField("u24", T.IntegerType(),
+                          metadata={"mysql_type": "mediumint_unsigned"}),
+            T.StructField("u32", T.LongType(),
+                          metadata={"mysql_type": "int_unsigned"}),
+            T.StructField("u64", T.LongType(),
+                          metadata={"mysql_type": "bigint_unsigned"}),
+        ]
+    )
+    recs = [
+        {"u8": a, "u16": b, "u24": c, "u32": d,
+         "u64": None if none else e}
+        for (a, b, c, d, e, none) in vals
+    ]
+    blob = build_binlog_file(
+        "d", "t", wtgt, [{"gno": 1, "op": "w", "rows": recs}],
+        row_metadata="full",
+    )
+    rtgt = T.StructType(
+        [
+            T.StructField("u8", T.ShortType()),
+            T.StructField("u16", T.IntegerType()),
+            T.StructField("u24", T.IntegerType()),
+            T.StructField("u32", T.LongType()),
+            T.StructField("u64", T.LongType()),
+        ]
+    )
+    scalar = decode_binlog_bytes(blob, rtgt, "d", "t")
+    pdf = decode_binlog_pandas(blob, rtgt, "d", "t")
+    _assert_same(scalar, pdf, rtgt)
