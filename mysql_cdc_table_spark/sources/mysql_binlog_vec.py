@@ -18,11 +18,13 @@ vectorized pass (mutating a per-event position array), after which
 every image-1 offset is known, and so on. Within a round, each column
 decodes with one numpy kernel across all events.
 
-Per-cell scalar fallback (the shared ``_decode_col``) covers the
-genuinely variable-shape kinds — binary JSON trees, SETs wider than 8
-members — so only those cells run Python; every other field in the
+Per-cell scalar fallback (the shared ``_decode_col``) now covers ONE
+kind — binary JSON trees, the only genuinely variable-shape wire
+value — so only those cells run Python; every other field in the
 schema stays vectorized regardless. TIME2 left the fallback list in
-round 8 (masked-scatter string build, 5.2× on a TIME2-heavy schema);
+round 8 (masked-scatter string build, 5.2× on a TIME2-heavy schema),
+and wide SETs left it the same round (unique-mask dictionary scatter,
+7× on a 3×SET(20) schema — Python cost tracks DISTINCT masks);
 NEWDECIMAL left it in round 7: every precision 1-38 is vectorized
 (≤18 as int64,
 19-38 as a two-limb uint64 accumulator into Arrow decimal128 — 5.6×
@@ -334,8 +336,8 @@ def _vec_col_decoder(col: _Col, field: T.StructField):
     """-> dec(u8, raw, pos, valid) -> pa.Array of len(pos) (nulls at
     ~valid), mutating pos at valid rows. Vectorized for every
     fixed-width and length-prefixed MySQL wire type; per-cell scalar
-    closure only for the variable-shape kinds (binary JSON, wide
-    SETs)."""
+    closure only for binary JSON (the one variable-shape wire
+    value)."""
     import numpy as np
     import pyarrow as pa
 
@@ -565,7 +567,35 @@ def _vec_col_decoder(col: _Col, field: T.StructField):
         real, pack = col.meta[0], col.meta[1]
         values = col.extra
         if real == TY_SET and len(values) > 8:
-            return _scalar_cell(col, pa_t)  # 2^k lookup too large
+            # round 8: the full 2^k LUT is infeasible past 8 members,
+            # but the masks PRESENT in a batch are few — np.unique the
+            # gathered masks, build each distinct mask's member string
+            # once, scatter through the inverse index. Python cost
+            # tracks DISTINCT masks; rows stay numpy.
+
+            def dec(u8, raw, pos, valid, _pack=pack, _values=tuple(values)):
+                idx = np.flatnonzero(valid)
+                m = (
+                    _gather_fixed(u8, pos[idx], _pack)
+                    .reshape(-1, _pack)
+                    .astype(np.uint64)
+                )
+                n = np.zeros(len(idx), np.uint64)
+                for k in range(_pack):
+                    n |= m[:, k] << np.uint64(8 * k)
+                uniq, inv = np.unique(n, return_inverse=True)
+                lut = np.empty(len(uniq), dtype=object)
+                for j, mask in enumerate(uniq):
+                    mi = int(mask)
+                    lut[j] = ",".join(
+                        v for i, v in enumerate(_values) if mi >> i & 1
+                    )
+                out = np.full(len(pos), None, dtype=object)
+                out[idx] = lut[inv]
+                pos[idx] += _pack
+                return pa.array(out, type=pa.string())
+
+            return dec
         if real == TY_ENUM:
             lookup = np.array(["", *values], dtype=object)
         else:

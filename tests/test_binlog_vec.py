@@ -1134,3 +1134,42 @@ def test_columnar_unsigned_vs_scalar_property(vals):
     scalar = decode_binlog_bytes(blob, rtgt, "d", "t")
     pdf = decode_binlog_pandas(blob, rtgt, "d", "t")
     _assert_same(scalar, pdf, rtgt)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, (1 << 20) - 1), st.booleans()),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_columnar_wide_set_vs_scalar_property(vals):
+    """Hypothesis: SET columns wider than 8 members (here 20 -> 3-byte
+    bitmask) decode identically on both kernels. Round 8 replaced the
+    per-cell closure with a unique-mask dictionary scatter, so the
+    property pins every mask combination the batch can contain."""
+    members = [f"m{i:02d}" for i in range(20)]
+    tgt = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("s", T.StringType(),
+                          metadata={"mysql_type": "set",
+                                    "values": members}),
+        ]
+    )
+    recs = [
+        {
+            "id": i,
+            "s": None if none else ",".join(
+                m for b, m in enumerate(members) if mask >> b & 1
+            ),
+        }
+        for i, (mask, none) in enumerate(vals)
+    ]
+    blob = build_binlog_file(
+        "d", "t", tgt, [{"gno": 1, "op": "w", "rows": recs}]
+    )
+    scalar = decode_binlog_bytes(blob, tgt, "d", "t")
+    pdf = decode_binlog_pandas(blob, tgt, "d", "t")
+    _assert_same(scalar, pdf, tgt)
