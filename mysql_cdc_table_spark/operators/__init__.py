@@ -397,6 +397,7 @@ ROUND8_LATE_KEYS: tuple[str, ...] = (
     "stream_late_data_audit",
     "agg_welch_t_pairs",
     "cdc_binlog_sink_roundtrip",
+    "ts_mann_kendall",
 )
 
 

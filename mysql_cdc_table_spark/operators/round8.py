@@ -737,3 +737,112 @@ ORDER BY type_a, type_b
 
 QUERIES["agg_welch_t_pairs"] = agg_welch_t_pairs
 ORACLES["agg_welch_t_pairs"] = AGG_WELCH_T_PAIRS_SQL
+
+
+# --- ts_mann_kendall ----------------------------------------------------------
+
+
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test per event type — the standard partner
+    of the Theil–Sen slope (ts_theil_sen_slope): S = Σ sign(v_j − v_i)
+    over all day pairs i<j, plus the tie-corrected variance's exact
+    integer numerator (18·Var = n(n−1)(2n+5) − Σ t(t−1)(2t+5) over
+    tie groups t). EVERYTHING is exact int64 — sign comparisons of
+    integer milli totals, counts, the closed-form products — nothing
+    float crosses engines at all. Same scale shape as Theil–Sen:
+    aggregate to the daily grid first, pair fan-out is days²-bounded
+    per type regardless of event volume."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("d"),
+            F.floor(F.col("value") * 1000).cast("long").alias("vm"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("vm").alias("v_milli"))
+        .select(
+            "event_type",
+            F.datediff(F.col("d"), F.lit("1970-01-01")).alias("dd"),
+            "v_milli",
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.dd") < F.col("b.dd")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.signum(
+                    (F.col("b.v_milli") - F.col("a.v_milli")).cast("double")
+                ).cast("long")
+            ).alias("s_stat"),
+            F.count("*").alias("n_pairs"),
+        )
+    )
+    n = daily.groupBy("event_type").agg(F.count("*").alias("n_days"))
+    ties = (
+        daily.groupBy("event_type", "v_milli")
+        .agg(F.count("*").alias("tt"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("tt") * (F.col("tt") - 1) * (2 * F.col("tt") + 5)
+            ).alias("tie_term")
+        )
+    )
+    return (
+        s.join(n, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            (
+                F.col("n_days")
+                * (F.col("n_days") - 1)
+                * (2 * F.col("n_days") + 5)
+                - F.col("tie_term")
+            ).alias("var_x18"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TS_MANN_KENDALL_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS dd,
+         CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v_milli
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT a.event_type,
+         CAST(sum(CAST(sign(b.v_milli - a.v_milli) AS BIGINT)) AS BIGINT)
+           AS s_stat,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.dd < b.dd
+  GROUP BY 1
+), n AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1
+), ties AS (
+  SELECT event_type,
+         CAST(sum(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT event_type, v_milli, CAST(count(*) AS BIGINT) AS tt
+        FROM daily GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT event_type, n_days, s_stat,
+       CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS BIGINT)
+         AS var_x18
+FROM s JOIN n USING (event_type) JOIN ties USING (event_type)
+ORDER BY event_type
+"""
+
+QUERIES["ts_mann_kendall"] = ts_mann_kendall
+ORACLES["ts_mann_kendall"] = TS_MANN_KENDALL_SQL
