@@ -6440,6 +6440,32 @@ class MysqlBinlogReader(_DataSourceReader):
             None if raw_start in (None, "") else int(raw_start)
         )
         self.stop_at_gno = None if raw_stop in (None, "") else int(raw_stop)
+        # MULTI-SOURCE bounds ("uuid:gno,uuid:gno"): the batch-format
+        # twin of mysql_binlog_read_gtid_sets / the tail's
+        # start_after_sets — file pruning off PREVIOUS_GTIDS heads,
+        # consumed-prefix skip at the header walk, per-sid residual
+        # row filter
+        raw_sets = options.get("start_after_sets")
+        self.start_after_sets: dict[str, int] | None = None
+        if raw_sets not in (None, ""):
+            if self.start_after_gno is not None:
+                raise ValueError(
+                    "start_after_gno and start_after_sets are mutually "
+                    "exclusive"
+                )
+            if self.gtid_format != "uuid_gno":
+                raise ValueError(
+                    "start_after_sets needs gtid_format=uuid_gno — the "
+                    "per-row filter keys on each row's origin UUID"
+                )
+            self.start_after_sets = {}
+            for part in str(raw_sets).split(","):
+                u, _, g = part.strip().partition(":")
+                if not g:
+                    raise ValueError(
+                        f"start_after_sets entry {part!r} is not uuid:gno"
+                    )
+                self.start_after_sets[u.lower()] = int(g)
 
     def partitions(self):
         import os
@@ -6453,9 +6479,17 @@ class MysqlBinlogReader(_DataSourceReader):
             )
         else:
             paths = [local]
-        paths = prune_binlog_series_by_gtid(
-            paths, self.start_after_gno, self.stop_at_gno
-        )
+        sets_bytes = None
+        if self.start_after_sets is not None:
+            sets_bytes = {
+                bytes.fromhex(u.replace("-", "")): g
+                for u, g in self.start_after_sets.items()
+            }
+            paths = prune_binlog_series_by_gtid_sets(paths, sets_bytes)
+        else:
+            paths = prune_binlog_series_by_gtid(
+                paths, self.start_after_gno, self.stop_at_gno
+            )
         parts = []
         for p in paths:
             for spec in scan_binlog_splits_cached(
@@ -6463,6 +6497,7 @@ class MysqlBinlogReader(_DataSourceReader):
                 self.split_bytes,
                 start_after_gno=self.start_after_gno,
                 stop_at_gno=self.stop_at_gno,
+                start_after_sets=sets_bytes,
             ):
                 parts.append(_BinlogSplit(p, _file_seq_of(p), spec))
         return parts
@@ -6503,6 +6538,22 @@ class MysqlBinlogReader(_DataSourceReader):
             if self.stop_at_gno is not None:
                 batch = batch.filter(
                     pc.less_equal(batch["__gtid"], self.stop_at_gno)
+                )
+            if self.start_after_sets is not None and batch.num_rows:
+                import numpy as np
+                import pyarrow as pa
+
+                srcs = batch["__gtid_src"].to_pylist()
+                bounds = np.fromiter(
+                    (
+                        self.start_after_sets.get((s or "").lower(), 0)
+                        for s in srcs
+                    ),
+                    dtype=np.int64,
+                    count=len(srcs),
+                )
+                batch = batch.filter(
+                    pc.greater(batch["__gtid"], pa.array(bounds))
                 )
             if batch.num_rows:
                 yield batch

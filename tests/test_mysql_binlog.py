@@ -2959,3 +2959,51 @@ def test_mysql_binlog_format_reader_equals_function_api(spark, tmp_path):
         for r in df.collect()
     )
     assert vals(again) == vals(fmt())
+
+
+def test_format_reader_multi_source_sets_equals_gtid_sets(spark, tmp_path):
+    """The format reader's start_after_sets option must produce the
+    exact frame of mysql_binlog_read_gtid_sets — per-sid bounds, file
+    pruning, consumed-prefix skip, residual row filter."""
+    from mysql_cdc_table_spark.sources.datasource import register
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        _sid_to_uuid,
+        mysql_binlog_read_gtid_sets,
+    )
+
+    register(spark)
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "binlog.000001").write_bytes(
+        _two_source_blob(1, 40, previous_gtids={SID_A: [], SID_B: []})
+    )
+    (d / "binlog.000002").write_bytes(
+        _two_source_blob(
+            40, 80, previous_gtids={SID_A: [(1, 40)], SID_B: [(1, 40)]}
+        )
+    )
+    bounds = {SID_A: 60, SID_B: 45}
+    fn = mysql_binlog_read_gtid_sets(
+        spark, str(d), TARGET, "d", "t", start_after=bounds
+    )
+    fmt = (
+        spark.read.format("mysql_binlog")
+        .option("schema_ddl", "id bigint, v string, amt decimal(10,2)")
+        .option("database", "d")
+        .option("table", "t")
+        .option("gtid_format", "uuid_gno")
+        .option(
+            "start_after_sets",
+            ",".join(f"{_sid_to_uuid(s)}:{g}" for s, g in bounds.items()),
+        )
+        .load(str(d))
+    )
+    key = lambda r: tuple(str(x) for x in r)  # noqa: E731
+    assert sorted(map(key, fmt.collect())) == sorted(
+        map(key, fn.collect())
+    )
+    got = {(r["__gtid_src"], r["__gtid"]) for r in fmt.collect()}
+    want = {(_sid_to_uuid(SID_A), g) for g in range(62, 80, 2)} | {
+        (_sid_to_uuid(SID_B), g) for g in range(47, 80, 2)
+    }
+    assert got == want
