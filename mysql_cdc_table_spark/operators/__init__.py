@@ -387,6 +387,14 @@ ROUND8_REVERIFY: tuple[str, ...] = (
 # ROUND5/6/7_LATE_KEYS): keys registered after the front budget filled;
 # pinned BEHIND the window so they cannot evict standing rows — they
 # lead the round-9 window for their first driver rows.
+#
+# Round-9 arithmetic (recorded for the next session): these ~11 late
+# keys lead, then round-9 new keys + re-verify slots for what round 9
+# touches (if it touches the kernel/walkers, the 7 real-binlog keys
+# again — round 8 changed TIME2/SET vectorization, unsigned decode,
+# per-sid scan bounds, so they hold r08 rows), and the backfill
+# RESUMES the stalest r03/r04 rows that skipped round 8 (recorded in
+# the r07 verdict as acceptable).
 ROUND8_LATE_KEYS: tuple[str, ...] = (
     "ts_theil_sen_slope",
     "text_hashing_features",
@@ -398,6 +406,7 @@ ROUND8_LATE_KEYS: tuple[str, ...] = (
     "agg_welch_t_pairs",
     "cdc_binlog_sink_roundtrip",
     "ts_mann_kendall",
+    "sql_parameterized",
 )
 
 

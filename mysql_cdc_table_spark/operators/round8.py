@@ -846,3 +846,52 @@ ORDER BY event_type
 
 QUERIES["ts_mann_kendall"] = ts_mann_kendall
 ORACLES["ts_mann_kendall"] = TS_MANN_KENDALL_SQL
+
+
+# --- sql_parameterized --------------------------------------------------------
+
+
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 parameterized SQL — ``spark.sql(query, args={...})``
+    with named parameter markers, the injection-safe entry point an
+    application layer uses instead of string-splicing literals (fourth
+    SQL entry-point key next to views / pipe syntax / GROUP BY ALL).
+    The markers bind a predicate constant, a LIMIT-style rank bound,
+    and an arithmetic scale factor, so binding has to work in all
+    three positions; the oracle spells the same constants as literals,
+    asserting the binding resolves to exactly the literal plan."""
+    from pyspark.sql import functions as F  # noqa: F401 (parity imports)
+
+    from mysql_cdc_table_spark.operators.extras import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * :scale) AS BIGINT))
+                    AS BIGINT) AS cents_sum
+        FROM orders
+        WHERE o_orderpriority = :prio
+          AND o_orderkey % :modulus = 0
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """,
+        args={"prio": "1-URGENT", "modulus": 3, "scale": 100},
+    )
+
+
+SQL_PARAMETERIZED_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_sum
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+  AND o_orderkey % 3 = 0
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+QUERIES["sql_parameterized"] = sql_parameterized
+ORACLES["sql_parameterized"] = SQL_PARAMETERIZED_SQL
