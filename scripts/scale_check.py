@@ -213,6 +213,16 @@ def main() -> None:
         "window_rolling_mad_outlier",
         "dedup_minhash_eval",
         "ivf_pruned_search",
+        # round 8 session 2: the new operator shapes — pair-grid
+        # robust stats (aggregate-then-fan-out, days²-bounded),
+        # hashing-trick featurization (explode + two-phase distinct
+        # agg), md5 sampling (pure map-side + grouped agg), Welch
+        # pairs (types² broadcast grid over exact sufficient stats)
+        "ts_theil_sen_slope",
+        "ts_mann_kendall",
+        "text_hashing_features",
+        "corpus_hash_sample",
+        "agg_welch_t_pairs",
     ]
     results = {}
     for name in names:

@@ -1064,3 +1064,25 @@ def test_round8_quantize_error_stats_single_agg(spark, sf_dir):
     df = emb_quantize_error_stats(spark, sf_dir)
     assert shuffle_count(df) <= 2
     assert_no_cartesian(df)
+
+
+def test_round8_mann_kendall_aggregates_before_fanout(spark, sf_dir):
+    """Mann–Kendall shares Theil–Sen's scale contract: the pair
+    fan-out runs over the DAILY grid (equi self-join on event_type,
+    zero nested loop), never over raw events."""
+    from mysql_cdc_table_spark.operators.round8 import ts_mann_kendall
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = ts_mann_kendall(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert count_nodes(df, "BroadcastNestedLoopJoin") == 0
+
+
+def test_round8_sql_parameterized_binds_to_pushed_literal_plan(spark, sf_dir):
+    """Parameter binding must resolve to the literal plan: the bound
+    predicate pushes to the parquet scan like any constant filter."""
+    from mysql_cdc_table_spark.operators.round8 import sql_parameterized
+
+    df = sql_parameterized(spark, sf_dir)
+    assert_filter_pushed(df, "o_orderpriority")
+    assert shuffle_count(df) <= 2
