@@ -645,16 +645,20 @@ ORACLES["stream_late_data_audit"] = STREAM_LATE_DATA_AUDIT_SQL
 def agg_welch_t_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's t-statistic for every ordered pair of event types — the
     unequal-variance two-sample test an experimentation platform runs
-    across arms. All inputs to the float expression are EXACT integer
-    sufficient statistics (n, Σv, Σv² of milli-unit values — one
-    map-side-combinable pass over the scan), so the per-pair t and the
-    Welch–Satterthwaite df are fixed-order IEEE expressions both
-    engines evaluate identically (division and sqrt are correctly
-    rounded by IEEE 754; no float accumulates across rows). The pair
-    fan-out is the #types² grid of a broadcast self-join — independent
-    of event volume, the agg_ks_drift shape."""
+    across arms. The per-type sufficient statistics (n, Σv, Σv² of
+    CENTI-unit values) accumulate as exact int64 — Σv² stays in range
+    to ~10⁹ rows per type (the sf1 scale check caught milli units
+    overflowing at 10⁷ rows; past 10⁹, promote the Σv² accumulator to
+    decimal(38) or switch to shifted/Welford double moments). The
+    t/df formula then runs on DOUBLE-cast stats: an int64→double cast
+    is correctly rounded, and every subsequent product/divide/sqrt is
+    a fixed-order IEEE op both engines evaluate identically, so the
+    floored outputs stay hash-exact while the magnitudes (n·q ≈ 10²²
+    at sf1) live comfortably in double range. The pair fan-out is the
+    #types² grid of a broadcast self-join — independent of event
+    volume, the agg_ks_drift shape."""
     e = t(spark, sf_dir, "events")
-    vm = F.floor(F.col("value") * 1000).cast("long")
+    vm = F.floor(F.col("value") * 100).cast("long")
     stats = e.select("event_type", vm.alias("vm")).groupBy(
         "event_type"
     ).agg(
@@ -672,22 +676,20 @@ def agg_welch_t_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("nb"), F.col("s").alias("sb"),
         F.col("q").alias("qb"),
     )
-    # per-side mean and unbiased variance from the exact sums; the
-    # expression order below is mirrored character-for-character in
-    # the oracle so every intermediate double is identical
-    ma = F.col("sa") / F.col("na")
-    mb = F.col("sb") / F.col("nb")
-    va = (F.col("na") * F.col("qa") - F.col("sa") * F.col("sa")) / (
-        F.col("na") * (F.col("na") - 1)
-    )
-    vb = (F.col("nb") * F.col("qb") - F.col("sb") * F.col("sb")) / (
-        F.col("nb") * (F.col("nb") - 1)
-    )
-    sea = va / F.col("na")
-    seb = vb / F.col("nb")
+    # DOUBLE-cast stats; the expression order below is mirrored
+    # character-for-character in the oracle so every intermediate
+    # double is identical
+    nad, sad, qad = (F.col(c).cast("double") for c in ("na", "sa", "qa"))
+    nbd, sbd, qbd = (F.col(c).cast("double") for c in ("nb", "sb", "qb"))
+    ma = sad / nad
+    mb = sbd / nbd
+    va = (nad * qad - sad * sad) / (nad * (nad - 1))
+    vb = (nbd * qbd - sbd * sbd) / (nbd * (nbd - 1))
+    sea = va / nad
+    seb = vb / nbd
     tstat = (ma - mb) / F.sqrt(sea + seb)
     df_ws = ((sea + seb) * (sea + seb)) / (
-        sea * sea / (F.col("na") - 1) + seb * seb / (F.col("nb") - 1)
+        sea * sea / (nad - 1) + seb * seb / (nbd - 1)
     )
     return (
         a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
@@ -706,14 +708,14 @@ def agg_welch_t_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_WELCH_T_PAIRS_SQL = """
 WITH stats AS (
   SELECT event_type,
-         CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS s,
-         CAST(sum(CAST(floor(value * 1000) AS BIGINT)
-                  * CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS q
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE) AS s,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)
+                  * CAST(floor(value * 100) AS BIGINT)) AS DOUBLE) AS q
   FROM events GROUP BY 1
 )
 SELECT a.event_type AS type_a, b.event_type AS type_b,
-       a.n AS na, b.n AS nb,
+       CAST(a.n AS BIGINT) AS na, CAST(b.n AS BIGINT) AS nb,
        CAST(floor(
          ((a.s / a.n) - (b.s / b.n))
          / sqrt(((a.n * a.q - a.s * a.s) / (a.n * (a.n - 1))) / a.n
