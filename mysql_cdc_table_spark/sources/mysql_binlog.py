@@ -6226,6 +6226,19 @@ class MysqlBinlogWriter(_DataSourceWriter):
         self.checksum = (
             str(options.get("checksum", "true")).lower() == "true"
         )
+        # binlog_transaction_compression on the WRITE side: "zstd"
+        # wraps each transaction's TABLE_MAP + rows stream in a
+        # TRANSACTION_PAYLOAD event (compression ZSTD), "none" wraps
+        # uncompressed, default writes plain events — all three decode
+        # through the same readers
+        comp = str(options.get("compression", "")).lower()
+        if comp not in ("", "none", "zstd"):
+            raise ValueError(
+                f"compression={comp!r}: expected 'none' or 'zstd'"
+            )
+        self.payload_wrap: bool | str = (
+            "zstd" if comp == "zstd" else bool(comp == "none")
+        )
 
     def write(self, rows) -> "_WriterCommitMessage":
         import calendar
@@ -6281,6 +6294,7 @@ class MysqlBinlogWriter(_DataSourceWriter):
             blob = build_binlog_file(
                 self.database, self.table, self.target, txns,
                 table_id=self.table_id, checksum=self.checksum,
+                payload_wrap=self.payload_wrap,
             )
             tmp = os.path.join(self.path, f".binlog.{pid + 1:06d}.tmp")
             with open(tmp, "wb") as fh:
