@@ -6191,6 +6191,11 @@ from pyspark.sql.datasource import (  # noqa: E402  (public DataSource API)
 )
 
 
+class _BinlogWriteMsg(_WriterCommitMessage):
+    def __init__(self, name: str | None):
+        self.name = name
+
+
 class MysqlBinlogWriter(_DataSourceWriter):
     """Write a changelog DataFrame back out as REAL binlog v4 files —
     the sink the reference only pretends to have (its write_row
@@ -6290,22 +6295,39 @@ class MysqlBinlogWriter(_DataSourceWriter):
                 )
         pid = TaskContext.get().partitionId()
         os.makedirs(self.path, exist_ok=True)
+        name = None
         if txns:
             blob = build_binlog_file(
                 self.database, self.table, self.target, txns,
                 table_id=self.table_id, checksum=self.checksum,
                 payload_wrap=self.payload_wrap,
             )
-            tmp = os.path.join(self.path, f".binlog.{pid + 1:06d}.tmp")
+            name = f"binlog.{pid + 1:06d}"
+            tmp = os.path.join(self.path, f".{name}.tmp")
             with open(tmp, "wb") as fh:
                 fh.write(blob)
-            os.replace(
-                tmp, os.path.join(self.path, f"binlog.{pid + 1:06d}")
-            )
-        return _WriterCommitMessage()
+            os.replace(tmp, os.path.join(self.path, name))
+        return _BinlogWriteMsg(name)
 
     def commit(self, messages) -> None:
-        pass  # files land atomically per partition (tmp + rename)
+        # files landed atomically per partition (tmp + rename); now
+        # link the ROTATE chain the way a rotating server does — each
+        # sealed file's last event names its successor, so
+        # binlog_chain_gaps() audits sink output like any restored
+        # series (a task cannot know its successor's name: empty input
+        # partitions leave numbering gaps, so the chain is only known
+        # here, after every task reported what it wrote)
+        import os
+
+        names = sorted(m.name for m in messages if getattr(m, "name", None))
+        for i, cur in enumerate(names[:-1]):
+            fpath = os.path.join(self.path, cur)
+            body = struct.pack("<Q", 4) + names[i + 1].encode()
+            with open(fpath, "ab") as fh:
+                fh.write(
+                    _event(0, EV_ROTATE, 1, body,
+                           os.path.getsize(fpath), self.checksum)
+                )
 
     def abort(self, messages) -> None:
         import os

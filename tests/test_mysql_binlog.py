@@ -3081,3 +3081,50 @@ def test_mysql_binlog_writer_sink_compression(spark, tmp_path):
         ).collect()
     )
     assert plain == comp and len(plain) > 0
+
+
+def test_mysql_binlog_writer_sink_rotate_chain(spark, tmp_path):
+    """commit() links the ROTATE chain across the written files (the
+    rotating-server contract), so binlog_chain_gaps audits sink
+    output like any restored series — and the appended ROTATE events
+    are invisible to the row decode."""
+    from mysql_cdc_table_spark.cdc.queries import ORDERS_TARGET_SCHEMA
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+    from mysql_cdc_table_spark.sources.datasource import register
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        binlog_chain_gaps,
+        binlog_file_rotate_target,
+        mysql_binlog_read,
+    )
+
+    register(spark)
+    cl = synthetic_changelog(spark, "/root/testdata/sf0.001").repartition(
+        8, "__gtid"
+    )
+    ddl = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    out = str(tmp_path / "chained")
+    (
+        cl.write.format("mysql_binlog")
+        .option("schema_ddl", ddl)
+        .option("database", "tpch")
+        .option("table", "orders")
+        .mode("overwrite")
+        .save(out)
+    )
+    import os
+
+    files = sorted(os.listdir(out))
+    assert len(files) > 1
+    assert binlog_chain_gaps(out) == []
+    # every sealed file names its successor; the last carries none
+    for i, f in enumerate(files[:-1]):
+        assert binlog_file_rotate_target(os.path.join(out, f)) == files[i + 1]
+    assert binlog_file_rotate_target(os.path.join(out, files[-1])) is None
+    # rows unaffected by the appended ROTATE events
+    n = mysql_binlog_read(
+        spark, out, ORDERS_TARGET_SCHEMA, "tpch", "orders"
+    ).count()
+    assert n == cl.count()
