@@ -6245,11 +6245,8 @@ class MysqlBinlogWriter(_DataSourceWriter):
             "zstd" if comp == "zstd" else bool(comp == "none")
         )
 
-    def write(self, rows) -> "_WriterCommitMessage":
+    def _build_txns(self, rows) -> list:
         import calendar
-        import os
-
-        from pyspark import TaskContext
 
         names = [f.name for f in self.target.fields]
         by_gno: dict[int, list] = {}
@@ -6293,6 +6290,14 @@ class MysqlBinlogWriter(_DataSourceWriter):
                     "(repartition by __gtid) and update images must "
                     "pair before/after"
                 )
+        return txns
+
+    def write(self, rows) -> "_WriterCommitMessage":
+        import os
+
+        from pyspark import TaskContext
+
+        txns = self._build_txns(rows)
         pid = TaskContext.get().partitionId()
         os.makedirs(self.path, exist_ok=True)
         name = None
@@ -6338,6 +6343,94 @@ class MysqlBinlogWriter(_DataSourceWriter):
                     os.remove(os.path.join(self.path, f))
 
 
+from pyspark.sql.datasource import (  # noqa: E402  (public DataSource API)
+    DataSourceStreamWriter as _DataSourceStreamWriter,
+)
+
+
+class MysqlBinlogStreamWriter(_DataSourceStreamWriter):
+    """``writeStream.format("mysql_binlog")`` — stream a changelog into
+    replayable binlog v4 files. Each micro-batch's non-empty task
+    outputs land as tmp files, and the driver-side commit renames them
+    to monotone rotation numbers derived from the BATCH id
+    (``binlog.{batchId*10000 + task_index + 1:09d}``, so every later
+    batch sorts after every earlier one regardless of task counts) and
+    links the ROTATE chain — including from the previous batch's last
+    sealed file into this batch — so a tailing consumer or
+    binlog_chain_gaps sees one continuous rotating series. Commit is
+    idempotent by name: a replayed batch overwrites its own files
+    (at-least-once at the file level, the file-sink contract).
+    write()-side transaction building is the batch writer's (torn
+    update images raise; per-``__gtid`` grouping must be
+    partition-local)."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self._inner = MysqlBinlogWriter(dict(options), True)
+        self.path = self._inner.path
+
+    def write(self, iterator) -> "_WriterCommitMessage":
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        txns = self._inner._build_txns(iterator)
+        if not txns:
+            return _BinlogWriteMsg(None)
+        blob = build_binlog_file(
+            self._inner.database, self._inner.table, self._inner.target,
+            txns, table_id=self._inner.table_id,
+            checksum=self._inner.checksum,
+            payload_wrap=self._inner.payload_wrap,
+        )
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        tmp = f".stream.{uuid.uuid4().hex[:12]}.{pid:06d}.tmp"
+        with open(os.path.join(self.path, tmp), "wb") as fh:
+            fh.write(blob)
+        return _BinlogWriteMsg(tmp)
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        tmps = sorted(
+            m.name for m in messages if getattr(m, "name", None)
+        )
+        prior = sorted(
+            n for n in os.listdir(self.path)
+            if n.startswith("binlog.")
+        ) if os.path.isdir(self.path) else []
+        new_names = []
+        for i, tmp in enumerate(tmps):
+            name = f"binlog.{batchId * 10000 + i + 1:09d}"
+            os.replace(
+                os.path.join(self.path, tmp),
+                os.path.join(self.path, name),
+            )
+            new_names.append(name)
+        # link the chain: prior last file -> first new, then new files
+        # among themselves (the newest stays open, like a live server)
+        chain = ([prior[-1]] if prior and new_names else []) + new_names
+        for i, cur in enumerate(chain[:-1]):
+            fpath = os.path.join(self.path, cur)
+            if binlog_file_rotate_target(fpath) is not None:
+                continue  # replayed batch: already linked
+            body = struct.pack("<Q", 4) + chain[i + 1].encode()
+            with open(fpath, "ab") as fh:
+                fh.write(
+                    _event(0, EV_ROTATE, 1, body,
+                           os.path.getsize(fpath), self._inner.checksum)
+                )
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            name = getattr(m, "name", None)
+            if name and os.path.exists(os.path.join(self.path, name)):
+                os.remove(os.path.join(self.path, name))
+
+
 class MysqlBinlogDataSource(_DataSource):
     """``df.write.format("mysql_binlog")`` — the binlog v4 file sink.
     Options: path, schema_ddl (extended DDL, see datasource._parse_ddl),
@@ -6360,6 +6453,9 @@ class MysqlBinlogDataSource(_DataSource):
 
     def writer(self, schema, overwrite: bool):
         return MysqlBinlogWriter(dict(self.options), overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return MysqlBinlogStreamWriter(dict(self.options), overwrite)
 
 
 def cdc_binlog_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

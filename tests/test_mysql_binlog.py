@@ -3128,3 +3128,88 @@ def test_mysql_binlog_writer_sink_rotate_chain(spark, tmp_path):
         spark, out, ORDERS_TARGET_SCHEMA, "tpch", "orders"
     ).count()
     assert n == cl.count()
+
+
+def test_mysql_binlog_stream_writer_sink_e2e(spark, tmp_path):
+    """writeStream.format('mysql_binlog'): a changelog stream lands as
+    one continuous rotating binlog series — batch-id-derived monotone
+    file numbers, ROTATE chain linked across micro-batches AND across
+    a checkpointed restart, rows exactly the input's."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from mysql_cdc_table_spark.sources.datasource import register
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        binlog_chain_gaps,
+        mysql_binlog_read,
+    )
+
+    register(spark)
+    src_dir, out, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    in_schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    import os
+
+    os.makedirs(src_dir)
+
+    def put(name, lo, hi):
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(lo, hi)], in_schema
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src_dir, name)
+        )
+
+    put("f1", 0, 40)
+    put("f2", 40, 80)
+
+    tgt_ddl = "k bigint, v string"
+
+    def changelog(df):
+        return df.select(
+            "k", "v",
+            F.lit(1).alias("__op"),
+            (F.col("k") + 1).alias("__gtid"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("__tm"),
+            F.lit(1).alias("__file_seq"),
+            F.col("k").alias("__event_seq"),
+            F.lit(0).alias("__image_seq"),
+        ).repartition(2, "__gtid")
+
+    def run_once():
+        q = (
+            changelog(
+                spark.readStream.schema(in_schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir + "/*")
+            )
+            .writeStream.format("mysql_binlog")
+            .option("schema_ddl", tgt_ddl)
+            .option("database", "d")
+            .option("table", "t")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(out)
+        )
+        q.awaitTermination()
+
+    run_once()
+    files1 = sorted(os.listdir(out))
+    assert len(files1) >= 2  # ≥2 micro-batches (maxFilesPerTrigger=1)
+    assert binlog_chain_gaps(out) == []
+    tgt = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    got = mysql_binlog_read(spark, out, tgt, "d", "t")
+    assert sorted(r["k"] for r in got.collect()) == list(range(80))
+
+    # restart from the checkpoint with new input: chain stays intact
+    # across the seam, only the new rows land
+    put("f3", 80, 100)
+    run_once()
+    assert binlog_chain_gaps(out) == []
+    assert len(sorted(os.listdir(out))) > len(files1)
+    got2 = mysql_binlog_read(spark, out, tgt, "d", "t")
+    assert sorted(r["k"] for r in got2.collect()) == list(range(100))
