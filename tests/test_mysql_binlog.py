@@ -3213,3 +3213,72 @@ def test_mysql_binlog_stream_writer_sink_e2e(spark, tmp_path):
     assert len(sorted(os.listdir(out))) > len(files1)
     got2 = mysql_binlog_read(spark, out, tgt, "d", "t")
     assert sorted(r["k"] for r in got2.collect()) == list(range(100))
+
+
+@pytest.mark.parametrize("checksum", [False, True])
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["w", "d", "u"]),
+            st.integers(1, 3),          # images (rows or update pairs)
+            st.integers(-(10**9), 10**9),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_writer_txn_rebuild_roundtrip_property(checksum, txspec):
+    """Hypothesis: the sink's transaction rebuilding (_build_txns — op
+    grouping, update-pair re-pairing, gno ordering, __tm commit ts)
+    write->decodes to exactly the changelog rows it was given, for any
+    mix of multi-image write/delete/update transactions."""
+    import datetime as dtm
+
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        MysqlBinlogWriter,
+    )
+
+    w = MysqlBinlogWriter(
+        {
+            "path": "/nonexistent",  # _build_txns never touches disk
+            "schema_ddl": "id bigint, v string, amt decimal(10,2)",
+            "database": "d",
+            "table": "t",
+        },
+        overwrite=True,
+    )
+    rows, gno = [], 0
+    want = []  # (op, gno, id) triples expected back
+    for op, nimg, base in txspec:
+        gno += 1
+        ts = dtm.datetime(2024, 1, 1, 0, 0, 0) + dtm.timedelta(seconds=gno)
+        for k in range(nimg):
+            vid = base + k
+            img = {"id": vid, "v": f"x{vid}", "amt": Decimal(abs(vid) % 1000)}
+            if op == "u":
+                rows.append({**img, "__op": 2, "__gtid": gno, "__tm": ts,
+                             "__event_seq": gno, "__image_seq": 2 * k})
+                rows.append({**img, "id": vid + 1, "__op": 3, "__gtid": gno,
+                             "__tm": ts, "__event_seq": gno,
+                             "__image_seq": 2 * k + 1})
+                want += [(2, gno, vid), (3, gno, vid + 1)]
+            else:
+                code = 1 if op == "w" else 0
+                rows.append({**img, "__op": code, "__gtid": gno, "__tm": ts,
+                             "__event_seq": gno, "__image_seq": k})
+                want.append((code, gno, vid))
+    import random
+
+    random.Random(42).shuffle(rows)  # grouping must not rely on order
+    txns = w._build_txns(rows)
+    assert [t_["gno"] for t_ in txns] == sorted({r["__gtid"] for r in rows})
+    blob = build_binlog_file("d", "t", w.target, txns, checksum=checksum)
+    got = decode_binlog_bytes(blob, w.target, "d", "t")
+    assert sorted((r["__op"], r["__gtid"], r["id"]) for r in got) == sorted(
+        want
+    )
+    # commit timestamps survive per transaction
+    tms = {r["__gtid"]: r["__tm"] for r in got}
+    for g, tm in tms.items():
+        assert tm == dtm.datetime(2024, 1, 1) + dtm.timedelta(seconds=g)
