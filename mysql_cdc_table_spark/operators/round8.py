@@ -205,7 +205,11 @@ def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("b.dd") - F.col("a.dd"))
                 * 1000.0
             ).cast("long").alias("slope_micro"),
-            (F.col("a.dd") * 100000 + F.col("b.dd")).alias("pair_id"),
+            # cast before the product: dd*100000 would overflow INT32
+            # for dates past 2028
+            (F.col("a.dd").cast("long") * 100000 + F.col("b.dd")).alias(
+                "pair_id"
+            ),
         )
     )
     w = Window.partitionBy("event_type").orderBy("slope_micro", "pair_id")
@@ -233,7 +237,7 @@ WITH daily AS (
   SELECT a.event_type,
          CAST(floor((b.v_milli - a.v_milli) * 1.0
                     / (b.dd - a.dd) * 1000.0) AS BIGINT) AS slope_micro,
-         a.dd * 100000 + b.dd AS pair_id
+         CAST(a.dd AS BIGINT) * 100000 + b.dd AS pair_id
   FROM daily a JOIN daily b
     ON a.event_type = b.event_type AND a.dd < b.dd
 ), ranked AS (
