@@ -105,7 +105,13 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_t = o.groupBy("o_orderstatus").agg(F.count("*").alias("row_total"))
     col_t = o.groupBy("o_orderpriority").agg(F.count("*").alias("col_total"))
     n = o.groupBy().agg(F.count("*").alias("n_all"))
-    e = (F.col("row_total") * F.col("col_total")) / F.col("n_all")
+    # DOUBLE-cast before the product: bigint row_total*col_total
+    # overflows int64 past ~3e9 rows (the welch lesson); int64->double
+    # casts are correctly rounded, so the floored outputs stay
+    # hash-exact at any N
+    e = (
+        F.col("row_total").cast("double") * F.col("col_total").cast("double")
+    ) / F.col("n_all").cast("double")
     diff = F.col("n_obs") - e
     return (
         cells.join(F.broadcast(row_t), "o_orderstatus")
@@ -139,12 +145,12 @@ WITH cells AS (
   SELECT CAST(count(*) AS BIGINT) AS n_all FROM orders
 )
 SELECT status, priority, n_obs,
-       CAST(floor(((row_total * col_total) / n_all) * 1000.0) AS BIGINT)
+       CAST(floor(((CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)) / CAST(n_all AS DOUBLE)) * 1000.0) AS BIGINT)
          AS expected_milli,
        CAST(floor(
-         (n_obs - (row_total * col_total) / n_all)
-         * (n_obs - (row_total * col_total) / n_all)
-         / ((row_total * col_total) / n_all) * 1000000.0
+         (n_obs - (CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)) / CAST(n_all AS DOUBLE))
+         * (n_obs - (CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)) / CAST(n_all AS DOUBLE))
+         / ((CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)) / CAST(n_all AS DOUBLE)) * 1000000.0
        ) AS BIGINT) AS contrib_micro
 FROM cells
 JOIN rt USING (status)
