@@ -3282,3 +3282,38 @@ def test_writer_txn_rebuild_roundtrip_property(checksum, txspec):
     tms = {r["__gtid"]: r["__tm"] for r in got}
     for g, tm in tms.items():
         assert tm == dtm.datetime(2024, 1, 1) + dtm.timedelta(seconds=g)
+
+
+def test_split_cache_keys_on_per_sid_bounds(tmp_path):
+    """Different start_after_sets maps must never share a cache entry
+    (memory OR disk tier) — a stale hit would silently decode the
+    wrong window."""
+    from mysql_cdc_table_spark.sources import mysql_binlog as mbm
+
+    p = tmp_path / "binlog.000001"
+    p.write_bytes(_two_source_blob(1, 100))
+    cdir = str(tmp_path / "cache")
+
+    mbm._SPLIT_MEM_CACHE.clear()
+    full = mbm.scan_binlog_splits_cached(str(p), 1 << 62, cache_dir=cdir)
+    t1 = mbm.scan_binlog_splits_cached(
+        str(p), 1 << 62, cache_dir=cdir,
+        start_after_sets={SID_A: 90, SID_B: 89},
+    )
+    t2 = mbm.scan_binlog_splits_cached(
+        str(p), 1 << 62, cache_dir=cdir,
+        start_after_sets={SID_A: 50, SID_B: 49},
+    )
+    assert full[0]["start"] < t2[0]["start"] < t1[0]["start"]
+    # warm re-reads return their own entries
+    assert mbm.scan_binlog_splits_cached(
+        str(p), 1 << 62, cache_dir=cdir,
+        start_after_sets={SID_A: 90, SID_B: 89},
+    ) == t1
+    # disk tier round-trips the sets-keyed entry after a mem wipe
+    mbm._SPLIT_MEM_CACHE.clear()
+    assert mbm.scan_binlog_splits_cached(
+        str(p), 1 << 62, cache_dir=cdir,
+        start_after_sets={SID_A: 50, SID_B: 49},
+    ) == t2
+    mbm._SPLIT_MEM_CACHE.clear()
