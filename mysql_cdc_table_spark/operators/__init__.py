@@ -407,6 +407,7 @@ ROUND8_LATE_KEYS: tuple[str, ...] = (
     "cdc_binlog_sink_roundtrip",
     "ts_mann_kendall",
     "sql_parameterized",
+    "sql_scripting",
 )
 
 

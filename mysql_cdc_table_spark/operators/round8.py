@@ -907,3 +907,60 @@ ORDER BY o_orderstatus
 
 QUERIES["sql_parameterized"] = sql_parameterized
 ORACLES["sql_parameterized"] = SQL_PARAMETERIZED_SQL
+
+
+# --- sql_scripting ------------------------------------------------------------
+
+
+def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scripting (BEGIN…END, DECLARE, WHILE) — the
+    procedural entry point (fifth SQL surface): a WHILE loop walks the
+    five priority classes, accumulating counts and cents into declared
+    variables via scalar-subquery SETs; the script's final SELECT is
+    the result. The oracle computes the same totals in one declarative
+    aggregate, so the loop's control flow, variable scoping, and
+    per-iteration predicates must all resolve to exactly the set-based
+    answer. (Control flow runs on the DRIVER; each iteration's scan is
+    a normal pushed-filter job — scripting is orchestration sugar, not
+    a new execution path, which is why the set-based oracle form is
+    what production should ship.)"""
+    from mysql_cdc_table_spark.operators.extras import register_views
+
+    register_views(spark, sf_dir)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE i INT DEFAULT 1;
+          DECLARE n_total BIGINT DEFAULT 0;
+          DECLARE cents BIGINT DEFAULT 0;
+          WHILE i <= 5 DO
+            SET n_total = n_total + (
+              SELECT count(*) FROM orders
+              WHERE o_orderpriority LIKE CAST(i AS STRING) || '-%'
+            );
+            SET cents = cents + (
+              SELECT coalesce(
+                sum(CAST(floor(o_totalprice * 100) AS BIGINT)), 0
+              )
+              FROM orders
+              WHERE o_orderpriority LIKE CAST(i AS STRING) || '-%'
+            );
+            SET i = i + 1;
+          END WHILE;
+          SELECT n_total, cents;
+        END
+        """
+    )
+
+
+SQL_SCRIPTING_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+WHERE substr(o_orderpriority, 1, 2) IN ('1-', '2-', '3-', '4-', '5-')
+"""
+
+QUERIES["sql_scripting"] = sql_scripting
+ORACLES["sql_scripting"] = SQL_SCRIPTING_SQL
