@@ -6353,7 +6353,7 @@ class MysqlBinlogStreamWriter(_DataSourceStreamWriter):
     replayable binlog v4 files. Each micro-batch's non-empty task
     outputs land as tmp files, and the driver-side commit renames them
     to monotone rotation numbers derived from the BATCH id
-    (``binlog.{batchId*10000 + task_index + 1:09d}``, so every later
+    (``binlog.{batchId*10000 + task_index + 1:012d}``, so every later
     batch sorts after every earlier one regardless of task counts) and
     links the ROTATE chain — including from the previous batch's last
     sealed file into this batch — so a tailing consumer or
@@ -6402,7 +6402,9 @@ class MysqlBinlogStreamWriter(_DataSourceStreamWriter):
         ) if os.path.isdir(self.path) else []
         new_names = []
         for i, tmp in enumerate(tmps):
-            name = f"binlog.{batchId * 10000 + i + 1:09d}"
+            # 12 digits: 10k-task stride sustains ~10^8 micro-batches
+            # (decades at any real trigger) before width rollover
+            name = f"binlog.{batchId * 10000 + i + 1:012d}"
             os.replace(
                 os.path.join(self.path, tmp),
                 os.path.join(self.path, name),
