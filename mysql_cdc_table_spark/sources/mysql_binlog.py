@@ -6559,7 +6559,8 @@ class MysqlBinlogReader(_DataSourceReader):
     function API, whose stage-1 header walk is itself distributed."""
 
     def __init__(self, options: dict):
-        self.path = options["path"]
+        self.options_index_file = options.get("index_file")
+        self.path = options.get("path") if self.options_index_file else options["path"]
         self.database = options["database"]
         self.table = options["table"]
         self.target = _tail_target(options)
@@ -6604,15 +6605,33 @@ class MysqlBinlogReader(_DataSourceReader):
     def partitions(self):
         import os
 
-        local = _strip_file_scheme(self.path)
-        if os.path.isdir(local):
-            paths = sorted(
-                os.path.join(local, n)
-                for n in os.listdir(local)
-                if not n.startswith(("_", "."))
-            )
+        # the reference's binlog.index entry point, on the format
+        # surface too: option("index_file", ...) reads the listed
+        # files (relative names resolve against the index's dir)
+        index_file = self.options_index_file
+        if index_file:
+            base = os.path.dirname(os.path.abspath(index_file))
+            with open(index_file) as fh:
+                paths = [
+                    p if os.path.isabs(p) else os.path.join(base, p)
+                    for p in (line.strip() for line in fh)
+                    if p
+                ]
+            if not paths:
+                raise ValueError(
+                    f"binlog index {index_file} lists no files"
+                )
         else:
-            paths = [local]
+            local = _strip_file_scheme(self.path)
+            if os.path.isdir(local):
+                paths = sorted(
+                    os.path.join(local, n)
+                    for n in os.listdir(local)
+                    if not n.startswith(("_", "."))
+                    and not n.endswith(".index")
+                )
+            else:
+                paths = [local]
         sets_bytes = None
         if self.start_after_sets is not None:
             sets_bytes = {

@@ -3317,3 +3317,50 @@ def test_split_cache_keys_on_per_sid_bounds(tmp_path):
         start_after_sets={SID_A: 50, SID_B: 49},
     ) == t2
     mbm._SPLIT_MEM_CACHE.clear()
+
+
+def test_format_reader_index_file_entry(spark, tmp_path):
+    """option('index_file', ...) on the format reader mirrors the
+    reference's binlog.index contract: exactly the listed files scan,
+    in listed order, skipping unlisted files in the same directory."""
+    from mysql_cdc_table_spark.sources.datasource import register
+
+    register(spark)
+    d = tmp_path / "logs"
+    d.mkdir()
+    for i, (lo, hi) in enumerate([(1, 20), (20, 40), (40, 60)], start=1):
+        (d / f"binlog.{i:06d}").write_bytes(_two_source_blob(lo, hi))
+    # index lists files 1 and 3 only (file 2 purged from the index)
+    (d / "binlog.index").write_text("binlog.000001\nbinlog.000003\n")
+
+    got = (
+        spark.read.format("mysql_binlog")
+        .option("schema_ddl", "id bigint, v string, amt decimal(10,2)")
+        .option("database", "d")
+        .option("table", "t")
+        .option("index_file", str(d / "binlog.index"))
+        .load()
+    )
+    assert sorted(r["__gtid"] for r in got.collect()) == (
+        list(range(1, 20)) + list(range(40, 60))
+    )
+
+
+def test_format_reader_dir_listing_skips_index_file(spark, tmp_path):
+    """A co-located binlog.index must not be scanned as a binlog file
+    when the format reader lists the directory itself."""
+    from mysql_cdc_table_spark.sources.datasource import register
+
+    register(spark)
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "binlog.000001").write_bytes(_two_source_blob(1, 10))
+    (d / "binlog.index").write_text("binlog.000001\n")
+    got = (
+        spark.read.format("mysql_binlog")
+        .option("schema_ddl", "id bigint, v string, amt decimal(10,2)")
+        .option("database", "d")
+        .option("table", "t")
+        .load(str(d))
+    )
+    assert sorted(r["__gtid"] for r in got.collect()) == list(range(1, 10))
