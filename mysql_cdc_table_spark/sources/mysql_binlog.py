@@ -1646,7 +1646,7 @@ def binlog_chain_gaps(path: str) -> list[tuple[str, str]]:
         paths = sorted(
             os.path.join(local, n)
             for n in os.listdir(local)
-            if not n.startswith(("_", "."))
+            if not n.startswith(("_", ".")) and not n.endswith(".index")
         )
     else:
         paths = [local]
@@ -2840,7 +2840,7 @@ def binlog_executed_gtid_set(spark: SparkSession, path: str) -> DataFrame:
         paths = sorted(
             os.path.join(local, n)
             for n in os.listdir(local)
-            if not n.startswith(("_", "."))
+            if not n.startswith(("_", ".")) and not n.endswith(".index")
         )
     else:
         paths = [local]
@@ -3034,7 +3034,7 @@ def binlog_ddl_history(spark: SparkSession, path: str) -> DataFrame:
         paths = sorted(
             os.path.join(local, n)
             for n in os.listdir(local)
-            if not n.startswith(("_", "."))
+            if not n.startswith(("_", ".")) and not n.endswith(".index")
         )
     else:
         paths = [local]
@@ -3235,7 +3235,7 @@ def mysql_binlog_read_time_range(
         paths = sorted(
             os.path.join(local, n)
             for n in os.listdir(local)
-            if not n.startswith(("_", "."))
+            if not n.startswith(("_", ".")) and not n.endswith(".index")
         )
     else:
         paths = [local]
@@ -3631,7 +3631,7 @@ def mysql_binlog_read_parallel(
             paths = sorted(
                 os.path.join(local, n)
                 for n in os.listdir(local)
-                if not n.startswith(("_", "."))
+                if not n.startswith(("_", ".")) and not n.endswith(".index")
             )
         else:
             paths = [local]
@@ -3792,7 +3792,7 @@ def mysql_binlog_read_gtid_sets(
         paths = sorted(
             os.path.join(local, n)
             for n in os.listdir(local)
-            if not n.startswith(("_", "."))
+            if not n.startswith(("_", ".")) and not n.endswith(".index")
         )
     else:
         paths = [local]
@@ -5650,7 +5650,7 @@ def cdc_binlog_event_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = sorted(
         os.path.join(stage, n)
         for n in os.listdir(stage)
-        if not n.startswith(("_", "."))
+        if not n.startswith(("_", ".")) and not n.endswith(".index")
     )
     fdf = spark.createDataFrame(
         [(p,) for p in paths], "path string"
@@ -6627,8 +6627,7 @@ class MysqlBinlogReader(_DataSourceReader):
                 paths = sorted(
                     os.path.join(local, n)
                     for n in os.listdir(local)
-                    if not n.startswith(("_", "."))
-                    and not n.endswith(".index")
+                    if not n.startswith(("_", ".")) and not n.endswith(".index")
                 )
             else:
                 paths = [local]
