@@ -408,6 +408,7 @@ ROUND8_LATE_KEYS: tuple[str, ...] = (
     "ts_mann_kendall",
     "sql_parameterized",
     "sql_scripting",
+    "cdc_incremental_agg",
 )
 
 

@@ -964,3 +964,67 @@ WHERE substr(o_orderpriority, 1, 2) IN ('1-', '2-', '3-', '4-', '5-')
 
 QUERIES["sql_scripting"] = sql_scripting
 ORACLES["sql_scripting"] = SQL_SCRIPTING_SQL
+
+
+# --- cdc_incremental_agg ------------------------------------------------------
+
+
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance, driver-proven: a grouped aggregate
+    (rows + cents per status) maintained purely from SIGNED changelog
+    deltas — insert/update-after images add, delete/update-before
+    images subtract — must equal the same aggregate over the
+    materialized latest state. This is THE reason CDC engines exist at
+    100 TB: the delta form is ONE map-side-combinable pass over new
+    changelog rows (no per-key window, no rescan of accumulated
+    state — foldable into any running store), while the oracle
+    recomputes the aggregate from the fully ranked latest state. The
+    accounting telescopes per key across chained updates and
+    status-changing updates move their key between groups via the
+    -before/+after pair, so one wrong op sign or a missed tombstone
+    image breaks the hash."""
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+
+    cl = synthetic_changelog(spark, sf_dir)
+    sgn = F.when(F.col("__op").isin(1, 3), F.lit(1)).otherwise(F.lit(-1))
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    return (
+        cl.select(
+            F.col("o_orderstatus").alias("status"),
+            sgn.alias("sgn"),
+            (sgn * cents).alias("dc"),
+        )
+        .groupBy("status")
+        .agg(
+            F.sum("sgn").alias("n_rows"),
+            F.sum("dc").alias("cents_sum"),
+        )
+        .filter(F.col("n_rows") > 0)
+        .orderBy("status")
+    )
+
+
+def _cdc_incremental_agg_sql() -> str:
+    from mysql_cdc_table_spark.cdc.synthetic import CHANGELOG_CTE
+
+    return f"""
+WITH {CHANGELOG_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey
+      ORDER BY __gtid DESC, __event_seq DESC, __image_seq DESC) AS __rn
+  FROM changelog
+)
+SELECT o_orderstatus AS status,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_sum
+FROM ranked
+WHERE __rn = 1 AND __op <> 0
+GROUP BY o_orderstatus
+ORDER BY status
+"""
+
+
+QUERIES["cdc_incremental_agg"] = cdc_incremental_agg
+ORACLES["cdc_incremental_agg"] = _cdc_incremental_agg_sql()

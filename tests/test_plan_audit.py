@@ -1086,3 +1086,17 @@ def test_round8_sql_parameterized_binds_to_pushed_literal_plan(spark, sf_dir):
     df = sql_parameterized(spark, sf_dir)
     assert_filter_pushed(df, "o_orderpriority")
     assert shuffle_count(df) <= 2
+
+
+def test_round8_incremental_agg_is_one_pass_no_window(spark, sf_dir):
+    """The IVM point, asserted: the delta-maintained aggregate costs
+    ONE map-side-combinable aggregation over the changelog scan —
+    zero Window nodes, zero joins — where the latest-state oracle
+    needs the full per-key ranking."""
+    from mysql_cdc_table_spark.operators.round8 import cdc_incremental_agg
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = cdc_incremental_agg(spark, sf_dir)
+    assert count_nodes(df, "Window") == 0
+    assert shuffle_count(df) <= 2  # agg exchange + final sort
+    assert_no_cartesian(df)
