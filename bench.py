@@ -246,6 +246,64 @@ def _ivf_pruned_search_query(spark, sf_dir):
     return ivf_pruned_search(ec, cents, q, KNN_IVF_N_PROBE, KNN_IVF_K)
 
 
+def _sink_dirs(sf_dir: str) -> tuple[str, str]:
+    return (
+        _bench_tmp_dir("bench_sink_changelog", sf_dir),
+        _bench_tmp_dir("bench_sink_binlogs", sf_dir),
+    )
+
+
+_SINK_DDL = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+
+
+def _stage_sink_input(spark, sf_dir: str) -> None:
+    """Materialize the changelog once, untimed: the timed entry should
+    measure the SINK (encode + file write + chain commit) and the
+    read-back, not the synthetic changelog derivation."""
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+
+    in_dir, _ = _sink_dirs(sf_dir)
+    (
+        synthetic_changelog(spark, sf_dir)
+        .repartition(8, "__gtid")
+        .write.mode("overwrite")
+        .parquet(in_dir)
+    )
+
+
+def _binlog_sink_write_query(spark, sf_dir):
+    """20th entry: the round-8 WRITE path — a staged changelog goes out
+    through df.write.format("mysql_binlog") (CRC32, per-partition
+    files, ROTATE-chain commit) and the fresh files read back through
+    the standard reader. The eager write runs inside this call, so the
+    timed number covers encode + write + decode — the full replay-file
+    round trip a CDC archival job pays."""
+    from mysql_cdc_table_spark.sources.datasource import register
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        mysql_binlog_read,
+    )
+
+    register(spark)
+    in_dir, out_dir = _sink_dirs(sf_dir)
+    (
+        spark.read.parquet(in_dir)
+        .write.format("mysql_binlog")
+        .option("schema_ddl", _SINK_DDL)
+        .option("database", "tpch")
+        .option("table", "orders")
+        .mode("overwrite")
+        .save(out_dir)
+    )
+    from mysql_cdc_table_spark.cdc.queries import ORDERS_TARGET_SCHEMA
+
+    return mysql_binlog_read(
+        spark, out_dir, ORDERS_TARGET_SCHEMA, "tpch", "orders"
+    )
+
+
 def _bench_tmp_dir(prefix: str, sf_dir: str) -> str:
     import hashlib
     import tempfile
@@ -336,6 +394,8 @@ def main() -> None:
     queries["binlog_gtid_resume"] = _binlog_gtid_resume_query
     _stage_ivf(spark, sf_dir)
     queries["ivf_pruned_search"] = _ivf_pruned_search_query
+    _stage_sink_input(spark, sf_dir)
+    queries["binlog_sink_write"] = _binlog_sink_write_query
 
     # Three runs per query, report the fastest warm one: the first run
     # pays one-off whole-stage-codegen compilation + plan construction
@@ -358,7 +418,7 @@ def main() -> None:
     # invocations). A long-lived cluster amortizes compilation away, so
     # the warm steady state is the honest number; it also makes the
     # anchor-drift sentinel near-zero when the box is healthy.
-    for name in [*HEADLINE, "packed_binlog_scan", "mysql_binlog_scan", "binlog_gtid_resume", "ivf_pruned_search"]:
+    for name in [*HEADLINE, "packed_binlog_scan", "mysql_binlog_scan", "binlog_gtid_resume", "ivf_pruned_search", "binlog_sink_write"]:
         queries[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
@@ -372,7 +432,7 @@ def main() -> None:
     # ±15% band flags contention.
     def sweep(load_pre_sweep) -> dict:
         times: dict[str, float] = {}
-        for name in [*HEADLINE, "packed_binlog_scan", "mysql_binlog_scan", "binlog_gtid_resume", "ivf_pruned_search"]:
+        for name in [*HEADLINE, "packed_binlog_scan", "mysql_binlog_scan", "binlog_gtid_resume", "ivf_pruned_search", "binlog_sink_write"]:
             times[name] = timed(name)
         anchor_first = times[HEADLINE[0]]
         anchor_last = timed(HEADLINE[0])
@@ -434,7 +494,11 @@ def main() -> None:
                 #    isolated from the emb_knn_classify_ivf agreement
                 #    harness; index staged untimed) — TOTAL grows by
                 #    one more entry (r08)
-                "protocol": 6,
+                # 7: + binlog_sink_write entry (round-8 write path:
+                #    staged changelog -> binlog v4 files -> read-back;
+                #    encode + write + decode in one number) — TOTAL
+                #    grows by one more entry (r08)
+                "protocol": 7,
                 "anchor": HEADLINE[0],
                 "anchor_first_sec": result["anchor_first_sec"],
                 "anchor_last_sec": result["anchor_last_sec"],
