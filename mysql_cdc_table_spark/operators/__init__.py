@@ -409,6 +409,7 @@ ROUND8_LATE_KEYS: tuple[str, ...] = (
     "sql_parameterized",
     "sql_scripting",
     "cdc_incremental_agg",
+    "agg_mann_whitney_u",
 )
 
 

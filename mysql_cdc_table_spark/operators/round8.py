@@ -1028,3 +1028,117 @@ ORDER BY status
 
 QUERIES["cdc_incremental_agg"] = cdc_incremental_agg
 ORACLES["cdc_incremental_agg"] = _cdc_incremental_agg_sql()
+
+
+# --- agg_mann_whitney_u -------------------------------------------------------
+
+
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U — the nonparametric twin of agg_welch_t_pairs —
+    for the two lexicographically first event types, computed by
+    DISTRIBUTED ranking: collapse both samples onto the DISTINCT-value
+    grid first (one map-side-combinable count per (value, side)), then
+    rank on the grid — tied observations share a value row, so the
+    average-rank tie rule becomes exact integer arithmetic
+    (2·avg_rank = 2·prefix + count + 1, no halves), and the only
+    ordered structure is a grid-sized running sum, independent of row
+    count (the corpus_zipf_coverage vocab-window argument). Emits
+    doubled rank sums and U statistics so everything stays int64; the
+    tie term Σt(t−1)(t+1) feeds the variance correction downstream.
+    100 TB shape: two scans' worth of counts, one tiny-grid window —
+    never a global sort of raw rows. Magnitude note: doubled rank
+    sums are inherently ~n² (U ≤ n1·n2), so int64 holds to ~2·10⁹
+    combined rows — past that, promote the rank-sum accumulators to
+    decimal(38) (the statistic itself is already z-scored through
+    doubles downstream)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    two = (
+        e.groupBy("event_type").count().orderBy("event_type").limit(2)
+    )
+    picked = [r["event_type"] for r in two.collect()]
+    ta, tb = picked[0], picked[1]
+    vm = F.floor(F.col("value") * 1000).cast("long")
+    grid = (
+        e.filter(F.col("event_type").isin(ta, tb))
+        .select(
+            vm.alias("vm"),
+            F.when(F.col("event_type") == ta, 1).otherwise(0).alias("isa"),
+        )
+        .groupBy("vm")
+        .agg(
+            F.count_if(F.col("isa") == 1).alias("c1"),
+            F.count_if(F.col("isa") == 0).alias("c2"),
+        )
+    )
+    w = Window.orderBy("vm").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = grid.select(
+        "vm",
+        "c1",
+        "c2",
+        (
+            F.sum(F.col("c1") + F.col("c2")).over(w)
+            - (F.col("c1") + F.col("c2"))
+        ).alias("prev"),
+    )
+    agg = ranked.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(
+            F.col("c1")
+            * (2 * F.col("prev") + F.col("c1") + F.col("c2") + 1)
+        ).alias("r1_x2"),
+        F.sum(
+            (F.col("c1") + F.col("c2"))
+            * (F.col("c1") + F.col("c2") - 1)
+            * (F.col("c1") + F.col("c2") + 1)
+        ).alias("tie_term"),
+    )
+    return agg.select(
+        F.lit(ta).alias("type_a"),
+        F.lit(tb).alias("type_b"),
+        "n1",
+        "n2",
+        "r1_x2",
+        (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)).alias("u1_x2"),
+        "tie_term",
+    )
+
+
+AGG_MANN_WHITNEY_U_SQL = """
+WITH two AS (
+  SELECT event_type FROM events GROUP BY 1 ORDER BY 1 LIMIT 2
+), named AS (
+  SELECT min(event_type) AS ta, max(event_type) AS tb FROM two
+), grid AS (
+  SELECT CAST(floor(e.value * 1000) AS BIGINT) AS vm,
+         CAST(count(*) FILTER (WHERE e.event_type = n.ta) AS BIGINT) AS c1,
+         CAST(count(*) FILTER (WHERE e.event_type = n.tb) AS BIGINT) AS c2
+  FROM events e CROSS JOIN named n
+  WHERE e.event_type IN (n.ta, n.tb)
+  GROUP BY 1
+), ranked AS (
+  SELECT vm, c1, c2,
+         CAST(sum(c1 + c2) OVER (ORDER BY vm
+              ROWS UNBOUNDED PRECEDING) - (c1 + c2) AS BIGINT) AS prev
+  FROM grid
+), agg AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(sum(c2) AS BIGINT) AS n2,
+         CAST(sum(c1 * (2 * prev + c1 + c2 + 1)) AS BIGINT) AS r1_x2,
+         CAST(sum((c1 + c2) * (c1 + c2 - 1) * (c1 + c2 + 1)) AS BIGINT)
+           AS tie_term
+  FROM ranked
+)
+SELECT n.ta AS type_a, n.tb AS type_b,
+       a.n1, a.n2, a.r1_x2,
+       CAST(a.r1_x2 - a.n1 * (a.n1 + 1) AS BIGINT) AS u1_x2,
+       a.tie_term
+FROM agg a CROSS JOIN named n
+"""
+
+QUERIES["agg_mann_whitney_u"] = agg_mann_whitney_u
+ORACLES["agg_mann_whitney_u"] = AGG_MANN_WHITNEY_U_SQL
