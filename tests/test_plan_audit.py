@@ -1100,3 +1100,19 @@ def test_round8_incremental_agg_is_one_pass_no_window(spark, sf_dir):
     assert count_nodes(df, "Window") == 0
     assert shuffle_count(df) <= 2  # agg exchange + final sort
     assert_no_cartesian(df)
+
+
+def test_round8_mann_whitney_windows_the_grid_not_rows(spark, sf_dir):
+    """MW-U's only window runs over the DISTINCT-VALUE grid (post-
+    aggregation), never the raw rows: one Window node downstream of a
+    grouped count, bounded shuffles, no join fan-out."""
+    from mysql_cdc_table_spark.operators.round8 import agg_mann_whitney_u
+    from mysql_cdc_table_spark.plans.audit import count_nodes, formatted_plan
+
+    df = agg_mann_whitney_u(spark, sf_dir)
+    assert count_nodes(df, "Window") == 1
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    # the grid aggregation (partial+final HashAggregate on vm) must
+    # appear BELOW the window in the plan — rows collapse before rank
+    assert plan.index("HashAggregate") < plan.index("Window (")
