@@ -3364,3 +3364,32 @@ def test_format_reader_dir_listing_skips_index_file(spark, tmp_path):
         .load(str(d))
     )
     assert sorted(r["__gtid"] for r in got.collect()) == list(range(1, 10))
+
+
+def test_sink_abort_paths_clean_partial_output(tmp_path):
+    """Failure hygiene: the batch writer's abort drops its .tmp debris
+    (earlier committed files untouched); the stream writer's abort
+    drops exactly the tmp files its messages name."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        MysqlBinlogStreamWriter,
+        MysqlBinlogWriter,
+        _BinlogWriteMsg,
+    )
+
+    opts = {
+        "path": str(tmp_path), "schema_ddl": "id bigint",
+        "database": "d", "table": "t",
+    }
+    (tmp_path / "binlog.000001").write_bytes(b"committed")
+    (tmp_path / ".binlog.000002.tmp").write_bytes(b"partial")
+    MysqlBinlogWriter(opts, overwrite=True).abort([])
+    assert sorted(p.name for p in tmp_path.iterdir()) == ["binlog.000001"]
+
+    (tmp_path / ".stream.abc.000001.tmp").write_bytes(b"p1")
+    (tmp_path / ".stream.def.000002.tmp").write_bytes(b"p2")
+    sw = MysqlBinlogStreamWriter(opts, overwrite=False)
+    sw.abort([_BinlogWriteMsg(".stream.abc.000001.tmp"),
+              _BinlogWriteMsg(None)], batchId=7)
+    names = sorted(p.name for p in tmp_path.iterdir())
+    # only the NAMED tmp went; the other task's tmp awaits ITS abort
+    assert names == [".stream.def.000002.tmp", "binlog.000001"]
