@@ -410,6 +410,7 @@ ROUND8_LATE_KEYS: tuple[str, ...] = (
     "sql_scripting",
     "cdc_incremental_agg",
     "agg_mann_whitney_u",
+    "agg_kruskal_rank_sums",
 )
 
 

@@ -1142,3 +1142,76 @@ FROM agg a CROSS JOIN named n
 
 QUERIES["agg_mann_whitney_u"] = agg_mann_whitney_u
 ORACLES["agg_mann_whitney_u"] = AGG_MANN_WHITNEY_U_SQL
+
+
+# --- agg_kruskal_rank_sums ----------------------------------------------------
+
+
+def agg_kruskal_rank_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis sufficient statistics — the k-sample extension of
+    agg_mann_whitney_u, ALL event types ranked in ONE pass: collapse
+    every sample onto the shared distinct-value grid (counts per
+    (value, type)), rank on the grid (ties share a value row, doubled
+    average ranks stay exact integers), and emit each type's n_j and
+    doubled rank sum — the exact inputs of H = 12/(N(N+1))·ΣR_j²/n_j
+    − 3(N+1). H itself is NOT emitted: it sums floats across types,
+    whose accumulation order is engine-specific; the integer
+    sufficient statistics are the deterministic contract (the Welch
+    precedent). Scale shape: one map-side-combinable count, one
+    grid-sized window shared by all k samples — ranking k groups
+    costs the same as ranking two."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    vm = F.floor(F.col("value") * 1000).cast("long")
+    grid = (
+        e.select("event_type", vm.alias("vm"))
+        .groupBy("vm", "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = grid.groupBy("vm").agg(F.sum("c").alias("ct"))
+    w = Window.orderBy("vm").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = tot.select(
+        "vm",
+        "ct",
+        (F.sum("ct").over(w) - F.col("ct")).alias("prev"),
+    )
+    return (
+        grid.join(ranked, "vm")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").alias("n_j"),
+            F.sum(
+                F.col("c") * (2 * F.col("prev") + F.col("ct") + 1)
+            ).alias("r_x2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+AGG_KRUSKAL_RANK_SUMS_SQL = """
+WITH grid AS (
+  SELECT CAST(floor(value * 1000) AS BIGINT) AS vm,
+         event_type,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT vm, CAST(sum(c) AS BIGINT) AS ct FROM grid GROUP BY 1
+), ranked AS (
+  SELECT vm, ct,
+         CAST(sum(ct) OVER (ORDER BY vm ROWS UNBOUNDED PRECEDING) - ct
+              AS BIGINT) AS prev
+  FROM tot
+)
+SELECT g.event_type,
+       CAST(sum(g.c) AS BIGINT) AS n_j,
+       CAST(sum(g.c * (2 * r.prev + r.ct + 1)) AS BIGINT) AS r_x2
+FROM grid g JOIN ranked r USING (vm)
+GROUP BY g.event_type
+ORDER BY g.event_type
+"""
+
+QUERIES["agg_kruskal_rank_sums"] = agg_kruskal_rank_sums
+ORACLES["agg_kruskal_rank_sums"] = AGG_KRUSKAL_RANK_SUMS_SQL
