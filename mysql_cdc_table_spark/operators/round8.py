@@ -927,9 +927,17 @@ def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_cdc_table_spark.operators.extras import register_views
 
     register_views(spark, sf_dir)
+    # enable scripting only for this statement — restore the prior
+    # session value so a registry sweep / bench run doesn't inherit
+    # the flag as a side effect of building this one key
+    try:
+        prior = spark.conf.get("spark.sql.scripting.enabled")
+    except Exception:
+        prior = None
     spark.conf.set("spark.sql.scripting.enabled", "true")
-    return spark.sql(
-        """
+    try:
+        return spark.sql(
+            """
         BEGIN
           DECLARE i INT DEFAULT 1;
           DECLARE n_total BIGINT DEFAULT 0;
@@ -951,7 +959,12 @@ def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT n_total, cents;
         END
         """
-    )
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prior)
 
 
 SQL_SCRIPTING_SQL = """

@@ -69,6 +69,7 @@ from collections.abc import Iterator
 from decimal import Context, Decimal
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mysql_cdc_table_spark.cdc.schema import (
@@ -2571,7 +2572,13 @@ def mysql_binlog_read(
             raise ValueError(f"binlog index {index_file} lists no files")
         files = spark.read.format("binaryFile").load(paths)
     else:
-        files = spark.read.format("binaryFile").load(path)
+        # a co-located binlog.index (the reference's listing file) is
+        # never a data file; Spark's listing already skips . and _
+        # prefixes but not this suffix
+        files = (
+            spark.read.format("binaryFile").load(path)
+            .where(~F.col("path").endswith(".index"))
+        )
     return _decode_files(
         files, target, database, table, gtid_format, columnar=columnar,
         capture_query=capture_query,
@@ -3854,6 +3861,7 @@ def mysql_binlog_read_stream(
         spark.readStream.format("binaryFile")
         .schema(_BINARY_FILE_SCHEMA)
         .load(path)
+        .where(~F.col("path").endswith(".index"))  # listing file, not data
     )
     return _decode_files(files, target, database, table, gtid_format)
 
@@ -6294,6 +6302,7 @@ class MysqlBinlogWriter(_DataSourceWriter):
 
     def write(self, rows) -> "_WriterCommitMessage":
         import os
+        import uuid
 
         from pyspark import TaskContext
 
@@ -6308,7 +6317,13 @@ class MysqlBinlogWriter(_DataSourceWriter):
                 payload_wrap=self.payload_wrap,
             )
             name = f"binlog.{pid + 1:06d}"
-            tmp = os.path.join(self.path, f".{name}.tmp")
+            # uuid-tagged tmp (like the stream writer): a speculative
+            # or retried attempt of the same partition must never share
+            # a tmp path with a concurrent attempt — interleaved writes
+            # before os.replace would commit a corrupt blob
+            tmp = os.path.join(
+                self.path, f".{name}.{uuid.uuid4().hex[:12]}.tmp"
+            )
             with open(tmp, "wb") as fh:
                 fh.write(blob)
             os.replace(tmp, os.path.join(self.path, name))
@@ -6325,6 +6340,22 @@ class MysqlBinlogWriter(_DataSourceWriter):
         import os
 
         names = sorted(m.name for m in messages if getattr(m, "name", None))
+        # honor the overwrite contract: a re-save that yields fewer
+        # non-empty partitions (or different task numbering) must not
+        # leave the previous save's files behind — a reader lists every
+        # binlog.* in the directory and would silently mix the two
+        # saves' rows. Same-named stale files were already atomically
+        # replaced in write(); here we reclaim the rest, plus any
+        # orphaned tmp from a dead attempt.
+        committed = set(names)
+        for f in os.listdir(self.path):
+            stale = (
+                (f.startswith("binlog.") and f not in committed
+                 and not f.endswith(".index"))  # never a data file
+                or (f.startswith(".binlog.") and f.endswith(".tmp"))
+            )
+            if stale:
+                os.remove(os.path.join(self.path, f))
         for i, cur in enumerate(names[:-1]):
             fpath = os.path.join(self.path, cur)
             body = struct.pack("<Q", 4) + names[i + 1].encode()
@@ -6396,9 +6427,17 @@ class MysqlBinlogStreamWriter(_DataSourceStreamWriter):
         tmps = sorted(
             m.name for m in messages if getattr(m, "name", None)
         )
+        # The seam link may only come from an EARLIER batch's sealed
+        # file: on a replayed micro-batch (crash between sink commit
+        # and checkpoint commit) the directory already holds this
+        # batch's own files from the first attempt, and linking from
+        # prior[-1] would point the batch's highest file BACKWARD at
+        # its first file — a rotate cycle that breaks the "newest file
+        # stays open" invariant and loops any chain-following consumer.
+        first_new = f"binlog.{batchId * 10000 + 1:012d}"
         prior = sorted(
             n for n in os.listdir(self.path)
-            if n.startswith("binlog.")
+            if n.startswith("binlog.") and n < first_new
         ) if os.path.isdir(self.path) else []
         new_names = []
         for i, tmp in enumerate(tmps):

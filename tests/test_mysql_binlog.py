@@ -3393,3 +3393,121 @@ def test_sink_abort_paths_clean_partial_output(tmp_path):
     names = sorted(p.name for p in tmp_path.iterdir())
     # only the NAMED tmp went; the other task's tmp awaits ITS abort
     assert names == [".stream.def.000002.tmp", "binlog.000001"]
+
+
+def test_sink_overwrite_reclaims_stale_files(spark, tmp_path):
+    """The overwrite contract is total (round 9, ADVICE): a re-save
+    that lands FEWER non-empty partitions must reclaim the previous
+    save's extra binlog.* files — a reader lists everything in the
+    directory and would otherwise silently mix the two saves' rows.
+    Orphaned tmp debris from a dead attempt goes too; a co-located
+    binlog.index is never treated as a stale data file."""
+    import os
+
+    from mysql_cdc_table_spark.cdc.queries import ORDERS_TARGET_SCHEMA
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+    from mysql_cdc_table_spark.sources.datasource import register
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        mysql_binlog_read,
+    )
+
+    register(spark)
+    cl = synthetic_changelog(spark, "/root/testdata/sf0.001")
+    ddl = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    out = str(tmp_path / "binlogs")
+
+    def save(parts):
+        (
+            cl.repartition(parts, "__gtid")
+            .write.format("mysql_binlog")
+            .option("schema_ddl", ddl)
+            .option("database", "tpch")
+            .option("table", "orders")
+            .mode("overwrite")
+            .save(out)
+        )
+
+    save(8)
+    first = sorted(f for f in os.listdir(out) if f.startswith("binlog."))
+    assert len(first) == 8
+    # plant debris the second save must reclaim / must preserve
+    orphan = os.path.join(out, ".binlog.000001.deadbeefcafe.tmp")
+    with open(orphan, "wb") as fh:
+        fh.write(b"dead attempt")
+    idx = os.path.join(out, "binlog.index")
+    with open(idx, "w") as fh:
+        fh.write("\n".join(f"./{f}" for f in first))
+
+    save(2)
+    left = sorted(os.listdir(out))
+    assert "binlog.index" in left          # preserved
+    datafiles = [f for f in left if f.startswith("binlog.")
+                 and not f.endswith(".index")]
+    assert len(datafiles) <= 2             # stale 8-part files reclaimed
+    assert not any(f.endswith(".tmp") for f in left)
+
+    back = mysql_binlog_read(
+        spark, out, ORDERS_TARGET_SCHEMA, "tpch", "orders"
+    )
+    assert back.count() == cl.count()      # not doubled, not mixed
+
+
+def test_stream_writer_replayed_batch_no_rotate_cycle(tmp_path):
+    """Crash between sink commit and checkpoint commit replays the
+    micro-batch (round 9, ADVICE): on the second commit the directory
+    already holds this batch's OWN files, and the seam link must still
+    come from the PREVIOUS batch — never from the batch's replaced
+    highest file, which would write a backward ROTATE (a cycle) and
+    close the file that must stay open."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        MysqlBinlogStreamWriter,
+        _BinlogWriteMsg,
+        binlog_chain_gaps,
+        binlog_file_rotate_target,
+        build_binlog_file,
+    )
+
+    tgt = T.StructType([T.StructField("id", T.LongType())])
+    opts = {
+        "path": str(tmp_path), "schema_ddl": "id bigint",
+        "database": "d", "table": "t",
+    }
+    sw = MysqlBinlogStreamWriter(opts, overwrite=False)
+
+    def blob(gno):
+        return build_binlog_file(
+            "d", "t", tgt, [{"gno": gno, "op": "w", "rows": [{"id": gno}]}],
+            checksum=True,
+        )
+
+    def run_commit(batch_id, gnos):
+        msgs = []
+        for i, g in enumerate(gnos):
+            tmp = f".stream.test{batch_id}a{i}.{i:06d}.tmp"
+            with open(tmp_path / tmp, "wb") as fh:
+                fh.write(blob(g))
+            msgs.append(_BinlogWriteMsg(tmp))
+        sw.commit(msgs, batchId=batch_id)
+
+    run_commit(4, [1])                 # an earlier, sealed batch
+    run_commit(5, [2, 3])              # first attempt of batch 5
+    files = sorted(f for f in os.listdir(tmp_path) if f.startswith("binlog."))
+    assert files == [
+        "binlog.000000040001", "binlog.000000050001", "binlog.000000050002",
+    ]
+    run_commit(5, [2, 3])              # REPLAY of batch 5
+
+    f40001, f50001, f50002 = (str(tmp_path / f) for f in files)
+    # seam link: prior batch -> first of batch 5 (relinked after replace)
+    assert binlog_file_rotate_target(f40001) == "binlog.000000050001"
+    assert binlog_file_rotate_target(f50001) == "binlog.000000050002"
+    # the invariant the bug broke: newest file has NO rotate target
+    assert binlog_file_rotate_target(f50002) is None
+    assert binlog_chain_gaps(str(tmp_path)) == []
