@@ -1045,6 +1045,48 @@ ORACLES["cdc_incremental_agg"] = _cdc_incremental_agg_sql()
 
 # --- agg_mann_whitney_u -------------------------------------------------------
 
+_RANK_BUCKETS = 32  # grid prefix-sum parallelism (shard_manifest's knob)
+
+
+def _grid_prefix_prev(grid: DataFrame, ct: str) -> DataFrame:
+    """Strictly-below prefix count over the ``vm`` value grid, in the
+    distributed two-level form (the shard_manifest pattern, round 9):
+    an unpartitioned ``Window.orderBy("vm")`` is a single-partition
+    sort whose safety is a property of the DATA (grid cardinality), not
+    of the plan — a wide or high-entropy value domain at 100 TB pushes
+    the grid toward N and kills the driver. Here the grid is RANGE-
+    bucketed by approxQuantile boundaries (monotone in vm, so equal
+    values — ties — always share a bucket), the running sum is computed
+    per bucket in parallel, and a broadcast ``_RANK_BUCKETS``-row offset
+    table lifts local sums to global ones; no task ever sorts more than
+    ~1/buckets of the grid. Returns ``grid`` plus a ``prev`` column
+    (observations strictly below each vm). The boundary probe is one
+    bounded extra pass (≤31 driver-side doubles)."""
+    from pyspark.sql import Window
+
+    probes = [i / _RANK_BUCKETS for i in range(1, _RANK_BUCKETS)]
+    bounds = sorted(
+        {int(b) for b in grid.stat.approxQuantile("vm", probes, 0.001)}
+    )
+    bkt = F.lit(0)
+    for b in bounds:
+        bkt = bkt + F.when(F.col("vm") > F.lit(b), 1).otherwise(0)
+    g = grid.withColumn("bkt", bkt.cast("int"))
+    wloc = Window.partitionBy("bkt").orderBy("vm").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = g.withColumn("lprev", F.sum(ct).over(wloc) - F.col(ct))
+    btot = g.groupBy("bkt").agg(F.sum(ct).alias("btot"))
+    woff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.select(
+        "bkt", F.coalesce(F.sum("btot").over(woff), F.lit(0)).alias("off")
+    )
+    return (
+        local.join(F.broadcast(offs), "bkt")
+        .withColumn("prev", F.col("lprev") + F.col("off"))
+        .drop("bkt", "lprev", "off")
+    )
+
 
 def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann–Whitney U — the nonparametric twin of agg_welch_t_pairs —
@@ -1054,8 +1096,11 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank on the grid — tied observations share a value row, so the
     average-rank tie rule becomes exact integer arithmetic
     (2·avg_rank = 2·prefix + count + 1, no halves), and the only
-    ordered structure is a grid-sized running sum, independent of row
-    count (the corpus_zipf_coverage vocab-window argument). Emits
+    ordered structure is a grid-sized running sum — computed in the
+    range-bucketed two-level prefix-sum form (``_grid_prefix_prev``),
+    so even a grid that approaches N never funnels through one
+    partition (round 9; previously an unpartitioned window whose
+    safety depended on the value-domain cardinality). Emits
     doubled rank sums and U statistics so everything stays int64; the
     tie term Σt(t−1)(t+1) feeds the variance correction downstream.
     100 TB shape: two scans' worth of counts, one tiny-grid window —
@@ -1064,8 +1109,6 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined rows — past that, promote the rank-sum accumulators to
     decimal(38) (the statistic itself is already z-scored through
     doubles downstream)."""
-    from pyspark.sql import Window
-
     e = t(spark, sf_dir, "events")
     two = (
         e.groupBy("event_type").count().orderBy("event_type").limit(2)
@@ -1084,19 +1127,9 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("isa") == 1).alias("c1"),
             F.count_if(F.col("isa") == 0).alias("c2"),
         )
+        .withColumn("ct", F.col("c1") + F.col("c2"))
     )
-    w = Window.orderBy("vm").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = grid.select(
-        "vm",
-        "c1",
-        "c2",
-        (
-            F.sum(F.col("c1") + F.col("c2")).over(w)
-            - (F.col("c1") + F.col("c2"))
-        ).alias("prev"),
-    )
+    ranked = _grid_prefix_prev(grid, "ct")
     agg = ranked.agg(
         F.sum("c1").alias("n1"),
         F.sum("c2").alias("n2"),
@@ -1171,10 +1204,10 @@ def agg_kruskal_rank_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose accumulation order is engine-specific; the integer
     sufficient statistics are the deterministic contract (the Welch
     precedent). Scale shape: one map-side-combinable count, one
-    grid-sized window shared by all k samples — ranking k groups
-    costs the same as ranking two."""
-    from pyspark.sql import Window
-
+    grid-sized RANGE-BUCKETED two-level prefix sum shared by all k
+    samples (``_grid_prefix_prev``, round 9 — ranking k groups costs
+    the same as ranking two, and no single task ever sorts more than
+    ~1/_RANK_BUCKETS of the grid)."""
     e = t(spark, sf_dir, "events")
     vm = F.floor(F.col("value") * 1000).cast("long")
     grid = (
@@ -1183,14 +1216,7 @@ def agg_kruskal_rank_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
     )
     tot = grid.groupBy("vm").agg(F.sum("c").alias("ct"))
-    w = Window.orderBy("vm").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = tot.select(
-        "vm",
-        "ct",
-        (F.sum("ct").over(w) - F.col("ct")).alias("prev"),
-    )
+    ranked = _grid_prefix_prev(tot, "ct")
     return (
         grid.join(ranked, "vm")
         .groupBy("event_type")

@@ -1103,16 +1103,36 @@ def test_round8_incremental_agg_is_one_pass_no_window(spark, sf_dir):
 
 
 def test_round8_mann_whitney_windows_the_grid_not_rows(spark, sf_dir):
-    """MW-U's only window runs over the DISTINCT-VALUE grid (post-
-    aggregation), never the raw rows: one Window node downstream of a
-    grouped count, bounded shuffles, no join fan-out."""
+    """MW-U's ranking runs over the DISTINCT-VALUE grid (post-
+    aggregation), never the raw rows — and since round 9 in the
+    range-bucketed two-level prefix-sum form: the grid-sized window is
+    hash-partitioned by bkt (parallel), and the only single-partition
+    window is the ≤_RANK_BUCKETS-row bucket-offset table."""
     from mysql_cdc_table_spark.operators.round8 import agg_mann_whitney_u
     from mysql_cdc_table_spark.plans.audit import count_nodes, formatted_plan
 
     df = agg_mann_whitney_u(spark, sf_dir)
-    assert count_nodes(df, "Window") == 1
+    assert count_nodes(df, "Window") == 2  # bucket-local + offset table
     assert_no_cartesian(df)
     plan = formatted_plan(df)
     # the grid aggregation (partial+final HashAggregate on vm) must
     # appear BELOW the window in the plan — rows collapse before rank
     assert plan.index("HashAggregate") < plan.index("Window (")
+    # the grid window is partitioned; offsets come back via broadcast
+    assert "hashpartitioning(bkt" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_round9_kruskal_two_level_prefix(spark, sf_dir):
+    """Kruskal–Wallis shares the same scale contract: the k-sample
+    grid ranking is a bkt-partitioned prefix sum plus a broadcast
+    offset table — never an unpartitioned sort of the value grid."""
+    from mysql_cdc_table_spark.operators.round8 import agg_kruskal_rank_sums
+    from mysql_cdc_table_spark.plans.audit import count_nodes, formatted_plan
+
+    df = agg_kruskal_rank_sums(spark, sf_dir)
+    assert count_nodes(df, "Window") == 2
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(bkt" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
