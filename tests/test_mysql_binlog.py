@@ -3511,3 +3511,100 @@ def test_stream_writer_replayed_batch_no_rotate_cycle(tmp_path):
     # the invariant the bug broke: newest file has NO rotate target
     assert binlog_file_rotate_target(f50002) is None
     assert binlog_chain_gaps(str(tmp_path)) == []
+
+
+def test_sink_tail_concurrent_relay(spark, tmp_path):
+    """The engine as its own replication relay (round 9): a streaming
+    mysql_binlog SINK produces a rotating series while a
+    mysql_binlog_tail consumer reads the SAME directory CONCURRENTLY —
+    live rotation seams, ROTATE appends racing the tail's cursor, tmp
+    files appearing and renaming mid-listing. Every row written must
+    arrive at the consumer exactly once, and the finished directory
+    must audit as one continuous chain."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from mysql_cdc_table_spark.sources.datasource import register
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        binlog_chain_gaps,
+        mysql_binlog_tail_stream,
+    )
+
+    register(spark)
+    src_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    os.makedirs(src_dir)
+    os.makedirs(out)
+    in_schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+
+    def put(name, lo, hi):
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(lo, hi)], in_schema
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src_dir, name)
+        )
+
+    put("f0", 0, 50)
+
+    producer = (
+        spark.readStream.schema(in_schema)
+        .option("maxFilesPerTrigger", 1)   # one sink commit per wave
+        .parquet(src_dir + "/*")
+        .select(
+            "k", "v",
+            F.lit(1).alias("__op"),
+            (F.col("k") + 1).alias("__gtid"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("__tm"),
+            F.lit(1).alias("__file_seq"),
+            F.col("k").alias("__event_seq"),
+            F.lit(0).alias("__image_seq"),
+        )
+        .repartition(2, "__gtid")
+        .writeStream.format("mysql_binlog")
+        .option("schema_ddl", "k bigint, v string")
+        .option("database", "d")
+        .option("table", "t")
+        .option("checkpointLocation", str(tmp_path / "ck_prod"))
+        .trigger(processingTime="300 milliseconds")
+        .start(out)
+    )
+
+    got: list = []
+    consumer = (
+        mysql_binlog_tail_stream(
+            spark, out, "k bigint, v string", "d", "t"
+        )
+        .writeStream.foreachBatch(lambda df, _eid: got.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_cons"))
+        .trigger(processingTime="150 milliseconds")
+        .start()
+    )
+
+    try:
+        # feed three more waves WHILE both queries run — each wave is a
+        # new micro-batch, a new sink commit, a new rotation seam under
+        # the consumer's feet
+        for i, (lo, hi) in enumerate([(50, 100), (100, 150), (150, 200)]):
+            time.sleep(0.7)
+            put(f"f{i + 1}", lo, hi)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if len({r["k"] for r in got}) == 200:
+                break
+            time.sleep(0.3)
+    finally:
+        producer.stop()
+        consumer.stop()
+
+    keys = [r["k"] for r in got]
+    assert sorted(set(keys)) == list(range(200)), (
+        f"lost rows: {sorted(set(range(200)) - set(keys))[:10]}"
+    )
+    assert len(keys) == 200, "tail delivered duplicate rows across seams"
+    assert binlog_chain_gaps(out) == []
