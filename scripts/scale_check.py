@@ -223,7 +223,16 @@ def main() -> None:
         "text_hashing_features",
         "corpus_hash_sample",
         "agg_welch_t_pairs",
+        # round 9: chi² (contingency counts, map-side-combinable) and
+        # the re-ranked MW-U / Kruskal — their grid prefix sum is now
+        # the range-bucketed two-level form; these rows prove the
+        # rewrite holds its plan shape and stays ~linear at 10× data
+        "agg_chi2_independence",
+        "agg_mann_whitney_u",
+        "agg_kruskal_rank_sums",
     ]
+    if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
+        names = [n for n in names if n in sys.argv[1:]]
     results = {}
     for name in names:
         fn = queries[name]
