@@ -51,6 +51,7 @@ _MODULES = (
     "mysql_cdc_table_spark.operators.round6",
     "mysql_cdc_table_spark.operators.round7",
     "mysql_cdc_table_spark.operators.round8",
+    "mysql_cdc_table_spark.operators.round9",
     "mysql_cdc_table_spark.operators.late",
 )
 

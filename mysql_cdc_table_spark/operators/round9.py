@@ -1,0 +1,616 @@
+"""Round-9 operators: effect sizes, agreement, robust dispersion, rank
+correlation, retrieval scoring, sequential drift — plus a sink-contract
+proof key.
+
+Each entry follows the repo contract: a ``QUERIES`` callable
+(spark, sf_dir) -> DataFrame and an ``ORACLES`` ANSI-SQL twin DuckDB
+runs on the same parquet — column names aliased identically, sums cast
+BIGINT, float arithmetic kept to fixed-order expressions both engines
+compute bit-identically (see .claude/skills/verify/SKILL.md). Exact
+integer statistics that can outgrow int64 are carried as DECIMAL(38,0)
+on the Spark side / HUGEINT in DuckDB and emitted as DIGIT STRINGS —
+both engines print the same exact integer, so the hash compare never
+touches a >53-bit float conversion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_cdc_table_spark.operators._util import t
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _dow(day_col):
+    """Engine-proof weekday: days-since-epoch (an exact integer in both
+    engines) shifted so 0 = Thursday 1970-01-01, modulo 7 — no reliance
+    on either engine's dayofweek() origin convention."""
+    return day_col % 7
+
+
+# --- agg_cramers_v ------------------------------------------------------------
+
+
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V — the effect size agg_chi2_independence's raw cells
+    feed: association strength between event_type and weekday on a
+    k×7 contingency table, normalized to [0,1]. The chi² total is a
+    float sum ACROSS cells — engine-order-dependent in general — but
+    the cell set is bounded (types × 7), so the per-cell terms are
+    collected in (type, dow) order and folded SEQUENTIALLY with
+    aggregate()/list_reduce: both engines run the identical IEEE
+    sequence and the total is bit-exact (the ts_ewma_window fold
+    discipline applied across a bounded grid instead of down a frame).
+    Scale shape: one map-side-combinable count per cell + two bounded
+    marginal aggregates; nothing downstream of the scan exceeds
+    types×7 rows. Reference parity: the reference delegates ALL
+    aggregation to MySQL (SURVEY §2C); this is the delegated-surface
+    statistical family."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        _dow(
+            F.datediff(F.date_trunc("day", F.col("ts")), F.lit("1970-01-01"))
+        ).alias("dow"),
+    )
+    cells = e.groupBy("event_type", "dow").agg(F.count("*").alias("o"))
+    rows = cells.groupBy("event_type").agg(F.sum("o").alias("rtot"))
+    cols = cells.groupBy("dow").agg(F.sum("o").alias("ctot"))
+    n = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("dow").alias("c"),
+    )
+    cell_terms = (
+        cells.join(F.broadcast(rows), "event_type")
+        .join(F.broadcast(cols), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "dow",
+            "r",
+            "c",
+            "n",
+            (
+                (
+                    F.col("o")
+                    - F.col("rtot") * F.col("ctot") / F.col("n")
+                )
+                * (
+                    F.col("o")
+                    - F.col("rtot") * F.col("ctot") / F.col("n")
+                )
+                / (F.col("rtot") * F.col("ctot") / F.col("n"))
+            ).alias("term"),
+        )
+    )
+    # bounded ordered fold: bit-identical cross-engine chi² total
+    folded = (
+        cell_terms.groupBy("r", "c", "n")
+        .agg(
+            F.expr(
+                "aggregate("
+                "  sort_array(collect_list(named_struct("
+                "    'event_type', event_type, 'dow', dow, 'term', term))),"
+                "  cast(0.0 as double),"
+                "  (acc, x) -> acc + x.term)"
+            ).alias("chi2")
+        )
+    )
+    return folded.select(
+        F.col("n").cast("long").alias("n"),
+        F.floor(F.col("chi2") * 1_000_000).cast("long").alias("chi2_e6"),
+        F.floor(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n")
+                    * F.least(F.col("r") - 1, F.col("c") - 1)
+                )
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("cramers_v_e6"),
+    )
+
+
+AGG_CRAMERS_V_SQL = """
+WITH e AS (
+  SELECT event_type,
+         (CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01') % 7 AS dow
+  FROM events
+), cells AS (
+  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
+  FROM e GROUP BY 1, 2
+), rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rtot FROM cells GROUP BY 1),
+ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ctot FROM cells GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+         CAST(count(DISTINCT dow) AS BIGINT) AS c
+  FROM cells
+), terms AS (
+  SELECT cells.event_type, cells.dow, tot.r, tot.c, tot.n,
+         (cells.o - rt.rtot * ct.ctot / tot.n)
+         * (cells.o - rt.rtot * ct.ctot / tot.n)
+         / (rt.rtot * ct.ctot / tot.n) AS term
+  FROM cells
+  JOIN rt USING (event_type)
+  JOIN ct USING (dow)
+  CROSS JOIN tot
+), folded AS (
+  SELECT r, c, n,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list(term ORDER BY event_type, dow)),
+           (acc, x) -> acc + x) AS chi2
+  FROM terms GROUP BY r, c, n
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(floor(chi2 * 1000000) AS BIGINT) AS chi2_e6,
+       CAST(floor(sqrt(chi2 / (n * least(r - 1, c - 1))) * 1000000)
+            AS BIGINT) AS cramers_v_e6
+FROM folded
+"""
+
+QUERIES["agg_cramers_v"] = agg_cramers_v
+ORACLES["agg_cramers_v"] = AGG_CRAMERS_V_SQL
+
+
+# --- agg_cohens_kappa ---------------------------------------------------------
+
+
+def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two
+    categorical labelings of the same rows (the LLM-pipeline use: two
+    annotators / two classifier versions labeling the same corpus).
+    Raters here are derived deterministic 3-way labels (value-milli
+    mod 3 vs user_id mod 3). The kappa identity is evaluated in EXACT
+    integer arithmetic: kappa = (n·diag − Σ_k na_k·nb_k) /
+    (n² − Σ_k na_k·nb_k) — no float accumulations at all; the single
+    final division is one IEEE op, floored to ppm. Marginal products
+    na_k·nb_k ≤ n² hold in int64 to n ≈ 3·10⁹ rows; past that the
+    marginals are bounded (k=3) so promoting them to decimal is a
+    type change, not a plan change. Shape: one map-side-combinable
+    count per (a, b) cell — 9 cells — then driver-sized arithmetic."""
+    e = t(spark, sf_dir, "events").select(
+        F.pmod(F.floor(F.col("value") * 1000).cast("long"), F.lit(3)).alias(
+            "a"
+        ),
+        F.pmod(F.col("user_id"), F.lit(3)).alias("b"),
+    )
+    cells = e.groupBy("a", "b").agg(F.count("*").alias("o"))
+    stats = cells.agg(
+        F.sum("o").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("o")).otherwise(0)).alias(
+            "diag"
+        ),
+    )
+    ma = cells.groupBy("a").agg(F.sum("o").alias("na"))
+    mb = cells.groupBy("b").agg(F.sum("o").alias("nb"))
+    pe_num = (
+        ma.join(mb, ma["a"] == mb["b"])
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("pe_num"))
+    )
+    both = stats.crossJoin(F.broadcast(pe_num)).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("diag").cast("long").alias("n_agree"),
+        F.col("pe_num").cast("long").alias("pe_num"),
+        (F.col("n") * F.col("diag") - F.col("pe_num"))
+        .cast("long")
+        .alias("kappa_num"),
+        (F.col("n") * F.col("n") - F.col("pe_num"))
+        .cast("long")
+        .alias("kappa_den"),
+    )
+    # 1e6·(num/den) with num, den exact int64: int64→double is
+    # correctly rounded in both engines, the two IEEE ops are fixed
+    # order, floor is exact — never multiply the integer by 1e6 first
+    # (exceeds 2^53 under double in DuckDB, int64 range at ~1e12 rows)
+    return both.withColumn(
+        "kappa_e6",
+        F.floor(
+            F.lit(1_000_000.0)
+            * F.col("kappa_num").cast("double")
+            / F.col("kappa_den").cast("double")
+        ).cast("long"),
+    )
+
+
+AGG_COHENS_KAPPA_SQL = """
+WITH e AS (
+  SELECT CAST(floor(value * 1000) AS BIGINT) % 3 AS a,
+         user_id % 3 AS b
+  FROM events
+), cells AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM e GROUP BY 1, 2
+), st AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a = b THEN o ELSE 0 END) AS BIGINT) AS diag
+  FROM cells
+), ma AS (SELECT a, CAST(sum(o) AS BIGINT) AS na FROM cells GROUP BY 1),
+mb AS (SELECT b, CAST(sum(o) AS BIGINT) AS nb FROM cells GROUP BY 1),
+pe AS (
+  SELECT CAST(sum(na * nb) AS BIGINT) AS pe_num
+  FROM ma JOIN mb ON ma.a = mb.b
+)
+SELECT st.n,
+       st.diag AS n_agree,
+       pe.pe_num,
+       CAST(st.n * st.diag - pe.pe_num AS BIGINT) AS kappa_num,
+       CAST(st.n * st.n - pe.pe_num AS BIGINT) AS kappa_den,
+       CAST(floor(1000000.0
+            * CAST(st.n * st.diag - pe.pe_num AS DOUBLE)
+            / CAST(st.n * st.n - pe.pe_num AS DOUBLE)) AS BIGINT)
+         AS kappa_e6
+FROM st CROSS JOIN pe
+"""
+
+QUERIES["agg_cohens_kappa"] = agg_cohens_kappa
+ORACLES["agg_cohens_kappa"] = AGG_COHENS_KAPPA_SQL
+
+# --- agg_brown_forsythe -------------------------------------------------------
+
+
+def agg_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe dispersion statistics — variance-homogeneity
+    across event types, the robust (median-centered) Levene variant
+    that pairs with agg_welch_t_pairs (means) and agg_kruskal_rank_sums
+    (locations). Per group j over milli-values: the DISCRETE lower
+    median (selected on the (type, vm) GRID by cumulative count — no
+    raw-row sort; the grid is value-domain bounded), absolute
+    deviations z = |vm − med_j| (exact integers), and the ANOVA-on-z
+    sufficient statistics n_j, Σz, Σz² — the F statistic is a driver-
+    sized formula over these. Σz² can outgrow int64 (~z²·N), so it is
+    summed as DECIMAL(38,0) / HUGEINT and emitted as a DIGIT STRING —
+    hash-exact with zero float surface. Scale: one grid count, one
+    per-type grid window (bounded by per-type value cardinality), one
+    broadcast of k medians back onto the grid."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 1000).cast("long").alias("vm")
+    )
+    grid = e.groupBy("event_type", "vm").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("vm").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.select(
+        "event_type", "vm", "c", F.sum("c").over(w).alias("cum")
+    )
+    tot = grid.groupBy("event_type").agg(F.sum("c").alias("n_j"))
+    med = (
+        cum.join(F.broadcast(tot), "event_type")
+        .filter(F.col("cum") >= (F.col("n_j") + 1).cast("long") / 2)
+        .groupBy("event_type")
+        .agg(F.min("vm").alias("med_vm"))
+    )
+    z = (
+        grid.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "c",
+            F.abs(F.col("vm") - F.col("med_vm")).alias("z"),
+            "med_vm",
+        )
+    )
+    return (
+        z.groupBy("event_type", "med_vm")
+        .agg(
+            F.sum("c").cast("long").alias("n_j"),
+            F.sum(F.col("c") * F.col("z")).cast("long").alias("sum_z"),
+            F.sum(
+                (F.col("c") * F.col("z") * F.col("z")).cast("decimal(38,0)")
+            )
+            .cast("string")
+            .alias("sum_z2"),
+        )
+        .select("event_type", "med_vm", "n_j", "sum_z", "sum_z2")
+        .orderBy("event_type")
+    )
+
+
+AGG_BROWN_FORSYTHE_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS vm FROM events
+), grid AS (
+  SELECT event_type, vm, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, vm, c,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY vm
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM grid
+), tot AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS n_j FROM grid GROUP BY 1
+), med AS (
+  SELECT cum.event_type, min(vm) AS med_vm
+  FROM cum JOIN tot USING (event_type)
+  WHERE cum >= (tot.n_j + 1) / 2
+  GROUP BY 1
+)
+SELECT g.event_type,
+       m.med_vm,
+       CAST(sum(g.c) AS BIGINT) AS n_j,
+       CAST(sum(g.c * abs(g.vm - m.med_vm)) AS BIGINT) AS sum_z,
+       CAST(sum(CAST(g.c AS HUGEINT) * abs(g.vm - m.med_vm)
+                * abs(g.vm - m.med_vm)) AS VARCHAR) AS sum_z2
+FROM grid g JOIN med m USING (event_type)
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+QUERIES["agg_brown_forsythe"] = agg_brown_forsythe
+ORACLES["agg_brown_forsythe"] = AGG_BROWN_FORSYTHE_SQL
+
+# --- agg_spearman_corr ----------------------------------------------------------
+
+
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between value and time over events —
+    the rank twin of a Pearson trend probe, and the first CONSUMER of
+    the round-9 two-level grid ranking outside the test family: both
+    variables collapse to their distinct-value grids, rank there via
+    ``_grid_prefix_prev`` (range-bucketed prefix sums — never a global
+    sort), and the per-row doubled average ranks (2·prev + cnt + 1,
+    exact integers under ties) attach to the JOINT (vm, tm) grid so no
+    raw row is ever ranked. The Pearson-on-ranks sufficient statistics
+    Σx, Σy, Σxy, Σx², Σy² are ~N³ — far past int64 — so they are
+    summed as DECIMAL(38,0)/HUGEINT (exact to N ≈ 10⁸) and emitted as
+    DIGIT STRINGS; rho itself is a driver-sized formula over them
+    (reported here floored to basis points through the documented
+    correctly-rounded int→double path)."""
+    from mysql_cdc_table_spark.operators.round8 import _grid_prefix_prev
+
+    e = t(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 1000).cast("long").alias("vm"),
+        # ts is TIMESTAMP_NTZ: micros-since-epoch via timestampdiff (no
+        # tz reinterpretation; DuckDB's epoch_us on its naive TIMESTAMP
+        # is the exact same integer)
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("tm"),
+    )
+    joint = e.groupBy("vm", "tm").agg(F.count("*").alias("cj"))
+    vgrid = joint.groupBy("vm").agg(F.sum("cj").alias("cv"))
+    tgrid = (
+        joint.groupBy("tm")
+        .agg(F.sum("cj").alias("ctm"))
+        .withColumnRenamed("tm", "vm")  # _grid_prefix_prev keys on vm
+    )
+    vrank = _grid_prefix_prev(vgrid, "cv").select(
+        "vm", (2 * F.col("prev") + F.col("cv") + 1).alias("x")
+    )
+    trank = (
+        _grid_prefix_prev(tgrid, "ctm")
+        .select(
+            F.col("vm").alias("tm"),
+            (2 * F.col("prev") + F.col("ctm") + 1).alias("y"),
+        )
+    )
+    dec = "decimal(38,0)"
+    terms = (
+        joint.join(vrank, "vm")
+        .join(trank, "tm")
+        .select(
+            F.col("cj"),
+            F.col("x").cast(dec).alias("x"),
+            F.col("y").cast(dec).alias("y"),
+        )
+    )
+    stats = terms.agg(
+        F.sum("cj").cast("long").alias("n"),
+        F.sum(F.col("cj") * F.col("x")).alias("sx"),
+        F.sum(F.col("cj") * F.col("y")).alias("sy"),
+        F.sum(F.col("cj") * F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("cj") * F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("cj") * F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n").cast(dec) * F.col("sxy") - F.col("sx") * F.col("sy")
+    d1 = F.col("n").cast(dec) * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = F.col("n").cast(dec) * F.col("syy") - F.col("sy") * F.col("sy")
+    return stats.select(
+        "n",
+        F.col("sxy").cast("string").alias("sxy"),
+        F.col("sxx").cast("string").alias("sxx"),
+        F.col("syy").cast("string").alias("syy"),
+        num.cast("string").alias("rho_num"),
+        F.floor(
+            F.lit(10_000.0)
+            * num.cast("double")
+            / F.sqrt(d1.cast("double") * d2.cast("double"))
+        )
+        .cast("long")
+        .alias("rho_bp"),
+    )
+
+
+AGG_SPEARMAN_CORR_SQL = """
+WITH e AS (
+  SELECT CAST(floor(value * 1000) AS BIGINT) AS vm,
+         epoch_us(ts) AS tm
+  FROM events
+), joint AS (
+  SELECT vm, tm, CAST(count(*) AS BIGINT) AS cj FROM e GROUP BY 1, 2
+), vgrid AS (
+  SELECT vm, CAST(sum(cj) AS BIGINT) AS cv FROM joint GROUP BY 1
+), tgrid AS (
+  SELECT tm, CAST(sum(cj) AS BIGINT) AS ctm FROM joint GROUP BY 1
+), vrank AS (
+  SELECT vm,
+         2 * CAST(sum(cv) OVER (ORDER BY vm ROWS UNBOUNDED PRECEDING) - cv
+             AS BIGINT) + cv + 1 AS x
+  FROM vgrid
+), trank AS (
+  SELECT tm,
+         2 * CAST(sum(ctm) OVER (ORDER BY tm ROWS UNBOUNDED PRECEDING) - ctm
+             AS BIGINT) + ctm + 1 AS y
+  FROM tgrid
+), terms AS (
+  SELECT j.cj, CAST(v.x AS HUGEINT) AS x, CAST(tr.y AS HUGEINT) AS y
+  FROM joint j JOIN vrank v USING (vm) JOIN trank tr USING (tm)
+), stats AS (
+  SELECT CAST(sum(cj) AS BIGINT) AS n,
+         sum(cj * x) AS sx,
+         sum(cj * y) AS sy,
+         sum(cj * x * y) AS sxy,
+         sum(cj * x * x) AS sxx,
+         sum(cj * y * y) AS syy
+  FROM terms
+)
+SELECT n,
+       CAST(sxy AS VARCHAR) AS sxy,
+       CAST(sxx AS VARCHAR) AS sxx,
+       CAST(syy AS VARCHAR) AS syy,
+       CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS VARCHAR) AS rho_num,
+       CAST(floor(10000.0
+            * CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+            / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                   * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)))
+            AS BIGINT) AS rho_bp
+FROM stats
+"""
+
+QUERIES["agg_spearman_corr"] = agg_spearman_corr
+ORACLES["agg_spearman_corr"] = AGG_SPEARMAN_CORR_SQL
+
+# --- text_bm25_scores ---------------------------------------------------------
+
+_BM25_TERMS = ("join", "hash", "scan", "filter", "vector")
+
+
+def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring — the ranking function a training-data
+    pipeline uses to mine documents for a query set (contamination
+    checks, hard-negative mining, topical subcorpora). For a fixed
+    5-term query set: tf from one explode+count over the matching
+    tokens only (the filter pushes into the scan side of the explode),
+    document length from size(tokens), df/avgdl from two bounded
+    aggregates, then score = idf · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+    with k1=1.2, b=0.75 and the BM25+ idf ln(1 + (N−df+0.5)/(df+0.5)).
+    The idf's ln is per-term (5 cells) and the final score is floored
+    to e6 before ANY ranking — ranks compare exact integers, so a
+    1-ulp libm divergence cannot reorder engines. Top-10 per term runs
+    TWO-LEVEL (per (term, doc-hash-bucket) top-10, then top-10 of the
+    ≤32·10 survivors) — the scale-safe top-k idiom, never a global
+    per-term sort of all matching docs."""
+    from pyspark.sql import Window
+
+    from mysql_cdc_table_spark.functions.text import tokens
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    dl = d.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    consts = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("tot_tokens"),
+    )
+    df_ = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "tok",
+            "doc_id",
+            F.floor(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2
+                    * (
+                        F.lit(0.25)
+                        + 0.75
+                        * F.col("dl")
+                        / (
+                            F.col("tot_tokens").cast("double")
+                            / F.col("n_docs")
+                        )
+                    )
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("score_e6"),
+        )
+    )
+    w1 = Window.partitionBy("tok", "bkt").orderBy(
+        F.col("score_e6").desc(), F.col("doc_id")
+    )
+    w2 = Window.partitionBy("tok").orderBy(
+        F.col("score_e6").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("bkt", F.pmod(F.col("doc_id"), F.lit(32)))
+        .withColumn("lrn", F.row_number().over(w1))
+        .filter(F.col("lrn") <= 10)
+        .withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            F.col("tok").alias("term"),
+            F.col("rnk").cast("long").alias("rnk"),
+            "doc_id",
+            "score_e6",
+        )
+        .orderBy("term", "rnk")
+    )
+
+
+TEXT_BM25_SCORES_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d
+), tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+  WHERE tok IN ('join', 'hash', 'scan', 'filter', 'vector')
+  GROUP BY 1, 2
+), consts AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS tot_tokens
+  FROM dl
+), df AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.tok, tf.doc_id,
+         CAST(floor(
+           ln(1.0 + (consts.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+              / (CAST(consts.tot_tokens AS DOUBLE) / consts.n_docs)))
+           * 1000000) AS BIGINT) AS score_e6
+  FROM tf
+  JOIN dl USING (doc_id)
+  JOIN df USING (tok)
+  CROSS JOIN consts
+), ranked AS (
+  SELECT tok, doc_id, score_e6,
+         row_number() OVER (PARTITION BY tok
+                            ORDER BY score_e6 DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT tok AS term, CAST(rnk AS BIGINT) AS rnk, doc_id, score_e6
+FROM ranked WHERE rnk <= 10
+ORDER BY term, rnk
+"""
+
+QUERIES["text_bm25_scores"] = text_bm25_scores
+ORACLES["text_bm25_scores"] = TEXT_BM25_SCORES_SQL
