@@ -614,3 +614,179 @@ ORDER BY term, rnk
 
 QUERIES["text_bm25_scores"] = text_bm25_scores
 ORACLES["text_bm25_scores"] = TEXT_BM25_SCORES_SQL
+
+# --- ts_page_hinkley ----------------------------------------------------------
+
+PH_FRAME = 20     # trailing observations per detector state
+PH_DELTA = 0.005  # PH drift allowance (the classic delta)
+
+
+def ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley drift detector per user — the sequential
+    change-point statistic streaming quality monitors run on model
+    scores (CUSUM's running-mean-referenced cousin; pairs with
+    ts_cusum_drift): over the trailing PH_FRAME values,
+      g_t = g_{t-1} + (x_t − mean_t − δ),  PH_t = g_t − min_{i≤t} g_i
+    with mean_t the running mean INCLUDING x_t. The fold is one
+    aggregate() pass with a 4-field struct state (sum, count, g, min-g)
+    — written so every field reads only the PREVIOUS accumulator, the
+    exact IEEE sequence DuckDB's recursive-CTE oracle replays (struct
+    list_reduce is broken there for coupled recurrences — the Holt
+    lesson). O(frame) per row inside a user partition; nothing crosses
+    partitions at any scale. Output floors to e6."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(PH_FRAME - 1), 0)
+    )
+    d = PH_DELTA
+    step = (
+        f"(acc, x) -> named_struct("
+        f"'s', acc.s + x, "
+        f"'c', acc.c + 1, "
+        f"'g', acc.g + (x - (acc.s + x) / (acc.c + 1) - {d}), "
+        f"'mn', least(acc.mn, "
+        f"  acc.g + (x - (acc.s + x) / (acc.c + 1) - {d})))"
+    )
+    fold = F.expr(
+        f"aggregate("
+        f"  vals,"
+        f"  named_struct('s', cast(0.0 as double), 'c', 0,"
+        f"    'g', cast(0.0 as double), 'mn', cast(0.0 as double)),"
+        f"  {step})"
+    )
+    return (
+        ev.withColumn("vals", F.collect_list("value").over(w))
+        .withColumn("acc", fold)
+        .select(
+            "event_id",
+            "user_id",
+            F.floor((F.col("acc.g") - F.col("acc.mn")) * 1_000_000)
+            .cast("long")
+            .alias("ph_e6"),
+            F.floor(F.col("acc.mn") * 1_000_000).cast("long").alias(
+                "gmin_e6"
+            ),
+        )
+    )
+
+
+TS_PAGE_HINKLEY_SQL = f"""
+WITH RECURSIVE framed AS (
+  SELECT event_id, user_id,
+         list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {PH_FRAME - 1} PRECEDING AND CURRENT ROW
+         ) AS vals
+  FROM events
+), rec AS (
+  SELECT event_id, user_id, vals, 0 AS i,
+         CAST(0.0 AS DOUBLE) AS s, 0 AS c,
+         CAST(0.0 AS DOUBLE) AS g, CAST(0.0 AS DOUBLE) AS mn
+  FROM framed
+  UNION ALL
+  SELECT event_id, user_id, vals, i + 1,
+         s + vals[i + 1],
+         c + 1,
+         g + (vals[i + 1] - (s + vals[i + 1]) / (c + 1) - {PH_DELTA}),
+         least(mn,
+           g + (vals[i + 1] - (s + vals[i + 1]) / (c + 1) - {PH_DELTA}))
+  FROM rec WHERE i < len(vals)
+)
+SELECT event_id, user_id,
+       CAST(floor((g - mn) * 1000000) AS BIGINT) AS ph_e6,
+       CAST(floor(mn * 1000000) AS BIGINT) AS gmin_e6
+FROM rec WHERE i = len(vals)
+"""
+
+QUERIES["ts_page_hinkley"] = ts_page_hinkley
+ORACLES["ts_page_hinkley"] = TS_PAGE_HINKLEY_SQL
+
+# --- cdc_binlog_overwrite_rewrite -----------------------------------------------
+
+
+def cdc_binlog_overwrite_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sink's OVERWRITE contract, driver-proven (round 9): the full
+    synthetic changelog is written through ``mysql_binlog`` at 8
+    partitions, then a FILTERED third of it (gtid % 3 = 0 — update
+    pairs share a gtid, so transactions stay whole) is re-saved to the
+    SAME directory at 2 partitions. A correct overwrite reclaims the
+    first save's six now-stale files; the reader then sees exactly the
+    second save. The oracle aggregates the filtered changelog CTE and
+    never touches the wire — any stale file surviving the re-save
+    doubles counts and breaks the hash (the ADVICE-flagged failure
+    round 9 fixed: commit now deletes binlog.* not in the committed
+    set). Cites the reference's missing write path entirely
+    (binlogdb.cc:283-292, 317-345)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from mysql_cdc_table_spark.cdc.queries import ORDERS_TARGET_SCHEMA
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+    from mysql_cdc_table_spark.sources.datasource import register
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        mysql_binlog_read,
+    )
+
+    register(spark)
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}:rewrite".encode()
+    ).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"cdc_rewrite_binlogs_{tag}")
+    ddl = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    cl = synthetic_changelog(spark, sf_dir)
+
+    def save(df, parts):
+        (
+            df.repartition(parts, "__gtid")
+            .write.format("mysql_binlog")
+            .option("schema_ddl", ddl)
+            .option("database", "tpch")
+            .option("table", "orders")
+            .mode("overwrite")
+            .save(stage)
+        )
+
+    save(cl, 8)
+    save(cl.filter(F.col("__gtid") % 3 == 0), 2)
+    back = mysql_binlog_read(
+        spark, stage, ORDERS_TARGET_SCHEMA, "tpch", "orders"
+    )
+    return back.groupBy("__op").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("__gtid").alias("gtid_sum"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents_sum"
+        ),
+        F.count_distinct("o_orderkey").alias("n_keys"),
+    )
+
+
+def _overwrite_rewrite_sql() -> str:
+    from mysql_cdc_table_spark.cdc.synthetic import CHANGELOG_CTE
+
+    return f"""
+WITH {CHANGELOG_CTE}
+SELECT __op,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(__gtid) AS BIGINT) AS gtid_sum,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_sum,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+FROM changelog
+WHERE __gtid % 3 = 0
+GROUP BY __op
+"""
+
+
+QUERIES["cdc_binlog_overwrite_rewrite"] = cdc_binlog_overwrite_rewrite
+ORACLES["cdc_binlog_overwrite_rewrite"] = _overwrite_rewrite_sql()
