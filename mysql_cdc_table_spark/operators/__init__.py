@@ -414,6 +414,45 @@ ROUND8_LATE_KEYS: tuple[str, ...] = (
     "agg_kruskal_rank_sums",
 )
 
+# --- round 9 -----------------------------------------------------------------
+#
+# Window arithmetic this round (50 slots): the 15 ROUND8_LATE_KEYS lead
+# (first driver rows — all judge-verified in the round-8 session's full
+# 265-key sweep at sf0.01, the 8 heaviest also at sf0.1), then the 7
+# keys born in round 9, then 2 re-verify slots for the binlog module
+# round 9 changed — leaving 26 backfill slots, which finally RESUME the
+# stalest r03 rows that skipped rounds 7-8 (the round-8 verdict's
+# "must actually happen this time" item: r03-standing keys are 4-5
+# rounds unconfirmed).
+
+# Keys born in round 9 — in-window for their first driver rows.
+ROUND9_NEW_KEYS: tuple[str, ...] = (
+    "agg_cramers_v",
+    "agg_cohens_kappa",
+    "agg_brown_forsythe",
+    "agg_spearman_corr",
+    "text_bm25_scores",
+    "ts_page_hinkley",
+    "cdc_binlog_overwrite_rewrite",
+)
+
+# Operators whose implementation round 9 touches: the mysql_binlog
+# module changed on BOTH sides — the sink (replay-safe seam links,
+# overwrite reclaim, uuid tmp names) and the batch/stream readers
+# (*.index exclusion moved into the binaryFile loads). The sink keys
+# are already in-window (cdc_binlog_sink_roundtrip leads as a late key;
+# cdc_binlog_overwrite_rewrite is new); these two re-verify the READ
+# path's standing rows on the changed module. (MW-U / Kruskal — the
+# other round-9 rewrite — also lead as late keys.)
+ROUND9_REVERIFY: tuple[str, ...] = (
+    "cdc_mysql_binlog_roundtrip",
+    "cdc_binlog_parallel_roundtrip",
+)
+
+# Late-registration tail for round 9 (same pinned-behind protocol):
+# keys registered after the front budget fills; they lead round 10.
+ROUND9_LATE_KEYS: tuple[str, ...] = ()
+
 
 def _last_seen_rounds() -> dict[str, int]:
     """key -> LATEST driver round with a CORRECTNESS row — the staleness
@@ -451,13 +490,17 @@ _ROUND8_WINDOW_FRONT = (
     ROUND7_LATE_KEYS + ROUND8_NEW_KEYS + ROUND8_REVERIFY
 )
 
+_ROUND9_WINDOW_FRONT = (
+    ROUND8_LATE_KEYS + ROUND9_NEW_KEYS + ROUND9_REVERIFY
+)
+
 
 def _rotate(out: dict) -> dict:
-    """Reorder a merged registry dict: round-8 front first, then every
+    """Reorder a merged registry dict: round-9 front first, then every
     other key stalest-first (latest driver round, registry order as
     the tie-break; never-seen keys sort first so they cannot hide)."""
-    front = {k: out[k] for k in _ROUND8_WINDOW_FRONT if k in out}
-    late = {k: out[k] for k in ROUND8_LATE_KEYS if k in out}
+    front = {k: out[k] for k in _ROUND9_WINDOW_FRONT if k in out}
+    late = {k: out[k] for k in ROUND9_LATE_KEYS if k in out}
     seen = _last_seen_rounds()
     order = {k: i for i, k in enumerate(out)}
     rest_keys = sorted(

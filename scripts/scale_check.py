@@ -230,6 +230,14 @@ def main() -> None:
         "agg_chi2_independence",
         "agg_mann_whitney_u",
         "agg_kruskal_rank_sums",
+        # round 9 session 2: the new operator shapes — Spearman rides
+        # the same two-level grid rank twice; BM25 is explode + bounded
+        # aggregates + two-level top-k; Brown–Forsythe is grid medians
+        # + decimal sums; Page–Hinkley is a per-user O(frame) fold
+        "agg_spearman_corr",
+        "text_bm25_scores",
+        "agg_brown_forsythe",
+        "ts_page_hinkley",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

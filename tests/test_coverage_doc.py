@@ -100,47 +100,58 @@ def test_header_counts_and_driver_split_match_doc():
 
 def test_driver_window_composition():
     """The driver verifies the FIRST ~50 registry keys per round. The
-    round-8 rotation leads with the 40 ROUND7_LATE_KEYS (first driver
-    rows — all judge-verified MATCH in the round-7 247-key sweep), then
-    round-8 new keys + re-verify slots for code round 8 touches. With
-    40 late keys the front ≈ fills the window, so the stalest r03/r04
-    backfill skips a round (recorded in the round-7 verdict). Guard it
-    so a module reorder or an accidental insertion can't silently
-    starve it."""
+    round-9 rotation leads with the 15 ROUND8_LATE_KEYS (first driver
+    rows — all judge-verified in the round-8 265-key sweep), then the 7
+    round-9 new keys, 2 re-verify slots for the changed binlog module,
+    and 26 backfill slots that RESUME the stalest r03 rows (the
+    round-8 verdict's explicit ask). Guard it so a module reorder or an
+    accidental insertion can't silently starve the backfill."""
     from mysql_cdc_table_spark.operators import (
-        _ROUND8_WINDOW_FRONT,
-        ROUND7_LATE_KEYS,
+        _ROUND9_WINDOW_FRONT,
         ROUND8_LATE_KEYS,
+        ROUND9_LATE_KEYS,
+        ROUND9_NEW_KEYS,
         _last_seen_rounds,
     )
 
     keys = list(all_queries())
     window = keys[:50]
-    front = [k for k in _ROUND8_WINDOW_FRONT if k in keys]
+    front = [k for k in _ROUND9_WINDOW_FRONT if k in keys]
     assert window[: len(front)] == front, "registry front diverged from plan"
-    assert len(front) <= 50, (
-        "round-8 front outgrew the driver window — 40 late keys leave "
-        "only ~10 slots; move new keys to ROUND8_LATE_KEYS"
+    assert len(front) <= 30, (
+        "round-9 front outgrew its budget — the backfill must keep "
+        "~20+ slots to resume the r03-standing rows; move new keys to "
+        "ROUND9_LATE_KEYS"
     )
 
     seen = _last_seen_rounds()
 
-    # the 40 round-7 late keys lead the window (the recorded plan: they
-    # have never had a driver row)
-    assert window[:40] == list(ROUND7_LATE_KEYS)
+    # the 15 round-8 late keys lead the window (never had a driver row)
+    assert window[:15] == list(ROUND8_LATE_KEYS)
 
     # every key with NO driver row ever must be in the window — except
-    # documented ROUND8_LATE_KEYS, pinned BEHIND it
+    # documented ROUND9_LATE_KEYS, pinned BEHIND it
     never_seen = [k for k in keys if k not in seen]
     missing = [
         k for k in never_seen
-        if k not in window and k not in ROUND8_LATE_KEYS
+        if k not in window and k not in ROUND9_LATE_KEYS
     ]
     assert not missing, f"never-driver-seen keys fell out of the window: {missing}"
-    if ROUND8_LATE_KEYS:
-        assert keys[-len(ROUND8_LATE_KEYS):] == list(ROUND8_LATE_KEYS), (
+    if ROUND9_LATE_KEYS:
+        assert keys[-len(ROUND9_LATE_KEYS):] == list(ROUND9_LATE_KEYS), (
             "late keys must sit at the very end of the registry"
         )
+
+    # the backfill MUST reach the stalest standing rows this round:
+    # every slot after the front is an r03 row (nothing staler exists)
+    backfill = window[len(front):]
+    assert backfill, "round-9 window left no backfill slots"
+    assert all(seen.get(k, 0) == 3 for k in backfill), (
+        f"backfill is not resuming the stalest (r03) rows: "
+        f"{[(k, seen.get(k, 0)) for k in backfill if seen.get(k, 0) != 3]}"
+    )
+    # the round-9 new keys are in the front, not displaced
+    assert all(k in window for k in ROUND9_NEW_KEYS)
 
     # backfill tail is stalest-first by LAST-seen round (the staleness
     # metric — first-seen would mark re-verified keys as stale); the
@@ -148,20 +159,10 @@ def test_driver_window_composition():
     tail_rounds = [
         seen.get(k, 0)
         for k in keys[len(front):]
-        if k not in ROUND8_LATE_KEYS
+        if k not in ROUND9_LATE_KEYS
     ]
     assert tail_rounds == sorted(tail_rounds), (
         "window backfill is not stalest-first"
-    )
-
-    # after r07 every key that existed at rotation time has a driver
-    # row; anything outside the window must be r03-or-fresher (the
-    # stalest standing rows are r03 — they skip one round because the
-    # 40 late keys fill the window, per the recorded plan).
-    outside_rounds = {seen.get(k, 0) for k in keys[50:] if k not in ROUND8_LATE_KEYS}
-    assert all(r >= 3 for r in outside_rounds), (
-        f"keys staler than r03 pushed out of the driver window: "
-        f"{[k for k in keys[50:] if seen.get(k, 0) < 3 and k not in ROUND8_LATE_KEYS]}"
     )
 
 

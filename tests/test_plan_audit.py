@@ -1136,3 +1136,37 @@ def test_round9_kruskal_two_level_prefix(spark, sf_dir):
     plan = formatted_plan(df)
     assert "hashpartitioning(bkt" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_round9_spearman_reuses_two_level_rank(spark, sf_dir):
+    """agg_spearman_corr ranks BOTH variables through the bucketed
+    two-level prefix sum: its windows are bkt-partitioned (plus the
+    constant-size offset tables), the rank tables come back via
+    broadcast joins, and no raw event row is ever sorted."""
+    from mysql_cdc_table_spark.operators.round9 import agg_spearman_corr
+    from mysql_cdc_table_spark.plans.audit import count_nodes, formatted_plan
+
+    df = agg_spearman_corr(spark, sf_dir)
+    assert count_nodes(df, "Window") == 4  # 2 grids x (local + offsets)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(bkt" in plan, plan
+    # rows collapse to the joint grid before any rank join
+    assert plan.index("HashAggregate") < plan.index("Window (")
+
+
+def test_round9_bm25_topk_is_two_level(spark, sf_dir):
+    """text_bm25_scores takes top-10 per term in the two-level form:
+    the first row_number window is partitioned by (tok, bkt) — the
+    global per-term window only ever sees the <=32*10 survivors."""
+    from mysql_cdc_table_spark.operators.round9 import text_bm25_scores
+    from mysql_cdc_table_spark.plans.audit import formatted_plan
+
+    df = text_bm25_scores(spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert plan.count("Window (") == 2  # bucket-level + survivor-level
+    # Spark pushes the rank<=10 filters into WindowGroupLimit partials:
+    # each task retains only its top-10 before the window shuffle
+    assert "WindowGroupLimit" in plan, plan
+    assert "hashpartitioning(tok" in plan, plan
