@@ -451,7 +451,12 @@ ROUND9_REVERIFY: tuple[str, ...] = (
 
 # Late-registration tail for round 9 (same pinned-behind protocol):
 # keys registered after the front budget fills; they lead round 10.
-ROUND9_LATE_KEYS: tuple[str, ...] = ()
+ROUND9_LATE_KEYS: tuple[str, ...] = (
+    "ts_changepoint_binseg",
+    "sql_pivot",
+    "emb_cosine_histogram",
+    "cdc_binlog_gno_gaps",
+)
 
 
 def _last_seen_rounds() -> dict[str, int]:

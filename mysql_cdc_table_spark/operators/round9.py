@@ -790,3 +790,331 @@ GROUP BY __op
 
 QUERIES["cdc_binlog_overwrite_rewrite"] = cdc_binlog_overwrite_rewrite
 ORACLES["cdc_binlog_overwrite_rewrite"] = _overwrite_rewrite_sql()
+
+# --- round-9 LATE registrations (pinned behind the window; lead round 10) -----
+
+
+def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection per event type (the first step of
+    binary segmentation / PELT): over the daily milli-value totals,
+    pick the split that maximizes the between-segment sum-of-squares
+    gain — argmax_t (S_L·n_R − S_R·n_L)² / (n_L·n_R). The prefix sums
+    are exact integers on the days grid (aggregate-then-scan, the
+    Theil–Sen shape); the ordering key is computed in doubles from
+    integers that stay below 2⁵³ (exact — |S·n| ≤ Σ|milli|·365,
+    documented to ~10⁸ rows/type), so both engines rank identical
+    keys; ties break on the earlier day. Emits the split plus the
+    exact integer evidence (n_L, n_R, diff), not the float gain —
+    the Welch sufficient-statistics precedent."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")), F.lit("1970-01-01")
+            ).alias("dd"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("v"))
+    )
+    wcum = Window.partitionBy("event_type").orderBy("dd").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wrank = Window.partitionBy("event_type").orderBy("dd").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pre = daily.select(
+        "event_type",
+        "dd",
+        F.sum("v").over(wcum).alias("sl"),
+        F.count("*").over(wcum).alias("nl"),
+        F.sum("v").over(wrank).alias("s"),
+        F.count("*").over(wrank).alias("n"),
+    ).filter(F.col("nl") < F.col("n"))
+    scored = pre.select(
+        "event_type",
+        "dd",
+        "nl",
+        (F.col("n") - F.col("nl")).alias("nr"),
+        (
+            F.col("sl") * (F.col("n") - F.col("nl"))
+            - (F.col("s") - F.col("sl")) * F.col("nl")
+        ).alias("diff"),
+    ).withColumn(
+        "key",
+        F.col("diff").cast("double")
+        * F.col("diff").cast("double")
+        / (F.col("nl") * F.col("nr")),
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.col("key").desc(), F.col("dd")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("dd").alias("split_dd"),
+            F.col("nl").cast("long").alias("n_left"),
+            F.col("nr").cast("long").alias("n_right"),
+            F.col("diff").cast("long").alias("diff"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TS_CHANGEPOINT_BINSEG_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS dd,
+         CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), pre AS (
+  SELECT event_type, dd,
+         CAST(sum(v) OVER (PARTITION BY event_type ORDER BY dd
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sl,
+         CAST(count(*) OVER (PARTITION BY event_type ORDER BY dd
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+         CAST(sum(v) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM daily
+), scored AS (
+  SELECT event_type, dd, nl, n - nl AS nr,
+         sl * (n - nl) - (s - sl) * nl AS diff,
+         CAST(sl * (n - nl) - (s - sl) * nl AS DOUBLE)
+           * CAST(sl * (n - nl) - (s - sl) * nl AS DOUBLE)
+           / (nl * (n - nl)) AS key
+  FROM pre WHERE nl < n
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY key DESC, dd) AS rn
+  FROM scored
+)
+SELECT event_type, dd AS split_dd,
+       CAST(nl AS BIGINT) AS n_left,
+       CAST(nr AS BIGINT) AS n_right,
+       CAST(diff AS BIGINT) AS diff
+FROM best WHERE rn = 1
+ORDER BY event_type
+"""
+
+QUERIES["ts_changepoint_binseg"] = ts_changepoint_binseg
+ORACLES["ts_changepoint_binseg"] = TS_CHANGEPOINT_BINSEG_SQL
+
+
+def sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT — the sixth SQL surface entry (after views, pipe
+    syntax, GROUP BY ALL, parameterized, scripting): order cents
+    pivoted status-per-column by priority through Spark's native
+    PIVOT clause; the oracle is the de-sugared FILTER aggregation, so
+    the rewrite Spark applies (pivot → aggregate with conditional
+    projections — one pass, map-side combinable, never a per-column
+    self-join) must resolve to exactly the manual plan's values."""
+    from mysql_cdc_table_spark.operators.extras import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT prio, coalesce(so, 0) AS o_cents,
+               coalesce(sf, 0) AS f_cents,
+               coalesce(sp, 0) AS p_cents
+        FROM (
+          SELECT o_orderpriority AS prio, o_orderstatus AS s,
+                 CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders
+        )
+        PIVOT (
+          sum(c) FOR s IN ('O' AS so, 'F' AS sf, 'P' AS sp)
+        )
+        ORDER BY prio
+        """
+    )
+
+
+SQL_PIVOT_SQL = """
+SELECT o_orderpriority AS prio,
+       CAST(coalesce(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+            FILTER (WHERE o_orderstatus = 'O'), 0) AS BIGINT) AS o_cents,
+       CAST(coalesce(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+            FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT) AS f_cents,
+       CAST(coalesce(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+            FILTER (WHERE o_orderstatus = 'P'), 0) AS BIGINT) AS p_cents
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY prio
+"""
+
+QUERIES["sql_pivot"] = sql_pivot
+ORACLES["sql_pivot"] = SQL_PIVOT_SQL
+
+EMB_DIM9 = 64       # embeddings table dimension (TESTDATA.md)
+COS_SAMPLE_MOD = 10  # deterministic 1/10 sample for the pair grid
+
+
+def emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine distribution over a deterministic embedding
+    sample — the corpus-health diagnostic that catches embedding
+    collapse (mass near 1.0) or a broken normalizer before a dedup or
+    ANN job trusts the space. A 1/COS_SAMPLE_MOD content-addressed
+    sample (vec_id % MOD — the corpus_hash_sample discipline, no RNG)
+    bounds the pair grid to (n/MOD)²/2; each pair's dot product is the
+    SEQUENTIAL zip_with/aggregate fold both engines replay elementwise
+    (dims 1..64 in order, float→double casts exact), so the cosine is
+    bit-identical and the e2-floored bucket counts are exact integers.
+    Scale knob: MOD ∝ √N keeps the pair grid constant; the histogram
+    itself is ≤201 buckets."""
+    e = t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % COS_SAMPLE_MOD == 0
+    )
+    sq = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double") * x.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    s = e.select("vec_id", "embedding", F.sqrt(sq).alias("nrm"))
+    a, b = s.alias("a"), s.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"),
+            F.col("b.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.floor(
+            F.lit(100.0) * dot / (F.col("a.nrm") * F.col("b.nrm"))
+        )
+        .cast("long")
+        .alias("cos_e2")
+    )
+    return (
+        pairs.groupBy("cos_e2")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("cos_e2")
+    )
+
+
+EMB_COSINE_HISTOGRAM_SQL = f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(generate_series(1, {EMB_DIM9}),
+               i -> CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                    * CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE))),
+           (acc, x) -> acc + x)) AS nrm
+  FROM embeddings WHERE vec_id % {COS_SAMPLE_MOD} = 0
+), pairs AS (
+  SELECT CAST(floor(100.0 * list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(generate_series(1, {EMB_DIM9}),
+               i -> CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                    * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE))),
+           (acc, x) -> acc + x) / (a.nrm * b.nrm)) AS BIGINT) AS cos_e2
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+)
+SELECT cos_e2, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY cos_e2 ORDER BY cos_e2
+"""
+
+QUERIES["emb_cosine_histogram"] = emb_cosine_histogram
+ORACLES["emb_cosine_histogram"] = EMB_COSINE_HISTOGRAM_SQL
+
+
+def cdc_binlog_gno_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GTID continuity audit over a REAL binlog series — the
+    replication-health check a DBA runs before trusting a restored
+    archive: stage the changelog through the sink, decode it back, and
+    account for every gno WITHOUT any global sort or window. Presence
+    stats are plain aggregates (min/max/count → missing = span −
+    present); gap RUNS are counted by a shifted ANTI-JOIN (a present
+    gno whose successor is absent starts a run; the max gno is
+    discounted) — hash joins end to end, fully distributed at any
+    scale. The oracle audits the changelog CTE directly, so a reader
+    that loses or duplicates transactions breaks the hash."""
+    import hashlib
+    import os
+    import tempfile
+
+    from mysql_cdc_table_spark.cdc.queries import ORDERS_TARGET_SCHEMA
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+    from mysql_cdc_table_spark.sources.datasource import register
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        mysql_binlog_read,
+    )
+
+    register(spark)
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}:gnogaps".encode()
+    ).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"cdc_gnogaps_binlogs_{tag}")
+    ddl = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    (
+        synthetic_changelog(spark, sf_dir)
+        .repartition(4, "__gtid")
+        .write.format("mysql_binlog")
+        .option("schema_ddl", ddl)
+        .option("database", "tpch")
+        .option("table", "orders")
+        .mode("overwrite")
+        .save(stage)
+    )
+    back = mysql_binlog_read(
+        spark, stage, ORDERS_TARGET_SCHEMA, "tpch", "orders"
+    )
+    present = back.select(F.col("__gtid").alias("gno")).distinct()
+    stats = present.agg(
+        F.min("gno").alias("min_gno"),
+        F.max("gno").alias("max_gno"),
+        F.count("*").alias("n_present"),
+    )
+    succ = present.select((F.col("gno") + 1).alias("gno"))
+    run_starts = present.join(succ, "gno", "left_anti").agg(
+        F.count("*").alias("run_ends")
+    )
+    return stats.crossJoin(F.broadcast(run_starts)).select(
+        "min_gno",
+        "max_gno",
+        F.col("n_present").cast("long").alias("n_present"),
+        (F.col("max_gno") - F.col("min_gno") + 1 - F.col("n_present"))
+        .cast("long")
+        .alias("n_missing"),
+        (F.col("run_ends") - 1).cast("long").alias("gap_runs"),
+    )
+
+
+def _gno_gaps_sql() -> str:
+    from mysql_cdc_table_spark.cdc.synthetic import CHANGELOG_CTE
+
+    return f"""
+WITH {CHANGELOG_CTE},
+present AS (SELECT DISTINCT __gtid AS gno FROM changelog),
+stats AS (
+  SELECT CAST(min(gno) AS BIGINT) AS min_gno,
+         CAST(max(gno) AS BIGINT) AS max_gno,
+         CAST(count(*) AS BIGINT) AS n_present
+  FROM present
+),
+runs AS (
+  SELECT CAST(count(*) AS BIGINT) AS run_ends
+  FROM present p
+  WHERE NOT EXISTS (SELECT 1 FROM present q WHERE q.gno = p.gno + 1)
+)
+SELECT min_gno, max_gno, n_present,
+       CAST(max_gno - min_gno + 1 - n_present AS BIGINT) AS n_missing,
+       CAST(run_ends - 1 AS BIGINT) AS gap_runs
+FROM stats CROSS JOIN runs
+"""
+
+
+QUERIES["cdc_binlog_gno_gaps"] = cdc_binlog_gno_gaps
+ORACLES["cdc_binlog_gno_gaps"] = _gno_gaps_sql()
