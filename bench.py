@@ -418,7 +418,7 @@ def main() -> None:
     # invocations). A long-lived cluster amortizes compilation away, so
     # the warm steady state is the honest number; it also makes the
     # anchor-drift sentinel near-zero when the box is healthy.
-    for name in [*HEADLINE, "packed_binlog_scan", "mysql_binlog_scan", "binlog_gtid_resume", "ivf_pruned_search", "binlog_sink_write"]:
+    for name in [*HEADLINE, "packed_binlog_scan", "mysql_binlog_scan", "binlog_gtid_resume", "ivf_pruned_search", "binlog_sink_write", "agg_kruskal_rank_sums"]:
         queries[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
@@ -432,7 +432,7 @@ def main() -> None:
     # ±15% band flags contention.
     def sweep(load_pre_sweep) -> dict:
         times: dict[str, float] = {}
-        for name in [*HEADLINE, "packed_binlog_scan", "mysql_binlog_scan", "binlog_gtid_resume", "ivf_pruned_search", "binlog_sink_write"]:
+        for name in [*HEADLINE, "packed_binlog_scan", "mysql_binlog_scan", "binlog_gtid_resume", "ivf_pruned_search", "binlog_sink_write", "agg_kruskal_rank_sums"]:
             times[name] = timed(name)
         anchor_first = times[HEADLINE[0]]
         anchor_last = timed(HEADLINE[0])
@@ -498,7 +498,12 @@ def main() -> None:
                 #    staged changelog -> binlog v4 files -> read-back;
                 #    encode + write + decode in one number) — TOTAL
                 #    grows by one more entry (r08)
-                "protocol": 7,
+                # 8: + agg_kruskal_rank_sums entry (locks the round-9
+                #    range-bucketed two-level grid-ranking path shared
+                #    by MW-U/Kruskal/Spearman; a regression that
+                #    re-serializes the rank sort moves this number) —
+                #    TOTAL grows by one more entry (r09)
+                "protocol": 8,
                 "anchor": HEADLINE[0],
                 "anchor_first_sec": result["anchor_first_sec"],
                 "anchor_last_sec": result["anchor_last_sec"],
