@@ -88,3 +88,51 @@ def test_knn_ivf_candidate_stage_is_pruned(spark):
     assert pruned_pairs < n_queries * (n_corpus - 1)
     # 3 of 8 cells: expect roughly 3/8 of the exhaustive pair count
     assert pruned_pairs < 0.7 * n_queries * n_corpus
+
+
+# --- round 9: two-level grid ranking property ---------------------------------
+
+
+def test_grid_prefix_prev_equals_naive_window(spark):
+    """_grid_prefix_prev (range-bucketed two-level prefix sum) must
+    return EXACTLY the naive unpartitioned running sum it replaced —
+    for adversarial grids: heavy ties (all values equal), negative
+    values, single value, values straddling approxQuantile boundaries,
+    and counts that differ per value."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.operators.round8 import _grid_prefix_prev
+
+    rnd = random.Random(90210)
+    cases = [
+        [(v, 1) for v in range(100)],                      # dense grid
+        [(7, 13)],                                         # single value
+        [(v, 3) for v in [5] * 1],                         # trivial
+        [(-(10**9) + v * 7919, rnd.randint(1, 9))          # wide + negative
+         for v in range(257)],
+        [(rnd.randint(-50, 50), rnd.randint(1, 5))         # heavy ties
+         for _ in range(300)],
+    ]
+    for rows in cases:
+        # collapse duplicate vm (the helper's contract: grid rows unique)
+        agg: dict[int, int] = {}
+        for v, c in rows:
+            agg[v] = agg.get(v, 0) + c
+        grid = spark.createDataFrame(
+            [(v, c) for v, c in agg.items()], "vm long, ct long"
+        ).repartition(8)
+        got = {
+            r["vm"]: r["prev"]
+            for r in _grid_prefix_prev(grid, "ct").collect()
+        }
+        w = Window.orderBy("vm").rowsBetween(Window.unboundedPreceding, 0)
+        want = {
+            r["vm"]: r["prev"]
+            for r in grid.select(
+                "vm", (F.sum("ct").over(w) - F.col("ct")).alias("prev")
+            ).collect()
+        }
+        assert got == want
