@@ -6276,8 +6276,14 @@ class MysqlBinlogWriter(_DataSourceWriter):
         if hasattr(first, "__fields__"):
             fields = list(first.__fields__)
             pos = fields.index
+            # materialize each Row as a PLAIN tuple once (C-speed copy
+            # of a tuple subclass): every later cell access is then
+            # tuple.__getitem__ instead of the Row override (~15% of
+            # single-thread encode at 6 columns)
+            mat = tuple
         else:
             pos = lambda n: n  # noqa: E731 - identity key for mappings
+            mat = lambda r: r  # noqa: E731 - mappings index by name
         gi = pos("__gtid")
         esi = pos("__event_seq")
         isi = pos("__image_seq")
@@ -6286,7 +6292,8 @@ class MysqlBinlogWriter(_DataSourceWriter):
         nidx = [(n, pos(n)) for n in names]
         by_gno: dict[int, list] = {}
         for row in chain((first,), it):
-            by_gno.setdefault(int(row[gi]), []).append(row)
+            tup = mat(row)
+            by_gno.setdefault(int(tup[gi]), []).append(tup)
         txns = []
         for gno in sorted(by_gno):
             imgs = sorted(
