@@ -238,6 +238,13 @@ def main() -> None:
         "text_bm25_scores",
         "agg_brown_forsythe",
         "ts_page_hinkley",
+        # round 9 late keys: changepoint (days-grid argmax), cosine
+        # histogram (bounded pair grid over a 1/10 sample — expect the
+        # quadratic sample growth, the documented MOD ∝ √N knob),
+        # PIVOT (one-pass conditional agg)
+        "ts_changepoint_binseg",
+        "emb_cosine_histogram",
+        "sql_pivot",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]
