@@ -4306,6 +4306,63 @@ def mysql_binlog_tail_stream(
     return reader.load()
 
 
+def mysql_binlog_relay(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    schema_ddl: str,
+    database: str,
+    table: str,
+    *,
+    checkpoint: str,
+    predicate=None,
+    partitions: int = 4,
+    compression: str | None = None,
+    available_now: bool = False,
+    processing_time: str = "1 second",
+    start_after_gno: int | None = None,
+):
+    """The engine as a FILTERING binlog replication relay — a
+    capability the reference cannot express at all (read-only scans,
+    no write path, binlogdb.cc:283-345): tail a live binlog directory
+    (sub-rotation latency, checkpointed cursor), optionally filter the
+    changelog (``predicate``: Column or SQL string), and re-emit it as
+    a new continuous rotating v4 series a downstream consumer — or
+    this same engine — can tail in turn. Optionally re-compress
+    (``compression="zstd"``) so the relay upgrades an uncompressed
+    upstream to binlog_transaction_compression on the way through.
+
+    Exactly-once at the row level across restarts (tail offsets +
+    idempotent batch-id-named sink commits; the producer/consumer seam
+    is covered by tests/test_mysql_binlog.py's concurrent relay test).
+    Predicates must be TRANSACTION-STABLE: filter on keys, gtids, or
+    columns constant within a transaction — a predicate that keeps one
+    update image and drops its pair raises the sink's torn-transaction
+    error rather than silently writing a broken series. Returns the
+    StreamingQuery."""
+    cl = mysql_binlog_tail_stream(
+        spark, src_path, schema_ddl, database, table,
+        start_after_gno=start_after_gno,
+    )
+    if predicate is not None:
+        cl = cl.filter(predicate)
+    w = (
+        cl.repartition(partitions, "__gtid")
+        .writeStream.format("mysql_binlog")
+        .option("schema_ddl", schema_ddl)
+        .option("database", database)
+        .option("table", table)
+        .option("checkpointLocation", checkpoint)
+    )
+    if compression is not None:
+        w = w.option("compression", compression)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    else:
+        w = w.trigger(processingTime=processing_time)
+    return w.start(dst_path)
+
+
 # --- oracle-checked roundtrip query ------------------------------------------
 
 

@@ -3608,3 +3608,72 @@ def test_sink_tail_concurrent_relay(spark, tmp_path):
     )
     assert len(keys) == 200, "tail delivered duplicate rows across seams"
     assert binlog_chain_gaps(out) == []
+
+
+def test_mysql_binlog_relay_filters_and_rechains(spark, tmp_path):
+    """mysql_binlog_relay (round 9): a staged upstream series relays
+    through tail -> filter -> sink into a NEW continuous rotating
+    series — only the transactions passing the (transaction-stable)
+    predicate arrive, the downstream chain audits gap-free, zstd
+    re-compression applies on the way through, and a checkpointed
+    second run relays only the new upstream file."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from mysql_cdc_table_spark.sources.datasource import register
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        binlog_chain_gaps,
+        build_binlog_file,
+        mysql_binlog_read,
+        mysql_binlog_relay,
+    )
+
+    register(spark)
+    src, dst, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "dst"), str(tmp_path / "ck")
+    )
+    os.makedirs(src)
+    tgt = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+
+    def put(name, lo, hi, rotate_to=None):
+        txns = [
+            {"gno": g, "op": "w", "rows": [{"id": g, "v": f"v{g}"}]}
+            for g in range(lo, hi)
+        ]
+        blob = build_binlog_file(
+            "d", "t", tgt, txns, checksum=True, rotate_to=rotate_to,
+            previous_gtids={b"\x11" * 16: [(1, lo)]} if lo > 1 else None,
+        )
+        (tmp_path / "src" / name).write_bytes(blob)
+
+    put("binlog.000001", 1, 41, rotate_to="binlog.000002")
+    put("binlog.000002", 41, 81)
+
+    def relay_once():
+        q = mysql_binlog_relay(
+            spark, src, dst, "id bigint, v string", "d", "t",
+            checkpoint=ckpt,
+            predicate=F.col("id") % 2 == 0,   # txn-stable (1-row txns)
+            partitions=2,
+            compression="zstd",
+            available_now=True,
+        )
+        q.awaitTermination()
+
+    relay_once()
+    got = mysql_binlog_read(spark, dst, tgt, "d", "t")
+    assert sorted(r["id"] for r in got.collect()) == list(range(2, 81, 2))
+    assert binlog_chain_gaps(dst) == []
+
+    # upstream rotates forward; the checkpointed relay ships ONLY the
+    # new transactions, extending the downstream chain seamlessly
+    put("binlog.000003", 81, 101)
+    # the tail consumes rotated files; re-link the upstream chain
+    relay_once()
+    got2 = mysql_binlog_read(spark, dst, tgt, "d", "t")
+    assert sorted(r["id"] for r in got2.collect()) == list(range(2, 101, 2))
+    assert binlog_chain_gaps(dst) == []
