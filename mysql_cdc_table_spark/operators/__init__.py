@@ -456,6 +456,7 @@ ROUND9_LATE_KEYS: tuple[str, ...] = (
     "sql_pivot",
     "emb_cosine_histogram",
     "cdc_binlog_gno_gaps",
+    "corpus_term_enrichment",
 )
 
 

@@ -1118,3 +1118,94 @@ FROM stats CROSS JOIN runs
 
 QUERIES["cdc_binlog_gno_gaps"] = cdc_binlog_gno_gaps
 ORACLES["cdc_binlog_gno_gaps"] = _gno_gaps_sql()
+
+def corpus_term_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source term enrichment — the corpus-mining question "which
+    sources are biased toward this vocabulary?" (topic skew detection
+    before mixing sources into a training run). For the fixed 5-term
+    probe set: observed document frequency per (source, term) vs the
+    count expected under independence (source share × corpus df), and
+    the lift. Everything is exact integer counts except the final lift
+    — ONE division of exact int64 products, floored to ppm (the
+    kappa discipline); expected·e6 is likewise floor(1e6·n_s·df/N).
+    Shape: one explode over matching tokens only, three bounded
+    aggregates (sources × 5 terms), broadcast everywhere — nothing
+    downstream of the scan exceeds the source×term grid."""
+    from mysql_cdc_table_spark.functions.text import tokens
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    hit = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct("toks")).alias("tok"),
+    ).filter(F.col("tok").isin(*_BM25_TERMS))
+    obs = hit.groupBy("source", "tok").agg(
+        F.count("*").cast("long").alias("obs_df")
+    )
+    per_src = d.groupBy("source").agg(F.count("*").cast("long").alias("n_s"))
+    corpus = d.agg(F.count("*").cast("long").alias("n_docs"))
+    df_tot = hit.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    return (
+        obs.join(F.broadcast(per_src), "source")
+        .join(F.broadcast(df_tot), "tok")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "source",
+            F.col("tok").alias("term"),
+            "obs_df",
+            F.floor(
+                F.lit(1_000_000.0)
+                * (F.col("n_s") * F.col("df")).cast("double")
+                / F.col("n_docs").cast("double")
+            )
+            .cast("long")
+            .alias("expected_e6"),
+            F.floor(
+                F.lit(1_000_000.0)
+                * (F.col("obs_df") * F.col("n_docs")).cast("double")
+                / (F.col("n_s") * F.col("df")).cast("double")
+            )
+            .cast("long")
+            .alias("lift_e6"),
+        )
+        .orderBy("source", "term")
+    )
+
+
+CORPUS_TERM_ENRICHMENT_SQL = """
+WITH d AS (
+  SELECT doc_id, source,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), hit AS (
+  SELECT doc_id, source, tok
+  FROM (SELECT doc_id, source, unnest(list_distinct(toks)) AS tok FROM d)
+  WHERE tok IN ('join', 'hash', 'scan', 'filter', 'vector')
+), obs AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS obs_df
+  FROM hit GROUP BY 1, 2
+), per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM d GROUP BY 1
+), corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d),
+df_tot AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM hit GROUP BY 1
+)
+SELECT obs.source,
+       obs.tok AS term,
+       obs.obs_df,
+       CAST(floor(1000000.0 * CAST(per_src.n_s * df_tot.df AS DOUBLE)
+            / CAST(corpus.n_docs AS DOUBLE)) AS BIGINT) AS expected_e6,
+       CAST(floor(1000000.0 * CAST(obs.obs_df * corpus.n_docs AS DOUBLE)
+            / CAST(per_src.n_s * df_tot.df AS DOUBLE)) AS BIGINT)
+         AS lift_e6
+FROM obs
+JOIN per_src USING (source)
+JOIN df_tot USING (tok)
+CROSS JOIN corpus
+ORDER BY obs.source, term
+"""
+
+QUERIES["corpus_term_enrichment"] = corpus_term_enrichment
+ORACLES["corpus_term_enrichment"] = CORPUS_TERM_ENRICHMENT_SQL
