@@ -142,14 +142,21 @@ def test_driver_window_composition():
             "late keys must sit at the very end of the registry"
         )
 
-    # the backfill MUST reach the stalest standing rows this round:
-    # every slot after the front is an r03 row (nothing staler exists)
+    # the backfill MUST reach the stalest standing rows: the slots
+    # after the front hold exactly the minimum last-seen rounds among
+    # all non-front, non-late keys (before the driver writes
+    # CORRECTNESS_r09 that means all-r03; after, the next-stalest move
+    # in — the invariant is "stalest prefix", not a literal round)
     backfill = window[len(front):]
     assert backfill, "round-9 window left no backfill slots"
-    assert all(seen.get(k, 0) == 3 for k in backfill), (
-        f"backfill is not resuming the stalest (r03) rows: "
-        f"{[(k, seen.get(k, 0)) for k in backfill if seen.get(k, 0) != 3]}"
+    candidate_rounds = sorted(
+        seen.get(k, 0)
+        for k in keys
+        if k not in front and k not in ROUND9_LATE_KEYS
     )
+    assert [seen.get(k, 0) for k in backfill] == (
+        candidate_rounds[: len(backfill)]
+    ), "backfill is not the stalest prefix of standing rows"
     # the round-9 new keys are in the front, not displaced
     assert all(k in window for k in ROUND9_NEW_KEYS)
 
@@ -170,23 +177,33 @@ def test_driver_artifacts_are_git_tracked():
     """The judge flagged untracked CORRECTNESS/BENCH artifacts two
     rounds running — the driver writes them after the round's last
     commit, and they must be committed at the START of the next round.
-    Fail loudly if any driver artifact in the repo root is untracked."""
+    Fail if any artifact from a round the builder has already SEEN
+    (≤ the newest round in COVERAGE.md's driver-history) is untracked;
+    an artifact NEWER than the doc is the driver's fresh write of the
+    current round — the next session's first job, not a failure here."""
+    import re as _re
     import subprocess
 
     root = Path(__file__).resolve().parent.parent
+    doc = root.joinpath("COVERAGE.md").read_text()
+    m = _re.search(r"<!-- driver-history:((?: r\d+=\d+/\d+)+) -->", doc)
+    assert m, "COVERAGE.md lost its driver-history block"
+    newest_seen = max(int(r) for r in _re.findall(r"r(\d+)=", m.group(1)))
     tracked = set(
         subprocess.run(
             ["git", "ls-files"], cwd=root, capture_output=True, text=True,
             check=True,
         ).stdout.splitlines()
     )
-    artifacts = sorted(
+    stale_untracked = sorted(
         p.name
         for pat in ("CORRECTNESS_r*.json", "BENCH_r*.json")
         for p in root.glob(pat)
+        if int(p.stem.split("_r")[1]) <= newest_seen
+        and p.name not in tracked
     )
-    untracked = [a for a in artifacts if a not in tracked]
-    assert not untracked, (
-        f"driver artifacts not committed: {untracked} — "
-        "`git add` them before doing anything else this round"
+    assert not stale_untracked, (
+        f"driver artifacts not committed: {stale_untracked} — "
+        "`git add` them (and update driver-history) before doing "
+        "anything else this round"
     )
