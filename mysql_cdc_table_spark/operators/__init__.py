@@ -457,6 +457,9 @@ ROUND9_LATE_KEYS: tuple[str, ...] = (
     "emb_cosine_histogram",
     "cdc_binlog_gno_gaps",
     "corpus_term_enrichment",
+    "agg_mcnemar_paired",
+    "agg_benford_deviation",
+    "ts_ljung_box",
 )
 
 

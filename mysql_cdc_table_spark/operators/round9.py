@@ -1209,3 +1209,286 @@ ORDER BY obs.source, term
 
 QUERIES["corpus_term_enrichment"] = corpus_term_enrichment
 ORACLES["corpus_term_enrichment"] = CORPUS_TERM_ENRICHMENT_SQL
+
+# --- agg_mcnemar_paired --------------------------------------------------------
+
+
+def agg_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for paired binary outcomes — the A/B question on
+    the SAME subjects (did the same users who do A also do B?): for the
+    two lexicographically first event types, each user gets the paired
+    indicator (saw A, saw B); the statistic depends ONLY on the
+    discordant cells b = #(A,¬B), c = #(¬A,B):
+    χ² = (|b−c|−1)²/(b+c) (continuity-corrected). Everything is exact
+    integer until the single final division, floored to ppm (the kappa
+    discipline). Shape: one per-user aggregate (map-side combinable
+    max), one 4-cell count — nothing downstream exceeds four rows."""
+    e = t(spark, sf_dir, "events")
+    two = e.groupBy("event_type").count().orderBy("event_type").limit(2)
+    ta, tb = [r["event_type"] for r in two.collect()]
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == ta, 1).otherwise(0)).alias("a"),
+        F.max(F.when(F.col("event_type") == tb, 1).otherwise(0)).alias("b"),
+    )
+    cells = per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(
+            F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0)
+        ).cast("long").alias("b_only_a"),
+        F.sum(
+            F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0)
+        ).cast("long").alias("c_only_b"),
+    )
+    num = (
+        (F.abs(F.col("b_only_a") - F.col("c_only_b")) - 1)
+        * (F.abs(F.col("b_only_a") - F.col("c_only_b")) - 1)
+    )
+    return cells.select(
+        F.lit(ta).alias("type_a"),
+        F.lit(tb).alias("type_b"),
+        "n_users",
+        "b_only_a",
+        "c_only_b",
+        F.when(F.col("b_only_a") + F.col("c_only_b") == 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                F.lit(1_000_000.0)
+                * num.cast("double")
+                / (F.col("b_only_a") + F.col("c_only_b")).cast("double")
+            )
+        )
+        .cast("long")
+        .alias("mcnemar_e6"),
+    )
+
+
+AGG_MCNEMAR_PAIRED_SQL = """
+WITH two AS (
+  SELECT event_type FROM events GROUP BY 1 ORDER BY 1 LIMIT 2
+), named AS (
+  SELECT min(event_type) AS ta, max(event_type) AS tb FROM two
+), per_user AS (
+  SELECT e.user_id,
+         max(CASE WHEN e.event_type = n.ta THEN 1 ELSE 0 END) AS a,
+         max(CASE WHEN e.event_type = n.tb THEN 1 ELSE 0 END) AS b
+  FROM events e CROSS JOIN named n
+  GROUP BY 1
+), cells AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS b_only_a,
+         CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_only_b
+  FROM per_user
+)
+SELECT n.ta AS type_a, n.tb AS type_b,
+       c.n_users, c.b_only_a, c.c_only_b,
+       CAST(CASE WHEN b_only_a + c_only_b = 0 THEN 0
+            ELSE floor(1000000.0
+              * CAST((abs(b_only_a - c_only_b) - 1)
+                     * (abs(b_only_a - c_only_b) - 1) AS DOUBLE)
+              / CAST(b_only_a + c_only_b AS DOUBLE)) END AS BIGINT)
+         AS mcnemar_e6
+FROM cells c CROSS JOIN named n
+"""
+
+QUERIES["agg_mcnemar_paired"] = agg_mcnemar_paired
+ORACLES["agg_mcnemar_paired"] = AGG_MCNEMAR_PAIRED_SQL
+
+
+# --- agg_benford_deviation -----------------------------------------------------
+
+
+def agg_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit — the classic fabricated-data detector
+    over the value column. The digit is extracted EXACTLY (first char
+    of the milli-int's decimal string — no log10 near power-of-ten
+    boundaries, where a 1-ulp libm divergence would flip the digit);
+    Benford's expected share log10(1+1/d) is per-digit (9 cells,
+    floored ppm), and each digit's χ² contribution is one fixed-order
+    IEEE expression over exact counts, floored. One map-side count per
+    digit; the result is 9 rows at any input size."""
+    e = t(spark, sf_dir, "events").select(
+        F.substring(
+            F.floor(F.col("value") * 1000).cast("long").cast("string"), 1, 1
+        ).cast("int").alias("d")
+    ).filter(F.col("d") >= 1)
+    counts = e.groupBy("d").agg(F.count("*").cast("long").alias("obs"))
+    tot = counts.agg(F.sum("obs").cast("long").alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "obs",
+            "n",
+            F.floor(
+                F.lit(1_000_000.0) * F.log10(1 + 1 / F.col("d"))
+            ).cast("long").alias("benford_e6"),
+            F.floor(
+                F.lit(1_000_000.0)
+                * (
+                    F.col("obs").cast("double")
+                    - F.col("n") * F.log10(1 + 1 / F.col("d"))
+                )
+                * (
+                    F.col("obs").cast("double")
+                    - F.col("n") * F.log10(1 + 1 / F.col("d"))
+                )
+                / (F.col("n") * F.log10(1 + 1 / F.col("d")))
+            ).cast("long").alias("chi2_term_e6"),
+        )
+        .orderBy("d")
+    )
+
+
+AGG_BENFORD_DEVIATION_SQL = """
+WITH e AS (
+  SELECT CAST(substr(CAST(CAST(floor(value * 1000) AS BIGINT) AS VARCHAR),
+              1, 1) AS INTEGER) AS d
+  FROM events
+), f AS (SELECT d FROM e WHERE d >= 1),
+counts AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS obs FROM f GROUP BY 1
+), tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM counts)
+SELECT c.d, c.obs, t.n,
+       CAST(floor(1000000.0 * log10(1 + 1 / c.d)) AS BIGINT)
+         AS benford_e6,
+       CAST(floor(1000000.0
+            * (CAST(c.obs AS DOUBLE) - t.n * log10(1 + 1 / c.d))
+            * (CAST(c.obs AS DOUBLE) - t.n * log10(1 + 1 / c.d))
+            / (t.n * log10(1 + 1 / c.d))) AS BIGINT) AS chi2_term_e6
+FROM counts c CROSS JOIN tot t
+ORDER BY c.d
+"""
+
+QUERIES["agg_benford_deviation"] = agg_benford_deviation
+ORACLES["agg_benford_deviation"] = AGG_BENFORD_DEVIATION_SQL
+
+# --- ts_ljung_box ---------------------------------------------------------------
+
+LB_LAGS = (1, 2, 3, 4, 5)
+
+
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau test per event type — "is this series
+    white noise?" over the daily totals, the standard residual
+    diagnostic after any of the repo's trend fits (Holt, Theil–Sen,
+    changepoint). Centered products are made EXACT by scaling out the
+    rational mean: u_t = n·x_t − Σx (integers), so the lag-k
+    autocovariance C_k = Σ u_t·u_{t+k} and C_0 = Σ u_t² are exact —
+    summed as DECIMAL(38,0)/HUGEINT (u² ~ 10¹⁷ at sf0.1 already
+    outgrows int64) and EMITTED as digit strings. r_k = C_k/C_0 and
+    Q = n(n+2)·Σ r_k²/(n−k) are a fixed-order IEEE chain over those
+    exact integers, floored to e6. Shape: the series is the DAILY grid
+    (aggregate-then-window, days-bounded per type); five lag columns
+    ride one sort."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", F.col("ts")), F.lit("1970-01-01")
+        ).alias("dd"),
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("v"))
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").alias("s"),
+    )
+    u = (
+        daily.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "dd",
+            "n",
+            (F.col("n") * F.col("v") - F.col("s")).alias("u"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("dd")
+    lagged = u.select(
+        "event_type",
+        "n",
+        "u",
+        *[F.lag("u", k).over(w).alias(f"l{k}") for k in LB_LAGS],
+    )
+    dec = "decimal(38,0)"
+    aggs = [
+        F.sum(F.col("u").cast(dec) * F.col("u")).alias("c0"),
+    ] + [
+        F.sum(F.col(f"l{k}").cast(dec) * F.col("u")).alias(f"c{k}")
+        for k in LB_LAGS
+    ]
+    stats = lagged.groupBy("event_type", "n").agg(*aggs)
+    r = {
+        k: F.col(f"c{k}").cast("double") / F.col("c0").cast("double")
+        for k in LB_LAGS
+    }
+    q_sum = None
+    for k in LB_LAGS:
+        term = r[k] * r[k] / (F.col("n") - k)
+        q_sum = term if q_sum is None else q_sum + term
+    return stats.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        *[F.col(f"c{k}").cast("string").alias(f"c{k}") for k in (0, *LB_LAGS)],
+        F.floor(
+            F.lit(1_000_000.0)
+            * (F.col("n") * (F.col("n") + 2)).cast("double")
+            * q_sum
+        )
+        .cast("long")
+        .alias("q_e6"),
+    ).orderBy("event_type")
+
+
+def _ljung_box_sql() -> str:
+    lag_cols = ",\n         ".join(
+        f"lag(u, {k}) OVER (PARTITION BY event_type ORDER BY dd) AS l{k}"
+        for k in LB_LAGS
+    )
+    c_aggs = ",\n         ".join(
+        f"sum(CAST(l{k} AS HUGEINT) * u) AS c{k}" for k in LB_LAGS
+    )
+    c_strs = ",\n       ".join(
+        f"CAST(c{k} AS VARCHAR) AS c{k}" for k in (0, *LB_LAGS)
+    )
+    q_terms = " + ".join(
+        f"(CAST(c{k} AS DOUBLE) / CAST(c0 AS DOUBLE))"
+        f" * (CAST(c{k} AS DOUBLE) / CAST(c0 AS DOUBLE)) / (n - {k})"
+        for k in LB_LAGS
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS dd,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS s
+  FROM daily GROUP BY 1
+), u AS (
+  SELECT d.event_type, d.dd, t.n, t.n * d.v - t.s AS u
+  FROM daily d JOIN tot t USING (event_type)
+), lagged AS (
+  SELECT event_type, n, u,
+         {lag_cols}
+  FROM u
+), stats AS (
+  SELECT event_type, n,
+         sum(CAST(u AS HUGEINT) * u) AS c0,
+         {c_aggs}
+  FROM lagged GROUP BY 1, 2
+)
+SELECT event_type,
+       n AS n_days,
+       {c_strs},
+       CAST(floor(1000000.0 * CAST(n * (n + 2) AS DOUBLE)
+            * ({q_terms})) AS BIGINT) AS q_e6
+FROM stats
+ORDER BY event_type
+"""
+
+
+QUERIES["ts_ljung_box"] = ts_ljung_box
+ORACLES["ts_ljung_box"] = _ljung_box_sql()
