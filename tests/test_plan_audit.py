@@ -1170,3 +1170,32 @@ def test_round9_bm25_topk_is_two_level(spark, sf_dir):
     # each task retains only its top-10 before the window shuffle
     assert "WindowGroupLimit" in plan, plan
     assert "hashpartitioning(tok" in plan, plan
+
+
+def test_round9_diagnostics_stay_aggregate_shaped(spark, sf_dir):
+    """The round-9 diagnostic family must never sort raw rows:
+    Benford is map-side counts only (no Window, ≤2 shuffles); McNemar
+    is one per-user hash aggregate + a 4-cell count (no Window);
+    Ljung–Box's five lag columns ride windows PARTITIONED by
+    event_type over the days grid (never unpartitioned)."""
+    from mysql_cdc_table_spark.operators.round9 import (
+        agg_benford_deviation,
+        agg_mcnemar_paired,
+        ts_ljung_box,
+    )
+    from mysql_cdc_table_spark.plans.audit import formatted_plan
+
+    df = agg_benford_deviation(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window (" not in plan
+    assert shuffle_count(df) <= 4  # digit agg + 1-row total + sort
+
+    df = agg_mcnemar_paired(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window (" not in plan
+    assert shuffle_count(df) <= 2  # user agg + final singleton agg
+
+    df = ts_ljung_box(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Window (") == 1  # five lags share one window
+    assert "hashpartitioning(event_type" in plan, plan
