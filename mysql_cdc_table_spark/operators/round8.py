@@ -1064,6 +1064,13 @@ def _grid_prefix_prev(grid: DataFrame, ct: str) -> DataFrame:
     bounded extra pass (≤31 driver-side doubles)."""
     from pyspark.sql import Window
 
+    # the quantile probe is a SEPARATE job over the grid's lineage —
+    # without a cut it re-runs the upstream fact scan + aggregation a
+    # second time when the main query executes. Lazy localCheckpoint
+    # (the emb_centroid_pairs precedent) materializes the grid once at
+    # the probe and reuses it in the ranked plan; eager=False so merely
+    # BUILDING the query (explain, registry listing) runs no job.
+    grid = grid.localCheckpoint(eager=False)
     probes = [i / _RANK_BUCKETS for i in range(1, _RANK_BUCKETS)]
     bounds = sorted(
         {int(b) for b in grid.stat.approxQuantile("vm", probes, 0.001)}
