@@ -462,6 +462,26 @@ ROUND9_LATE_KEYS: tuple[str, ...] = (
     "ts_ljung_box",
 )
 
+# --- round 10 ----------------------------------------------------------------
+#
+# Window arithmetic this round (50 slots): the 8 ROUND9_LATE_KEYS lead
+# (first driver rows — all judge-verified in the round-9 session's full
+# 280-key sweep at sf0.01 AND the 12-key sf0.1 spot-check), then the
+# keys born in round 10, then re-verify slots for code round 10
+# touches — leaving ~25+ backfill slots that clear the 6 remaining
+# r03-standing rows first, then the stalest r04 rows (stalest-first,
+# enforced mechanically by test_driver_window_composition).
+
+# Keys born in round 10 — in-window for their first driver rows.
+ROUND10_NEW_KEYS: tuple[str, ...] = ()
+
+# Operators whose implementation round 10 touches.
+ROUND10_REVERIFY: tuple[str, ...] = ()
+
+# Late-registration tail for round 10 (same pinned-behind protocol):
+# keys registered after the front budget fills; they lead round 11.
+ROUND10_LATE_KEYS: tuple[str, ...] = ()
+
 
 def _last_seen_rounds() -> dict[str, int]:
     """key -> LATEST driver round with a CORRECTNESS row — the staleness
@@ -503,13 +523,17 @@ _ROUND9_WINDOW_FRONT = (
     ROUND8_LATE_KEYS + ROUND9_NEW_KEYS + ROUND9_REVERIFY
 )
 
+_ROUND10_WINDOW_FRONT = (
+    ROUND9_LATE_KEYS + ROUND10_NEW_KEYS + ROUND10_REVERIFY
+)
+
 
 def _rotate(out: dict) -> dict:
-    """Reorder a merged registry dict: round-9 front first, then every
+    """Reorder a merged registry dict: round-10 front first, then every
     other key stalest-first (latest driver round, registry order as
     the tie-break; never-seen keys sort first so they cannot hide)."""
-    front = {k: out[k] for k in _ROUND9_WINDOW_FRONT if k in out}
-    late = {k: out[k] for k in ROUND9_LATE_KEYS if k in out}
+    front = {k: out[k] for k in _ROUND10_WINDOW_FRONT if k in out}
+    late = {k: out[k] for k in ROUND10_LATE_KEYS if k in out}
     seen = _last_seen_rounds()
     order = {k: i for i, k in enumerate(out)}
     rest_keys = sorted(

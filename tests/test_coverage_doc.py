@@ -100,65 +100,67 @@ def test_header_counts_and_driver_split_match_doc():
 
 def test_driver_window_composition():
     """The driver verifies the FIRST ~50 registry keys per round. The
-    round-9 rotation leads with the 15 ROUND8_LATE_KEYS (first driver
-    rows — all judge-verified in the round-8 265-key sweep), then the 7
-    round-9 new keys, 2 re-verify slots for the changed binlog module,
-    and 26 backfill slots that RESUME the stalest r03 rows (the
-    round-8 verdict's explicit ask). Guard it so a module reorder or an
+    round-10 rotation leads with the 8 ROUND9_LATE_KEYS (first driver
+    rows — all judge-verified in the round-9 280-key sf0.01 sweep AND
+    the sf0.1 spot-check), then the round-10 new keys, re-verify slots
+    for code round 10 touches, and backfill slots that clear the 6
+    remaining r03 rows then the stalest r04 rows (the round-9
+    verdict's explicit ask). Guard it so a module reorder or an
     accidental insertion can't silently starve the backfill."""
     from mysql_cdc_table_spark.operators import (
-        _ROUND9_WINDOW_FRONT,
-        ROUND8_LATE_KEYS,
+        _ROUND10_WINDOW_FRONT,
         ROUND9_LATE_KEYS,
-        ROUND9_NEW_KEYS,
+        ROUND10_LATE_KEYS,
+        ROUND10_NEW_KEYS,
         _last_seen_rounds,
     )
 
     keys = list(all_queries())
     window = keys[:50]
-    front = [k for k in _ROUND9_WINDOW_FRONT if k in keys]
+    front = [k for k in _ROUND10_WINDOW_FRONT if k in keys]
     assert window[: len(front)] == front, "registry front diverged from plan"
     assert len(front) <= 30, (
-        "round-9 front outgrew its budget — the backfill must keep "
-        "~20+ slots to resume the r03-standing rows; move new keys to "
-        "ROUND9_LATE_KEYS"
+        "round-10 front outgrew its budget — the backfill must keep "
+        "~20+ slots to clear the r03/r04-standing rows; move new keys "
+        "to ROUND10_LATE_KEYS"
     )
 
     seen = _last_seen_rounds()
 
-    # the 15 round-8 late keys lead the window (never had a driver row)
-    assert window[:15] == list(ROUND8_LATE_KEYS)
+    # the 8 round-9 late keys lead the window (never had a driver row)
+    assert window[:8] == list(ROUND9_LATE_KEYS)
 
     # every key with NO driver row ever must be in the window — except
-    # documented ROUND9_LATE_KEYS, pinned BEHIND it
+    # documented ROUND10_LATE_KEYS, pinned BEHIND it
     never_seen = [k for k in keys if k not in seen]
     missing = [
         k for k in never_seen
-        if k not in window and k not in ROUND9_LATE_KEYS
+        if k not in window and k not in ROUND10_LATE_KEYS
     ]
     assert not missing, f"never-driver-seen keys fell out of the window: {missing}"
-    if ROUND9_LATE_KEYS:
-        assert keys[-len(ROUND9_LATE_KEYS):] == list(ROUND9_LATE_KEYS), (
+    if ROUND10_LATE_KEYS:
+        assert keys[-len(ROUND10_LATE_KEYS):] == list(ROUND10_LATE_KEYS), (
             "late keys must sit at the very end of the registry"
         )
 
     # the backfill MUST reach the stalest standing rows: the slots
     # after the front hold exactly the minimum last-seen rounds among
     # all non-front, non-late keys (before the driver writes
-    # CORRECTNESS_r09 that means all-r03; after, the next-stalest move
-    # in — the invariant is "stalest prefix", not a literal round)
+    # CORRECTNESS_r10 that means the 6 r03 rows lead; after, the
+    # next-stalest move in — the invariant is "stalest prefix", not a
+    # literal round)
     backfill = window[len(front):]
-    assert backfill, "round-9 window left no backfill slots"
+    assert backfill, "round-10 window left no backfill slots"
     candidate_rounds = sorted(
         seen.get(k, 0)
         for k in keys
-        if k not in front and k not in ROUND9_LATE_KEYS
+        if k not in front and k not in ROUND10_LATE_KEYS
     )
     assert [seen.get(k, 0) for k in backfill] == (
         candidate_rounds[: len(backfill)]
     ), "backfill is not the stalest prefix of standing rows"
-    # the round-9 new keys are in the front, not displaced
-    assert all(k in window for k in ROUND9_NEW_KEYS)
+    # the round-10 new keys are in the front, not displaced
+    assert all(k in window for k in ROUND10_NEW_KEYS)
 
     # backfill tail is stalest-first by LAST-seen round (the staleness
     # metric — first-seen would mark re-verified keys as stale); the
@@ -166,7 +168,7 @@ def test_driver_window_composition():
     tail_rounds = [
         seen.get(k, 0)
         for k in keys[len(front):]
-        if k not in ROUND9_LATE_KEYS
+        if k not in ROUND10_LATE_KEYS
     ]
     assert tail_rounds == sorted(tail_rounds), (
         "window backfill is not stalest-first"
