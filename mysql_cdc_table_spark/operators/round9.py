@@ -952,20 +952,25 @@ EMB_DIM9 = 64       # embeddings table dimension (TESTDATA.md)
 COS_SAMPLE_MOD = 10  # deterministic 1/10 sample for the pair grid
 
 
-def emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def emb_cosine_histogram(
+    spark: SparkSession, sf_dir: str, sample_mod: int = COS_SAMPLE_MOD
+) -> DataFrame:
     """Pairwise-cosine distribution over a deterministic embedding
     sample — the corpus-health diagnostic that catches embedding
     collapse (mass near 1.0) or a broken normalizer before a dedup or
-    ANN job trusts the space. A 1/COS_SAMPLE_MOD content-addressed
+    ANN job trusts the space. A 1/sample_mod content-addressed
     sample (vec_id % MOD — the corpus_hash_sample discipline, no RNG)
     bounds the pair grid to (n/MOD)²/2; each pair's dot product is the
     SEQUENTIAL zip_with/aggregate fold both engines replay elementwise
     (dims 1..64 in order, float→double casts exact), so the cosine is
     bit-identical and the e2-floored bucket counts are exact integers.
-    Scale knob: MOD ∝ √N keeps the pair grid constant; the histogram
-    itself is ≤201 buckets."""
+    ``sample_mod`` IS the production scale knob: a pairwise histogram
+    is inherently quadratic in the sample, so set MOD ∝ √N to hold
+    the pair grid (n/MOD)²/2 constant as the corpus grows
+    (SCALE.md §cosine-histogram). The registry key pins the default
+    for oracle-hash stability; the histogram itself is ≤201 buckets."""
     e = t(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") % COS_SAMPLE_MOD == 0
+        F.col("vec_id") % sample_mod == 0
     )
     sq = F.aggregate(
         F.transform(

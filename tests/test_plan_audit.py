@@ -1199,3 +1199,90 @@ def test_round9_diagnostics_stay_aggregate_shaped(spark, sf_dir):
     plan = formatted_plan(df)
     assert plan.count("Window (") == 1  # five lags share one window
     assert "hashpartitioning(event_type" in plan, plan
+
+
+def test_round9_cosine_histogram_quadratic_contract(spark, sf_dir):
+    """emb_cosine_histogram's pair join is a BroadcastNestedLoopJoin BY
+    CONSTRUCTION (theta a.vec_id < b.vec_id) — its safety is the
+    content-addressed sample, so the contract to audit is that BOTH
+    join inputs are the SAMPLED relation (the `% MOD` filter sits
+    below the join, bounding the grid to (n/MOD)^2/2) and nothing
+    after the join exceeds the <=201-bucket histogram (partial
+    HashAggregate before the single agg shuffle)."""
+    from mysql_cdc_table_spark.operators.round9 import emb_cosine_histogram
+    from mysql_cdc_table_spark.plans.audit import count_nodes, formatted_plan
+
+    df = emb_cosine_histogram(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastNestedLoopJoin") >= 1, plan
+    assert count_nodes(df, "CartesianProduct") == 0
+    # the sample filter guards BOTH sides of the self-join
+    assert plan.count("% 10) = 0") == 2, plan
+    # histogram agg is map-side combined; only agg + sort shuffles remain
+    assert count_nodes(df, "HashAggregate") == 2
+    assert shuffle_count(df) <= 2
+
+    # the production knob: sample_mod is a parameter, and the chosen
+    # modulus is what actually reaches both filter legs
+    df20 = emb_cosine_histogram(spark, sf_dir, sample_mod=20)
+    assert formatted_plan(df20).count("% 20) = 0") == 2
+
+
+def test_round9_changepoint_scans_days_grid_only(spark, sf_dir):
+    """ts_changepoint_binseg is aggregate-then-scan: raw events
+    collapse to the per-type days grid in a HashAggregate BEFORE any
+    Window touches them, and every window is partitioned by
+    event_type (never a global sort of raw rows)."""
+    from mysql_cdc_table_spark.operators.round9 import ts_changepoint_binseg
+    from mysql_cdc_table_spark.plans.audit import formatted_plan
+
+    df = ts_changepoint_binseg(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert_no_cartesian(df)
+    # grid collapse precedes the prefix-sum windows (formatted-plan node
+    # numbers grow leaf->root, so upstream = smaller number)
+    import re as _re
+
+    def _first_node(name: str) -> int:
+        return min(int(n) for n in _re.findall(rf"\((\d+)\) {name}", plan))
+
+    assert _first_node("HashAggregate") < _first_node("Window")
+    assert "hashpartitioning(event_type" in plan, plan
+    # prefix sums + totals + argmax rank — bounded window count, and
+    # none of them unpartitioned
+    assert plan.count("Window (") <= 3
+    assert "hashpartitioning(1," not in plan  # no single-partition window
+
+
+def test_round9_gno_gaps_is_windowless(spark, sf_dir):
+    """cdc_binlog_gno_gaps accounts for every gno with hash joins only:
+    zero Window nodes, the run counter is ONE anti-join (broadcast at
+    this scale; hash-partitioned at any), and the final assembly is a
+    1-row broadcast cross — no global sort anywhere."""
+    from mysql_cdc_table_spark.operators.round9 import cdc_binlog_gno_gaps
+    from mysql_cdc_table_spark.plans.audit import count_nodes, formatted_plan
+
+    df = cdc_binlog_gno_gaps(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window (" not in plan
+    assert_no_cartesian(df)
+    assert "LeftAnti" in plan, plan
+    assert plan.count("Sort (") == 0  # truly no sort, not just no window
+
+
+def test_round9_term_enrichment_broadcast_only(spark, sf_dir):
+    """corpus_term_enrichment's joins never shuffle the fact side:
+    per-source counts and corpus df are broadcast hash joins, the
+    1-row corpus total is a broadcast nested-loop cross, and no
+    Window appears — the only shuffles are the bounded grid
+    aggregations themselves."""
+    from mysql_cdc_table_spark.operators.round9 import corpus_term_enrichment
+    from mysql_cdc_table_spark.plans.audit import count_nodes, formatted_plan
+
+    df = corpus_term_enrichment(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window (" not in plan
+    assert_no_cartesian(df)
+    assert count_nodes(df, "BroadcastHashJoin") == 2
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "ShuffledHashJoin") == 0
