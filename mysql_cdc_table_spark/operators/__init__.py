@@ -52,6 +52,7 @@ _MODULES = (
     "mysql_cdc_table_spark.operators.round7",
     "mysql_cdc_table_spark.operators.round8",
     "mysql_cdc_table_spark.operators.round9",
+    "mysql_cdc_table_spark.operators.round10",
     "mysql_cdc_table_spark.operators.late",
 )
 
@@ -473,7 +474,9 @@ ROUND9_LATE_KEYS: tuple[str, ...] = (
 # enforced mechanically by test_driver_window_composition).
 
 # Keys born in round 10 — in-window for their first driver rows.
-ROUND10_NEW_KEYS: tuple[str, ...] = ()
+ROUND10_NEW_KEYS: tuple[str, ...] = (
+    "cdc_binlog_relay_roundtrip",
+)
 
 # Operators whose implementation round 10 touches.
 ROUND10_REVERIFY: tuple[str, ...] = ()
