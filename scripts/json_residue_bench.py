@@ -46,6 +46,12 @@ def payload(i: int) -> str:
     )
 
 
+def flat_payload(i: int) -> str:
+    # top-level scalars — the round-10 vectorized subset: a JSON column
+    # holding a typed value (id ints, tag strings), no container
+    return json.dumps(i if i % 2 == 0 else f"tag-{i}")
+
+
 def stage(variant: str, root: str) -> str:
     from pyspark.sql import types as T
 
@@ -59,7 +65,11 @@ def stage(variant: str, root: str) -> str:
             T.StructField(
                 "doc",
                 T.StringType(),
-                metadata={"mysql_type": "json"} if variant == "json" else {},
+                metadata=(
+                    {"mysql_type": "json"}
+                    if variant.startswith("json")
+                    else {}
+                ),
             ),
         ]
     )
@@ -71,7 +81,8 @@ def stage(variant: str, root: str) -> str:
         for t in range(TXNS_PER_FILE):
             rows = []
             for _ in range(ROWS_PER_TXN):
-                rows.append({"id": rid, "doc": payload(rid)})
+                gen = flat_payload if variant.endswith("_flat") else payload
+                rows.append({"id": rid, "doc": gen(rid)})
                 rid += 1
             txns.append(
                 {"gno": f * TXNS_PER_FILE + t + 1, "op": "w", "rows": rows}
@@ -96,7 +107,7 @@ def main() -> None:
     shutil.rmtree(root, ignore_errors=True)
 
     results = {}
-    for variant in ("varchar", "json"):
+    for variant in ("varchar", "json", "varchar_flat", "json_flat"):
         t0 = time.perf_counter()
         d = stage(variant, root)
         staged = time.perf_counter() - t0
@@ -107,7 +118,9 @@ def main() -> None:
                     "doc",
                     T.StringType(),
                     metadata=(
-                        {"mysql_type": "json"} if variant == "json" else {}
+                        {"mysql_type": "json"}
+                        if variant.startswith("json")
+                        else {}
                     ),
                 ),
             ]
@@ -131,6 +144,7 @@ def main() -> None:
             flush=True,
         )
     ratio = results["json"] / results["varchar"]
+    flat_ratio = results["json_flat"] / results["varchar_flat"]
     print(
         json.dumps(
             {
@@ -138,6 +152,7 @@ def main() -> None:
                 "residue_share_of_json_decode": round(
                     1 - results["varchar"] / results["json"], 2
                 ),
+                "flat_scalar_overhead": round(flat_ratio, 2),
             }
         ),
         flush=True,

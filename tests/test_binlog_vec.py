@@ -1173,3 +1173,89 @@ def test_columnar_wide_set_vs_scalar_property(vals):
     scalar = decode_binlog_bytes(blob, tgt, "d", "t")
     pdf = decode_binlog_pandas(blob, tgt, "d", "t")
     _assert_same(scalar, pdf, tgt)
+
+
+# --- round 10: vectorized flat-scalar binary JSON ---------------------------
+
+
+def _json_schema():
+    return T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "doc", T.StringType(), metadata={"mysql_type": "json"}
+            ),
+        ]
+    )
+
+
+def test_columnar_json_flat_scalar_battery():
+    """The round-10 vectorized flat-scalar JSON path must emit
+    byte-identical text to the scalar walk for every top-level kind:
+    signed ints at each width boundary, the three literals, strings
+    (empty / ASCII / escapes / non-ASCII / 1-byte and 2-byte varint
+    lengths), doubles, containers, nested trees, NULL cells — the
+    latter groups via the per-cell fallback inside the same buffer."""
+    import json
+
+    vals = [
+        5, -5, 127, -128, 32767, -32768, 40000, 2**31 - 1, -(2**31),
+        2**40, -(2**40), 2**63 - 1, -(2**63),
+        True, False, None,
+        "", "abc", "t96", 'he said "hi"', "back\\slash", "tab\there",
+        "café", "日本語", "x" * 127, "y" * 128, "z" * 300,
+        "w" * 20000,
+        1.5, -0.25, 1e16, 0.1,
+        [1, 2, "a"], {"a": 1, "b": [True, None]},
+        {"id": 7, "meta": {"rev": 3, "src": "gen"}}, [], {},
+    ]
+    tgt = _json_schema()
+    recs = [
+        {"id": i, "doc": json.dumps(v, separators=(",", ":"))}
+        for i, v in enumerate(vals)
+    ]
+    recs.append({"id": len(recs), "doc": None})
+    blob = build_binlog_file(
+        "d", "t", tgt, [{"gno": 1, "op": "w", "rows": recs}]
+    )
+    scalar = decode_binlog_bytes(blob, tgt, "d", "t")
+    pdf = decode_binlog_pandas(blob, tgt, "d", "t")
+    _assert_same(scalar, pdf, tgt)
+    # and the canonical text is exact (not just mutually consistent)
+    by_id = dict(zip(pdf["id"], pdf["doc"]))
+    for i, v in enumerate(vals):
+        assert by_id[i] == json.dumps(
+            v, separators=(",", ":"), ensure_ascii=False
+        )
+
+
+_JSON_VAL = st.recursive(
+    st.none()
+    | st.booleans()
+    | st.integers(-(2**63), 2**63 - 1)
+    | st.text(max_size=50),
+    lambda ch: st.lists(ch, max_size=4)
+    | st.dictionaries(st.text(max_size=8), ch, max_size=4),
+    max_leaves=6,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_JSON_VAL, min_size=1, max_size=10))
+def test_columnar_json_property(docs):
+    """Hypothesis: arbitrary JSON documents (scalar and container,
+    unicode keys/values, deep nesting) decode identically through the
+    vectorized kernel and the scalar walk."""
+    import json
+
+    tgt = _json_schema()
+    recs = [
+        {"id": i, "doc": json.dumps(v, separators=(",", ":"))}
+        for i, v in enumerate(docs)
+    ]
+    blob = build_binlog_file(
+        "d", "t", tgt, [{"gno": 1, "op": "w", "rows": recs}]
+    )
+    scalar = decode_binlog_bytes(blob, tgt, "d", "t")
+    pdf = decode_binlog_pandas(blob, tgt, "d", "t")
+    _assert_same(scalar, pdf, tgt)
