@@ -245,6 +245,15 @@ def main() -> None:
         "ts_changepoint_binseg",
         "emb_cosine_histogram",
         "sql_pivot",
+        # round 10: the remaining cheap diagnostics (verdict item 6) —
+        # all collapse to tiny grids after one map-side pass: McNemar a
+        # 4-cell paired count, Benford a 9-digit histogram, Ljung–Box
+        # per-type days-grid lag windows, term enrichment a source×term
+        # grid with broadcast-only joins
+        "agg_mcnemar_paired",
+        "agg_benford_deviation",
+        "ts_ljung_box",
+        "corpus_term_enrichment",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]
