@@ -476,6 +476,9 @@ ROUND9_LATE_KEYS: tuple[str, ...] = (
 # Keys born in round 10 — in-window for their first driver rows.
 ROUND10_NEW_KEYS: tuple[str, ...] = (
     "cdc_binlog_relay_roundtrip",
+    "ts_dow_seasonality",
+    "text_ttr_profile",
+    "emb_dim_covariance",
 )
 
 # Operators whose implementation round 10 touches: the columnar
