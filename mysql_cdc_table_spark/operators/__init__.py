@@ -479,6 +479,10 @@ ROUND10_NEW_KEYS: tuple[str, ...] = (
     "ts_dow_seasonality",
     "text_ttr_profile",
     "emb_dim_covariance",
+    "agg_ks_two_sample",
+    "agg_kendall_tau_grid",
+    "agg_gini_coefficient",
+    "stream_dropdup_watermark",
 )
 
 # Operators whose implementation round 10 touches: the columnar

@@ -332,3 +332,398 @@ def _emb_dim_cov_sql() -> str:
 
 QUERIES["emb_dim_covariance"] = emb_dim_covariance
 ORACLES["emb_dim_covariance"] = _emb_dim_cov_sql()
+
+
+def _grid_prefix_prev2(grid: DataFrame) -> DataFrame:
+    """Two-column variant of round 8's ``_grid_prefix_prev`` (same
+    range-bucketed two-level prefix-sum discipline — no unpartitioned
+    window over a value grid that can approach N): strictly-below
+    prefix counts for BOTH sides (``c1``/``c2``) of a two-sample grid
+    in ONE bucketed pass — one quantile probe, one local window, one
+    broadcast offset table carrying the pair of bucket totals."""
+    from pyspark.sql import Window
+
+    from mysql_cdc_table_spark.operators.round8 import _RANK_BUCKETS
+
+    grid = grid.localCheckpoint(eager=False)
+    probes = [i / _RANK_BUCKETS for i in range(1, _RANK_BUCKETS)]
+    bounds = sorted(
+        {int(b) for b in grid.stat.approxQuantile("vm", probes, 0.001)}
+    )
+    bkt = F.lit(0)
+    for b in bounds:
+        bkt = bkt + F.when(F.col("vm") > F.lit(b), 1).otherwise(0)
+    g = grid.withColumn("bkt", bkt.cast("int"))
+    wloc = Window.partitionBy("bkt").orderBy("vm").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = g.select(
+        "*",
+        (F.sum("c1").over(wloc) - F.col("c1")).alias("l1"),
+        (F.sum("c2").over(wloc) - F.col("c2")).alias("l2"),
+    )
+    btot = g.groupBy("bkt").agg(
+        F.sum("c1").alias("b1"), F.sum("c2").alias("b2")
+    )
+    woff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.select(
+        "bkt",
+        F.coalesce(F.sum("b1").over(woff), F.lit(0)).alias("o1"),
+        F.coalesce(F.sum("b2").over(woff), F.lit(0)).alias("o2"),
+    )
+    return (
+        local.join(F.broadcast(offs), "bkt")
+        .withColumn("prev1", F.col("l1") + F.col("o1"))
+        .withColumn("prev2", F.col("l2") + F.col("o2"))
+        .drop("bkt", "l1", "l2", "o1", "o2")
+    )
+
+
+def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov between the two lexicographically
+    first event types' value distributions — the distribution-drift
+    gate that complements MW-U (locations) and Brown–Forsythe
+    (dispersions): D = sup|F₁−F₂| detects ANY distributional change.
+    Everything is exact integer arithmetic: both samples collapse to
+    the distinct-milli-value grid, cumulative counts come from the
+    range-bucketed two-level prefix sum (``_grid_prefix_prev2`` — no
+    single-partition window at any grid cardinality), and the sup is
+    max|cum₁·n₂ − cum₂·n₁| with its argmax reported as the SMALLEST
+    achieving value (deterministic under ties on both engines — never
+    max_by, whose tie choice is unspecified). d_e6 is one floored
+    double division of exact int64s. Magnitude: cum·n ≤ n₁·n₂, int64-
+    safe to ~3·10⁹ rows/side; past that promote to decimal(38,0)
+    (the MW-U note). Scale shape: two map-side grid counts, one
+    bucketed grid window, two bounded singleton joins."""
+    e = t(spark, sf_dir, "events")
+    two = e.groupBy("event_type").count().orderBy("event_type").limit(2)
+    picked = [r["event_type"] for r in two.collect()]
+    ta, tb = picked[0], picked[1]
+    vm = F.floor(F.col("value") * 1000).cast("long")
+    grid = (
+        e.filter(F.col("event_type").isin(ta, tb))
+        .select(
+            vm.alias("vm"),
+            F.when(F.col("event_type") == ta, 1).otherwise(0).alias("isa"),
+        )
+        .groupBy("vm")
+        .agg(
+            F.count_if(F.col("isa") == 1).alias("c1"),
+            F.count_if(F.col("isa") == 0).alias("c2"),
+        )
+    )
+    ranked = _grid_prefix_prev2(grid)
+    tot = grid.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    scored = ranked.crossJoin(F.broadcast(tot)).select(
+        "vm",
+        F.abs(
+            (F.col("prev1") + F.col("c1")) * F.col("n2")
+            - (F.col("prev2") + F.col("c2")) * F.col("n1")
+        ).alias("dnum"),
+        "n1",
+        "n2",
+    )
+    mx = scored.agg(F.max("dnum").cast("long").alias("d_num"))
+    at = (
+        scored.join(F.broadcast(mx), F.col("dnum") == F.col("d_num"))
+        .agg(F.min("vm").cast("long").alias("vm_at_max"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(at))
+        .select(
+            F.lit(ta).alias("type_a"),
+            F.lit(tb).alias("type_b"),
+            "n1",
+            "n2",
+            "d_num",
+            "vm_at_max",
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.col("d_num").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double")
+            )
+            .cast("long")
+            .alias("d_e6"),
+        )
+    )
+
+
+AGG_KS_TWO_SAMPLE_SQL = """
+WITH two AS (
+  SELECT event_type FROM events GROUP BY 1 ORDER BY 1 LIMIT 2
+), named AS (
+  SELECT min(event_type) AS ta, max(event_type) AS tb FROM two
+), grid AS (
+  SELECT CAST(floor(e.value * 1000) AS BIGINT) AS vm,
+         CAST(count(*) FILTER (WHERE e.event_type = n.ta) AS BIGINT) AS c1,
+         CAST(count(*) FILTER (WHERE e.event_type = n.tb) AS BIGINT) AS c2
+  FROM events e CROSS JOIN named n
+  WHERE e.event_type IN (n.ta, n.tb)
+  GROUP BY 1
+), cum AS (
+  SELECT vm,
+         CAST(sum(c1) OVER (ORDER BY vm ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum1,
+         CAST(sum(c2) OVER (ORDER BY vm ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum2
+  FROM grid
+), tot AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+  FROM grid
+), scored AS (
+  SELECT vm, abs(cum1 * t.n2 - cum2 * t.n1) AS dnum
+  FROM cum CROSS JOIN tot t
+), mx AS (
+  SELECT CAST(max(dnum) AS BIGINT) AS d_num FROM scored
+)
+SELECT n.ta AS type_a, n.tb AS type_b, t.n1, t.n2, m.d_num,
+       (SELECT CAST(min(vm) AS BIGINT) FROM scored s
+        WHERE s.dnum = m.d_num) AS vm_at_max,
+       CAST(floor(1000000.0 * CAST(m.d_num AS DOUBLE)
+            / CAST(t.n1 * t.n2 AS DOUBLE)) AS BIGINT) AS d_e6
+FROM named n CROSS JOIN tot t CROSS JOIN mx m
+"""
+
+QUERIES["agg_ks_two_sample"] = agg_ks_two_sample
+ORACLES["agg_ks_two_sample"] = AGG_KS_TWO_SAMPLE_SQL
+
+
+def agg_kendall_tau_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b sufficient statistics over a BOUNDED joint grid —
+    rank association between lineitem quantity (integral 1..50) and
+    line number (1..7) without ever forming row pairs: the N² pair
+    space collapses to grid-cell pairs (≤350² — broadcast self-join of
+    an aggregated grid, the deliberate bounded-quadratic contract, like
+    the cosine histogram's sampled pair grid). Concordant/discordant
+    counts are Σ c·c′ over strictly-ordered cell pairs; tie terms are
+    per-axis Σ n(n−1)/2. All products are exact integers summed as
+    DECIMAL(38,0)/HUGEINT and emitted as DIGIT STRINGS (they are ~N²,
+    past int64 at scale — the brown_forsythe contract); τ-b itself is
+    a driver-sized formula over the five outputs."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.floor("l_quantity").cast("long").alias("x"),
+        F.col("l_linenumber").cast("long").alias("y"),
+    )
+    grid = li.groupBy("x", "y").agg(F.count("*").cast("long").alias("c"))
+    a, b = grid.alias("a"), grid.alias("b")
+    prod = (
+        F.col("a.c").cast("decimal(19,0)") * F.col("b.c").cast("decimal(19,0)")
+    )
+    pairs = a.join(F.broadcast(b), F.col("a.x") < F.col("b.x")).agg(
+        F.sum(
+            F.when(F.col("a.y") < F.col("b.y"), prod).otherwise(
+                F.lit(0).cast("decimal(19,0)")
+            )
+        )
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("n_conc"),
+        F.sum(
+            F.when(F.col("a.y") > F.col("b.y"), prod).otherwise(
+                F.lit(0).cast("decimal(19,0)")
+            )
+        )
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("n_disc"),
+    )
+    tx = (
+        grid.groupBy("x")
+        .agg(F.sum("c").alias("nx"))
+        .agg(
+            F.sum(
+                F.col("nx").cast("decimal(19,0)")
+                * (F.col("nx") - 1).cast("decimal(19,0)")
+            )
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("tie_x_x2")
+        )
+    )
+    ty = (
+        grid.groupBy("y")
+        .agg(F.sum("c").alias("ny"))
+        .agg(
+            F.sum(
+                F.col("ny").cast("decimal(19,0)")
+                * (F.col("ny") - 1).cast("decimal(19,0)")
+            )
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("tie_y_x2")
+        )
+    )
+    n = grid.agg(F.sum("c").cast("long").alias("n"))
+    return (
+        n.crossJoin(F.broadcast(pairs))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select("n", "n_conc", "n_disc", "tie_x_x2", "tie_y_x2")
+    )
+
+
+AGG_KENDALL_TAU_GRID_SQL = """
+WITH li AS (
+  SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
+         CAST(l_linenumber AS BIGINT) AS y
+  FROM lineitem
+), grid AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY 1, 2
+), pairs AS (
+  SELECT
+    CAST(coalesce(sum(CASE WHEN a.y < b.y
+         THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS VARCHAR) AS n_conc,
+    CAST(coalesce(sum(CASE WHEN a.y > b.y
+         THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS VARCHAR) AS n_disc
+  FROM grid a JOIN grid b ON a.x < b.x
+), tx AS (
+  SELECT CAST(sum(CAST(nx AS HUGEINT) * (nx - 1)) AS VARCHAR) AS tie_x_x2
+  FROM (SELECT CAST(sum(c) AS BIGINT) AS nx FROM grid GROUP BY x)
+), ty AS (
+  SELECT CAST(sum(CAST(ny AS HUGEINT) * (ny - 1)) AS VARCHAR) AS tie_y_x2
+  FROM (SELECT CAST(sum(c) AS BIGINT) AS ny FROM grid GROUP BY y)
+), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM grid)
+SELECT tot.n, pairs.n_conc, pairs.n_disc, tx.tie_x_x2, ty.tie_y_x2
+FROM tot CROSS JOIN pairs CROSS JOIN tx CROSS JOIN ty
+"""
+
+QUERIES["agg_kendall_tau_grid"] = agg_kendall_tau_grid
+ORACLES["agg_kendall_tau_grid"] = AGG_KENDALL_TAU_GRID_SQL
+
+
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini inequality sufficient statistics over order totals (cents)
+    — the concentration diagnostic for any weighted-sampling decision
+    (is the corpus/revenue mass in a handful of keys?). Gini needs the
+    rank-weighted value sum Σ rankᵢ·xᵢ; on the distinct-cents GRID a
+    tied run contributes v·(c·prev + c(c+1)/2) with consecutive exact
+    ranks, so the whole statistic is integer arithmetic on grid rows —
+    ranks come from the range-bucketed two-level prefix sum
+    (``_grid_prefix_prev``, round 9 — never a single-partition
+    window), and the rank-weighted sum travels as DECIMAL(38,0)/
+    HUGEINT digit strings (it is ~v·N², past int64 immediately).
+    G = (2·S_r − (n+1)·Σx) / (n·Σx) is a driver-sized formula over
+    the three outputs."""
+    from mysql_cdc_table_spark.operators.round8 import _grid_prefix_prev
+
+    o = t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("vm")
+    )
+    grid = o.groupBy("vm").agg(F.count("*").cast("long").alias("c"))
+    ranked = _grid_prefix_prev(grid, "c")
+    term = F.col("c") * F.col("prev") + F.expr("(c * (c + 1)) div 2")
+    return ranked.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("vm")).cast("long").alias("sum_cents"),
+        F.sum(
+            F.col("vm").cast("decimal(19,0)") * term.cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("rank_weighted_sum"),
+    )
+
+
+AGG_GINI_COEFFICIENT_SQL = """
+WITH v AS (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS vm FROM orders
+), grid AS (
+  SELECT vm, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1
+), ranked AS (
+  SELECT vm, c,
+         CAST(coalesce(sum(c) OVER (ORDER BY vm
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS prev
+  FROM grid
+)
+SELECT CAST(sum(c) AS BIGINT) AS n,
+       CAST(sum(c * vm) AS BIGINT) AS sum_cents,
+       CAST(sum(CAST(vm AS HUGEINT)
+            * (c * prev + (c * (c + 1)) // 2)) AS VARCHAR)
+         AS rank_weighted_sum
+FROM ranked
+"""
+
+QUERIES["agg_gini_coefficient"] = agg_gini_coefficient
+ORACLES["agg_gini_coefficient"] = AGG_GINI_COEFFICIENT_SQL
+
+
+def stream_dropdup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion dedup through the REAL Structured Streaming
+    API — ``withWatermark`` + ``dropDuplicatesWithinWatermark`` on
+    event_id, the first line of defense a training-data ingest runs
+    against at-least-once upstreams (Kafka replays, retried batches).
+    A staged feed duplicates half the sample a second time (exact
+    replays); the streaming query must emit each event_id exactly
+    once, proven per event type against a plain DISTINCT oracle. The
+    stage is ONE file and the watermark outspans the data, so eviction
+    cannot race the replay inside the run — this key proves the API
+    plumbing end-to-end (state store, availableNow, memory sink);
+    eviction semantics under lateness are stream_late_data_audit's
+    subject. Scale: dedup state is hash-partitioned by key across
+    executors; the watermark bounds state to the replay horizon."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 4 < 2)
+        # the parquet ts is TIMESTAMP_NTZ; watermarks require TIMESTAMP
+        # (ts only gates eviction here — no output column derives from it)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    feed = e.unionByName(e.filter(F.col("event_id") % 2 == 0))
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}:dropdup".encode()
+    ).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"stream_dropdup_{tag}")
+    feed.coalesce(1).write.mode("overwrite").parquet(stage)
+
+    mem = f"dropdup_{uuid.uuid4().hex[:12]}"
+    q = (
+        spark.readStream.schema(e.schema)
+        .parquet(stage)
+        .withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.format("memory")
+        .queryName(mem)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(mem)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.count_distinct("event_id").cast("long").alias("n_ids"),
+            F.sum(F.floor(F.col("value") * 1000)).cast("long").alias(
+                "value_milli_sum"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+STREAM_DROPDUP_WATERMARK_SQL = """
+WITH base AS (
+  SELECT * FROM events WHERE event_id % 4 < 2
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+         AS value_milli_sum
+FROM base
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["stream_dropdup_watermark"] = stream_dropdup_watermark
+ORACLES["stream_dropdup_watermark"] = STREAM_DROPDUP_WATERMARK_SQL
