@@ -1286,3 +1286,81 @@ def test_round9_term_enrichment_broadcast_only(spark, sf_dir):
     assert count_nodes(df, "BroadcastHashJoin") == 2
     assert count_nodes(df, "SortMergeJoin") == 0
     assert count_nodes(df, "ShuffledHashJoin") == 0
+
+
+def test_round10_ks_and_gini_ride_two_level_rank(spark, sf_dir):
+    """agg_ks_two_sample / agg_gini_coefficient collapse to the value
+    grid BEFORE any window and rank it in the range-bucketed two-level
+    form — hashpartitioning(bkt) present, no unpartitioned grid
+    window, no cartesian."""
+    from mysql_cdc_table_spark.operators.round10 import (
+        agg_gini_coefficient,
+        agg_ks_two_sample,
+    )
+    from mysql_cdc_table_spark.plans.audit import formatted_plan
+
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    for fn in (agg_ks_two_sample, agg_gini_coefficient):
+        df = fn(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert_no_cartesian(df)
+        assert "hashpartitioning(bkt" in plan, plan
+        # the grid is checkpointed ONCE and every branch reuses it: the
+        # final plan contains ZERO raw parquet scans (the fact is read
+        # exactly once, at grid materialization — not once per branch;
+        # the r09 verdict's watch item 1 made precise)
+        assert count_nodes(df, "Scan parquet") == 0, plan
+        assert "Scan ExistingRDD" in plan
+
+
+def test_round10_kendall_grid_is_broadcast_pairs(spark, sf_dir):
+    """agg_kendall_tau_grid's cell-pair join must be the broadcast of
+    an AGGREGATED grid (bounded quadratic by construction), with zero
+    windows and no sort-merge join anywhere."""
+    from mysql_cdc_table_spark.operators.round10 import agg_kendall_tau_grid
+    from mysql_cdc_table_spark.plans.audit import count_nodes, formatted_plan
+
+    df = agg_kendall_tau_grid(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window (" not in plan
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "CartesianProduct") == 0
+    # the theta pair join is broadcast nested-loop over the grid
+    assert count_nodes(df, "BroadcastNestedLoopJoin") >= 1
+
+
+def test_round10_dim_covariance_is_one_pass(spark, sf_dir):
+    """emb_dim_covariance: zero joins, zero windows — one map-side
+    aggregate over the scan, then a bounded stack."""
+    from mysql_cdc_table_spark.operators.round10 import emb_dim_covariance
+    from mysql_cdc_table_spark.plans.audit import count_nodes, formatted_plan
+
+    df = emb_dim_covariance(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window (" not in plan
+    assert "Join" not in plan
+    assert count_nodes(df, "HashAggregate") <= 2  # partial + final
+    assert shuffle_count(df) <= 2  # singleton agg + output sort
+
+
+def test_round10_profiles_broadcast_their_totals(spark, sf_dir):
+    """ts_dow_seasonality / text_ttr_profile: the per-group totals join
+    is a broadcast; no window; the only shuffles are the grid
+    aggregations and the output sort."""
+    from mysql_cdc_table_spark.operators.round10 import (
+        text_ttr_profile,
+        ts_dow_seasonality,
+    )
+    from mysql_cdc_table_spark.plans.audit import formatted_plan
+
+    df = ts_dow_seasonality(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window (" not in plan
+    assert_broadcast_join(df, 1)
+    assert_no_cartesian(df)
+
+    df = text_ttr_profile(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window (" not in plan
+    assert shuffle_count(df) <= 3  # token grid + source agg + sort

@@ -136,3 +136,90 @@ def test_grid_prefix_prev_equals_naive_window(spark):
             ).collect()
         }
         assert got == want
+
+
+# --- round 10: brute-force value checks for the pair statistics -------------
+
+
+def test_kendall_tau_grid_matches_bruteforce(spark, sf_dir):
+    """τ-b sufficient statistics from the grid-pair form must equal the
+    O(n²) definition on the actual (small-sf) data."""
+    from mysql_cdc_table_spark.operators.round10 import agg_kendall_tau_grid
+
+    row = agg_kendall_tau_grid(spark, sf_dir).collect()[0]
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr(
+            "cast(floor(l_quantity) as long) x",
+            "cast(l_linenumber as long) y",
+        )
+        .collect()
+    )
+    xs = [(r["x"], r["y"]) for r in li]
+    nc = nd = 0
+    for i in range(len(xs)):
+        for j in range(i + 1, len(xs)):
+            dx = (xs[i][0] > xs[j][0]) - (xs[i][0] < xs[j][0])
+            dy = (xs[i][1] > xs[j][1]) - (xs[i][1] < xs[j][1])
+            if dx * dy > 0:
+                nc += 1
+            elif dx * dy < 0:
+                nd += 1
+    assert int(row["n_conc"]) == nc
+    assert int(row["n_disc"]) == nd
+    from collections import Counter
+
+    cx, cy = Counter(x for x, _ in xs), Counter(y for _, y in xs)
+    assert int(row["tie_x_x2"]) == sum(n * (n - 1) for n in cx.values())
+    assert int(row["tie_y_x2"]) == sum(n * (n - 1) for n in cy.values())
+    assert row["n"] == len(xs)
+
+
+def test_gini_matches_bruteforce(spark, sf_dir):
+    """The grid-rank Gini sufficient statistics must equal the sorted
+    per-row definition Σ rank·x (ranks 1..n, ties in value order)."""
+    from mysql_cdc_table_spark.operators.round10 import agg_gini_coefficient
+
+    row = agg_gini_coefficient(spark, sf_dir).collect()[0]
+    vals = sorted(
+        r[0]
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr("cast(floor(o_totalprice * 100) as long)")
+        .collect()
+    )
+    assert row["n"] == len(vals)
+    assert row["sum_cents"] == sum(vals)
+    assert int(row["rank_weighted_sum"]) == sum(
+        (i + 1) * v for i, v in enumerate(vals)
+    )
+
+
+def test_ks_two_sample_matches_bruteforce(spark, sf_dir):
+    """The two-level-prefix KS statistic must equal the per-value ECDF
+    definition computed in Python on the actual data."""
+    from collections import Counter
+
+    from mysql_cdc_table_spark.operators.round10 import agg_ks_two_sample
+
+    row = agg_ks_two_sample(spark, sf_dir).collect()[0]
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("event_type", "cast(floor(value * 1000) as long) vm")
+        .collect()
+    )
+    types = sorted({r["event_type"] for r in e})[:2]
+    ca = Counter(r["vm"] for r in e if r["event_type"] == types[0])
+    cb = Counter(r["vm"] for r in e if r["event_type"] == types[1])
+    n1, n2 = sum(ca.values()), sum(cb.values())
+    assert (row["type_a"], row["type_b"]) == (types[0], types[1])
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    cum1 = cum2 = 0
+    best, at = -1, None
+    for v in sorted(set(ca) | set(cb)):
+        cum1 += ca.get(v, 0)
+        cum2 += cb.get(v, 0)
+        d = abs(cum1 * n2 - cum2 * n1)
+        if d > best:
+            best, at = d, v
+    assert row["d_num"] == best
+    assert row["vm_at_max"] == at
