@@ -418,7 +418,7 @@ def main() -> None:
     # invocations). A long-lived cluster amortizes compilation away, so
     # the warm steady state is the honest number; it also makes the
     # anchor-drift sentinel near-zero when the box is healthy.
-    for name in [*HEADLINE, "packed_binlog_scan", "mysql_binlog_scan", "binlog_gtid_resume", "ivf_pruned_search", "binlog_sink_write", "agg_kruskal_rank_sums"]:
+    for name in [*HEADLINE, "packed_binlog_scan", "mysql_binlog_scan", "binlog_gtid_resume", "ivf_pruned_search", "binlog_sink_write", "agg_kruskal_rank_sums", "agg_ks_two_sample"]:
         queries[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
@@ -432,7 +432,7 @@ def main() -> None:
     # ±15% band flags contention.
     def sweep(load_pre_sweep) -> dict:
         times: dict[str, float] = {}
-        for name in [*HEADLINE, "packed_binlog_scan", "mysql_binlog_scan", "binlog_gtid_resume", "ivf_pruned_search", "binlog_sink_write", "agg_kruskal_rank_sums"]:
+        for name in [*HEADLINE, "packed_binlog_scan", "mysql_binlog_scan", "binlog_gtid_resume", "ivf_pruned_search", "binlog_sink_write", "agg_kruskal_rank_sums", "agg_ks_two_sample"]:
             times[name] = timed(name)
         anchor_first = times[HEADLINE[0]]
         anchor_last = timed(HEADLINE[0])
@@ -503,7 +503,12 @@ def main() -> None:
                 #    by MW-U/Kruskal/Spearman; a regression that
                 #    re-serializes the rank sort moves this number) —
                 #    TOTAL grows by one more entry (r09)
-                "protocol": 8,
+                # 9: + agg_ks_two_sample entry (locks the round-10
+                #    TWO-column bucketed prefix + single-checkpoint
+                #    grid-reuse path; a regression that re-scans the
+                #    fact per branch moves this number) — TOTAL grows
+                #    by one more entry (r10)
+                "protocol": 9,
                 "anchor": HEADLINE[0],
                 "anchor_first_sec": result["anchor_first_sec"],
                 "anchor_last_sec": result["anchor_last_sec"],

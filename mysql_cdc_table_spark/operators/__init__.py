@@ -483,6 +483,11 @@ ROUND10_NEW_KEYS: tuple[str, ...] = (
     "agg_kendall_tau_grid",
     "agg_gini_coefficient",
     "stream_dropdup_watermark",
+    "agg_ab_conversion_wilson",
+    "join_fuzzy_blocked",
+    "stream_stream_join",
+    "sql_udf_scalar",
+    "sql_execute_immediate",
 )
 
 # Operators whose implementation round 10 touches: the columnar

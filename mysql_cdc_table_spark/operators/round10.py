@@ -736,3 +736,405 @@ ORDER BY event_type
 
 QUERIES["stream_dropdup_watermark"] = stream_dropdup_watermark
 ORACLES["stream_dropdup_watermark"] = STREAM_DROPDUP_WATERMARK_SQL
+
+
+def agg_ab_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B conversion analysis with Wilson score intervals — the
+    experiment readout a data pipeline ships after an ingestion or
+    ranking change: users split into arms by user_id parity (the
+    deterministic hash-split discipline), a user CONVERTS if any of
+    their events carries a strictly positive milli-value. Counts are
+    exact integers; the lift and the per-arm Wilson bounds (z = 1.96)
+    are computed through IDENTICALLY-SHAPED IEEE double chains on both
+    engines (int64→double conversions are correctly rounded, +·×/√ are
+    exactly-rounded IEEE ops — the ts_ewma_window precedent), then
+    floored to e6, so the hash is deterministic without a float ever
+    crossing engines raw. Shape: one per-user aggregate, one 2-row
+    arm aggregate, a driver-sized formula."""
+    e = t(spark, sf_dir, "events")
+    users = (
+        e.groupBy((F.col("user_id") % 2).cast("int").alias("arm"), "user_id")
+        .agg(
+            F.max(
+                F.when(F.floor(F.col("value") * 1000) > 0, 1).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    arms = users.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("conv").cast("long").alias("n_conv"),
+    )
+    z = F.lit(1.96)
+    n = F.col("n_users").cast("double")
+    p = F.col("n_conv").cast("double") / n
+    denom = F.lit(1.0) + z * z / n
+    center = p + z * z / (F.lit(2.0) * n)
+    rad = z * F.sqrt(p * (F.lit(1.0) - p) / n + z * z / (F.lit(4.0) * n * n))
+    return arms.select(
+        "arm",
+        "n_users",
+        "n_conv",
+        F.floor(F.lit(1_000_000.0) * p).cast("long").alias("rate_e6"),
+        F.floor(F.lit(1_000_000.0) * (center - rad) / denom)
+        .cast("long")
+        .alias("wilson_lo_e6"),
+        F.floor(F.lit(1_000_000.0) * (center + rad) / denom)
+        .cast("long")
+        .alias("wilson_hi_e6"),
+    ).orderBy("arm")
+
+
+AGG_AB_CONVERSION_WILSON_SQL = """
+WITH users AS (
+  SELECT CAST(user_id % 2 AS INTEGER) AS arm, user_id,
+         max(CASE WHEN CAST(floor(value * 1000) AS BIGINT) > 0
+             THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1, 2
+), arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(conv) AS BIGINT) AS n_conv
+  FROM users GROUP BY 1
+)
+SELECT arm, n_users, n_conv,
+  CAST(floor(1000000.0 * (CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)))
+       AS BIGINT) AS rate_e6,
+  CAST(floor(1000000.0
+    * ((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)
+        + 1.96 * 1.96 / (2.0 * CAST(n_users AS DOUBLE)))
+       - 1.96 * sqrt(CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)
+            * (1.0 - CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+            / CAST(n_users AS DOUBLE)
+          + 1.96 * 1.96
+            / (4.0 * CAST(n_users AS DOUBLE) * CAST(n_users AS DOUBLE))))
+    / (1.0 + 1.96 * 1.96 / CAST(n_users AS DOUBLE))) AS BIGINT)
+    AS wilson_lo_e6,
+  CAST(floor(1000000.0
+    * ((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)
+        + 1.96 * 1.96 / (2.0 * CAST(n_users AS DOUBLE)))
+       + 1.96 * sqrt(CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)
+            * (1.0 - CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+            / CAST(n_users AS DOUBLE)
+          + 1.96 * 1.96
+            / (4.0 * CAST(n_users AS DOUBLE) * CAST(n_users AS DOUBLE))))
+    / (1.0 + 1.96 * 1.96 / CAST(n_users AS DOUBLE))) AS BIGINT)
+    AS wilson_hi_e6
+FROM arms
+ORDER BY arm
+"""
+
+QUERIES["agg_ab_conversion_wilson"] = agg_ab_conversion_wilson
+ORACLES["agg_ab_conversion_wilson"] = AGG_AB_CONVERSION_WILSON_SQL
+
+
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join — the scalable entity-resolution shape for
+    short strings (product titles, names): never all-pairs; instead
+    (1) collapse the corpus to DISTINCT names with multiplicities —
+    bounded by the name vocabulary, not the row count; (2) self-join
+    only within a cheap deterministic BLOCK (here the name's last
+    token); (3) verify candidates with an exact Levenshtein distance.
+    This is the same block-then-verify discipline as banded-LSH dedup,
+    specialised to edit distance. Per block the readout is exact
+    integers: member names, near-miss pairs (0 < dist <= 2 — dist 0 is
+    an exact dup, a different operator's job), pair weight (rows_a x
+    rows_b, how many ROW pairs the name pairs represent), and the
+    summed distance. At 100 TB the distinct-names grid is vocab-sized
+    and the pair fan-out is per-block quadratic in DISTINCT names only
+    — block sizing is the contract, corpus row count never enters the
+    join."""
+    names = (
+        t(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn("block", F.element_at(F.split("name", " "), -1))
+    )
+    # Three consumers (both join sides + block sizes) — materialize the
+    # vocab-bounded grid once; the fact table is scanned exactly once.
+    names = names.localCheckpoint(eager=False)
+    a = names.select(
+        "block", F.col("name").alias("name_a"), F.col("cnt").alias("cnt_a")
+    )
+    b = names.select(
+        "block", F.col("name").alias("name_b"), F.col("cnt").alias("cnt_b")
+    )
+    pairs = (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .filter(F.col("dist") <= 2)
+    )
+    return (
+        pairs.groupBy("block")
+        .agg(
+            F.count("*").cast("long").alias("n_near_pairs"),
+            F.sum(F.col("cnt_a") * F.col("cnt_b"))
+            .cast("long")
+            .alias("pair_weight"),
+            F.sum("dist").cast("long").alias("sum_dist"),
+            F.min("dist").cast("long").alias("min_dist"),
+        )
+        .join(
+            F.broadcast(
+                names.groupBy("block").agg(
+                    F.count("*").cast("long").alias("n_names"),
+                    F.sum("cnt").cast("long").alias("n_rows"),
+                )
+            ),
+            "block",
+        )
+        .select(
+            "block",
+            "n_names",
+            "n_rows",
+            "n_near_pairs",
+            "pair_weight",
+            "sum_dist",
+            "min_dist",
+        )
+        .orderBy("block")
+    )
+
+
+JOIN_FUZZY_BLOCKED_SQL = """
+WITH names AS (
+  SELECT p_name AS name, CAST(count(*) AS BIGINT) AS cnt,
+         list_extract(string_split(p_name, ' '),
+                      len(string_split(p_name, ' '))) AS block
+  FROM part GROUP BY 1
+), pairs AS (
+  SELECT a.block,
+         CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+         a.cnt AS cnt_a, b.cnt AS cnt_b
+  FROM names a JOIN names b
+    ON a.block = b.block AND a.name < b.name
+  WHERE levenshtein(a.name, b.name) <= 2
+), per_block AS (
+  SELECT block,
+         CAST(count(*) AS BIGINT) AS n_near_pairs,
+         CAST(sum(cnt_a * cnt_b) AS BIGINT) AS pair_weight,
+         CAST(sum(dist) AS BIGINT) AS sum_dist,
+         CAST(min(dist) AS BIGINT) AS min_dist
+  FROM pairs GROUP BY 1
+), sizes AS (
+  SELECT block, CAST(count(*) AS BIGINT) AS n_names,
+         CAST(sum(cnt) AS BIGINT) AS n_rows
+  FROM names GROUP BY 1
+)
+SELECT p.block, s.n_names, s.n_rows, p.n_near_pairs,
+       p.pair_weight, p.sum_dist, p.min_dist
+FROM per_block p JOIN sizes s ON s.block = p.block
+ORDER BY p.block
+"""
+
+QUERIES["join_fuzzy_blocked"] = join_fuzzy_blocked
+ORACLES["join_fuzzy_blocked"] = JOIN_FUZZY_BLOCKED_SQL
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join — the hardest Structured
+    Streaming shape the engine had not yet driver-proven: two live
+    feeds (disjoint event_id classes of the same event stream) joined
+    on user_id under an event-time range (follow-on events within one
+    hour), through the REAL API — per-side ``withWatermark``, a
+    time-range join condition (what makes join state EVICTABLE at
+    scale), memory sink, availableNow. Each side is staged as TWO
+    files and read with ``maxFilesPerTrigger=1``, so matches MUST pair
+    across micro-batches — a join that drops buffered state between
+    batches, or double-emits on the batch seam, breaks the value hash.
+    The oracle is the equivalent batch join. Scale: join state is
+    hash-partitioned by key across executors and the watermark + range
+    condition bound retention to the join window — the 100 TB contract
+    for unbounded feeds."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    e = (
+        t(spark, sf_dir, "events")
+        # parquet ts is TIMESTAMP_NTZ; watermarks require TIMESTAMP.
+        # The session tz is UTC and both sides shift identically, so
+        # the range predicate is tz-invariant.
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn(
+            "vm", F.floor(F.col("value") * 1000).cast("long")
+        )
+        .select("event_id", "user_id", "ts", "event_type", "vm")
+    )
+    sides = {
+        "l": e.filter(F.col("event_id") % 4 == 0),
+        "r": e.filter(F.col("event_id") % 4 == 1),
+    }
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}:ssjoin".encode()
+    ).hexdigest()[:12]
+    stages = {}
+    for side, df in sides.items():
+        stage = os.path.join(
+            tempfile.gettempdir(), f"stream_ssjoin_{side}_{tag}"
+        )
+        # two files per side -> maxFilesPerTrigger=1 forces pairing
+        # across at least four micro-batches
+        df.repartition(2).write.mode("overwrite").parquet(stage)
+        stages[side] = stage
+
+    def feed(side: str):
+        return (
+            spark.readStream.schema(sides[side].schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stages[side])
+            .withWatermark("ts", "3650 days")
+            .alias(side)
+        )
+
+    joined = feed("l").join(
+        feed("r"),
+        F.expr(
+            "l.user_id = r.user_id AND r.ts >= l.ts "
+            "AND r.ts <= l.ts + INTERVAL 1 HOUR"
+        ),
+    )
+    mem = f"ssjoin_{uuid.uuid4().hex[:12]}"
+    q = (
+        joined.select(
+            F.col("l.event_type").alias("type_a"),
+            F.col("r.event_type").alias("type_b"),
+            (F.col("l.vm") + F.col("r.vm")).alias("pair_milli"),
+        )
+        .writeStream.format("memory")
+        .queryName(mem)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(mem)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("pair_milli").cast("long").alias("milli_sum"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+STREAM_STREAM_JOIN_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, ts, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS vm
+  FROM events
+), l AS (SELECT * FROM e WHERE event_id % 4 = 0),
+   r AS (SELECT * FROM e WHERE event_id % 4 = 1)
+SELECT l.event_type AS type_a, r.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(l.vm + r.vm) AS BIGINT) AS milli_sum
+FROM l JOIN r ON l.user_id = r.user_id
+  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+QUERIES["stream_stream_join"] = stream_stream_join
+ORACLES["stream_stream_join"] = STREAM_STREAM_JOIN_SQL
+
+
+def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language UDFs (Spark 4 ``CREATE FUNCTION ... RETURN expr``)
+    — the reusable-logic surface a SQL-first team actually ships:
+    a scalar token-density function plus a SECOND function that CALLS
+    the first (nested SQL-UDF resolution), both used inside an
+    aggregate. SQL UDFs are inlined into the plan by Catalyst — unlike
+    Python UDFs they stay inside whole-stage codegen, so this is the
+    zero-cost UDF path at 100 TB. The oracle inlines the same
+    expressions (DuckDB macros would also work; inlining keeps the
+    oracle single-statement). Integer-exact throughout: counts and a
+    floor-e6 ratio of exact int64s."""
+    reg = t(spark, sf_dir, "documents")
+    reg.createOrReplaceTempView("sql_udf_docs")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION tok_density(toks BIGINT,"
+        " chars BIGINT) RETURNS BIGINT RETURN"
+        " CAST(floor(1000000.0 * toks / chars) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION density_bucket(toks"
+        " BIGINT, chars BIGINT) RETURNS BIGINT RETURN"
+        " tok_density(toks, chars) div 100000"
+    )
+    return spark.sql(
+        """
+        WITH d AS (
+          SELECT source,
+                 CAST(size(filter(split(text, ' '), x -> x != ''))
+                      AS BIGINT) AS toks,
+                 CAST(length(text) AS BIGINT) AS chars
+          FROM sql_udf_docs WHERE length(text) > 0
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(tok_density(toks, chars)) AS BIGINT)
+                 AS density_e6_sum,
+               CAST(sum(density_bucket(toks, chars)) AS BIGINT)
+                 AS bucket_sum
+        FROM d GROUP BY source ORDER BY source
+        """
+    )
+
+
+SQL_UDF_SCALAR_SQL = """
+WITH d AS (
+  SELECT source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS toks,
+         CAST(length(text) AS BIGINT) AS chars
+  FROM documents WHERE length(text) > 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(floor(1000000.0 * toks / chars) AS BIGINT))
+            AS BIGINT) AS density_e6_sum,
+       CAST(sum(CAST(floor(1000000.0 * toks / chars) AS BIGINT) // 100000)
+            AS BIGINT) AS bucket_sum
+FROM d GROUP BY source ORDER BY source
+"""
+
+QUERIES["sql_udf_scalar"] = sql_udf_scalar
+ORACLES["sql_udf_scalar"] = SQL_UDF_SCALAR_SQL
+
+
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``EXECUTE IMMEDIATE`` — parameterized dynamic SQL (Spark 4),
+    the surface migration tooling and BI layers generate: the query
+    text is a runtime string, parameters bind via USING (never string
+    interpolation — the injection-safe path). The statement runs the
+    priority/status rollup over orders above a bound price threshold;
+    the oracle is the same SQL with the literal inlined. All-integer
+    readout (cents sums)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("exec_imm_orders")
+    stmt = (
+        "SELECT o_orderpriority AS priority,"
+        " CAST(count(*) AS BIGINT) AS n_orders,"
+        " CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        "   AS cents_sum"
+        " FROM exec_imm_orders WHERE o_totalprice > ?"
+        " GROUP BY o_orderpriority ORDER BY priority"
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE :stmt USING 100000",
+        args={"stmt": stmt},
+    )
+
+
+SQL_EXECUTE_IMMEDIATE_SQL = """
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_sum
+FROM orders WHERE o_totalprice > 100000
+GROUP BY o_orderpriority ORDER BY priority
+"""
+
+QUERIES["sql_execute_immediate"] = sql_execute_immediate
+ORACLES["sql_execute_immediate"] = SQL_EXECUTE_IMMEDIATE_SQL

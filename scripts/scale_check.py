@@ -254,6 +254,21 @@ def main() -> None:
         "agg_benford_deviation",
         "ts_ljung_box",
         "corpus_term_enrichment",
+        # round 10 new operators: KS/Gini ride the single-checkpoint
+        # two-level grid rank; Kendall is a bounded grid-pair broadcast
+        # (expect quadratic-in-grid growth only if the value grid
+        # grows); dow/TTR are grid profiles with broadcast totals; dim
+        # covariance is one map-side pass over dim pairs; Wilson is two
+        # hash aggregates; the fuzzy join is vocab-bounded
+        # distinct-names-first (corpus size only enters the ONE scan)
+        "agg_ks_two_sample",
+        "agg_kendall_tau_grid",
+        "agg_gini_coefficient",
+        "ts_dow_seasonality",
+        "text_ttr_profile",
+        "emb_dim_covariance",
+        "agg_ab_conversion_wilson",
+        "join_fuzzy_blocked",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

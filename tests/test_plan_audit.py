@@ -1364,3 +1364,58 @@ def test_round10_profiles_broadcast_their_totals(spark, sf_dir):
     plan = formatted_plan(df)
     assert "Window (" not in plan
     assert shuffle_count(df) <= 3  # token grid + source agg + sort
+
+
+def test_round10_wilson_is_two_aggregates_no_join(spark, sf_dir):
+    """agg_ab_conversion_wilson: the whole readout is two hash
+    aggregates (per-user conversion grid, 2-row arm rollup) and a
+    driver-sized closed-form projection — zero joins, zero windows,
+    shuffles = the two aggregates + the output sort."""
+    from mysql_cdc_table_spark.operators.round10 import (
+        agg_ab_conversion_wilson,
+    )
+    from mysql_cdc_table_spark.plans.audit import formatted_plan
+
+    df = agg_ab_conversion_wilson(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window (" not in plan
+    assert "Join" not in plan
+    assert shuffle_count(df) <= 3  # user grid + arm rollup + sort
+
+
+def test_round10_fuzzy_join_is_distinct_names_first(spark, sf_dir):
+    """join_fuzzy_blocked: the quadratic contract — the Levenshtein
+    pair join's BOTH inputs are the aggregated distinct-names grid
+    (vocab-bounded), never the raw corpus, and the fact table is
+    scanned exactly once (the grid is checkpointed for its three
+    consumers). No cartesian: candidates are block-equi-joined."""
+    from mysql_cdc_table_spark.operators.round10 import join_fuzzy_blocked
+    from mysql_cdc_table_spark.plans.audit import count_nodes, formatted_plan
+
+    df = join_fuzzy_blocked(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert_no_cartesian(df)
+    assert "Window (" not in plan
+    # one materialization of the names grid, zero residual fact scans
+    assert count_nodes(df, "Scan parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan
+    # the pair join and the sizes join both carry aggregated inputs;
+    # levenshtein is evaluated post-join on grid rows only
+    assert "levenshtein" in plan
+
+
+def test_round10_sql_udf_inlines_into_codegen(spark, sf_dir):
+    """sql_udf_scalar: SQL-language UDFs (incl. the nested call) must
+    be INLINED by Catalyst — zero Python evaluation nodes, zero extra
+    plan structure vs hand-written expressions; the whole readout is
+    one hash aggregate over the scan."""
+    from mysql_cdc_table_spark.operators.round10 import sql_udf_scalar
+    from mysql_cdc_table_spark.plans.audit import formatted_plan
+
+    df = sql_udf_scalar(spark, sf_dir)
+    plan = formatted_plan(df)
+    for node in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert node not in plan, plan
+    assert "Join" not in plan
+    assert "Window (" not in plan
+    assert shuffle_count(df) <= 2  # source agg + output sort
