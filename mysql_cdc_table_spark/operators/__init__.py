@@ -488,6 +488,7 @@ ROUND10_NEW_KEYS: tuple[str, ...] = (
     "stream_stream_join",
     "sql_udf_scalar",
     "sql_execute_immediate",
+    "stream_stream_outer_join",
 )
 
 # Operators whose implementation round 10 touches: the columnar

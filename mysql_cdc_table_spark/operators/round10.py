@@ -932,7 +932,9 @@ QUERIES["join_fuzzy_blocked"] = join_fuzzy_blocked
 ORACLES["join_fuzzy_blocked"] = JOIN_FUZZY_BLOCKED_SQL
 
 
-def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_stream_join(
+    spark: SparkSession, sf_dir: str, _query_out: list | None = None
+) -> DataFrame:
     """Watermarked STREAM-STREAM inner join — the hardest Structured
     Streaming shape the engine had not yet driver-proven: two live
     feeds (disjoint event_id classes of the same event stream) joined
@@ -1009,6 +1011,10 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    if _query_out is not None:
+        # test hook: the cross-batch claim is asserted, not narrated —
+        # tests check the run really paired across >= 4 micro-batches
+        _query_out.append(q)
     return (
         spark.table(mem)
         .groupBy("type_a", "type_b")
@@ -1138,3 +1144,121 @@ GROUP BY o_orderpriority ORDER BY priority
 
 QUERIES["sql_execute_immediate"] = sql_execute_immediate
 ORACLES["sql_execute_immediate"] = SQL_EXECUTE_IMMEDIATE_SQL
+
+
+def stream_stream_outer_join(
+    spark: SparkSession, sf_dir: str, _query_out: list | None = None
+) -> DataFrame:
+    """LEFT-OUTER watermarked stream-stream join — the semantics that
+    separate a real streaming engine from a batch replay: an unmatched
+    left row must be emitted WITH NULLS only once the watermark proves
+    no match can still arrive (state eviction), never earlier, never
+    twice. Same staged two-files-per-side feed as stream_stream_join
+    (maxFilesPerTrigger=1 forces multi-batch state), 1-minute
+    watermark delay so the availableNow final flush resolves
+    everything below the horizon. The readout restricts to left rows
+    with ts < 2024-01-28 — at least two days BELOW the final
+    watermark minus the join window at every sf (per-side max ts is
+    Jan 30 19:30+), so every row in the readout has deterministically
+    settled matched-or-null status; the oracle is the equivalent batch
+    LEFT JOIN under the same cutoff. A join that emits outer nulls
+    early (phantom unmatched), late (missing rows), or double-emits on
+    eviction breaks the hash. Scale: outer state is bounded by the
+    watermark horizon — the eviction being TESTED here is what caps
+    state at 100 TB/day feeds."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    e = (
+        t(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("vm", F.floor(F.col("value") * 1000).cast("long"))
+        .select("event_id", "user_id", "ts", "event_type", "vm")
+    )
+    sides = {
+        "l": e.filter(F.col("event_id") % 4 == 0),
+        "r": e.filter(F.col("event_id") % 4 == 1),
+    }
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}:ssouter".encode()
+    ).hexdigest()[:12]
+    stages = {}
+    for side, df in sides.items():
+        stage = os.path.join(
+            tempfile.gettempdir(), f"stream_ssouter_{side}_{tag}"
+        )
+        df.repartition(2).write.mode("overwrite").parquet(stage)
+        stages[side] = stage
+
+    def feed(side: str):
+        return (
+            spark.readStream.schema(sides[side].schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stages[side])
+            .withWatermark("ts", "1 minute")
+            .alias(side)
+        )
+
+    joined = feed("l").join(
+        feed("r"),
+        F.expr(
+            "l.user_id = r.user_id AND r.ts >= l.ts "
+            "AND r.ts <= l.ts + INTERVAL 1 HOUR"
+        ),
+        "leftOuter",
+    )
+    mem = f"ssouter_{uuid.uuid4().hex[:12]}"
+    q = (
+        joined.select(
+            F.col("l.ts").alias("lts"),
+            F.col("l.event_type").alias("type_a"),
+            F.col("l.vm").alias("lvm"),
+            F.col("r.vm").alias("rvm"),
+        )
+        .writeStream.format("memory")
+        .queryName(mem)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if _query_out is not None:
+        _query_out.append(q)
+    cutoff = F.lit("2024-01-28 00:00:00").cast("timestamp")
+    return (
+        spark.table(mem)
+        .filter(F.col("lts") < cutoff)
+        .groupBy(
+            "type_a", F.col("rvm").isNull().alias("unmatched")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.col("lvm") + F.coalesce("rvm", F.lit(0)))
+            .cast("long")
+            .alias("milli_sum"),
+        )
+        .orderBy("type_a", "unmatched")
+    )
+
+
+STREAM_STREAM_OUTER_JOIN_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, ts, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS vm
+  FROM events
+), l AS (SELECT * FROM e WHERE event_id % 4 = 0),
+   r AS (SELECT * FROM e WHERE event_id % 4 = 1)
+SELECT l.event_type AS type_a,
+       (r.vm IS NULL) AS unmatched,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(l.vm + coalesce(r.vm, 0)) AS BIGINT) AS milli_sum
+FROM l LEFT JOIN r ON l.user_id = r.user_id
+  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+WHERE l.ts < TIMESTAMP '2024-01-28 00:00:00'
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+QUERIES["stream_stream_outer_join"] = stream_stream_outer_join
+ORACLES["stream_stream_outer_join"] = STREAM_STREAM_OUTER_JOIN_SQL

@@ -669,3 +669,59 @@ def test_scd2_store_incremental_matches_batch(spark, tmp_path):
     id2 = [r for r in got if r[0] == 2]
     assert len(id2) == 2
     assert [r[-1] for r in sorted(id2, key=lambda r: r[3])] == [False, True]
+
+
+def test_stream_stream_join_pairs_across_micro_batches(spark):
+    """stream_stream_join's cross-batch claim, asserted: the staged
+    2-files-per-side feed with maxFilesPerTrigger=1 must run >= 3
+    micro-batches (two data batches + the availableNow flush), join
+    state must actually buffer rows between them, and the streamed
+    result must equal the batch join computed directly."""
+    from mysql_cdc_table_spark.operators.round10 import stream_stream_join
+
+    sf_dir = "/root/testdata/sf0.001"
+    out: list = []
+    df = stream_stream_join(spark, sf_dir, _query_out=out)
+    got = {tuple(r) for r in df.collect()}
+
+    q = out[0]
+    assert q.lastProgress["batchId"] >= 2, q.lastProgress
+    # the join kept buffered state between batches
+    state = q.lastProgress.get("stateOperators") or []
+    assert state and state[0]["numRowsTotal"] > 0, q.lastProgress
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.operators._util import t
+
+    e = (
+        t(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("vm", F.floor(F.col("value") * 1000).cast("long"))
+    )
+    l = e.filter(F.col("event_id") % 4 == 0).alias("l")
+    r = e.filter(F.col("event_id") % 4 == 1).alias("r")
+    want = {
+        tuple(x)
+        for x in (
+            l.join(
+                r,
+                F.expr(
+                    "l.user_id = r.user_id AND r.ts >= l.ts "
+                    "AND r.ts <= l.ts + INTERVAL 1 HOUR"
+                ),
+            )
+            .groupBy(
+                F.col("l.event_type").alias("type_a"),
+                F.col("r.event_type").alias("type_b"),
+            )
+            .agg(
+                F.count("*").cast("long").alias("n_pairs"),
+                F.sum(F.col("l.vm") + F.col("r.vm"))
+                .cast("long")
+                .alias("milli_sum"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
