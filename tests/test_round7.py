@@ -223,3 +223,88 @@ def test_ks_two_sample_matches_bruteforce(spark, sf_dir):
             best, at = d, v
     assert row["d_num"] == best
     assert row["vm_at_max"] == at
+
+
+def test_fuzzy_blocked_matches_bruteforce(spark, sf_dir):
+    """The distinct-names-with-multiplicities rewrite must equal the
+    naive definition: all ROW pairs (distinct part keys) in the same
+    block with 0 < levenshtein <= 2 — pair_weight counts row pairs,
+    n_near_pairs counts distinct-NAME pairs."""
+    from collections import Counter
+
+    from mysql_cdc_table_spark.operators.round10 import join_fuzzy_blocked
+
+    got = {
+        r["block"]: r.asDict()
+        for r in join_fuzzy_blocked(spark, sf_dir).collect()
+    }
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    names = Counter(
+        r[0]
+        for r in spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select("p_name")
+        .collect()
+    )
+    by_block: dict = {}
+    for name, cnt in names.items():
+        by_block.setdefault(name.split(" ")[-1], []).append((name, cnt))
+    want_blocks = 0
+    for block, members in by_block.items():
+        members.sort()
+        pairs = []
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                d = lev(members[i][0], members[j][0])
+                if 0 < d <= 2:
+                    pairs.append((d, members[i][1] * members[j][1]))
+        if not pairs:
+            assert block not in got
+            continue
+        want_blocks += 1
+        row = got[block]
+        assert row["n_names"] == len(members)
+        assert row["n_rows"] == sum(c for _, c in members)
+        assert row["n_near_pairs"] == len(pairs)
+        assert row["pair_weight"] == sum(w for _, w in pairs)
+        assert row["sum_dist"] == sum(d for d, _ in pairs)
+        assert row["min_dist"] == min(d for d, _ in pairs)
+    assert want_blocks == len(got) and want_blocks > 0
+
+
+def test_wilson_bounds_match_python_formula(spark, sf_dir):
+    """The Wilson interval columns must equal the closed-form formula
+    computed in plain Python IEEE doubles from the exact arm counts —
+    proving the emitted bounds ARE Wilson bounds, not merely that two
+    engines agree on some expression."""
+    import math
+
+    from mysql_cdc_table_spark.operators.round10 import (
+        agg_ab_conversion_wilson,
+    )
+
+    for row in agg_ab_conversion_wilson(spark, sf_dir).collect():
+        n, c = float(row["n_users"]), float(row["n_conv"])
+        p = c / n
+        z = 1.96
+        denom = 1.0 + z * z / n
+        center = p + z * z / (2.0 * n)
+        rad = z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+        assert row["rate_e6"] == math.floor(1_000_000.0 * p)
+        assert row["wilson_lo_e6"] == math.floor(
+            1_000_000.0 * (center - rad) / denom
+        )
+        assert row["wilson_hi_e6"] == math.floor(
+            1_000_000.0 * (center + rad) / denom
+        )
+        assert row["wilson_lo_e6"] <= row["rate_e6"] <= row["wilson_hi_e6"]
