@@ -269,6 +269,11 @@ def main() -> None:
         "emb_dim_covariance",
         "agg_ab_conversion_wilson",
         "join_fuzzy_blocked",
+        # round 10 SQL-surface keys: both are one-aggregate plans; the
+        # rows pin that SQL-UDF inlining and EXECUTE IMMEDIATE binding
+        # stay scan-shaped at 10x data
+        "sql_udf_scalar",
+        "sql_execute_immediate",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

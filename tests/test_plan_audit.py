@@ -1419,3 +1419,19 @@ def test_round10_sql_udf_inlines_into_codegen(spark, sf_dir):
     assert "Join" not in plan
     assert "Window (" not in plan
     assert shuffle_count(df) <= 2  # source agg + output sort
+
+
+def test_round10_execute_immediate_pushes_bound_predicate(spark, sf_dir):
+    """sql_execute_immediate: the USING-bound threshold must reach the
+    parquet scan as a pushed filter — parameter binding through
+    dynamic SQL must not defeat pushdown. One aggregate, no join."""
+    from mysql_cdc_table_spark.operators.round10 import (
+        sql_execute_immediate,
+    )
+    from mysql_cdc_table_spark.plans.audit import formatted_plan
+
+    df = sql_execute_immediate(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "GreaterThan(o_totalprice,100000.0)" in plan, plan
+    assert "Join" not in plan
+    assert shuffle_count(df) <= 2  # rollup + output sort
