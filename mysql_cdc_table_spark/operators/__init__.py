@@ -503,7 +503,10 @@ ROUND10_REVERIFY: tuple[str, ...] = (
 
 # Late-registration tail for round 10 (same pinned-behind protocol):
 # keys registered after the front budget fills; they lead round 11.
-ROUND10_LATE_KEYS: tuple[str, ...] = ()
+ROUND10_LATE_KEYS: tuple[str, ...] = (
+    "ts_markov_transitions",
+    "emb_centroid_silhouette",
+)
 
 
 def _last_seen_rounds() -> dict[str, int]:

@@ -1262,3 +1262,222 @@ ORDER BY 1, 2
 
 QUERIES["stream_stream_outer_join"] = stream_stream_outer_join
 ORACLES["stream_stream_outer_join"] = STREAM_STREAM_OUTER_JOIN_SQL
+
+
+# --- round-10 LATE keys (registered after the window budget filled;
+# pinned behind the standing registry to lead the round-11 window) ----
+
+
+def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the sequence-model readout behind session abandonment,
+    bot detection, and synthetic-trace validation (a generator whose
+    transition matrix drifts from production is caught here). Each
+    user's events form a totally-ordered chain ((ts, event_id)
+    tiebreak); lead() pairs adjacent types; counts roll to the
+    types×types grid with row-normalized shares in ppm from one
+    floored division of exact int64s. Shape: ONE lag window per user
+    partition (linear, partition-parallel), then grid-sized
+    aggregates — the matrix is alphabet-bounded regardless of corpus
+    size."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n_trans"))
+    )
+    # two consumers (matrix + row totals): materialize the
+    # alphabet-bounded grid once — one scan, ONE window
+    pairs = pairs.localCheckpoint(eager=False)
+    tot = pairs.groupBy("from_type").agg(
+        F.sum("n_trans").cast("long").alias("row_total")
+    )
+    return (
+        pairs.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_trans",
+            F.floor(
+                F.lit(1_000_000.0)
+                * (
+                    F.col("n_trans").cast("double")
+                    / F.col("row_total").cast("double")
+                )
+            )
+            .cast("long")
+            .alias("share_e6"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+TS_MARKOV_TRANSITIONS_SQL = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+), grid AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+), tot AS (
+  SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS row_total
+  FROM grid GROUP BY 1
+)
+SELECT g.from_type, g.to_type, g.n_trans,
+       CAST(floor(1000000.0 * (CAST(g.n_trans AS DOUBLE)
+            / CAST(t.row_total AS DOUBLE))) AS BIGINT) AS share_e6
+FROM grid g JOIN tot t USING (from_type)
+ORDER BY g.from_type, g.to_type
+"""
+
+QUERIES["ts_markov_transitions"] = ts_markov_transitions
+ORACLES["ts_markov_transitions"] = TS_MARKOV_TRANSITIONS_SQL
+
+
+EMB_SIL_DIM = 64
+
+
+def emb_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid silhouette — the cluster-quality eval an
+    embedding pipeline runs before trusting labels for IVF training,
+    auto-labeling, or stratified sampling: for each vector, squared
+    distance to its OWN label centroid (a) vs the nearest OTHER
+    centroid (b); silhouette = (b−a)/max(a,b) per vector, averaged per
+    label. A label whose mean collapses toward 0/negative is not a
+    real cluster. Exactness: components quantize to floor(x·10⁴)
+    int64s (the emb_dim_variance contract); centroids quantize to e6
+    ints through one deterministic IEEE chain; distances are then
+    PURE-INTEGER sums of squares, and only the final per-vector ratio
+    touches doubles (exact int64 → double, one divide, one multiply,
+    floor — identical chain both engines). Shape: one posexplode, one
+    (label,dim) grid aggregate, a BROADCAST labels×dims centroid join
+    (|labels| fan-out per row — alphabet-bounded), two grid
+    aggregates. Never a vector-vector pair join — cost is linear in
+    vectors × |labels|."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.col("label").alias("own"),
+        F.posexplode("embedding").alias("dim", "comp"),
+    ).select(
+        "vec_id",
+        "own",
+        "dim",
+        F.floor(F.col("comp").cast("double") * 10_000)
+        .cast("long")
+        .alias("qv"),
+    )
+    cent = (
+        q.groupBy(F.col("own").alias("cand"), "dim")
+        .agg(
+            F.floor(
+                F.lit(100.0)
+                * (
+                    F.sum("qv").cast("double")
+                    / F.count("*").cast("double")
+                )
+            )
+            .cast("long")
+            .alias("ce")
+        )
+    )
+    term = F.lit(100) * F.col("qv") - F.col("ce")
+    d = (
+        q.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "own", "cand")
+        .agg(F.sum(term * term).cast("long").alias("dist"))
+    )
+    ab = d.groupBy("vec_id", "own").agg(
+        F.sum(F.when(F.col("cand") == F.col("own"), F.col("dist"))).alias(
+            "a"
+        ),
+        F.min(F.when(F.col("cand") != F.col("own"), F.col("dist"))).alias(
+            "b"
+        ),
+    )
+    mx = F.greatest("a", "b")
+    sil = F.when(mx == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(
+            F.lit(1_000_000.0)
+            * (
+                (F.col("b") - F.col("a")).cast("double")
+                / mx.cast("double")
+            )
+        ).cast("long")
+    )
+    return (
+        ab.select(F.col("own").alias("label"), sil.alias("sil"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum("sil").cast("long").alias("sil_e6_sum"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "sil_e6_sum",
+            F.floor(
+                F.col("sil_e6_sum").cast("double")
+                / F.col("n_vecs").cast("double")
+            )
+            .cast("long")
+            .alias("mean_sil_e6"),
+        )
+        .orderBy("label")
+    )
+
+
+EMB_CENTROID_SILHOUETTE_SQL = f"""
+WITH q AS (
+  SELECT vec_id, label AS own, dim,
+         CAST(floor(CAST(embedding[CAST(dim AS INTEGER)] AS DOUBLE)
+              * 10000) AS BIGINT) AS qv
+  FROM (
+    SELECT vec_id, label, embedding,
+           unnest(generate_series(1, {EMB_SIL_DIM})) AS dim
+    FROM embeddings
+  )
+), cent AS (
+  SELECT own AS cand, dim,
+         CAST(floor(100.0 * (CAST(CAST(sum(qv) AS BIGINT) AS DOUBLE)
+              / count(*))) AS BIGINT) AS ce
+  FROM q GROUP BY 1, 2
+), d AS (
+  SELECT q.vec_id, q.own, c.cand,
+         CAST(sum((100 * q.qv - c.ce) * (100 * q.qv - c.ce)) AS BIGINT)
+           AS dist
+  FROM q JOIN cent c ON c.dim = q.dim
+  GROUP BY 1, 2, 3
+), ab AS (
+  SELECT vec_id, own,
+         CAST(sum(CASE WHEN cand = own THEN dist END) AS BIGINT) AS a,
+         CAST(min(CASE WHEN cand <> own THEN dist END) AS BIGINT) AS b
+  FROM d GROUP BY 1, 2
+), s AS (
+  SELECT own AS label,
+         CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(1000000.0
+                   * (CAST(b - a AS DOUBLE)
+                      / CAST(greatest(a, b) AS DOUBLE))) AS BIGINT)
+         END AS sil
+  FROM ab
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(sil) AS BIGINT) AS sil_e6_sum,
+       CAST(floor(CAST(CAST(sum(sil) AS BIGINT) AS DOUBLE) / count(*))
+            AS BIGINT) AS mean_sil_e6
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["emb_centroid_silhouette"] = emb_centroid_silhouette
+ORACLES["emb_centroid_silhouette"] = EMB_CENTROID_SILHOUETTE_SQL

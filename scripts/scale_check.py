@@ -274,6 +274,11 @@ def main() -> None:
         # stay scan-shaped at 10x data
         "sql_udf_scalar",
         "sql_execute_immediate",
+        # round-10 late keys: the Markov matrix is one user-partition
+        # window + alphabet grid; the silhouette is a broadcast
+        # labels x dims fan-out (linear in vectors x |labels|)
+        "ts_markov_transitions",
+        "emb_centroid_silhouette",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

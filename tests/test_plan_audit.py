@@ -1435,3 +1435,63 @@ def test_round10_execute_immediate_pushes_bound_predicate(spark, sf_dir):
     assert "GreaterThan(o_totalprice,100000.0)" in plan, plan
     assert "Join" not in plan
     assert shuffle_count(df) <= 2  # rollup + output sort
+
+
+def test_round10_late_markov_is_one_user_window(spark, sf_dir):
+    """ts_markov_transitions: ONE window partitioned by user (the
+    chain is user-local — hashpartitioning(user_id) must appear), the
+    totals join is a broadcast over the alphabet grid, no cartesian,
+    no sort-merge join."""
+    from mysql_cdc_table_spark.operators.round10 import ts_markov_transitions
+    from mysql_cdc_table_spark.plans.audit import count_nodes, formatted_plan
+
+    df = ts_markov_transitions(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert_no_cartesian(df)
+    # the grid is checkpointed once for its two consumers: the final
+    # plan re-reads the materialized grid (zero raw scans, zero window
+    # re-runs) and the totals join is a broadcast
+    assert count_nodes(df, "Scan parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan
+    assert count_nodes(df, "Window") == 0
+    assert_broadcast_join(df, 1)
+    assert count_nodes(df, "SortMergeJoin") == 0
+    # the single user-partitioned window lives in the pre-checkpoint
+    # lineage — assert it there
+    from pyspark.sql import Window as W
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    from pyspark.sql import functions as F
+
+    pre = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .count()
+    )
+    pre_plan = formatted_plan(pre)
+    assert count_nodes(pre, "Window") == 1
+    assert "hashpartitioning(user_id" in pre_plan, pre_plan
+
+
+def test_round10_late_silhouette_broadcasts_centroids(spark, sf_dir):
+    """emb_centroid_silhouette: the vector-to-centroid fan-out must be
+    a BROADCAST of the labels x dims grid — never a shuffled or
+    vector-pair join — and the plan carries zero windows; everything
+    after the fan-out is hash aggregates."""
+    from mysql_cdc_table_spark.operators.round10 import (
+        emb_centroid_silhouette,
+    )
+    from mysql_cdc_table_spark.plans.audit import count_nodes, formatted_plan
+
+    df = emb_centroid_silhouette(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert_no_cartesian(df)
+    assert "Window (" not in plan
+    assert_broadcast_join(df, 1)
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "ShuffledHashJoin") == 0

@@ -725,3 +725,110 @@ def test_stream_stream_join_pairs_across_micro_batches(spark):
         )
     }
     assert got == want
+
+
+def test_stream_stream_join_state_survives_restart(spark, tmp_path):
+    """Stream-stream join state must survive a CHECKPOINTED RESTART:
+    run 1 stages ONLY the left feed (no right file exists — zero pairs
+    can form; every left row must enter the state store), the query
+    drains (availableNow) and stops; run 2 starts a NEW query on the
+    same checkpoint after the right file lands. EVERY pair in the
+    output therefore spans the restart — it can only come from
+    recovered state. Result must equal the batch join exactly; a join
+    that rebuilds empty state on restart emits nothing, one that
+    replays run 1 duplicates."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.operators._util import t
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = (
+        t(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("vm", F.floor(F.col("value") * 1000).cast("long"))
+        .select("event_id", "user_id", "ts", "event_type", "vm")
+    )
+    l_all = e.filter(F.col("event_id") % 4 == 0)
+    r_all = e.filter(F.col("event_id") % 4 == 1)
+    l_dir, r_dir = tmp_path / "l", tmp_path / "r"
+    sink, ckpt = tmp_path / "sink", tmp_path / "ckpt_restart"
+    for d in (l_dir, r_dir):
+        d.mkdir()
+
+    def drop(df, d, name):
+        import glob
+        import shutil
+
+        tmp = str(tmp_path / f"tmp_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.copy(src, str(d / f"{name}.parquet"))
+
+    def run_once():
+        schema = l_all.schema
+        ls = (
+            spark.readStream.schema(schema)
+            .parquet(str(l_dir))
+            .withWatermark("ts", "3650 days")
+            .alias("l")
+        )
+        rs = (
+            spark.readStream.schema(schema)
+            .parquet(str(r_dir))
+            .withWatermark("ts", "3650 days")
+            .alias("r")
+        )
+        q = (
+            ls.join(
+                rs,
+                F.expr(
+                    "l.user_id = r.user_id AND r.ts >= l.ts "
+                    "AND r.ts <= l.ts + INTERVAL 1 HOUR"
+                ),
+            )
+            .select(
+                F.col("l.event_id").alias("lid"),
+                F.col("r.event_id").alias("rid"),
+                (F.col("l.vm") + F.col("r.vm")).alias("pm"),
+            )
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: the whole LEFT feed, no right file -> zero pairs possible
+    drop(l_all, l_dir, "f1")
+    run_once()
+    assert spark.read.parquet(str(sink)).count() == 0
+
+    # run 2: the right feed lands; a NEW query recovers the checkpoint
+    drop(r_all, r_dir, "f1")
+    run_once()
+
+    got = sorted(
+        (r["lid"], r["rid"], r["pm"])
+        for r in spark.read.parquet(str(sink)).collect()
+    )
+    l, r = l_all.alias("l"), r_all.alias("r")
+    want = sorted(
+        tuple(x)
+        for x in l.join(
+            r,
+            F.expr(
+                "l.user_id = r.user_id AND r.ts >= l.ts "
+                "AND r.ts <= l.ts + INTERVAL 1 HOUR"
+            ),
+        )
+        .select(
+            F.col("l.event_id").alias("lid"),
+            F.col("r.event_id").alias("rid"),
+            (F.col("l.vm") + F.col("r.vm")).alias("pm"),
+        )
+        .collect()
+    )
+    assert len(want) > 0
+    assert got == want  # exactly once per pair, all recovered-state
