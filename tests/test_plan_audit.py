@@ -1495,3 +1495,53 @@ def test_round10_late_silhouette_broadcasts_centroids(spark, sf_dir):
     assert_broadcast_join(df, 1)
     assert count_nodes(df, "SortMergeJoin") == 0
     assert count_nodes(df, "ShuffledHashJoin") == 0
+
+
+def test_aqe_skew_join_activates_at_runtime(spark):
+    """The session enables AQE skew-join (session.py); this proves the
+    mechanism actually fires: a deliberately skewed SMJ (75% of rows
+    on one key, broadcast disabled) must come out of execution with
+    SortMergeJoin(skew=true) and a skewed AQEShuffleRead — the runtime
+    re-plan that replaces manual salting for most skew at scale
+    (operators/skew.py documents salting as the explicit fallback).
+    Thresholds are lowered only inside this test and restored."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": (
+            "16KB"
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 - unset conf
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(400_000).select(
+            F.when(F.col("id") % 4 != 0, 0)
+            .otherwise(F.col("id") % 97)
+            .cast("long")
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pay"),
+        )
+        right = spark.range(97).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 400_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead coalesced and skewed" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
