@@ -506,6 +506,7 @@ ROUND10_REVERIFY: tuple[str, ...] = (
 ROUND10_LATE_KEYS: tuple[str, ...] = (
     "ts_markov_transitions",
     "emb_centroid_silhouette",
+    "cdc_ivm_join_view",
 )
 
 

@@ -1481,3 +1481,65 @@ FROM s GROUP BY 1 ORDER BY 1
 
 QUERIES["emb_centroid_silhouette"] = emb_centroid_silhouette
 ORACLES["emb_centroid_silhouette"] = EMB_CENTROID_SILHOUETTE_SQL
+
+
+def cdc_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of an ENRICHED (join) view — the other
+    classic IVM shape next to cdc_incremental_agg's plain aggregate: a
+    per-nation order rollup (latest orders ⋈ customer, grouped by
+    c_nationkey) maintained purely from SIGNED changelog deltas pushed
+    THROUGH the join — Δ(L ⋈ R) = ΔL ⋈ R for a stable dim. Each
+    signed image broadcast-joins to customer and folds map-side; no
+    per-key window, no rescan of the accumulated view. The oracle
+    recomputes the view from the fully ranked latest state joined to
+    the same dim — one wrong op sign, a before-image joined with the
+    wrong key, or a missed tombstone breaks the per-nation hash. The
+    telescoping survives status/price-changing update chains because
+    the -before/+after pair cancels inside the key's nation. Shape at
+    100 TB: deltas are one map-side-combinable pass, the dim is
+    broadcast, the view state is nations-sized."""
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+
+    cl = synthetic_changelog(spark, sf_dir)
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    sgn = F.when(F.col("__op").isin(1, 3), F.lit(1)).otherwise(F.lit(-1))
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    return (
+        cl.select("o_custkey", sgn.alias("sgn"), (sgn * cents).alias("dc"))
+        .join(F.broadcast(cust), "o_custkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("sgn").cast("long").alias("n_rows"),
+            F.sum("dc").cast("long").alias("cents_sum"),
+        )
+        .filter(F.col("n_rows") > 0)
+        .orderBy("c_nationkey")
+    )
+
+
+def _cdc_ivm_join_view_sql() -> str:
+    from mysql_cdc_table_spark.cdc.synthetic import CHANGELOG_CTE
+
+    return f"""
+WITH {CHANGELOG_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey
+      ORDER BY __gtid DESC, __event_seq DESC, __image_seq DESC) AS __rn
+  FROM changelog
+)
+SELECT c.c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(r.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_sum
+FROM ranked r JOIN customer c ON c.c_custkey = r.o_custkey
+WHERE r.__rn = 1 AND r.__op <> 0
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+"""
+
+
+QUERIES["cdc_ivm_join_view"] = cdc_ivm_join_view
+ORACLES["cdc_ivm_join_view"] = _cdc_ivm_join_view_sql()

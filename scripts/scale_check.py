@@ -279,6 +279,7 @@ def main() -> None:
         # labels x dims fan-out (linear in vectors x |labels|)
         "ts_markov_transitions",
         "emb_centroid_silhouette",
+        "cdc_ivm_join_view",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

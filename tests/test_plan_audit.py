@@ -1545,3 +1545,19 @@ def test_aqe_skew_join_activates_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_round10_late_ivm_join_view_is_delta_pass(spark, sf_dir):
+    """cdc_ivm_join_view: the maintenance side must be ONE signed
+    map-side pass broadcast-joined to the dim — zero windows (the
+    ranked latest-state window exists only in the ORACLE), no
+    cartesian, no sort-merge join."""
+    from mysql_cdc_table_spark.operators.round10 import cdc_ivm_join_view
+    from mysql_cdc_table_spark.plans.audit import count_nodes, formatted_plan
+
+    df = cdc_ivm_join_view(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window (" not in plan
+    assert_no_cartesian(df)
+    assert_broadcast_join(df, 1)
+    assert count_nodes(df, "SortMergeJoin") == 0

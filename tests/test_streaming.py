@@ -685,8 +685,24 @@ def test_stream_stream_join_pairs_across_micro_batches(spark):
     got = {tuple(r) for r in df.collect()}
 
     q = out[0]
+    # progress events post ASYNCHRONOUSLY — awaitTermination returning
+    # does not guarantee the final batch's progress is visible yet;
+    # poll briefly (seen lagging under full-suite load)
+    import time
+
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        p = q.lastProgress
+        state = (p or {}).get("stateOperators") or []
+        if (
+            p
+            and p["batchId"] >= 2
+            and state
+            and state[0]["numRowsTotal"] > 0
+        ):
+            break
+        time.sleep(0.5)
     assert q.lastProgress["batchId"] >= 2, q.lastProgress
-    # the join kept buffered state between batches
     state = q.lastProgress.get("stateOperators") or []
     assert state and state[0]["numRowsTotal"] > 0, q.lastProgress
 
