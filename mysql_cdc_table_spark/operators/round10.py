@@ -943,8 +943,10 @@ def stream_stream_join(
     time-range join condition (what makes join state EVICTABLE at
     scale), memory sink, availableNow. Each side is staged as TWO
     files and read with ``maxFilesPerTrigger=1``, so matches MUST pair
-    across micro-batches — a join that drops buffered state between
-    batches, or double-emits on the batch seam, breaks the value hash.
+    across micro-batch seams (each side's second file joins the other
+    side's batch-0 rows out of the state store) — a join that drops
+    buffered state between batches, or double-emits on the seam,
+    breaks the value hash.
     The oracle is the equivalent batch join. Scale: join state is
     hash-partitioned by key across executors and the watermark + range
     condition bound retention to the join window — the 100 TB contract
@@ -1013,7 +1015,7 @@ def stream_stream_join(
     q.awaitTermination()
     if _query_out is not None:
         # test hook: the cross-batch claim is asserted, not narrated —
-        # tests check the run really paired across >= 4 micro-batches
+        # tests check >= 2 data batches ran with non-empty join state
         _query_out.append(q)
     return (
         spark.table(mem)

@@ -673,10 +673,11 @@ def test_scd2_store_incremental_matches_batch(spark, tmp_path):
 
 def test_stream_stream_join_pairs_across_micro_batches(spark):
     """stream_stream_join's cross-batch claim, asserted: the staged
-    2-files-per-side feed with maxFilesPerTrigger=1 must run >= 3
-    micro-batches (two data batches + the availableNow flush), join
-    state must actually buffer rows between them, and the streamed
-    result must equal the batch join computed directly."""
+    2-files-per-side feed with maxFilesPerTrigger=1 must run >= 2
+    data micro-batches (a trailing no-data flush batch is
+    timing-dependent), join state must actually buffer rows between
+    them, and the streamed result must equal the batch join computed
+    directly."""
     from mysql_cdc_table_spark.operators.round10 import stream_stream_join
 
     sf_dir = "/root/testdata/sf0.001"
@@ -687,7 +688,11 @@ def test_stream_stream_join_pairs_across_micro_batches(spark):
     q = out[0]
     # progress events post ASYNCHRONOUSLY — awaitTermination returning
     # does not guarantee the final batch's progress is visible yet;
-    # poll briefly (seen lagging under full-suite load)
+    # poll briefly. batchId >= 1 means >= TWO data batches ran (the
+    # trailing no-data flush batch is timing-dependent and may or may
+    # not appear) — with maxFilesPerTrigger=1 each side's second file
+    # joins the other side's batch-0 rows from the state store, so two
+    # batches already force cross-batch pairing.
     import time
 
     deadline = time.time() + 30
@@ -696,13 +701,13 @@ def test_stream_stream_join_pairs_across_micro_batches(spark):
         state = (p or {}).get("stateOperators") or []
         if (
             p
-            and p["batchId"] >= 2
+            and p["batchId"] >= 1
             and state
             and state[0]["numRowsTotal"] > 0
         ):
             break
         time.sleep(0.5)
-    assert q.lastProgress["batchId"] >= 2, q.lastProgress
+    assert q.lastProgress["batchId"] >= 1, q.lastProgress
     state = q.lastProgress.get("stateOperators") or []
     assert state and state[0]["numRowsTotal"] > 0, q.lastProgress
 
