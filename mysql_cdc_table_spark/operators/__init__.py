@@ -53,6 +53,7 @@ _MODULES = (
     "mysql_cdc_table_spark.operators.round8",
     "mysql_cdc_table_spark.operators.round9",
     "mysql_cdc_table_spark.operators.round10",
+    "mysql_cdc_table_spark.operators.round11",
     "mysql_cdc_table_spark.operators.late",
 )
 
@@ -509,6 +510,35 @@ ROUND10_LATE_KEYS: tuple[str, ...] = (
     "cdc_ivm_join_view",
 )
 
+# --- round 11 ----------------------------------------------------------------
+#
+# Window arithmetic this round (50 slots): the 3 ROUND10_LATE_KEYS lead
+# (first driver rows — all judge-verified MATCH in the round-10 judge
+# session's independent sf0.01 oracle re-run), then keys born in round
+# 11, then re-verify slots for code round 11 touches — leaving 25+
+# backfill slots that clear ALL 22 remaining r04-standing rows (the
+# round-10 verdict's explicit ask), enforced mechanically by
+# test_driver_window_composition's stalest-prefix invariant.
+
+# Keys born in round 11 — in-window for their first driver rows.
+ROUND11_NEW_KEYS: tuple[str, ...] = ()
+
+# Operators whose implementation round 11 touches: round 11 adds the
+# full-outer stream-stream join next to the r10 inner/left-outer pair
+# (standing rule: touching the streaming-join area re-verifies the
+# stream_stream keys) and the persisted-IVF path into the similarity
+# module (the trained-IVF key re-verifies on the shared
+# kmeans/centroid/search code).
+ROUND11_REVERIFY: tuple[str, ...] = (
+    "stream_stream_join",
+    "stream_stream_outer_join",
+    "ann_ivf_trained_topk",
+)
+
+# Late-registration tail for round 11 (same pinned-behind protocol):
+# keys registered after the front budget fills; they lead round 12.
+ROUND11_LATE_KEYS: tuple[str, ...] = ()
+
 
 def _last_seen_rounds() -> dict[str, int]:
     """key -> LATEST driver round with a CORRECTNESS row — the staleness
@@ -554,13 +584,17 @@ _ROUND10_WINDOW_FRONT = (
     ROUND9_LATE_KEYS + ROUND10_NEW_KEYS + ROUND10_REVERIFY
 )
 
+_ROUND11_WINDOW_FRONT = (
+    ROUND10_LATE_KEYS + ROUND11_NEW_KEYS + ROUND11_REVERIFY
+)
+
 
 def _rotate(out: dict) -> dict:
-    """Reorder a merged registry dict: round-10 front first, then every
+    """Reorder a merged registry dict: round-11 front first, then every
     other key stalest-first (latest driver round, registry order as
     the tie-break; never-seen keys sort first so they cannot hide)."""
-    front = {k: out[k] for k in _ROUND10_WINDOW_FRONT if k in out}
-    late = {k: out[k] for k in ROUND10_LATE_KEYS if k in out}
+    front = {k: out[k] for k in _ROUND11_WINDOW_FRONT if k in out}
+    late = {k: out[k] for k in ROUND11_LATE_KEYS if k in out}
     seen = _last_seen_rounds()
     order = {k: i for i, k in enumerate(out)}
     rest_keys = sorted(
