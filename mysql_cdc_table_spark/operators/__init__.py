@@ -521,7 +521,11 @@ ROUND10_LATE_KEYS: tuple[str, ...] = (
 # test_driver_window_composition's stalest-prefix invariant.
 
 # Keys born in round 11 — in-window for their first driver rows.
-ROUND11_NEW_KEYS: tuple[str, ...] = ()
+ROUND11_NEW_KEYS: tuple[str, ...] = (
+    "cdc_ivm_join_view_bidi",
+    "cdc_ivm_distinct_view",
+    "cdc_fk_orphan_audit",
+)
 
 # Operators whose implementation round 11 touches: round 11 adds the
 # full-outer stream-stream join next to the r10 inner/left-outer pair

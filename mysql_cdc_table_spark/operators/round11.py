@@ -1,11 +1,14 @@
 """Round-11 operators.
 
-Planned this round (round-10 verdict items 2-5):
+This round (round-10 verdict items 2-5):
 - two-sided join-view IVM (``cdc_ivm_join_view_bidi``) — maintain
   Δ(L⋈R) when the DIMENSION is also a CDC feed;
+- distinct-count IVM via the support-table shape
+  (``cdc_ivm_distinct_view``);
+- referential-integrity audit across two live CDC feeds
+  (``cdc_fk_orphan_audit``);
 - full-outer watermarked stream-stream join;
-- persisted-IVF probe path (codebook round-trips storage);
-- plus further training-pipeline / CDC-audit keys.
+- persisted-IVF probe path (codebook round-trips storage).
 
 Reference semantics compared against ``/root/reference`` (a read-only
 MySQL-binlog storage engine, see SURVEY.md §1): every capability here
@@ -23,3 +26,314 @@ from mysql_cdc_table_spark.catalog import load_table as t
 
 QUERIES: dict = {}
 ORACLES: dict = {}
+
+
+# --- a dimension-side CDC feed (customer) ------------------------------------
+#
+# The bidi IVM / FK-audit keys need a SECOND changelog — the dimension
+# itself changing — that Spark and DuckDB can build identically, so the
+# recipe mirrors cdc/synthetic.py's exact-arithmetic discipline (integer
+# mod/multiply only, no RNG):
+#   - every customer      -> INSERT (__op=1, __gtid=c*10)        [epoch 1]
+#   - c%4==0              -> UPDATE pair (__gtid=c*10+3):        [epoch 2]
+#       nationkey moves to (c_nationkey+7) % 25
+#   - c%11==0             -> DELETE (__gtid=c*10+6), tombstone    [epoch 2]
+#       carries the post-update nation when c%4==0 (MySQL decodes the
+#       delete row-image verbatim, binlog_table_reader.cc:248-313)
+# Epochs split on __gtid % 10: {0} = batch 1, {3, 6} = batch 2 — the
+# same convention the orders changelog uses ({0,1} vs {2,5}).
+
+
+def _dim_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    c = F.col("c_custkey")
+    nat = F.col("c_nationkey").cast("long")
+    new_nat = (nat + 7) % 25
+
+    def ev(df, nation, op: int, gtid_off: int, image_seq: int) -> DataFrame:
+        return df.select(
+            "c_custkey",
+            nation.alias("c_nationkey"),
+            F.lit(op).cast("int").alias("__op"),
+            (c * 10 + gtid_off).cast("long").alias("__gtid"),
+            F.lit(image_seq).cast("int").alias("__image_seq"),
+        )
+
+    ins = ev(cust, nat, 1, 0, 0)
+    upd = cust.filter(c % 4 == 0)
+    upd_before = ev(upd, nat, 2, 3, 0)
+    upd_after = ev(upd, new_nat, 3, 3, 1)
+    dele = ev(
+        cust.filter(c % 11 == 0),
+        F.when(c % 4 == 0, new_nat).otherwise(nat),
+        0,
+        6,
+        0,
+    )
+    out = ins
+    for b in (upd_before, upd_after, dele):
+        out = out.unionByName(b)
+    return out
+
+
+DIM_CHANGELOG_CTE = """
+dim_changelog AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         1 AS __op, c_custkey * 10 AS __gtid, 0 AS __image_seq
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT), 2, c_custkey * 10 + 3, 0
+  FROM customer WHERE c_custkey % 4 = 0
+  UNION ALL
+  SELECT c_custkey, (CAST(c_nationkey AS BIGINT) + 7) % 25,
+         3, c_custkey * 10 + 3, 1
+  FROM customer WHERE c_custkey % 4 = 0
+  UNION ALL
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 4 = 0
+              THEN (CAST(c_nationkey AS BIGINT) + 7) % 25
+              ELSE CAST(c_nationkey AS BIGINT) END,
+         0, c_custkey * 10 + 6, 0
+  FROM customer WHERE c_custkey % 11 = 0
+)
+"""
+
+_RANKED_BOTH_CTES = """
+ranked_l AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey
+      ORDER BY __gtid DESC, __event_seq DESC, __image_seq DESC) AS __rn
+  FROM changelog
+),
+ranked_r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY c_custkey
+      ORDER BY __gtid DESC, __image_seq DESC) AS __rn
+  FROM dim_changelog
+)
+"""
+
+
+def cdc_ivm_join_view_bidi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SIDED join-view IVM — the composition a reference user hits
+    the day their dimension table is ALSO a CDC feed: maintain the
+    per-nation order rollup V = γ(L ⋈ R) when both the fact changelog
+    L (orders) and the dim changelog R (customer, nation reassignments
+    + deletions) change, using the bilinear delta rule
+
+        ΔV = ΔL ⋈ R_new  +  L_old ⋈ ΔR
+
+    (equivalently ΔL⋈R_old + L_old⋈ΔR + ΔL⋈ΔR). Both changelogs split
+    into two epochs on their recorded __gtid offsets; epoch-1 state
+    feeds the batch-2 delta terms exactly as a maintained store would.
+    Every term pre-aggregates the fact deltas per custkey FIRST (the
+    classic IVM pushdown: γ commutes with the signed sum), then
+    broadcast-joins the customer-sized dim deltas and folds by nation —
+    no window, no rank, no rescan of the accumulated view on EITHER
+    path. A wrong sign on a dim before-image, a delete tombstone joined
+    with the pre-update nation, or a missing ΔL⋈ΔR cross-term all break
+    the per-nation hash. The oracle recomputes the view from BOTH
+    ranked latest states (the only place ranking appears). Shape at
+    100 TB: fact deltas are one map-side-combinable pass each, dim
+    deltas stay broadcast, view state is nations-sized."""
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+
+    cl = synthetic_changelog(spark, sf_dir)
+    sgn = F.when(F.col("__op").isin(1, 3), F.lit(1)).otherwise(F.lit(-1))
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    ev = cl.select(
+        "o_custkey",
+        (F.col("__gtid") % 10).alias("off"),
+        sgn.alias("sgn"),
+        (sgn * cents).alias("dc"),
+    )
+
+    def fold(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.sum("sgn").cast("long").alias("dn"),
+            F.sum("dc").cast("long").alias("dcents"),
+        )
+
+    # L1 feeds two delta terms (epoch-1 view AND L_old ⋈ ΔR): cut the
+    # lineage on the customers-sized partial so the fact scans once
+    # (the emb_centroid_pairs convention)
+    l1 = fold(ev.filter(F.col("off").isin(0, 1))).localCheckpoint(eager=False)
+    l2 = fold(ev.filter(F.col("off").isin(2, 5)))
+
+    dim = _dim_changelog(spark, sf_dir)
+    rsgn = F.when(F.col("__op").isin(1, 3), F.lit(1)).otherwise(F.lit(-1))
+    r = dim.select(
+        F.col("c_custkey").alias("o_custkey"),
+        "c_nationkey",
+        rsgn.alias("rsgn"),
+        (F.col("__gtid") % 10).alias("roff"),
+    )
+    r1 = r.filter(F.col("roff") == 0).drop("roff")
+    dr2 = r.filter(F.col("roff").isin(3, 6)).drop("roff")
+    r_new = r1.unionByName(dr2)
+
+    def term(lf: DataFrame, rf: DataFrame) -> DataFrame:
+        return lf.join(F.broadcast(rf), "o_custkey").select(
+            "c_nationkey",
+            (F.col("rsgn") * F.col("dn")).alias("wn"),
+            (F.col("rsgn") * F.col("dcents")).alias("wc"),
+        )
+
+    pairs = (
+        term(l1, r1)            # V1 = L1 ⋈ R1 (the epoch-1 view)
+        .unionByName(term(l2, r_new))   # ΔL ⋈ R_new
+        .unionByName(term(l1, dr2))     # L_old ⋈ ΔR
+    )
+    return (
+        pairs.groupBy("c_nationkey")
+        .agg(
+            F.sum("wn").cast("long").alias("n_rows"),
+            F.sum("wc").cast("long").alias("cents_sum"),
+        )
+        .filter(F.col("n_rows") > 0)
+        .orderBy("c_nationkey")
+    )
+
+
+def _cdc_ivm_join_view_bidi_sql() -> str:
+    from mysql_cdc_table_spark.cdc.synthetic import CHANGELOG_CTE
+
+    return f"""
+WITH {CHANGELOG_CTE},
+{DIM_CHANGELOG_CTE},
+{_RANKED_BOTH_CTES}
+SELECT r.c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(l.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_sum
+FROM ranked_l l JOIN ranked_r r ON r.c_custkey = l.o_custkey
+WHERE l.__rn = 1 AND l.__op <> 0 AND r.__rn = 1 AND r.__op <> 0
+GROUP BY r.c_nationkey
+ORDER BY r.c_nationkey
+"""
+
+
+QUERIES["cdc_ivm_join_view_bidi"] = cdc_ivm_join_view_bidi
+ORACLES["cdc_ivm_join_view_bidi"] = _cdc_ivm_join_view_bidi_sql()
+
+
+def cdc_ivm_distinct_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count view maintenance — COUNT(DISTINCT ...) is NOT
+    linear, so the IVM literature maintains it through a SUPPORT
+    relation: net multiplicity per (group, member) from signed deltas,
+    then count the members whose support is positive. Here: distinct
+    customers with at least one LIVE order per latest order status —
+    γ_status,custkey(Σ sgn) > 0, then γ_status(count). Status-changing
+    update chains telescope inside the (old-status, custkey) group and
+    re-appear under the new status; deletes drain the support. No
+    ranking, no distinct over raw events — two hash aggregates, the
+    first map-side combinable. The oracle counts DISTINCT over the
+    ranked latest state. Shape at 100 TB: the support table is
+    (statuses × customers)-sized and hash-partitioned; the changelog
+    never re-sorts."""
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+
+    cl = synthetic_changelog(spark, sf_dir)
+    sgn = F.when(F.col("__op").isin(1, 3), F.lit(1)).otherwise(F.lit(-1))
+    support = (
+        cl.select("o_orderstatus", "o_custkey", sgn.alias("sgn"))
+        .groupBy("o_orderstatus", "o_custkey")
+        .agg(F.sum("sgn").cast("long").alias("m"))
+        .filter(F.col("m") > 0)
+    )
+    return (
+        support.groupBy("o_orderstatus")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .orderBy("o_orderstatus")
+    )
+
+
+def _cdc_ivm_distinct_view_sql() -> str:
+    from mysql_cdc_table_spark.cdc.synthetic import CHANGELOG_CTE
+
+    return f"""
+WITH {CHANGELOG_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey
+      ORDER BY __gtid DESC, __event_seq DESC, __image_seq DESC) AS __rn
+  FROM changelog
+)
+SELECT o_orderstatus,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM ranked
+WHERE __rn = 1 AND __op <> 0
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+QUERIES["cdc_ivm_distinct_view"] = cdc_ivm_distinct_view
+ORACLES["cdc_ivm_distinct_view"] = _cdc_ivm_distinct_view_sql()
+
+
+def cdc_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit ACROSS two live CDC feeds — the
+    data-quality check replication pipelines run daily: latest ALIVE
+    orders whose customer's latest dim state is a tombstone (here the
+    c%11==0 customers deleted in the dim feed). Both sides reduce with
+    ONE map-side-combinable max_by aggregate (the cdc_latest_state
+    idiom — no window anywhere); live customers broadcast into a
+    left-anti join; orphans roll up per latest order status. The
+    oracle ranks both changelogs and anti-joins with NOT EXISTS. At
+    100 TB: fact reduces in one keyed pass, the dim live-key set is
+    customer-sized (broadcast or bucketed anti join), output is
+    statuses-sized."""
+    from mysql_cdc_table_spark.cdc import ops
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+
+    latest = ops.latest_state(synthetic_changelog(spark, sf_dir), ["o_orderkey"])
+    live_cust = (
+        _dim_changelog(spark, sf_dir)
+        .groupBy("c_custkey")
+        .agg(
+            F.expr("max_by(__op, struct(__gtid, __image_seq))").alias("last_op")
+        )
+        .filter(F.col("last_op") != 0)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    orphans = latest.join(F.broadcast(live_cust), "o_custkey", "left_anti")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orphans.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orphans"),
+            F.countDistinct("o_custkey").cast("long").alias("n_dead_custs"),
+            F.sum(cents).cast("long").alias("cents_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def _cdc_fk_orphan_audit_sql() -> str:
+    from mysql_cdc_table_spark.cdc.synthetic import CHANGELOG_CTE
+
+    return f"""
+WITH {CHANGELOG_CTE},
+{DIM_CHANGELOG_CTE},
+{_RANKED_BOTH_CTES},
+latest_l AS (
+  SELECT * FROM ranked_l WHERE __rn = 1 AND __op <> 0
+),
+live_r AS (
+  SELECT c_custkey FROM ranked_r WHERE __rn = 1 AND __op <> 0
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orphans,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_dead_custs,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_sum
+FROM latest_l l
+WHERE NOT EXISTS (SELECT 1 FROM live_r r WHERE r.c_custkey = l.o_custkey)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+QUERIES["cdc_fk_orphan_audit"] = cdc_fk_orphan_audit
+ORACLES["cdc_fk_orphan_audit"] = _cdc_fk_orphan_audit_sql()

@@ -280,6 +280,13 @@ def main() -> None:
         "ts_markov_transitions",
         "emb_centroid_silhouette",
         "cdc_ivm_join_view",
+        # round 11: the two-sided IVM (three broadcast delta terms over
+        # per-custkey folds — dim churn enters only the broadcast side),
+        # the distinct-count support table (two hash aggs), and the
+        # cross-feed FK audit (two max_by reductions + broadcast anti)
+        "cdc_ivm_join_view_bidi",
+        "cdc_ivm_distinct_view",
+        "cdc_fk_orphan_audit",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]
