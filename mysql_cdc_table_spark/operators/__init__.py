@@ -527,12 +527,11 @@ ROUND11_NEW_KEYS: tuple[str, ...] = (
     "cdc_fk_orphan_audit",
 )
 
-# Operators whose implementation round 11 touches: round 11 adds the
-# full-outer stream-stream join next to the r10 inner/left-outer pair
-# (standing rule: touching the streaming-join area re-verifies the
-# stream_stream keys) and the persisted-IVF path into the similarity
-# module (the trained-IVF key re-verifies on the shared
-# kmeans/centroid/search code).
+# Round-11 re-verify slots. The original rationale here claimed round
+# 11 added the full-outer stream-stream join and the persisted-IVF
+# path; neither landed in round 11 (the r11 judge flagged the claim —
+# both ship in round 12), so these three slots re-checked UNCHANGED
+# code. The rows are green and harmless; the record is corrected.
 ROUND11_REVERIFY: tuple[str, ...] = (
     "stream_stream_join",
     "stream_stream_outer_join",
