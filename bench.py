@@ -411,6 +411,20 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         return round(min(samples), 3)
 
+    # The swept entry list (protocol 10 adds the last two): the 15
+    # headline queries + the staged binlog/IVF entries + the contract
+    # locks — agg_kruskal (two-level grid rank), agg_ks (bucketed
+    # prefix grid reuse), join_fuzzy_blocked (distinct-names-first
+    # blocked fuzzy join) and cdc_ivm_join_view_bidi (signed-delta
+    # bilinear IVM fold; a regression that re-ranks the changelog or
+    # rescans the fact per delta term moves this number).
+    _SWEEP = [
+        *HEADLINE, "packed_binlog_scan", "mysql_binlog_scan",
+        "binlog_gtid_resume", "ivf_pruned_search", "binlog_sink_write",
+        "agg_kruskal_rank_sums", "agg_ks_two_sample",
+        "join_fuzzy_blocked", "cdc_ivm_join_view_bidi",
+    ]
+
     # One full UNTIMED sweep first: progressive C2 JIT keeps lowering
     # query times across dozens of invocations (measured: without this,
     # the q1 anchor lands 2.4x slower at sweep start than at sweep end
@@ -418,7 +432,7 @@ def main() -> None:
     # invocations). A long-lived cluster amortizes compilation away, so
     # the warm steady state is the honest number; it also makes the
     # anchor-drift sentinel near-zero when the box is healthy.
-    for name in [*HEADLINE, "packed_binlog_scan", "mysql_binlog_scan", "binlog_gtid_resume", "ivf_pruned_search", "binlog_sink_write", "agg_kruskal_rank_sums", "agg_ks_two_sample"]:
+    for name in _SWEEP:
         queries[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
@@ -432,7 +446,7 @@ def main() -> None:
     # ±15% band flags contention.
     def sweep(load_pre_sweep) -> dict:
         times: dict[str, float] = {}
-        for name in [*HEADLINE, "packed_binlog_scan", "mysql_binlog_scan", "binlog_gtid_resume", "ivf_pruned_search", "binlog_sink_write", "agg_kruskal_rank_sums", "agg_ks_two_sample"]:
+        for name in _SWEEP:
             times[name] = timed(name)
         anchor_first = times[HEADLINE[0]]
         anchor_last = timed(HEADLINE[0])
@@ -508,7 +522,11 @@ def main() -> None:
                 #    grid-reuse path; a regression that re-scans the
                 #    fact per branch moves this number) — TOTAL grows
                 #    by one more entry (r10)
-                "protocol": 9,
+                # 10: + join_fuzzy_blocked and cdc_ivm_join_view_bidi
+                #    entries (lock the blocked-fuzzy-join and the
+                #    bilinear signed-delta IVM contracts) — TOTAL grows
+                #    by two more entries (r12)
+                "protocol": 10,
                 "anchor": HEADLINE[0],
                 "anchor_first_sec": result["anchor_first_sec"],
                 "anchor_last_sec": result["anchor_last_sec"],

@@ -463,6 +463,133 @@ def ann_ivf_trained_topk(
     )
 
 
+# --- persisted IVF: train once, probe many (round-12 verdict ask 3) ----------
+#
+# The production shape at 100 TB: the k-means codebook is trained ONCE
+# (offline, on a sample or the full corpus), written to storage next to
+# the cid-PARTITIONED postings, and every query session loads the tiny
+# centroid grid + scans only the probed partitions. ann_ivf_trained_topk
+# deliberately retrains per call (it tests the trainer); this path tests
+# the round-trip: persist -> fresh load -> probe, with pytest proving the
+# loaded index answers EXACTLY like the in-session one.
+
+_IVF_INDEX_FORMAT = "v1"  # bump to invalidate on-disk indexes
+
+
+def ivf_index_dir(sf_dir: str) -> str:
+    """Deterministic on-disk location for the persisted index of one
+    dataset — keyed by (sf_dir, format version) so scale dirs never
+    collide and a format bump abandons stale indexes."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{_IVF_INDEX_FORMAT}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
+
+
+def persist_ivf_index(
+    spark: SparkSession, sf_dir: str, index_dir: str, k: int = 8,
+    iters: int = 3,
+) -> None:
+    """Train the k-means grid once and write the index:
+
+    - ``centroids/``  — the (cid, centroid) codebook, cells x dims
+      (tiny: broadcastable to every probe session);
+    - ``postings/``   — (vec_id, embedding, label) PARTITIONED BY cid,
+      so a probe's ``cid IN (...)`` filter prunes partitions at the
+      file scan (at 100 TB, cid is the storage partition key and a
+      3-of-64 probe reads ~3/64 of the corpus — the IVF economics).
+
+    The build stages under a scratch dir and renames into place
+    (write-then-swap, the streaming-store convention in
+    ``streaming/cdc_stream.py``): a reader never sees a half-written
+    index, and a lost race falls back to the winner's copy. k-means
+    here is deterministic (init = vec_id % k, fixed iterations, no
+    RNG), so any rebuild is byte-equivalent."""
+    import uuid
+
+    from mysql_cdc_table_spark.sources import fs as _hfs
+
+    e = t(spark, sf_dir, "embeddings")
+    ec = e.join(kmeans_cells(spark, sf_dir, k=k, iters=iters), "vec_id")
+    staging = f"{index_dir}.staging-{uuid.uuid4().hex[:12]}"
+    trained_centroids(ec).coalesce(1).write.mode("overwrite").parquet(
+        staging + "/centroids"
+    )
+    ec.write.mode("overwrite").partitionBy("cid").parquet(
+        staging + "/postings"
+    )
+    if _hfs.exists(spark, index_dir):
+        _hfs.delete(spark, staging)  # lost the race: winner's copy stands
+        return
+    try:
+        _hfs.rename(spark, staging, index_dir)
+    except Exception:
+        _hfs.delete(spark, staging)
+        if not _hfs.exists(spark, index_dir):
+            raise
+
+
+def load_ivf_index(spark: SparkSession, index_dir: str):
+    """Load a persisted index: (postings, centroids) DataFrames. The
+    postings read keeps ``cid`` as a partition column — filters on it
+    prune at the scan."""
+    return (
+        spark.read.parquet(index_dir + "/postings"),
+        spark.read.parquet(index_dir + "/centroids"),
+    )
+
+
+def ann_ivf_persisted_topk(
+    spark: SparkSession, sf_dir: str, n_probe: int = 3, k: int = 20
+) -> DataFrame:
+    """IVF top-k over the PERSISTED index — train-once/probe-many. The
+    index round-trips storage (built on first call per dataset, then
+    only loaded); the probe ranks the broadcast-sized centroid grid,
+    collects the n_probe winning cell ids (a bounded <=n_probe-row
+    driver list, the documented bounded-scalar class), and pushes them
+    as a partition filter into the postings scan — the pruning a
+    1000-executor cluster needs to touch ~n_probe/|cells| of 100 TB.
+    pytest proves result equality with the in-session
+    ann_ivf_trained_topk on every sf (tests/test_round12.py)."""
+    from mysql_cdc_table_spark.sources import fs as _hfs
+
+    idx = ivf_index_dir(sf_dir)
+    if not _hfs.exists(spark, idx):
+        persist_ivf_index(spark, sf_dir, idx)
+    ec, cents = load_ivf_index(spark, idx)
+    q = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"))
+    )
+    probe_cids = [
+        r["cid"]
+        for r in cents.join(F.broadcast(q))
+        .select("cid", sq_dist(F.col("centroid"), F.col("qv")).alias("d"))
+        .orderBy(F.col("d").asc(), F.col("cid"))
+        .limit(n_probe)
+        .collect()
+    ]
+    return (
+        ec.filter(F.col("cid").isin(probe_cids))  # partition-pruned scan
+        .filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.col("cid").cast("int").alias("cid"),
+            (F.round(cosine(F.col("embedding"), F.col("qv")), 6) + F.lit(0.0)).alias(
+                "cos"
+            ),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 # --- IVF-PQ: product quantization + ADC + exact rerank -----------------------
 
 PQ_M = 8  # subspaces
@@ -693,6 +820,9 @@ IVF_K = 20
 IVF_RECALL_FLOORS = {
     "ann_ivf_topk": 0.10,
     "ann_ivf_trained_topk": 0.25,
+    # the persisted index answers EXACTLY like the in-session trained
+    # one (pytest-proven equality), so it inherits the trained floor
+    "ann_ivf_persisted_topk": 0.25,
     "ann_ivf_pq_topk": 0.35,
 }
 
@@ -739,6 +869,9 @@ QUERIES = {
     "ann_ivf_trained_topk": _with_recall_bound(
         ann_ivf_trained_topk, IVF_RECALL_FLOORS["ann_ivf_trained_topk"]
     ),
+    "ann_ivf_persisted_topk": _with_recall_bound(
+        ann_ivf_persisted_topk, IVF_RECALL_FLOORS["ann_ivf_persisted_topk"]
+    ),
 }
 
 ORACLES = {
@@ -749,4 +882,5 @@ ORACLES = {
     # boolean); the raw mechanisms stay pytest-tested per sf
     "ann_ivf_topk": IVF_RECALL_ORACLE_SQL,
     "ann_ivf_trained_topk": IVF_RECALL_ORACLE_SQL,
+    "ann_ivf_persisted_topk": IVF_RECALL_ORACLE_SQL,
 }

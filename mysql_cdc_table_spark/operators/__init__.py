@@ -54,6 +54,7 @@ _MODULES = (
     "mysql_cdc_table_spark.operators.round9",
     "mysql_cdc_table_spark.operators.round10",
     "mysql_cdc_table_spark.operators.round11",
+    "mysql_cdc_table_spark.operators.round12",
     "mysql_cdc_table_spark.operators.late",
 )
 
@@ -542,6 +543,39 @@ ROUND11_REVERIFY: tuple[str, ...] = (
 # keys registered after the front budget fills; they lead round 12.
 ROUND11_LATE_KEYS: tuple[str, ...] = ()
 
+# --- round 12 ----------------------------------------------------------------
+#
+# Window arithmetic this round (50 slots): no round-11 late keys, so
+# the 3 round-12 new keys lead, then 4 re-verify slots for the code
+# round 12 ACTUALLY touches — leaving 43 backfill slots, comfortably
+# clearing the 24 r05-stale rows (window/basic-relational family, the
+# r11 verdict's named target) and reaching into the r06 tail.
+
+# Keys born in round 12 — in-window for their first driver rows.
+ROUND12_NEW_KEYS: tuple[str, ...] = (
+    "stream_stream_full_outer",
+    "cdc_ivm_streaming_view",
+    "ann_ivf_persisted_topk",
+)
+
+# Operators whose implementation round 12 touches: the full-outer key
+# generalizes the settled-horizon readout the inner/left-outer pair
+# shares (stream_stream keys re-verify); ann_ivf_persisted_topk builds
+# on the shared kmeans/centroid/search code (trained-IVF re-verifies);
+# the streaming IVM reuses cdc_ivm_join_view_bidi's feeds and algebra
+# (bidi re-verifies). These are the same three slots round 11 claimed
+# on work that had not landed — this round the code change is real.
+ROUND12_REVERIFY: tuple[str, ...] = (
+    "stream_stream_join",
+    "stream_stream_outer_join",
+    "ann_ivf_trained_topk",
+    "cdc_ivm_join_view_bidi",
+)
+
+# Late-registration tail for round 12 (same pinned-behind protocol):
+# keys registered after the front budget fills; they lead round 13.
+ROUND12_LATE_KEYS: tuple[str, ...] = ()
+
 
 def _last_seen_rounds() -> dict[str, int]:
     """key -> LATEST driver round with a CORRECTNESS row — the staleness
@@ -591,13 +625,17 @@ _ROUND11_WINDOW_FRONT = (
     ROUND10_LATE_KEYS + ROUND11_NEW_KEYS + ROUND11_REVERIFY
 )
 
+_ROUND12_WINDOW_FRONT = (
+    ROUND11_LATE_KEYS + ROUND12_NEW_KEYS + ROUND12_REVERIFY
+)
+
 
 def _rotate(out: dict) -> dict:
-    """Reorder a merged registry dict: round-11 front first, then every
+    """Reorder a merged registry dict: round-12 front first, then every
     other key stalest-first (latest driver round, registry order as
     the tie-break; never-seen keys sort first so they cannot hide)."""
-    front = {k: out[k] for k in _ROUND11_WINDOW_FRONT if k in out}
-    late = {k: out[k] for k in ROUND11_LATE_KEYS if k in out}
+    front = {k: out[k] for k in _ROUND12_WINDOW_FRONT if k in out}
+    late = {k: out[k] for k in ROUND12_LATE_KEYS if k in out}
     seen = _last_seen_rounds()
     order = {k: i for i, k in enumerate(out)}
     rest_keys = sorted(
