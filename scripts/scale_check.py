@@ -287,6 +287,11 @@ def main() -> None:
         "cdc_ivm_join_view_bidi",
         "cdc_ivm_distinct_view",
         "cdc_fk_orphan_audit",
+        # round 12: the persisted-IVF probe (codebook loaded from
+        # storage, postings scan partition-pruned to n_probe cells;
+        # like ivf_pruned_search, fixed nlist=8 means the candidate
+        # set grows with the corpus — linear, see the IVF note)
+        "ann_ivf_persisted_topk",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]
