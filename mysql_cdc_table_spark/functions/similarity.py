@@ -471,9 +471,11 @@ def ann_ivf_trained_topk(
 # centroid grid + scans only the probed partitions. ann_ivf_trained_topk
 # deliberately retrains per call (it tests the trainer); this path tests
 # the round-trip: persist -> fresh load -> probe, with pytest proving the
-# loaded index answers EXACTLY like the in-session one.
+# loaded index answers EXACTLY like the in-session build and that the
+# stored postings are the pure argmin of the stored codebook (the
+# self-consistency that makes the index incrementally maintainable).
 
-_IVF_INDEX_FORMAT = "v1"  # bump to invalidate on-disk indexes
+_IVF_INDEX_FORMAT = "v2"  # bump to invalidate on-disk indexes (v2: self-consistent postings)
 
 
 def ivf_index_dir(sf_dir: str) -> str:
@@ -503,6 +505,17 @@ def persist_ivf_index(
       file scan (at 100 TB, cid is the storage partition key and a
       3-of-64 probe reads ~3/64 of the corpus — the IVF economics).
 
+    The stored pair is SELF-CONSISTENT: postings carry the argmin
+    assignment against the STORED codebook (one extra assignment pass
+    after training — k-means' last Lloyd step recomputes centroids
+    FROM the final assignment, so the raw trainer state is one step
+    out of phase with its own codebook). Self-consistency is what
+    makes the index MAINTAINABLE: an upserted vector can only ever be
+    assigned by argmin against the stored grid, and that rule must
+    agree with how every at-rest row was assigned, or incremental
+    refresh drifts from rebuild (operators/round12.py's
+    ivf_maintained_postings relies on exactly this invariant).
+
     The build stages under a scratch dir and renames into place
     (write-then-swap, the streaming-store convention in
     ``streaming/cdc_stream.py``): a reader never sees a half-written
@@ -515,8 +528,23 @@ def persist_ivf_index(
 
     e = t(spark, sf_dir, "embeddings")
     ec = e.join(kmeans_cells(spark, sf_dir, k=k, iters=iters), "vec_id")
+    cents = trained_centroids(ec)
+    # re-assign against the codebook being stored: postings must be the
+    # pure function argmin(codebook) of each vector (see docstring)
+    ec = (
+        e.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "label",
+            "cid",
+            sq_dist(F.col("embedding"), F.col("centroid")).alias("d"),
+        )
+        .groupBy("vec_id", "embedding", "label")
+        .agg(F.expr("min_by(cid, struct(d, cid))").alias("cid"))
+    )
     staging = f"{index_dir}.staging-{uuid.uuid4().hex[:12]}"
-    trained_centroids(ec).coalesce(1).write.mode("overwrite").parquet(
+    cents.coalesce(1).write.mode("overwrite").parquet(
         staging + "/centroids"
     )
     ec.write.mode("overwrite").partitionBy("cid").parquet(
@@ -553,8 +581,9 @@ def ann_ivf_persisted_topk(
     driver list, the documented bounded-scalar class), and pushes them
     as a partition filter into the postings scan — the pruning a
     1000-executor cluster needs to touch ~n_probe/|cells| of 100 TB.
-    pytest proves result equality with the in-session
-    ann_ivf_trained_topk on every sf (tests/test_round12.py)."""
+    pytest proves the loaded index equals the in-session build, and
+    that postings == argmin(stored codebook) — the self-consistency
+    incremental maintenance requires (tests/test_round12.py)."""
     from mysql_cdc_table_spark.sources import fs as _hfs
 
     idx = ivf_index_dir(sf_dir)
@@ -820,8 +849,9 @@ IVF_K = 20
 IVF_RECALL_FLOORS = {
     "ann_ivf_topk": 0.10,
     "ann_ivf_trained_topk": 0.25,
-    # the persisted index answers EXACTLY like the in-session trained
-    # one (pytest-proven equality), so it inherits the trained floor
+    # the persisted index stores the same codebook the trained tier
+    # learns (postings re-assigned once against it — the v2
+    # self-consistency pass), so it inherits the trained floor
     "ann_ivf_persisted_topk": 0.25,
     "ann_ivf_pq_topk": 0.35,
 }

@@ -546,8 +546,8 @@ ROUND11_LATE_KEYS: tuple[str, ...] = ()
 # --- round 12 ----------------------------------------------------------------
 #
 # Window arithmetic this round (50 slots): no round-11 late keys, so
-# the 3 round-12 new keys lead, then 4 re-verify slots for the code
-# round 12 ACTUALLY touches — leaving 43 backfill slots, comfortably
+# the 5 round-12 new keys lead, then 4 re-verify slots for the code
+# round 12 ACTUALLY touches — leaving 41 backfill slots, comfortably
 # clearing the 24 r05-stale rows (window/basic-relational family, the
 # r11 verdict's named target) and reaching into the r06 tail.
 
@@ -556,6 +556,8 @@ ROUND12_NEW_KEYS: tuple[str, ...] = (
     "stream_stream_full_outer",
     "cdc_ivm_streaming_view",
     "ann_ivf_persisted_topk",
+    "ann_ivf_upsert_topk",
+    "ann_ivf_stream_upsert_topk",
 )
 
 # Operators whose implementation round 12 touches: the full-outer key

@@ -420,3 +420,684 @@ def _cdc_ivm_streaming_view_sql() -> str:
 
 QUERIES["cdc_ivm_streaming_view"] = cdc_ivm_streaming_view
 ORACLES["cdc_ivm_streaming_view"] = _cdc_ivm_streaming_view_sql()
+
+
+# --- CDC-maintained ANN index: the corpus is a vector changelog ----------------
+#
+# The persisted-IVF path (functions/similarity.py) answers "train once,
+# probe many". The next thing a production corpus does is CHANGE: new
+# documents arrive, re-embedded documents update, retracted documents
+# delete. The production pattern is: the codebook stays FIXED (it
+# retrains rarely, offline); the postings follow the feed — each delta
+# vector is assigned to its nearest existing centroid (one broadcast
+# argmin over the cells x dims grid) and only the touched cid
+# partitions of the postings store rewrite. Cost per refresh is
+# ∝ delta + touched partitions, never ∝ corpus.
+
+
+def vector_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic changelog over the embeddings table, the
+    exact-arithmetic discipline of cdc/synthetic.py (no RNG, no
+    float arithmetic — the update op is an array REVERSAL, an exact
+    permutation both engines apply bit-identically):
+
+    - every vector   -> INSERT (__op=1, __gtid=v*10)
+    - v%6==3         -> UPDATE (__op=3, __gtid=v*10+4): embedding
+                        reversed (a re-embedding that moves the vector)
+    - v%9==5         -> DELETE (__op=0, __gtid=v*10+7), tombstone
+
+    vec_id 0 (the probe query) is untouched by construction."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    v = F.col("vec_id")
+
+    def ev(df, emb, op: int, gtid_off: int) -> DataFrame:
+        return df.select(
+            "vec_id",
+            emb.alias("embedding"),
+            "label",
+            F.lit(op).cast("int").alias("__op"),
+            (v * 10 + gtid_off).cast("long").alias("__gtid"),
+        )
+
+    ins = ev(e, F.col("embedding"), 1, 0)
+    upd = ev(e.filter(v % 6 == 3), F.reverse("embedding"), 3, 4)
+    dele = ev(
+        e.filter(v % 9 == 5),
+        F.when(v % 6 == 3, F.reverse("embedding")).otherwise(
+            F.col("embedding")
+        ),
+        0,
+        7,
+    )
+    return ins.unionByName(upd).unionByName(dele)
+
+
+VECTOR_ALIVE_CTE = """
+alive AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 6 = 3 THEN list_reverse(embedding)
+              ELSE embedding END AS embedding,
+         label
+  FROM embeddings
+  WHERE vec_id % 9 <> 5
+)
+"""
+
+
+def ivf_maintained_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained (vec_id, embedding, label, cid)
+    postings: untouched base rows keep their stored assignment; delta
+    vectors (updates surviving deletion) re-assign against the FIXED
+    loaded codebook with one broadcast argmin; deleted vec_ids drop.
+    No window, no re-scan of the unchanged corpus rows' vectors for
+    assignment — the incremental contract pytest verifies against the
+    from-scratch rebuild."""
+    from mysql_cdc_table_spark.functions.similarity import (
+        ivf_index_dir,
+        load_ivf_index,
+        persist_ivf_index,
+        sq_dist,
+    )
+    from mysql_cdc_table_spark.sources import fs as _hfs
+
+    idx = ivf_index_dir(sf_dir)
+    if not _hfs.exists(spark, idx):
+        persist_ivf_index(spark, sf_dir, idx)
+    post, cents = load_ivf_index(spark, idx)
+
+    cl = vector_changelog(spark, sf_dir)
+    delta = cl.filter(F.col("__gtid") % 10 != 0)  # the non-insert events
+    # latest state per touched key (one max_by, the cdc_latest_state idiom)
+    latest = (
+        delta.groupBy("vec_id")
+        .agg(
+            F.expr(
+                "max_by(struct(__op, embedding, label), __gtid)"
+            ).alias("s")
+        )
+        .select("vec_id", "s.__op", "s.embedding", "s.label")
+    )
+    survivors = latest.filter(F.col("__op") != 0).drop("__op")
+    assigned = (
+        survivors.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "label",
+            "cid",
+            sq_dist(F.col("embedding"), F.col("centroid")).alias("d"),
+        )
+        .groupBy("vec_id", "embedding", "label")
+        .agg(F.expr("min_by(cid, struct(d, cid))").alias("cid"))
+    )
+    touched = latest.select("vec_id")
+    kept = post.join(F.broadcast(touched), "vec_id", "left_anti").select(
+        "vec_id", "embedding", "label", F.col("cid").cast("int").alias("cid")
+    )
+    return kept.unionByName(
+        assigned.select(
+            "vec_id", "embedding", "label", F.col("cid").cast("int").alias("cid")
+        )
+    )
+
+
+def refresh_ivf_postings(
+    spark: SparkSession, sf_dir: str, store_dir: str
+) -> list[int]:
+    """Apply the changelog to an ON-DISK postings store, rewriting ONLY
+    the cid partitions the delta touches (dynamic partition overwrite —
+    the keyed-upsert-store discipline of streaming/cdc_stream.py).
+    Returns the touched cid list (bounded by |cells|). A partition no
+    delta reaches is never read or written — the property that makes
+    index refresh affordable when the corpus is 100 TB but the day's
+    delta is not."""
+    from mysql_cdc_table_spark.functions.similarity import (
+        ivf_index_dir,
+        load_ivf_index,
+        persist_ivf_index,
+    )
+    from mysql_cdc_table_spark.sources import fs as _hfs
+
+    idx = ivf_index_dir(sf_dir)
+    if not _hfs.exists(spark, idx):
+        persist_ivf_index(spark, sf_dir, idx)
+    if not _hfs.exists(spark, store_dir):
+        # seed the maintained store from the base index (one-time copy)
+        base, _ = load_ivf_index(spark, idx)
+        base.select(
+            "vec_id", "embedding", "label", F.col("cid").cast("int").alias("cid")
+        ).write.partitionBy("cid").mode("overwrite").parquet(store_dir)
+
+    maint = ivf_maintained_postings(spark, sf_dir)
+    cl = vector_changelog(spark, sf_dir)
+    touched_ids = (
+        cl.filter(F.col("__gtid") % 10 != 0).select("vec_id").distinct()
+    )
+    store = spark.read.parquet(store_dir)
+    # touched partitions = cells that currently HOLD a touched key
+    # (rows to remove) ∪ cells a surviving delta row lands in
+    old_cells = store.join(F.broadcast(touched_ids), "vec_id").select("cid")
+    new_cells = maint.join(F.broadcast(touched_ids), "vec_id").select("cid")
+    touched_cids = sorted(
+        r["cid"]
+        for r in old_cells.union(new_cells).distinct().collect()
+    )  # bounded by |cells| — a tiny driver list, not data
+    if touched_cids:
+        (
+            maint.filter(F.col("cid").isin(touched_cids))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cid")
+            .parquet(store_dir)
+        )
+    return touched_cids
+
+
+def ann_ivf_upsert_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """ANN search over the CDC-MAINTAINED index: the vector changelog
+    applied incrementally to the persisted postings (fixed codebook,
+    broadcast argmin for delta rows only), then the standard n_probe
+    cell probe. Registry output follows the recall-bound convention of
+    the IVF tiers: the EXACT top-k over the upserted corpus (computed
+    independently from the embeddings table + changelog, never from
+    the index under test) plus a boolean asserting the maintained
+    index recovered >= floor of them (floor 0.25 = 5 of 20, measured
+    recall 0.50/0.35/0.85 at sf0.001/0.01/0.1 with the trained-tier
+    margin discipline). An assignment regression (delta rows landing
+    in wrong cells, deletes surviving, stale pre-update vectors
+    lingering) collapses recall and turns the row red; the exact rows
+    also hash the changelog semantics themselves."""
+    import math
+
+    from mysql_cdc_table_spark.functions.similarity import (
+        cosine,
+        ivf_index_dir,
+        load_ivf_index,
+        sq_dist,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    v = F.col("vec_id")
+    # the upserted corpus, derived independently of the index
+    alive = e.filter(~(v % 9 == 5)).withColumn(
+        "embedding",
+        F.when(v % 6 == 3, F.reverse("embedding")).otherwise(
+            F.col("embedding")
+        ),
+    )
+    q = alive.filter(v == 0).select(F.col("embedding").alias("qv"))
+    exact = (
+        alive.filter(v != 0)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            (
+                F.round(cosine(F.col("embedding"), F.col("qv")), 6)
+                + F.lit(0.0)
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(k)
+        .localCheckpoint(eager=False)  # feeds the rows AND the recall agg
+    )
+
+    maint = ivf_maintained_postings(spark, sf_dir)
+    _, cents = load_ivf_index(spark, ivf_index_dir(sf_dir))
+    probe_cids = [
+        r["cid"]
+        for r in cents.join(F.broadcast(q))
+        .select("cid", sq_dist(F.col("centroid"), F.col("qv")).alias("d"))
+        .orderBy(F.col("d").asc(), F.col("cid"))
+        .limit(3)
+        .collect()
+    ]
+    approx = (
+        maint.filter(F.col("cid").isin(probe_cids))
+        .filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select("vec_id", cosine(F.col("embedding"), F.col("qv")).alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(k)
+        .select("vec_id")
+        .distinct()
+    )
+    need = math.ceil(0.25 * k)
+    ok = (
+        exact.select("vec_id")
+        .join(approx, "vec_id")
+        .agg((F.count("*") >= need).alias("recall_ok"))
+    )
+    return exact.join(F.broadcast(ok))
+
+
+_SQL_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_SQL_SQNORM = (
+    "list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+)
+
+ANN_IVF_UPSERT_TOPK_SQL = f"""
+WITH {VECTOR_ALIVE_CTE},
+q AS (SELECT embedding AS qv FROM alive WHERE vec_id = 0)
+SELECT vec_id, label,
+       round({_SQL_DOT.format(a='embedding', b='qv')}
+             / (sqrt({_SQL_SQNORM.format(a='embedding')})
+                * sqrt({_SQL_SQNORM.format(a='qv')})), 6) + 0.0 AS cos,
+       TRUE AS recall_ok
+FROM alive, q
+WHERE vec_id <> 0
+ORDER BY cos DESC, vec_id
+LIMIT 20
+"""
+
+QUERIES["ann_ivf_upsert_topk"] = ann_ivf_upsert_topk
+ORACLES["ann_ivf_upsert_topk"] = ANN_IVF_UPSERT_TOPK_SQL
+
+
+# --- streaming ANN index refresh: the manifest-committed vector store ---------
+#
+# ann_ivf_upsert_topk applies the vector changelog in one shot;
+# refresh_ivf_postings rewrites touched partitions in place. A LIVE
+# pipeline needs both properties AT ONCE under a stream: per-batch
+# cost ∝ delta + touched cells, exactly-once across crash/replay, and
+# readers never seeing a torn index. The store here is the minimal
+# re-expression of the table-format answer (Iceberg/Delta-style,
+# public design): immutable cell files + a tiny versioned MANIFEST
+# (cid -> file dir) committed with ONE atomic rename per micro-batch.
+# Untouched cells carry across versions BY POINTER — their bytes are
+# never read, never rewritten. Readers pin a manifest version and get
+# a consistent snapshot for free.
+#
+# Locating the OLD cell of an updated/deleted vector costs ZERO
+# lookups: binlog ROW update/delete events carry the BEFORE image
+# (the repo's update-unnest surface, cdc/source.py), and the v2
+# persisted-index invariant says stored cell == argmin(stored
+# embedding, codebook) — so old cell = argmin(before_image). The
+# 100 TB shape: no key->cell side index, no corpus scan; each batch
+# touches |delta| rows + at most |cells| manifest entries.
+
+_VEC_CELL_SCHEMA = "vec_id bigint, embedding array<float>, label int"
+
+
+def vector_changelog_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vector_changelog with BOTH row images (the binlog ROW format's
+    update/delete payload): (vec_id, before_emb, after_emb, label,
+    __op, __gtid). Image chaining holds per key — an event's
+    before_emb equals the previous event's after_emb — exactly what a
+    real binlog guarantees and what lets the consumer locate the old
+    cell without any lookup."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    v = F.col("vec_id")
+    null_emb = F.lit(None).cast("array<float>")
+    ins = e.select(
+        "vec_id",
+        null_emb.alias("before_emb"),
+        F.col("embedding").alias("after_emb"),
+        "label",
+        F.lit(1).alias("__op"),
+        (v * 10).cast("long").alias("__gtid"),
+    )
+    upd = e.filter(v % 6 == 3).select(
+        "vec_id",
+        F.col("embedding").alias("before_emb"),
+        F.reverse("embedding").alias("after_emb"),
+        "label",
+        F.lit(3).alias("__op"),
+        (v * 10 + 4).cast("long").alias("__gtid"),
+    )
+    cur = F.when(v % 6 == 3, F.reverse("embedding")).otherwise(
+        F.col("embedding")
+    )
+    dele = e.filter(v % 9 == 5).select(
+        "vec_id",
+        cur.alias("before_emb"),
+        null_emb.alias("after_emb"),
+        "label",
+        F.lit(0).alias("__op"),
+        (v * 10 + 7).cast("long").alias("__gtid"),
+    )
+    return ins.unionByName(upd).unionByName(dele)
+
+
+def stage_ordered_chunks(
+    spark: SparkSession, df: DataFrame, order_col: str, n: int,
+    feed_dir: str,
+) -> None:
+    """Stage ``df`` as ``n`` files in ``feed_dir`` that a parquet
+    FileStreamSource consumes IN ORDER of ``order_col`` ranges — the
+    CDC-topic shape (a binlog tail is consumed in log order; arbitrary
+    file chop would break per-key image chaining). Chunk bounds come
+    from approxQuantile (a bounded <=n-1 driver list); each chunk is
+    renamed to a zero-padded name written sequentially, so both the
+    source's mtime sort and its path tiebreak agree with feed order.
+    Fixture staging only — a real deployment points the stream at the
+    binlog tail (sources/mysql_binlog.py) or a topic."""
+    if _hfs.exists(spark, feed_dir):
+        return
+    qs = [i / n for i in range(1, n)]
+    bounds = df.stat.approxQuantile(order_col, qs, 0.0) if qs else []
+    lo = [None] + bounds
+    hi = bounds + [None]
+    staging = f"{feed_dir}.staging"
+    _hfs.delete(spark, staging)
+    c = F.col(order_col)
+    for i, (a, b) in enumerate(zip(lo, hi)):
+        cond = F.lit(True) if a is None else (c > F.lit(a))
+        if b is not None:
+            cond = cond & (c <= F.lit(b))
+        tmp = f"{staging}/chunk{i}"
+        df.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            nm for nm in _hfs.list_names(spark, tmp)
+            if nm.endswith(".parquet")
+        )
+        _hfs.rename(
+            spark, f"{tmp}/{part}", f"{staging}/{i:04d}.parquet"
+        )
+        _hfs.delete(spark, tmp)
+    _hfs.rename(spark, staging, feed_dir)
+
+
+def _manifest_versions(spark: SparkSession, store_dir: str) -> list[int]:
+    return sorted(
+        int(nm[1:])
+        for nm in _hfs.list_names(spark, f"{store_dir}/manifests")
+        if nm.startswith("v") and nm[1:].isdigit()
+    )
+
+
+def _read_manifest(spark: SparkSession, store_dir: str) -> dict[int, str]:
+    """cid -> cell-dir ref of the newest committed manifest ({} before
+    the first commit). Cells-sized — a bounded driver dict by design
+    (nlist grows as sqrt(corpus), and the manifest is the index's
+    metadata plane, not its data plane)."""
+    vs = _manifest_versions(spark, store_dir)
+    if not vs:
+        return {}
+    rows = spark.read.parquet(
+        f"{store_dir}/manifests/v{vs[-1]}"
+    ).collect()
+    return {r["cid"]: r["ref"] for r in rows}
+
+
+def read_vec_index(
+    spark: SparkSession, store_dir: str, cids: list[int] | None = None,
+) -> DataFrame:
+    """The committed index snapshot: manifest refs -> cell reads, cid
+    re-attached from the manifest (files never store it). ``cids``
+    prunes to the probed cells — the reader-side twin of the
+    partition-filter pushdown in ann_ivf_persisted_topk: unprobed
+    cells' FILES are never listed, let alone read."""
+    man = _read_manifest(spark, store_dir)
+    if cids is not None:
+        man = {c: ref for c, ref in man.items() if c in cids}
+    parts = [
+        spark.read.schema(_VEC_CELL_SCHEMA)
+        .parquet(f"{store_dir}/{ref}")
+        .withColumn("cid", F.lit(cid).cast("int"))
+        for cid, ref in sorted(man.items())
+    ]
+    if not parts:
+        return spark.createDataFrame([], _VEC_CELL_SCHEMA + ", cid int")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def vec_index_apply_batch(
+    spark: SparkSession, batch_df: DataFrame, store_dir: str,
+    cents: DataFrame, batch_id: int,
+) -> None:
+    """One micro-batch of index maintenance — the foreachBatch body.
+
+    1. fold the batch per key: EARLIEST before-image (the key's state
+       when the batch started), LATEST after-image (its state when
+       the batch ends) — an insert+delete inside one batch nets out;
+    2. old cell = argmin(earliest before), new cell = argmin(latest
+       after), one broadcast of the fixed codebook for both;
+    3. rewrite ONLY touched cells: (old rows minus touched keys) ∪
+       (new rows landing there), one write job partitioned by cid;
+    4. commit: new manifest = old manifest with touched entries
+       repointed (empty cells dropped, untouched cells carried by
+       pointer), ONE atomic rename. A replayed batch finds its
+       manifest version and returns — exactly-once without a log.
+
+    Retains the last 2 manifests (replay only ever re-asks for the
+    last batch) and GCs cell dirs no kept manifest references."""
+    import uuid
+
+    from mysql_cdc_table_spark.functions.similarity import sq_dist
+
+    if _hfs.exists(spark, f"{store_dir}/manifests/v{batch_id}"):
+        return  # replayed batch: already committed
+    folded = (
+        batch_df.groupBy("vec_id")
+        .agg(
+            F.expr(
+                "min_by(struct(before_emb, label), __gtid)"
+            ).alias("first"),
+            F.expr(
+                "max_by(struct(__op, after_emb, label), __gtid)"
+            ).alias("last"),
+        )
+        .select(
+            "vec_id",
+            F.col("first.before_emb").alias("before_emb"),
+            F.col("last.__op").alias("__op"),
+            F.col("last.after_emb").alias("after_emb"),
+            F.col("last.label").alias("label"),
+        )
+        .localCheckpoint(eager=True)  # feeds old-cell, new-cell, rewrite
+    )
+
+    def argmin_cells(df: DataFrame, emb: str) -> DataFrame:
+        return (
+            df.filter(F.col(emb).isNotNull())
+            .join(F.broadcast(cents))
+            .select(
+                "vec_id",
+                F.col(emb).alias("embedding"),
+                "label",
+                "cid",
+                sq_dist(F.col(emb), F.col("centroid")).alias("d"),
+            )
+            .groupBy("vec_id", "embedding", "label")
+            .agg(F.expr("min_by(cid, struct(d, cid))").alias("cid"))
+        )
+
+    old_cells = argmin_cells(folded, "before_emb").select("vec_id", "cid")
+    new_rows = argmin_cells(
+        folded.filter(F.col("__op") != 0), "after_emb"
+    )
+    touched = sorted(
+        {
+            r["cid"]
+            for r in old_cells.select("cid")
+            .union(new_rows.select("cid"))
+            .distinct()
+            .collect()
+        }
+    )  # bounded by |cells| — manifest-plane metadata, not data
+    man = _read_manifest(spark, store_dir)
+    cell_uuid = uuid.uuid4().hex[:12]
+    if touched:
+        keys = folded.select("vec_id")
+        kept_parts = [
+            read_vec_index(spark, store_dir, cids=[c]).drop("cid")
+            .join(F.broadcast(keys), "vec_id", "left_anti")
+            .withColumn("cid", F.lit(c).cast("int"))
+            for c in touched
+            if c in man
+        ]
+        content = new_rows.select(
+            "vec_id", "embedding", "label", F.col("cid").cast("int").alias("cid")
+        )
+        for kp in kept_parts:
+            content = content.unionByName(kp)
+        content.write.partitionBy("cid").mode("overwrite").parquet(
+            f"{store_dir}/cells/{cell_uuid}"
+        )
+        written = {
+            int(nm.split("=", 1)[1])
+            for nm in _hfs.list_names(spark, f"{store_dir}/cells/{cell_uuid}")
+            if nm.startswith("cid=")
+        }
+        for c in touched:
+            if c in written:
+                man[c] = f"cells/{cell_uuid}/cid={c}"
+            else:
+                man.pop(c, None)  # cell emptied by deletes
+    new_man = spark.createDataFrame(
+        [(int(c), ref) for c, ref in sorted(man.items())],
+        "cid int, ref string",
+    )
+    staging = f"{store_dir}/manifests/.staging-{uuid.uuid4().hex[:12]}"
+    new_man.coalesce(1).write.mode("overwrite").parquet(staging)
+    try:
+        _hfs.rename(spark, staging, f"{store_dir}/manifests/v{batch_id}")
+    except Exception:
+        _hfs.delete(spark, staging)
+        if not _hfs.exists(spark, f"{store_dir}/manifests/v{batch_id}"):
+            raise
+    vs = _manifest_versions(spark, store_dir)
+    for v in vs[:-2]:
+        _hfs.delete(spark, f"{store_dir}/manifests/v{v}")
+    live: set[str] = set()
+    for v in _manifest_versions(spark, store_dir):
+        for r in spark.read.parquet(f"{store_dir}/manifests/v{v}").collect():
+            live.add(r["ref"].split("/")[1])
+    for nm in _hfs.list_names(spark, f"{store_dir}/cells"):
+        if nm not in live:
+            _hfs.delete(spark, f"{store_dir}/cells/{nm}")
+
+
+def vec_index_stream(
+    feed_stream: DataFrame, store_dir: str, cents: DataFrame,
+    checkpoint_path: str, query_name: str = "ann_index_stream",
+):
+    """writeStream wiring of the manifest-committed maintenance."""
+    spark = feed_stream.sparkSession
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        vec_index_apply_batch(spark, batch_df, store_dir, cents, batch_id)
+
+    return (
+        feed_stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+        .queryName(query_name)
+    )
+
+
+def ann_ivf_stream_upsert_topk(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """ANN search over the STREAM-MAINTAINED index: the image-carrying
+    vector changelog staged as 4 gtid-ordered chunks (per-key image
+    chaining crosses batch seams), consumed with maxFilesPerTrigger=1
+    through foreachBatch against an initially EMPTY store — the
+    inserts build the index, the updates move vectors between cells,
+    the deletes evict them, each batch committing one manifest
+    version. The probe then reads ONLY the n_probe winning cells of
+    the final snapshot. Converges to the same alive corpus as
+    ann_ivf_upsert_topk — same exact-top-k + recall-floor output,
+    same oracle. Re-invocation is a no-op resume (checkpoint drained,
+    manifest final). Restart/replay/pointer-carry are pytest-proven
+    (tests/test_round12.py). Scale: per batch ∝ delta + touched
+    cells; reader cost ∝ probed cells; commit is one rename."""
+    import hashlib
+    import math
+    import os
+    import tempfile
+
+    from mysql_cdc_table_spark.functions.similarity import (
+        cosine,
+        ivf_index_dir,
+        load_ivf_index,
+        persist_ivf_index,
+        sq_dist,
+    )
+
+    idx = ivf_index_dir(sf_dir)
+    if not _hfs.exists(spark, idx):
+        persist_ivf_index(spark, sf_dir, idx)
+    _, cents = load_ivf_index(spark, idx)
+
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}:annstream".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"ann_stream_{tag}")
+    feed_dir, store_dir, ckpt = (
+        f"{root}/feed", f"{root}/store", f"{root}/ckpt",
+    )
+    cl = vector_changelog_images(spark, sf_dir)
+    stage_ordered_chunks(spark, cl, "__gtid", 4, feed_dir)
+    stream = (
+        spark.readStream.schema(cl.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    q = (
+        vec_index_stream(stream, store_dir, cents, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    e = t(spark, sf_dir, "embeddings")
+    v = F.col("vec_id")
+    alive = e.filter(~(v % 9 == 5)).withColumn(
+        "embedding",
+        F.when(v % 6 == 3, F.reverse("embedding")).otherwise(
+            F.col("embedding")
+        ),
+    )
+    q_vec = alive.filter(v == 0).select(F.col("embedding").alias("qv"))
+    exact = (
+        alive.filter(v != 0)
+        .join(F.broadcast(q_vec))
+        .select(
+            "vec_id",
+            "label",
+            (
+                F.round(cosine(F.col("embedding"), F.col("qv")), 6)
+                + F.lit(0.0)
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(k)
+        .localCheckpoint(eager=False)
+    )
+    probe_cids = [
+        r["cid"]
+        for r in cents.join(F.broadcast(q_vec))
+        .select("cid", sq_dist(F.col("centroid"), F.col("qv")).alias("d"))
+        .orderBy(F.col("d").asc(), F.col("cid"))
+        .limit(3)
+        .collect()
+    ]
+    approx = (
+        read_vec_index(spark, store_dir, cids=probe_cids)
+        .filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q_vec))
+        .select("vec_id", cosine(F.col("embedding"), F.col("qv")).alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(k)
+        .select("vec_id")
+        .distinct()
+    )
+    need = math.ceil(0.25 * k)
+    ok = (
+        exact.select("vec_id")
+        .join(approx, "vec_id")
+        .agg((F.count("*") >= need).alias("recall_ok"))
+    )
+    return exact.join(F.broadcast(ok))
+
+
+QUERIES["ann_ivf_stream_upsert_topk"] = ann_ivf_stream_upsert_topk
+ORACLES["ann_ivf_stream_upsert_topk"] = ANN_IVF_UPSERT_TOPK_SQL

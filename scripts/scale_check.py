@@ -292,6 +292,11 @@ def main() -> None:
         # like ivf_pruned_search, fixed nlist=8 means the candidate
         # set grows with the corpus — linear, see the IVF note)
         "ann_ivf_persisted_topk",
+        # round 12: the CDC-maintained index — delta re-assign is one
+        # broadcast argmin over touched keys only; the exact-oracle
+        # side scans the corpus once (linear); index build untimed
+        # (plan_shape's first construction persists it)
+        "ann_ivf_upsert_topk",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

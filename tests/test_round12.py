@@ -234,22 +234,45 @@ def test_ivm_batch_partition_invariance(spark, sf_dir):
 
 def test_persisted_ivf_equals_in_session(spark, sf_dir):
     """The index loaded from storage must answer EXACTLY like the
-    in-session trained path — same vec_ids, same cells, same cosines.
-    Runs twice so the second call exercises the pure-load path."""
+    build-time path (runs twice so the second call exercises the
+    pure-load branch), and the stored pair must be SELF-CONSISTENT:
+    every posting's cid is the argmin of its vector against the
+    stored codebook — the invariant incremental maintenance
+    (round12.ivf_maintained_postings) assigns delta vectors by."""
     from mysql_cdc_table_spark.functions.similarity import (
         ann_ivf_persisted_topk,
-        ann_ivf_trained_topk,
         ivf_index_dir,
+        load_ivf_index,
+        sq_dist,
     )
 
     shutil.rmtree(ivf_index_dir(sf_dir), ignore_errors=True)
     built = [tuple(r) for r in ann_ivf_persisted_topk(spark, sf_dir).collect()]
-    want = [tuple(r) for r in ann_ivf_trained_topk(spark, sf_dir).collect()]
-    assert built == want
     loaded = [
         tuple(r) for r in ann_ivf_persisted_topk(spark, sf_dir).collect()
     ]
-    assert loaded == want
+    assert loaded == built
+    assert len(built) == 20
+
+    post, cents = load_ivf_index(spark, ivf_index_dir(sf_dir))
+    stored = {
+        (r["vec_id"], r["cid"])
+        for r in post.select("vec_id", "cid").collect()
+    }
+    reassigned = {
+        (r["vec_id"], r["cid"])
+        for r in post.select("vec_id", "embedding")
+        .join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cid",
+            sq_dist(F.col("embedding"), F.col("centroid")).alias("d"),
+        )
+        .groupBy("vec_id")
+        .agg(F.expr("min_by(cid, struct(d, cid))").alias("cid"))
+        .collect()
+    }
+    assert stored == reassigned
 
 
 def test_persisted_ivf_prunes_partitions_at_scan(spark, sf_dir):
@@ -270,6 +293,129 @@ def test_persisted_ivf_prunes_partitions_at_scan(spark, sf_dir):
     assert scan, plan  # the postings scan carries a cid partition filter
 
 
+def test_ivf_maintained_equals_rebuild(spark, sf_dir):
+    """The incremental maintenance (untouched rows keep their stored
+    cell; only delta rows re-assign) must produce EXACTLY the postings
+    a from-scratch assignment of the upserted corpus against the same
+    fixed codebook would — same keys, same vectors, same cells. A
+    stale pre-update vector, a surviving delete, or a delta row in
+    the wrong cell all diverge."""
+    from mysql_cdc_table_spark.functions.similarity import (
+        ivf_index_dir,
+        load_ivf_index,
+        sq_dist,
+    )
+    from mysql_cdc_table_spark.operators.round12 import (
+        ivf_maintained_postings,
+    )
+    from mysql_cdc_table_spark.catalog import load_table as t
+
+    maint = {
+        (r["vec_id"], tuple(r["embedding"]), r["label"], r["cid"])
+        for r in ivf_maintained_postings(spark, sf_dir).collect()
+    }
+    _, cents = load_ivf_index(spark, ivf_index_dir(sf_dir))
+    e = t(spark, sf_dir, "embeddings")
+    v = F.col("vec_id")
+    alive = e.filter(~(v % 9 == 5)).withColumn(
+        "embedding",
+        F.when(v % 6 == 3, F.reverse("embedding")).otherwise(
+            F.col("embedding")
+        ),
+    )
+    rebuilt = {
+        (r["vec_id"], tuple(r["embedding"]), r["label"], r["cid"])
+        for r in alive.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "label",
+            "cid",
+            sq_dist(F.col("embedding"), F.col("centroid")).alias("d"),
+        )
+        .groupBy("vec_id", "embedding", "label")
+        .agg(F.expr("min_by(cid, struct(d, cid))").alias("cid"))
+        .collect()
+    }
+    assert maint == rebuilt
+    # the changelog genuinely moved things: deletes gone, some updated
+    ids = {m[0] for m in maint}
+    assert not any(i % 9 == 5 for i in ids)
+    assert len(maint) > 10
+
+
+def test_refresh_ivf_postings_is_partition_local(spark, sf_dir):
+    """The on-disk refresh must (a) rewrite ONLY the cid partitions
+    the delta touches — untouched partition files keep their exact
+    bytes — and (b) leave the store content-equal to the computed
+    maintained postings."""
+    from mysql_cdc_table_spark.operators.round12 import (
+        ivf_maintained_postings,
+        refresh_ivf_postings,
+        vector_changelog,
+    )
+
+    store = os.path.join(
+        tempfile.gettempdir(), f"ivfstore_{uuid.uuid4().hex[:12]}"
+    )
+    # seed only (no delta applied yet): run refresh once, note files
+    touched = refresh_ivf_postings(spark, sf_dir, store)
+    assert touched  # the changelog touches at least one cell
+    n_cells = len(
+        [d for d in os.listdir(store) if d.startswith("cid=")]
+    )
+    assert len(touched) <= n_cells
+
+    def file_stamps(cid: int):
+        d = os.path.join(store, f"cid={cid}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    untouched_cids = [
+        int(d.split("=")[1])
+        for d in os.listdir(store)
+        if d.startswith("cid=") and int(d.split("=")[1]) not in touched
+    ]
+    before = {c: file_stamps(c) for c in untouched_cids}
+    touched2 = refresh_ivf_postings(spark, sf_dir, store)  # idempotent re-apply
+    assert touched2 == touched
+    for c in untouched_cids:
+        assert file_stamps(c) == before[c], (
+            f"untouched partition cid={c} was rewritten"
+        )
+    got = {
+        (r["vec_id"], r["cid"])
+        for r in spark.read.parquet(store).select("vec_id", "cid").collect()
+    }
+    want = {
+        (r["vec_id"], r["cid"])
+        for r in ivf_maintained_postings(spark, sf_dir)
+        .select("vec_id", "cid")
+        .collect()
+    }
+    assert got == want
+    # sanity: the delta is real — changelog has updates and deletes
+    cl = vector_changelog(spark, sf_dir)
+    ops = {r["__op"] for r in cl.select("__op").distinct().collect()}
+    assert ops == {0, 1, 3}
+    shutil.rmtree(store, ignore_errors=True)
+
+
+def test_upsert_topk_recall_and_semantics(spark, sf_dir):
+    """The registry key's exact rows must honor the changelog (no
+    deleted vec_ids, updated vectors scored on their NEW embedding)
+    and the recall boolean must hold at this sf."""
+    from mysql_cdc_table_spark.operators.round12 import ann_ivf_upsert_topk
+
+    rows = ann_ivf_upsert_topk(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r["recall_ok"] for r in rows)
+    assert not any(r["vec_id"] % 9 == 5 for r in rows)
+
+
 def test_persisted_ivf_index_layout(spark, sf_dir):
     """The on-disk index is the production layout: a broadcastable
     centroid grid and cid-partitioned postings directories."""
@@ -287,3 +433,171 @@ def test_persisted_ivf_index_layout(spark, sf_dir):
         if d.startswith("cid=")
     ]
     assert len(cid_dirs) > 1  # genuinely partitioned by cell
+
+
+# --- streaming ANN index refresh (manifest-committed store) -------------------
+
+
+def _fresh_store_with_codebook(spark, sf_dir):
+    from mysql_cdc_table_spark.functions.similarity import (
+        ivf_index_dir,
+        load_ivf_index,
+        persist_ivf_index,
+    )
+    from mysql_cdc_table_spark.sources import fs as _hfs
+
+    idx = ivf_index_dir(sf_dir)
+    if not _hfs.exists(spark, idx):
+        persist_ivf_index(spark, sf_dir, idx)
+    _, cents = load_ivf_index(spark, idx)
+    store = os.path.join(
+        tempfile.gettempdir(), f"annstore_{uuid.uuid4().hex[:12]}"
+    )
+    return store, cents
+
+
+def _apply_all_batches(spark, sf_dir, store, cents, n=3, start_id=0):
+    """Chop the image changelog into n gtid-ranged batches and apply
+    them in order — the deterministic core the stream wraps."""
+    from mysql_cdc_table_spark.operators.round12 import (
+        vec_index_apply_batch,
+        vector_changelog_images,
+    )
+
+    cl = vector_changelog_images(spark, sf_dir)
+    qs = [i / n for i in range(1, n)]
+    bounds = cl.stat.approxQuantile("__gtid", qs, 0.0) if qs else []
+    lo = [None] + bounds
+    hi = bounds + [None]
+    for i, (a, b) in enumerate(zip(lo, hi)):
+        c = F.col("__gtid")
+        cond = F.lit(True) if a is None else (c > F.lit(a))
+        if b is not None:
+            cond = cond & (c <= F.lit(b))
+        vec_index_apply_batch(
+            spark, cl.filter(cond), store, cents, start_id + i
+        )
+
+
+def test_stream_index_converges_to_maintained(spark, sf_dir):
+    """Applying the image changelog batch-by-batch from an EMPTY store
+    must end at EXACTLY the postings the one-shot incremental
+    maintenance computes (same keys, vectors, labels, cells) — the
+    image-chaining across batch seams, within-batch folds, and
+    touched-cell rewrites all have to be right at once."""
+    from mysql_cdc_table_spark.operators.round12 import (
+        ivf_maintained_postings,
+        read_vec_index,
+    )
+
+    store, cents = _fresh_store_with_codebook(spark, sf_dir)
+    _apply_all_batches(spark, sf_dir, store, cents, n=3)
+    got = {
+        (r["vec_id"], tuple(r["embedding"]), r["label"], r["cid"])
+        for r in read_vec_index(spark, store).collect()
+    }
+    want = {
+        (r["vec_id"], tuple(r["embedding"]), r["label"], r["cid"])
+        for r in ivf_maintained_postings(spark, sf_dir).collect()
+    }
+    assert got == want
+    shutil.rmtree(store, ignore_errors=True)
+
+
+def test_stream_index_batch_chop_invariance(spark, sf_dir):
+    """1-batch and 5-batch chops of the same feed converge to the
+    same snapshot — batch composition is the source's choice, never
+    semantics."""
+    from mysql_cdc_table_spark.operators.round12 import read_vec_index
+
+    snap = []
+    for n in (1, 5):
+        store, cents = _fresh_store_with_codebook(spark, sf_dir)
+        _apply_all_batches(spark, sf_dir, store, cents, n=n)
+        snap.append(
+            {
+                (r["vec_id"], tuple(r["embedding"]), r["cid"])
+                for r in read_vec_index(spark, store).collect()
+            }
+        )
+        shutil.rmtree(store, ignore_errors=True)
+    assert snap[0] == snap[1]
+
+
+def test_stream_index_replay_and_pointer_carry(spark, sf_dir):
+    """Exactly-once and the pointer-carry economics: a replayed batch
+    is a no-op (manifest version already committed — same refs, same
+    files); across consecutive versions, cells the batch does not
+    touch keep their EXACT ref string (their bytes are never
+    rewritten, the ∝-delta refresh cost at 100 TB)."""
+    from mysql_cdc_table_spark.operators.round12 import (
+        _read_manifest,
+        vec_index_apply_batch,
+        vector_changelog_images,
+    )
+
+    store, cents = _fresh_store_with_codebook(spark, sf_dir)
+    cl = vector_changelog_images(spark, sf_dir)
+    inserts = cl.filter(F.col("__op") == 1)
+    rest = cl.filter(F.col("__op") != 1)
+    vec_index_apply_batch(spark, inserts, store, cents, 0)
+    man0 = _read_manifest(spark, store)
+    assert man0  # the insert wave built cells
+
+    # batch 1 touches only the cells the update/delete delta reaches
+    vec_index_apply_batch(spark, rest, store, cents, 1)
+    man1 = _read_manifest(spark, store)
+    untouched = {c for c in man0 if c in man1 and man1[c] == man0[c]}
+    changed = {c for c in man0 if man1.get(c) != man0[c]}
+    assert changed  # the delta really moved cells
+    # replay of batch 1: identical manifest, no new version
+    vec_index_apply_batch(spark, rest, store, cents, 1)
+    assert _read_manifest(spark, store) == man1
+    if untouched:  # pointer-carry held for every untouched cell
+        assert all(man1[c] == man0[c] for c in untouched)
+    shutil.rmtree(store, ignore_errors=True)
+
+
+def test_stream_index_snapshot_isolation(spark, sf_dir):
+    """Version k's manifest stays readable (and consistent) after
+    version k+1 commits — the reader-pins-a-snapshot property; GC
+    keeps the last two versions' cells alive."""
+    from mysql_cdc_table_spark.operators.round12 import (
+        _manifest_versions,
+        vec_index_apply_batch,
+        vector_changelog_images,
+    )
+    from mysql_cdc_table_spark.sources import fs as _hfs
+
+    store, cents = _fresh_store_with_codebook(spark, sf_dir)
+    cl = vector_changelog_images(spark, sf_dir)
+    vec_index_apply_batch(
+        spark, cl.filter(F.col("__op") == 1), store, cents, 0
+    )
+    n_v0 = spark.read.parquet(f"{store}/manifests/v0").count()
+    vec_index_apply_batch(
+        spark, cl.filter(F.col("__op") != 1), store, cents, 1
+    )
+    assert _manifest_versions(spark, store) == [0, 1]
+    # v0 still resolves: every ref it lists still exists on disk
+    for r in spark.read.parquet(f"{store}/manifests/v0").collect():
+        assert _hfs.exists(spark, f"{store}/{r['ref']}"), r["ref"]
+    assert spark.read.parquet(f"{store}/manifests/v0").count() == n_v0
+    shutil.rmtree(store, ignore_errors=True)
+
+
+def test_stream_upsert_topk_streaming_end_to_end(spark, sf_dir):
+    """The registry key: real Structured Streaming run (4 ordered
+    chunks, maxFilesPerTrigger=1, availableNow), probe over the final
+    snapshot; exact rows honor the changelog and recall holds.
+    Re-invocation resumes the drained checkpoint — a no-op."""
+    from mysql_cdc_table_spark.operators.round12 import (
+        ann_ivf_stream_upsert_topk,
+    )
+
+    rows = ann_ivf_stream_upsert_topk(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r["recall_ok"] for r in rows)
+    assert not any(r["vec_id"] % 9 == 5 for r in rows)
+    again = ann_ivf_stream_upsert_topk(spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
