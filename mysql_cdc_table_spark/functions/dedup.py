@@ -453,3 +453,250 @@ ORACLES = {
     "dedup_cluster_resolve": DEDUP_CLUSTER_RESOLVE_SQL,
     "dedup_embedding_cosine": _DEDUP_EMB_SQL,
 }
+
+
+# --- incrementally maintained LSH dedup index ---------------------------------
+#
+# The batch keys above answer "find the duplicates in this corpus". A
+# training-data pipeline's corpus CHANGES: documents arrive, get
+# re-crawled (text updates), get retracted. Recomputing all-pairs LSH
+# per refresh is ∝ corpus; the production shape maintains the index:
+# the stored artifact is the per-(band, bucket) POSTINGS plus the
+# per-bucket candidate-PAIR sets, and a delta touches only the buckets
+# its documents leave or enter. A bucket no delta reaches keeps both
+# its membership and its stored pairs — including its hot-bucket cap
+# decision, which depends only on membership. Cap flips (a bucket
+# crossing HOT_BUCKET_CAP in either direction) can only happen in
+# touched buckets, where pairs are recomputed from scratch — so the
+# maintained pair set EXACTLY equals the full recompute over the
+# upserted corpus (pytest-proven, plus a cap=3 run that forces flips).
+#
+# Deterministic document changelog (both engines apply it
+# bit-identically; corpus text is ASCII):
+#   - every doc          -> INSERT
+#   - doc_id % 7 == 2    -> UPDATE: text char-reversed (a re-crawl
+#                           that rewrites the document and moves its
+#                           shingles, hence its buckets)
+#   - doc_id % 11 == 4   -> DELETE (retraction)
+
+DOC_ALIVE_CTE = """
+alive_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 2 THEN reverse(text) ELSE text END AS text
+  FROM documents
+  WHERE doc_id % 11 <> 4
+)
+"""
+
+
+def alive_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The post-changelog corpus — the Spark twin of DOC_ALIVE_CTE."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.filter(F.col("doc_id") % 11 != 4).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 2, F.reverse("text")).otherwise(
+            F.col("text")
+        ),
+    )
+
+
+def minhash_bands_of(df: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, band, bucket) LSH band postings —
+    the signature pipeline of dedup_minhash_signature applied to an
+    arbitrary relation (same perms, same band fold; docs with <3
+    tokens drop out in both engines)."""
+    codes = df.select(
+        "doc_id", F.transform(tokens(F.col("text")), token_code).alias("c")
+    )
+    sh = codes.select("doc_id", shingle_hashes(F.col("c")).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+
+    def perm(i: int):
+        a, b = 2 * i + 1, 5 * i + 7
+        return lambda s: (s * a + b) % MOD
+
+    sig = sh.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(F.col("sh"), perm(i))).alias(f"mh_{i}")
+            for i in range(N_HASHES)
+        ],
+    )
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[_band_expr(j) for j in range(N_BANDS)])
+        ).alias("band", "bucket"),
+    )
+
+
+def _bucket_pairs(postings: DataFrame, cap: int) -> DataFrame:
+    """Within-bucket candidate pairs under the hot-bucket cap:
+    (band, bucket, doc1, doc2) — bucket provenance kept so pair sets
+    stay bucket-local (the maintenance unit)."""
+    small = (
+        postings.groupBy("band", "bucket")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") <= cap)
+        .select("band", "bucket")
+    )
+    keep = postings.join(small, ["band", "bucket"])
+    a, b = keep.alias("a"), keep.alias("b")
+    return a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        "a.band",
+        "a.bucket",
+        F.col("a.doc_id").alias("doc1"),
+        F.col("b.doc_id").alias("doc2"),
+    )
+
+
+_LSH_INDEX_FORMAT = "v1"
+
+
+def lsh_index_dir(sf_dir: str) -> str:
+    """Deterministic on-disk location for the persisted LSH dedup
+    index of one dataset (the ivf_index_dir convention)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:lsh:{_LSH_INDEX_FORMAT}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"lsh_index_{tag}")
+
+
+def persist_lsh_index(
+    spark: SparkSession, sf_dir: str, index_dir: str, cap: int = HOT_BUCKET_CAP
+) -> None:
+    """Build the dedup index of the PRE-changelog corpus once and
+    write both planes: ``postings/`` (doc_id, band, bucket;
+    partitioned by band — the probe/maintenance read unit) and
+    ``pairs/`` (band, bucket, doc1, doc2 — per-bucket candidate sets
+    under the cap). Write-then-swap like persist_ivf_index."""
+    import uuid
+
+    from mysql_cdc_table_spark.sources import fs as _hfs
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    postings = minhash_bands_of(d)
+    staging = f"{index_dir}.staging-{uuid.uuid4().hex[:12]}"
+    postings.write.mode("overwrite").partitionBy("band").parquet(
+        staging + "/postings"
+    )
+    base = spark.read.parquet(staging + "/postings")
+    _bucket_pairs(base, cap).write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(staging + "/pairs")
+    if _hfs.exists(spark, index_dir):
+        _hfs.delete(spark, staging)
+        return
+    try:
+        _hfs.rename(spark, staging, index_dir)
+    except Exception:
+        _hfs.delete(spark, staging)
+        if not _hfs.exists(spark, index_dir):
+            raise
+
+
+def maintained_lsh_pairs(
+    spark: SparkSession, sf_dir: str, cap: int = HOT_BUCKET_CAP,
+    index_dir: str | None = None,
+) -> DataFrame:
+    """The candidate-pair set of the UPSERTED corpus, maintained from
+    the stored index instead of recomputed: untouched buckets
+    contribute their STORED pair sets (and are never re-joined);
+    buckets the delta reaches — the old buckets of updated/deleted
+    docs (a keyed lookup against the stored postings) plus the new
+    buckets their rewritten text lands in — recompute within-bucket.
+    Cost ∝ delta + touched buckets, never ∝ corpus. pytest proves
+    exact equality with the full recompute, at the production cap
+    AND at cap=3 where delta-driven cap flips occur."""
+    from mysql_cdc_table_spark.sources import fs as _hfs
+
+    idx = index_dir or lsh_index_dir(sf_dir)
+    if not _hfs.exists(spark, idx):
+        persist_lsh_index(spark, sf_dir, idx)
+    base_postings = spark.read.parquet(f"{idx}/postings").select(
+        "doc_id", F.col("band").cast("int").alias("band"), "bucket"
+    )
+    base_pairs = spark.read.parquet(f"{idx}/pairs").select(
+        F.col("band").cast("int").alias("band"), "bucket", "doc1", "doc2"
+    )
+
+    did = F.col("doc_id")
+    touched_ids = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter((did % 7 == 2) | (did % 11 == 4))
+    )
+    survivors = alive_documents(spark, sf_dir).filter(
+        F.col("doc_id") % 7 == 2
+    )
+    new_postings = minhash_bands_of(survivors).localCheckpoint(eager=True)
+
+    old_buckets = base_postings.join(
+        F.broadcast(touched_ids), "doc_id"
+    ).select("band", "bucket")
+    touched_buckets = (
+        old_buckets.union(new_postings.select("band", "bucket"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds three consumers below
+    )
+
+    alive_postings = base_postings.join(
+        F.broadcast(touched_ids), "doc_id", "left_anti"
+    ).unionByName(new_postings)
+    recomputed = _bucket_pairs(
+        alive_postings.join(F.broadcast(touched_buckets), ["band", "bucket"]),
+        cap,
+    )
+    kept = base_pairs.join(
+        F.broadcast(touched_buckets), ["band", "bucket"], "left_anti"
+    )
+    return (
+        kept.unionByName(recomputed)
+        .select("doc1", "doc2")
+        .distinct()
+    )
+
+
+def dedup_incremental_minhash_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry key: the maintained pair set over the upserted corpus.
+    The oracle recomputes the same pairs from scratch over the alive
+    CTE — a stale pair (deleted doc lingering), a missed pair (new
+    text's buckets not probed), or a wrong cap decision after a
+    bucket's membership changed all break the hash."""
+    return maintained_lsh_pairs(spark, sf_dir)
+
+
+_SQL_SHINGLES_ALIVE = _SQL_SHINGLES.replace("FROM documents", "FROM alive_docs")
+
+DEDUP_INCREMENTAL_MINHASH_PAIRS_SQL = f"""
+WITH {DOC_ALIVE_CTE},
+sh AS ({_SQL_SHINGLES_ALIVE}),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE len(sh) > 0),
+sig AS (SELECT doc_id, {_SQL_MH} FROM ex GROUP BY doc_id),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {j} AS band, {_sql_band(j)} AS bucket FROM sig" for j in range(N_BANDS))}
+),
+small AS (SELECT band, bucket FROM bands GROUP BY band, bucket
+          HAVING count(*) <= {HOT_BUCKET_CAP}),
+bk AS (SELECT bands.* FROM bands JOIN small USING (band, bucket))
+SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+FROM bk a JOIN bk b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+QUERIES["dedup_incremental_minhash_pairs"] = dedup_incremental_minhash_pairs
+ORACLES["dedup_incremental_minhash_pairs"] = (
+    DEDUP_INCREMENTAL_MINHASH_PAIRS_SQL
+)

