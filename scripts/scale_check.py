@@ -297,6 +297,11 @@ def main() -> None:
         # side scans the corpus once (linear); index build untimed
         # (plan_shape's first construction persists it)
         "ann_ivf_upsert_topk",
+        # round 12: maintained LSH dedup — stored pairs carried for
+        # untouched buckets, within-bucket re-join only where the
+        # delta reaches; index build untimed (same persist-on-first-
+        # construction shape as the IVF keys)
+        "dedup_incremental_minhash_pairs",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]
