@@ -1561,3 +1561,52 @@ def test_round10_late_ivm_join_view_is_delta_pass(spark, sf_dir):
     assert_no_cartesian(df)
     assert_broadcast_join(df, 1)
     assert count_nodes(df, "SortMergeJoin") == 0
+
+
+def test_round12_upsert_index_delta_is_windowless_broadcast(spark, sf_dir):
+    """ann_ivf_upsert_topk's maintenance side: delta re-assignment is
+    a broadcast argmin (centroid grid broadcast, no sort-merge join,
+    no cartesian beyond the bounded broadcast fan-outs, zero windows)
+    — the plan that keeps per-refresh cost ∝ delta at 100 TB. The
+    partition filter of the persisted postings scan is asserted in
+    test_round12's persisted-IVF audit."""
+    from mysql_cdc_table_spark.operators.round12 import (
+        ivf_maintained_postings,
+    )
+    from mysql_cdc_table_spark.plans.audit import count_nodes, formatted_plan
+
+    df = ivf_maintained_postings(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window (" not in plan
+    assert_broadcast_join(df, 1)  # touched-key anti join
+    # the argmin is the bounded centroid fan-out: a broadcast
+    # nested-loop over the cells x dims grid, never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan
+    assert count_nodes(df, "SortMergeJoin") == 0
+
+
+def test_round12_maintained_lsh_carries_untouched_buckets(spark, sf_dir):
+    """dedup_incremental_minhash_pairs: the stored pair sets must come
+    back through an ANTI join against the (broadcast) touched-bucket
+    set — no window, no sort-merge join, and the stored-pairs plane is
+    scanned, not re-derived (a 'pairs' parquet scan appears in the
+    plan)."""
+    from mysql_cdc_table_spark.functions.dedup import (
+        dedup_incremental_minhash_pairs,
+    )
+    from mysql_cdc_table_spark.plans.audit import count_nodes, formatted_plan
+
+    df = dedup_incremental_minhash_pairs(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window (" not in plan
+    assert_no_cartesian(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "/pairs" in plan  # the stored pair plane is read, not rebuilt
+    # the only shuffle joins allowed are the within-bucket candidate
+    # joins and the cap join — all keyed on the (band, bucket) pair;
+    # a doc_id- or pair-keyed shuffle join would mean the maintenance
+    # is re-joining the corpus
+    import re as _re
+
+    for m in _re.finditer(r"SortMergeJoin \[([^\]]*)\]", plan):
+        assert "band" in m.group(1) and "bucket" in m.group(1), m.group(0)
