@@ -546,8 +546,8 @@ ROUND11_LATE_KEYS: tuple[str, ...] = ()
 # --- round 12 ----------------------------------------------------------------
 #
 # Window arithmetic this round (50 slots): no round-11 late keys, so
-# the 6 round-12 new keys lead, then 4 re-verify slots for the code
-# round 12 ACTUALLY touches — leaving 40 backfill slots, comfortably
+# the 7 round-12 new keys lead, then 4 re-verify slots for the code
+# round 12 ACTUALLY touches — leaving 39 backfill slots, comfortably
 # clearing the 24 r05-stale rows (window/basic-relational family, the
 # r11 verdict's named target) and reaching into the r06 tail.
 
@@ -559,6 +559,7 @@ ROUND12_NEW_KEYS: tuple[str, ...] = (
     "ann_ivf_upsert_topk",
     "ann_ivf_stream_upsert_topk",
     "dedup_incremental_minhash_pairs",
+    "emb_label_stats_ivm",
 )
 
 # Operators whose implementation round 12 touches: the full-outer key

@@ -302,6 +302,10 @@ def main() -> None:
         # delta reaches; index build untimed (same persist-on-first-
         # construction shape as the IVF keys)
         "dedup_incremental_minhash_pairs",
+        # round 12: maintained per-label vector stats — signed fold of
+        # the image-carrying delta onto the stored labels-sized base;
+        # the corpus is never re-read (plan-audited)
+        "emb_label_stats_ivm",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

@@ -682,3 +682,63 @@ def test_lsh_maintained_semantics_and_pruning(spark, sf_dir):
         .count()
     )
     assert 0 < touched_buckets < all_buckets
+
+
+# --- incrementally maintained embedding statistics ------------------------------
+
+
+def test_emb_stats_ivm_equals_recompute_and_is_delta_only(spark, sf_dir):
+    """The signed fold over the image-carrying changelog must land on
+    EXACTLY the from-scratch aggregate of the upserted corpus (integer
+    quantization makes the comparison exact), and the maintenance plan
+    must never re-read the corpus: the embeddings table appears ONCE
+    in the scan list (the delta derivation) alongside the stored
+    labels-sized base — no window, no sort-merge join."""
+    from mysql_cdc_table_spark.operators.round12 import (
+        EMB_STATS_DIMS,
+        _emb_qcols,
+        emb_label_stats_ivm,
+    )
+    from mysql_cdc_table_spark.catalog import load_table as t
+    from mysql_cdc_table_spark.plans.audit import count_nodes, formatted_plan
+
+    got = [tuple(r) for r in emb_label_stats_ivm(spark, sf_dir).collect()]
+    v = F.col("vec_id")
+    e = t(spark, sf_dir, "embeddings")
+    alive = e.filter(~(v % 9 == 5)).withColumn(
+        "embedding",
+        F.when(v % 6 == 3, F.reverse("embedding")).otherwise(
+            F.col("embedding")
+        ),
+    )
+    want = [
+        tuple(r)
+        for r in alive.select("label", *_emb_qcols(F.col("embedding")))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_alive"),
+            *[
+                F.sum(f"q{i}").cast("long").alias(f"qs{i}")
+                for i in range(EMB_STATS_DIMS)
+            ],
+        )
+        .orderBy("label")
+        .collect()
+    ]
+    assert got == want
+    assert len(got) > 1
+
+    df = emb_label_stats_ivm(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window (" not in plan
+    # the only join is base FULL OUTER delta — label-keyed, both sides
+    # labels-sized (broadcast cannot express full-outer; a label-keyed
+    # merge of two tiny aggregates is scale-free)
+    import re as _re
+
+    smjs = _re.findall(r"SortMergeJoin \[([^\]]*)\]", plan)
+    assert len(smjs) <= 1 and all("label" in k for k in smjs), smjs
+    assert plan.count("embeddings.parquet") == 0, (
+        "maintenance must not re-scan the corpus — the delta is a "
+        "checkpointed feed and the base is the stored stats table"
+    )
