@@ -546,8 +546,8 @@ ROUND11_LATE_KEYS: tuple[str, ...] = ()
 # --- round 12 ----------------------------------------------------------------
 #
 # Window arithmetic this round (50 slots): no round-11 late keys, so
-# the 7 round-12 new keys lead, then 4 re-verify slots for the code
-# round 12 ACTUALLY touches — leaving 39 backfill slots, comfortably
+# the 11 round-12 new keys lead, then 4 re-verify slots for the code
+# round 12 ACTUALLY touches — leaving 35 backfill slots, still
 # clearing the 24 r05-stale rows (window/basic-relational family, the
 # r11 verdict's named target) and reaching into the r06 tail.
 
@@ -560,6 +560,14 @@ ROUND12_NEW_KEYS: tuple[str, ...] = (
     "ann_ivf_stream_upsert_topk",
     "dedup_incremental_minhash_pairs",
     "emb_label_stats_ivm",
+    # second wave: the IVM aggregate algebra completed (MIN/MAX and
+    # top-k are the non-constant-state cases, both read off the
+    # signed-fold support table) and the two drift scores production
+    # monitoring reports (fixed-grid PSI, per-source Jensen-Shannon)
+    "cdc_ivm_minmax_view",
+    "cdc_ivm_topk_view",
+    "agg_psi_drift",
+    "agg_js_divergence",
 )
 
 # Operators whose implementation round 12 touches: the full-outer key

@@ -1270,3 +1270,324 @@ ORDER BY label
 
 QUERIES["emb_label_stats_ivm"] = emb_label_stats_ivm
 ORACLES["emb_label_stats_ivm"] = EMB_LABEL_STATS_IVM_SQL
+
+
+# --- IVM aggregate algebra: MIN/MAX and top-k under deletes --------------------
+#
+# Round 11 covered the LINEAR aggregates (SUM/COUNT fold signed deltas
+# directly) and COUNT(DISTINCT) (support table over (group, member)).
+# MIN/MAX is the remaining textbook case: it is NOT maintainable with
+# constant per-group state under deletes (a deleted minimum exposes the
+# second-smallest, which constant state cannot recall), so the IVM
+# literature maintains the (group, value) multiset — the same support-
+# table shape, with the signed fold computing each value's net
+# multiplicity and the readout taking min/max over surviving values.
+# Top-k per group is the same support table read through a rank over
+# its (group, key) grid. The reference has no IVM at all (its query
+# surface is delegated to MySQL's executor, binlogdb.cc).
+
+
+def cdc_ivm_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX view maintenance under deletes — the classic
+    non-distributive case: maintain the (status, price) SUPPORT
+    multiset by signed fold (insert/update-after +1, update-before/
+    delete -1 at the image's own status+price), keep net multiplicity
+    > 0, then min/max over surviving values per group. Update chains
+    telescope (update-1's before image cancels the insert, update-2's
+    before cancels update-1's after), deletes drain the tombstoned
+    image, so the support IS the alive latest (status, cents)
+    multiset. n_values exposes the support width — the state the
+    constant-space folds cannot carry. Prices quantize to cents
+    (floor(x*100) as BIGINT; the changelog's +100.0/+300.0 arithmetic
+    is exact in doubles) so the fold is integer-exact cross-engine.
+    The oracle recomputes min/max over the ranked latest state. Shape
+    at 100 TB: two hash aggregates, both map-side combinable; the
+    support table is (statuses x distinct prices)-sized and hash-
+    partitioned; no window, no join, the changelog never re-sorts."""
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+
+    cl = synthetic_changelog(spark, sf_dir)
+    sgn = F.when(F.col("__op").isin(1, 3), F.lit(1)).otherwise(F.lit(-1))
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    support = (
+        cl.select("o_orderstatus", cents.alias("cents"), sgn.alias("sgn"))
+        .groupBy("o_orderstatus", "cents")
+        .agg(F.sum("sgn").cast("long").alias("m"))
+        .filter(F.col("m") > 0)
+    )
+    return (
+        support.groupBy("o_orderstatus")
+        .agg(
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.count("*").cast("long").alias("n_values"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def _cdc_ivm_minmax_view_sql() -> str:
+    from mysql_cdc_table_spark.cdc.synthetic import CHANGELOG_CTE
+
+    return f"""
+WITH {CHANGELOG_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey
+      ORDER BY __gtid DESC, __event_seq DESC, __image_seq DESC) AS __rn
+  FROM changelog
+)
+SELECT o_orderstatus,
+       CAST(min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS min_cents,
+       CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS max_cents,
+       CAST(count(DISTINCT CAST(floor(o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS n_values
+FROM ranked
+WHERE __rn = 1 AND __op <> 0
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+QUERIES["cdc_ivm_minmax_view"] = cdc_ivm_minmax_view
+ORACLES["cdc_ivm_minmax_view"] = _cdc_ivm_minmax_view_sql()
+
+
+def cdc_ivm_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained top-k per group: top-3 customers by LIVE order count
+    per latest order status. Top-k is not maintainable with k-sized
+    state under deletes (a deleted member promotes the (k+1)-th, which
+    k-sized state cannot recall), so the maintained artifact is the
+    (status, custkey) support table — net live-order count per pair
+    from the signed fold — and top-k is a READOUT: rank the support by
+    (count DESC, custkey ASC) and keep k. Deterministic tie-break by
+    key makes the readout hashable cross-engine. The oracle recomputes
+    from the ranked latest state. Shape at 100 TB: the changelog folds
+    map-side onto the support grid (statuses x customers); the ONE
+    window runs over the support table — cardinality = distinct pairs,
+    never events; the store refresh is delta-sized."""
+    from pyspark.sql import Window
+
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+
+    cl = synthetic_changelog(spark, sf_dir)
+    sgn = F.when(F.col("__op").isin(1, 3), F.lit(1)).otherwise(F.lit(-1))
+    support = (
+        cl.select("o_orderstatus", "o_custkey", sgn.alias("sgn"))
+        .groupBy("o_orderstatus", "o_custkey")
+        .agg(F.sum("sgn").cast("long").alias("n_orders"))
+        .filter(F.col("n_orders") > 0)
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n_orders").desc(), F.col("o_custkey").asc()
+    )
+    return (
+        support.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderstatus", "rk", "o_custkey", "n_orders")
+        .orderBy("o_orderstatus", "rk")
+    )
+
+
+def _cdc_ivm_topk_view_sql() -> str:
+    from mysql_cdc_table_spark.cdc.synthetic import CHANGELOG_CTE
+
+    return f"""
+WITH {CHANGELOG_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey
+      ORDER BY __gtid DESC, __event_seq DESC, __image_seq DESC) AS __rn
+  FROM changelog
+),
+support AS (
+  SELECT o_orderstatus, o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+  FROM ranked
+  WHERE __rn = 1 AND __op <> 0
+  GROUP BY o_orderstatus, o_custkey
+)
+SELECT o_orderstatus, rk, o_custkey, n_orders
+FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY o_orderstatus
+      ORDER BY n_orders DESC, o_custkey ASC) AS INTEGER) AS rk
+  FROM support
+)
+WHERE rk <= 3
+ORDER BY o_orderstatus, rk
+"""
+
+
+QUERIES["cdc_ivm_topk_view"] = cdc_ivm_topk_view
+ORACLES["cdc_ivm_topk_view"] = _cdc_ivm_topk_view_sql()
+
+
+# --- distribution-drift diagnostics: PSI and Jensen-Shannon -------------------
+#
+# The two drift metrics production ML monitoring actually reports that
+# the diagnostics family (KS/Kendall/chi2/...) did not yet cover:
+# PSI (population stability index) over a fixed bin grid between two
+# epochs, and Jensen-Shannon divergence of each source's categorical
+# mix against the corpus. Both follow the repo's continuous-output
+# parity discipline (round 6, FIXTURES.md): counts are exact BIGINTs,
+# probabilities are single IEEE divisions, and the one transcendental
+# (ln) is guarded by the rounding. The reference delegates all
+# analytics to MySQL and ships neither.
+
+
+def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of o_totalprice between two order
+    epochs (ref < 1998-07-01 <= cur) over a FIXED 10-bin grid
+    (floor(price/50k) capped at 9 — fixed edges are what makes PSI
+    comparable across runs; quantile edges would re-bin every epoch).
+    Laplace-smoothed (+1 per bin) so empty bins stay finite; each term
+    (p-q)*ln(p/q) >= 0 and the grid spine guarantees all 10 rows at
+    every sf. ONE fact scan -> 10-row hash aggregate; the spine and
+    the totals are broadcast — no shuffle carries more than the grid.
+    At 100 TB: per-bin counts combine map-side; everything after the
+    first aggregate is grid-sized."""
+    orders = t(spark, sf_dir, "orders")
+    pivot = F.lit("1998-07-01 00:00:00").cast("timestamp")
+    bin_ = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast(
+        "int"
+    )
+    counts = (
+        orders.select(
+            bin_.alias("bin"),
+            F.when(F.col("o_orderdate") < pivot, 1).otherwise(0).alias("r"),
+            F.when(F.col("o_orderdate") >= pivot, 1).otherwise(0).alias("c"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("r").cast("long").alias("n_ref"),
+            F.sum("c").cast("long").alias("n_cur"),
+        )
+    )
+    spine = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    filled = (
+        spine.join(F.broadcast(counts), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    totals = filled.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    )
+    p = (F.col("n_ref") + 1) / (F.col("tr") + 10).cast("double")
+    q = (F.col("n_cur") + 1) / (F.col("tc") + 10).cast("double")
+    return (
+        filled.join(F.broadcast(totals))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            (F.round((p - q) * F.log(p / q), 6) + F.lit(0.0)).alias(
+                "psi_term"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+AGG_PSI_DRIFT_SQL = """
+WITH counts AS (
+  SELECT CAST(least(floor(o_totalprice / 50000), 9) AS INTEGER) AS bin,
+         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-07-01' THEN 1
+                       ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-07-01' THEN 1
+                       ELSE 0 END) AS BIGINT) AS n_cur
+  FROM orders GROUP BY 1
+),
+filled AS (
+  SELECT CAST(s.range AS INTEGER) AS bin,
+         COALESCE(c.n_ref, 0) AS n_ref, COALESCE(c.n_cur, 0) AS n_cur
+  FROM range(10) s LEFT JOIN counts c ON c.bin = s.range
+),
+tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM filled)
+SELECT bin, n_ref, n_cur,
+       round((CAST(n_ref + 1 AS DOUBLE) / (tr + 10)
+              - CAST(n_cur + 1 AS DOUBLE) / (tc + 10))
+             * ln((CAST(n_ref + 1 AS DOUBLE) / (tr + 10))
+                  / (CAST(n_cur + 1 AS DOUBLE) / (tc + 10))), 6)
+       + 0.0 AS psi_term
+FROM filled CROSS JOIN tot
+ORDER BY bin
+"""
+
+QUERIES["agg_psi_drift"] = agg_psi_drift
+ORACLES["agg_psi_drift"] = AGG_PSI_DRIFT_SQL
+
+
+def agg_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's language mix against
+    the corpus-wide mix — the symmetric, bounded ([0, ln 2]) drift
+    score used to flag a crawl source whose composition shifted. One
+    scan -> (source, lang) counts; the (sources x langs) grid is built
+    by crossing the two tiny marginal aggregates (both broadcast);
+    terms with p=0 contribute only the q-side (0*ln 0 := 0), and the
+    mixture m=(p+q)/2 is strictly positive because every grid lang has
+    q>0 by construction. Output rounds at 6 (FIXTURES.md). At 100 TB:
+    the only event-sized pass is the first map-side-combinable count;
+    everything downstream is |sources| x |langs|."""
+    d = t(spark, sf_dir, "documents")
+    c = (
+        d.groupBy("source", "lang")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    s = c.groupBy("source").agg(F.sum("n").cast("long").alias("ns"))
+    lang = c.groupBy("lang").agg(F.sum("n").cast("long").alias("nl"))
+    totals = c.agg(F.sum("n").cast("long").alias("nn"))
+    grid = s.join(F.broadcast(lang)).join(F.broadcast(totals))
+    terms = grid.join(
+        F.broadcast(c), ["source", "lang"], "left"
+    ).select(
+        "source",
+        "ns",
+        (F.coalesce("n", F.lit(0)) / F.col("ns").cast("double")).alias("p"),
+        (F.col("nl") / F.col("nn").cast("double")).alias("q"),
+    )
+    jsd = F.sum(
+        F.when(
+            F.col("p") > 0,
+            0.5 * F.col("p") * F.log(2 * F.col("p") / (F.col("p") + F.col("q"))),
+        ).otherwise(F.lit(0.0))
+        + 0.5 * F.col("q") * F.log(2 * F.col("q") / (F.col("p") + F.col("q")))
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("ns").cast("long").alias("n_docs"),
+            (F.round(jsd, 6) + F.lit(0.0)).alias("jsd"),
+        )
+        .orderBy("source")
+    )
+
+
+AGG_JS_DIVERGENCE_SQL = """
+WITH c AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+s AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM c GROUP BY 1),
+l AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM c GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c),
+terms AS (
+  SELECT s.source, s.ns,
+         CAST(COALESCE(c.n, 0) AS DOUBLE) / s.ns AS p,
+         CAST(l.nl AS DOUBLE) / t.nn AS q
+  FROM s CROSS JOIN l CROSS JOIN tot t
+  LEFT JOIN c ON c.source = s.source AND c.lang = l.lang
+)
+SELECT source, CAST(max(ns) AS BIGINT) AS n_docs,
+       round(sum(CASE WHEN p > 0
+                      THEN 0.5 * p * ln(2 * p / (p + q)) ELSE 0 END
+                 + 0.5 * q * ln(2 * q / (p + q))), 6) + 0.0 AS jsd
+FROM terms GROUP BY source ORDER BY source
+"""
+
+QUERIES["agg_js_divergence"] = agg_js_divergence
+ORACLES["agg_js_divergence"] = AGG_JS_DIVERGENCE_SQL
