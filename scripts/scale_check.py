@@ -306,6 +306,15 @@ def main() -> None:
         # the image-carrying delta onto the stored labels-sized base;
         # the corpus is never re-read (plan-audited)
         "emb_label_stats_ivm",
+        # round 12 second wave: MIN/MAX and top-k view maintenance
+        # (both read the signed-fold support table; two hash aggs /
+        # one support-grid window with a WindowGroupLimit pushdown)
+        "cdc_ivm_minmax_view",
+        "cdc_ivm_topk_view",
+        # round 12 second wave: drift scores — PSI is one fact scan to
+        # a 10-bin grid; JSD is one doc scan to a sources x langs grid
+        "agg_psi_drift",
+        "agg_js_divergence",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]
