@@ -235,10 +235,20 @@ def _ivm_versions(spark: SparkSession, state_dir: str) -> list[int]:
     )
 
 
-def _ivm_read_state(spark: SparkSession, state_dir: str):
-    """(L, R, V) DataFrames of the newest committed version — empty
-    relations before the first batch."""
+def _ivm_read_state(
+    spark: SparkSession, state_dir: str, version: int | None = None
+):
+    """(L, R, V) DataFrames of the newest committed version (or the
+    pinned ``version`` — time travel) — empty relations before the
+    first batch."""
     vs = _ivm_versions(spark, state_dir)
+    if version is not None:
+        if version not in vs:
+            raise ValueError(
+                f"version v{version} not retained in {state_dir}; "
+                f"have {vs} (run the stream with retain=None to keep all)"
+            )
+        vs = [version]
     if not vs:
         return {
             name: spark.createDataFrame([], schema)
@@ -252,7 +262,8 @@ def _ivm_read_state(spark: SparkSession, state_dir: str):
 
 
 def ivm_apply_batch(
-    spark: SparkSession, batch_df: DataFrame, state_dir: str, batch_id: int
+    spark: SparkSession, batch_df: DataFrame, state_dir: str, batch_id: int,
+    retain: int | None = 2,
 ) -> None:
     """One micro-batch of the bilinear maintenance — the foreachBatch
     body. Idempotent: if v<batch_id> is already committed the replay
@@ -327,21 +338,25 @@ def ivm_apply_batch(
         if not _hfs.exists(spark, f"{state_dir}/v{batch_id}"):
             raise
     # retire versions older than the previous one: replay only ever
-    # re-asks for the LAST batch, so two live versions bound storage
-    for v in _ivm_versions(spark, state_dir)[:-2]:
-        _hfs.delete(spark, f"{state_dir}/v{v}")
+    # re-asks for the LAST batch, so two live versions bound storage.
+    # retain=None keeps every version — the time-travel retention
+    # policy (cdc_ivm_view_time_travel); production would bound it by
+    # count or age exactly like a table format's snapshot expiry.
+    if retain is not None:
+        for v in _ivm_versions(spark, state_dir)[:-retain]:
+            _hfs.delete(spark, f"{state_dir}/v{v}")
 
 
 def ivm_view_stream(
     feed_stream: DataFrame, state_dir: str, checkpoint_path: str,
-    query_name: str = "cdc_ivm_stream",
+    query_name: str = "cdc_ivm_stream", retain: int | None = 2,
 ):
     """writeStream wiring of the maintenance — the streaming twin of
     cdc_ivm_join_view_bidi's batch decomposition, same algebra."""
     spark = feed_stream.sparkSession
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
-        ivm_apply_batch(spark, batch_df, state_dir, batch_id)
+        ivm_apply_batch(spark, batch_df, state_dir, batch_id, retain=retain)
 
     return (
         feed_stream.writeStream.foreachBatch(body)
@@ -351,11 +366,14 @@ def ivm_view_stream(
     )
 
 
-def read_ivm_view(spark: SparkSession, state_dir: str) -> DataFrame:
+def read_ivm_view(
+    spark: SparkSession, state_dir: str, version: int | None = None
+) -> DataFrame:
     """The maintained view, read from the newest committed version —
+    or AS OF a retained ``version`` (snapshot-isolation time travel) —
     live pairs only (n_rows > 0), nations order, the
     cdc_ivm_join_view_bidi readout shape."""
-    v = _ivm_read_state(spark, state_dir)["V"]
+    v = _ivm_read_state(spark, state_dir, version=version)["V"]
     return (
         v.filter(F.col("n_rows") > 0)
         .select("c_nationkey", "n_rows", "cents_sum")
@@ -764,7 +782,7 @@ def vector_changelog_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stage_ordered_chunks(
     spark: SparkSession, df: DataFrame, order_col: str, n: int,
-    feed_dir: str,
+    feed_dir: str, bounds: list | None = None,
 ) -> None:
     """Stage ``df`` as ``n`` files in ``feed_dir`` that a parquet
     FileStreamSource consumes IN ORDER of ``order_col`` ranges — the
@@ -777,8 +795,12 @@ def stage_ordered_chunks(
     binlog tail (sources/mysql_binlog.py) or a topic."""
     if _hfs.exists(spark, feed_dir):
         return
-    qs = [i / n for i in range(1, n)]
-    bounds = df.stat.approxQuantile(order_col, qs, 0.0) if qs else []
+    if bounds is None:
+        # bounds may also be passed EXPLICITLY (n-1 upper bounds) when
+        # the chop must be SQL-reproducible — the time-travel key cuts
+        # on custkey % n so an oracle can recompute any prefix
+        qs = [i / n for i in range(1, n)]
+        bounds = df.stat.approxQuantile(order_col, qs, 0.0) if qs else []
     lo = [None] + bounds
     hi = bounds + [None]
     staging = f"{feed_dir}.staging"
@@ -1591,3 +1613,95 @@ FROM terms GROUP BY source ORDER BY source
 
 QUERIES["agg_js_divergence"] = agg_js_divergence
 ORACLES["agg_js_divergence"] = AGG_JS_DIVERGENCE_SQL
+
+
+# --- time travel over the maintained view --------------------------------------
+#
+# The versioned state store already commits a COMPLETE snapshot per
+# micro-batch (one atomic rename); with retention the default 2-deep
+# replay window, that is exactly-once plumbing. Retaining MORE
+# versions turns the same store into snapshot-isolation TIME TRAVEL —
+# the table-format idea (Iceberg/Delta "VERSION AS OF") applied to an
+# incrementally maintained view: auditors read the view as of batch k
+# while the stream keeps advancing, and a bad upstream batch can be
+# diagnosed by diffing adjacent versions. Reader cost is one pinned
+# version's V store (nations-sized) regardless of history length.
+
+
+def cdc_ivm_view_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-maintained bidi view read AS OF an INTERMEDIATE
+    version. The multiplexed feed is staged as 4 files cut on
+    o_custkey % 4 (an explicit, SQL-reproducible chop — unlike the
+    quantile chop, an oracle can recompute any prefix), consumed with
+    maxFilesPerTrigger=1 under retain=None so every batch's snapshot
+    survives. The readout pins version 1 — the state after exactly
+    the custkey%4 IN (0,1) slice of BOTH feeds — and the oracle
+    recomputes the batch bidi view under that key restriction. A
+    retention bug (v1 pruned), a version that tore across the L/R/V
+    stores, or a batch that leaked keys across the chop all break the
+    hash; pytest additionally proves EVERY retained version equals
+    its prefix recompute and that the default retention still prunes.
+    Scale: retained versions cost one nations-sized V + two key-sized
+    L/R stores each — snapshot expiry bounds it exactly like a table
+    format; the pinned read never touches other versions."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}:ivmtt".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"ivm_tt_{tag}")
+    feed_dir, state_dir, ckpt = (
+        f"{root}/feed", f"{root}/state", f"{root}/ckpt",
+    )
+    feed = multiplexed_ivm_feed(spark, sf_dir).withColumn(
+        "__bucket", (F.col("o_custkey") % 4).cast("long")
+    )
+    stage_ordered_chunks(
+        spark, feed, "__bucket", 4, feed_dir, bounds=[0, 1, 2]
+    )
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    q = (
+        ivm_view_stream(
+            stream, state_dir, ckpt, query_name="cdc_ivm_tt", retain=None
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_ivm_view(spark, state_dir, version=1).withColumn(
+        "as_of_version", F.lit(1).cast("int")
+    )
+
+
+def _cdc_ivm_view_time_travel_sql() -> str:
+    from mysql_cdc_table_spark.cdc.synthetic import CHANGELOG_CTE
+    from mysql_cdc_table_spark.operators.round11 import (
+        DIM_CHANGELOG_CTE,
+        _RANKED_BOTH_CTES,
+    )
+
+    return f"""
+WITH {CHANGELOG_CTE},
+{DIM_CHANGELOG_CTE},
+{_RANKED_BOTH_CTES}
+SELECT r.c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(l.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_sum,
+       CAST(1 AS INTEGER) AS as_of_version
+FROM ranked_l l JOIN ranked_r r ON r.c_custkey = l.o_custkey
+WHERE l.__rn = 1 AND l.__op <> 0 AND r.__rn = 1 AND r.__op <> 0
+  AND l.o_custkey % 4 <= 1
+GROUP BY r.c_nationkey
+ORDER BY r.c_nationkey
+"""
+
+
+QUERIES["cdc_ivm_view_time_travel"] = cdc_ivm_view_time_travel
+ORACLES["cdc_ivm_view_time_travel"] = _cdc_ivm_view_time_travel_sql()

@@ -315,6 +315,10 @@ def main() -> None:
         # a 10-bin grid; JSD is one doc scan to a sources x langs grid
         "agg_psi_drift",
         "agg_js_divergence",
+        # round 12 third wave: time-travel read of the versioned IVM
+        # store — the first (untimed) call runs the 4-batch stream;
+        # timed calls are resume-noop + one pinned-version read
+        "cdc_ivm_view_time_travel",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

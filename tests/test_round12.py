@@ -988,3 +988,135 @@ def test_jsd_plan_grid_joins_broadcast(spark, sf_dir):
     assert count_nodes(df, "Window") == 0, plan
     assert count_nodes(df, "SortMergeJoin") == 0, plan
     assert "Broadcast" in plan, plan
+
+
+# --- time travel over the maintained view --------------------------------------
+
+
+def _prefix_bidi_view(spark, sf_dir, max_bucket):
+    """Ground truth for version v<max_bucket>: the bidi view recomputed
+    from both latest states restricted to custkeys in buckets
+    0..max_bucket (the explicit chop the time-travel feed stages)."""
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+    from mysql_cdc_table_spark.operators.round11 import _dim_changelog
+
+    lo = _latest(
+        synthetic_changelog(spark, sf_dir), ["o_orderkey"]
+    ).filter(F.col("o_custkey") % 4 <= max_bucket)
+    rd = (
+        _dim_changelog(spark, sf_dir)
+        .filter(F.col("c_custkey") % 4 <= max_bucket)
+        .groupBy("c_custkey")
+        .agg(
+            F.expr(
+                "max_by(struct(__op, c_nationkey), struct(__gtid, __image_seq))"
+            ).alias("last")
+        )
+        .filter(F.col("last.__op") != 0)
+        .select(
+            F.col("c_custkey").alias("o_custkey"),
+            F.col("last.c_nationkey").alias("c_nationkey"),
+        )
+    )
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    return (
+        lo.join(rd, "o_custkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(cents).cast("long").alias("cents_sum"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def _latest(df, key):
+    from mysql_cdc_table_spark.cdc import ops
+
+    return ops.latest_state(df, key)
+
+
+def _run_tt_stream(spark, sf_dir, root, retain):
+    from mysql_cdc_table_spark.operators.round12 import (
+        ivm_view_stream,
+        multiplexed_ivm_feed,
+        stage_ordered_chunks,
+    )
+
+    feed = multiplexed_ivm_feed(spark, sf_dir).withColumn(
+        "__bucket", (F.col("o_custkey") % 4).cast("long")
+    )
+    stage_ordered_chunks(
+        spark, feed, "__bucket", 4, f"{root}/feed", bounds=[0, 1, 2]
+    )
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/feed")
+    )
+    q = (
+        ivm_view_stream(
+            stream, f"{root}/state", f"{root}/ckpt",
+            query_name=f"tt_{uuid.uuid4().hex[:8]}", retain=retain,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return f"{root}/state"
+
+
+def test_time_travel_every_version_equals_prefix_recompute(spark, sf_dir):
+    """With retain=None all 4 versions survive, and EVERY one must
+    equal the batch recompute over its bucket prefix — a torn commit,
+    a key leaking across the chop, or a delta double-applied at any
+    seam diverges at that version."""
+    from mysql_cdc_table_spark.operators.round12 import (
+        _ivm_versions,
+        read_ivm_view,
+    )
+
+    root = tempfile.mkdtemp(prefix="ivm_tt_test_")
+    shutil.rmtree(root)
+    state = _run_tt_stream(spark, sf_dir, root, retain=None)
+    try:
+        assert _ivm_versions(spark, state) == [0, 1, 2, 3]
+        for v in range(4):
+            got = read_ivm_view(spark, state, version=v).collect()
+            want = _prefix_bidi_view(spark, sf_dir, v).collect()
+            assert [tuple(r) for r in got] == [tuple(r) for r in want], (
+                f"version {v} diverged from its prefix recompute"
+            )
+        # the final version IS the full view
+        full = read_ivm_view(spark, state).collect()
+        assert [tuple(r) for r in full] == [
+            tuple(r)
+            for r in read_ivm_view(spark, state, version=3).collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_time_travel_default_retention_prunes(spark, sf_dir):
+    """The same stream under the DEFAULT retention must keep only the
+    last two versions — retain=None is an explicit opt-in, not a
+    behavior change to the exactly-once replay window."""
+    from mysql_cdc_table_spark.operators.round12 import (
+        _ivm_versions,
+        read_ivm_view,
+    )
+
+    root = tempfile.mkdtemp(prefix="ivm_tt_test_")
+    shutil.rmtree(root)
+    state = _run_tt_stream(spark, sf_dir, root, retain=2)
+    try:
+        assert _ivm_versions(spark, state) == [2, 3]
+        try:
+            read_ivm_view(spark, state, version=0)
+            raised = False
+        except ValueError as e:
+            raised = True
+            assert "not retained" in str(e)
+        assert raised, "pinning a pruned version must raise, not read junk"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
