@@ -546,8 +546,8 @@ ROUND11_LATE_KEYS: tuple[str, ...] = ()
 # --- round 12 ----------------------------------------------------------------
 #
 # Window arithmetic this round (50 slots): no round-11 late keys, so
-# the 12 round-12 new keys lead, then 4 re-verify slots for the code
-# round 12 ACTUALLY touches — leaving 34 backfill slots, still
+# the 13 round-12 new keys lead, then 4 re-verify slots for the code
+# round 12 ACTUALLY touches — leaving 33 backfill slots, still
 # clearing the 24 r05-stale rows (window/basic-relational family, the
 # r11 verdict's named target) and reaching into the r06 tail.
 
@@ -570,8 +570,11 @@ ROUND12_NEW_KEYS: tuple[str, ...] = (
     "agg_js_divergence",
     # third wave: snapshot-isolation time travel over the versioned
     # streaming-IVM state store (retain=None + a SQL-reproducible
-    # custkey%4 feed chop so any prefix has a batch oracle)
+    # custkey%4 feed chop so any prefix has a batch oracle), and
+    # Holt-Winters additive (the seasonal recursion holt_linear
+    # cannot express; same bounded-frame fold idiom)
     "cdc_ivm_view_time_travel",
+    "ts_holt_winters",
 )
 
 # Operators whose implementation round 12 touches: the full-outer key

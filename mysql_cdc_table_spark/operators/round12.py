@@ -1705,3 +1705,112 @@ ORDER BY r.c_nationkey
 
 QUERIES["cdc_ivm_view_time_travel"] = cdc_ivm_view_time_travel
 ORACLES["cdc_ivm_view_time_travel"] = _cdc_ivm_view_time_travel_sql()
+
+
+# --- Holt-Winters additive (triple exponential smoothing) ----------------------
+
+HW_ALPHA = 0.3  # level
+HW_GAMMA = 0.2  # trend
+HW_DELTA = 0.25  # seasonal
+HW_SEASON = 4  # season length m
+HW_FRAME = 24  # trailing frame (6 seasons)
+
+
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE (triple-exponential) smoothing per user:
+    level, trend AND an m-long seasonal ring — the recursion
+    ts_holt_linear cannot express (its flat forecast lags any
+    periodic series). Same bounded-frame fold idiom: the trailing 24
+    values fold ONCE left-to-right with a (level, trend, ring) STRUCT
+    accumulator —
+      l_t = a*(x_t - s_{t-m}) + (1-a)*(l_{t-1} + b_{t-1});
+      b_t = g*(l_t - l_{t-1}) + (1-g)*b_{t-1};
+      s_t = d*(x_t - l_t) + (1-d)*s_{t-m};  ring <- ring[2:] ++ [s_t]
+    — seeded l_1 = x_1, b_1 = 0 and a ZERO ring (the crude-init
+    variant: uniform at every frame length, so short early frames need
+    no branch; the seasonals warm up inside the frame). One-step
+    forecast = l + b + ring[1] (the next step consumes the ring head).
+    Every step is +,-,* on doubles, so Spark's aggregate() and the
+    oracle's recursive CTE run the identical IEEE sequence
+    (struct-literal lambdas are WRONG on DuckDB — the holt_linear
+    parity note — hence the CTE twin); output floor-quantized to
+    millionths. O(frame) per row, frame never leaves its partition."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(HW_FRAME - 1), 0)
+    )
+    a, g, d, m = HW_ALPHA, HW_GAMMA, HW_DELTA, HW_SEASON
+    l_new = f"({a} * (x - element_at(acc.s, 1)) + {1 - a} * (acc.l + acc.b))"
+    step = (
+        f"(acc, x) -> named_struct("
+        f"'l', {l_new}, "
+        f"'b', {g} * ({l_new} - acc.l) + {1 - g} * acc.b, "
+        f"'s', concat(slice(acc.s, 2, {m - 1}), "
+        f"array({d} * (x - {l_new}) + {1 - d} * element_at(acc.s, 1))))"
+    )
+    fold = F.expr(
+        f"aggregate("
+        f"  slice(vals, 2, greatest(size(vals) - 1, 0)),"
+        f"  named_struct('l', element_at(vals, 1), 'b', cast(0.0 as double),"
+        f"               's', array_repeat(cast(0.0 as double), {m})),"
+        f"  {step})"
+    )
+    return (
+        ev.withColumn("vals", F.collect_list("value").over(w))
+        .withColumn("acc", fold)
+        .select(
+            "event_id",
+            "user_id",
+            F.floor(F.col("acc.l") * 1_000_000).cast("long").alias("level_e6"),
+            F.floor(
+                (
+                    F.col("acc.l")
+                    + F.col("acc.b")
+                    + F.element_at(F.col("acc.s"), 1)
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("forecast_e6"),
+        )
+    )
+
+
+def _ts_holt_winters_sql() -> str:
+    a, g, d, m = HW_ALPHA, HW_GAMMA, HW_DELTA, HW_SEASON
+    zeros = ", ".join(["CAST(0.0 AS DOUBLE)"] * m)
+    l_new = f"({a} * (vals[i + 1] - s[1]) + {1 - a} * (l + b))"
+    return f"""
+WITH RECURSIVE framed AS (
+  SELECT event_id, user_id,
+         list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {HW_FRAME - 1} PRECEDING AND CURRENT ROW
+         ) AS vals
+  FROM events
+), rec AS (
+  SELECT event_id, user_id, vals, 1 AS i,
+         vals[1] AS l, CAST(0.0 AS DOUBLE) AS b, [{zeros}] AS s
+  FROM framed
+  UNION ALL
+  SELECT event_id, user_id, vals, i + 1,
+         {l_new},
+         {g} * ({l_new} - l) + {1 - g} * b,
+         s[2:] || [{d} * (vals[i + 1] - {l_new}) + {1 - d} * s[1]]
+  FROM rec WHERE i < len(vals)
+)
+SELECT event_id, user_id,
+       CAST(floor(l * 1000000) AS BIGINT) AS level_e6,
+       CAST(floor((l + b + s[1]) * 1000000) AS BIGINT) AS forecast_e6
+FROM rec WHERE i = len(vals)
+"""
+
+
+QUERIES["ts_holt_winters"] = ts_holt_winters
+ORACLES["ts_holt_winters"] = _ts_holt_winters_sql()

@@ -319,6 +319,9 @@ def main() -> None:
         # store — the first (untimed) call runs the 4-batch stream;
         # timed calls are resume-noop + one pinned-version read
         "cdc_ivm_view_time_travel",
+        # round 12: Holt-Winters — one user-partition window, O(frame)
+        # struct fold per row; the frame never leaves its partition
+        "ts_holt_winters",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

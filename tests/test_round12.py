@@ -1120,3 +1120,103 @@ def test_time_travel_default_retention_prunes(spark, sf_dir):
         assert raised, "pinning a pruned version must raise, not read junk"
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --- Holt-Winters additive ------------------------------------------------------
+
+
+def test_holt_winters_matches_python_golden_recursion(spark):
+    """The Spark fold must reproduce the reference recursion computed
+    in plain Python on a deterministic series — a ring rotated the
+    wrong way, an off-by-one seasonal index, or DuckDB's struct-lambda
+    hazard sneaking into the Spark side all diverge within a few
+    steps."""
+    import math
+
+    from mysql_cdc_table_spark.operators.round12 import (
+        HW_ALPHA,
+        HW_DELTA,
+        HW_FRAME,
+        HW_GAMMA,
+        HW_SEASON,
+        ts_holt_winters,
+    )
+
+    vals = [10.0, 20.0, 15.0, 30.0] * 8  # 32 points, period 4
+    rows = [
+        (i, 1, f"2024-01-01 00:{i:02d}:00", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="hw_golden_")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = {
+        r["event_id"]: (r["level_e6"], r["forecast_e6"])
+        for r in ts_holt_winters(spark, d).collect()
+    }
+
+    a, g, dd, m = HW_ALPHA, HW_GAMMA, HW_DELTA, HW_SEASON
+    for t in range(len(vals)):
+        frame = vals[max(0, t - HW_FRAME + 1): t + 1]
+        l, b, s = frame[0], 0.0, [0.0] * m
+        for x in frame[1:]:
+            l_new = a * (x - s[0]) + (1 - a) * (l + b)
+            b_new = g * (l_new - l) + (1 - g) * b
+            s = s[1:] + [dd * (x - l_new) + (1 - dd) * s[0]]
+            l, b = l_new, b_new
+        want = (
+            math.floor(l * 1_000_000),
+            math.floor((l + b + s[0]) * 1_000_000),
+        )
+        assert got[t] == want, f"step {t}: {got[t]} != {want}"
+
+
+def test_holt_winters_seasonal_term_is_load_bearing(spark, sf_dir):
+    """On a periodic series the HW one-step forecast must beat Holt
+    linear (which has no seasonal memory) — guard that the ring
+    actually contributes, not just decorates the struct."""
+    from mysql_cdc_table_spark.operators.round12 import ts_holt_winters
+    from mysql_cdc_table_spark.operators.round7 import ts_holt_linear
+
+    vals = [10.0, 20.0, 15.0, 30.0] * 10
+    rows = [
+        (i, 1, f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}", v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="hw_season_")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    hw = {
+        r["event_id"]: r["forecast_e6"] / 1e6
+        for r in ts_holt_winters(spark, d).collect()
+    }
+    hl = {
+        r["event_id"]: r["forecast_e6"] / 1e6
+        for r in ts_holt_linear(spark, d).collect()
+    }
+    # compare one-step-ahead errors over the settled tail (2 seasons in)
+    hw_err = sum(abs(hw[t] - vals[t + 1]) for t in range(8, len(vals) - 1))
+    hl_err = sum(abs(hl[t] - vals[t + 1]) for t in range(8, len(vals) - 1))
+    assert hw_err < hl_err * 0.8, (hw_err, hl_err)
+
+
+def test_holt_winters_plan_one_window_partition_local(spark, sf_dir):
+    from mysql_cdc_table_spark.operators.round12 import ts_holt_winters
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = ts_holt_winters(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_nodes(df, "Window") == 1, plan
+    assert count_nodes(df, "Join") == 0, plan
+    # one exchange: the user_id partition; the fold itself is local
+    assert count_nodes(df, "Exchange") <= 1, plan
