@@ -546,8 +546,8 @@ ROUND11_LATE_KEYS: tuple[str, ...] = ()
 # --- round 12 ----------------------------------------------------------------
 #
 # Window arithmetic this round (50 slots): no round-11 late keys, so
-# the 13 round-12 new keys lead, then 4 re-verify slots for the code
-# round 12 ACTUALLY touches — leaving 33 backfill slots, still
+# the 15 round-12 new keys lead, then 4 re-verify slots for the code
+# round 12 ACTUALLY touches — leaving 31 backfill slots, still
 # clearing the 24 r05-stale rows (window/basic-relational family, the
 # r11 verdict's named target) and reaching into the r06 tail.
 
@@ -575,6 +575,12 @@ ROUND12_NEW_KEYS: tuple[str, ...] = (
     # cannot express; same bounded-frame fold idiom)
     "cdc_ivm_view_time_travel",
     "ts_holt_winters",
+    # fourth wave: the HOLISTIC aggregates (median, mode) — no
+    # constant-size state can maintain them, but the MIN/MAX key's
+    # support multiset is their sufficient statistic; both readouts
+    # run over the support grid, never events
+    "cdc_ivm_median_view",
+    "cdc_ivm_mode_view",
 )
 
 # Operators whose implementation round 12 touches: the full-outer key

@@ -1814,3 +1814,165 @@ FROM rec WHERE i = len(vals)
 
 QUERIES["ts_holt_winters"] = ts_holt_winters
 ORACLES["ts_holt_winters"] = _ts_holt_winters_sql()
+
+
+# --- IVM holistic aggregates: median and mode off the support table ------------
+#
+# Fourth wave of the algebra: the HOLISTIC aggregates. Median and mode
+# cannot be maintained with ANY constant-size per-group state (they
+# depend on the full value distribution), but the same (group, value)
+# support multiset the MIN/MAX key maintains IS their sufficient
+# statistic: mode = argmax multiplicity, median = weighted median of
+# the (value, multiplicity) grid. The signed fold stays the only
+# event-sized pass; both readouts run over the support grid.
+
+
+def cdc_ivm_median_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained MEDIAN per group — the canonical holistic aggregate:
+    per latest order status, the LOWER WEIGHTED MEDIAN of live order
+    prices (smallest cents value whose cumulative multiplicity reaches
+    half the group's total — exact integer arithmetic, no
+    interpolation, so both engines agree bit-for-bit; for odd totals
+    this IS the median). The signed fold maintains the (status, cents)
+    support multiset; the readout is one cumulative window over the
+    support grid ordered by cents + a broadcast totals join. Shape at
+    100 TB: the event-sized pass is the map-side fold; the window's
+    input is (statuses x distinct prices), never events — the same
+    grid-not-rows discipline as the rank statistics."""
+    from pyspark.sql import Window
+
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+
+    cl = synthetic_changelog(spark, sf_dir)
+    sgn = F.when(F.col("__op").isin(1, 3), F.lit(1)).otherwise(F.lit(-1))
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    support = (
+        cl.select("o_orderstatus", cents.alias("cents"), sgn.alias("sgn"))
+        .groupBy("o_orderstatus", "cents")
+        .agg(F.sum("sgn").cast("long").alias("m"))
+        .filter(F.col("m") > 0)
+    )
+    totals = support.groupBy("o_orderstatus").agg(
+        F.sum("m").cast("long").alias("n_alive")
+    )
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = support.withColumn("cum", F.sum("m").over(w))
+    return (
+        cum.join(F.broadcast(totals), "o_orderstatus")
+        .filter(F.col("cum") * 2 >= F.col("n_alive"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.min("cents").alias("median_cents"),
+            F.max("n_alive").alias("n_alive"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def _cdc_ivm_median_view_sql() -> str:
+    from mysql_cdc_table_spark.cdc.synthetic import CHANGELOG_CTE
+
+    return f"""
+WITH {CHANGELOG_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey
+      ORDER BY __gtid DESC, __event_seq DESC, __image_seq DESC) AS __rn
+  FROM changelog
+),
+support AS (
+  SELECT o_orderstatus,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS m
+  FROM ranked
+  WHERE __rn = 1 AND __op <> 0
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT o_orderstatus, cents, m,
+         sum(m) OVER (PARTITION BY o_orderstatus ORDER BY cents) AS cum,
+         sum(m) OVER (PARTITION BY o_orderstatus) AS n_alive
+  FROM support
+)
+SELECT o_orderstatus,
+       CAST(min(cents) AS BIGINT) AS median_cents,
+       CAST(max(n_alive) AS BIGINT) AS n_alive
+FROM cum
+WHERE cum * 2 >= n_alive
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+QUERIES["cdc_ivm_median_view"] = cdc_ivm_median_view
+ORACLES["cdc_ivm_median_view"] = _cdc_ivm_median_view_sql()
+
+
+def cdc_ivm_mode_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained MODE per group: the most frequent live order price
+    (per latest status), ties broken by the SMALLEST cents value so
+    the readout is deterministic cross-engine. mode = one max_by over
+    the maintained support multiset — argmax multiplicity, holistic
+    like median but with a cheaper (aggregate, not window) readout.
+    Exposes the winning multiplicity; a stale support row or a
+    tie-break inversion flips the hash. Same scale shape as the other
+    support readouts: map-side fold, then a statuses-sized argmax."""
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+
+    cl = synthetic_changelog(spark, sf_dir)
+    sgn = F.when(F.col("__op").isin(1, 3), F.lit(1)).otherwise(F.lit(-1))
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    support = (
+        cl.select("o_orderstatus", cents.alias("cents"), sgn.alias("sgn"))
+        .groupBy("o_orderstatus", "cents")
+        .agg(F.sum("sgn").cast("long").alias("m"))
+        .filter(F.col("m") > 0)
+    )
+    return (
+        support.groupBy("o_orderstatus")
+        .agg(
+            F.expr("max_by(cents, struct(m, -cents))").alias("mode_cents"),
+            F.max("m").cast("long").alias("mode_m"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def _cdc_ivm_mode_view_sql() -> str:
+    from mysql_cdc_table_spark.cdc.synthetic import CHANGELOG_CTE
+
+    return f"""
+WITH {CHANGELOG_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey
+      ORDER BY __gtid DESC, __event_seq DESC, __image_seq DESC) AS __rn
+  FROM changelog
+),
+support AS (
+  SELECT o_orderstatus,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS m
+  FROM ranked
+  WHERE __rn = 1 AND __op <> 0
+  GROUP BY 1, 2
+)
+SELECT o_orderstatus, mode_cents, mode_m
+FROM (
+  SELECT o_orderstatus, cents AS mode_cents, m AS mode_m,
+         row_number() OVER (
+           PARTITION BY o_orderstatus
+           ORDER BY m DESC, cents ASC) AS rk
+  FROM support
+)
+WHERE rk = 1
+ORDER BY o_orderstatus
+"""
+
+
+QUERIES["cdc_ivm_mode_view"] = cdc_ivm_mode_view
+ORACLES["cdc_ivm_mode_view"] = _cdc_ivm_mode_view_sql()

@@ -322,6 +322,11 @@ def main() -> None:
         # round 12: Holt-Winters — one user-partition window, O(frame)
         # struct fold per row; the frame never leaves its partition
         "ts_holt_winters",
+        # round 12 fourth wave: holistic aggregates off the support
+        # multiset — median is one support-grid window + broadcast
+        # totals; mode is one max_by argmax
+        "cdc_ivm_median_view",
+        "cdc_ivm_mode_view",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

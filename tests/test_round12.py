@@ -1220,3 +1220,79 @@ def test_holt_winters_plan_one_window_partition_local(spark, sf_dir):
     assert count_nodes(df, "Join") == 0, plan
     # one exchange: the user_id partition; the fold itself is local
     assert count_nodes(df, "Exchange") <= 1, plan
+
+
+# --- IVM holistic aggregates: median + mode -------------------------------------
+
+
+def test_median_view_equals_latest_state_recompute(spark, sf_dir):
+    """The support-grid weighted median must equal the lower median
+    computed directly over the ranked latest state (sort each group's
+    live cents, take element ceil(n/2))."""
+    from mysql_cdc_table_spark.operators.round12 import cdc_ivm_median_view
+
+    got = {
+        r["o_orderstatus"]: (r["median_cents"], r["n_alive"])
+        for r in cdc_ivm_median_view(spark, sf_dir).collect()
+    }
+    latest = _latest_alive(spark, sf_dir).select(
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    by_status = {}
+    for r in latest.collect():
+        by_status.setdefault(r["o_orderstatus"], []).append(r["cents"])
+    for s, vals in by_status.items():
+        vals.sort()
+        want = vals[(len(vals) + 1) // 2 - 1]  # lower median
+        assert got[s] == (want, len(vals)), s
+
+
+def test_median_view_window_runs_over_support_grid(spark, sf_dir):
+    """The cumulative window's input must be the support aggregate
+    (grid-sized), not raw changelog events — same discipline as the
+    top-k readout."""
+    from mysql_cdc_table_spark.operators.round12 import cdc_ivm_median_view
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = cdc_ivm_median_view(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_nodes(df, "Window") - count_nodes(df, "WindowGroupLimit") == 1, plan
+    lines = plan.splitlines()
+    win = next(i for i, l in enumerate(lines) if "Window" in l)
+    aggs = [i for i, l in enumerate(lines) if "HashAggregate" in l]
+    assert aggs and win < max(aggs), plan
+    assert count_nodes(df, "SortMergeJoin") == 0, plan
+
+
+def test_mode_view_equals_latest_state_recompute(spark, sf_dir):
+    from mysql_cdc_table_spark.operators.round12 import cdc_ivm_mode_view
+
+    got = {
+        r["o_orderstatus"]: (r["mode_cents"], r["mode_m"])
+        for r in cdc_ivm_mode_view(spark, sf_dir).collect()
+    }
+    latest = _latest_alive(spark, sf_dir).select(
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    import collections
+
+    counts = collections.defaultdict(collections.Counter)
+    for r in latest.collect():
+        counts[r["o_orderstatus"]][r["cents"]] += 1
+    for s, c in counts.items():
+        best_m = max(c.values())
+        best_v = min(v for v, n in c.items() if n == best_m)
+        assert got[s] == (best_v, best_m), s
+
+
+def test_mode_view_plan_no_window_no_join(spark, sf_dir):
+    from mysql_cdc_table_spark.operators.round12 import cdc_ivm_mode_view
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = cdc_ivm_mode_view(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_nodes(df, "Window") == 0, plan
+    assert count_nodes(df, "Join") == 0, plan
+    assert "partial" in plan.lower()
