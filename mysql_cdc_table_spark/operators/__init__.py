@@ -546,8 +546,8 @@ ROUND11_LATE_KEYS: tuple[str, ...] = ()
 # --- round 12 ----------------------------------------------------------------
 #
 # Window arithmetic this round (50 slots): no round-11 late keys, so
-# the 15 round-12 new keys lead, then 4 re-verify slots for the code
-# round 12 ACTUALLY touches — leaving 31 backfill slots, still
+# the 16 round-12 new keys lead, then 4 re-verify slots for the code
+# round 12 ACTUALLY touches — leaving 30 backfill slots, still
 # clearing the 24 r05-stale rows (window/basic-relational family, the
 # r11 verdict's named target) and reaching into the r06 tail.
 
@@ -581,6 +581,10 @@ ROUND12_NEW_KEYS: tuple[str, ...] = (
     # run over the support grid, never events
     "cdc_ivm_median_view",
     "cdc_ivm_mode_view",
+    # Cramér–von Mises joins KS/PSI in the drift family: squared ECDF
+    # gap integrated over the fixed grid, per-bucket-term output (the
+    # order-free PSI discipline)
+    "agg_cvm_two_sample",
 )
 
 # Operators whose implementation round 12 touches: the full-outer key

@@ -1277,7 +1277,8 @@ def emb_label_stats_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_EMB_Q = ", ".join(
-    f"sum(CAST(floor(CAST(embedding[{i+1}] AS DOUBLE) * 1000000.0) AS BIGINT)) AS qs{i}"
+    f"CAST(sum(CAST(floor(CAST(embedding[{i+1}] AS DOUBLE) * 1000000.0)"
+    f" AS BIGINT)) AS BIGINT) AS qs{i}"
     for i in range(EMB_STATS_DIMS)
 )
 
@@ -1976,3 +1977,110 @@ ORDER BY o_orderstatus
 
 QUERIES["cdc_ivm_mode_view"] = cdc_ivm_mode_view
 ORACLES["cdc_ivm_mode_view"] = _cdc_ivm_mode_view_sql()
+
+
+# --- Cramér–von Mises two-sample over the fixed grid ----------------------------
+
+
+def agg_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér–von Mises two-sample terms between the same two order
+    epochs as agg_psi_drift — CvM integrates the SQUARED ECDF gap over
+    the whole distribution where KS takes only the max, so it sees
+    broad small shifts KS misses. Values bin to a fixed 64-cell grid
+    (floor(price/8000) capped — binned CvM is the scan-friendly form;
+    the un-binned statistic needs a pooled sort). Output is PER-BUCKET:
+    counts a/b (exact BIGINTs), cumulative A/B via a window over the
+    64-row grid, and the term (a+b)*(A/n - B/m)^2 — each term a
+    deterministic IEEE expression of ITS OWN bucket's integers (round
+    6), never a cross-row float sum, so the hash is order-free (the
+    agg_psi_drift discipline). Σ terms * nm/(n+m)^2 is the statistic.
+    One fact scan -> 64-row map-side aggregate; spine, totals and the
+    cumulative window are all grid-sized."""
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders")
+    pivot = F.lit("1998-07-01 00:00:00").cast("timestamp")
+    bin_ = F.least(F.floor(F.col("o_totalprice") / 8000), F.lit(63)).cast(
+        "int"
+    )
+    counts = (
+        orders.select(
+            bin_.alias("bin"),
+            F.when(F.col("o_orderdate") < pivot, 1).otherwise(0).alias("r"),
+            F.when(F.col("o_orderdate") >= pivot, 1).otherwise(0).alias("c"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("r").cast("long").alias("a_cnt"),
+            F.sum("c").cast("long").alias("b_cnt"),
+        )
+    )
+    spine = spark.range(64).select(F.col("id").cast("int").alias("bin"))
+    filled = spine.join(F.broadcast(counts), "bin", "left").select(
+        "bin",
+        F.coalesce("a_cnt", F.lit(0)).cast("long").alias("a_cnt"),
+        F.coalesce("b_cnt", F.lit(0)).cast("long").alias("b_cnt"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = filled.select(
+        "bin",
+        "a_cnt",
+        "b_cnt",
+        F.sum("a_cnt").over(w).cast("long").alias("a_cum"),
+        F.sum("b_cnt").over(w).cast("long").alias("b_cum"),
+    )
+    totals = filled.agg(
+        F.sum("a_cnt").cast("long").alias("n"),
+        F.sum("b_cnt").cast("long").alias("m"),
+    )
+    gap = (
+        F.col("a_cum") / F.col("n").cast("double")
+        - F.col("b_cum") / F.col("m").cast("double")
+    )
+    return (
+        cum.join(F.broadcast(totals))
+        .select(
+            "bin",
+            "a_cnt",
+            "b_cnt",
+            (
+                F.round((F.col("a_cnt") + F.col("b_cnt")) * gap * gap, 6)
+                + F.lit(0.0)
+            ).alias("cvm_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+AGG_CVM_TWO_SAMPLE_SQL = """
+WITH counts AS (
+  SELECT CAST(least(floor(o_totalprice / 8000), 63) AS INTEGER) AS bin,
+         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-07-01' THEN 1
+                       ELSE 0 END) AS BIGINT) AS a_cnt,
+         CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-07-01' THEN 1
+                       ELSE 0 END) AS BIGINT) AS b_cnt
+  FROM orders GROUP BY 1
+),
+filled AS (
+  SELECT CAST(s.range AS INTEGER) AS bin,
+         COALESCE(c.a_cnt, 0) AS a_cnt, COALESCE(c.b_cnt, 0) AS b_cnt
+  FROM range(64) s LEFT JOIN counts c ON c.bin = s.range
+),
+cum AS (
+  SELECT bin, a_cnt, b_cnt,
+         CAST(sum(a_cnt) OVER (ORDER BY bin) AS BIGINT) AS a_cum,
+         CAST(sum(b_cnt) OVER (ORDER BY bin) AS BIGINT) AS b_cum
+  FROM filled
+),
+tot AS (SELECT sum(a_cnt) AS n, sum(b_cnt) AS m FROM filled)
+SELECT bin, a_cnt, b_cnt,
+       round((a_cnt + b_cnt)
+             * (CAST(a_cum AS DOUBLE) / n - CAST(b_cum AS DOUBLE) / m)
+             * (CAST(a_cum AS DOUBLE) / n - CAST(b_cum AS DOUBLE) / m), 6)
+       + 0.0 AS cvm_term
+FROM cum CROSS JOIN tot
+ORDER BY bin
+"""
+
+QUERIES["agg_cvm_two_sample"] = agg_cvm_two_sample
+ORACLES["agg_cvm_two_sample"] = AGG_CVM_TWO_SAMPLE_SQL

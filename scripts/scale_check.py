@@ -327,6 +327,9 @@ def main() -> None:
         # totals; mode is one max_by argmax
         "cdc_ivm_median_view",
         "cdc_ivm_mode_view",
+        # round 12: CvM — one fact scan to a 64-cell grid; cumulative
+        # window + totals both grid-sized (the PSI/KS family shape)
+        "agg_cvm_two_sample",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

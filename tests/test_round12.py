@@ -1296,3 +1296,63 @@ def test_mode_view_plan_no_window_no_join(spark, sf_dir):
     assert count_nodes(df, "Window") == 0, plan
     assert count_nodes(df, "Join") == 0, plan
     assert "partial" in plan.lower()
+
+
+# --- Cramér–von Mises two-sample -------------------------------------------------
+
+
+def test_cvm_grid_complete_nonnegative_and_single_scan(spark, sf_dir):
+    from mysql_cdc_table_spark.operators.round12 import agg_cvm_two_sample
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = agg_cvm_two_sample(spark, sf_dir)
+    rows = df.collect()
+    assert [r["bin"] for r in rows] == list(range(64))
+    assert all(r["cvm_term"] >= 0.0 for r in rows)
+    assert sum(r["a_cnt"] for r in rows) > 0
+    assert sum(r["b_cnt"] for r in rows) > 0
+    # last bucket's ECDFs both reach 1 -> gap 0 -> term exactly 0
+    assert rows[-1]["cvm_term"] == 0.0
+    plan = formatted_plan(df)
+    assert_no_cartesian(df)
+    assert count_nodes(df, "SortMergeJoin") == 0, plan
+    # the one window runs over the 64-row grid, above the aggregate
+    lines = plan.splitlines()
+    win = next(i for i, l in enumerate(lines) if "Window" in l)
+    aggs = [i for i, l in enumerate(lines) if "HashAggregate" in l]
+    assert aggs and win < max(aggs), plan
+
+
+def test_cvm_identical_samples_all_terms_zero(spark, sf_dir):
+    """Splitting one population against itself (same predicate both
+    sides) must zero every term — a cumulative off-by-one or an n/m
+    swap shows up immediately."""
+    from pyspark.sql import Window
+
+    from mysql_cdc_table_spark.catalog import load_table as t
+
+    orders = t(spark, sf_dir, "orders")
+    bin_ = F.least(F.floor(F.col("o_totalprice") / 8000), F.lit(63)).cast("int")
+    counts = (
+        orders.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("a_cnt"))
+        .withColumn("b_cnt", F.col("a_cnt"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "bin", "a_cnt", "b_cnt",
+        F.sum("a_cnt").over(w).alias("a_cum"),
+        F.sum("b_cnt").over(w).alias("b_cum"),
+    )
+    totals = counts.agg(
+        F.sum("a_cnt").alias("n"), F.sum("b_cnt").alias("m")
+    )
+    gap = (
+        F.col("a_cum") / F.col("n").cast("double")
+        - F.col("b_cum") / F.col("m").cast("double")
+    )
+    terms = cum.join(F.broadcast(totals)).select(
+        (F.round((F.col("a_cnt") + F.col("b_cnt")) * gap * gap, 6) + F.lit(0.0)).alias("t")
+    )
+    assert all(r["t"] == 0.0 for r in terms.collect())
