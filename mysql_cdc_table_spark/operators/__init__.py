@@ -546,8 +546,8 @@ ROUND11_LATE_KEYS: tuple[str, ...] = ()
 # --- round 12 ----------------------------------------------------------------
 #
 # Window arithmetic this round (50 slots): no round-11 late keys, so
-# the 16 round-12 new keys lead, then 4 re-verify slots for the code
-# round 12 ACTUALLY touches — leaving 30 backfill slots, still
+# the 17 round-12 new keys lead, then 4 re-verify slots for the code
+# round 12 ACTUALLY touches — leaving 29 backfill slots, still
 # clearing the 24 r05-stale rows (window/basic-relational family, the
 # r11 verdict's named target) and reaching into the r06 tail.
 
@@ -585,6 +585,10 @@ ROUND12_NEW_KEYS: tuple[str, ...] = (
     # gap integrated over the fixed grid, per-bucket-term output (the
     # order-free PSI discipline)
     "agg_cvm_two_sample",
+    # the support table itself maintained across micro-batches with
+    # the versioned exactly-once store — one store, four readouts
+    # (MIN/MAX, top-k, median, mode), batch and streaming
+    "cdc_ivm_streaming_minmax",
 )
 
 # Operators whose implementation round 12 touches: the full-outer key

@@ -2084,3 +2084,152 @@ ORDER BY bin
 
 QUERIES["agg_cvm_two_sample"] = agg_cvm_two_sample
 ORACLES["agg_cvm_two_sample"] = AGG_CVM_TWO_SAMPLE_SQL
+
+
+# --- streaming maintenance of the support table ---------------------------------
+#
+# The batch keys above prove the support multiset is the sufficient
+# statistic for MIN/MAX, top-k, median and mode. This section proves
+# the support table itself is maintainable ACROSS MICRO-BATCHES with
+# the same versioned exactly-once store as the join view: the fold is
+# a keyed signed sum (linear), so the store update is one
+# unionByName + hash aggregate per batch, and every readout of the
+# algebra family works off any committed version.
+
+
+_SUPPORT_SCHEMA = (
+    "o_orderstatus string, cents long, m long"
+)
+
+
+def support_apply_batch(
+    spark: SparkSession, batch_df: DataFrame, state_dir: str, batch_id: int,
+    retain: int | None = 2,
+) -> None:
+    """One micro-batch of support maintenance — the foreachBatch body.
+    batch_df carries (o_orderstatus, cents, sgn) rows; the store holds
+    the net multiplicity per (status, cents). Same commit protocol as
+    ivm_apply_batch: staging write + one atomic version rename,
+    replayed batches return on the existing version. Rows folding to
+    net 0 are dropped from the store (a full insert+delete pair inside
+    the stream leaves no residue — the store is the ALIVE multiset,
+    not the event log)."""
+    import uuid
+
+    if _hfs.exists(spark, f"{state_dir}/v{batch_id}"):
+        return
+    vs = _ivm_versions(spark, state_dir)
+    if vs:
+        state = spark.read.schema(_SUPPORT_SCHEMA).parquet(
+            f"{state_dir}/v{vs[-1]}/S"
+        )
+    else:
+        state = spark.createDataFrame([], _SUPPORT_SCHEMA)
+    delta = (
+        batch_df.groupBy("o_orderstatus", "cents")
+        .agg(F.sum("sgn").cast("long").alias("m"))
+    )
+    new = (
+        state.unionByName(delta)
+        .groupBy("o_orderstatus", "cents")
+        .agg(F.sum("m").cast("long").alias("m"))
+        .filter(F.col("m") != 0)
+    )
+    staging = f"{state_dir}/.staging-{uuid.uuid4().hex[:12]}"
+    new.write.mode("overwrite").parquet(f"{staging}/S")
+    try:
+        _hfs.rename(spark, staging, f"{state_dir}/v{batch_id}")
+    except Exception:
+        _hfs.delete(spark, staging)
+        if not _hfs.exists(spark, f"{state_dir}/v{batch_id}"):
+            raise
+    if retain is not None:
+        for v in _ivm_versions(spark, state_dir)[:-retain]:
+            _hfs.delete(spark, f"{state_dir}/v{v}")
+
+
+def read_support_store(
+    spark: SparkSession, state_dir: str, version: int | None = None
+) -> DataFrame:
+    vs = _ivm_versions(spark, state_dir)
+    if version is not None:
+        if version not in vs:
+            raise ValueError(
+                f"version v{version} not retained in {state_dir}; have {vs}"
+            )
+        vs = [version]
+    if not vs:
+        return spark.createDataFrame([], _SUPPORT_SCHEMA)
+    return spark.read.schema(_SUPPORT_SCHEMA).parquet(
+        f"{state_dir}/v{vs[-1]}/S"
+    )
+
+
+def cdc_ivm_streaming_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MIN/MAX view maintained by a REAL stream: the signed
+    changelog staged as 4 gtid-ordered chunks, consumed with
+    maxFilesPerTrigger=1 through foreachBatch advancing the versioned
+    support store, then the batch key's readout (min/max/n_values per
+    status) runs off the FINAL committed version. The signed fold is
+    linear, so the converged store equals the one-shot fold under any
+    batch chop — the same algebra-commutes-with-chop argument as the
+    join view, now for the support-table family (and with it MIN/MAX,
+    top-k, median and mode: one maintained store, four readouts). The
+    oracle is cdc_ivm_minmax_view's. Scale: per batch one map-side
+    delta fold + one store-sized merge; commit is one rename; the
+    store is (statuses x distinct prices)-sized regardless of stream
+    history."""
+    import hashlib
+    import os
+    import tempfile
+
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}:supstream".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"sup_stream_{tag}")
+    feed_dir, state_dir, ckpt = (
+        f"{root}/feed", f"{root}/state", f"{root}/ckpt",
+    )
+    cl = synthetic_changelog(spark, sf_dir)
+    sgn = F.when(F.col("__op").isin(1, 3), F.lit(1)).otherwise(F.lit(-1))
+    feed = cl.select(
+        "__gtid",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        sgn.cast("long").alias("sgn"),
+    )
+    stage_ordered_chunks(spark, feed, "__gtid", 4, feed_dir)
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        support_apply_batch(spark, batch_df, state_dir, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .queryName("cdc_sup_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    support = read_support_store(spark, state_dir).filter(F.col("m") > 0)
+    return (
+        support.groupBy("o_orderstatus")
+        .agg(
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.count("*").cast("long").alias("n_values"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+QUERIES["cdc_ivm_streaming_minmax"] = cdc_ivm_streaming_minmax
+ORACLES["cdc_ivm_streaming_minmax"] = _cdc_ivm_minmax_view_sql()

@@ -330,6 +330,10 @@ def main() -> None:
         # round 12: CvM — one fact scan to a 64-cell grid; cumulative
         # window + totals both grid-sized (the PSI/KS family shape)
         "agg_cvm_two_sample",
+        # round 12: streamed support store — first (untimed) call runs
+        # the 4-batch stream; timed calls resume-noop + read the
+        # final version and aggregate the grid
+        "cdc_ivm_streaming_minmax",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

@@ -1356,3 +1356,122 @@ def test_cvm_identical_samples_all_terms_zero(spark, sf_dir):
         (F.round((F.col("a_cnt") + F.col("b_cnt")) * gap * gap, 6) + F.lit(0.0)).alias("t")
     )
     assert all(r["t"] == 0.0 for r in terms.collect())
+
+
+# --- streaming support-table maintenance -----------------------------------------
+
+
+def test_streaming_minmax_equals_batch_key(spark, sf_dir):
+    from mysql_cdc_table_spark.operators.round12 import (
+        cdc_ivm_minmax_view,
+        cdc_ivm_streaming_minmax,
+    )
+
+    got = [
+        tuple(r) for r in cdc_ivm_streaming_minmax(spark, sf_dir).collect()
+    ]
+    want = [tuple(r) for r in cdc_ivm_minmax_view(spark, sf_dir).collect()]
+    assert got == want
+    assert len(got) >= 4
+
+
+def test_support_store_one_store_four_readouts(spark, sf_dir):
+    """The streamed store must serve the WHOLE algebra family: median
+    and mode recomputed off the final committed version must equal the
+    batch keys — the point of maintaining the sufficient statistic
+    once instead of four bespoke views."""
+    import hashlib
+
+    from pyspark.sql import Window
+
+    from mysql_cdc_table_spark.operators.round12 import (
+        cdc_ivm_median_view,
+        cdc_ivm_mode_view,
+        cdc_ivm_streaming_minmax,
+        read_support_store,
+    )
+
+    cdc_ivm_streaming_minmax(spark, sf_dir)  # ensure the store is built
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}:supstream".encode()
+    ).hexdigest()[:12]
+    state_dir = f"{tempfile.gettempdir()}/sup_stream_{tag}/state"
+    support = read_support_store(spark, state_dir).filter(F.col("m") > 0)
+
+    totals = support.groupBy("o_orderstatus").agg(
+        F.sum("m").cast("long").alias("n_alive")
+    )
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    median = (
+        support.withColumn("cum", F.sum("m").over(w))
+        .join(F.broadcast(totals), "o_orderstatus")
+        .filter(F.col("cum") * 2 >= F.col("n_alive"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.min("cents").alias("median_cents"),
+            F.max("n_alive").alias("n_alive"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    assert [tuple(r) for r in median.collect()] == [
+        tuple(r) for r in cdc_ivm_median_view(spark, sf_dir).collect()
+    ]
+    mode = (
+        support.groupBy("o_orderstatus")
+        .agg(
+            F.expr("max_by(cents, struct(m, -cents))").alias("mode_cents"),
+            F.max("m").cast("long").alias("mode_m"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    assert [tuple(r) for r in mode.collect()] == [
+        tuple(r) for r in cdc_ivm_mode_view(spark, sf_dir).collect()
+    ]
+
+
+def test_support_apply_batch_replay_and_chop_invariance(spark, sf_dir):
+    """A replayed (batch_df, batch_id) pair is a no-op, and a 1-batch
+    chop converges to the same store as a 3-skewed-batch chop — the
+    signed fold commutes with any partition of the feed."""
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+    from mysql_cdc_table_spark.operators.round12 import (
+        read_support_store,
+        support_apply_batch,
+    )
+
+    cl = synthetic_changelog(spark, sf_dir)
+    sgn = F.when(F.col("__op").isin(1, 3), F.lit(1)).otherwise(F.lit(-1))
+    feed = cl.select(
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        sgn.cast("long").alias("sgn"),
+        (F.col("o_orderkey") % 7).alias("chop"),
+    )
+
+    d_one = f"{tempfile.gettempdir()}/sup_one_{uuid.uuid4().hex[:10]}"
+    support_apply_batch(spark, feed, d_one, 0)
+
+    d_three = f"{tempfile.gettempdir()}/sup_three_{uuid.uuid4().hex[:10]}"
+    support_apply_batch(spark, feed.filter(F.col("chop") < 1), d_three, 0)
+    support_apply_batch(
+        spark, feed.filter(F.col("chop") == 1), d_three, 1
+    )
+    support_apply_batch(
+        spark, feed.filter(F.col("chop") == 1), d_three, 1
+    )  # crash-replay: must be a no-op
+    support_apply_batch(spark, feed.filter(F.col("chop") > 1), d_three, 2)
+
+    one = {
+        tuple(r) for r in read_support_store(spark, d_one).collect()
+    }
+    three = {
+        tuple(r) for r in read_support_store(spark, d_three).collect()
+    }
+    assert one == three
+    assert len(one) > 100
+    shutil.rmtree(d_one, ignore_errors=True)
+    shutil.rmtree(d_three, ignore_errors=True)
