@@ -13,6 +13,24 @@ This round (round-11 verdict asks 2, 3, 7):
   ``functions/similarity.py::ann_ivf_persisted_topk`` (train-once /
   probe-many, codebook + cid-partitioned postings round-trip storage).
 
+Later waves of the same round (each landed with oracle + pytest +
+sf1 row before being listed here):
+- CDC-maintained ANN index, batch (``ann_ivf_upsert_topk``) and
+  stream-manifest (``ann_ivf_stream_upsert_topk``) variants; the
+  maintained LSH dedup index lands in ``functions/dedup.py``;
+  maintained per-label vector stats (``emb_label_stats_ivm``);
+- the IVM aggregate ALGEBRA off the signed-fold support table:
+  MIN/MAX (``cdc_ivm_minmax_view``), top-k (``cdc_ivm_topk_view``),
+  and the holistic median/mode (``cdc_ivm_median_view`` /
+  ``cdc_ivm_mode_view``); the support table itself stream-maintained
+  (``cdc_ivm_streaming_minmax`` — one store, four readouts);
+- snapshot-isolation TIME TRAVEL over the versioned view store
+  (``cdc_ivm_view_time_travel``, retain=None + pinned-version read);
+- drift scores: fixed-grid PSI (``agg_psi_drift``), per-source
+  Jensen-Shannon (``agg_js_divergence``), Cramér–von Mises
+  (``agg_cvm_two_sample``);
+- Holt-Winters additive seasonal smoothing (``ts_holt_winters``).
+
 Reference semantics compared against ``/root/reference`` (a read-only
 MySQL-binlog storage engine, SURVEY.md §1): every capability here
 EXCEEDS the reference — it has no query engine, no streaming, no IVM
