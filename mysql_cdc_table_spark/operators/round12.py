@@ -279,6 +279,36 @@ def _ivm_read_state(
     }
 
 
+def _commit_version(
+    spark: SparkSession, state_dir: str, batch_id: int,
+    stores: dict, retain: int | None,
+) -> None:
+    """The shared exactly-once commit of a versioned state store:
+    write every named store to one staging dir, then ONE atomic rename
+    to v<batch_id> (a concurrent/replayed committer loses the rename
+    and finds the version present), then retire versions beyond the
+    retention window. retain=None keeps every version — the
+    time-travel policy (cdc_ivm_view_time_travel); production would
+    bound it by count or age exactly like a table format's snapshot
+    expiry. retain=2 (default at call sites) is the exactly-once
+    replay window: Structured Streaming only ever re-asks for the
+    LAST batch."""
+    import uuid
+
+    staging = f"{state_dir}/.staging-{uuid.uuid4().hex[:12]}"
+    for name, df in stores.items():
+        df.write.mode("overwrite").parquet(f"{staging}/{name}")
+    try:
+        _hfs.rename(spark, staging, f"{state_dir}/v{batch_id}")
+    except Exception:
+        _hfs.delete(spark, staging)
+        if not _hfs.exists(spark, f"{state_dir}/v{batch_id}"):
+            raise
+    if retain is not None:
+        for v in _ivm_versions(spark, state_dir)[:-retain]:
+            _hfs.delete(spark, f"{state_dir}/v{v}")
+
+
 def ivm_apply_batch(
     spark: SparkSession, batch_df: DataFrame, state_dir: str, batch_id: int,
     retain: int | None = 2,
@@ -287,8 +317,6 @@ def ivm_apply_batch(
     body. Idempotent: if v<batch_id> is already committed the replay
     returns without touching state (Structured Streaming replays the
     last batch after a crash; the version rename is the commit)."""
-    import uuid
-
     if _hfs.exists(spark, f"{state_dir}/v{batch_id}"):
         return  # replayed batch: already committed
     state = _ivm_read_state(spark, state_dir)
@@ -346,23 +374,7 @@ def ivm_apply_batch(
             F.sum("cents_sum").cast("long").alias("cents_sum"),
         ),
     }
-    staging = f"{state_dir}/.staging-{uuid.uuid4().hex[:12]}"
-    for name, df in new.items():
-        df.write.mode("overwrite").parquet(f"{staging}/{name}")
-    try:
-        _hfs.rename(spark, staging, f"{state_dir}/v{batch_id}")
-    except Exception:
-        _hfs.delete(spark, staging)
-        if not _hfs.exists(spark, f"{state_dir}/v{batch_id}"):
-            raise
-    # retire versions older than the previous one: replay only ever
-    # re-asks for the LAST batch, so two live versions bound storage.
-    # retain=None keeps every version — the time-travel retention
-    # policy (cdc_ivm_view_time_travel); production would bound it by
-    # count or age exactly like a table format's snapshot expiry.
-    if retain is not None:
-        for v in _ivm_versions(spark, state_dir)[:-retain]:
-            _hfs.delete(spark, f"{state_dir}/v{v}")
+    _commit_version(spark, state_dir, batch_id, new, retain)
 
 
 def ivm_view_stream(
@@ -1328,6 +1340,35 @@ ORACLES["emb_label_stats_ivm"] = EMB_LABEL_STATS_IVM_SQL
 # surface is delegated to MySQL's executor, binlogdb.cc).
 
 
+def _signed_cents(cl: DataFrame, extra: tuple = ()) -> DataFrame:
+    """The support family's shared delta projection: one signed
+    (status, cents, sgn) row per changelog image (plus any ``extra``
+    passthrough columns — the streamed feed keeps __gtid for chunk
+    ordering). Every view of the algebra (MIN/MAX, median, mode, the
+    streamed store) and the batch oracle must fold the SAME
+    projection — cents quantization drifting in one copy would
+    desynchronize the streamed store from the batch keys it converges
+    to, so it lives here once."""
+    sgn = F.when(F.col("__op").isin(1, 3), F.lit(1)).otherwise(F.lit(-1))
+    return cl.select(
+        *extra,
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        sgn.cast("long").alias("sgn"),
+    )
+
+
+def _support_multiset(cl: DataFrame) -> DataFrame:
+    """Fold the signed projection to the alive (status, cents)
+    multiset: net multiplicity per pair, surviving rows only."""
+    return (
+        _signed_cents(cl)
+        .groupBy("o_orderstatus", "cents")
+        .agg(F.sum("sgn").cast("long").alias("m"))
+        .filter(F.col("m") > 0)
+    )
+
+
 def cdc_ivm_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MIN/MAX view maintenance under deletes — the classic
     non-distributive case: maintain the (status, price) SUPPORT
@@ -1347,15 +1388,7 @@ def cdc_ivm_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned; no window, no join, the changelog never re-sorts."""
     from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
 
-    cl = synthetic_changelog(spark, sf_dir)
-    sgn = F.when(F.col("__op").isin(1, 3), F.lit(1)).otherwise(F.lit(-1))
-    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
-    support = (
-        cl.select("o_orderstatus", cents.alias("cents"), sgn.alias("sgn"))
-        .groupBy("o_orderstatus", "cents")
-        .agg(F.sum("sgn").cast("long").alias("m"))
-        .filter(F.col("m") > 0)
-    )
+    support = _support_multiset(synthetic_changelog(spark, sf_dir))
     return (
         support.groupBy("o_orderstatus")
         .agg(
@@ -1862,15 +1895,7 @@ def cdc_ivm_median_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
 
-    cl = synthetic_changelog(spark, sf_dir)
-    sgn = F.when(F.col("__op").isin(1, 3), F.lit(1)).otherwise(F.lit(-1))
-    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
-    support = (
-        cl.select("o_orderstatus", cents.alias("cents"), sgn.alias("sgn"))
-        .groupBy("o_orderstatus", "cents")
-        .agg(F.sum("sgn").cast("long").alias("m"))
-        .filter(F.col("m") > 0)
-    )
+    support = _support_multiset(synthetic_changelog(spark, sf_dir))
     totals = support.groupBy("o_orderstatus").agg(
         F.sum("m").cast("long").alias("n_alive")
     )
@@ -1942,15 +1967,7 @@ def cdc_ivm_mode_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     support readouts: map-side fold, then a statuses-sized argmax."""
     from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
 
-    cl = synthetic_changelog(spark, sf_dir)
-    sgn = F.when(F.col("__op").isin(1, 3), F.lit(1)).otherwise(F.lit(-1))
-    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
-    support = (
-        cl.select("o_orderstatus", cents.alias("cents"), sgn.alias("sgn"))
-        .groupBy("o_orderstatus", "cents")
-        .agg(F.sum("sgn").cast("long").alias("m"))
-        .filter(F.col("m") > 0)
-    )
+    support = _support_multiset(synthetic_changelog(spark, sf_dir))
     return (
         support.groupBy("o_orderstatus")
         .agg(
@@ -2120,6 +2137,23 @@ _SUPPORT_SCHEMA = (
 )
 
 
+def support_stream_dirs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, str]:
+    """(feed, state, checkpoint) dirs of the streamed support store —
+    one place owns the layout; tests read the state through this
+    instead of re-deriving the tag."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}:supstream".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"sup_stream_{tag}")
+    return f"{root}/feed", f"{root}/state", f"{root}/ckpt"
+
+
 def support_apply_batch(
     spark: SparkSession, batch_df: DataFrame, state_dir: str, batch_id: int,
     retain: int | None = 2,
@@ -2132,8 +2166,6 @@ def support_apply_batch(
     net 0 are dropped from the store (a full insert+delete pair inside
     the stream leaves no residue — the store is the ALIVE multiset,
     not the event log)."""
-    import uuid
-
     if _hfs.exists(spark, f"{state_dir}/v{batch_id}"):
         return
     vs = _ivm_versions(spark, state_dir)
@@ -2153,17 +2185,7 @@ def support_apply_batch(
         .agg(F.sum("m").cast("long").alias("m"))
         .filter(F.col("m") != 0)
     )
-    staging = f"{state_dir}/.staging-{uuid.uuid4().hex[:12]}"
-    new.write.mode("overwrite").parquet(f"{staging}/S")
-    try:
-        _hfs.rename(spark, staging, f"{state_dir}/v{batch_id}")
-    except Exception:
-        _hfs.delete(spark, staging)
-        if not _hfs.exists(spark, f"{state_dir}/v{batch_id}"):
-            raise
-    if retain is not None:
-        for v in _ivm_versions(spark, state_dir)[:-retain]:
-            _hfs.delete(spark, f"{state_dir}/v{v}")
+    _commit_version(spark, state_dir, batch_id, {"S": new}, retain)
 
 
 def read_support_store(
@@ -2197,26 +2219,11 @@ def cdc_ivm_streaming_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta fold + one store-sized merge; commit is one rename; the
     store is (statuses x distinct prices)-sized regardless of stream
     history."""
-    import hashlib
-    import os
-    import tempfile
-
     from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
 
-    tag = hashlib.md5(
-        f"{spark.sparkContext.applicationId}:{sf_dir}:supstream".encode()
-    ).hexdigest()[:12]
-    root = os.path.join(tempfile.gettempdir(), f"sup_stream_{tag}")
-    feed_dir, state_dir, ckpt = (
-        f"{root}/feed", f"{root}/state", f"{root}/ckpt",
-    )
-    cl = synthetic_changelog(spark, sf_dir)
-    sgn = F.when(F.col("__op").isin(1, 3), F.lit(1)).otherwise(F.lit(-1))
-    feed = cl.select(
-        "__gtid",
-        "o_orderstatus",
-        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        sgn.cast("long").alias("sgn"),
+    feed_dir, state_dir, ckpt = support_stream_dirs(spark, sf_dir)
+    feed = _signed_cents(
+        synthetic_changelog(spark, sf_dir), extra=("__gtid",)
     )
     stage_ordered_chunks(spark, feed, "__gtid", 4, feed_dir)
     stream = (

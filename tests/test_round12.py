@@ -1380,8 +1380,6 @@ def test_support_store_one_store_four_readouts(spark, sf_dir):
     and mode recomputed off the final committed version must equal the
     batch keys — the point of maintaining the sufficient statistic
     once instead of four bespoke views."""
-    import hashlib
-
     from pyspark.sql import Window
 
     from mysql_cdc_table_spark.operators.round12 import (
@@ -1389,14 +1387,23 @@ def test_support_store_one_store_four_readouts(spark, sf_dir):
         cdc_ivm_mode_view,
         cdc_ivm_streaming_minmax,
         read_support_store,
+        support_stream_dirs,
     )
 
     cdc_ivm_streaming_minmax(spark, sf_dir)  # ensure the store is built
-    tag = hashlib.md5(
-        f"{spark.sparkContext.applicationId}:{sf_dir}:supstream".encode()
-    ).hexdigest()[:12]
-    state_dir = f"{tempfile.gettempdir()}/sup_stream_{tag}/state"
+    _, state_dir, _ = support_stream_dirs(spark, sf_dir)
     support = read_support_store(spark, state_dir).filter(F.col("m") > 0)
+    # pinned-version read: the default retention keeps [2, 3]; pinning
+    # the FINAL version must equal the default (newest) read, and a
+    # pruned version must raise
+    import pytest as _pytest
+
+    v3 = read_support_store(spark, state_dir, version=3)
+    assert sorted(map(tuple, v3.collect())) == sorted(
+        map(tuple, read_support_store(spark, state_dir).collect())
+    )
+    with _pytest.raises(ValueError, match="not retained"):
+        read_support_store(spark, state_dir, version=0)
 
     totals = support.groupBy("o_orderstatus").agg(
         F.sum("m").cast("long").alias("n_alive")
@@ -1439,16 +1446,15 @@ def test_support_apply_batch_replay_and_chop_invariance(spark, sf_dir):
     signed fold commutes with any partition of the feed."""
     from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
     from mysql_cdc_table_spark.operators.round12 import (
+        _signed_cents,
         read_support_store,
         support_apply_batch,
     )
 
-    cl = synthetic_changelog(spark, sf_dir)
-    sgn = F.when(F.col("__op").isin(1, 3), F.lit(1)).otherwise(F.lit(-1))
-    feed = cl.select(
-        "o_orderstatus",
-        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        sgn.cast("long").alias("sgn"),
+    feed = _signed_cents(
+        synthetic_changelog(spark, sf_dir), extra=("o_orderkey",)
+    ).select(
+        "o_orderstatus", "cents", "sgn",
         (F.col("o_orderkey") % 7).alias("chop"),
     )
 
