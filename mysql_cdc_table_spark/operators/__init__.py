@@ -546,8 +546,8 @@ ROUND11_LATE_KEYS: tuple[str, ...] = ()
 # --- round 12 ----------------------------------------------------------------
 #
 # Window arithmetic this round (50 slots): no round-11 late keys, so
-# the 17 round-12 new keys lead, then 4 re-verify slots for the code
-# round 12 ACTUALLY touches — leaving 29 backfill slots, still
+# the 19 round-12 new keys lead, then 4 re-verify slots for the code
+# round 12 ACTUALLY touches — leaving 27 backfill slots, still
 # clearing the 24 r05-stale rows (window/basic-relational family, the
 # r11 verdict's named target) and reaching into the r06 tail.
 
@@ -589,6 +589,11 @@ ROUND12_NEW_KEYS: tuple[str, ...] = (
     # the versioned exactly-once store — one store, four readouts
     # (MIN/MAX, top-k, median, mode), batch and streaming
     "cdc_ivm_streaming_minmax",
+    # arbitrary quantiles off the same support grid (p10/p50/p90,
+    # one cumulative window, three thresholds) and Anderson–Darling
+    # (tail-weighted drift, completing the KS/CvM/PSI family)
+    "cdc_ivm_quantile_view",
+    "agg_ad_two_sample",
 )
 
 # Operators whose implementation round 12 touches: the full-outer key

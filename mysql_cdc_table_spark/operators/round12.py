@@ -2258,3 +2258,204 @@ def cdc_ivm_streaming_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["cdc_ivm_streaming_minmax"] = cdc_ivm_streaming_minmax
 ORACLES["cdc_ivm_streaming_minmax"] = _cdc_ivm_minmax_view_sql()
+
+
+# --- quantile readout off the support grid + tail-weighted drift ----------------
+
+
+def cdc_ivm_quantile_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained QUANTILES per group: lower weighted p10/p50/p90 of
+    live order prices per latest status — the median readout
+    generalized to arbitrary quantiles over the SAME support multiset
+    and the SAME single cumulative window (three thresholds read one
+    cum column: smallest cents with 10*cum >= q*10*n_alive). Exact
+    integer threshold arithmetic — no interpolation — so both engines
+    agree bit-for-bit. Monitoring shape at 100 TB: one maintained
+    store serves every percentile dashboards ask for; the window's
+    input stays (statuses x distinct prices)."""
+    from pyspark.sql import Window
+
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+
+    support = _support_multiset(synthetic_changelog(spark, sf_dir))
+    totals = support.groupBy("o_orderstatus").agg(
+        F.sum("m").cast("long").alias("n_alive")
+    )
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = support.withColumn("cum", F.sum("m").over(w))
+
+    def q(mult: int, name: str):
+        # lower weighted quantile: smallest value with 10*cum >= mult*n
+        return F.min(
+            F.when(
+                F.col("cum") * 10 >= F.col("n_alive") * mult, F.col("cents")
+            )
+        ).alias(name)
+
+    return (
+        cum.join(F.broadcast(totals), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            q(1, "p10_cents"),
+            q(5, "p50_cents"),
+            q(9, "p90_cents"),
+            F.max("n_alive").alias("n_alive"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def _cdc_ivm_quantile_view_sql() -> str:
+    from mysql_cdc_table_spark.cdc.synthetic import CHANGELOG_CTE
+
+    return f"""
+WITH {CHANGELOG_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey
+      ORDER BY __gtid DESC, __event_seq DESC, __image_seq DESC) AS __rn
+  FROM changelog
+),
+support AS (
+  SELECT o_orderstatus,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS m
+  FROM ranked
+  WHERE __rn = 1 AND __op <> 0
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT o_orderstatus, cents, m,
+         sum(m) OVER (PARTITION BY o_orderstatus ORDER BY cents) AS cum,
+         sum(m) OVER (PARTITION BY o_orderstatus) AS n_alive
+  FROM support
+)
+SELECT o_orderstatus,
+       CAST(min(CASE WHEN cum * 10 >= n_alive * 1 THEN cents END) AS BIGINT)
+         AS p10_cents,
+       CAST(min(CASE WHEN cum * 10 >= n_alive * 5 THEN cents END) AS BIGINT)
+         AS p50_cents,
+       CAST(min(CASE WHEN cum * 10 >= n_alive * 9 THEN cents END) AS BIGINT)
+         AS p90_cents,
+       CAST(max(n_alive) AS BIGINT) AS n_alive
+FROM cum
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+QUERIES["cdc_ivm_quantile_view"] = cdc_ivm_quantile_view
+ORACLES["cdc_ivm_quantile_view"] = _cdc_ivm_quantile_view_sql()
+
+
+def agg_ad_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anderson–Darling two-sample terms over the same fixed 64-cell
+    grid as agg_cvm_two_sample — AD divides the squared ECDF gap by
+    H(1-H) of the POOLED ECDF, up-weighting the tails where KS and
+    CvM are least sensitive (the drift that matters for outlier-heavy
+    price distributions). Terms with H=0 (leading empty buckets) or
+    H=1 (the final bucket — AD's standard exclusion) are defined 0.
+    Per-bucket output, each term a deterministic IEEE expression of
+    its own bucket's integers (round 6) — the order-free family
+    discipline. Same plan shape as CvM: one fact scan, grid-sized
+    everything after."""
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders")
+    pivot = F.lit("1998-07-01 00:00:00").cast("timestamp")
+    bin_ = F.least(F.floor(F.col("o_totalprice") / 8000), F.lit(63)).cast(
+        "int"
+    )
+    counts = (
+        orders.select(
+            bin_.alias("bin"),
+            F.when(F.col("o_orderdate") < pivot, 1).otherwise(0).alias("r"),
+            F.when(F.col("o_orderdate") >= pivot, 1).otherwise(0).alias("c"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("r").cast("long").alias("a_cnt"),
+            F.sum("c").cast("long").alias("b_cnt"),
+        )
+    )
+    spine = spark.range(64).select(F.col("id").cast("int").alias("bin"))
+    filled = spine.join(F.broadcast(counts), "bin", "left").select(
+        "bin",
+        F.coalesce("a_cnt", F.lit(0)).cast("long").alias("a_cnt"),
+        F.coalesce("b_cnt", F.lit(0)).cast("long").alias("b_cnt"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = filled.select(
+        "bin",
+        "a_cnt",
+        "b_cnt",
+        F.sum("a_cnt").over(w).cast("long").alias("a_cum"),
+        F.sum("b_cnt").over(w).cast("long").alias("b_cum"),
+    )
+    totals = filled.agg(
+        F.sum("a_cnt").cast("long").alias("n"),
+        F.sum("b_cnt").cast("long").alias("m"),
+    )
+    h = (F.col("a_cum") + F.col("b_cum")) / (
+        F.col("n") + F.col("m")
+    ).cast("double")
+    gap = (
+        F.col("a_cum") / F.col("n").cast("double")
+        - F.col("b_cum") / F.col("m").cast("double")
+    )
+    term = F.when(
+        (F.col("a_cum") + F.col("b_cum") > 0)
+        & (F.col("a_cum") + F.col("b_cum") < F.col("n") + F.col("m")),
+        F.round(
+            (F.col("a_cnt") + F.col("b_cnt")) * gap * gap / (h * (1 - h)), 6
+        )
+        + F.lit(0.0),
+    ).otherwise(F.lit(0.0))
+    return (
+        cum.join(F.broadcast(totals))
+        .select("bin", "a_cnt", "b_cnt", term.alias("ad_term"))
+        .orderBy("bin")
+    )
+
+
+AGG_AD_TWO_SAMPLE_SQL = """
+WITH counts AS (
+  SELECT CAST(least(floor(o_totalprice / 8000), 63) AS INTEGER) AS bin,
+         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-07-01' THEN 1
+                       ELSE 0 END) AS BIGINT) AS a_cnt,
+         CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-07-01' THEN 1
+                       ELSE 0 END) AS BIGINT) AS b_cnt
+  FROM orders GROUP BY 1
+),
+filled AS (
+  SELECT CAST(s.range AS INTEGER) AS bin,
+         COALESCE(c.a_cnt, 0) AS a_cnt, COALESCE(c.b_cnt, 0) AS b_cnt
+  FROM range(64) s LEFT JOIN counts c ON c.bin = s.range
+),
+cum AS (
+  SELECT bin, a_cnt, b_cnt,
+         CAST(sum(a_cnt) OVER (ORDER BY bin) AS BIGINT) AS a_cum,
+         CAST(sum(b_cnt) OVER (ORDER BY bin) AS BIGINT) AS b_cum
+  FROM filled
+),
+tot AS (SELECT CAST(sum(a_cnt) AS BIGINT) AS n,
+               CAST(sum(b_cnt) AS BIGINT) AS m FROM filled)
+SELECT bin, a_cnt, b_cnt,
+       CASE WHEN a_cum + b_cum > 0 AND a_cum + b_cum < n + m
+            THEN round((a_cnt + b_cnt)
+                 * (CAST(a_cum AS DOUBLE) / n - CAST(b_cum AS DOUBLE) / m)
+                 * (CAST(a_cum AS DOUBLE) / n - CAST(b_cum AS DOUBLE) / m)
+                 / ((CAST(a_cum + b_cum AS DOUBLE) / (n + m))
+                    * (1 - CAST(a_cum + b_cum AS DOUBLE) / (n + m))), 6)
+                 + 0.0
+            ELSE 0.0 END AS ad_term
+FROM cum CROSS JOIN tot
+ORDER BY bin
+"""
+
+QUERIES["agg_ad_two_sample"] = agg_ad_two_sample
+ORACLES["agg_ad_two_sample"] = AGG_AD_TWO_SAMPLE_SQL

@@ -334,6 +334,10 @@ def main() -> None:
         # the 4-batch stream; timed calls resume-noop + read the
         # final version and aggregate the grid
         "cdc_ivm_streaming_minmax",
+        # round 12: quantile readout (one support-grid window, three
+        # thresholds) and AD (the CvM grid with H(1-H) weighting)
+        "cdc_ivm_quantile_view",
+        "agg_ad_two_sample",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

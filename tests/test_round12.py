@@ -1481,3 +1481,80 @@ def test_support_apply_batch_replay_and_chop_invariance(spark, sf_dir):
     assert len(one) > 100
     shutil.rmtree(d_one, ignore_errors=True)
     shutil.rmtree(d_three, ignore_errors=True)
+
+
+# --- quantile readout + Anderson–Darling ------------------------------------------
+
+
+def test_quantile_view_equals_sorted_recompute(spark, sf_dir):
+    """p10/p50/p90 must equal the lower weighted quantiles computed by
+    sorting each group's live cents directly; p50 must equal the
+    median key."""
+    from mysql_cdc_table_spark.operators.round12 import (
+        cdc_ivm_median_view,
+        cdc_ivm_quantile_view,
+    )
+
+    got = {
+        r["o_orderstatus"]: (
+            r["p10_cents"], r["p50_cents"], r["p90_cents"], r["n_alive"]
+        )
+        for r in cdc_ivm_quantile_view(spark, sf_dir).collect()
+    }
+    latest = _latest_alive(spark, sf_dir).select(
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    by_status = {}
+    for r in latest.collect():
+        by_status.setdefault(r["o_orderstatus"], []).append(r["cents"])
+    import math
+
+    for s, vals in by_status.items():
+        vals.sort()
+        n = len(vals)
+
+        def lq(q10):
+            # smallest v with 10*rank >= q10*n
+            return vals[math.ceil(q10 * n / 10) - 1]
+
+        assert got[s] == (lq(1), lq(5), lq(9), n), s
+
+    med = {
+        r["o_orderstatus"]: r["median_cents"]
+        for r in cdc_ivm_median_view(spark, sf_dir).collect()
+    }
+    for s in got:
+        assert got[s][1] == med[s]
+
+
+def test_quantile_view_ordering_invariant(spark, sf_dir):
+    from mysql_cdc_table_spark.operators.round12 import cdc_ivm_quantile_view
+
+    for r in cdc_ivm_quantile_view(spark, sf_dir).collect():
+        assert r["p10_cents"] <= r["p50_cents"] <= r["p90_cents"]
+
+
+def test_ad_term_relationship_to_cvm(spark, sf_dir):
+    """AD divides CvM's per-bucket term by H(1-H) <= 1/4, so every AD
+    term is >= 4x its CvM term (same grid, same counts) wherever the
+    CvM term is nonzero and H is interior — the tail-weighting that
+    is AD's point. Also: final bucket is excluded (term 0)."""
+    from mysql_cdc_table_spark.operators.round12 import (
+        agg_ad_two_sample,
+        agg_cvm_two_sample,
+    )
+
+    ad = {r["bin"]: r["ad_term"] for r in agg_ad_two_sample(spark, sf_dir).collect()}
+    cvm = {
+        r["bin"]: r["cvm_term"]
+        for r in agg_cvm_two_sample(spark, sf_dir).collect()
+    }
+    assert ad[63] == 0.0
+    assert all(v >= 0.0 for v in ad.values())
+    interior_hits = 0
+    for b in range(63):
+        if cvm[b] > 1e-4 and ad[b] > 0:
+            assert ad[b] >= 4 * cvm[b] - 1e-6, b
+            interior_hits += 1
+    assert interior_hits > 0
