@@ -612,7 +612,11 @@ ROUND12_REVERIFY: tuple[str, ...] = (
 
 # Late-registration tail for round 12 (same pinned-behind protocol):
 # keys registered after the front budget fills; they lead round 13.
-ROUND12_LATE_KEYS: tuple[str, ...] = ()
+# Both verified at sf0.001/0.01/0.1 before registration like every key.
+ROUND12_LATE_KEYS: tuple[str, ...] = (
+    "dedup_lsh_scurve",       # the LSH banding design table (s-curve)
+    "ts_seasonal_decompose",  # naive additive trend/seasonal/residual
+)
 
 
 def _last_seen_rounds() -> dict[str, int]:

@@ -2459,3 +2459,175 @@ ORDER BY bin
 
 QUERIES["agg_ad_two_sample"] = agg_ad_two_sample
 ORACLES["agg_ad_two_sample"] = AGG_AD_TWO_SAMPLE_SQL
+
+
+# --- LSH design table + naive seasonal decomposition (late keys) ----------------
+#
+# Registered past the round-12 front budget: they append at the
+# registry tail via ROUND12_LATE_KEYS and lead round 13's window
+# (the pinned-behind protocol, operators/__init__.py).
+
+
+def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH DESIGN TABLE for the dedup family: detection
+    probability P(candidate | similarity s) = 1 - (1 - s^r)^b over a
+    fixed s grid (0.02 steps), for the production banding (b=4, r=4 —
+    functions/dedup.py) and its two neighbours. This is the s-curve a
+    100 TB dedup deployment reads to pick banding: where the curve
+    crosses 1/2 is the effective similarity threshold ((1/b)^(1/r)),
+    and the curve's steepness is the false-positive/negative tradeoff.
+    Pure math on a generated grid — zero data read; the value is
+    having the tuning table AS a queryable relation next to the index
+    it tunes (and oracled: pow() is correctly-rounded enough at round
+    6 to hash identically — same discipline as ln in the drift keys).
+    Derivation from corpus-free first principles: a candidate fires if
+    any of b bands has all r minhash rows agree, each agreeing with
+    probability s under the minhash property."""
+    grid = spark.range(50).select(
+        ((F.col("id") + 1) * 2 / 100.0).alias("s")
+    )
+    bandings = spark.createDataFrame(
+        [(2, 8), (4, 4), (8, 2)], "b int, r int"
+    )
+    p = 1 - F.pow(1 - F.pow(F.col("s"), F.col("r")), F.col("b"))
+    return (
+        grid.join(F.broadcast(bandings))
+        .select(
+            "b",
+            "r",
+            (F.round(F.col("s"), 2) + F.lit(0.0)).alias("s"),
+            (F.round(p, 6) + F.lit(0.0)).alias("p_candidate"),
+        )
+        .orderBy("b", "s")
+    )
+
+
+DEDUP_LSH_SCURVE_SQL = """
+WITH grid AS (
+  SELECT (CAST(s.range AS DOUBLE) + 1) * 2 / 100.0 AS s
+  FROM range(50) s
+),
+bandings AS (
+  SELECT * FROM (VALUES (2, 8), (4, 4), (8, 2)) AS t(b, r)
+)
+SELECT b, r,
+       round(s, 2) + 0.0 AS s,
+       round(1 - pow(1 - pow(s, r), b), 6) + 0.0 AS p_candidate
+FROM grid CROSS JOIN bandings
+ORDER BY b, s
+"""
+
+QUERIES["dedup_lsh_scurve"] = dedup_lsh_scurve
+ORACLES["dedup_lsh_scurve"] = DEDUP_LSH_SCURVE_SQL
+
+
+TS_SEASON_M = 7  # weekly seasonality on daily rollups
+
+
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive additive seasonal decomposition of the DAILY event-count
+    series per event_type: trend = centered 7-day moving average
+    (defined only where the full window exists — the classic
+    decomposition's edge NaNs become NULLs), detrended = count -
+    trend, seasonal = day-of-week mean of the detrended series
+    (exact: quantized to millionths BEFORE the mean so the division
+    is the only float op, then floor-quantized), residual = detrended
+    - seasonal. Emits one row per (event_type, day) with trend_e6 /
+    seasonal_e6 / residual_e6. Everything is windows over the DAILY
+    grid (types x days — the rollup happens first), never events;
+    the day-of-week means are a types x 7 broadcast join."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date(F.col("ts").cast("timestamp")).alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    m = TS_SEASON_M
+    half = m // 2
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-half, half)
+    )
+    # trend: exact integer sum over the window; NULL at the edges
+    trended = daily.withColumn(
+        "trend_e6",
+        F.when(
+            F.count("*").over(w) == m,
+            F.floor(F.sum("n").over(w) * 1_000_000.0 / m).cast("long"),
+        ),
+    ).withColumn(
+        "detr_e6",
+        F.col("n") * 1_000_000 - F.col("trend_e6"),
+    )
+    dow = F.dayofweek(F.col("d")).alias("dow")
+    seasonal = (
+        trended.filter(F.col("detr_e6").isNotNull())
+        .select("event_type", dow, "detr_e6")
+        .groupBy("event_type", "dow")
+        .agg(
+            F.floor(
+                F.sum("detr_e6") * 1.0 / F.count("*")
+            ).cast("long").alias("seasonal_e6")
+        )
+    )
+    return (
+        trended.withColumn("dow", F.dayofweek(F.col("d")))
+        .join(F.broadcast(seasonal), ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            "d",
+            "n",
+            "trend_e6",
+            F.when(
+                F.col("detr_e6").isNotNull(), F.col("seasonal_e6")
+            ).alias("seasonal_e6"),
+            (F.col("detr_e6") - F.col("seasonal_e6")).alias("residual_e6"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+TS_SEASONAL_DECOMPOSE_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+trended AS (
+  SELECT event_type, d, n,
+         CASE WHEN count(*) OVER w = {TS_SEASON_M}
+              THEN CAST(floor(sum(n) OVER w * 1000000.0 / {TS_SEASON_M})
+                        AS BIGINT) END AS trend_e6
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN {TS_SEASON_M // 2} PRECEDING
+                        AND {TS_SEASON_M // 2} FOLLOWING)
+),
+detr AS (
+  SELECT *, n * 1000000 - trend_e6 AS detr_e6,
+         dayofweek(d) + 1 AS dow
+  FROM trended
+),
+seasonal AS (
+  SELECT event_type, dow,
+         CAST(floor(sum(detr_e6) * 1.0 / count(*)) AS BIGINT)
+           AS seasonal_e6
+  FROM detr WHERE detr_e6 IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT t.event_type, t.d, t.n, t.trend_e6,
+       CASE WHEN t.detr_e6 IS NOT NULL THEN s.seasonal_e6 END
+         AS seasonal_e6,
+       t.detr_e6 - s.seasonal_e6 AS residual_e6
+FROM detr t LEFT JOIN seasonal s
+  ON s.event_type = t.event_type AND s.dow = t.dow
+ORDER BY t.event_type, t.d
+"""
+
+QUERIES["ts_seasonal_decompose"] = ts_seasonal_decompose
+ORACLES["ts_seasonal_decompose"] = TS_SEASONAL_DECOMPOSE_SQL

@@ -338,6 +338,11 @@ def main() -> None:
         # thresholds) and AD (the CvM grid with H(1-H) weighting)
         "cdc_ivm_quantile_view",
         "agg_ad_two_sample",
+        # round 12 late keys: the s-curve is data-free (constant);
+        # the decomposition's windows run over the (types x days)
+        # grid after the daily rollup
+        "dedup_lsh_scurve",
+        "ts_seasonal_decompose",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

@@ -1558,3 +1558,77 @@ def test_ad_term_relationship_to_cvm(spark, sf_dir):
             assert ad[b] >= 4 * cvm[b] - 1e-6, b
             interior_hits += 1
     assert interior_hits > 0
+
+
+# --- late keys: LSH s-curve + seasonal decomposition -------------------------------
+
+
+def test_lsh_scurve_shape_and_threshold(spark, sf_dir):
+    """The s-curve must be monotone in s, bounded in [0,1], and cross
+    1/2 exactly at the analytic solution of 1-(1-s^r)^b = 1/2, i.e.
+    s* = (1 - 2^(-1/b))^(1/r) — the property that makes it a design
+    table. (The folklore (1/b)^(1/r) is only the inflection
+    approximation; the table reports the true curve.)"""
+    from mysql_cdc_table_spark.operators.round12 import dedup_lsh_scurve
+
+    rows = dedup_lsh_scurve(spark, sf_dir).collect()
+    assert len(rows) == 150  # 50-point grid x 3 bandings
+    by_banding = {}
+    for r in rows:
+        by_banding.setdefault((r["b"], r["r"]), []).append(
+            (r["s"], r["p_candidate"])
+        )
+    for (b, rr), pts in by_banding.items():
+        pts.sort()
+        ps = [p for _, p in pts]
+        assert all(0.0 <= p <= 1.0 for p in ps)
+        assert ps == sorted(ps), (b, rr)  # monotone
+        thresh = (1.0 - 0.5 ** (1.0 / b)) ** (1.0 / rr)
+        crossing = next(s for s, p in pts if p >= 0.5)
+        # grid step is 0.02: the crossing lands within one step above s*
+        assert 0 <= crossing - thresh < 0.02 + 1e-9, (
+            b, rr, crossing, thresh,
+        )
+
+
+def test_seasonal_decompose_reconstruction_and_edges(spark, sf_dir):
+    """Wherever trend exists: n*1e6 == trend + seasonal + residual
+    EXACTLY (integer quantization makes the identity exact); edge days
+    (incomplete centered window) carry NULL components; seasonal
+    repeats with period 7 (same dow -> same seasonal within a type)."""
+    from mysql_cdc_table_spark.operators.round12 import ts_seasonal_decompose
+
+    rows = ts_seasonal_decompose(spark, sf_dir).collect()
+    assert len(rows) > 50
+    interior = [r for r in rows if r["trend_e6"] is not None]
+    edges = [r for r in rows if r["trend_e6"] is None]
+    assert interior and edges
+    for r in interior:
+        assert (
+            r["n"] * 1_000_000
+            == r["trend_e6"] + r["seasonal_e6"] + r["residual_e6"]
+        ), r
+    for r in edges:
+        assert r["seasonal_e6"] is None and r["residual_e6"] is None
+    # seasonal depends only on (type, dow)
+    seen = {}
+    for r in interior:
+        key = (r["event_type"], r["d"].isoweekday() % 7)
+        if key in seen:
+            assert seen[key] == r["seasonal_e6"], key
+        seen[key] = r["seasonal_e6"]
+
+
+def test_seasonal_decompose_windows_run_over_daily_grid(spark, sf_dir):
+    """The rollup must happen before any window: the Window/Sort nodes
+    consume the (type, day) aggregate, not raw events."""
+    from mysql_cdc_table_spark.operators.round12 import ts_seasonal_decompose
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = ts_seasonal_decompose(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_nodes(df, "SortMergeJoin") == 0, plan
+    lines = plan.splitlines()
+    win = next(i for i, l in enumerate(lines) if "Window" in l)
+    aggs = [i for i, l in enumerate(lines) if "HashAggregate" in l]
+    assert aggs and win < max(aggs), plan
