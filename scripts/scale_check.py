@@ -343,6 +343,10 @@ def main() -> None:
         # grid after the daily rollup
         "dedup_lsh_scurve",
         "ts_seasonal_decompose",
+        # round 12 late: streamed SCD2 — first (untimed) call runs the
+        # 4-batch stream; timed calls resume-noop + read the final
+        # version's dimension
+        "cdc_scd2_streaming",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

@@ -1632,3 +1632,108 @@ def test_seasonal_decompose_windows_run_over_daily_grid(spark, sf_dir):
     win = next(i for i, l in enumerate(lines) if "Window" in l)
     aggs = [i for i, l in enumerate(lines) if "HashAggregate" in l]
     assert aggs and win < max(aggs), plan
+
+
+# --- stream-maintained SCD2 ---------------------------------------------------------
+
+
+def _scd2_feed(spark, sf_dir):
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+
+    return synthetic_changelog(spark, sf_dir)
+
+
+def test_scd2_streaming_converges_to_batch_scd2(spark, sf_dir):
+    from mysql_cdc_table_spark.cdc import ops
+    from mysql_cdc_table_spark.operators.round12 import cdc_scd2_streaming
+
+    got = sorted(
+        map(tuple, cdc_scd2_streaming(spark, sf_dir).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            ops.scd2(_scd2_feed(spark, sf_dir), ["o_orderkey"])
+            .select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate", "o_orderpriority", "__gtid",
+                "valid_from", "valid_to", "is_current",
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+    assert len(got) > 100
+
+
+def test_scd2_apply_batch_chop_invariance_and_replay(spark, sf_dir):
+    """A 1-batch fold and a 3-skewed-batch fold (with a crash-replay in
+    the middle) must produce identical stores, and history closed in
+    an early batch must survive later batches byte-identically."""
+    from mysql_cdc_table_spark.operators.round12 import (
+        _ivm_versions,
+        _SCD2_STORE_SCHEMA,
+        scd2_apply_batch,
+    )
+
+    feed = _scd2_feed(spark, sf_dir)
+    # gtid-ordered chop: each key's events stay in gtid order across
+    # batches (the CDC topic contract the staged chunks reproduce)
+    bound = feed.agg(F.max("__gtid").alias("g")).collect()[0]["g"]
+    b1 = feed.filter(F.col("__gtid") <= bound // 3)
+    b2 = feed.filter(
+        (F.col("__gtid") > bound // 3) & (F.col("__gtid") <= 2 * bound // 3)
+    )
+    b3 = feed.filter(F.col("__gtid") > 2 * bound // 3)
+
+    d_one = f"{tempfile.gettempdir()}/scd2_one_{uuid.uuid4().hex[:10]}"
+    scd2_apply_batch(spark, feed, d_one, 0)
+
+    d_three = f"{tempfile.gettempdir()}/scd2_three_{uuid.uuid4().hex[:10]}"
+    scd2_apply_batch(spark, b1, d_three, 0, retain=None)
+    mid_closed = {
+        tuple(r)
+        for r in spark.read.schema(_SCD2_STORE_SCHEMA)
+        .parquet(f"{d_three}/v0/D")
+        .filter(F.col("valid_to").isNotNull())
+        .collect()
+    }
+    scd2_apply_batch(spark, b2, d_three, 1, retain=None)
+    scd2_apply_batch(spark, b2, d_three, 1, retain=None)  # crash-replay
+    scd2_apply_batch(spark, b3, d_three, 2, retain=None)
+
+    def read(d, v):
+        return spark.read.schema(_SCD2_STORE_SCHEMA).parquet(f"{d}/v{v}/D")
+
+    one = sorted(map(tuple, read(d_one, 0).collect()))
+    three = sorted(map(tuple, read(d_three, 2).collect()))
+    assert one == three
+    assert _ivm_versions(spark, d_three) == [0, 1, 2]
+    # every interval closed by batch 0 is byte-identical in the final store
+    final_rows = set(map(tuple, read(d_three, 2).collect()))
+    assert mid_closed <= final_rows
+    assert len(mid_closed) > 0
+    shutil.rmtree(d_one, ignore_errors=True)
+    shutil.rmtree(d_three, ignore_errors=True)
+
+
+def test_scd2_batch_cost_is_touched_keys_only(spark, sf_dir):
+    """The maintenance plan must not window over the carried store:
+    the fold's window input is (touched open rows + batch), and the
+    store merge is a union — the open-plane semi/anti joins are
+    broadcast (batch-keys-sized)."""
+    from mysql_cdc_table_spark.operators.round12 import (
+        _SCD2_STORE_SCHEMA,
+        _scd2_fold,
+    )
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    feed = _scd2_feed(spark, sf_dir)
+    folded = _scd2_fold(
+        feed.select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+            "__op", "__gtid", "__event_seq", "__image_seq", "__tm",
+        )
+    )
+    assert count_nodes(folded, "Window") == 1
