@@ -1737,3 +1737,88 @@ def test_scd2_batch_cost_is_touched_keys_only(spark, sf_dir):
         )
     )
     assert count_nodes(folded, "Window") == 1
+
+
+def test_scd2_streaming_restart_resumes_from_checkpoint(spark, sf_dir):
+    """Kill-and-restart: drain half the feed files with stream #1,
+    reveal the rest, start stream #2 on the SAME checkpoint — it must
+    resume at the next batch id (no reprocessing), and the final
+    dimension must equal the batch SCD2. A restart that re-folds
+    batch 0 would double-close intervals and break equality."""
+    from mysql_cdc_table_spark.cdc import ops
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+    from mysql_cdc_table_spark.operators.round12 import (
+        _ivm_versions,
+        _SCD2_STORE_SCHEMA,
+        scd2_apply_batch,
+        stage_ordered_chunks,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"scd2restart_{uuid.uuid4().hex[:12]}"
+    )
+    full_dir, feed_dir = f"{root}/full", f"{root}/feed"
+    state_dir, ckpt = f"{root}/state", f"{root}/ckpt"
+    cl = synthetic_changelog(spark, sf_dir)
+    stage_ordered_chunks(spark, cl, "__gtid", 4, full_dir)
+    parts = sorted(
+        f for f in os.listdir(full_dir) if f.endswith(".parquet")
+    )
+    assert len(parts) == 4
+    os.makedirs(feed_dir)
+
+    def run(files):
+        for f in files:
+            shutil.copy(os.path.join(full_dir, f), os.path.join(feed_dir, f))
+        stream = (
+            spark.readStream.schema(cl.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir)
+        )
+
+        def body(batch_df, batch_id):
+            scd2_apply_batch(spark, batch_df, state_dir, batch_id)
+
+        q = (
+            stream.writeStream.foreachBatch(body)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .queryName(f"scd2_restart_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(parts[:2])
+    assert max(_ivm_versions(spark, state_dir)) == 1
+    run(parts[2:])
+    assert max(_ivm_versions(spark, state_dir)) == 3
+
+    vs = _ivm_versions(spark, state_dir)
+    got = sorted(
+        map(
+            tuple,
+            spark.read.schema(_SCD2_STORE_SCHEMA)
+            .parquet(f"{state_dir}/v{vs[-1]}/D")
+            .select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate", "o_orderpriority", "__gtid",
+                "valid_from", "valid_to", "is_current",
+            )
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            ops.scd2(cl, ["o_orderkey"])
+            .select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate", "o_orderpriority", "__gtid",
+                "valid_from", "valid_to", "is_current",
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+    shutil.rmtree(root, ignore_errors=True)
