@@ -1822,3 +1822,46 @@ def test_scd2_streaming_restart_resumes_from_checkpoint(spark, sf_dir):
     )
     assert got == want
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_scd2_streamed_store_serves_pit_probe(spark, sf_dir):
+    """The maintained dimension must be consumable by the existing
+    warehouse pattern: the join_dim_snapshot PIT probe (key equi-join
+    + validity filter at o_orderdate+36h) run against the STREAMED
+    store's final version must equal the batch key's output — the
+    store is a drop-in for the batch-built SCD2."""
+    from mysql_cdc_table_spark.operators.round5 import join_dim_snapshot
+    from mysql_cdc_table_spark.operators.round12 import cdc_scd2_streaming
+    from mysql_cdc_table_spark.catalog import load_table as t
+
+    dim = cdc_scd2_streaming(spark, sf_dir)  # reads the final version
+    probes = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 36 HOURS")).alias(
+            "probe_tm"
+        ),
+    )
+    j = probes.join(dim, probes.key == dim.o_orderkey).filter(
+        (F.col("valid_from") <= F.col("probe_tm"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("probe_tm") < F.col("valid_to"))
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            j.select(
+                "key",
+                F.col("o_orderstatus").alias("version_status"),
+                F.round(F.col("o_totalprice") * 100, 0)
+                .cast("long")
+                .alias("version_cents"),
+                F.col("__gtid").alias("version_id"),
+                F.col("is_current").alias("was_current"),
+            ).collect(),
+        )
+    )
+    want = sorted(map(tuple, join_dim_snapshot(spark, sf_dir).collect()))
+    assert got == want
+    assert len(got) > 100
