@@ -617,6 +617,7 @@ ROUND12_LATE_KEYS: tuple[str, ...] = (
     "dedup_lsh_scurve",       # the LSH banding design table (s-curve)
     "ts_seasonal_decompose",  # naive additive trend/seasonal/residual
     "cdc_scd2_streaming",     # SCD2 maintained across micro-batches
+    "cdc_binlog_scd2",        # real binlog v4 bytes -> type-2 dimension
 )
 
 

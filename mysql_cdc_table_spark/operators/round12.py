@@ -2799,3 +2799,171 @@ def _cdc_scd2_streaming_sql() -> str:
 
 QUERIES["cdc_scd2_streaming"] = cdc_scd2_streaming
 ORACLES["cdc_scd2_streaming"] = _cdc_scd2_streaming_sql()
+
+
+# --- real wire format -> type-2 dimension, end to end ----------------------------
+
+
+def cdc_binlog_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production path in one hash: frame a versioned
+    changelog as REAL binlog v4 bytes (insert gno=id at price+2;
+    id%10==0 keys get an update txn at gno=id+5e8 back to the base
+    price; id%17==0 keys a delete txn at gno=id+1e9), decode
+    (sources/mysql_binlog.py), build the SCD2 dimension (cdc/ops.py),
+    and aggregate intervals per status: interval counts, current
+    versus closed split, and cents sums over each plane. Pins the
+    ordering semantics end-to-end — a decode that scrambled
+    (__gtid, __event_seq, __image_seq), dropped a tombstone, or
+    mis-ordered an update pair moves versions between the current and
+    closed planes and breaks the hash. The oracle derives the same
+    numbers from the fixture arithmetic in pure SQL. Scale: encode and
+    decode are per-partition mapInPandas (embarrassingly parallel),
+    the SCD2 fold is one keyed window, the rollup one hash aggregate."""
+    from decimal import Decimal as _D
+    from typing import Iterator
+
+    import pandas as pd
+
+    from mysql_cdc_table_spark.cdc.ops import scd2
+    from mysql_cdc_table_spark.cdc.schema import changelog_schema
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        build_binlog_file,
+        decode_binlog_bytes,
+    )
+    from pyspark.sql import types as T
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("price", T.DecimalType(12, 2)),
+            T.StructField(
+                "status",
+                T.StringType(),
+                metadata={"mysql_type": "enum", "values": ["F", "O", "P"]},
+            ),
+        ]
+    )
+    base = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.expr(
+                "cast(cast(o_orderkey % 100000 as decimal(30,2)) / 100"
+                " as decimal(12,2))"
+            ).alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "id")
+    )
+    file_schema = T.StructType([T.StructField("file_bytes", T.BinaryType())])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            txns = []
+            for r in pdf.itertuples(index=False):
+                base_row = {
+                    "id": int(r.id), "price": r.price, "status": r.status,
+                }
+                v1 = dict(base_row, price=base_row["price"] + _D(2))
+                txns.append({"gno": base_row["id"], "op": "w", "rows": [v1]})
+                last = v1
+                if base_row["id"] % 10 == 0:
+                    before = dict(base_row, price=base_row["price"] + _D(1))
+                    txns.append(
+                        {
+                            "gno": base_row["id"] + 500_000_000,
+                            "op": "u",
+                            "rows": [(before, base_row)],
+                        }
+                    )
+                    last = base_row
+                if base_row["id"] % 17 == 0:
+                    txns.append(
+                        {
+                            "gno": base_row["id"] + 1_000_000_000,
+                            "op": "d",
+                            "rows": [last],
+                        }
+                    )
+            yield pd.DataFrame(
+                {
+                    "file_bytes": [
+                        build_binlog_file("tpch", "orders", target, txns)
+                    ]
+                }
+            )
+
+    files = base.mapInPandas(encode, schema=file_schema)
+    out_schema = changelog_schema(target)
+    names = [f.name for f in out_schema.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["file_bytes"]:
+                rows = decode_binlog_bytes(
+                    bytes(blob), target, "tpch", "orders"
+                )
+                yield pd.DataFrame(
+                    {n: [r.get(n) for r in rows] for n in names}
+                )
+
+    dim = scd2(files.mapInPandas(decode, schema=out_schema), ["id"])
+    cents = (F.col("price") * 100).cast("long")
+    cur = F.col("is_current")
+    return (
+        dim.groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_intervals"),
+            F.sum(F.when(cur, 1).otherwise(0)).cast("long").alias(
+                "n_current"
+            ),
+            F.sum(F.when(~cur, 1).otherwise(0)).cast("long").alias(
+                "n_closed"
+            ),
+            F.sum(F.when(cur, cents).otherwise(0)).cast("long").alias(
+                "cur_cents"
+            ),
+            F.sum(F.when(~cur, cents).otherwise(0)).cast("long").alias(
+                "closed_cents"
+            ),
+        )
+        .orderBy("status")
+    )
+
+
+# Fixture arithmetic, engine-free: every key contributes an insert
+# version at cents+200; id%10==0 keys a second version at cents
+# (closing the first); id%17==0 keys a delete closing their LAST
+# version. current = not deleted; the current version's cents is
+# cents for updated keys, cents+200 otherwise.
+CDC_BINLOG_SCD2_SQL = """
+WITH b AS (
+  SELECT o_orderkey AS id,
+         CAST(o_orderkey % 100000 AS BIGINT) AS cents,
+         o_orderstatus AS status
+  FROM orders
+)
+SELECT status,
+       CAST(sum(CASE WHEN id % 10 = 0 THEN 2 ELSE 1 END) AS BIGINT)
+         AS n_intervals,
+       CAST(sum(CASE WHEN id % 17 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_current,
+       CAST(sum(CASE WHEN id % 10 = 0 THEN 2 ELSE 1 END)
+            - sum(CASE WHEN id % 17 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_closed,
+       CAST(sum(CASE WHEN id % 17 <> 0
+                     THEN CASE WHEN id % 10 = 0 THEN cents
+                               ELSE cents + 200 END
+                     ELSE 0 END) AS BIGINT) AS cur_cents,
+       CAST(sum(CASE WHEN id % 10 = 0 THEN cents + 200 ELSE 0 END)
+            + sum(CASE WHEN id % 17 = 0
+                       THEN CASE WHEN id % 10 = 0 THEN cents
+                                 ELSE cents + 200 END
+                       ELSE 0 END) AS BIGINT) AS closed_cents
+FROM b GROUP BY status ORDER BY status
+"""
+
+QUERIES["cdc_binlog_scd2"] = cdc_binlog_scd2
+ORACLES["cdc_binlog_scd2"] = CDC_BINLOG_SCD2_SQL

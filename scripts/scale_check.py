@@ -347,6 +347,9 @@ def main() -> None:
         # 4-batch stream; timed calls resume-noop + read the final
         # version's dimension
         "cdc_scd2_streaming",
+        # round 12 late: real binlog v4 -> SCD2 — per-partition
+        # encode/decode, one keyed window, one hash aggregate
+        "cdc_binlog_scd2",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

@@ -1865,3 +1865,21 @@ def test_scd2_streamed_store_serves_pit_probe(spark, sf_dir):
     want = sorted(map(tuple, join_dim_snapshot(spark, sf_dir).collect()))
     assert got == want
     assert len(got) > 100
+
+
+# --- real binlog -> SCD2 end to end -------------------------------------------------
+
+
+def test_binlog_scd2_interval_structure(spark, sf_dir):
+    """Per-status invariants of the end-to-end dimension: updated keys
+    carry exactly 2 intervals, deleted keys have no current interval,
+    and the identity n_intervals == n_current + n_closed holds."""
+    from mysql_cdc_table_spark.operators.round12 import cdc_binlog_scd2
+
+    rows = cdc_binlog_scd2(spark, sf_dir).collect()
+    assert len(rows) == 3  # F/O/P
+    for r in rows:
+        assert r["n_intervals"] == r["n_current"] + r["n_closed"], r
+        assert r["n_closed"] > 0  # updates + deletes exist per status
+        assert r["n_current"] > 0
+        assert r["cur_cents"] > 0 and r["closed_cents"] > 0
