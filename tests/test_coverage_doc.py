@@ -100,7 +100,7 @@ def test_header_counts_and_driver_split_match_doc():
 
 def test_driver_window_composition():
     """The driver verifies the FIRST ~50 registry keys per round. The
-    round-12 rotation leads with the 7 round-12 new keys (no round-11
+    round-12 rotation leads with the round-12 new keys (no round-11
     late keys exist), then 4 re-verify slots for code round 12
     actually touches, and backfill slots that clear the 24 r05-stale
     rows (the round-11 verdict's named target). Guard it so a module
