@@ -55,6 +55,7 @@ _MODULES = (
     "mysql_cdc_table_spark.operators.round10",
     "mysql_cdc_table_spark.operators.round11",
     "mysql_cdc_table_spark.operators.round12",
+    "mysql_cdc_table_spark.operators.round12b",
     "mysql_cdc_table_spark.operators.late",
 )
 
@@ -618,6 +619,8 @@ ROUND12_LATE_KEYS: tuple[str, ...] = (
     "ts_seasonal_decompose",  # naive additive trend/seasonal/residual
     "cdc_scd2_streaming",     # SCD2 maintained across micro-batches
     "cdc_binlog_scd2",        # real binlog v4 bytes -> type-2 dimension
+    # second build session of round 12 (operators/round12b.py):
+    "cdc_ivm_corr_view",      # second moments join the IVM algebra
 )
 
 

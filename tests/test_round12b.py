@@ -1,0 +1,112 @@
+"""Round-12 later-wave tests: IVM second moments, iterate-on-the-grid
+algorithms (PageRank, power iteration), weighted priority sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mysql_cdc_table_spark.plans.audit import formatted_plan
+
+
+def _latest_alive(spark, sf_dir):
+    from mysql_cdc_table_spark.cdc import ops
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+
+    return ops.latest_state(synthetic_changelog(spark, sf_dir), ["o_orderkey"])
+
+
+# --- cdc_ivm_corr_view --------------------------------------------------------
+
+
+def test_corr_view_equals_latest_state_recompute(spark, sf_dir):
+    """The six signed-moment folds must equal the moments of the ranked
+    latest alive state — a sign error or a non-telescoping update chain
+    shifts a sum; corr itself must match pyspark's corr to 1e-6."""
+    from mysql_cdc_table_spark.operators.round12b import cdc_ivm_corr_view
+
+    got = cdc_ivm_corr_view(spark, sf_dir).collect()
+    x = F.floor(F.col("o_totalprice")).cast("long")
+    y = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).cast("long")
+    want = (
+        _latest_alive(spark, sf_dir)
+        .select("o_orderstatus", x.alias("x"), y.alias("y"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_live"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.corr(F.col("x").cast("double"), F.col("y").cast("double")).alias(
+                "corr"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    ).collect()
+    assert len(got) == len(want) >= 4
+    for g, w in zip(got, want):
+        assert tuple(g)[:7] == tuple(w)[:7]
+        if w["corr"] is not None:
+            assert abs(g["corr_price_date"] - w["corr"]) < 1e-6
+
+
+def test_corr_view_fold_is_linear_in_deltas(spark, sf_dir):
+    """O(delta) maintainability is exactly the linearity of the fold:
+    moments(prefix) + moments(delta chunk) must equal moments(full) —
+    per group, for an arbitrary __gtid split."""
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+
+    cl = synthetic_changelog(spark, sf_dir)
+    cut = int(
+        cl.agg(F.percentile_approx("__gtid", 0.5, 1000)).collect()[0][0]
+    )
+
+    def fold(df):
+        sgn = (
+            F.when(F.col("__op").isin(1, 3), F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+        )
+        x = F.floor(F.col("o_totalprice")).cast("long")
+        y = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).cast("long")
+        rows = (
+            df.select(
+                "o_orderstatus",
+                sgn.alias("sgn"),
+                (sgn * x).alias("dx"),
+                (sgn * x * x).alias("dxx"),
+                (sgn * x * y).alias("dxy"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(
+                F.sum("sgn").alias("n"),
+                F.sum("dx").alias("sx"),
+                F.sum("dxx").alias("sxx"),
+                F.sum("dxy").alias("sxy"),
+            )
+            .collect()
+        )
+        return {r["o_orderstatus"]: (r["n"], r["sx"], r["sxx"], r["sxy"]) for r in rows}
+
+    full = fold(cl)
+    pre = fold(cl.filter(F.col("__gtid") <= cut))
+    post = fold(cl.filter(F.col("__gtid") > cut))
+    keys = set(pre) | set(post)
+    assert keys >= set(full)
+    for k in keys:
+        a = pre.get(k, (0, 0, 0, 0))
+        b = post.get(k, (0, 0, 0, 0))
+        s = tuple(ai + bi for ai, bi in zip(a, b))
+        assert s == full.get(k, (0, 0, 0, 0)), k
+
+
+def test_corr_view_plan_one_agg_no_window_no_join(spark, sf_dir):
+    from mysql_cdc_table_spark.operators.round12b import cdc_ivm_corr_view
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = cdc_ivm_corr_view(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_nodes(df, "Window") == 0, plan
+    assert count_nodes(df, "Join") == 0, plan
+    assert "partial" in plan.lower()  # map-side combine on the fold
