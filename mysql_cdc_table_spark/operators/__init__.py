@@ -621,6 +621,7 @@ ROUND12_LATE_KEYS: tuple[str, ...] = (
     "cdc_binlog_scd2",        # real binlog v4 bytes -> type-2 dimension
     # second build session of round 12 (operators/round12b.py):
     "cdc_ivm_corr_view",      # second moments join the IVM algebra
+    "graph_pagerank_trade",   # aggregate once, iterate on the grid
 )
 
 

@@ -167,3 +167,158 @@ ORDER BY o_orderstatus
 
 QUERIES["cdc_ivm_corr_view"] = cdc_ivm_corr_view
 ORACLES["cdc_ivm_corr_view"] = _cdc_ivm_corr_view_sql()
+
+
+# --- iterative algorithms: aggregate once, iterate on the grid ----------------
+#
+# The Spark-first shape for iterative graph/linear-algebra work: the
+# ONLY event-sized pass is one aggregation that reduces the fact data
+# to a bounded grid (|V|² edge weights here, a d×d Gram matrix for the
+# PCA key below); the iteration then runs on the grid in EXACT
+# scaled-integer arithmetic — truncating integer division is identical
+# in Spark and DuckDB for non-negative operands, so both engines
+# produce bit-identical fixed-point values and the whole trajectory
+# sits inside the value hash (no cross-engine float drift to paper
+# over). Hand-scheduling the iteration over the raw events (the
+# Pregel/RDD instinct) would rescan 100 TB per step; this shape scans
+# it once.
+
+_PR_SCALE = 1_000_000_000  # fixed-point: 1.0 == 1e9
+_PR_ITERS = 3
+
+
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation->nation trade graph (customer nation ->
+    supplier nation, edge weight = lineitem count + 1 Laplace smoothing
+    so the chain is irreducible and no out-degree is zero). The heavy
+    work is ONE map-side-combinable aggregate over the 4-table join
+    (lineitem⋈orders⋈customer⋈supplier); the 25×25 weight grid is then
+    lineage-cut once and 3 damped iterations (d=0.85) run in exact
+    fixed-point: rank starts at SCALE/N, each edge carries
+    (85·w·r) DIV (100·out), each node adds the exact teleport
+    15·SCALE DIV (100·N). All BIGINT — magnitudes 85·SCALE·w stay
+    int64-safe while per-pair lineitem counts < ~10⁸ (sf~1000); past
+    that pre-scale w DIV 10³. Output is the fixed-point rank itself —
+    no float anywhere, so the full trajectory is value-hashed. Scale:
+    iterations touch only grid-sized broadcasts; the fact table is
+    scanned exactly once regardless of iteration count."""
+    n_nations = 25
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    observed = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("src"),
+            F.col("s_nationkey").cast("long").alias("dst"),
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    nation = t(spark, sf_dir, "nation")
+    nodes = nation.select(F.col("n_nationkey").cast("long").alias("node"))
+    grid = nodes.select(F.col("node").alias("src")).crossJoin(
+        nodes.select(F.col("node").alias("dst"))
+    )
+    w = (
+        grid.join(observed, ["src", "dst"], "left")
+        .select(
+            "src",
+            "dst",
+            (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1)).alias("w"),
+        )
+        .localCheckpoint(eager=False)  # cut: the fact scan runs ONCE
+    )
+    out = w.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
+    ew = w.join(F.broadcast(out), "src")
+    teleport = (15 * _PR_SCALE) // (100 * n_nations)  # exact: 6e6
+    r = nodes.select(
+        F.col("node"), F.lit(_PR_SCALE // n_nations).cast("long").alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        flows = ew.join(
+            F.broadcast(r.withColumnRenamed("node", "src")), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            F.expr("(85 * w * r) DIV (100 * ow)").alias("flow"),
+        )
+        r = flows.groupBy("node").agg(
+            (F.sum("flow") + F.lit(teleport)).cast("long").alias("r")
+        )
+    return (
+        r.join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").cast("long").alias("node"), "n_name"
+                )
+            ),
+            "node",
+        )
+        .join(F.broadcast(out.withColumnRenamed("src", "node")), "node")
+        .select(
+            F.col("node").alias("n_nationkey"),
+            "n_name",
+            F.col("r").alias("rank_e9"),
+            F.col("ow").alias("out_weight"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+def _graph_pagerank_trade_sql() -> str:
+    scale, n, iters = _PR_SCALE, 25, _PR_ITERS
+    r0, tp = scale // n, (15 * scale) // (100 * n)
+    prev = "r0"
+    its = []
+    for i in range(1, iters + 1):
+        its.append(
+            f"it{i} AS (\n"
+            f"  SELECT w.dst AS node,\n"
+            f"         CAST({tp} + sum((85 * w.w * p.r) // (100 * o.ow))\n"
+            f"              AS BIGINT) AS r\n"
+            f"  FROM w JOIN outw o ON o.src = w.src\n"
+            f"         JOIN {prev} p ON p.node = w.src\n"
+            f"  GROUP BY w.dst)"
+        )
+        prev = f"it{i}"
+    its_sql = ",\n".join(its)
+    return f"""
+WITH eobs AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS src,
+         CAST(s_nationkey AS BIGINT) AS dst,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT CAST(a.n_nationkey AS BIGINT) AS src,
+         CAST(b.n_nationkey AS BIGINT) AS dst
+  FROM nation a CROSS JOIN nation b
+),
+w AS (
+  SELECT g.src, g.dst, COALESCE(e.cnt, 0) + 1 AS w
+  FROM grid g LEFT JOIN eobs e ON e.src = g.src AND e.dst = g.dst
+),
+outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM w GROUP BY src),
+r0 AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS node,
+         CAST({r0} AS BIGINT) AS r
+  FROM nation
+),
+{its_sql}
+SELECT f.node AS n_nationkey, nn.n_name, f.r AS rank_e9,
+       o.ow AS out_weight
+FROM {prev} f
+JOIN nation nn ON CAST(nn.n_nationkey AS BIGINT) = f.node
+JOIN outw o ON o.src = f.node
+ORDER BY n_nationkey
+"""
+
+
+QUERIES["graph_pagerank_trade"] = graph_pagerank_trade
+ORACLES["graph_pagerank_trade"] = _graph_pagerank_trade_sql()

@@ -110,3 +110,58 @@ def test_corr_view_plan_one_agg_no_window_no_join(spark, sf_dir):
     assert count_nodes(df, "Window") == 0, plan
     assert count_nodes(df, "Join") == 0, plan
     assert "partial" in plan.lower()  # map-side combine on the fold
+
+
+# --- graph_pagerank_trade -----------------------------------------------------
+
+
+def test_pagerank_mass_and_shape(spark, sf_dir):
+    """25 rows always (Laplace smoothing completes the grid); total
+    fixed-point mass stays within the truncation budget of SCALE (each
+    of 625 edge divisions loses < 1 unit per iteration); every rank is
+    at least the exact teleport floor."""
+    from mysql_cdc_table_spark.operators.round12b import (
+        _PR_ITERS,
+        _PR_SCALE,
+        graph_pagerank_trade,
+    )
+
+    rows = graph_pagerank_trade(spark, sf_dir).collect()
+    assert len(rows) == 25
+    total = sum(r["rank_e9"] for r in rows)
+    assert total <= _PR_SCALE
+    assert total >= _PR_SCALE - _PR_ITERS * (625 + 25)
+    teleport = (15 * _PR_SCALE) // (100 * 25)
+    assert all(r["rank_e9"] >= teleport for r in rows)
+
+
+def test_pagerank_uniform_graph_is_uniform(spark, sf_dir):
+    """On a uniform weight grid the damped iteration is a fixed point
+    of the uniform vector: replaying the exact integer recursion on
+    equal weights must keep every node at the same rank — which pins
+    the teleport constant and the flow formula."""
+    from mysql_cdc_table_spark.operators.round12b import _PR_SCALE
+
+    n = 25
+    r = _PR_SCALE // n
+    for _ in range(3):
+        # every node receives n equal flows of (85 * w * r) // (100 * n * w)
+        r = (15 * _PR_SCALE) // (100 * n) + n * ((85 * r) // (100 * n))
+    # sanity: stays within one truncation ulp per step of SCALE/n
+    assert abs(r - _PR_SCALE // n) <= 3 * n
+
+
+def test_pagerank_fact_scanned_once_iterations_broadcast(spark, sf_dir):
+    """The iteration must NOT rescan the fact table: exactly one
+    lineitem scan in the final plan (the lineage cut after the edge
+    aggregate), and every per-iteration join is a broadcast."""
+    from mysql_cdc_table_spark.operators.round12b import graph_pagerank_trade
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = graph_pagerank_trade(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Scan parquet") == 0 or "lineitem" not in plan, (
+        "iterations leaked the fact scan past the lineage cut:\n" + plan
+    )
+    assert count_nodes(df, "SortMergeJoin") == 0, plan
+    assert count_nodes(df, "CartesianProduct") == 0, plan
