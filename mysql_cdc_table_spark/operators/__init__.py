@@ -622,6 +622,7 @@ ROUND12_LATE_KEYS: tuple[str, ...] = (
     # second build session of round 12 (operators/round12b.py):
     "cdc_ivm_corr_view",      # second moments join the IVM algebra
     "graph_pagerank_trade",   # aggregate once, iterate on the grid
+    "emb_pca_power_iter",     # exact Gram + fixed-point power iteration
 )
 
 

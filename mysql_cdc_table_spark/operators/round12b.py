@@ -322,3 +322,182 @@ ORDER BY n_nationkey
 
 QUERIES["graph_pagerank_trade"] = graph_pagerank_trade
 ORACLES["graph_pagerank_trade"] = _graph_pagerank_trade_sql()
+
+
+# --- power iteration on the exact Gram grid -----------------------------------
+
+_PCA_DIMS = 64
+_PCA_Q = 1000  # component quantization: q = floor(1000 * x)
+_PCA_M_CAP = 10_000_000  # adaptive rescale target for the moment matrix
+_PCA_V_CAP = 1_000_000_000  # renormalization target for the iterate
+_PCA_ITERS = 3
+
+
+def emb_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-iteration estimate of the embedding space's dominant
+    principal direction — the linear-algebra instance of the
+    aggregate-once / iterate-on-the-grid shape: ONE Arrow-batched pass
+    computes the exact integer Gram matrix (per batch, numpy folds
+    Qᵀ·Q over quantized components q = floor(10³·x) — int64 outer
+    products — plus the column sums and count; partials combine by
+    (i, j), so the shuffle carries #batches·d² rows, never the
+    corpus). The centered second-moment matrix M = n·G − s·sᵀ is exact
+    int64; iterations run on the d×d grid in fixed point (adaptive
+    rescale M DIV max(1, max|M| DIV 10⁷), iterate renormalized to ~10⁹
+    after each matvec) — truncating integer division matches
+    cross-engine, so all 3 iterations are bit-identical and the
+    iterate itself is value-hashed (no float anywhere). Each step
+    provably increases the Rayleigh quotient (pytest); FULL
+    convergence needs O(log d / log(λ₁/λ₂)) steps — data-dependent,
+    and deliberately capped at 3 here because the per-step machinery,
+    not the terminal eigenvector of a synthetic near-isotropic
+    fixture, is the contract. Magnitudes: n·G int64-safe to ~3·10⁹
+    rows at |q| ≤ 10³. Scale: the corpus pass is embarrassingly
+    parallel and map-side combined; iteration cost is d²-bounded
+    regardless of corpus size or iteration count."""
+    import pyarrow as pa
+
+    dims = _PCA_DIMS
+
+    def gram_batches(batches):
+        import numpy as np
+
+        for batch in batches:
+            col = batch.column(0)
+            flat = np.asarray(col.flatten(), dtype=np.float64)
+            if flat.size == 0:
+                continue
+            q = np.floor(flat * _PCA_Q).astype(np.int64).reshape(-1, dims)
+            g = q.T @ q  # exact int64 outer-product fold
+            s = q.sum(axis=0)
+            ii, jj = np.meshgrid(
+                np.arange(dims, dtype=np.int32),
+                np.arange(dims, dtype=np.int32),
+                indexing="ij",
+            )
+            i_out = np.concatenate(
+                [ii.ravel(), np.arange(dims, dtype=np.int32), [-1]]
+            )
+            j_out = np.concatenate(
+                [jj.ravel(), np.full(dims, -1, dtype=np.int32), [-1]]
+            )
+            v_out = np.concatenate(
+                [g.ravel(), s, [np.int64(q.shape[0])]]
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(i_out, type=pa.int32()),
+                    pa.array(j_out, type=pa.int32()),
+                    pa.array(v_out, type=pa.int64()),
+                ],
+                ["i", "j", "val"],
+            )
+
+    e = t(spark, sf_dir, "embeddings").select("embedding")
+    stats = (
+        e.mapInArrow(gram_batches, "i int, j int, val long")
+        .groupBy("i", "j")
+        .agg(F.sum("val").cast("long").alias("val"))
+        .localCheckpoint(eager=False)  # corpus pass runs ONCE
+    )
+    g = stats.filter((F.col("i") >= 0) & (F.col("j") >= 0)).select(
+        "i", "j", F.col("val").alias("g")
+    )
+    s = stats.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("k"), F.col("val").alias("s")
+    )
+    n = stats.filter(F.col("i") == -1).select(F.col("val").alias("n"))
+    m = (
+        g.join(F.broadcast(s.withColumnRenamed("k", "i").withColumnRenamed("s", "si")), "i")
+        .join(F.broadcast(s.withColumnRenamed("k", "j").withColumnRenamed("s", "sj")), "j")
+        .crossJoin(F.broadcast(n))
+        .select("i", "j", (F.col("n") * F.col("g") - F.col("si") * F.col("sj")).alias("m"))
+    )
+    div = m.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"max(abs(m)) DIV {_PCA_M_CAP}"),
+        ).alias("dv")
+    )
+    ms = (
+        m.crossJoin(F.broadcast(div))
+        .select("i", "j", F.expr("m DIV dv").alias("ms"))
+        .localCheckpoint(eager=False)  # grid reused by every iteration
+    )
+    v = spark.range(dims).select(
+        F.col("id").cast("int").alias("j"),
+        F.lit(1_000_000).cast("long").alias("v"),
+    )
+    for _ in range(_PCA_ITERS):
+        u = (
+            ms.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("ms") * F.col("v")).cast("long").alias("u"))
+        )
+        mx = u.agg(
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"max(abs(u)) DIV {_PCA_V_CAP}"),
+            ).alias("mx")
+        )
+        v = (
+            u.crossJoin(F.broadcast(mx))
+            .select(
+                F.col("i").alias("j"),
+                F.expr("u DIV mx").alias("v"),
+            )
+        )
+    return v.select(
+        F.col("j").alias("dim"), F.col("v").alias("v_fp")
+    ).orderBy("dim")
+
+
+def _emb_pca_power_iter_sql() -> str:
+    dims, qs = _PCA_DIMS, _PCA_Q
+    prev = "v0"
+    its = []
+    for k in range(1, _PCA_ITERS + 1):
+        its.append(
+            f"u{k} AS (\n"
+            f"  SELECT ms.i, CAST(sum(ms.ms * p.v) AS BIGINT) AS u\n"
+            f"  FROM ms JOIN {prev} p ON p.j = ms.j GROUP BY ms.i),\n"
+            f"mx{k} AS (SELECT GREATEST(1, CAST(max(abs(u)) AS BIGINT)\n"
+            f"               // {_PCA_V_CAP}) AS mx FROM u{k}),\n"
+            f"v{k} AS (SELECT u{k}.i AS j, CAST(u // mx AS BIGINT) AS v\n"
+            f"         FROM u{k} CROSS JOIN mx{k})"
+        )
+        prev = f"v{k}"
+    its_sql = ",\n".join(its)
+    return f"""
+WITH qe AS (
+  SELECT vec_id, CAST(d.i AS INTEGER) AS i,
+         CAST(floor(CAST(embedding[d.i + 1] AS DOUBLE) * {qs}) AS BIGINT)
+           AS q
+  FROM embeddings, range({dims}) d(i)
+),
+g AS (
+  SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS g
+  FROM qe a JOIN qe b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+),
+sv AS (SELECT i AS k, CAST(sum(q) AS BIGINT) AS s FROM qe GROUP BY i),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+m AS (
+  SELECT g.i, g.j,
+         CAST(nn.n * g.g - si.s * sj.s AS BIGINT) AS m
+  FROM g JOIN sv si ON si.k = g.i JOIN sv sj ON sj.k = g.j
+  CROSS JOIN nn
+),
+dv AS (SELECT GREATEST(1, CAST(max(abs(m)) AS BIGINT)
+             // {_PCA_M_CAP}) AS dv FROM m),
+ms AS (SELECT i, j, CAST(m // dv AS BIGINT) AS ms
+       FROM m CROSS JOIN dv),
+v0 AS (SELECT CAST(d.i AS INTEGER) AS j, CAST(1000000 AS BIGINT) AS v
+       FROM range({dims}) d(i)),
+{its_sql}
+SELECT j AS dim, v AS v_fp FROM {prev} ORDER BY dim
+"""
+
+
+QUERIES["emb_pca_power_iter"] = emb_pca_power_iter
+ORACLES["emb_pca_power_iter"] = _emb_pca_power_iter_sql()

@@ -165,3 +165,90 @@ def test_pagerank_fact_scanned_once_iterations_broadcast(spark, sf_dir):
     )
     assert count_nodes(df, "SortMergeJoin") == 0, plan
     assert count_nodes(df, "CartesianProduct") == 0, plan
+
+
+# --- emb_pca_power_iter ---------------------------------------------------------
+
+
+def _pca_numpy_pipeline(sf_dir):
+    """Bit-exact numpy replication of the fixed-point pipeline."""
+    import duckdb
+    import numpy as np
+
+    from mysql_cdc_table_spark.operators.round12b import (
+        _PCA_ITERS,
+        _PCA_M_CAP,
+        _PCA_Q,
+        _PCA_V_CAP,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    q = np.floor(x * _PCA_Q).astype(np.int64)
+    n = q.shape[0]
+    m = n * (q.T @ q) - np.outer(q.sum(0), q.sum(0))
+
+    def tdiv(a, d):
+        return np.sign(a) * (np.abs(a) // d)
+
+    ms = tdiv(m, max(1, int(np.max(np.abs(m))) // _PCA_M_CAP))
+    v = np.full(64, 1_000_000, dtype=np.int64)
+    trail = [v]
+    for _ in range(_PCA_ITERS):
+        u = ms @ v
+        v = tdiv(u, max(1, int(np.max(np.abs(u))) // _PCA_V_CAP))
+        trail.append(v)
+    return ms, trail
+
+
+def test_pca_power_iter_bit_exact_vs_numpy(spark, sf_dir):
+    """The distributed Gram + fixed-point iteration must reproduce the
+    single-machine integer pipeline BIT-exactly — any float sneaking
+    into the matvec, a wrong truncation direction on a negative entry,
+    or a partial-Gram combine error shifts some coordinate."""
+    from mysql_cdc_table_spark.operators.round12b import emb_pca_power_iter
+
+    got = emb_pca_power_iter(spark, sf_dir).collect()
+    _, trail = _pca_numpy_pipeline(sf_dir)
+    want = trail[-1]
+    assert [r["dim"] for r in got] == list(range(64))
+    assert [r["v_fp"] for r in got] == [int(w) for w in want]
+
+
+def test_pca_rayleigh_quotient_increases_each_step(spark, sf_dir):
+    """Power iteration on a symmetric PSD matrix increases the Rayleigh
+    quotient monotonically — the per-step guarantee the key's contract
+    rests on (full convergence is data-dependent and not claimed)."""
+    import numpy as np
+
+    ms, trail = _pca_numpy_pipeline(sf_dir)
+    msf = ms.astype(np.float64)
+
+    def rayleigh(v):
+        vf = v.astype(np.float64)
+        return (vf @ msf @ vf) / (vf @ vf)
+
+    rs = [rayleigh(v) for v in trail]
+    assert all(rs[i] < rs[i + 1] for i in range(len(rs) - 1)), rs
+    # and alignment with the true dominant eigenvector improves
+    _, vecs = np.linalg.eigh(msf)
+    top = vecs[:, -1]
+
+    def cos(v):
+        return abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+
+    assert cos(trail[-1]) > cos(trail[0])
+
+
+def test_pca_corpus_scanned_once_iterations_grid_bounded(spark, sf_dir):
+    from mysql_cdc_table_spark.operators.round12b import emb_pca_power_iter
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = emb_pca_power_iter(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "embeddings" not in plan, (
+        "iterations leaked the corpus scan past the lineage cut:\n" + plan
+    )
+    assert count_nodes(df, "SortMergeJoin") == 0, plan
