@@ -623,6 +623,7 @@ ROUND12_LATE_KEYS: tuple[str, ...] = (
     "cdc_ivm_corr_view",      # second moments join the IVM algebra
     "graph_pagerank_trade",   # aggregate once, iterate on the grid
     "emb_pca_power_iter",     # exact Gram + fixed-point power iteration
+    "sample_weighted_priority",  # DLT priority sampling, deterministic u
 )
 
 

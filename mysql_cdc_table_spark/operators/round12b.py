@@ -501,3 +501,91 @@ SELECT j AS dim, v AS v_fp FROM {prev} ORDER BY dim
 
 QUERIES["emb_pca_power_iter"] = emb_pca_power_iter
 ORACLES["emb_pca_power_iter"] = _emb_pca_power_iter_sql()
+
+
+# --- weighted priority sampling ------------------------------------------------
+
+
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PRIORITY SAMPLING (Duffield–Lund–Thorup) per source:
+    each document draws priority w/u with weight w = n_chars and a
+    DETERMINISTIC uniform u = (knuth(doc_id)+1)/2³² — no RNG state, no
+    seed coordination, retries idempotent, any worker reproduces the
+    sample (the property Bernoulli/reservoir sampling loses on task
+    retry; same rationale as corpus_hash_sample, round5.py's Knuth
+    hash reused). The top-5 priorities per source are the sample; the
+    6th is the threshold τ, and per-row max(w, τ) is the DLT
+    unbiased subset-sum estimator term — the property that makes a
+    5-document sample answer "how many chars does this source hold"
+    without a full scan. All comparisons are on identical IEEE doubles
+    (w·2³² is exact below 2⁵³, one division), ties break by doc_id,
+    and est_term_e6 floors per-row — no cross-row float sums. Scale:
+    one scan + one top-k window per source; Catalyst's WindowGroupLimit
+    caps the exchange at 6 rows per input partition, so the shuffle
+    never carries the corpus."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    u = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) + F.lit(1)
+    p = (F.col("n_chars") * F.lit(4294967296)).cast("double") / u.cast(
+        "double"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("p").desc(), F.col("doc_id").asc()
+    )
+    ranked = (
+        d.select("source", "doc_id", "n_chars", p.alias("p"))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 6)
+    )
+    tau = ranked.groupBy("source").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") == 6, F.col("p"))), F.lit(0.0)
+        ).alias("tau")
+    )
+    return (
+        ranked.filter(F.col("rk") <= 5)
+        .join(F.broadcast(tau), "source")
+        .select(
+            "source",
+            "rk",
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            F.floor(
+                F.greatest(F.col("n_chars").cast("double"), F.col("tau"))
+                * F.lit(1_000_000)
+            )
+            .cast("long")
+            .alias("est_term_e6"),
+        )
+        .orderBy("source", "rk")
+    )
+
+
+SAMPLE_WEIGHTED_PRIORITY_SQL = """
+WITH pri AS (
+  SELECT source, doc_id, n_chars,
+         CAST(n_chars * 4294967296 AS DOUBLE)
+           / CAST((doc_id * 2654435761) % 4294967296 + 1 AS DOUBLE) AS p
+  FROM documents
+),
+rk AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY source ORDER BY p DESC, doc_id ASC) AS INTEGER) AS rk
+  FROM pri
+),
+kept AS (SELECT * FROM rk WHERE rk <= 6),
+tau AS (
+  SELECT source, COALESCE(max(CASE WHEN rk = 6 THEN p END), 0.0) AS tau
+  FROM kept GROUP BY source
+)
+SELECT k.source, k.rk, k.doc_id, CAST(k.n_chars AS BIGINT) AS weight,
+       CAST(floor(greatest(CAST(k.n_chars AS DOUBLE), t.tau) * 1000000)
+            AS BIGINT) AS est_term_e6
+FROM kept k JOIN tau t USING (source)
+WHERE k.rk <= 5
+ORDER BY source, rk
+"""
+
+QUERIES["sample_weighted_priority"] = sample_weighted_priority
+ORACLES["sample_weighted_priority"] = SAMPLE_WEIGHTED_PRIORITY_SQL

@@ -252,3 +252,54 @@ def test_pca_corpus_scanned_once_iterations_grid_bounded(spark, sf_dir):
         "iterations leaked the corpus scan past the lineage cut:\n" + plan
     )
     assert count_nodes(df, "SortMergeJoin") == 0, plan
+
+
+# --- sample_weighted_priority ---------------------------------------------------
+
+
+def test_priority_sample_matches_bruteforce(spark, sf_dir):
+    """Exact replication: top-5 per source by w/u with the Knuth
+    uniform, τ = 6th priority, est term = max(w, τ) — recomputed
+    per-document in Python."""
+    import duckdb
+    import math
+
+    from mysql_cdc_table_spark.operators.round12b import (
+        sample_weighted_priority,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT source, doc_id, n_chars FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    by_source: dict = {}
+    for source, doc_id, n_chars in docs:
+        u = (doc_id * 2654435761) % 4294967296 + 1
+        p = float(n_chars * 4294967296) / float(u)
+        by_source.setdefault(source, []).append((p, doc_id, n_chars))
+    want = []
+    for source in sorted(by_source):
+        ranked = sorted(by_source[source], key=lambda t: (-t[0], t[1]))
+        tau = ranked[5][0] if len(ranked) > 5 else 0.0
+        for rk, (p, doc_id, n_chars) in enumerate(ranked[:5], start=1):
+            want.append(
+                (
+                    source,
+                    rk,
+                    doc_id,
+                    n_chars,
+                    math.floor(max(float(n_chars), tau) * 1_000_000),
+                )
+            )
+    got = [tuple(r) for r in sample_weighted_priority(spark, sf_dir).collect()]
+    assert got == want
+
+
+def test_priority_sample_topk_pushdown(spark, sf_dir):
+    """The per-source top-k must ride WindowGroupLimit so the exchange
+    carries ≤6 rows per input partition, never the corpus."""
+    from mysql_cdc_table_spark.operators.round12b import (
+        sample_weighted_priority,
+    )
+
+    plan = formatted_plan(sample_weighted_priority(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
