@@ -624,6 +624,7 @@ ROUND12_LATE_KEYS: tuple[str, ...] = (
     "graph_pagerank_trade",   # aggregate once, iterate on the grid
     "emb_pca_power_iter",     # exact Gram + fixed-point power iteration
     "sample_weighted_priority",  # DLT priority sampling, deterministic u
+    "stream_static_enrich",   # stream-static broadcast join + windowed agg
 )
 
 

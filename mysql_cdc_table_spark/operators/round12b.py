@@ -589,3 +589,107 @@ ORDER BY source, rk
 
 QUERIES["sample_weighted_priority"] = sample_weighted_priority
 ORACLES["sample_weighted_priority"] = SAMPLE_WEIGHTED_PRIORITY_SQL
+
+
+# --- stream-static join: streaming enrichment against a dimension -------------
+
+
+def stream_static_enrich(
+    spark: SparkSession, sf_dir: str, _query_out: list | None = None
+) -> DataFrame:
+    """Stream-STATIC join — the remaining streaming join mode next to
+    the stream-stream trio: an unbounded event stream enriched against
+    a bounded dimension (nation, keyed user_id % 25), then a
+    watermarked daily windowed aggregate in APPEND mode. The static
+    side is re-resolved per micro-batch and broadcast (no state, no
+    watermark needed on it — unlike a stream-stream join, dimension
+    rows are never evicted); only the windowed aggregate carries
+    state, bounded by the watermark. The staged 4-file feed with
+    maxFilesPerTrigger=1 forces the join + aggregate to run across
+    multiple micro-batches, so append-mode emission (a window emits
+    exactly once, when the watermark passes its end) is what the value
+    hash locks; the readout keeps windows strictly below 2024-01-29 —
+    ≥1 day under the final watermark at every sf. Aggregates are exact
+    (count + milli-value sum as BIGINT). Scale: stream-side shuffle is
+    (days × nations)-sized after map-side combine; the dimension is a
+    broadcast — the one-big-one-small join shape at 100 TB/day."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from mysql_cdc_table_spark.operators.round12 import stage_ordered_chunks
+
+    e = (
+        t(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select(
+            "ts",
+            F.unix_micros(F.col("ts")).alias("tsl"),
+            (F.col("user_id") % 25).cast("long").alias("nkey"),
+            F.floor(F.col("value") * 1000).cast("long").alias("vm"),
+        )
+    )
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}:ssenrich".encode()
+    ).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"stream_ssenrich_{tag}")
+    # time-ordered chunks: a real feed arrives in event-time order up
+    # to the watermark slack; an arbitrary file chop would make the
+    # first batch's watermark mark 3/4 of the stream late
+    stage_ordered_chunks(spark, e, "tsl", 4, stage)
+
+    dim = F.broadcast(
+        t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").cast("long").alias("nkey"), "n_name"
+        )
+    )
+    feed = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withWatermark("ts", "1 minute")
+    )
+    agg = (
+        feed.join(dim, "nkey")  # static side: re-read per batch, broadcast
+        .groupBy(F.window("ts", "1 day").alias("w"), "n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("vm").cast("long").alias("sum_vm"),
+        )
+    )
+    mem = f"ssenrich_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.select(
+            F.col("w.start").alias("win_start"), "n_name", "n_events", "sum_vm"
+        )
+        .writeStream.format("memory")
+        .queryName(mem)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if _query_out is not None:
+        _query_out.append(q)
+    cutoff = F.lit("2024-01-29 00:00:00").cast("timestamp")
+    return (
+        spark.table(mem)
+        .filter(F.col("win_start") < cutoff)
+        .orderBy("win_start", "n_name")
+    )
+
+
+STREAM_STATIC_ENRICH_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start, n_name,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_vm
+FROM events
+JOIN nation ON CAST(n_nationkey AS BIGINT) = user_id % 25
+WHERE date_trunc('day', ts) < TIMESTAMP '2024-01-29 00:00:00'
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+QUERIES["stream_static_enrich"] = stream_static_enrich
+ORACLES["stream_static_enrich"] = STREAM_STATIC_ENRICH_SQL

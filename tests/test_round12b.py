@@ -303,3 +303,39 @@ def test_priority_sample_topk_pushdown(spark, sf_dir):
 
     plan = formatted_plan(sample_weighted_priority(spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan
+
+
+# --- stream_static_enrich -------------------------------------------------------
+
+
+def test_stream_static_enrich_multibatch_append_once(spark, sf_dir):
+    """The enrichment must actually run across multiple micro-batches
+    (4 staged chunks), emit every settled window EXACTLY once (append
+    mode — a re-emission would double a (window, nation) row), and
+    keep aggregate state bounded by windows-in-flight, not stream
+    length."""
+    from mysql_cdc_table_spark.operators.round12b import stream_static_enrich
+
+    qs: list = []
+    out = stream_static_enrich(spark, sf_dir, _query_out=qs)
+    rows = out.collect()
+    assert rows
+    keys = [(r["win_start"], r["n_name"]) for r in rows]
+    assert len(keys) == len(set(keys)), "a window emitted twice"
+
+    (q,) = qs
+    batches = [
+        p
+        for p in q.recentProgress
+        if p.get("numInputRows", 0) > 0
+    ]
+    assert len(batches) >= 4, "feed collapsed into fewer batches"
+    state_rows = [
+        so["numRowsTotal"]
+        for p in q.recentProgress
+        for so in p.get("stateOperators", [])
+        if so.get("numRowsTotal") is not None
+    ]
+    # daily windows x 25 nations over a 30-day fixture: state never
+    # exceeds the windows-in-flight bound regardless of row count
+    assert state_rows and max(state_rows) <= 31 * 25
