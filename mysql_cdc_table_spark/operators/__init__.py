@@ -625,6 +625,7 @@ ROUND12_LATE_KEYS: tuple[str, ...] = (
     "emb_pca_power_iter",     # exact Gram + fixed-point power iteration
     "sample_weighted_priority",  # DLT priority sampling, deterministic u
     "stream_static_enrich",   # stream-static broadcast join + windowed agg
+    "cdc_binlog_streaming_evolution",  # ALTER mid-stream, maintained store
 )
 
 

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mysql_cdc_table_spark.catalog import load_table as t
+from mysql_cdc_table_spark.sources import fs as _hfs
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -693,3 +694,296 @@ ORDER BY 1, 2
 
 QUERIES["stream_static_enrich"] = stream_static_enrich
 ORACLES["stream_static_enrich"] = STREAM_STATIC_ENRICH_SQL
+
+
+# --- streaming schema evolution: ALTER TABLE arrives mid-stream ----------------
+
+_EVO_STORE_SCHEMA = (
+    "id long, price decimal(12,2), status string, "
+    "__op int, __gtid long, __event_seq long, __image_seq int"
+)
+
+
+def _evo_targets():
+    from pyspark.sql import types as T
+
+    old = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("price", T.DecimalType(12, 2)),
+        ]
+    )
+    new = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("price", T.DecimalType(12, 2)),
+            T.StructField(
+                "status",
+                T.StringType(),
+                metadata={"mysql_type": "enum", "values": ["F", "O", "P"]},
+            ),
+        ]
+    )
+    return old, new
+
+
+def evolution_apply_batch(
+    spark: SparkSession, batch_df: DataFrame, state_dir: str, batch_id: int
+) -> None:
+    """One micro-batch of latest-state maintenance under schema
+    evolution: the store is keyed by id and delta-proportional —
+    untouched keys carry by anti join, touched keys re-fold their
+    stored row (a pseudo-event ordered by its own __gtid/seqs) against
+    the batch, keeping the (__gtid, __event_seq, __image_seq)-max
+    image per key (tombstones kept so replays and later images order
+    correctly; dropped at readout). Exactly-once via the shared
+    versioned commit — a replayed batch finds its version present."""
+    from mysql_cdc_table_spark.operators.round12 import (
+        _commit_version,
+        _ivm_versions,
+    )
+
+    if _hfs.exists(spark, f"{state_dir}/v{batch_id}"):
+        return
+    vs = _ivm_versions(spark, state_dir)
+    if vs:
+        store = spark.read.schema(_EVO_STORE_SCHEMA).parquet(
+            f"{state_dir}/v{vs[-1]}/D"
+        )
+    else:
+        store = spark.createDataFrame([], _EVO_STORE_SCHEMA)
+    cols = [
+        "id", "price", "status", "__op", "__gtid", "__event_seq",
+        "__image_seq",
+    ]
+    batch = batch_df.select(*cols)
+    keys = batch.select("id").distinct()
+    carried = store.join(F.broadcast(keys), "id", "anti")
+    touched = store.join(F.broadcast(keys), "id", "semi").unionByName(batch)
+    ordc = F.struct("__gtid", "__event_seq", "__image_seq")
+    folded = (
+        touched.groupBy("id")
+        .agg(F.max_by(F.struct(*cols), ordc).alias("s"))
+        .select("s.*")
+    )
+    _commit_version(
+        spark, state_dir, batch_id, {"D": carried.unionByName(folded)}, 2
+    )
+
+
+def cdc_binlog_streaming_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ALTER TABLE ADD COLUMN arriving MID-STREAM, maintained across
+    micro-batches: a 4-file binlog feed — files 1-2 are pre-ALTER
+    inserts framed with the 2-column TABLE_MAP generation, file 3 the
+    post-ALTER updates (3-column generation; before-images carry NULL
+    status, exactly what a widened row that predates the ALTER looks
+    like on the wire), file 4 the post-ALTER deletes — consumed with
+    maxFilesPerTrigger=1 through foreachBatch into a versioned
+    latest-state store that is WIDE FROM THE START (decode with the
+    latest schema; the batch evolution key proves generation
+    alignment, this key proves the maintained STORE survives the
+    transition: by the time the ALTER chunk arrives, the store already
+    holds two batches of pre-ALTER state that must widen as NULL, not
+    misalign). Readout groups the final version's alive rows by
+    status-nullness; the oracle derives the same numbers from the
+    fixture arithmetic in pure SQL. A store that dropped the old
+    generation, double-applied a replay, or mis-ordered an update pair
+    against a stored row moves rows between the NULL/non-NULL planes
+    and breaks the hash. Scale: per batch cost ∝ batch + touched keys
+    (anti/semi split); encode/decode are per-partition mapInPandas."""
+    import hashlib
+    import os
+    import tempfile
+    from decimal import Decimal as _D
+    from typing import Iterator
+
+    import pandas as pd
+
+    from mysql_cdc_table_spark.cdc.schema import changelog_schema
+    from mysql_cdc_table_spark.operators.round12 import (
+        _ivm_versions,
+        stage_ordered_chunks,
+    )
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        build_binlog_file,
+        decode_binlog_bytes,
+    )
+    from pyspark.sql import types as T
+
+    old_target, target = _evo_targets()
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.expr(
+            "cast(cast(o_orderkey % 100000 as decimal(30,2)) / 100"
+            " as decimal(12,2))"
+        ).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    file_schema = T.StructType(
+        [
+            T.StructField("chunk", T.IntegerType()),
+            T.StructField("file_bytes", T.BinaryType()),
+        ]
+    )
+
+    def enc(chunk: int):
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                txns = []
+                for r in pdf.itertuples(index=False):
+                    rid = int(r.id)
+                    if chunk in (0, 1):  # pre-ALTER inserts
+                        txns.append(
+                            {
+                                "gno": rid * 10,
+                                "op": "w",
+                                "rows": [{"id": rid, "price": r.price}],
+                            }
+                        )
+                    elif chunk == 2:  # post-ALTER updates (id%3==0)
+                        before = {
+                            "id": rid, "price": r.price, "status": None,
+                        }
+                        after = {
+                            "id": rid,
+                            "price": r.price + _D(1),
+                            "status": r.status,
+                        }
+                        txns.append(
+                            {
+                                "gno": rid * 10 + 5,
+                                "op": "u",
+                                "rows": [(before, after)],
+                            }
+                        )
+                    else:  # post-ALTER deletes (id%7==0)
+                        last = (
+                            {
+                                "id": rid,
+                                "price": r.price + _D(1),
+                                "status": r.status,
+                            }
+                            if rid % 3 == 0
+                            else {
+                                "id": rid, "price": r.price, "status": None,
+                            }
+                        )
+                        txns.append(
+                            {"gno": rid * 10 + 7, "op": "d", "rows": [last]}
+                        )
+                schema = old_target if chunk in (0, 1) else target
+                yield pd.DataFrame(
+                    {
+                        "chunk": [chunk],
+                        "file_bytes": [
+                            build_binlog_file("tpch", "orders", schema, txns)
+                        ],
+                    }
+                )
+
+        return run
+
+    chunks = [
+        base.filter(F.col("id") % 2 == 0),
+        base.filter(F.col("id") % 2 == 1),
+        base.filter(F.col("id") % 3 == 0),
+        base.filter(F.col("id") % 7 == 0),
+    ]
+    blobs = None
+    for i, part in enumerate(chunks):
+        b = part.coalesce(1).mapInPandas(enc(i), schema=file_schema)
+        blobs = b if blobs is None else blobs.unionByName(b)
+
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}:binlogevo".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"binlog_evo_{tag}")
+    feed_dir, state_dir, ckpt = (
+        f"{root}/feed", f"{root}/state", f"{root}/ckpt",
+    )
+    stage_ordered_chunks(
+        spark, blobs, "chunk", 4, feed_dir, bounds=[0, 1, 2]
+    )
+
+    out_schema = changelog_schema(target)
+    names = [f.name for f in out_schema.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["file_bytes"]:
+                rows = decode_binlog_bytes(
+                    bytes(blob), target, "tpch", "orders"
+                )
+                yield pd.DataFrame(
+                    {n: [r.get(n) for r in rows] for n in names}
+                )
+
+    stream = (
+        spark.readStream.schema(file_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        evolution_apply_batch(
+            spark,
+            batch_df.mapInPandas(decode, schema=out_schema),
+            state_dir,
+            batch_id,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .queryName("cdc_binlog_evo_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    vs = _ivm_versions(spark, state_dir)
+    final = spark.read.schema(_EVO_STORE_SCHEMA).parquet(
+        f"{state_dir}/v{vs[-1]}/D"
+    )
+    return (
+        final.filter(F.col("__op") != 0)
+        .groupBy(F.col("status").isNotNull().alias("post_alter"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum((F.col("price") * 100).cast("long"))
+            .cast("long")
+            .alias("cents_sum"),
+            F.sum("__gtid").cast("long").alias("gtid_sum"),
+        )
+        .orderBy("post_alter")
+    )
+
+
+# Fixture arithmetic: alive keys are id%7!=0; id%3==0 keys carry the
+# update's +100 cents, a status, and gtid id*10+5; everyone else keeps
+# the insert image (NULL status, gtid id*10).
+CDC_BINLOG_STREAMING_EVOLUTION_SQL = """
+WITH alive AS (
+  SELECT o_orderkey AS id,
+         CASE WHEN o_orderkey % 3 = 0
+              THEN CAST(o_orderkey % 100000 AS BIGINT) + 100
+              ELSE CAST(o_orderkey % 100000 AS BIGINT) END AS cents,
+         (o_orderkey % 3 = 0) AS post_alter,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey * 10 + 5
+              ELSE o_orderkey * 10 END AS gtid
+  FROM orders WHERE o_orderkey % 7 <> 0
+)
+SELECT post_alter, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       CAST(sum(gtid) AS BIGINT) AS gtid_sum
+FROM alive GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["cdc_binlog_streaming_evolution"] = cdc_binlog_streaming_evolution
+ORACLES["cdc_binlog_streaming_evolution"] = (
+    CDC_BINLOG_STREAMING_EVOLUTION_SQL
+)

@@ -350,6 +350,23 @@ def main() -> None:
         # round 12 late: real binlog v4 -> SCD2 — per-partition
         # encode/decode, one keyed window, one hash aggregate
         "cdc_binlog_scd2",
+        # round 12 second session: the IVM second-moment fold is one
+        # map-side hash aggregate over the changelog
+        "cdc_ivm_corr_view",
+        # aggregate-once/iterate-on-the-grid pair: the only event-sized
+        # pass is the edge aggregate (PageRank) / the Arrow-batched
+        # Gram fold (PCA); iterations are grid-bounded
+        "graph_pagerank_trade",
+        "emb_pca_power_iter",
+        # weighted priority sampling: one scan + WindowGroupLimit top-k
+        "sample_weighted_priority",
+        # stream-static join: first (untimed) call stages the 4-chunk
+        # feed; timed calls re-run the availableNow stream end to end
+        "stream_static_enrich",
+        # streaming schema evolution: first call encodes + stages the
+        # 4-file binlog feed and runs the stream; timed calls
+        # resume-noop + read the final version
+        "cdc_binlog_streaming_evolution",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

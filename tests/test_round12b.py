@@ -339,3 +339,61 @@ def test_stream_static_enrich_multibatch_append_once(spark, sf_dir):
     # daily windows x 25 nations over a 30-day fixture: state never
     # exceeds the windows-in-flight bound regardless of row count
     assert state_rows and max(state_rows) <= 31 * 25
+
+
+# --- cdc_binlog_streaming_evolution ---------------------------------------------
+
+
+def test_binlog_streaming_evolution_converges_and_resumes(spark, sf_dir):
+    """The maintained store must hold BOTH generations correctly (the
+    pre-ALTER plane surfaces as NULL status, the post-ALTER plane
+    carries values), and a second run — same checkpoint, same staged
+    feed — must be a resume-noop that reads the identical store."""
+    from mysql_cdc_table_spark.operators.round12b import (
+        cdc_binlog_streaming_evolution,
+    )
+
+    first = [tuple(r) for r in cdc_binlog_streaming_evolution(spark, sf_dir).collect()]
+    assert len(first) == 2  # NULL-status and status planes both present
+    assert all(n_rows > 0 for _, n_rows, _, _ in first)
+    second = [tuple(r) for r in cdc_binlog_streaming_evolution(spark, sf_dir).collect()]
+    assert first == second
+
+
+def test_evolution_apply_batch_replay_is_noop(spark, tmp_path):
+    """A replayed micro-batch must find its committed version and skip
+    — applying the same batch twice cannot double-fold a key."""
+    from mysql_cdc_table_spark.operators.round12 import _ivm_versions
+    from mysql_cdc_table_spark.operators.round12b import (
+        _EVO_STORE_SCHEMA,
+        evolution_apply_batch,
+    )
+
+    state_dir = str(tmp_path / "evostate")
+    batch = spark.createDataFrame(
+        [
+            (1, None, None, 1, 10, 10, 0),
+            (1, None, "F", 3, 15, 15, 1),
+            (2, None, None, 1, 20, 20, 0),
+        ],
+        _EVO_STORE_SCHEMA,
+    )
+    evolution_apply_batch(spark, batch, state_dir, 0)
+    once = sorted(
+        tuple(r)
+        for r in spark.read.schema(_EVO_STORE_SCHEMA)
+        .parquet(f"{state_dir}/v0/D")
+        .collect()
+    )
+    # key 1 folded to its (gtid 15) after-image, key 2 to its insert
+    assert [r[0] for r in once] == [1, 2]
+    assert dict((r[0], r[4]) for r in once) == {1: 15, 2: 20}
+    evolution_apply_batch(spark, batch, state_dir, 0)  # replay
+    again = sorted(
+        tuple(r)
+        for r in spark.read.schema(_EVO_STORE_SCHEMA)
+        .parquet(f"{state_dir}/v0/D")
+        .collect()
+    )
+    assert once == again
+    assert _ivm_versions(spark, state_dir) == [0]
