@@ -626,6 +626,7 @@ ROUND12_LATE_KEYS: tuple[str, ...] = (
     "sample_weighted_priority",  # DLT priority sampling, deterministic u
     "stream_static_enrich",   # stream-static broadcast join + windowed agg
     "cdc_binlog_streaming_evolution",  # ALTER mid-stream, maintained store
+    "stream_stream_three_way",  # chained funnel: two stateful joins
 )
 
 

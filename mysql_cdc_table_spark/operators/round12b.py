@@ -987,3 +987,159 @@ QUERIES["cdc_binlog_streaming_evolution"] = cdc_binlog_streaming_evolution
 ORACLES["cdc_binlog_streaming_evolution"] = (
     CDC_BINLOG_STREAMING_EVOLUTION_SQL
 )
+
+
+# --- chained stream-stream join: three live feeds ------------------------------
+
+
+def stream_stream_three_way(
+    spark: SparkSession, sf_dir: str, _query_out: list | None = None
+) -> DataFrame:
+    """THREE watermarked live feeds chained through two stream-stream
+    inner joins — the multi-stateful-operator pipeline (funnel shape:
+    an L event followed by an M within 6h followed by an R within 6h
+    of the M) that exercises state handoff BETWEEN stateful operators:
+    the first join's output is itself an unbounded stream the second
+    join must buffer and evict by the composed horizon (r.ts ≤ l.ts +
+    12h). All three feeds stage as 4 TIME-ordered chunks consumed with
+    maxFilesPerTrigger=1 — each batch advances all three sides
+    together, so matches must pair across batch seams out of BOTH
+    state stores under a realistic 1-minute watermark (the r10
+    inner-join key documents its unbounded-watermark variant; this key
+    is the bounded-state one). Readout keeps triples with every leg
+    below 2024-01-28 — ≥2 days under the final watermark minus the
+    composed 12h horizon, so the set is settled at every sf; the
+    oracle is the equivalent batch 3-way join under the same cutoff.
+    Scale: both joins' state is watermark+range bounded and
+    hash-partitioned by user — the chained-funnel contract on
+    unbounded feeds."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from mysql_cdc_table_spark.operators.round12 import stage_ordered_chunks
+
+    e = (
+        t(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("tsl", F.unix_micros(F.col("ts")))
+        .withColumn("vm", F.floor(F.col("value") * 1000).cast("long"))
+        .select("event_id", "user_id", "ts", "tsl", "event_type", "vm")
+    )
+    # shared chunk bounds: all three feeds advance through the same
+    # event-time ranges, like partitions of one topic
+    bounds = e.stat.approxQuantile("tsl", [0.25, 0.5, 0.75], 0.0)
+    sides = {
+        "l": e.filter(F.col("event_id") % 4 == 0),
+        "m": e.filter(F.col("event_id") % 4 == 1),
+        "r": e.filter(F.col("event_id") % 4 == 2),
+    }
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}:ss3way".encode()
+    ).hexdigest()[:12]
+    stages = {}
+    for side, df in sides.items():
+        stage = os.path.join(
+            tempfile.gettempdir(), f"stream_ss3way_{side}_{tag}"
+        )
+        stage_ordered_chunks(spark, df, "tsl", 4, stage, bounds=list(bounds))
+        stages[side] = stage
+
+    def feed(side: str):
+        return (
+            spark.readStream.schema(sides[side].schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stages[side])
+            .withWatermark("ts", "1 minute")
+            .alias(side)
+        )
+
+    pair = (
+        feed("l")
+        .join(
+            feed("m"),
+            F.expr(
+                "l.user_id = m.user_id AND m.ts >= l.ts "
+                "AND m.ts <= l.ts + INTERVAL 6 HOUR"
+            ),
+        )
+        # a stream may carry at most ONE event-time column into the
+        # next stateful operator: demote l.ts to plain micros; the
+        # surviving m.ts keeps its watermark tag through the rename
+        .select(
+            F.col("m.user_id").alias("user_id"),
+            F.col("m.ts").alias("mts"),
+            F.unix_micros(F.col("l.ts")).alias("ltsl"),
+            F.col("l.event_type").alias("type_a"),
+            (F.col("l.vm") + F.col("m.vm")).alias("lm_vm"),
+        )
+        .alias("p")
+    )
+    triple = pair.join(
+        feed("r"),
+        F.expr(
+            "p.user_id = r.user_id AND r.ts >= p.mts "
+            "AND r.ts <= p.mts + INTERVAL 6 HOUR"
+        ),
+    )
+    mem = f"ss3way_{uuid.uuid4().hex[:12]}"
+    q = (
+        triple.select(
+            F.timestamp_micros(F.col("p.ltsl")).alias("lts"),
+            F.col("p.mts").alias("mts"),
+            F.col("r.ts").alias("rts"),
+            F.col("p.type_a").alias("type_a"),
+            F.col("r.event_type").alias("type_c"),
+            (F.col("p.lm_vm") + F.col("r.vm")).alias("tri_vm"),
+        )
+        .writeStream.format("memory")
+        .queryName(mem)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if _query_out is not None:
+        _query_out.append(q)
+    cutoff = F.lit("2024-01-28 00:00:00").cast("timestamp")
+    return (
+        spark.table(mem)
+        .filter(
+            (F.col("lts") < cutoff)
+            & (F.col("mts") < cutoff)
+            & (F.col("rts") < cutoff)
+        )
+        .groupBy("type_a", "type_c")
+        .agg(
+            F.count("*").cast("long").alias("n_funnels"),
+            F.sum("tri_vm").cast("long").alias("milli_sum"),
+        )
+        .orderBy("type_a", "type_c")
+    )
+
+
+STREAM_STREAM_THREE_WAY_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, ts, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS vm
+  FROM events
+), l AS (SELECT * FROM e WHERE event_id % 4 = 0),
+   m AS (SELECT * FROM e WHERE event_id % 4 = 1),
+   r AS (SELECT * FROM e WHERE event_id % 4 = 2)
+SELECT l.event_type AS type_a, r.event_type AS type_c,
+       CAST(count(*) AS BIGINT) AS n_funnels,
+       CAST(sum(l.vm + m.vm + r.vm) AS BIGINT) AS milli_sum
+FROM l
+JOIN m ON l.user_id = m.user_id AND m.ts >= l.ts
+      AND m.ts <= l.ts + INTERVAL 6 HOUR
+JOIN r ON m.user_id = r.user_id AND r.ts >= m.ts
+      AND r.ts <= m.ts + INTERVAL 6 HOUR
+WHERE l.ts < TIMESTAMP '2024-01-28 00:00:00'
+  AND m.ts < TIMESTAMP '2024-01-28 00:00:00'
+  AND r.ts < TIMESTAMP '2024-01-28 00:00:00'
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+QUERIES["stream_stream_three_way"] = stream_stream_three_way
+ORACLES["stream_stream_three_way"] = STREAM_STREAM_THREE_WAY_SQL

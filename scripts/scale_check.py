@@ -367,6 +367,11 @@ def main() -> None:
         # 4-file binlog feed and runs the stream; timed calls
         # resume-noop + read the final version
         "cdc_binlog_streaming_evolution",
+        # chained three-way stream-stream join: every timed call runs
+        # the full 4-batch availableNow stream through both stateful
+        # joins end to end (no resume shortcut — the join state is
+        # in-memory per run)
+        "stream_stream_three_way",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

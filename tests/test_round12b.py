@@ -397,3 +397,24 @@ def test_evolution_apply_batch_replay_is_noop(spark, tmp_path):
     )
     assert once == again
     assert _ivm_versions(spark, state_dir) == [0]
+
+
+# --- stream_stream_three_way ------------------------------------------------------
+
+
+def test_three_way_runs_two_stateful_joins_multibatch(spark, sf_dir):
+    """The chained funnel must run BOTH stream-stream joins as
+    stateful operators (two state stores in every progress record),
+    across ≥4 micro-batches, with nonempty settled output."""
+    from mysql_cdc_table_spark.operators.round12b import (
+        stream_stream_three_way,
+    )
+
+    qs: list = []
+    rows = stream_stream_three_way(spark, sf_dir, _query_out=qs).collect()
+    assert rows and all(r["n_funnels"] > 0 for r in rows)
+    (q,) = qs
+    progresses = [p for p in q.recentProgress if p.get("numInputRows", 0) > 0]
+    assert len(progresses) >= 4
+    n_state_ops = {len(p.get("stateOperators", [])) for p in q.recentProgress}
+    assert 2 in n_state_ops, n_state_ops
