@@ -627,6 +627,7 @@ ROUND12_LATE_KEYS: tuple[str, ...] = (
     "stream_static_enrich",   # stream-static broadcast join + windowed agg
     "cdc_binlog_streaming_evolution",  # ALTER mid-stream, maintained store
     "stream_stream_three_way",  # chained funnel: two stateful joins
+    "mm_image_resize",        # decode -> NN resize, gradient-exact
 )
 
 

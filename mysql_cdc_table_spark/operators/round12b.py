@@ -1143,3 +1143,123 @@ ORDER BY 1, 2
 
 QUERIES["stream_stream_three_way"] = stream_stream_three_way
 ORACLES["stream_stream_three_way"] = STREAM_STREAM_THREE_WAY_SQL
+
+
+# --- multimodal: decode -> nearest-neighbor resize ------------------------------
+
+
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode → nearest-neighbor RESIZE — the preprocessing step
+    every vision pipeline runs before feature extraction, end-to-end
+    inside the value hash: each document synthesizes a valid image
+    (even doc_ids netpbm P6, odd 24-bit BMP — round4's real encoders)
+    whose pixel (x, y, c) is the GRADIENT (3x + 5y + 7c + doc_id) %
+    256, so the 4×4 nearest-neighbor resample (source index
+    (i·dim) DIV 4 — the same truncating rule in numpy and SQL) picks
+    KNOWN pixels and the resized checksum is integer-exact: a decoder
+    that flipped BMP's bottom-up rows or BGR order, or a resampler
+    off-by-one on the index grid, moves the sum. Constant fills (the
+    decode key) can't see any of that — spatial bugs need spatial
+    content. Both stages are Arrow-batched mapInPandas over binary
+    payloads — the exact shape a 100 TB image corpus needs (opaque
+    binary column + per-batch numpy; swap the synthesizer for a
+    parquet scan and nothing else changes)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from mysql_cdc_table_spark.functions.multimodal import (
+        decode_image_pixels,
+        encode_bmp,
+        encode_ppm,
+    )
+    from pyspark.sql import types as T
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 60 + 5, did % 44 + 5
+                xs = np.arange(w, dtype=np.int64)[None, :, None]
+                ys = np.arange(h, dtype=np.int64)[:, None, None]
+                cs = np.arange(3, dtype=np.int64)[None, None, :]
+                px = ((3 * xs + 5 * ys + 7 * cs + did) % 256).astype(
+                    np.uint8
+                )
+                ids.append(did)
+                payloads.append(
+                    encode_ppm(w, h, px) if did % 2 == 0 else encode_bmp(w, h, px)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("codec", T.StringType()),
+            T.StructField("src_w", T.IntegerType()),
+            T.StructField("src_h", T.IntegerType()),
+            T.StructField("rs_sum", T.LongType()),
+        ]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "codec", "src_w", "src_h", "rs_sum")}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                codec, px = decode_image_pixels(bytes(payload))
+                h, w = px.shape[0], px.shape[1]
+                ix = (np.arange(4, dtype=np.int64) * w) // 4
+                iy = (np.arange(4, dtype=np.int64) * h) // 4
+                rs = px[np.ix_(iy, ix)].astype(np.int64)
+                # channel-WEIGHTED checksum: a plain sum is symmetric
+                # under channel permutation and cannot see a BGR swap
+                wsum = int((rs * np.array([1, 2, 3], dtype=np.int64)).sum())
+                rows["doc_id"].append(int(did))
+                rows["codec"].append(codec)
+                rows["src_w"].append(w)
+                rows["src_h"].append(h)
+                rows["rs_sum"].append(wsum)
+            yield pd.DataFrame(rows)
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    payloads = d.mapInPandas(gen, schema=gen_schema)
+    return payloads.mapInPandas(resize, schema=out_schema).orderBy("doc_id")
+
+
+MM_IMAGE_RESIZE_SQL = """
+WITH g AS (
+  SELECT doc_id, doc_id % 60 + 5 AS w, doc_id % 44 + 5 AS h
+  FROM documents
+),
+cells AS (
+  SELECT doc_id, w, h,
+         (xo.i * w) // 4 AS sx, (yo.i * h) // 4 AS sy
+  FROM g, range(4) xo(i), range(4) yo(i)
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS codec,
+       CAST(max(w) AS INTEGER) AS src_w,
+       CAST(max(h) AS INTEGER) AS src_h,
+       CAST(sum((3 * sx + 5 * sy + doc_id) % 256
+              + 2 * ((3 * sx + 5 * sy + 7 + doc_id) % 256)
+              + 3 * ((3 * sx + 5 * sy + 14 + doc_id) % 256)) AS BIGINT)
+         AS rs_sum
+FROM cells
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+QUERIES["mm_image_resize"] = mm_image_resize
+ORACLES["mm_image_resize"] = MM_IMAGE_RESIZE_SQL

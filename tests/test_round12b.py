@@ -418,3 +418,42 @@ def test_three_way_runs_two_stateful_joins_multibatch(spark, sf_dir):
     assert len(progresses) >= 4
     n_state_ops = {len(p.get("stateOperators", [])) for p in q.recentProgress}
     assert 2 in n_state_ops, n_state_ops
+
+
+# --- mm_image_resize --------------------------------------------------------------
+
+
+def test_resize_is_spatially_sensitive():
+    """The gradient fixture must detect spatial bugs a constant fill
+    cannot: a vertically flipped decode (the classic BMP bottom-up
+    mistake) or a swapped channel order (BGR) must CHANGE the resized
+    checksum; codec containers must round-trip pixel-identically."""
+    import numpy as np
+
+    from mysql_cdc_table_spark.functions.multimodal import (
+        decode_image_pixels,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    did = 12345
+    w, h = did % 60 + 5, did % 44 + 5
+    xs = np.arange(w, dtype=np.int64)[None, :, None]
+    ys = np.arange(h, dtype=np.int64)[:, None, None]
+    cs = np.arange(3, dtype=np.int64)[None, None, :]
+    px = ((3 * xs + 5 * ys + 7 * cs + did) % 256).astype(np.uint8)
+
+    for enc in (encode_ppm, encode_bmp):
+        _, back = decode_image_pixels(enc(w, h, px))
+        assert np.array_equal(back, px), enc.__name__
+
+    ix = (np.arange(4, dtype=np.int64) * w) // 4
+    iy = (np.arange(4, dtype=np.int64) * h) // 4
+    cw = np.array([1, 2, 3], dtype=np.int64)
+
+    def wsum(arr):
+        return int((arr[np.ix_(iy, ix)].astype(np.int64) * cw).sum())
+
+    good = wsum(px)
+    assert good != wsum(px[::-1])  # bottom-up row bug
+    assert good != wsum(px[:, :, ::-1])  # BGR channel swap
