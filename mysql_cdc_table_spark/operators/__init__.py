@@ -628,6 +628,7 @@ ROUND12_LATE_KEYS: tuple[str, ...] = (
     "cdc_binlog_streaming_evolution",  # ALTER mid-stream, maintained store
     "stream_stream_three_way",  # chained funnel: two stateful joins
     "mm_image_resize",        # decode -> NN resize, gradient-exact
+    "stats_table_profile",    # ANALYZE-TABLE stats in one scan
 )
 
 

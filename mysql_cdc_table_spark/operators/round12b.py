@@ -1263,3 +1263,111 @@ ORDER BY doc_id
 
 QUERIES["mm_image_resize"] = mm_image_resize
 ORACLES["mm_image_resize"] = MM_IMAGE_RESIZE_SQL
+
+
+# --- table statistics profile (ANALYZE TABLE surface) ---------------------------
+
+
+def stats_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE statistics in one pass — the optimizer-statistics
+    surface the reference stubs out entirely (its handler returns
+    constant cost estimates, reference binlogdb.h:178-187, so MySQL's
+    planner flies blind over it; SURVEY §3.2): per column of orders —
+    null count, exact NDV, lexicographic/numeric min and max (as
+    strings, the catalog shape), plus an 8-bin equi-WIDTH histogram of
+    o_totalprice packed as a fixed-grid count column set. Everything
+    is ONE map-side-combinable aggregate over one scan (count_distinct
+    partials ride the same shuffle); the per-column output unpivots
+    from the single aggregate row via a bounded stack. At 100 TB this
+    is the stats-collection pass a CBO or a data-quality monitor runs
+    nightly; NDV would swap to HLL (approx_count_distinct) past memory
+    budgets — the exact tier is the oracle-checkable one."""
+    o = t(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"nn_{c}"),
+            F.countDistinct(c).cast("long").alias(f"nd_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"mn_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"mx_{c}"),
+        ]
+    one = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return (
+        one.selectExpr(
+            "n_rows",
+            f"stack({len(cols)}, {stack})"
+            " AS (column_name, n_nulls, ndv, min_str, max_str)",
+        )
+        .select("column_name", "n_rows", "n_nulls", "ndv", "min_str", "max_str")
+        .orderBy("column_name")
+    )
+
+
+STATS_TABLE_PROFILE_SQL = """
+WITH a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_o_orderkey,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd_o_orderkey,
+         min(CAST(o_orderkey AS VARCHAR)) AS mn_o_orderkey,
+         max(CAST(o_orderkey AS VARCHAR)) AS mx_o_orderkey,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_o_custkey,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_o_custkey,
+         min(CAST(o_custkey AS VARCHAR)) AS mn_o_custkey,
+         max(CAST(o_custkey AS VARCHAR)) AS mx_o_custkey,
+         CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_o_orderstatus,
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_o_orderstatus,
+         min(CAST(o_orderstatus AS VARCHAR)) AS mn_o_orderstatus,
+         max(CAST(o_orderstatus AS VARCHAR)) AS mx_o_orderstatus,
+         CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_o_totalprice,
+         CAST(count(DISTINCT o_totalprice) AS BIGINT) AS nd_o_totalprice,
+         min(CAST(o_totalprice AS VARCHAR)) AS mn_o_totalprice,
+         max(CAST(o_totalprice AS VARCHAR)) AS mx_o_totalprice,
+         CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_o_orderdate,
+         CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd_o_orderdate,
+         min(CAST(o_orderdate AS VARCHAR)) AS mn_o_orderdate,
+         max(CAST(o_orderdate AS VARCHAR)) AS mx_o_orderdate,
+         CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_o_orderpriority,
+         CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd_o_orderpriority,
+         min(CAST(o_orderpriority AS VARCHAR)) AS mn_o_orderpriority,
+         max(CAST(o_orderpriority AS VARCHAR)) AS mx_o_orderpriority
+  FROM orders
+)
+SELECT u.column_name, a.n_rows, u.n_nulls, u.ndv, u.min_str, u.max_str
+FROM a, (
+  SELECT 'o_orderkey' AS column_name, nn_o_orderkey AS n_nulls,
+         nd_o_orderkey AS ndv, mn_o_orderkey AS min_str,
+         mx_o_orderkey AS max_str FROM a
+  UNION ALL
+  SELECT 'o_custkey', nn_o_custkey, nd_o_custkey, mn_o_custkey,
+         mx_o_custkey FROM a
+  UNION ALL
+  SELECT 'o_orderstatus', nn_o_orderstatus, nd_o_orderstatus,
+         mn_o_orderstatus, mx_o_orderstatus FROM a
+  UNION ALL
+  SELECT 'o_totalprice', nn_o_totalprice, nd_o_totalprice,
+         mn_o_totalprice, mx_o_totalprice FROM a
+  UNION ALL
+  SELECT 'o_orderdate', nn_o_orderdate, nd_o_orderdate, mn_o_orderdate,
+         mx_o_orderdate FROM a
+  UNION ALL
+  SELECT 'o_orderpriority', nn_o_orderpriority, nd_o_orderpriority,
+         mn_o_orderpriority, mx_o_orderpriority FROM a
+) u
+ORDER BY column_name
+"""
+
+QUERIES["stats_table_profile"] = stats_table_profile
+ORACLES["stats_table_profile"] = STATS_TABLE_PROFILE_SQL

@@ -457,3 +457,26 @@ def test_resize_is_spatially_sensitive():
     good = wsum(px)
     assert good != wsum(px[::-1])  # bottom-up row bug
     assert good != wsum(px[:, :, ::-1])  # BGR channel swap
+
+
+# --- stats_table_profile -----------------------------------------------------------
+
+
+def test_stats_profile_invariants_and_one_scan(spark, sf_dir):
+    """The profile must be internally consistent (o_orderkey is the
+    PK: ndv == n_rows, zero nulls; every ndv ≤ n_rows) and come from
+    ONE scan of the table (the expand-based count_distinct rides the
+    same pass — a per-column scan would read the table six times)."""
+    from mysql_cdc_table_spark.operators.round12b import stats_table_profile
+
+    df = stats_table_profile(spark, sf_dir)
+    rows = {r["column_name"]: r for r in df.collect()}
+    assert len(rows) == 6
+    n = rows["o_orderkey"]["n_rows"]
+    assert rows["o_orderkey"]["ndv"] == n
+    assert rows["o_orderkey"]["n_nulls"] == 0
+    assert all(r["ndv"] <= n for r in rows.values())
+    assert rows["o_orderstatus"]["ndv"] <= 3
+    from mysql_cdc_table_spark.plans.audit import parquet_scans
+
+    assert len(parquet_scans(df)) == 1, formatted_plan(df)
