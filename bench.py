@@ -411,18 +411,23 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         return round(min(samples), 3)
 
-    # The swept entry list (protocol 10 adds the last two): the 15
+    # The swept entry list (protocol 11 adds the last two): the 15
     # headline queries + the staged binlog/IVF entries + the contract
     # locks — agg_kruskal (two-level grid rank), agg_ks (bucketed
     # prefix grid reuse), join_fuzzy_blocked (distinct-names-first
-    # blocked fuzzy join) and cdc_ivm_join_view_bidi (signed-delta
-    # bilinear IVM fold; a regression that re-ranks the changelog or
-    # rescans the fact per delta term moves this number).
+    # blocked fuzzy join), cdc_ivm_join_view_bidi (signed-delta
+    # bilinear IVM fold), and the aggregate-once/iterate-on-the-grid
+    # pair — graph_pagerank_trade (one event-sized edge aggregate,
+    # lineage-cut, 3 broadcast grid iterations) and emb_pca_power_iter
+    # (Arrow-batched exact Gram fold + fixed-point matvecs): a
+    # regression that rescans the fact per iteration step moves these
+    # two numbers by integer factors.
     _SWEEP = [
         *HEADLINE, "packed_binlog_scan", "mysql_binlog_scan",
         "binlog_gtid_resume", "ivf_pruned_search", "binlog_sink_write",
         "agg_kruskal_rank_sums", "agg_ks_two_sample",
         "join_fuzzy_blocked", "cdc_ivm_join_view_bidi",
+        "graph_pagerank_trade", "emb_pca_power_iter",
     ]
 
     # One full UNTIMED sweep first: progressive C2 JIT keeps lowering
@@ -526,7 +531,12 @@ def main() -> None:
                 #    entries (lock the blocked-fuzzy-join and the
                 #    bilinear signed-delta IVM contracts) — TOTAL grows
                 #    by two more entries (r12)
-                "protocol": 10,
+                # 11: + graph_pagerank_trade and emb_pca_power_iter
+                #    entries (lock the aggregate-once/iterate-on-the-
+                #    grid contracts: the fact scans ONCE, iterations
+                #    run on lineage-cut grids) — TOTAL grows by two
+                #    more entries (r12, second session)
+                "protocol": 11,
                 "anchor": HEADLINE[0],
                 "anchor_first_sec": result["anchor_first_sec"],
                 "anchor_last_sec": result["anchor_last_sec"],

@@ -372,6 +372,11 @@ def main() -> None:
         # joins end to end (no resume shortcut — the join state is
         # in-memory per run)
         "stream_stream_three_way",
+        # decode -> resize: two Arrow-batched mapInPandas stages,
+        # embarrassingly parallel
+        "mm_image_resize",
+        # ANALYZE-TABLE stats: one Expand-based aggregate over one scan
+        "stats_table_profile",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]
