@@ -629,6 +629,7 @@ ROUND12_LATE_KEYS: tuple[str, ...] = (
     "stream_stream_three_way",  # chained funnel: two stateful joins
     "mm_image_resize",        # decode -> NN resize, gradient-exact
     "stats_table_profile",    # ANALYZE-TABLE stats in one scan
+    "funnel_no_interference",  # A then B with NO C between (negation)
 )
 
 

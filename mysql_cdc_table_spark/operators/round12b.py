@@ -1371,3 +1371,117 @@ ORDER BY column_name
 
 QUERIES["stats_table_profile"] = stats_table_profile
 ORACLES["stats_table_profile"] = STATS_TABLE_PROFILE_SQL
+
+
+# --- sequence pattern with NEGATION: A then B with no C between -----------------
+
+
+def funnel_no_interference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence pattern with NEGATION — view → purchase within 6h with
+    NO error strictly between (the MATCH_RECOGNIZE-with-negation shape
+    plain funnels can't express). The Spark-first trick: a NOT EXISTS
+    probe per candidate pair would be a second corpus join; instead
+    ONE per-user cumulative error counter (ordered by (ts, event_id) —
+    the deterministic tie-break) PREFIX-ENCODES the negation, and each
+    (view, purchase) pair checks "no error between" in O(1) by
+    comparing counters: errors strictly between v and p ⟺
+    cum_err_before(p) > cum_err_at(v). The oracle deliberately uses
+    the NAIVE NOT EXISTS formulation — two independent derivations of
+    the semantics, not a shared trick value-hashed against itself.
+    Output rolls up per view-day: pairs, clean pairs, clean milli
+    revenue. Scale: one window pass per user partition + one
+    time-bounded pair join — the counter rides the rows, the negation
+    costs no extra scan; at 100 TB the error probe join the naive
+    form needs would be the largest shuffle in the query."""
+    from pyspark.sql import Window
+
+    e = (
+        t(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 1000).cast("long").alias("vm"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    cum = e.withColumn(
+        "cum_err",
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .over(w)
+        .cast("long"),
+    ).localCheckpoint(eager=False)  # ONE window pass feeds both sides
+    v = cum.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("vts"),
+        F.col("event_id").alias("vid"),
+        F.col("cum_err").alias("v_err"),
+    )
+    p = cum.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
+        F.col("vm").alias("pvm"),
+        # errors BEFORE the purchase (purchases never increment)
+        F.col("cum_err").alias("p_err"),
+    )
+    pairs = v.join(
+        p,
+        (F.col("p_user") == F.col("user_id"))
+        & (
+            (F.col("pts") > F.col("vts"))
+            | ((F.col("pts") == F.col("vts")) & (F.col("pid") > F.col("vid")))
+        )
+        & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 6 HOUR")),
+    ).withColumn("clean", F.col("p_err") == F.col("v_err"))
+    return (
+        pairs.groupBy(F.to_date("vts").alias("view_date"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("clean"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clean"),
+            F.sum(F.when(F.col("clean"), F.col("pvm")).otherwise(0))
+            .cast("long")
+            .alias("clean_milli"),
+        )
+        .orderBy("view_date")
+    )
+
+
+FUNNEL_NO_INTERFERENCE_SQL = """
+WITH v AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, ts, event_id, CAST(floor(value * 1000) AS BIGINT) AS vm
+  FROM events WHERE event_type = 'purchase'
+),
+err AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
+),
+pairs AS (
+  SELECT v.ts AS vts, p.vm,
+         NOT EXISTS (
+           SELECT 1 FROM err x WHERE x.user_id = v.user_id
+             AND (x.ts > v.ts OR (x.ts = v.ts AND x.event_id > v.event_id))
+             AND (x.ts < p.ts OR (x.ts = p.ts AND x.event_id < p.event_id))
+         ) AS clean
+  FROM v JOIN p ON p.user_id = v.user_id
+    AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
+    AND p.ts <= v.ts + INTERVAL 6 HOUR
+)
+SELECT CAST(vts AS DATE) AS view_date,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       CAST(sum(CASE WHEN clean THEN vm ELSE 0 END) AS BIGINT)
+         AS clean_milli
+FROM pairs GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["funnel_no_interference"] = funnel_no_interference
+ORACLES["funnel_no_interference"] = FUNNEL_NO_INTERFERENCE_SQL

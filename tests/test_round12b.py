@@ -480,3 +480,29 @@ def test_stats_profile_invariants_and_one_scan(spark, sf_dir):
     from mysql_cdc_table_spark.plans.audit import parquet_scans
 
     assert len(parquet_scans(df)) == 1, formatted_plan(df)
+
+
+# --- funnel_no_interference ---------------------------------------------------------
+
+
+def test_negation_is_load_bearing_and_costs_no_extra_join(spark, sf_dir):
+    """Some pairs must actually be dirty (otherwise the negation is
+    untested), and the prefix-counter trick must keep the plan at ONE
+    join — the naive NOT EXISTS form would add an error-probe join."""
+    from mysql_cdc_table_spark.operators.round12b import (
+        funnel_no_interference,
+    )
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = funnel_no_interference(spark, sf_dir)
+    import re
+
+    plan = formatted_plan(df)  # pre-execution: AQE prints one plan
+    rows = df.collect()
+    assert sum(r["n_pairs"] for r in rows) > sum(r["n_clean"] for r in rows)
+    assert all(r["n_clean"] <= r["n_pairs"] for r in rows)
+    n_joins = len(re.findall(r"\(\d+\) \w*(Join|CartesianProduct)", plan))
+    assert n_joins == 1, plan
+    # the corpus-wide counter window materializes ONCE (lineage cut);
+    # neither branch recomputes it, and no error-probe join appears
+    assert count_nodes(df, "Window") == 0, plan
