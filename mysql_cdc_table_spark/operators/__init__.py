@@ -630,6 +630,7 @@ ROUND12_LATE_KEYS: tuple[str, ...] = (
     "mm_image_resize",        # decode -> NN resize, gradient-exact
     "stats_table_profile",    # ANALYZE-TABLE stats in one scan
     "funnel_no_interference",  # A then B with NO C between (negation)
+    "cdc_ivm_streaming_corr",  # second moments streamed: add-only merge
 )
 
 

@@ -1,37 +1,53 @@
 """Round-12 later-wave operators (second build session of the round).
 
-Wave themes, each landed with full value-hash oracle + pytest + plan
-audit + sf1 scale row before being listed in ``ROUND12_LATE_KEYS``:
+Every key landed with full value-hash oracle + pytest + plan audit +
+sf1 scale row before being listed in ``ROUND12_LATE_KEYS``:
 
-- ``cdc_ivm_corr_view``: SECOND MOMENTS join the IVM algebra — count /
-  sums / sums-of-squares / cross products are all linear in signed
-  deltas, so variance, covariance, and Pearson correlation of a live
-  CDC view are maintainable with CONSTANT per-group state (no support
-  table needed — unlike MIN/MAX/median, a deleted row's moment
-  contribution subtracts exactly). Round 11 covered the linear
-  aggregates, round 12's earlier waves the support-table family
-  (MIN/MAX, top-k, median, mode, quantiles); this closes the algebraic
-  class: any moment-expressible statistic now folds in O(delta).
-- ``graph_pagerank_trade``: the "aggregate once, iterate on the grid"
-  shape for iterative algorithms — the only event-sized pass builds
-  the nation->nation trade-volume edge list (one map-side-combinable
-  aggregate over the 4-table join); PageRank then iterates on the
-  bounded |V|x|V| grid in exact scaled-integer arithmetic, so both
-  engines produce bit-identical fixed-point values.
-- ``emb_pca_power_iter``: the same shape for linear algebra — an
-  Arrow-batched exact integer Gram matrix (one mapInArrow pass, numpy
-  int64 outer products per batch, partials combine by key), then
-  power iteration on the 64x64 grid in scaled-integer arithmetic.
-- ``sample_weighted_priority``: weighted priority sampling (Duffield/
-  Lund/Thorup) with a deterministic md5-derived uniform — the
-  production way to draw a weighted sample at 100 TB with no RNG
-  state and idempotent retries.
+- ``cdc_ivm_corr_view``: SECOND MOMENTS join the IVM algebra — all
+  six sufficient statistics are linear in signed deltas, so variance/
+  covariance/correlation of a live CDC view maintain with CONSTANT
+  per-group state (no support table needed — a deleted row's moment
+  contribution subtracts exactly). With round 11's linear/distinct
+  cases and round 12's support-table family, the algebraic class is
+  closed: any moment-expressible statistic folds in O(delta).
+- ``graph_pagerank_trade`` / ``emb_pca_power_iter``: the "aggregate
+  once, iterate on the grid" shape for iterative algorithms — ONE
+  event-sized pass reduces the data to a bounded grid (nation-trade
+  edge weights; an Arrow-batched exact integer Gram matrix), then the
+  iteration (damped PageRank; power iteration) runs on the grid in
+  exact scaled-integer arithmetic, bit-identical cross-engine; the
+  fact data is never rescanned per step.
+- ``sample_weighted_priority``: Duffield–Lund–Thorup priority
+  sampling with a deterministic Knuth-hash uniform — weighted samples
+  with no RNG state and idempotent retries, plus the DLT unbiased
+  subset-sum estimator terms.
+- ``stream_static_enrich``: the stream-STATIC join (broadcast
+  dimension re-resolved per micro-batch) under a watermarked windowed
+  aggregate in append mode; time-ordered chunk staging.
+- ``cdc_binlog_streaming_evolution``: ALTER TABLE ADD COLUMN arriving
+  MID-STREAM — real binlog v4 generations consumed through
+  foreachBatch into a versioned latest-state store that widens the
+  pre-ALTER plane as NULL instead of misaligning; exactly-once commit,
+  delta-proportional anti/semi maintenance.
+- ``stream_stream_three_way``: two CHAINED watermarked stream-stream
+  joins (funnel L → M → R), state handoff between stateful operators,
+  one-event-time-column projection idiom, bounded state.
+- ``mm_image_resize``: real decode → nearest-neighbor resize with a
+  gradient fixture and channel-weighted checksum (spatial bugs —
+  bottom-up rows, BGR — are visible; constant fills can't see them).
+- ``stats_table_profile``: the ANALYZE-TABLE statistics surface
+  (null counts, exact NDV, min/max per column) in ONE scan — the
+  reference stubs costs entirely (binlogdb.h:178-187).
+- ``funnel_no_interference``: sequence pattern with NEGATION (A then
+  B with no C between) via a prefix-encoded per-user error counter —
+  one join, no error-probe scan; the oracle uses the naive NOT EXISTS
+  form (two independent derivations of the semantics).
 
 Reference comparison (`/root/reference`, SURVEY.md §1): the reference
 is a read-only MySQL binlog storage engine with its query surface
 delegated to MySQL's executor (binlogdb.cc) — it has no IVM, no graph
-or linear-algebra iteration, and no sampling surface; every key here
-exceeds it.
+or linear-algebra iteration, no sampling, no streaming, and no stats
+surface; every key here exceeds it.
 """
 
 from __future__ import annotations
@@ -47,6 +63,69 @@ ORACLES: dict = {}
 
 
 # --- IVM second moments: maintained covariance / correlation -----------------
+
+
+def _corr_moment_fold(cl: DataFrame) -> DataFrame:
+    """The second-moment signed fold shared by the batch view and the
+    streamed store: per status, (n, Σx, Σy, Σx², Σy², Σxy) from signed
+    deltas — linear, so any batch chop of the changelog sums to the
+    same state (cdc_ivm_streaming_corr merges per-batch folds by plain
+    addition). Keeps groups with n == 0 (a mid-stream batch can net a
+    status to zero before later batches repopulate it); the readout
+    filters."""
+    sgn = (
+        F.when(F.col("__op").isin(1, 3), F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+    )
+    x = F.floor(F.col("o_totalprice")).cast("long")
+    y = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).cast("long")
+    return (
+        cl.select(
+            "o_orderstatus",
+            sgn.alias("sgn"),
+            (sgn * x).alias("dx"),
+            (sgn * y).alias("dy"),
+            (sgn * x * x).alias("dxx"),
+            (sgn * y * y).alias("dyy"),
+            (sgn * x * y).alias("dxy"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("sgn").cast("long").alias("n_live"),
+            F.sum("dx").cast("long").alias("sx"),
+            F.sum("dy").cast("long").alias("sy"),
+            F.sum("dxx").cast("long").alias("sxx"),
+            F.sum("dyy").cast("long").alias("syy"),
+            F.sum("dxy").cast("long").alias("sxy"),
+        )
+    )
+
+
+def _corr_readout(folded: DataFrame) -> DataFrame:
+    """Surviving groups + the fixed-order corr formula over the exact
+    moments (round 6, FIXTURES.md continuous-output discipline)."""
+    folded = folded.filter(F.col("n_live") > 0)
+    nd = F.col("n_live").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    num = F.col("sxy").cast("double") - sxd * syd / nd
+    varx = F.col("sxx").cast("double") - sxd * sxd / nd
+    vary = F.col("syy").cast("double") - syd * syd / nd
+    corr = F.when(
+        (varx > 0) & (vary > 0),
+        F.round(num / F.sqrt(varx * vary), 6) + F.lit(0.0),
+    ).otherwise(F.lit(None).cast("double"))
+    return folded.select(
+        "o_orderstatus",
+        "n_live",
+        "sx",
+        "sy",
+        "sxx",
+        "syy",
+        "sxy",
+        corr.alias("corr_price_date"),
+    ).orderBy("o_orderstatus")
 
 
 def cdc_ivm_corr_view(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,55 +147,7 @@ def cdc_ivm_corr_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     view."""
     from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
 
-    cl = synthetic_changelog(spark, sf_dir)
-    sgn = (
-        F.when(F.col("__op").isin(1, 3), F.lit(1))
-        .otherwise(F.lit(-1))
-        .cast("long")
-    )
-    x = F.floor(F.col("o_totalprice")).cast("long")
-    y = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).cast("long")
-    folded = (
-        cl.select(
-            "o_orderstatus",
-            sgn.alias("sgn"),
-            (sgn * x).alias("dx"),
-            (sgn * y).alias("dy"),
-            (sgn * x * x).alias("dxx"),
-            (sgn * y * y).alias("dyy"),
-            (sgn * x * y).alias("dxy"),
-        )
-        .groupBy("o_orderstatus")
-        .agg(
-            F.sum("sgn").cast("long").alias("n_live"),
-            F.sum("dx").cast("long").alias("sx"),
-            F.sum("dy").cast("long").alias("sy"),
-            F.sum("dxx").cast("long").alias("sxx"),
-            F.sum("dyy").cast("long").alias("syy"),
-            F.sum("dxy").cast("long").alias("sxy"),
-        )
-        .filter(F.col("n_live") > 0)
-    )
-    nd = F.col("n_live").cast("double")
-    sxd = F.col("sx").cast("double")
-    syd = F.col("sy").cast("double")
-    num = F.col("sxy").cast("double") - sxd * syd / nd
-    varx = F.col("sxx").cast("double") - sxd * sxd / nd
-    vary = F.col("syy").cast("double") - syd * syd / nd
-    corr = F.when(
-        (varx > 0) & (vary > 0),
-        F.round(num / F.sqrt(varx * vary), 6) + F.lit(0.0),
-    ).otherwise(F.lit(None).cast("double"))
-    return folded.select(
-        "o_orderstatus",
-        "n_live",
-        "sx",
-        "sy",
-        "sxx",
-        "syy",
-        "sxy",
-        corr.alias("corr_price_date"),
-    ).orderBy("o_orderstatus")
+    return _corr_readout(_corr_moment_fold(synthetic_changelog(spark, sf_dir)))
 
 
 def _cdc_ivm_corr_view_sql() -> str:
@@ -1485,3 +1516,108 @@ FROM pairs GROUP BY 1 ORDER BY 1
 
 QUERIES["funnel_no_interference"] = funnel_no_interference
 ORACLES["funnel_no_interference"] = FUNNEL_NO_INTERFERENCE_SQL
+
+
+# --- the second-moment view maintained by a real stream -------------------------
+
+_CORR_STORE_SCHEMA = (
+    "o_orderstatus string, n_live long, sx long, sy long, "
+    "sxx long, syy long, sxy long"
+)
+
+
+def corr_apply_batch(
+    spark: SparkSession, batch_df: DataFrame, state_dir: str, batch_id: int
+) -> None:
+    """One micro-batch of second-moment maintenance: fold the batch
+    with the SAME `_corr_moment_fold` the batch view uses, then merge
+    into the statuses-sized store by PLAIN ADDITION (the fold is
+    linear — that's the whole point); exactly-once via the shared
+    versioned commit."""
+    from mysql_cdc_table_spark.operators.round12 import (
+        _commit_version,
+        _ivm_versions,
+    )
+
+    if _hfs.exists(spark, f"{state_dir}/v{batch_id}"):
+        return
+    vs = _ivm_versions(spark, state_dir)
+    if vs:
+        store = spark.read.schema(_CORR_STORE_SCHEMA).parquet(
+            f"{state_dir}/v{vs[-1]}/M"
+        )
+    else:
+        store = spark.createDataFrame([], _CORR_STORE_SCHEMA)
+    delta = _corr_moment_fold(batch_df)
+    merged = (
+        store.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            *[
+                F.sum(c).cast("long").alias(c)
+                for c in ("n_live", "sx", "sy", "sxx", "syy", "sxy")
+            ]
+        )
+    )
+    _commit_version(spark, state_dir, batch_id, {"M": merged}, 2)
+
+
+def cdc_ivm_streaming_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second-moment view maintained by a REAL stream — the
+    constant-state end of the streaming-IVM spectrum (the streamed
+    support store carries a multiset; this store is |statuses| rows of
+    six BIGINTs, period): the changelog staged as 4 gtid-ordered
+    chunks through foreachBatch, each batch ONE map-side fold merged
+    into the store by plain addition (linearity — pytest proves any
+    chop sums to the same state), committed exactly-once. The readout
+    computes corr off the final version with the SAME `_corr_readout`
+    as the batch key, against the SAME oracle — the algebra is one
+    code path batch and streaming. Scale: per-batch cost is the
+    batch fold + a statuses-sized merge; the store never grows with
+    stream history."""
+    import hashlib
+    import os
+    import tempfile
+
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+    from mysql_cdc_table_spark.operators.round12 import (
+        _ivm_versions,
+        stage_ordered_chunks,
+    )
+
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}:corrstream".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"corr_stream_{tag}")
+    feed_dir, state_dir, ckpt = (
+        f"{root}/feed", f"{root}/state", f"{root}/ckpt",
+    )
+    cl = synthetic_changelog(spark, sf_dir)
+    stage_ordered_chunks(spark, cl, "__gtid", 4, feed_dir)
+    stream = (
+        spark.readStream.schema(cl.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        corr_apply_batch(spark, batch_df, state_dir, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .queryName("cdc_ivm_corr_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    vs = _ivm_versions(spark, state_dir)
+    final = spark.read.schema(_CORR_STORE_SCHEMA).parquet(
+        f"{state_dir}/v{vs[-1]}/M"
+    )
+    return _corr_readout(final)
+
+
+QUERIES["cdc_ivm_streaming_corr"] = cdc_ivm_streaming_corr
+ORACLES["cdc_ivm_streaming_corr"] = _cdc_ivm_corr_view_sql()

@@ -377,6 +377,9 @@ def main() -> None:
         "mm_image_resize",
         # ANALYZE-TABLE stats: one Expand-based aggregate over one scan
         "stats_table_profile",
+        # negation funnel: one lineage-cut counter window + one
+        # time-bounded pair join; no error-probe scan
+        "funnel_no_interference",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

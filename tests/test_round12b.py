@@ -506,3 +506,51 @@ def test_negation_is_load_bearing_and_costs_no_extra_join(spark, sf_dir):
     # the corpus-wide counter window materializes ONCE (lineage cut);
     # neither branch recomputes it, and no error-probe join appears
     assert count_nodes(df, "Window") == 0, plan
+
+
+# --- cdc_ivm_streaming_corr -----------------------------------------------------
+
+
+def test_streaming_corr_converges_chop_invariant_replay_noop(spark, sf_dir, tmp_path):
+    """The streamed second-moment store must equal the one-shot batch
+    fold under ANY chop of the feed (linearity), a replayed batch must
+    no-op, and the converged readout must equal the batch key row for
+    row."""
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+    from mysql_cdc_table_spark.operators.round12 import _ivm_versions
+    from mysql_cdc_table_spark.operators.round12b import (
+        _CORR_STORE_SCHEMA,
+        cdc_ivm_corr_view,
+        cdc_ivm_streaming_corr,
+        corr_apply_batch,
+    )
+
+    # converged streamed readout == batch key
+    got = [tuple(r) for r in cdc_ivm_streaming_corr(spark, sf_dir).collect()]
+    want = [tuple(r) for r in cdc_ivm_corr_view(spark, sf_dir).collect()]
+    assert got == want
+
+    # manual chop invariance + replay: 1-batch vs 3-skewed-batch
+    cl = synthetic_changelog(spark, sf_dir)
+    one = str(tmp_path / "one")
+    three = str(tmp_path / "three")
+    corr_apply_batch(spark, cl, one, 0)
+    chops = [
+        cl.filter(F.col("o_orderkey") % 10 < 7),
+        cl.filter(F.col("o_orderkey") % 10 == 7),
+        cl.filter(F.col("o_orderkey") % 10 > 7),
+    ]
+    for i, part in enumerate(chops):
+        corr_apply_batch(spark, part, three, i)
+    corr_apply_batch(spark, chops[-1], three, 2)  # replay must no-op
+    assert _ivm_versions(spark, three) == [1, 2]  # retain=2
+
+    def read(d, v):
+        return sorted(
+            tuple(r)
+            for r in spark.read.schema(_CORR_STORE_SCHEMA)
+            .parquet(f"{d}/v{v}/M")
+            .collect()
+        )
+
+    assert read(one, 0) == read(three, 2)
