@@ -631,6 +631,7 @@ ROUND12_LATE_KEYS: tuple[str, ...] = (
     "stats_table_profile",    # ANALYZE-TABLE stats in one scan
     "funnel_no_interference",  # A then B with NO C between (negation)
     "cdc_ivm_streaming_corr",  # second moments streamed: add-only merge
+    "cdc_replication_lag",    # per-lane lag/watermark observability
 )
 
 

@@ -42,6 +42,13 @@ sf1 scale row before being listed in ``ROUND12_LATE_KEYS``:
   B with no C between) via a prefix-encoded per-user error counter —
   one join, no error-probe scan; the oracle uses the naive NOT EXISTS
   form (two independent derivations of the semantics).
+- ``cdc_ivm_streaming_corr``: the second-moment view stream-maintained
+  — per batch one fold (the batch key's own ``_corr_moment_fold``)
+  merged by plain addition into a |statuses|-row store; one code path
+  batch and streaming, chop-invariant by linearity.
+- ``cdc_replication_lag``: per-lane lag/watermark observability (the
+  reference has no position surface at all — its scan restarts from
+  event 0 every query).
 
 Reference comparison (`/root/reference`, SURVEY.md §1): the reference
 is a read-only MySQL binlog storage engine with its query surface
@@ -1621,3 +1628,74 @@ def cdc_ivm_streaming_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["cdc_ivm_streaming_corr"] = cdc_ivm_streaming_corr
 ORACLES["cdc_ivm_streaming_corr"] = _cdc_ivm_corr_view_sql()
+
+
+# --- replication-lag observability ----------------------------------------------
+
+
+def cdc_replication_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication-lag dashboard over the changelog's file lanes — the
+    observability surface every CDC deployment watches (how far is
+    each binlog lane behind the newest event anywhere?): per
+    __file_seq, event/transaction counts, the lane's high-watermark
+    GTID and event time, and lag_seconds = global max __tm − lane max
+    __tm (exact integer seconds — unix_timestamp on both engines).
+    The reference exposes no position or lag surface at all (its scan
+    restarts from event 0 every query, SURVEY §2A). Shape: one scan →
+    one map-side-combinable lane aggregate (+1 distinct-gtid partial
+    riding the same shuffle); the global watermark is a 1-row
+    broadcast. At 100 TB the lanes axis is topic-partitions-sized —
+    the dashboard costs one pass regardless of retention."""
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+
+    cl = synthetic_changelog(spark, sf_dir)
+    lanes = cl.groupBy(F.col("__file_seq").alias("lane")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("__gtid").cast("long").alias("n_txns"),
+        F.max("__gtid").cast("long").alias("max_gtid"),
+        F.max("__tm").alias("lane_high_tm"),
+    )
+    global_hi = cl.agg(F.max("__tm").alias("global_high_tm"))
+    return (
+        lanes.crossJoin(F.broadcast(global_hi))
+        .select(
+            "lane",
+            "n_events",
+            "n_txns",
+            "max_gtid",
+            "lane_high_tm",
+            (
+                F.unix_timestamp("global_high_tm")
+                - F.unix_timestamp("lane_high_tm")
+            )
+            .cast("long")
+            .alias("lag_seconds"),
+        )
+        .orderBy("lane")
+    )
+
+
+def _cdc_replication_lag_sql() -> str:
+    from mysql_cdc_table_spark.cdc.synthetic import CHANGELOG_CTE
+
+    return f"""
+WITH {CHANGELOG_CTE},
+lanes AS (
+  SELECT __file_seq AS lane,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT __gtid) AS BIGINT) AS n_txns,
+         CAST(max(__gtid) AS BIGINT) AS max_gtid,
+         max(__tm) AS lane_high_tm
+  FROM changelog GROUP BY 1
+),
+g AS (SELECT max(__tm) AS global_high_tm FROM changelog)
+SELECT lane, n_events, n_txns, max_gtid, lane_high_tm,
+       CAST(date_diff('second', lane_high_tm, global_high_tm) AS BIGINT)
+         AS lag_seconds
+FROM lanes CROSS JOIN g
+ORDER BY lane
+"""
+
+
+QUERIES["cdc_replication_lag"] = cdc_replication_lag
+ORACLES["cdc_replication_lag"] = _cdc_replication_lag_sql()

@@ -380,6 +380,12 @@ def main() -> None:
         # negation funnel: one lineage-cut counter window + one
         # time-bounded pair join; no error-probe scan
         "funnel_no_interference",
+        # streamed second moments: first (untimed) call runs the
+        # 4-batch stream; timed calls resume-noop + read the
+        # statuses-sized store
+        "cdc_ivm_streaming_corr",
+        # lag dashboard: one lane aggregate + a 1-row broadcast
+        "cdc_replication_lag",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

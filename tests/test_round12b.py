@@ -554,3 +554,22 @@ def test_streaming_corr_converges_chop_invariant_replay_noop(spark, sf_dir, tmp_
         )
 
     assert read(one, 0) == read(three, 2)
+
+
+# --- cdc_replication_lag ------------------------------------------------------------
+
+
+def test_replication_lag_lanes_and_watermarks(spark, sf_dir):
+    """Four lanes (k % 4), every lag non-negative, at least one lane
+    at zero (it holds the global watermark), and counts reconcile
+    against the changelog size."""
+    from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
+    from mysql_cdc_table_spark.operators.round12b import cdc_replication_lag
+
+    rows = cdc_replication_lag(spark, sf_dir).collect()
+    assert [r["lane"] for r in rows] == [0, 1, 2, 3]
+    assert all(r["lag_seconds"] >= 0 for r in rows)
+    assert any(r["lag_seconds"] == 0 for r in rows)
+    total = synthetic_changelog(spark, sf_dir).count()
+    assert sum(r["n_events"] for r in rows) == total
+    assert all(r["n_txns"] <= r["n_events"] for r in rows)
