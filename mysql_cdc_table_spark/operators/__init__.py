@@ -632,6 +632,7 @@ ROUND12_LATE_KEYS: tuple[str, ...] = (
     "funnel_no_interference",  # A then B with NO C between (negation)
     "cdc_ivm_streaming_corr",  # second moments streamed: add-only merge
     "cdc_replication_lag",    # per-lane lag/watermark observability
+    "sort_zorder_layout",     # interleaved-bit clustering key (Z-order)
 )
 
 

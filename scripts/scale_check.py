@@ -386,6 +386,8 @@ def main() -> None:
         "cdc_ivm_streaming_corr",
         # lag dashboard: one lane aggregate + a 1-row broadcast
         "cdc_replication_lag",
+        # z-order bucket stats: one scan + one map-side aggregate
+        "sort_zorder_layout",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

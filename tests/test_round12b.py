@@ -573,3 +573,55 @@ def test_replication_lag_lanes_and_watermarks(spark, sf_dir):
     total = synthetic_changelog(spark, sf_dir).count()
     assert sum(r["n_events"] for r in rows) == total
     assert all(r["n_txns"] <= r["n_events"] for r in rows)
+
+
+# --- sort_zorder_layout ---------------------------------------------------------------
+
+
+def test_zorder_layout_concentrates_2d_boxes(spark, tmp_path):
+    """The point of the z-order key: a 2-D box predicate over the
+    z-clustered layout touches a small fraction of the files, while
+    the same box over a 1-D (orderkey-sorted) layout scatters across
+    essentially all of them. An aligned 32×32 box maps to ONE
+    contiguous z-interval, so the gap is large, not marginal."""
+    from mysql_cdc_table_spark.catalog import load_table
+    from mysql_cdc_table_spark.operators.round12b import _zorder_expr
+
+    sf_dir = "/root/testdata/sf0.01"
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_custkey").cast("long").alias("maxck"))
+    coords = o.crossJoin(F.broadcast(mx)).selectExpr(
+        "o_orderkey",
+        "least(255, o_custkey * 256 DIV (maxck + 1)) AS xb",
+        "least(255, CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)"
+        " * 256 DIV 2500) AS yb",
+    ).selectExpr(
+        "o_orderkey", "xb", "yb",
+        f"CAST(({_zorder_expr('xb', 'yb')}) AS BIGINT) AS zkey",
+    )
+    zdir = str(tmp_path / "zsorted")
+    ldir = str(tmp_path / "linear")
+    coords.repartitionByRange(32, "zkey").sortWithinPartitions(
+        "zkey"
+    ).write.mode("overwrite").parquet(zdir)
+    coords.repartitionByRange(32, "o_orderkey").sortWithinPartitions(
+        "o_orderkey"
+    ).write.mode("overwrite").parquet(ldir)
+
+    box = (
+        (F.col("xb") >= 64) & (F.col("xb") < 96)
+        & (F.col("yb") >= 128) & (F.col("yb") < 160)
+    )
+
+    def files_touched(d):
+        return (
+            spark.read.parquet(d)
+            .filter(box)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    z_files, l_files = files_touched(zdir), files_touched(ldir)
+    assert z_files > 0  # the box is nonempty
+    assert z_files * 4 <= l_files, (z_files, l_files)
