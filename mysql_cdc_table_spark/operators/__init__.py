@@ -633,6 +633,7 @@ ROUND12_LATE_KEYS: tuple[str, ...] = (
     "cdc_ivm_streaming_corr",  # second moments streamed: add-only merge
     "cdc_replication_lag",    # per-lane lag/watermark observability
     "sort_zorder_layout",     # interleaved-bit clustering key (Z-order)
+    "emb_project_dominant",   # per-label stats along the PCA direction
 )
 
 

@@ -53,6 +53,10 @@ sf1 scale row before being listed in ``ROUND12_LATE_KEYS``:
   planes of two quantized coordinates) — the data-layout technique
   behind multi-dimensional row-group pruning; pytest proves a 2-D box
   query touches ≥4× fewer files under the z layout than a 1-D sort.
+- ``emb_project_dominant``: per-label projection statistics along the
+  power-iteration direction — a JVM-side ``aggregate(zip_with(...))``
+  exact-integer fold; the oracle recomputes the whole
+  Gram → iterate → project pipeline in SQL.
 
 Reference comparison (`/root/reference`, SURVEY.md §1): the reference
 is a read-only MySQL binlog storage engine with its query surface
@@ -495,7 +499,9 @@ def emb_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dim")
 
 
-def _emb_pca_power_iter_sql() -> str:
+def _pca_cte_body() -> tuple[str, str]:
+    """(WITH-body, final-iterate-name) shared by the power-iteration
+    oracle and the projection oracle."""
     dims, qs = _PCA_DIMS, _PCA_Q
     prev = "v0"
     its = []
@@ -511,8 +517,7 @@ def _emb_pca_power_iter_sql() -> str:
         )
         prev = f"v{k}"
     its_sql = ",\n".join(its)
-    return f"""
-WITH qe AS (
+    body = f"""qe AS (
   SELECT vec_id, CAST(d.i AS INTEGER) AS i,
          CAST(floor(CAST(embedding[d.i + 1] AS DOUBLE) * {qs}) AS BIGINT)
            AS q
@@ -537,7 +542,14 @@ ms AS (SELECT i, j, CAST(m // dv AS BIGINT) AS ms
        FROM m CROSS JOIN dv),
 v0 AS (SELECT CAST(d.i AS INTEGER) AS j, CAST(1000000 AS BIGINT) AS v
        FROM range({dims}) d(i)),
-{its_sql}
+{its_sql}"""
+    return body, prev
+
+
+def _emb_pca_power_iter_sql() -> str:
+    body, prev = _pca_cte_body()
+    return f"""
+WITH {body}
 SELECT j AS dim, v AS v_fp FROM {prev} ORDER BY dim
 """
 
@@ -1780,3 +1792,66 @@ FROM coords GROUP BY 1 ORDER BY 1
 
 QUERIES["sort_zorder_layout"] = sort_zorder_layout
 ORACLES["sort_zorder_layout"] = _sort_zorder_layout_sql()
+
+
+# --- projection onto the dominant direction --------------------------------------
+
+
+def emb_project_dominant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USE the power-iteration direction: project every embedding onto
+    the fixed-point iterate and report per-label projection statistics
+    — the label-separability readout a training pipeline checks before
+    trusting a 1-D slice (if label means separate along the dominant
+    direction, the space encodes the label linearly). The 64-int
+    vector is a bounded driver scalar (the ≤32-row offset-table
+    convention); the projection is a JVM-side ordered fold —
+    ``aggregate(zip_with(embedding, v, ...))`` with the SAME
+    quantization q = floor(10³·x) as the Gram pass — so every proj is
+    an exact BIGINT and min/max/sum per label hash cross-engine. The
+    oracle recomputes the ENTIRE pipeline (Gram → fixed-point
+    iterations → projection) in SQL. Scale: one embeddings scan with a
+    64-literal expression, one map-side-combinable label aggregate;
+    the vector derivation is the d²-bounded iteration."""
+    v_rows = emb_pca_power_iter(spark, sf_dir).collect()  # 64 ints, bounded
+    v_lit = ", ".join(f"{int(r['v_fp'])}L" for r in v_rows)
+    proj = (
+        f"aggregate(zip_with(embedding, array({v_lit}), "
+        f"(x, y) -> CAST(floor(CAST(x AS DOUBLE) * {_PCA_Q}) AS BIGINT) * y), "
+        f"0L, (a, b) -> a + b)"
+    )
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        e.selectExpr("label", f"{proj} AS proj")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.min("proj").cast("long").alias("min_proj"),
+            F.max("proj").cast("long").alias("max_proj"),
+            F.sum("proj").cast("long").alias("sum_proj"),
+        )
+        .orderBy("label")
+    )
+
+
+def _emb_project_dominant_sql() -> str:
+    body, prev = _pca_cte_body()
+    return f"""
+WITH {body},
+proj AS (
+  SELECT qe.vec_id, CAST(sum(qe.q * v.v) AS BIGINT) AS proj
+  FROM qe JOIN {prev} v ON v.j = qe.i
+  GROUP BY qe.vec_id
+)
+SELECT e.label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(p.proj) AS BIGINT) AS min_proj,
+       CAST(max(p.proj) AS BIGINT) AS max_proj,
+       CAST(sum(p.proj) AS BIGINT) AS sum_proj
+FROM proj p JOIN embeddings e ON e.vec_id = p.vec_id
+GROUP BY e.label
+ORDER BY e.label
+"""
+
+
+QUERIES["emb_project_dominant"] = emb_project_dominant
+ORACLES["emb_project_dominant"] = _emb_project_dominant_sql()

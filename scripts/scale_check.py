@@ -388,6 +388,9 @@ def main() -> None:
         "cdc_replication_lag",
         # z-order bucket stats: one scan + one map-side aggregate
         "sort_zorder_layout",
+        # projection onto the dominant direction: the vector derivation
+        # is d2-bounded; the projection is one corpus scan + label agg
+        "emb_project_dominant",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

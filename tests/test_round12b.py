@@ -625,3 +625,43 @@ def test_zorder_layout_concentrates_2d_boxes(spark, tmp_path):
     z_files, l_files = files_touched(zdir), files_touched(ldir)
     assert z_files > 0  # the box is nonempty
     assert z_files * 4 <= l_files, (z_files, l_files)
+
+
+# --- emb_project_dominant -------------------------------------------------------------
+
+
+def test_projection_bit_exact_vs_numpy(spark, sf_dir):
+    """The JVM-side zip_with/aggregate fold must reproduce the numpy
+    integer projection onto the same fixed-point iterate bit-exactly,
+    per label."""
+    import duckdb
+    import numpy as np
+
+    from mysql_cdc_table_spark.operators.round12b import (
+        _PCA_Q,
+        emb_project_dominant,
+    )
+
+    _, trail = _pca_numpy_pipeline(sf_dir)
+    v = trail[-1]
+    rows = duckdb.sql(
+        f"SELECT label, embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    want: dict = {}
+    for label, emb in rows:
+        q = np.floor(np.asarray(emb, dtype=np.float64) * _PCA_Q).astype(
+            np.int64
+        )
+        p = int(q @ v)
+        n, mn, mx, sm = want.get(label, (0, None, None, 0))
+        want[label] = (
+            n + 1,
+            p if mn is None else min(mn, p),
+            p if mx is None else max(mx, p),
+            sm + p,
+        )
+    got = {
+        r["label"]: (r["n_vecs"], r["min_proj"], r["max_proj"], r["sum_proj"])
+        for r in emb_project_dominant(spark, sf_dir).collect()
+    }
+    assert got == want
