@@ -634,6 +634,7 @@ ROUND12_LATE_KEYS: tuple[str, ...] = (
     "cdc_replication_lag",    # per-lane lag/watermark observability
     "sort_zorder_layout",     # interleaved-bit clustering key (Z-order)
     "emb_project_dominant",   # per-label stats along the PCA direction
+    "join_dpp_partition_pruned",  # dynamic partition pruning, hive layout
 )
 
 

@@ -57,6 +57,10 @@ sf1 scale row before being listed in ``ROUND12_LATE_KEYS``:
   power-iteration direction — a JVM-side ``aggregate(zip_with(...))``
   exact-integer fold; the oracle recomputes the whole
   Gram → iterate → project pipeline in SQL.
+- ``join_dpp_partition_pruned``: dynamic partition pruning over a
+  hive-partitioned fact — filter the dimension, join on the partition
+  column, and the fact scan lists only the matching directories
+  (dynamicpruning PartitionFilter, pytest-audited).
 
 Reference comparison (`/root/reference`, SURVEY.md §1): the reference
 is a read-only MySQL binlog storage engine with its query surface
@@ -1855,3 +1859,82 @@ ORDER BY e.label
 
 QUERIES["emb_project_dominant"] = emb_project_dominant
 ORACLES["emb_project_dominant"] = _emb_project_dominant_sql()
+
+
+# --- dynamic partition pruning over a partitioned fact layout --------------------
+
+
+def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the optimization that makes
+    dimensional filters cheap on a date-partitioned 100 TB fact table:
+    the fact stages ONCE as parquet partitioned by order month (84
+    partitions; the hive-layout write every warehouse fact uses), the
+    month dimension stages as its own tiny parquet (month → quarter),
+    and the query filters the DIMENSION (quarter = '1995Q1') and joins
+    on month — Catalyst inserts a dynamicpruning subquery into the
+    fact scan's PartitionFilters, so only the 3 matching month
+    directories are LISTED, let alone read (pytest asserts the
+    dynamicpruning expression and that a static equivalent reads the
+    same rows). The oracle recomputes from raw orders with the same
+    quarter arithmetic. Static pruning can't do this: the month list
+    isn't known until the dimension is scanned. Scale: the dim is a
+    broadcast; fact IO ∝ selected partitions."""
+    import hashlib
+    import os
+    import tempfile
+
+    o = t(spark, sf_dir, "orders")
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}:dpp".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"dpp_{tag}")
+    fact_dir, dim_dir = f"{root}/fact", f"{root}/dim"
+    if not _hfs.exists(spark, root):
+        facts = o.select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        )
+        facts.write.partitionBy("ym").mode("overwrite").parquet(fact_dir)
+        dim = (
+            facts.select("ym")
+            .distinct()
+            .withColumn(
+                "yq",
+                F.concat(
+                    F.substring("ym", 1, 4),
+                    F.lit("Q"),
+                    F.ceil(F.substring("ym", 6, 2).cast("int") / 3).cast(
+                        "string"
+                    ),
+                ),
+            )
+        )
+        dim.coalesce(1).write.mode("overwrite").parquet(dim_dir)
+
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).filter(F.col("yq") == "1995Q1")
+    return (
+        fact.join(F.broadcast(dim), "ym")
+        .groupBy("ym")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+        )
+        .orderBy("ym")
+    )
+
+
+JOIN_DPP_PARTITION_PRUNED_SQL = """
+SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_sum
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1995-04-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["join_dpp_partition_pruned"] = join_dpp_partition_pruned
+ORACLES["join_dpp_partition_pruned"] = JOIN_DPP_PARTITION_PRUNED_SQL

@@ -391,6 +391,9 @@ def main() -> None:
         # projection onto the dominant direction: the vector derivation
         # is d2-bounded; the projection is one corpus scan + label agg
         "emb_project_dominant",
+        # DPP: first call stages the partitioned fact + dim; timed
+        # calls read only the 3 dynamically selected partitions
+        "join_dpp_partition_pruned",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

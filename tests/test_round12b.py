@@ -665,3 +665,23 @@ def test_projection_bit_exact_vs_numpy(spark, sf_dir):
         for r in emb_project_dominant(spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --- join_dpp_partition_pruned ----------------------------------------------------------
+
+
+def test_dpp_fires_and_prunes_partitions(spark, sf_dir):
+    """The fact scan must carry a dynamicpruning PartitionFilter (the
+    month list is only known after the dimension scan — static pruning
+    cannot express it), and the result must equal a statically pruned
+    read of the same 3 partitions."""
+    from mysql_cdc_table_spark.operators.round12b import (
+        join_dpp_partition_pruned,
+    )
+
+    df = join_dpp_partition_pruned(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "dynamicpruning" in plan.lower(), plan
+    rows = df.collect()
+    assert [r["ym"] for r in rows] == ["1995-01", "1995-02", "1995-03"]
+    assert all(r["n_orders"] > 0 for r in rows)
