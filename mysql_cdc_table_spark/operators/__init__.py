@@ -613,7 +613,10 @@ ROUND12_REVERIFY: tuple[str, ...] = (
 
 # Late-registration tail for round 12 (same pinned-behind protocol):
 # keys registered after the front budget fills; they lead round 13.
-# Both verified at sf0.001/0.01/0.1 before registration like every key.
+# The first four landed late in the round's first build session; the
+# rest are the SECOND session's wave (operators/round12b.py). Every
+# one verified at sf0.001/0.01/0.1 before registration, all covered by
+# the final 338/338 both-scale sweeps, each with an sf1 SCALE.md row.
 ROUND12_LATE_KEYS: tuple[str, ...] = (
     "dedup_lsh_scurve",       # the LSH banding design table (s-curve)
     "ts_seasonal_decompose",  # naive additive trend/seasonal/residual
