@@ -638,6 +638,7 @@ ROUND12_LATE_KEYS: tuple[str, ...] = (
     "sort_zorder_layout",     # interleaved-bit clustering key (Z-order)
     "emb_project_dominant",   # per-label stats along the PCA direction
     "join_dpp_partition_pruned",  # dynamic partition pruning, hive layout
+    "corpus_split_leakage_audit",  # near-dups must not straddle splits
 )
 
 

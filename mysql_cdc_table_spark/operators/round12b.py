@@ -61,6 +61,10 @@ sf1 scale row before being listed in ``ROUND12_LATE_KEYS``:
   hive-partitioned fact — filter the dimension, join on the partition
   column, and the fact scan lists only the matching directories
   (dynamicpruning PartitionFilter, pytest-audited).
+- ``corpus_split_leakage_audit``: the train/test leakage check —
+  near-dup pairs straddling splits counted under the per-document
+  split (leaky) and the cluster-keyed split (zero by construction,
+  value-hash-proven).
 
 Reference comparison (`/root/reference`, SURVEY.md §1): the reference
 is a read-only MySQL binlog storage engine with its query surface
@@ -1938,3 +1942,118 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["join_dpp_partition_pruned"] = join_dpp_partition_pruned
 ORACLES["join_dpp_partition_pruned"] = JOIN_DPP_PARTITION_PRUNED_SQL
+
+
+# --- split-leakage audit: near-dups must not straddle train/val/test ------------
+
+
+def corpus_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit — the eval-integrity check every
+    training pipeline needs and per-document splitting cannot pass: a
+    near-duplicate pair straddling train and test inflates eval (the
+    model saw the answer). Composes two existing planes: the LSH
+    near-dup pairs (dedup_minhash_pairs) and the Knuth-hash 80/10/10
+    split (corpus_split_hash), counting pairs per (scheme, split_lo,
+    split_hi) under BOTH schemes — 'doc' (split by doc_id: leaky
+    cross-split rows appear) and 'cluster' (split by the connected
+    component's min-id via dedup_cluster_resolve: ZERO cross-split
+    pairs BY CONSTRUCTION — a pair is an edge, so both ends share a
+    component and therefore a split; the value hash proves the zero).
+    The oracle recomputes pairs, the recursive-CTE transitive closure,
+    and both splits in SQL. Scale: pairs are post-LSH near-linear;
+    splits are pure projections; the audit is one grouped count —
+    cluster-aware splitting costs one extra join against the
+    components frame."""
+    from mysql_cdc_table_spark.functions.dedup import (
+        dedup_cluster_resolve,
+        dedup_minhash_pairs,
+    )
+
+    def split_of(col):
+        b = (col * F.lit(2654435761)) % F.lit(4294967296) % 100
+        return (
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        )
+
+    pairs = dedup_minhash_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    cc = dedup_cluster_resolve(spark, sf_dir).select("doc_id", "cluster_id")
+
+    doc_scheme = pairs.select(
+        F.lit("doc").alias("scheme"),
+        split_of(F.col("doc1")).alias("s1"),
+        split_of(F.col("doc2")).alias("s2"),
+    )
+    cl = pairs.join(
+        cc.withColumnRenamed("doc_id", "doc1").withColumnRenamed(
+            "cluster_id", "c1"
+        ),
+        "doc1",
+    ).join(
+        cc.withColumnRenamed("doc_id", "doc2").withColumnRenamed(
+            "cluster_id", "c2"
+        ),
+        "doc2",
+    )
+    cluster_scheme = cl.select(
+        F.lit("cluster").alias("scheme"),
+        split_of(F.col("c1")).alias("s1"),
+        split_of(F.col("c2")).alias("s2"),
+    )
+    both = doc_scheme.unionByName(cluster_scheme)
+    return (
+        both.select(
+            "scheme",
+            F.least("s1", "s2").alias("split_lo"),
+            F.greatest("s1", "s2").alias("split_hi"),
+        )
+        .groupBy("scheme", "split_lo", "split_hi")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("scheme", "split_lo", "split_hi")
+    )
+
+
+def _corpus_split_leakage_audit_sql() -> str:
+    from mysql_cdc_table_spark.functions.dedup import (
+        DEDUP_MINHASH_PAIRS_SQL,
+    )
+
+    split = (
+        "CASE WHEN ({c} * 2654435761) % 4294967296 % 100 < 80 THEN 'train'"
+        " WHEN ({c} * 2654435761) % 4294967296 % 100 < 90 THEN 'val'"
+        " ELSE 'test' END"
+    )
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT * FROM ({DEDUP_MINHASH_PAIRS_SQL})),
+edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+          UNION ALL SELECT doc2, doc1 FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+),
+cc AS (SELECT node AS doc_id, min(root) AS cluster_id FROM reach
+       GROUP BY node),
+doc_scheme AS (
+  SELECT 'doc' AS scheme,
+         {split.format(c="doc1")} AS s1,
+         {split.format(c="doc2")} AS s2
+  FROM pairs
+),
+cluster_scheme AS (
+  SELECT 'cluster' AS scheme,
+         {split.format(c="a.cluster_id")} AS s1,
+         {split.format(c="b.cluster_id")} AS s2
+  FROM pairs p JOIN cc a ON a.doc_id = p.doc1
+               JOIN cc b ON b.doc_id = p.doc2
+),
+both_s AS (SELECT * FROM doc_scheme UNION ALL SELECT * FROM cluster_scheme)
+SELECT scheme, least(s1, s2) AS split_lo, greatest(s1, s2) AS split_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM both_s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+QUERIES["corpus_split_leakage_audit"] = corpus_split_leakage_audit
+ORACLES["corpus_split_leakage_audit"] = _corpus_split_leakage_audit_sql()

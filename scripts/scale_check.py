@@ -394,6 +394,9 @@ def main() -> None:
         # DPP: first call stages the partitioned fact + dim; timed
         # calls read only the 3 dynamically selected partitions
         "join_dpp_partition_pruned",
+        # leakage audit: post-LSH pairs + label-propagation components
+        # + two split projections; one grouped count
+        "corpus_split_leakage_audit",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

@@ -685,3 +685,26 @@ def test_dpp_fires_and_prunes_partitions(spark, sf_dir):
     rows = df.collect()
     assert [r["ym"] for r in rows] == ["1995-01", "1995-02", "1995-03"]
     assert all(r["n_orders"] > 0 for r in rows)
+
+
+# --- corpus_split_leakage_audit ----------------------------------------------------------
+
+
+def test_cluster_split_eliminates_leakage(spark, sf_dir):
+    """Per-document splitting leaks (cross-split near-dup pairs
+    exist); cluster-keyed splitting has ZERO cross-split pairs by
+    construction, and both schemes see the same pair total."""
+    from mysql_cdc_table_spark.operators.round12b import (
+        corpus_split_leakage_audit,
+    )
+
+    rows = corpus_split_leakage_audit(spark, sf_dir).collect()
+    doc = [r for r in rows if r["scheme"] == "doc"]
+    cluster = [r for r in rows if r["scheme"] == "cluster"]
+    assert sum(r["n_pairs"] for r in doc) == sum(
+        r["n_pairs"] for r in cluster
+    )
+    assert any(r["split_lo"] != r["split_hi"] for r in doc), (
+        "fixture has no leaky pairs — the audit is vacuous"
+    )
+    assert all(r["split_lo"] == r["split_hi"] for r in cluster)
