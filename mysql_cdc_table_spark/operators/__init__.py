@@ -615,8 +615,12 @@ ROUND12_REVERIFY: tuple[str, ...] = (
 # keys registered after the front budget fills; they lead round 13.
 # The first four landed late in the round's first build session; the
 # rest are the SECOND session's wave (operators/round12b.py). Every
-# one verified at sf0.001/0.01/0.1 before registration, all covered by
-# the final 338/338 both-scale sweeps, each with an sf1 SCALE.md row.
+# one verified at sf0.001/0.01/0.1 individually before registration,
+# and covered by the final full sweeps — 339/339 at sf0.01; 338/338
+# at sf0.1, which ran just before the last key
+# (corpus_split_leakage_audit) registered (that key's own sf0.1 check
+# was the individual pre-registration run; see COVERAGE.md). Each has
+# an sf1 SCALE.md row.
 ROUND12_LATE_KEYS: tuple[str, ...] = (
     "dedup_lsh_scurve",       # the LSH banding design table (s-curve)
     "ts_seasonal_decompose",  # naive additive trend/seasonal/residual
@@ -640,6 +644,38 @@ ROUND12_LATE_KEYS: tuple[str, ...] = (
     "join_dpp_partition_pruned",  # dynamic partition pruning, hive layout
     "corpus_split_leakage_audit",  # near-dups must not straddle splits
 )
+
+# --- round 13 ----------------------------------------------------------------
+#
+# Window arithmetic this round (50 slots): the 20 ROUND12_LATE_KEYS
+# lead — the only keys that have never had a driver row (the r12
+# verdict's #1 ask) — then re-verify slots for the code round 13
+# actually touches, leaving 25+ backfill slots for the 37 r06-stale
+# rows (stalest-first is mechanical; this clears most of the oldest
+# cohort, the rest lead r14's backfill).
+
+# Keys born in round 13 — in-window for their first driver rows.
+ROUND13_NEW_KEYS: tuple[str, ...] = ()
+
+# Round-13 re-verify slots — code round 13 touches:
+# * the real-binlog codec gains fixed-width CHAR(n) decode (the r12
+#   verdict's #2 ask; previously raised at TABLE_MAP inference),
+#   TIME2 with fsp>0 (fractional seconds), and the legacy pre-5.6.4
+#   temporal wire formats — both roundtrip keys re-verify on any
+#   reader change, per the standing discipline;
+# * the IVF train path derives nlist from corpus size (~sqrt(N),
+#   capped) instead of the fixed nlist=8 — the two keys built on the
+#   shared kmeans/train code re-verify.
+ROUND13_REVERIFY: tuple[str, ...] = (
+    "cdc_packed_typed_roundtrip",
+    "cdc_mysql_binlog_roundtrip",
+    "ann_ivf_topk",
+    "ann_ivf_trained_topk",
+)
+
+# Late-registration tail for round 13 (same pinned-behind protocol):
+# keys registered after the front budget fills; they lead round 14.
+ROUND13_LATE_KEYS: tuple[str, ...] = ()
 
 
 def _last_seen_rounds() -> dict[str, int]:
@@ -694,13 +730,17 @@ _ROUND12_WINDOW_FRONT = (
     ROUND11_LATE_KEYS + ROUND12_NEW_KEYS + ROUND12_REVERIFY
 )
 
+_ROUND13_WINDOW_FRONT = (
+    ROUND12_LATE_KEYS + ROUND13_NEW_KEYS + ROUND13_REVERIFY
+)
+
 
 def _rotate(out: dict) -> dict:
-    """Reorder a merged registry dict: round-12 front first, then every
+    """Reorder a merged registry dict: round-13 front first, then every
     other key stalest-first (latest driver round, registry order as
     the tie-break; never-seen keys sort first so they cannot hide)."""
-    front = {k: out[k] for k in _ROUND12_WINDOW_FRONT if k in out}
-    late = {k: out[k] for k in ROUND12_LATE_KEYS if k in out}
+    front = {k: out[k] for k in _ROUND13_WINDOW_FRONT if k in out}
+    late = {k: out[k] for k in ROUND13_LATE_KEYS if k in out}
     seen = _last_seen_rounds()
     order = {k: i for i, k in enumerate(out)}
     rest_keys = sorted(
