@@ -420,6 +420,16 @@ def emb_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         for batch in batches:
             col = batch.column(0)
             flat = np.asarray(col.flatten(), dtype=np.float64)
+            # flatten() silently drops NULL lists — a null or ragged
+            # embedding would shrink the Spark-side Gram/count while
+            # the oracle's count(*) still sees the row; fail loudly if
+            # the fixture contract (non-null, exactly `dims`-wide)
+            # ever changes instead of hash-mismatching downstream
+            if flat.size != batch.num_rows * dims:
+                raise ValueError(
+                    f"embedding column violated the non-null {dims}-dim "
+                    f"contract: {batch.num_rows} rows -> {flat.size} floats"
+                )
             if flat.size == 0:
                 continue
             q = np.floor(flat * _PCA_Q).astype(np.int64).reshape(-1, dims)
@@ -1894,12 +1904,19 @@ def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(tempfile.gettempdir(), f"dpp_{tag}")
     fact_dir, dim_dir = f"{root}/fact", f"{root}/dim"
     if not _hfs.exists(spark, root):
+        # stage into a temp sibling and rename to root LAST: root only
+        # exists once both tables are fully written, so a crash mid-
+        # staging can't leave a half-built layout a later call accepts
+        tmp_root = f"{root}.staging"
+        _hfs.delete(spark, tmp_root)
         facts = o.select(
             "o_orderkey",
             F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
             F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
         )
-        facts.write.partitionBy("ym").mode("overwrite").parquet(fact_dir)
+        facts.write.partitionBy("ym").mode("overwrite").parquet(
+            f"{tmp_root}/fact"
+        )
         dim = (
             facts.select("ym")
             .distinct()
@@ -1914,7 +1931,8 @@ def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-        dim.coalesce(1).write.mode("overwrite").parquet(dim_dir)
+        dim.coalesce(1).write.mode("overwrite").parquet(f"{tmp_root}/dim")
+        _hfs.rename(spark, tmp_root, root)
 
     fact = spark.read.parquet(fact_dir)
     dim = spark.read.parquet(dim_dir).filter(F.col("yq") == "1995Q1")

@@ -3,8 +3,12 @@ algorithms (PageRank, power iteration), weighted priority sampling."""
 
 from __future__ import annotations
 
+import os
+
+import pytest
 from pyspark.sql import functions as F
 
+from conftest import SF_CORRECTNESS
 from mysql_cdc_table_spark.plans.audit import formatted_plan
 
 
@@ -587,7 +591,11 @@ def test_zorder_layout_concentrates_2d_boxes(spark, tmp_path):
     from mysql_cdc_table_spark.catalog import load_table
     from mysql_cdc_table_spark.operators.round12b import _zorder_expr
 
-    sf_dir = "/root/testdata/sf0.01"
+    # sf0.01 deliberately (not the session smoke dir): the file-count
+    # gap needs enough orders rows to fill 32 range partitions
+    sf_dir = SF_CORRECTNESS
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} not present")
     o = load_table(spark, sf_dir, "orders")
     mx = o.agg(F.max("o_custkey").cast("long").alias("maxck"))
     coords = o.crossJoin(F.broadcast(mx)).selectExpr(
