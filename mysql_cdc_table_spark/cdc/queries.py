@@ -362,6 +362,16 @@ def cdc_packed_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("bits", T.LongType(), metadata={"mysql_type": "bit"}),
             T.StructField("props", T.StringType(), metadata={"mysql_type": "json"}),
             T.StructField("geo", T.BinaryType(), metadata={"mysql_type": "geometry"}),
+            # fixed-width CHAR(2): the packed frame stores every string
+            # kind length-prefixed, so CHAR rides the generic string
+            # codec — the metadata matters on the REAL binlog path
+            # (cdc_mysql_binlog_roundtrip), covered here for parity of
+            # the type matrix across both codecs
+            T.StructField(
+                "flag",
+                T.StringType(),
+                metadata={"mysql_type": "char", "char_len": 2},
+            ),
         ]
     )
     base = t(spark, sf_dir, "orders").select(
@@ -374,6 +384,10 @@ def cdc_packed_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("PT:"), (F.col("o_orderkey") % 100).cast("string")),
             "UTF-8",
         ).alias("geo"),
+        F.expr(
+            "char(65 + o_orderkey % 26) || "
+            "char(65 + (o_orderkey div 26) % 26)"
+        ).alias("flag"),
     )
 
     def with_meta(df: DataFrame, op: int, gtid_off: int) -> DataFrame:
@@ -411,6 +425,10 @@ def cdc_packed_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("props").alias("min_props"),
         F.sum(F.length("geo")).cast("long").alias("geo_len_sum"),
         F.countDistinct("geo").alias("n_geo"),
+        F.sum(
+            (F.ascii("flag") * 256 + F.ascii(F.substring("flag", 2, 1)))
+            .cast("long")
+        ).alias("flag_ord_sum"),
     )
 
 
@@ -421,15 +439,19 @@ WITH base AS (
          o_orderstatus AS status,
          o_custkey % 8 AS bits,
          json_object('p', o_orderpriority) AS props,
-         encode('PT:' || CAST(o_orderkey % 100 AS VARCHAR)) AS geo
+         encode('PT:' || CAST(o_orderkey % 100 AS VARCHAR)) AS geo,
+         (65 + o_orderkey % 26) * 256 + 65 + (o_orderkey // 26) % 26
+           AS flag_ord
   FROM orders
 ),
 cl AS (
-  SELECT status, 1 AS op, price, bits, props, geo FROM base
+  SELECT status, 1 AS op, price, bits, props, geo, flag_ord FROM base
   UNION ALL
-  SELECT status, 2, price, bits, props, geo FROM base WHERE id % 10 = 0
+  SELECT status, 2, price, bits, props, geo, flag_ord
+  FROM base WHERE id % 10 = 0
   UNION ALL
-  SELECT status, 3, price + CAST(1 AS DECIMAL(12,2)), bits, props, geo
+  SELECT status, 3, price + CAST(1 AS DECIMAL(12,2)), bits, props, geo,
+         flag_ord
   FROM base WHERE id % 10 = 0
 )
 SELECT status, op, count(*) AS n,
@@ -437,7 +459,8 @@ SELECT status, op, count(*) AS n,
        CAST(sum(bits) AS BIGINT) AS sum_bits,
        CAST(min(props) AS VARCHAR) AS min_props,
        CAST(sum(octet_length(geo)) AS BIGINT) AS geo_len_sum,
-       CAST(count(DISTINCT geo) AS BIGINT) AS n_geo
+       CAST(count(DISTINCT geo) AS BIGINT) AS n_geo,
+       CAST(sum(flag_ord) AS BIGINT) AS flag_ord_sum
 FROM cl GROUP BY status, op
 """
 

@@ -669,13 +669,24 @@ ROUND13_NEW_KEYS: tuple[str, ...] = ()
 ROUND13_REVERIFY: tuple[str, ...] = (
     "cdc_packed_typed_roundtrip",
     "cdc_mysql_binlog_roundtrip",
+    # the zstd and parallel roundtrips share cdc_mysql_binlog_roundtrip's
+    # fixture (now carrying CHAR(2) + TIME(3) columns) — the parallel
+    # one drives the COLUMNAR kernel's new CHAR gather and the TIME2
+    # fsp>0 per-cell fallback
+    "cdc_binlog_zstd_roundtrip",
+    "cdc_binlog_parallel_roundtrip",
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
 )
 
 # Late-registration tail for round 13 (same pinned-behind protocol):
 # keys registered after the front budget fills; they lead round 14.
-ROUND13_LATE_KEYS: tuple[str, ...] = ()
+ROUND13_LATE_KEYS: tuple[str, ...] = (
+    # pre-5.6.4 temporal wire formats (codes 7/11/12) through the
+    # real binlog framing — closes the last "missing" row of the r12
+    # verdict's reference-parity list
+    "cdc_binlog_legacy_temporal_roundtrip",
+)
 
 
 def _last_seen_rounds() -> dict[str, int]:

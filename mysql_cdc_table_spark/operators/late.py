@@ -54,6 +54,8 @@ from mysql_cdc_table_spark.sources.mysql_binlog import (
     cdc_binlog_schema_evolution,
     cdc_binlog_zstd_roundtrip,
     cdc_mysql_binlog_roundtrip,
+    CDC_BINLOG_LEGACY_TEMPORAL_SQL,
+    cdc_binlog_legacy_temporal_roundtrip,
 )
 
 QUERIES = {
@@ -107,6 +109,11 @@ QUERIES = {
     "cdc_binlog_unsigned_roundtrip": cdc_binlog_unsigned_roundtrip,
     # round 8: WRITE-side roundtrip through the mysql_binlog sink
     "cdc_binlog_sink_roundtrip": cdc_binlog_sink_roundtrip,
+    # round 13: pre-5.6.4 temporal wire formats (TIMESTAMP/TIME/
+    # DATETIME codes 7/11/12) through the real binlog framing
+    "cdc_binlog_legacy_temporal_roundtrip": (
+        cdc_binlog_legacy_temporal_roundtrip
+    ),
 }
 
 from mysql_cdc_table_spark.cdc.synthetic import CHANGELOG_CTE as _CTE
@@ -134,4 +141,5 @@ ORACLES: dict[str, str] = {
     "cdc_binlog_event_census": CDC_BINLOG_EVENT_CENSUS_SQL,
     "cdc_binlog_unsigned_roundtrip": CDC_BINLOG_UNSIGNED_SQL,
     "cdc_binlog_sink_roundtrip": _SINK_SQL,
+    "cdc_binlog_legacy_temporal_roundtrip": CDC_BINLOG_LEGACY_TEMPORAL_SQL,
 }

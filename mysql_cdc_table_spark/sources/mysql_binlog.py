@@ -299,9 +299,12 @@ TY_SHORT = 2
 TY_LONG = 3
 TY_FLOAT = 4
 TY_DOUBLE = 5
+TY_TIMESTAMP_V1 = 7  # pre-5.6.4 TIMESTAMP: 4-byte LE unix seconds
 TY_LONGLONG = 8
 TY_INT24 = 9
 TY_DATE = 10
+TY_TIME_V1 = 11  # pre-5.6.4 TIME: 3-byte LE signed H*10000+M*100+S
+TY_DATETIME_V1 = 12  # pre-5.6.4 DATETIME: 8-byte LE YYYYMMDDHHMMSS
 TY_YEAR = 13
 TY_VARCHAR = 15
 TY_BIT = 16
@@ -483,28 +486,144 @@ def _decode_datetime2(buf: bytes, pos: int, fsp: int) -> tuple[_dt.datetime, int
     )
 
 
-_TIME_RE = re.compile(r"^(-)?(\d{1,3}):(\d{2}):(\d{2})$")
+_TIME_RE = re.compile(r"^(-)?(\d{1,3}):(\d{2}):(\d{2})(?:\.(\d{1,6}))?$")
 
 
-def _encode_time2(v: str) -> bytes:
-    """TIME2 (fsp=0): 3 bytes offset-binary big-endian — value =
-    stored - 0x800000; packed = h<<12 | m<<6 | s; range ±838:59:59."""
+def _parse_time_str(v: str, fsp: int) -> tuple[bool, int, int, int, int]:
     m = _TIME_RE.match(v)
     if not m:
-        raise ValueError(f"TIME value must be [-]H:MM:SS, got {v!r}")
-    neg, h, mi, s = m.group(1), int(m.group(2)), int(m.group(3)), int(m.group(4))
+        raise ValueError(f"TIME value must be [-]H:MM:SS[.frac], got {v!r}")
+    neg = bool(m.group(1))
+    h, mi, s = int(m.group(2)), int(m.group(3)), int(m.group(4))
+    frac = m.group(5) or ""
     if h > 838 or mi > 59 or s > 59:
         raise ValueError(f"TIME out of range: {v!r}")
-    packed = (h << 12) | (mi << 6) | s
-    stored = 0x800000 - packed if neg else 0x800000 + packed
-    return stored.to_bytes(3, "big")
+    if len(frac) > fsp:
+        raise ValueError(
+            f"TIME value {v!r} carries {len(frac)} fractional digits but "
+            f"the column's fsp is {fsp}"
+        )
+    micro = int(frac.ljust(6, "0")) if frac else 0
+    return neg, h, mi, s, micro
 
 
-def _decode_time2(buf: bytes, pos: int) -> tuple[str, int]:
-    v = int.from_bytes(buf[pos : pos + 3], "big") - 0x800000
-    sign = "-" if v < 0 else ""
-    v = abs(v)
-    h, mi, s = v >> 12, (v >> 6) & 0x3F, v & 0x3F
+def _encode_time2(v: str, fsp: int = 0) -> bytes:
+    """TIME2: offset-binary big-endian, 3 bytes of integer part plus
+    0-3 fractional bytes by fsp — MySQL's my_time_packed_to_binary
+    layout (public my_time.cc / my_time.h): the packed value is
+    sign * ((h<<12|m<<6|s) << 24 | microseconds); fsp 0 stores
+    0x800000 + (packed >> 24); fsp 1-2 add one signed byte of
+    centiseconds, fsp 3-4 two signed bytes of 1e-4 s (the int part
+    uses the FLOOR shift and the fraction the C-truncation remainder,
+    so negative times with a fraction store int-part-minus-one and a
+    negative two's-complement fraction — the decoder's documented
+    borrow); fsp 5-6 store the whole packed value in 6 bytes offset
+    by 0x800000000000. Range ±838:59:59.999999."""
+    neg, h, mi, s, micro = _parse_time_str(v, fsp)
+    nr = ((h << 12) | (mi << 6) | s) << 24 | micro
+    if neg:
+        nr = -nr
+    nb = _frac_bytes(fsp)
+    if nb == 0:
+        return (0x800000 + (nr >> 24)).to_bytes(3, "big")
+    if nb == 3:
+        return (0x800000000000 + nr).to_bytes(6, "big")
+    # C-truncation split: remainder carries the sign of nr
+    r = nr - (abs(nr) >> 24 << 24) * (1 if nr >= 0 else -1)
+    scale = 10000 if nb == 1 else 100
+    fval = r // scale if r >= 0 else -((-r) // scale)
+    out = (0x800000 + (nr >> 24)).to_bytes(3, "big")
+    return out + ((fval & ((1 << (8 * nb)) - 1)).to_bytes(nb, "big"))
+
+
+def _decode_time2(buf: bytes, pos: int, fsp: int = 0) -> tuple[str, int]:
+    nb = _frac_bytes(fsp)
+    if nb == 0:
+        nr = (int.from_bytes(buf[pos : pos + 3], "big") - 0x800000) << 24
+        pos += 3
+    elif nb == 3:
+        nr = int.from_bytes(buf[pos : pos + 6], "big") - 0x800000000000
+        pos += 6
+    else:
+        ip = int.from_bytes(buf[pos : pos + 3], "big") - 0x800000
+        pos += 3
+        raw = int.from_bytes(buf[pos : pos + nb], "big")
+        pos += nb
+        if ip < 0 and raw:
+            # the encoder's floor/truncation split: borrow one from
+            # the int part, read the fraction as negative
+            ip += 1
+            raw -= 1 << (8 * nb)
+        scale = 10000 if nb == 1 else 100
+        nr = (ip << 24) + raw * scale
+    sign = "-" if nr < 0 else ""
+    nr = abs(nr)
+    intpart, micro = nr >> 24, nr & 0xFFFFFF
+    h, mi, s = intpart >> 12, (intpart >> 6) & 0x3F, intpart & 0x3F
+    out = f"{sign}{h}:{mi:02d}:{s:02d}"
+    if fsp:
+        out += "." + f"{micro:06d}"[:fsp]
+    return out, pos
+
+
+# --- legacy (pre-5.6.4) temporal wire formats --------------------------------
+# Servers older than 5.6.4 write MYSQL_TYPE_TIMESTAMP/TIME/DATETIME
+# (codes 7/11/12) instead of the *2 variants: no fractional seconds,
+# little-endian, and DATETIME is a DECIMAL-packed integer. The
+# reference inherits these from Field::unpack
+# (binlog_table_reader.cc:151-156); kept here so old binlogs decode.
+
+
+def _encode_timestamp_v1(v: _dt.datetime) -> bytes:
+    secs = int(v.replace(tzinfo=_dt.timezone.utc).timestamp())
+    return struct.pack("<I", secs)
+
+
+def _decode_timestamp_v1(buf: bytes, pos: int) -> tuple[_dt.datetime, int]:
+    secs = struct.unpack_from("<I", buf, pos)[0]
+    return (
+        _dt.datetime.fromtimestamp(secs, _dt.timezone.utc).replace(tzinfo=None),
+        pos + 4,
+    )
+
+
+def _encode_datetime_v1(v: _dt.datetime) -> bytes:
+    packed = (
+        (v.year * 10000 + v.month * 100 + v.day) * 1_000_000
+        + v.hour * 10000
+        + v.minute * 100
+        + v.second
+    )
+    return struct.pack("<Q", packed)
+
+
+def _decode_datetime_v1(buf: bytes, pos: int) -> tuple[_dt.datetime, int]:
+    packed = struct.unpack_from("<Q", buf, pos)[0]
+    d, t = divmod(packed, 1_000_000)
+    return (
+        _dt.datetime(
+            d // 10000, d // 100 % 100, d % 100,
+            t // 10000, t // 100 % 100, t % 100,
+        ),
+        pos + 8,
+    )
+
+
+def _encode_time_v1(v: str) -> bytes:
+    neg, h, mi, s, _ = _parse_time_str(v, 0)
+    packed = h * 10000 + mi * 100 + s
+    if neg:
+        packed = -packed
+    return (packed & 0xFFFFFF).to_bytes(3, "little")
+
+
+def _decode_time_v1(buf: bytes, pos: int) -> tuple[str, int]:
+    u = int.from_bytes(buf[pos : pos + 3], "little")
+    if u >= 1 << 23:
+        u -= 1 << 24
+    sign = "-" if u < 0 else ""
+    u = abs(u)
+    h, mi, s = u // 10000, u // 100 % 100, u % 100
     return f"{sign}{h}:{mi:02d}:{s:02d}", pos + 3
 
 
@@ -897,6 +1016,31 @@ class _Col:
         self.unsigned = unsigned
 
 
+def _char_meta(byte_len: int) -> bytes:
+    """TABLE_MAP metadata for CHAR(n): Field_string::do_save_field_metadata
+    (public sql/field.cc) packs the field's max BYTE length (chars x
+    charset mbmaxlen, up to 1023) into two bytes —
+    m0 = 254 ^ ((len & 0x300) >> 4), m1 = len & 0xFF. The XOR clears
+    bits that are always set in code 254, which is how readers tell
+    CHAR metadata from ENUM/SET metadata (whose m0 is the real type
+    byte 247/248, both with the 0x30 bits set)."""
+    if not 0 <= byte_len <= 1023:
+        raise ValueError(f"CHAR byte length {byte_len} outside 0..1023")
+    return bytes([TY_STRING ^ ((byte_len & 0x300) >> 4), byte_len & 0xFF])
+
+
+def _string_meta(meta: bytes) -> tuple[int, int]:
+    """Decode TY_STRING (254) metadata -> (real_type, arg): ENUM/SET
+    give (247|248, pack_width); CHAR gives (254, max_byte_length).
+    The inverse of _char_meta / the enum-set pack bytes — the same
+    branch every public replication client implements."""
+    m0, m1 = meta[0], meta[1]
+    if (m0 & 0x30) != 0x30:
+        # long CHAR: the XORed-out 0x30 bits carry length bits 8-9
+        return m0 | 0x30, m1 | (((m0 & 0x30) ^ 0x30) << 4)
+    return m0, m1
+
+
 # fixture-writer metadata kinds for UNSIGNED MySQL columns -> wire code
 _UNSIGNED_KINDS = {
     "tinyint_unsigned": TY_TINY,
@@ -948,7 +1092,22 @@ def _cols_from_schema(target: T.StructType) -> list[_Col]:
                 )
             cols.append(_Col(f.name, wire, b"", unsigned=True))
         elif kind == "time":
-            cols.append(_Col(f.name, TY_TIME2, bytes([0])))  # fsp=0
+            fsp = int(md.get("fsp", 0))
+            if not 0 <= fsp <= 6:
+                raise TypeError(f"{f.name}: TIME fsp {fsp} outside 0..6")
+            cols.append(_Col(f.name, TY_TIME2, bytes([fsp])))
+        elif kind == "char":
+            # fixed-width CHAR(n): metadata carries the max BYTE length
+            # = chars x charset mbmaxlen (utf8mb4 default: 4)
+            n = int(md.get("char_len", 1))
+            blen = int(md.get("char_bytes", n * 4))
+            cols.append(_Col(f.name, TY_STRING, _char_meta(blen)))
+        elif kind == "timestamp_v1":
+            cols.append(_Col(f.name, TY_TIMESTAMP_V1, b""))
+        elif kind == "datetime_v1":
+            cols.append(_Col(f.name, TY_DATETIME_V1, b""))
+        elif kind == "time_v1":
+            cols.append(_Col(f.name, TY_TIME_V1, b""))
         elif kind == "json":
             # carried as StringType text; wire value is the binary tree
             cols.append(_Col(f.name, TY_JSON, bytes([4])))
@@ -1014,7 +1173,13 @@ def _encode_col(col: _Col, v) -> bytes:
             raise ValueError(f"MEDIUMINT out of range: {v}")
         return (v & 0xFFFFFF).to_bytes(3, "little")
     if tc == TY_TIME2:
-        return _encode_time2(v)
+        return _encode_time2(v, col.meta[0] if col.meta else 0)
+    if tc == TY_TIMESTAMP_V1:
+        return _encode_timestamp_v1(v)
+    if tc == TY_DATETIME_V1:
+        return _encode_datetime_v1(v)
+    if tc == TY_TIME_V1:
+        return _encode_time_v1(v)
     if tc == TY_FLOAT:
         return struct.pack("<f", v)
     if tc == TY_DOUBLE:
@@ -1047,15 +1212,28 @@ def _encode_col(col: _Col, v) -> bytes:
     if tc == TY_BIT:
         nbytes = col.meta[1] + (1 if col.meta[0] else 0)
         return int(v).to_bytes(nbytes, "big")
-    if tc == TY_STRING:  # enum / set
-        real, pack = col.meta[0], col.meta[1]
+    if tc == TY_STRING:  # enum / set / fixed-width CHAR(n)
+        real, arg = _string_meta(col.meta)
+        if real == TY_STRING:
+            # CHAR(n): length-prefixed like VARCHAR (prefix width from
+            # the declared max BYTE length), trailing pad spaces
+            # stripped on pack — Field_string::pack's behavior, which
+            # is why CHAR roundtrips without its padding
+            raw = v.rstrip(" ").encode("utf-8")
+            if len(raw) > arg:
+                raise ValueError(
+                    f"column {col.name}: CHAR value {len(raw)}B exceeds "
+                    f"the declared max byte length {arg}"
+                )
+            pre = struct.pack("<H", len(raw)) if arg > 255 else bytes([len(raw)])
+            return pre + raw
         values = col.extra
         if real == TY_ENUM:
             idx = values.index(v) + 1 if v in values else 0
-            return idx.to_bytes(pack, "little")
+            return idx.to_bytes(arg, "little")
         members = set(v.split(",")) if v else set()
         mask = sum(1 << i for i, m in enumerate(values) if m in members)
-        return mask.to_bytes(pack, "little")
+        return mask.to_bytes(arg, "little")
     raise TypeError(f"unsupported type code {tc}")
 
 
@@ -1093,7 +1271,13 @@ def _decode_col(col: _Col, buf: bytes, pos: int):
         u = int.from_bytes(buf[pos : pos + 3], "little")
         return (u - (1 << 24) if u >= (1 << 23) else u), pos + 3
     if tc == TY_TIME2:
-        return _decode_time2(buf, pos)
+        return _decode_time2(buf, pos, col.meta[0] if col.meta else 0)
+    if tc == TY_TIMESTAMP_V1:
+        return _decode_timestamp_v1(buf, pos)
+    if tc == TY_DATETIME_V1:
+        return _decode_datetime_v1(buf, pos)
+    if tc == TY_TIME_V1:
+        return _decode_time_v1(buf, pos)
     if tc == TY_FLOAT:
         return struct.unpack_from("<f", buf, pos)[0], pos + 4
     if tc == TY_DOUBLE:
@@ -1140,10 +1324,18 @@ def _decode_col(col: _Col, buf: bytes, pos: int):
         nbytes = col.meta[1] + (1 if col.meta[0] else 0)
         return int.from_bytes(buf[pos : pos + nbytes], "big"), pos + nbytes
     if tc == TY_STRING:
-        real, pack = col.meta[0], col.meta[1]
+        real, arg = _string_meta(col.meta)
+        if real == TY_STRING:  # CHAR(n): length-prefixed bytes
+            if arg > 255:
+                n = struct.unpack_from("<H", buf, pos)[0]
+                pos += 2
+            else:
+                n = buf[pos]
+                pos += 1
+            return buf[pos : pos + n].decode("utf-8"), pos + n
         values = col.extra
-        n = int.from_bytes(buf[pos : pos + pack], "little")
-        pos += pack
+        n = int.from_bytes(buf[pos : pos + arg], "little")
+        pos += arg
         if real == TY_ENUM:
             return (values[n - 1] if 1 <= n <= len(values) else ""), pos
         return (
@@ -2012,7 +2204,14 @@ def _wire_field(
     elif tc == TY_DATETIME2:
         dt, md = T.TimestampType(), {"fsp": meta[0]}
     elif tc == TY_TIME2:
-        dt, md = T.StringType(), {"mysql_type": "time"}
+        dt = T.StringType()
+        md = {"mysql_type": "time", "fsp": meta[0] if meta else 0}
+    elif tc == TY_TIMESTAMP_V1:
+        dt, md = T.TimestampType(), {"mysql_type": "timestamp_v1"}
+    elif tc == TY_DATETIME_V1:
+        dt, md = T.TimestampType(), {"mysql_type": "datetime_v1"}
+    elif tc == TY_TIME_V1:
+        dt, md = T.StringType(), {"mysql_type": "time_v1"}
     elif tc == TY_YEAR:
         dt, md = T.IntegerType(), {"mysql_type": "year"}
     elif tc == TY_BIT:
@@ -2023,19 +2222,28 @@ def _wire_field(
     elif tc == TY_GEOMETRY:
         dt, md = T.BinaryType(), {"mysql_type": "geometry"}
     elif tc == TY_STRING:
-        if not meta or meta[0] not in (TY_ENUM, TY_SET):
-            # real MySQL also uses type 254 for CHAR(n), with a packed
-            # length layout this reader does not decode — silently
-            # inferring it as an empty set would decode garbage
-            # (review finding, round 7); failfast like unknown codes
+        if not meta or len(meta) < 2:
             raise TypeError(
                 f"cannot infer column {name!r}: TY_STRING metadata "
-                f"{meta!r} is neither ENUM nor SET (CHAR columns are "
-                "outside this reader's type space)"
+                f"{meta!r} is truncated"
             )
-        kind = "enum" if meta[0] == TY_ENUM else "set"
+        real, arg = _string_meta(meta)
         dt = T.StringType()
-        md = {"mysql_type": kind, "values": list(values or [])}
+        if real == TY_STRING:
+            # fixed-width CHAR(n): arg is the max BYTE length (chars x
+            # charset mbmaxlen); char_len assumes utf8mb4's 4 B/char,
+            # the modern default — the declared-schema path lets the
+            # caller override via char_bytes
+            md = {"mysql_type": "char", "char_len": max(1, arg // 4),
+                  "char_bytes": arg}
+        elif real in (TY_ENUM, TY_SET):
+            kind = "enum" if real == TY_ENUM else "set"
+            md = {"mysql_type": kind, "values": list(values or [])}
+        else:
+            raise TypeError(
+                f"cannot infer column {name!r}: TY_STRING metadata "
+                f"{meta!r} decodes to unknown real type {real}"
+            )
     else:
         raise TypeError(f"cannot infer a Spark type for wire type {tc}")
     return T.StructField(name, dt, True, metadata=md)
@@ -4373,10 +4581,11 @@ def cdc_mysql_binlog_roundtrip(
     _via: str = "inline",
 ) -> DataFrame:
     """End-to-end proof of the REAL binlog v4 format: derive a typed
-    changelog from ``orders`` (LONGLONG + NEWDECIMAL + ENUM + DATE),
-    frame it as byte-exact binlog files (one per Arrow batch — magic,
-    FDE, GTID/TABLE_MAP/ROWS events), decode the files back, and
-    aggregate per status with op-code and GTID terms in the output.
+    changelog from ``orders`` (LONGLONG + NEWDECIMAL + ENUM + DATE +
+    fixed-width CHAR(2) + TIME(3)), frame it as byte-exact binlog
+    files (one per Arrow batch — magic, FDE, GTID/TABLE_MAP/ROWS
+    events), decode the files back, and aggregate per status with
+    op-code and GTID terms in the output.
     Both stages are distributed mapInPandas — no driver hop. The oracle
     computes the same aggregate straight from ``orders`` with integer
     arithmetic, so any framing/codec bit-rot (decimal group packing,
@@ -4385,7 +4594,14 @@ def cdc_mysql_binlog_roundtrip(
     key becomes an update pair (before-image price+1) instead of an
     insert. The ``props`` column rides MySQL's binary JSON wire format
     (type 245) both ways; its decoded text feeds ``get_json_object``
-    and a length sum, so a single mis-encoded offset breaks the hash."""
+    and a length sum, so a single mis-encoded offset breaks the hash.
+    The ``flag`` column is a fixed-width CHAR(2) — type 254 with the
+    packed Field_string metadata the reference decodes via
+    Field::unpack (binlog_table_reader.cc:151-156) — and ``took`` a
+    TIME(3) whose values include NEGATIVE times, exercising the
+    floor/truncation sign borrow between TIME2's int part and its
+    fractional bytes; both land in the value hash via order-free
+    aggregates (codepoint sum, signed total-milliseconds sum)."""
     import pandas as pd
     from decimal import Decimal as _D
 
@@ -4406,6 +4622,16 @@ def cdc_mysql_binlog_roundtrip(
             T.StructField(
                 "props", T.StringType(), metadata={"mysql_type": "json"}
             ),
+            T.StructField(
+                "flag",
+                T.StringType(),
+                metadata={"mysql_type": "char", "char_len": 2},
+            ),
+            T.StructField(
+                "took",
+                T.StringType(),
+                metadata={"mysql_type": "time", "fsp": 3},
+            ),
         ]
     )
     base = (
@@ -4418,6 +4644,19 @@ def cdc_mysql_binlog_roundtrip(
             ).alias("price"),
             F.col("o_orderstatus").alias("status"),
             F.col("o_orderdate").cast("date").alias("odate"),
+            F.expr(
+                "char(65 + o_orderkey % 26) || "
+                "char(65 + (o_orderkey div 26) % 26)"
+            ).alias("flag"),
+            # every 7th key is a NEGATIVE duration — the TIME2 sign
+            # borrow must survive encode+decode to keep the hash
+            F.expr(
+                "concat(if(o_orderkey % 7 = 0, '-', ''),"
+                " o_orderkey % 120, ':',"
+                " lpad(o_orderkey % 60, 2, '0'), ':',"
+                " lpad((o_orderkey * 7) % 60, 2, '0'), '.',"
+                " lpad(o_orderkey % 1000, 3, '0'))"
+            ).alias("took"),
         )
         .repartition(spark.sparkContext.defaultParallelism, "id")
     )
@@ -4443,6 +4682,8 @@ def cdc_mysql_binlog_roundtrip(
                     "status": r.status,
                     "odate": r.odate,
                     "props": props,
+                    "flag": r.flag,
+                    "took": r.took,
                 }
                 if row["id"] % 10 == 0:
                     before = dict(row, price=row["price"] + _D(1))
@@ -4500,6 +4741,32 @@ def cdc_mysql_binlog_roundtrip(
         F.sum(F.when(after, F.length("props").cast("long"))).alias(
             "json_len_sum"
         ),
+        # CHAR(2): both codepoints weighted so a swapped/garbled byte
+        # moves the sum; TIME(3): signed total milliseconds re-parsed
+        # from the DECODED canonical string — any fsp/sign/borrow slip
+        # in the wire codec lands here
+        F.sum(
+            F.when(
+                after,
+                F.ascii("flag") * 256
+                + F.ascii(F.substring("flag", 2, 1)),
+            ).cast("long")
+        ).alias("flag_ord_sum"),
+        F.sum(
+            F.when(
+                after,
+                F.expr(
+                    "if(startswith(took, '-'), -1, 1) * ("
+                    " cast(regexp_extract(took, '^-?(\\\\d+):', 1) as bigint)"
+                    "   * 3600000"
+                    " + cast(regexp_extract(took, ':(\\\\d{2}):', 1) as bigint)"
+                    "   * 60000"
+                    " + cast(regexp_extract(took, ':(\\\\d{2})\\\\.', 1) as bigint)"
+                    "   * 1000"
+                    " + cast(regexp_extract(took, '\\\\.(\\\\d{3})$', 1) as bigint))"
+                ),
+            )
+        ).alias("took_ms_sum"),
     )
 
 
@@ -5101,7 +5368,17 @@ WITH b AS (
          -- the compact-JSON text the binlog JSON codec must reproduce:
          -- {"k":<id%10007>,"s":"<status>","arr":[<id%3>,null,true]}
          32 + length(CAST(o_orderkey % 10007 AS VARCHAR)) + 1 + 1
-           AS props_len
+           AS props_len,
+         -- CHAR(2) codepoints: chr(65+id%26), chr(65+(id//26)%26)
+         (65 + o_orderkey % 26) * 256 + 65 + (o_orderkey // 26) % 26
+           AS flag_ord,
+         -- TIME(3) signed total milliseconds
+         (CASE WHEN o_orderkey % 7 = 0 THEN -1 ELSE 1 END) * (
+             (o_orderkey % 120) * 3600000
+           + (o_orderkey % 60) * 60000
+           + ((o_orderkey * 7) % 60) * 1000
+           + o_orderkey % 1000
+         ) AS took_ms
   FROM orders
 )
 SELECT status,
@@ -5113,13 +5390,177 @@ SELECT status,
        min(odate) AS first_date,
        max(odate) AS last_date,
        CAST(sum(id % 10007) AS BIGINT) AS json_k_sum,
-       CAST(sum(props_len) AS BIGINT) AS json_len_sum
+       CAST(sum(props_len) AS BIGINT) AS json_len_sum,
+       CAST(sum(flag_ord) AS BIGINT) AS flag_ord_sum,
+       CAST(sum(took_ms) AS BIGINT) AS took_ms_sum
 FROM b GROUP BY status
 """
 
 # Compression must be invisible in the decoded changelog, so the zstd
 # roundtrip shares the uncompressed roundtrip's oracle verbatim.
 CDC_BINLOG_ZSTD_ROUNDTRIP_SQL = CDC_MYSQL_BINLOG_ROUNDTRIP_SQL
+
+
+def cdc_binlog_legacy_temporal_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pre-5.6.4 temporal wire formats through the real binlog v4
+    framing: MYSQL_TYPE_TIMESTAMP (code 7, 4-byte LE unix seconds),
+    MYSQL_TYPE_DATETIME (code 12, 8-byte LE decimal-packed
+    YYYYMMDDHHMMSS) and MYSQL_TYPE_TIME (code 11, 3-byte LE signed
+    H*10000+M*100+S, negatives included) — the formats binlogs from
+    servers older than 5.6.4 carry, which the reference inherits from
+    Field::unpack (binlog_table_reader.cc:151-156). Encode a typed
+    changelog from ``orders`` into binlog files carrying the legacy
+    codes, decode back, and fold every component into order-free sums
+    so one mispacked digit pair or a dropped sign breaks the value
+    hash. The oracle recomputes the sums from ``orders`` arithmetic."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.operators._util import t
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "ts",
+                T.TimestampType(),
+                metadata={"mysql_type": "timestamp_v1"},
+            ),
+            T.StructField(
+                "dtm",
+                T.TimestampType(),
+                metadata={"mysql_type": "datetime_v1"},
+            ),
+            T.StructField(
+                "dur", T.StringType(), metadata={"mysql_type": "time_v1"}
+            ),
+            T.StructField(
+                "status",
+                T.StringType(),
+                metadata={"mysql_type": "enum", "values": ["F", "O", "P"]},
+            ),
+        ]
+    )
+    base = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.timestamp_seconds(
+                F.lit(800000000) + F.col("o_orderkey")
+            ).alias("ts"),
+            F.expr(
+                "make_timestamp(1990 + o_orderkey % 30, 1 + o_orderkey % 12,"
+                " 1 + o_orderkey % 28, o_orderkey % 24, o_orderkey % 60,"
+                " (o_orderkey * 3) % 60)"
+            ).alias("dtm"),
+            F.expr(
+                "concat(if(o_orderkey % 5 = 0, '-', ''),"
+                " o_orderkey % 200, ':',"
+                " lpad(o_orderkey % 60, 2, '0'), ':',"
+                " lpad((o_orderkey * 11) % 60, 2, '0'))"
+            ).alias("dur"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "id")
+    )
+
+    file_schema = T.StructType([T.StructField("file_bytes", T.BinaryType())])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            txns = [
+                {
+                    "gno": int(r.id),
+                    "op": "w",
+                    "rows": [
+                        {
+                            "id": int(r.id),
+                            "ts": r.ts,
+                            "dtm": r.dtm,
+                            "dur": r.dur,
+                            "status": r.status,
+                        }
+                    ],
+                }
+                for r in pdf.itertuples(index=False)
+            ]
+            blob = build_binlog_file(
+                "tpch", "orders_legacy", target, txns, checksum=True
+            )
+            yield pd.DataFrame({"file_bytes": [blob]})
+
+    files = base.mapInPandas(encode, schema=file_schema)
+
+    out_schema = changelog_schema(target)
+    names = [f.name for f in out_schema.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["file_bytes"]:
+                rows = decode_binlog_bytes(
+                    bytes(blob), target, "tpch", "orders_legacy"
+                )
+                yield pd.DataFrame(
+                    {n: [r.get(n) for r in rows] for n in names}
+                )
+
+    decoded = files.mapInPandas(decode, schema=out_schema)
+    return decoded.groupBy("status").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.unix_timestamp("ts")).alias("ts_sum"),
+        F.sum(
+            F.year("dtm") * 10000
+            + F.month("dtm") * 100
+            + F.dayofmonth("dtm")
+        ).cast("long").alias("dtm_date_sum"),
+        F.sum(
+            F.hour("dtm") * 3600 + F.minute("dtm") * 60 + F.second("dtm")
+        ).cast("long").alias("dtm_time_sum"),
+        F.sum(
+            F.expr(
+                "if(startswith(dur, '-'), -1, 1) * ("
+                " cast(regexp_extract(dur, '^-?(\\\\d+):', 1) as bigint)"
+                "   * 3600"
+                " + cast(regexp_extract(dur, ':(\\\\d{2}):', 1) as bigint)"
+                "   * 60"
+                " + cast(regexp_extract(dur, ':(\\\\d{2})$', 1) as bigint))"
+            )
+        ).alias("dur_s_sum"),
+        F.sum("__gtid").alias("gtid_sum"),
+    )
+
+
+CDC_BINLOG_LEGACY_TEMPORAL_SQL = """
+WITH b AS (
+  SELECT o_orderkey AS id,
+         o_orderstatus AS status,
+         800000000 + o_orderkey AS ts_secs,
+         (1990 + o_orderkey % 30) * 10000
+           + (1 + o_orderkey % 12) * 100
+           + 1 + o_orderkey % 28 AS dtm_date,
+         (o_orderkey % 24) * 3600 + (o_orderkey % 60) * 60
+           + (o_orderkey * 3) % 60 AS dtm_time,
+         (CASE WHEN o_orderkey % 5 = 0 THEN -1 ELSE 1 END) * (
+             (o_orderkey % 200) * 3600
+           + (o_orderkey % 60) * 60
+           + (o_orderkey * 11) % 60
+         ) AS dur_s
+  FROM orders
+)
+SELECT status,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(ts_secs) AS BIGINT) AS ts_sum,
+       CAST(sum(dtm_date) AS BIGINT) AS dtm_date_sum,
+       CAST(sum(dtm_time) AS BIGINT) AS dtm_time_sum,
+       CAST(sum(dur_s) AS BIGINT) AS dur_s_sum,
+       CAST(sum(id) AS BIGINT) AS gtid_sum
+FROM b GROUP BY status
+"""
 
 
 def cdc_binlog_gtid_resume(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -76,9 +76,12 @@ from mysql_cdc_table_spark.sources.mysql_binlog import (
     TY_SHORT,
     TY_STRING,
     TY_TIME2,
+    TY_TIME_V1,
     TY_TIMESTAMP2,
+    TY_TIMESTAMP_V1,
     TY_TINY,
     TY_VARCHAR,
+    TY_DATETIME_V1,
     TY_YEAR,
     _DIG_BYTES,
     _binlog_out_schema,
@@ -86,6 +89,7 @@ from mysql_cdc_table_spark.sources.mysql_binlog import (
     _dec_bin_size,
     _decode_col,
     _frac_bytes,
+    _string_meta,
     decode_binlog_bytes,
 )
 from mysql_cdc_table_spark.sources.packed_binlog import (
@@ -515,13 +519,26 @@ def _vec_col_decoder(col: _Col, field: T.StructField):
 
         return dec
 
-    if tc in (TY_VARCHAR, TY_BLOB, TY_GEOMETRY):
+    _char_blen = None
+    if tc == TY_STRING:
+        _real, _arg = _string_meta(col.meta)
+        if _real == TY_STRING:
+            # fixed-width CHAR(n): same length-prefixed wire value as
+            # VARCHAR (prefix width from the max BYTE length) — rides
+            # the vectorized gather below
+            _char_blen = _arg
+
+    if tc in (TY_VARCHAR, TY_BLOB, TY_GEOMETRY) or _char_blen is not None:
         if tc == TY_VARCHAR:
             maxlen = struct.unpack("<H", col.meta)[0]
             pw = 2 if maxlen > 255 else 1
+        elif _char_blen is not None:
+            pw = 2 if _char_blen > 255 else 1
         else:
             pw = col.meta[0]
-        out_t = pa.string() if tc == TY_VARCHAR else pa.binary()
+        out_t = (
+            pa.string() if tc in (TY_VARCHAR, TY_STRING) else pa.binary()
+        )
 
         def dec(u8, raw, pos, valid, _pw=pw, _out_t=out_t):
             idx = np.flatnonzero(valid)
@@ -564,7 +581,8 @@ def _vec_col_decoder(col: _Col, field: T.StructField):
         return dec
 
     if tc == TY_STRING:  # enum / set, pack-width little-endian index
-        real, pack = col.meta[0], col.meta[1]
+        # (CHAR was routed to the gather branch above)
+        real, pack = _string_meta(col.meta)
         values = col.extra
         if real == TY_SET and len(values) > 8:
             # round 8: the full 2^k LUT is infeasible past 8 members,
@@ -697,6 +715,19 @@ def _vec_col_decoder(col: _Col, field: T.StructField):
             )
 
         return dec
+
+    if tc == TY_TIME2 and col.meta and col.meta[0] > 0:
+        # TIME2 with fractional seconds: variable layout per fsp with
+        # a sign borrow between the int part and the fraction — rare
+        # enough (TIME columns with microseconds) to take the per-cell
+        # fallback; fsp=0 stays on the vectorized path below
+        return _scalar_cell(col, pa_t)
+
+    if tc in (TY_TIMESTAMP_V1, TY_DATETIME_V1, TY_TIME_V1):
+        # legacy pre-5.6.4 temporal formats: only binlogs from very
+        # old servers carry them — per-cell fallback, not worth a
+        # vector kernel
+        return _scalar_cell(col, pa_t)
 
     if tc == TY_TIME2:
         # fixed-width 3-byte big-endian offset-binary (fsp=0) -> the

@@ -68,6 +68,43 @@ RICH = T.StructType(
         T.StructField(
             "geo", T.BinaryType(), metadata={"mysql_type": "geometry"}
         ),
+        # round 13: fixed-width CHAR(n) — short form (1-byte prefix)
+        # and long form (byte length > 255 -> 2-byte prefix + packed
+        # high bits in the metadata)
+        T.StructField(
+            "ch", T.StringType(), metadata={"mysql_type": "char", "char_len": 4}
+        ),
+        T.StructField(
+            "chl",
+            T.StringType(),
+            metadata={"mysql_type": "char", "char_len": 250},
+        ),
+        # round 13: TIME2 with fractional seconds (negative values
+        # exercise the int-part/fraction sign borrow)
+        T.StructField(
+            "tm3",
+            T.StringType(),
+            metadata={"mysql_type": "time", "fsp": 3},
+        ),
+        T.StructField(
+            "tm6",
+            T.StringType(),
+            metadata={"mysql_type": "time", "fsp": 6},
+        ),
+        # round 13: legacy pre-5.6.4 temporal formats (codes 7/11/12)
+        T.StructField(
+            "ts1",
+            T.TimestampType(),
+            metadata={"mysql_type": "timestamp_v1"},
+        ),
+        T.StructField(
+            "dt1",
+            T.TimestampType(),
+            metadata={"mysql_type": "datetime_v1"},
+        ),
+        T.StructField(
+            "tv1", T.StringType(), metadata={"mysql_type": "time_v1"}
+        ),
     ]
 )
 
@@ -98,6 +135,18 @@ def _rich_row(i: int) -> dict:
         "st": ["x", "x,y", "", "x,y,z"][i % 4],
         "doc": f'{{"k": {i}, "s": "t{i}"}}',
         "geo": bytes([0, 0, 0, 0]) + bytes([i % 256]) * 5,
+        "ch": f"c{i % 100}",
+        "chl": "y" * (i % 200),
+        "tm3": (
+            f"{'-' if i % 3 == 0 else ''}{i % 300}:{i % 60:02d}:"
+            f"{(i * 7) % 60:02d}.{i % 1000:03d}"
+        ),
+        "tm6": f"{i % 10}:{i % 60:02d}:{i % 60:02d}.{(i * 37) % 1000000:06d}",
+        "ts1": dt.datetime(2001, 1 + i % 12, 1 + i % 28, i % 24, i % 60, i % 60),
+        "dt1": dt.datetime(
+            1975 + i % 40, 1 + i % 12, 1 + i % 28, i % 24, i % 60, (i * 3) % 60
+        ),
+        "tv1": f"{'-' if i % 4 == 0 else ''}{i % 500}:{i % 60:02d}:{(i * 11) % 60:02d}",
     }
 
 
@@ -951,14 +1000,51 @@ def test_infer_target_through_transaction_payload():
         assert inferred["color"].metadata["values"] == ["red", "green"]
 
 
-def test_wire_field_char_column_failfast():
-    """Review fix: real MySQL uses TY_STRING (254) for CHAR(n) with a
-    packed-length meta layout this reader does not decode — inference
-    must raise, not classify it as an empty set."""
+def test_wire_field_char_column_infers():
+    """Round 13: TY_STRING (254) with Field_string's packed-length
+    metadata infers as a CHAR column — short form (byte length in m1)
+    and long form (length bits 8-9 XORed into m0's 0x30 bits); the
+    round-7 failfast now applies only to genuinely unknown real
+    types."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        _char_meta,
+        _wire_field,
+    )
+
+    f = _wire_field("c", mb.TY_STRING, bytes([254, 20]), None)
+    assert isinstance(f.dataType, T.StringType)
+    assert f.metadata["mysql_type"] == "char"
+    assert f.metadata["char_bytes"] == 20
+
+    # long form: CHAR(250) utf8mb4 -> 1000 bytes -> m0 loses 0x30 bits
+    meta = _char_meta(1000)
+    assert (meta[0] & 0x30) != 0x30
+    f = _wire_field("c", mb.TY_STRING, meta, None)
+    assert f.metadata["char_bytes"] == 1000
+    assert f.metadata["char_len"] == 250
+
+    # a real type that is neither ENUM/SET nor CHAR still raises
+    with pytest.raises(TypeError, match="unknown real type"):
+        _wire_field("c", mb.TY_STRING, bytes([0xF0, 20]), None)
+
+
+def test_wire_field_time_fsp_and_legacy_temporals():
+    """Round 13: TIME2 metadata carries fsp into the inferred field;
+    the legacy pre-5.6.4 codes 7/11/12 infer their kinds."""
     from mysql_cdc_table_spark.sources.mysql_binlog import _wire_field
 
-    with pytest.raises(TypeError, match="neither ENUM nor SET"):
-        _wire_field("c", mb.TY_STRING, bytes([254, 20]), None)
+    f = _wire_field("t", mb.TY_TIME2, bytes([3]), None)
+    assert f.metadata == {"mysql_type": "time", "fsp": 3}
+
+    f = _wire_field("t", mb.TY_TIMESTAMP_V1, b"", None)
+    assert isinstance(f.dataType, T.TimestampType)
+    assert f.metadata["mysql_type"] == "timestamp_v1"
+    f = _wire_field("t", mb.TY_DATETIME_V1, b"", None)
+    assert isinstance(f.dataType, T.TimestampType)
+    assert f.metadata["mysql_type"] == "datetime_v1"
+    f = _wire_field("t", mb.TY_TIME_V1, b"", None)
+    assert isinstance(f.dataType, T.StringType)
+    assert f.metadata["mysql_type"] == "time_v1"
 
 
 def test_split_cache_bypasses_untrusted_dir(tmp_path):

@@ -3677,3 +3677,158 @@ def test_mysql_binlog_relay_filters_and_rechains(spark, tmp_path):
     got2 = mysql_binlog_read(spark, dst, tgt, "d", "t")
     assert sorted(r["id"] for r in got2.collect()) == list(range(2, 101, 2))
     assert binlog_chain_gaps(dst) == []
+
+
+# --- round 13: CHAR(n), TIME2 fsp>0, legacy temporals ------------------------
+
+
+def test_time2_fsp_roundtrip_grid():
+    """TIME2 at every fsp 0-6 x sign x fraction width — including the
+    floor/truncation borrow for negative times with fractions
+    (my_time.cc's my_time_packed_to_binary layout)."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        _decode_time2,
+        _encode_time2,
+        _frac_bytes,
+    )
+
+    for fsp in range(7):
+        for base in ["0:00:00", "8:03:07", "143:59:59", "838:59:59"]:
+            for nd in range(fsp + 1):
+                frac = "" if nd == 0 else "." + "987654"[:nd]
+                for sign in ["", "-"]:
+                    v = sign + base + frac
+                    enc = _encode_time2(v, fsp)
+                    assert len(enc) == 3 + _frac_bytes(fsp)
+                    got, end = _decode_time2(enc, 0, fsp)
+                    assert end == len(enc)
+                    canon = (
+                        base
+                        if fsp == 0
+                        else base + "." + ("987654"[:nd]).ljust(fsp, "0")
+                    )
+                    exp = sign + canon
+                    if base == "0:00:00" and nd == 0:
+                        exp = canon  # -0 has no wire sign
+                    assert got == exp, (v, fsp, enc.hex(), got, exp)
+
+
+def test_time2_fsp_overflow_and_range_raise():
+    from mysql_cdc_table_spark.sources.mysql_binlog import _encode_time2
+
+    with pytest.raises(ValueError, match="fractional digits"):
+        _encode_time2("1:00:00.123", 2)  # 3 digits > fsp 2
+    with pytest.raises(ValueError, match="out of range"):
+        _encode_time2("839:00:00", 0)
+
+
+def test_char_trailing_space_strip_and_overflow():
+    """Field_string::pack strips trailing pad spaces — the decoded
+    value is the stripped text; a value over the declared byte length
+    raises instead of truncating."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        _char_meta,
+        _Col,
+        _decode_col,
+        _encode_col,
+        TY_STRING,
+    )
+
+    col = _Col("c", TY_STRING, _char_meta(12))
+    enc = _encode_col(col, "ab  ")
+    assert enc == b"\x02ab"
+    assert _decode_col(col, enc, 0) == ("ab", 2 + 1)
+
+    # 2-byte prefix past 255 bytes
+    big = _Col("c", TY_STRING, _char_meta(1000))
+    enc = _encode_col(big, "z" * 300)
+    assert enc[:2] == (300).to_bytes(2, "little")
+    assert _decode_col(big, enc, 0) == ("z" * 300, 302)
+
+    with pytest.raises(ValueError, match="exceeds"):
+        _encode_col(col, "x" * 13)
+
+
+def test_legacy_temporal_file_roundtrip():
+    """Codes 7/11/12 through the full binlog v4 framing — one file,
+    scalar decode, every legacy value reproduced."""
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "ts", T.TimestampType(), metadata={"mysql_type": "timestamp_v1"}
+            ),
+            T.StructField(
+                "dtm", T.TimestampType(), metadata={"mysql_type": "datetime_v1"}
+            ),
+            T.StructField(
+                "dur", T.StringType(), metadata={"mysql_type": "time_v1"}
+            ),
+        ]
+    )
+    rows = [
+        {
+            "id": i,
+            "ts": dt.datetime(1999, 12, 31, 23, 59, i % 60),
+            "dtm": dt.datetime(1969, 7, 20, 20, 17, (i * 3) % 60),
+            "dur": f"{'-' if i % 2 else ''}{i * 37 % 800}:{i % 60:02d}:{(i * 11) % 60:02d}",
+        }
+        for i in range(20)
+    ]
+    blob = build_binlog_file(
+        "d", "t", target, [_txn(1, "w", rows)], checksum=True
+    )
+    got = decode_binlog_bytes(blob, target, "d", "t")
+    assert len(got) == 20
+    by_id = {r["id"]: r for r in got}
+    for r in rows:
+        g = by_id[r["id"]]
+        assert g["ts"] == r["ts"], r["id"]
+        assert g["dtm"] == r["dtm"], r["id"]
+        exp = r["dur"]
+        if exp == "-0:00:00":
+            exp = "0:00:00"
+        assert g["dur"] == exp, r["id"]
+
+
+def test_char_in_full_metadata_inference(tmp_path):
+    """binlog_row_metadata=FULL file with a CHAR column: the DDL-free
+    inference derives the CHAR field (char_bytes from the packed
+    metadata) and decode through the inferred schema reproduces the
+    values."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        mysql_binlog_infer_target,
+    )
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "cc",
+                T.StringType(),
+                metadata={"mysql_type": "char", "char_len": 2},
+            ),
+            T.StructField(
+                "tk",
+                T.StringType(),
+                metadata={"mysql_type": "time", "fsp": 2},
+            ),
+        ]
+    )
+    rows = [
+        {"id": i, "cc": f"{chr(65 + i % 26)}X", "tk": f"{i}:{i % 60:02d}:05.{i % 100:02d}"}
+        for i in range(10)
+    ]
+    blob = build_binlog_file(
+        "d", "t", target, [_txn(1, "w", rows)], row_metadata="full"
+    )
+    inferred = mysql_binlog_infer_target(blob, "d", "t")
+    f = {x.name: x for x in inferred.fields}
+    assert f["cc"].metadata["mysql_type"] == "char"
+    assert f["cc"].metadata["char_bytes"] == 8  # 2 chars x utf8mb4
+    assert f["tk"].metadata == {"mysql_type": "time", "fsp": 2}
+    got = decode_binlog_bytes(blob, inferred, "d", "t")
+    by_id = {r["id"]: r for r in got}
+    for r in rows:
+        assert by_id[r["id"]]["cc"] == r["cc"]
+        assert by_id[r["id"]]["tk"] == r["tk"]
