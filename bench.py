@@ -446,9 +446,14 @@ def main() -> None:
     # box-level contention lasting the whole run (r3's driver bench read
     # +10% while a clean re-run read -11%). Two self-qualifying signals
     # ride the JSON line: (a) the pre-sweep 1-minute load average; (b)
-    # the q1 anchor re-timed after the full sweep. POSITIVE drift
-    # (anchor got slower while the box filled up) beyond the documented
-    # ±15% band flags contention.
+    # the q1 anchor re-timed after the full sweep. Drift beyond the
+    # documented ±15% band flags contention in EITHER direction:
+    # BENCH_r12 recorded drift −29.9% (the box was busy at sweep start
+    # and freed mid-run — every query uniformly inflated) yet passed
+    # the old positive-only check, and its pre-run load of 5.5 passed
+    # the old 0.5*ncpus (=16) gate while measurably slowing the
+    # single-JVM run (~13% vs the judge's idle re-run). The load gate
+    # is now an absolute 2.0 (r12 verdict item 3).
     def sweep(load_pre_sweep) -> dict:
         times: dict[str, float] = {}
         for name in _SWEEP:
@@ -457,7 +462,7 @@ def main() -> None:
         anchor_last = timed(HEADLINE[0])
         load_post = os.getloadavg()
         drift = round(100.0 * (anchor_last - anchor_first) / anchor_first, 1)
-        busy_before = load_pre_sweep[0] > 0.5 * ncpus
+        busy_before = load_pre_sweep[0] > 2.0
         return {
             "value": round(sum(times.values()), 3),
             "queries": times,
@@ -466,7 +471,7 @@ def main() -> None:
             "anchor_drift_pct": drift,
             "load_avg_pre_spark": [round(x, 2) for x in load_pre_sweep],
             "load_avg_end": [round(x, 2) for x in load_post],
-            "contended": bool(busy_before or drift > 15.0),
+            "contended": bool(busy_before or abs(drift) > 15.0),
         }
 
     # One retry when the sentinel trips (round-5 driver run was
@@ -536,7 +541,13 @@ def main() -> None:
                 #    grid contracts: the fact scans ONCE, iterations
                 #    run on lineage-cut grids) — TOTAL grows by two
                 #    more entries (r12, second session)
-                "protocol": 11,
+                # 12: contention gate hardened (r13): pre-run load gate
+                #    absolute 2.0 (was 0.5*ncpus=16 — BENCH_r12 ran at
+                #    load 5.5 and passed), anchor drift flags BOTH
+                #    directions (r12's −29.9% passed the positive-only
+                #    check). Per-query timing method unchanged; the
+                #    cooldown retry fires more readily.
+                "protocol": 12,
                 "anchor": HEADLINE[0],
                 "anchor_first_sec": result["anchor_first_sec"],
                 "anchor_last_sec": result["anchor_last_sec"],
