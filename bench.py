@@ -198,12 +198,18 @@ def _ivf_dir(sf_dir: str) -> str:
     return _bench_tmp_dir("bench_ivf_index", sf_dir)
 
 
+_IVF_N_PROBE: dict = {}  # sf_dir -> derived probe width (set by _stage_ivf)
+
+
 def _stage_ivf(spark, sf_dir: str) -> None:
     """Build the IVF index once, untimed: k-means cell assignments
-    joined onto the embeddings, plus the (cid, centroid) codebook —
-    at steady state an index is built once and amortized over every
-    query, so training cost does not belong in the search timing."""
+    joined onto the embeddings (nlist ~ sqrt(N), protocol 12), plus
+    the (cid, centroid) codebook — at steady state an index is built
+    once and amortized over every query, so training cost does not
+    belong in the search timing. n_probe ~ sqrt(nlist) is derived
+    here, untimed, for the same reason."""
     from mysql_cdc_table_spark.functions.similarity import (
+        default_nprobe,
         kmeans_cells,
         trained_centroids,
     )
@@ -211,9 +217,11 @@ def _stage_ivf(spark, sf_dir: str) -> None:
     e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     ec = e.join(kmeans_cells(spark, sf_dir), "vec_id")
     ec.write.mode("overwrite").parquet(os.path.join(_ivf_dir(sf_dir), "ec"))
-    trained_centroids(ec).write.mode("overwrite").parquet(
+    cents = trained_centroids(ec)
+    cents.write.mode("overwrite").parquet(
         os.path.join(_ivf_dir(sf_dir), "cents")
     )
+    _IVF_N_PROBE[sf_dir] = default_nprobe(cents.count())
 
 
 def _ivf_pruned_search_query(spark, sf_dir):
@@ -226,10 +234,7 @@ def _ivf_pruned_search_query(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from mysql_cdc_table_spark.functions.similarity import ivf_pruned_search
-    from mysql_cdc_table_spark.operators.round7 import (
-        KNN_IVF_K,
-        KNN_IVF_N_PROBE,
-    )
+    from mysql_cdc_table_spark.operators.round7 import KNN_IVF_K
 
     ec = spark.read.parquet(os.path.join(_ivf_dir(sf_dir), "ec"))
     cents = spark.read.parquet(os.path.join(_ivf_dir(sf_dir), "cents"))
@@ -243,7 +248,7 @@ def _ivf_pruned_search_query(spark, sf_dir):
         .filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 10_000_000))
         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
     )
-    return ivf_pruned_search(ec, cents, q, KNN_IVF_N_PROBE, KNN_IVF_K)
+    return ivf_pruned_search(ec, cents, q, _IVF_N_PROBE[sf_dir], KNN_IVF_K)
 
 
 def _sink_dirs(sf_dir: str) -> tuple[str, str]:

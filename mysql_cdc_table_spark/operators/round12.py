@@ -649,9 +649,11 @@ def ann_ivf_upsert_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFr
     the IVF tiers: the EXACT top-k over the upserted corpus (computed
     independently from the embeddings table + changelog, never from
     the index under test) plus a boolean asserting the maintained
-    index recovered >= floor of them (floor 0.25 = 5 of 20, measured
-    recall 0.50/0.35/0.85 at sf0.001/0.01/0.1 with the trained-tier
-    margin discipline). An assignment regression (delta rows landing
+    index recovered >= floor of them (floor 0.25 = 5 of 20; driver-
+    and sweep-verified green at sf0.001/0.01/0.1 under both the
+    original fixed-nlist sizing and round 13's derived sizing —
+    nlist ~ sqrt(N), n_probe ~ sqrt(nlist)). An assignment regression
+    (delta rows landing
     in wrong cells, deletes surviving, stale pre-update vectors
     lingering) collapses recall and turns the row red; the exact rows
     also hash the changelog semantics themselves."""
@@ -659,6 +661,7 @@ def ann_ivf_upsert_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFr
 
     from mysql_cdc_table_spark.functions.similarity import (
         cosine,
+        default_nprobe,
         ivf_index_dir,
         load_ivf_index,
         sq_dist,
@@ -697,7 +700,7 @@ def ann_ivf_upsert_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFr
         for r in cents.join(F.broadcast(q))
         .select("cid", sq_dist(F.col("centroid"), F.col("qv")).alias("d"))
         .orderBy(F.col("d").asc(), F.col("cid"))
-        .limit(3)
+        .limit(default_nprobe(cents.count()))
         .collect()
     ]
     approx = (
@@ -1068,6 +1071,7 @@ def ann_ivf_stream_upsert_topk(
 
     from mysql_cdc_table_spark.functions.similarity import (
         cosine,
+        default_nprobe,
         ivf_index_dir,
         load_ivf_index,
         persist_ivf_index,
@@ -1129,7 +1133,7 @@ def ann_ivf_stream_upsert_topk(
         for r in cents.join(F.broadcast(q_vec))
         .select("cid", sq_dist(F.col("centroid"), F.col("qv")).alias("d"))
         .orderBy(F.col("d").asc(), F.col("cid"))
-        .limit(3)
+        .limit(default_nprobe(cents.count()))
         .collect()
     ]
     approx = (

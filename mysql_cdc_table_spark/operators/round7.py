@@ -24,11 +24,14 @@ ORACLES: dict = {}
 
 
 # Agreement floor sits with margin under the measured exact-vs-IVF
-# prediction agreement per sf: 0.70/0.60/0.55 at sf0.001/0.01/0.1
-# (n_probe=3 of 8 trained cells; re-measured in tests/test_round7.py
-# at the per-sf level).
-KNN_IVF_AGREE_FLOOR = 0.3
-KNN_IVF_N_PROBE = 3
+# prediction agreement per sf: 0.30/0.50/0.42 at sf0.001/0.01/0.1
+# (round 13: derived nlist ~ sqrt(N) with n_probe ~ sqrt(nlist) —
+# 5 of 22 cells at N=500, 7 of 45 at N=2000; the probe FRACTION is
+# lower than the old 3-of-8, so agreement dropped from 0.70/0.60/0.55
+# and the floor moved 0.3 -> 0.2 to keep margin under the measured
+# minimum instead of sitting exactly on it; re-measured in
+# tests/test_round7.py at the per-sf level).
+KNN_IVF_AGREE_FLOOR = 0.2
 KNN_IVF_K = 5
 
 
@@ -42,7 +45,7 @@ def emb_knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     heuristic measured far worse here, 0.2-0.4 agreement, because the
     synthetic labels don't cluster cosine space). Rank the cells per
     query by squared distance over the tiny centroid grid (cells ×
-    dims, broadcast), keep the top ``KNN_IVF_N_PROBE``, and score only
+    dims, broadcast), keep the top ``n_probe ~ sqrt(nlist)``, and score only
     corpus rows in a probed cell — at scale the cell id is the storage
     partition key, so the probe prunes partitions at the scan and
     per-query work drops from |corpus| to ~n_probe/|cells| of it.
@@ -52,11 +55,12 @@ def emb_knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver contract (round-6 recall-bound idiom): output = the EXACT
     classifier's rows plus ``ivf_agree_ok`` asserting the IVF-pruned
     prediction matches the exact prediction on ≥ KNN_IVF_AGREE_FLOOR of
-    queries (measured agreement 0.70/0.60/0.55 at sf0.001/0.01/0.1;
-    floor 0.3 with margin — these embeddings are near-uniform, so
-    3-of-8-cell pruning legitimately misses scattered neighbours; a
-    candidate-pruning regression that collapses agreement still turns
-    the driver row red)."""
+    queries (measured agreement 0.30/0.50/0.42 at sf0.001/0.01/0.1
+    under the round-13 derived sizing — nlist ~ sqrt(N), n_probe ~
+    sqrt(nlist); floor 0.2 with margin — these embeddings are
+    near-uniform, so sqrt-scaled pruning legitimately misses scattered
+    neighbours; a candidate-pruning regression that collapses
+    agreement still turns the driver row red)."""
     from mysql_cdc_table_spark.functions.similarity import (
         cosine,
         kmeans_cells,
@@ -76,6 +80,9 @@ def emb_knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
     cents = trained_centroids(ec)
+    from mysql_cdc_table_spark.functions.similarity import default_nprobe
+
+    n_probe = default_nprobe(cents.count())
     w_cell = Window.partitionBy("qid").orderBy(
         F.col("d").asc(), F.col("cid").asc()
     )
@@ -87,7 +94,7 @@ def emb_knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             sq_dist(F.col("centroid"), F.col("qv")).alias("d"),
         )
         .withColumn("crk", F.row_number().over(w_cell))
-        .filter(F.col("crk") <= KNN_IVF_N_PROBE)
+        .filter(F.col("crk") <= n_probe)
         .select("qid", "cid")
     )
     scored = (

@@ -289,8 +289,9 @@ def main() -> None:
         "cdc_fk_orphan_audit",
         # round 12: the persisted-IVF probe (codebook loaded from
         # storage, postings scan partition-pruned to n_probe cells;
-        # like ivf_pruned_search, fixed nlist=8 means the candidate
-        # set grows with the corpus — linear, see the IVF note)
+        # round 13: nlist ~ sqrt(N) and n_probe ~ sqrt(nlist) are
+        # derived per scale, so the candidate set is ~N^(3/4) —
+        # sublinear, see the updated IVF note in SCALE.md)
         "ann_ivf_persisted_topk",
         # round 12: the CDC-maintained index — delta re-assign is one
         # broadcast argmin over touched keys only; the exact-oracle

@@ -926,10 +926,8 @@ def test_ivf_pruned_search_plan_and_candidate_fraction(spark, sf_dir, tmp_path):
         trained_centroids,
     )
     from mysql_cdc_table_spark.operators._util import t
-    from mysql_cdc_table_spark.operators.round7 import (
-        KNN_IVF_K,
-        KNN_IVF_N_PROBE,
-    )
+    from mysql_cdc_table_spark.functions.similarity import default_nprobe
+    from mysql_cdc_table_spark.operators.round7 import KNN_IVF_K
     from mysql_cdc_table_spark.plans.audit import count_nodes
 
     e = t(spark, sf_dir, "embeddings")
@@ -944,7 +942,8 @@ def test_ivf_pruned_search_plan_and_candidate_fraction(spark, sf_dir, tmp_path):
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
 
-    df = ivf_pruned_search(ec, cents, q, KNN_IVF_N_PROBE, KNN_IVF_K)
+    n_probe = default_nprobe(cents.count())
+    df = ivf_pruned_search(ec, cents, q, n_probe, KNN_IVF_K)
     # the only nested loop is the tiny centroid-grid x query cross
     # (cells x queries rows); the corpus join is a broadcast EQUI join
     assert count_nodes(df, "BroadcastNestedLoopJoin") <= 1
@@ -956,17 +955,17 @@ def test_ivf_pruned_search_plan_and_candidate_fraction(spark, sf_dir, tmp_path):
     n_cells = cents.count()
     n_q = q.count()
     scored = ivf_pruned_search(
-        ec, cents, q, KNN_IVF_N_PROBE, k=1 << 30
+        ec, cents, q, n_probe, k=1 << 30
     ).count()  # k unbounded -> every scored candidate pair survives
     exact_pairs = n_q * (n_corpus - 1)
     assert scored < exact_pairs  # strictly pruned
     # allow 2x slack over the ideal share for uneven k-means cells
-    assert scored <= 2 * exact_pairs * KNN_IVF_N_PROBE / n_cells, (
+    assert scored <= 2 * exact_pairs * n_probe / n_cells, (
         scored, exact_pairs, n_cells,
     )
     # and every query keeps its k results (pruning didn't drop queries)
     assert (
-        ivf_pruned_search(ec, cents, q, KNN_IVF_N_PROBE, KNN_IVF_K)
+        ivf_pruned_search(ec, cents, q, n_probe, KNN_IVF_K)
         .groupBy("qid").count().filter(F.col("count") < KNN_IVF_K).count()
         == 0
     )

@@ -384,7 +384,15 @@ def test_refresh_ivf_postings_is_partition_local(spark, sf_dir):
     ]
     before = {c: file_stamps(c) for c in untouched_cids}
     touched2 = refresh_ivf_postings(spark, sf_dir, store)  # idempotent re-apply
-    assert touched2 == touched
+    # the re-apply touches a SUBSET of the first pass's cells: after
+    # the first refresh every touched key already sits in its new
+    # cell, so the old-cell side of the touched set collapses onto the
+    # new-cell side (under the old 8-cell codebook both passes touched
+    # every cell, masking this; with the round-13 sqrt(N) codebook the
+    # sets genuinely differ). The invariant is content idempotency —
+    # asserted below — not touched-set equality.
+    assert set(touched2) <= set(touched)
+    assert touched2  # the keys still sit in delta-landing cells
     for c in untouched_cids:
         assert file_stamps(c) == before[c], (
             f"untouched partition cid={c} was rewritten"

@@ -51,8 +51,8 @@ def test_knn_ivf_candidate_stage_is_pruned(spark):
         kmeans_cells,
         sq_dist,
     )
+    from mysql_cdc_table_spark.functions.similarity import default_nprobe
     from mysql_cdc_table_spark.operators._util import t
-    from mysql_cdc_table_spark.operators.round7 import KNN_IVF_N_PROBE
 
     e = t(spark, SF, "embeddings")
     cells = kmeans_cells(spark, SF)
@@ -72,6 +72,7 @@ def test_knn_ivf_candidate_stage_is_pruned(spark):
             ).alias("centroid")
         )
     )
+    n_probe = default_nprobe(cents.count())
     w_cell = Window.partitionBy("qid").orderBy(
         F.col("d").asc(), F.col("cid").asc()
     )
@@ -79,14 +80,14 @@ def test_knn_ivf_candidate_stage_is_pruned(spark):
         cents.join(F.broadcast(q))
         .select("cid", "qid", sq_dist(F.col("centroid"), F.col("qv")).alias("d"))
         .withColumn("crk", F.row_number().over(w_cell))
-        .filter(F.col("crk") <= KNN_IVF_N_PROBE)
+        .filter(F.col("crk") <= n_probe)
         .select("qid", "cid")
     )
     n_queries = q.count()
     n_corpus = e.count()
     pruned_pairs = ec.join(probe, "cid").count()
     assert pruned_pairs < n_queries * (n_corpus - 1)
-    # 3 of 8 cells: expect roughly 3/8 of the exhaustive pair count
+    # sqrt(nlist) of sqrt(N) cells: well under the exhaustive count
     assert pruned_pairs < 0.7 * n_queries * n_corpus
 
 
