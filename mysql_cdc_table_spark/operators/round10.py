@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mysql_cdc_table_spark.operators._util import t
+from mysql_cdc_table_spark.operators._util import stream_state_partitions, t
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -695,17 +695,18 @@ def stream_dropdup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed.coalesce(1).write.mode("overwrite").parquet(stage)
 
     mem = f"dropdup_{uuid.uuid4().hex[:12]}"
-    q = (
-        spark.readStream.schema(e.schema)
-        .parquet(stage)
-        .withWatermark("ts", "3650 days")
-        .dropDuplicatesWithinWatermark(["event_id"])
-        .writeStream.format("memory")
-        .queryName(mem)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_state_partitions(spark):
+        q = (
+            spark.readStream.schema(e.schema)
+            .parquet(stage)
+            .withWatermark("ts", "3650 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .writeStream.format("memory")
+            .queryName(mem)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(mem)
         .groupBy("event_type")
@@ -1001,18 +1002,19 @@ def stream_stream_join(
         ),
     )
     mem = f"ssjoin_{uuid.uuid4().hex[:12]}"
-    q = (
-        joined.select(
-            F.col("l.event_type").alias("type_a"),
-            F.col("r.event_type").alias("type_b"),
-            (F.col("l.vm") + F.col("r.vm")).alias("pair_milli"),
+    with stream_state_partitions(spark):
+        q = (
+            joined.select(
+                F.col("l.event_type").alias("type_a"),
+                F.col("r.event_type").alias("type_b"),
+                (F.col("l.vm") + F.col("r.vm")).alias("pair_milli"),
+            )
+            .writeStream.format("memory")
+            .queryName(mem)
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(mem)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     if _query_out is not None:
         # test hook: the cross-batch claim is asserted, not narrated —
         # tests check >= 2 data batches ran with non-empty join state
@@ -1212,19 +1214,20 @@ def stream_stream_outer_join(
         "leftOuter",
     )
     mem = f"ssouter_{uuid.uuid4().hex[:12]}"
-    q = (
-        joined.select(
-            F.col("l.ts").alias("lts"),
-            F.col("l.event_type").alias("type_a"),
-            F.col("l.vm").alias("lvm"),
-            F.col("r.vm").alias("rvm"),
+    with stream_state_partitions(spark):
+        q = (
+            joined.select(
+                F.col("l.ts").alias("lts"),
+                F.col("l.event_type").alias("type_a"),
+                F.col("l.vm").alias("lvm"),
+                F.col("r.vm").alias("rvm"),
+            )
+            .writeStream.format("memory")
+            .queryName(mem)
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(mem)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     if _query_out is not None:
         _query_out.append(q)
     cutoff = F.lit("2024-01-28 00:00:00").cast("timestamp")

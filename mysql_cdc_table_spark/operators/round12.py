@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mysql_cdc_table_spark.catalog import load_table as t
+from mysql_cdc_table_spark.operators._util import stream_state_partitions
 from mysql_cdc_table_spark.sources import fs as _hfs
 
 QUERIES: dict = {}
@@ -116,22 +117,23 @@ def stream_stream_full_outer(
         "fullOuter",
     )
     mem = f"ssfull_{uuid.uuid4().hex[:12]}"
-    q = (
-        joined.select(
-            F.col("l.ts").alias("lts"),
-            F.col("r.ts").alias("rts"),
-            F.coalesce(F.col("l.event_type"), F.col("r.event_type")).alias(
-                "etype"
-            ),
-            F.col("l.vm").alias("lvm"),
-            F.col("r.vm").alias("rvm"),
+    with stream_state_partitions(spark):
+        q = (
+            joined.select(
+                F.col("l.ts").alias("lts"),
+                F.col("r.ts").alias("rts"),
+                F.coalesce(F.col("l.event_type"), F.col("r.event_type")).alias(
+                    "etype"
+                ),
+                F.col("l.vm").alias("lvm"),
+                F.col("r.vm").alias("rvm"),
+            )
+            .writeStream.format("memory")
+            .queryName(mem)
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(mem)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     if _query_out is not None:
         _query_out.append(q)
     cutoff = F.lit("2024-01-28 00:00:00").cast("timestamp")
@@ -981,18 +983,25 @@ def vec_index_apply_batch(
     cell_uuid = uuid.uuid4().hex[:12]
     if touched:
         keys = folded.select("vec_id")
-        kept_parts = [
-            read_vec_index(spark, store_dir, cids=[c]).drop("cid")
-            .join(F.broadcast(keys), "vec_id", "left_anti")
-            .withColumn("cid", F.lit(c).cast("int"))
-            for c in touched
-            if c in man
-        ]
         content = new_rows.select(
             "vec_id", "embedding", "label", F.col("cid").cast("int").alias("cid")
         )
-        for kp in kept_parts:
-            content = content.unionByName(kp)
+        kept_cids = [c for c in touched if c in man]
+        if kept_cids:
+            # ONE anti-join over all touched cells (read_vec_index
+            # unions the cell refs with cid attached) — the former
+            # per-cell join loop built |touched| broadcast anti-joins
+            # per batch, which scaled the plan with the round-13
+            # sqrt(N) cell count
+            kept = (
+                read_vec_index(spark, store_dir, cids=kept_cids)
+                .join(F.broadcast(keys), "vec_id", "left_anti")
+                .select(
+                    "vec_id", "embedding", "label",
+                    F.col("cid").cast("int").alias("cid"),
+                )
+            )
+            content = content.unionByName(kept)
         content.write.partitionBy("cid").mode("overwrite").parquet(
             f"{store_dir}/cells/{cell_uuid}"
         )

@@ -79,6 +79,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mysql_cdc_table_spark.catalog import load_table as t
+from mysql_cdc_table_spark.operators._util import stream_state_partitions
 from mysql_cdc_table_spark.sources import fs as _hfs
 
 QUERIES: dict = {}
@@ -732,17 +733,19 @@ def stream_static_enrich(
         )
     )
     mem = f"ssenrich_{uuid.uuid4().hex[:12]}"
-    q = (
-        agg.select(
-            F.col("w.start").alias("win_start"), "n_name", "n_events", "sum_vm"
+    with stream_state_partitions(spark):
+        q = (
+            agg.select(
+                F.col("w.start").alias("win_start"), "n_name", "n_events",
+                "sum_vm",
+            )
+            .writeStream.format("memory")
+            .queryName(mem)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(mem)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     if _query_out is not None:
         _query_out.append(q)
     cutoff = F.lit("2024-01-29 00:00:00").cast("timestamp")
@@ -1156,21 +1159,25 @@ def stream_stream_three_way(
         ),
     )
     mem = f"ss3way_{uuid.uuid4().hex[:12]}"
-    q = (
-        triple.select(
-            F.timestamp_micros(F.col("p.ltsl")).alias("lts"),
-            F.col("p.mts").alias("mts"),
-            F.col("r.ts").alias("rts"),
-            F.col("p.type_a").alias("type_a"),
-            F.col("r.event_type").alias("type_c"),
-            (F.col("p.lm_vm") + F.col("r.vm")).alias("tri_vm"),
+    # fixture-sized state partitioning: two chained stateful joins at
+    # 32 partitions pay ~8x the checkpoint churn the data needs
+    # (measured 48s -> 12s at sf0.01; see stream_state_partitions)
+    with stream_state_partitions(spark):
+        q = (
+            triple.select(
+                F.timestamp_micros(F.col("p.ltsl")).alias("lts"),
+                F.col("p.mts").alias("mts"),
+                F.col("r.ts").alias("rts"),
+                F.col("p.type_a").alias("type_a"),
+                F.col("r.event_type").alias("type_c"),
+                (F.col("p.lm_vm") + F.col("r.vm")).alias("tri_vm"),
+            )
+            .writeStream.format("memory")
+            .queryName(mem)
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(mem)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     if _query_out is not None:
         _query_out.append(q)
     cutoff = F.lit("2024-01-28 00:00:00").cast("timestamp")
