@@ -398,6 +398,9 @@ def main() -> None:
         # leakage audit: post-LSH pairs + label-propagation components
         # + two split projections; one grouped count
         "corpus_split_leakage_audit",
+        # round 13: legacy pre-5.6.4 temporal codecs through the real
+        # binlog framing — per-partition CPU like the other wire rows
+        "cdc_binlog_legacy_temporal_roundtrip",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]
