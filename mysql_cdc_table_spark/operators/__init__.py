@@ -56,6 +56,7 @@ _MODULES = (
     "mysql_cdc_table_spark.operators.round11",
     "mysql_cdc_table_spark.operators.round12",
     "mysql_cdc_table_spark.operators.round12b",
+    "mysql_cdc_table_spark.operators.round13",
     "mysql_cdc_table_spark.operators.late",
 )
 
@@ -686,6 +687,12 @@ ROUND13_LATE_KEYS: tuple[str, ...] = (
     # real binlog framing — closes the last "missing" row of the r12
     # verdict's reference-parity list
     "cdc_binlog_legacy_temporal_roundtrip",
+    # BPE merge training on the word-frequency grid — corpus scanned
+    # once, k iterations on the vocabulary-bounded grid
+    "text_bpe_train_merges",
+    # MySQL-8-style equi-height column histograms (the ANALYZE
+    # UPDATE HISTOGRAM surface the reference delegates to the server)
+    "stats_column_histogram",
 )
 
 

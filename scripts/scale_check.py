@@ -401,6 +401,11 @@ def main() -> None:
         # round 13: legacy pre-5.6.4 temporal codecs through the real
         # binlog framing — per-partition CPU like the other wire rows
         "cdc_binlog_legacy_temporal_roundtrip",
+        # round 13: BPE merges — one corpus pass, then 6 iterations on
+        # the vocabulary-bounded grid (expected near-flat past the scan)
+        "text_bpe_train_merges",
+        # round 13: equi-height histograms — one range sort per column
+        "stats_column_histogram",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

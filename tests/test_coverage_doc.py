@@ -30,6 +30,7 @@ def test_coverage_doc_matches_registry():
     allowed = {
         "cdc_read", "cdc_read_multi", "cdc_read_kafka", "sql_entrypoint",
         "stream_reader",
+        "stream_state_partitions",  # helper (operators/_util.py), not a key
         "q1", "q3", "q5", "agg_approx", "text_analysis", "set_ops",
         "window_functions", "fn_regexp",
     }
