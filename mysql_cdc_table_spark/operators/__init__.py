@@ -693,6 +693,9 @@ ROUND13_LATE_KEYS: tuple[str, ...] = (
     # MySQL-8-style equi-height column histograms (the ANALYZE
     # UPDATE HISTOGRAM surface the reference delegates to the server)
     "stats_column_histogram",
+    # schema learned ONLY from CREATE/ALTER DDL in the log — the
+    # Debezium-style schema-history decode (sources/mysql_ddl.py)
+    "cdc_binlog_ddl_schema_decode",
 )
 
 

@@ -56,6 +56,8 @@ from mysql_cdc_table_spark.sources.mysql_binlog import (
     cdc_mysql_binlog_roundtrip,
     CDC_BINLOG_LEGACY_TEMPORAL_SQL,
     cdc_binlog_legacy_temporal_roundtrip,
+    CDC_BINLOG_DDL_SCHEMA_DECODE_SQL,
+    cdc_binlog_ddl_schema_decode,
 )
 
 QUERIES = {
@@ -114,6 +116,9 @@ QUERIES = {
     "cdc_binlog_legacy_temporal_roundtrip": (
         cdc_binlog_legacy_temporal_roundtrip
     ),
+    # round 13: schema learned ONLY from CREATE/ALTER Query events
+    # (sources/mysql_ddl.py) — the Debezium-style schema-history path
+    "cdc_binlog_ddl_schema_decode": cdc_binlog_ddl_schema_decode,
 }
 
 from mysql_cdc_table_spark.cdc.synthetic import CHANGELOG_CTE as _CTE
@@ -142,4 +147,5 @@ ORACLES: dict[str, str] = {
     "cdc_binlog_unsigned_roundtrip": CDC_BINLOG_UNSIGNED_SQL,
     "cdc_binlog_sink_roundtrip": _SINK_SQL,
     "cdc_binlog_legacy_temporal_roundtrip": CDC_BINLOG_LEGACY_TEMPORAL_SQL,
+    "cdc_binlog_ddl_schema_decode": CDC_BINLOG_DDL_SCHEMA_DECODE_SQL,
 }

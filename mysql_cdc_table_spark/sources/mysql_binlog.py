@@ -3169,6 +3169,54 @@ def prune_binlog_series_by_gtid_sets(
     return keep
 
 
+def binlog_bytes_ddl(blob: bytes) -> list[dict]:
+    """binlog_file_ddl's walk over an in-memory blob (the mapInPandas
+    decode path holds whole files as bytes): Query_log_events ->
+    ordered DDL records ({gno, offset, ts, database, statement}),
+    BEGIN/COMMIT framing filtered."""
+    size = len(blob)
+    if blob[:4] != BINLOG_MAGIC:
+        raise ValueError("not a binlog blob")
+    out: list[dict] = []
+    pos = 4
+    checksum: bool | None = None
+    gno: int | None = None
+    while pos + _HEADER_LEN <= size:
+        ets, tc, _s, esize, _lp, _fl = _HEADER.unpack_from(blob, pos)
+        if esize < _HEADER_LEN or pos + esize > size:
+            break
+        if tc in (EV_FORMAT_DESCRIPTION, EV_GTID, EV_QUERY):
+            ev = blob[pos : pos + esize]
+            if tc == EV_FORMAT_DESCRIPTION:
+                checksum = _detect_checksum(ev)
+            else:
+                body = ev[_HEADER_LEN : len(ev) - (4 if checksum else 0)]
+                if tc == EV_GTID:
+                    gno = int(struct.unpack_from("<q", body, 17)[0])
+                else:
+                    if len(body) < 13:
+                        raise ValueError(f"truncated QUERY event at {pos}")
+                    _tid, _ex, db_len, _err, sv_len = struct.unpack_from(
+                        "<IIBHH", body, 0
+                    )
+                    p = 13 + sv_len
+                    database = body[p : p + db_len].decode("utf-8", "replace")
+                    p += db_len + 1  # NUL
+                    stmt = body[p:].decode("utf-8", "replace")
+                    if stmt.strip().upper() not in ("BEGIN", "COMMIT"):
+                        out.append(
+                            {
+                                "gno": gno,
+                                "offset": pos,
+                                "ts": int(ets),
+                                "database": database,
+                                "statement": stmt,
+                            }
+                        )
+        pos += esize
+    return out
+
+
 def binlog_file_ddl(path: str) -> list[dict]:
     """Parse a file's Query_log_events into DDL history records
     ({gno, offset, ts, database, statement}) with a header-only walk —
@@ -5533,6 +5581,204 @@ def cdc_binlog_legacy_temporal_roundtrip(
         ).alias("dur_s_sum"),
         F.sum("__gtid").alias("gtid_sum"),
     )
+
+
+def cdc_binlog_ddl_schema_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Debezium-style schema-history decode: the stream's layout is
+    learned ONLY from the DDL statements in the log — a CREATE TABLE
+    Query_log_event opens the file, rows of that generation follow, an
+    ALTER TABLE ADD COLUMN Query event lands mid-stream, and the later
+    generation's rows carry the added columns. The decode stage calls
+    ``binlog_bytes_ddl`` -> ``schema_from_ddl_history``
+    (sources/mysql_ddl.py) to replay CREATE+ALTER into the latest
+    StructType — no user-declared schema, no binlog_row_metadata=FULL
+    TLVs (the path MINIMAL-metadata and pre-8.0.1 binlogs need; the
+    inference twin of ``cdc_binlog_full_metadata_roundtrip``). Older-
+    generation TABLE_MAPs prefix-match the replayed schema exactly as
+    they do a declared one (added columns surface NULL). The DDL text
+    deliberately carries the traps a lazy parser trips on: quoted
+    identifiers, a quoted comma inside a COMMENT, DEFAULT literals,
+    PRIMARY KEY/INDEX clauses, a multi-op ALTER mixing ADD COLUMNs
+    with an ADD INDEX, ENGINE options. Any mis-parse misaligns the
+    positional decode and breaks the value hash (CHAR, ENUM, TIME(3)
+    with negative values all land in it). The reference cannot see
+    QUERY events at all (binlog_table_reader.cc:427-428)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.operators._util import t
+    from mysql_cdc_table_spark.sources.mysql_ddl import (
+        schema_from_ddl_history,
+    )
+
+    old_target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("price", T.DecimalType(12, 2)),
+            T.StructField(
+                "flag",
+                T.StringType(),
+                metadata={"mysql_type": "char", "char_len": 2},
+            ),
+        ]
+    )
+    target = T.StructType(
+        list(old_target.fields)
+        + [
+            T.StructField(
+                "status",
+                T.StringType(),
+                metadata={"mysql_type": "enum", "values": ["F", "O", "P"]},
+            ),
+            T.StructField(
+                "took",
+                T.StringType(),
+                metadata={"mysql_type": "time", "fsp": 3},
+            ),
+        ]
+    )
+    create_ddl = (
+        "CREATE TABLE `tpch`.`orders` (\n"
+        "  `id` BIGINT NOT NULL,\n"
+        "  `price` DECIMAL(12,2) DEFAULT '0.00',\n"
+        "  `flag` CHAR(2) COMMENT 'country, flag',\n"
+        "  PRIMARY KEY (`id`)\n"
+        ") ENGINE=InnoDB DEFAULT CHARSET=utf8mb4"
+    )
+    alter_ddl = (
+        "ALTER TABLE `tpch`.`orders` "
+        "ADD COLUMN `status` ENUM('F','O','P') NOT NULL, "
+        "ADD COLUMN `took` TIME(3) NULL, "
+        "ADD INDEX `i_status` (`status`)"
+    )
+    base = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.expr(
+                "cast(cast(o_orderkey % 100000 as decimal(30,2)) / 100"
+                " as decimal(12,2))"
+            ).alias("price"),
+            F.expr(
+                "char(65 + o_orderkey % 26) || "
+                "char(65 + (o_orderkey div 26) % 26)"
+            ).alias("flag"),
+            F.col("o_orderstatus").alias("status"),
+            F.expr(
+                "concat(if(o_orderkey % 7 = 0, '-', ''),"
+                " o_orderkey % 120, ':',"
+                " lpad(o_orderkey % 60, 2, '0'), ':',"
+                " lpad((o_orderkey * 7) % 60, 2, '0'), '.',"
+                " lpad(o_orderkey % 1000, 3, '0'))"
+            ).alias("took"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "id")
+    )
+
+    file_schema = T.StructType([T.StructField("file_bytes", T.BinaryType())])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            old_txns: list = [{"gno": 1, "ddl": create_ddl}]
+            new_txns: list = [{"gno": 2_000_000_000, "ddl": alter_ddl}]
+            for r in pdf.itertuples(index=False):
+                rid = int(r.id)
+                if rid % 2 == 0:  # pre-ALTER generation
+                    old_txns.append(
+                        {
+                            "gno": rid + 10,
+                            "op": "w",
+                            "rows": [
+                                {"id": rid, "price": r.price, "flag": r.flag}
+                            ],
+                        }
+                    )
+                else:
+                    new_txns.append(
+                        {
+                            "gno": rid + 10,
+                            "op": "w",
+                            "rows": [
+                                {
+                                    "id": rid,
+                                    "price": r.price,
+                                    "flag": r.flag,
+                                    "status": r.status,
+                                    "took": r.took,
+                                }
+                            ],
+                        }
+                    )
+            blob = build_binlog_file(
+                "tpch", "orders", old_target, old_txns, checksum=True
+            )
+            blob += build_binlog_file(
+                "tpch", "orders", target, new_txns, checksum=True
+            )[4:]
+            yield pd.DataFrame({"file_bytes": [blob]})
+
+    files = base.mapInPandas(encode, schema=file_schema)
+
+    out_schema = changelog_schema(target)
+    names = [f.name for f in out_schema.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["file_bytes"]:
+                b = bytes(blob)
+                stmts = [r["statement"] for r in binlog_bytes_ddl(b)]
+                parsed = schema_from_ddl_history(stmts, "orders")
+                rows = decode_binlog_bytes(b, parsed, "tpch", "orders")
+                yield pd.DataFrame(
+                    {n: [r.get(n) for r in rows] for n in names}
+                )
+
+    decoded = files.mapInPandas(decode, schema=out_schema)
+    post = F.col("status").isNotNull()
+    return decoded.groupBy(post.alias("post_alter")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("price") * 100).cast("long")).alias("cents_sum"),
+        F.sum(
+            (F.ascii("flag") * 256 + F.ascii(F.substring("flag", 2, 1)))
+            .cast("long")
+        ).alias("flag_ord_sum"),
+        F.sum(
+            F.expr(
+                "if(startswith(took, '-'), -1, 1) * ("
+                " cast(regexp_extract(took, '^-?(\\\\d+):', 1) as bigint)"
+                "   * 3600000"
+                " + cast(regexp_extract(took, ':(\\\\d{2}):', 1) as bigint)"
+                "   * 60000"
+                " + cast(regexp_extract(took, ':(\\\\d{2})\\\\.', 1) as bigint)"
+                "   * 1000"
+                " + cast(regexp_extract(took, '\\\\.(\\\\d{3})$', 1) as bigint))"
+            )
+        ).alias("took_ms_sum"),
+        F.sum(F.col("__gtid") - 10).alias("gtid_sum"),
+    )
+
+
+CDC_BINLOG_DDL_SCHEMA_DECODE_SQL = """
+SELECT (o_orderkey % 2 = 1) AS post_alter,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_orderkey % 100000) AS BIGINT) AS cents_sum,
+       CAST(sum((65 + o_orderkey % 26) * 256 + 65 + (o_orderkey // 26) % 26)
+            AS BIGINT) AS flag_ord_sum,
+       CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN
+           (CASE WHEN o_orderkey % 7 = 0 THEN -1 ELSE 1 END) * (
+               (o_orderkey % 120) * 3600000
+             + (o_orderkey % 60) * 60000
+             + ((o_orderkey * 7) % 60) * 1000
+             + o_orderkey % 1000)
+       END) AS BIGINT) AS took_ms_sum,
+       CAST(sum(o_orderkey) AS BIGINT) AS gtid_sum
+FROM orders GROUP BY 1
+"""
 
 
 CDC_BINLOG_LEGACY_TEMPORAL_SQL = """

@@ -406,6 +406,9 @@ def main() -> None:
         "text_bpe_train_merges",
         # round 13: equi-height histograms — one range sort per column
         "stats_column_histogram",
+        # round 13: DDL-parsed schema-history decode — wire-codec CPU
+        # plus a per-blob DDL replay (statement-count-bounded)
+        "cdc_binlog_ddl_schema_decode",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

@@ -164,3 +164,153 @@ def test_histogram_matches_pandas_recompute(spark, sf_dir):
         if r["col"] == "cents"
     }
     assert got == want
+
+
+# --- DDL -> schema replay (sources/mysql_ddl.py) -----------------------------
+
+
+def test_ddl_create_parses_traps():
+    """Quoted identifiers, quoted comma inside COMMENT, DEFAULT
+    literals, constraint clauses, table options — none of it may
+    perturb the column list or types."""
+    from pyspark.sql import types as T
+
+    from mysql_cdc_table_spark.sources.mysql_ddl import parse_mysql_create
+
+    name, sch = parse_mysql_create(
+        "CREATE TABLE `db`.`t` (\n"
+        "  `id` BIGINT NOT NULL AUTO_INCREMENT,\n"
+        "  price DECIMAL(12,2) DEFAULT '0.00',\n"
+        "  status ENUM('F','O','P') NOT NULL COMMENT 'a, (b)',\n"
+        "  flag CHAR(2),\n"
+        "  cnt INT UNSIGNED,\n"
+        "  took TIME(3),\n"
+        "  PRIMARY KEY (`id`),\n"
+        "  UNIQUE KEY u1 (flag),\n"
+        "  CONSTRAINT fk FOREIGN KEY (cnt) REFERENCES o(x)\n"
+        ") ENGINE=InnoDB AUTO_INCREMENT=7 DEFAULT CHARSET=utf8mb4;"
+    )
+    assert name == "db.t"
+    got = {
+        f.name: (type(f.dataType).__name__, dict(f.metadata))
+        for f in sch.fields
+    }
+    assert got == {
+        "id": ("LongType", {}),
+        "price": ("DecimalType", {}),
+        "status": (
+            "StringType",
+            {"mysql_type": "enum", "values": ["F", "O", "P"]},
+        ),
+        "flag": ("StringType", {"mysql_type": "char", "char_len": 2}),
+        "cnt": ("LongType", {"mysql_type": "int_unsigned"}),
+        "took": ("StringType", {"mysql_type": "time", "fsp": 3}),
+    }
+    assert sch["price"].dataType == T.DecimalType(12, 2)
+
+
+def test_ddl_alter_replay_positions_and_errors():
+    from pyspark.sql import types as T
+    import pytest as _pytest
+
+    from mysql_cdc_table_spark.sources.mysql_ddl import (
+        apply_mysql_alter,
+        parse_mysql_create,
+    )
+
+    _, sch = parse_mysql_create("CREATE TABLE t (a INT, b INT)")
+    sch = apply_mysql_alter(
+        sch, "ALTER TABLE t ADD COLUMN c BIGINT, ADD INDEX i (a)"
+    )
+    assert [f.name for f in sch.fields] == ["a", "b", "c"]
+    sch = apply_mysql_alter(sch, "ALTER TABLE t ADD COLUMN z INT FIRST")
+    assert [f.name for f in sch.fields] == ["z", "a", "b", "c"]
+    sch = apply_mysql_alter(sch, "ALTER TABLE t ADD COLUMN m INT AFTER a")
+    assert [f.name for f in sch.fields] == ["z", "a", "m", "b", "c"]
+    sch = apply_mysql_alter(sch, "ALTER TABLE t DROP COLUMN z")
+    assert [f.name for f in sch.fields] == ["a", "m", "b", "c"]
+    assert sch["c"].dataType == T.LongType()
+    with _pytest.raises(ValueError, match="MODIFY"):
+        apply_mysql_alter(sch, "ALTER TABLE t MODIFY COLUMN a BIGINT")
+    with _pytest.raises(ValueError, match="no such column"):
+        apply_mysql_alter(sch, "ALTER TABLE t DROP COLUMN nope")
+
+
+def test_ddl_history_fold_scopes_to_table():
+    from mysql_cdc_table_spark.sources.mysql_ddl import (
+        schema_from_ddl_history,
+    )
+
+    sch = schema_from_ddl_history(
+        [
+            "BEGIN",
+            "CREATE TABLE other (x INT)",
+            "CREATE TABLE tpch.orders (id BIGINT, price DECIMAL(10,2))",
+            "ALTER TABLE other ADD COLUMN y INT",
+            "ALTER TABLE `orders` ADD COLUMN status ENUM('F','O')",
+            "COMMIT",
+        ],
+        "orders",
+    )
+    assert [f.name for f in sch.fields] == ["id", "price", "status"]
+
+
+def test_ddl_schema_decodes_wire_bytes(spark):
+    """The replayed schema drives the REAL decode: a file carrying
+    CREATE + gen-0 rows + ALTER + gen-1 rows decodes through the
+    parsed schema with the old generation's added columns NULL."""
+    import datetime as dt  # noqa: F401
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        binlog_bytes_ddl,
+        build_binlog_file,
+        decode_binlog_bytes,
+    )
+    from mysql_cdc_table_spark.sources.mysql_ddl import (
+        schema_from_ddl_history,
+    )
+
+    old = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("price", T.DecimalType(12, 2)),
+        ]
+    )
+    new = T.StructType(
+        list(old.fields)
+        + [
+            T.StructField(
+                "flag",
+                T.StringType(),
+                metadata={"mysql_type": "char", "char_len": 2},
+            )
+        ]
+    )
+    blob = build_binlog_file(
+        "d", "t", old,
+        [
+            {"gno": 1, "ddl": "CREATE TABLE t (id BIGINT, price DECIMAL(12,2))"},
+            {"gno": 2, "op": "w",
+             "rows": [{"id": 1, "price": Decimal("1.50")}]},
+        ],
+    )
+    blob += build_binlog_file(
+        "d", "t", new,
+        [
+            {"gno": 3, "ddl": "ALTER TABLE t ADD COLUMN flag CHAR(2)"},
+            {"gno": 4, "op": "w",
+             "rows": [{"id": 2, "price": Decimal("2.25"), "flag": "XY"}]},
+        ],
+    )[4:]
+    stmts = [r["statement"] for r in binlog_bytes_ddl(blob)]
+    assert len(stmts) == 2
+    parsed = schema_from_ddl_history(stmts, "t")
+    assert [f.name for f in parsed.fields] == ["id", "price", "flag"]
+    rows = {r["id"]: r for r in decode_binlog_bytes(blob, parsed, "d", "t")}
+    # old-generation rows carry NO key for the added column (the
+    # changelog builder's r.get(name) surfaces it as NULL)
+    assert rows[1].get("flag") is None and rows[1]["price"] == Decimal("1.50")
+    assert rows[2]["flag"] == "XY" and rows[2]["price"] == Decimal("2.25")
