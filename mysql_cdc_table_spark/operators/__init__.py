@@ -650,10 +650,12 @@ ROUND12_LATE_KEYS: tuple[str, ...] = (
 #
 # Window arithmetic this round (50 slots): the 20 ROUND12_LATE_KEYS
 # lead — the only keys that have never had a driver row (the r12
-# verdict's #1 ask) — then re-verify slots for the code round 13
-# actually touches, leaving 25+ backfill slots for the 37 r06-stale
-# rows (stalest-first is mechanical; this clears most of the oldest
-# cohort, the rest lead r14's backfill).
+# verdict's #1 ask) — then 6 re-verify slots for the code round 13
+# actually touches (front = 26), leaving 24 backfill slots for the 37
+# r06-stale rows (stalest-first is mechanical; the remaining 13 lead
+# r14's backfill). Round-13 NEW keys all register late (4 of them:
+# the legacy-temporal and DDL-schema binlog keys, BPE training, the
+# column histograms) so the late-key debt clears first.
 
 # Keys born in round 13 — in-window for their first driver rows.
 ROUND13_NEW_KEYS: tuple[str, ...] = ()
@@ -665,8 +667,11 @@ ROUND13_NEW_KEYS: tuple[str, ...] = ()
 #   temporal wire formats — both roundtrip keys re-verify on any
 #   reader change, per the standing discipline;
 # * the IVF train path derives nlist from corpus size (~sqrt(N),
-#   capped) instead of the fixed nlist=8 — the two keys built on the
-#   shared kmeans/train code re-verify.
+#   capped) and the probe width ~sqrt(nlist) instead of the fixed
+#   nlist=8 / n_probe=3 — the trained tier (kmeans + derived probe)
+#   and the persisted tier (persist/load + format bump to v3 +
+#   derived probe) re-verify; the label-heuristic ann_ivf_topk is
+#   UNTOUCHED by the sizing change and stays in normal rotation.
 ROUND13_REVERIFY: tuple[str, ...] = (
     "cdc_packed_typed_roundtrip",
     "cdc_mysql_binlog_roundtrip",
@@ -676,8 +681,8 @@ ROUND13_REVERIFY: tuple[str, ...] = (
     # fsp>0 per-cell fallback
     "cdc_binlog_zstd_roundtrip",
     "cdc_binlog_parallel_roundtrip",
-    "ann_ivf_topk",
     "ann_ivf_trained_topk",
+    "ann_ivf_persisted_topk",
 )
 
 # Late-registration tail for round 13 (same pinned-behind protocol):
