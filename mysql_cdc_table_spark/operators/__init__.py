@@ -695,6 +695,9 @@ ROUND13_LATE_KEYS: tuple[str, ...] = (
     # BPE merge training on the word-frequency grid — corpus scanned
     # once, k iterations on the vocabulary-bounded grid
     "text_bpe_train_merges",
+    # the inference half: tokenize the corpus through the trained
+    # merges via ONE broadcast vocab join — per-source token budgets
+    "text_bpe_tokenize_apply",
     # MySQL-8-style equi-height column histograms (the ANALYZE
     # UPDATE HISTOGRAM surface the reference delegates to the server)
     "stats_column_histogram",

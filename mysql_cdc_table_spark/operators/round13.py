@@ -64,21 +64,12 @@ def _bpe_word_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train BPE_MERGES byte-pair merges over the documents corpus and
-    emit, per step: the merged pair, its weighted frequency at the
-    moment of the merge, and the total weighted token count AFTER
-    applying it — so the value hash covers both the DECISION sequence
-    (a wrong pair count or tiebreak reorders the merges) and the
-    APPLICATION (a merge that misses an occurrence shifts every later
-    token count). Ties break (count desc, a asc, b asc),
-    deterministically in both engines.
-
-    Scale: the corpus pass is one map-side word count; each of the k
-    iterations is a pair explode + hash agg over the distinct-word
-    grid (vocabulary-bounded, broadcast-sized) plus one bounded
-    scalar collect — cost is k * O(vocab), independent of corpus
-    row count."""
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list, DataFrame]:
+    """Run the BPE_MERGES training loop; return (per-step rows, final
+    word grid). Shared by the train key (emits the steps) and the
+    apply key (tokenizes through the final grid)."""
     grid = _bpe_word_grid(spark, sf_dir).localCheckpoint(eager=False)
     out_rows = []
     for step in range(1, BPE_MERGES + 1):
@@ -120,6 +111,25 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         ).first()[0]
         out_rows.append((step, a, b, int(pc), int(tokens_after)))
+    return out_rows, grid
+
+
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train BPE_MERGES byte-pair merges over the documents corpus and
+    emit, per step: the merged pair, its weighted frequency at the
+    moment of the merge, and the total weighted token count AFTER
+    applying it — so the value hash covers both the DECISION sequence
+    (a wrong pair count or tiebreak reorders the merges) and the
+    APPLICATION (a merge that misses an occurrence shifts every later
+    token count). Ties break (count desc, a asc, b asc),
+    deterministically in both engines.
+
+    Scale: the corpus pass is one map-side word count; each of the k
+    iterations is a pair explode + hash agg over the distinct-word
+    grid (vocabulary-bounded, broadcast-sized) plus one bounded
+    scalar collect — cost is k * O(vocab), independent of corpus
+    row count."""
+    out_rows, _ = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         out_rows,
         "step int, sym_a string, sym_b string, pair_cnt bigint, "
@@ -127,8 +137,54 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step")
 
 
-def _bpe_oracle_sql(k: int = BPE_MERGES) -> str:
-    """The same k merge steps as one chained-CTE DuckDB query."""
+def text_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INFERENCE half of BPE: tokenize the corpus through the
+    trained merges and report per-source budget stats — document
+    count, word count, BPE token count, and the chars-per-token ratio
+    in basis points (the number a pretraining-data pipeline actually
+    budgets against). The tokenizer is the final word grid itself
+    (word -> token count is a pure function of the trained merges), so
+    applying BPE to the corpus is ONE broadcast vocab join — no
+    per-document merge replay, no UDF. Exact integers end to end:
+    chars_per_token_bp = floor(10000 * total_chars / total_tokens).
+
+    Scale: train cost is the other key's (one corpus pass + grid
+    iterations); apply cost is one corpus scan joined to the
+    broadcast-sized vocabulary — the same plan as any dimension
+    enrichment."""
+    _, grid = _bpe_train(spark, sf_dir)
+    tok = grid.select(
+        "word",
+        F.size(F.split(F.trim(F.col("s")), "  ")).cast("long").alias("n_tok"),
+        F.length("word").cast("long").alias("n_chars"),
+    )
+    words = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    return (
+        words.join(F.broadcast(tok), "word")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.expr(
+                "CAST(10000 * sum(n_chars) DIV sum(n_tok) AS BIGINT)"
+            ).alias("chars_per_token_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_cte_prefix(k: int = BPE_MERGES) -> str:
+    """The WITH-chain replaying k merges to w{k} (shared by the train
+    oracle and the tokenize-apply oracle)."""
     parts = [
         """
 WITH wc AS MATERIALIZED (
@@ -162,6 +218,11 @@ w{i} AS MATERIALIZED (
   FROM w{i - 1}
 )"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle_sql(k: int = BPE_MERGES) -> str:
+    """The same k merge steps as one chained-CTE DuckDB query."""
     steps = "\nUNION ALL\n".join(
         f"""SELECT {i} AS step, (SELECT a FROM m{i}) AS sym_a,
        (SELECT b FROM m{i}) AS sym_b, (SELECT pc FROM m{i}) AS pair_cnt,
@@ -169,10 +230,40 @@ w{i} AS MATERIALIZED (
         FROM w{i}) AS tokens_after"""
         for i in range(1, k + 1)
     )
-    return "".join(parts) + f"\nSELECT * FROM (\n{steps}\n) ORDER BY step"
+    return (
+        _bpe_cte_prefix(k)
+        + f"\nSELECT * FROM (\n{steps}\n) ORDER BY step"
+    )
 
 
 TEXT_BPE_TRAIN_MERGES_SQL = _bpe_oracle_sql()
+
+TEXT_BPE_TOKENIZE_APPLY_SQL = (
+    _bpe_cte_prefix()
+    + f""",
+tok AS MATERIALIZED (
+  SELECT word,
+         CAST(len(str_split(trim(s), '  ')) AS BIGINT) AS n_tok,
+         CAST(len(word) AS BIGINT) AS n_chars
+  FROM w{BPE_MERGES}
+),
+dw AS (
+  SELECT doc_id, source, word
+  FROM (SELECT doc_id, source,
+               unnest(str_split(lower(text), ' ')) AS word
+        FROM documents)
+  WHERE word <> ''
+)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(10000 * sum(n_chars) // sum(n_tok) AS BIGINT)
+         AS chars_per_token_bp
+FROM dw JOIN tok USING (word)
+GROUP BY source ORDER BY source
+"""
+)
 
 
 # --- equi-height column histograms -------------------------------------------
@@ -312,12 +403,14 @@ FROM hist ORDER BY col, bucket
 QUERIES.update(
     {
         "text_bpe_train_merges": text_bpe_train_merges,
+        "text_bpe_tokenize_apply": text_bpe_tokenize_apply,
         "stats_column_histogram": stats_column_histogram,
     }
 )
 ORACLES.update(
     {
         "text_bpe_train_merges": TEXT_BPE_TRAIN_MERGES_SQL,
+        "text_bpe_tokenize_apply": TEXT_BPE_TOKENIZE_APPLY_SQL,
         "stats_column_histogram": STATS_COLUMN_HISTOGRAM_SQL,
     }
 )

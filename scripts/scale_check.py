@@ -406,6 +406,8 @@ def main() -> None:
         "text_bpe_train_merges",
         # round 13: equi-height histograms — one range sort per column
         "stats_column_histogram",
+        # round 13: BPE apply — one corpus scan + broadcast vocab join
+        "text_bpe_tokenize_apply",
         # round 13: DDL-parsed schema-history decode — wire-codec CPU
         # plus a per-blob DDL replay (statement-count-bounded)
         "cdc_binlog_ddl_schema_decode",

@@ -314,3 +314,61 @@ def test_ddl_schema_decodes_wire_bytes(spark):
     # changelog builder's r.get(name) surfaces it as NULL)
     assert rows[1].get("flag") is None and rows[1]["price"] == Decimal("1.50")
     assert rows[2]["flag"] == "XY" and rows[2]["price"] == Decimal("2.25")
+
+
+def test_bpe_tokenize_apply_matches_python(spark, sf_dir):
+    """The apply key's per-source budgets equal a pure-Python
+    tokenize-through-trained-merges recompute."""
+    from mysql_cdc_table_spark.operators.round13 import (
+        text_bpe_tokenize_apply,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    wc = Counter()
+    for r in docs:
+        for w in r["text"].lower().split(" "):
+            if w:
+                wc[w] += 1
+    # final symbolization via the reference trainer
+    grids = {w: list(w) for w in wc}
+    for _, a, b, _, _ in _python_bpe(dict(wc), BPE_MERGES):
+        for w, syms in grids.items():
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            grids[w] = ns
+    want: dict = {}
+    for r in docs:
+        st = want.setdefault(r["source"], [set(), 0, 0, 0])
+        for w in r["text"].lower().split(" "):
+            if w:
+                st[0].add(r["doc_id"])
+                st[1] += 1
+                st[2] += len(grids[w])
+                st[3] += len(w)
+    got = {
+        r["source"]: (r["n_docs"], r["n_words"], r["n_tokens"],
+                      r["chars_per_token_bp"])
+        for r in text_bpe_tokenize_apply(spark, sf_dir).collect()
+    }
+    assert got == {
+        s: (len(d), nw, nt, 10000 * nc // nt)
+        for s, (d, nw, nt, nc) in want.items()
+    }
+
+
+def test_bpe_tokenize_apply_is_broadcast_vocab_join(spark, sf_dir):
+    from mysql_cdc_table_spark.operators.round13 import (
+        text_bpe_tokenize_apply,
+    )
+    from mysql_cdc_table_spark.plans.audit import count_nodes
+
+    df = text_bpe_tokenize_apply(spark, sf_dir)
+    assert count_nodes(df, "BroadcastHashJoin") >= 1
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "CartesianProduct") == 0
