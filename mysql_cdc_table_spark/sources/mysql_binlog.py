@@ -1102,6 +1102,13 @@ def _cols_from_schema(target: T.StructType) -> list[_Col]:
             n = int(md.get("char_len", 1))
             blen = int(md.get("char_bytes", n * 4))
             cols.append(_Col(f.name, TY_STRING, _char_meta(blen)))
+        elif kind == "text":
+            # MySQL TEXT: the BLOB wire code (252) with a character
+            # set — the bytes are utf-8 on modern servers; the extra
+            # marker tells the value codec to surface str, not bytes
+            cols.append(
+                _Col(f.name, TY_BLOB, bytes([2]), extra="utf8_text")
+            )
         elif kind == "timestamp_v1":
             cols.append(_Col(f.name, TY_TIMESTAMP_V1, b""))
         elif kind == "datetime_v1":
@@ -1192,7 +1199,7 @@ def _encode_col(col: _Col, v) -> bytes:
         pre = struct.pack("<H", len(raw)) if maxlen > 255 else bytes([len(raw)])
         return pre + raw
     if tc == TY_BLOB:
-        raw = bytes(v)
+        raw = v.encode("utf-8") if col.extra == "utf8_text" else bytes(v)
         return len(raw).to_bytes(col.meta[0], "little") + raw
     if tc == TY_JSON:
         raw = _encode_json_text(v)
@@ -1297,7 +1304,10 @@ def _decode_col(col: _Col, buf: bytes, pos: int):
         nb = col.meta[0]
         n = int.from_bytes(buf[pos : pos + nb], "little")
         pos += nb
-        return bytes(buf[pos : pos + n]), pos + n
+        raw = bytes(buf[pos : pos + n])
+        if col.extra == "utf8_text":
+            return raw.decode("utf-8"), pos + n
+        return raw, pos + n
     if tc == TY_JSON:
         nb = col.meta[0]
         n = int.from_bytes(buf[pos : pos + nb], "little")
@@ -5623,6 +5633,9 @@ def cdc_binlog_ddl_schema_decode(
                 T.StringType(),
                 metadata={"mysql_type": "char", "char_len": 2},
             ),
+            T.StructField(
+                "note", T.StringType(), metadata={"mysql_type": "text"}
+            ),
         ]
     )
     target = T.StructType(
@@ -5645,6 +5658,7 @@ def cdc_binlog_ddl_schema_decode(
         "  `id` BIGINT NOT NULL,\n"
         "  `price` DECIMAL(12,2) DEFAULT '0.00',\n"
         "  `flag` CHAR(2) COMMENT 'country, flag',\n"
+        "  `note` TEXT,\n"
         "  PRIMARY KEY (`id`)\n"
         ") ENGINE=InnoDB DEFAULT CHARSET=utf8mb4"
     )
@@ -5666,6 +5680,9 @@ def cdc_binlog_ddl_schema_decode(
                 "char(65 + o_orderkey % 26) || "
                 "char(65 + (o_orderkey div 26) % 26)"
             ).alias("flag"),
+            F.expr(
+                "repeat('x', o_orderkey % 37) || '#' || o_orderkey"
+            ).alias("note"),
             F.col("o_orderstatus").alias("status"),
             F.expr(
                 "concat(if(o_orderkey % 7 = 0, '-', ''),"
@@ -5694,7 +5711,8 @@ def cdc_binlog_ddl_schema_decode(
                             "gno": rid + 10,
                             "op": "w",
                             "rows": [
-                                {"id": rid, "price": r.price, "flag": r.flag}
+                                {"id": rid, "price": r.price,
+                                 "flag": r.flag, "note": r.note}
                             ],
                         }
                     )
@@ -5708,6 +5726,7 @@ def cdc_binlog_ddl_schema_decode(
                                     "id": rid,
                                     "price": r.price,
                                     "flag": r.flag,
+                                    "note": r.note,
                                     "status": r.status,
                                     "took": r.took,
                                 }
@@ -5747,6 +5766,7 @@ def cdc_binlog_ddl_schema_decode(
             (F.ascii("flag") * 256 + F.ascii(F.substring("flag", 2, 1)))
             .cast("long")
         ).alias("flag_ord_sum"),
+        F.sum(F.length("note").cast("long")).alias("note_len_sum"),
         F.sum(
             F.expr(
                 "if(startswith(took, '-'), -1, 1) * ("
@@ -5769,6 +5789,8 @@ SELECT (o_orderkey % 2 = 1) AS post_alter,
        CAST(sum(o_orderkey % 100000) AS BIGINT) AS cents_sum,
        CAST(sum((65 + o_orderkey % 26) * 256 + 65 + (o_orderkey // 26) % 26)
             AS BIGINT) AS flag_ord_sum,
+       CAST(sum(o_orderkey % 37 + 1 + length(CAST(o_orderkey AS VARCHAR)))
+            AS BIGINT) AS note_len_sum,
        CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN
            (CASE WHEN o_orderkey % 7 = 0 THEN -1 ELSE 1 END) * (
                (o_orderkey % 120) * 3600000

@@ -536,8 +536,13 @@ def _vec_col_decoder(col: _Col, field: T.StructField):
             pw = 2 if _char_blen > 255 else 1
         else:
             pw = col.meta[0]
+        # string surface: VARCHAR, CHAR, and TEXT (BLOB wire code with
+        # the utf8_text marker — MySQL TEXT columns)
         out_t = (
-            pa.string() if tc in (TY_VARCHAR, TY_STRING) else pa.binary()
+            pa.string()
+            if tc in (TY_VARCHAR, TY_STRING)
+            or (tc == TY_BLOB and col.extra == "utf8_text")
+            else pa.binary()
         )
 
         def dec(u8, raw, pos, valid, _pw=pw, _out_t=out_t):

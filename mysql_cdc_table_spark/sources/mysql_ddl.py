@@ -146,6 +146,9 @@ def _field_from_type(name: str, type_sql: str) -> T.StructField:
     if ty in ("blob", "tinyblob", "mediumblob", "longblob", "varbinary",
               "binary"):
         return f(T.BinaryType())
+    if ty in ("text", "tinytext", "mediumtext", "longtext"):
+        # BLOB wire code with a character set; utf-8 on modern servers
+        return f(T.StringType(), {"mysql_type": "text"})
     if ty == "date":
         return f(T.DateType())
     if ty in ("datetime", "timestamp"):
@@ -179,8 +182,7 @@ def _field_from_type(name: str, type_sql: str) -> T.StructField:
         return f(T.BinaryType(), {"mysql_type": "geometry"})
     raise ValueError(
         f"column {name!r}: MySQL type {ty!r} is outside this engine's "
-        "codec space (TEXT variants carry charset-dependent layouts the "
-        "declared-schema path does not model either)"
+        "codec space"
     )
 
 

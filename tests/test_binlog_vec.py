@@ -105,6 +105,10 @@ RICH = T.StructType(
         T.StructField(
             "tv1", T.StringType(), metadata={"mysql_type": "time_v1"}
         ),
+        # round 13: TEXT — the BLOB wire code with a string surface
+        T.StructField(
+            "txt", T.StringType(), metadata={"mysql_type": "text"}
+        ),
     ]
 )
 
@@ -147,6 +151,7 @@ def _rich_row(i: int) -> dict:
             1975 + i % 40, 1 + i % 12, 1 + i % 28, i % 24, i % 60, (i * 3) % 60
         ),
         "tv1": f"{'-' if i % 4 == 0 else ''}{i % 500}:{i % 60:02d}:{(i * 11) % 60:02d}",
+        "txt": ("t\u00e9xt-" + "y" * (i % 300)) if i % 6 else "",
     }
 
 
