@@ -706,6 +706,36 @@ ROUND13_LATE_KEYS: tuple[str, ...] = (
     "cdc_binlog_ddl_schema_decode",
 )
 
+# ---------------------------------------------------------------------------
+# Round 14 window. Arithmetic (50 slots): the 5 ROUND13_LATE_KEYS lead
+# (their first driver rows; all 5 judge-verified MATCH in the r13
+# verdict), then N re-verify slots for code round 14 actually touches,
+# then 41 stalest-first backfill slots — the 13 remaining r06-stale
+# rows all fit, plus 28 of the 41 r07 rows. Round-14 NEW keys all
+# register late (ROUND14_LATE_KEYS) so the backfill budget holds.
+
+ROUND14_NEW_KEYS: tuple[str, ...] = ()
+
+# Round-14 re-verify slots — code round 14 touches:
+# * charset-aware TEXT/CHAR decode (latin1 plumbed from DDL/declared
+#   schemas into both the scalar and columnar kernels) touches
+#   sources/mysql_binlog.py + mysql_binlog_vec.py — the standing
+#   discipline puts all four roundtrip keys back in re-verify slots
+#   (cdc_binlog_legacy_temporal_roundtrip, the fifth reader key,
+#   already leads the window as a ROUND13_LATE_KEY; the DDL-history
+#   key cdc_binlog_ddl_schema_decode — whose parser gains
+#   MODIFY/CHANGE/RENAME this round — likewise already leads).
+ROUND14_REVERIFY: tuple[str, ...] = (
+    "cdc_packed_typed_roundtrip",
+    "cdc_mysql_binlog_roundtrip",
+    "cdc_binlog_zstd_roundtrip",
+    "cdc_binlog_parallel_roundtrip",
+)
+
+# Late-registration tail for round 14 (same pinned-behind protocol):
+# keys registered after the front budget fills; they lead round 15.
+ROUND14_LATE_KEYS: tuple[str, ...] = ()
+
 
 def _last_seen_rounds() -> dict[str, int]:
     """key -> LATEST driver round with a CORRECTNESS row — the staleness
@@ -763,13 +793,17 @@ _ROUND13_WINDOW_FRONT = (
     ROUND12_LATE_KEYS + ROUND13_NEW_KEYS + ROUND13_REVERIFY
 )
 
+_ROUND14_WINDOW_FRONT = (
+    ROUND13_LATE_KEYS + ROUND14_NEW_KEYS + ROUND14_REVERIFY
+)
+
 
 def _rotate(out: dict) -> dict:
-    """Reorder a merged registry dict: round-13 front first, then every
+    """Reorder a merged registry dict: round-14 front first, then every
     other key stalest-first (latest driver round, registry order as
     the tie-break; never-seen keys sort first so they cannot hide)."""
-    front = {k: out[k] for k in _ROUND13_WINDOW_FRONT if k in out}
-    late = {k: out[k] for k in ROUND13_LATE_KEYS if k in out}
+    front = {k: out[k] for k in _ROUND14_WINDOW_FRONT if k in out}
+    late = {k: out[k] for k in ROUND14_LATE_KEYS if k in out}
     seen = _last_seen_rounds()
     order = {k: i for i, k in enumerate(out)}
     rest_keys = sorted(
