@@ -93,6 +93,11 @@ def _bpe_train(
         top = pairs.orderBy(
             F.col("pc").desc(), F.col("a").asc(), F.col("b").asc()
         ).first()  # bounded: ONE row per step, the merge decision
+        if top is None:
+            # tiny/degenerate corpus: every word is a single symbol
+            # before the merge budget is spent — the vocabulary is
+            # fully merged, stop (advisor finding, round 13)
+            break
         a, b, pc = top["a"], top["b"], top["pc"]
         grid = grid.withColumn(
             "s",

@@ -41,30 +41,82 @@ _TYPE_RE = re.compile(
 _UNSIGNED_RE = re.compile(r"\bunsigned\b", re.IGNORECASE)
 
 
+# MySQL's default sql_mode treats backslash as an escape inside '...'
+# and "..." string literals (doubled quotes work everywhere; backticked
+# identifiers only double the backtick). The standard escape letters —
+# anything else after a backslash is the literal character itself.
+_BACKSLASH_ESCAPES = {
+    "0": "\0", "n": "\n", "r": "\r", "t": "\t", "b": "\b",
+    "Z": "\x1a", "\\": "\\", "'": "'", '"': '"',
+}
+
+
 def _strip_quotes(tok: str) -> str:
+    """Unquote an IDENTIFIER token (backtick/double-quote wrapped or
+    bare). Identifier quoting only doubles the quote char — collapse
+    that; backslash is NOT an escape in identifiers."""
     tok = tok.strip()
-    if tok[:1] in "`\"'" and tok[-1:] == tok[:1]:
-        return tok[1:-1]
+    q = tok[:1]
+    if q in "`\"'" and tok[-1:] == q:
+        return tok[1:-1].replace(q + q, q)
     return tok
+
+
+def _unquote_literal(tok: str) -> str:
+    """Unquote a STRING LITERAL ('...' or \"...\"): strip the outer
+    quotes, collapse doubled quotes, and resolve backslash escapes the
+    way the server's default sql_mode does."""
+    tok = tok.strip()
+    q = tok[:1]
+    if q not in "'\"" or tok[-1:] != q:
+        return tok
+    body, out, i, n = tok[1:-1], [], 0, len(tok) - 2
+    while i < n:
+        c = body[i]
+        if c == "\\" and i + 1 < n:
+            out.append(_BACKSLASH_ESCAPES.get(body[i + 1], body[i + 1]))
+            i += 2
+        elif c == q and i + 1 < n and body[i + 1] == q:
+            out.append(q)
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
 
 
 def _split_top_level(s: str) -> list[str]:
     """Split a CREATE TABLE body on top-level commas (parentheses and
-    quoted strings are opaque)."""
+    quoted strings are opaque). Inside '...' and \"...\" literals a
+    backslash escapes the next character (MySQL's default sql_mode) —
+    without that, a COMMENT 'x\\'' would silently end the literal one
+    quote early and misattribute every later column (advisor finding,
+    round 13). An unterminated literal raises instead of falling off
+    the end."""
     out, depth, start, i, n = [], 0, 0, 0, len(s)
     while i < n:
         c = s[i]
         if c in "'\"`":
             q = c
             i += 1
+            closed = False
             while i < n:
+                if s[i] == "\\" and q != "`" and i + 1 < n:
+                    i += 2  # backslash escape (not in identifiers)
+                    continue
                 if s[i] == q:
                     # MySQL doubles quotes inside literals ('it''s')
                     if i + 1 < n and s[i + 1] == q:
                         i += 2
                         continue
+                    closed = True
                     break
                 i += 1
+            if not closed:
+                raise ValueError(
+                    f"unterminated {q}-quoted literal in DDL fragment "
+                    f"{s[start:][:60]!r}"
+                )
         elif c == "(":
             depth += 1
         elif c == ")":
@@ -84,13 +136,46 @@ _CONSTRAINT_HEADS = (
 
 
 def _parse_enum_values(args: str) -> list[str]:
+    # ENUM/SET members are string literals: doubled quotes and
+    # backslash escapes collapse to the literal character ('c''d' is
+    # the member c'd — advisor finding, round 13)
     vals = []
     for part in _split_top_level(args):
-        vals.append(_strip_quotes(part))
+        vals.append(_unquote_literal(part))
     return vals
 
 
-def _field_from_type(name: str, type_sql: str) -> T.StructField:
+# Charsets the engine's codec space covers. MySQL's ascii/utf8mb3 are
+# byte-compatible subsets of utf-8, so they normalize to the utf8
+# decode path; latin1 keeps its own single-byte decode. Anything else
+# (gbk, sjis, ucs2, ...) raises pointedly rather than silently
+# mojibake-ing a decode.
+_CHARSET_NORM = {
+    "utf8mb4": "utf8", "utf8mb3": "utf8", "utf8": "utf8",
+    "ascii": "utf8", "latin1": "latin1", "binary": "binary",
+}
+_MBMAXLEN = {"utf8mb4": 4, "utf8mb3": 3, "utf8": 3, "ascii": 1,
+             "latin1": 1, "binary": 1}
+
+_COLUMN_CHARSET_RE = re.compile(
+    r"\b(?:character\s+set|charset)\s+(?P<cs>`?\w+`?)", re.IGNORECASE
+)
+
+
+def _norm_charset(cs: str, where: str) -> str:
+    low = _strip_quotes(cs).lower()
+    if low not in _CHARSET_NORM:
+        raise ValueError(
+            f"{where}: character set {low!r} is outside this engine's "
+            "codec space (supported: "
+            f"{sorted(_CHARSET_NORM)})"
+        )
+    return low
+
+
+def _field_from_type(
+    name: str, type_sql: str, default_charset: str = "utf8mb4"
+) -> T.StructField:
     """One column definition's TYPE portion -> StructField with the
     engine's metadata conventions. Raises pointedly on types outside
     the codec's space rather than guessing a layout."""
@@ -101,6 +186,12 @@ def _field_from_type(name: str, type_sql: str) -> T.StructField:
     args = m.group("args")
     rest = m.group("rest") or ""
     unsigned = bool(_UNSIGNED_RE.search(rest))
+    csm = _COLUMN_CHARSET_RE.search(rest)
+    mysql_cs = _norm_charset(
+        csm.group("cs") if csm else default_charset, f"column {name!r}"
+    )
+    charset = _CHARSET_NORM[mysql_cs]  # engine decode path: utf8|latin1
+    mbmax = _MBMAXLEN[mysql_cs]
 
     def f(dt, md=None):
         return T.StructField(name, dt, True, metadata=md or {})
@@ -138,26 +229,46 @@ def _field_from_type(name: str, type_sql: str) -> T.StructField:
         return f(T.DecimalType(p, s))
     if ty == "varchar":
         n = int(args) if args else 255
-        # varchar_len is the max BYTE length (utf8mb4: 4 B/char)
-        return f(T.StringType(), {"varchar_len": min(n * 4, 65535)})
+        if charset == "binary":
+            return f(T.BinaryType())  # VARBINARY in disguise
+        # varchar_len is the max BYTE length (chars x charset mbmaxlen)
+        md = {"varchar_len": min(n * mbmax, 65535)}
+        if charset != "utf8":
+            md["charset"] = charset
+        return f(T.StringType(), md)
     if ty == "char":
         n = int(args) if args else 1
-        return f(T.StringType(), {"mysql_type": "char", "char_len": n})
+        if charset == "binary":
+            return f(T.BinaryType())  # BINARY(n) in disguise
+        md = {"mysql_type": "char", "char_len": n, "char_bytes": n * mbmax}
+        if charset != "utf8":
+            md["charset"] = charset
+        return f(T.StringType(), md)
     if ty in ("blob", "tinyblob", "mediumblob", "longblob", "varbinary",
               "binary"):
         return f(T.BinaryType())
     if ty in ("text", "tinytext", "mediumtext", "longtext"):
-        # BLOB wire code with a character set; utf-8 on modern servers
-        return f(T.StringType(), {"mysql_type": "text"})
+        if charset == "binary":
+            return f(T.BinaryType())  # a BLOB in disguise
+        # BLOB wire code with a character set (utf8 or latin1)
+        md = {"mysql_type": "text"}
+        if charset != "utf8":
+            md["charset"] = charset
+        return f(T.StringType(), md)
     if ty == "date":
         return f(T.DateType())
-    if ty in ("datetime", "timestamp"):
-        # both decode through the DATETIME2 path this engine's writer
-        # emits for TimestampType (a real TIMESTAMP2 wire column is
-        # the same 4+frac layout under code 17 — outside the declared-
-        # schema space today, same as the user-declared path)
+    if ty == "datetime":
         fsp = int(args) if args else 0
         return f(T.TimestampType(), {"fsp": fsp})
+    if ty == "timestamp":
+        # a real server binlog carries TIMESTAMP under wire code 17
+        # (TIMESTAMP2: 4-byte big-endian UTC seconds + packed
+        # fraction), not DATETIME2's code 18 — distinct metadata routes
+        # _cols_from_schema to that codec so a DDL-learned schema
+        # passes the TABLE_MAP type check on a genuine stream
+        # (advisor finding, round 13)
+        fsp = int(args) if args else 0
+        return f(T.TimestampType(), {"mysql_type": "timestamp", "fsp": fsp})
     if ty == "time":
         fsp = int(args) if args else 0
         return f(T.StringType(), {"mysql_type": "time", "fsp": fsp})
@@ -194,17 +305,28 @@ _CREATE_RE = re.compile(
 )
 
 
-def parse_mysql_create(ddl: str) -> tuple[str, T.StructType]:
-    """CREATE TABLE statement -> (table_name, StructType). Table-level
-    constraint clauses (PRIMARY KEY/KEY/UNIQUE/CONSTRAINT/...) are
-    skipped; column attributes that do not change the row layout are
-    ignored."""
+_TABLE_CHARSET_RE = re.compile(
+    r"\b(?:default\s+)?(?:character\s+set|charset)\s*=?\s*(?P<cs>`?\w+`?)",
+    re.IGNORECASE,
+)
+
+
+def _parse_create_full(ddl: str) -> tuple[str, T.StructType, str]:
+    """CREATE TABLE -> (table_name, StructType, table_default_charset).
+    The charset is the MySQL name (utf8mb4/latin1/...), needed to
+    resolve later ALTER ... ADD/MODIFY column definitions that carry
+    no per-column CHARACTER SET."""
     m = _CREATE_RE.match(ddl.strip().rstrip(";"))
     if not m:
         raise ValueError(f"not a CREATE TABLE statement: {ddl[:80]!r}")
     name = ".".join(
         _strip_quotes(p) for p in re.split(r"\s*\.\s*", m.group("name"))
     )
+    tail = m.group("tail") or ""
+    tm = _TABLE_CHARSET_RE.search(tail)
+    default_cs = "utf8mb4"
+    if tm:
+        default_cs = _norm_charset(tm.group("cs"), f"table {name}")
     fields = []
     for part in _split_top_level(m.group("body")):
         head = part.split(None, 1)[0].lower().strip("`\"")
@@ -214,10 +336,19 @@ def parse_mysql_create(ddl: str) -> tuple[str, T.StructType]:
         if len(toks) < 2:
             raise ValueError(f"cannot parse column definition {part!r}")
         col = _strip_quotes(toks[0])
-        fields.append(_field_from_type(col, toks[1]))
+        fields.append(_field_from_type(col, toks[1], default_cs))
     if not fields:
         raise ValueError(f"CREATE TABLE {name}: no columns parsed")
-    return name, T.StructType(fields)
+    return name, T.StructType(fields), default_cs
+
+
+def parse_mysql_create(ddl: str) -> tuple[str, T.StructType]:
+    """CREATE TABLE statement -> (table_name, StructType). Table-level
+    constraint clauses (PRIMARY KEY/KEY/UNIQUE/CONSTRAINT/...) are
+    skipped; column attributes that do not change the row layout are
+    ignored."""
+    name, schema, _ = _parse_create_full(ddl)
+    return name, schema
 
 
 _ALTER_RE = re.compile(
@@ -227,11 +358,52 @@ _ALTER_RE = re.compile(
 )
 
 
-def apply_mysql_alter(schema: T.StructType, ddl: str) -> T.StructType:
+def _pop_position(rest: str) -> tuple[str, str | None]:
+    """Strip a trailing FIRST / AFTER <col> clause from a column
+    definition; returns (definition, position_clause|None)."""
+    pm = re.search(
+        r"\s+(first|after\s+(?:`[^`]+`|\w+))\s*$", rest, re.IGNORECASE
+    )
+    if pm:
+        return rest[: pm.start()], pm.group(1)
+    return rest, None
+
+
+def _insert_at(fields: list, fld, pos: str | None, replace_idx: int | None):
+    """Place fld per MySQL's positioning rules: FIRST / AFTER <col>
+    reposition; no clause keeps the column in place (MODIFY/CHANGE) or
+    appends (ADD, replace_idx=None)."""
+    if pos is None:
+        if replace_idx is None:
+            fields.append(fld)
+        else:
+            fields.insert(replace_idx, fld)
+        return
+    if pos.lower() == "first":
+        fields.insert(0, fld)
+        return
+    anchor = _strip_quotes(pos.split(None, 1)[1])
+    idx = next(
+        (i for i, f0 in enumerate(fields) if f0.name == anchor), None
+    )
+    if idx is None:
+        raise ValueError(f"ALTER ... AFTER {anchor!r}: no such column")
+    fields.insert(idx + 1, fld)
+
+
+def apply_mysql_alter(
+    schema: T.StructType, ddl: str, default_charset: str = "utf8mb4"
+) -> T.StructType:
     """Replay one ALTER TABLE statement onto a schema. Supported ops:
-    ADD COLUMN (appends; FIRST/AFTER reposition like the server does)
-    and DROP COLUMN. MODIFY/CHANGE/RENAME raise pointedly — a type
-    rewrite needs a table copy the binlog shows as a new table anyway."""
+    ADD COLUMN (appends; FIRST/AFTER reposition like the server does),
+    DROP COLUMN, MODIFY COLUMN (in-place type rewrite, optional
+    reposition), CHANGE COLUMN (rename + type, optional reposition)
+    and RENAME COLUMN old TO new. Table-level RENAME raises pointedly
+    (the history fold tracks one name). The server rebuilds the row
+    image under the new layout from the ALTER onward — which is
+    exactly what replaying these ops into the decode schema gives a
+    reader (the reference gets this free from the live data
+    dictionary, Field::unpack via binlog_table_reader.cc:151-156)."""
     m = _ALTER_RE.match(ddl.strip().rstrip(";"))
     if not m:
         raise ValueError(f"not an ALTER TABLE statement: {ddl[:80]!r}")
@@ -248,33 +420,14 @@ def apply_mysql_alter(schema: T.StructType, ddl: str) -> T.StructType:
                 "foreign",
             ):
                 continue  # index DDL: no row-layout change
-            pos = None  # append (the server default)
-            pm = re.search(
-                r"\s+(first|after\s+(?:`[^`]+`|\w+))\s*$", rest,
-                re.IGNORECASE,
-            )
-            if pm:
-                pos = pm.group(1)
-                rest = rest[: pm.start()]
+            rest, pos = _pop_position(rest)
             ctoks = rest.split(None, 1)
             if len(ctoks) < 2:
                 raise ValueError(f"cannot parse ADD COLUMN {op!r}")
-            fld = _field_from_type(_strip_quotes(ctoks[0]), ctoks[1])
-            if pos is None:
-                fields.append(fld)
-            elif pos.lower() == "first":
-                fields.insert(0, fld)
-            else:
-                anchor = _strip_quotes(pos.split(None, 1)[1])
-                idx = next(
-                    (i for i, f0 in enumerate(fields) if f0.name == anchor),
-                    None,
-                )
-                if idx is None:
-                    raise ValueError(
-                        f"ALTER ADD ... AFTER {anchor!r}: no such column"
-                    )
-                fields.insert(idx + 1, fld)
+            fld = _field_from_type(
+                _strip_quotes(ctoks[0]), ctoks[1], default_charset
+            )
+            _insert_at(fields, fld, pos, None)
         elif verb == "drop":
             rest = op[len(toks[0]):].strip()
             if rest.lower().startswith("column"):
@@ -287,12 +440,70 @@ def apply_mysql_alter(schema: T.StructType, ddl: str) -> T.StructType:
             fields = [f0 for f0 in fields if f0.name != col]
             if len(fields) == before:
                 raise ValueError(f"ALTER DROP COLUMN {col!r}: no such column")
-        elif verb in ("modify", "change", "rename"):
-            raise ValueError(
-                f"ALTER {verb.upper()} is outside the schema-history "
-                "replay (a layout rewrite; decode the stream in two "
-                "generations instead)"
+        elif verb in ("modify", "change"):
+            rest = op[len(toks[0]):].strip()
+            if rest.lower().startswith("column"):
+                rest = rest[6:].strip()
+            rest, pos = _pop_position(rest)
+            if verb == "modify":
+                # MODIFY [COLUMN] name type...: rewrite in place
+                ctoks = rest.split(None, 1)
+                if len(ctoks) < 2:
+                    raise ValueError(f"cannot parse MODIFY COLUMN {op!r}")
+                old = new = _strip_quotes(ctoks[0])
+                type_sql = ctoks[1]
+            else:
+                # CHANGE [COLUMN] old new type...: rename + rewrite
+                ctoks = rest.split(None, 2)
+                if len(ctoks) < 3:
+                    raise ValueError(f"cannot parse CHANGE COLUMN {op!r}")
+                old, new = _strip_quotes(ctoks[0]), _strip_quotes(ctoks[1])
+                type_sql = ctoks[2]
+            idx = next(
+                (i for i, f0 in enumerate(fields) if f0.name == old), None
             )
+            if idx is None:
+                raise ValueError(
+                    f"ALTER {verb.upper()} {old!r}: no such column"
+                )
+            fld = _field_from_type(new, type_sql, default_charset)
+            del fields[idx]
+            _insert_at(fields, fld, pos, idx)
+        elif verb == "rename":
+            rest = op[len(toks[0]):].strip()
+            head = rest.split(None, 1)[0].lower() if rest else ""
+            if head == "column":
+                # RENAME COLUMN old TO new: name-only, layout unchanged
+                rm = re.match(
+                    r"column\s+(?P<old>`[^`]+`|\w+)\s+to\s+"
+                    r"(?P<new>`[^`]+`|\w+)\s*$",
+                    rest,
+                    re.IGNORECASE,
+                )
+                if not rm:
+                    raise ValueError(f"cannot parse RENAME COLUMN {op!r}")
+                old = _strip_quotes(rm.group("old"))
+                new = _strip_quotes(rm.group("new"))
+                idx = next(
+                    (i for i, f0 in enumerate(fields) if f0.name == old),
+                    None,
+                )
+                if idx is None:
+                    raise ValueError(
+                        f"ALTER RENAME COLUMN {old!r}: no such column"
+                    )
+                f0 = fields[idx]
+                fields[idx] = T.StructField(
+                    new, f0.dataType, f0.nullable, metadata=f0.metadata
+                )
+            elif head in ("index", "key"):
+                continue  # RENAME INDEX: no row-layout change
+            else:
+                raise ValueError(
+                    "ALTER TABLE ... RENAME [TO] <table> is outside the "
+                    "schema-history replay (the fold tracks one table "
+                    "name; split the history at the rename)"
+                )
         else:
             # table options (ENGINE=, AUTO_INCREMENT=, comment...) —
             # no layout change
@@ -309,19 +520,28 @@ def schema_from_ddl_history(
     rides the reader's existing generation handling (older TABLE_MAPs
     prefix-match, added columns surface as NULL)."""
     schema: T.StructType | None = None
+    charset = "utf8mb4"
     want = table.lower()
+    qualified = "." in want
 
     def _matches(name: str) -> bool:
+        # A db-qualified request must match exactly — bare-suffix
+        # matching would let a same-named table in ANOTHER database
+        # silently overwrite the tracked schema (advisor finding,
+        # round 13). Suffix matching applies only to unqualified
+        # requests (a single-database history).
         low = name.lower()
-        return low == want or low.split(".")[-1] == want.split(".")[-1]
+        if qualified:
+            return low == want
+        return low.split(".")[-1] == want
 
     for stmt in statements:
         s = stmt.strip()
         low = s.lower()
         if low.startswith("create table"):
-            name, sch = parse_mysql_create(s)
+            name, sch, cs = _parse_create_full(s)
             if _matches(name):
-                schema = sch
+                schema, charset = sch, cs
         elif low.startswith("alter table"):
             m = _ALTER_RE.match(s.rstrip(";"))
             if m and _matches(
@@ -335,7 +555,7 @@ def schema_from_ddl_history(
                         f"ALTER before CREATE for table {table!r} in the "
                         "DDL history"
                     )
-                schema = apply_mysql_alter(schema, s)
+                schema = apply_mysql_alter(schema, s, charset)
     if schema is None:
         raise ValueError(f"no CREATE TABLE for {table!r} in the DDL history")
     return schema

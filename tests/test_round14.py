@@ -1,0 +1,233 @@
+"""Round-14: charset-aware TEXT/CHAR/VARCHAR decode (latin1), the
+TIMESTAMP->TIMESTAMP2 wire-code fix, and the DDL schema-history
+parser's MODIFY/CHANGE/RENAME replay.
+
+The latin1 transcode is checked three ways: the scalar walk, the
+columnar Arrow kernel (whose vectorized latin1->utf-8 buffer expansion
+is also unit-tested against Python's codec on random byte strings),
+and the DDL-learned-schema path end to end.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import types as T
+
+from mysql_cdc_table_spark.sources.mysql_binlog import (
+    TY_TIMESTAMP2,
+    _cols_from_schema,
+    build_binlog_file,
+    decode_binlog_bytes,
+)
+from mysql_cdc_table_spark.sources.mysql_binlog_vec import (
+    decode_binlog_pandas,
+)
+from mysql_cdc_table_spark.sources.mysql_ddl import (
+    apply_mysql_alter,
+    parse_mysql_create,
+    schema_from_ddl_history,
+)
+
+# every latin1 codepoint in these values is >= 0x80 somewhere — the
+# raw wire bytes are NOT valid utf-8, so a utf-8-assuming decode
+# cannot pass these tests by accident
+_L1_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField(
+            "note",
+            T.StringType(),
+            metadata={"mysql_type": "text", "charset": "latin1"},
+        ),
+        T.StructField(
+            "code",
+            T.StringType(),
+            metadata={
+                "mysql_type": "char", "char_len": 4, "char_bytes": 4,
+                "charset": "latin1",
+            },
+        ),
+        T.StructField(
+            "city",
+            T.StringType(),
+            metadata={"varchar_len": 40, "charset": "latin1"},
+        ),
+    ]
+)
+
+_L1_ROWS = [
+    {"id": 1, "note": "café £9 ±2", "code": "Ñoño", "city": "Zürich"},
+    {"id": 2, "note": "÷×§¶", "code": "A B", "city": "São Paulo"},
+    {"id": 3, "note": "", "code": "ÿ", "city": "Århus"},
+    {"id": 4, "note": None, "code": None, "city": None},
+]
+
+
+def _l1_blob():
+    return build_binlog_file(
+        "d", "t", _L1_SCHEMA,
+        [
+            {"gno": 10 + r["id"], "op": "w", "rows": [r]}
+            for r in _L1_ROWS
+        ],
+        checksum=True,
+    )
+
+
+def test_latin1_roundtrip_scalar():
+    rows = {
+        r["id"]: r
+        for r in decode_binlog_bytes(_l1_blob(), _L1_SCHEMA, "d", "t")
+    }
+    for want in _L1_ROWS:
+        got = rows[want["id"]]
+        for k in ("note", "code", "city"):
+            assert got.get(k) == want[k], (want["id"], k, got.get(k))
+
+
+def test_latin1_roundtrip_columnar():
+    pdf = decode_binlog_pandas(_l1_blob(), _L1_SCHEMA, "d", "t")
+    got = {int(r["id"]): r for _, r in pdf.iterrows()}
+    for want in _L1_ROWS:
+        for k in ("note", "code", "city"):
+            v = got[want["id"]][k]
+            v = None if v is None or (isinstance(v, float)) else v
+            assert v == want[k], (want["id"], k, v)
+
+
+def test_latin1_to_utf8_transcode_matches_python_codec():
+    """The vectorized buffer transcode equals bytes.decode('latin-1')
+    .encode('utf-8') row by row — random strings, empty rows, all-high
+    rows, and the offsets remap."""
+    import random
+
+    import numpy as np
+
+    from mysql_cdc_table_spark.sources.mysql_binlog_vec import (
+        _latin1_to_utf8,
+    )
+
+    rng = random.Random(14)
+    rows = [b""]
+    for _ in range(200):
+        n = rng.randrange(0, 30)
+        rows.append(bytes(rng.randrange(0, 256) for _ in range(n)))
+    rows.append(bytes(range(128, 256)))  # all-high
+    data = np.frombuffer(b"".join(rows), dtype=np.uint8).copy()
+    offsets = np.zeros(len(rows) + 1, np.int32)
+    np.cumsum([len(r) for r in rows], out=offsets[1:])
+    out, new_off = _latin1_to_utf8(data, offsets)
+    buf = out.tobytes()
+    for i, raw in enumerate(rows):
+        got = buf[new_off[i]: new_off[i + 1]]
+        assert got == raw.decode("latin-1").encode("utf-8"), i
+
+
+def test_unsupported_charset_raises_pointedly():
+    bad = T.StructType(
+        [
+            T.StructField(
+                "s",
+                T.StringType(),
+                metadata={"mysql_type": "text", "charset": "gbk"},
+            )
+        ]
+    )
+    with pytest.raises(ValueError, match="gbk"):
+        _cols_from_schema(bad)
+
+
+def test_ddl_timestamp_maps_to_timestamp2_and_roundtrips():
+    """DDL TIMESTAMP produces wire code 17 (what a real server logs),
+    not DATETIME2's 18 — and values survive encode+decode (advisor
+    finding, round 13)."""
+    import datetime as dt
+
+    _, sch = parse_mysql_create(
+        "CREATE TABLE t (id BIGINT, ts TIMESTAMP(3), dt DATETIME(6))"
+    )
+    cols = {c.name: c for c in _cols_from_schema(sch)}
+    assert cols["ts"].type_code == TY_TIMESTAMP2
+    assert cols["ts"].meta == bytes([3])
+    assert cols["dt"].type_code != TY_TIMESTAMP2
+    row = {
+        "id": 1,
+        "ts": dt.datetime(2024, 3, 9, 12, 30, 15, 250000),
+        "dt": dt.datetime(2024, 3, 9, 12, 30, 15, 123456),
+    }
+    blob = build_binlog_file(
+        "d", "t", sch, [{"gno": 2, "op": "w", "rows": [row]}]
+    )
+    (got,) = decode_binlog_bytes(blob, sch, "d", "t")
+    assert got["ts"] == row["ts"] and got["dt"] == row["dt"]
+
+
+def test_ddl_latin1_schema_decodes_latin1_wire_bytes():
+    """A DDL history declaring latin1 (table default + per-column)
+    yields a schema whose decode handles real >=0x80 latin1 bytes —
+    scalar AND columnar."""
+    sch = schema_from_ddl_history(
+        [
+            "CREATE TABLE t ("
+            " id BIGINT,"
+            " note TEXT,"
+            " city VARCHAR(20) CHARACTER SET latin1"
+            ") ENGINE=InnoDB DEFAULT CHARSET=latin1",
+        ],
+        "t",
+    )
+    assert sch["note"].metadata.get("charset") == "latin1"
+    assert sch["city"].metadata.get("charset") == "latin1"
+    assert sch["city"].metadata["varchar_len"] == 20  # mbmaxlen 1
+    rows = [
+        {"id": 1, "note": "crème brûlée", "city": "Málaga"},
+        {"id": 2, "note": "°±²³", "city": "Côte d'Azur"},
+    ]
+    blob = build_binlog_file(
+        "d", "t", sch,
+        [{"gno": 10 + r["id"], "op": "w", "rows": [r]} for r in rows],
+    )
+    got = {r["id"]: r for r in decode_binlog_bytes(blob, sch, "d", "t")}
+    assert got[1]["note"] == "crème brûlée" and got[2]["city"] == "Côte d'Azur"
+    pdf = decode_binlog_pandas(blob, sch, "d", "t")
+    assert sorted(pdf["note"]) == sorted(r["note"] for r in rows)
+
+
+def test_ddl_modify_change_rename_replay_decodes_mid_stream():
+    """A history CREATE -> rows -> ALTER MODIFY/CHANGE/RENAME -> rows
+    decodes both generations: the replayed schema's LATEST layout reads
+    gen-1 rows exactly, and gen-0 rows ride the reader's prefix/rename
+    generation handling where layouts agree."""
+    create = (
+        "CREATE TABLE t (id BIGINT, amt INT, tag VARCHAR(10), n0 INT)"
+    )
+    alter = (
+        "ALTER TABLE t MODIFY COLUMN amt BIGINT, "
+        "CHANGE COLUMN tag label VARCHAR(20), "
+        "RENAME COLUMN n0 TO n1"
+    )
+    old = schema_from_ddl_history([create], "t")
+    new = schema_from_ddl_history([create, alter], "t")
+    assert [f.name for f in new.fields] == ["id", "amt", "label", "n1"]
+    assert new["amt"].dataType == T.LongType()
+    blob = build_binlog_file(
+        "d", "t", new,
+        [
+            {"gno": 3, "op": "w",
+             "rows": [{"id": 2, "amt": 1 << 40, "label": "after", "n1": 7}]},
+        ],
+    )
+    (got,) = decode_binlog_bytes(blob, new, "d", "t")
+    assert got["amt"] == 1 << 40 and got["label"] == "after"
+    # the old generation still decodes under ITS schema (two-generation
+    # streams stage per-generation TABLE_MAPs; the evolution operator
+    # key drives the full mixed-file path)
+    blob0 = build_binlog_file(
+        "d", "t", old,
+        [{"gno": 1, "op": "w",
+          "rows": [{"id": 1, "amt": 5, "tag": "before", "n0": 3}]}],
+    )
+    (got0,) = decode_binlog_bytes(blob0, old, "d", "t")
+    assert got0["amt"] == 5 and got0["tag"] == "before"
