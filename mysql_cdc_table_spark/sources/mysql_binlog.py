@@ -2437,6 +2437,7 @@ def decode_binlog_bytes(
     init_state: dict | None = None,
     seq_base: int = 0,
     capture_query: bool = False,
+    schema_history=None,
     _rows_sink=None,
 ) -> list[dict]:
     """Sequential event walk of one binlog file: dispatch on type code
@@ -2470,6 +2471,20 @@ def decode_binlog_bytes(
     the walk, and every ``__event_seq`` offsets by ``seq_base`` so split
     decode emits byte-identical ordering keys to the whole-file walk.
 
+    ``schema_history`` (a ``mysql_ddl.SchemaHistory``) turns the walk
+    into a Debezium-style multi-generation decode: QUERY events
+    carrying CREATE/ALTER for (database, table) fold into the history
+    as they stream past, each generation's TABLE_MAPs resolve against
+    the schema IN EFFECT at that point (so MODIFY/CHANGE type rewrites
+    decode exactly, not just ADD-COLUMN prefixes), and rows decoded
+    under older generations are remapped onto the LATEST generation's
+    names through the history's column identities (renamed columns
+    carry over, dropped columns vanish, added columns surface NULL).
+    ``target`` may be None in this mode — the layout comes from the
+    log itself. Mutually exclusive with ``init_state`` (a mid-file
+    range cannot see the history that precedes it) and ``_rows_sink``
+    (the columnar kernel keys batches on a fixed layout).
+
     ``_rows_sink`` is the columnar kernel's hook (mysql_binlog_vec):
     called with the parsed rows-event header
     ``(tdef, tc, body, value_pos, present1, present2, gtid, gtid_src,
@@ -2484,7 +2499,28 @@ def decode_binlog_bytes(
         raise ValueError(f"mode must be permissive|strict, got {mode!r}")
     if gtid_format not in ("long", "uuid_gno"):
         raise ValueError(f"gtid_format must be long|uuid_gno, got {gtid_format!r}")
-    target_cols = _cols_from_schema(target)
+    if schema_history is not None:
+        if _rows_sink is not None:
+            raise ValueError(
+                "schema_history decode is scalar-walk only: the columnar "
+                "kernel batches on a fixed layout"
+            )
+        if init_state is not None:
+            raise ValueError(
+                "schema_history decode needs the whole file: a mid-file "
+                "range cannot see the DDL history that precedes it"
+            )
+        sh_schema = schema_history.schema
+        target_cols = (
+            _cols_from_schema(sh_schema) if sh_schema is not None else None
+        )
+        cur_ids: tuple = schema_history.ids
+    else:
+        target_cols = _cols_from_schema(target)
+        cur_ids = ()
+    # (end_idx into out, names, ids) of each CLOSED schema generation —
+    # remapped to the latest names after the walk
+    gen_segments: list[tuple[int, tuple, tuple]] = []
     pos = 0 if init_state is not None else 4
     checksum: bool | None = None
     gtid: int | None = None
@@ -2500,6 +2536,20 @@ def decode_binlog_bytes(
     # naturally, and interleaved multi-table streams each hit their own
     # entry. Distinct bodies are bounded by tables x schema generations.
     map_cache: dict[bytes, tuple | None] = {}
+
+    def _begin_generation() -> None:
+        # the history just changed layout: close the running generation
+        # (its rows remap to the latest names at the end of the walk)
+        # and resolve subsequent TABLE_MAPs against the new one
+        nonlocal target_cols, cur_ids
+        if target_cols is not None:
+            gen_segments.append(
+                (len(out), tuple(c.name for c in target_cols), cur_ids)
+            )
+        target_cols = _cols_from_schema(schema_history.schema)
+        cur_ids = schema_history.ids
+        tdefs.clear()
+        map_cache.clear()
 
     def handle(tc: int, body: bytes, ets: int, event_seq: int) -> None:
         nonlocal gtid, gtid_src, rows_query
@@ -2538,6 +2588,13 @@ def decode_binlog_bytes(
             # rebuilds table_def from EVERY table map), only the target
             # table's map updates the decode layout
             if db_ == database and tbl_ == table:
+                if target_cols is None:
+                    raise ValueError(
+                        f"TABLE_MAP for {database}.{table} before any "
+                        "CREATE TABLE in the DDL history — the schema-"
+                        "history decode needs the log to open with the "
+                        "table's DDL (or seed the SchemaHistory)"
+                    )
                 tid2, tdef = _parse_table_map(body, target_cols)
                 tdefs[tid2] = tdef
                 map_cache[key] = (tid2, tdef)
@@ -2607,6 +2664,24 @@ def decode_binlog_bytes(
                 row["__image_seq"] = img_seq
                 img_seq += 1
                 out.append(row)
+        elif tc == EV_QUERY and schema_history is not None:
+            # public wire layout (same walk as binlog_bytes_ddl):
+            # thread_id u32, exec_time u32, db_len u8, error u16,
+            # status_vars_len u16 | status vars | db + NUL | statement
+            if len(body) < 13:
+                raise ValueError(
+                    f"truncated QUERY event at offset {event_seq}"
+                )
+            _tid, _ex, db_len, _err, sv_len = struct.unpack_from(
+                "<IIBHH", body, 0
+            )
+            qp = 13 + sv_len
+            qdb = body[qp : qp + db_len].decode("utf-8", "replace")
+            qp += db_len + 1  # NUL
+            stmt = body[qp:].decode("utf-8", "replace")
+            if stmt.strip().upper() not in ("BEGIN", "COMMIT", ""):
+                if schema_history.apply(stmt, default_db=qdb or None):
+                    _begin_generation()
         elif tc == EV_TRANSACTION_PAYLOAD:
             inner = _unwrap_transaction_payload(body, event_seq)
             # embedded events carry their own 19-byte headers but NO
@@ -2687,6 +2762,28 @@ def decode_binlog_bytes(
             f"{len(blob) - pos} trailing bytes after offset {pos} "
             "(partial event header)"
         )
+    if schema_history is not None and gen_segments:
+        # surface every closed generation's rows under the LATEST
+        # names: join old positions to latest positions on column
+        # identity (rename carries the value over, a dropped column's
+        # value is removed so it can't shadow a later same-named ADD)
+        latest = {
+            i: c.name
+            for c, i in zip(target_cols or (), cur_ids)
+        }
+        start = 0
+        for end, names, ids in gen_segments:
+            ren = {n: latest.get(i) for n, i in zip(names, ids)}
+            if any(k != v for k, v in ren.items()):
+                for r in out[start:end]:
+                    moved = {}
+                    for n, nn in ren.items():
+                        if n in r:
+                            v = r.pop(n)
+                            if nn is not None:
+                                moved[nn] = v
+                    r.update(moved)
+            start = end
     return out
 
 
@@ -5690,54 +5787,33 @@ def cdc_binlog_ddl_schema_decode(
     (sources/mysql_ddl.py) to replay CREATE+ALTER into the latest
     StructType — no user-declared schema, no binlog_row_metadata=FULL
     TLVs (the path MINIMAL-metadata and pre-8.0.1 binlogs need; the
-    inference twin of ``cdc_binlog_full_metadata_roundtrip``). Older-
-    generation TABLE_MAPs prefix-match the replayed schema exactly as
-    they do a declared one (added columns surface NULL). The DDL text
-    deliberately carries the traps a lazy parser trips on: quoted
-    identifiers, a quoted comma inside a COMMENT, DEFAULT literals,
-    PRIMARY KEY/INDEX clauses, a multi-op ALTER mixing ADD COLUMNs
-    with an ADD INDEX, ENGINE options. Any mis-parse misaligns the
-    positional decode and breaks the value hash (CHAR, ENUM, TIME(3)
-    with negative values all land in it). The reference cannot see
-    QUERY events at all (binlog_table_reader.cc:427-428)."""
+    inference twin of ``cdc_binlog_full_metadata_roundtrip``). THREE
+    generations stream through one log: the CREATE's layout, an ALTER
+    ADD COLUMN generation (older TABLE_MAPs prefix-match, added
+    columns surface NULL), and — the round-14 surface — an ALTER
+    mixing MODIFY COLUMN (decimal widened (12,2)→(14,4)), CHANGE
+    COLUMN (rename + retype) and RENAME COLUMN, which NO latest-schema
+    prefix match can decode: the reader carries a ``SchemaHistory``
+    through the walk (``decode_binlog_bytes(schema_history=...)``),
+    resolves each TABLE_MAP against the generation in effect, and
+    joins old positions to the latest names on column IDENTITY. The
+    DDL text deliberately carries the traps a lazy parser trips on:
+    quoted identifiers, a quoted comma inside a COMMENT, DEFAULT
+    literals, PRIMARY KEY/INDEX clauses, a multi-op ALTER mixing ADD
+    COLUMNs with an ADD INDEX, ENGINE options. Any mis-parse
+    misaligns the positional decode and breaks the value hash (CHAR,
+    ENUM, TIME(3) with negative values all land in it). The reference
+    cannot see QUERY events at all (binlog_table_reader.cc:427-428)."""
     import pandas as pd
 
     from pyspark.sql import functions as F
 
     from mysql_cdc_table_spark.operators._util import t
     from mysql_cdc_table_spark.sources.mysql_ddl import (
+        SchemaHistory,
         schema_from_ddl_history,
     )
 
-    old_target = T.StructType(
-        [
-            T.StructField("id", T.LongType()),
-            T.StructField("price", T.DecimalType(12, 2)),
-            T.StructField(
-                "flag",
-                T.StringType(),
-                metadata={"mysql_type": "char", "char_len": 2},
-            ),
-            T.StructField(
-                "note", T.StringType(), metadata={"mysql_type": "text"}
-            ),
-        ]
-    )
-    target = T.StructType(
-        list(old_target.fields)
-        + [
-            T.StructField(
-                "status",
-                T.StringType(),
-                metadata={"mysql_type": "enum", "values": ["F", "O", "P"]},
-            ),
-            T.StructField(
-                "took",
-                T.StringType(),
-                metadata={"mysql_type": "time", "fsp": 3},
-            ),
-        ]
-    )
     create_ddl = (
         "CREATE TABLE `tpch`.`orders` (\n"
         "  `id` BIGINT NOT NULL,\n"
@@ -5752,6 +5828,21 @@ def cdc_binlog_ddl_schema_decode(
         "ADD COLUMN `status` ENUM('F','O','P') NOT NULL, "
         "ADD COLUMN `took` TIME(3) NULL, "
         "ADD INDEX `i_status` (`status`)"
+    )
+    alter2_ddl = (
+        "ALTER TABLE `tpch`.`orders` "
+        "MODIFY COLUMN `price` DECIMAL(14,4), "
+        "CHANGE COLUMN `flag` `cflag` CHAR(2), "
+        "RENAME COLUMN `note` TO `memo`"
+    )
+    # the three generations' encode layouts come from the DDL itself —
+    # the same replay the decode side performs (a mis-parse would
+    # break encode and decode SYMMETRICALLY, which is why the value
+    # hash pins raw column expressions, not a roundtrip identity)
+    gen0 = schema_from_ddl_history([create_ddl], "tpch.orders")
+    gen1 = schema_from_ddl_history([create_ddl, alter_ddl], "tpch.orders")
+    target = schema_from_ddl_history(
+        [create_ddl, alter_ddl, alter2_ddl], "tpch.orders"
     )
     base = (
         t(spark, sf_dir, "orders")
@@ -5786,12 +5877,13 @@ def cdc_binlog_ddl_schema_decode(
         for pdf in batches:
             if pdf.empty:
                 continue
-            old_txns: list = [{"gno": 1, "ddl": create_ddl}]
-            new_txns: list = [{"gno": 2_000_000_000, "ddl": alter_ddl}]
+            txns0: list = [{"gno": 1, "ddl": create_ddl}]
+            txns1: list = [{"gno": 2, "ddl": alter_ddl}]
+            txns2: list = [{"gno": 3, "ddl": alter2_ddl}]
             for r in pdf.itertuples(index=False):
                 rid = int(r.id)
-                if rid % 2 == 0:  # pre-ALTER generation
-                    old_txns.append(
+                if rid % 3 == 0:  # CREATE generation
+                    txns0.append(
                         {
                             "gno": rid + 10,
                             "op": "w",
@@ -5801,8 +5893,8 @@ def cdc_binlog_ddl_schema_decode(
                             ],
                         }
                     )
-                else:
-                    new_txns.append(
+                elif rid % 3 == 1:  # post-ADD generation
+                    txns1.append(
                         {
                             "gno": rid + 10,
                             "op": "w",
@@ -5818,11 +5910,31 @@ def cdc_binlog_ddl_schema_decode(
                             ],
                         }
                     )
+                else:  # post-MODIFY/CHANGE/RENAME generation
+                    txns2.append(
+                        {
+                            "gno": rid + 10,
+                            "op": "w",
+                            "rows": [
+                                {
+                                    "id": rid,
+                                    "price": r.price,
+                                    "cflag": r.flag,
+                                    "memo": r.note,
+                                    "status": r.status,
+                                    "took": r.took,
+                                }
+                            ],
+                        }
+                    )
             blob = build_binlog_file(
-                "tpch", "orders", old_target, old_txns, checksum=True
+                "tpch", "orders", gen0, txns0, checksum=True
             )
             blob += build_binlog_file(
-                "tpch", "orders", target, new_txns, checksum=True
+                "tpch", "orders", gen1, txns1, checksum=True
+            )[4:]
+            blob += build_binlog_file(
+                "tpch", "orders", target, txns2, checksum=True
             )[4:]
             yield pd.DataFrame({"file_bytes": [blob]})
 
@@ -5835,23 +5947,29 @@ def cdc_binlog_ddl_schema_decode(
         for pdf in batches:
             for blob in pdf["file_bytes"]:
                 b = bytes(blob)
-                stmts = [r["statement"] for r in binlog_bytes_ddl(b)]
-                parsed = schema_from_ddl_history(stmts, "orders")
-                rows = decode_binlog_bytes(b, parsed, "tpch", "orders")
+                # ONE pass: the history folds as the walk streams past
+                # the Query events; per-generation TABLE_MAPs resolve
+                # against the layout in effect, rows surface under the
+                # latest names via column identity
+                hist = SchemaHistory("orders", database="tpch")
+                rows = decode_binlog_bytes(
+                    b, None, "tpch", "orders", schema_history=hist
+                )
                 yield pd.DataFrame(
                     {n: [r.get(n) for r in rows] for n in names}
                 )
 
     decoded = files.mapInPandas(decode, schema=out_schema)
-    post = F.col("status").isNotNull()
-    return decoded.groupBy(post.alias("post_alter")).agg(
+    return decoded.groupBy(
+        (F.col("id") % 3).cast("long").alias("gen")
+    ).agg(
         F.count("*").alias("n_rows"),
         F.sum((F.col("price") * 100).cast("long")).alias("cents_sum"),
         F.sum(
-            (F.ascii("flag") * 256 + F.ascii(F.substring("flag", 2, 1)))
+            (F.ascii("cflag") * 256 + F.ascii(F.substring("cflag", 2, 1)))
             .cast("long")
         ).alias("flag_ord_sum"),
-        F.sum(F.length("note").cast("long")).alias("note_len_sum"),
+        F.sum(F.length("memo").cast("long")).alias("note_len_sum"),
         F.sum(
             F.expr(
                 "if(startswith(took, '-'), -1, 1) * ("
@@ -5869,14 +5987,14 @@ def cdc_binlog_ddl_schema_decode(
 
 
 CDC_BINLOG_DDL_SCHEMA_DECODE_SQL = """
-SELECT (o_orderkey % 2 = 1) AS post_alter,
+SELECT CAST(o_orderkey % 3 AS BIGINT) AS gen,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(o_orderkey % 100000) AS BIGINT) AS cents_sum,
        CAST(sum((65 + o_orderkey % 26) * 256 + 65 + (o_orderkey // 26) % 26)
             AS BIGINT) AS flag_ord_sum,
        CAST(sum(o_orderkey % 37 + 1 + length(CAST(o_orderkey AS VARCHAR)))
             AS BIGINT) AS note_len_sum,
-       CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN
+       CAST(sum(CASE WHEN o_orderkey % 3 <> 0 THEN
            (CASE WHEN o_orderkey % 7 = 0 THEN -1 ELSE 1 END) * (
                (o_orderkey % 120) * 3600000
              + (o_orderkey % 60) * 60000

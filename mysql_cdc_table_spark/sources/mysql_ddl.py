@@ -372,7 +372,10 @@ def _pop_position(rest: str) -> tuple[str, str | None]:
 def _insert_at(fields: list, fld, pos: str | None, replace_idx: int | None):
     """Place fld per MySQL's positioning rules: FIRST / AFTER <col>
     reposition; no clause keeps the column in place (MODIFY/CHANGE) or
-    appends (ADD, replace_idx=None)."""
+    appends (ADD, replace_idx=None). Entries are ``(StructField, id)``
+    pairs — the id is the column's IDENTITY, stable across
+    MODIFY/CHANGE/RENAME, which is what lets a multi-generation decode
+    surface an old generation's values under the latest names."""
     if pos is None:
         if replace_idx is None:
             fields.append(fld)
@@ -384,7 +387,7 @@ def _insert_at(fields: list, fld, pos: str | None, replace_idx: int | None):
         return
     anchor = _strip_quotes(pos.split(None, 1)[1])
     idx = next(
-        (i for i, f0 in enumerate(fields) if f0.name == anchor), None
+        (i for i, f0 in enumerate(fields) if f0[0].name == anchor), None
     )
     if idx is None:
         raise ValueError(f"ALTER ... AFTER {anchor!r}: no such column")
@@ -404,10 +407,22 @@ def apply_mysql_alter(
     exactly what replaying these ops into the decode schema gives a
     reader (the reference gets this free from the live data
     dictionary, Field::unpack via binlog_table_reader.cc:151-156)."""
+    pairs = [(f, i) for i, f in enumerate(schema.fields)]
+    pairs, _ = _apply_alter_pairs(pairs, ddl, default_charset, len(pairs))
+    return T.StructType([f for f, _ in pairs])
+
+
+def _apply_alter_pairs(
+    pairs: list, ddl: str, default_charset: str, next_id: int
+) -> tuple[list, int]:
+    """apply_mysql_alter's engine over ``(StructField, id)`` pairs.
+    ADD allocates a fresh id; MODIFY/CHANGE/RENAME keep the column's
+    id (MySQL rewrites the field in place — same column, new surface);
+    DROP retires the id. Returns (new pairs, next unallocated id)."""
     m = _ALTER_RE.match(ddl.strip().rstrip(";"))
     if not m:
         raise ValueError(f"not an ALTER TABLE statement: {ddl[:80]!r}")
-    fields = list(schema.fields)
+    fields = list(pairs)
     for op in _split_top_level(m.group("ops")):
         toks = op.split()
         verb = toks[0].lower()
@@ -427,7 +442,8 @@ def apply_mysql_alter(
             fld = _field_from_type(
                 _strip_quotes(ctoks[0]), ctoks[1], default_charset
             )
-            _insert_at(fields, fld, pos, None)
+            _insert_at(fields, (fld, next_id), pos, None)
+            next_id += 1
         elif verb == "drop":
             rest = op[len(toks[0]):].strip()
             if rest.lower().startswith("column"):
@@ -437,7 +453,7 @@ def apply_mysql_alter(
                 continue
             col = _strip_quotes(rest.split(None, 1)[0])
             before = len(fields)
-            fields = [f0 for f0 in fields if f0.name != col]
+            fields = [f0 for f0 in fields if f0[0].name != col]
             if len(fields) == before:
                 raise ValueError(f"ALTER DROP COLUMN {col!r}: no such column")
         elif verb in ("modify", "change"):
@@ -460,15 +476,17 @@ def apply_mysql_alter(
                 old, new = _strip_quotes(ctoks[0]), _strip_quotes(ctoks[1])
                 type_sql = ctoks[2]
             idx = next(
-                (i for i, f0 in enumerate(fields) if f0.name == old), None
+                (i for i, f0 in enumerate(fields) if f0[0].name == old),
+                None,
             )
             if idx is None:
                 raise ValueError(
                     f"ALTER {verb.upper()} {old!r}: no such column"
                 )
             fld = _field_from_type(new, type_sql, default_charset)
+            keep_id = fields[idx][1]  # same column identity, new surface
             del fields[idx]
-            _insert_at(fields, fld, pos, idx)
+            _insert_at(fields, (fld, keep_id), pos, idx)
         elif verb == "rename":
             rest = op[len(toks[0]):].strip()
             head = rest.split(None, 1)[0].lower() if rest else ""
@@ -485,16 +503,19 @@ def apply_mysql_alter(
                 old = _strip_quotes(rm.group("old"))
                 new = _strip_quotes(rm.group("new"))
                 idx = next(
-                    (i for i, f0 in enumerate(fields) if f0.name == old),
+                    (i for i, f0 in enumerate(fields) if f0[0].name == old),
                     None,
                 )
                 if idx is None:
                     raise ValueError(
                         f"ALTER RENAME COLUMN {old!r}: no such column"
                     )
-                f0 = fields[idx]
-                fields[idx] = T.StructField(
-                    new, f0.dataType, f0.nullable, metadata=f0.metadata
+                f0, fid = fields[idx]
+                fields[idx] = (
+                    T.StructField(
+                        new, f0.dataType, f0.nullable, metadata=f0.metadata
+                    ),
+                    fid,
                 )
             elif head in ("index", "key"):
                 continue  # RENAME INDEX: no row-layout change
@@ -508,7 +529,105 @@ def apply_mysql_alter(
             # table options (ENGINE=, AUTO_INCREMENT=, comment...) —
             # no layout change
             continue
-    return T.StructType(fields)
+    return fields, next_id
+
+
+class SchemaHistory:
+    """Stateful fold of ONE table's DDL history with column identities
+    — the object a multi-generation binlog decode carries alongside
+    the event walk (``decode_binlog_bytes(..., schema_history=...)``).
+
+    ``apply(statement)`` replays a CREATE/ALTER when it names the
+    tracked table (bare or db-qualified match, same rules as
+    ``schema_from_ddl_history``) and returns True when the row layout
+    changed — the reader's cue to rebuild its TABLE_MAP resolution.
+    ``schema`` is the current generation's StructType; ``ids`` the
+    parallel column-identity tuple. An id is allocated by CREATE /
+    ADD COLUMN and survives MODIFY/CHANGE/RENAME, so two generations'
+    positions can be joined on identity to surface an old generation's
+    values under the LATEST names (Debezium's schema-history contract;
+    the reference cannot do any of this — it default-skips QUERY
+    events, binlog_table_reader.cc:427-428)."""
+
+    def __init__(self, table: str, database: str | None = None):
+        self._want = (
+            f"{database}.{table}".lower() if database else table.lower()
+        )
+        self._qualified = "." in self._want
+        self._pairs: list | None = None
+        self._charset = "utf8mb4"
+        self.generation = 0  # bumps on every layout change
+        self._next_id = 0  # never reused: a mid-stream re-CREATE must
+        # not inherit the dropped table's identities
+
+    def _matches(self, name: str, default_db: str | None = None) -> bool:
+        # A db-qualified request must match exactly — bare-suffix
+        # matching would let a same-named table in ANOTHER database
+        # silently overwrite the tracked schema (advisor finding,
+        # round 13). Suffix matching applies only to unqualified
+        # requests (a single-database history). ``default_db`` is the
+        # Query event's session database — a real server logs
+        # unqualified DDL plus the db it ran against, so the reader
+        # qualifies with it before comparing.
+        low = name.lower()
+        if self._qualified:
+            if "." not in low and default_db:
+                low = f"{default_db.lower()}.{low}"
+            return low == self._want
+        return low.split(".")[-1] == self._want
+
+    @property
+    def schema(self) -> T.StructType | None:
+        if self._pairs is None:
+            return None
+        return T.StructType([f for f, _ in self._pairs])
+
+    @property
+    def ids(self) -> tuple[int, ...]:
+        return tuple(i for _, i in self._pairs or ())
+
+    @property
+    def names(self) -> tuple[str, ...]:
+        return tuple(f.name for f, _ in self._pairs or ())
+
+    def apply(self, statement: str, default_db: str | None = None) -> bool:
+        s = statement.strip()
+        low = s.lower()
+        if low.startswith("create table"):
+            name, sch, cs = _parse_create_full(s)
+            if not self._matches(name, default_db):
+                return False
+            self._pairs = [
+                (f, self._next_id + i) for i, f in enumerate(sch.fields)
+            ]
+            self._next_id += len(sch.fields)
+            self._charset = cs
+            self.generation += 1
+            return True
+        if low.startswith("alter table"):
+            m = _ALTER_RE.match(s.rstrip(";"))
+            if not m or not self._matches(
+                ".".join(
+                    _strip_quotes(p)
+                    for p in re.split(r"\s*\.\s*", m.group("name"))
+                ),
+                default_db,
+            ):
+                return False
+            if self._pairs is None:
+                raise ValueError(
+                    f"ALTER before CREATE for table {self._want!r} in "
+                    "the DDL history"
+                )
+            new_pairs, self._next_id = _apply_alter_pairs(
+                list(self._pairs), s, self._charset, self._next_id
+            )
+            changed = new_pairs != self._pairs
+            self._pairs = new_pairs
+            if changed:
+                self.generation += 1
+            return changed
+        return False  # BEGIN/COMMIT/DML/other framing
 
 
 def schema_from_ddl_history(
@@ -516,46 +635,15 @@ def schema_from_ddl_history(
 ) -> T.StructType:
     """Fold an ordered DDL statement list into the LATEST schema of
     one table (bare or db-qualified name match). BEGIN/COMMIT and
-    other tables' DDL are ignored; decoding with the latest schema
-    rides the reader's existing generation handling (older TABLE_MAPs
-    prefix-match, added columns surface as NULL)."""
-    schema: T.StructType | None = None
-    charset = "utf8mb4"
-    want = table.lower()
-    qualified = "." in want
-
-    def _matches(name: str) -> bool:
-        # A db-qualified request must match exactly — bare-suffix
-        # matching would let a same-named table in ANOTHER database
-        # silently overwrite the tracked schema (advisor finding,
-        # round 13). Suffix matching applies only to unqualified
-        # requests (a single-database history).
-        low = name.lower()
-        if qualified:
-            return low == want
-        return low.split(".")[-1] == want
-
+    other tables' DDL are ignored. Decoding with the latest schema
+    rides the reader's prefix generation handling for ADD-COLUMN
+    histories; a history carrying MODIFY/CHANGE/RENAME needs the
+    per-generation resolution of ``SchemaHistory`` +
+    ``decode_binlog_bytes(schema_history=...)``."""
+    hist = SchemaHistory(table)
     for stmt in statements:
-        s = stmt.strip()
-        low = s.lower()
-        if low.startswith("create table"):
-            name, sch, cs = _parse_create_full(s)
-            if _matches(name):
-                schema, charset = sch, cs
-        elif low.startswith("alter table"):
-            m = _ALTER_RE.match(s.rstrip(";"))
-            if m and _matches(
-                ".".join(
-                    _strip_quotes(p)
-                    for p in re.split(r"\s*\.\s*", m.group("name"))
-                )
-            ):
-                if schema is None:
-                    raise ValueError(
-                        f"ALTER before CREATE for table {table!r} in the "
-                        "DDL history"
-                    )
-                schema = apply_mysql_alter(schema, s, charset)
+        hist.apply(stmt)
+    schema = hist.schema
     if schema is None:
         raise ValueError(f"no CREATE TABLE for {table!r} in the DDL history")
     return schema

@@ -231,3 +231,104 @@ def test_ddl_modify_change_rename_replay_decodes_mid_stream():
     )
     (got0,) = decode_binlog_bytes(blob0, old, "d", "t")
     assert got0["amt"] == 5 and got0["tag"] == "before"
+
+
+def test_schema_history_mixed_stream_decode():
+    """ONE blob, three generations: CREATE -> rows -> ALTER
+    ADD+DROP -> rows -> ALTER MODIFY/CHANGE/RENAME -> rows. The
+    schema_history walk resolves each generation's TABLE_MAP against
+    the layout in effect and surfaces every row under the LATEST
+    names via column identity."""
+    from mysql_cdc_table_spark.sources.mysql_ddl import SchemaHistory
+
+    create = (
+        "CREATE TABLE `d`.`t` (id BIGINT, amt INT, tag VARCHAR(10), "
+        "gone INT)"
+    )
+    alter1 = "ALTER TABLE `d`.`t` ADD COLUMN note TEXT, DROP COLUMN gone"
+    alter2 = (
+        "ALTER TABLE `d`.`t` MODIFY COLUMN amt BIGINT, "
+        "CHANGE COLUMN tag label VARCHAR(20), RENAME COLUMN note TO memo"
+    )
+    g0 = schema_from_ddl_history([create], "t")
+    g1 = schema_from_ddl_history([create, alter1], "t")
+    g2 = schema_from_ddl_history([create, alter1, alter2], "t")
+    blob = build_binlog_file("d", "t", g0, [
+        {"gno": 1, "ddl": create},
+        {"gno": 11, "op": "w",
+         "rows": [{"id": 1, "amt": 5, "tag": "a", "gone": 9}]},
+    ])
+    blob += build_binlog_file("d", "t", g1, [
+        {"gno": 2, "ddl": alter1},
+        {"gno": 12, "op": "w",
+         "rows": [{"id": 2, "amt": 6, "tag": "b", "note": "n2"}]},
+    ])[4:]
+    blob += build_binlog_file("d", "t", g2, [
+        {"gno": 3, "ddl": alter2},
+        {"gno": 13, "op": "w",
+         "rows": [{"id": 3, "amt": 1 << 40, "label": "c", "memo": "n3"}]},
+    ])[4:]
+    hist = SchemaHistory("t", database="d")
+    rows = decode_binlog_bytes(blob, None, "d", "t", schema_history=hist)
+    got = {r["id"]: r for r in rows}
+    assert len(got) == 3
+    # gen-0: tag -> label (CHANGE identity), gone dropped, memo absent
+    assert got[1]["label"] == "a" and got[1]["amt"] == 5
+    assert "gone" not in got[1] and got[1].get("memo") is None
+    # gen-1: note -> memo (RENAME identity)
+    assert got[2]["memo"] == "n2" and got[2]["label"] == "b"
+    # gen-2 decodes natively, MODIFY widened type carries 2^40
+    assert got[3]["amt"] == 1 << 40 and got[3]["memo"] == "n3"
+
+
+def test_schema_history_recreate_does_not_shadow_dropped_column():
+    """DROP COLUMN then ADD COLUMN with the SAME name is a NEW
+    identity: an old generation's value must not leak into the
+    re-added column (ids are allocated monotonically, never reused)."""
+    from mysql_cdc_table_spark.sources.mysql_ddl import SchemaHistory
+
+    create = "CREATE TABLE d.t (id BIGINT, x INT)"
+    alter1 = "ALTER TABLE d.t DROP COLUMN x"
+    alter2 = "ALTER TABLE d.t ADD COLUMN x INT"
+    g0 = schema_from_ddl_history([create], "t")
+    g1 = schema_from_ddl_history([create, alter1], "t")
+    g2 = schema_from_ddl_history([create, alter1, alter2], "t")
+    blob = build_binlog_file("d", "t", g0, [
+        {"gno": 1, "ddl": create},
+        {"gno": 11, "op": "w", "rows": [{"id": 1, "x": 111}]},
+    ])
+    blob += build_binlog_file("d", "t", g1, [
+        {"gno": 2, "ddl": alter1},
+        {"gno": 12, "op": "w", "rows": [{"id": 2}]},
+    ])[4:]
+    blob += build_binlog_file("d", "t", g2, [
+        {"gno": 3, "ddl": alter2},
+        {"gno": 13, "op": "w", "rows": [{"id": 3, "x": 333}]},
+    ])[4:]
+    hist = SchemaHistory("t", database="d")
+    rows = decode_binlog_bytes(blob, None, "d", "t", schema_history=hist)
+    got = {r["id"]: r for r in rows}
+    assert got[1].get("x") is None  # old x retired with its identity
+    assert got[2].get("x") is None
+    assert got[3]["x"] == 333
+
+
+def test_schema_history_guards():
+    """history mode is whole-file scalar-walk only, and a TABLE_MAP
+    before any CREATE raises pointedly."""
+    from mysql_cdc_table_spark.sources.mysql_ddl import SchemaHistory
+
+    sch = T.StructType([T.StructField("id", T.LongType())])
+    blob = build_binlog_file(
+        "d", "t", sch,
+        [{"gno": 1, "op": "w", "rows": [{"id": 1}]}],
+    )
+    with pytest.raises(ValueError, match="before any[\\s\\S]*CREATE"):
+        decode_binlog_bytes(
+            blob, None, "d", "t", schema_history=SchemaHistory("t", database="d")
+        )
+    with pytest.raises(ValueError, match="mid-file range"):
+        decode_binlog_bytes(
+            blob, sch, "d", "t",
+            schema_history=SchemaHistory("t"), init_state={},
+        )
