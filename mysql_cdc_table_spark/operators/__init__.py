@@ -57,6 +57,7 @@ _MODULES = (
     "mysql_cdc_table_spark.operators.round12",
     "mysql_cdc_table_spark.operators.round12b",
     "mysql_cdc_table_spark.operators.round13",
+    "mysql_cdc_table_spark.operators.round14",
     "mysql_cdc_table_spark.operators.late",
 )
 
@@ -734,7 +735,13 @@ ROUND14_REVERIFY: tuple[str, ...] = (
 
 # Late-registration tail for round 14 (same pinned-behind protocol):
 # keys registered after the front budget fills; they lead round 15.
-ROUND14_LATE_KEYS: tuple[str, ...] = ()
+ROUND14_LATE_KEYS: tuple[str, ...] = (
+    # histogram CONSUMERS (operators/round14.py): the optimizer-side
+    # selectivity estimate over the equi-height buckets, and the
+    # Z-order box probe that closes the clustering-key loop
+    "stats_selectivity_estimate",
+    "zorder_point_probe",
+)
 
 
 def _last_seen_rounds() -> dict[str, int]:

@@ -1,0 +1,350 @@
+"""Round-14 operators: histogram CONSUMERS.
+
+Round 13 built the equi-height column histograms MySQL's ANALYZE
+produces (``stats_column_histogram``); this round adds what the server
+builds them FOR:
+
+- ``stats_selectivity_estimate`` — the optimizer's selectivity math:
+  estimate a range predicate's row fraction from the K-bucket
+  histogram (complete buckets count fully, the boundary bucket
+  interpolates linearly on the value range) and compare against the
+  exact answer. This is the surface behind MySQL's histogram-based
+  ``records_in_range`` — the very call the reference stubs to a
+  constant 10 (``binlogdb.cc:803-806``), so a real engine needs
+  exactly this consumer.
+- ``zorder_point_probe`` — the PROBE side of the Z-order clustering
+  key (``sort_zorder_layout`` proved the layout; this closes the loop
+  from "clustering key exists" to "a point/box lookup uses it"): a
+  2-D box predicate resolves to the bounded set of z-buckets its
+  quantized cells interleave into, the probe reads ONLY those
+  partitions of the persisted store, and a residual filter finishes
+  the job exactly. The reference's secondary-index path is dead code
+  (``binlogdb.cc:396-461`` advertises HA_READ orders it never
+  serves); this is the Spark-native answer to the same need.
+
+All math is integer-exact and shared between engines (Spark ``DIV``
+== DuckDB ``//``, both truncate toward zero on nonnegative operands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_cdc_table_spark.operators._util import t
+from mysql_cdc_table_spark.operators.round13 import (
+    HIST_BUCKETS,
+    _hist_one_column,
+)
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# --- selectivity estimation from the equi-height histogram -------------------
+
+_SEL_PROBES = 9  # k = 0..8 -> c_k spans [gmin, gmax] in eighths
+
+
+def stats_selectivity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based selectivity of ``val <= c`` for a grid of probe
+    constants, vs the exact count — the optimizer consumer of
+    ``stats_column_histogram``'s buckets.
+
+    Estimate rule (MySQL's equi-height read path, integer-exact here):
+    a bucket with ``max_val <= c`` contributes all its rows; the
+    bucket containing ``c`` interpolates linearly on the CLOSED value
+    range, ``n_rows * (c - min_val + 1) DIV (max_val - min_val + 1)``
+    (scaled x1000 so the division happens once, identically in both
+    engines); later buckets contribute nothing. Probe constants are
+    data-derived (eighths of the [min, max] span) so the key exercises
+    boundary buckets at every scale.
+
+    Shape: the histogram build is round 13's two-level distributed
+    rank; the estimate is a (K x 9)-cell grid computation; the exact
+    side is ONE data scan with 9 conditional map-side-combinable sums
+    (no 9x row expansion). Nothing here grows with data size except
+    the two scans a real ANALYZE-plus-verify would also make."""
+    o = t(spark, sf_dir, "orders")
+    vals = o.select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("val"),
+        F.col("o_orderkey").alias("rid"),
+    )
+    hist = _hist_one_column(vals, "cents")
+    mm = vals.agg(
+        F.min("val").cast("long").alias("gmin"),
+        F.max("val").cast("long").alias("gmax"),
+    )
+    probes = mm.selectExpr(
+        f"explode(sequence(0L, {_SEL_PROBES - 1}L)) AS k", "gmin", "gmax"
+    ).selectExpr(
+        "k",
+        f"gmin + (gmax - gmin) * k DIV {_SEL_PROBES - 1} AS c",
+    )
+    est = (
+        hist.crossJoin(F.broadcast(probes))  # K x 9 grid, never data-sized
+        .selectExpr(
+            "k",
+            "c",
+            "CASE WHEN max_val <= c THEN n_rows * 1000 "
+            "WHEN min_val <= c THEN "
+            "  (n_rows * (c - min_val + 1) * 1000) "
+            "    DIV (max_val - min_val + 1) "
+            "ELSE 0 END AS contrib",
+        )
+        .groupBy("k", "c")
+        .agg(F.sum("contrib").cast("long").alias("est_rows_x1000"))
+    )
+    # exact side: one scan, 9 conditional sums (map-side combine), then
+    # a stack of the 1-row wide result into the probe grid
+    joined = vals.crossJoin(F.broadcast(mm))
+    aggs = [
+        F.sum(
+            F.expr(
+                f"CASE WHEN val <= gmin + (gmax - gmin) * {k} "
+                f"DIV {_SEL_PROBES - 1} THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias(f"a_{k}")
+        for k in range(_SEL_PROBES)
+    ]
+    wide = joined.agg(*aggs)
+    stack_args = ", ".join(f"{k}L, a_{k}" for k in range(_SEL_PROBES))
+    actual = wide.selectExpr(
+        f"stack({_SEL_PROBES}, {stack_args}) AS (k, actual_rows)"
+    )
+    return (
+        est.join(actual, "k")
+        .selectExpr(
+            "CAST(k AS BIGINT) AS k",
+            "CAST(c AS BIGINT) AS c",
+            "CAST(actual_rows AS BIGINT) AS actual_rows",
+            "CAST(est_rows_x1000 AS BIGINT) AS est_rows_x1000",
+            "CAST(abs(est_rows_x1000 - actual_rows * 1000) AS BIGINT)"
+            " AS err_x1000",
+        )
+        .orderBy("k")
+    )
+
+
+STATS_SELECTIVITY_ESTIMATE_SQL = f"""
+WITH vals AS (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS val,
+         o_orderkey AS rid
+  FROM orders
+),
+mm AS (SELECT min(val) AS gmin, max(val) AS gmax FROM vals),
+probes AS (
+  SELECT r.k AS k,
+         gmin + (gmax - gmin) * r.k // {_SEL_PROBES - 1} AS c
+  FROM mm, range({_SEL_PROBES}) AS r(k)
+),
+bucketed AS (
+  SELECT val,
+         ((row_number() OVER (ORDER BY val, rid) - 1) * {HIST_BUCKETS})
+             // count(*) OVER () AS bucket
+  FROM vals
+),
+hist AS (
+  SELECT bucket, count(*) AS n_rows,
+         min(val) AS min_val, max(val) AS max_val
+  FROM bucketed GROUP BY bucket
+),
+est AS (
+  SELECT p.k, p.c,
+         CAST(sum(CASE WHEN h.max_val <= p.c THEN h.n_rows * 1000
+                       WHEN h.min_val <= p.c THEN
+                         (h.n_rows * (p.c - h.min_val + 1) * 1000)
+                             // (h.max_val - h.min_val + 1)
+                       ELSE 0 END) AS BIGINT) AS est_rows_x1000
+  FROM hist h CROSS JOIN probes p GROUP BY p.k, p.c
+),
+act AS (
+  SELECT p.k,
+         CAST(sum(CASE WHEN v.val <= p.c THEN 1 ELSE 0 END) AS BIGINT)
+           AS actual_rows
+  FROM vals v CROSS JOIN probes p GROUP BY p.k
+)
+SELECT CAST(e.k AS BIGINT) AS k,
+       CAST(e.c AS BIGINT) AS c,
+       a.actual_rows,
+       e.est_rows_x1000,
+       CAST(abs(e.est_rows_x1000 - a.actual_rows * 1000) AS BIGINT)
+         AS err_x1000
+FROM est e JOIN act a ON a.k = e.k
+ORDER BY e.k
+"""
+
+
+# --- Z-order point/box probe over the persisted clustered store -------------
+
+_ZSTORE_FORMAT = "v1"
+
+
+def zorder_store_dir(sf_dir: str) -> str:
+    """Deterministic on-disk location for one dataset's z-ordered
+    store — same keying convention as ``ivf_index_dir``."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{_ZSTORE_FORMAT}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"zorder_store_{tag}")
+
+
+def persist_zorder_store(
+    spark: SparkSession, sf_dir: str, store_dir: str
+) -> None:
+    """Write orders clustered by the Z-order key, PARTITIONED BY its
+    top byte (``zbucket``) — the storage layout a 2-D probe prunes:
+
+    - ``rows/`` — (custkey, odate, cents, zkey) partitioned by
+      zbucket; repartitionByRange(zkey) + sortWithinPartitions keeps
+      each output task writing a handful of adjacent bucket dirs and
+      the rows inside each file z-ordered (parquet min/max row-group
+      stats then prune WITHIN a bucket too);
+    - ``meta/`` — the 1-row quantization scalar (maxck) a probe needs
+      to map box coordinates onto the stored grid without scanning.
+
+    Same stage-then-rename swap as the IVF index: a reader never sees
+    a half-written store, a lost race keeps the winner's copy. The
+    quantization is ``sort_zorder_layout``'s exactly (8-bit grids,
+    integer DIV), so the layout the benchmark key proved is the layout
+    this store persists."""
+    import uuid
+
+    from mysql_cdc_table_spark.operators.round12b import _zorder_expr
+    from mysql_cdc_table_spark.sources import fs as _hfs
+
+    o = t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_custkey").cast("long").alias("maxck"))
+    zx = _zorder_expr("xb", "yb")
+    rows = (
+        o.crossJoin(F.broadcast(mx))
+        .selectExpr(
+            "CAST(o_custkey AS BIGINT) AS custkey",
+            "CAST(o_orderdate AS DATE) AS odate",
+            "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents",
+            "least(255, o_custkey * 256 DIV (maxck + 1)) AS xb",
+            "least(255, CAST(datediff(o_orderdate, DATE '1992-01-01')"
+            " AS BIGINT) * 256 DIV 2500) AS yb",
+        )
+        .selectExpr(
+            "custkey", "odate", "cents",
+            f"CAST({zx} AS BIGINT) AS zkey",
+            f"CAST(({zx}) >> 8 AS BIGINT) AS zbucket",
+        )
+    )
+    staging = f"{store_dir}.staging-{uuid.uuid4().hex[:12]}"
+    (
+        rows.repartitionByRange(32, "zkey")
+        .sortWithinPartitions("zkey")
+        .write.mode("overwrite")
+        .partitionBy("zbucket")
+        .parquet(staging + "/rows")
+    )
+    mx.coalesce(1).write.mode("overwrite").parquet(staging + "/meta")
+    if _hfs.exists(spark, store_dir):
+        _hfs.delete(spark, staging)  # lost the race: winner's copy stands
+        return
+    try:
+        _hfs.rename(spark, staging, store_dir)
+    except Exception:
+        _hfs.delete(spark, staging)
+        if not _hfs.exists(spark, store_dir):
+            raise
+
+
+def zorder_point_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Answer a 2-D box predicate THROUGH the z-ordered store: the box
+    (custkey in [3/10, 4/10] of the key space x H1-1994 order dates)
+    quantizes to a bounded cell grid, the grid's cells interleave to
+    the candidate z-buckets (a <=256-row collect, the IVF-probe
+    convention: bounded driver scalar pushed as a PARTITION filter),
+    the scan reads only those bucket directories, and the residual box
+    filter on the stored coordinates finishes exactly. Quantization is
+    monotonic, so the candidate set is a SUPERSET of every bucket a
+    box row can live in — pruning can drop only non-matching rows
+    (pytest proves both the superset property and that the pruned scan
+    touches a fraction of the store's files).
+
+    At 100 TB: zbucket is the storage partition key; the probe's cost
+    is candidate-buckets/256 of the store plus footer-pruned row
+    groups inside each — the point-lookup economics the reference's
+    dead index path (binlogdb.cc:396-461) advertises but never serves.
+    The oracle is the direct box aggregate over orders — the probe
+    must be EXACTLY that, or the pruning dropped real rows."""
+    from mysql_cdc_table_spark.operators.round12b import _zorder_expr
+    from mysql_cdc_table_spark.sources import fs as _hfs
+
+    store = zorder_store_dir(sf_dir)
+    if not _hfs.exists(spark, store):
+        persist_zorder_store(spark, sf_dir, store)
+    meta = spark.read.parquet(store + "/meta")
+    zx = _zorder_expr("xb", "yb")
+    # candidate buckets: quantize the box corners with the STORED
+    # scalar, explode the closed cell grid, interleave — all on the
+    # 1-row meta singleton, never on data
+    cells = meta.selectExpr(
+        "maxck",
+        "maxck * 3 DIV 10 AS cklo",
+        "maxck * 4 DIV 10 AS ckhi",
+    ).selectExpr(
+        "explode(sequence(least(255, cklo * 256 DIV (maxck + 1)),"
+        " least(255, ckhi * 256 DIV (maxck + 1)))) AS xb",
+        "sequence("
+        " least(255, CAST(datediff(DATE '1994-01-01', DATE '1992-01-01')"
+        "   AS BIGINT) * 256 DIV 2500),"
+        " least(255, CAST(datediff(DATE '1994-06-30', DATE '1992-01-01')"
+        "   AS BIGINT) * 256 DIV 2500)) AS ybs",
+    ).selectExpr("xb", "explode(ybs) AS yb")
+    buckets = sorted(
+        r[0]
+        for r in cells.selectExpr(f"CAST(({zx}) >> 8 AS BIGINT) AS zb")
+        .distinct()
+        .collect()  # bounded: <=256 buckets exist in the whole space
+    )
+    rows = spark.read.parquet(store + "/rows")
+    cklo, ckhi = meta.selectExpr(
+        "maxck * 3 DIV 10", "maxck * 4 DIV 10"
+    ).first()
+    probe = rows.where(
+        F.col("zbucket").isin(buckets)  # partition-directory pruning
+        & F.col("custkey").between(int(cklo), int(ckhi))
+        & F.col("odate").between("1994-01-01", "1994-06-30")
+    )
+    return probe.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+        F.sum("custkey").cast("long").alias("custkey_sum"),
+    )
+
+
+ZORDER_POINT_PROBE_SQL = """
+WITH mx AS (SELECT CAST(max(o_custkey) AS BIGINT) AS maxck FROM orders)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_sum,
+       CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+FROM orders, mx
+WHERE o_custkey BETWEEN maxck * 3 // 10 AND maxck * 4 // 10
+  AND CAST(o_orderdate AS DATE)
+        BETWEEN DATE '1994-01-01' AND DATE '1994-06-30'
+"""
+
+
+QUERIES.update(
+    {
+        "stats_selectivity_estimate": stats_selectivity_estimate,
+        "zorder_point_probe": zorder_point_probe,
+    }
+)
+ORACLES.update(
+    {
+        "stats_selectivity_estimate": STATS_SELECTIVITY_ESTIMATE_SQL,
+        "zorder_point_probe": ZORDER_POINT_PROBE_SQL,
+    }
+)

@@ -332,3 +332,102 @@ def test_schema_history_guards():
             blob, sch, "d", "t",
             schema_history=SchemaHistory("t"), init_state={},
         )
+
+
+# --- round-14 operators: histogram consumers --------------------------------
+
+
+def test_selectivity_estimate_bounds(spark):
+    """Endpoint probes are EXACT (c = gmax covers every bucket fully;
+    c = gmin can only touch the first bucket), estimates are monotone
+    in c, and every estimate stays within [0, total]."""
+    from conftest import SF_SMOKE
+    from mysql_cdc_table_spark.operators.round14 import (
+        stats_selectivity_estimate,
+    )
+
+    rows = stats_selectivity_estimate(spark, SF_SMOKE).collect()
+    assert [r["k"] for r in rows] == list(range(9))
+    total = max(r["actual_rows"] for r in rows)
+    last = rows[-1]
+    assert last["actual_rows"] == total
+    assert last["est_rows_x1000"] == total * 1000  # full coverage exact
+    ests = [r["est_rows_x1000"] for r in rows]
+    assert ests == sorted(ests)  # monotone in c
+    for r in rows:
+        assert 0 <= r["est_rows_x1000"] <= total * 1000
+        # equi-height interpolation error is bounded by ~2 buckets
+        assert r["err_x1000"] <= 2 * (total * 1000) // 8 + 1000
+
+
+def test_zorder_probe_prunes_and_matches_direct(spark, tmp_path, monkeypatch):
+    """The probe's candidate buckets are a strict subset of the store's
+    partitions (directory pruning is real), and the pruned+filtered
+    answer equals the direct box aggregate over orders."""
+    import os as _os
+
+    from conftest import SF_CORRECTNESS
+    from pyspark.sql import functions as F
+    from mysql_cdc_table_spark.operators import round14 as r14
+    from mysql_cdc_table_spark.catalog import load_table
+
+    if not _os.path.isdir(SF_CORRECTNESS):
+        pytest.skip(f"{SF_CORRECTNESS} not present")
+    store = str(tmp_path / "zstore")
+    monkeypatch.setattr(r14, "zorder_store_dir", lambda _sf: store)
+    got = r14.zorder_point_probe(spark, SF_CORRECTNESS).collect()[0]
+
+    o = load_table(spark, SF_CORRECTNESS, "orders")
+    maxck = o.agg(F.max("o_custkey").cast("long")).first()[0]
+    direct = (
+        o.where(
+            F.col("o_custkey").between(maxck * 3 // 10, maxck * 4 // 10)
+            & F.col("o_orderdate").between("1994-01-01", "1994-06-30")
+        )
+        .agg(
+            F.count("*").cast("long"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).cast("long"),
+            F.sum("o_custkey").cast("long"),
+        )
+        .collect()[0]
+    )
+    assert tuple(got) == tuple(direct)
+
+    # pruning proof: the probe touches a minority of the store's files
+    all_dirs = [
+        d for d in _os.listdir(store + "/rows") if d.startswith("zbucket=")
+    ]
+    rows = spark.read.parquet(store + "/rows")
+    total_files = rows.select(F.input_file_name()).distinct().count()
+    from pyspark.sql import functions as _F
+
+    meta = spark.read.parquet(store + "/meta")
+    # re-derive the candidate set the probe used
+    from mysql_cdc_table_spark.operators.round12b import _zorder_expr
+
+    zx = _zorder_expr("xb", "yb")
+    cells = meta.selectExpr(
+        "maxck", "maxck * 3 DIV 10 AS cklo", "maxck * 4 DIV 10 AS ckhi"
+    ).selectExpr(
+        "explode(sequence(least(255, cklo * 256 DIV (maxck + 1)),"
+        " least(255, ckhi * 256 DIV (maxck + 1)))) AS xb",
+        "sequence("
+        " least(255, CAST(datediff(DATE '1994-01-01', DATE '1992-01-01')"
+        "   AS BIGINT) * 256 DIV 2500),"
+        " least(255, CAST(datediff(DATE '1994-06-30', DATE '1992-01-01')"
+        "   AS BIGINT) * 256 DIV 2500)) AS ybs",
+    ).selectExpr("xb", "explode(ybs) AS yb")
+    buckets = {
+        r[0]
+        for r in cells.selectExpr(f"CAST(({zx}) >> 8 AS BIGINT) AS zb")
+        .distinct()
+        .collect()
+    }
+    touched_files = (
+        rows.where(_F.col("zbucket").isin(sorted(buckets)))
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert len(buckets) < len(all_dirs)
+    assert touched_files < total_files // 2
