@@ -65,14 +65,22 @@ def _bpe_word_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_train(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, merges: int = BPE_MERGES
 ) -> tuple[list, DataFrame]:
-    """Run the BPE_MERGES training loop; return (per-step rows, final
-    word grid). Shared by the train key (emits the steps) and the
-    apply key (tokenizes through the final grid)."""
+    """Run the ``merges``-step training loop; return (per-step rows,
+    final word grid). Shared by the train key (emits the steps) and
+    the apply key (tokenizes through the final grid). The registry
+    keys run BPE_MERGES steps (the oracle CTE chain depth); pytest
+    additionally drives ~200 merges to prove the localCheckpoint-per-
+    step loop holds a FLAT per-merge cost (no lineage growth) at
+    realistic vocabulary-training depths."""
+    import time as _time
+
     grid = _bpe_word_grid(spark, sf_dir).localCheckpoint(eager=False)
     out_rows = []
-    for step in range(1, BPE_MERGES + 1):
+    step_walls: list[float] = []  # surfaced on the returned rows list
+    for step in range(1, merges + 1):
+        _t0 = _time.monotonic()
         syms = F.split(F.trim(F.col("s")), "  ")
         pairs = (
             grid.select(
@@ -116,6 +124,11 @@ def _bpe_train(
             ).cast("long")
         ).first()[0]
         out_rows.append((step, a, b, int(pc), int(tokens_after)))
+        step_walls.append(_time.monotonic() - _t0)
+    # expose per-step walls without changing the return shape: pytest
+    # reads them to assert the per-merge cost stays FLAT at depth
+    # (lineage-growth detection); the keys ignore the attribute
+    _bpe_train.last_step_walls = step_walls  # type: ignore[attr-defined]
     return out_rows, grid
 
 

@@ -387,3 +387,46 @@ def test_bpe_tokenize_apply_is_broadcast_vocab_join(spark, sf_dir):
     assert count_nodes(df, "BroadcastHashJoin") >= 1
     assert count_nodes(df, "SortMergeJoin") == 0
     assert count_nodes(df, "CartesianProduct") == 0
+
+
+def test_bpe_200_merges_flat_cost_and_correct(spark, tmp_path):
+    """Realistic vocabulary-training depth: 200 merges. The testdata
+    corpus has only 31 distinct words (fully merged by step ~89), so
+    this drives a deterministic syllable-composed fixture corpus (336
+    distinct words, 300+ merge capacity). Proves (a) the decision
+    sequence still matches the pure-Python trainer at depth — a
+    drifted tiebreak or a missed merge application compounds by step
+    200, and (b) the localCheckpoint-per-step loop holds a FLAT
+    per-merge wall: the mean of the last 20 steps stays within 3x the
+    mean of steps 11-30 (warmup excluded). Unchecked lineage would
+    grow the plan ~linearly per step and blow this bound long before
+    step 200."""
+    from mysql_cdc_table_spark.operators.round13 import _bpe_train
+
+    syl = ["ka", "to", "mi", "ru", "sen", "pa", "lo", "ve", "chi",
+           "da", "nor", "bu"]
+    words, wc = [], Counter()
+    for i in range(400):
+        n = 2 + (i % 4)
+        w = "".join(syl[(i // (len(syl) ** j)) % len(syl)] for j in range(n))
+        words.append(w)
+        wc[w] += 1 + (1000 // (i + 1))
+    flat = [w for w in wc for _ in range(wc[w])]
+    docs = [" ".join(flat[i : i + 200]) for i in range(0, len(flat), 200)]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    want = _python_bpe(dict(wc), 200)
+    got, _ = _bpe_train(spark, sf_dir, merges=200)
+    assert got == want
+    walls = _bpe_train.last_step_walls
+    assert len(walls) == 200
+    early = sum(walls[10:30]) / 20
+    late = sum(walls[-20:]) / 20
+    assert late < 3 * early + 0.25, (
+        f"per-merge wall grew: early {early:.3f}s -> late {late:.3f}s"
+    )
+    print(f"\n[bpe-depth] per-merge wall: early {early*1000:.0f}ms, "
+          f"late {late*1000:.0f}ms, total {sum(walls):.1f}s")
