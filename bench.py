@@ -367,11 +367,44 @@ def _stage_packed(spark, sf_dir: str) -> None:
     )
 
 
+def _cpu_telemetry() -> dict:
+    """CPU frequency + thermal snapshot (r13 verdict item 4: recorded
+    alongside load averages so an unreproducible wall can be told
+    apart from a downclocked/thermally-limited box). Both sources are
+    best-effort — containers often hide the thermal zones."""
+    import glob
+
+    out: dict = {}
+    mhz: list[float] = []
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith("cpu mhz"):
+                    mhz.append(float(line.split(":")[1]))
+    except (OSError, ValueError):
+        pass
+    if mhz:
+        out["cpu_mhz_mean"] = round(sum(mhz) / len(mhz))
+        out["cpu_mhz_min"] = round(min(mhz))
+        out["cpu_mhz_max"] = round(max(mhz))
+    temps: list[float] = []
+    for p in glob.glob("/sys/class/thermal/thermal_zone*/temp"):
+        try:
+            with open(p) as f:
+                temps.append(int(f.read().strip()) / 1000.0)
+        except (OSError, ValueError):
+            pass
+    if temps:
+        out["cpu_temp_c_max"] = round(max(temps), 1)
+    return out
+
+
 def main() -> None:
     # Sampled before ANY Spark work: with the JVM not yet started, the
     # 1-minute load average is other processes' — the pre-existing box
     # contention that inflated BENCH_r03 (+10% driver vs -11% clean).
     load_pre = os.getloadavg()
+    cpu_pre = _cpu_telemetry()
     ncpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 1))
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -552,7 +585,11 @@ def main() -> None:
                 #    directions (r12's −29.9% passed the positive-only
                 #    check). Per-query timing method unchanged; the
                 #    cooldown retry fires more readily.
-                "protocol": 12,
+                # 13: + cpu_pre/cpu_end telemetry (CPU MHz min/mean/max
+                #    from /proc/cpuinfo, max thermal-zone temp where
+                #    exposed) — r13 verdict item 4; per-query timing
+                #    method unchanged.
+                "protocol": 13,
                 "anchor": HEADLINE[0],
                 "anchor_first_sec": result["anchor_first_sec"],
                 "anchor_last_sec": result["anchor_last_sec"],
@@ -562,6 +599,8 @@ def main() -> None:
                 "ncpus": ncpus,
                 "attempts": attempts,
                 "contended": result["contended"],
+                "cpu_pre": cpu_pre,
+                "cpu_end": _cpu_telemetry(),
             }
         )
     )

@@ -4,7 +4,8 @@ Each entry follows the repo contract: a ``QUERIES`` callable
 (spark, sf_dir) -> DataFrame and an ``ORACLES`` ANSI-SQL twin DuckDB
 runs on the same parquet — column names aliased identically, sums cast
 BIGINT, float arithmetic kept to fixed-order per-row expressions both
-engines compute bit-identically (see .claude/skills/verify/SKILL.md).
+engines compute bit-identically (the repo's verify recipe documents
+these cross-engine rules).
 """
 
 from __future__ import annotations

@@ -409,8 +409,18 @@ def main() -> None:
         # round 13: BPE apply — one corpus scan + broadcast vocab join
         "text_bpe_tokenize_apply",
         # round 13: DDL-parsed schema-history decode — wire-codec CPU
-        # plus a per-blob DDL replay (statement-count-bounded)
+        # plus a per-blob DDL replay (statement-count-bounded); round
+        # 14 upgraded it to a THREE-generation stream decoded through
+        # the in-walk SchemaHistory (MODIFY/CHANGE/RENAME mid-stream)
         "cdc_binlog_ddl_schema_decode",
+        # round 14: selectivity estimate — the histogram build (one
+        # range sort) + one exact-count scan with 9 conditional sums;
+        # the estimate math itself is (K x 9)-grid-sized
+        "stats_selectivity_estimate",
+        # round 14: z-order box probe — partition-pruned store read +
+        # residual filter (store build untimed: it persists during the
+        # first plan_shape construction, the IVF-store convention)
+        "zorder_point_probe",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]
