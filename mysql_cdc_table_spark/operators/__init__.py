@@ -741,6 +741,10 @@ ROUND14_LATE_KEYS: tuple[str, ...] = (
     # Z-order box probe that closes the clustering-key loop
     "stats_selectivity_estimate",
     "zorder_point_probe",
+    # the Debezium contract END TO END: mid-stream MODIFY/CHANGE/ADD
+    # learned from the log's own DDL, migrating a maintained store by
+    # column identity (operators/round14.py)
+    "cdc_binlog_streaming_ddl_migration",
 )
 
 

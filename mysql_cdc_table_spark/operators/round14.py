@@ -348,3 +348,394 @@ ORACLES.update(
         "zorder_point_probe": ZORDER_POINT_PROBE_SQL,
     }
 )
+
+
+# --- streaming schema-history migration --------------------------------------
+#
+# The Debezium contract END TO END: the connector learns layouts only
+# from the DDL in the log, and when an ALTER lands mid-stream the SINK
+# must migrate — renamed columns carry their values, retyped columns
+# cast, added columns widen NULL — without re-reading history. The
+# reference cannot see QUERY events at all (binlog_table_reader.cc:
+# 427-428); cdc_binlog_streaming_evolution (round 12b) proved ADD-only
+# widening; this key proves the full MODIFY/CHANGE/ADD migration of a
+# MAINTAINED store.
+
+_DDLMIG_CREATE = (
+    "CREATE TABLE `tpch`.`orders` (\n"
+    "  `id` BIGINT NOT NULL,\n"
+    "  `price` DECIMAL(12,2),\n"
+    "  `flag` CHAR(2),\n"
+    "  PRIMARY KEY (`id`)\n"
+    ") ENGINE=InnoDB DEFAULT CHARSET=utf8mb4"
+)
+_DDLMIG_ALTER = (
+    "ALTER TABLE `tpch`.`orders` "
+    "MODIFY COLUMN `price` DECIMAL(14,4), "
+    "CHANGE COLUMN `flag` `cflag` CHAR(2), "
+    "ADD COLUMN `status` ENUM('F','O','P') NULL"
+)
+
+_DDLMIG_META = [
+    ("__op", "int"),
+    ("__gtid", "long"),
+    ("__event_seq", "long"),
+    ("__image_seq", "int"),
+]
+
+
+def _ddlmig_store_struct(gen_schema):
+    from pyspark.sql import types as T
+
+    meta = {
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+    }
+    return T.StructType(
+        list(gen_schema.fields)
+        + [T.StructField(n, meta[ty]) for n, ty in _DDLMIG_META]
+    )
+
+
+def _ddlmig_apply_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    pre,
+    after,
+) -> None:
+    """One micro-batch of latest-state maintenance under a SCHEMA
+    MIGRATION: if the generation changed since the previous version
+    (``pre`` = the SchemaHistory before this batch's DDL, ``after`` =
+    including it), the stored state is first projected onto the new
+    layout BY COLUMN IDENTITY — renamed columns keep their values,
+    retyped columns cast, added columns surface NULL, dropped columns
+    vanish — then the usual delta-proportional fold applies (anti
+    carry / semi + max_by re-fold, tombstones kept; the
+    evolution_apply_batch shape). Exactly-once via the versioned
+    commit."""
+    from mysql_cdc_table_spark.operators.round12 import (
+        _commit_version,
+        _ivm_versions,
+    )
+    from mysql_cdc_table_spark.sources import fs as _hfs
+
+    if _hfs.exists(spark, f"{state_dir}/v{batch_id}"):
+        return
+    vs = _ivm_versions(spark, state_dir)
+    after_struct = _ddlmig_store_struct(after.schema)
+    meta_names = [n for n, _ in _DDLMIG_META]
+    cols = [f.name for f in after.schema.fields] + meta_names
+    if vs:
+        store = spark.read.schema(
+            _ddlmig_store_struct(pre.schema)
+        ).parquet(f"{state_dir}/v{vs[-1]}/D")
+        if pre.schema != after.schema or pre.ids != after.ids:
+            pre_by_id = {i: n for n, i in zip(pre.names, pre.ids)}
+            sel = [
+                (
+                    F.col(pre_by_id[i]).cast(f.dataType)
+                    if i in pre_by_id
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f, i in zip(after.schema.fields, after.ids)
+            ] + [F.col(n) for n in meta_names]
+            store = store.select(*sel)
+    else:
+        store = spark.createDataFrame([], after_struct)
+    batch = batch_df.select(*cols)
+    keys = batch.select("id").distinct()
+    carried = store.join(F.broadcast(keys), "id", "anti")
+    touched = store.join(F.broadcast(keys), "id", "semi").unionByName(batch)
+    ordc = F.struct("__gtid", "__event_seq", "__image_seq")
+    folded = (
+        touched.groupBy("id")
+        .agg(F.max_by(F.struct(*cols), ordc).alias("s"))
+        .select("s.*")
+    )
+    _commit_version(
+        spark, state_dir, batch_id, {"D": carried.unionByName(folded)}, 2
+    )
+
+
+def cdc_binlog_streaming_ddl_migration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MODIFY/CHANGE/ADD arriving MID-STREAM through the SCHEMA
+    HISTORY, migrating a maintained store: a 4-file binlog feed —
+    files 1-2 open with CREATE TABLE and insert the whole key space
+    under the (id, price DECIMAL(12,2), flag CHAR(2)) generation; file
+    3 carries the ALTER (price retyped to DECIMAL(14,4), flag RENAMED
+    to cflag, status ADDED) followed by updates framed under the new
+    generation; file 4 deletes — consumed maxFilesPerTrigger=1 through
+    foreachBatch. Per batch: the DDL statements are extracted from the
+    blob (statement-count-bounded collect), the batch decodes through
+    ``decode_binlog_bytes(schema_history=...)`` seeded with the
+    statements of PRIOR batches (its own DDL folds in-walk), and the
+    store — which by the ALTER batch already holds two batches of
+    old-generation state — MIGRATES by column identity before the fold
+    (rename carries values, retype casts, add widens NULL). The store
+    is keyed under names the stream itself taught it; nothing is
+    declared wide upfront. Readout groups the final version's alive
+    rows by status-nullness; cents, cflag ordinals (the RENAMED
+    column's values — a dropped-on-migration rename zeroes this) and
+    gtid sums sit in the value hash. Scale: per batch cost ∝ batch +
+    touched keys; the migration is one projection of the store, no
+    history re-read."""
+    import hashlib
+    import os
+    import tempfile
+    from decimal import Decimal as _D
+    from typing import Iterator
+
+    import pandas as pd
+
+    from mysql_cdc_table_spark.cdc.schema import changelog_schema
+    from mysql_cdc_table_spark.operators.round12 import (
+        _ivm_versions,
+        stage_ordered_chunks,
+    )
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        binlog_bytes_ddl,
+        build_binlog_file,
+        decode_binlog_bytes,
+    )
+    from mysql_cdc_table_spark.sources.mysql_ddl import (
+        SchemaHistory,
+        schema_from_ddl_history,
+    )
+    from pyspark.sql import types as T
+
+    gen0 = schema_from_ddl_history([_DDLMIG_CREATE], "tpch.orders")
+    gen1 = schema_from_ddl_history(
+        [_DDLMIG_CREATE, _DDLMIG_ALTER], "tpch.orders"
+    )
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.expr(
+            "cast(cast(o_orderkey % 100000 as decimal(30,2)) / 100"
+            " as decimal(12,2))"
+        ).alias("price"),
+        F.expr(
+            "char(65 + o_orderkey % 26) || "
+            "char(65 + (o_orderkey div 26) % 26)"
+        ).alias("flag"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    file_schema = T.StructType(
+        [
+            T.StructField("chunk", T.IntegerType()),
+            T.StructField("file_bytes", T.BinaryType()),
+        ]
+    )
+
+    def enc(chunk: int):
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                txns: list = []
+                if chunk == 0:
+                    txns.append({"gno": 1, "ddl": _DDLMIG_CREATE})
+                if chunk == 2:
+                    txns.append({"gno": 3, "ddl": _DDLMIG_ALTER})
+                for r in pdf.itertuples(index=False):
+                    rid = int(r.id)
+                    if chunk in (0, 1):  # CREATE-generation inserts
+                        txns.append(
+                            {
+                                "gno": rid * 10,
+                                "op": "w",
+                                "rows": [
+                                    {"id": rid, "price": r.price,
+                                     "flag": r.flag}
+                                ],
+                            }
+                        )
+                    elif chunk == 2:  # post-ALTER updates (id%3==0)
+                        before = {
+                            "id": rid, "price": r.price,
+                            "cflag": r.flag, "status": None,
+                        }
+                        after_img = {
+                            "id": rid, "price": r.price + _D(1),
+                            "cflag": r.flag, "status": r.status,
+                        }
+                        txns.append(
+                            {
+                                "gno": rid * 10 + 5,
+                                "op": "u",
+                                "rows": [(before, after_img)],
+                            }
+                        )
+                    else:  # post-ALTER deletes (id%7==0)
+                        last = (
+                            {
+                                "id": rid, "price": r.price + _D(1),
+                                "cflag": r.flag, "status": r.status,
+                            }
+                            if rid % 3 == 0
+                            else {
+                                "id": rid, "price": r.price,
+                                "cflag": r.flag, "status": None,
+                            }
+                        )
+                        txns.append(
+                            {"gno": rid * 10 + 7, "op": "d", "rows": [last]}
+                        )
+                schema = gen0 if chunk in (0, 1) else gen1
+                yield pd.DataFrame(
+                    {
+                        "chunk": [chunk],
+                        "file_bytes": [
+                            build_binlog_file("tpch", "orders", schema, txns)
+                        ],
+                    }
+                )
+
+        return run
+
+    chunks = [
+        base.filter(F.col("id") % 2 == 0),
+        base.filter(F.col("id") % 2 == 1),
+        base.filter(F.col("id") % 3 == 0),
+        base.filter(F.col("id") % 7 == 0),
+    ]
+    blobs = None
+    for i, part in enumerate(chunks):
+        b = part.coalesce(1).mapInPandas(enc(i), schema=file_schema)
+        blobs = b if blobs is None else blobs.unionByName(b)
+
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}:ddlmig".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"binlog_ddlmig_{tag}")
+    feed_dir, state_dir, ckpt = (
+        f"{root}/feed", f"{root}/state", f"{root}/ckpt",
+    )
+    stage_ordered_chunks(
+        spark, blobs, "chunk", 4, feed_dir, bounds=[0, 1, 2]
+    )
+
+    def extract_ddl(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["file_bytes"]:
+                recs = binlog_bytes_ddl(bytes(blob))
+                yield pd.DataFrame(
+                    {
+                        "pos": [int(r["offset"]) for r in recs],
+                        "statement": [r["statement"] for r in recs],
+                    }
+                )
+
+    def make_decode(prior: list, names: list):
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for blob in pdf["file_bytes"]:
+                    h = SchemaHistory("orders", database="tpch")
+                    for s in prior:
+                        h.apply(s)
+                    rows = decode_binlog_bytes(
+                        bytes(blob), None, "tpch", "orders",
+                        schema_history=h,
+                    )
+                    yield pd.DataFrame(
+                        {n: [r.get(n) for r in rows] for n in names}
+                    )
+
+        return run
+
+    stream = (
+        spark.readStream.schema(file_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    hist_state: dict = {"stmts": []}
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        ddl = sorted(
+            batch_df.mapInPandas(
+                extract_ddl, schema="pos long, statement string"
+            ).collect(),  # statement-count-bounded: the file's DDL only
+            key=lambda r: r["pos"],
+        )
+        prior = list(hist_state["stmts"])
+        new_stmts = [r["statement"] for r in ddl]
+        hist_state["stmts"] = prior + new_stmts
+        pre = SchemaHistory("orders", database="tpch")
+        for s in prior:
+            pre.apply(s)
+        after = SchemaHistory("orders", database="tpch")
+        for s in prior + new_stmts:
+            after.apply(s)
+        out_schema = changelog_schema(after.schema)
+        decoded = batch_df.mapInPandas(
+            make_decode(prior, [f.name for f in out_schema.fields]),
+            schema=out_schema,
+        )
+        _ddlmig_apply_batch(spark, decoded, state_dir, batch_id, pre, after)
+
+    q = (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .queryName("cdc_binlog_ddlmig_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    vs = _ivm_versions(spark, state_dir)
+    final = spark.read.schema(_ddlmig_store_struct(gen1)).parquet(
+        f"{state_dir}/v{vs[-1]}/D"
+    )
+    return (
+        final.filter(F.col("__op") != 0)
+        .groupBy(F.col("status").isNotNull().alias("post_alter"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum((F.col("price") * 100).cast("long"))
+            .cast("long")
+            .alias("cents_sum"),
+            F.sum(
+                (F.ascii("cflag") * 256
+                 + F.ascii(F.substring("cflag", 2, 1))).cast("long")
+            ).cast("long").alias("flag_ord_sum"),
+            F.sum("__gtid").cast("long").alias("gtid_sum"),
+        )
+        .orderBy("post_alter")
+    )
+
+
+# Fixture arithmetic: alive keys are id%7!=0; id%3==0 keys carry the
+# update's +100 cents, a status, and gtid id*10+5; everyone else keeps
+# the insert image (NULL status after migration, gtid id*10). cflag is
+# the MIGRATED rename of flag — its ordinals must survive for every
+# alive key, old generation included.
+CDC_BINLOG_STREAMING_DDL_MIGRATION_SQL = """
+WITH alive AS (
+  SELECT o_orderkey AS id,
+         CASE WHEN o_orderkey % 3 = 0
+              THEN CAST(o_orderkey % 100000 AS BIGINT) + 100
+              ELSE CAST(o_orderkey % 100000 AS BIGINT) END AS cents,
+         (o_orderkey % 3 = 0) AS post_alter,
+         (65 + o_orderkey % 26) * 256 + 65 + (o_orderkey // 26) % 26
+           AS ford,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey * 10 + 5
+              ELSE o_orderkey * 10 END AS gtid
+  FROM orders WHERE o_orderkey % 7 <> 0
+)
+SELECT post_alter, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       CAST(sum(ford) AS BIGINT) AS flag_ord_sum,
+       CAST(sum(gtid) AS BIGINT) AS gtid_sum
+FROM alive GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["cdc_binlog_streaming_ddl_migration"] = (
+    cdc_binlog_streaming_ddl_migration
+)
+ORACLES["cdc_binlog_streaming_ddl_migration"] = (
+    CDC_BINLOG_STREAMING_DDL_MIGRATION_SQL
+)

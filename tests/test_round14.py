@@ -431,3 +431,44 @@ def test_zorder_probe_prunes_and_matches_direct(spark, tmp_path, monkeypatch):
     )
     assert len(buckets) < len(all_dirs)
     assert touched_files < total_files // 2
+
+
+def test_streaming_ddl_migration_smoke(spark):
+    """The streaming migration key at the smoke scale: final store
+    equals the fixture arithmetic (alive = id%7!=0; id%3==0 carry the
+    update image) — including the RENAMED column's values for rows
+    that entered the store before the ALTER existed."""
+    from conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+    from mysql_cdc_table_spark.operators.round14 import (
+        cdc_binlog_streaming_ddl_migration,
+    )
+
+    got = {
+        r["post_alter"]: r
+        for r in cdc_binlog_streaming_ddl_migration(spark, SF_SMOKE).collect()
+    }
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    want = {
+        r["post_alter"]: r
+        for r in o.where(F.expr("o_orderkey % 7 <> 0"))
+        .selectExpr(
+            "o_orderkey % 3 = 0 AS post_alter",
+            "CAST(o_orderkey % 100000 AS BIGINT)"
+            " + IF(o_orderkey % 3 = 0, 100, 0) AS cents",
+            "(65 + o_orderkey % 26) * 256 + 65 + (o_orderkey div 26) % 26"
+            " AS ford",
+            "o_orderkey * 10 + IF(o_orderkey % 3 = 0, 5, 0) AS gtid",
+        )
+        .groupBy("post_alter")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+            F.sum("ford").cast("long").alias("flag_ord_sum"),
+            F.sum("gtid").cast("long").alias("gtid_sum"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want) == {True, False}
+    for k in got:
+        assert tuple(got[k]) == tuple(want[k])
