@@ -661,7 +661,20 @@ def cdc_binlog_streaming_ddl_migration(
             key=lambda r: r["pos"],
         )
         prior = list(hist_state["stmts"])
-        new_stmts = [r["statement"] for r in ddl]
+        # exact-duplicate statements fold ONCE: every blob in a batch
+        # is self-describing (the encoder re-states the generation's
+        # DDL per blob so each decodes standalone — mapInPandas may
+        # split one chunk into several Arrow batches), and a replayed
+        # log segment re-logs statements verbatim; MySQL cannot log
+        # the same CREATE/ALTER twice in a row, so identical text is
+        # always a re-statement, never a second schema change.
+        seen = set(prior)
+        new_stmts = []
+        for r in ddl:
+            s = r["statement"]
+            if s not in seen:
+                seen.add(s)
+                new_stmts.append(s)
         hist_state["stmts"] = prior + new_stmts
         pre = SchemaHistory("orders", database="tpch")
         for s in prior:

@@ -421,6 +421,12 @@ def main() -> None:
         # residual filter (store build untimed: it persists during the
         # first plan_shape construction, the IVF-store convention)
         "zorder_point_probe",
+        # round 14: streaming DDL migration — every timed call runs
+        # the 4-batch stream end to end (encode, per-batch DDL
+        # extraction + history-seeded decode, identity migration,
+        # versioned folds); expect the wire-codec family's linear
+        # per-partition CPU profile
+        "cdc_binlog_streaming_ddl_migration",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

@@ -472,3 +472,56 @@ def test_streaming_ddl_migration_smoke(spark):
     assert set(got) == set(want) == {True, False}
     for k in got:
         assert tuple(got[k]) == tuple(want[k])
+
+
+def test_streaming_ddl_migration_multi_blob_chunks(spark):
+    """mapInPandas may split one chunk into several Arrow batches, so
+    each batch's feed file holds SEVERAL blobs, each re-stating the
+    generation's DDL (self-describing blobs). The history fold must
+    apply the re-stated CREATE/ALTER once — a double-applied CREATE
+    would silently re-key column identities; a double-applied ALTER
+    raises. Reproduced by shrinking the Arrow batch size so even the
+    smoke corpus splits."""
+    from conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+    from mysql_cdc_table_spark.operators.round14 import (
+        cdc_binlog_streaming_ddl_migration,
+    )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "97")  # forces multiple pdfs per chunk
+    try:
+        got = {
+            r["post_alter"]: tuple(r)
+            for r in cdc_binlog_streaming_ddl_migration(
+                spark, SF_SMOKE
+            ).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    want = {
+        r["post_alter"]: tuple(r)
+        for r in o.where(F.expr("o_orderkey % 7 <> 0"))
+        .selectExpr(
+            "o_orderkey % 3 = 0 AS post_alter",
+            "CAST(o_orderkey % 100000 AS BIGINT)"
+            " + IF(o_orderkey % 3 = 0, 100, 0) AS cents",
+            "(65 + o_orderkey % 26) * 256 + 65 + (o_orderkey div 26) % 26"
+            " AS ford",
+            "o_orderkey * 10 + IF(o_orderkey % 3 = 0, 5, 0) AS gtid",
+        )
+        .groupBy("post_alter")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+            F.sum("ford").cast("long").alias("flag_ord_sum"),
+            F.sum("gtid").cast("long").alias("gtid_sum"),
+        )
+        .collect()
+    }
+    assert got == want
