@@ -404,6 +404,7 @@ def _ddlmig_apply_batch(
     batch_id: int,
     pre,
     after,
+    stmts: list,
 ) -> None:
     """One micro-batch of latest-state maintenance under a SCHEMA
     MIGRATION: if the generation changed since the previous version
@@ -414,7 +415,10 @@ def _ddlmig_apply_batch(
     vanish — then the usual delta-proportional fold applies (anti
     carry / semi + max_by re-fold, tombstones kept; the
     evolution_apply_batch shape). Exactly-once via the versioned
-    commit."""
+    commit, which also persists the full DDL statement list as the
+    version's ``H`` frame — Debezium's durable schema history: a
+    restarted consumer resuming from the checkpoint re-seeds its
+    history from the store instead of the closure it lost."""
     from mysql_cdc_table_spark.operators.round12 import (
         _commit_version,
         _ivm_versions,
@@ -454,9 +458,35 @@ def _ddlmig_apply_batch(
         .agg(F.max_by(F.struct(*cols), ordc).alias("s"))
         .select("s.*")
     )
-    _commit_version(
-        spark, state_dir, batch_id, {"D": carried.unionByName(folded)}, 2
+    hframe = spark.createDataFrame(
+        list(enumerate(stmts)), "seq long, statement string"
     )
+    _commit_version(
+        spark,
+        state_dir,
+        batch_id,
+        {"D": carried.unionByName(folded), "H": hframe},
+        2,
+    )
+
+
+def _ddlmig_load_history(spark: SparkSession, state_dir: str) -> list:
+    """Recover the durable schema history from the latest version's
+    ``H`` frame (empty history when no version exists — a fresh
+    stream). The restart path: a consumer resuming from the streaming
+    checkpoint gets batch N+1 first and must know batches 0..N's DDL."""
+    from mysql_cdc_table_spark.operators.round12 import _ivm_versions
+
+    vs = _ivm_versions(spark, state_dir)
+    if not vs:
+        return []
+    rows = (
+        spark.read.schema("seq long, statement string")
+        .parquet(f"{state_dir}/v{vs[-1]}/H")
+        .orderBy("seq")
+        .collect()  # statement-count-bounded
+    )
+    return [r["statement"] for r in rows]
 
 
 def cdc_binlog_streaming_ddl_migration(
@@ -651,9 +681,14 @@ def cdc_binlog_streaming_ddl_migration(
         .option("maxFilesPerTrigger", 1)
         .parquet(feed_dir)
     )
-    hist_state: dict = {"stmts": []}
+    hist_state: dict = {}
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
+        if "stmts" not in hist_state:
+            # fresh stream OR checkpoint restart: recover the durable
+            # history from the store (the closure's copy dies with the
+            # driver; Debezium persists exactly this)
+            hist_state["stmts"] = _ddlmig_load_history(spark, state_dir)
         ddl = sorted(
             batch_df.mapInPandas(
                 extract_ddl, schema="pos long, statement string"
@@ -687,7 +722,10 @@ def cdc_binlog_streaming_ddl_migration(
             make_decode(prior, [f.name for f in out_schema.fields]),
             schema=out_schema,
         )
-        _ddlmig_apply_batch(spark, decoded, state_dir, batch_id, pre, after)
+        _ddlmig_apply_batch(
+            spark, decoded, state_dir, batch_id, pre, after,
+            hist_state["stmts"],
+        )
 
     q = (
         stream.writeStream.foreachBatch(body)

@@ -525,3 +525,38 @@ def test_streaming_ddl_migration_multi_blob_chunks(spark):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_ddl_migration_history_is_durable(spark):
+    """The schema history rides every version commit (the H frame), so
+    a consumer restarted from the checkpoint — whose closure-held
+    history died with the driver — re-seeds from the store and can
+    decode batch N+1 with batches 0..N's DDL."""
+    import hashlib
+    import os
+    import tempfile
+
+    from conftest import SF_SMOKE
+    from mysql_cdc_table_spark.operators.round14 import (
+        _DDLMIG_ALTER,
+        _DDLMIG_CREATE,
+        _ddlmig_load_history,
+        cdc_binlog_streaming_ddl_migration,
+    )
+    from mysql_cdc_table_spark.sources.mysql_ddl import SchemaHistory
+
+    cdc_binlog_streaming_ddl_migration(spark, SF_SMOKE).collect()
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{SF_SMOKE}:ddlmig".encode()
+    ).hexdigest()[:12]
+    state_dir = os.path.join(
+        tempfile.gettempdir(), f"binlog_ddlmig_{tag}", "state"
+    )
+    stmts = _ddlmig_load_history(spark, state_dir)
+    assert stmts == [_DDLMIG_CREATE, _DDLMIG_ALTER]
+    h = SchemaHistory("orders", database="tpch")
+    for s in stmts:
+        h.apply(s)
+    assert [f.name for f in h.schema.fields] == [
+        "id", "price", "cflag", "status",
+    ]
