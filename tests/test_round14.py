@@ -560,3 +560,143 @@ def test_streaming_ddl_migration_history_is_durable(spark):
     assert [f.name for f in h.schema.fields] == [
         "id", "price", "cflag", "status",
     ]
+
+
+# --- model-based fuzz of the schema-history fold ------------------------------
+
+_FUZZ_TYPES = {
+    "INT": T.IntegerType(),
+    "BIGINT": T.LongType(),
+    "VARCHAR(10)": T.StringType(),
+    "CHAR(2)": T.StringType(),
+    "TEXT": T.StringType(),
+    "DECIMAL(12,2)": T.DecimalType(12, 2),
+}
+
+
+def _fuzz_walk(seed: int) -> None:
+    """One random DDL walk: CREATE then 1-12 ALTERs (each 1-2 ops from
+    ADD/DROP/MODIFY/CHANGE/RENAME, with occasional FIRST/AFTER
+    repositioning and name reuse after drops), folded through
+    SchemaHistory and through an independent naive model of
+    (name, type, identity) triples that re-implements MySQL's
+    documented positioning rules from scratch. Any divergence in
+    names, identities, or mapped Spark types fails."""
+    import random
+
+    from mysql_cdc_table_spark.sources.mysql_ddl import SchemaHistory
+
+    rng = random.Random(seed)
+    tys = list(_FUZZ_TYPES)
+    pool = [f"c{i}" for i in range(10)]
+    n0 = rng.randint(1, 4)
+    model = [(pool[i], rng.choice(tys), i) for i in range(n0)]
+    next_id = n0
+    hist = SchemaHistory("t", database="d")
+    assert hist.apply(
+        "CREATE TABLE `d`.`t` ("
+        + ", ".join(f"`{n}` {ty}" for n, ty, _ in model)
+        + ")"
+    )
+
+    def names():
+        return [n for n, _, _ in model]
+
+    def pos_clause(exclude=None):
+        # None (in place/append) | FIRST | AFTER <existing column>
+        r = rng.random()
+        cands = [n for n in names() if n != exclude]
+        if r < 0.6 or not cands:
+            return None
+        if r < 0.75:
+            return "FIRST"
+        return f"AFTER `{rng.choice(cands)}`"
+
+    def insert_at(entry, pos, replace_idx):
+        if pos is None:
+            if replace_idx is None:
+                model.append(entry)
+            else:
+                model.insert(replace_idx, entry)
+        elif pos == "FIRST":
+            model.insert(0, entry)
+        else:
+            anchor = pos.split("`")[1]
+            model.insert(
+                next(i for i, (n, _, _) in enumerate(model) if n == anchor)
+                + 1,
+                entry,
+            )
+
+    for _ in range(rng.randint(1, 12)):
+        nonlocal_ops = []
+        for _ in range(rng.randint(1, 2)):
+            free = [n for n in pool if n not in names()]
+            ops = ["add"] if not model else (
+                ["add"] if not free else
+                ["add", "drop", "modify", "change", "rename"]
+            )
+            op = rng.choice(ops)
+            if op == "add":
+                if not free:
+                    continue
+                n, ty = rng.choice(free), rng.choice(tys)
+                pos = pos_clause()
+                insert_at((n, ty, next_id), pos, None)
+                next_id += 1
+                nonlocal_ops.append(
+                    f"ADD COLUMN `{n}` {ty}" + (f" {pos}" if pos else "")
+                )
+            elif op == "drop":
+                n = rng.choice(names())
+                model[:] = [e for e in model if e[0] != n]
+                nonlocal_ops.append(f"DROP COLUMN `{n}`")
+            elif op == "modify":
+                n = rng.choice(names())
+                ty = rng.choice(tys)
+                pos = pos_clause(exclude=n)
+                idx = next(i for i, e in enumerate(model) if e[0] == n)
+                keep = model[idx][2]
+                del model[idx]
+                insert_at((n, ty, keep), pos, idx)
+                nonlocal_ops.append(
+                    f"MODIFY COLUMN `{n}` {ty}" + (f" {pos}" if pos else "")
+                )
+            elif op == "change":
+                old = rng.choice(names())
+                free = [n for n in pool if n not in names() or n == old]
+                new = rng.choice(free)
+                ty = rng.choice(tys)
+                pos = pos_clause(exclude=old)
+                idx = next(i for i, e in enumerate(model) if e[0] == old)
+                keep = model[idx][2]
+                del model[idx]
+                insert_at((new, ty, keep), pos, idx)
+                nonlocal_ops.append(
+                    f"CHANGE COLUMN `{old}` `{new}` {ty}"
+                    + (f" {pos}" if pos else "")
+                )
+            else:  # rename
+                old = rng.choice(names())
+                free = [n for n in pool if n not in names() or n == old]
+                new = rng.choice(free)
+                idx = next(i for i, e in enumerate(model) if e[0] == old)
+                model[idx] = (new, model[idx][1], model[idx][2])
+                nonlocal_ops.append(f"RENAME COLUMN `{old}` TO `{new}`")
+        if not nonlocal_ops:
+            continue
+        hist.apply("ALTER TABLE `d`.`t` " + ", ".join(nonlocal_ops))
+        assert list(hist.names) == [n for n, _, _ in model], (
+            seed, nonlocal_ops
+        )
+        assert list(hist.ids) == [i for _, _, i in model], (
+            seed, nonlocal_ops
+        )
+        got_types = [f.dataType for f in hist.schema.fields]
+        want_types = [_FUZZ_TYPES[ty] for _, ty, _ in model]
+        assert got_types == want_types, (seed, nonlocal_ops)
+
+
+@pytest.mark.parametrize("seed", range(300))
+def test_schema_history_random_walk_matches_model(seed):
+    _fuzz_walk(seed)
