@@ -745,6 +745,10 @@ ROUND14_LATE_KEYS: tuple[str, ...] = (
     # learned from the log's own DDL, migrating a maintained store by
     # column identity (operators/round14.py)
     "cdc_binlog_streaming_ddl_migration",
+    # records_in_range(min_key, max_key) — the exact handler call the
+    # reference stubs to 10 (binlogdb.cc:803-806), answered from the
+    # equi-height histogram on two-sided probe windows
+    "stats_records_in_range",
 )
 
 

@@ -799,3 +799,140 @@ QUERIES["cdc_binlog_streaming_ddl_migration"] = (
 ORACLES["cdc_binlog_streaming_ddl_migration"] = (
     CDC_BINLOG_STREAMING_DDL_MIGRATION_SQL
 )
+
+
+# --- records_in_range: the two-sided form ------------------------------------
+
+_RIR_WINDOWS = 8  # k = 0..7 -> [lo_k, hi_k] spans two eighths each
+
+
+def stats_records_in_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``records_in_range(min_key, max_key)`` — the EXACT handler call
+    the reference stubs to a constant 10 (``binlogdb.cc:803-806``),
+    answered from the equi-height histogram: for each of 8 overlapping
+    probe windows [lo_k, hi_k] (two eighths of the value span each),
+    every bucket contributes ``n_rows * |overlap| * 1000 DIV
+    |bucket range|`` on closed integer ranges — a bucket fully inside
+    the window degenerates to exactly ``n_rows * 1000``, so no
+    special-casing and no branch divergence between engines. The exact
+    side is one scan with 8 conditional sums. Same integer-exact
+    DIV-once discipline as ``stats_selectivity_estimate``."""
+    o = t(spark, sf_dir, "orders")
+    vals = o.select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("val"),
+        F.col("o_orderkey").alias("rid"),
+    )
+    hist = _hist_one_column(vals, "cents")
+    mm = vals.agg(
+        F.min("val").cast("long").alias("gmin"),
+        F.max("val").cast("long").alias("gmax"),
+    )
+    probes = mm.selectExpr(
+        f"explode(sequence(0L, {_RIR_WINDOWS - 1}L)) AS k", "gmin", "gmax"
+    ).selectExpr(
+        "k",
+        f"gmin + (gmax - gmin) * k DIV {_RIR_WINDOWS} AS lo",
+        f"least(gmax, gmin + (gmax - gmin) * (k + 2) DIV {_RIR_WINDOWS})"
+        " AS hi",
+    )
+    est = (
+        hist.crossJoin(F.broadcast(probes))  # K x 8 grid
+        .selectExpr(
+            "k", "lo", "hi",
+            "CASE WHEN greatest(lo, min_val) <= least(hi, max_val) THEN "
+            "  (n_rows * (least(hi, max_val) - greatest(lo, min_val) + 1)"
+            "   * 1000) DIV (max_val - min_val + 1) "
+            "ELSE 0 END AS contrib",
+        )
+        .groupBy("k", "lo", "hi")
+        .agg(F.sum("contrib").cast("long").alias("est_rows_x1000"))
+    )
+    joined = vals.crossJoin(F.broadcast(mm))
+    aggs = [
+        F.sum(
+            F.expr(
+                f"CASE WHEN val >= gmin + (gmax - gmin) * {k} "
+                f"DIV {_RIR_WINDOWS} AND val <= least(gmax, gmin + "
+                f"(gmax - gmin) * ({k} + 2) DIV {_RIR_WINDOWS}) "
+                "THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias(f"a_{k}")
+        for k in range(_RIR_WINDOWS)
+    ]
+    wide = joined.agg(*aggs)
+    stack_args = ", ".join(f"{k}L, a_{k}" for k in range(_RIR_WINDOWS))
+    actual = wide.selectExpr(
+        f"stack({_RIR_WINDOWS}, {stack_args}) AS (k, actual_rows)"
+    )
+    return (
+        est.join(actual, "k")
+        .selectExpr(
+            "CAST(k AS BIGINT) AS k",
+            "CAST(lo AS BIGINT) AS lo",
+            "CAST(hi AS BIGINT) AS hi",
+            "CAST(actual_rows AS BIGINT) AS actual_rows",
+            "CAST(est_rows_x1000 AS BIGINT) AS est_rows_x1000",
+            "CAST(abs(est_rows_x1000 - actual_rows * 1000) AS BIGINT)"
+            " AS err_x1000",
+        )
+        .orderBy("k")
+    )
+
+
+STATS_RECORDS_IN_RANGE_SQL = f"""
+WITH vals AS (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS val,
+         o_orderkey AS rid
+  FROM orders
+),
+mm AS (SELECT min(val) AS gmin, max(val) AS gmax FROM vals),
+probes AS (
+  SELECT r.k AS k,
+         gmin + (gmax - gmin) * r.k // {_RIR_WINDOWS} AS lo,
+         least(gmax,
+               gmin + (gmax - gmin) * (r.k + 2) // {_RIR_WINDOWS}) AS hi
+  FROM mm, range({_RIR_WINDOWS}) AS r(k)
+),
+bucketed AS (
+  SELECT val,
+         ((row_number() OVER (ORDER BY val, rid) - 1) * {HIST_BUCKETS})
+             // count(*) OVER () AS bucket
+  FROM vals
+),
+hist AS (
+  SELECT bucket, count(*) AS n_rows,
+         min(val) AS min_val, max(val) AS max_val
+  FROM bucketed GROUP BY bucket
+),
+est AS (
+  SELECT p.k, p.lo, p.hi,
+         CAST(sum(CASE WHEN greatest(p.lo, h.min_val)
+                            <= least(p.hi, h.max_val) THEN
+                    (h.n_rows * (least(p.hi, h.max_val)
+                                 - greatest(p.lo, h.min_val) + 1) * 1000)
+                        // (h.max_val - h.min_val + 1)
+                  ELSE 0 END) AS BIGINT) AS est_rows_x1000
+  FROM hist h CROSS JOIN probes p GROUP BY p.k, p.lo, p.hi
+),
+act AS (
+  SELECT p.k,
+         CAST(sum(CASE WHEN v.val BETWEEN p.lo AND p.hi
+                       THEN 1 ELSE 0 END) AS BIGINT) AS actual_rows
+  FROM vals v CROSS JOIN probes p GROUP BY p.k
+)
+SELECT CAST(e.k AS BIGINT) AS k,
+       CAST(e.lo AS BIGINT) AS lo,
+       CAST(e.hi AS BIGINT) AS hi,
+       a.actual_rows,
+       e.est_rows_x1000,
+       CAST(abs(e.est_rows_x1000 - a.actual_rows * 1000) AS BIGINT)
+         AS err_x1000
+FROM est e JOIN act a ON a.k = e.k
+ORDER BY e.k
+"""
+
+
+QUERIES["stats_records_in_range"] = stats_records_in_range
+ORACLES["stats_records_in_range"] = STATS_RECORDS_IN_RANGE_SQL

@@ -421,6 +421,9 @@ def main() -> None:
         # residual filter (store build untimed: it persists during the
         # first plan_shape construction, the IVF-store convention)
         "zorder_point_probe",
+        # round 14: records_in_range — same shape as the selectivity
+        # estimate (histogram build + one exact-count scan)
+        "stats_records_in_range",
         # round 14: streaming DDL migration — every timed call runs
         # the 4-batch stream end to end (encode, per-batch DDL
         # extraction + history-seeded decode, identity migration,

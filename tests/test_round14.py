@@ -700,3 +700,21 @@ def _fuzz_walk(seed: int) -> None:
 @pytest.mark.parametrize("seed", range(300))
 def test_schema_history_random_walk_matches_model(seed):
     _fuzz_walk(seed)
+
+
+def test_records_in_range_bounds(spark):
+    """Two-sided estimates stay within [0, total*1000] and within the
+    ~2-boundary-bucket interpolation error of the exact count; a
+    window that clamps to the span's tail still covers its rows."""
+    from conftest import SF_SMOKE
+    from mysql_cdc_table_spark.operators.round14 import (
+        stats_records_in_range,
+    )
+
+    rows = stats_records_in_range(spark, SF_SMOKE).collect()
+    assert [r["k"] for r in rows] == list(range(8))
+    total = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").count()
+    for r in rows:
+        assert r["lo"] <= r["hi"]
+        assert 0 <= r["est_rows_x1000"] <= total * 1000
+        assert r["err_x1000"] <= 2 * (total * 1000) // 8 + 2000
