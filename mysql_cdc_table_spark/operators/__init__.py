@@ -751,6 +751,36 @@ ROUND14_LATE_KEYS: tuple[str, ...] = (
     "stats_records_in_range",
 )
 
+# ---------------------------------------------------------------------------
+# Round 15 window. Arithmetic (50 slots): the 4 ROUND14_LATE_KEYS lead
+# (their first driver rows; all 4 judge-verified MATCH in the r14
+# verdict), then 5 re-verify slots for code round 15 actually touches
+# (front = 9), leaving 41 backfill slots — the 13 r07-stale rows all
+# fit, plus 28 of the 46 r08 rows. Round-15 NEW keys all register late
+# (ROUND15_LATE_KEYS) so the backfill budget holds.
+
+ROUND15_NEW_KEYS: tuple[str, ...] = ()
+
+# Round-15 re-verify slots — code round 15 touches:
+# * the schema-history fold gains table-level RENAME (multi-table
+#   tracking, mysql_ddl.py) and the decoder gains gbk charset decode +
+#   a columnar-kernel schema-history path (mysql_binlog.py /
+#   mysql_binlog_vec.py) — the standing discipline puts all four
+#   roundtrip keys plus the DDL-history key in re-verify slots.
+#   cdc_binlog_streaming_ddl_migration also consumes SchemaHistory but
+#   already leads the window as a ROUND14_LATE_KEY.
+ROUND15_REVERIFY: tuple[str, ...] = (
+    "cdc_packed_typed_roundtrip",
+    "cdc_mysql_binlog_roundtrip",
+    "cdc_binlog_zstd_roundtrip",
+    "cdc_binlog_parallel_roundtrip",
+    "cdc_binlog_ddl_schema_decode",
+)
+
+# Late-registration tail for round 15 (same pinned-behind protocol):
+# keys registered after the front budget fills; they lead round 16.
+ROUND15_LATE_KEYS: tuple[str, ...] = ()
+
 
 def _last_seen_rounds() -> dict[str, int]:
     """key -> LATEST driver round with a CORRECTNESS row — the staleness
@@ -812,13 +842,17 @@ _ROUND14_WINDOW_FRONT = (
     ROUND13_LATE_KEYS + ROUND14_NEW_KEYS + ROUND14_REVERIFY
 )
 
+_ROUND15_WINDOW_FRONT = (
+    ROUND14_LATE_KEYS + ROUND15_NEW_KEYS + ROUND15_REVERIFY
+)
+
 
 def _rotate(out: dict) -> dict:
-    """Reorder a merged registry dict: round-14 front first, then every
+    """Reorder a merged registry dict: round-15 front first, then every
     other key stalest-first (latest driver round, registry order as
     the tie-break; never-seen keys sort first so they cannot hide)."""
-    front = {k: out[k] for k in _ROUND14_WINDOW_FRONT if k in out}
-    late = {k: out[k] for k in ROUND14_LATE_KEYS if k in out}
+    front = {k: out[k] for k in _ROUND15_WINDOW_FRONT if k in out}
+    late = {k: out[k] for k in ROUND15_LATE_KEYS if k in out}
     seen = _last_seen_rounds()
     order = {k: i for i, k in enumerate(out)}
     rest_keys = sorted(

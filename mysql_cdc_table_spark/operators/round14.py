@@ -184,13 +184,33 @@ _ZSTORE_FORMAT = "v1"
 
 def zorder_store_dir(sf_dir: str) -> str:
     """Deterministic on-disk location for one dataset's z-ordered
-    store — same keying convention as ``ivf_index_dir``."""
+    store — same keying convention as ``ivf_index_dir``, plus a cheap
+    dataset fingerprint (total size + newest mtime of the orders
+    parquet files) so regenerating the dataset IN PLACE invalidates
+    the tag instead of silently serving the stale clustered store
+    (advisor finding, round 14)."""
     import hashlib
     import os
     import tempfile
 
+    src = os.path.join(sf_dir, "orders.parquet")
+    fp = 0
+    if os.path.exists(src):
+        paths = (
+            [
+                os.path.join(r, f)
+                for r, _, fs in os.walk(src)
+                for f in fs
+            ]
+            if os.path.isdir(src)
+            else [src]
+        )
+        sizes = [os.stat(p) for p in paths]
+        fp = sum(s.st_size for s in sizes) ^ max(
+            (s.st_mtime_ns for s in sizes), default=0
+        )
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{_ZSTORE_FORMAT}".encode()
+        f"{os.path.abspath(sf_dir)}:{fp}:{_ZSTORE_FORMAT}".encode()
     ).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"zorder_store_{tag}")
 
@@ -634,11 +654,13 @@ def cdc_binlog_streaming_ddl_migration(
     ]
     blobs = None
     for i, part in enumerate(chunks):
-        # encode in PARALLEL (no coalesce(1)): every blob is
-        # self-describing — it re-states its generation's DDL — and
-        # the history fold dedupes re-statements, so a chunk may span
-        # any number of blobs; measured 6.8x faster fixture staging
-        # at sf1 vs the single-partition encode
+        # encode in PARALLEL (no coalesce(1)): chunk-0 blobs each
+        # re-state the CREATE and chunk-2 blobs the ALTER (the history
+        # fold dedupes re-statements), while chunk-1/3 blobs carry no
+        # DDL at all — they decode correctly because the staged batch
+        # ordering plus the durable H-frame history seed the decoder
+        # before their batches arrive; measured 6.8x faster fixture
+        # staging at sf1 vs the single-partition encode
         b = part.mapInPandas(enc(i), schema=file_schema)
         blobs = b if blobs is None else blobs.unionByName(b)
     # materialize the encode ONCE with full parallelism: the staging

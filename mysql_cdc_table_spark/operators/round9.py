@@ -6,7 +6,8 @@ Each entry follows the repo contract: a ``QUERIES`` callable
 (spark, sf_dir) -> DataFrame and an ``ORACLES`` ANSI-SQL twin DuckDB
 runs on the same parquet — column names aliased identically, sums cast
 BIGINT, float arithmetic kept to fixed-order expressions both engines
-compute bit-identically (see .claude/skills/verify/SKILL.md). Exact
+compute bit-identically (the repo's verify recipe documents the
+contract). Exact
 integer statistics that can outgrow int64 are carried as DECIMAL(38,0)
 on the Spark side / HUGEINT in DuckDB and emitted as DIGIT STRINGS —
 both engines print the same exact integer, so the hash compare never

@@ -559,6 +559,7 @@ class SchemaHistory:
         self.generation = 0  # bumps on every layout change
         self._next_id = 0  # never reused: a mid-stream re-CREATE must
         # not inherit the dropped table's identities
+        self._last_create: str | None = None  # re-statement guard
 
     def _matches(self, name: str, default_db: str | None = None) -> bool:
         # A db-qualified request must match exactly — bare-suffix
@@ -597,9 +598,25 @@ class SchemaHistory:
             name, sch, cs = _parse_create_full(s)
             if not self._matches(name, default_db):
                 return False
+            if (
+                self._pairs is not None
+                and s == self._last_create
+                and sch == self.schema
+            ):
+                # an exact RE-STATEMENT of the applied CREATE (a
+                # self-describing blob re-declaring its generation, a
+                # replayed log segment) must NOT open a new generation
+                # — fresh identities would remap every previously
+                # decoded row to all-NULL (advisor finding, round 14).
+                # A genuine re-CREATE (different text or a layout that
+                # drifted through ALTERs) still resets; callers
+                # replaying CREATE+ALTER prefixes must dedupe the
+                # re-stated suffix before seeding.
+                return False
             self._pairs = [
                 (f, self._next_id + i) for i, f in enumerate(sch.fields)
             ]
+            self._last_create = s
             self._next_id += len(sch.fields)
             self._charset = cs
             self.generation += 1

@@ -101,68 +101,69 @@ def test_header_counts_and_driver_split_match_doc():
 
 def test_driver_window_composition():
     """The driver verifies the FIRST ~50 registry keys per round. The
-    round-14 rotation leads with the 5 ROUND13_LATE_KEYS (the only
-    keys with no driver row ever — all 5 judge-verified MATCH in the
-    r13 verdict), then re-verify slots for code round 14 actually
-    touches (the codec roundtrips, per the standing discipline), and
-    backfill slots that reach the 13 remaining r06-stale rows plus the
-    stalest r07 rows. Guard it so a module reorder or an accidental
-    insertion can't silently starve the backfill."""
+    round-15 rotation leads with the 4 ROUND14_LATE_KEYS (the only
+    keys with no driver row ever — all 4 judge-verified MATCH in the
+    r14 verdict), then re-verify slots for code round 15 actually
+    touches (the codec roundtrips + the DDL-history key, per the
+    standing discipline), and backfill slots that clear the 13
+    r07-stale rows plus the stalest r08 rows. Guard it so a module
+    reorder or an accidental insertion can't silently starve the
+    backfill."""
     from mysql_cdc_table_spark.operators import (
-        _ROUND14_WINDOW_FRONT,
-        ROUND13_LATE_KEYS,
+        _ROUND15_WINDOW_FRONT,
         ROUND14_LATE_KEYS,
-        ROUND14_NEW_KEYS,
+        ROUND15_LATE_KEYS,
+        ROUND15_NEW_KEYS,
         _last_seen_rounds,
     )
 
     keys = list(all_queries())
     window = keys[:50]
-    front = [k for k in _ROUND14_WINDOW_FRONT if k in keys]
+    front = [k for k in _ROUND15_WINDOW_FRONT if k in keys]
     assert window[: len(front)] == front, "registry front diverged from plan"
     assert len(front) <= 14, (
-        "round-14 front outgrew its budget — the backfill must keep "
-        "36+ slots to clear the r06/r07-standing rows; move new keys "
-        "to ROUND14_LATE_KEYS"
+        "round-15 front outgrew its budget — the backfill must keep "
+        "36+ slots to clear the r07/r08-standing rows; move new keys "
+        "to ROUND15_LATE_KEYS"
     )
 
     seen = _last_seen_rounds()
 
-    # the 5 round-13 late keys lead the window (their first driver
-    # rows), before any round-14 additions
-    assert window[: len(ROUND13_LATE_KEYS)] == list(ROUND13_LATE_KEYS)
+    # the 4 round-14 late keys lead the window (their first driver
+    # rows), before any round-15 additions
+    assert window[: len(ROUND14_LATE_KEYS)] == list(ROUND14_LATE_KEYS)
 
     # every key with NO driver row ever must be in the window — except
-    # documented ROUND14_LATE_KEYS, pinned BEHIND it
+    # documented ROUND15_LATE_KEYS, pinned BEHIND it
     never_seen = [k for k in keys if k not in seen]
     missing = [
         k for k in never_seen
-        if k not in window and k not in ROUND14_LATE_KEYS
+        if k not in window and k not in ROUND15_LATE_KEYS
     ]
     assert not missing, f"never-driver-seen keys fell out of the window: {missing}"
-    if ROUND14_LATE_KEYS:
-        assert keys[-len(ROUND14_LATE_KEYS):] == list(ROUND14_LATE_KEYS), (
+    if ROUND15_LATE_KEYS:
+        assert keys[-len(ROUND15_LATE_KEYS):] == list(ROUND15_LATE_KEYS), (
             "late keys must sit at the very end of the registry"
         )
 
     # the backfill MUST reach the stalest standing rows: the slots
     # after the front hold exactly the minimum last-seen rounds among
     # all non-front, non-late keys (before the driver writes
-    # CORRECTNESS_r14 that means the 13 r06 rows lead; after, the
+    # CORRECTNESS_r15 that means the 13 r07 rows lead; after, the
     # next-stalest move in — the invariant is "stalest prefix", not a
     # literal round)
     backfill = window[len(front):]
-    assert backfill, "round-14 window left no backfill slots"
+    assert backfill, "round-15 window left no backfill slots"
     candidate_rounds = sorted(
         seen.get(k, 0)
         for k in keys
-        if k not in front and k not in ROUND14_LATE_KEYS
+        if k not in front and k not in ROUND15_LATE_KEYS
     )
     assert [seen.get(k, 0) for k in backfill] == (
         candidate_rounds[: len(backfill)]
     ), "backfill is not the stalest prefix of standing rows"
-    # any round-14 new keys are in the front, not displaced
-    assert all(k in window for k in ROUND14_NEW_KEYS)
+    # any round-15 new keys are in the front, not displaced
+    assert all(k in window for k in ROUND15_NEW_KEYS)
 
     # backfill tail is stalest-first by LAST-seen round (the staleness
     # metric — first-seen would mark re-verified keys as stale); the
@@ -170,7 +171,7 @@ def test_driver_window_composition():
     tail_rounds = [
         seen.get(k, 0)
         for k in keys[len(front):]
-        if k not in ROUND14_LATE_KEYS
+        if k not in ROUND15_LATE_KEYS
     ]
     assert tail_rounds == sorted(tail_rounds), (
         "window backfill is not stalest-first"
