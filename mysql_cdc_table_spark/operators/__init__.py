@@ -58,6 +58,7 @@ _MODULES = (
     "mysql_cdc_table_spark.operators.round12b",
     "mysql_cdc_table_spark.operators.round13",
     "mysql_cdc_table_spark.operators.round14",
+    "mysql_cdc_table_spark.operators.round15",
     "mysql_cdc_table_spark.operators.late",
 )
 
@@ -779,7 +780,11 @@ ROUND15_REVERIFY: tuple[str, ...] = (
 
 # Late-registration tail for round 15 (same pinned-behind protocol):
 # keys registered after the front budget fills; they lead round 16.
-ROUND15_LATE_KEYS: tuple[str, ...] = ()
+ROUND15_LATE_KEYS: tuple[str, ...] = (
+    # gbk — the first MULTIBYTE non-utf-8 charset in the codec space,
+    # decoded by BOTH kernels from the same blobs (operators/round15.py)
+    "cdc_binlog_gbk_roundtrip",
+)
 
 
 def _last_seen_rounds() -> dict[str, int]:

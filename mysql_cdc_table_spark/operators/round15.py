@@ -1,0 +1,196 @@
+"""Round-15 operators: gbk charset decode through BOTH kernels.
+
+gbk is the common pre-8.0 production charset on Chinese MySQL
+deployments (mbmaxlen 2; lead bytes 0x81-0xFE, trail bytes 0x40-0xFE
+minus 0x7F — the trail range OVERLAPS ASCII, which is what makes its
+vectorized transcode genuinely harder than latin1's). The reference
+inherits charset handling from the server's Field::unpack
+(binlog_table_reader.cc:151-156) and never transcodes — its changelog
+surfaces whatever bytes the server stored; this engine converts every
+string column to Spark's utf-8 StringType, so gbk needs a real codec
+path in the scalar walk AND the columnar Arrow kernel
+(sources/mysql_binlog_vec._gbk_to_utf8).
+
+``cdc_binlog_gbk_roundtrip`` decodes ONE fixture through both kernels
+and emits a per-kernel aggregate row — the driver's value hash then
+proves not just "gbk decodes" but "both kernels decode gbk
+byte-identically".
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mysql_cdc_table_spark.operators._util import t
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def cdc_binlog_gbk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gbk CHAR/VARCHAR/TEXT through the real binlog v4 framing, decoded
+    by the scalar walk AND the columnar Arrow kernel from the same
+    blobs. The fixture's codepoints are arithmetic in the order key —
+    CJK ideographs U+4E00+f(id) (every one a 2-byte gbk char whose raw
+    wire bytes are invalid utf-8) mixed with ASCII separators and the
+    extension char U+4E02 ('丂', gbk 0x81 0x40) whose TRAIL byte is
+    ASCII '@' — the case a byte-class-only char scan gets wrong. The
+    aggregate pins full-codepoint sums per (kernel, status); the two
+    kernels' rows must agree with each other and with the oracle's
+    pure arithmetic, so one mis-scanned trail byte or a cross-row
+    parity leak in the vectorized transcode breaks the value hash."""
+    import pandas as pd
+
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        build_binlog_file,
+        decode_binlog_bytes,
+    )
+    from mysql_cdc_table_spark.sources.mysql_binlog_vec import (
+        decode_binlog_pandas,
+    )
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "status",
+                T.StringType(),
+                metadata={"mysql_type": "enum", "values": ["F", "O", "P"]},
+            ),
+            T.StructField(
+                "name",
+                T.StringType(),
+                metadata={"varchar_len": 20, "charset": "gbk"},
+            ),
+            T.StructField(
+                "tag",
+                T.StringType(),
+                metadata={
+                    "mysql_type": "char", "char_len": 2, "char_bytes": 4,
+                    "charset": "gbk",
+                },
+            ),
+            T.StructField(
+                "memo",
+                T.StringType(),
+                metadata={"mysql_type": "text", "charset": "gbk"},
+            ),
+        ]
+    )
+    base = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "id")
+    )
+
+    file_schema = T.StructType([T.StructField("file_bytes", T.BinaryType())])
+
+    def mk_row(rid: int, status: str) -> dict:
+        # name: CJK - ASCII-trail char; tag: 2 CJK; memo: ascii run +
+        # one CJK tail — all codepoint arithmetic the oracle recomputes
+        return {
+            "id": rid,
+            "status": status,
+            "name": chr(0x4E00 + rid % 20000) + "-"
+            + chr(0x4E02 + rid % 93),
+            "tag": chr(0x4E00 + rid % 26) + chr(0x4E00 + (rid // 26) % 26),
+            "memo": "x" * (rid % 7) + chr(0x4E00 + (rid * 7) % 20000),
+        }
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            txns = [
+                {
+                    "gno": int(r.id),
+                    "op": "w",
+                    "rows": [mk_row(int(r.id), r.status)],
+                }
+                for r in pdf.itertuples(index=False)
+            ]
+            blob = build_binlog_file(
+                "tpch", "orders_gbk", target, txns, checksum=True
+            )
+            yield pd.DataFrame({"file_bytes": [blob]})
+
+    files = base.mapInPandas(encode, schema=file_schema)
+
+    cols = ["id", "status", "name", "tag", "memo", "__gtid"]
+    out_schema = T.StructType(
+        [
+            T.StructField("kernel", T.StringType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("memo", T.StringType()),
+            T.StructField("__gtid", T.LongType()),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["file_bytes"]:
+                b = bytes(blob)
+                rows = decode_binlog_bytes(
+                    b, target, "tpch", "orders_gbk"
+                )
+                scal = pd.DataFrame(
+                    {n: [r.get(n) for r in rows] for n in cols}
+                )
+                scal.insert(0, "kernel", "scalar")
+                yield scal
+                vec = decode_binlog_pandas(
+                    b, target, "tpch", "orders_gbk"
+                )[cols].copy()
+                vec.insert(0, "kernel", "vec")
+                yield vec
+
+    decoded = files.mapInPandas(decode, schema=out_schema)
+    cp = F.ascii  # full codepoint of the first char (JVM codePointAt)
+    return decoded.groupBy("kernel", "status").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            (cp("name") + cp(F.substring("name", 3, 1))).cast("long")
+        ).alias("name_cp_sum"),
+        F.sum(
+            (cp("tag") * F.lit(65536) + cp(F.substring("tag", 2, 1)))
+            .cast("long")
+        ).alias("tag_cp_sum"),
+        F.sum(F.length("memo").cast("long")).alias("memo_len_sum"),
+        F.sum(
+            cp(F.substring(F.col("memo"), F.length("memo"), F.lit(1)))
+            .cast("long")
+        ).alias("memo_cp_sum"),
+        F.sum("__gtid").alias("gtid_sum"),
+    )
+
+
+CDC_BINLOG_GBK_ROUNDTRIP_SQL = """
+SELECT k.kernel,
+       o_orderstatus AS status,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(19968 + o_orderkey % 20000
+              + 19970 + o_orderkey % 93) AS BIGINT) AS name_cp_sum,
+       CAST(sum((19968 + o_orderkey % 26) * 65536
+              + 19968 + (o_orderkey // 26) % 26) AS BIGINT) AS tag_cp_sum,
+       CAST(sum(o_orderkey % 7 + 1) AS BIGINT) AS memo_len_sum,
+       CAST(sum(19968 + (o_orderkey * 7) % 20000) AS BIGINT)
+         AS memo_cp_sum,
+       CAST(sum(o_orderkey) AS BIGINT) AS gtid_sum
+FROM orders,
+     (SELECT 'scalar' AS kernel UNION ALL SELECT 'vec') k
+GROUP BY 1, 2
+"""
+
+
+QUERIES["cdc_binlog_gbk_roundtrip"] = cdc_binlog_gbk_roundtrip
+ORACLES["cdc_binlog_gbk_roundtrip"] = CDC_BINLOG_GBK_ROUNDTRIP_SQL

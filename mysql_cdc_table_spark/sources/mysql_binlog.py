@@ -1022,9 +1022,15 @@ class _Col:
 # utf8mb3/utf8mb4 are all byte-compatible with Python's utf-8 codec;
 # latin1 is MySQL's default on pre-8.0 servers and the one single-byte
 # set worth a native decode path (every byte 0x00-0xFF is a defined
-# character). Anything else must be transcoded upstream — the codec
-# raises pointedly rather than mojibake a decode.
-_CHARSET_CODECS = {"utf8": "utf-8", "latin1": "latin-1"}
+# character); gbk is the common pre-8.0 charset on Chinese
+# deployments (two-byte, lead 0x81-0xFE / trail 0x40-0xFE minus 0x7F
+# — Python's gbk codec implements the same CP936 table MySQL's gbk
+# collates over, and raises on malformed sequences, keeping the
+# failfast contract). Anything else must be transcoded upstream — the
+# codec raises pointedly rather than mojibake a decode.
+_CHARSET_CODECS = {"utf8": "utf-8", "latin1": "latin-1", "gbk": "gbk"}
+# charset -> max bytes per character (the CHAR(n) byte-width factor)
+_CHARSET_MBMAXLEN = {"utf8": 4, "latin1": 1, "gbk": 2}
 
 
 def _charset_codec(charset: str, where: str) -> str:
@@ -1119,11 +1125,11 @@ def _cols_from_schema(target: T.StructType) -> list[_Col]:
             cols.append(_Col(f.name, TY_TIME2, bytes([fsp])))
         elif kind == "char":
             # fixed-width CHAR(n): metadata carries the max BYTE length
-            # = chars x charset mbmaxlen (utf8mb4: 4; latin1: 1)
+            # = chars x charset mbmaxlen (utf8mb4: 4; gbk: 2; latin1: 1)
             cs = str(md.get("charset", "utf8"))
             _charset_codec(cs, f.name)
             n = int(md.get("char_len", 1))
-            blen = int(md.get("char_bytes", n * (1 if cs == "latin1" else 4)))
+            blen = int(md.get("char_bytes", n * _CHARSET_MBMAXLEN[cs]))
             cols.append(
                 _Col(f.name, TY_STRING, _char_meta(blen), charset=cs)
             )

@@ -182,6 +182,62 @@ def _latin1_to_utf8(data, offsets):
     return out, new_offsets
 
 
+def _gbk_to_utf8(data, offsets):
+    """Vectorized gbk (CP936) -> utf-8 transcode of an Arrow-layout
+    string buffer (one contiguous byte run + row offsets). GBK chars
+    are 1 byte (0x00-0x7F) or 2 bytes (lead 0x81-0xFE, trail
+    0x40-0xFE minus 0x7F) — trails overlap the ASCII range, so byte
+    class alone cannot find char starts. Lead positions follow the
+    parser recurrence ``lead[i] = cand[i] & ~lead[i-1]`` with
+    ``cand = byte >= 0x81``: within each maximal run of consecutive
+    candidate bytes, leads sit at the even offsets (and the byte
+    before a run is never a lead — a valid gbk string cannot end on an
+    unpaired lead, so the recurrence also never crosses a row
+    boundary). The payload itself is transcoded with two whole-buffer
+    codec calls (C-speed ``bytes.decode('gbk')`` ->
+    ``str.encode('utf-8')``); row offsets remap through the char count
+    at each old boundary and the cumulative utf-8 width per codepoint.
+    Python's gbk decode raises on malformed input — the same failfast
+    the scalar walk's per-value decode has."""
+    import numpy as np
+
+    if len(data) == 0 or not (data >= 0x80).any():
+        return data, offsets  # pure-ASCII batch is already utf-8
+    text = data.tobytes().decode("gbk")  # raises on malformed gbk
+    out = np.frombuffer(text.encode("utf-8"), np.uint8)
+    cand = data >= 0x81
+    lead = np.zeros(len(data), bool)
+    idx = np.flatnonzero(cand)
+    if len(idx):
+        new_run = np.empty(len(idx), bool)
+        new_run[0] = True
+        new_run[1:] = np.diff(idx) > 1
+        run_start = idx[new_run][np.cumsum(new_run) - 1]
+        lead[idx] = ((idx - run_start) % 2) == 0
+    consumed_as_trail = np.zeros(len(data), bool)
+    consumed_as_trail[1:] = lead[:-1]
+    # char index at every input byte boundary (0..len inclusive)
+    nchars = np.zeros(len(data) + 1, np.int64)
+    np.cumsum(~consumed_as_trail, out=nchars[1:])
+    if int(nchars[-1]) != len(text):
+        raise ValueError(
+            "gbk char-start scan diverged from the codec output — "
+            "malformed multibyte payload"
+        )
+    # utf-8 byte offset of every char boundary
+    cps = np.frombuffer(text.encode("utf-32-le"), np.uint32)
+    width = (
+        1
+        + (cps >= 0x80).astype(np.int64)
+        + (cps >= 0x800).astype(np.int64)
+        + (cps >= 0x10000).astype(np.int64)
+    )
+    u8_off = np.zeros(len(cps) + 1, np.int64)
+    np.cumsum(width, out=u8_off[1:])
+    new_offsets = u8_off[nchars[offsets.astype(np.int64)]].astype(np.int32)
+    return out, new_offsets
+
+
 _DAYS_IN_MONTH = None  # built lazily (numpy import is deferred)
 
 
@@ -577,11 +633,14 @@ def _vec_col_decoder(col: _Col, field: T.StructField):
             tc == TY_BLOB and col.extra == "text"
         )
         out_t = pa.string() if is_str else pa.binary()
-        # latin1 columns transcode the gathered buffer to utf-8 in one
-        # vectorized pass (offsets remap through the expansion count)
+        # latin1/gbk columns transcode the gathered buffer to utf-8 in
+        # one vectorized pass (offsets remap through the expansion)
         latin1 = is_str and col.charset == "latin1"
+        gbk = is_str and col.charset == "gbk"
 
-        def dec(u8, raw, pos, valid, _pw=pw, _out_t=out_t, _l1=latin1):
+        def dec(
+            u8, raw, pos, valid, _pw=pw, _out_t=out_t, _l1=latin1, _gbk=gbk
+        ):
             idx = np.flatnonzero(valid)
             if _pw == 1:
                 lens = u8[pos[idx]].astype(np.int64)
@@ -603,6 +662,8 @@ def _vec_col_decoder(col: _Col, field: T.StructField):
             pos[idx] = data_start + lens
             if _l1:
                 data, offsets = _latin1_to_utf8(data, offsets)
+            elif _gbk:
+                data, offsets = _gbk_to_utf8(data, offsets)
             arr = pa.Array.from_buffers(
                 _out_t,
                 len(pos),

@@ -126,16 +126,18 @@ def test_latin1_to_utf8_transcode_matches_python_codec():
 
 
 def test_unsupported_charset_raises_pointedly():
+    # gbk joined the codec space in round 15; sjis is the next
+    # still-unsupported multibyte set
     bad = T.StructType(
         [
             T.StructField(
                 "s",
                 T.StringType(),
-                metadata={"mysql_type": "text", "charset": "gbk"},
+                metadata={"mysql_type": "text", "charset": "sjis"},
             )
         ]
     )
-    with pytest.raises(ValueError, match="gbk"):
+    with pytest.raises(ValueError, match="sjis"):
         _cols_from_schema(bad)
 
 
