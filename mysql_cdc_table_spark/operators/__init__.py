@@ -784,6 +784,10 @@ ROUND15_LATE_KEYS: tuple[str, ...] = (
     # gbk — the first MULTIBYTE non-utf-8 charset in the codec space,
     # decoded by BOTH kernels from the same blobs (operators/round15.py)
     "cdc_binlog_gbk_roundtrip",
+    # the gh-ost/pt-osc RENAME TABLE cut-over: the schema history
+    # follows table-level renames, the swap inherits column identities
+    # by name, backfill/parked-table writes stay uncaptured
+    "cdc_binlog_table_rename_decode",
 )
 
 

@@ -2486,6 +2486,12 @@ def decode_binlog_bytes(
     under older generations are remapped onto the LATEST generation's
     names through the history's column identities (renamed columns
     carry over, dropped columns vanish, added columns surface NULL).
+    Table-level RENAMEs follow: ``ALTER TABLE t RENAME TO u`` re-aims
+    the TABLE_MAP filter at the new name mid-walk, and the
+    gh-ost/pt-osc cut-over ``RENAME TABLE t TO _old, _ghost TO t``
+    swaps the ghost's layout in as a new generation whose same-named
+    columns inherit the old identities — pre-cut-over rows surface
+    under the migrated layout (mysql_ddl.SchemaHistory).
     ``target`` may be None in this mode — the layout comes from the
     log itself. Mutually exclusive with ``init_state`` (a mid-file
     range cannot see the history that precedes it) and ``_rows_sink``
@@ -2581,9 +2587,17 @@ def decode_binlog_bytes(
         elif tc == EV_TABLE_MAP:
             key = bytes(body)
             if key in map_cache:
-                hit = map_cache[key]
-                if hit is not None:
-                    tdefs[hit[0]] = hit[1]
+                tid_c, tdef_c = map_cache[key]
+                if tdef_c is not None:
+                    tdefs[tid_c] = tdef_c
+                else:
+                    # a FOREIGN table's map: the latest TABLE_MAP for a
+                    # table id defines its binding, so unbind any stale
+                    # target tdef under this id (ids are reused after a
+                    # rename or table-cache eviction — without this, a
+                    # foreign table re-using the id would decode as the
+                    # target)
+                    tdefs.pop(tid_c, None)
                 return
             dblen = body[8]
             db_ = body[9 : 9 + dblen].decode()
@@ -2592,8 +2606,17 @@ def decode_binlog_bytes(
             tbl_ = body[tpos + 1 : tpos + 1 + tlen].decode()
             # unlike the reference (missing-braces bug, :402-403 — it
             # rebuilds table_def from EVERY table map), only the target
-            # table's map updates the decode layout
-            if db_ == database and tbl_ == table:
+            # table's map updates the decode layout. With a schema
+            # history the match follows table-level RENAMEs: after
+            # ALTER ... RENAME TO the walk captures the new name, and
+            # a cut-over swap keeps capturing the tracked name with
+            # the swapped-in layout (the rename bumps the generation,
+            # which already cleared this cache and tdefs).
+            if (
+                schema_history.matches_current(db_, tbl_)
+                if schema_history is not None
+                else (db_ == database and tbl_ == table)
+            ):
                 if target_cols is None:
                     raise ValueError(
                         f"TABLE_MAP for {database}.{table} before any "
@@ -2605,7 +2628,9 @@ def decode_binlog_bytes(
                 tdefs[tid2] = tdef
                 map_cache[key] = (tid2, tdef)
             else:
-                map_cache[key] = None
+                tid2 = int.from_bytes(body[0:6], "little")
+                tdefs.pop(tid2, None)  # id now binds to a foreign table
+                map_cache[key] = (tid2, None)
         elif tc in (
             EV_WRITE_ROWS_V2,
             EV_UPDATE_ROWS_V2,

@@ -405,27 +405,42 @@ def apply_mysql_alter(
     DROP COLUMN, MODIFY COLUMN (in-place type rewrite, optional
     reposition), CHANGE COLUMN (rename + type, optional reposition)
     and RENAME COLUMN old TO new. Table-level RENAME raises pointedly
-    (the history fold tracks one name). The server rebuilds the row
-    image under the new layout from the ALTER onward — which is
-    exactly what replaying these ops into the decode schema gives a
-    reader (the reference gets this free from the live data
-    dictionary, Field::unpack via binlog_table_reader.cc:151-156)."""
+    here — a bare schema has no name to move; ``SchemaHistory``
+    follows table renames (including the RENAME TABLE swap every
+    online migration ends with). The server rebuilds the row image
+    under the new layout from the ALTER onward — which is exactly
+    what replaying these ops into the decode schema gives a reader
+    (the reference gets this free from the live data dictionary,
+    Field::unpack via binlog_table_reader.cc:151-156; its own
+    rename_table handler refuses outright, HA_ERR_WRONG_COMMAND at
+    binlogdb.cc:784-788)."""
     pairs = [(f, i) for i, f in enumerate(schema.fields)]
-    pairs, _ = _apply_alter_pairs(pairs, ddl, default_charset, len(pairs))
+    pairs, _, renamed_to = _apply_alter_pairs(
+        pairs, ddl, default_charset, len(pairs)
+    )
+    if renamed_to is not None:
+        raise ValueError(
+            "ALTER TABLE ... RENAME [TO] <table> is outside the bare "
+            "schema replay (a StructType has no table name to move); "
+            "fold through SchemaHistory, which follows renames"
+        )
     return T.StructType([f for f, _ in pairs])
 
 
 def _apply_alter_pairs(
     pairs: list, ddl: str, default_charset: str, next_id: int
-) -> tuple[list, int]:
+) -> tuple[list, int, str | None]:
     """apply_mysql_alter's engine over ``(StructField, id)`` pairs.
     ADD allocates a fresh id; MODIFY/CHANGE/RENAME keep the column's
     id (MySQL rewrites the field in place — same column, new surface);
-    DROP retires the id. Returns (new pairs, next unallocated id)."""
+    DROP retires the id. A table-level RENAME [TO|AS] op is reported,
+    not applied (the caller owns the name). Returns
+    (new pairs, next unallocated id, renamed_to|None)."""
     m = _ALTER_RE.match(ddl.strip().rstrip(";"))
     if not m:
         raise ValueError(f"not an ALTER TABLE statement: {ddl[:80]!r}")
     fields = list(pairs)
+    renamed_to: str | None = None
     for op in _split_top_level(m.group("ops")):
         toks = op.split()
         verb = toks[0].lower()
@@ -523,34 +538,75 @@ def _apply_alter_pairs(
             elif head in ("index", "key"):
                 continue  # RENAME INDEX: no row-layout change
             else:
-                raise ValueError(
-                    "ALTER TABLE ... RENAME [TO] <table> is outside the "
-                    "schema-history replay (the fold tracks one table "
-                    "name; split the history at the rename)"
+                # ALTER TABLE t RENAME [TO|AS] new_name — table-level
+                # rename; no row-layout change, the NAME moves
+                rm = re.match(
+                    r"(?:to\s+|as\s+)?(?P<new>(?:`[^`]+`|\w+)"
+                    r"(?:\s*\.\s*(?:`[^`]+`|\w+))?)\s*$",
+                    rest,
+                    re.IGNORECASE,
+                )
+                if not rm:
+                    raise ValueError(f"cannot parse RENAME {op!r}")
+                renamed_to = ".".join(
+                    _strip_quotes(p)
+                    for p in re.split(r"\s*\.\s*", rm.group("new"))
                 )
         else:
             # table options (ENGINE=, AUTO_INCREMENT=, comment...) —
             # no layout change
             continue
-    return fields, next_id
+    return fields, next_id, renamed_to
+
+
+_RENAME_TABLE_RE = re.compile(
+    r"^\s*rename\s+table\s+(?P<pairs>.*)$", re.IGNORECASE | re.DOTALL
+)
+_RENAME_PAIR_RE = re.compile(
+    r"^\s*(?P<old>(?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+))?)\s+to\s+"
+    r"(?P<new>(?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+))?)\s*$",
+    re.IGNORECASE,
+)
 
 
 class SchemaHistory:
-    """Stateful fold of ONE table's DDL history with column identities
-    — the object a multi-generation binlog decode carries alongside
-    the event walk (``decode_binlog_bytes(..., schema_history=...)``).
+    """Stateful fold of a database's DDL history with column
+    identities, tracking ONE table of interest — the object a
+    multi-generation binlog decode carries alongside the event walk
+    (``decode_binlog_bytes(..., schema_history=...)``).
 
-    ``apply(statement)`` replays a CREATE/ALTER when it names the
-    tracked table (bare or db-qualified match, same rules as
-    ``schema_from_ddl_history``) and returns True when the row layout
-    changed — the reader's cue to rebuild its TABLE_MAP resolution.
+    ``apply(statement)`` replays CREATE/ALTER/RENAME TABLE statements:
+    those naming the tracked table (bare or db-qualified match, same
+    rules as ``schema_from_ddl_history``) fold into the tracked
+    generations; every OTHER table's CREATE/ALTER folds into a side
+    registry so a later rename can move it INTO the tracked name.
+    Returns True when the tracked table's row layout OR name changed —
+    the reader's cue to rebuild its TABLE_MAP resolution.
+
+    Table-level renames follow MySQL's semantics and the two shapes
+    real migrations produce:
+
+    - ``ALTER TABLE t RENAME TO u`` / single-pair ``RENAME TABLE t TO
+      u`` of the tracked table: the fold FOLLOWS the name (the logical
+      table keeps streaming under its new name; the reference refuses
+      rename outright — HA_ERR_WRONG_COMMAND, binlogdb.cc:784-788).
+    - the gh-ost/pt-osc cut-over ``RENAME TABLE orders TO _old,
+      _ghost TO orders`` (one atomic statement renaming the tracked
+      name away AND another table into it): the fold stays on the
+      NAME, the ghost's layout becomes the new generation, and ghost
+      columns INHERIT the identity of same-named tracked columns — so
+      rows decoded before the cut-over surface their values under the
+      migrated layout, exactly Debezium's behavior across an online
+      schema migration.
+
     ``schema`` is the current generation's StructType; ``ids`` the
     parallel column-identity tuple. An id is allocated by CREATE /
-    ADD COLUMN and survives MODIFY/CHANGE/RENAME, so two generations'
-    positions can be joined on identity to surface an old generation's
-    values under the LATEST names (Debezium's schema-history contract;
-    the reference cannot do any of this — it default-skips QUERY
-    events, binlog_table_reader.cc:427-428)."""
+    ADD COLUMN and survives MODIFY/CHANGE/RENAME (and, by name, the
+    cut-over swap), so two generations' positions can be joined on
+    identity to surface an old generation's values under the LATEST
+    names (Debezium's schema-history contract; the reference cannot
+    do any of this — it default-skips QUERY events,
+    binlog_table_reader.cc:427-428)."""
 
     def __init__(self, table: str, database: str | None = None):
         self._want = (
@@ -563,6 +619,66 @@ class SchemaHistory:
         self._next_id = 0  # never reused: a mid-stream re-CREATE must
         # not inherit the dropped table's identities
         self._last_create: str | None = None  # re-statement guard
+        # every OTHER table whose CREATE streamed past: resolved name
+        # -> {"pairs", "charset", "last_create"} — the candidates a
+        # RENAME TABLE can move into the tracked name. Ids come off
+        # the SAME counter as the tracked table's, so a swap-in can
+        # never collide identities.
+        self._tables: dict[str, dict] = {}
+
+    def _norm_name(self, name: str, default_db: str | None = None) -> str:
+        low = name.lower()
+        if "." not in low and default_db:
+            low = f"{default_db.lower()}.{low}"
+        return low
+
+    def _reg_key(self, name: str, default_db: str | None) -> str | None:
+        """Resolve a statement's table name to its side-registry key
+        (exact resolved match, else a unique bare-name match across
+        qualification styles)."""
+        res = self._norm_name(name, default_db)
+        if res in self._tables:
+            return res
+        bare = res.split(".")[-1]
+        cands = [
+            k
+            for k in self._tables
+            if k.split(".")[-1] == bare and ("." not in k or "." not in res)
+        ]
+        if len(cands) > 1:
+            raise ValueError(
+                f"table name {name!r} is ambiguous in the schema "
+                f"history (candidates: {sorted(cands)})"
+            )
+        return cands[0] if cands else None
+
+    def _tracked_state(self) -> dict:
+        return {
+            "pairs": self._pairs,
+            "charset": self._charset,
+            "last_create": self._last_create,
+        }
+
+    def _swap_in(self, state: dict) -> None:
+        """A different table just arrived at the tracked name (the
+        online-migration cut-over): its layout becomes the new
+        generation, and its columns inherit the identity of same-named
+        columns in the outgoing generation — the join that carries
+        pre-cut-over values into the migrated layout."""
+        old_by_name = {f.name: i for f, i in (self._pairs or [])}
+        self._pairs = [
+            (f, old_by_name.get(f.name, i)) for f, i in state["pairs"]
+        ]
+        self._charset = state["charset"]
+        self._last_create = state.get("last_create")
+        self.generation += 1
+
+    def matches_current(self, db: str, table: str) -> bool:
+        """Does a TABLE_MAP's (db, table) name the tracked table RIGHT
+        NOW? Follows table-level renames — after ``ALTER TABLE t
+        RENAME TO u`` the reader captures rows logged under ``u``; a
+        cut-over swap keeps capturing the original name."""
+        return self._matches(f"{db}.{table}" if db else table)
 
     def _matches(self, name: str, default_db: str | None = None) -> bool:
         # A db-qualified request must match exactly — bare-suffix
@@ -600,6 +716,27 @@ class SchemaHistory:
         if low.startswith("create table"):
             name, sch, cs = _parse_create_full(s)
             if not self._matches(name, default_db):
+                # another table in the database: register it so a
+                # later RENAME TABLE can move it into the tracked name
+                key = self._reg_key(name, default_db) or self._norm_name(
+                    name, default_db
+                )
+                st = self._tables.get(key)
+                if (
+                    st is not None
+                    and s == st.get("last_create")
+                    and T.StructType([f for f, _ in st["pairs"]]) == sch
+                ):
+                    return False  # exact re-statement (same rule below)
+                self._tables[key] = {
+                    "pairs": [
+                        (f, self._next_id + i)
+                        for i, f in enumerate(sch.fields)
+                    ],
+                    "charset": cs,
+                    "last_create": s,
+                }
+                self._next_id += len(sch.fields)
                 return False
             if (
                 self._pairs is not None
@@ -626,28 +763,122 @@ class SchemaHistory:
             return True
         if low.startswith("alter table"):
             m = _ALTER_RE.match(s.rstrip(";"))
-            if not m or not self._matches(
-                ".".join(
-                    _strip_quotes(p)
-                    for p in re.split(r"\s*\.\s*", m.group("name"))
-                ),
-                default_db,
-            ):
+            if not m:
                 return False
-            if self._pairs is None:
-                raise ValueError(
-                    f"ALTER before CREATE for table {self._want!r} in "
-                    "the DDL history"
-                )
-            new_pairs, self._next_id = _apply_alter_pairs(
-                list(self._pairs), s, self._charset, self._next_id
+            name = ".".join(
+                _strip_quotes(p)
+                for p in re.split(r"\s*\.\s*", m.group("name"))
             )
-            changed = new_pairs != self._pairs
-            self._pairs = new_pairs
-            if changed:
-                self.generation += 1
-            return changed
+            if self._matches(name, default_db):
+                if self._pairs is None:
+                    raise ValueError(
+                        f"ALTER before CREATE for table {self._want!r} "
+                        "in the DDL history"
+                    )
+                new_pairs, self._next_id, renamed_to = _apply_alter_pairs(
+                    list(self._pairs), s, self._charset, self._next_id
+                )
+                changed = new_pairs != self._pairs
+                self._pairs = new_pairs
+                if renamed_to is not None:
+                    # ALTER TABLE t RENAME TO u: the fold follows the
+                    # name — layout unchanged, but the reader must
+                    # re-aim its TABLE_MAP filter
+                    self._want = self._norm_name(renamed_to, default_db)
+                    self._qualified = "." in self._want
+                    changed = True
+                if changed:
+                    self.generation += 1
+                return changed
+            # a non-tracked table's ALTER: keep its registry entry
+            # current (it may be renamed into the tracked name later)
+            key = self._reg_key(name, default_db)
+            if key is None:
+                return False  # outside the history entirely
+            st = self._tables[key]
+            st["pairs"], self._next_id, renamed_to = _apply_alter_pairs(
+                list(st["pairs"]), s, st["charset"], self._next_id
+            )
+            if renamed_to is not None:
+                del self._tables[key]
+                if self._matches(renamed_to, default_db):
+                    self._swap_in(st)  # renamed INTO the tracked name
+                    return True
+                self._tables[self._norm_name(renamed_to, default_db)] = st
+            return False
+        rm = _RENAME_TABLE_RE.match(s.rstrip(";"))
+        if rm:
+            return self._apply_rename_table(rm.group("pairs"), default_db)
         return False  # BEGIN/COMMIT/DML/other framing
+
+    def _apply_rename_table(
+        self, pairs_txt: str, default_db: str | None
+    ) -> bool:
+        """One atomic RENAME TABLE a TO b[, c TO d, ...] statement —
+        MySQL applies every pair as one atomic metadata swap, which is
+        exactly how online migrations cut over."""
+        renames: list[tuple[str, str]] = []
+        for part in _split_top_level(pairs_txt):
+            pm = _RENAME_PAIR_RE.match(part)
+            if not pm:
+                raise ValueError(f"cannot parse RENAME TABLE pair {part!r}")
+            renames.append(
+                tuple(
+                    ".".join(
+                        _strip_quotes(p)
+                        for p in re.split(r"\s*\.\s*", pm.group(g))
+                    )
+                    for g in ("old", "new")
+                )
+            )
+        tracked_out: dict | None = None
+        tracked_out_new: str | None = None
+        incoming: dict | None = None
+        staged: list[tuple[str, dict]] = []
+        for old, new in renames:
+            old_is_tracked = self._matches(old, default_db)
+            new_is_tracked = self._matches(new, default_db)
+            if old_is_tracked and new_is_tracked:
+                continue  # rename onto itself: nothing moves
+            if old_is_tracked:
+                tracked_out = self._tracked_state()
+                tracked_out_new = self._norm_name(new, default_db)
+                continue
+            key = self._reg_key(old, default_db)
+            state = self._tables.pop(key) if key is not None else None
+            if new_is_tracked:
+                if state is None:
+                    raise ValueError(
+                        f"RENAME TABLE {old} TO {new}: the table "
+                        "renamed into the tracked name has no CREATE "
+                        "in the schema history"
+                    )
+                incoming = state
+            elif state is not None:
+                staged.append((self._norm_name(new, default_db), state))
+        for key, state in staged:
+            self._tables[key] = state
+        if incoming is not None:
+            if tracked_out is not None:
+                # the cut-over swap: the tracked NAME keeps streaming,
+                # the outgoing layout parks under its new name
+                self._tables[tracked_out_new] = tracked_out
+            elif self._pairs is not None:
+                raise ValueError(
+                    "RENAME TABLE moved a table onto the tracked name "
+                    f"{self._want!r} while it still exists — MySQL "
+                    "would reject this statement"
+                )
+            self._swap_in(incoming)
+            return True
+        if tracked_out is not None:
+            # tracked table renamed away with nothing arriving: the
+            # fold FOLLOWS the logical table to its new name
+            self._want = tracked_out_new
+            self._qualified = "." in self._want
+            self.generation += 1
+            return True
+        return False
 
 
 def schema_from_ddl_history(

@@ -194,3 +194,244 @@ def test_sjis_charset_still_raises_pointedly():
         schema_from_ddl_history(
             ["CREATE TABLE t (s VARCHAR(5) CHARACTER SET sjis)"], "t"
         )
+
+
+# --- table-level RENAME / multi-table schema history -------------------------
+
+
+def _hist(table="orders", db="tpch"):
+    from mysql_cdc_table_spark.sources.mysql_ddl import SchemaHistory
+
+    return SchemaHistory(table, database=db)
+
+
+_CREATE = (
+    "CREATE TABLE `tpch`.`orders` ("
+    " `id` BIGINT, `price` DECIMAL(12,2), `flag` CHAR(2))"
+)
+_GHOST = (
+    "CREATE TABLE `tpch`.`_orders_gho` ("
+    " `id` BIGINT, `price` DECIMAL(14,4), `note` VARCHAR(30),"
+    " `flag` CHAR(2))"
+)
+_CUTOVER = (
+    "RENAME TABLE `tpch`.`orders` TO `tpch`.`_orders_del`,"
+    " `tpch`.`_orders_gho` TO `tpch`.`orders`"
+)
+
+
+def test_history_follows_alter_rename_to():
+    h = _hist()
+    assert h.apply(_CREATE)
+    gen = h.generation
+    assert h.apply("ALTER TABLE `tpch`.`orders` RENAME TO `tpch`.`arch`")
+    assert h.generation == gen + 1
+    assert h.matches_current("tpch", "arch")
+    assert not h.matches_current("tpch", "orders")
+    # layout and identities untouched by the name move
+    assert h.names == ("id", "price", "flag")
+    assert h.ids == (0, 1, 2)
+
+
+def test_history_follows_single_pair_rename_table():
+    h = _hist()
+    h.apply(_CREATE)
+    assert h.apply("RENAME TABLE tpch.orders TO tpch.orders_v2")
+    assert h.matches_current("tpch", "orders_v2")
+    assert not h.matches_current("tpch", "orders")
+
+
+def test_history_cutover_swap_inherits_identities_by_name():
+    h = _hist()
+    h.apply(_CREATE)
+    assert h.ids == (0, 1, 2)
+    assert not h.apply(_GHOST)  # side registry, tracked unchanged
+    assert h.names == ("id", "price", "flag")
+    assert h.apply(_CUTOVER)
+    # tracked NAME is still orders; layout is the ghost's
+    assert h.matches_current("tpch", "orders")
+    assert not h.matches_current("tpch", "_orders_gho")
+    assert not h.matches_current("tpch", "_orders_del")
+    assert h.names == ("id", "price", "note", "flag")
+    # id/price/flag inherit identities 0/1/2; note keeps its fresh id
+    assert h.ids == (0, 1, 5, 2)
+    # the widened type arrived with the swap
+    price = next(f for f in h.schema.fields if f.name == "price")
+    from pyspark.sql import types as T
+
+    assert price.dataType == T.DecimalType(14, 4)
+
+
+def test_history_cutover_via_alter_rename_chain():
+    """pt-osc variant: the ghost arrives via ALTER ... RENAME TO after
+    the original left."""
+    h = _hist()
+    h.apply(_CREATE)
+    h.apply(_GHOST)
+    assert h.apply(
+        "ALTER TABLE `tpch`.`orders` RENAME TO `tpch`.`_orders_del`"
+    )
+    # fold followed to _orders_del; now the ghost takes the old name —
+    # but the fold tracks _orders_del now, so this parks in the
+    # registry (name-follow semantics for sequential renames)
+    assert not h.apply(
+        "ALTER TABLE `tpch`.`_orders_gho` RENAME TO `tpch`.`orders`"
+    )
+    assert h.matches_current("tpch", "_orders_del")
+
+
+def test_history_rename_into_tracked_without_create_raises():
+    h = _hist()
+    h.apply(_CREATE)
+    with pytest.raises(ValueError, match="no CREATE"):
+        h.apply(
+            "RENAME TABLE tpch.orders TO tpch._old,"
+            " tpch.unknown TO tpch.orders"
+        )
+
+
+def test_history_other_tables_rename_is_noop_for_tracked():
+    h = _hist()
+    h.apply(_CREATE)
+    h.apply("CREATE TABLE tpch.a (x INT)")
+    assert not h.apply("RENAME TABLE tpch.a TO tpch.b")
+    assert not h.apply("RENAME TABLE tpch.zzz TO tpch.yyy")  # unknown
+    assert h.names == ("id", "price", "flag")
+
+
+def test_history_alter_on_registered_ghost_applies():
+    h = _hist()
+    h.apply(_CREATE)
+    h.apply(_GHOST)
+    h.apply("ALTER TABLE tpch._orders_gho ADD COLUMN extra INT")
+    h.apply(_CUTOVER)
+    assert h.names == ("id", "price", "note", "flag", "extra")
+    assert h.ids == (0, 1, 5, 2, 7)
+
+
+def test_decode_follows_table_rename_mid_walk():
+    """Rows logged under the OLD name before ALTER RENAME TO and under
+    the NEW name after it both decode; rows to an unrelated table under
+    the old name's slot do not."""
+    from pyspark.sql import types as T
+
+    from mysql_cdc_table_spark.sources.mysql_ddl import SchemaHistory
+
+    create = "CREATE TABLE d.t (id BIGINT, v INT)"
+    sch = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.IntegerType())]
+    )
+    blob = build_binlog_file(
+        "d", "t", sch,
+        [
+            {"gno": 1, "ddl": create},
+            {"gno": 2, "op": "w", "rows": [{"id": 1, "v": 10}]},
+            {"gno": 3, "ddl": "ALTER TABLE d.t RENAME TO d.t2"},
+        ],
+        checksum=True,
+    )
+    blob += build_binlog_file(
+        "d", "t2", sch,
+        [{"gno": 4, "op": "w", "rows": [{"id": 2, "v": 20}]}],
+        checksum=True,
+    )[4:]
+    # a DIFFERENT table re-using the old name: must NOT be captured
+    blob += build_binlog_file(
+        "d", "t", sch,
+        [{"gno": 5, "op": "w", "rows": [{"id": 99, "v": 999}]}],
+        checksum=True,
+    )[4:]
+    hist = SchemaHistory("t", database="d")
+    rows = decode_binlog_bytes(blob, None, "d", "t", schema_history=hist)
+    assert [(r["id"], r["v"]) for r in rows] == [(1, 10), (2, 20)]
+
+
+def test_decode_cutover_swap_end_to_end():
+    """The gh-ost cut-over through real binlog bytes: pre-swap rows
+    surface under the migrated layout (price carried by inherited
+    identity, note NULL), ghost backfill rows and post-swap writes to
+    the parked old table are NOT captured, post-swap rows carry the
+    ghost layout."""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from mysql_cdc_table_spark.sources.mysql_ddl import (
+        SchemaHistory,
+        schema_from_ddl_history,
+    )
+
+    gen0 = schema_from_ddl_history([_CREATE], "tpch.orders")
+    ghost = schema_from_ddl_history([_GHOST], "tpch._orders_gho")
+    blob = build_binlog_file(
+        "tpch", "orders", gen0,
+        [
+            {"gno": 1, "ddl": _CREATE},
+            {
+                "gno": 2, "op": "w",
+                "rows": [
+                    {"id": 1, "price": Decimal("9.50"), "flag": "AB"}
+                ],
+            },
+            {"gno": 3, "ddl": _GHOST},
+        ],
+        checksum=True,
+    )
+    # ghost backfill (gh-ost copies rows into the ghost pre-swap) —
+    # deliberately DIFFERENT values so a capture leak is visible
+    blob += build_binlog_file(
+        "tpch", "_orders_gho", ghost,
+        [
+            {
+                "gno": 4, "op": "w",
+                "rows": [
+                    {
+                        "id": 1, "price": Decimal("999.9999"),
+                        "note": "backfill", "flag": "XX",
+                    }
+                ],
+            },
+            {"gno": 5, "ddl": _CUTOVER},
+        ],
+        checksum=True,
+    )[4:]
+    blob += build_binlog_file(
+        "tpch", "orders", ghost,
+        [
+            {
+                "gno": 6, "op": "w",
+                "rows": [
+                    {
+                        "id": 2, "price": Decimal("1.2345"),
+                        "note": "post", "flag": "CD",
+                    }
+                ],
+            },
+        ],
+        checksum=True,
+    )[4:]
+    # a late write to the parked old table: not captured
+    blob += build_binlog_file(
+        "tpch", "_orders_del", gen0,
+        [
+            {
+                "gno": 7, "op": "w",
+                "rows": [{"id": 99, "price": Decimal("0.01"), "flag": "ZZ"}],
+            },
+        ],
+        checksum=True,
+    )[4:]
+    hist = SchemaHistory("orders", database="tpch")
+    rows = decode_binlog_bytes(
+        blob, None, "tpch", "orders", schema_history=hist
+    )
+    assert len(rows) == 2
+    pre, post = rows
+    assert pre["id"] == 1
+    assert pre["price"] == Decimal("9.50")  # carried by identity
+    assert pre["flag"] == "AB"
+    assert pre.get("note") is None  # ghost-only column: NULL pre-swap
+    assert post["id"] == 2
+    assert post["price"] == Decimal("1.2345")
+    assert post["note"] == "post"
+    assert post["flag"] == "CD"
