@@ -788,6 +788,10 @@ ROUND15_LATE_KEYS: tuple[str, ...] = (
     # follows table-level renames, the swap inherits column identities
     # by name, backfill/parked-table writes stay uncaptured
     "cdc_binlog_table_rename_decode",
+    # the vec-kernel twin of cdc_binlog_ddl_schema_decode: the
+    # multi-generation decode through the columnar Arrow kernel,
+    # oracle shared verbatim with the scalar walk's key
+    "cdc_binlog_ddl_vec_decode",
 )
 
 

@@ -418,3 +418,26 @@ GROUP BY 1
 
 QUERIES["cdc_binlog_table_rename_decode"] = cdc_binlog_table_rename_decode
 ORACLES["cdc_binlog_table_rename_decode"] = CDC_BINLOG_TABLE_RENAME_DECODE_SQL
+
+
+def _ddl_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        cdc_binlog_ddl_vec_decode,
+    )
+
+    return cdc_binlog_ddl_vec_decode(spark, sf_dir)
+
+
+def _ddl_vec_sql() -> str:
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        CDC_BINLOG_DDL_SCHEMA_DECODE_SQL,
+    )
+
+    return CDC_BINLOG_DDL_SCHEMA_DECODE_SQL
+
+
+# the vec-kernel twin of cdc_binlog_ddl_schema_decode: SAME fixture,
+# SAME oracle — the columnar multi-generation decode must aggregate
+# identically to the scalar walk
+QUERIES["cdc_binlog_ddl_vec_decode"] = _ddl_vec
+ORACLES["cdc_binlog_ddl_vec_decode"] = _ddl_vec_sql()

@@ -2494,8 +2494,12 @@ def decode_binlog_bytes(
     under the migrated layout (mysql_ddl.SchemaHistory).
     ``target`` may be None in this mode — the layout comes from the
     log itself. Mutually exclusive with ``init_state`` (a mid-file
-    range cannot see the history that precedes it) and ``_rows_sink``
-    (the columnar kernel keys batches on a fixed layout).
+    range cannot see the history that precedes it). Composes with
+    ``_rows_sink`` since round 15: the columnar kernel keys its batch
+    groups per generation (tdefs are rebuilt at every layout change,
+    so a group never mixes generations) and remaps each group onto
+    the final layout at flush — see
+    ``mysql_binlog_vec.decode_binlog_record_batches(schema_history=)``.
 
     ``_rows_sink`` is the columnar kernel's hook (mysql_binlog_vec):
     called with the parsed rows-event header
@@ -2512,11 +2516,6 @@ def decode_binlog_bytes(
     if gtid_format not in ("long", "uuid_gno"):
         raise ValueError(f"gtid_format must be long|uuid_gno, got {gtid_format!r}")
     if schema_history is not None:
-        if _rows_sink is not None:
-            raise ValueError(
-                "schema_history decode is scalar-walk only: the columnar "
-                "kernel batches on a fixed layout"
-            )
         if init_state is not None:
             raise ValueError(
                 "schema_history decode needs the whole file: a mid-file "
@@ -5809,6 +5808,25 @@ def cdc_binlog_legacy_temporal_roundtrip(
 def cdc_binlog_ddl_schema_decode(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    """Scalar-walk schema-history decode — see ``_cdc_binlog_ddl_decode``."""
+    return _cdc_binlog_ddl_decode(spark, sf_dir, vec=False)
+
+
+def cdc_binlog_ddl_vec_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME three-generation DDL-history fixture through the
+    COLUMNAR Arrow kernel (round 15; previously the one decode path
+    pinned to the scalar walk): ``decode_binlog_record_batches(
+    schema_history=...)`` pre-walks the log's DDL headers to learn the
+    final generation, batches each generation's rows vectorized, and
+    places columns by identity with type casts at flush. Shares
+    ``cdc_binlog_ddl_schema_decode``'s oracle verbatim — the two
+    kernels must produce identical aggregates from identical bytes."""
+    return _cdc_binlog_ddl_decode(spark, sf_dir, vec=True)
+
+
+def _cdc_binlog_ddl_decode(
+    spark: SparkSession, sf_dir: str, vec: bool
+) -> DataFrame:
     """Debezium-style schema-history decode: the stream's layout is
     learned ONLY from the DDL statements in the log — a CREATE TABLE
     Query_log_event opens the file, rows of that generation follow, an
@@ -5983,12 +6001,21 @@ def cdc_binlog_ddl_schema_decode(
                 # against the layout in effect, rows surface under the
                 # latest names via column identity
                 hist = SchemaHistory("orders", database="tpch")
-                rows = decode_binlog_bytes(
-                    b, None, "tpch", "orders", schema_history=hist
-                )
-                yield pd.DataFrame(
-                    {n: [r.get(n) for r in rows] for n in names}
-                )
+                if vec:
+                    from mysql_cdc_table_spark.sources.mysql_binlog_vec import (
+                        decode_binlog_pandas,
+                    )
+
+                    yield decode_binlog_pandas(
+                        b, None, "tpch", "orders", schema_history=hist
+                    )[names]
+                else:
+                    rows = decode_binlog_bytes(
+                        b, None, "tpch", "orders", schema_history=hist
+                    )
+                    yield pd.DataFrame(
+                        {n: [r.get(n) for r in rows] for n in names}
+                    )
 
     decoded = files.mapInPandas(decode, schema=out_schema)
     return decoded.groupBy(

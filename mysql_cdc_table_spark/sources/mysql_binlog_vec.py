@@ -1081,7 +1081,7 @@ class _Group:
     __slots__ = (
         "tdef", "tc", "present1", "present2",
         "bodies", "p0", "gtids", "srcs", "queries", "etss", "seqs",
-        "nbytes",
+        "nbytes", "gen_fields", "out_map",
     )
 
     def __init__(self, tdef, tc, present1, present2):
@@ -1095,6 +1095,12 @@ class _Group:
         self.etss: list[int] = []
         self.seqs: list[int] = []
         self.nbytes = 0
+        # schema-history decode: the GENERATION this group's tdef
+        # resolved under (fields to decode as) and the position map
+        # onto the FINAL generation's fields (by column identity);
+        # None = plain fixed-layout decode
+        self.gen_fields: list | None = None
+        self.out_map: list | None = None
 
 
 _MAX_GROUP_EVENTS = 65_536
@@ -1122,8 +1128,11 @@ def _flush_group(
     ends = base + sizes
 
     cols = g.tdef.cols
+    gen_fields = (
+        g.gen_fields if g.gen_fields is not None else list(target.fields)
+    )
     plan = [
-        _vec_col_decoder(c, f) for c, f in zip(cols, target.fields)
+        _vec_col_decoder(c, f) for c, f in zip(cols, gen_fields)
     ]
     etss = np.array(g.etss, np.int64)
     seqs = np.array(g.seqs, np.int64)
@@ -1155,11 +1164,30 @@ def _flush_group(
             )
 
         arrays = []
-        for j, f in enumerate(target.fields):
-            if j in decoded:
-                arrays.append(decoded[j])
-            else:
-                arrays.append(pa.nulls(active.size, type=_pa_type(f.dataType)))
+        if g.out_map is None:
+            for j, f in enumerate(target.fields):
+                if j in decoded:
+                    arrays.append(decoded[j])
+                else:
+                    arrays.append(
+                        pa.nulls(active.size, type=_pa_type(f.dataType))
+                    )
+        else:
+            # schema-history decode: place each decoded GENERATION
+            # column at its FINAL position (joined on column identity
+            # by the caller), casting when the type was rewritten
+            # (MODIFY widened a decimal, CHANGE retyped) — absent
+            # identities (columns added after this generation, or
+            # dropped before the final one) surface NULL
+            for j_gen, f in zip(g.out_map, target.fields):
+                t_pa = _pa_type(f.dataType)
+                if j_gen is not None and j_gen in decoded:
+                    arr = decoded[j_gen]
+                    if arr.type != t_pa:
+                        arr = arr.cast(t_pa)
+                    arrays.append(arr)
+                else:
+                    arrays.append(pa.nulls(active.size, type=t_pa))
         if g.tc == EV_WRITE_ROWS_V2:
             op = CDC_INSERT
         elif g.tc == EV_DELETE_ROWS_V2:
@@ -1230,6 +1258,7 @@ def decode_binlog_record_batches(
     init_state: dict | None = None,
     seq_base: int = 0,
     capture_query: bool = False,
+    schema_history=None,
 ) -> Iterator:
     """Columnar twin of ``decode_binlog_bytes``: same walk (shared code
     — headers, CRC32, GTID, TABLE_MAP, payload unwrap all run in the
@@ -1237,7 +1266,47 @@ def decode_binlog_record_batches(
     pyarrow RecordBatches in ``_binlog_out_schema`` column order; row
     order differs from the scalar walk (grouped by image round) — the
     changelog's explicit (__file_seq, __event_seq, __image_seq) keys
-    carry ordering, per the DataFrame contract."""
+    carry ordering, per the DataFrame contract.
+
+    ``schema_history`` (a ``mysql_ddl.SchemaHistory``) runs the
+    Debezium-style multi-generation decode VECTORIZED (``target`` may
+    be None): a header-only pre-walk (``binlog_bytes_ddl``) folds a
+    clone of the history to learn the FINAL generation up front, each
+    batch group is generation-pure by construction (the walk rebuilds
+    tdefs at every layout change), and the flush places each decoded
+    generation column at its final position by column identity,
+    casting rewritten types — so batches stream out in ONE fixed
+    Arrow schema without buffering the file. DDL must arrive as plain
+    Query events (MySQL never wraps DDL in TRANSACTION_PAYLOAD); the
+    end-of-walk generation cross-check raises if the pre-walk and the
+    live fold ever diverge."""
+    final_ids: list | None = None
+    final_hist = None
+    if schema_history is not None:
+        import copy
+
+        from mysql_cdc_table_spark.sources.mysql_binlog import (
+            binlog_bytes_ddl,
+        )
+
+        if init_state is not None:
+            raise ValueError(
+                "schema_history decode needs the whole file: a mid-file "
+                "range cannot see the DDL history that precedes it"
+            )
+        final_hist = copy.deepcopy(schema_history)
+        for rec in binlog_bytes_ddl(blob):
+            final_hist.apply(
+                rec["statement"], default_db=rec.get("database") or None
+            )
+        if final_hist.schema is None:
+            raise ValueError(
+                "no CREATE TABLE for the tracked table in the DDL "
+                "history — seed the SchemaHistory or decode a log that "
+                "opens with the table's DDL"
+            )
+        target = final_hist.schema
+        final_ids = list(final_hist.ids)
     out_schema = _binlog_out_schema(target, gtid_format, capture_query)
     pa_out_schema = arrow_schema(out_schema)
     want_src = gtid_format == "uuid_gno"
@@ -1253,6 +1322,15 @@ def decode_binlog_record_batches(
         g = groups.get(key)
         if g is None or g.tdef is not tdef:
             g = groups[key] = _Group(tdef, tc, present1, present2)
+            if schema_history is not None:
+                # the generation in effect RIGHT NOW is the one this
+                # tdef resolved under (the walk is synchronous and
+                # clears tdefs on every layout change)
+                g.gen_fields = list(schema_history.schema.fields)
+                gid = list(schema_history.ids)
+                g.out_map = [
+                    gid.index(i) if i in gid else None for i in final_ids
+                ]
         g.bodies.append(bytes(body))
         g.p0.append(p)
         g.gtids.append(gtid)
@@ -1273,7 +1351,7 @@ def decode_binlog_record_batches(
 
     scalar_rows = decode_binlog_bytes(
         blob,
-        target,
+        target if schema_history is None else None,
         database,
         table,
         file_seq=file_seq,
@@ -1282,8 +1360,19 @@ def decode_binlog_record_batches(
         init_state=init_state,
         seq_base=seq_base,
         capture_query=capture_query,
+        schema_history=schema_history,
         _rows_sink=sink,
     )
+    if schema_history is not None and (
+        schema_history.generation != final_hist.generation
+        or list(schema_history.ids) != final_ids
+    ):
+        raise ValueError(
+            "schema-history pre-walk diverged from the live fold "
+            f"(pre-walk generation {final_hist.generation}, live "
+            f"{schema_history.generation}) — DDL reached the row walk "
+            "through a path the header-only DDL scan cannot see"
+        )
     yield from done
     for g in groups.values():
         yield from _flush_group(
@@ -1297,8 +1386,31 @@ def decode_binlog_pandas(blob, target, database, table, **kw):
     """Convenience: columnar decode -> one pandas DataFrame (tests)."""
     import pyarrow as pa
 
+    if target is None and kw.get("schema_history") is not None:
+        # the final layout comes from the log: pre-fold a CLONE (the
+        # real decode below folds the caller's live history)
+        import copy
+
+        from mysql_cdc_table_spark.sources.mysql_binlog import (
+            binlog_bytes_ddl,
+        )
+
+        fh = copy.deepcopy(kw["schema_history"])
+        for rec in binlog_bytes_ddl(blob):
+            fh.apply(rec["statement"], default_db=rec.get("database") or None)
+        target_out = fh.schema
+        if target_out is None:
+            raise ValueError(
+                "no CREATE TABLE for the tracked table in the DDL "
+                "history — seed the SchemaHistory or decode a log that "
+                "opens with the table's DDL"
+            )
+    else:
+        target_out = target
     out_schema = _binlog_out_schema(
-        target, kw.get("gtid_format", "long"), kw.get("capture_query", False)
+        target_out,
+        kw.get("gtid_format", "long"),
+        kw.get("capture_query", False),
     )
     batches = list(
         decode_binlog_record_batches(blob, target, database, table, **kw)

@@ -430,6 +430,17 @@ def main() -> None:
         # versioned folds); expect the wire-codec family's linear
         # per-partition CPU profile
         "cdc_binlog_streaming_ddl_migration",
+        # round 15: gbk through BOTH kernels (the vec transcode's cost
+        # is two whole-buffer codec calls + numpy scans — wire-codec
+        # family profile expected)
+        "cdc_binlog_gbk_roundtrip",
+        # round 15: the cut-over rename decode — wire-codec family
+        # (4 concatenated segments per blob, one history fold each)
+        "cdc_binlog_table_rename_decode",
+        # round 15: the vec-kernel multi-generation decode — should
+        # BEAT the scalar key's 3.5x family row (the hot loop leaves
+        # Python)
+        "cdc_binlog_ddl_vec_decode",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

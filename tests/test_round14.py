@@ -316,8 +316,10 @@ def test_schema_history_recreate_does_not_shadow_dropped_column():
 
 
 def test_schema_history_guards():
-    """history mode is whole-file scalar-walk only, and a TABLE_MAP
-    before any CREATE raises pointedly."""
+    """history mode is whole-file only (a mid-file range cannot see
+    the DDL that precedes it — round 15 opened the COLUMNAR kernel,
+    but not splits), and a TABLE_MAP before any CREATE raises
+    pointedly."""
     from mysql_cdc_table_spark.sources.mysql_ddl import SchemaHistory
 
     sch = T.StructType([T.StructField("id", T.LongType())])

@@ -435,3 +435,188 @@ def test_decode_cutover_swap_end_to_end():
     assert post["price"] == Decimal("1.2345")
     assert post["note"] == "post"
     assert post["flag"] == "CD"
+
+
+# --- columnar-kernel schema-history decode ------------------------------------
+
+
+def _three_gen_blob():
+    """CREATE -> rows -> ALTER ADD -> rows -> ALTER MODIFY/CHANGE/
+    RENAME COLUMN -> rows, all in one log (the ddl-schema-decode
+    fixture's shape, small)."""
+    from decimal import Decimal as _D
+
+    from mysql_cdc_table_spark.sources.mysql_ddl import (
+        schema_from_ddl_history,
+    )
+
+    create = (
+        "CREATE TABLE `d`.`t` (`id` BIGINT, `price` DECIMAL(12,2),"
+        " `flag` CHAR(2), `note` TEXT)"
+    )
+    alter1 = (
+        "ALTER TABLE `d`.`t` ADD COLUMN `status` ENUM('F','O','P'),"
+        " ADD COLUMN `took` TIME(3)"
+    )
+    alter2 = (
+        "ALTER TABLE `d`.`t` MODIFY COLUMN `price` DECIMAL(14,4),"
+        " CHANGE COLUMN `flag` `cflag` CHAR(2),"
+        " RENAME COLUMN `note` TO `memo`"
+    )
+    g0 = schema_from_ddl_history([create], "d.t")
+    g1 = schema_from_ddl_history([create, alter1], "d.t")
+    g2 = schema_from_ddl_history([create, alter1, alter2], "d.t")
+    blob = build_binlog_file(
+        "d", "t", g0,
+        [
+            {"gno": 1, "ddl": create},
+            {"gno": 10, "op": "w", "rows": [
+                {"id": 1, "price": _D("1.25"), "flag": "AA", "note": "one"}
+            ]},
+            {"gno": 11, "op": "u", "rows": [(
+                {"id": 1, "price": _D("1.25"), "flag": "AA", "note": "one"},
+                {"id": 1, "price": _D("2.50"), "flag": "AB", "note": "uno"},
+            )]},
+        ],
+        checksum=True,
+    )
+    blob += build_binlog_file(
+        "d", "t", g1,
+        [
+            {"gno": 2, "ddl": alter1},
+            {"gno": 12, "op": "w", "rows": [
+                {"id": 2, "price": _D("3.75"), "flag": "BC",
+                 "note": "two", "status": "O", "took": "-1:02:03.456"}
+            ]},
+        ],
+        checksum=True,
+    )[4:]
+    blob += build_binlog_file(
+        "d", "t", g2,
+        [
+            {"gno": 3, "ddl": alter2},
+            {"gno": 13, "op": "w", "rows": [
+                {"id": 3, "price": _D("9.1234"), "cflag": "CD",
+                 "memo": "three", "status": "P", "took": "0:00:01.001"}
+            ]},
+            {"gno": 14, "op": "d", "rows": [
+                {"id": 1, "price": _D("2.5000"), "cflag": "AB",
+                 "memo": "uno", "status": None, "took": None}
+            ]},
+        ],
+        checksum=True,
+    )[4:]
+    return blob
+
+
+def _vec_vs_scalar_history(blob, table="t", db="d"):
+    from mysql_cdc_table_spark.sources.mysql_ddl import SchemaHistory
+
+    h1 = SchemaHistory(table, database=db)
+    scal = decode_binlog_bytes(blob, None, db, table, schema_history=h1)
+    h2 = SchemaHistory(table, database=db)
+    pdf = decode_binlog_pandas(blob, None, db, table, schema_history=h2)
+    # key both by the explicit ordering triple; compare every column
+    def norm(v):
+        import math
+
+        if v is None:
+            return None
+        if isinstance(v, float) and math.isnan(v):
+            return None
+        try:
+            import pandas as pd
+
+            if v is pd.NaT or (isinstance(v, type(pd.NaT)) and pd.isna(v)):
+                return None
+        except Exception:
+            pass
+        if hasattr(v, "to_pydatetime"):
+            return v.to_pydatetime()
+        return v
+
+    scal_by_key = {
+        (r["__event_seq"], r["__image_seq"]): r for r in scal
+    }
+    assert len(scal_by_key) == len(pdf), (len(scal_by_key), len(pdf))
+    cols = [c for c in pdf.columns]
+    for _, row in pdf.iterrows():
+        key = (int(row["__event_seq"]), int(row["__image_seq"]))
+        want = scal_by_key[key]
+        for c in cols:
+            got, exp = norm(row[c]), norm(want.get(c))
+            assert got == exp, (key, c, got, exp)
+
+
+def test_vec_schema_history_three_generations_matches_scalar():
+    """The columnar kernel's schema-history decode is value-identical
+    to the scalar walk across CREATE / ADD / MODIFY+CHANGE+RENAME
+    generations — including the (12,2)->(14,4) decimal cast of old
+    generations onto the final layout and NULL fill for late-added
+    columns."""
+    _vec_vs_scalar_history(_three_gen_blob())
+
+
+def test_vec_schema_history_cutover_matches_scalar():
+    """The cut-over swap (table-level RENAME) through the vec kernel:
+    generation-pure groups before and after the swap, inherited
+    identities placing carried columns, backfill/decoys excluded."""
+    from decimal import Decimal
+
+    from mysql_cdc_table_spark.sources.mysql_ddl import (
+        schema_from_ddl_history,
+    )
+
+    gen0 = schema_from_ddl_history([_CREATE], "tpch.orders")
+    ghost = schema_from_ddl_history([_GHOST], "tpch._orders_gho")
+    blob = build_binlog_file(
+        "tpch", "orders", gen0,
+        [
+            {"gno": 1, "ddl": _CREATE},
+            {"gno": 2, "op": "w", "rows": [
+                {"id": 1, "price": Decimal("9.50"), "flag": "AB"}
+            ]},
+            {"gno": 3, "ddl": _GHOST},
+        ],
+        checksum=True,
+    )
+    blob += build_binlog_file(
+        "tpch", "_orders_gho", ghost,
+        [
+            {"gno": 4, "op": "w", "rows": [
+                {"id": 1, "price": Decimal("999.9999"),
+                 "note": "backfill", "flag": "XX"}
+            ]},
+            {"gno": 5, "ddl": _CUTOVER},
+        ],
+        checksum=True,
+    )[4:]
+    blob += build_binlog_file(
+        "tpch", "orders", ghost,
+        [
+            {"gno": 6, "op": "w", "rows": [
+                {"id": 2, "price": Decimal("1.2345"),
+                 "note": "post", "flag": "CD"}
+            ]},
+        ],
+        checksum=True,
+    )[4:]
+    _vec_vs_scalar_history(blob, table="orders", db="tpch")
+
+
+def test_vec_schema_history_without_create_raises():
+    from pyspark.sql import types as T
+
+    from mysql_cdc_table_spark.sources.mysql_ddl import SchemaHistory
+
+    sch = T.StructType([T.StructField("id", T.LongType())])
+    blob = build_binlog_file(
+        "d", "t", sch,
+        [{"gno": 1, "op": "w", "rows": [{"id": 1}]}],
+        checksum=True,
+    )
+    with pytest.raises(ValueError, match="no CREATE TABLE"):
+        decode_binlog_pandas(
+            blob, None, "d", "t",
+            schema_history=SchemaHistory("t", database="d"),
+        )
