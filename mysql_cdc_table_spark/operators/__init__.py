@@ -792,6 +792,13 @@ ROUND15_LATE_KEYS: tuple[str, ...] = (
     # multi-generation decode through the columnar Arrow kernel,
     # oracle shared verbatim with the scalar walk's key
     "cdc_binlog_ddl_vec_decode",
+    # the IVM discipline applied to the optimizer stats: equi-height
+    # histogram counts maintained under insert/update/delete batches
+    # without rescanning the table; maintained == from-scratch recount
+    "stats_histogram_maintained",
+    # z-order probe #2: the WITHIN-bucket half — a pushed zkey range
+    # lets parquet row-group footers prune inside each candidate bucket
+    "zorder_rowgroup_probe",
 )
 
 

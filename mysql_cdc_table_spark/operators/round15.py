@@ -441,3 +441,262 @@ def _ddl_vec_sql() -> str:
 # identically to the scalar walk
 QUERIES["cdc_binlog_ddl_vec_decode"] = _ddl_vec
 ORACLES["cdc_binlog_ddl_vec_decode"] = _ddl_vec_sql()
+
+
+# --- maintained histograms under CDC deltas -----------------------------------
+
+# injective value map: val(k) = 2*((k*99991) % 2^27) for original
+# values, +1 for post-update values — every value in the system is
+# UNIQUE, which makes the base build's rank bucketing and the
+# boundary-rule delta assignment provably agree (ties straddling a
+# bucket edge are the one case where they could differ)
+_HM_A = 99991
+_HM_M = 134_217_728  # 2^27, above any scale-check key
+
+
+def stats_histogram_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVM discipline applied to the engine's own optimizer stats
+    (r14 verdict item 7): the equi-height histogram is built ONCE from
+    the base snapshot (the round-13 two-level distributed rank), its
+    K-bucket boundary grid is frozen and broadcast, and then N CDC
+    delta batches fold into the per-bucket counts INCREMENTALLY —
+    inserts +1, deletes -1, updates -1 at the before-value and +1 at
+    the after-value, each batch a map-side CASE-chain bucket
+    assignment plus one K-row grid merge. ANALYZE never rescans the
+    table: per-batch cost is ∝ batch size, state is the K-row grid.
+    MySQL itself has no incremental histograms (ANALYZE ... UPDATE
+    HISTOGRAM rescans/resamples; the reference delegates all stats to
+    the server and stubs its own costs, binlogdb.h:178-187).
+
+    The fixture: base = orders keys with k%10 != 0; batch 1 INSERTS
+    the k%10==0 keys, batch 2 UPDATES the k%7==0 base keys to a new
+    value (crossing buckets), batch 3 DELETES the k%9==0 survivors.
+    The oracle rebuilds the SAME boundary grid with window SQL and
+    recounts the FINAL state per bucket from scratch — the maintained
+    counts must equal the recount exactly, bucket by bucket
+    (cum_rows pins the whole prefix too)."""
+    from mysql_cdc_table_spark.operators.round13 import _hist_one_column
+
+    o = t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    val0 = ((F.col("k") * _HM_A) % _HM_M) * 2
+    val1 = val0 + 1
+    base = o.filter(F.col("k") % 10 != 0).select(
+        val0.alias("val"), F.col("k").alias("rid")
+    )
+    hist = _hist_one_column(base, "maintained")
+    # the boundary grid is K<=8 rows — a grid-bounded collect, same
+    # convention as the z-order probe's <=256-bucket candidate list
+    grid = sorted(
+        hist.select("bucket", "n_rows", "min_val", "max_val").collect(),
+        key=lambda r: r["bucket"],
+    )
+
+    def assign(c):
+        # min bucket whose hi >= val; above-range clamps to the last
+        # bucket (the same rule the oracle SQL applies)
+        expr = None
+        for r in grid[:-1]:
+            cond = c <= F.lit(int(r["max_val"]))
+            expr = (
+                F.when(cond, F.lit(int(r["bucket"])))
+                if expr is None
+                else expr.when(cond, F.lit(int(r["bucket"])))
+            )
+        last = F.lit(int(grid[-1]["bucket"]))
+        return last if expr is None else expr.otherwise(last)
+
+    inserts = o.filter(F.col("k") % 10 == 0).select(
+        val0.alias("val"), F.lit(1).alias("sign")
+    )
+    upd_base = o.filter(
+        (F.col("k") % 10 != 0) & (F.col("k") % 7 == 0)
+    )
+    updates = upd_base.select(
+        val0.alias("val"), F.lit(-1).alias("sign")
+    ).unionByName(
+        upd_base.select(val1.alias("val"), F.lit(1).alias("sign"))
+    )
+    deletes = o.filter(
+        (F.col("k") % 10 != 0)
+        & (F.col("k") % 7 != 0)
+        & (F.col("k") % 9 == 0)
+    ).select(val0.alias("val"), F.lit(-1).alias("sign"))
+
+    state = hist.select("bucket", F.col("n_rows").cast("long").alias("n"))
+    for batch in (inserts, updates, deletes):
+        inc = (
+            batch.select(assign(F.col("val")).alias("bucket"), "sign")
+            .groupBy("bucket")
+            .agg(F.sum("sign").alias("d"))
+        )
+        state = (
+            state.join(inc, "bucket", "left")
+            .select(
+                "bucket",
+                (F.col("n") + F.coalesce(F.col("d"), F.lit(0)))
+                .cast("long")
+                .alias("n"),
+            )
+            # grid-sized eager cut: lineage stays flat across batches
+            .localCheckpoint(eager=True)
+        )
+
+    from pyspark.sql import Window
+
+    bounds = hist.select(
+        "bucket",
+        F.col("min_val").cast("long").alias("lo"),
+        F.col("max_val").cast("long").alias("hi"),
+    )
+    cum = Window.orderBy("bucket")  # K-sized grid window
+    return (
+        bounds.join(state, "bucket")
+        .select(
+            "bucket",
+            "lo",
+            "hi",
+            F.col("n").alias("n_rows"),
+            F.sum("n").over(cum).cast("long").alias("cum_rows"),
+        )
+    )
+
+
+STATS_HISTOGRAM_MAINTAINED_SQL = """
+WITH base AS (
+  SELECT ((o_orderkey * 99991) % 134217728) * 2 AS val,
+         o_orderkey AS rid
+  FROM orders WHERE o_orderkey % 10 <> 0
+),
+ranked AS (
+  SELECT val,
+         ((row_number() OVER (ORDER BY val, rid) - 1) * 8)
+           // (SELECT count(*) FROM base) AS bucket
+  FROM base
+),
+bounds AS (
+  SELECT bucket, min(val) AS lo, max(val) AS hi
+  FROM ranked GROUP BY bucket
+),
+finalv AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 10 <> 0 AND o_orderkey % 7 = 0
+              THEN ((o_orderkey * 99991) % 134217728) * 2 + 1
+              ELSE ((o_orderkey * 99991) % 134217728) * 2 END AS val
+  FROM orders
+  WHERE NOT (o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 0
+             AND o_orderkey % 9 = 0)
+),
+assigned AS (
+  SELECT f.k,
+         coalesce(min(b.bucket), (SELECT max(bucket) FROM bounds))
+           AS bucket
+  FROM finalv f LEFT JOIN bounds b ON f.val <= b.hi
+  GROUP BY f.k
+),
+cnt AS (SELECT bucket, count(*) AS n FROM assigned GROUP BY 1)
+SELECT b.bucket,
+       CAST(b.lo AS BIGINT) AS lo,
+       CAST(b.hi AS BIGINT) AS hi,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_rows,
+       CAST(sum(coalesce(c.n, 0)) OVER (ORDER BY b.bucket) AS BIGINT)
+         AS cum_rows
+FROM bounds b LEFT JOIN cnt c ON b.bucket = c.bucket
+"""
+
+
+QUERIES["stats_histogram_maintained"] = stats_histogram_maintained
+ORACLES["stats_histogram_maintained"] = STATS_HISTOGRAM_MAINTAINED_SQL
+
+
+# --- z-order probe #2: row-group pruning WITHIN a bucket -----------------------
+
+
+def zorder_rowgroup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WITHIN-bucket half of the Z-order story (r14 verdict item
+    8): ``persist_zorder_store`` sorts each partition by the full
+    ``zkey`` exactly so parquet row-group min/max footers are tight on
+    it — this probe exercises that layout. A NARROW 2-D box quantizes
+    to its cell grid; besides the partition filter on the candidate
+    z-buckets (``zorder_point_probe``'s move), the probe pushes
+    ``zkey BETWEEN min(cell keys) AND max(cell keys)`` into the scan —
+    every box row's zkey IS one of its cells' interleaves, so the
+    range is a valid superset, and because rows are zkey-sorted the
+    parquet reader drops whole row groups by footer stats before
+    decoding a single page (pytest audits PushedFilters). The residual
+    exact box filter finishes; the oracle is the direct box aggregate,
+    so over-pruning goes red. At 100 TB this is the two-level prune a
+    clustered point lookup lives on: partition directories first,
+    row-group footers second, pages only for the ~cells/65536 fraction
+    both passes keep."""
+    from mysql_cdc_table_spark.operators.round12b import _zorder_expr
+    from mysql_cdc_table_spark.operators.round14 import (
+        persist_zorder_store,
+        zorder_store_dir,
+    )
+    from mysql_cdc_table_spark.sources import fs as _hfs
+
+    store = zorder_store_dir(sf_dir)
+    if not _hfs.exists(spark, store):
+        persist_zorder_store(spark, sf_dir, store)
+    meta = spark.read.parquet(store + "/meta")
+    zx = _zorder_expr("xb", "yb")
+    # the narrow box: custkey in [35%, 38%] of the key space,
+    # March-April 1994
+    cells = meta.selectExpr(
+        "maxck",
+        "maxck * 35 DIV 100 AS cklo",
+        "maxck * 38 DIV 100 AS ckhi",
+    ).selectExpr(
+        "explode(sequence(least(255, cklo * 256 DIV (maxck + 1)),"
+        " least(255, ckhi * 256 DIV (maxck + 1)))) AS xb",
+        "sequence("
+        " least(255, CAST(datediff(DATE '1994-03-01', DATE '1992-01-01')"
+        "   AS BIGINT) * 256 DIV 2500),"
+        " least(255, CAST(datediff(DATE '1994-04-30', DATE '1992-01-01')"
+        "   AS BIGINT) * 256 DIV 2500)) AS ybs",
+    ).selectExpr("xb", "explode(ybs) AS yb")
+    probe_bounds = (
+        cells.selectExpr(f"CAST({zx} AS BIGINT) AS zk")
+        .agg(
+            F.min("zk").alias("zmin"),
+            F.max("zk").alias("zmax"),
+            F.collect_set(F.shiftright("zk", 8).cast("long")).alias("zbs"),
+        )
+        .first()  # ONE bounded row: <=256 buckets exist in the space
+    )
+    buckets = sorted(int(b) for b in probe_bounds["zbs"])
+    cklo, ckhi = meta.selectExpr(
+        "maxck * 35 DIV 100", "maxck * 38 DIV 100"
+    ).first()
+    rows = spark.read.parquet(store + "/rows")
+    probe = rows.where(
+        F.col("zbucket").isin(buckets)  # partition-directory pruning
+        # row-group pruning: zkey-sorted files serve this from footers
+        & F.col("zkey").between(
+            int(probe_bounds["zmin"]), int(probe_bounds["zmax"])
+        )
+        & F.col("custkey").between(int(cklo), int(ckhi))
+        & F.col("odate").between("1994-03-01", "1994-04-30")
+    )
+    return probe.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+        F.sum("custkey").cast("long").alias("custkey_sum"),
+    )
+
+
+ZORDER_ROWGROUP_PROBE_SQL = """
+WITH mx AS (SELECT CAST(max(o_custkey) AS BIGINT) AS maxck FROM orders)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_sum,
+       CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+FROM orders, mx
+WHERE o_custkey BETWEEN maxck * 35 // 100 AND maxck * 38 // 100
+  AND CAST(o_orderdate AS DATE)
+        BETWEEN DATE '1994-03-01' AND DATE '1994-04-30'
+"""
+
+
+QUERIES["zorder_rowgroup_probe"] = zorder_rowgroup_probe
+ORACLES["zorder_rowgroup_probe"] = ZORDER_ROWGROUP_PROBE_SQL

@@ -441,6 +441,13 @@ def main() -> None:
         # BEAT the scalar key's 3.5x family row (the hot loop leaves
         # Python)
         "cdc_binlog_ddl_vec_decode",
+        # round 15: maintained histogram — base build (two-level rank)
+        # + 3 map-side delta folds on the broadcast K-grid
+        "stats_histogram_maintained",
+        # round 15: within-bucket z-order probe — partition dirs +
+        # pushed zkey range (row-group footers); expect sublinear like
+        # the point probe
+        "zorder_rowgroup_probe",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

@@ -620,3 +620,140 @@ def test_vec_schema_history_without_create_raises():
             blob, None, "d", "t",
             schema_history=SchemaHistory("t", database="d"),
         )
+
+
+# --- maintained histogram under CDC deltas ------------------------------------
+
+
+def test_histogram_maintained_equals_recount(spark):
+    """The maintained per-bucket counts after the three delta batches
+    equal a from-scratch recount of the FINAL state against the frozen
+    boundary grid — and the deltas genuinely move rows (the maintained
+    counts differ from the base build's)."""
+    from conftest import SF_SMOKE
+    from mysql_cdc_table_spark.operators.round13 import (
+        HIST_BUCKETS,
+        _hist_one_column,
+    )
+    from mysql_cdc_table_spark.operators.round15 import (
+        _HM_A,
+        _HM_M,
+        stats_histogram_maintained,
+    )
+    from mysql_cdc_table_spark.operators._util import t as _t
+
+    rows = sorted(
+        stats_histogram_maintained(spark, SF_SMOKE).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert len(rows) == HIST_BUCKETS
+    # cum_rows is the running sum of n_rows
+    run = 0
+    for r in rows:
+        run += r["n_rows"]
+        assert r["cum_rows"] == run
+    # recount the final state per frozen bucket from first principles
+    ks = [
+        r["k"]
+        for r in _t(spark, SF_SMOKE, "orders")
+        .selectExpr("o_orderkey AS k")
+        .collect()
+    ]
+    base_vals = sorted(
+        ((k * _HM_A) % _HM_M) * 2 for k in ks if k % 10 != 0
+    )
+    n = len(base_vals)
+    his = {}
+    for i, v in enumerate(base_vals):
+        b = (i * HIST_BUCKETS) // n
+        his[b] = v  # max per bucket (sorted ascending)
+    final = []
+    for k in ks:
+        if k % 10 == 0:
+            final.append(((k * _HM_A) % _HM_M) * 2)
+        elif k % 7 == 0:
+            final.append(((k * _HM_A) % _HM_M) * 2 + 1)
+        elif k % 9 == 0:
+            continue
+        else:
+            final.append(((k * _HM_A) % _HM_M) * 2)
+    want = {b: 0 for b in range(HIST_BUCKETS)}
+    bounds = sorted(his.items())
+    for v in final:
+        b = next((bb for bb, hi in bounds if v <= hi), bounds[-1][0])
+        want[b] += 1
+    got = {r["bucket"]: r["n_rows"] for r in rows}
+    assert got == want
+    # the deltas moved rows: at least one bucket differs from the base
+    base = {
+        r["bucket"]: r["n_rows"]
+        for r in _hist_one_column(
+            _t(spark, SF_SMOKE, "orders")
+            .selectExpr(
+                f"((o_orderkey * {_HM_A}) % {_HM_M}) * 2 AS val",
+                "o_orderkey AS rid",
+            )
+            .where("o_orderkey % 10 <> 0"),
+            "base",
+        ).collect()
+    }
+    assert any(got[b] != base[b] for b in got)
+
+
+# --- z-order probe #2: row-group pruning within buckets -----------------------
+
+
+def test_zorder_rowgroup_probe_matches_direct_and_pushes_zkey(
+    spark, tmp_path, monkeypatch
+):
+    """The within-bucket probe answers exactly the direct box
+    aggregate, and the zkey range predicate is PUSHED to the parquet
+    scan (row-group footers can serve it) — not just evaluated
+    post-scan."""
+    import os as _os
+
+    from conftest import SF_CORRECTNESS
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.catalog import load_table
+    from mysql_cdc_table_spark.operators import round14 as r14
+    from mysql_cdc_table_spark.operators import round15 as r15
+
+    if not _os.path.isdir(SF_CORRECTNESS):
+        pytest.skip(f"{SF_CORRECTNESS} not present")
+    store = str(tmp_path / "zstore")
+    monkeypatch.setattr(r14, "zorder_store_dir", lambda _sf: store)
+    df = r15.zorder_rowgroup_probe(spark, SF_CORRECTNESS)
+    got = df.collect()[0]
+
+    o = load_table(spark, SF_CORRECTNESS, "orders")
+    maxck = o.agg(F.max("o_custkey").cast("long")).first()[0]
+    direct = (
+        o.where(
+            F.col("o_custkey").between(
+                maxck * 35 // 100, maxck * 38 // 100
+            )
+            & F.col("o_orderdate").between("1994-03-01", "1994-04-30")
+        )
+        .agg(
+            F.count("*").cast("long"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("long")
+            ).cast("long"),
+            F.sum("o_custkey").cast("long"),
+        )
+        .collect()[0]
+    )
+    assert tuple(got) == tuple(direct)
+
+    # the zkey range reaches the scan: PushedFilters names zkey
+    from mysql_cdc_table_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(df)
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln
+    ]
+    assert any(
+        "zkey" in ln and ("GreaterThanOrEqual" in ln or ">=" in ln)
+        for ln in pushed
+    ), pushed
