@@ -799,6 +799,10 @@ ROUND15_LATE_KEYS: tuple[str, ...] = (
     # z-order probe #2: the WITHIN-bucket half — a pushed zkey range
     # lets parquet row-group footers prune inside each candidate bucket
     "zorder_rowgroup_probe",
+    # TWO tables' DDL+DML interleaved in one log, each with its own
+    # seeded history fold (one ADD, one CHANGE + table RENAME) — the
+    # cross-table bleed test for the multi-table schema history
+    "cdc_binlog_ddl_multi_table_decode",
 )
 
 

@@ -448,6 +448,9 @@ def main() -> None:
         # pushed zkey range (row-group footers); expect sublinear like
         # the point probe
         "zorder_rowgroup_probe",
+        # round 15: two interleaved evolving tables, two history folds
+        # over the same bytes — wire-codec family (two decode passes)
+        "cdc_binlog_ddl_multi_table_decode",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]
