@@ -1022,15 +1022,20 @@ class _Col:
 # utf8mb3/utf8mb4 are all byte-compatible with Python's utf-8 codec;
 # latin1 is MySQL's default on pre-8.0 servers and the one single-byte
 # set worth a native decode path (every byte 0x00-0xFF is a defined
-# character); gbk is the common pre-8.0 charset on Chinese
-# deployments (two-byte, lead 0x81-0xFE / trail 0x40-0xFE minus 0x7F
-# — Python's gbk codec implements the same CP936 table MySQL's gbk
-# collates over, and raises on malformed sequences, keeping the
-# failfast contract). Anything else must be transcoded upstream — the
+# character); the double-byte sets — gbk (CP936, lead 0x81-0xFE /
+# trail 0x40-0xFE minus 0x7F), sjis (Shift_JIS, leads 0x81-0x9F +
+# 0xE0-0xEF) and its Windows superset cp932 (leads through 0xFC) —
+# decode through Python's C codecs, which implement the same tables
+# MySQL collates over and raise on malformed sequences, keeping the
+# failfast contract. Anything else must be transcoded upstream — the
 # codec raises pointedly rather than mojibake a decode.
-_CHARSET_CODECS = {"utf8": "utf-8", "latin1": "latin-1", "gbk": "gbk"}
+_CHARSET_CODECS = {
+    "utf8": "utf-8", "latin1": "latin-1", "gbk": "gbk",
+    "sjis": "shift_jis", "cp932": "cp932",
+}
 # charset -> max bytes per character (the CHAR(n) byte-width factor)
-_CHARSET_MBMAXLEN = {"utf8": 4, "latin1": 1, "gbk": 2}
+_CHARSET_MBMAXLEN = {"utf8": 4, "latin1": 1, "gbk": 2, "sjis": 2,
+                     "cp932": 2}
 
 
 def _charset_codec(charset: str, where: str) -> str:

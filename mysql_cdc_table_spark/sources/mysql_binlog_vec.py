@@ -183,29 +183,59 @@ def _latin1_to_utf8(data, offsets):
 
 
 def _gbk_to_utf8(data, offsets):
-    """Vectorized gbk (CP936) -> utf-8 transcode of an Arrow-layout
-    string buffer (one contiguous byte run + row offsets). GBK chars
-    are 1 byte (0x00-0x7F) or 2 bytes (lead 0x81-0xFE, trail
-    0x40-0xFE minus 0x7F) — trails overlap the ASCII range, so byte
-    class alone cannot find char starts. Lead positions follow the
-    parser recurrence ``lead[i] = cand[i] & ~lead[i-1]`` with
-    ``cand = byte >= 0x81``: within each maximal run of consecutive
-    candidate bytes, leads sit at the even offsets (and the byte
-    before a run is never a lead — a valid gbk string cannot end on an
-    unpaired lead, so the recurrence also never crosses a row
-    boundary). The payload itself is transcoded with two whole-buffer
-    codec calls (C-speed ``bytes.decode('gbk')`` ->
-    ``str.encode('utf-8')``); row offsets remap through the char count
-    at each old boundary and the cumulative utf-8 width per codepoint.
-    Python's gbk decode raises on malformed input — the same failfast
-    the scalar walk's per-value decode has."""
+    """gbk (CP936): leads 0x81-0xFE, trails 0x40-0xFE minus 0x7F."""
+    return _dbcs_to_utf8(data, offsets, "gbk", lambda d: d >= 0x81)
+
+
+def _sjis_to_utf8(data, offsets):
+    """Shift_JIS: leads 0x81-0x9F and 0xE0-0xEF; 0xA1-0xDF are
+    SINGLE-byte halfwidth kana (>=0x80 but never a lead)."""
+    return _dbcs_to_utf8(
+        data,
+        offsets,
+        "shift_jis",
+        lambda d: ((d >= 0x81) & (d <= 0x9F)) | ((d >= 0xE0) & (d <= 0xEF)),
+    )
+
+
+def _cp932_to_utf8(data, offsets):
+    """cp932 (Windows Shift_JIS superset): leads extend to 0xFC."""
+    return _dbcs_to_utf8(
+        data,
+        offsets,
+        "cp932",
+        lambda d: ((d >= 0x81) & (d <= 0x9F)) | ((d >= 0xE0) & (d <= 0xFC)),
+    )
+
+
+def _dbcs_to_utf8(data, offsets, codec, lead_mask):
+    """Vectorized double-byte-charset -> utf-8 transcode of an
+    Arrow-layout string buffer (one contiguous byte run + row
+    offsets). DBCS chars are 1 byte or 2 bytes (a lead byte + one
+    trail byte) — trail ranges overlap ASCII and the lead ranges, so
+    byte class alone cannot find char starts. Lead positions follow
+    the parser recurrence ``lead[i] = cand[i] & ~lead[i-1]`` with
+    ``cand = lead_mask(byte)``: within each maximal run of
+    consecutive candidate bytes, leads sit at the even offsets (and
+    the byte before a run is never a lead — a valid DBCS string
+    cannot end on an unpaired lead, so the recurrence also never
+    crosses a row boundary). Single-byte chars outside the lead
+    ranges (ASCII, Shift_JIS halfwidth kana) are never candidates.
+    The payload itself is transcoded with two whole-buffer codec
+    calls (C-speed ``bytes.decode(codec)`` -> ``str.encode('utf-8')``);
+    row offsets remap through the char count at each old boundary and
+    the cumulative utf-8 width per codepoint. Python's decode raises
+    on malformed input — the same failfast the scalar walk's
+    per-value decode has — and the char-count cross-check below
+    catches any divergence between this scan and the codec's own
+    parse."""
     import numpy as np
 
     if len(data) == 0 or not (data >= 0x80).any():
         return data, offsets  # pure-ASCII batch is already utf-8
-    text = data.tobytes().decode("gbk")  # raises on malformed gbk
+    text = data.tobytes().decode(codec)  # raises on malformed input
     out = np.frombuffer(text.encode("utf-8"), np.uint8)
-    cand = data >= 0x81
+    cand = lead_mask(data)
     lead = np.zeros(len(data), bool)
     idx = np.flatnonzero(cand)
     if len(idx):
@@ -221,8 +251,8 @@ def _gbk_to_utf8(data, offsets):
     np.cumsum(~consumed_as_trail, out=nchars[1:])
     if int(nchars[-1]) != len(text):
         raise ValueError(
-            "gbk char-start scan diverged from the codec output — "
-            "malformed multibyte payload"
+            f"{codec} char-start scan diverged from the codec output "
+            "— malformed multibyte payload"
         )
     # utf-8 byte offset of every char boundary
     cps = np.frombuffer(text.encode("utf-32-le"), np.uint32)
@@ -236,6 +266,16 @@ def _gbk_to_utf8(data, offsets):
     np.cumsum(width, out=u8_off[1:])
     new_offsets = u8_off[nchars[offsets.astype(np.int64)]].astype(np.int32)
     return out, new_offsets
+
+
+# string-surface charsets with a vectorized buffer transcode; utf8
+# needs none (the wire bytes ARE the output)
+_TRANSCODERS = {
+    "latin1": _latin1_to_utf8,
+    "gbk": _gbk_to_utf8,
+    "sjis": _sjis_to_utf8,
+    "cp932": _cp932_to_utf8,
+}
 
 
 _DAYS_IN_MONTH = None  # built lazily (numpy import is deferred)
@@ -633,14 +673,13 @@ def _vec_col_decoder(col: _Col, field: T.StructField):
             tc == TY_BLOB and col.extra == "text"
         )
         out_t = pa.string() if is_str else pa.binary()
-        # latin1/gbk columns transcode the gathered buffer to utf-8 in
+        # non-utf8 columns transcode the gathered buffer to utf-8 in
         # one vectorized pass (offsets remap through the expansion)
-        latin1 = is_str and col.charset == "latin1"
-        gbk = is_str and col.charset == "gbk"
+        xcode = (
+            _TRANSCODERS.get(col.charset) if is_str else None
+        )
 
-        def dec(
-            u8, raw, pos, valid, _pw=pw, _out_t=out_t, _l1=latin1, _gbk=gbk
-        ):
+        def dec(u8, raw, pos, valid, _pw=pw, _out_t=out_t, _xc=xcode):
             idx = np.flatnonzero(valid)
             if _pw == 1:
                 lens = u8[pos[idx]].astype(np.int64)
@@ -660,10 +699,8 @@ def _vec_col_decoder(col: _Col, field: T.StructField):
             full_start[idx] = data_start
             data, offsets = _gather_bytes_vec(u8, full_start, full_lens)
             pos[idx] = data_start + lens
-            if _l1:
-                data, offsets = _latin1_to_utf8(data, offsets)
-            elif _gbk:
-                data, offsets = _gbk_to_utf8(data, offsets)
+            if _xc is not None:
+                data, offsets = _xc(data, offsets)
             arr = pa.Array.from_buffers(
                 _out_t,
                 len(pos),

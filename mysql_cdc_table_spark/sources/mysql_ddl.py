@@ -147,18 +147,19 @@ def _parse_enum_values(args: str) -> list[str]:
 
 # Charsets the engine's codec space covers. MySQL's ascii/utf8mb3 are
 # byte-compatible subsets of utf-8, so they normalize to the utf8
-# decode path; latin1 keeps its own single-byte decode; gbk (the
-# common pre-8.0 production charset on Chinese deployments, mbmaxlen
-# 2) decodes through its own two-byte path. Anything else (sjis,
-# ucs2, ...) raises pointedly rather than silently mojibake-ing a
-# decode.
+# decode path; latin1 keeps its own single-byte decode; the
+# double-byte sets — gbk (pre-8.0 Chinese deployments), sjis and its
+# Windows superset cp932 (Japanese) — each decode through the shared
+# DBCS path (mbmaxlen 2). Anything else (ucs2, big5, euckr, ...)
+# raises pointedly rather than silently mojibake-ing a decode.
 _CHARSET_NORM = {
     "utf8mb4": "utf8", "utf8mb3": "utf8", "utf8": "utf8",
     "ascii": "utf8", "latin1": "latin1", "gbk": "gbk",
+    "sjis": "sjis", "cp932": "cp932",
     "binary": "binary",
 }
 _MBMAXLEN = {"utf8mb4": 4, "utf8mb3": 3, "utf8": 3, "ascii": 1,
-             "latin1": 1, "gbk": 2, "binary": 1}
+             "latin1": 1, "gbk": 2, "sjis": 2, "cp932": 2, "binary": 1}
 
 _COLUMN_CHARSET_RE = re.compile(
     r"\b(?:character\s+set|charset)\s+(?P<cs>`?\w+`?)", re.IGNORECASE

@@ -126,18 +126,18 @@ def test_latin1_to_utf8_transcode_matches_python_codec():
 
 
 def test_unsupported_charset_raises_pointedly():
-    # gbk joined the codec space in round 15; sjis is the next
-    # still-unsupported multibyte set
+    # gbk/sjis/cp932 joined the codec space in round 15; ucs2 stays
+    # pointedly rejected (2-byte units, NUL bytes in ASCII)
     bad = T.StructType(
         [
             T.StructField(
                 "s",
                 T.StringType(),
-                metadata={"mysql_type": "text", "charset": "sjis"},
+                metadata={"mysql_type": "text", "charset": "ucs2"},
             )
         ]
     )
-    with pytest.raises(ValueError, match="sjis"):
+    with pytest.raises(ValueError, match="ucs2"):
         _cols_from_schema(bad)
 
 

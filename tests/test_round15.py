@@ -185,15 +185,93 @@ def test_ddl_gbk_schema_decodes_gbk_wire_bytes():
     assert pdf.iloc[0]["note"] == "啊丂 ok"
 
 
-def test_sjis_charset_still_raises_pointedly():
+def test_ucs2_charset_still_raises_pointedly():
+    # gbk/sjis/cp932 joined the codec space in round 15; ucs2 (a
+    # 2-byte-units charset with NUL bytes in ASCII — structurally
+    # different) stays pointedly rejected
     from mysql_cdc_table_spark.sources.mysql_ddl import (
         schema_from_ddl_history,
     )
 
-    with pytest.raises(ValueError, match="sjis"):
+    with pytest.raises(ValueError, match="ucs2"):
         schema_from_ddl_history(
-            ["CREATE TABLE t (s VARCHAR(5) CHARACTER SET sjis)"], "t"
+            ["CREATE TABLE t (s VARCHAR(5) CHARACTER SET ucs2)"], "t"
         )
+
+
+def test_sjis_cp932_roundtrip_both_kernels():
+    """Shift_JIS pins the nastiest DBCS case: '表' is 0x95 0x5C — the
+    trail byte is ASCII BACKSLASH — and 0xA1-0xDF are SINGLE-byte
+    halfwidth kana sitting above 0x80 without being leads. cp932 adds
+    the extended lead range (NEC/IBM rows)."""
+    for cs, vals in (
+        ("sjis", ["表計算", "ア表イ", "ソ\\ン", "ｱｲｳ半角", "a表b"]),
+        ("cp932", ["表①高", "ア①イ", "ｱ①", "髙﨑"]),
+    ):
+        sch = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField(
+                    "s",
+                    T.StringType(),
+                    metadata={"varchar_len": 40, "charset": cs},
+                ),
+                T.StructField(
+                    "note",
+                    T.StringType(),
+                    metadata={"mysql_type": "text", "charset": cs},
+                ),
+            ]
+        )
+        rows = [
+            {"id": i, "s": v, "note": v[::-1]} for i, v in enumerate(vals)
+        ]
+        blob = build_binlog_file(
+            "d", "t", sch,
+            [{"gno": 10 + r["id"], "op": "w", "rows": [r]} for r in rows],
+            checksum=True,
+        )
+        scal = {
+            r["id"]: r for r in decode_binlog_bytes(blob, sch, "d", "t")
+        }
+        pdf = decode_binlog_pandas(blob, sch, "d", "t")
+        vec = {int(r["id"]): r for _, r in pdf.iterrows()}
+        for want in rows:
+            for k in ("s", "note"):
+                assert scal[want["id"]][k] == want[k], (cs, want, k)
+                assert vec[want["id"]][k] == want[k], (cs, want, k)
+
+
+def test_sjis_transcode_matches_python_codec():
+    """Random Shift_JIS mixes — ASCII, halfwidth kana singles, kanji
+    with ASCII-range trails — through the vectorized DBCS scan vs
+    Python's codec, row by row."""
+    import random
+
+    import numpy as np
+
+    from mysql_cdc_table_spark.sources.mysql_binlog_vec import (
+        _sjis_to_utf8,
+    )
+
+    rng = random.Random(151)
+    kana = [chr(c) for c in range(0xFF61, 0xFFA0)]  # halfwidth forms
+    kanji = ["表", "計", "算", "ソ", "高", "士"]
+    pool = [chr(c) for c in range(0x20, 0x7F)] + kana + kanji * 10
+    rows = [b"", "表表".encode("shift_jis"), "ｱｲｳ".encode("shift_jis")]
+    for _ in range(300):
+        n = rng.randrange(0, 20)
+        rows.append(
+            "".join(rng.choice(pool) for _ in range(n)).encode("shift_jis")
+        )
+    data = np.frombuffer(b"".join(rows), dtype=np.uint8).copy()
+    offsets = np.zeros(len(rows) + 1, np.int32)
+    np.cumsum([len(r) for r in rows], out=offsets[1:])
+    out, new_off = _sjis_to_utf8(data, offsets)
+    buf = out.tobytes()
+    for i, raw in enumerate(rows):
+        got = buf[new_off[i]: new_off[i + 1]]
+        assert got == raw.decode("shift_jis").encode("utf-8"), (i, raw)
 
 
 # --- table-level RENAME / multi-table schema history -------------------------
