@@ -803,6 +803,10 @@ ROUND15_LATE_KEYS: tuple[str, ...] = (
     # seeded history fold (one ADD, one CHANGE + table RENAME) — the
     # cross-table bleed test for the multi-table schema history
     "cdc_binlog_ddl_multi_table_decode",
+    # the split-parallel schema-history decode: transaction-aligned
+    # ranges carrying their DDL prefix, file-final identity remap —
+    # multi-generation logs now spread across executors too
+    "cdc_binlog_ddl_split_decode",
 )
 
 

@@ -436,11 +436,25 @@ def _ddl_vec_sql() -> str:
     return CDC_BINLOG_DDL_SCHEMA_DECODE_SQL
 
 
+def _ddl_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        cdc_binlog_ddl_split_decode,
+    )
+
+    return cdc_binlog_ddl_split_decode(spark, sf_dir)
+
+
 # the vec-kernel twin of cdc_binlog_ddl_schema_decode: SAME fixture,
 # SAME oracle — the columnar multi-generation decode must aggregate
 # identically to the scalar walk
 QUERIES["cdc_binlog_ddl_vec_decode"] = _ddl_vec
 ORACLES["cdc_binlog_ddl_vec_decode"] = _ddl_vec_sql()
+
+# the split-parallel triplet sibling: the same fixture decoded as
+# independent transaction-aligned ranges, prefix-seeded histories,
+# file-final identity remap — oracle shared verbatim again
+QUERIES["cdc_binlog_ddl_split_decode"] = _ddl_split
+ORACLES["cdc_binlog_ddl_split_decode"] = _ddl_vec_sql()
 
 
 # --- maintained histograms under CDC deltas -----------------------------------

@@ -2522,10 +2522,18 @@ def decode_binlog_bytes(
         raise ValueError(f"gtid_format must be long|uuid_gno, got {gtid_format!r}")
     if schema_history is not None:
         if init_state is not None:
-            raise ValueError(
-                "schema_history decode needs the whole file: a mid-file "
-                "range cannot see the DDL history that precedes it"
-            )
+            if "ddl" not in init_state:
+                raise ValueError(
+                    "schema_history decode of a mid-file range needs "
+                    "the DDL prefix that precedes it: carry "
+                    "init_state['ddl'] from scan_binlog_splits_ddl "
+                    "(a range cannot otherwise see earlier history)"
+                )
+            # replay the prefix BEFORE resolving the opening layout —
+            # the range then starts in the generation in effect at its
+            # first transaction, and in-range DDL keeps folding
+            for _db0, _stmt in init_state["ddl"]:
+                schema_history.apply(_stmt, default_db=_db0 or None)
         sh_schema = schema_history.schema
         target_cols = (
             _cols_from_schema(sh_schema) if sh_schema is not None else None
@@ -2759,7 +2767,20 @@ def decode_binlog_bytes(
         if want_src and sid0 is not None:
             gtid_src = _sid_to_uuid(sid0)
         for map_body in init_state.get("table_maps", []):
-            handle(EV_TABLE_MAP, map_body, 0, seq_base)
+            if schema_history is not None:
+                # a carried map can PREDATE prefix DDL (captured before
+                # the layout change) and fail to parse against the
+                # prefix-final generation. Carried maps are
+                # belt-and-braces only — the format guarantees every
+                # transaction re-emits its maps before its rows, so the
+                # range's own maps land before any decode — dropping a
+                # stale one is safe; keeping a mis-parsed one is not.
+                try:
+                    handle(EV_TABLE_MAP, map_body, 0, seq_base)
+                except (ValueError, TypeError):
+                    continue
+            else:
+                handle(EV_TABLE_MAP, map_body, 0, seq_base)
 
     while pos + _HEADER_LEN <= len(blob):
         ets, tc, _sid, esize, _lpos, _flags = _HEADER.unpack_from(blob, pos)
@@ -3005,13 +3026,35 @@ def _smallest_uncovered_gno(intervals: list[tuple[int, int]]) -> int:
     return nxt
 
 
+def scan_binlog_splits_ddl(
+    blob: bytes, target_split_bytes: int = 64 << 20
+) -> tuple[list[dict], list[tuple[str, str]]]:
+    """``scan_binlog_splits`` with the schema-history prefix: each
+    split spec additionally carries ``ddl`` — the ordered
+    [(session_db, statement), ...] list of every Query-event DDL seen
+    BEFORE the range start — and the second return value is the
+    file-COMPLETE list (what a caller needs to compute the final
+    generation every range's rows remap onto). This is what lets a
+    multi-generation binlog decode as parallel transaction-aligned
+    ranges: seed a SchemaHistory per range by replaying its prefix,
+    decode the range (in-range DDL keeps folding), then join
+    range-final names to file-final names on column identity.
+    Statement lists are statement-count-bounded — DDL is rare next to
+    rows — so carrying the prefix per split costs O(splits x
+    statements)."""
+    return scan_binlog_splits(
+        blob, target_split_bytes, _track_ddl=True
+    )
+
+
 def scan_binlog_splits(
     blob: bytes,
     target_split_bytes: int = 64 << 20,
     *,
     start_after_gno: int | None = None,
     stop_at_gno: int | None = None,
-) -> list[dict]:
+    _track_ddl: bool = False,
+):
     """Sequential HEADER walk of one binlog file (no row decode — just
     the 19-byte headers plus GTID/TABLE_MAP bodies), emitting split
     specs for parallel range decode. Boundaries are placed ONLY at GTID
@@ -3048,6 +3091,7 @@ def scan_binlog_splits(
     gtid: int | None = None
     sid: bytes | None = None
     maps: dict[int, bytes] = {}
+    ddl: list[tuple[str, str]] = []
     splits: list[dict] = []
     in_window = start_after_gno is None
     unbounded = start_after_gno is None and stop_at_gno is None
@@ -3056,6 +3100,8 @@ def scan_binlog_splits(
     cur_state: dict = {
         "checksum": None, "gtid": None, "sid": None, "table_maps": [],
     }
+    if _track_ddl:
+        cur_state["ddl"] = []
     end_at = len(blob)
     while pos + _HEADER_LEN <= len(blob):
         _ets, tc, _s, esize, _lp, _fl = _HEADER.unpack_from(blob, pos)
@@ -3077,6 +3123,8 @@ def scan_binlog_splits(
                     "sid": sid,
                     "table_maps": list(maps.values()),
                 }
+                if _track_ddl:
+                    cur_state["ddl"] = list(ddl)
             elif in_window and pos - cur_start >= target_split_bytes:
                 splits.append({"start": cur_start, "end": pos, **cur_state})
                 cur_start = pos
@@ -3086,6 +3134,8 @@ def scan_binlog_splits(
                     "sid": sid,
                     "table_maps": list(maps.values()),
                 }
+                if _track_ddl:
+                    cur_state["ddl"] = list(ddl)
             saw_window_txn = saw_window_txn or in_window
             gtid = g
             sid = bytes(body[1:17])
@@ -3095,6 +3145,17 @@ def scan_binlog_splits(
             body = ev[_HEADER_LEN : len(ev) - (4 if checksum else 0)]
             tid = int.from_bytes(body[0:6], "little")
             maps[tid] = bytes(body)
+        elif tc == EV_QUERY and _track_ddl:
+            body = ev[_HEADER_LEN : len(ev) - (4 if checksum else 0)]
+            if len(body) >= 13:
+                _tid, _ex, db_len, _err, sv_len = struct.unpack_from(
+                    "<IIBHH", body, 0
+                )
+                qp = 13 + sv_len
+                qdb = body[qp : qp + db_len].decode("utf-8", "replace")
+                stmt = body[qp + db_len + 1 :].decode("utf-8", "replace")
+                if stmt.strip().upper() not in ("BEGIN", "COMMIT", ""):
+                    ddl.append((qdb, stmt))
         elif tc == EV_PREVIOUS_GTIDS and stop_at_gno is not None:
             body = ev[_HEADER_LEN : len(ev) - (4 if checksum else 0)]
             sets = _parse_gtid_set(body)
@@ -3105,7 +3166,70 @@ def scan_binlog_splits(
         pos += esize
     if unbounded or (saw_window_txn and end_at > cur_start):
         splits.append({"start": cur_start, "end": end_at, **cur_state})
+    if _track_ddl:
+        return splits, ddl
     return splits
+
+
+def decode_binlog_range_history(
+    blob: bytes,
+    split: dict,
+    ddl_all: list,
+    database: str,
+    table: str,
+    *,
+    file_seq: int = 1,
+    gtid_format: str = "long",
+    capture_query: bool = False,
+) -> list[dict]:
+    """Decode ONE transaction-aligned byte range of a MULTI-GENERATION
+    binlog independently — the split-parallel path for schema-history
+    decode (round 15; previously multi-generation logs were pinned to
+    whole-file walks). The split spec comes from
+    ``scan_binlog_splits_ddl``: its ``ddl`` prefix replays into a
+    fresh ``SchemaHistory`` before the walk (so the range opens in the
+    generation in effect at its first transaction), in-range DDL keeps
+    folding as usual, and afterwards the rows remap from the RANGE's
+    final generation onto the FILE's final generation (``ddl_all``) by
+    column identity — so the union of all ranges is byte-identical to
+    the whole-file walk, regardless of which generation each range
+    starts or ends in. Identity determinism: a prefix replay followed
+    by the in-range fold allocates exactly the ids the whole-file fold
+    does (same statements, same order, same counter)."""
+    from mysql_cdc_table_spark.sources.mysql_ddl import SchemaHistory
+
+    hist = SchemaHistory(table, database=database)
+    state = {
+        k: split[k]
+        for k in ("checksum", "gtid", "sid", "table_maps", "ddl")
+    }
+    rows = decode_binlog_bytes(
+        blob[split["start"] : split["end"]],
+        None,
+        database,
+        table,
+        file_seq=file_seq,
+        gtid_format=gtid_format,
+        init_state=state,
+        seq_base=split["start"],
+        capture_query=capture_query,
+        schema_history=hist,
+    )
+    fin = SchemaHistory(table, database=database)
+    for db0, stmt in ddl_all:
+        fin.apply(stmt, default_db=db0 or None)
+    latest = dict(zip(fin.ids, fin.names))
+    ren = {n: latest.get(i) for n, i in zip(hist.names, hist.ids)}
+    if any(k != v for k, v in ren.items()):
+        for r in rows:
+            moved = {}
+            for n, nn in ren.items():
+                if n in r:
+                    v = r.pop(n)
+                    if nn is not None:
+                        moved[nn] = v
+            r.update(moved)
+    return rows
 
 
 def binlog_prev_gtids_uncovered(path: str) -> int | None:
@@ -5829,8 +5953,25 @@ def cdc_binlog_ddl_vec_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cdc_binlog_ddl_decode(spark, sf_dir, vec=True)
 
 
+def cdc_binlog_ddl_split_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAME three-generation fixture decoded as PARALLEL
+    transaction-aligned byte ranges (round 15): every blob header-walks
+    into ~tens of small ranges (``scan_binlog_splits_ddl`` carries the
+    DDL prefix per range), each range decodes INDEPENDENTLY — a fresh
+    ``SchemaHistory`` seeded from its prefix, in-range DDL folding as
+    it streams past, rows remapped from the range-final onto the
+    FILE-final generation by column identity — and the union must
+    aggregate identically to the whole-file walk (the oracle is shared
+    verbatim). This closes the last pinned decode path: a 100 GB
+    multi-generation binlog now spreads across executors exactly like
+    the fixed-schema parallel scan, DDL and all."""
+    return _cdc_binlog_ddl_decode(spark, sf_dir, vec=False, split=True)
+
+
 def _cdc_binlog_ddl_decode(
-    spark: SparkSession, sf_dir: str, vec: bool
+    spark: SparkSession, sf_dir: str, vec: bool, split: bool = False
 ) -> DataFrame:
     """Debezium-style schema-history decode: the stream's layout is
     learned ONLY from the DDL statements in the log — a CREATE TABLE
@@ -6014,6 +6155,24 @@ def _cdc_binlog_ddl_decode(
                     yield decode_binlog_pandas(
                         b, None, "tpch", "orders", schema_history=hist
                     )[names]
+                elif split:
+                    # target ~64 ranges per blob regardless of scale:
+                    # plenty of range starts inside every generation,
+                    # while per-range overhead (history seed + final
+                    # remap) stays amortized — a FIXED byte size would
+                    # grow range count linearly with data and measured
+                    # 5.0x at 10x; production uses 64 MB ranges where
+                    # the overhead vanishes entirely
+                    splits, ddl_all = scan_binlog_splits_ddl(
+                        b, max(8192, len(b) >> 6)
+                    )
+                    for sp in splits:  # each range fully independent
+                        rows = decode_binlog_range_history(
+                            b, sp, ddl_all, "tpch", "orders"
+                        )
+                        yield pd.DataFrame(
+                            {n: [r.get(n) for r in rows] for n in names}
+                        )
                 else:
                     rows = decode_binlog_bytes(
                         b, None, "tpch", "orders", schema_history=hist

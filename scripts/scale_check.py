@@ -451,6 +451,9 @@ def main() -> None:
         # round 15: two interleaved evolving tables, two history folds
         # over the same bytes — wire-codec family (two decode passes)
         "cdc_binlog_ddl_multi_table_decode",
+        # round 15: split-parallel schema-history decode (ranges carry
+        # their DDL prefix, file-final identity remap)
+        "cdc_binlog_ddl_split_decode",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

@@ -835,3 +835,51 @@ def test_zorder_rowgroup_probe_matches_direct_and_pushes_zkey(
         "zkey" in ln and ("GreaterThanOrEqual" in ln or ">=" in ln)
         for ln in pushed
     ), pushed
+
+
+# --- split-parallel schema-history decode -------------------------------------
+
+
+def test_split_history_ranges_union_equals_whole_file_walk():
+    """Tiny target ranges force split starts inside every generation;
+    each range decodes independently (prefix-seeded history,
+    file-final identity remap) and the union is byte-identical to the
+    whole-file walk."""
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        decode_binlog_range_history,
+        scan_binlog_splits_ddl,
+    )
+    from mysql_cdc_table_spark.sources.mysql_ddl import SchemaHistory
+
+    blob = _three_gen_blob()
+    splits, ddl_all = scan_binlog_splits_ddl(blob, 64)
+    assert len(splits) >= 4, "fixture must split into several ranges"
+    assert len(ddl_all) == 3
+    # at least one range starts past the first DDL (non-empty prefix)
+    assert any(sp["ddl"] for sp in splits)
+    got = []
+    for sp in splits:
+        got.extend(
+            decode_binlog_range_history(blob, sp, ddl_all, "d", "t")
+        )
+    hist = SchemaHistory("t", database="d")
+    want = decode_binlog_bytes(blob, None, "d", "t", schema_history=hist)
+    key = lambda r: (r["__event_seq"], r["__image_seq"])  # noqa: E731
+    got_by = {key(r): r for r in got}
+    want_by = {key(r): r for r in want}
+    assert got_by.keys() == want_by.keys()
+    for k, w in want_by.items():
+        assert got_by[k] == w, (k, got_by[k], w)
+
+
+def test_split_history_without_prefix_still_raises():
+    from mysql_cdc_table_spark.sources.mysql_ddl import SchemaHistory
+
+    blob = _three_gen_blob()
+    with pytest.raises(ValueError, match="DDL prefix"):
+        decode_binlog_bytes(
+            blob[4:], None, "d", "t",
+            schema_history=SchemaHistory("t", database="d"),
+            init_state={"checksum": True, "gtid": None, "sid": None,
+                        "table_maps": []},
+        )
