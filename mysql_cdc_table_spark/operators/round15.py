@@ -1,20 +1,31 @@
-"""Round-15 operators: gbk charset decode through BOTH kernels.
+"""Round-15 operators.
 
-gbk is the common pre-8.0 production charset on Chinese MySQL
-deployments (mbmaxlen 2; lead bytes 0x81-0xFE, trail bytes 0x40-0xFE
-minus 0x7F — the trail range OVERLAPS ASCII, which is what makes its
-vectorized transcode genuinely harder than latin1's). The reference
-inherits charset handling from the server's Field::unpack
-(binlog_table_reader.cc:151-156) and never transcodes — its changelog
-surfaces whatever bytes the server stored; this engine converts every
-string column to Spark's utf-8 StringType, so gbk needs a real codec
-path in the scalar walk AND the columnar Arrow kernel
-(sources/mysql_binlog_vec._gbk_to_utf8).
-
-``cdc_binlog_gbk_roundtrip`` decodes ONE fixture through both kernels
-and emits a per-kernel aggregate row — the driver's value hash then
-proves not just "gbk decodes" but "both kernels decode gbk
-byte-identically".
+- ``cdc_binlog_gbk_roundtrip``: gbk charset decode through BOTH
+  kernels. gbk is the common pre-8.0 production charset on Chinese
+  MySQL deployments (mbmaxlen 2; lead bytes 0x81-0xFE, trail bytes
+  0x40-0xFE minus 0x7F — the trail range OVERLAPS ASCII, which is
+  what makes its vectorized transcode genuinely harder than
+  latin1's). The reference inherits charset handling from the
+  server's Field::unpack (binlog_table_reader.cc:151-156) and never
+  transcodes; this engine converts every string column to Spark's
+  utf-8 StringType, so gbk needs a real codec path in the scalar
+  walk AND the columnar Arrow kernel (the same DBCS machinery then
+  generalized to sjis/cp932, pytest-covered).
+- ``cdc_binlog_table_rename_decode``: the gh-ost/pt-osc RENAME TABLE
+  cut-over through real binlog bytes (the schema history follows
+  table-level renames; the swap inherits column identities by name).
+- ``cdc_binlog_ddl_vec_decode`` / ``cdc_binlog_ddl_split_decode``:
+  the three-generation schema-history fixture through the COLUMNAR
+  kernel and as PARALLEL transaction-aligned ranges — the scalar
+  key's oracle shared verbatim by all three siblings.
+- ``stats_histogram_maintained``: equi-height histogram counts
+  maintained under CDC delta batches without rescanning the table.
+- ``zorder_rowgroup_probe``: the within-bucket half of the Z-order
+  probe — a pushed zkey range lets parquet row-group footers prune
+  inside each candidate bucket.
+- ``cdc_binlog_ddl_multi_table_decode``: two tables' DDL+DML
+  interleaved in one log, two seeded history folds over the same
+  bytes.
 """
 
 from __future__ import annotations
