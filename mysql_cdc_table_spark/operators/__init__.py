@@ -807,6 +807,10 @@ ROUND15_LATE_KEYS: tuple[str, ...] = (
     # ranges carrying their DDL prefix, file-final identity remap —
     # multi-generation logs now spread across executors too
     "cdc_binlog_ddl_split_decode",
+    # cross-FILE schema history: a rotated three-file series read by
+    # the zero-declaration entry point (driver DDL pre-walk, per-file
+    # prefix-seeded vec decode, series-final identity remap)
+    "cdc_binlog_ddl_series_decode",
 )
 
 

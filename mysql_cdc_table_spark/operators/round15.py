@@ -468,6 +468,21 @@ QUERIES["cdc_binlog_ddl_split_decode"] = _ddl_split
 ORACLES["cdc_binlog_ddl_split_decode"] = _ddl_vec_sql()
 
 
+def _ddl_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        cdc_binlog_ddl_series_decode,
+    )
+
+    return cdc_binlog_ddl_series_decode(spark, sf_dir)
+
+
+# the fourth sibling: the three generations spread across a ROTATED
+# three-file series, read by the zero-declaration entry point
+# (mysql_binlog_read_ddl_history) — cross-FILE schema history
+QUERIES["cdc_binlog_ddl_series_decode"] = _ddl_series
+ORACLES["cdc_binlog_ddl_series_decode"] = _ddl_vec_sql()
+
+
 # --- maintained histograms under CDC deltas -----------------------------------
 
 # injective value map: val(k) = 2*((k*99991) % 2^27) for original

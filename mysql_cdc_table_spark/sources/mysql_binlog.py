@@ -3171,6 +3171,179 @@ def scan_binlog_splits(
     return splits
 
 
+def mysql_binlog_read_ddl_history(
+    spark: SparkSession,
+    path: str,
+    database: str,
+    table: str,
+    *,
+    columnar: bool = True,
+    gtid_format: str = "long",
+) -> DataFrame:
+    """Batch-read a ROTATED binlog series with the table layout learned
+    ONLY from the logs' own DDL — the zero-declaration entry point: no
+    user schema, no binlog_row_metadata=FULL TLVs, DDL spanning FILE
+    boundaries (the CREATE in binlog.000001 governs rows in
+    binlog.000002 until its ALTER lands — the cross-file half of
+    Debezium's schema-history contract, which the reference cannot see
+    at all: it default-skips QUERY events and re-reads its declared
+    schema per handler, binlog_table_reader.cc:427-428).
+
+    Driver-side: ``binlog_file_ddl`` header-walks each file IN
+    ROTATION ORDER (seek-based — bodies read only for QUERY/GTID, so a
+    100 GB series scans in seconds) to build each file's DDL PREFIX
+    and the series-final layout. Executor-side: one file = one decode
+    task (the usual per-file parallelism), each seeding a
+    ``SchemaHistory`` from its prefix; in-file DDL keeps folding
+    mid-walk; rows remap from the FILE-final onto the SERIES-final
+    generation by column identity. ``columnar=True`` decodes values
+    through the Arrow kernel (per-generation batch groups, identity
+    placement + casts at flush), then renames/casts the file-final
+    batches onto the series-final schema."""
+    import os
+
+    from mysql_cdc_table_spark.sources.mysql_ddl import SchemaHistory
+
+    if os.path.isdir(path):
+        paths = sorted(
+            (
+                os.path.join(path, n)
+                for n in os.listdir(path)
+                if not n.startswith(("_", ".")) and not n.endswith(".index")
+            ),
+            key=_file_seq_of,
+        )
+    else:
+        paths = [path]
+    if not paths:
+        raise ValueError(f"{path}: no binlog files")
+    prefixes: dict[int, list] = {}
+    acc: list[tuple[str, str]] = []
+    for p in paths:
+        prefixes[_file_seq_of(p)] = list(acc)
+        for rec in binlog_file_ddl(p):
+            acc.append((rec["database"], rec["statement"]))
+    fin = SchemaHistory(table, database=database)
+    for db0, stmt in acc:
+        fin.apply(stmt, default_db=db0 or None)
+    if fin.schema is None:
+        raise ValueError(
+            f"no CREATE TABLE for {database}.{table} in the series' "
+            "DDL history — declare a schema (mysql_binlog_read) or "
+            "seed the history"
+        )
+    target = fin.schema
+    fin_names = list(fin.names)
+    fin_ids = list(fin.ids)
+    out_schema = _binlog_out_schema(target, gtid_format, False)
+    meta_names = [
+        f.name for f in out_schema.fields if f.name not in fin_names
+    ]
+
+    files = (
+        spark.read.format("binaryFile")
+        .load([p if "://" in p else "file://" + os.path.abspath(p)
+               for p in paths])
+    )
+
+    def seed(fseq: int) -> SchemaHistory:
+        h = SchemaHistory(table, database=database)
+        for db0, stmt in prefixes.get(fseq, []):
+            h.apply(stmt, default_db=db0 or None)
+        return h
+
+    if columnar:
+        import pyarrow as pa
+
+        from mysql_cdc_table_spark.sources.mysql_binlog_vec import (
+            _pa_type,
+            arrow_schema,
+            decode_binlog_record_batches,
+        )
+
+        pa_out = arrow_schema(out_schema)
+
+        def walk_arrow(batches):
+            for batch in batches:
+                bpaths = batch.column("path")
+                contents = batch.column("content")
+                for i in range(batch.num_rows):
+                    fseq = _file_seq_of(str(bpaths[i].as_py()))
+                    hist = seed(fseq)
+                    rbs = list(
+                        decode_binlog_record_batches(
+                            contents[i].as_py(), None, database, table,
+                            file_seq=fseq, gtid_format=gtid_format,
+                            schema_history=hist,
+                        )
+                    )  # bounded: one file's batches (file-at-a-time
+                    # memory is this reader's standing contract)
+                    fmap = {
+                        i_: n_ for n_, i_ in zip(hist.names, hist.ids)
+                    }
+                    for rb in rbs:
+                        arrays = []
+                        for n_, i_ in zip(fin_names, fin_ids):
+                            src = fmap.get(i_)
+                            t_pa = _pa_type(
+                                target[n_].dataType  # noqa: B023
+                            )
+                            if src is not None and src in rb.schema.names:
+                                arr = rb.column(src)
+                                if arr.type != t_pa:
+                                    arr = arr.cast(t_pa)
+                                arrays.append(arr)
+                            else:
+                                arrays.append(
+                                    pa.nulls(rb.num_rows, type=t_pa)
+                                )
+                        for mn in meta_names:
+                            arrays.append(rb.column(mn))
+                        yield pa.RecordBatch.from_arrays(
+                            arrays, schema=pa_out
+                        )
+
+        return files.select("path", "content").mapInArrow(
+            walk_arrow, schema=out_schema
+        )
+
+    import pandas as pd
+
+    names = [f.name for f in out_schema.fields]
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                fseq = _file_seq_of(str(fpath))
+                hist = seed(fseq)
+                rows = decode_binlog_bytes(
+                    bytes(content), None, database, table,
+                    file_seq=fseq, gtid_format=gtid_format,
+                    schema_history=hist,
+                )
+                latest = dict(zip(fin_ids, fin_names))
+                ren = {
+                    n: latest.get(i)
+                    for n, i in zip(hist.names, hist.ids)
+                }
+                if any(k != v for k, v in ren.items()):
+                    for r in rows:
+                        moved = {}
+                        for n, nn in ren.items():
+                            if n in r:
+                                v = r.pop(n)
+                                if nn is not None:
+                                    moved[nn] = v
+                        r.update(moved)
+                yield pd.DataFrame(
+                    {n: [r.get(n) for r in rows] for n in names}
+                )
+
+    return files.select("path", "content").mapInPandas(
+        walk, schema=out_schema
+    )
+
+
 def decode_binlog_range_history(
     blob: bytes,
     split: dict,
@@ -5970,8 +6143,31 @@ def cdc_binlog_ddl_split_decode(
     return _cdc_binlog_ddl_decode(spark, sf_dir, vec=False, split=True)
 
 
+def cdc_binlog_ddl_series_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAME three generations spread across a ROTATED THREE-FILE
+    series (round 15): binlog.000001 carries the CREATE + generation-0
+    rows, .000002 the ADD ALTER + its rows, .000003 the
+    MODIFY/CHANGE/RENAME ALTER + its rows — so the layout governing a
+    file's rows was declared in an EARLIER file, the cross-file half
+    of Debezium's schema-history contract. The read is the
+    zero-declaration entry point ``mysql_binlog_read_ddl_history``:
+    a seek-based driver pre-walk builds each file's DDL prefix and
+    the series-final layout, each file decodes in its own task through
+    the COLUMNAR kernel seeded with its prefix, and rows remap onto
+    the series-final names by column identity. Oracle shared verbatim
+    with the other three siblings. (The fixture encode is single-task
+    by nature — a rotated series IS one server's serial log.)"""
+    return _cdc_binlog_ddl_decode(spark, sf_dir, vec=True, series=True)
+
+
 def _cdc_binlog_ddl_decode(
-    spark: SparkSession, sf_dir: str, vec: bool, split: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    vec: bool,
+    split: bool = False,
+    series: bool = False,
 ) -> DataFrame:
     """Debezium-style schema-history decode: the stream's layout is
     learned ONLY from the DDL statements in the log — a CREATE TABLE
@@ -6069,12 +6265,21 @@ def _cdc_binlog_ddl_decode(
     file_schema = T.StructType([T.StructField("file_bytes", T.BinaryType())])
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        first = True
+        txns0: list = [{"gno": 1, "ddl": create_ddl}]
+        txns1: list = [{"gno": 2, "ddl": alter_ddl}]
+        txns2: list = [{"gno": 3, "ddl": alter2_ddl}]
         for pdf in batches:
             if pdf.empty:
                 continue
-            txns0: list = [{"gno": 1, "ddl": create_ddl}]
-            txns1: list = [{"gno": 2, "ddl": alter_ddl}]
-            txns2: list = [{"gno": 3, "ddl": alter2_ddl}]
+            if not series and not first:
+                # one 3-segment blob per pandas chunk (the parallel
+                # fixture shape); the SERIES path instead accumulates
+                # the whole partition into three rotation files
+                txns0 = [{"gno": 1, "ddl": create_ddl}]
+                txns1 = [{"gno": 2, "ddl": alter_ddl}]
+                txns2 = [{"gno": 3, "ddl": alter2_ddl}]
+            first = False
             for r in pdf.itertuples(index=False):
                 rid = int(r.id)
                 if rid % 3 == 0:  # CREATE generation
@@ -6122,18 +6327,43 @@ def _cdc_binlog_ddl_decode(
                             ],
                         }
                     )
-            blob = build_binlog_file(
-                "tpch", "orders", gen0, txns0, checksum=True
-            )
-            blob += build_binlog_file(
-                "tpch", "orders", gen1, txns1, checksum=True
-            )[4:]
-            blob += build_binlog_file(
-                "tpch", "orders", target, txns2, checksum=True
-            )[4:]
-            yield pd.DataFrame({"file_bytes": [blob]})
+            if not series:
+                blob = build_binlog_file(
+                    "tpch", "orders", gen0, txns0, checksum=True
+                )
+                blob += build_binlog_file(
+                    "tpch", "orders", gen1, txns1, checksum=True
+                )[4:]
+                blob += build_binlog_file(
+                    "tpch", "orders", target, txns2, checksum=True
+                )[4:]
+                yield pd.DataFrame({"file_bytes": [blob]})
+        if series and not first:
+            # three ROTATION files, emitted in series order — the
+            # staging writer's per-partition counter preserves it
+            for sch_, txns_ in (
+                (gen0, txns0), (gen1, txns1), (target, txns2),
+            ):
+                yield pd.DataFrame(
+                    {
+                        "file_bytes": [
+                            build_binlog_file(
+                                "tpch", "orders", sch_, txns_,
+                                checksum=True,
+                            )
+                        ]
+                    }
+                )
 
-    files = base.mapInPandas(encode, schema=file_schema)
+    enc_base = base.coalesce(1) if series else base
+    files = enc_base.mapInPandas(encode, schema=file_schema)
+
+    if series:
+        stage = _stage_binlog_files(spark, files, f"{sf_dir}|ddlseries")
+        decoded = mysql_binlog_read_ddl_history(
+            spark, stage, "tpch", "orders", columnar=vec
+        )
+        return _ddl_fixture_agg(decoded)
 
     out_schema = changelog_schema(target)
     names = [f.name for f in out_schema.fields]
@@ -6182,6 +6412,14 @@ def _cdc_binlog_ddl_decode(
                     )
 
     decoded = files.mapInPandas(decode, schema=out_schema)
+    return _ddl_fixture_agg(decoded)
+
+
+def _ddl_fixture_agg(decoded: DataFrame) -> DataFrame:
+    """The DDL-history fixture's shared per-generation aggregate (all
+    four sibling keys return this; the oracle is shared verbatim)."""
+    from pyspark.sql import functions as F
+
     return decoded.groupBy(
         (F.col("id") % 3).cast("long").alias("gen")
     ).agg(

@@ -883,3 +883,138 @@ def test_split_history_without_prefix_still_raises():
             init_state={"checksum": True, "gtid": None, "sid": None,
                         "table_maps": []},
         )
+
+
+# --- cross-file schema history (rotated series) --------------------------------
+
+
+def test_read_ddl_history_series_both_kernels(spark, tmp_path):
+    """A three-file rotated series whose DDL spans file boundaries:
+    the zero-declaration reader learns each file's layout from the
+    prefix of EARLIER files, decodes per file, and remaps onto the
+    series-final names — both kernels, equal to the whole-series
+    scalar walk."""
+    import os
+
+    from decimal import Decimal as _D
+
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        build_binlog_file,
+        mysql_binlog_read_ddl_history,
+    )
+    from mysql_cdc_table_spark.sources.mysql_ddl import (
+        SchemaHistory,
+        schema_from_ddl_history,
+    )
+
+    create = (
+        "CREATE TABLE `d`.`t` (`id` BIGINT, `price` DECIMAL(12,2),"
+        " `flag` CHAR(2))"
+    )
+    alter1 = "ALTER TABLE `d`.`t` ADD COLUMN `status` ENUM('F','O')"
+    alter2 = (
+        "ALTER TABLE `d`.`t` MODIFY COLUMN `price` DECIMAL(14,4),"
+        " RENAME COLUMN `flag` TO `cflag`"
+    )
+    g0 = schema_from_ddl_history([create], "d.t")
+    g1 = schema_from_ddl_history([create, alter1], "d.t")
+    g2 = schema_from_ddl_history([create, alter1, alter2], "d.t")
+    f1 = build_binlog_file(
+        "d", "t", g0,
+        [
+            {"gno": 1, "ddl": create},
+            {"gno": 10, "op": "w", "rows": [
+                {"id": 1, "price": _D("1.25"), "flag": "AA"}
+            ]},
+        ],
+        checksum=True,
+    )
+    # file 2 carries NO DDL of its own at the head: its rows decode
+    # against file 1's CREATE — the cross-file dependency — and the
+    # ALTER lands mid-file
+    f2 = build_binlog_file(
+        "d", "t", g0,
+        [
+            {"gno": 11, "op": "w", "rows": [
+                {"id": 2, "price": _D("2.50"), "flag": "BB"}
+            ]},
+            {"gno": 2, "ddl": alter1},
+        ],
+        checksum=True,
+    ) 
+    f2 += build_binlog_file(
+        "d", "t", g1,
+        [
+            {"gno": 12, "op": "w", "rows": [
+                {"id": 3, "price": _D("3.75"), "flag": "CC",
+                 "status": "O"}
+            ]},
+        ],
+        checksum=True,
+    )[4:]
+    f3 = build_binlog_file(
+        "d", "t", g1,
+        [{"gno": 3, "ddl": alter2}],
+        checksum=True,
+    )
+    f3 += build_binlog_file(
+        "d", "t", g2,
+        [
+            {"gno": 13, "op": "w", "rows": [
+                {"id": 4, "price": _D("4.1234"), "cflag": "DD",
+                 "status": "F"}
+            ]},
+        ],
+        checksum=True,
+    )[4:]
+    series = str(tmp_path / "series")
+    os.makedirs(series)
+    for i, b in enumerate((f1, f2, f3), start=1):
+        with open(os.path.join(series, f"binlog.{i:06d}"), "wb") as fh:
+            fh.write(b)
+
+    # reference: one scalar walk over the concatenated series
+    hist = SchemaHistory("t", database="d")
+    want_rows = decode_binlog_bytes(
+        f1 + f2[4:] + f3[4:], None, "d", "t", schema_history=hist
+    )
+    want = {
+        r["id"]: (r["price"], r.get("cflag"), r.get("status"))
+        for r in want_rows
+    }
+    assert set(want) == {1, 2, 3, 4}
+    assert want[1] == (_D("1.25"), "AA", None)  # pre-ALTER carried
+
+    for columnar in (True, False):
+        df = mysql_binlog_read_ddl_history(
+            spark, series, "d", "t", columnar=columnar
+        )
+        got = {
+            r["id"]: (r["price"], r["cflag"], r["status"])
+            for r in df.collect()
+        }
+        assert set(got) == set(want), columnar
+        for k, w in want.items():
+            assert got[k] == w, (columnar, k, got[k], w)
+
+
+def test_read_ddl_history_no_create_raises(spark, tmp_path):
+    import os
+
+    from pyspark.sql import types as T
+
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        mysql_binlog_read_ddl_history,
+    )
+
+    sch = T.StructType([T.StructField("id", T.LongType())])
+    series = str(tmp_path / "s2")
+    os.makedirs(series)
+    blob = build_binlog_file(
+        "d", "t", sch, [{"gno": 1, "op": "w", "rows": [{"id": 1}]}],
+        checksum=True,
+    )
+    with open(os.path.join(series, "binlog.000001"), "wb") as fh:
+        fh.write(blob)
+    with pytest.raises(ValueError, match="no CREATE TABLE"):
+        mysql_binlog_read_ddl_history(spark, series, "d", "t")
