@@ -5397,6 +5397,50 @@ def _stage_binlog_files(
     return stage
 
 
+def _stage_binlog_series(
+    spark: SparkSession, files: DataFrame, tag_seed: str
+) -> str:
+    """Stage (fseq, file_bytes) rows as a rotation-ordered binlog
+    SERIES: names are ``binlog.{fseq:06d}`` so the caller controls the
+    rotation order exactly (``_stage_binlog_files`` names by partition
+    + counter, which cannot express a cross-partition series). Same
+    wipe/atexit/per-application-dir contract."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.sources import fs as _hfs
+
+    tag = hashlib.md5(
+        f"{tag_seed}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"cdc_series_binlogs_{tag}")
+    if _hfs.exists(spark, stage):
+        _hfs.delete(spark, stage)
+    os.makedirs(stage, exist_ok=True)
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for fseq, blob in zip(pdf["fseq"], pdf["file_bytes"]):
+                b = bytes(blob)
+                with open(
+                    os.path.join(stage, f"binlog.{int(fseq):06d}"), "wb"
+                ) as fh:
+                    fh.write(b)
+                yield pd.DataFrame({"n": [len(b)]})
+
+    files.mapInPandas(write, schema="n long").agg(F.sum("n")).collect()
+    return stage
+
+
 def _stage_and_read_parallel(
     spark: SparkSession,
     sf_dir: str,
@@ -6157,8 +6201,11 @@ def cdc_binlog_ddl_series_decode(
     the series-final layout, each file decodes in its own task through
     the COLUMNAR kernel seeded with its prefix, and rows remap onto
     the series-final names by column identity. Oracle shared verbatim
-    with the other three siblings. (The fixture encode is single-task
-    by nature — a rotated series IS one server's serial log.)"""
+    with the other three siblings. (The fixture keeps the encode
+    parallel by putting each generation's DDL in its own tiny rotation
+    file — as MySQL logs DDL transactions — followed by one DATA file
+    per partition carrying no DDL at all, so every data file's layout
+    genuinely comes from an EARLIER file.)"""
     return _cdc_binlog_ddl_decode(spark, sf_dir, vec=True, series=True)
 
 
@@ -6265,21 +6312,12 @@ def _cdc_binlog_ddl_decode(
     file_schema = T.StructType([T.StructField("file_bytes", T.BinaryType())])
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        first = True
-        txns0: list = [{"gno": 1, "ddl": create_ddl}]
-        txns1: list = [{"gno": 2, "ddl": alter_ddl}]
-        txns2: list = [{"gno": 3, "ddl": alter2_ddl}]
         for pdf in batches:
             if pdf.empty:
                 continue
-            if not series and not first:
-                # one 3-segment blob per pandas chunk (the parallel
-                # fixture shape); the SERIES path instead accumulates
-                # the whole partition into three rotation files
-                txns0 = [{"gno": 1, "ddl": create_ddl}]
-                txns1 = [{"gno": 2, "ddl": alter_ddl}]
-                txns2 = [{"gno": 3, "ddl": alter2_ddl}]
-            first = False
+            txns0: list = [{"gno": 1, "ddl": create_ddl}]
+            txns1: list = [{"gno": 2, "ddl": alter_ddl}]
+            txns2: list = [{"gno": 3, "ddl": alter2_ddl}]
             for r in pdf.itertuples(index=False):
                 rid = int(r.id)
                 if rid % 3 == 0:  # CREATE generation
@@ -6327,43 +6365,111 @@ def _cdc_binlog_ddl_decode(
                             ],
                         }
                     )
-            if not series:
-                blob = build_binlog_file(
-                    "tpch", "orders", gen0, txns0, checksum=True
-                )
-                blob += build_binlog_file(
-                    "tpch", "orders", gen1, txns1, checksum=True
-                )[4:]
-                blob += build_binlog_file(
-                    "tpch", "orders", target, txns2, checksum=True
-                )[4:]
-                yield pd.DataFrame({"file_bytes": [blob]})
-        if series and not first:
-            # three ROTATION files, emitted in series order — the
-            # staging writer's per-partition counter preserves it
-            for sch_, txns_ in (
-                (gen0, txns0), (gen1, txns1), (target, txns2),
-            ):
-                yield pd.DataFrame(
-                    {
-                        "file_bytes": [
-                            build_binlog_file(
-                                "tpch", "orders", sch_, txns_,
-                                checksum=True,
-                            )
-                        ]
-                    }
-                )
-
-    enc_base = base.coalesce(1) if series else base
-    files = enc_base.mapInPandas(encode, schema=file_schema)
+            blob = build_binlog_file(
+                "tpch", "orders", gen0, txns0, checksum=True
+            )
+            blob += build_binlog_file(
+                "tpch", "orders", gen1, txns1, checksum=True
+            )[4:]
+            blob += build_binlog_file(
+                "tpch", "orders", target, txns2, checksum=True
+            )[4:]
+            yield pd.DataFrame({"file_bytes": [blob]})
 
     if series:
-        stage = _stage_binlog_files(spark, files, f"{sf_dir}|ddlseries")
+        # the rotated-series fixture: the DDL rides THREE tiny
+        # DDL-ONLY rotation files (1000/2000/3000, built driver-side
+        # — MySQL logs DDL as its own transaction anyway), and every
+        # partition writes its own DATA files per generation at
+        # 1001+pid / 2001+pid / 3001+pid — so the encode stays fully
+        # parallel while rotation order still puts each generation's
+        # DDL before every file of rows it governs (and those rows'
+        # files carry NO DDL of their own: the cross-file dependency
+        # is structural, not incidental)
+        def encode_series(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            gens: list[list] = [[], [], []]
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    rid = int(r.id)
+                    if rid % 3 == 0:
+                        gens[0].append(
+                            {"gno": rid + 10, "op": "w", "rows": [
+                                {"id": rid, "price": r.price,
+                                 "flag": r.flag, "note": r.note}
+                            ]}
+                        )
+                    elif rid % 3 == 1:
+                        gens[1].append(
+                            {"gno": rid + 10, "op": "w", "rows": [
+                                {"id": rid, "price": r.price,
+                                 "flag": r.flag, "note": r.note,
+                                 "status": r.status, "took": r.took}
+                            ]}
+                        )
+                    else:
+                        gens[2].append(
+                            {"gno": rid + 10, "op": "w", "rows": [
+                                {"id": rid, "price": r.price,
+                                 "cflag": r.flag, "memo": r.note,
+                                 "status": r.status, "took": r.took}
+                            ]}
+                        )
+            for g, (sch_, txns_) in enumerate(
+                zip((gen0, gen1, target), gens)
+            ):
+                if txns_:
+                    yield pd.DataFrame(
+                        {
+                            "fseq": [(g + 1) * 1000 + 1 + pid],
+                            "file_bytes": [
+                                build_binlog_file(
+                                    "tpch", "orders", sch_, txns_,
+                                    checksum=True,
+                                )
+                            ],
+                        }
+                    )
+
+        series_schema = T.StructType(
+            [
+                T.StructField("fseq", T.LongType()),
+                T.StructField("file_bytes", T.BinaryType()),
+            ]
+        )
+        data_files = base.mapInPandas(encode_series, schema=series_schema)
+        ddl_files = spark.createDataFrame(
+            [
+                (
+                    (g + 1) * 1000,
+                    build_binlog_file(
+                        "tpch", "orders", sch_,
+                        [{"gno": g + 1, "ddl": ddl_}], checksum=True,
+                    ),
+                )
+                for g, (sch_, ddl_) in enumerate(
+                    (
+                        (gen0, create_ddl),
+                        (gen1, alter_ddl),
+                        (target, alter2_ddl),
+                    )
+                )
+            ],
+            series_schema,
+        )
+        stage = _stage_binlog_series(
+            spark, data_files.unionByName(ddl_files), f"{sf_dir}|ddlseries"
+        )
         decoded = mysql_binlog_read_ddl_history(
             spark, stage, "tpch", "orders", columnar=vec
         )
         return _ddl_fixture_agg(decoded)
+
+    files = base.mapInPandas(encode, schema=file_schema)
 
     out_schema = changelog_schema(target)
     names = [f.name for f in out_schema.fields]

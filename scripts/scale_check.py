@@ -454,6 +454,10 @@ def main() -> None:
         # round 15: split-parallel schema-history decode (ranges carry
         # their DDL prefix, file-final identity remap)
         "cdc_binlog_ddl_split_decode",
+        # round 15: cross-file schema history over a rotated series —
+        # single-task fixture encode dominates (a series is one
+        # server's serial log); decode is per-file vec
+        "cdc_binlog_ddl_series_decode",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]
