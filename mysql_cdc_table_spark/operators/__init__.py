@@ -811,6 +811,10 @@ ROUND15_LATE_KEYS: tuple[str, ...] = (
     # the zero-declaration entry point (driver DDL pre-walk, per-file
     # prefix-seeded vec decode, series-final identity remap)
     "cdc_binlog_ddl_series_decode",
+    # CONVERT TO CHARACTER SET mid-stream: a latin1 generation and a
+    # gbk generation in one log, vec-decoded with per-generation
+    # transcoders; the CONVERT's trailing ADD inherits the new default
+    "cdc_binlog_charset_migration",
 )
 
 

@@ -483,6 +483,170 @@ QUERIES["cdc_binlog_ddl_series_decode"] = _ddl_series
 ORACLES["cdc_binlog_ddl_series_decode"] = _ddl_vec_sql()
 
 
+# --- CONVERT TO CHARACTER SET: the charset-migration decode --------------------
+
+_CM_CREATE = (
+    "CREATE TABLE `tpch`.`orders` ("
+    " `id` BIGINT NOT NULL,"
+    " `city` VARCHAR(20),"
+    " `note` TEXT,"
+    " PRIMARY KEY (`id`)"
+    ") ENGINE=InnoDB DEFAULT CHARSET=latin1"
+)
+_CM_CONVERT = (
+    "ALTER TABLE `tpch`.`orders` CONVERT TO CHARACTER SET gbk,"
+    " ADD COLUMN `tag` CHAR(2)"
+)
+
+
+def cdc_binlog_charset_migration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``ALTER TABLE ... CONVERT TO CHARACTER SET`` mid-stream — the
+    charset-migration DDL a pre-8.0 shop runs on its way off latin1,
+    which the fold previously dropped on the floor as a table option
+    (silently mis-decoding every later row). One log carries a latin1
+    generation (rows with >=0x80 single-byte wire values) and, after
+    the CONVERT (whose trailing ADD COLUMN must inherit the NEW gbk
+    default — the running-default rule), a gbk generation (two-byte
+    CJK wire values). The COLUMNAR kernel decodes both generations
+    from one file, choosing the transcoder PER GENERATION through the
+    history-resolved column charsets; codepoint sums per generation
+    pin both codecs and the boundary in the value hash."""
+    import pandas as pd
+
+    from mysql_cdc_table_spark.cdc.schema import changelog_schema
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        build_binlog_file,
+    )
+    from mysql_cdc_table_spark.sources.mysql_binlog_vec import (
+        decode_binlog_pandas,
+    )
+    from mysql_cdc_table_spark.sources.mysql_ddl import (
+        SchemaHistory,
+        schema_from_ddl_history,
+    )
+
+    gen0 = schema_from_ddl_history([_CM_CREATE], "tpch.orders")
+    gen1 = schema_from_ddl_history(
+        [_CM_CREATE, _CM_CONVERT], "tpch.orders"
+    )
+    base = (
+        t(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("id"))
+        .repartition(spark.sparkContext.defaultParallelism, "id")
+    )
+
+    file_schema = T.StructType([T.StructField("file_bytes", T.BinaryType())])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            t0: list = [{"gno": 1, "ddl": _CM_CREATE}]
+            t1: list = [{"gno": 2, "ddl": _CM_CONVERT}]
+            for r in pdf.itertuples(index=False):
+                rid = int(r.id)
+                if rid % 2 == 0:  # latin1 generation
+                    t0.append(
+                        {
+                            "gno": rid + 10,
+                            "op": "w",
+                            "rows": [
+                                {
+                                    "id": rid,
+                                    "city": chr(0xC0 + rid % 24) + "v"
+                                    + chr(0xA1 + rid % 16),
+                                    "note": "n" + chr(0xE8 + rid % 8),
+                                }
+                            ],
+                        }
+                    )
+                else:  # gbk generation (post-CONVERT)
+                    t1.append(
+                        {
+                            "gno": rid + 10,
+                            "op": "w",
+                            "rows": [
+                                {
+                                    "id": rid,
+                                    "city": chr(0x4E00 + rid % 20000),
+                                    "note": chr(0x4E02 + rid % 93) + "x",
+                                    "tag": chr(0x4E00 + rid % 26)
+                                    + chr(0x4E00 + (rid // 26) % 26),
+                                }
+                            ],
+                        }
+                    )
+            blob = build_binlog_file(
+                "tpch", "orders", gen0, t0, checksum=True
+            )
+            blob += build_binlog_file(
+                "tpch", "orders", gen1, t1, checksum=True
+            )[4:]
+            yield pd.DataFrame({"file_bytes": [blob]})
+
+    files = base.mapInPandas(encode, schema=file_schema)
+
+    out_schema = changelog_schema(gen1)
+    names = [f.name for f in out_schema.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["file_bytes"]:
+                hist = SchemaHistory("orders", database="tpch")
+                yield decode_binlog_pandas(
+                    bytes(blob), None, "tpch", "orders",
+                    schema_history=hist,
+                )[names]
+
+    decoded = files.mapInPandas(decode, schema=out_schema)
+    cp = F.ascii
+    return decoded.groupBy(
+        (F.col("id") % 2).cast("long").alias("gen")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            (cp(F.substring("city", 1, 1))
+             + cp(F.substring("city", 3, 1))).cast("long")
+        ).alias("city_cp_sum"),
+        F.sum(
+            (cp(F.substring("note", 1, 1))
+             + cp(F.substring("note", 2, 1))).cast("long")
+        ).alias("note_cp_sum"),
+        F.sum(
+            (cp("tag") * F.lit(65536) + cp(F.substring("tag", 2, 1)))
+            .cast("long")
+        ).alias("tag_cp_sum"),
+        F.sum(F.col("__gtid") - 10).alias("gtid_sum"),
+    )
+
+
+CDC_BINLOG_CHARSET_MIGRATION_SQL = """
+SELECT CAST(o_orderkey % 2 AS BIGINT) AS gen,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_orderkey % 2 = 0
+                THEN 192 + o_orderkey % 24 + 161 + o_orderkey % 16
+                ELSE 19968 + o_orderkey % 20000 END) AS BIGINT)
+         AS city_cp_sum,
+       CAST(sum(CASE WHEN o_orderkey % 2 = 0
+                THEN 110 + 232 + o_orderkey % 8
+                ELSE 19970 + o_orderkey % 93 + 120 END) AS BIGINT)
+         AS note_cp_sum,
+       CAST(sum(CASE WHEN o_orderkey % 2 = 1
+                THEN (19968 + o_orderkey % 26) * 65536
+                   + 19968 + (o_orderkey // 26) % 26 END) AS BIGINT)
+         AS tag_cp_sum,
+       CAST(sum(o_orderkey) AS BIGINT) AS gtid_sum
+FROM orders
+GROUP BY 1
+"""
+
+
+QUERIES["cdc_binlog_charset_migration"] = cdc_binlog_charset_migration
+ORACLES["cdc_binlog_charset_migration"] = CDC_BINLOG_CHARSET_MIGRATION_SQL
+
+
 # --- maintained histograms under CDC deltas -----------------------------------
 
 # injective value map: val(k) = 2*((k*99991) % 2^27) for original

@@ -416,7 +416,7 @@ def apply_mysql_alter(
     rename_table handler refuses outright, HA_ERR_WRONG_COMMAND at
     binlogdb.cc:784-788)."""
     pairs = [(f, i) for i, f in enumerate(schema.fields)]
-    pairs, _, renamed_to = _apply_alter_pairs(
+    pairs, _, renamed_to, _new_cs = _apply_alter_pairs(
         pairs, ddl, default_charset, len(pairs)
     )
     if renamed_to is not None:
@@ -428,23 +428,96 @@ def apply_mysql_alter(
     return T.StructType([f for f, _ in pairs])
 
 
+def _convert_field_charset(f: T.StructField, cs: str) -> T.StructField:
+    """CONVERT TO CHARACTER SET's effect on one column: every string
+    column's charset moves to ``cs`` (CHAR/VARCHAR byte widths follow
+    the new mbmaxlen, char lengths preserved — MySQL's documented
+    behavior); binary/blob/json/numeric columns are untouched; ENUM and
+    SET re-collate but their wire pack width is member-COUNT-based, so
+    the row layout is unchanged."""
+    if not isinstance(f.dataType, T.StringType):
+        return f
+    md = dict(f.metadata or {})
+    kind = md.get("mysql_type")
+    engine_cs = _CHARSET_NORM[cs]
+    mbmax = _MBMAXLEN[cs]
+    old = md.get("charset", "utf8")
+    if kind == "char":
+        md["char_bytes"] = int(md.get("char_len", 1)) * mbmax
+    elif kind in ("enum", "set", "json", "time"):
+        return f  # pack width / text form unaffected by charset
+    elif kind == "text":
+        pass  # charset swap below
+    elif kind is None:
+        # VARCHAR: varchar_len is the max BYTE length — preserve the
+        # CHAR length across the conversion. Engine charset names map
+        # 1:1 onto an mbmaxlen (utf8 counts as utf8mb4's worst case).
+        old_mb = {"utf8": 4, "latin1": 1, "gbk": 2, "sjis": 2,
+                  "cp932": 2}[old]
+        chars = max(1, int(md.get("varchar_len", 255)) // old_mb)
+        md["varchar_len"] = min(chars * mbmax, 65535)
+    else:
+        return f
+    if engine_cs == "utf8":
+        md.pop("charset", None)
+    else:
+        md["charset"] = engine_cs
+    return T.StructField(f.name, f.dataType, f.nullable, metadata=md)
+
+
 def _apply_alter_pairs(
     pairs: list, ddl: str, default_charset: str, next_id: int
-) -> tuple[list, int, str | None]:
+) -> tuple[list, int, str | None, str | None]:
     """apply_mysql_alter's engine over ``(StructField, id)`` pairs.
     ADD allocates a fresh id; MODIFY/CHANGE/RENAME keep the column's
     id (MySQL rewrites the field in place — same column, new surface);
     DROP retires the id. A table-level RENAME [TO|AS] op is reported,
-    not applied (the caller owns the name). Returns
-    (new pairs, next unallocated id, renamed_to|None)."""
+    not applied (the caller owns the name). CONVERT TO CHARACTER SET
+    rewrites every string column's charset + byte widths; a bare
+    [DEFAULT] CHARACTER SET option changes only the default for FUTURE
+    columns — both report the new default. Returns
+    (new pairs, next unallocated id, renamed_to|None,
+    new_default_charset|None)."""
     m = _ALTER_RE.match(ddl.strip().rstrip(";"))
     if not m:
         raise ValueError(f"not an ALTER TABLE statement: {ddl[:80]!r}")
     fields = list(pairs)
     renamed_to: str | None = None
+    new_default: str | None = None
+    cur_default = default_charset  # charset ops apply to LATER ops too
     for op in _split_top_level(m.group("ops")):
         toks = op.split()
         verb = toks[0].lower()
+        if verb == "convert":
+            # CONVERT TO CHARACTER SET cs [COLLATE ...]: every string
+            # column's charset (and byte widths) moves — a LAYOUT
+            # change the decode must see, not a table option
+            cm = re.match(
+                r"convert\s+to\s+(?:character\s+set|charset)\s+"
+                r"(?P<cs>`?\w+`?)",
+                op,
+                re.IGNORECASE,
+            )
+            if not cm:
+                raise ValueError(f"cannot parse CONVERT {op!r}")
+            cs = _norm_charset(
+                cm.group("cs"), "CONVERT TO CHARACTER SET"
+            )
+            fields = [
+                (_convert_field_charset(f, cs), i) for f, i in fields
+            ]
+            new_default = cur_default = cs
+            continue
+        if verb in ("default", "character", "charset"):
+            # [DEFAULT] CHARACTER SET [=] cs: existing columns keep
+            # their charsets; only FUTURE ADD COLUMNs inherit the new
+            # default — silently dropping it would mis-decode those
+            cm = _TABLE_CHARSET_RE.search(op)
+            if cm:
+                new_default = cur_default = _norm_charset(
+                    cm.group("cs"), "ALTER TABLE ... CHARACTER SET"
+                )
+            continue
         if verb == "add":
             rest = op[len(toks[0]):].strip()
             if rest.lower().startswith("column"):
@@ -459,7 +532,7 @@ def _apply_alter_pairs(
             if len(ctoks) < 2:
                 raise ValueError(f"cannot parse ADD COLUMN {op!r}")
             fld = _field_from_type(
-                _strip_quotes(ctoks[0]), ctoks[1], default_charset
+                _strip_quotes(ctoks[0]), ctoks[1], cur_default
             )
             _insert_at(fields, (fld, next_id), pos, None)
             next_id += 1
@@ -502,7 +575,7 @@ def _apply_alter_pairs(
                 raise ValueError(
                     f"ALTER {verb.upper()} {old!r}: no such column"
                 )
-            fld = _field_from_type(new, type_sql, default_charset)
+            fld = _field_from_type(new, type_sql, cur_default)
             keep_id = fields[idx][1]  # same column identity, new surface
             del fields[idx]
             _insert_at(fields, (fld, keep_id), pos, idx)
@@ -557,7 +630,7 @@ def _apply_alter_pairs(
             # table options (ENGINE=, AUTO_INCREMENT=, comment...) —
             # no layout change
             continue
-    return fields, next_id, renamed_to
+    return fields, next_id, renamed_to, new_default
 
 
 _RENAME_TABLE_RE = re.compile(
@@ -776,11 +849,17 @@ class SchemaHistory:
                         f"ALTER before CREATE for table {self._want!r} "
                         "in the DDL history"
                     )
-                new_pairs, self._next_id, renamed_to = _apply_alter_pairs(
-                    list(self._pairs), s, self._charset, self._next_id
+                new_pairs, self._next_id, renamed_to, new_cs = (
+                    _apply_alter_pairs(
+                        list(self._pairs), s, self._charset, self._next_id
+                    )
                 )
                 changed = new_pairs != self._pairs
                 self._pairs = new_pairs
+                if new_cs is not None:
+                    # CONVERT / DEFAULT CHARSET: future ADD COLUMNs
+                    # inherit the new table default
+                    self._charset = new_cs
                 if renamed_to is not None:
                     # ALTER TABLE t RENAME TO u: the fold follows the
                     # name — layout unchanged, but the reader must
@@ -797,9 +876,13 @@ class SchemaHistory:
             if key is None:
                 return False  # outside the history entirely
             st = self._tables[key]
-            st["pairs"], self._next_id, renamed_to = _apply_alter_pairs(
-                list(st["pairs"]), s, st["charset"], self._next_id
+            st["pairs"], self._next_id, renamed_to, new_cs = (
+                _apply_alter_pairs(
+                    list(st["pairs"]), s, st["charset"], self._next_id
+                )
             )
+            if new_cs is not None:
+                st["charset"] = new_cs
             if renamed_to is not None:
                 del self._tables[key]
                 if self._matches(renamed_to, default_db):

@@ -455,9 +455,12 @@ def main() -> None:
         # their DDL prefix, file-final identity remap)
         "cdc_binlog_ddl_split_decode",
         # round 15: cross-file schema history over a rotated series —
-        # single-task fixture encode dominates (a series is one
-        # server's serial log); decode is per-file vec
+        # DDL-only rotation files keep the fixture encode parallel;
+        # decode is per-file vec
         "cdc_binlog_ddl_series_decode",
+        # round 15: CONVERT TO CHARACTER SET mid-stream (latin1 and
+        # gbk generations in one file, per-generation transcoders)
+        "cdc_binlog_charset_migration",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]

@@ -1018,3 +1018,63 @@ def test_read_ddl_history_no_create_raises(spark, tmp_path):
         fh.write(blob)
     with pytest.raises(ValueError, match="no CREATE TABLE"):
         mysql_binlog_read_ddl_history(spark, series, "d", "t")
+
+
+# --- CONVERT TO CHARACTER SET / DEFAULT CHARSET in the fold --------------------
+
+
+def test_convert_to_charset_rewrites_string_columns():
+    from mysql_cdc_table_spark.sources.mysql_ddl import (
+        SchemaHistory,
+    )
+
+    h = SchemaHistory("t", database="d")
+    h.apply(
+        "CREATE TABLE d.t (id BIGINT, city VARCHAR(20), code CHAR(3),"
+        " note TEXT, payload BLOB, j JSON) DEFAULT CHARSET=latin1"
+    )
+    city0 = next(f for f in h.schema.fields if f.name == "city")
+    assert city0.metadata["charset"] == "latin1"
+    assert city0.metadata["varchar_len"] == 20  # latin1: 1 B/char
+    gen = h.generation
+    assert h.apply("ALTER TABLE d.t CONVERT TO CHARACTER SET gbk")
+    assert h.generation == gen + 1  # layout change, not a table option
+    by = {f.name: f for f in h.schema.fields}
+    assert by["city"].metadata["charset"] == "gbk"
+    assert by["city"].metadata["varchar_len"] == 40  # 20 chars x 2
+    assert by["code"].metadata["charset"] == "gbk"
+    assert by["code"].metadata["char_bytes"] == 6  # 3 chars x 2
+    assert by["note"].metadata["charset"] == "gbk"
+    assert "charset" not in (by["payload"].metadata or {})  # binary
+    assert by["j"].metadata.get("mysql_type") == "json"  # untouched
+    # identities survive the conversion (same columns, new surface)
+    assert h.ids == (0, 1, 2, 3, 4, 5)
+    # converting to utf8mb4 drops the charset marker (the default path)
+    h.apply("ALTER TABLE d.t CONVERT TO CHARACTER SET utf8mb4")
+    by = {f.name: f for f in h.schema.fields}
+    assert "charset" not in by["city"].metadata
+    assert by["city"].metadata["varchar_len"] == 80  # 20 chars x 4
+
+
+def test_default_charset_alter_governs_future_adds():
+    from mysql_cdc_table_spark.sources.mysql_ddl import SchemaHistory
+
+    h = SchemaHistory("t", database="d")
+    h.apply("CREATE TABLE d.t (id BIGINT, a VARCHAR(5))")
+    # option-only ALTER: no layout change (returns False), but the
+    # default moves — the next ADD inherits gbk
+    assert not h.apply("ALTER TABLE d.t DEFAULT CHARACTER SET = gbk")
+    a = next(f for f in h.schema.fields if f.name == "a")
+    assert "charset" not in (a.metadata or {})  # existing col untouched
+    h.apply("ALTER TABLE d.t ADD COLUMN b VARCHAR(5)")
+    b = next(f for f in h.schema.fields if f.name == "b")
+    assert b.metadata["charset"] == "gbk"
+    assert b.metadata["varchar_len"] == 10  # 5 chars x mbmaxlen 2
+    # running default INSIDE one statement: CONVERT then ADD
+    h.apply(
+        "ALTER TABLE d.t CONVERT TO CHARACTER SET latin1,"
+        " ADD COLUMN c VARCHAR(5)"
+    )
+    c = next(f for f in h.schema.fields if f.name == "c")
+    assert c.metadata["charset"] == "latin1"
+    assert c.metadata["varchar_len"] == 5
