@@ -2564,13 +2564,18 @@ def decode_binlog_bytes(
     def _begin_generation() -> None:
         # the history just changed layout: close the running generation
         # (its rows remap to the latest names at the end of the walk)
-        # and resolve subsequent TABLE_MAPs against the new one
+        # and resolve subsequent TABLE_MAPs against the new one. A
+        # DROP TABLE leaves no layout — TABLE_MAPs for the tracked
+        # name then raise pointedly until a re-CREATE.
         nonlocal target_cols, cur_ids
         if target_cols is not None:
             gen_segments.append(
                 (len(out), tuple(c.name for c in target_cols), cur_ids)
             )
-        target_cols = _cols_from_schema(schema_history.schema)
+        sh_now = schema_history.schema
+        target_cols = (
+            _cols_from_schema(sh_now) if sh_now is not None else None
+        )
         cur_ids = schema_history.ids
         tdefs.clear()
         map_cache.clear()
@@ -2822,11 +2827,17 @@ def decode_binlog_bytes(
         # surface every closed generation's rows under the LATEST
         # names: join old positions to latest positions on column
         # identity (rename carries the value over, a dropped column's
-        # value is removed so it can't shadow a later same-named ADD)
-        latest = {
-            i: c.name
-            for c, i in zip(target_cols or (), cur_ids)
-        }
+        # value is removed so it can't shadow a later same-named ADD).
+        # If the walk ENDS with the table dropped, the last LIVE
+        # generation is the surface (identity map for its own rows;
+        # earlier generations still remap onto it).
+        if target_cols is not None:
+            latest = {
+                i: c.name for c, i in zip(target_cols, cur_ids)
+            }
+        else:
+            _, last_names, last_ids = gen_segments[-1]
+            latest = {i: n for n, i in zip(last_names, last_ids)}
         start = 0
         for end, names, ids in gen_segments:
             ren = {n: latest.get(i) for n, i in zip(names, ids)}

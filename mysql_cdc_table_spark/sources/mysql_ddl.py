@@ -636,6 +636,21 @@ def _apply_alter_pairs(
 _RENAME_TABLE_RE = re.compile(
     r"^\s*rename\s+table\s+(?P<pairs>.*)$", re.IGNORECASE | re.DOTALL
 )
+_CREATE_LIKE_RE = re.compile(
+    r"^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?"
+    r"(?P<name>(?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+))?)\s+"
+    r"\(?\s*like\s+(?P<src>(?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+))?)"
+    r"\s*\)?\s*$",
+    re.IGNORECASE,
+)
+_IF_NOT_EXISTS_RE = re.compile(
+    r"^\s*create\s+table\s+if\s+not\s+exists\b", re.IGNORECASE
+)
+_DROP_TABLE_RE = re.compile(
+    r"^\s*drop\s+(?:temporary\s+)?tables?\s+(?:if\s+exists\s+)?"
+    r"(?P<names>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _RENAME_PAIR_RE = re.compile(
     r"^\s*(?P<old>(?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+))?)\s+to\s+"
     r"(?P<new>(?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+))?)\s*$",
@@ -690,8 +705,12 @@ class SchemaHistory:
         self._pairs: list | None = None
         self._charset = "utf8mb4"
         self.generation = 0  # bumps on every layout change
-        self._next_id = 0  # never reused: a mid-stream re-CREATE must
-        # not inherit the dropped table's identities
+        self._next_id = 0  # monotone, never reused — but a table-level
+        # re-CREATE (and the cut-over swap) JOINS same-named columns
+        # back to their old identities explicitly, so a logical
+        # table's history survives DROP+CREATE the way Debezium's
+        # topic does; only column-level DROP+re-ADD retires for good
+        self._prev_pairs: list | None = None  # stashed across DROP
         self._last_create: str | None = None  # re-statement guard
         # every OTHER table whose CREATE streamed past: resolved name
         # -> {"pairs", "charset", "last_create"} — the candidates a
@@ -788,6 +807,70 @@ class SchemaHistory:
         s = statement.strip()
         low = s.lower()
         if low.startswith("create table"):
+            ine = bool(_IF_NOT_EXISTS_RE.match(s))
+            lm = _CREATE_LIKE_RE.match(s.rstrip(";"))
+            if lm:
+                # CREATE TABLE x [(]LIKE y[)] — clone y's LAYOUT with
+                # fresh identities (how every gh-ost migration makes
+                # its ghost). The source must be in the history.
+                name = ".".join(
+                    _strip_quotes(p)
+                    for p in re.split(r"\s*\.\s*", lm.group("name"))
+                )
+                src = ".".join(
+                    _strip_quotes(p)
+                    for p in re.split(r"\s*\.\s*", lm.group("src"))
+                )
+                if self._matches(src, default_db):
+                    if self._pairs is None:
+                        raise ValueError(
+                            f"CREATE TABLE ... LIKE {src}: the source "
+                            "has no CREATE in the history"
+                        )
+                    src_pairs, src_cs = self._pairs, self._charset
+                else:
+                    skey = self._reg_key(src, default_db)
+                    if skey is None:
+                        raise ValueError(
+                            f"CREATE TABLE ... LIKE {src}: the source "
+                            "table is not in the schema history"
+                        )
+                    src_pairs = self._tables[skey]["pairs"]
+                    src_cs = self._tables[skey]["charset"]
+                clone = [
+                    (f, self._next_id + j)
+                    for j, (f, _) in enumerate(src_pairs)
+                ]
+                if self._matches(name, default_db):
+                    if self._pairs is not None and ine:
+                        return False  # IF NOT EXISTS: server no-op
+                    base = (
+                        self._pairs if self._pairs is not None
+                        else self._prev_pairs
+                    )
+                    if base:  # re-CREATE: join identities by name
+                        old_by_name = {f.name: i for f, i in base}
+                        clone = [
+                            (f, old_by_name.get(f.name, i))
+                            for f, i in clone
+                        ]
+                    self._pairs = clone
+                    self._prev_pairs = None
+                    self._next_id += len(clone)
+                    self._charset = src_cs
+                    self._last_create = s
+                    self.generation += 1
+                    return True
+                key = self._reg_key(name, default_db) or self._norm_name(
+                    name, default_db
+                )
+                if key in self._tables and ine:
+                    return False
+                self._tables[key] = {
+                    "pairs": clone, "charset": src_cs, "last_create": s,
+                }
+                self._next_id += len(clone)
+                return False
             name, sch, cs = _parse_create_full(s)
             if not self._matches(name, default_db):
                 # another table in the database: register it so a
@@ -796,6 +879,8 @@ class SchemaHistory:
                     name, default_db
                 )
                 st = self._tables.get(key)
+                if st is not None and ine:
+                    return False  # IF NOT EXISTS on an existing table
                 if (
                     st is not None
                     and s == st.get("last_create")
@@ -812,6 +897,11 @@ class SchemaHistory:
                 }
                 self._next_id += len(sch.fields)
                 return False
+            if self._pairs is not None and ine:
+                # CREATE TABLE IF NOT EXISTS over a live table is a
+                # server-side NO-OP regardless of the declared layout —
+                # resetting here would retire every identity
+                return False
             if (
                 self._pairs is not None
                 and s == self._last_create
@@ -823,13 +913,29 @@ class SchemaHistory:
                 # — fresh identities would remap every previously
                 # decoded row to all-NULL (advisor finding, round 14).
                 # A genuine re-CREATE (different text or a layout that
-                # drifted through ALTERs) still resets; callers
-                # replaying CREATE+ALTER prefixes must dedupe the
-                # re-stated suffix before seeding.
+                # drifted through ALTERs) still opens a new generation;
+                # callers replaying CREATE+ALTER prefixes must dedupe
+                # the re-stated suffix before seeding.
                 return False
-            self._pairs = [
+            fresh = [
                 (f, self._next_id + i) for i, f in enumerate(sch.fields)
             ]
+            base = (
+                self._pairs if self._pairs is not None
+                else self._prev_pairs
+            )
+            if base:
+                # table-level re-CREATE (incl. after a DROP): columns
+                # matching the previous live generation BY NAME inherit
+                # its identities — the logical table continues, exactly
+                # Debezium's contract across DROP+CREATE. Brand-new
+                # names keep their fresh ids.
+                old_by_name = {f.name: i for f, i in base}
+                fresh = [
+                    (f, old_by_name.get(f.name, i)) for f, i in fresh
+                ]
+            self._pairs = fresh
+            self._prev_pairs = None
             self._last_create = s
             self._next_id += len(sch.fields)
             self._charset = cs
@@ -893,7 +999,37 @@ class SchemaHistory:
         rm = _RENAME_TABLE_RE.match(s.rstrip(";"))
         if rm:
             return self._apply_rename_table(rm.group("pairs"), default_db)
-        return False  # BEGIN/COMMIT/DML/other framing
+        dm = _DROP_TABLE_RE.match(s.rstrip(";"))
+        if dm:
+            # DROP TABLE a[, b...]: a dropped tracked table clears the
+            # layout (a later TABLE_MAP under its name raises pointedly
+            # until a re-CREATE opens a fresh-identity generation; rows
+            # decoded BEFORE the drop keep surfacing under the last
+            # live generation); dropped registry entries just leave.
+            changed = False
+            for part in _split_top_level(dm.group("names")):
+                nm = ".".join(
+                    _strip_quotes(p)
+                    for p in re.split(
+                        r"\s*\.\s*", part.split(None, 1)[0]
+                    )
+                )
+                if self._matches(nm, default_db):
+                    if self._pairs is not None:
+                        self._prev_pairs = self._pairs  # a re-CREATE
+                        # joins same-named columns back by identity
+                        self._pairs = None
+                        self._last_create = None
+                        self.generation += 1
+                        changed = True
+                else:
+                    key = self._reg_key(nm, default_db)
+                    if key is not None:
+                        del self._tables[key]
+            return changed
+        # BEGIN/COMMIT/DML/other framing — TRUNCATE TABLE lands here
+        # too: it rewrites data, never the row-image layout
+        return False
 
     def _apply_rename_table(
         self, pairs_txt: str, default_db: str | None

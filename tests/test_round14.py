@@ -633,6 +633,29 @@ def _fuzz_walk(seed: int) -> None:
             )
 
     for _ in range(rng.randint(1, 12)):
+        if rng.random() < 0.12:
+            # table-level churn (round 15): DROP then re-CREATE with a
+            # random layout — same-named columns must JOIN back to
+            # their identities, new names take fresh ids, and the id
+            # counter still advances for every declared column
+            hist.apply("DROP TABLE `d`.`t`")
+            assert hist.schema is None, seed
+            k = rng.randint(1, 4)
+            cols = rng.sample(pool, k)
+            old_ids = {n: i for n, _, i in model}
+            model = [
+                (n, rng.choice(tys), old_ids.get(n, next_id + j))
+                for j, n in enumerate(cols)
+            ]
+            next_id += k
+            hist.apply(
+                "CREATE TABLE `d`.`t` ("
+                + ", ".join(f"`{n}` {ty}" for n, ty, _ in model)
+                + ")"
+            )
+            assert list(hist.names) == [n for n, _, _ in model], seed
+            assert list(hist.ids) == [i for _, _, i in model], seed
+            continue
         nonlocal_ops = []
         for _ in range(rng.randint(1, 2)):
             free = [n for n in pool if n not in names()]

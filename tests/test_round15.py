@@ -1078,3 +1078,120 @@ def test_default_charset_alter_governs_future_adds():
     c = next(f for f in h.schema.fields if f.name == "c")
     assert c.metadata["charset"] == "latin1"
     assert c.metadata["varchar_len"] == 5
+
+
+# --- DDL verb completion: IF NOT EXISTS, LIKE, DROP TABLE ----------------------
+
+
+def test_create_if_not_exists_is_noop_on_live_table():
+    h = _hist()
+    h.apply(_CREATE)
+    h.apply("ALTER TABLE tpch.orders ADD COLUMN extra INT")
+    ids = h.ids
+    gen = h.generation
+    # the server no-ops this even though the declared layout differs
+    assert not h.apply(
+        "CREATE TABLE IF NOT EXISTS `tpch`.`orders` (`zzz` INT)"
+    )
+    assert h.ids == ids and h.generation == gen
+
+
+def test_create_like_clones_layout_with_fresh_ids():
+    h = _hist()
+    h.apply(_CREATE)
+    assert h.ids == (0, 1, 2)
+    # the gh-ost ghost: LIKE clone, then evolve, then cut over
+    assert not h.apply(
+        "CREATE TABLE `tpch`.`_orders_gho` LIKE `tpch`.`orders`"
+    )
+    h.apply("ALTER TABLE tpch._orders_gho ADD COLUMN note VARCHAR(30)")
+    h.apply(_CUTOVER)
+    assert h.names == ("id", "price", "flag", "note")
+    # clone columns inherit the tracked identities by NAME at swap-in
+    assert h.ids == (0, 1, 2, 6)
+
+
+def test_create_like_unknown_source_raises():
+    h = _hist()
+    h.apply(_CREATE)
+    with pytest.raises(ValueError, match="not in the schema history"):
+        h.apply("CREATE TABLE tpch.x LIKE tpch.unknown")
+
+
+def test_drop_table_clears_tracked_and_registry():
+    h = _hist()
+    h.apply(_CREATE)
+    h.apply("CREATE TABLE tpch.other (x INT)")
+    assert not h.apply("DROP TABLE tpch.other")  # registry-only
+    assert h.apply("DROP TABLE IF EXISTS tpch.orders")
+    assert h.schema is None
+    # ALTER after the drop fails pointedly
+    with pytest.raises(ValueError, match="ALTER before CREATE"):
+        h.apply("ALTER TABLE tpch.orders ADD COLUMN x INT")
+    # re-CREATE: same-named columns inherit their identities (the
+    # logical table continues across DROP+CREATE, Debezium-style)
+    assert h.apply(_CREATE)
+    assert h.ids == (0, 1, 2)
+
+
+def test_decode_drop_and_recreate_mid_walk():
+    """Rows before a DROP keep surfacing after the re-CREATE: the
+    logical table continues, so same-named columns join back to their
+    identities and pre-drop values carry — Debezium's contract across
+    DROP+CREATE."""
+    from decimal import Decimal as _D
+
+    from mysql_cdc_table_spark.sources.mysql_ddl import (
+        SchemaHistory,
+        schema_from_ddl_history,
+    )
+
+    create = "CREATE TABLE d.t (id BIGINT, price DECIMAL(12,2))"
+    sch = schema_from_ddl_history([create], "d.t")
+    blob = build_binlog_file(
+        "d", "t", sch,
+        [
+            {"gno": 1, "ddl": create},
+            {"gno": 10, "op": "w", "rows": [
+                {"id": 1, "price": _D("1.00")}
+            ]},
+            {"gno": 2, "ddl": "DROP TABLE d.t"},
+            {"gno": 3, "ddl": create},
+            {"gno": 11, "op": "w", "rows": [
+                {"id": 2, "price": _D("2.00")}
+            ]},
+        ],
+        checksum=True,
+    )
+    hist = SchemaHistory("t", database="d")
+    rows = decode_binlog_bytes(blob, None, "d", "t", schema_history=hist)
+    got = {r["id"]: r for r in rows}
+    assert set(got) == {1, 2}
+    assert got[1]["price"] == _D("1.00")  # carried across DROP+CREATE
+    assert got[2]["price"] == _D("2.00")
+
+
+def test_decode_drop_at_end_of_walk_keeps_last_live_generation():
+    from decimal import Decimal as _D
+
+    from mysql_cdc_table_spark.sources.mysql_ddl import (
+        SchemaHistory,
+        schema_from_ddl_history,
+    )
+
+    create = "CREATE TABLE d.t (id BIGINT, price DECIMAL(12,2))"
+    sch = schema_from_ddl_history([create], "d.t")
+    blob = build_binlog_file(
+        "d", "t", sch,
+        [
+            {"gno": 1, "ddl": create},
+            {"gno": 10, "op": "w", "rows": [
+                {"id": 1, "price": _D("1.00")}
+            ]},
+            {"gno": 2, "ddl": "DROP TABLE d.t"},
+        ],
+        checksum=True,
+    )
+    hist = SchemaHistory("t", database="d")
+    rows = decode_binlog_bytes(blob, None, "d", "t", schema_history=hist)
+    assert [(r["id"], r["price"]) for r in rows] == [(1, _D("1.00"))]
