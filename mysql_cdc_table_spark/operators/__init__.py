@@ -815,6 +815,10 @@ ROUND15_LATE_KEYS: tuple[str, ...] = (
     # gbk generation in one log, vec-decoded with per-generation
     # transcoders; the CONVERT's trailing ADD inherits the new default
     "cdc_binlog_charset_migration",
+    # DROP TABLE + re-CREATE mid-stream: the logical table continues —
+    # same-named columns join back to their identities, pre-drop rows
+    # surface under the new layout (Debezium's contract)
+    "cdc_binlog_ddl_drop_recreate",
 )
 
 

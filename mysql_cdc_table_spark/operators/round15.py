@@ -647,6 +647,175 @@ QUERIES["cdc_binlog_charset_migration"] = cdc_binlog_charset_migration
 ORACLES["cdc_binlog_charset_migration"] = CDC_BINLOG_CHARSET_MIGRATION_SQL
 
 
+# --- DROP TABLE + re-CREATE: the logical table continues -----------------------
+
+_DR_CREATE1 = (
+    "CREATE TABLE `tpch`.`orders` ("
+    " `id` BIGINT NOT NULL,"
+    " `price` DECIMAL(12,2),"
+    " `flag` CHAR(2),"
+    " PRIMARY KEY (`id`))"
+)
+_DR_CREATE2 = (
+    "CREATE TABLE `tpch`.`orders` ("
+    " `id` BIGINT NOT NULL,"
+    " `price` DECIMAL(14,4),"
+    " `note` VARCHAR(30),"
+    " PRIMARY KEY (`id`))"
+)
+
+
+def cdc_binlog_ddl_drop_recreate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DROP TABLE then re-CREATE with a changed layout, mid-stream —
+    the blunt-instrument migration (dev resets, ETL reloads, pt-osc
+    rollbacks) the schema history previously had no verb for. The
+    logical table CONTINUES across the drop: the re-CREATE joins
+    same-named columns back to their identities, so generation-0 rows
+    surface under the new layout with ``id``/``price`` carried (the
+    decimal widened (12,2)->(14,4) on the way), the retired ``flag``
+    gone, and the new ``note`` NULL — Debezium's contract for a
+    dropped-and-recreated table. Rows written after the re-CREATE
+    decode natively. The per-generation sums (and the NULL split) pin
+    both the identity join and the drop boundary in the value hash;
+    the reference's handler has no DDL path at all — a DROP under it
+    simply invalidates the share (binlogdb.cc's delete_table is about
+    its OWN metadata, never the stream)."""
+    import pandas as pd
+
+    from mysql_cdc_table_spark.cdc.schema import changelog_schema
+    from mysql_cdc_table_spark.sources.mysql_binlog import (
+        build_binlog_file,
+        decode_binlog_bytes,
+    )
+    from mysql_cdc_table_spark.sources.mysql_ddl import (
+        SchemaHistory,
+        schema_from_ddl_history,
+    )
+
+    gen0 = schema_from_ddl_history([_DR_CREATE1], "tpch.orders")
+    gen1 = schema_from_ddl_history([_DR_CREATE2], "tpch.orders")
+    base = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.expr(
+                "cast(cast(o_orderkey % 100000 as decimal(30,2)) / 100"
+                " as decimal(12,2))"
+            ).alias("price2"),
+            F.expr(
+                "cast(cast(o_orderkey % 1000000 as decimal(30,4)) / 10000"
+                " as decimal(14,4))"
+            ).alias("price4"),
+            F.expr(
+                "char(65 + o_orderkey % 26) || "
+                "char(65 + (o_orderkey div 26) % 26)"
+            ).alias("flag"),
+            F.expr(
+                "repeat('n', o_orderkey % 5) || '#' || o_orderkey"
+            ).alias("note"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "id")
+    )
+
+    file_schema = T.StructType([T.StructField("file_bytes", T.BinaryType())])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            t0: list = [{"gno": 1, "ddl": _DR_CREATE1}]
+            t1: list = [
+                {"gno": 2, "ddl": "DROP TABLE `tpch`.`orders`"},
+                {"gno": 3, "ddl": _DR_CREATE2},
+            ]
+            for r in pdf.itertuples(index=False):
+                rid = int(r.id)
+                if rid % 3 == 0:
+                    t0.append(
+                        {
+                            "gno": rid + 10,
+                            "op": "w",
+                            "rows": [
+                                {"id": rid, "price": r.price2,
+                                 "flag": r.flag}
+                            ],
+                        }
+                    )
+                elif rid % 3 == 1:
+                    t1.append(
+                        {
+                            "gno": rid + 10,
+                            "op": "w",
+                            "rows": [
+                                {"id": rid, "price": r.price4,
+                                 "note": r.note}
+                            ],
+                        }
+                    )
+            blob = build_binlog_file(
+                "tpch", "orders", gen0, t0, checksum=True
+            )
+            blob += build_binlog_file(
+                "tpch", "orders", gen1, t1, checksum=True
+            )[4:]
+            yield pd.DataFrame({"file_bytes": [blob]})
+
+    files = base.mapInPandas(encode, schema=file_schema)
+
+    out_schema = changelog_schema(gen1)
+    names = [f.name for f in out_schema.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["file_bytes"]:
+                hist = SchemaHistory("orders", database="tpch")
+                rows = decode_binlog_bytes(
+                    bytes(blob), None, "tpch", "orders",
+                    schema_history=hist,
+                )
+                yield pd.DataFrame(
+                    {n: [r.get(n) for r in rows] for n in names}
+                )
+
+    decoded = files.mapInPandas(decode, schema=out_schema)
+    return decoded.groupBy(
+        (F.col("id") % 3).cast("long").alias("gen")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("price") * 10000).cast("long")).alias("price_e4_sum"),
+        F.sum(F.length("note").cast("long")).alias("note_len_sum"),
+        F.sum(F.when(F.col("note").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("note_nulls"),
+        F.sum(F.col("__gtid") - 10).alias("gtid_sum"),
+    )
+
+
+CDC_BINLOG_DDL_DROP_RECREATE_SQL = """
+SELECT CAST(o_orderkey % 3 AS BIGINT) AS gen,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_orderkey % 3 = 0
+                     THEN (o_orderkey % 100000) * 100
+                     ELSE o_orderkey % 1000000 END) AS BIGINT)
+         AS price_e4_sum,
+       CAST(sum(CASE WHEN o_orderkey % 3 = 1 THEN
+           o_orderkey % 5 + 1 + length(CAST(o_orderkey AS VARCHAR))
+       END) AS BIGINT) AS note_len_sum,
+       CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS note_nulls,
+       CAST(sum(o_orderkey) AS BIGINT) AS gtid_sum
+FROM orders
+WHERE o_orderkey % 3 < 2
+GROUP BY 1
+"""
+
+
+QUERIES["cdc_binlog_ddl_drop_recreate"] = cdc_binlog_ddl_drop_recreate
+ORACLES["cdc_binlog_ddl_drop_recreate"] = CDC_BINLOG_DDL_DROP_RECREATE_SQL
+
+
 # --- maintained histograms under CDC deltas -----------------------------------
 
 # injective value map: val(k) = 2*((k*99991) % 2^27) for original

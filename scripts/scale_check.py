@@ -461,6 +461,8 @@ def main() -> None:
         # round 15: CONVERT TO CHARACTER SET mid-stream (latin1 and
         # gbk generations in one file, per-generation transcoders)
         "cdc_binlog_charset_migration",
+        # round 15: DROP TABLE + re-CREATE, identity join by name
+        "cdc_binlog_ddl_drop_recreate",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]
