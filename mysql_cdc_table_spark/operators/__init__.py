@@ -819,6 +819,10 @@ ROUND15_LATE_KEYS: tuple[str, ...] = (
     # same-named columns join back to their identities, pre-drop rows
     # surface under the new layout (Debezium's contract)
     "cdc_binlog_ddl_drop_recreate",
+    # the STREAMING twin of the maintained histogram: per-micro-batch
+    # grid folds with versioned state commits (idempotent across
+    # checkpoint restarts), oracle shared verbatim with the batch twin
+    "stats_histogram_streaming",
 )
 
 

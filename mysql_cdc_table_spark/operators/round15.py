@@ -827,6 +827,61 @@ _HM_A = 99991
 _HM_M = 134_217_728  # 2^27, above any scale-check key
 
 
+def _hm_fixture(spark: SparkSession, sf_dir: str):
+    """Shared pieces of the maintained-histogram keys: the base
+    equi-height build, its frozen K-row boundary grid (collected —
+    grid-bounded, the z-probe convention), and the three CDC delta
+    relations (inserts / bucket-crossing updates / deletes)."""
+    from mysql_cdc_table_spark.operators.round13 import _hist_one_column
+
+    o = t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    val0 = ((F.col("k") * _HM_A) % _HM_M) * 2
+    val1 = val0 + 1
+    base = o.filter(F.col("k") % 10 != 0).select(
+        val0.alias("val"), F.col("k").alias("rid")
+    )
+    hist = _hist_one_column(base, "maintained")
+    grid = sorted(
+        hist.select("bucket", "n_rows", "min_val", "max_val").collect(),
+        key=lambda r: r["bucket"],
+    )
+    inserts = o.filter(F.col("k") % 10 == 0).select(
+        val0.alias("val"), F.lit(1).alias("sign")
+    )
+    upd_base = o.filter((F.col("k") % 10 != 0) & (F.col("k") % 7 == 0))
+    updates = upd_base.select(
+        val0.alias("val"), F.lit(-1).alias("sign")
+    ).unionByName(
+        upd_base.select(val1.alias("val"), F.lit(1).alias("sign"))
+    )
+    deletes = o.filter(
+        (F.col("k") % 10 != 0)
+        & (F.col("k") % 7 != 0)
+        & (F.col("k") % 9 == 0)
+    ).select(val0.alias("val"), F.lit(-1).alias("sign"))
+    return hist, grid, [inserts, updates, deletes]
+
+
+def _hm_assign(grid):
+    """CASE-chain bucket assignment from the frozen grid: min bucket
+    whose hi >= val; above-range clamps to the last bucket (the same
+    rule the oracle SQL applies)."""
+
+    def assign(c):
+        expr = None
+        for r in grid[:-1]:
+            cond = c <= F.lit(int(r["max_val"]))
+            expr = (
+                F.when(cond, F.lit(int(r["bucket"])))
+                if expr is None
+                else expr.when(cond, F.lit(int(r["bucket"])))
+            )
+        last = F.lit(int(grid[-1]["bucket"]))
+        return last if expr is None else expr.otherwise(last)
+
+    return assign
+
+
 def stats_histogram_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVM discipline applied to the engine's own optimizer stats
     (r14 verdict item 7): the equi-height histogram is built ONCE from
@@ -848,55 +903,11 @@ def stats_histogram_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     recounts the FINAL state per bucket from scratch — the maintained
     counts must equal the recount exactly, bucket by bucket
     (cum_rows pins the whole prefix too)."""
-    from mysql_cdc_table_spark.operators.round13 import _hist_one_column
-
-    o = t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
-    val0 = ((F.col("k") * _HM_A) % _HM_M) * 2
-    val1 = val0 + 1
-    base = o.filter(F.col("k") % 10 != 0).select(
-        val0.alias("val"), F.col("k").alias("rid")
-    )
-    hist = _hist_one_column(base, "maintained")
-    # the boundary grid is K<=8 rows — a grid-bounded collect, same
-    # convention as the z-order probe's <=256-bucket candidate list
-    grid = sorted(
-        hist.select("bucket", "n_rows", "min_val", "max_val").collect(),
-        key=lambda r: r["bucket"],
-    )
-
-    def assign(c):
-        # min bucket whose hi >= val; above-range clamps to the last
-        # bucket (the same rule the oracle SQL applies)
-        expr = None
-        for r in grid[:-1]:
-            cond = c <= F.lit(int(r["max_val"]))
-            expr = (
-                F.when(cond, F.lit(int(r["bucket"])))
-                if expr is None
-                else expr.when(cond, F.lit(int(r["bucket"])))
-            )
-        last = F.lit(int(grid[-1]["bucket"]))
-        return last if expr is None else expr.otherwise(last)
-
-    inserts = o.filter(F.col("k") % 10 == 0).select(
-        val0.alias("val"), F.lit(1).alias("sign")
-    )
-    upd_base = o.filter(
-        (F.col("k") % 10 != 0) & (F.col("k") % 7 == 0)
-    )
-    updates = upd_base.select(
-        val0.alias("val"), F.lit(-1).alias("sign")
-    ).unionByName(
-        upd_base.select(val1.alias("val"), F.lit(1).alias("sign"))
-    )
-    deletes = o.filter(
-        (F.col("k") % 10 != 0)
-        & (F.col("k") % 7 != 0)
-        & (F.col("k") % 9 == 0)
-    ).select(val0.alias("val"), F.lit(-1).alias("sign"))
+    hist, grid, batches = _hm_fixture(spark, sf_dir)
+    assign = _hm_assign(grid)
 
     state = hist.select("bucket", F.col("n_rows").cast("long").alias("n"))
-    for batch in (inserts, updates, deletes):
+    for batch in batches:
         inc = (
             batch.select(assign(F.col("val")).alias("bucket"), "sign")
             .groupBy("bucket")
@@ -1276,3 +1287,124 @@ GROUP BY 1, 2
 
 QUERIES["cdc_binlog_ddl_multi_table_decode"] = cdc_binlog_ddl_multi_table_decode
 ORACLES["cdc_binlog_ddl_multi_table_decode"] = CDC_BINLOG_DDL_MULTI_TABLE_SQL
+
+
+def stats_histogram_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of ``stats_histogram_maintained`` — the same
+    three CDC delta batches arrive as a Structured Streaming feed
+    (``maxFilesPerTrigger=1`` over ordered staged chunks, the CDC-topic
+    shape) and fold into the frozen-boundary grid per micro-batch with
+    VERSIONED state commits: batch n reads state ``v{n}``, merges its
+    map-side bucket deltas, and writes ``v{n+1}`` — a replayed batch
+    recomputes its own version from the same input, so the fold is
+    idempotent across checkpoint restarts (the repo's standing
+    maintained-store discipline). Per-batch cost is one batch scan +
+    one K-row merge + one K-row state write; ANALYZE never rescans.
+    The readout joins the final state version against the boundary
+    grid and must equal the from-scratch recount — the oracle is
+    shared VERBATIM with the batch twin."""
+    import hashlib
+    import os
+    import tempfile
+
+    from mysql_cdc_table_spark.operators.round12 import (
+        stage_ordered_chunks,
+    )
+    from mysql_cdc_table_spark.sources import fs as _hfs
+
+    hist, grid, batches = _hm_fixture(spark, sf_dir)
+    assign = _hm_assign(grid)
+
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}:histstream".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"hist_stream_{tag}")
+    feed_dir, state_dir, ckpt = (
+        f"{root}/feed", f"{root}/state", f"{root}/ckpt",
+    )
+
+    feed = None
+    for i, b in enumerate(batches):
+        part = b.select(
+            F.lit(i).alias("chunk"), "val", F.col("sign").cast("int")
+        )
+        feed = part if feed is None else feed.unionByName(part)
+    stage_ordered_chunks(
+        spark, feed, "chunk", 3, feed_dir, bounds=[0, 1]
+    )
+
+    state_schema = "bucket long, n long"
+    if not _hfs.exists(spark, f"{state_dir}/v0"):
+        hist.select(
+            "bucket", F.col("n_rows").cast("long").alias("n")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{state_dir}/v0")
+
+    stream = (
+        spark.readStream.schema("chunk int, val long, sign int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        prev = spark.read.schema(state_schema).parquet(
+            f"{state_dir}/v{batch_id}"
+        )
+        inc = (
+            batch_df.select(assign(F.col("val")).alias("bucket"), "sign")
+            .groupBy("bucket")
+            .agg(F.sum("sign").alias("d"))
+        )
+        (
+            prev.join(inc, "bucket", "left")
+            .select(
+                "bucket",
+                (F.col("n") + F.coalesce(F.col("d"), F.lit(0)))
+                .cast("long")
+                .alias("n"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{state_dir}/v{batch_id + 1}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .queryName("stats_histogram_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    versions = sorted(
+        int(n[1:])
+        for n in _hfs.list_names(spark, state_dir)
+        if n.startswith("v")
+    )
+    final = spark.read.schema(state_schema).parquet(
+        f"{state_dir}/v{versions[-1]}"
+    )
+
+    from pyspark.sql import Window
+
+    bounds = hist.select(
+        "bucket",
+        F.col("min_val").cast("long").alias("lo"),
+        F.col("max_val").cast("long").alias("hi"),
+    )
+    cum = Window.orderBy("bucket")  # K-sized grid window
+    return (
+        bounds.join(final, "bucket")
+        .select(
+            "bucket",
+            "lo",
+            "hi",
+            F.col("n").alias("n_rows"),
+            F.sum("n").over(cum).cast("long").alias("cum_rows"),
+        )
+    )
+
+
+QUERIES["stats_histogram_streaming"] = stats_histogram_streaming
+ORACLES["stats_histogram_streaming"] = STATS_HISTOGRAM_MAINTAINED_SQL

@@ -463,6 +463,9 @@ def main() -> None:
         "cdc_binlog_charset_migration",
         # round 15: DROP TABLE + re-CREATE, identity join by name
         "cdc_binlog_ddl_drop_recreate",
+        # round 15: streaming maintained histogram — per-batch grid
+        # folds with versioned K-row state commits
+        "stats_histogram_streaming",
     ]
     if len(sys.argv) > 1:  # run a subset: scale_check.py name [name...]
         names = [n for n in names if n in sys.argv[1:]]
