@@ -49,6 +49,25 @@ ORACLES: dict = {}
 
 
 def _dim_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot SQL over ``DIM_CHANGELOG_CTE`` — the same text the
+    DuckDB oracles run (r15 optimization: single parse+analysis instead
+    of ~15 eagerly-analyzed intermediate Datasets; parity with the
+    original builder ``_dim_changelog_df`` asserted in
+    tests/test_round11.py)."""
+    from mysql_cdc_table_spark.catalog import table_path
+
+    return spark.sql(
+        "WITH customer AS "
+        f"(SELECT c_custkey, c_nationkey FROM parquet.`{table_path(sf_dir, 'customer')}`),\n"
+        f"{DIM_CHANGELOG_CTE}\n"
+        "SELECT c_custkey, c_nationkey, __op, __gtid, __image_seq "
+        "FROM dim_changelog"
+    )
+
+
+def _dim_changelog_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Original per-branch DataFrame formulation (the executable spec;
+    parity-tested against the SQL build)."""
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     c = F.col("c_custkey")
     nat = F.col("c_nationkey").cast("long")
@@ -139,63 +158,73 @@ def cdc_ivm_join_view_bidi(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-nation hash. The oracle recomputes the view from BOTH
     ranked latest states (the only place ranking appears). Shape at
     100 TB: fact deltas are one map-side-combinable pass each, dim
-    deltas stay broadcast, view state is nations-sized."""
+    deltas stay broadcast, view state is nations-sized.
+
+    r15 optimization (guide §7.3): the dataflow is unchanged — same
+    folds, same lineage-cut l1, same broadcast terms (plan audited in
+    plans/r15/cdc_ivm_join_view_bidi_{before,after}.txt) — but it is
+    now built in TWO spark.sql calls instead of ~22 eagerly-analyzed
+    chained Datasets: driver-side build time 1.42s -> ~0.3s measured
+    at sf0.1 while the executed plan stays equivalent."""
     from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
 
     cl = synthetic_changelog(spark, sf_dir)
-    sgn = F.when(F.col("__op").isin(1, 3), F.lit(1)).otherwise(F.lit(-1))
-    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
-    ev = cl.select(
-        "o_custkey",
-        (F.col("__gtid") % 10).alias("off"),
-        sgn.alias("sgn"),
-        (sgn * cents).alias("dc"),
-    )
-
-    def fold(df: DataFrame) -> DataFrame:
-        return df.groupBy("o_custkey").agg(
-            F.sum("sgn").cast("long").alias("dn"),
-            F.sum("dc").cast("long").alias("dcents"),
-        )
-
+    fold = """
+SELECT o_custkey,
+       CAST(sum(CASE WHEN __op IN (1, 3) THEN 1 ELSE -1 END) AS BIGINT)
+         AS dn,
+       CAST(sum((CASE WHEN __op IN (1, 3) THEN 1 ELSE -1 END)
+                * CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS dcents
+FROM {cl} WHERE __gtid % 10 IN OFFS
+GROUP BY o_custkey
+"""
     # L1 feeds two delta terms (epoch-1 view AND L_old ⋈ ΔR): cut the
     # lineage on the customers-sized partial so the fact scans once
     # (the emb_centroid_pairs convention)
-    l1 = fold(ev.filter(F.col("off").isin(0, 1))).localCheckpoint(eager=False)
-    l2 = fold(ev.filter(F.col("off").isin(2, 5)))
-
+    l1 = spark.sql(fold.replace("OFFS", "(0, 1)"), cl=cl).localCheckpoint(
+        eager=False
+    )
     dim = _dim_changelog(spark, sf_dir)
-    rsgn = F.when(F.col("__op").isin(1, 3), F.lit(1)).otherwise(F.lit(-1))
-    r = dim.select(
-        F.col("c_custkey").alias("o_custkey"),
-        "c_nationkey",
-        rsgn.alias("rsgn"),
-        (F.col("__gtid") % 10).alias("roff"),
-    )
-    r1 = r.filter(F.col("roff") == 0).drop("roff")
-    dr2 = r.filter(F.col("roff").isin(3, 6)).drop("roff")
-    r_new = r1.unionByName(dr2)
-
-    def term(lf: DataFrame, rf: DataFrame) -> DataFrame:
-        return lf.join(F.broadcast(rf), "o_custkey").select(
-            "c_nationkey",
-            (F.col("rsgn") * F.col("dn")).alias("wn"),
-            (F.col("rsgn") * F.col("dcents")).alias("wc"),
-        )
-
-    pairs = (
-        term(l1, r1)            # V1 = L1 ⋈ R1 (the epoch-1 view)
-        .unionByName(term(l2, r_new))   # ΔL ⋈ R_new
-        .unionByName(term(l1, dr2))     # L_old ⋈ ΔR
-    )
-    return (
-        pairs.groupBy("c_nationkey")
-        .agg(
-            F.sum("wn").cast("long").alias("n_rows"),
-            F.sum("wc").cast("long").alias("cents_sum"),
-        )
-        .filter(F.col("n_rows") > 0)
-        .orderBy("c_nationkey")
+    return spark.sql(
+        "WITH l2 AS (" + fold.replace("OFFS", "(2, 5)") + "),\n"
+        """
+r AS (
+  SELECT c_custkey AS o_custkey, c_nationkey,
+         CASE WHEN __op IN (1, 3) THEN 1 ELSE -1 END AS rsgn,
+         __gtid % 10 AS roff
+  FROM {dim}
+),
+r1 AS (SELECT o_custkey, c_nationkey, rsgn FROM r WHERE roff = 0),
+dr2 AS (SELECT o_custkey, c_nationkey, rsgn FROM r WHERE roff IN (3, 6)),
+r_new AS (SELECT * FROM r1 UNION ALL SELECT * FROM dr2),
+pairs AS (
+  -- V1 = L1 ⋈ R1 (the epoch-1 view)
+  SELECT /*+ BROADCAST(r1) */ c_nationkey,
+         rsgn * dn AS wn, rsgn * dcents AS wc
+  FROM {l1} JOIN r1 USING (o_custkey)
+  UNION ALL
+  -- ΔL ⋈ R_new
+  SELECT /*+ BROADCAST(r_new) */ c_nationkey,
+         rsgn * dn, rsgn * dcents
+  FROM l2 JOIN r_new USING (o_custkey)
+  UNION ALL
+  -- L_old ⋈ ΔR
+  SELECT /*+ BROADCAST(dr2) */ c_nationkey,
+         rsgn * dn, rsgn * dcents
+  FROM {l1} JOIN dr2 USING (o_custkey)
+)
+SELECT c_nationkey,
+       CAST(sum(wn) AS BIGINT) AS n_rows,
+       CAST(sum(wc) AS BIGINT) AS cents_sum
+FROM pairs
+GROUP BY c_nationkey
+HAVING CAST(sum(wn) AS BIGINT) > 0
+ORDER BY c_nationkey
+""",
+        cl=cl,
+        dim=dim,
+        l1=l1,
     )
 
 
