@@ -257,69 +257,74 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     that pre-scale w DIV 10³. Output is the fixed-point rank itself —
     no float anywhere, so the full trajectory is value-hashed. Scale:
     iterations touch only grid-sized broadcasts; the fact table is
-    scanned exactly once regardless of iteration count."""
+    scanned exactly once regardless of iteration count.
+
+    r15 optimization (guide §7.3): dataflow unchanged — ONE fact
+    aggregate, lineage-cut 625-row grid, broadcast-only iterations
+    (plans/r15/graph_pagerank_trade_{before,after}.txt) — but built in
+    TWO spark.sql calls instead of ~25 eagerly-analyzed chained
+    Datasets: driver-side build 1.21s -> ~0.3s at sf0.1."""
+    from mysql_cdc_table_spark.catalog import table_path
+
     n_nations = 25
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    observed = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .groupBy(
-            F.col("c_nationkey").cast("long").alias("src"),
-            F.col("s_nationkey").cast("long").alias("dst"),
-        )
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
-    nation = t(spark, sf_dir, "nation")
-    nodes = nation.select(F.col("n_nationkey").cast("long").alias("node"))
-    grid = nodes.select(F.col("node").alias("src")).crossJoin(
-        nodes.select(F.col("node").alias("dst"))
-    )
-    w = (
-        grid.join(observed, ["src", "dst"], "left")
-        .select(
-            "src",
-            "dst",
-            (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1)).alias("w"),
-        )
-        .localCheckpoint(eager=False)  # cut: the fact scan runs ONCE
-    )
-    out = w.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
-    ew = w.join(F.broadcast(out), "src")
+    p = lambda name: table_path(sf_dir, name)  # noqa: E731
+    w = spark.sql(
+        f"""
+WITH li AS (SELECT l_orderkey, l_suppkey FROM parquet.`{p('lineitem')}`),
+o AS (SELECT o_orderkey, o_custkey FROM parquet.`{p('orders')}`),
+c AS (SELECT c_custkey, c_nationkey FROM parquet.`{p('customer')}`),
+s AS (SELECT s_suppkey, s_nationkey FROM parquet.`{p('supplier')}`),
+eobs AS (
+  SELECT /*+ BROADCAST(s) */
+         CAST(c_nationkey AS BIGINT) AS src,
+         CAST(s_nationkey AS BIGINT) AS dst,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+          JOIN c ON o.o_custkey = c.c_custkey
+          JOIN s ON li.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node
+          FROM parquet.`{p('nation')}`),
+grid AS (SELECT a.node AS src, b.node AS dst
+         FROM nodes a CROSS JOIN nodes b)
+SELECT /*+ BROADCAST(e) */ g.src, g.dst, coalesce(e.cnt, 0) + 1 AS w
+FROM grid g LEFT JOIN eobs e ON e.src = g.src AND e.dst = g.dst
+"""
+    ).localCheckpoint(eager=False)  # cut: the fact scan runs ONCE
+
     teleport = (15 * _PR_SCALE) // (100 * n_nations)  # exact: 6e6
-    r = nodes.select(
-        F.col("node"), F.lit(_PR_SCALE // n_nations).cast("long").alias("r")
-    )
-    for _ in range(_PR_ITERS):
-        flows = ew.join(
-            F.broadcast(r.withColumnRenamed("node", "src")), "src"
-        ).select(
-            F.col("dst").alias("node"),
-            F.expr("(85 * w * r) DIV (100 * ow)").alias("flow"),
+    prev = "r0"
+    its = []
+    for i in range(1, _PR_ITERS + 1):
+        its.append(
+            f"it{i} AS (\n"
+            f"  SELECT /*+ BROADCAST(o), BROADCAST(p) */ w.dst AS node,\n"
+            f"         CAST(sum((85 * w.w * p.r) DIV (100 * o.ow))\n"
+            f"              + {teleport} AS BIGINT) AS r\n"
+            "  FROM {w} w JOIN outw o ON o.src = w.src\n"
+            f"         JOIN {prev} p ON p.node = w.src\n"
+            f"  GROUP BY w.dst)"
         )
-        r = flows.groupBy("node").agg(
-            (F.sum("flow") + F.lit(teleport)).cast("long").alias("r")
-        )
-    return (
-        r.join(
-            F.broadcast(
-                nation.select(
-                    F.col("n_nationkey").cast("long").alias("node"), "n_name"
-                )
-            ),
-            "node",
-        )
-        .join(F.broadcast(out.withColumnRenamed("src", "node")), "node")
-        .select(
-            F.col("node").alias("n_nationkey"),
-            "n_name",
-            F.col("r").alias("rank_e9"),
-            F.col("ow").alias("out_weight"),
-        )
-        .orderBy("n_nationkey")
+        prev = f"it{i}"
+    its_sql = ",\n".join(its)
+    return spark.sql(
+        "WITH outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow "
+        "FROM {w} GROUP BY src),\n"
+        f"""nation AS (SELECT CAST(n_nationkey AS BIGINT) AS node, n_name
+           FROM parquet.`{p('nation')}`),
+r0 AS (SELECT node, CAST({_PR_SCALE // n_nations} AS BIGINT) AS r
+       FROM nation),
+{its_sql}
+SELECT /*+ BROADCAST(nn), BROADCAST(o) */
+       f.node AS n_nationkey, nn.n_name, f.r AS rank_e9,
+       o.ow AS out_weight
+FROM {prev} f
+JOIN nation nn ON nn.node = f.node
+JOIN outw o ON o.src = f.node
+ORDER BY n_nationkey
+""",
+        w=w,
     )
 
 
@@ -466,56 +471,58 @@ def emb_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("val").cast("long").alias("val"))
         .localCheckpoint(eager=False)  # corpus pass runs ONCE
     )
-    g = stats.filter((F.col("i") >= 0) & (F.col("j") >= 0)).select(
-        "i", "j", F.col("val").alias("g")
-    )
-    s = stats.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
-        F.col("i").alias("k"), F.col("val").alias("s")
-    )
-    n = stats.filter(F.col("i") == -1).select(F.col("val").alias("n"))
-    m = (
-        g.join(F.broadcast(s.withColumnRenamed("k", "i").withColumnRenamed("s", "si")), "i")
-        .join(F.broadcast(s.withColumnRenamed("k", "j").withColumnRenamed("s", "sj")), "j")
-        .crossJoin(F.broadcast(n))
-        .select("i", "j", (F.col("n") * F.col("g") - F.col("si") * F.col("sj")).alias("m"))
-    )
-    div = m.agg(
-        F.greatest(
-            F.lit(1).cast("long"),
-            F.expr(f"max(abs(m)) DIV {_PCA_M_CAP}"),
-        ).alias("dv")
-    )
-    ms = (
-        m.crossJoin(F.broadcast(div))
-        .select("i", "j", F.expr("m DIV dv").alias("ms"))
-        .localCheckpoint(eager=False)  # grid reused by every iteration
-    )
-    v = spark.range(dims).select(
-        F.col("id").cast("int").alias("j"),
-        F.lit(1_000_000).cast("long").alias("v"),
-    )
-    for _ in range(_PCA_ITERS):
-        u = (
-            ms.join(F.broadcast(v), "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("ms") * F.col("v")).cast("long").alias("u"))
+    # r15 optimization (guide §7.3): the grid math below is unchanged —
+    # same centered-moment construction, same adaptive rescale, same
+    # lineage-cut ms grid and fixed-point iterations
+    # (plans/r15/emb_pca_power_iter_{before,after}.txt) — but built in
+    # TWO spark.sql calls instead of ~20 eagerly-analyzed chained
+    # Datasets (driver-side build 0.86s -> ~0.45s at sf0.1).
+    ms = spark.sql(
+        """
+WITH g AS (SELECT i, j, val AS g FROM {stats} WHERE i >= 0 AND j >= 0),
+s AS (SELECT i AS k, val AS s FROM {stats} WHERE i >= 0 AND j = -1),
+n AS (SELECT val AS n FROM {stats} WHERE i = -1),
+m AS (
+  SELECT /*+ BROADCAST(si), BROADCAST(sj), BROADCAST(n) */
+         g.i, g.j, n.n * g.g - si.s * sj.s AS m
+  FROM g JOIN s si ON si.k = g.i
+         JOIN s sj ON sj.k = g.j
+         CROSS JOIN n
+),
+"""
+        f"dv AS (SELECT greatest(CAST(1 AS BIGINT),\n"
+        f"               max(abs(m)) DIV {_PCA_M_CAP}) AS dv FROM m)\n"
+        "SELECT /*+ BROADCAST(d) */ i, j, m DIV dv AS ms\n"
+        "FROM m CROSS JOIN dv d",
+        stats=stats,
+    ).localCheckpoint(eager=False)  # grid reused by every iteration
+
+    prev = "v0"
+    its = []
+    for k in range(1, _PCA_ITERS + 1):
+        its.append(
+            f"u{k} AS (\n"
+            f"  SELECT /*+ BROADCAST(p) */ ms.i,\n"
+            f"         CAST(sum(ms.ms * p.v) AS BIGINT) AS u\n"
+            "  FROM {ms} ms JOIN " + f"{prev} p ON p.j = ms.j\n"
+            f"  GROUP BY ms.i),\n"
+            f"mx{k} AS (SELECT greatest(CAST(1 AS BIGINT),\n"
+            f"               max(abs(u)) DIV {_PCA_V_CAP}) AS mx FROM u{k}),\n"
+            f"v{k} AS (SELECT /*+ BROADCAST(m) */ u{k}.i AS j,\n"
+            f"                u DIV mx AS v\n"
+            f"         FROM u{k} CROSS JOIN mx{k} m)"
         )
-        mx = u.agg(
-            F.greatest(
-                F.lit(1).cast("long"),
-                F.expr(f"max(abs(u)) DIV {_PCA_V_CAP}"),
-            ).alias("mx")
-        )
-        v = (
-            u.crossJoin(F.broadcast(mx))
-            .select(
-                F.col("i").alias("j"),
-                F.expr("u DIV mx").alias("v"),
-            )
-        )
-    return v.select(
-        F.col("j").alias("dim"), F.col("v").alias("v_fp")
-    ).orderBy("dim")
+        prev = f"v{k}"
+    its_sql = ",\n".join(its)
+    return spark.sql(
+        f"""
+WITH v0 AS (SELECT CAST(id AS INT) AS j, CAST(1000000 AS BIGINT) AS v
+            FROM range({dims})),
+{its_sql}
+SELECT j AS dim, v AS v_fp FROM {prev} ORDER BY dim
+""",
+        ms=ms,
+    )
 
 
 def _pca_cte_body() -> tuple[str, str]:
