@@ -143,8 +143,13 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream by shingle count and pays a doc_id shuffle; this one has ZERO
     shuffles (measured 1.73s -> 1.21s at sf0.1, identical output). The
     materialized-column rule still applies: transform over a column
-    reference, never over a derived array expression."""
-    docs = _doc_shingles(spark, sf_dir).filter(F.size("sh") > 0)
+    reference, never over a derived array expression.
+
+    r15: the no-shingle drop rides as the cheap pre-exchange token-count
+    predicate inside _doc_shingles (same surviving docs — shingles exist
+    iff >= 3 tokens) instead of a post-hoc size(sh) > 0 filter that
+    Catalyst pushed below the exchange with the full chain inlined."""
+    docs = _doc_shingles(spark, sf_dir, require_shingles=True)
 
     def perm(i: int):
         # factory-bound constants; the lambda must stay SINGLE-argument
@@ -505,12 +510,15 @@ def minhash_bands_of(df: DataFrame) -> DataFrame:
     the signature pipeline of dedup_minhash_signature applied to an
     arbitrary relation (same perms, same band fold; docs with <3
     tokens drop out in both engines)."""
-    codes = df.select(
+    # r15: drop shingle-less docs on the cheap token-count predicate
+    # BEFORE deriving codes (same survivors — shingles exist iff >= 3
+    # tokens); a post-hoc size(sh) > 0 filter gets pushed below the
+    # projection with the full tokenize+shingle chain inlined, paying
+    # the chain twice per row.
+    codes = df.filter(F.size(tokens(F.col("text"))) >= 3).select(
         "doc_id", F.transform(tokens(F.col("text")), token_code).alias("c")
     )
-    sh = codes.select("doc_id", shingle_hashes(F.col("c")).alias("sh")).filter(
-        F.size("sh") > 0
-    )
+    sh = codes.select("doc_id", shingle_hashes(F.col("c")).alias("sh"))
 
     def perm(i: int):
         a, b = 2 * i + 1, 5 * i + 7

@@ -108,14 +108,26 @@ FROM (SELECT doc_id, tk,
 """
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_shingles(
+    spark: SparkSession, sf_dir: str, require_shingles: bool = False
+) -> DataFrame:
     # The documents scan may arrive in few (or one) splits; shingling is
     # CPU-bound, so spread it across the cluster BEFORE deriving shingles
     # (one small shuffle of raw text buys full parallelism for the
     # expensive stage — the standard fix for narrow-input compute).
-    d = t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    d = t(spark, sf_dir, "documents")
+    if require_shingles:
+        # r15 optimization (guide §2.3/§7.2): callers used to append
+        # .filter(size(sh) > 0) AFTER this builder — Catalyst pushes
+        # that predicate below the repartition exchange with the ENTIRE
+        # tokenize+shingle chain inlined (the token subexpression alone
+        # six times), so every document paid the full chain twice. A
+        # document has shingles iff it has >= 3 tokens, so push the
+        # CHEAP equivalent predicate instead: the pre-exchange filter
+        # costs one tokenize pass, shuffles fewer rows, and the full
+        # shingle chain runs exactly once, after the exchange.
+        d = d.filter(F.size(tokens(F.col("text"))) >= 3)
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     # two-stage projection: materialize the codes array once per row, THEN
     # derive shingles from the column reference (see shingle_hashes note)
     codes = d.select(
@@ -275,7 +287,16 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties broken lexicographically). Classic pipeline: explode -> term
     frequencies -> document frequencies (broadcast) -> score -> windowed
     top-k. Two shuffles (doc-term agg, window by doc); df table is tiny
-    and broadcast."""
+    and broadcast.
+
+    r15 optimization (guide §1.2/§2.3): the df branch used to run
+    ``terms.distinct()`` (dedup of the full exploded (doc, term) stream)
+    before its per-term count; tf rows are already one per distinct
+    (doc, term), so df counts the tf aggregate instead, and the
+    doc-count scalar rides in-plan as a broadcast 1-row aggregate
+    rather than a separate ``d.count()`` job serialized ahead of the
+    query (0.96s -> 0.85s min-of-5 at sf0.1; see
+    plans/r15/text_tfidf_top_terms_*.txt)."""
     from pyspark.sql import Window
 
     d = t(spark, sf_dir, "documents").repartition(
@@ -283,14 +304,26 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     terms = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = terms.distinct().groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = d.count()  # scalar; the broadcast side is df_, not the corpus
-    scored = tf.join(F.broadcast(df_), "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9
-        ).alias("tfidf"),
+    # NOTE (r15, measured): tf's aggregation piggybacks on the doc_id
+    # repartition exchange (hashpartitioning(doc_id) satisfies the
+    # (doc_id, term) clustering), so there is no tf exchange for the df
+    # branch to reuse and the branch re-derives tf; a localCheckpoint
+    # barrier to share it was measured SLOWER (1.07s vs 0.85s min-of-5
+    # at sf0.1) than letting both branches run concurrently.
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = t(spark, sf_dir, "documents").agg(
+        F.count("*").cast("double").alias("__n")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("__n") / F.col("df")), 9
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("term").asc()

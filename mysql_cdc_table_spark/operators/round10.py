@@ -344,7 +344,14 @@ def _grid_prefix_prev2(grid: DataFrame, checkpointed: bool = False) -> DataFrame
     ``checkpointed=True`` means the caller already cut the grid's
     lineage (because OTHER branches of its query reuse the grid — the
     r09 verdict's watch item 1: one materialization, not one per
-    consumer); don't checkpoint twice."""
+    consumer); don't checkpoint twice.
+
+    r15 optimization (guide §1/§7.3): boundary probe moved from a
+    driver-side ``approxQuantile`` action (one extra Spark job per
+    build, plus the checkpoint materialization it forced) to a lazy
+    in-plan ``percentile_approx`` broadcast — bucket assignment is the
+    same count-of-boundaries-below-vm, and any monotone boundary set
+    yields identical prefix sums."""
     from pyspark.sql import Window
 
     from mysql_cdc_table_spark.operators.round8 import _RANK_BUCKETS
@@ -352,13 +359,17 @@ def _grid_prefix_prev2(grid: DataFrame, checkpointed: bool = False) -> DataFrame
     if not checkpointed:
         grid = grid.localCheckpoint(eager=False)
     probes = [i / _RANK_BUCKETS for i in range(1, _RANK_BUCKETS)]
-    bounds = sorted(
-        {int(b) for b in grid.stat.approxQuantile("vm", probes, 0.001)}
+    bounds = grid.agg(
+        F.percentile_approx("vm", F.lit(probes)).alias("__bs")
     )
-    bkt = F.lit(0)
-    for b in bounds:
-        bkt = bkt + F.when(F.col("vm") > F.lit(b), 1).otherwise(0)
-    g = grid.withColumn("bkt", bkt.cast("int"))
+    g = (
+        grid.join(F.broadcast(bounds))
+        .withColumn(
+            "bkt",
+            F.size(F.filter("__bs", lambda b: b < F.col("vm"))).cast("int"),
+        )
+        .drop("__bs")
+    )
     wloc = Window.partitionBy("bkt").orderBy("vm").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -399,7 +410,14 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     double division of exact int64s. Magnitude: cum·n ≤ n₁·n₂, int64-
     safe to ~3·10⁹ rows/side; past that promote to decimal(38,0)
     (the MW-U note). Scale shape: two map-side grid counts, one
-    bucketed grid window, two bounded singleton joins."""
+    bucketed grid window, two bounded singleton joins.
+
+    The (ta, tb) pick stays a driver-side ``collect()`` ON PURPOSE
+    (r15 audit): inlining the pair as literals keeps
+    ``event_type IN (ta, tb)`` in the parquet scan's PushedFilters —
+    an in-plan broadcast ``named`` join was measured and rejected
+    because the join predicate cannot push down, turning the fact scan
+    into a full read at any scale."""
     e = t(spark, sf_dir, "events")
     two = e.groupBy("event_type").count().orderBy("event_type").limit(2)
     picked = [r["event_type"] for r in two.collect()]

@@ -2314,8 +2314,7 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )
     sh = (
-        _doc_shingles(spark, sf_dir)
-        .filter(F.size("sh") > 0)
+        _doc_shingles(spark, sf_dir, require_shingles=True)
         .localCheckpoint(eager=False)
     )
     sa = sig.select(

@@ -1062,24 +1062,35 @@ def _grid_prefix_prev(grid: DataFrame, ct: str) -> DataFrame:
     table lifts local sums to global ones; no task ever sorts more than
     ~1/buckets of the grid. Returns ``grid`` plus a ``prev`` column
     (observations strictly below each vm). The boundary probe is one
-    bounded extra pass (≤31 driver-side doubles)."""
+    bounded extra pass (a ≤31-element percentile array).
+
+    r15 optimization (guide §1/§7.3): the probe used to be a driver-side
+    ``approxQuantile`` ACTION — every caller paid one extra Spark job
+    (plus the checkpoint materialization it forces) before the query
+    even built. The boundaries now come from a LAZY in-plan
+    ``percentile_approx`` aggregate broadcast back onto the grid; the
+    bucket assignment (count of boundaries strictly below vm) is
+    identical, any monotone boundary set yields the same prefix sums,
+    and building the query runs zero jobs."""
     from pyspark.sql import Window
 
-    # the quantile probe is a SEPARATE job over the grid's lineage —
-    # without a cut it re-runs the upstream fact scan + aggregation a
-    # second time when the main query executes. Lazy localCheckpoint
-    # (the emb_centroid_pairs precedent) materializes the grid once at
-    # the probe and reuses it in the ranked plan; eager=False so merely
-    # BUILDING the query (explain, registry listing) runs no job.
+    # lineage cut (lazy): every downstream branch — bounds probe, local
+    # window, bucket totals — reuses ONE materialization of the grid
+    # instead of re-running the upstream fact scan per branch;
+    # eager=False so merely BUILDING the query runs no job.
     grid = grid.localCheckpoint(eager=False)
     probes = [i / _RANK_BUCKETS for i in range(1, _RANK_BUCKETS)]
-    bounds = sorted(
-        {int(b) for b in grid.stat.approxQuantile("vm", probes, 0.001)}
+    bounds = grid.agg(
+        F.percentile_approx("vm", F.lit(probes)).alias("__bs")
     )
-    bkt = F.lit(0)
-    for b in bounds:
-        bkt = bkt + F.when(F.col("vm") > F.lit(b), 1).otherwise(0)
-    g = grid.withColumn("bkt", bkt.cast("int"))
+    g = (
+        grid.join(F.broadcast(bounds))
+        .withColumn(
+            "bkt",
+            F.size(F.filter("__bs", lambda b: b < F.col("vm"))).cast("int"),
+        )
+        .drop("__bs")
+    )
     wloc = Window.partitionBy("bkt").orderBy("vm").rowsBetween(
         Window.unboundedPreceding, 0
     )

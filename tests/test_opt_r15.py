@@ -32,3 +32,47 @@ def test_sql_dim_changelog_matches_dataframe_build(spark):
     )
 
     _assert_same(_dim_changelog(spark, SF), _dim_changelog_df(spark, SF))
+
+
+def test_require_shingles_filter_matches_posthoc_size_filter(spark):
+    """The r15 pre-exchange token-count predicate (require_shingles=True)
+    must keep exactly the documents the old post-hoc size(sh) > 0 filter
+    kept: shingles exist iff the document has >= 3 tokens."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.functions.text import _doc_shingles
+
+    _assert_same(
+        _doc_shingles(spark, SF, require_shingles=True),
+        _doc_shingles(spark, SF).filter(F.size("sh") > 0),
+    )
+
+
+def test_grid_prefix_prev2_matches_naive_window(spark):
+    """_grid_prefix_prev2 (two-column bucketed prefix sum, r15 in-plan
+    percentile bounds) must equal the naive unpartitioned running sums
+    for both sides on a synthetic grid with ties and gaps."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_table_spark.operators.round10 import _grid_prefix_prev2
+
+    rows = [
+        (vm, (vm * 7) % 5, (vm * 3) % 4)
+        for vm in [-50, -3, 0, 1, 2, 8, 9, 100, 101, 5000]
+    ]
+    grid = spark.createDataFrame(rows, "vm long, c1 long, c2 long")
+    got = {
+        r["vm"]: (r["prev1"], r["prev2"])
+        for r in _grid_prefix_prev2(grid).collect()
+    }
+    w = Window.orderBy("vm").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["vm"]: (r["p1"], r["p2"])
+        for r in grid.select(
+            "vm",
+            F.coalesce(F.sum("c1").over(w), F.lit(0)).alias("p1"),
+            F.coalesce(F.sum("c2").over(w), F.lit(0)).alias("p2"),
+        ).collect()
+    }
+    assert got == want
