@@ -7744,7 +7744,7 @@ GROUP BY o_orderstatus
 # --- binlog v4 WRITER sink ----------------------------------------------------
 
 from pyspark.sql.datasource import (  # noqa: E402  (public DataSource API)
-    DataSourceWriter as _DataSourceWriter,
+    DataSourceArrowWriter as _DataSourceArrowWriter,
     WriterCommitMessage as _WriterCommitMessage,
 )
 
@@ -7754,7 +7754,7 @@ class _BinlogWriteMsg(_WriterCommitMessage):
         self.name = name
 
 
-class MysqlBinlogWriter(_DataSourceWriter):
+class MysqlBinlogWriter(_DataSourceArrowWriter):
     """Write a changelog DataFrame back out as REAL binlog v4 files —
     the sink the reference only pretends to have (its write_row
     silently discards, binlogdb.cc:283-292; here the output is
@@ -7803,7 +7803,7 @@ class MysqlBinlogWriter(_DataSourceWriter):
             "zstd" if comp == "zstd" else bool(comp == "none")
         )
 
-    def _build_txns(self, rows) -> list:
+    def _build_txns(self, rows, names_in: list | None = None) -> list:
         import calendar
         from itertools import chain
 
@@ -7819,7 +7819,12 @@ class MysqlBinlogWriter(_DataSourceWriter):
         # per partition and index by int thereafter. Plain-mapping rows
         # (tests, foreachBatch dicts) keep name keys — both row[int]
         # and dict[str] are O(1).
-        if hasattr(first, "__fields__"):
+        if names_in is not None:
+            # Arrow path (r15): rows are plain tuples positionally
+            # matching names_in (the record-batch column order)
+            pos = names_in.index
+            mat = lambda r: r  # noqa: E731 - already plain tuples
+        elif hasattr(first, "__fields__"):
             fields = list(first.__fields__)
             pos = fields.index
             # materialize each Row as a PLAIN tuple once (C-speed copy
@@ -7880,13 +7885,39 @@ class MysqlBinlogWriter(_DataSourceWriter):
                 )
         return txns
 
-    def write(self, rows) -> "_WriterCommitMessage":
+    @staticmethod
+    def _arrow_rows(batches):
+        """Arrow record batches -> (names, iterator of plain tuples).
+
+        r15 (guide §4): the sink is a DataSourceArrowWriter — partition
+        data crosses the JVM/Python boundary as Arrow columns instead of
+        one pickled Row per image. Values convert through pyarrow's
+        C to_pylist (timestamps come back as the same UTC datetimes the
+        pickled path produced under the session's pinned UTC timezone),
+        and _build_txns indexes the resulting tuples positionally."""
+        it = iter(batches)
+        try:
+            first = next(it)
+        except StopIteration:
+            return None, iter(())
+        from itertools import chain
+
+        names = list(first.schema.names)
+
+        def rows():
+            for b in chain((first,), it):
+                yield from zip(*(c.to_pylist() for c in b.columns))
+
+        return names, rows()
+
+    def write(self, batches) -> "_WriterCommitMessage":
         import os
         import uuid
 
         from pyspark import TaskContext
 
-        txns = self._build_txns(rows)
+        names_in, rows = self._arrow_rows(batches)
+        txns = self._build_txns(rows, names_in)
         pid = TaskContext.get().partitionId()
         os.makedirs(self.path, exist_ok=True)
         name = None
@@ -7955,11 +7986,11 @@ class MysqlBinlogWriter(_DataSourceWriter):
 
 
 from pyspark.sql.datasource import (  # noqa: E402  (public DataSource API)
-    DataSourceStreamWriter as _DataSourceStreamWriter,
+    DataSourceStreamArrowWriter as _DataSourceStreamArrowWriter,
 )
 
 
-class MysqlBinlogStreamWriter(_DataSourceStreamWriter):
+class MysqlBinlogStreamWriter(_DataSourceStreamArrowWriter):
     """``writeStream.format("mysql_binlog")`` — stream a changelog into
     replayable binlog v4 files. Each micro-batch's non-empty task
     outputs land as tmp files, and the driver-side commit renames them
@@ -7985,7 +8016,8 @@ class MysqlBinlogStreamWriter(_DataSourceStreamWriter):
 
         from pyspark import TaskContext
 
-        txns = self._inner._build_txns(iterator)
+        names_in, rows = MysqlBinlogWriter._arrow_rows(iterator)
+        txns = self._inner._build_txns(rows, names_in)
         if not txns:
             return _BinlogWriteMsg(None)
         blob = build_binlog_file(
