@@ -320,7 +320,12 @@ def cdc_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_cdc_table_spark.cdc import ops
     from mysql_cdc_table_spark.cdc.synthetic import synthetic_changelog
 
-    latest = ops.latest_state(synthetic_changelog(spark, sf_dir), ["o_orderkey"])
+    # strategy='agg' pinned: this key's plan contract is max_by
+    # aggregates with ZERO Window nodes (test_round11 — see the r15
+    # latest_state docstring for the window-vs-agg measurement)
+    latest = ops.latest_state(
+        synthetic_changelog(spark, sf_dir), ["o_orderkey"], strategy="agg"
+    )
     live_cust = (
         _dim_changelog(spark, sf_dir)
         .groupBy("c_custkey")
