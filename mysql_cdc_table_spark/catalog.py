@@ -61,11 +61,48 @@ def ensure_session_confs(spark: SparkSession) -> None:
             pass
 
 
+# r15 (guide §1.2 — driver-side build cost): every spark.read.parquet
+# call re-infers the schema from parquet footers (~70ms/table measured,
+# paid on EVERY query build since a DataFrame is constructed fresh per
+# invocation). Cache only the SCHEMA — pure metadata keyed on
+# (application, path, file mtime), so a rewritten file re-infers — and
+# pass it explicitly; the relation itself (and its expression IDs) is
+# still created fresh per call, so self-join deduplication semantics
+# are untouched. No data or results are ever cached here.
+_SCHEMA_CACHE: dict = {}
+
+
+def _cached_schema(spark: SparkSession, path: str):
+    try:
+        key = (
+            spark.sparkContext.applicationId,
+            path,
+            os.path.getmtime(path),
+        )
+    except Exception:  # noqa: BLE001 - missing path: let the read raise
+        return None
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        for k in [
+            k for k in _SCHEMA_CACHE if k[0] == key[0] and k[1] == path
+        ]:
+            del _SCHEMA_CACHE[k]
+        _SCHEMA_CACHE[key] = schema
+    return schema
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_session_confs(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    schema = _cached_schema(spark, path)
+    df = (
+        spark.read.schema(schema).parquet(path)
+        if schema is not None
+        else spark.read.parquet(path)
+    )
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS) — read as long (nanosAsLong) and
         # truncate to microseconds, matching DuckDB's nanos->micros cast.

@@ -108,11 +108,34 @@ def decode_envelope(
         "_e", F.from_json(F.col(value_col), envelope_schema(target, gtid_format))
     )
 
-    # A4 table-id filter, pushed into the scan.
+    # A4 table-id filter. r15 (guide §1.2/§7.2): the two per-field
+    # predicates were pushed below the _e projection as TWO separate
+    # from_json evaluations — and from_json is CodegenFallback, so the
+    # Filter runs interpreted with no common-subexpression elimination:
+    # every row paid 3 JSON parses (2 filter + 1 projection). One
+    # struct-equality predicate over a single subset-schema parse keeps
+    # the same row set (a null/missing field can never equal the
+    # non-null literal) at 1 filter parse per row.
+    want = []
     if database is not None:
-        env = env.filter(F.col("_e.source.db") == database)
+        want.append(("db", database))
     if table is not None:
-        env = env.filter(F.col("_e.source.table") == table)
+        want.append(("table", table))
+    if want:
+        sub = T.StructType(
+            [
+                T.StructField(
+                    "source",
+                    T.StructType(
+                        [T.StructField(n, T.StringType()) for n, _ in want]
+                    ),
+                )
+            ]
+        )
+        lit_side = F.struct(
+            F.struct(*[F.lit(v).alias(n) for n, v in want]).alias("source")
+        )
+        env = env.filter(F.from_json(F.col(value_col), sub) == lit_side)
 
     img = (
         F.when(

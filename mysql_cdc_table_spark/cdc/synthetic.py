@@ -91,14 +91,18 @@ def synthetic_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch is a narrow projection of the same parquet scan with pushed
     filters, no shuffle at all; the changelog stays partition-local.
     """
-    from mysql_cdc_table_spark.catalog import ensure_session_confs, table_path
+    from mysql_cdc_table_spark.catalog import ensure_session_confs, load_table
 
     ensure_session_confs(spark)
     cols = ", ".join([*_ORDER_COLS, *_META_COLS])
+    # orders rides in as a {df} placeholder through load_table (schema
+    # cached — guide §1.2): a parquet.`path` reference re-infers the
+    # footer schema on every build
     return spark.sql(
-        f"WITH orders AS (SELECT * FROM parquet.`{table_path(sf_dir, 'orders')}`),\n"
+        "WITH orders AS (SELECT * FROM {t_orders}),\n"
         f"{CHANGELOG_CTE}\n"
-        f"SELECT {cols} FROM changelog"
+        f"SELECT {cols} FROM changelog",
+        t_orders=load_table(spark, sf_dir, "orders"),
     )
 
 

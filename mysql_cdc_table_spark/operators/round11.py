@@ -54,14 +54,15 @@ def _dim_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     of ~15 eagerly-analyzed intermediate Datasets; parity with the
     original builder ``_dim_changelog_df`` asserted in
     tests/test_round11.py)."""
-    from mysql_cdc_table_spark.catalog import table_path
+    from mysql_cdc_table_spark.catalog import load_table
 
     return spark.sql(
         "WITH customer AS "
-        f"(SELECT c_custkey, c_nationkey FROM parquet.`{table_path(sf_dir, 'customer')}`),\n"
+        "(SELECT c_custkey, c_nationkey FROM {t_customer}),\n"
         f"{DIM_CHANGELOG_CTE}\n"
         "SELECT c_custkey, c_nationkey, __op, __gtid, __image_seq "
-        "FROM dim_changelog"
+        "FROM dim_changelog",
+        t_customer=load_table(spark, sf_dir, "customer"),
     )
 
 

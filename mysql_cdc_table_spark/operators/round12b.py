@@ -264,16 +264,16 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plans/r15/graph_pagerank_trade_{before,after}.txt) — but built in
     TWO spark.sql calls instead of ~25 eagerly-analyzed chained
     Datasets: driver-side build 1.21s -> ~0.3s at sf0.1."""
-    from mysql_cdc_table_spark.catalog import table_path
-
     n_nations = 25
-    p = lambda name: table_path(sf_dir, name)  # noqa: E731
+    # table references ride in as {df} placeholders through t() (schema
+    # cached — guide §1.2): a parquet.`path` reference re-infers the
+    # footer schema on every build
     w = spark.sql(
-        f"""
-WITH li AS (SELECT l_orderkey, l_suppkey FROM parquet.`{p('lineitem')}`),
-o AS (SELECT o_orderkey, o_custkey FROM parquet.`{p('orders')}`),
-c AS (SELECT c_custkey, c_nationkey FROM parquet.`{p('customer')}`),
-s AS (SELECT s_suppkey, s_nationkey FROM parquet.`{p('supplier')}`),
+        """
+WITH li AS (SELECT l_orderkey, l_suppkey FROM {tli}),
+o AS (SELECT o_orderkey, o_custkey FROM {to}),
+c AS (SELECT c_custkey, c_nationkey FROM {tc}),
+s AS (SELECT s_suppkey, s_nationkey FROM {ts}),
 eobs AS (
   SELECT /*+ BROADCAST(s) */
          CAST(c_nationkey AS BIGINT) AS src,
@@ -284,13 +284,17 @@ eobs AS (
           JOIN s ON li.l_suppkey = s.s_suppkey
   GROUP BY 1, 2
 ),
-nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node
-          FROM parquet.`{p('nation')}`),
+nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM {tn}),
 grid AS (SELECT a.node AS src, b.node AS dst
          FROM nodes a CROSS JOIN nodes b)
 SELECT /*+ BROADCAST(e) */ g.src, g.dst, coalesce(e.cnt, 0) + 1 AS w
 FROM grid g LEFT JOIN eobs e ON e.src = g.src AND e.dst = g.dst
-"""
+""",
+        tli=t(spark, sf_dir, "lineitem"),
+        to=t(spark, sf_dir, "orders"),
+        tc=t(spark, sf_dir, "customer"),
+        ts=t(spark, sf_dir, "supplier"),
+        tn=t(spark, sf_dir, "nation"),
     ).localCheckpoint(eager=False)  # cut: the fact scan runs ONCE
 
     teleport = (15 * _PR_SCALE) // (100 * n_nations)  # exact: 6e6
@@ -311,9 +315,10 @@ FROM grid g LEFT JOIN eobs e ON e.src = g.src AND e.dst = g.dst
     return spark.sql(
         "WITH outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow "
         "FROM {w} GROUP BY src),\n"
-        f"""nation AS (SELECT CAST(n_nationkey AS BIGINT) AS node, n_name
-           FROM parquet.`{p('nation')}`),
-r0 AS (SELECT node, CAST({_PR_SCALE // n_nations} AS BIGINT) AS r
+        """nation AS (SELECT CAST(n_nationkey AS BIGINT) AS node, n_name
+           FROM {tn}),
+"""
+        f"""r0 AS (SELECT node, CAST({_PR_SCALE // n_nations} AS BIGINT) AS r
        FROM nation),
 {its_sql}
 SELECT /*+ BROADCAST(nn), BROADCAST(o) */
@@ -325,6 +330,7 @@ JOIN outw o ON o.src = f.node
 ORDER BY n_nationkey
 """,
         w=w,
+        tn=t(spark, sf_dir, "nation"),
     )
 
 

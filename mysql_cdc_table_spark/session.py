@@ -34,7 +34,11 @@ def get_spark(app_name: str = "spark-cdc-table", cpus: str | None = None) -> Spa
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", "32")
+        # r15: scale-adaptive — one initial shuffle partition per core
+        # (identical to the old constant 32 on the full box; lower-core
+        # runs no longer fan tiny stages across 32 slots they don't
+        # have). AQE's advisory size still governs the coalesced count.
+        .config("spark.sql.shuffle.partitions", cpus or DEFAULT_CPUS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
