@@ -423,6 +423,9 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     picked = [r["event_type"] for r in two.collect()]
     ta, tb = picked[0], picked[1]
     vm = F.floor(F.col("value") * 1000).cast("long")
+    # r15 audit note: a spread_narrow_scan before the grid count was
+    # tried and REVERTED (same ~5x exec regression as kruskal — the
+    # extra exchange under the lazy grid checkpoint); see round8.py.
     grid = (
         e.filter(F.col("event_type").isin(ta, tb))
         .select(

@@ -1227,6 +1227,11 @@ def agg_kruskal_rank_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples (``_grid_prefix_prev``, round 9 — ranking k groups costs
     the same as ranking two, and no single task ever sorts more than
     ~1/_RANK_BUCKETS of the grid)."""
+    # r15 audit note: spreading the single-row-group input before the
+    # grid aggregate (spread_narrow_scan) was tried and REVERTED — the
+    # extra exchange interacts badly with the lazy-checkpointed tot
+    # materialization (measured ~5x slower exec); the grid collapse is
+    # cheap enough single-task at bench scale.
     e = t(spark, sf_dir, "events")
     vm = F.floor(F.col("value") * 1000).cast("long")
     grid = (

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mysql_cdc_table_spark.catalog import spread_narrow_scan
 from mysql_cdc_table_spark.operators._util import t
 
 
@@ -196,8 +197,22 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group top-k: the standard row_number()<=k idiom (one shuffle;
-    the filter prunes before any downstream join)."""
-    li = t(spark, sf_dir, "lineitem")
+    the filter prunes before any downstream join).
+
+    r15 (guide §2): when the parquet input offers fewer row groups than
+    the scheduler has slots (the bench files are single-row-group), the
+    whole decode+sort+partial-top-k pipeline below the window's
+    exchange runs on ONE task; spreading the scan BY THE WINDOW KEY
+    both parallelizes the sort and satisfies the window's distribution,
+    so the plan still costs exactly one shuffle (0.77s -> 0.50s
+    min-of-5). On many-row-group inputs the spread is a no-op and the
+    plan keeps the map-side partial WindowGroupLimit, which prunes to
+    k rows per group per partition BEFORE the exchange — the better
+    shape whenever scan parallelism is natural. Exact-integer ordering
+    (price, orderkey, linenumber), so results are layout-independent."""
+    li = spread_narrow_scan(
+        spark, sf_dir, "lineitem", t(spark, sf_dir, "lineitem"), "l_suppkey"
+    )
     w = Window.partitionBy("l_suppkey").orderBy(
         F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
     )

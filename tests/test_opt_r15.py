@@ -76,3 +76,34 @@ def test_grid_prefix_prev2_matches_naive_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_spread_narrow_scan_gate_and_parity(spark):
+    """spread_narrow_scan must (a) report the single-row-group bench
+    inputs as narrow and spread them to the scheduler's parallelism,
+    (b) keep exactly the same rows, and (c) no-op when the input
+    already offers enough chunks."""
+    from mysql_cdc_table_spark.catalog import scan_chunks, spread_narrow_scan
+    from mysql_cdc_table_spark.operators._util import t
+
+    dp = spark.sparkContext.defaultParallelism
+    assert scan_chunks(spark, SF, "lineitem") == 1
+    base = t(spark, SF, "lineitem")
+    spread = spread_narrow_scan(spark, SF, "lineitem", base, "l_suppkey")
+    assert spread.rdd.getNumPartitions() == dp
+    assert spread.exceptAll(base).count() == 0
+    assert base.exceptAll(spread).count() == 0
+    # chunk-rich input (simulated by monkeypatching the cached count)
+    from mysql_cdc_table_spark import catalog as cat
+
+    key = None
+    for k in list(cat._SCHEMA_CACHE):
+        if k[0] == "rg" and k[2].endswith("lineitem.parquet"):
+            key = k
+    assert key is not None
+    old = cat._SCHEMA_CACHE[key]
+    try:
+        cat._SCHEMA_CACHE[key] = 10_000
+        assert spread_narrow_scan(spark, SF, "lineitem", base, "l_suppkey") is base
+    finally:
+        cat._SCHEMA_CACHE[key] = old

@@ -227,21 +227,32 @@ def test_q16_anti_join_broadcast(spark, sf_dir):
 
 
 def test_topk_per_group_partial_limit_before_shuffle(spark, sf_dir):
-    """topk_per_group must keep the two-level WindowGroupLimit shape —
-    a map-side partial top-k BEFORE the hash exchange and the final one
-    after — with exactly one shuffle. (Pinned after the r2 bench drift:
-    re-measured min-of-3 showed the plan unchanged and the delta
-    environmental; this guards the plan half of that conclusion.)"""
+    """topk_per_group costs exactly ONE shuffle in both of its shapes
+    (r15): on narrow inputs (fewer row groups than scheduler slots —
+    every bench file) the scan is spread BY THE WINDOW KEY, so the
+    spread exchange doubles as the window's distribution and the sort
+    is parallel; on many-row-group inputs the spread is a no-op and the
+    plan keeps the two-level WindowGroupLimit (map-side partial top-k
+    below the hash exchange), which prunes before the shuffle."""
+    from mysql_cdc_table_spark.catalog import scan_chunks
     from mysql_cdc_table_spark.operators.windows import topk_per_group
     from mysql_cdc_table_spark.plans.audit import count_nodes, formatted_plan
 
     df = topk_per_group(spark, sf_dir)
-    assert count_nodes(df, "WindowGroupLimit") == 2
     assert shuffle_count(df) == 1
-    # tree prints root-first, so the PARTIAL limit (scan side) is the
-    # last WindowGroupLimit occurrence and must sit below the Exchange
     plan = formatted_plan(df)
-    assert plan.rindex("WindowGroupLimit") > plan.index("Exchange")
+    narrow = (
+        scan_chunks(spark, sf_dir, "lineitem")
+        < spark.sparkContext.defaultParallelism
+    )
+    if narrow:
+        # spread shape: the one exchange IS the window distribution
+        assert "REPARTITION_BY_NUM" in plan, plan
+        assert count_nodes(df, "WindowGroupLimit") >= 1
+    else:
+        # natural-parallelism shape: partial top-k below the exchange
+        assert count_nodes(df, "WindowGroupLimit") == 2
+        assert plan.rindex("WindowGroupLimit") > plan.index("Exchange")
 
 
 def test_knn_join_no_forced_broadcast_of_query_side(spark, sf_dir):
