@@ -204,7 +204,10 @@ def test_driver_artifacts_are_git_tracked():
         p.name
         for pat in ("CORRECTNESS_r*.json", "BENCH_r*.json")
         for p in root.glob(pat)
-        if int(p.stem.split("_r")[1]) <= newest_seen
+        # round number = leading digits only: the driver also drops
+        # suffixed companion artifacts (BENCH_r15_c8.json — the 8-core
+        # scaling run), which belong to the same round
+        if int(_re.match(r"\d+", p.stem.split("_r")[1]).group()) <= newest_seen
         and p.name not in tracked
     )
     assert not stale_untracked, (
